@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Num._
+import graft.sources.Tables
+
+/** Warehouse-scale relational core (SURVEY §2.C).
+  *
+  * The reference's analytics are all groupBy/join/top-N over a star
+  * schema (fpl-data-pipeline sql_queries.py:111-256); these queries keep
+  * the same operator shapes at TPC-H scale so the plans that matter at
+  * 100 TB — partial aggregation, broadcast dim joins, single-shuffle
+  * windows — are exercised and benchmarked.
+  *
+  * Scale notes per query are inline. All outputs are deterministically
+  * ordered with unique tiebreaks and use decimal-exact aggregation (see
+  * [[graft.functions.Num]]) so results are partitioning-independent.
+  */
+object RelationalQueries {
+
+  /** C1: multi-measure pricing summary. One shuffle (partial agg on 32
+    * map tasks → 4 groups); scan prunes to the 7 referenced columns.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val one = lit(1).cast("decimal(18,2)")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+          * (one + dec2(col("l_tax")))).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** C2: fact-fact join + dim filter (shipping-priority shape).
+    * customer is broadcast (150×SF rows); orders⋈lineitem shuffles on
+    * orderkey — the only unavoidable shuffle at 100 TB.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir)
+    val li   = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  /** C3: snowflake join region→nation→customer→orders→lineitem→supplier.
+    * All dims broadcast; the fact chain shuffles once on orderkey. The
+    * supplier-nation co-membership predicate matches TPC-H Q5.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val li  = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** C4: running sum per supplier over ship date — single shuffle on the
+    * window partition key; frame is cumulative (no buffering explosion).
+    */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec2(col("l_quantity"))).over(w).cast("double").as("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** C5: EXISTS / NOT EXISTS as semi/anti joins (no row duplication,
+    * no distinct needed — semantically and physically better than
+    * join+dedup at scale).
+    */
+  def semiJoinExists(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+    val withOrders = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("with_orders").as("bucket"), col("n"))
+    val withoutOrders = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("without_orders").as("bucket"), col("n"))
+    withOrders.unionAll(withoutOrders).orderBy(col("bucket"))
+  }
+
+  /** C6: exact distinct counts (the approx variant is covered in tests;
+    * HLL output is engine-specific so it has no DuckDB oracle).
+    */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.agg(
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"))
+  }
+
+  /** C7: time-bucketed event aggregation (`date_trunc` is a pure
+    * projection — buckets aggregate with one shuffle, and at scale the
+    * bucket column is the natural lake partition key).
+    */
+  def eventsTimeBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** C9: top-K rows per group via ranked window — one shuffle on the
+    * group key; limit applied before any ordering of the full set.
+    */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+}

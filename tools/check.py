@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Dev-only harness (mirrors the driver's correctness gate — NOT part of
+the library). Runs DuckDB on each oracle_sql.json entry against the
+testdata tables and compares with the Spark parquet dumped by
+graft.Verify: row count, column names, and per-value hash with columns
+sorted by name and rows sorted.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+
+def canon(rows, cols):
+    # sort columns by name, then rows; normalize floats/decimals/datetimes
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            if v is None:
+                rr.append(None)
+            elif isinstance(v, float):
+                rr.append(('f', repr(v)))
+            elif hasattr(v, 'isoformat'):
+                rr.append(('t', v.isoformat()))
+            elif str(type(v).__name__) == 'Decimal':
+                rr.append(('f', repr(float(v))))
+            else:
+                rr.append((type(v).__name__[0], str(v)))
+        out.append(tuple(rr))
+    out.sort(key=repr)
+    return out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            o = con.sql(sql)
+            ocols, orows = [c.lower() for c in o.columns], o.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        s = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        scols, srows = [c.lower() for c in s.columns], s.fetchall()
+        if sorted(ocols) != sorted(scols):
+            print(f"FAIL {name}: cols oracle={sorted(ocols)} spark={sorted(scols)}")
+            n_fail += 1; continue
+        if len(orows) != len(srows):
+            print(f"FAIL {name}: rows oracle={len(orows)} spark={len(srows)}")
+            n_fail += 1; continue
+        co, cs = canon(orows, ocols), canon(srows, scols)
+        if co != cs:
+            bad = [(a, b) for a, b in zip(co, cs) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {bad}")
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(orows)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
