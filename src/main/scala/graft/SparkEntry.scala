@@ -46,6 +46,20 @@ object SparkEntry {
     "distinct_counts"    -> (RelationalQueries.distinctCounts _),
     "events_time_buckets" -> (RelationalQueries.eventsTimeBuckets _),
     "topk_per_group"     -> (RelationalQueries.topkPerGroup _),
+    // §2.C8 + §2.E — sessionization & windowed aggregation
+    "events_sessionize"  -> (TextQueries.eventsSessionize _),
+    "events_windowed_agg" -> (TextQueries.eventsWindowedAgg _),
+    // §2.D — LLM-training-data operators
+    "dedup_exact"        -> (TextQueries.dedupExact _),
+    "dedup_minhash_lsh"  -> (TextQueries.dedupMinhashLsh _),
+    "dedup_simhash"      -> (TextQueries.dedupSimhash _),
+    "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
+    "text_token_count"   -> (TextQueries.textTokenCount _),
+    "text_quality_score" -> (TextQueries.textQualityScore _),
+    "text_lang_id"       -> (TextQueries.textLangId _),
+    "dedup_embedding_cosine" -> (VectorQueries.dedupEmbeddingCosine _),
+    "ann_bruteforce_topk" -> (VectorQueries.annBruteForce _),
+    "ann_lsh_topk"       -> (VectorQueries.annLsh _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -239,5 +253,85 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 4 HOUR
+        |         THEN 1 ELSE 0 END AS flag
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, CAST(SUM(flag) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM e)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS t_start, MAX(ts) AS t_end
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    "events_windowed_agg" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT sha256(text) AS digest, MIN(doc_id) AS canonical_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS INTEGER) AS n_subtokens,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
+        |  FROM t)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens, u / n AS uniq_ratio,
+        |  0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |    + 0.2 * least((h / n) * 8.0, 1.0) AS quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS he,
+        |    len(list_filter(tk, x -> list_contains(['le','la','et','les','des','un','une'], x))) AS hf,
+        |    len(list_filter(tk, x -> list_contains(['der','die','und','das','ein','nicht'], x))) AS hd,
+        |    len(list_filter(tk, x -> list_contains(['el','los','y','que','un','una','en'], x))) AS hs
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(he, hf, hd, hs) = 0 THEN 'und'
+        |       WHEN he = greatest(he, hf, hd, hs) THEN 'en'
+        |       WHEN hf = greatest(he, hf, hd, hs) THEN 'fr'
+        |       WHEN hd = greatest(he, hf, hd, hs) THEN 'de'
+        |       ELSE 'es' END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication family (SURVEY §2.D1-D5): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard.
+  *
+  * Scale posture: every variant is a constant number of shuffles,
+  * independent of corpus size. Candidate generation always happens
+  * through equality buckets (hash groups, LSH band buckets, SimHash
+  * bands) so the expensive pairwise verification only runs inside
+  * buckets — never a cross join. Skewed buckets (boilerplate shingles)
+  * are handled by AQE skew-join splitting.
+  */
+object Dedup {
+
+  /** D1: exact dedup via content digest. Group on SHA-256 of the
+    * content (not the raw text) — at 100 TB the shuffle carries 32-byte
+    * digests + ids, not documents. Keeps the lowest id as canonical.
+    */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(sha2(text, 256).as("digest"))
+      .agg(min(id).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: k minima of seeded xxhash64 over the shingle
+    * set. Seeding via a literal prefix column (xxhash64 chains its
+    * inputs), so the k functions are independent. Pure higher-order
+    * expressions — no UDF, no state.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** D2: MinHash LSH candidate pairs. Signature of k = bands×rows
+    * minima; documents sharing any band hash become candidates; pairs
+    * are then verified with exact shingle Jaccard ≥ `threshold`.
+    *
+    * Plan shape: explode to bands (×bands rows), shuffle on
+    * (band, bandHash) — equality join, broadcast nothing, no cross
+    * join. Dedups pairs found in multiple bands.
+    *
+    * @param df    input with (idCol, textCol)
+    * @return (id_a, id_b, jaccard) with id_a < id_b
+    */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+                 shingleSize: Int = 3, bands: Int = 8, rows: Int = 4,
+                 threshold: Double = 0.5): DataFrame = {
+    val k = bands * rows
+    val withSig = df.select(
+        col(idCol).as("id"),
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize)
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    // band hash = xxhash64 over the band's slice of the signature
+    val banded = withSig.select(col("id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+    val l = banded.select(col("band"), col("bandhash"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bandhash"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** SimHash (64-bit): per token hash, each bit votes ±1; the sign of
+    * the vote sum forms the fingerprint bit. Pure fold over the token
+    * array — `aggregate` + `zip_with`, stays in codegen.
+    */
+  def simhash(toks: Column): Column = {
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)), j =>
+          when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)),
+        (a, v) => a + v))
+    // fold the 64 sign bits back into one long
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** D3: SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    * Votes are cast by DISTINCT trigram shingles (not token
+    * occurrences): multiset voting lets a length difference between
+    * near-identical docs flip many near-tied bits, while the shingle
+    * set mirrors the Jaccard ground truth.
+    *
+    * Candidates via `bands` buckets of 64/bands bits; pigeonhole: any
+    * pair with distance < bands shares at least one band. Defaults
+    * (8 bands × 8 bits, h ≤ 7) suit medium corpora — at billions of
+    * docs, 8-bit buckets collide quadratically, so widen to 16-bit
+    * bands (4×16, h ≤ 3) and/or multi-probe instead.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 7, bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands, s"pigeonhole needs maxHamming < bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val withSig = df.select(col(idCol).as("id"),
+      simhash(array_distinct(TextFunctions.shingles(
+        TextFunctions.tokens(col(textCol)), 3))).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          call_function("shiftright", col("sig"), b * width).bitwiseAND(mask))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandkey")
+    val l = banded.select(col("band"), col("bandkey"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bandkey"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bandkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** D4: n-gram Jaccard similarity for given candidate pairs (here:
+    * consecutive doc ids — a deterministic, oracle-checkable pairing;
+    * LSH supplies candidates at scale).
+    */
+  def consecutivePairJaccard(df: DataFrame, textCol: String, idCol: String,
+                             shingleSize: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize).as("sh"))
+    val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+}

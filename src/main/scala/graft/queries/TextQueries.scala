@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Sessionize}
+import graft.sources.Tables
+
+/** Text-analysis + dedup queries over the documents table, and event
+  * sessionization (SURVEY §2.D, §2.C8).
+  */
+object TextQueries {
+
+  /** D1: exact dedup via SHA-256 content digest. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), col("text"), col("doc_id"))
+      .orderBy(col("canonical_id"))
+
+  /** D2: MinHash-LSH near-dup pairs, verified at jaccard ≥ 0.5.
+    * The testdata plants ~0.99-jaccard pairs; LSH with 8 bands × 4
+    * rows fires at ~0.5+ with near-certainty.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** D3: SimHash near-dup pairs at Hamming ≤ 3. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** D4: exact trigram Jaccard for deterministic (consecutive-id)
+    * pairs — the oracle-checkable face of the shingle machinery.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.consecutivePairJaccard(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy(col("id_a"))
+
+  /** D8: token counting — whitespace tokens and BPE-ish subtokens. */
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subtokenCount(col("text")).as("n_subtokens"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** D9: quality scoring — length prior, lexical diversity, stopword
+    * ratio, composed in a fixed-order double formula.
+    */
+  def textQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.uniqueTokenRatio(toks).as("uniq_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** D10: language ID by stopword scoring with deterministic argmax. */
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  /** C8: gap sessionization of events (4h inactivity closes a
+    * session), rolled up per session.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(Tables.events(spark, dir),
+        col("user_id"), col("ts"), 4 * 3600L,
+        Seq(col("ts"), col("event_id")))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** E1 (batch face): tumbling 1-hour windowed aggregation — the same
+    * plan Structured Streaming runs incrementally (see
+    * graft.streaming.EventsStream).
+    */
+  def eventsWindowedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Num.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+}

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Similarity search over the embeddings table (SURVEY §2.D5-D7).
+  * Scores are left-fold doubles — deterministic within Spark, but not
+  * bit-reproducible by another engine's accumulation order, so these
+  * are rows-only queries (no DuckDB oracle); exactness is covered by
+  * SimilaritySpec against a scala reference implementation.
+  */
+object VectorQueries {
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def queries(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  /** D6: exact cosine top-10 per query vector. */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceKnn(queries(spark, dir), corpus(spark, dir), 10)
+      .orderBy(col("qid"), col("rk"))
+
+  /** D7: LSH-bucketed approximate top-10 (4 hyperplanes → 16 buckets,
+    * sized so buckets stay populated at the smallest test SF).
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshKnn(queries(spark, dir), corpus(spark, dir), 10, planes = 4)
+      .orderBy(col("qid"), col("rk"))
+
+  /** D5: embedding-cosine near-dup pairs. The testdata has no planted
+    * embedding dups (max pairwise cosine ≈ 0.51), so the threshold sits
+    * in the observed tail to keep the output non-degenerate.
+    */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDup(corpus(spark, dir), threshold = 0.35, planes = 2)
+      .orderBy(col("id_a"), col("id_b"))
+}

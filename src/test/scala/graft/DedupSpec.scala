@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Semantic checks for the dedup family against exact (brute-force)
+  * reference computations at sf0.001 — these cover the rows-only
+  * queries the DuckDB oracle can't express.
+  */
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs =
+    graft.sources.Tables.documents(spark, sfDir).cache()
+
+  /** Exact pairwise trigram jaccard for every doc pair (50 docs →
+    * 1225 pairs at sf0.001): the ground truth LSH is judged against.
+    */
+  private lazy val exactPairs = {
+    val sh = docs.select(col("doc_id").as("id"),
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+    val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+  }
+
+  test("minhashLsh finds every pair with true jaccard >= 0.9 and reports exact jaccard") {
+    val got = Dedup.minhashLsh(docs, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val planted = exactPairs.filter(_._2 >= 0.9).keySet
+    assert(planted.nonEmpty, "testdata should contain planted near-dups")
+    val missed = planted -- got.keySet
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+    // no false jaccards: reported values equal the exact computation
+    got.foreach { case (k, j) =>
+      assert(math.abs(j - exactPairs(k)) < 1e-12, s"pair $k jaccard drift")
+      assert(j >= 0.5, s"pair $k below threshold")
+    }
+  }
+
+  test("simhash is deterministic and near-identical docs have small hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every reported pair must satisfy the hamming bound
+    assert(pairs.forall(_._3 <= 7))
+    // near-identical pairs (j >= 0.985 ⇒ hamming well under the bound
+    // on this corpus) must all be caught — pigeonhole guarantees it
+    val planted = exactPairs.filter(_._2 >= 0.985).keySet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(got),
+      s"simhash missed near-identical pairs: ${planted -- got}")
+    // determinism across evaluations
+    val sig1 = docs.select(Dedup.simhash(TextFunctions.tokens(col("text"))))
+      .collect().map(_.getLong(0)).toSeq
+    val sig2 = docs.select(Dedup.simhash(TextFunctions.tokens(col("text"))))
+      .collect().map(_.getLong(0)).toSeq
+    assert(sig1 == sig2)
+  }
+
+  test("exact dedup: digests are unique per text and counts sum to corpus size") {
+    val out = graft.queries.TextQueries.dedupExact(spark, sfDir).collect()
+    assert(out.map(_.getLong(2)).sum == docs.count())
+  }
+
+  test("shingles: shorter than n yields empty array, not a descending sequence") {
+    import spark.implicits._
+    val tiny = Seq("one two", "a b c d").toDF("text")
+    val out = tiny.select(TextFunctions.shingles(
+      TextFunctions.tokens(col("text")), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0).isEmpty)
+    assert(out(1) == Seq("a b c", "b c d"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** Brute-force KNN against a driver-side exact reference; LSH recall
+  * against brute force.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def cosineRef(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("bruteForceKnn matches an exact scala reference") {
+    val all = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val queries = all.filter(_._1 < 5)
+    val got = graft.queries.VectorQueries.annBruteForce(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    queries.foreach { case (qid, qvec) =>
+      val expect = all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosineRef(qvec, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10)
+      val gotQ = got.filter(_._1 == qid).sortBy(_._4)
+        .map(r => (r._2, r._3))
+      assert(gotQ.map(_._1).toList == expect.map(_._1).toList,
+        s"qid=$qid neighbor ids diverge: got=${gotQ.map(_._1).toList} want=${expect.map(_._1).toList}")
+      gotQ.zip(expect).foreach { case ((_, c1), (_, c2)) =>
+        assert(math.abs(c1 - c2) < 1e-9)
+      }
+    }
+  }
+
+  test("lshKnn returns a subset ranking consistent with brute force on shared candidates") {
+    val bf = graft.queries.VectorQueries.annBruteForce(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = graft.queries.VectorQueries.annLsh(spark, sfDir).collect()
+    assert(lsh.nonEmpty)
+    // any (qid,id) also present in brute force must carry the same score
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bf.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-9))
+    }
+  }
+
+  test("cosineNearDup pairs all meet the threshold") {
+    val out = graft.queries.VectorQueries.dedupEmbeddingCosine(spark, "/root/testdata/sf0.01")
+    assert(out.filter(col("cos") < 0.35).count() == 0)
+    assert(out.count() > 0)
+  }
+}
