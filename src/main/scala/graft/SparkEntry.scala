@@ -57,6 +57,7 @@ object SparkEntry {
     "text_token_count"   -> (TextQueries.textTokenCount _),
     "text_quality_score" -> (TextQueries.textQualityScore _),
     "text_lang_id"       -> (TextQueries.textLangId _),
+    "text_fingerprint"   -> (TextQueries.textFingerprint _),
     "dedup_embedding_cosine" -> (VectorQueries.dedupEmbeddingCosine _),
     "ann_bruteforce_topk" -> (VectorQueries.annBruteForce _),
     "ann_lsh_topk"       -> (VectorQueries.annLsh _),
@@ -333,5 +334,12 @@ object SparkEntry {
         |       WHEN hd = greatest(he, hf, hd, hs) THEN 'de'
         |       ELSE 'es' END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

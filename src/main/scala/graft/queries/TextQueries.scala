@@ -65,6 +65,16 @@ object TextQueries {
         TextFunctions.langId(col("text")).as("pred_lang"))
       .orderBy(col("doc_id"))
 
+  /** D11: rolling-hash document fingerprint via the custom Catalyst
+    * expression [[graft.functions.RollingFingerprint]] (codegen'd
+    * byte loop inlined into the scan stage).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        graft.functions.Fingerprint.rolling_fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
   /** C8: gap sessionization of events (4h inactivity closes a
     * session), rolled up per session.
     */

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY §2.D12).
+  *
+  * Media (image/audio/video) live in the lake as opaque `binary`
+  * columns plus a typed metadata struct; decode / feature-extraction
+  * runs per-partition in fixed-size batches so a real decoder (JNI,
+  * subprocess, Python worker) amortizes init cost per batch — the exact
+  * shape `mapInPandas` gives PySpark. The container has no media
+  * libraries, so THE DECODER HERE IS A DETERMINISTIC STUB — the Spark
+  * plumbing (schema, batching, partition flow) is the real, tested
+  * part; swap [[decodeBatch]] for a real codec binding at deploy time.
+  */
+object Multimodal {
+
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** Attach a synthetic media payload to each document: a
+    * deterministic binary blob (derived from the text) + metadata, the
+    * layout a real ingest (S3 blob fetch) would produce.
+    */
+  def withFakeMedia(docs: DataFrame): DataFrame = {
+    val payload = sha2(col("text"), 512).cast("binary")
+    docs
+      .withColumn("media", payload)
+      .withColumn("media_meta", struct(
+        lit("fake/raw").as("format"),
+        (abs(xxhash64(col("doc_id"))) % 1920 + 1).cast("int").as("width"),
+        (abs(xxhash64(col("doc_id"), lit(1))) % 1080 + 1).cast("int").as("height"),
+        length(payload).cast("long").as("n_bytes")))
+  }
+
+  /** STUB decoder: a real implementation would hand `batch` to a codec
+    * and return pixel/sample features. This one emits deterministic
+    * pseudo-features (first-8-bytes checksum + size) so the pipeline is
+    * testable end-to-end without media libraries.
+    */
+  private[sources] def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Array[Float])] =
+    batch.map { case (id, bytes) =>
+      val checksum = bytes.take(8).foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+      id -> Array(checksum.toFloat, bytes.length.toFloat)
+    }
+
+  /** Feature extraction over the media column: per-partition batched
+    * decode (batchSize tunes decoder amortization vs memory). The
+    * output keeps the join key so features re-attach with a co-
+    * partitioned join.
+    */
+  def extractFeatures(media: DataFrame, idCol: String = "doc_id",
+                      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("features", ArrayType(FloatType))))
+    val rows = media.select(col(idCol), col("media")).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { chunk =>
+          decodeBatch(chunk.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))))
+            .map { case (id, f) => Row(id, f.toSeq) }
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events stream (SURVEY §2.E).
+  *
+  * The batch queries in TextQueries (`events_windowed_agg`,
+  * `events_sessionize`) and these streaming versions share the same
+  * logical shape — Spark's incrementalizer turns the windowed groupBy
+  * into stateful partial aggregation; the watermark bounds state.
+  * At 100 TB/day the same code runs against a Kafka/file source with
+  * state in RocksDB; nothing here is local-mode-specific.
+  */
+object EventsStream {
+
+  /** Schema of the events lake table with ts as µs timestamp (the
+    * parquet carries ns — see [[graft.sources.Tables.events]]).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),       // ns in the lake files
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of events with proper µs timestamps. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource wants a directory; pick the events file by glob
+    spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** E1: tumbling 1-hour windowed aggregation with a 2-hour watermark.
+    * Late events beyond the watermark are dropped; state for closed
+    * windows is evicted — bounded memory regardless of stream length.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, t_start: java.sql.Timestamp,
+                     t_end: java.sql.Timestamp, n_events: Long)
+
+  /** E2: stateful gap sessionizer via flatMapGroupsWithState — emits a
+    * session once the per-user gap exceeds `gapSeconds`. State is one
+    * (start,last,n) triple per live user — the minimal footprint.
+    *
+    * Sessions idle at end-of-stream stay in state: closing them needs
+    * a timeout policy (ProcessingTimeTimeout in production), which is
+    * wall-clock-driven and so kept out of this synchronous-testable
+    * core.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime * 1000L
+            cur match {
+              case Some(s) if t - s.last <= gapMicros =>
+                cur = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed += Session(userId, new java.sql.Timestamp(s.start / 1000),
+                  new java.sql.Timestamp(s.last / 1000), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

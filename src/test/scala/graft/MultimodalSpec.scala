@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Multimodal, Tables}
+
+/** Multimodal plumbing: schema, batching, determinism (decode itself
+  * is a documented stub — SURVEY §2.D12).
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("withFakeMedia produces binary payload + typed metadata") {
+    val df = Multimodal.withFakeMedia(Tables.documents(spark, sfDir))
+    val schema = df.schema
+    assert(schema("media").dataType.typeName == "binary")
+    // compare names+types (nullability differs for literal-backed fields)
+    val metaFields = schema("media_meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(metaFields == Multimodal.mediaMetaType.fields
+      .map(f => (f.name, f.dataType)).toSeq)
+    val row = df.select(col("media"), col("media_meta.n_bytes"),
+      col("media_meta.width"), col("media_meta.height")).head()
+    assert(row.getAs[Array[Byte]](0).length == row.getLong(1))
+    assert(row.getInt(2) >= 1 && row.getInt(2) <= 1920)
+    assert(row.getInt(3) >= 1 && row.getInt(3) <= 1080)
+  }
+
+  test("extractFeatures is deterministic, total, and batch-size independent") {
+    val media = Multimodal.withFakeMedia(Tables.documents(spark, sfDir))
+    val f1 = Multimodal.extractFeatures(media, batchSize = 64)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val f2 = Multimodal.extractFeatures(media.repartition(7), batchSize = 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(f1.size == media.count())
+    assert(f1 == f2, "features must not depend on partitioning or batch size")
+  }
+
+  test("fingerprint custom expression matches a scala reference and survives codegen") {
+    val ref = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        var h = 0L
+        r.getString(1).getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+        (r.getLong(0), h)
+      }.toMap
+    val got = graft.queries.TextQueries.textFingerprint(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == ref)
+    // SQL registration path
+    graft.functions.Fingerprint.register(spark)
+    Tables.documents(spark, sfDir).createOrReplaceTempView("docs_fp")
+    val viaSql = spark.sql(
+      "SELECT doc_id, rolling_fingerprint(text) AS fp FROM docs_fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaSql == ref)
+  }
+}
