@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hot-loop implementations for the sketch/vector kernels.
+  *
+  * The composable higher-order-function versions (aggregate/zip_with/
+  * transform in Dedup/VectorFunctions) are semantically clear but
+  * allocate an array per element per step — measured 40s/33s/16s for
+  * simhash / minhash-LSH / cosine-dedup at sf0.1. These static helpers
+  * run the same math as a single tight Java loop; the Expressions below
+  * inline a call to them inside whole-stage codegen. 10-100× on the
+  * three heaviest operators.
+  *
+  * Hash = Spark's own XXH64 (seed 42 matches the SQL `xxhash64`);
+  * per-seed MinHash permutations derive from one base hash with an
+  * avalanche mix — one string hash per shingle regardless of k.
+  */
+object GraftKernels {
+  final val SEED = 42L
+
+  private def mix64(z0: Long): Long = {
+    // splitmix64 finalizer — full avalanche, cheap
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hashString(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** 64-bit SimHash over a string array (distinct-ness is the caller's
+    * choice): each element's hash votes ±1 per bit.
+    */
+  def simhash(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = hashString(arr.getUTF8String(i), SEED)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** k-minima MinHash signature: one XXH64 per element, k derived
+    * hashes via splitmix of (base ^ mix(seed_i)).
+    */
+  def minhash(arr: ArrayData, k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = hashString(arr.getUTF8String(i), SEED)
+        var s = 0
+        while (s < k) {
+          val h = mix64(base ^ mix64(s.toLong))
+          if (h < mins(s)) mins(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+
+  /** Cosine similarity of two float vectors, accumulated in double
+    * (index order — same result as the HOF left-fold it replaces).
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Random-hyperplane LSH bucket (see VectorFunctions.hyperplaneBucket
+    * for the HOF twin): plane p dim i sign = bit of xxhash64(p, i).
+    */
+  def hyperplaneBucket(v: ArrayData, planes: Int): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        // sign convention matches the SQL xxhash64(p, i) chain:
+        // hash long p with seed 42, then long i with that result
+        val hp = XXH64.hashLong(p.toLong, SEED)
+        val h = XXH64.hashLong(i.toLong, hp)
+        val x = v.getFloat(i).toDouble
+        proj += (if ((h & 1L) == 1L) x else -x)
+        i += 1
+      }
+      if (proj > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** SimHash64(array<string>) → long. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 needs array<string>, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(GraftKernels.simhash(v.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** MinHashSig(array<string>, k) → array<long> of the k minima. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig needs array<string> and k>0, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GraftKernels.minhash(v.asInstanceOf[ArrayData], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.GraftKernels.minhash($c, $k))")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** VecCosine(array<float>, array<float>) → double. */
+case class VecCosine(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"vec_cosine needs two array<float>, got $t")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(GraftKernels.cosine(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftKernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_cosine"
+}
+
+/** HyperplaneBucket(array<float>, planes) → long. */
+case class HyperplaneBucketExpr(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if planes > 0 && planes <= 63 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bucket needs array<float> and 0<planes<64, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(GraftKernels.hyperplaneBucket(
+      v.asInstanceOf[ArrayData], planes))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftKernels.hyperplaneBucket($c, $planes)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_bucket"
+}
+
+/** Column-API entry points for the kernel expressions. */
+object GraftFunctions {
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def minhash_sig(c: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
+  def vec_cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(VecCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def hyperplane_bucket(v: Column, planes: Int): Column =
+    ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(v), planes))
+}

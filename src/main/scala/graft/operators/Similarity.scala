@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
+import graft.functions.{GraftFunctions, VectorFunctions}
 
 /** Similarity search over embedding columns (SURVEY §2.D6-D7).
   *
@@ -26,7 +26,7 @@ object Similarity {
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val scored = corpus.join(broadcast(queries), col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
-        VectorFunctions.cosine(col("qvec"), col("vec")).as("cos"))
+        GraftFunctions.vec_cosine(col("qvec"), col("vec")).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("id"))
     scored.withColumn("rk", row_number().over(w))
@@ -40,13 +40,13 @@ object Similarity {
   def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              planes: Int = 8): DataFrame = {
     val qb = queries.withColumn("bucket",
-      VectorFunctions.hyperplaneBucket(col("qvec"), planes))
+      GraftFunctions.hyperplane_bucket(col("qvec"), planes))
     val cb = corpus.withColumn("bucket",
-      VectorFunctions.hyperplaneBucket(col("vec"), planes))
+      GraftFunctions.hyperplane_bucket(col("vec"), planes))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
-        VectorFunctions.cosine(col("qvec"), col("vec")).as("cos"))
+        GraftFunctions.vec_cosine(col("qvec"), col("vec")).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("id"))
     scored.withColumn("rk", row_number().over(w))
@@ -60,13 +60,13 @@ object Similarity {
   def cosineNearDup(corpus: DataFrame, threshold: Double,
                     planes: Int = 6): DataFrame = {
     val b = corpus.withColumn("bucket",
-      VectorFunctions.hyperplaneBucket(col("vec"), planes))
+      GraftFunctions.hyperplane_bucket(col("vec"), planes))
     val l = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val r = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cos"))
+        GraftFunctions.vec_cosine(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
   }
