@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{CsvIngest, JsonIngest, LakeWriter, Tables}
+
+/** End-to-end ingest specs against synthesized reference-shaped
+  * payloads (the FPL bootstrap-static JSON and scraped-stats CSV of
+  * fpl-data-pipeline includes.py).
+  */
+class IngestSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmpDir(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("json payload normalizes into entity/parent/period dims with code mapping") {
+    val dir = tmpDir("graft_json")
+    val payload =
+      """{"elements":[
+        |  {"id":1,"first_name":"Mo","second_name":"S","form":7.5,"total_points":200,"now_cost":12.9,"team":3,"element_type":3},
+        |  {"id":2,"first_name":"Al","second_name":"B","form":3.0,"total_points":50,"now_cost":4.4,"team":1,"element_type":1}],
+        | "teams":[{"id":3,"name":"Reds","short_name":"RED","strength_attack_home":5,"strength_defence_home":4,"strength_attack_away":5,"strength_defence_away":3,"code":14}],
+        | "events":[{"id":1,"name":"GW1","average_entry_score":57,"finished":true,"data_checked":true},
+        |           {"id":2,"name":"GW2","average_entry_score":61,"finished":false,"data_checked":false}]}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(java.nio.file.Path.of(dir, "payload.json"), payload)
+
+    val p = JsonIngest.readPayload(spark, dir)
+    val players = JsonIngest.entityDim(p).collect().sortBy(_.getLong(0))
+    assert(players.length == 2)
+    assert(players(0).getString(7) == "mid") // element_type 3 → mid
+    assert(players(1).getString(7) == "gk")
+    assert(JsonIngest.parentDim(p).head().getString(2) == "RED")
+    assert(JsonIngest.periodDim(p).count() == 2)
+  }
+
+  test("csv ingest parses valid rows and quarantines malformed ones") {
+    val dir = tmpDir("graft_csv")
+    Files.writeString(java.nio.file.Path.of(dir, "stats.csv"),
+      """row_idx,id,full_name,min_played,key_passes,assists,shots,xg,xa,match_id
+        |0,101,A Player,90,3,1,4,0.61,0.33,18001
+        |1,102,B Player,45,0,0,1,0.05,0.01,18001
+        |2,bad,C Player,not_an_int,0,0,1,0.05,x,18002
+        |""".stripMargin)
+    // Spark refuses plans referencing ONLY the corrupt column (count()
+    // prunes everything) — always project data columns alongside it.
+    val all = CsvIngest.readStats(spark, dir)
+      .select(col("row_idx"), col("id"), col("shots"), col("_corrupt"))
+      .collect()
+    assert(all.length == 3)
+    assert(all.count(_.isNullAt(3)) == 2, "two clean rows")
+    assert(all.count(r => !r.isNullAt(3)) == 1, "one quarantined row")
+    val ok = CsvIngest.validStats(spark, dir)
+    assert(ok.agg(sum(col("shots"))).head().getLong(0) == 5)
+  }
+
+  test("lake writer partitions by period and readers prune to one partition") {
+    val out = tmpDir("graft_lake") + "/orders"
+    LakeWriter.writeByPeriod(
+      Tables.orders(spark, sfDir), "o_orderdate", out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("period=")).map(_.getName).sorted
+    assert(dirs.length > 1, s"expected multiple period partitions, got ${dirs.toSeq}")
+    // partition-pruned read matches a filtered full read
+    val pruned = spark.read.parquet(out).filter(col("period") === dirs.head.stripPrefix("period="))
+    val expect = Tables.orders(spark, sfDir)
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") === dirs.head.stripPrefix("period="))
+    assert(pruned.count() == expect.count())
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(!planStr.toLowerCase.contains("filter") ||
+      pruned.queryExecution.optimizedPlan.toString.contains("period"),
+      "expected partition pruning on period")
+  }
+
+  test("upsertWrite: batch rows win on key collision, others survive") {
+    val base = tmpDir("graft_upsert") + "/base"
+    val out = tmpDir("graft_upsert") + "/out"
+    import spark.implicits._
+    Seq((1L, "old"), (2L, "keep")).toDF("id", "v").write.parquet(base)
+    LakeWriter.upsertWrite(base, Seq((1L, "new"), (3L, "add")).toDF("id", "v"),
+      Seq("id"), out)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "new", 2L -> "keep", 3L -> "add"))
+  }
+}
