@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> (VectorQueries.dedupEmbeddingCosine _),
     "ann_bruteforce_topk" -> (VectorQueries.annBruteForce _),
     "ann_lsh_topk"       -> (VectorQueries.annLsh _),
+    "ann_ivf_topk"       -> (VectorQueries.annIvf _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------

@@ -102,6 +102,31 @@ object GraftKernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Index of the nearest centroid by squared L2 (IVF coarse
+    * quantizer). Ties break to the lower index.
+    */
+  def nearestCentroid(vec: ArrayData, centroids: ArrayData): Int = {
+    val k = centroids.numElements()
+    val d = vec.numElements()
+    var best = 0
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val cent = centroids.getArray(c)
+      var dist = 0.0
+      var i = 0
+      val n = math.min(d, cent.numElements())
+      while (i < n) {
+        val diff = vec.getFloat(i).toDouble - cent.getFloat(i).toDouble
+        dist += diff * diff
+        i += 1
+      }
+      if (dist < bestDist) { bestDist = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Random-hyperplane LSH bucket (see VectorFunctions.hyperplaneBucket
     * for the HOF twin): plane p dim i sign = bit of xxhash64(p, i).
     */

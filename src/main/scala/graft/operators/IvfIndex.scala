@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorAggregates
+
+/** IVF (inverted-file) approximate nearest neighbor (SURVEY §2.D7
+  * scale path beside the LSH variant).
+  *
+  * Coarse quantizer: deterministic distributed k-means — init from the
+  * k lowest-id vectors, Lloyd iterations where assignment is a pure
+  * projection (centroids travel as a literal in the plan, the corpus
+  * is NEVER shuffled) and the update is one groupBy with the
+  * [[graft.functions.VecSumAgg]] custom aggregate (k rows out).
+  *
+  * At 100 TB: train on a sample, store `cid` as a partition/bucket
+  * column at write time; a query then reads only `nprobe` lists —
+  * I/O proportional to nprobe/k of the corpus.
+  */
+object IvfIndex {
+
+  /** Train the coarse quantizer; returns the centroids as a local
+    * array (k × dim — small by construction, like any ANN codebook).
+    */
+  def train(corpus: DataFrame, vecCol: String, idCol: String,
+            k: Int, dim: Int, iters: Int = 3): Array[Array[Float]] = {
+    var centroids = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val centLit = centroidsLiteral(centroids)
+      val updated = corpus
+        .select(VectorAggregates.nearest_centroid(col(vecCol), centLit).as("cid"),
+          col(vecCol).as("v"))
+        .groupBy(col("cid"))
+        .agg(VectorAggregates.vec_sum(col("v"), dim).as("sum"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0),
+          r.getSeq[Double](1).toArray, r.getLong(2)))
+      // empty clusters keep their previous centroid
+      val next = centroids.clone()
+      updated.foreach { case (cid, sum, n) =>
+        next(cid) = sum.map(s => (s / n).toFloat)
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  def centroidsLiteral(centroids: Array[Array[Float]]): Column =
+    array(centroids.map(c => array(c.map(x => lit(x)): _*).cast("array<float>")): _*)
+
+  /** Assign each row its inverted-list id — a projection, no shuffle.
+    * This is the column a lake write would bucket/partition by.
+    */
+  def assign(df: DataFrame, vecCol: String,
+             centroids: Array[Array[Float]]): DataFrame =
+    df.withColumn("cid",
+      VectorAggregates.nearest_centroid(col(vecCol), centroidsLiteral(centroids)))
+
+  /** Approximate top-k: queries probe their own list only (nprobe=1)
+    * or the `nprobe` nearest lists; candidates meet through an
+    * equality join on cid.
+    */
+  def search(queries: DataFrame, corpus: DataFrame, k: Int,
+             centroids: Array[Array[Float]], nprobe: Int = 1): DataFrame = {
+    val cb = assign(corpus, "vec", centroids)
+    val qProbes =
+      if (nprobe <= 1) assign(queries, "qvec", centroids)
+      else {
+        // rank all centroids per query by distance, keep nprobe
+        val centLit = centroidsLiteral(centroids)
+        queries
+          .select(col("qid"), col("qvec"),
+            posexplode(centLit).as(Seq("cid", "cvec")))
+          .withColumn("dist",
+            graft.functions.GraftFunctions.vec_cosine(col("qvec"), col("cvec")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist").desc, col("cid"))))
+          .filter(col("rk") <= nprobe)
+          .select(col("qid"), col("qvec"), col("cid"))
+      }
+    val scored = cb.join(broadcast(qProbes), Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        graft.functions.GraftFunctions.vec_cosine(col("qvec"), col("vec")).as("cos"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rk"))
+  }
+}

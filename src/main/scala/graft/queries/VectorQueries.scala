@@ -33,6 +33,17 @@ object VectorQueries {
     Similarity.lshKnn(queries(spark, dir), corpus(spark, dir), 10, planes = 4)
       .orderBy(col("qid"), col("rk"))
 
+  /** D7b: IVF approximate top-10 — coarse k-means quantizer (16
+    * lists, trained deterministically on the corpus), queries probe
+    * their 2 nearest lists.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val centroids = graft.operators.IvfIndex.train(c, "vec", "id", k = 16, dim = 64)
+    graft.operators.IvfIndex.search(queries(spark, dir), c, 10, centroids, nprobe = 2)
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** D5: embedding-cosine near-dup pairs. The testdata has no planted
     * embedding dups (max pairwise cosine ≈ 0.51), so the threshold sits
     * in the observed tail to keep the output non-degenerate.

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{col, countDistinct}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Similarity
 
@@ -54,6 +55,26 @@ class SimilaritySpec extends AnyFunSuite {
       val key = (r.getLong(0), r.getLong(1))
       bf.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-9))
     }
+  }
+
+  test("IVF: deterministic training, valid assignments, sane recall vs brute force") {
+    val c = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cent1 = graft.operators.IvfIndex.train(c, "vec", "id", k = 8, dim = 64)
+    val cent2 = graft.operators.IvfIndex.train(c, "vec", "id", k = 8, dim = 64)
+    assert(cent1.map(_.toSeq).toSeq == cent2.map(_.toSeq).toSeq, "training must be deterministic")
+    val assigned = graft.operators.IvfIndex.assign(c, "vec", cent1)
+    assert(assigned.filter(col("cid") < 0 || col("cid") >= 8).count() == 0)
+    assert(assigned.select(countDistinct(col("cid"))).head().getLong(0) > 1,
+      "quantizer collapsed to one list")
+    // recall@10 against brute force — IVF with nprobe=2 of 16 lists on
+    // unclustered gaussian data is weak by nature; just require overlap
+    val bf = graft.queries.VectorQueries.annBruteForce(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.queries.VectorQueries.annIvf(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    assert((bf intersect ivf).nonEmpty, "IVF found none of the true neighbors")
   }
 
   test("cosineNearDup pairs all meet the threshold") {
