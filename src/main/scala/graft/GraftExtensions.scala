@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.functions._
+
+/** Session extensions registering graft's custom expressions as SQL
+  * functions — `spark.sql("SELECT simhash64(...)")` works on any
+  * session built `.withExtensions(new GraftExtensions)`, launched with
+  * `spark.sql.extensions=graft.GraftExtensions`, or patched at runtime
+  * with [[GraftExtensions.registerAll]] (builder extensions don't
+  * apply to an already-running session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("rolling_fingerprint",
+      "rolling_fingerprint(str) - rolling polynomial hash mod 1e9+7",
+      exprs => RollingFingerprint(exprs.head)),
+    ("simhash64",
+      "simhash64(array<string>) - 64-bit SimHash",
+      exprs => SimHash64(exprs.head)),
+    ("word_shingles",
+      "word_shingles(str, n) - word n-gram shingles",
+      exprs => WordShingles(exprs.head, intArg(exprs(1)))),
+    ("minhash_sig",
+      "minhash_sig(array<string>, k) - k-minima MinHash signature",
+      exprs => MinHashSig(exprs.head, intArg(exprs(1)))),
+    ("vec_cosine",
+      "vec_cosine(array<float>, array<float>) - cosine similarity",
+      exprs => VecCosine(exprs.head, exprs(1))),
+    ("hyperplane_bucket",
+      "hyperplane_bucket(array<float>, planes) - LSH bucket",
+      exprs => HyperplaneBucketExpr(exprs.head, intArg(exprs(1)))))
+
+  /** Register every graft function on a live session. */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      ColumnBridge.registerFunction(spark, name, builder)
+    }
+}

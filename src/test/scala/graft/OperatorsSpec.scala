@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SkewJoin
+import graft.sources.Tables
+
+class OperatorsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("GraftExtensions registers all kernel functions for SQL") {
+    // builder-time extensions don't apply to an already-running
+    // session (common in tests) — the runtime path covers that
+    GraftExtensions.registerAll(spark)
+    val out = spark.sql(
+      """SELECT simhash64(word_shingles('a b c d e', 3)) AS sh,
+        |       minhash_sig(word_shingles('a b c d e', 3), 4) AS mh,
+        |       vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+        |       rolling_fingerprint('abc') AS fp""".stripMargin).head()
+    assert(out.getSeq[Long](1).length == 4)
+    assert(math.abs(out.getDouble(2) - 1.0) < 1e-12)
+    assert(out.getLong(3) == 96354L) // h("abc") = ((97*31)+98)*31+99
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(ord, Seq("l_orderkey")).count()
+    val salted = SkewJoin.saltedInnerJoin(li, ord, Seq("l_orderkey"), 8).count()
+    assert(salted == plain)
+  }
+
+  test("streaming upsert sink converges to keep-latest semantics") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_supsert").toFile.getAbsolutePath
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[graft.streaming.EventsStream.Event]
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EventsStream.Event](spark, 1)
+    src.addData(events.collect().toSeq)
+    val q = graft.streaming.StreamingUpsert.start(
+      src.toDF(), Seq("user_id", "event_type"), "ts", Seq("event_id"),
+      s"$root/table", s"$root/ckpt")
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$root/table")
+      .select($"user_id", $"event_type", $"event_id")
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val want = graft.queries.ReferenceQueries.upsertKeepLatest(spark, sfDir)
+      .select($"user_id", $"event_type", $"event_id")
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == want, "streamed lake table must equal batch keep-latest")
+  }
+
+  test("approx distinct is within HLL error of exact") {
+    val li = Tables.lineitem(spark, sfDir)
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+}
