@@ -47,6 +47,13 @@ object SparkEntry {
     "events_time_buckets" -> (RelationalQueries.eventsTimeBuckets _),
     "topk_per_group"     -> (RelationalQueries.topkPerGroup _),
     // §2.C8 + §2.E — sessionization & windowed aggregation
+    "rollup_totals"      -> (ExtendedQueries.rollupTotals _),
+    "pivot_segments"     -> (ExtendedQueries.pivotSegments _),
+    "setop_except"       -> (ExtendedQueries.setopExcept _),
+    "text_normalize"     -> (ExtendedQueries.textNormalize _),
+    "text_chunk"         -> (ExtendedQueries.textChunk _),
+    "text_redact"        -> (ExtendedQueries.textRedact _),
+    "vocab_top_words"    -> (ExtendedQueries.vocabTopWords _),
     "events_sessionize"  -> (TextQueries.eventsSessionize _),
     "events_windowed_agg" -> (TextQueries.eventsWindowedAgg _),
     // §2.D — LLM-training-data operators
@@ -255,6 +262,61 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "rollup_totals" -> s"""SELECT l_returnflag, l_linestatus,
+        |  ${dsum("l_quantity")} AS sum_qty, COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "pivot_segments" ->
+      """SELECT n_name,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS "AUTOMOBILE",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS "BUILDING",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS "FURNITURE",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS "HOUSEHOLD",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS "MACHINERY"
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "setop_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_custkey FROM customer c WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |  CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS INTEGER) AS n_norm_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks,
+        |    greatest(CAST(ceil((len(toks) - 32) / 24.0) AS INTEGER) + 1, 1) AS nc
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_idx FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |  array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ') AS chunk_text,
+        |  CAST(len(string_split(array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '), ' ')) AS INTEGER) AS n_chunk_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "vocab_top_words" ->
+      """SELECT word, COUNT(*) AS freq FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |GROUP BY word ORDER BY freq DESC, word LIMIT 50""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Num._
+import graft.sources.Tables
+
+/** Additional warehouse surface (SURVEY §2.C10-C13): hierarchical
+  * rollup, wide pivot, set operations, and text normalization — all
+  * DuckDB-oracled.
+  */
+object ExtendedQueries {
+
+  /** C10: ROLLUP over (returnflag, linestatus): subtotal rows carry
+    * NULL group keys; `grouping_id` disambiguates. Spark plans this as
+    * a single Expand + one shuffle — no per-level rescan.
+    */
+  def rollupTotals(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** C11: wide pivot — order counts + exact spend per (nation,
+    * segment) matrix. Pivot values pinned (not inferred) so the plan
+    * is a single pass with conditional aggregates, same as the
+    * reference's MAX FILTER pivot (sql_queries.py:154-156) but
+    * column-wise.
+    */
+  def pivotSegments(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("c_mktsegment", segs)
+      .agg(sum(dec2(col("c_acctbal"))).cast("double"))
+      .orderBy(col("n_name"))
+  }
+
+  /** C12: set operations — customers in BUILDING except those with an
+    * open order (EXCEPT = anti-join at the physical layer; INTERSECT
+    * covered by semi_join_exists).
+    */
+  def setopExcept(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val building = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val withOpen = cust.join(ord.filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+    building.except(withOpen).orderBy(col("c_custkey"))
+  }
+
+  /** D14: fixed-size token chunking with overlap — the standard
+    * LLM-training windowing (chunk 32 tokens, stride 24). Explode is
+    * the only row-expanding op; chunk text rebuilt with a single
+    * slice+join per chunk, no per-token rows.
+    */
+  def textChunk(spark: SparkSession, dir: String): DataFrame = {
+    val chunkSize = 32
+    val stride = 24
+    val toks = split(trim(col("text")), "\\s+")
+    val nChunks = greatest(
+      ceil((size(toks) - lit(chunkSize)).cast("double") / stride).cast("int") + 1,
+      lit(1))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"), nChunks.as("nc"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), col("nc") - 1)))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("col") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"))
+      .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** D15: PII-style redaction — digit runs → <NUM>, emails → <EMAIL>
+    * (pattern kept ASCII-simple for cross-engine regex parity).
+    */
+  def textRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("redacted"))
+      .orderBy(col("doc_id"))
+
+  /** D16: corpus vocabulary — token frequencies, top 50. The explode
+    * is followed immediately by partial aggregation, so the shuffle
+    * carries (token, partial_count), not token instances.
+    */
+  def vocabTopWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(50)
+
+  /** D13: text normalization for LLM pipelines — lowercase, strip
+    * punctuation, collapse whitespace; plus the cleaned token count.
+    * Pure codegen'd string expressions over the scan.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+      " +", " ")
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        trim(cleaned).as("norm_text"),
+        size(split(trim(cleaned), " ")).as("n_norm_tokens"))
+      .orderBy(col("doc_id"))
+  }
+}
