@@ -280,12 +280,10 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "setop_except" ->
-      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      """SELECT o_orderkey FROM orders
         |EXCEPT
-        |SELECT c_custkey FROM customer c WHERE EXISTS (
-        |  SELECT 1 FROM orders o
-        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
-        |ORDER BY c_custkey""".stripMargin,
+        |SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_quantity >= 45
+        |ORDER BY o_orderkey""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

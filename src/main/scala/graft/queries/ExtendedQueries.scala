@@ -41,19 +41,16 @@ object ExtendedQueries {
       .orderBy(col("n_name"))
   }
 
-  /** C12: set operations — customers in BUILDING except those with an
-    * open order (EXCEPT = anti-join at the physical layer; INTERSECT
-    * covered by semi_join_exists).
+  /** C12: set operations — orders with no large-quantity line
+    * (EXCEPT = anti-join + distinct at the physical layer; INTERSECT
+    * covered by semi_join_exists). Non-degenerate at every SF.
     */
   def setopExcept(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(spark, dir)
-    val ord = Tables.orders(spark, dir)
-    val building = cust.filter(col("c_mktsegment") === "BUILDING")
-      .select(col("c_custkey"))
-    val withOpen = cust.join(ord.filter(col("o_orderstatus") === "O"),
-        col("c_custkey") === col("o_custkey"), "left_semi")
-      .select(col("c_custkey"))
-    building.except(withOpen).orderBy(col("c_custkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"))
+    val bigLines = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey").as("o_orderkey"))
+    ord.except(bigLines).orderBy(col("o_orderkey"))
   }
 
   /** D14: fixed-size token chunking with overlap — the standard
