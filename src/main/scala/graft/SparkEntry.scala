@@ -46,6 +46,7 @@ object SparkEntry {
     "distinct_counts"    -> (RelationalQueries.distinctCounts _),
     "events_time_buckets" -> (RelationalQueries.eventsTimeBuckets _),
     "topk_per_group"     -> (RelationalQueries.topkPerGroup _),
+    "topk_per_group_custom" -> (ExtendedQueries.topkPerGroupCustom _),
     // §2.C8 + §2.E — sessionization & windowed aggregation
     "rollup_totals"      -> (ExtendedQueries.rollupTotals _),
     "pivot_segments"     -> (ExtendedQueries.pivotSegments _),
@@ -315,6 +316,13 @@ object SparkEntry {
       """SELECT word, COUNT(*) AS freq FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
         |GROUP BY word ORDER BY freq DESC, word LIMIT 50""".stripMargin,
+
+    "topk_per_group_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (

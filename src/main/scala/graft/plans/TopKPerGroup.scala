@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Top-K-per-group as a first-class operator (SURVEY §2.C9 scale path).
+  *
+  * The composable formulation — `row_number().over(Window.partitionBy
+  * (key).orderBy(ord)) <= k` — materializes and SORTS every group in
+  * full before discarding all but k rows; at 100 TB that's a full
+  * shuffle + full sort of the fact table for a k-row-per-key answer.
+  * This operator keeps a bounded heap per key inside each partition:
+  * same single shuffle, no sort, memory O(keys × k) instead of
+  * O(partition).
+  *
+  * Tier (c) of the custom-operator ladder: logical node + planner
+  * strategy + physical exec, injected via [[graft.GraftExtensions]].
+  */
+case class TopKPerGroupNode(
+    groupExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
+    copy(child = newChild)
+}
+
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val numOutputFields = childOutput.length + 1
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val ordering = GenerateOrdering.generate(
+        orderExprs.map(BindReferences.bindReference(_, childOutput)))
+      // per key: bounded max-heap holding the current best k rows
+      // (heap head = worst of the kept rows)
+      val heaps = new java.util.HashMap[UnsafeRow,
+        java.util.PriorityQueue[InternalRow]]()
+      while (it.hasNext) {
+        val row = it.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](k + 1,
+            ordering.reverse.asInstanceOf[java.util.Comparator[InternalRow]])
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < k) heap.add(row.copy())
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      val outProj = UnsafeProjection.create(output.map(_.dataType).toArray)
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      val buf = new Array[InternalRow](k)
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { heap =>
+        // drain the heap: worst first → reverse into rank order
+        val n = heap.size
+        var i = n - 1
+        while (i >= 0) { buf(i) = heap.poll(); i -= 1 }
+        (0 until n).iterator.map { r =>
+          rankRow.setInt(0, r + 1)
+          outProj(joined(buf(r), rankRow))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(g, o, k, rank, child) =>
+      TopKPerGroupExec(g, o, k, rank, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerGroup {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** DataFrame API: top `k` rows per `groupCols`, ranked by `order`
+    * — (columnName, ascending) pairs that must form a total order
+    * within a key for deterministic output. Rank emitted as
+    * `rankName`. Columns are resolved by name against the child, so
+    * the node enters the plan fully resolved (the analyzer has no
+    * resolution rule for foreign operators).
+    */
+  def apply(df: DataFrame, groupCols: Seq[String],
+            order: Seq[(String, Boolean)], k: Int,
+            rankName: String = "rk"): DataFrame = {
+    // make the strategy available on sessions not built withExtensions
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${analyzed.output.map(_.name)}"))
+    val sortOrders = order.map { case (name, asc) =>
+      SortOrder(attr(name), if (asc) Ascending else Descending)
+    }
+    val rankAttr = AttributeReference(rankName, IntegerType, nullable = false)()
+    ColumnBridge.ofRows(df.sparkSession,
+      TopKPerGroupNode(groupCols.map(attr), sortOrders, k, rankAttr, analyzed))
+  }
+}

@@ -53,6 +53,19 @@ object ExtendedQueries {
     ord.except(bigLines).orderBy(col("o_orderkey"))
   }
 
+  /** C9b: top-K per group through the custom physical operator
+    * [[graft.plans.TopKPerGroup]] (bounded per-key heaps instead of a
+    * full window sort) — same semantics and oracle as `topk_per_group`.
+    */
+  def topkPerGroupCustom(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup(
+        Tables.orders(spark, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true),
+        k = 3)
+      .orderBy(col("o_custkey"), col("rk"))
+
   /** D14: fixed-size token chunking with overlap — the standard
     * LLM-training windowing (chunk 32 tokens, stride 24). Explode is
     * the only row-expanding op; chunk text rebuilt with a single

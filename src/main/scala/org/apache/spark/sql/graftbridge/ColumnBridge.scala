@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.{ClassicConversions, ExpressionUtils}
 
 /** Bridge into Spark's `private[sql]` Column↔Expression plumbing —
@@ -12,6 +13,12 @@ import org.apache.spark.sql.classic.{ClassicConversions, ExpressionUtils}
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a raw logical plan (custom operators). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame = {
+    import ClassicConversions.castToImpl
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+  }
 
   /** Register an expression-backed SQL function on a session. */
   def registerFunction(spark: SparkSession, name: String,

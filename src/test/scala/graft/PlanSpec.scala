@@ -81,6 +81,18 @@ class PlanSpec extends AnyFunSuite {
     // quadratic band-bucket exchange must stay light)
   }
 
+  test("custom TopKPerGroupExec plans without a sort or window") {
+    val df = graft.queries.ExtendedQueries.topkPerGroupCustom(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("TopKPerGroup ["), s"custom exec not planned:\n$p")
+    assert(!p.contains("Window"), s"window crept in:\n$p")
+    // the only sort allowed is the final presentation orderBy — it must
+    // sit ABOVE the custom exec, never below (feeding it)
+    val execIdx = p.indexOf("TopKPerGroup [")
+    val below = p.substring(execIdx)
+    assert(!below.contains("Sort "), s"sort below the heap operator:\n$p")
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = graft.queries.TextQueries.dedupSimhash(spark, sfDir)
     val p = planString(df)
