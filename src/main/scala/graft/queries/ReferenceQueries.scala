@@ -199,14 +199,11 @@ object ReferenceQueries {
     * tiny aggregate cross-joined (broadcast) into the filter — no
     * driver round-trip, so the plan stays one job at scale.
     */
-  def incrementalLoad(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(spark, dir)
-    val wm = ord.agg(max(date_trunc("month", col("o_orderdate"))).as("__wm"))
-    ord.join(broadcast(wm),
-        date_trunc("month", col("o_orderdate")) === col("__wm"))
+  def incrementalLoad(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Incremental.latestPeriod(
+        Tables.orders(spark, dir), date_trunc("month", col("o_orderdate")))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
       .orderBy(col("o_orderkey"))
-  }
 
   /** A7: PK dedup with deterministic keep — idempotent re-ingest
     * semantics of the reference's upserts. Keep the first line per
