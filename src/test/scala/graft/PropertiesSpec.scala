@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks: kernel expressions must agree with their
+  * composable (built-in-function) twins and with driver-side scala
+  * references on arbitrary generated inputs — not just the testdata
+  * corpus. (scalatestplus isn't in the offline cache, so generators
+  * are sampled with fixed seeds — deterministic across runs.)
+  */
+class PropertiesSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  /** Deterministic sampling: n draws with seeds 0..n-1. */
+  private def forAll[A](g: Gen[A], n: Int = 6)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 6)(body: (A, B) => Unit): Unit =
+    (0 until n).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- gb.apply(Gen.Parameters.default, Seed((i + 1000).toLong))
+      } body(a, b)
+    }
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+  private val texts = Gen.listOfN(24, text)
+
+  test("WordShingles kernel == split+transform HOF formulation") {
+    forAll(texts) { ts =>
+      if (ts.nonEmpty) {
+        val df = ts.toDF("text")
+        val kernel = df.select(
+          graft.functions.ShingleFunctions.word_shingles(col("text"), 3))
+          .collect().map(_.getSeq[String](0).toList).toList
+        val hof = df.select(graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.tokens(col("text")), 3))
+          .collect().map(_.getSeq[String](0).toList).toList
+        assert(kernel == hof)
+      }
+    }
+  }
+
+  test("SimHash64 kernel == HOF vote formulation (same xxhash64 seed)") {
+    forAll(texts) { ts =>
+      if (ts.nonEmpty) {
+        val df = ts.toDF("text")
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        val kernel = df.select(graft.functions.GraftFunctions.simhash64(toks))
+          .collect().map(_.getLong(0)).toList
+        // HOF twin (the original formulation, kept in VectorFunctions
+        // style): per-token hash votes per bit
+        val votes = aggregate(toks, array_repeat(lit(0), 64),
+          (acc, t) => zip_with(acc,
+            transform(sequence(lit(0), lit(63)), j =>
+              when(call_function("shiftright", xxhash64(t), j)
+                .bitwiseAND(1) === 1, 1).otherwise(-1)),
+            (a, v) => a + v))
+        val hof = df.select(aggregate(
+            zip_with(votes, sequence(lit(0), lit(63)),
+              (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j))
+                .otherwise(lit(0L))),
+            lit(0L), (acc, x) => acc.bitwiseOR(x)))
+          .collect().map(_.getLong(0)).toList
+        assert(kernel == hof)
+      }
+    }
+  }
+
+  test("VecCosine kernel == HOF zip_with/aggregate formulation bit-for-bit") {
+    val vec = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
+    forAll(Gen.listOfN(8, Gen.zip(vec, vec))) { pairs =>
+      if (pairs.nonEmpty) {
+        val df = pairs.map { case (a, b) => (a, b) }.toDF("a", "b")
+          .select(col("a").cast("array<float>").as("a"),
+            col("b").cast("array<float>").as("b"))
+        val kernel = df.select(
+          graft.functions.GraftFunctions.vec_cosine(col("a"), col("b")))
+          .collect().map(_.getDouble(0)).toList
+        val hof = df.select(
+          graft.functions.VectorFunctions.cosine(col("a"), col("b")))
+          .collect().map(_.getDouble(0)).toList
+        assert(kernel == hof)
+      }
+    }
+  }
+
+  test("Upsert.keepLatest is idempotent and keeps the max version") {
+    val rows = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 20L), Gen.alphaStr))
+    forAll(rows) { rs =>
+      if (rs.nonEmpty) {
+        val df = rs.toDF("k", "v", "payload")
+        val once = graft.operators.Upsert.keepLatest(df, Seq("k"), col("v"),
+          Seq(col("payload")))
+        val twice = graft.operators.Upsert.keepLatest(once, Seq("k"), col("v"),
+          Seq(col("payload")))
+        val got = once.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val expect = rs.groupBy(_._1).map { case (k, g) => (k, g.map(_._2).max) }
+        assert(got == expect)
+        assert(twice.collect().toSet == once.collect().toSet)
+      }
+    }
+  }
+
+  test("TopKPerGroup custom operator == window row_number formulation") {
+    val rows = Gen.listOfN(80,
+      Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(0L, 1000L)))
+    forAll2(rows, Gen.chooseNum(1, 5)) { (rs, k) =>
+      if (rs.nonEmpty) {
+        // make (grp, v) unique so the order is total
+        val uniq = rs.distinct
+        val df = uniq.toDF("grp", "v")
+        val custom = graft.plans.TopKPerGroup(df, Seq("grp"),
+            Seq("v" -> false), k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("grp")).orderBy(col("v").desc)
+        val win = df.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(custom == win)
+      }
+    }
+  }
+
+  test("RollingFingerprint == scala reference on arbitrary ASCII") {
+    forAll(Gen.listOfN(12, Gen.asciiPrintableStr)) { ss =>
+      if (ss.nonEmpty) {
+        val df = ss.toDF("s")
+        val got = df.select(
+          graft.functions.Fingerprint.rolling_fingerprint(col("s")))
+          .collect().map(_.getLong(0)).toList
+        val want = ss.map { str =>
+          var h = 0L
+          str.getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+          h
+        }
+        assert(got == want)
+      }
+    }
+  }
+}
