@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness: amplify the sf0.1 tables ~10× in-memory (ids remapped,
+  * text perturbed so dedup semantics stay sane) and run the operators
+  * whose cost curves matter most at 100 TB. Not part of the driver
+  * contract — run with `sbt "runMain graft.tools.ScaleProbe"`.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+    val copies = spark.range(mult).withColumnRenamed("id", "copy")
+
+    // documents ×mult: unique ids, text perturbed per copy so planted
+    // near-dup structure is preserved within each copy but not across
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .crossJoin(copies)
+      .select((col("doc_id") * mult + col("copy")).as("doc_id"),
+        concat(col("text"), lit(" copytag"), col("copy")).as("text"))
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .crossJoin(copies)
+      .select((col("l_orderkey") * mult + col("copy")).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .crossJoin(copies)
+      .select((col("vec_id") * mult + col("copy")).as("id"),
+        col("embedding").as("vec"))
+
+    println(s"[probe] amplification x$mult: docs=${docs.count()} lineitem=${li.count()} emb=${emb.count()}")
+
+    t("minhash_lsh")(graft.operators.Dedup
+      .minhashLsh(docs, "text", "doc_id").count())
+    t("simhash_pairs")(graft.operators.Dedup
+      .simhashPairs(docs, "text", "doc_id").count())
+    t("exact_dedup")(graft.operators.Dedup
+      .exact(docs, col("text"), col("doc_id")).count())
+    t("cosine_near_dup")(graft.operators.Similarity
+      .cosineNearDup(emb, threshold = 0.35, planes = 2).count())
+    t("q1_pricing_style_agg") {
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), count(lit(1))).count()
+    }
+    t("window_running_sum") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      // agg over the window column so Catalyst can't prune the Window
+      li.select(col("l_suppkey"),
+          sum(col("l_quantity")).over(w).as("r"))
+        .agg(count(col("r"))).head.getLong(0)
+    }
+    t("topk_custom") {
+      graft.plans.TopKPerGroup(
+        li.select(col("l_suppkey"), col("l_orderkey"), col("l_extendedprice")),
+        Seq("l_suppkey"), Seq("l_extendedprice" -> false, "l_orderkey" -> true),
+        k = 10).count()
+    }
+    spark.stop()
+  }
+}
