@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Null/edge-input behavior of the operator surface — the lake tables
+  * carry no nulls, so these drive synthetic frames with nulls, empty
+  * strings, and degenerate rows through each operator family.
+  */
+class NullSafetySpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("kernel expressions: null text/arrays propagate null, empty inputs behave") {
+    val df = Seq[Option[String]](Some("a b c d"), Some(""), Some("  "), None)
+      .toDF("text")
+    val out = df.select(
+      graft.functions.ShingleFunctions.word_shingles(col("text"), 3).as("sh"),
+      graft.functions.Fingerprint.rolling_fingerprint(col("text")).as("fp"))
+      .collect()
+    assert(out(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](0).isEmpty)   // empty string → no shingles
+    assert(out(2).getSeq[String](0).isEmpty)   // whitespace only
+    assert(out(3).isNullAt(0) && out(3).isNullAt(1)) // null in → null out
+    assert(out(1).getLong(1) == 0L)            // fingerprint of "" = 0
+  }
+
+  test("simhash/minhash on empty shingle arrays") {
+    val df = Seq("", "x").toDF("text")
+      .select(graft.functions.ShingleFunctions.word_shingles(col("text"), 3).as("sh"))
+    val out = df.select(
+      graft.functions.GraftFunctions.simhash64(col("sh")),
+      graft.functions.GraftFunctions.minhash_sig(col("sh"), 4)).collect()
+    // empty votes → all bits negative → signature 0; minima = MaxValue
+    assert(out(0).getLong(0) == 0L)
+    assert(out(0).getSeq[Long](1).forall(_ == Long.MaxValue))
+  }
+
+  test("vec_cosine: zero vectors and nulls") {
+    val rows = Seq(
+      (Some(Seq(0f, 0f)), Some(Seq(1f, 2f))),
+      (Some(Seq(1f, 0f)), Some(Seq(1f, 0f))),
+      (None, Some(Seq(1f, 2f))))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      graft.functions.GraftFunctions.vec_cosine(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 0.0) // zero vector guarded
+    assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-12)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("upsert keepLatest: null versions sort last, null keys form their own group") {
+    val df = Seq(
+      (Some(1L), Some(10L), "a"), (Some(1L), None, "b"),
+      (None, Some(5L), "c"), (None, Some(7L), "d"))
+      .toDF("k", "v", "p")
+    val out = graft.operators.Upsert.keepLatest(df, Seq("k"), col("v"), Seq(col("p")))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(2))).toMap
+    assert(out(1L) == "a")   // 10 beats null (desc puts nulls last)
+    assert(out(-1L) == "d")  // null-key group resolved deterministically
+  }
+
+  test("merge: batch with null key doesn't wipe base rows") {
+    val base = Seq((Some(1L), "x"), (Some(2L), "y")).toDF("k", "v")
+    val batch = Seq((Option.empty[Long], "z")).toDF("k", "v")
+    val out = graft.operators.Upsert.merge(base, batch, Seq("k")).collect()
+    assert(out.length == 3, "null-key batch row must not anti-join away base rows")
+  }
+
+  test("sessionize: single-event users and duplicate timestamps stay deterministic") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq((1L, ts, 1L), (2L, ts, 2L), (2L, ts, 3L)).toDF("u", "ts", "eid")
+    val out = graft.operators.Sessionize.sessions(df, col("u"), col("ts"),
+        3600L, Seq(col("ts"), col("eid")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set((1L, 1L, 1L), (2L, 1L, 2L)))
+  }
+}
