@@ -47,6 +47,7 @@ object SparkEntry {
     "events_time_buckets" -> (RelationalQueries.eventsTimeBuckets _),
     "topk_per_group"     -> (RelationalQueries.topkPerGroup _),
     "topk_per_group_custom" -> (ExtendedQueries.topkPerGroupCustom _),
+    "asof_last_purchase" -> (ExtendedQueries.asofLastPurchase _),
     // §2.C8 + §2.E — sessionization & windowed aggregation
     "rollup_totals"      -> (ExtendedQueries.rollupTotals _),
     "pivot_segments"     -> (ExtendedQueries.pivotSegments _),
@@ -323,6 +324,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "asof_last_purchase" ->
+      """SELECT c.event_id, p.event_id AS last_purchase_id,
+        |  p.value AS last_purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (

@@ -66,6 +66,25 @@ object ExtendedQueries {
         k = 3)
       .orderBy(col("o_custkey"), col("rk"))
 
+  /** C13: as-of join — each click event picks up the user's most
+    * recent purchase at or before the click (point-in-time feature
+    * lookup via [[graft.operators.AsOfJoin]]).
+    */
+  def asofLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("last_purchase_id"),
+        col("value").as("last_purchase_value"))
+    graft.operators.AsOfJoin.lastValue(clicks, purchases,
+        key = "user_id", leftTime = "ts", rightTime = "p_ts",
+        payloadCols = Seq("last_purchase_id", "last_purchase_value"))
+      .select(col("event_id"), col("last_purchase_id"), col("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** D14: fixed-size token chunking with overlap — the standard
     * LLM-training windowing (chunk 32 tokens, stride 24). Explode is
     * the only row-expanding op; chunk text rebuilt with a single
