@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_minhash_lsh"  -> (TextQueries.dedupMinhashLsh _),
     "dedup_simhash"      -> (TextQueries.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
+    "dedup_resolve"      -> (TextQueries.dedupResolve _),
     "text_token_count"   -> (TextQueries.textTokenCount _),
     "text_quality_score" -> (TextQueries.textQualityScore _),
     "text_lang_id"       -> (TextQueries.textLangId _),
@@ -372,6 +373,30 @@ object SparkEntry {
         |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+
+    "dedup_resolve" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM t),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT ida, idb FROM pairs
+        |  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |und AS (SELECT ida AS src, idb AS dst FROM edges
+        |  UNION ALL SELECT idb, ida FROM edges),
+        |reach AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst)
+        |SELECT d.doc_id,
+        |  LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS canonical_id
+        |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,

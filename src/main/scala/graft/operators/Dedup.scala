@@ -121,6 +121,59 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact all-pairs similarity join via inverted shingle index (the
+    * prefix-filtering family): explode shingles, equality-join on the
+    * shingle, count shared per pair, Jaccard from the known set sizes.
+    * Candidate volume is Σ freq(shingle)² — bounded when no shingle is
+    * hot; at web scale, drop ultra-frequent shingles first (classic
+    * stopword-prefix optimization) or fall back to [[minhashLsh]].
+    */
+  def similarityJoinEdges(df: DataFrame, textCol: String, idCol: String,
+                          shingleSize: Int = 3,
+                          threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(graft.functions.ShingleFunctions
+        .word_shingles(col(textCol), shingleSize)).as("sh"))
+      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
+    val l = sh.select(col("shingle"), col("id").as("id_a"), col("n").as("na"))
+    val r = sh.select(col("shingle"), col("id").as("id_b"), col("n").as("nb"))
+    l.join(r, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("c"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Connected components over near-dup pairs — the resolution step
+    * that turns pairwise edges into dedup clusters (canonical id =
+    * component minimum). Iterative min-label propagation with
+    * lineage-truncating checkpoints; converges in O(diameter)
+    * rounds — dup clusters have tiny diameter in practice. (At
+    * graph-of-the-web scale, switch to alternating large/small-star.)
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val nbr = und.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionByName(nbr)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("canonical_id"))
+  }
+
   /** D4: n-gram Jaccard similarity for given candidate pairs (here:
     * consecutive doc ids — a deterministic, oracle-checkable pairing;
     * LSH supplies candidates at scale).

@@ -36,6 +36,19 @@ object TextQueries {
     Dedup.consecutivePairJaccard(Tables.documents(spark, dir), "text", "doc_id")
       .orderBy(col("id_a"))
 
+  /** D17: dedup resolution — exact similarity-join edges (inverted
+    * shingle index) → connected components → canonical id per doc.
+    * The full dedup pipeline's final step, DuckDB-oracled via a
+    * recursive-CTE transitive closure.
+    */
+  def dedupResolve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = Dedup.similarityJoinEdges(docs, "text", "doc_id")
+    Dedup.connectedComponents(edges, docs.select(col("doc_id").as("id")))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** D8: token counting — whitespace tokens and BPE-ish subtokens. */
   def textTokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
