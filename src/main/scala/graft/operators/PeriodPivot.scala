@@ -38,12 +38,17 @@ object PeriodPivot {
   /** Distinct trailing periods ranked 1..n (1 = most recent). Kept as a
     * DataFrame so callers can reuse it (e.g. rolling averages over the
     * same trailing window).
+    *
+    * Deliberately NOT a `row_number().over(Window.orderBy(...))`: an
+    * unpartitioned window funnels its input through one partition (and
+    * warns about it). The period domain is tiny by construction
+    * (distinct months/gameweeks), so fold it to a single sorted array
+    * with a regular two-phase aggregate and posexplode the trailing
+    * slice — no window, no single-partition exchange of row data.
     */
-  def rankPeriods(df: DataFrame, period: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def rankPeriods(df: DataFrame, period: String, n: Int): DataFrame =
     df.select(col(period)).distinct()
-      .withColumn("__prank",
-        row_number().over(Window.orderBy(col(period).desc)))
-      .filter(col("__prank") <= n)
-  }
+      .agg(reverse(array_sort(collect_list(col(period)))).as("__ps"))
+      .select(posexplode(slice(col("__ps"), 1, n)).as(Seq("__pos", period)))
+      .select(col(period), (col("__pos") + 1).cast("int").as("__prank"))
 }
