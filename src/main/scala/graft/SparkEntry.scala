@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.A — ingest & data model
     "json_ingest"        -> (ReferenceQueries.jsonIngest _),
+    "csv_ingest"         -> (ReferenceQueries.csvIngest _),
     "code_mapping"       -> (ReferenceQueries.codeMapping _),
     "upsert_keep_latest" -> (ReferenceQueries.upsertKeepLatest _),
     "incremental_load"   -> (ReferenceQueries.incrementalLoad _),
@@ -44,6 +45,7 @@ object SparkEntry {
     "window_running_sum" -> (RelationalQueries.windowRunningSum _),
     "semi_join_exists"   -> (RelationalQueries.semiJoinExists _),
     "distinct_counts"    -> (RelationalQueries.distinctCounts _),
+    "approx_distinct"    -> (RelationalQueries.approxDistinct _),
     "events_time_buckets" -> (RelationalQueries.eventsTimeBuckets _),
     "topk_per_group"     -> (RelationalQueries.topkPerGroup _),
     "topk_per_group_custom" -> (ExtendedQueries.topkPerGroupCustom _),
@@ -108,6 +110,24 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // The Spark query (ReferenceQueries.csvIngest) first dumps the same
+    // deterministic CSV the oracle reads; the driver runs Verify before
+    // the DuckDB pass, so the files exist. Verify runs at sf0.01 — the
+    // path is pinned to that SF on purpose (a bench run at another SF
+    // writes to its own directory and cannot clobber this one).
+    "csv_ingest" ->
+      """SELECT match_id, COUNT(*) AS n_rows,
+        |  CAST(SUM(min_played) AS BIGINT) AS sum_min,
+        |  CAST(SUM(key_passes) AS BIGINT) AS sum_kp,
+        |  CAST(SUM(CAST(xg AS DECIMAL(18,2))) AS DOUBLE) AS sum_xg,
+        |  CAST(SUM(CAST(xa AS DECIMAL(18,2))) AS DOUBLE) AS sum_xa
+        |FROM read_csv('/tmp/graft_csv_ingest/sf0.01/*.csv', header=true,
+        |  ignore_errors=true,
+        |  columns={'row_idx':'BIGINT','id':'BIGINT','full_name':'VARCHAR',
+        |    'min_played':'INTEGER','key_passes':'INTEGER','assists':'INTEGER',
+        |    'shots':'INTEGER','xg':'DOUBLE','xa':'DOUBLE','match_id':'BIGINT'})
+        |GROUP BY match_id ORDER BY match_id""".stripMargin,
+
     "code_mapping" ->
       """SELECT c_mktsegment,
         |  CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2
@@ -159,6 +179,7 @@ object SparkEntry {
         |  SELECT o_custkey, CAST(SUM(mspend) AS DOUBLE) / 4.0 AS avg_4m
         |  FROM monthly JOIN ranked USING (month) WHERE rk <= 4 GROUP BY 1)
         |SELECT c_custkey, c_name, c_mktsegment, n_name AS nation_name,
+        |  concat_ws(' ', c_name, n_name) AS display_name,
         |  COALESCE(total_spend, 0.0) AS total_spend,
         |  COALESCE(n_orders, 0) AS n_orders,
         |  avg_4m, m1_spend, m2_spend, m3_spend

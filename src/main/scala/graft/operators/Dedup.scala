@@ -147,10 +147,18 @@ object Dedup {
 
   /** Connected components over near-dup pairs — the resolution step
     * that turns pairwise edges into dedup clusters (canonical id =
-    * component minimum). Iterative min-label propagation with
-    * lineage-truncating checkpoints; converges in O(diameter)
-    * rounds — dup clusters have tiny diameter in practice. (At
-    * graph-of-the-web scale, switch to alternating large/small-star.)
+    * component minimum). Min-label propagation PLUS a pointer-jumping
+    * step (label := label-of-label) each round, so chains collapse in
+    * O(log diameter) rounds instead of O(diameter) — a 50-hop path
+    * converges in ~6 rounds. Lineage is truncated per round with
+    * localCheckpoint; the convergence probe is a filter over the
+    * just-materialized round output (the old label travels with the
+    * row), NOT an extra join job.
+    *
+    * @throws IllegalStateException if labels have not stabilized after
+    *         `maxIters` rounds — partial labels are never returned
+    *         silently (a long-chain graph would otherwise yield wrong
+    *         canonical ids that no small-data oracle can catch).
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIters: Int = 20): DataFrame = {
@@ -161,16 +169,28 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val nbr = und.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("label"))
-      val next = labels.unionByName(nbr)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // 1-hop: min over neighbours' labels (map-side combine on src)
+      val nbrMin = und.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+      val prop = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("mid"))
+      // pointer jump: label := current label OF the label node. Labels
+      // are always node ids of the same component, so this only ever
+      // shortcuts toward the component minimum.
+      val lookup = prop.select(col("id").as("pid"), col("mid").as("plabel"))
+      val next = prop.join(lookup, col("mid") === col("pid"), "left")
+        .select(col("id"), col("old"),
+          least(col("mid"), coalesce(col("plabel"), col("mid"))).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: labels not stable after $maxIters rounds — " +
+          "refusing to return partial (wrong) canonical ids; raise maxIters")
     labels.select(col("id"), col("label").as("canonical_id"))
   }
 

@@ -39,6 +39,10 @@ object PeriodPivot {
     * DataFrame so callers can reuse it (e.g. rolling averages over the
     * same trailing window).
     *
+    * Contract: null period values are dropped (`collect_list` skips
+    * nulls) — a null month can never rank among the trailing n. Callers
+    * that equi-join on the period column never matched nulls anyway.
+    *
     * Deliberately NOT a `row_number().over(Window.orderBy(...))`: an
     * unpartitioned window funnels its input through one partition (and
     * warns about it). The period domain is tiny by construction
@@ -46,9 +50,11 @@ object PeriodPivot {
     * with a regular two-phase aggregate and posexplode the trailing
     * slice — no window, no single-partition exchange of row data.
     */
-  def rankPeriods(df: DataFrame, period: String, n: Int): DataFrame =
+  def rankPeriods(df: DataFrame, period: String, n: Int): DataFrame = {
+    require(n >= 0, s"rankPeriods: n must be >= 0, got $n")
     df.select(col(period)).distinct()
       .agg(reverse(array_sort(collect_list(col(period)))).as("__ps"))
       .select(posexplode(slice(col("__ps"), 1, n)).as(Seq("__pos", period)))
       .select(col(period), (col("__pos") + 1).cast("int").as("__prank"))
+  }
 }

@@ -34,13 +34,40 @@ object Similarity {
       .select(col("qid"), col("id"), col("cos"), col("rk"))
   }
 
+  /** All ≤`probeBits`-bit flip masks over `planes` sign bits — the
+    * multi-probe neighborhood (Σ C(planes,b) buckets). Enumerated by
+    * combinations so it stays cheap even for wide signatures.
+    */
+  private[graft] def probeMasks(planes: Int, probeBits: Int): Seq[Long] =
+    (0 to probeBits).flatMap(b =>
+      (0 until planes).combinations(b)
+        .map(_.foldLeft(0L)((acc, i) => acc | (1L << i))).toSeq)
+
+  /** Expand each row to its home bucket plus every ≤`probeBits`-bit
+    * flip neighbor.
+    */
+  private def probeExpand(df: DataFrame, planes: Int, probeBits: Int): DataFrame = {
+    val flips = array(probeMasks(planes, probeBits).map(lit): _*)
+    df.withColumn("__flip", explode(flips))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("__flip")))
+      .drop("__flip")
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH
-    * bucket. Lower `planes` → bigger buckets → higher recall & cost.
+    * bucket. Lower `planes` → bigger buckets → higher recall & cost;
+    * `probeBits` > 0 additionally probes every bucket within that
+    * Hamming distance of the query's signature — the classic
+    * multi-probe recall dial that costs probe volume, never a second
+    * corpus pass or shuffle (only the broadcast-small query side
+    * expands).
     */
   def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-             planes: Int = 8): DataFrame = {
-    val qb = queries.withColumn("bucket",
+             planes: Int = 8, probeBits: Int = 0): DataFrame = {
+    val qb0 = queries.withColumn("bucket",
       GraftFunctions.hyperplane_bucket(col("qvec"), planes))
+    // a corpus row lives in exactly one home bucket and query probes are
+    // distinct buckets, so each (qid, id) candidate appears at most once
+    val qb = if (probeBits > 0) probeExpand(qb0, planes, probeBits) else qb0
     val cb = corpus.withColumn("bucket",
       GraftFunctions.hyperplane_bucket(col("vec"), planes))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
@@ -54,20 +81,40 @@ object Similarity {
       .select(col("qid"), col("id"), col("cos"), col("rk"))
   }
 
-  /** D5: embedding-cosine near-duplicate pairs above `threshold`,
-    * bucketed by LSH so the pairwise check never crosses buckets.
+  /** Candidate pairs for [[cosineNearDup]]: ids only. Both sides carry
+    * (bucket, id) — 16-byte rows, never the vectors — and the left side
+    * probes its home bucket plus every 1-bit-flip neighbor, so a pair
+    * becomes a candidate iff their sign signatures differ in ≤ 1 of
+    * `planes` bits. Each qualifying pair meets exactly once (ham=0 via
+    * the shared home bucket; ham=1 via the unique differing bit on the
+    * lower id's side), so no dedup pass is needed.
+    *
+    * Expected candidate volume under uniform buckets is
+    * (planes+1)·N²/2^planes — N²/28 at planes=8, and every extra plane
+    * halves it again. planes=2 (the round-1/2 defect) was N²/4·3:
+    * effectively all-pairs.
     */
-  def cosineNearDup(corpus: DataFrame, threshold: Double,
-                    planes: Int = 6): DataFrame = {
-    val b = corpus.withColumn("bucket",
-      GraftFunctions.hyperplane_bucket(col("vec"), planes))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+  def cosineNearDupCandidates(corpus: DataFrame, planes: Int): DataFrame = {
+    val b = corpus.select(col("id"),
+      GraftFunctions.hyperplane_bucket(col("vec"), planes).as("bucket"))
+    val l = probeExpand(b, planes, 1).select(col("bucket"), col("id").as("id_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** D5: embedding-cosine near-duplicate pairs above `threshold`.
+    * Candidates from [[cosineNearDupCandidates]] (light bucket join),
+    * vectors joined back by id only for the surviving pairs — the same
+    * light-shuffle shape as MinHash-LSH band verification.
+    */
+  def cosineNearDup(corpus: DataFrame, threshold: Double,
+                    planes: Int = 8): DataFrame =
+    cosineNearDupCandidates(corpus, planes)
+      .join(corpus.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(corpus.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         GraftFunctions.vec_cosine(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
-      .distinct()
-  }
 }

@@ -23,6 +23,16 @@ object FplPipeline {
     val periodDim = s"$root/period_dim"
   }
 
+  /** Lake layout: each dim is hash-partitioned on its merge key into
+    * this many directories (`__p=<n>/`). A merge then only reads and
+    * rewrites the partitions containing batch keys — at 100 TB a batch
+    * touching a handful of keys rewrites a handful of partitions, not
+    * the table. (With Delta/Iceberg jars this would be a MERGE INTO
+    * with file-level pruning; hash-partition overwrite is the plain-
+    * parquet equivalent.)
+    */
+  val NumPartitions = 16
+
   /** One pipeline run: ingest a payload, merge each dim into the lake,
     * return the refreshed dims. `insertEntities`/`insertParents`/
     * `insertPeriods` mirror the reference's skip flags.
@@ -33,20 +43,26 @@ object FplPipeline {
     val payload = JsonIngest.readPayload(spark, payloadPath)
 
     def mergeInto(path: String, batch: DataFrame, keys: Seq[String]): DataFrame = {
+      val batchP = batch.withColumn("__p",
+        pmod(hash(keys.map(col): _*), lit(NumPartitions)))
       val merged = scala.util.Try(spark.read.parquet(path)).toOption match {
-        case Some(base) => Upsert.merge(base, batch, keys)
-        case None => batch
+        case Some(base) =>
+          // only the partitions containing batch keys participate: the
+          // filter prunes at the directory level, and dynamic overwrite
+          // below replaces exactly those partitions' files.
+          val affected = batchP.select(col("__p")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          Upsert.merge(base.filter(col("__p").isin(affected: _*)), batchP, keys)
+        case None => batchP
       }
-      // rewrite via temp dir: the read above can't stream into an
-      // overwrite of its own input
-      val tmp = path + "__staging"
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val dst = new org.apache.hadoop.fs.Path(path)
-      fs.delete(dst, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-      spark.read.parquet(path)
+      // localCheckpoint severs the file lineage so overwriting the path
+      // we just read is legal without a staging copy.
+      merged.localCheckpoint()
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__p")
+        .parquet(path)
+      spark.read.parquet(path).drop("__p")
     }
 
     val out = scala.collection.mutable.Map[String, DataFrame]()

@@ -51,10 +51,14 @@ object ReferenceQueries {
     val nat  = Tables.nation(spark, dir)
     val ord  = Tables.orders(spark, dir)
 
-    // ct_gen: entity dim + parent dim (player ⋈ team → customer ⋈ nation)
+    // ct_gen: entity dim + parent dim (player ⋈ team → customer ⋈ nation).
+    // display_name mirrors the reference's `name || ' ' || surname AS
+    // ply_name` (fpl sql_queries.py:122) — B10's concat exercised on the
+    // dashboard surface, null-skipping like the reference's NULL-safe ||.
     val gen = cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"), "left")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-        col("n_name").as("nation_name"))
+        col("n_name").as("nation_name"),
+        concat_ws(" ", col("c_name"), col("n_name")).as("display_name"))
 
     // ct_stats_totals: lifetime totals per entity
     val totals = ord.groupBy(col("o_custkey")).agg(
@@ -86,7 +90,7 @@ object ReferenceQueries {
       .join(piv, col("c_custkey") === piv("o_custkey"), "left").drop("o_custkey")
       .join(avg4, col("c_custkey") === avg4("o_custkey"), "left").drop("o_custkey")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-        col("nation_name"),
+        col("nation_name"), col("display_name"),
         coalesce(col("total_spend"), lit(0.0)).as("total_spend"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
         col("avg_4m"), col("m1_spend"), col("m2_spend"), col("m3_spend"))
@@ -239,6 +243,28 @@ object ReferenceQueries {
       .groupBy(col("c_mktsegment"), col("segment_code"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("segment_code"))
+  }
+
+  /** A4: CSV ingest — fpl includes.py:355-394 (scraped match-stats CSVs
+    * read row-at-a-time from S3 and inserted per row). Spark-first: a
+    * schema'd `spark.read.csv` (no inference pass), malformed rows
+    * quarantined via the PERMISSIVE corrupt-record column, then one
+    * per-match aggregate. The CSV itself is derived deterministically
+    * from the lake (sandbox stand-in for S3) so the DuckDB oracle can
+    * `read_csv` the very same files; sums follow [[Num]] discipline.
+    */
+  def csvIngest(spark: SparkSession, dir: String): DataFrame = {
+    val sfName = new java.io.File(dir).getName
+    val path = s"/tmp/graft_csv_ingest/$sfName"
+    graft.sources.CsvIngest.writeSampleCsv(spark, dir, path)
+    graft.sources.CsvIngest.validStats(spark, path)
+      .groupBy(col("match_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("min_played")).cast("long").as("sum_min"),
+        sum(col("key_passes")).cast("long").as("sum_kp"),
+        dsum(col("xg")).as("sum_xg"),
+        dsum(col("xa")).as("sum_xa"))
+      .orderBy(col("match_id"))
   }
 
   /** A2: JSON ingest + normalize — fpl includes.py:112-145

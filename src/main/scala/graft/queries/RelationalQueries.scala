@@ -122,6 +122,21 @@ object RelationalQueries {
       countDistinct(col("l_suppkey")).as("n_supps"))
   }
 
+  /** C6b: approximate distinct counts via HyperLogLog++
+    * (`approx_count_distinct`, rsd 5%). No DuckDB oracle — the sketch
+    * estimate is engine-specific — so this is a rows-only entry; the
+    * tolerance vs exact counts is pinned in OperatorsSpec. At 100 TB
+    * this is the variant to run: fixed-size sketches merge map-side,
+    * no distinct shuffle of the key domain.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.agg(
+      approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+      approx_count_distinct(col("l_suppkey"), 0.05).as("approx_supps"))
+  }
+
   /** C7: time-bucketed event aggregation (`date_trunc` is a pure
     * projection — buckets aggregate with one shuffle, and at scale the
     * bucket column is the natural lake partition key).

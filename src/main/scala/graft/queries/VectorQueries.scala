@@ -34,21 +34,28 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
 
   /** D7b: IVF approximate top-10 — coarse k-means quantizer (16
-    * lists, trained deterministically on the corpus), queries probe
-    * their 2 nearest lists.
+    * lists, trained deterministically on a capped sample of the
+    * corpus, cached per lake dir), queries probe their 2 nearest
+    * lists.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val centroids = graft.operators.IvfIndex.train(c, "vec", "id", k = 16, dim = 64)
+    val centroids = graft.operators.IvfIndex.trainCached(
+      s"embeddings:$dir", c, "vec", "id", k = 16, dim = 64)
     graft.operators.IvfIndex.search(queries(spark, dir), c, 10, centroids, nprobe = 2)
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** D5: embedding-cosine near-dup pairs. The testdata has no planted
-    * embedding dups (max pairwise cosine ≈ 0.51), so the threshold sits
-    * in the observed tail to keep the output non-degenerate.
+  /** D5: embedding-cosine near-dup pairs at 8 hyperplanes with 1-bit
+    * multi-probe (candidate volume ~N²/28, shrinking 2× per extra
+    * plane — the planes=2 all-pairs posture was the round-1/2 defect).
+    * The testdata has no planted embedding dups (max pairwise cosine
+    * ≈ 0.51), so the threshold sits in the observed tail to keep the
+    * output non-degenerate; at a real 0.9+ near-dup threshold the
+    * probe recall is far higher (bucket-collision probability rises
+    * steeply with cosine).
     */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDup(corpus(spark, dir), threshold = 0.35, planes = 2)
+    Similarity.cosineNearDup(corpus(spark, dir), threshold = 0.35, planes = 8)
       .orderBy(col("id_a"), col("id_b"))
 }

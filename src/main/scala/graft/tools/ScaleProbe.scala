@@ -54,7 +54,7 @@ object ScaleProbe {
     t("exact_dedup")(graft.operators.Dedup
       .exact(docs, col("text"), col("doc_id")).count())
     t("cosine_near_dup")(graft.operators.Similarity
-      .cosineNearDup(emb, threshold = 0.35, planes = 2).count())
+      .cosineNearDup(emb, threshold = 0.35, planes = 8).count())
     t("q1_pricing_style_agg") {
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")), count(lit(1))).count()

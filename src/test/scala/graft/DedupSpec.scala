@@ -12,6 +12,28 @@ import graft.operators.Dedup
 class DedupSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("connectedComponents resolves a 50-node path graph within few rounds") {
+    import spark.implicits._
+    // worst case for plain min-propagation (diameter 49); pointer
+    // jumping must collapse it in O(log n) rounds — well under 10.
+    val edges = (0L until 49L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (0L to 49L).toDF("id")
+    val labels = Dedup.connectedComponents(edges, nodes, maxIters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 50)
+    assert(labels.forall(_._2 == 0L),
+      s"every node must resolve to component min 0, got ${labels.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("connectedComponents throws rather than returning partial labels") {
+    import spark.implicits._
+    val edges = (0L until 49L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (0L to 49L).toDF("id")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, nodes, maxIters = 2)
+    }
+  }
+
   private lazy val docs =
     graft.sources.Tables.documents(spark, sfDir).cache()
 

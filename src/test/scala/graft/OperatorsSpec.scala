@@ -64,4 +64,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.1,
       s"approx=$approx exact=$exact")
   }
+
+  test("approx_distinct query entry tracks exact distinct_counts within tolerance") {
+    val ex = graft.queries.RelationalQueries.distinctCounts(spark, sfDir).head()
+    val ap = graft.queries.RelationalQueries.approxDistinct(spark, sfDir).head()
+    (0 until 3).foreach { i =>
+      val (exact, approx) = (ex.getLong(i), ap.getLong(i))
+      assert(math.abs(approx - exact).toDouble / exact < 0.15,
+        s"col $i: approx=$approx exact=$exact")
+    }
+  }
 }

@@ -44,4 +44,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(checks("entity_rows") == 2)
     assert(checks("entities_without_parent") == 0)
   }
+
+  private def singlePayload: String =
+    s"""{"elements":[
+       |  {"id":1,"first_name":"Mo","second_name":"Salah","form":9.9,"total_points":201,"now_cost":12.9,"team":3,"element_type":3}],
+       | "teams":[],"events":[]}"""
+      .stripMargin.replace("\n", "")
+
+  test("merge rewrites only the partitions containing batch keys") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_pipe_part").toFile.getAbsolutePath
+    val lake = FplPipeline.LakePaths(s"$root/lake")
+    val in1 = s"$root/in1"; val in2 = s"$root/in2"
+    Files.createDirectories(java.nio.file.Path.of(in1))
+    Files.createDirectories(java.nio.file.Path.of(in2))
+    Files.writeString(java.nio.file.Path.of(in1, "p.json"), payload(7.5))
+    Files.writeString(java.nio.file.Path.of(in2, "p.json"), singlePayload)
+
+    FplPipeline.run(spark, in1, lake)
+
+    def partFiles(): Map[String, Long] = {
+      val base = java.nio.file.Path.of(lake.entityDim)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> p.toFile.lastModified()).toMap
+    }
+    val before = partFiles()
+
+    // a batch touching only key id=1
+    FplPipeline.run(spark, in2, lake, insertParents = false, insertPeriods = false)
+    val after = partFiles()
+
+    // which hash partition each key lives in
+    val pOf = spark.range(1, 3)
+      .select(col("id"), pmod(hash(col("id")), lit(FplPipeline.NumPartitions)).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pOf(1L) != pOf(2L),
+      "test requires ids 1 and 2 to hash to different partitions")
+
+    val untouched = s"__p=${pOf(2L)}/"
+    assert(before.keys.exists(_.contains(untouched)), "id=2 partition must exist")
+    assert(before.filter(_._1.contains(untouched)) == after.filter(_._1.contains(untouched)),
+      "partition without batch keys must keep its exact files (no rewrite)")
+    val touched = s"__p=${pOf(1L)}/"
+    assert(before.keys.filter(_.contains(touched)) != after.keys.filter(_.contains(touched)),
+      "partition with the batch key must have been rewritten")
+
+    // and the merge semantics held: still 2 rows, id=1 updated
+    val dim = spark.read.parquet(lake.entityDim)
+    assert(dim.count() == 2)
+    assert(dim.filter(col("id") === 1).head.getAs[Double]("form") == 9.9)
+    assert(dim.filter(col("id") === 2).count() == 1)
+  }
 }

@@ -48,7 +48,7 @@ class QueriesSpec extends AnyFunSuite {
   test("dashboard_detail: 15 rows, spend ordered desc") {
     val rows = ReferenceQueries_dashboard()
     assert(rows.length == 15)
-    val spends = rows.map(_.getDouble(4))
+    val spends = rows.map(_.getAs[Double]("total_spend"))
     assert(spends.zip(spends.tail).forall { case (a, b) => a >= b })
   }
 

@@ -82,4 +82,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.filter(col("cos") < 0.35).count() == 0)
     assert(out.count() > 0)
   }
+
+  test("cosineNearDup candidate volume stays far below all-pairs") {
+    // amplified corpus (×4 ids) so the bound is meaningful beyond the
+    // raw testdata size; expected volume is (planes+1)·N²/2^planes / 2
+    // ordered pairs — N²/57 at planes=8. Assert a 2× safety margin.
+    val copies = spark.range(4).withColumnRenamed("id", "copy")
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .crossJoin(copies)
+      .select((col("vec_id") * 4 + col("copy")).as("id"), col("embedding").as("vec"))
+    val n = emb.count()
+    val cand = Similarity.cosineNearDupCandidates(emb, planes = 8).count()
+    val allPairs = n * n / 2
+    assert(cand < allPairs / 25,
+      s"candidate pairs $cand vs all-pairs $allPairs — bucketing is not pruning")
+  }
+
+  test("multi-probe lshKnn raises recall vs single-bucket at equal planes") {
+    val c = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val bf = Similarity.bruteForceKnn(q, c, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(planes: Int, probeBits: Int): Double = {
+      val got = Similarity.lshKnn(q, c, 10, planes, probeBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf intersect got).size.toDouble / bf.size
+    }
+    // testdata neighbors are weakly similar (gaussian corpus, top-10
+    // cosine ≈ 0.4-0.5) — the hardest case for hyperplane LSH — so the
+    // 0.9 bar needs the 3-bit probe ring; at a real ≥0.9-cosine
+    // near-dup threshold probeBits=1 already suffices.
+    val single = recall(4, 0)
+    val probed2 = recall(4, 2)
+    val probed3 = recall(4, 3)
+    info(f"recall planes=4: single $single%.2f, probe2 $probed2%.2f, probe3 $probed3%.2f")
+    assert(single < probed2 && probed2 < probed3,
+      "probe rings must monotonically improve recall here")
+    assert(probed3 >= 0.9, f"multi-probe recall $probed3%.2f below 0.9")
+  }
 }
