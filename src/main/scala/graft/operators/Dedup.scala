@@ -122,8 +122,17 @@ object Dedup {
   }
 
   /** Exact all-pairs similarity join via inverted shingle index (the
-    * prefix-filtering family): explode shingles, equality-join on the
-    * shingle, count shared per pair, Jaccard from the known set sizes.
+    * prefix-filtering family): group the exploded shingles into
+    * posting lists, emit the within-list pairs, count shared per pair,
+    * Jaccard from the known set sizes.
+    *
+    * One shuffle builds the index (vs the naive two-sided self-join's
+    * two), and postings of length 1 — the overwhelming majority on
+    * natural text — are dropped before any pair is formed. Posting
+    * lists are keyed by xxhash64 of the shingle, so the exchange
+    * carries 8-byte keys, never the strings (a 64-bit collision would
+    * off-by-one a shared-shingle count; at ~2⁻⁶⁴ per shingle pair
+    * that is far below any realistic threshold sensitivity).
     * Candidate volume is Σ freq(shingle)² — bounded when no shingle is
     * hot; at web scale, drop ultra-frequent shingles first (classic
     * stopword-prefix optimization) or fall back to [[minhashLsh]].
@@ -134,13 +143,19 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(graft.functions.ShingleFunctions
         .word_shingles(col(textCol), shingleSize)).as("sh"))
-      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
-    val l = sh.select(col("shingle"), col("id").as("id_a"), col("n").as("na"))
-    val r = sh.select(col("shingle"), col("id").as("id_b"), col("n").as("nb"))
-    l.join(r, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("c"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .select(col("id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("shash"), col("id"), col("n"))
+    val postings = sh.groupBy(col("shash"))
+      .agg(collect_list(struct(col("id"), col("n"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    postings
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
@@ -165,7 +180,11 @@ object Dedup {
     val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    // Iterate only over edge-incident nodes — dup clusters are a small
+    // fraction of any real corpus, so the loop's frames stay tiny;
+    // isolated nodes join back (label = own id) once at the end.
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -191,7 +210,9 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents: labels not stable after $maxIters rounds — " +
           "refusing to return partial (wrong) canonical ids; raise maxIters")
-    labels.select(col("id"), col("label").as("canonical_id"))
+    nodes.select(col("id"))
+      .join(labels.withColumnRenamed("id", "lid"), col("id") === col("lid"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("canonical_id"))
   }
 
   /** D4: n-gram Jaccard similarity for given candidate pairs (here:
