@@ -52,6 +52,10 @@ object SparkEntry {
     "asof_last_purchase" -> (ExtendedQueries.asofLastPurchase _),
     // §2.C8 + §2.E — sessionization & windowed aggregation
     "rollup_totals"      -> (ExtendedQueries.rollupTotals _),
+    "events_range_join"  -> (ExtendedQueries.eventsRangeJoin _),
+    "price_histogram"    -> (ExtendedQueries.priceHistogram _),
+    "events_click_attribution" -> (TextQueries.clickAttribution _),
+    "text_length_quantiles" -> (TextQueries.textLengthQuantiles _),
     "pivot_segments"     -> (ExtendedQueries.pivotSegments _),
     "setop_except"       -> (ExtendedQueries.setopExcept _),
     "text_normalize"     -> (ExtendedQueries.textNormalize _),
@@ -292,6 +296,32 @@ object SparkEntry {
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "events_range_join" ->
+      """WITH w AS (
+        |  SELECT DISTINCT
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 8 HOUR AS win_lo,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 18 HOUR AS win_hi
+        |  FROM events)
+        |SELECT win_lo, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w JOIN events e ON e.ts >= w.win_lo AND e.ts < w.win_hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "price_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_click_attribution" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts >= c.ts
+        |  AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "pivot_segments" ->
       """SELECT n_name,

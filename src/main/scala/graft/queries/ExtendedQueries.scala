@@ -5,11 +5,46 @@ import org.apache.spark.sql.functions._
 import graft.functions.Num._
 import graft.sources.Tables
 
-/** Additional warehouse surface (SURVEY §2.C10-C13): hierarchical
-  * rollup, wide pivot, set operations, and text normalization — all
-  * DuckDB-oracled.
+/** Additional warehouse surface (SURVEY §2.C10-C15): hierarchical
+  * rollup, wide pivot, set operations, range join, histogram, and
+  * text normalization — all DuckDB-oracled.
   */
 object ExtendedQueries {
+
+  /** C14: range join — events matched to the business-hours window
+    * (08:00–18:00) of their day, aggregated per window. No equality
+    * key exists between events and windows, so a naive BETWEEN join
+    * would plan as a nested loop; [[graft.operators.RangeJoin]]
+    * buckets time at 1 hour and meets the sides with an equality
+    * join instead (PlanSpec pins no-nested-loop).
+    */
+  def eventsRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_id"), col("value"))
+    val windows = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day")).distinct()
+      .select((col("day") + expr("INTERVAL 8 HOURS")).as("win_lo"),
+        (col("day") + expr("INTERVAL 18 HOURS")).as("win_hi"))
+    graft.operators.RangeJoin
+      .pointInInterval(ev, windows, col("ts"), col("win_lo"), col("win_hi"),
+        bucketSeconds = 3600)
+      .groupBy(col("win_lo"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("win_lo"))
+  }
+
+  /** C15: fixed-width histogram — binned aggregation is a pure
+    * projection + one shuffle (the 100 TB-safe way to get a value
+    * distribution; contrast a global sort). Bucket 25k of the
+    * order-price domain.
+    */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / 25000.0).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
 
   /** C10: ROLLUP over (returnflag, linestatus): subtotal rows carry
     * NULL group keys; `grouping_id` disambiguates. Spark plans this as

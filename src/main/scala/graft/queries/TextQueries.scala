@@ -88,6 +88,32 @@ object TextQueries {
         graft.functions.Fingerprint.rolling_fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** D18: approximate length quantiles via the sketch aggregate
+    * (`approx_percentile`) — the scale path for distribution stats: a
+    * fixed-size sketch merges map-side, no global sort. Rows-only
+    * (sketch internals are engine-specific); OperatorsSpec pins rank
+    * error against a driver-side exact sort.
+    */
+  def textLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    Tables.documents(spark, dir)
+      .agg(percentile_approx(col("n_chars"),
+        array(qs.map(lit): _*), lit(10000)).as("qv"))
+      .select(posexplode(col("qv")).as(Seq("pos", "n_chars_q")))
+      .select(element_at(array(qs.map(lit): _*), col("pos") + 1).as("q"),
+        col("n_chars_q"))
+      .orderBy(col("q"))
+  }
+
+  /** E5 (batch face): click→purchase attribution — the same plan
+    * [[graft.streaming.EventsStream.clickPurchaseJoin]] runs as a
+    * stream-stream join; batch execution gives the DuckDB-oracled
+    * twin (StreamingSpec asserts stream == batch).
+    */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.clickPurchaseJoin(Tables.events(spark, dir))
+      .orderBy(col("click_id"), col("purchase_id"))
+
   /** C8: gap sessionization of events (4h inactivity closes a
     * session), rolled up per session.
     */

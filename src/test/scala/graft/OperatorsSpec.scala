@@ -65,6 +65,40 @@ class OperatorsSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("range join: inclusive lo, exclusive hi, bucket-boundary exact") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, "2024-01-01 08:00:00"),   // == lo: in
+      (2L, "2024-01-01 17:59:59"),   // just under hi: in
+      (3L, "2024-01-01 18:00:00"),   // == hi: out
+      (4L, "2024-01-01 07:59:59"),   // just under lo: out
+      (5L, "2024-01-02 09:30:00"))   // second interval: in
+      .toDF("pid", "s").select($"pid", $"s".cast("timestamp").as("pt"))
+    val intervals = Seq(
+      ("2024-01-01 08:00:00", "2024-01-01 18:00:00"),
+      ("2024-01-02 08:00:00", "2024-01-02 18:00:00"))
+      .toDF("l", "h")
+      .select($"l".cast("timestamp").as("lo"), $"h".cast("timestamp").as("hi"))
+    val got = graft.operators.RangeJoin
+      .pointInInterval(points, intervals, col("pt"), col("lo"), col("hi"), 3600)
+      .select($"pid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 5L))
+  }
+
+  test("text_length_quantiles: sketch ranks within 1% of exact") {
+    val got = graft.queries.TextQueries.textLengthQuantiles(spark, sfDir)
+      .collect().map(r => (r.getDouble(0), r.getAs[Number](1).intValue()))
+    val vals = Tables.documents(spark, sfDir)
+      .select(col("n_chars")).collect().map(_.getAs[Number](0).intValue()).sorted
+    val n = vals.length
+    got.foreach { case (q, v) =>
+      val rank = vals.count(_ <= v).toDouble / n
+      val rankLo = vals.count(_ < v).toDouble / n
+      assert(rankLo - 0.01 <= q && q <= rank + 0.01,
+        s"q=$q estimate $v has rank window [$rankLo, $rank]")
+    }
+  }
+
   test("approx_distinct query entry tracks exact distinct_counts within tolerance") {
     val ex = graft.queries.RelationalQueries.distinctCounts(spark, sfDir).head()
     val ap = graft.queries.RelationalQueries.approxDistinct(spark, sfDir).head()

@@ -47,6 +47,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
   }
 
+  test("range join meets through the bucket equality join, never a nested loop") {
+    val p = planString(
+      graft.queries.ExtendedQueries.eventsRangeJoin(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$p")
+  }
+
   test("q5 snowflake: all dim joins broadcast; no cartesian anywhere") {
     val p = planString(
       graft.queries.RelationalQueries.q5LocalSupplier(spark, sfDir))

@@ -30,6 +30,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals its batch twin") {
+    val stream = EventsStream.clickPurchaseJoin(
+      EventsStream.readEvents(spark, sfDir))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select(col("click_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = graft.queries.TextQueries.clickAttribution(spark, sfDir)
+        .select(col("click_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "batch attribution should find click→purchase pairs")
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer: gaps within bound never split, events conserved") {
     import spark.implicits._
     val events = graft.sources.Tables.events(spark, sfDir)
