@@ -70,6 +70,8 @@ object SparkEntry {
     "dedup_simhash"      -> (TextQueries.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
     "dedup_resolve"      -> (TextQueries.dedupResolve _),
+    "decontamination"    -> (TextQueries.decontaminate _),
+    "training_order"     -> ((s, d) => TextQueries.trainingOrder(s, d)),
     "text_token_count"   -> (TextQueries.textTokenCount _),
     "text_quality_score" -> (TextQueries.textQualityScore _),
     "text_lang_id"       -> (TextQueries.textLangId _),
@@ -448,6 +450,20 @@ object SparkEntry {
         |  LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS canonical_id
         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "decontamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 6),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |      || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS gs
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(gs) AS gram FROM g)
+        |SELECT e.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+        |FROM ex e JOIN (SELECT * FROM ex WHERE doc_id % 10 = 0) b
+        |  ON e.gram = b.gram AND e.doc_id <> b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,

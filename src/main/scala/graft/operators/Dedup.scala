@@ -215,6 +215,32 @@ object Dedup {
       .select(col("id"), coalesce(col("label"), col("id")).as("canonical_id"))
   }
 
+  /** D19: benchmark decontamination — find corpus documents sharing
+    * any word n-gram with an eval/benchmark set (the standard
+    * training-data hygiene check: eval examples leaking into training
+    * data inflate scores). Returns (doc_id, bench_id, n_shared)
+    * per contaminated pair.
+    *
+    * Scale shape: benchmark sets are small by nature, so the exploded
+    * benchmark n-grams broadcast — the corpus is scanned once, never
+    * shuffled on the gram. With a huge eval suite, drop the
+    * broadcast and it degrades gracefully to the inverted-index
+    * equality join of [[similarityJoinEdges]].
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(array_distinct(graft.functions.ShingleFunctions
+          .word_shingles(col(textCol), n))).as("gram"))
+    grams(corpus, "doc_id")
+      .join(broadcast(grams(bench, "bench_id")), Seq("gram"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** D4: n-gram Jaccard similarity for given candidate pairs (here:
     * consecutive doc ids — a deterministic, oracle-checkable pairing;
     * LSH supplies candidates at scale).

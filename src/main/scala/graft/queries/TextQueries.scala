@@ -88,6 +88,29 @@ object TextQueries {
         graft.functions.Fingerprint.rolling_fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** D19: benchmark decontamination — every 10th doc plays the eval
+    * set; corpus docs sharing any 8-gram with it are flagged. The
+    * planted near-dup structure guarantees non-degenerate output at
+    * every test SF.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    Dedup.contamination(docs, bench, "text", "doc_id", n = 8)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** D20: deterministic training-order shuffle — a seeded hash of the
+    * id as the sort key. At 100 TB this is a range-partitioned sort
+    * (Spark samples split points), the standard way to randomize
+    * example order without a driver-side permutation; re-running with
+    * the same seed reproduces the exact order.
+    */
+  def trainingOrder(spark: SparkSession, dir: String, seed: Long = 42L): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), xxhash64(lit(seed), col("doc_id")).as("sort_key"))
+      .orderBy(col("sort_key"), col("doc_id"))
+
   /** D18: approximate length quantiles via the sketch aggregate
     * (`approx_percentile`) — the scale path for distribution stats: a
     * fixed-size sketch merges map-side, no global sort. Rows-only

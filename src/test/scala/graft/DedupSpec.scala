@@ -12,6 +12,39 @@ import graft.operators.Dedup
 class DedupSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("contamination: exactly the pairs with a shared 8-gram, counts exact") {
+    val got = graft.queries.TextQueries.decontaminate(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // exact reference: driver-side 8-gram sets
+    val grams = docs.collect().map { r =>
+      val toks = r.getAs[String]("text").trim.split("\\s+")
+      r.getAs[Long]("doc_id") -> toks.sliding(8).filter(_.length == 8)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val bench = grams.keys.filter(_ % 10 == 0)
+    val want = (for {
+      b <- bench; d <- grams.keys if d != b
+      shared = (grams(d) intersect grams(b)).size if shared > 0
+    } yield ((d, b), shared.toLong)).toMap
+    assert(want.nonEmpty, "testdata should contain contaminated pairs")
+    assert(got == want)
+  }
+
+  test("training order: deterministic non-identity permutation, seed-sensitive") {
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val a = graft.queries.TextQueries.trainingOrder(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    val b = graft.queries.TextQueries.trainingOrder(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    val other = graft.queries.TextQueries.trainingOrder(spark, sfDir, seed = 7L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b, "same seed must reproduce the exact order")
+    assert(a.sorted == ids, "output must be a permutation of the corpus")
+    assert(a != a.sorted, "hash order should not be id order")
+    assert(other != a, "different seed should permute differently")
+    assert(other.sorted == ids)
+  }
+
   test("connectedComponents resolves a 50-node path graph within few rounds") {
     import spark.implicits._
     // worst case for plain min-propagation (diameter 49); pointer
