@@ -74,6 +74,28 @@ object ScaleProbe {
         Seq("l_suppkey"), Seq("l_extendedprice" -> false, "l_orderkey" -> true),
         k = 10).count()
     }
+    t("similarity_edges")(graft.operators.Dedup
+      .similarityJoinEdges(docs, "text", "doc_id").count())
+    t("dedup_resolve") {
+      val edges = graft.operators.Dedup
+        .similarityJoinEdges(docs, "text", "doc_id")
+      graft.operators.Dedup.connectedComponents(
+        edges, docs.select(col("doc_id").as("doc_id").as("id"))).count()
+    }
+    t("contamination")(graft.operators.Dedup
+      .contamination(docs, docs.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id").count())
+    t("range_join") {
+      val ev = graft.sources.Tables.events(spark, dir)
+        .crossJoin(copies)
+        .select((col("event_id") * mult + col("copy")).as("event_id"),
+          col("ts"), col("value"))
+      val windows = ev.select(date_trunc("day", col("ts")).as("day")).distinct()
+        .select((col("day") + expr("INTERVAL 8 HOURS")).as("win_lo"),
+          (col("day") + expr("INTERVAL 18 HOURS")).as("win_hi"))
+      graft.operators.RangeJoin.pointInInterval(
+        ev, windows, col("ts"), col("win_lo"), col("win_hi"), 3600).count()
+    }
     spark.stop()
   }
 }
