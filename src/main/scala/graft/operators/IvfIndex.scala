@@ -89,29 +89,32 @@ object IvfIndex {
     df.withColumn("cid",
       VectorAggregates.nearest_centroid(col(vecCol), centroidsLiteral(centroids)))
 
-  /** Approximate top-k: queries probe their own list only (nprobe=1)
-    * or the `nprobe` nearest lists; candidates meet through an
-    * equality join on cid.
+  /** The `nprobe` nearest lists per query: (qid, qvec, cid). */
+  private def queryProbes(queries: DataFrame,
+                          centroids: Array[Array[Float]],
+                          nprobe: Int): DataFrame =
+    if (nprobe <= 1) assign(queries, "qvec", centroids)
+      .select(col("qid"), col("qvec"), col("cid"))
+    else {
+      // rank all centroids per query by distance, keep nprobe
+      val centLit = centroidsLiteral(centroids)
+      queries
+        .select(col("qid"), col("qvec"),
+          posexplode(centLit).as(Seq("cid", "cvec")))
+        .withColumn("dist",
+          graft.functions.GraftFunctions.vec_cosine(col("qvec"), col("cvec")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dist").desc, col("cid"))))
+        .filter(col("rk") <= nprobe)
+        .select(col("qid"), col("qvec"), col("cid"))
+    }
+
+  /** Score candidates meeting through the cid equality join, keep
+    * top-k per query.
     */
-  def search(queries: DataFrame, corpus: DataFrame, k: Int,
-             centroids: Array[Array[Float]], nprobe: Int = 1): DataFrame = {
-    val cb = assign(corpus, "vec", centroids)
-    val qProbes =
-      if (nprobe <= 1) assign(queries, "qvec", centroids)
-      else {
-        // rank all centroids per query by distance, keep nprobe
-        val centLit = centroidsLiteral(centroids)
-        queries
-          .select(col("qid"), col("qvec"),
-            posexplode(centLit).as(Seq("cid", "cvec")))
-          .withColumn("dist",
-            graft.functions.GraftFunctions.vec_cosine(col("qvec"), col("cvec")))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("dist").desc, col("cid"))))
-          .filter(col("rk") <= nprobe)
-          .select(col("qid"), col("qvec"), col("cid"))
-      }
-    val scored = cb.join(broadcast(qProbes), Seq("cid"))
+  private def topkWithinLists(listed: DataFrame, qProbes: DataFrame,
+                              k: Int): DataFrame = {
+    val scored = listed.join(broadcast(qProbes), Seq("cid"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
         graft.functions.GraftFunctions.vec_cosine(col("qvec"), col("vec")).as("cos"))
@@ -119,5 +122,42 @@ object IvfIndex {
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))))
       .filter(col("rk") <= k)
       .select(col("qid"), col("id"), col("cos"), col("rk"))
+  }
+
+  /** Approximate top-k: queries probe their own list only (nprobe=1)
+    * or the `nprobe` nearest lists; candidates meet through an
+    * equality join on cid.
+    */
+  def search(queries: DataFrame, corpus: DataFrame, k: Int,
+             centroids: Array[Array[Float]], nprobe: Int = 1): DataFrame =
+    topkWithinLists(assign(corpus, "vec", centroids),
+      queryProbes(queries, centroids, nprobe), k)
+
+  /** Write the corpus as an IVF-partitioned lake table — one
+    * directory per inverted list (`cid=<n>/`). This is the at-rest
+    * layout the scaladoc promises: a search then reads only the
+    * probed lists' files.
+    */
+  def writePartitioned(corpus: DataFrame, centroids: Array[Array[Float]],
+                       path: String): Unit =
+    assign(corpus, "vec", centroids)
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** Search an IVF-partitioned table: the probed cids (≤ queries ×
+    * nprobe values — the query set is broadcast-small by contract, so
+    * the collect is a handful of ints) become a literal partition
+    * filter, pruning unprobed lists' files at planning time.
+    * I/O ∝ nprobe/k of the corpus; BucketingSpec pins the file-count
+    * reduction and result equality with [[search]].
+    */
+  def searchPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, k: Int,
+                        centroids: Array[Array[Float]],
+                        nprobe: Int = 1): DataFrame = {
+    val qProbes = queryProbes(queries, centroids, nprobe)
+    val cids = qProbes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val listed = spark.read.parquet(path).filter(col("cid").isin(cids: _*))
+    topkWithinLists(listed, qProbes, k)
   }
 }

@@ -12,6 +12,44 @@ import graft.sources.Tables
 class BucketingSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("IVF-partitioned lake: search prunes to the probed lists' files, same results") {
+    import org.apache.spark.sql.functions.col
+    val c = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // 2 queries at nprobe=1 probe at most 2 of the 8 lists — few enough
+    // that pruning is observable on this small corpus
+    val q = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cent = graft.operators.IvfIndex.train(c, "vec", "id", k = 8, dim = 64)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_lake")
+      .toFile.getAbsolutePath + "/emb"
+    graft.operators.IvfIndex.writePartitioned(c, cent, path)
+
+    val got = graft.operators.IvfIndex
+      .searchPartitioned(spark, path, q, 10, cent, nprobe = 1)
+    val want = graft.operators.IvfIndex.search(q, c, 10, cent, nprobe = 1)
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      == want.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
+
+    // directory-level pruning: the lake scan node carries a partition
+    // filter on cid restricted to the probed lists (Spark applies
+    // partition filters at file listing — unprobed lists' directories
+    // are never opened). AQE nests stages, so match on the tree string.
+    val plan = got.queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n").find(l =>
+      l.contains("graft_ivf_lake") && l.contains("FileScan"))
+    assert(scanLine.isDefined, s"no lake scan in plan:\n$plan")
+    assert(scanLine.get.contains("PartitionFilters: [cid"),
+      s"lake scan has no cid partition filter:\n${scanLine.get}")
+    // 2 queries at nprobe=1 → at most 2 of the 8 lists in the IN-list
+    val inList = "cid#\\d+ IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(scanLine.get).map(_.group(1))
+    assert(inList.isDefined, s"no IN-list partition filter:\n${scanLine.get}")
+    assert(inList.get.split(",").length < 8,
+      s"expected a pruned list subset, got IN (${inList.get})")
+  }
+
   test("join of co-bucketed tables plans without any Exchange") {
     // warehouse dir is a static conf — tables land in ./spark-warehouse
     // (gitignored); managed-table DROP removes the data in finally

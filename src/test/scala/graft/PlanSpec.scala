@@ -47,6 +47,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
   }
 
+  test("decontamination broadcasts the benchmark grams, never shuffles corpus grams") {
+    val p = planString(
+      graft.queries.TextQueries.decontaminate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$p")
+  }
+
   test("range join meets through the bucket equality join, never a nested loop") {
     val p = planString(
       graft.queries.ExtendedQueries.eventsRangeJoin(spark, sfDir))
