@@ -85,11 +85,58 @@ object EventsStream {
     * session once the per-user gap exceeds `gapSeconds`. State is one
     * (start,last,n) triple per live user — the minimal footprint.
     *
-    * Sessions idle at end-of-stream stay in state: closing them needs
-    * a timeout policy (ProcessingTimeTimeout in production), which is
-    * wall-clock-driven and so kept out of this synchronous-testable
-    * core.
+    * Sessions idle at end-of-stream stay in state; the event-time-
+    * timeout variant below ([[sessionizeEventTime]]) closes them when
+    * the watermark passes, which is the production behavior.
     */
+  /** E2b: sessionizer with EVENT-TIME TIMEOUT — idle sessions close
+    * when the watermark passes `last + gap`, without needing another
+    * event for that user. This is the complete production shape: state
+    * is bounded (every idle key times out and is removed), and session
+    * emission lags only by the watermark delay. The in-batch merge
+    * logic is identical to [[sessionize]].
+    */
+  def sessionizeEventTime(events: Dataset[Event], gapSeconds: Long,
+                          watermarkDelay: String = "1 minute"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.start / 1000),
+              new java.sql.Timestamp(s.last / 1000), s.n))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if t - s.last <= gapMicros =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, new java.sql.Timestamp(s.start / 1000),
+                    new java.sql.Timestamp(s.last / 1000), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the event-time watermark passes last + gap
+              state.setTimeoutTimestamp(s.last / 1000L + gapSeconds * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMicros = gapSeconds * 1000000L

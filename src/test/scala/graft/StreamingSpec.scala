@@ -48,6 +48,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time timeout closes an idle session once the watermark passes") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, minute: Long): EventsStream.Event =
+      EventsStream.Event(id, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + minute * 60000L),
+        user, "click", 1.0)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event](
+      spark, 1)
+    val q = EventsStream.sessionizeEventTime(src.toDS(), gapSeconds = 600)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_et_out").start()
+    try {
+      // user 1: three events inside one session; no later events for
+      // user 1 ever arrive
+      src.addData(ev(1, 1, 0), ev(2, 1, 3), ev(3, 1, 6))
+      q.processAllAvailable()
+      assert(spark.table("sess_et_out").isEmpty,
+        "session still live — nothing may be emitted yet")
+      // another USER's much-later event advances the watermark past
+      // user 1's last + gap; the timeout must close user 1's session
+      src.addData(ev(4, 2, 600))
+      q.processAllAvailable()
+      src.addData(ev(5, 2, 601))   // one more batch so the timeout fires
+      q.processAllAvailable()
+      val sessions = spark.table("sess_et_out").as[EventsStream.Session]
+        .collect().filter(_.user_id == 1L)
+      assert(sessions.length == 1,
+        s"idle session must be closed by the event-time timeout, got ${sessions.toSeq}")
+      assert(sessions.head.n_events == 3)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer: gaps within bound never split, events conserved") {
     import spark.implicits._
     val events = graft.sources.Tables.events(spark, sfDir)
