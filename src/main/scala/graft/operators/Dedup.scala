@@ -134,12 +134,19 @@ object Dedup {
     * off-by-one a shared-shingle count; at ~2⁻⁶⁴ per shingle pair
     * that is far below any realistic threshold sensitivity).
     * Candidate volume is Σ freq(shingle)² — bounded when no shingle is
-    * hot; at web scale, drop ultra-frequent shingles first (classic
-    * stopword-prefix optimization) or fall back to [[minhashLsh]].
+    * hot. Postings longer than `maxPostingLen` are dropped entirely
+    * (the classic stopword-prefix optimization): a shingle shared by
+    * thousands of documents carries no near-dup signal, and without
+    * the cap one boilerplate shingle would buffer its whole posting
+    * list in a single aggregation row. Testdata's hottest shingle has
+    * frequency 25 at sf0.1, so the default cap never fires there and
+    * the DuckDB oracle (which computes the uncapped exact join)
+    * still matches.
     */
   def similarityJoinEdges(df: DataFrame, textCol: String, idCol: String,
                           shingleSize: Int = 3,
-                          threshold: Double = 0.5): DataFrame = {
+                          threshold: Double = 0.5,
+                          maxPostingLen: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(graft.functions.ShingleFunctions
         .word_shingles(col(textCol), shingleSize)).as("sh"))
@@ -148,7 +155,7 @@ object Dedup {
       .select(xxhash64(col("shingle")).as("shash"), col("id"), col("n"))
     val postings = sh.groupBy(col("shash"))
       .agg(collect_list(struct(col("id"), col("n"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxPostingLen)
     postings
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
@@ -221,21 +228,27 @@ object Dedup {
     * data inflate scores). Returns (doc_id, bench_id, n_shared)
     * per contaminated pair.
     *
-    * Scale shape: benchmark sets are small by nature, so the exploded
-    * benchmark n-grams broadcast — the corpus is scanned once, never
-    * shuffled on the gram. With a huge eval suite, drop the
-    * broadcast and it degrades gracefully to the inverted-index
-    * equality join of [[similarityJoinEdges]].
+    * Scale shape: benchmark sets are small by nature, so up to
+    * `broadcastDocLimit` bench docs the exploded benchmark n-grams
+    * broadcast — the corpus is scanned once, never shuffled on the
+    * gram. A larger bench side (checked with one cheap count)
+    * degrades automatically to the plain gram equality join — both
+    * sides shuffle once, still linear, never a nested loop.
     */
   def contamination(corpus: DataFrame, bench: DataFrame,
                     textCol: String, idCol: String,
-                    n: Int = 8): DataFrame = {
+                    n: Int = 8,
+                    broadcastDocLimit: Long = 50000L): DataFrame = {
     def grams(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).as(as),
         explode(array_distinct(graft.functions.ShingleFunctions
           .word_shingles(col(textCol), n))).as("gram"))
+    val benchGrams = grams(bench, "bench_id")
+    val benchSide =
+      if (bench.count() <= broadcastDocLimit) broadcast(benchGrams)
+      else benchGrams
     grams(corpus, "doc_id")
-      .join(broadcast(grams(bench, "bench_id")), Seq("gram"))
+      .join(benchSide, Seq("gram"))
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))

@@ -31,7 +31,9 @@ object IvfIndex {
   def trainCached(key: String, corpus: DataFrame, vecCol: String, idCol: String,
                   k: Int, dim: Int, iters: Int = 3,
                   sampleCap: Int = 4096): Array[Array[Float]] =
-    codebooks.computeIfAbsent(key,
+    // hyperparameters are part of the cache identity — the same corpus
+    // trained at a different k must not return the old codebook
+    codebooks.computeIfAbsent(s"$key|k=$k|dim=$dim|it=$iters|cap=$sampleCap",
       _ => train(corpus, vecCol, idCol, k, dim, iters, sampleCap))
 
   /** Train the coarse quantizer; returns the centroids as a local
@@ -48,10 +50,17 @@ object IvfIndex {
             sampleCap: Int = 4096): Array[Array[Float]] = {
     val n = corpus.count()
     val step = math.max(1L, n / math.max(k, sampleCap))
-    val sample = corpus
-      .filter(pmod(col(idCol), lit(step)) === 0)
+    // modulo-sample on a HASH of the id: uniform regardless of id
+    // structure (dense, sparse, or constant-low-bit id schemes alike)
+    val sample0 = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(step)) === 0)
       .select(col(idCol), col(vecCol))
       .localCheckpoint()
+    // guard: a pathologically thin sample falls back to the corpus
+    val sample =
+      if (step > 1 && sample0.count() < k)
+        corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+      else sample0
     var centroids = sample.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
@@ -154,7 +163,9 @@ object IvfIndex {
                         queries: DataFrame, k: Int,
                         centroids: Array[Array[Float]],
                         nprobe: Int = 1): DataFrame = {
-    val qProbes = queryProbes(queries, centroids, nprobe)
+    // materialize the (tiny) probe set once: the cid collect and the
+    // broadcast join both read the checkpoint, not a recomputed plan
+    val qProbes = queryProbes(queries, centroids, nprobe).localCheckpoint()
     val cids = qProbes.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val listed = spark.read.parquet(path).filter(col("cid").isin(cids: _*))

@@ -81,6 +81,43 @@ object EventsStream {
   case class Session(user_id: Long, t_start: java.sql.Timestamp,
                      t_end: java.sql.Timestamp, n_events: Long)
 
+  private def toSession(userId: Long, s: SessionState): Session =
+    Session(userId, new java.sql.Timestamp(s.start / 1000),
+      new java.sql.Timestamp(s.last / 1000), s.n)
+
+  /** Fold one batch of events (sorted by ts within the batch) into the
+    * running per-user session. Out-of-order-safe across batches: an
+    * event within `gap` of the current session's SPAN extends it with
+    * min/max bounds (a late event never drags `last` backward); an
+    * event beyond the gap after the span closes the session; an event
+    * beyond the gap BEFORE the span belongs to an already-closed
+    * session and is emitted as its own singleton (exact recovery of
+    * arbitrarily-late stragglers would need buffering — this keeps
+    * state O(1) per user and never corrupts the live session).
+    */
+  private def foldBatch(userId: Long, sorted: Seq[Event],
+                        init: Option[SessionState], gapMicros: Long)
+      : (Option[SessionState], Seq[Session]) = {
+    var cur = init
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val t = e.ts.getTime * 1000L
+      cur match {
+        case Some(s) if t >= s.start - gapMicros && t <= s.last + gapMicros =>
+          cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+        case Some(s) if t > s.last + gapMicros =>
+          closed += toSession(userId, s)
+          cur = Some(SessionState(t, t, 1))
+        case Some(_) => // straggler before the span's gap horizon
+          closed += Session(userId, new java.sql.Timestamp(t / 1000),
+            new java.sql.Timestamp(t / 1000), 1)
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    (cur, closed.result())
+  }
+
   /** E2: stateful gap sessionizer via flatMapGroupsWithState — emits a
     * session once the per-user gap exceeds `gapSeconds`. State is one
     * (start,last,n) triple per live user — the minimal footprint.
@@ -108,31 +145,20 @@ object EventsStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(userId, new java.sql.Timestamp(s.start / 1000),
-              new java.sql.Timestamp(s.last / 1000), s.n))
+            Iterator(toSession(userId, s))
           } else {
             val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime * 1000L
-              cur match {
-                case Some(s) if t - s.last <= gapMicros =>
-                  cur = Some(s.copy(last = t, n = s.n + 1))
-                case Some(s) =>
-                  closed += Session(userId, new java.sql.Timestamp(s.start / 1000),
-                    new java.sql.Timestamp(s.last / 1000), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
+            val (cur, closed) = foldBatch(userId, sorted, state.getOption, gapMicros)
             cur.foreach { s =>
               state.update(s)
-              // close when the event-time watermark passes last + gap
-              state.setTimeoutTimestamp(s.last / 1000L + gapSeconds * 1000L)
+              // close when the event-time watermark passes last + gap;
+              // a timeout in the past is illegal, so clamp to just
+              // above the current watermark (fires on the next batch)
+              state.setTimeoutTimestamp(math.max(
+                s.last / 1000L + gapSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
   }
@@ -145,23 +171,9 @@ object EventsStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime * 1000L
-            cur match {
-              case Some(s) if t - s.last <= gapMicros =>
-                cur = Some(s.copy(last = t, n = s.n + 1))
-              case Some(s) =>
-                closed += Session(userId, new java.sql.Timestamp(s.start / 1000),
-                  new java.sql.Timestamp(s.last / 1000), s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
-            }
-          }
+          val (cur, closed) = foldBatch(userId, sorted, state.getOption, gapMicros)
           cur.foreach(state.update)
-          closed.result().iterator
+          closed.iterator
       }
   }
 }

@@ -80,7 +80,7 @@ object ScaleProbe {
       val edges = graft.operators.Dedup
         .similarityJoinEdges(docs, "text", "doc_id")
       graft.operators.Dedup.connectedComponents(
-        edges, docs.select(col("doc_id").as("doc_id").as("id"))).count()
+        edges, docs.select(col("doc_id").as("id"))).count()
     }
     t("contamination")(graft.operators.Dedup
       .contamination(docs, docs.filter(col("doc_id") % 10 === 0),

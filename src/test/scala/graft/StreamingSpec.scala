@@ -80,6 +80,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late in-gap event extends the session without dragging bounds backward") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, minute: Long): EventsStream.Event =
+      EventsStream.Event(id, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + minute * 60000L),
+        user, "click", 1.0)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event](
+      spark, 2)
+    val q = EventsStream.sessionizeEventTime(src.toDS(), gapSeconds = 600,
+        watermarkDelay = "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_late_out").start()
+    try {
+      src.addData(ev(1, 1, 0), ev(2, 1, 6))
+      q.processAllAvailable()
+      // a LATE event inside the session span arrives in the next batch
+      src.addData(ev(3, 1, 3))
+      q.processAllAvailable()
+      // advance the watermark far past last+gap so the timeout closes it
+      src.addData(ev(4, 2, 60))
+      q.processAllAvailable()
+      src.addData(ev(5, 2, 61))
+      q.processAllAvailable()
+      val s = spark.table("sess_late_out").as[EventsStream.Session]
+        .collect().filter(_.user_id == 1L)
+      assert(s.length == 1, s"expected one closed session, got ${s.toSeq}")
+      assert(s.head.n_events == 3, "late event must merge into the session")
+      assert(s.head.t_end.getTime == java.sql.Timestamp.valueOf("2024-01-01 00:06:00").getTime,
+        "a late event must not drag the session end backward")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer: gaps within bound never split, events conserved") {
     import spark.implicits._
     val events = graft.sources.Tables.events(spark, sfDir)
