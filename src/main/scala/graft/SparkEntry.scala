@@ -32,6 +32,7 @@ object SparkEntry {
     "ratio_metric"       -> (ReferenceQueries.ratioMetric _),
     "dashboard_detail"   -> (ReferenceQueries.dashboardDetail _),
     "last_periods_pivot" -> (ReferenceQueries.lastPeriodsPivot _),
+    "entity_time_series" -> (ReferenceQueries.entityTimeSeries _),
     "rolling_period_avg" -> (ReferenceQueries.rollingPeriodAvg _),
     "stats_totals_a"     -> (ReferenceQueries.statsTotalsA _),
     "stats_totals_b"     -> (ReferenceQueries.statsTotalsB _),
@@ -203,6 +204,13 @@ object SparkEntry {
         |  CAST(MAX(CASE WHEN rk = 3 THEN mspend END) AS DOUBLE) AS m3_spend
         |FROM monthly JOIN ranked USING (month) WHERE rk <= 3
         |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+
+    "entity_time_series" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+        |  COUNT(*) AS n_orders
+        |FROM orders WHERE o_custkey = 42
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rolling_period_avg" -> s"""WITH $monthlyCte
         |SELECT o_custkey, CAST(SUM(mspend) AS DOUBLE) / 4.0 AS avg_4m

@@ -98,6 +98,19 @@ object ReferenceQueries {
       .limit(15)
   }
 
+  /** B12: per-entity period series — the dashboard's chart data
+    * (fpl application/routes.py pulls a player's points per gameweek
+    * to draw the line chart). Pushed-down entity filter + one tiny
+    * aggregate; at scale the entity predicate prunes row groups via
+    * parquet min/max stats.
+    */
+  def entityTimeSeries(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") === 42)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(dsum(col("o_totalprice")).as("spend"), count(lit(1)).as("n_orders"))
+      .orderBy(col("month"))
+
   /** B4: standalone last-N-period pivot via [[PeriodPivot]] —
     * fpl sql_queries.py:138-159.
     */
