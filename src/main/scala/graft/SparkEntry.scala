@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_resolve"      -> (TextQueries.dedupResolve _),
     "decontamination"    -> (TextQueries.decontaminate _),
     "training_order"     -> ((s, d) => TextQueries.trainingOrder(s, d)),
+    "mixture_resample"   -> (TextQueries.mixtureResample _),
     "text_token_count"   -> (TextQueries.textTokenCount _),
     "text_quality_score" -> (TextQueries.textQualityScore _),
     "text_lang_id"       -> (TextQueries.textLangId _),

@@ -111,6 +111,20 @@ object TextQueries {
       .select(col("doc_id"), xxhash64(lit(seed), col("doc_id")).as("sort_key"))
       .orderBy(col("sort_key"), col("doc_id"))
 
+  /** D21: deterministic mixture resampling — documents stratified by
+    * predicted language, each stratum kept at its mixture weight via
+    * the seeded-hash filter (reproducible, shuffle-free; see
+    * [[graft.operators.Resample]]).
+    */
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+    graft.operators.Resample.byStratum(docs, col("pred_lang"), col("doc_id"),
+        Map("en" -> 0.5, "fr" -> 1.0, "de" -> 0.25, "es" -> 0.75),
+        defaultFraction = 0.1)
+      .orderBy(col("doc_id"))
+  }
+
   /** D18: approximate length quantiles via the sketch aggregate
     * (`approx_percentile`) — the scale path for distribution stats: a
     * fixed-size sketch merges map-side, no global sort. Rows-only

@@ -51,4 +51,37 @@ object LakeWriter {
     }
     merged.write.mode(SaveMode.Overwrite).parquet(outPath)
   }
+
+  /** Compact a parquet directory's small files: rewrite with a file
+    * count sized from the actual bytes on disk (targetFileBytes per
+    * output file) — the lake-maintenance pass that undoes the
+    * many-small-files accumulation of incremental writes. Contents are
+    * unchanged; readers see the same rows from fewer, larger,
+    * splittable files. (Table formats run this as OPTIMIZE; this is
+    * the plain-parquet equivalent, staged through a temp dir so the
+    * read never streams into an overwrite of its own input.)
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val bytes = fs.getContentSummary(dir).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+    spark.read.parquet(path)
+      .repartition(nFiles.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(dir, true)
+    fs.rename(tmp, dir)
+    nFiles
+  }
+
+  /** Schema-evolution read: parquet files written at different schema
+    * versions (columns added over time) read as one table, old files'
+    * missing columns null-filled — `mergeSchema` does the reconcile at
+    * footer-read time, no rewrite of historical data.
+    */
+  def readEvolved(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

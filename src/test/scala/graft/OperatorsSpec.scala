@@ -65,6 +65,57 @@ class OperatorsSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("mixture resample: deterministic, prefix-stable, near-target fractions") {
+    import spark.implicits._
+    val df = spark.range(0, 20000)
+      .select(col("id"), (col("id") % 4).cast("string").as("stratum"))
+    def run(fracs: Map[String, Double], seed: Long) =
+      graft.operators.Resample.byStratum(df, col("stratum"), col("id"), fracs, seed = seed)
+        .select(col("id")).as[Long].collect().toSet
+    val fracs = Map("0" -> 0.5, "1" -> 0.25, "2" -> 1.0, "3" -> 0.0)
+    val a = run(fracs, 42L)
+    val b = run(fracs, 42L)
+    assert(a == b, "same seed must keep the same rows")
+    assert(run(fracs, 7L) != a, "different seed must keep a different subset")
+    // near-target per-stratum fractions (hash-uniform, 5000 rows/stratum)
+    Seq(("0", 0.5), ("1", 0.25), ("2", 1.0), ("3", 0.0)).foreach { case (s, f) =>
+      val kept = a.count(_ % 4 == s.toLong) / 5000.0
+      assert(math.abs(kept - f) < 0.03, s"stratum $s kept $kept, want ~$f")
+    }
+    // raising a fraction keeps the original subset (hash-range prefix)
+    val raised = run(fracs.updated("1", 0.5), 42L)
+    assert(a.subsetOf(raised), "raising a fraction must only add rows")
+  }
+
+  test("compact rewrites many small files into few, contents unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toFile.getAbsolutePath + "/t"
+    Tables.orders(spark, sfDir).repartition(16)
+      .write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.collect().map(_.toString).sorted.toSeq
+    assert(before.inputFiles.length >= 16)
+    graft.sources.LakeWriter.compact(spark, dir, targetFileBytes = 1L << 30)
+    val after = spark.read.parquet(dir)
+    assert(after.inputFiles.length == 1,
+      s"expected 1 compacted file, got ${after.inputFiles.length}")
+    assert(after.collect().map(_.toString).sorted.toSeq == beforeRows)
+  }
+
+  test("schema-evolution read: old files' missing columns null-fill") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve")
+      .toFile.getAbsolutePath + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.mode("append").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.mode("append").parquet(dir)
+    val evolved = graft.sources.LakeWriter.readEvolved(spark, dir)
+    assert(evolved.columns.toSet == Set("id", "v1", "v2"))
+    val rows = evolved.orderBy(col("id")).collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2")),
+      "pre-evolution row must null-fill the new column")
+    assert(rows(1).getDouble(rows(1).fieldIndex("v2")) == 9.5)
+  }
+
   test("range join: inclusive lo, exclusive hi, bucket-boundary exact") {
     import spark.implicits._
     val points = Seq(
