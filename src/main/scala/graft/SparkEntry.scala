@@ -74,6 +74,7 @@ object SparkEntry {
     "decontamination"    -> (TextQueries.decontaminate _),
     "training_order"     -> ((s, d) => TextQueries.trainingOrder(s, d)),
     "mixture_resample"   -> (TextQueries.mixtureResample _),
+    "vocab_heavy_hitters" -> (TextQueries.vocabHeavyHitters _),
     "text_token_count"   -> (TextQueries.textTokenCount _),
     "text_quality_score" -> (TextQueries.textQualityScore _),
     "text_lang_id"       -> (TextQueries.textLangId _),

@@ -111,6 +111,18 @@ object TextQueries {
       .select(col("doc_id"), xxhash64(lit(seed), col("doc_id")).as("sort_key"))
       .orderBy(col("sort_key"), col("doc_id"))
 
+  /** D22: count-min-sketch heavy hitters — the scale path for "most
+    * frequent tokens" (vocab_top_words' exact twin shuffles the whole
+    * token domain; this never does). Rows-only: sketch estimates are
+    * engine-specific; OperatorsSpec pins them against the exact counts.
+    */
+  def vocabHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("word"))
+    graft.operators.HeavyHitters.topK(occ, col("doc_id"), col("word"), 20)
+  }
+
   /** D21: deterministic mixture resampling — documents stratified by
     * predicted language, each stratum kept at its mixture weight via
     * the seeded-hash filter (reproducible, shuffle-free; see

@@ -65,6 +65,20 @@ class OperatorsSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("heavy hitters: every exact top-10 word surfaces, estimates never undercount") {
+    val exact = graft.queries.ExtendedQueries.vocabTopWords(spark, sfDir)
+      .collect().take(10).map(r => (r.getString(0), r.getLong(1)))
+    val totalTokens = exact.map(_._2).sum * 10  // loose upper bound on N for slack
+    val est = graft.queries.TextQueries.vocabHeavyHitters(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    exact.foreach { case (w, f) =>
+      assert(est.contains(w), s"true heavy hitter '$w' missing from sketch top-k")
+      assert(est(w) >= f, s"CMS must never undercount: $w est=${est(w)} exact=$f")
+      assert(est(w) - f <= math.max(2, (0.001 * totalTokens).toLong),
+        s"$w overestimated: est=${est(w)} exact=$f")
+    }
+  }
+
   test("mixture resample: deterministic, prefix-stable, near-target fractions") {
     import spark.implicits._
     val df = spark.range(0, 20000)
