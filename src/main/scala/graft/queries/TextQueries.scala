@@ -119,8 +119,11 @@ object TextQueries {
   def vocabHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val occ = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        explode(TextFunctions.tokens(col("text"))).as("word"))
-    graft.operators.HeavyHitters.topK(occ, col("doc_id"), col("word"), 20)
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "word")))
+    // (doc_id, pos) is unique PER OCCURRENCE — required for the
+    // nomination coin independence (see HeavyHitters.topK scaladoc)
+    graft.operators.HeavyHitters.topK(occ,
+      struct(col("doc_id"), col("pos")), col("word"), 20)
   }
 
   /** D21: deterministic mixture resampling — documents stratified by

@@ -55,25 +55,44 @@ object LakeWriter {
   /** Compact a parquet directory's small files: rewrite with a file
     * count sized from the actual bytes on disk (targetFileBytes per
     * output file) — the lake-maintenance pass that undoes the
-    * many-small-files accumulation of incremental writes. Contents are
-    * unchanged; readers see the same rows from fewer, larger,
-    * splittable files. (Table formats run this as OPTIMIZE; this is
-    * the plain-parquet equivalent, staged through a temp dir so the
-    * read never streams into an overwrite of its own input.)
+    * many-small-files accumulation of incremental writes. Contents and
+    * layout are unchanged: a `partitionBy` table (children named
+    * `col=value`) is compacted per partition directory, recursively,
+    * so path-based pruning survives. Readers see the same rows from
+    * fewer, larger, splittable files. (Table formats run this as
+    * OPTIMIZE; this is the plain-parquet equivalent.)
+    *
+    * Swap discipline: write to a sibling temp dir, move the original
+    * aside, move the temp into place, then drop the aside copy —
+    * every step checked, and at no point is the only copy deleted
+    * (a crash mid-swap leaves either the original or the aside
+    * recoverable on disk).
+    *
+    * @return number of compacted files written
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Long = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dir = new org.apache.hadoop.fs.Path(path)
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path) // normalizes trailing slashes
+    val fs = dir.getFileSystem(conf) // the PATH's fs, not the default one
+    val partitionChildren = fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    if (partitionChildren.nonEmpty)
+      return partitionChildren
+        .map(st => compact(spark, st.getPath.toString, targetFileBytes)).sum
+
     val bytes = fs.getContentSummary(dir).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
-    spark.read.parquet(path)
+    val tmp = new Path(dir.getParent, dir.getName + "__compact")
+    val aside = new Path(dir.getParent, dir.getName + "__precompact")
+    spark.read.parquet(dir.toString)
       .repartition(nFiles.toInt)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(dir, true)
-    fs.rename(tmp, dir)
+    require(fs.rename(dir, aside), s"compact: could not move $dir aside")
+    require(fs.rename(tmp, dir), s"compact: could not move $tmp into place; " +
+      s"original preserved at $aside")
+    require(fs.delete(aside, true), s"compact: could not drop aside copy $aside")
     nFiles
   }
 

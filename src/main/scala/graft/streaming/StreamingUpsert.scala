@@ -34,13 +34,18 @@ object StreamingUpsert {
           case Some(base) => Upsert.merge(base, deduped, keys)
           case None => deduped
         }
-        val tmp = tablePath + "__staging"
-        merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
+        // swap via aside dir, on the PATH's filesystem (not defaultFS),
+        // never deleting the only copy (see LakeWriter.compact)
         val dst = new org.apache.hadoop.fs.Path(tablePath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(dst.getParent, dst.getName + "__staging")
+        val aside = new org.apache.hadoop.fs.Path(dst.getParent, dst.getName + "__prev")
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        if (fs.exists(dst))
+          require(fs.rename(dst, aside), s"upsert sink: could not move $dst aside")
+        require(fs.rename(tmp, dst), s"upsert sink: could not move $tmp into place")
+        if (fs.exists(aside))
+          require(fs.delete(aside, true), s"upsert sink: could not drop $aside")
         ()
       }
       .trigger(Trigger.AvailableNow())

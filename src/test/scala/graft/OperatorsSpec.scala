@@ -68,7 +68,9 @@ class OperatorsSpec extends AnyFunSuite {
   test("heavy hitters: every exact top-10 word surfaces, estimates never undercount") {
     val exact = graft.queries.ExtendedQueries.vocabTopWords(spark, sfDir)
       .collect().take(10).map(r => (r.getString(0), r.getLong(1)))
-    val totalTokens = exact.map(_._2).sum * 10  // loose upper bound on N for slack
+    val totalTokens = Tables.documents(spark, sfDir)
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text"))))
+      .head().getLong(0)
     val est = graft.queries.TextQueries.vocabHeavyHitters(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     exact.foreach { case (w, f) =>
@@ -114,6 +116,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(after.inputFiles.length == 1,
       s"expected 1 compacted file, got ${after.inputFiles.length}")
     assert(after.collect().map(_.toString).sorted.toSeq == beforeRows)
+  }
+
+  test("compact keeps a partitionBy layout, compacting inside each partition dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part")
+      .toFile.getAbsolutePath + "/t"
+    graft.sources.LakeWriter.writeByPeriod(
+      Tables.orders(spark, sfDir), "o_orderdate", dir, filesPerPartition = 4)
+    val beforeRows = spark.read.parquet(dir)
+      .collect().map(_.toString).sorted.toSeq
+    val beforeDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("period=")).map(_.getName).toSet
+    assert(beforeDirs.nonEmpty)
+    graft.sources.LakeWriter.compact(spark, dir, targetFileBytes = 1L << 30)
+    val afterDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("period=")).map(_.getName).toSet
+    assert(afterDirs == beforeDirs, "partition directories must survive compaction")
+    afterDirs.foreach { d =>
+      val files = new java.io.File(s"$dir/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$d should compact to one file, has ${files.length}")
+    }
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq == beforeRows)
   }
 
   test("schema-evolution read: old files' missing columns null-fill") {
