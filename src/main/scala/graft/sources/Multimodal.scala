@@ -49,6 +49,29 @@ object Multimodal {
       id -> Array(checksum.toFloat, bytes.length.toFloat)
     }
 
+  /** Frame sampling: one media row → one row per sampled "frame"
+    * (every `stride`-th block of `frameBytes` bytes). The frame
+    * extraction itself is a STUB — real video decoding needs a codec —
+    * but unlike [[extractFeatures]] this shape needs no imperative
+    * batch loop at all: frame indices come from `sequence` + explode
+    * and the slice from `substring`, so the whole fan-out stays in
+    * whole-stage codegen and distributes like any other projection.
+    * At 100 TB this matters: frame sampling multiplies row count, and
+    * a columnar explode lets AQE re-split the inflated partitions.
+    */
+  def sampleFrames(media: DataFrame, idCol: String = "doc_id",
+                   frameBytes: Int = 8, stride: Int = 2): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val nFrames = (length(col("media")) / frameBytes).cast("long")
+    media.select(col(idCol), col("media"),
+        explode(sequence(lit(0L), greatest(nFrames - 1, lit(0L)), lit(stride.toLong)))
+          .as("frame_idx"))
+      .filter(nFrames > 0)
+      .select(col(idCol), col("frame_idx"),
+        substring(col("media"), (col("frame_idx") * frameBytes + 1).cast("int"),
+          lit(frameBytes)).as("frame"))
+  }
+
   /** Feature extraction over the media column: per-partition batched
     * decode (batchSize tunes decoder amortization vs memory). The
     * output keeps the join key so features re-attach with a co-

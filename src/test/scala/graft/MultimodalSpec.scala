@@ -27,6 +27,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getInt(3) >= 1 && row.getInt(3) <= 1080)
   }
 
+  test("sampleFrames: columnar fan-out with exact frame count, width, and content") {
+    val media = Multimodal.withFakeMedia(Tables.documents(spark, sfDir))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 8, stride = 2)
+    // expected rows per doc: ceil((len / frameBytes) / stride)
+    val one = media.select(col("doc_id"), col("media")).head()
+    val payloadLen = one.getAs[Array[Byte]](1).length
+    val expectRows = ((payloadLen / 8) + 1) / 2
+    val perDoc = frames.groupBy(col("doc_id")).count().collect()
+    assert(perDoc.nonEmpty)
+    assert(perDoc.forall(_.getLong(1) == expectRows),
+      s"expected $expectRows sampled frames per doc, got ${perDoc.take(3).toSeq}")
+    // every frame is exactly frameBytes wide and matches a driver slice
+    val expect = one.getAs[Array[Byte]](1).grouped(8).toSeq
+    val got = frames.filter(col("doc_id") === one.getLong(0))
+      .orderBy(col("frame_idx")).collect()
+      .map(r => (r.getLong(1), r.getAs[Array[Byte]](2)))
+    assert(got.map(_._1).toSeq == (0L until (payloadLen / 8).toLong by 2L).toSeq)
+    got.foreach { case (idx, bytes) =>
+      assert(bytes.toSeq == expect(idx.toInt).toSeq, s"frame $idx content diverges")
+    }
+    // stays columnar: no ScalaUDF / RDD scan in the plan
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("ExistingRDD"),
+      s"frame sampling should be pure column ops:\n$plan")
+  }
+
   test("extractFeatures is deterministic, total, and batch-size independent") {
     val media = Multimodal.withFakeMedia(Tables.documents(spark, sfDir))
     val f1 = Multimodal.extractFeatures(media, batchSize = 64)
