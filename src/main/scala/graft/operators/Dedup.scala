@@ -113,12 +113,21 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandkey")
     val l = banded.select(col("band"), col("bandkey"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bandkey"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bandkey"))
+    val joined = l.join(r, Seq("band", "bandkey"))
       .filter(col("id_a") < col("id_b"))
+    // a pair colliding in several bands would come out once per band;
+    // both signatures are in hand, so emit it only from the EARLIEST
+    // colliding band — exactly-once by construction, no distinct
+    // (which was a full extra shuffle of the candidate set)
+    val xorSig = col("sig_a").bitwiseXOR(col("sig_b"))
+    val collides = array((0 until bands).map(b =>
+      when(call_function("shiftright", xorSig, lit(b * width))
+        .bitwiseAND(mask) === 0, 1).otherwise(0)): _*)
+    joined
+      .filter(col("band") === array_position(collides, 1) - 1)
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        bit_count(xorSig).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Exact all-pairs similarity join via inverted shingle index (the
