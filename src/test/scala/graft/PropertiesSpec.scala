@@ -146,4 +146,67 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  private val edgeList: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 40)
+    m <- Gen.choose(0, 60)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield edges
+
+  test("connectedComponents == driver-side union-find on random graphs") {
+    forAll(edgeList, n = 8) { edges =>
+      val nodeIds = (edges.flatMap(e => Seq(e._1, e._2)) ++ (0L to 5L)).distinct
+      // driver reference: union-find with path compression
+      val parent = scala.collection.mutable.Map(nodeIds.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical = component MIN: root by construction (always union
+      // the larger root under the smaller)
+      val want = nodeIds.map(i => i -> find(i)).toMap
+      val edgesDf =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b")
+      val got = graft.operators.Dedup
+        .connectedComponents(edgesDf, nodeIds.toDF("id"), maxIters = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"labels diverge for edges $edges")
+    }
+  }
+
+  test("RangeJoin == naive nested-loop containment on random intervals") {
+    val scenario: Gen[(List[Long], List[(Long, Long)])] = for {
+      points <- Gen.listOfN(30, Gen.choose(0L, 2000L))
+      ivs <- Gen.listOfN(8, for {
+        lo <- Gen.choose(0L, 1800L); len <- Gen.choose(1L, 400L)
+      } yield (lo, lo + len))
+    } yield (points, ivs)
+    forAll(scenario, n = 8) { case (points, ivs) =>
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def ts(s: Long) = new java.sql.Timestamp(base + s * 1000L)
+      val p = points.zipWithIndex.map { case (s, i) => (i.toLong, ts(s)) }
+        .toDF("pid", "pt")
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, ts(lo), ts(hi)) }
+        .toDF("ivid", "lo", "hi")
+      val got = graft.operators.RangeJoin
+        .pointInInterval(p, iv, col("pt"), col("lo"), col("hi"), bucketSeconds = 60)
+        .select(col("pid"), col("ivid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (s, i) <- points.zipWithIndex
+        ((lo, hi), j) <- ivs.zipWithIndex if s >= lo && s < hi
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == want, s"containment diverges: points=$points ivs=$ivs")
+    }
+  }
 }
