@@ -87,6 +87,10 @@ object Dedup {
     graft.functions.GraftFunctions.simhash64(elems)
 
   /** D3: SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    * Precondition: `idCol` is unique per row (run [[exact]] dedup
+    * first if the ingest may repeat ids) — exactly-once pair emission
+    * is per distinct id pair, duplicate id rows would emit duplicate
+    * pair rows.
     * Votes are cast by DISTINCT trigram shingles (not token
     * occurrences): multiset voting lets a length difference between
     * near-identical docs flip many near-tied bits, while the shingle

@@ -53,6 +53,26 @@ class MultimodalSpec extends AnyFunSuite {
       s"frame sampling should be pure column ops:\n$plan")
   }
 
+  test("sampleFrames: partial trailing blocks dropped, short/empty media yield no rows") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Array.tabulate(13)(_.toByte)),  // 1 full frame, 5-byte tail
+      (2L, Array.tabulate(5)(_.toByte)),   // shorter than a frame
+      (3L, Array.empty[Byte]),             // empty payload
+      (4L, Array.tabulate(16)(_.toByte)))  // exactly 2 frames
+      .toDF("doc_id", "media")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 8, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2)))
+    val byDoc = frames.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(1L).map(_._2).toSeq == Seq(0L), "13 bytes → one full frame only")
+    assert(byDoc(1L).head._3.toSeq == (0 until 8).map(_.toByte).toSeq,
+      "trailing partial block must not leak into the frame")
+    assert(!byDoc.contains(2L), "media shorter than a frame yields no rows")
+    assert(!byDoc.contains(3L), "empty media yields no rows")
+    assert(byDoc(4L).map(_._2).toSeq == Seq(0L, 1L))
+    assert(byDoc(4L)(1)._3.toSeq == (8 until 16).map(_.toByte).toSeq)
+  }
+
   test("extractFeatures is deterministic, total, and batch-size independent") {
     val media = Multimodal.withFakeMedia(Tables.documents(spark, sfDir))
     val f1 = Multimodal.extractFeatures(media, batchSize = 64)
