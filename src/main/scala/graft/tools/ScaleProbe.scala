@@ -85,6 +85,24 @@ object ScaleProbe {
     t("contamination")(graft.operators.Dedup
       .contamination(docs, docs.filter(col("doc_id") % 10 === 0),
         "text", "doc_id").count())
+    t("heavy_hitters") {
+      val occ = docs.select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(col("text")))
+          .as(Seq("pos", "word")))
+      graft.operators.HeavyHitters.topK(occ,
+        struct(col("doc_id"), col("pos")), col("word"), 20).count()
+    }
+    t("mixture_resample") {
+      graft.operators.Resample.byStratum(
+        docs.select(col("doc_id"),
+          graft.functions.TextFunctions.langId(col("text")).as("lang")),
+        col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "fr" -> 1.0), defaultFraction = 0.1).count()
+    }
+    t("frame_sampling") {
+      graft.sources.Multimodal.sampleFrames(
+        graft.sources.Multimodal.withFakeMedia(docs)).count()
+    }
     t("range_join") {
       val ev = graft.sources.Tables.events(spark, dir)
         .crossJoin(copies)

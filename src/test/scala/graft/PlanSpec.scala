@@ -47,6 +47,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
   }
 
+  test("entity time series pushes the entity predicate into the scan") {
+    val p = planString(
+      graft.queries.ReferenceQueries.entityTimeSeries(spark, sfDir))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_custkey,42)"),
+      s"entity filter not pushed down:\n$p")
+  }
+
+  test("price histogram aggregates partially before its one shuffle") {
+    val p = planString(
+      graft.queries.ExtendedQueries.priceHistogram(spark, sfDir))
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(p.split("Exchange").length <= 3, // agg exchange + sort for orderBy
+      s"histogram should shuffle once for the agg (plus the output sort):\n$p")
+  }
+
   test("decontamination broadcasts the benchmark grams, never shuffles corpus grams") {
     val p = planString(
       graft.queries.TextQueries.decontaminate(spark, sfDir))
