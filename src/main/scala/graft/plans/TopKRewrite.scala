@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: the idiomatic top-k-per-group formulation
+  *
+  * {{{ df.withColumn("rk", row_number().over(Window.partitionBy(g).orderBy(o)))
+  *      .filter(col("rk") <= k) }}}
+  *
+  * sorts every group in full before discarding all but k rows. This
+  * rule rewrites the `Filter(rk ≤ k, [Project,] Window(row_number))`
+  * pattern into [[TopKPerGroupNode]] — the bounded-heap operator (same
+  * single shuffle, no sort, O(keys×k) memory) — so users writing the
+  * window idiom get the scale-safe plan without knowing the custom
+  * operator exists. Registered by [[graft.GraftExtensions]]; also
+  * attachable to a live session via
+  * `spark.experimental.extraOptimizations`.
+  *
+  * Conservative by construction: fires only when the window computes a
+  * single `row_number` over a non-empty partition spec, the filter
+  * compares that exact attribute against a positive int literal with
+  * `<=`/`<`, and any intermediate Project is a pure attribute
+  * selection (kept on top of the rewrite, so column pruning survives).
+  * Ties in the ordering were nondeterministic under `row_number`
+  * already; the rewrite preserves "one valid ranking" exactly like
+  * Spark's own InferWindowGroupLimit.
+  */
+object TopKRewrite extends Rule[LogicalPlan] {
+
+  private def boundOf(cond: Expression, rank: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rank) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rank) => Some(k - 1)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rank) => Some(k)
+    case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rank) => Some(k - 1)
+    case _ => None
+  }
+
+  private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] =
+    w.windowExpressions match {
+      case Seq(a @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(part, order, _)), _)) if part.nonEmpty =>
+        boundOf(cond, a.toAttribute).filter(_ >= 1).map { k =>
+          // Spark's InferWindowGroupLimit (which runs earlier) inserts a
+          // sort-based rank prune below the window; the heap subsumes it
+          // — stripping it removes every per-partition sort from the plan
+          val child = w.child match {
+            case wgl: WindowGroupLimit
+              if wgl.partitionSpec == part && wgl.orderSpec == order => wgl.child
+            case c => c
+          }
+          TopKPerGroupNode(part, order, k, a.toAttribute, child)
+        }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, w: Window) =>
+      rewrite(cond, w).getOrElse(f)
+    case f @ Filter(cond, p @ Project(projectList, w: Window))
+        if projectList.forall(_.isInstanceOf[Attribute]) =>
+      rewrite(cond, w).map(Project(projectList, _)).getOrElse(f)
+  }
+}

@@ -109,6 +109,33 @@ class PlanSpec extends AnyFunSuite {
     // quadratic band-bucket exchange must stay light)
   }
 
+  test("TopKRewrite: the window idiom optimizes into the bounded-heap operator") {
+    // the strategy must be available for the rewritten node to plan
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.TopKRewrite
+    try {
+      val want = graft.queries.RelationalQueries.topkPerGroup(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq // rule active; values are the contract
+      spark.experimental.extraOptimizations = prev
+      val base = graft.queries.RelationalQueries.topkPerGroup(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      spark.experimental.extraOptimizations = prev :+ graft.plans.TopKRewrite
+      val df = graft.queries.RelationalQueries.topkPerGroup(spark, sfDir)
+      val p = planString(df)
+      assert(p.contains("TopKPerGroup ["),
+        s"window idiom not rewritten to the custom operator:\n$p")
+      assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"),
+        s"rewritten plan still carries a window or a sort-based prune:\n$p")
+      // the only Sort left is the query's own final orderBy
+      assert(p.split("\\bSort\\b").length - 1 == 1,
+        s"heap plan should have no per-partition sorts:\n$p")
+      assert(want == base, "rewrite must not change results")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("custom TopKPerGroupExec plans without a sort or window") {
     val df = graft.queries.ExtendedQueries.topkPerGroupCustom(spark, sfDir)
     val p = planString(df)
