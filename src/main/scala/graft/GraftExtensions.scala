@@ -50,9 +50,20 @@ object GraftExtensions {
       "hyperplane_bucket(array<float>, planes) - LSH bucket",
       exprs => HyperplaneBucketExpr(exprs.head, intArg(exprs(1)))))
 
-  /** Register every graft function on a live session. */
-  def registerAll(spark: SparkSession): Unit =
+  /** Patch a LIVE session to the same posture `withExtensions` gives a
+    * new one: every SQL function, the top-k planner strategy, AND the
+    * top-k rewrite rule — a runtime-patched session must not plan
+    * differently from an extension-built one.
+    */
+  def registerAll(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       ColumnBridge.registerFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
+  }
 }

@@ -30,15 +30,22 @@ import org.apache.spark.sql.types.IntegerType
   */
 object TopKRewrite extends Rule[LogicalPlan] {
 
-  private def boundOf(cond: Expression, rank: Attribute): Option[Int] = cond match {
+  /** Max k the rewrite fires for: a bounded heap of a billion rows per
+    * key is no longer "top-k" — and keeps k+1 / array allocations far
+    * from Int overflow (a `rk < Int.MinValue` filter must not rewrite
+    * into a crashing plan; bounds are computed in Long).
+    */
+  private val MaxK = 1 << 30
+
+  private def boundOf(cond: Expression, rank: Attribute): Option[Long] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
-      if a.semanticEquals(rank) => Some(k)
+      if a.semanticEquals(rank) => Some(k.toLong)
     case LessThan(a: Attribute, Literal(k: Int, IntegerType))
-      if a.semanticEquals(rank) => Some(k - 1)
+      if a.semanticEquals(rank) => Some(k.toLong - 1)
     case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
-      if a.semanticEquals(rank) => Some(k)
+      if a.semanticEquals(rank) => Some(k.toLong)
     case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
-      if a.semanticEquals(rank) => Some(k - 1)
+      if a.semanticEquals(rank) => Some(k.toLong - 1)
     case _ => None
   }
 
@@ -46,13 +53,17 @@ object TopKRewrite extends Rule[LogicalPlan] {
     w.windowExpressions match {
       case Seq(a @ Alias(WindowExpression(RowNumber(),
           WindowSpecDefinition(part, order, _)), _)) if part.nonEmpty =>
-        boundOf(cond, a.toAttribute).filter(_ >= 1).map { k =>
+        boundOf(cond, a.toAttribute)
+          .filter(k => k >= 1 && k <= MaxK).map(_.toInt).map { k =>
           // Spark's InferWindowGroupLimit (which runs earlier) inserts a
           // sort-based rank prune below the window; the heap subsumes it
-          // — stripping it removes every per-partition sort from the plan
+          // — stripping it removes every per-partition sort from the
+          // plan. Only safe when the prune is no tighter than k (a
+          // tighter prune changes which rows exist to rank).
           val child = w.child match {
             case wgl: WindowGroupLimit
-              if wgl.partitionSpec == part && wgl.orderSpec == order => wgl.child
+              if wgl.partitionSpec == part && wgl.orderSpec == order
+                && wgl.limit >= k => wgl.child
             case c => c
           }
           TopKPerGroupNode(part, order, k, a.toAttribute, child)

@@ -115,16 +115,20 @@ class PlanSpec extends AnyFunSuite {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
     val prev = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = prev :+ graft.plans.TopKRewrite
     try {
-      val want = graft.queries.RelationalQueries.topkPerGroup(spark, sfDir)
-        .collect().map(_.toString).sorted.toSeq // rule active; values are the contract
-      spark.experimental.extraOptimizations = prev
+      // other suites may already have attached the rule (registerAll):
+      // toggle explicitly, never by assumption
+      val off = prev.filterNot(_ == graft.plans.TopKRewrite)
+      spark.experimental.extraOptimizations = off
       val base = graft.queries.RelationalQueries.topkPerGroup(spark, sfDir)
         .collect().map(_.toString).sorted.toSeq
-      spark.experimental.extraOptimizations = prev :+ graft.plans.TopKRewrite
+      spark.experimental.extraOptimizations = off :+ graft.plans.TopKRewrite
       val df = graft.queries.RelationalQueries.topkPerGroup(spark, sfDir)
-      val p = planString(df)
+      val rewritten = df.collect().map(_.toString).sorted.toSeq
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other => other.toString
+      }
       assert(p.contains("TopKPerGroup ["),
         s"window idiom not rewritten to the custom operator:\n$p")
       assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"),
@@ -132,7 +136,7 @@ class PlanSpec extends AnyFunSuite {
       // the only Sort left is the query's own final orderBy
       assert(p.split("\\bSort\\b").length - 1 == 1,
         s"heap plan should have no per-partition sorts:\n$p")
-      assert(want == base, "rewrite must not change results")
+      assert(rewritten == base, "rewrite must not change results")
     } finally spark.experimental.extraOptimizations = prev
   }
 
