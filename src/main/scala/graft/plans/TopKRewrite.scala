@@ -46,6 +46,13 @@ object TopKRewrite extends Rule[LogicalPlan] {
       if a.semanticEquals(rank) => Some(k.toLong)
     case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
       if a.semanticEquals(rank) => Some(k.toLong - 1)
+    // the keep-latest idiom: row_number() === 1 ⇔ top-1 (row_number
+    // starts at 1, so equality at 1 is exactly the ≤ 1 prefix; === k
+    // for k > 1 selects a rank SLICE, which a top-k prefix is not)
+    case EqualTo(a: Attribute, Literal(1, IntegerType))
+      if a.semanticEquals(rank) => Some(1L)
+    case EqualTo(Literal(1, IntegerType), a: Attribute)
+      if a.semanticEquals(rank) => Some(1L)
     case _ => None
   }
 

@@ -140,6 +140,40 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("TopKRewrite fires on the keep-latest idiom (row_number === 1), not on rank()") {
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        prev.filterNot(_ == graft.plans.TopKRewrite) :+ graft.plans.TopKRewrite
+      // keep-latest (row_number === 1) must rewrite — and stay correct
+      val kept = graft.queries.ReferenceQueries.upsertKeepLatest(spark, sfDir)
+      val p1 = planString(kept)
+      assert(p1.contains("TopKPerGroup ["),
+        s"keep-latest idiom not rewritten:\n$p1")
+      // a rank() window must NOT rewrite (ties semantics differ)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, rank}
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+      val ranked = graft.sources.Tables.orders(spark, sfDir)
+        .withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+      val p2 = planString(ranked)
+      assert(!p2.contains("TopKPerGroup ["),
+        s"rank() window must not be rewritten (keeps ties):\n$p2")
+      // a rank-slice filter (=== 2) must NOT rewrite
+      val sliced = graft.sources.Tables.orders(spark, sfDir)
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rk") === 2)
+      val p3 = planString(sliced)
+      assert(!p3.contains("TopKPerGroup ["),
+        s"rank slice (=== 2) must not be rewritten:\n$p3")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("custom TopKPerGroupExec plans without a sort or window") {
     val df = graft.queries.ExtendedQueries.topkPerGroupCustom(spark, sfDir)
     val p = planString(df)
