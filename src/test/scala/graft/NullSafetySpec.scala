@@ -67,6 +67,44 @@ class NullSafetySpec extends AnyFunSuite {
     assert(out.length == 3, "null-key batch row must not anti-join away base rows")
   }
 
+  test("range join: null points and null interval bounds drop cleanly") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, Option(ts("2024-01-01 09:00:00"))),
+      (2L, Option.empty[java.sql.Timestamp]))
+      .toDF("pid", "pt")
+    val intervals = Seq(
+      (Option(ts("2024-01-01 08:00:00")), Option(ts("2024-01-01 18:00:00"))),
+      (Option.empty[java.sql.Timestamp], Option(ts("2024-01-01 18:00:00"))))
+      .toDF("lo", "hi")
+    val got = graft.operators.RangeJoin
+      .pointInInterval(points, intervals, col("pt"), col("lo"), col("hi"), 3600)
+      .select(col("pid")).collect().map(_.getLong(0)).toSeq
+    // null point and null-lo interval produce no pairs; the valid pair survives
+    assert(got == Seq(1L))
+  }
+
+  test("resample: null stratum falls to the default fraction") {
+    val df = Seq((1L, Option("a")), (2L, Option.empty[String]),
+      (3L, Option("a")), (4L, Option.empty[String]))
+      .toDF("id", "s")
+    // default 1.0 keeps null-stratum rows; listed stratum 0.0 drops its rows
+    val kept = graft.operators.Resample
+      .byStratum(df, col("s"), col("id"), Map("a" -> 0.0), defaultFraction = 1.0)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L),
+      "null stratum must take the default fraction, not vanish")
+  }
+
+  test("contamination: empty and sub-n texts contribute no grams, no pairs") {
+    val df = Seq((0L, "too short"), (10L, "also very short text here"), (11L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .contamination(df, df.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 8)
+      .collect()
+    assert(out.isEmpty, "no 8-grams exist, so no contamination pairs")
+  }
+
   test("sessionize: single-event users and duplicate timestamps stay deterministic") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val df = Seq((1L, ts, 1L), (2L, ts, 2L), (2L, ts, 3L)).toDF("u", "ts", "eid")
