@@ -49,6 +49,19 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** E6: streaming dedup — the streaming face of D1 exact dedup:
+    * keeps the first arrival per key within the watermark horizon and
+    * EVICTS the key's state once the watermark passes it, so state is
+    * bounded by the dedup window, not the stream's history. (True
+    * forever-dedup needs an external key store; within-watermark is
+    * the standard engine-level contract — duplicates separated by
+    * more than the delay are assumed not to occur in the source.)
+    */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+                     watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** E5: stream-stream interval join — every click joined to the same
     * user's purchases within the 30 minutes after the click (the
     * attribution shape). Works on streaming AND batch inputs from the

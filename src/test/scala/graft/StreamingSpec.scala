@@ -30,6 +30,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one arrival per key across batches") {
+    import spark.implicits._
+    def ev(id: Long, minute: Long): EventsStream.Event =
+      EventsStream.Event(id, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + minute * 60000L),
+        7L, "click", 1.0)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event](
+      spark, 3)
+    val q = EventsStream.streamingDedup(src.toDS().toDF(), Seq("event_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      // duplicates inside a batch AND repeated across batches
+      src.addData(ev(1, 0), ev(1, 0), ev(2, 1))
+      q.processAllAvailable()
+      src.addData(ev(2, 1), ev(3, 2), ev(1, 0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L),
+        s"each key must survive exactly once, got $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals its batch twin") {
     val stream = EventsStream.clickPurchaseJoin(
       EventsStream.readEvents(spark, sfDir))
