@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Ties-kept top-k per group — `rank() <= k` semantics (SURVEY §2.C9b
+  * companion to [[TopKPerGroupNode]]'s `row_number` semantics).
+  *
+  * A row qualifies iff fewer than k rows in its group are strictly
+  * better, so every row tied with the k-th best survives. Bounded
+  * state per key: a tree of rank groups holding the qualifying prefix
+  * — O(k + largest boundary tie group), the minimum any correct
+  * rank-k evaluator needs — instead of the window's full-group sort.
+  */
+case class RankTopKNode(
+    groupExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): RankTopKNode =
+    copy(child = newChild)
+}
+
+case class RankTopKExec(
+    groupExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val ordering = GenerateOrdering.generate(
+        orderExprs.map(BindReferences.bindReference(_, childOutput)))
+      // per key: rank groups keyed by a representative row, compared on
+      // the ORDER expressions only (ties ⇔ equal under `ordering`)
+      type Groups = java.util.TreeMap[InternalRow, scala.collection.mutable.ArrayBuffer[InternalRow]]
+      val comparator = ordering.asInstanceOf[java.util.Comparator[InternalRow]]
+      val perKey = new java.util.HashMap[UnsafeRow, (Groups, Array[Int])]()
+      while (it.hasNext) {
+        val row = it.next()
+        val key = keyProj(row)
+        var entry = perKey.get(key)
+        if (entry == null) {
+          entry = (new java.util.TreeMap[InternalRow,
+            scala.collection.mutable.ArrayBuffer[InternalRow]](comparator),
+            Array(0))
+          perKey.put(key.copy(), entry)
+        }
+        val (groups, total) = entry
+        // only insert if it can still qualify: fewer than k rows
+        // strictly better (i.e. its group is not past the boundary)
+        val copied = row.copy()
+        var bucket = groups.get(copied)
+        if (bucket == null) {
+          bucket = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          groups.put(copied, bucket)
+        }
+        bucket += copied
+        total(0) += 1
+        // invariant: rows strictly better than the worst group < k —
+        // otherwise the worst group can never rank ≤ k; drop it whole
+        var worst = groups.lastEntry()
+        while (groups.size > 1 && total(0) - worst.getValue.length >= k) {
+          total(0) -= worst.getValue.length
+          groups.remove(worst.getKey)
+          worst = groups.lastEntry()
+        }
+      }
+      val outProj = UnsafeProjection.create(output.map(_.dataType).toArray)
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      import scala.jdk.CollectionConverters._
+      perKey.values().iterator().asScala.flatMap { case (groups, _) =>
+        var cum = 0
+        groups.entrySet().iterator().asScala.flatMap { e =>
+          val rank = cum + 1
+          cum += e.getValue.length
+          if (rank <= k) e.getValue.iterator.map { r =>
+            rankRow.setInt(0, rank)
+            outProj(joined(r, rankRow))
+          } else Iterator.empty
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): RankTopKExec =
+    copy(child = newChild)
+}
+
+object RankTopK {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  import org.apache.spark.sql.types.IntegerType
+
+  /** DataFrame API mirroring [[TopKPerGroup.apply]], with rank()
+    * (ties-kept) semantics.
+    */
+  def apply(df: DataFrame, groupCols: Seq[String],
+            order: Seq[(String, Boolean)], k: Int,
+            rankName: String = "rk"): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${analyzed.output.map(_.name)}"))
+    val sortOrders = order.map { case (name, asc) =>
+      SortOrder(attr(name), if (asc) Ascending else Descending)
+    }
+    val rankAttr = AttributeReference(rankName, IntegerType, nullable = false)()
+    ColumnBridge.ofRows(spark,
+      RankTopKNode(groupCols.map(attr), sortOrders, k, rankAttr, analyzed))
+  }
+}

@@ -20,13 +20,14 @@ import org.apache.spark.sql.types.IntegerType
   * `spark.experimental.extraOptimizations`.
   *
   * Conservative by construction: fires only when the window computes a
-  * single `row_number` over a non-empty partition spec, the filter
+  * single `row_number` (→ [[TopKPerGroupNode]]) or `rank` (ties kept →
+  * [[RankTopKNode]]) over a non-empty partition spec, the filter
   * compares that exact attribute against a positive int literal with
-  * `<=`/`<`, and any intermediate Project is a pure attribute
+  * `<=`/`<`/`=== 1`, and any intermediate Project is a pure attribute
   * selection (kept on top of the rewrite, so column pruning survives).
-  * Ties in the ordering were nondeterministic under `row_number`
-  * already; the rewrite preserves "one valid ranking" exactly like
-  * Spark's own InferWindowGroupLimit.
+  * `dense_rank` is never rewritten. Ties in a row_number ordering were
+  * nondeterministic already; the rewrite preserves "one valid ranking"
+  * exactly like Spark's own InferWindowGroupLimit.
   */
 object TopKRewrite extends Rule[LogicalPlan] {
 
@@ -58,22 +59,31 @@ object TopKRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] =
     w.windowExpressions match {
-      case Seq(a @ Alias(WindowExpression(RowNumber(),
-          WindowSpecDefinition(part, order, _)), _)) if part.nonEmpty =>
+      case Seq(a @ Alias(WindowExpression(fn,
+          WindowSpecDefinition(part, order, _)), _))
+          if part.nonEmpty &&
+            (fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank]) =>
         boundOf(cond, a.toAttribute)
           .filter(k => k >= 1 && k <= MaxK).map(_.toInt).map { k =>
           // Spark's InferWindowGroupLimit (which runs earlier) inserts a
           // sort-based rank prune below the window; the heap subsumes it
           // — stripping it removes every per-partition sort from the
           // plan. Only safe when the prune is no tighter than k (a
-          // tighter prune changes which rows exist to rank).
+          // tighter prune changes which rows exist to rank) and its
+          // prune function is no stricter than the window's (a
+          // row_number prune drops ties a rank window must keep).
           val child = w.child match {
             case wgl: WindowGroupLimit
               if wgl.partitionSpec == part && wgl.orderSpec == order
-                && wgl.limit >= k => wgl.child
+                && wgl.limit >= k
+                && (fn.isInstanceOf[RowNumber]
+                  || !wgl.rankLikeFunction.isInstanceOf[RowNumber]) => wgl.child
             case c => c
           }
-          TopKPerGroupNode(part, order, k, a.toAttribute, child)
+          if (fn.isInstanceOf[RowNumber])
+            TopKPerGroupNode(part, order, k, a.toAttribute, child)
+          else
+            RankTopKNode(part, order, k, a.toAttribute, child)
         }
       case _ => None
     }

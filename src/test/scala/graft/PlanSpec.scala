@@ -153,15 +153,31 @@ class PlanSpec extends AnyFunSuite {
       val p1 = planString(kept)
       assert(p1.contains("TopKPerGroup ["),
         s"keep-latest idiom not rewritten:\n$p1")
-      // a rank() window must NOT rewrite (ties semantics differ)
+      // a rank() window rewrites to the ties-kept RankTopK operator,
+      // with results identical to the window formulation
       import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions.{col, rank}
+      import org.apache.spark.sql.functions.{col, dense_rank, rank}
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
-      val ranked = graft.sources.Tables.orders(spark, sfDir)
+      def rankQuery = graft.sources.Tables.orders(spark, sfDir)
         .withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+      val ranked = rankQuery
+      val rankedRows = ranked.collect().map(_.toString).sorted.toSeq
       val p2 = planString(ranked)
-      assert(!p2.contains("TopKPerGroup ["),
-        s"rank() window must not be rewritten (keeps ties):\n$p2")
+      assert(p2.contains("RankTopK ["),
+        s"rank() window should rewrite to the ties-kept operator:\n$p2")
+      val offNow = spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.TopKRewrite)
+      spark.experimental.extraOptimizations = offNow
+      val rankedBase = rankQuery.collect().map(_.toString).sorted.toSeq
+      spark.experimental.extraOptimizations = offNow :+ graft.plans.TopKRewrite
+      assert(rankedRows == rankedBase, "rank rewrite must not change results")
+      // dense_rank must NOT rewrite (different semantics)
+      val dense = graft.sources.Tables.orders(spark, sfDir)
+        .withColumn("rk", dense_rank().over(w)).filter(col("rk") <= 3)
+      val pd = planString(dense)
+      assert(!pd.contains("RankTopK [") && !pd.contains("TopKPerGroup ["),
+        s"dense_rank must not be rewritten:\n$pd")
       // a rank-slice filter (=== 2) must NOT rewrite
       val sliced = graft.sources.Tables.orders(spark, sfDir)
         .withColumn("rk", org.apache.spark.sql.functions.row_number().over(

@@ -184,6 +184,28 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("RankTopK == window rank() formulation on tie-heavy random data") {
+    import org.apache.spark.sql.expressions.Window
+    val rows: Gen[List[(Long, Long, Long)]] = Gen.listOfN(60, for {
+      g <- Gen.choose(0L, 4L)      // few groups
+      v <- Gen.choose(0L, 5L)      // few values → many ties
+      id <- Gen.choose(0L, 1000L)
+    } yield (g, v, id))
+    forAll(rows, n = 8) { data =>
+      if (data.nonEmpty) {
+        val df = data.toDF("g", "v", "id")
+        val got = graft.plans.RankTopK(df, Seq("g"), Seq("v" -> false), k = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+          .sorted.toSeq
+        val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+        val want = df.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+          .sorted.toSeq
+        assert(got == want, s"rank-k diverges on $data")
+      }
+    }
+  }
+
   test("RangeJoin == naive nested-loop containment on random intervals") {
     val scenario: Gen[(List[Long], List[(Long, Long)])] = for {
       points <- Gen.listOfN(30, Gen.choose(0L, 2000L))
