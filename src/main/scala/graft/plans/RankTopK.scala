@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Ties-kept top-k per group — `rank() <= k` semantics (SURVEY §2.C9b
   * companion to [[TopKPerGroupNode]]'s `row_number` semantics).
@@ -42,9 +43,19 @@ case class RankTopKExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numSpills" -> SQLMetrics.createMetric(sparkContext, "number of spills"),
+    "spilledBytes" -> SQLMetrics.createSizeMetric(sparkContext, "spilled bytes"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
+    val spillThreshold = conf.getConfString(TopKSpill.ThresholdKey,
+      TopKSpill.DefaultThresholdBytes.toString).toLong
+    val rowTypes = childOutput.map(_.dataType).toArray
+    val numSpills = longMetric("numSpills")
+    val spilledBytes = longMetric("spilledBytes")
     child.execute().mapPartitions { it =>
+      val numFields = childOutput.length
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       val ordering = GenerateOrdering.generate(
         orderExprs.map(BindReferences.bindReference(_, childOutput)))
@@ -53,6 +64,36 @@ case class RankTopKExec(
       type Groups = java.util.TreeMap[InternalRow, scala.collection.mutable.ArrayBuffer[InternalRow]]
       val comparator = ordering.asInstanceOf[java.util.Comparator[InternalRow]]
       val perKey = new java.util.HashMap[UnsafeRow, (Groups, Array[Int])]()
+      val runs = new TopKRuns(numFields, rowTypes)
+      var retainedBytes = 0L
+
+      // flush the retained rank prefixes as one key-sorted run; the
+      // retained set per chunk ⊇ the chunk's true rank-≤-k rows, so
+      // ranks recomputed on the merged stream are exact (TopKSpill).
+      def spill(): Unit = if (!perKey.isEmpty) {
+        val entries = new Array[(Array[Byte], Groups)](perKey.size)
+        var i = 0
+        val eit = perKey.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          entries(i) = (e.getKey.getBytes, e.getValue._1)
+          i += 1
+        }
+        java.util.Arrays.sort(entries,
+          (a: (Array[Byte], Groups), b: (Array[Byte], Groups)) =>
+            TopKSpill.compareKeys(a._1, b._1))
+        val before = runs.spilledBytes
+        import scala.jdk.CollectionConverters._
+        runs.writeRun(entries.iterator.flatMap { case (kb, groups) =>
+          groups.values().iterator().asScala.flatMap(
+            _.iterator.map(r => (kb, r)))
+        })
+        perKey.clear()
+        retainedBytes = 0L
+        numSpills += 1
+        spilledBytes += runs.spilledBytes - before
+      }
+
       while (it.hasNext) {
         val row = it.next()
         val key = keyProj(row)
@@ -74,27 +115,57 @@ case class RankTopKExec(
         }
         bucket += copied
         total(0) += 1
+        retainedBytes += TopKSpill.sizeOf(copied, numFields)
         // invariant: rows strictly better than the worst group < k —
         // otherwise the worst group can never rank ≤ k; drop it whole
         var worst = groups.lastEntry()
         while (groups.size > 1 && total(0) - worst.getValue.length >= k) {
           total(0) -= worst.getValue.length
+          worst.getValue.foreach(r =>
+            retainedBytes -= TopKSpill.sizeOf(r, numFields))
           groups.remove(worst.getKey)
           worst = groups.lastEntry()
         }
+        if (retainedBytes > spillThreshold) spill()
       }
+
       val outProj = UnsafeProjection.create(output.map(_.dataType).toArray)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
       import scala.jdk.CollectionConverters._
-      perKey.values().iterator().asScala.flatMap { case (groups, _) =>
-        var cum = 0
-        groups.entrySet().iterator().asScala.flatMap { e =>
-          val rank = cum + 1
-          cum += e.getValue.length
-          if (rank <= k) e.getValue.iterator.map { r =>
+      if (runs.isEmpty) {
+        perKey.values().iterator().asScala.flatMap { case (groups, _) =>
+          var cum = 0
+          groups.entrySet().iterator().asScala.flatMap { e =>
+            val rank = cum + 1
+            cum += e.getValue.length
+            if (rank <= k) e.getValue.iterator.map { r =>
+              rankRow.setInt(0, rank)
+              outProj(joined(r, rankRow))
+            } else Iterator.empty
+          }
+        }
+      } else {
+        spill() // final in-memory chunk becomes the last run
+        // merged stream is (key, ORDER)-sorted; recompute rank() with
+        // tie detection against the previous row of the same key
+        var curKey: Array[Byte] = null
+        var seen = 0
+        var rank = 0
+        var prev: InternalRow = null
+        runs.merged(comparator).flatMap { case (kb, row) =>
+          if (curKey == null || !java.util.Arrays.equals(kb, curKey)) {
+            curKey = kb
+            seen = 0
+            rank = 0
+            prev = null
+          }
+          seen += 1
+          if (prev == null || comparator.compare(row, prev) != 0) rank = seen
+          prev = row
+          if (rank <= k) {
             rankRow.setInt(0, rank)
-            outProj(joined(r, rankRow))
+            Iterator.single(outProj(joined(row, rankRow)))
           } else Iterator.empty
         }
       }

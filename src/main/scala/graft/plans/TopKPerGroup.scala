@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.IntegerType
 
 /** Top-K-per-group as a first-class operator (SURVEY §2.C9 scale path).
@@ -47,10 +48,19 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numSpills" -> SQLMetrics.createMetric(sparkContext, "number of spills"),
+    "spilledBytes" -> SQLMetrics.createSizeMetric(sparkContext, "spilled bytes"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val numOutputFields = childOutput.length + 1
+    val spillThreshold = conf.getConfString(TopKSpill.ThresholdKey,
+      TopKSpill.DefaultThresholdBytes.toString).toLong
+    val rowTypes = childOutput.map(_.dataType).toArray
+    val numSpills = longMetric("numSpills")
+    val spilledBytes = longMetric("spilledBytes")
     child.execute().mapPartitions { it =>
+      val numFields = childOutput.length
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       val ordering = GenerateOrdering.generate(
         orderExprs.map(BindReferences.bindReference(_, childOutput)))
@@ -58,6 +68,40 @@ case class TopKPerGroupExec(
       // (heap head = worst of the kept rows)
       val heaps = new java.util.HashMap[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]()
+      val runs = new TopKRuns(numFields, rowTypes)
+      var retainedBytes = 0L
+      val buf = new Array[InternalRow](k)
+
+      // flush all heaps as one key-sorted run (rows in rank order per
+      // key); per-chunk top-k ⊇ the chunk's contribution to the true
+      // top-k, so the merge recomputes exact ranks (see TopKSpill).
+      def spill(): Unit = if (!heaps.isEmpty) {
+        val entries = new Array[(Array[Byte],
+          java.util.PriorityQueue[InternalRow])](heaps.size)
+        var i = 0
+        val eit = heaps.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          entries(i) = (e.getKey.getBytes, e.getValue)
+          i += 1
+        }
+        java.util.Arrays.sort(entries,
+          (a: (Array[Byte], java.util.PriorityQueue[InternalRow]),
+           b: (Array[Byte], java.util.PriorityQueue[InternalRow])) =>
+            TopKSpill.compareKeys(a._1, b._1))
+        val before = runs.spilledBytes
+        runs.writeRun(entries.iterator.flatMap { case (kb, heap) =>
+          val n = heap.size
+          var j = n - 1
+          while (j >= 0) { buf(j) = heap.poll(); j -= 1 }
+          (0 until n).iterator.map(r => (kb, buf(r)))
+        })
+        heaps.clear()
+        retainedBytes = 0L
+        numSpills += 1
+        spilledBytes += runs.spilledBytes - before
+      }
+
       while (it.hasNext) {
         val row = it.next()
         val key = keyProj(row)
@@ -67,26 +111,50 @@ case class TopKPerGroupExec(
             ordering.reverse.asInstanceOf[java.util.Comparator[InternalRow]])
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < k) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        if (heap.size < k) {
+          val copied = row.copy()
+          heap.add(copied)
+          retainedBytes += TopKSpill.sizeOf(copied, numFields)
+        } else if (ordering.compare(row, heap.peek()) < 0) {
+          retainedBytes -= TopKSpill.sizeOf(heap.poll(), numFields)
+          val copied = row.copy()
+          heap.add(copied)
+          retainedBytes += TopKSpill.sizeOf(copied, numFields)
         }
+        if (retainedBytes > spillThreshold) spill()
       }
+
       val outProj = UnsafeProjection.create(output.map(_.dataType).toArray)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
-      val buf = new Array[InternalRow](k)
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        // drain the heap: worst first → reverse into rank order
-        val n = heap.size
-        var i = n - 1
-        while (i >= 0) { buf(i) = heap.poll(); i -= 1 }
-        (0 until n).iterator.map { r =>
-          rankRow.setInt(0, r + 1)
-          outProj(joined(buf(r), rankRow))
+      if (runs.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        heaps.values().iterator().asScala.flatMap { heap =>
+          // drain the heap: worst first → reverse into rank order
+          val n = heap.size
+          var i = n - 1
+          while (i >= 0) { buf(i) = heap.poll(); i -= 1 }
+          (0 until n).iterator.map { r =>
+            rankRow.setInt(0, r + 1)
+            outProj(joined(buf(r), rankRow))
+          }
         }
+      } else {
+        spill() // final in-memory chunk becomes the last run
+        var curKey: Array[Byte] = null
+        var count = 0
+        runs.merged(ordering.asInstanceOf[java.util.Comparator[InternalRow]])
+          .flatMap { case (kb, row) =>
+            if (curKey == null || !java.util.Arrays.equals(kb, curKey)) {
+              curKey = kb
+              count = 0
+            }
+            count += 1
+            if (count <= k) {
+              rankRow.setInt(0, count)
+              Iterator.single(outProj(joined(row, rankRow)))
+            } else Iterator.empty
+          }
       }
     }
   }

@@ -31,12 +31,27 @@ import org.apache.spark.sql.types.IntegerType
   */
 object TopKRewrite extends Rule[LogicalPlan] {
 
-  /** Max k the rewrite fires for: a bounded heap of a billion rows per
-    * key is no longer "top-k" — and keeps k+1 / array allocations far
-    * from Int overflow (a `rk < Int.MinValue` filter must not rewrite
-    * into a crashing plan; bounds are computed in Long).
+  /** Hard max k the rewrite can ever fire for: a bounded heap of a
+    * billion rows per key is no longer "top-k" — and keeps k+1 / array
+    * allocations far from Int overflow (a `rk < Int.MinValue` filter
+    * must not rewrite into a crashing plan; bounds are computed in
+    * Long).
     */
   private val MaxK = 1 << 30
+
+  /** Conf key for the user-facing ceiling (default 65536): above it
+    * the rewrite declines and the window formulation is kept — its
+    * sort path spills via Spark's own machinery, and at huge k the
+    * heap's log-k insert cost stops beating the sort anyway. Below it
+    * the heap execs are safe at any key cardinality too: they spill
+    * sorted runs past `spark.graft.topk.spill.thresholdBytes` and
+    * merge-stream the result (see [[TopKSpill]]).
+    */
+  val MaxKConfKey = "spark.graft.topk.rewrite.maxK"
+  private val DefaultMaxK = 65536L
+
+  private def effectiveMaxK: Long = math.min(
+    conf.getConfString(MaxKConfKey, DefaultMaxK.toString).toLong, MaxK.toLong)
 
   private def boundOf(cond: Expression, rank: Attribute): Option[Long] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
@@ -64,7 +79,7 @@ object TopKRewrite extends Rule[LogicalPlan] {
           if part.nonEmpty &&
             (fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank]) =>
         boundOf(cond, a.toAttribute)
-          .filter(k => k >= 1 && k <= MaxK).map(_.toInt).map { k =>
+          .filter(k => k >= 1 && k <= effectiveMaxK).map(_.toInt).map { k =>
           // Spark's InferWindowGroupLimit (which runs earlier) inserts a
           // sort-based rank prune below the window; the heap subsumes it
           // — stripping it removes every per-partition sort from the
