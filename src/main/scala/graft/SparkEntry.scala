@@ -50,6 +50,8 @@ object SparkEntry {
     "events_time_buckets" -> (RelationalQueries.eventsTimeBuckets _),
     "topk_per_group"     -> (RelationalQueries.topkPerGroup _),
     "topk_per_group_custom" -> (ExtendedQueries.topkPerGroupCustom _),
+    "topk_rank_ties"     -> (ExtendedQueries.topkRankTies _),
+    "topk_dense_rank"    -> (ExtendedQueries.topkDenseRank _),
     "asof_last_purchase" -> (ExtendedQueries.asofLastPurchase _),
     // §2.C8 + §2.E — sessionization & windowed aggregation
     "rollup_totals"      -> (ExtendedQueries.rollupTotals _),
@@ -388,6 +390,20 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "topk_rank_ties" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_totalprice DESC) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
+
+    "topk_dense_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    dense_rank() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
 
     "asof_last_purchase" ->
       """SELECT c.event_id, p.event_id AS last_purchase_id,

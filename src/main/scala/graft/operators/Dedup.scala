@@ -235,6 +235,43 @@ object Dedup {
       .select(col("id"), coalesce(col("label"), col("id")).as("canonical_id"))
   }
 
+  /** D17 scale path: dedup resolution through LSH candidates instead
+    * of the exact all-pairs index. [[similarityJoinEdges]]' candidate
+    * volume is Σ freq(shingle)² — inherent to EXACT all-pairs, and on
+    * a clique-heavy corpus (boilerplate, mirrored sites) that is the
+    * square of the clique sizes. A bucketed candidate generator
+    * ([[minhashLsh]], [[simhashPairs]], cosine LSH) finds the same
+    * cliques output-bound; this entrypoint exact-verifies those
+    * candidates with true shingle Jaccard and resolves components, so
+    * vs the exact path the only delta is LSH recall (dialed by
+    * bands×rows), never precision.
+    *
+    * @param candidates (id_a, id_b) pairs from any generator. Pass
+    *        `verified = true` when they already carry an exact-Jaccard
+    *        verification (e.g. [[minhashLsh]] output) to skip the
+    *        second shingle join.
+    */
+  def resolveCandidates(df: DataFrame, textCol: String, idCol: String,
+                        candidates: DataFrame,
+                        shingleSize: Int = 3,
+                        threshold: Double = 0.5,
+                        verified: Boolean = false): DataFrame = {
+    val pairs = candidates.select(col("id_a"), col("id_b"))
+    val edges =
+      if (verified) pairs
+      else {
+        val sh = df.select(col(idCol).as("id"),
+          graft.functions.ShingleFunctions
+            .word_shingles(col(textCol), shingleSize).as("sh"))
+        pairs
+          .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .filter(TextFunctions.jaccard(col("sh_a"), col("sh_b")) >= threshold)
+          .select(col("id_a"), col("id_b"))
+      }
+    connectedComponents(edges, df.select(col(idCol).as("id")))
+  }
+
   /** D19: benchmark decontamination — find corpus documents sharing
     * any word n-gram with an eval/benchmark set (the standard
     * training-data hygiene check: eval examples leaking into training

@@ -9,21 +9,28 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
-/** Ties-kept top-k per group — `rank() <= k` semantics (SURVEY §2.C9b
-  * companion to [[TopKPerGroupNode]]'s `row_number` semantics).
+/** Ties-kept top-k per group — `rank() <= k` semantics, or with
+  * `dense = true` the `dense_rank() <= k` semantics (SURVEY §2.C9b
+  * companions to [[TopKPerGroupNode]]'s `row_number` semantics).
   *
-  * A row qualifies iff fewer than k rows in its group are strictly
-  * better, so every row tied with the k-th best survives. Bounded
-  * state per key: a tree of rank groups holding the qualifying prefix
-  * — O(k + largest boundary tie group), the minimum any correct
-  * rank-k evaluator needs — instead of the window's full-group sort.
+  * rank(): a row qualifies iff fewer than k rows in its group are
+  * strictly better, so every row tied with the k-th best survives.
+  * dense_rank(): a row qualifies iff fewer than k DISTINCT order
+  * values in its group are strictly better — the first k whole value
+  * groups survive, however large. Both share one data structure: a
+  * tree of rank groups holding the qualifying prefix — the minimum
+  * state any correct evaluator of these semantics needs (O(k +
+  * boundary tie group) for rank, O(k value groups) for dense) —
+  * instead of the window's full-group sort.
   */
 case class RankTopKNode(
     groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    dense: Boolean = false) extends UnaryNode {
+  override def nodeName: String = if (dense) "DenseRankTopK" else "RankTopK"
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override protected def withNewChildInternal(newChild: LogicalPlan): RankTopKNode =
@@ -35,7 +42,10 @@ case class RankTopKExec(
     orderExprs: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    dense: Boolean = false) extends UnaryExecNode {
+
+  override def nodeName: String = if (dense) "DenseRankTopK" else "RankTopK"
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
@@ -116,10 +126,13 @@ case class RankTopKExec(
         bucket += copied
         total(0) += 1
         retainedBytes += TopKSpill.sizeOf(copied, numFields)
-        // invariant: rows strictly better than the worst group < k —
-        // otherwise the worst group can never rank ≤ k; drop it whole
+        // invariant — rank(): rows strictly better than the worst group
+        // < k, otherwise the worst group can never rank ≤ k; dense:
+        // at most k value groups retained. Either way drop it whole.
         var worst = groups.lastEntry()
-        while (groups.size > 1 && total(0) - worst.getValue.length >= k) {
+        while (groups.size > 1 &&
+            (if (dense) groups.size > k
+             else total(0) - worst.getValue.length >= k)) {
           total(0) -= worst.getValue.length
           worst.getValue.foreach(r =>
             retainedBytes -= TopKSpill.sizeOf(r, numFields))
@@ -136,9 +149,11 @@ case class RankTopKExec(
       if (runs.isEmpty) {
         perKey.values().iterator().asScala.flatMap { case (groups, _) =>
           var cum = 0
+          var groupIdx = 0
           groups.entrySet().iterator().asScala.flatMap { e =>
-            val rank = cum + 1
+            val rank = if (dense) groupIdx + 1 else cum + 1
             cum += e.getValue.length
+            groupIdx += 1
             if (rank <= k) e.getValue.iterator.map { r =>
               rankRow.setInt(0, rank)
               outProj(joined(r, rankRow))
@@ -151,17 +166,22 @@ case class RankTopKExec(
         // tie detection against the previous row of the same key
         var curKey: Array[Byte] = null
         var seen = 0
+        var distinct = 0
         var rank = 0
         var prev: InternalRow = null
         runs.merged(comparator).flatMap { case (kb, row) =>
           if (curKey == null || !java.util.Arrays.equals(kb, curKey)) {
             curKey = kb
             seen = 0
+            distinct = 0
             rank = 0
             prev = null
           }
           seen += 1
-          if (prev == null || comparator.compare(row, prev) != 0) rank = seen
+          if (prev == null || comparator.compare(row, prev) != 0) {
+            distinct += 1
+            rank = if (dense) distinct else seen
+          }
           prev = row
           if (rank <= k) {
             rankRow.setInt(0, rank)
@@ -182,11 +202,11 @@ object RankTopK {
   import org.apache.spark.sql.types.IntegerType
 
   /** DataFrame API mirroring [[TopKPerGroup.apply]], with rank()
-    * (ties-kept) semantics.
+    * (ties-kept) semantics — or dense_rank() when `dense = true`.
     */
   def apply(df: DataFrame, groupCols: Seq[String],
             order: Seq[(String, Boolean)], k: Int,
-            rankName: String = "rk"): DataFrame = {
+            rankName: String = "rk", dense: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
@@ -201,6 +221,19 @@ object RankTopK {
     }
     val rankAttr = AttributeReference(rankName, IntegerType, nullable = false)()
     ColumnBridge.ofRows(spark,
-      RankTopKNode(groupCols.map(attr), sortOrders, k, rankAttr, analyzed))
+      RankTopKNode(groupCols.map(attr), sortOrders, k, rankAttr, analyzed,
+        dense))
   }
+}
+
+/** dense_rank() ≤ k as a first-class operator: the first k distinct
+  * order values per key, whole tie groups kept (SURVEY §2.C9d).
+  */
+object DenseRankTopK {
+  import org.apache.spark.sql.DataFrame
+
+  def apply(df: DataFrame, groupCols: Seq[String],
+            order: Seq[(String, Boolean)], k: Int,
+            rankName: String = "rk"): DataFrame =
+    RankTopK(df, groupCols, order, k, rankName, dense = true)
 }

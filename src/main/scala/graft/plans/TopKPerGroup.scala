@@ -167,8 +167,8 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(g, o, k, rank, child) =>
       TopKPerGroupExec(g, o, k, rank, planLater(child)) :: Nil
-    case RankTopKNode(g, o, k, rank, child) =>
-      RankTopKExec(g, o, k, rank, planLater(child)) :: Nil
+    case RankTopKNode(g, o, k, rank, child, dense) =>
+      RankTopKExec(g, o, k, rank, planLater(child), dense) :: Nil
     case _ => Nil
   }
 }

@@ -20,12 +20,13 @@ import org.apache.spark.sql.types.IntegerType
   * `spark.experimental.extraOptimizations`.
   *
   * Conservative by construction: fires only when the window computes a
-  * single `row_number` (→ [[TopKPerGroupNode]]) or `rank` (ties kept →
-  * [[RankTopKNode]]) over a non-empty partition spec, the filter
-  * compares that exact attribute against a positive int literal with
-  * `<=`/`<`/`=== 1`, and any intermediate Project is a pure attribute
-  * selection (kept on top of the rewrite, so column pruning survives).
-  * `dense_rank` is never rewritten. Ties in a row_number ordering were
+  * single `row_number` (→ [[TopKPerGroupNode]]), `rank` (ties kept →
+  * [[RankTopKNode]]) or `dense_rank` (first k whole value groups →
+  * [[RankTopKNode]] with `dense = true`) over a non-empty partition
+  * spec, the filter compares that exact attribute against a positive
+  * int literal with `<=`/`<`/`=== 1`, and any intermediate Project is
+  * a pure attribute selection (kept on top of the rewrite, so column
+  * pruning survives). Ties in a row_number ordering were
   * nondeterministic already; the rewrite preserves "one valid ranking"
   * exactly like Spark's own InferWindowGroupLimit.
   */
@@ -77,7 +78,8 @@ object TopKRewrite extends Rule[LogicalPlan] {
       case Seq(a @ Alias(WindowExpression(fn,
           WindowSpecDefinition(part, order, _)), _))
           if part.nonEmpty &&
-            (fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank]) =>
+            (fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank]
+              || fn.isInstanceOf[DenseRank]) =>
         boundOf(cond, a.toAttribute)
           .filter(k => k >= 1 && k <= effectiveMaxK).map(_.toInt).map { k =>
           // Spark's InferWindowGroupLimit (which runs earlier) inserts a
@@ -85,20 +87,30 @@ object TopKRewrite extends Rule[LogicalPlan] {
           // — stripping it removes every per-partition sort from the
           // plan. Only safe when the prune is no tighter than k (a
           // tighter prune changes which rows exist to rank) and its
-          // prune function is no stricter than the window's (a
-          // row_number prune drops ties a rank window must keep).
+          // prune function is no stricter than the window's: the kept
+          // row sets nest as row_number ⊆ rank ⊆ dense_rank at equal k,
+          // so a prune may be stripped only if its function sits at or
+          // beyond the window's own function in that chain.
+          def looseEnough(pruneFn: Expression): Boolean = fn match {
+            case _: RowNumber => true
+            case _: Rank => !pruneFn.isInstanceOf[RowNumber]
+            case _ => pruneFn.isInstanceOf[DenseRank]
+          }
           val child = w.child match {
             case wgl: WindowGroupLimit
               if wgl.partitionSpec == part && wgl.orderSpec == order
                 && wgl.limit >= k
-                && (fn.isInstanceOf[RowNumber]
-                  || !wgl.rankLikeFunction.isInstanceOf[RowNumber]) => wgl.child
+                && looseEnough(wgl.rankLikeFunction) => wgl.child
             case c => c
           }
-          if (fn.isInstanceOf[RowNumber])
-            TopKPerGroupNode(part, order, k, a.toAttribute, child)
-          else
-            RankTopKNode(part, order, k, a.toAttribute, child)
+          fn match {
+            case _: RowNumber =>
+              TopKPerGroupNode(part, order, k, a.toAttribute, child)
+            case _: Rank =>
+              RankTopKNode(part, order, k, a.toAttribute, child)
+            case _ =>
+              RankTopKNode(part, order, k, a.toAttribute, child, dense = true)
+          }
         }
       case _ => None
     }

@@ -101,6 +101,33 @@ object ExtendedQueries {
         k = 3)
       .orderBy(col("o_custkey"), col("rk"))
 
+  /** C9c oracled face: ties-kept rank() ≤ k via [[graft.plans.RankTopK]].
+    * The ordering (price only) is NOT total, but the kept row SET is
+    * deterministic — whole tie groups survive together — so DuckDB's
+    * window rank() oracles it exactly.
+    */
+  def topkRankTies(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.RankTopK(
+        Tables.orders(spark, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"),
+        Seq("o_totalprice" -> false),
+        k = 3)
+      .orderBy(col("o_custkey"), col("rk"), col("o_orderkey"))
+
+  /** C9d oracled face: dense_rank() ≤ k via [[graft.plans.DenseRankTopK]]
+    * — the first k distinct price points per customer, whole tie
+    * groups kept, rank values compressed.
+    */
+  def topkDenseRank(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.DenseRankTopK(
+        Tables.orders(spark, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"),
+        Seq("o_totalprice" -> false),
+        k = 3)
+      .orderBy(col("o_custkey"), col("rk"), col("o_orderkey"))
+
   /** C13: as-of join — each click event picks up the user's most
     * recent purchase at or before the click (point-in-time feature
     * lookup via [[graft.operators.AsOfJoin]]).

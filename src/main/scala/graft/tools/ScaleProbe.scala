@@ -82,6 +82,13 @@ object ScaleProbe {
       graft.operators.Dedup.connectedComponents(
         edges, docs.select(col("doc_id").as("id"))).count()
     }
+    t("dedup_resolve_lsh") {
+      // scale path: LSH candidates (already exact-verified) → CC; the
+      // exact-index leg above pays Σ freq² on this clique-heavy corpus
+      val cand = graft.operators.Dedup.minhashLsh(docs, "text", "doc_id")
+      graft.operators.Dedup.resolveCandidates(
+        docs, "text", "doc_id", cand, verified = true).count()
+    }
     t("contamination")(graft.operators.Dedup
       .contamination(docs, docs.filter(col("doc_id") % 10 === 0),
         "text", "doc_id").count())

@@ -172,12 +172,24 @@ class PlanSpec extends AnyFunSuite {
       val rankedBase = rankQuery.collect().map(_.toString).sorted.toSeq
       spark.experimental.extraOptimizations = offNow :+ graft.plans.TopKRewrite
       assert(rankedRows == rankedBase, "rank rewrite must not change results")
-      // dense_rank must NOT rewrite (different semantics)
-      val dense = graft.sources.Tables.orders(spark, sfDir)
+      // dense_rank rewrites to the dense variant (first k whole value
+      // groups), never to the rank/row_number operators
+      def denseQuery = graft.sources.Tables.orders(spark, sfDir)
         .withColumn("rk", dense_rank().over(w)).filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+      val dense = denseQuery
+      val denseRows = dense.collect().map(_.toString).sorted.toSeq
       val pd = planString(dense)
-      assert(!pd.contains("RankTopK [") && !pd.contains("TopKPerGroup ["),
-        s"dense_rank must not be rewritten:\n$pd")
+      assert(pd.contains("DenseRankTopK ["),
+        s"dense_rank should rewrite to the dense operator:\n$pd")
+      assert(!pd.contains("TopKPerGroup ["),
+        s"dense_rank must not route to row_number semantics:\n$pd")
+      val offDense = spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.TopKRewrite)
+      spark.experimental.extraOptimizations = offDense
+      val denseBase = denseQuery.collect().map(_.toString).sorted.toSeq
+      spark.experimental.extraOptimizations = offDense :+ graft.plans.TopKRewrite
+      assert(denseRows == denseBase, "dense rewrite must not change results")
       // a rank-slice filter (=== 2) must NOT rewrite
       val sliced = graft.sources.Tables.orders(spark, sfDir)
         .withColumn("rk", org.apache.spark.sql.functions.row_number().over(

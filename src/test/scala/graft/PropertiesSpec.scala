@@ -206,6 +206,34 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("DenseRankTopK == window dense_rank() formulation on tie-heavy random data") {
+    import org.apache.spark.sql.expressions.Window
+    val rows: Gen[List[(Long, Long, Long)]] = Gen.listOfN(60, for {
+      g <- Gen.choose(0L, 4L)      // few groups
+      v <- Gen.choose(0L, 5L)      // few values → many ties
+      id <- Gen.choose(0L, 1000L)
+    } yield (g, v, id))
+    forAll(rows, n = 8) { data =>
+      if (data.nonEmpty) {
+        val df = data.toDF("g", "v", "id")
+        val got = graft.plans.DenseRankTopK(df, Seq("g"), Seq("v" -> false), k = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+          .sorted.toSeq
+        // reference must be the genuine window plan, not the rewrite
+        val prev = spark.experimental.extraOptimizations
+        spark.experimental.extraOptimizations =
+          prev.filterNot(_ == graft.plans.TopKRewrite)
+        val want = try {
+          val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+          df.withColumn("rk", dense_rank().over(w)).filter(col("rk") <= 3)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+            .sorted.toSeq
+        } finally spark.experimental.extraOptimizations = prev
+        assert(got == want, s"dense-rank-k diverges on $data")
+      }
+    }
+  }
+
   test("RangeJoin == naive nested-loop containment on random intervals") {
     val scenario: Gen[(List[Long], List[(Long, Long)])] = for {
       points <- Gen.listOfN(30, Gen.choose(0L, 2000L))

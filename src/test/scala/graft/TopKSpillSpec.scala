@@ -106,6 +106,30 @@ class TopKSpillSpec extends AnyFunSuite {
     }
   }
 
+  test("dense_rank exec spills past the byte budget and stays exact") {
+    withTinySpillBudget {
+      val ties = spark.range(200000).select(
+        (col("id") % 20000).as("g"),
+        (col("id") % 11).as("v"),
+        col("id"))
+      val df = graft.plans.DenseRankTopK(ties, Seq("g"), Seq(("v", true)), k = 2)
+      val got = df.collect().map(_.toString).sorted.toSeq
+      val exec = flatten(df.queryExecution.executedPlan)
+        .collectFirst { case e: RankTopKExec => e }
+      assert(exec.isDefined && exec.get.dense, "dense exec not in the executed plan")
+      assert(exec.get.metrics("numSpills").value > 0,
+        "expected the tiny budget to force spills")
+      val expected = withoutRewrite {
+        ties.withColumn("rk", dense_rank().over(
+            Window.partitionBy(col("g")).orderBy(col("v"))))
+          .filter(col("rk") <= 2)
+          .select(col("g"), col("v"), col("id"), col("rk"))
+          .collect().map(_.toString).sorted.toSeq
+      }
+      assert(got == expected, "spilled dense result diverges from the window plan")
+    }
+  }
+
   test("TopKRewrite declines above the configured k ceiling (both plans pinned)") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
