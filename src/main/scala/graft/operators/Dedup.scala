@@ -281,22 +281,36 @@ object Dedup {
     * Scale shape: benchmark sets are small by nature, so up to
     * `broadcastDocLimit` bench docs the exploded benchmark n-grams
     * broadcast — the corpus is scanned once, never shuffled on the
-    * gram. A larger bench side (checked with one cheap count)
-    * degrades automatically to the plain gram equality join — both
-    * sides shuffle once, still linear, never a nested loop.
+    * gram. A larger bench side degrades automatically to the plain
+    * gram equality join — both sides shuffle once, still linear,
+    * never a nested loop.
+    *
+    * The broadcast decision costs no job: `benchIsSmall` when the
+    * caller knows (it usually does — the bench set is its own input),
+    * otherwise the optimizer's plan statistics (row count when
+    * available, else size-in-bytes ≤ 1/10 byte-per-doc-equivalent of
+    * `broadcastDocLimit` × 1 KiB) decide without touching the data.
     */
   def contamination(corpus: DataFrame, bench: DataFrame,
                     textCol: String, idCol: String,
                     n: Int = 8,
-                    broadcastDocLimit: Long = 50000L): DataFrame = {
+                    broadcastDocLimit: Long = 50000L,
+                    benchIsSmall: Option[Boolean] = None): DataFrame = {
     def grams(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).as(as),
         explode(array_distinct(graft.functions.ShingleFunctions
           .word_shingles(col(textCol), n))).as("gram"))
     val benchGrams = grams(bench, "bench_id")
-    val benchSide =
-      if (bench.count() <= broadcastDocLimit) broadcast(benchGrams)
-      else benchGrams
+    val small = benchIsSmall.getOrElse {
+      val stats = bench.queryExecution.optimizedPlan.stats
+      stats.rowCount match {
+        case Some(rc) => rc <= BigInt(broadcastDocLimit)
+        // no exact row count pre-execution: fall back to scan size,
+        // budgeting ~1 KiB per bench doc
+        case None => stats.sizeInBytes <= BigInt(broadcastDocLimit) * 1024L
+      }
+    }
+    val benchSide = if (small) broadcast(benchGrams) else benchGrams
     grams(corpus, "doc_id")
       .join(benchSide, Seq("gram"))
       .filter(col("doc_id") =!= col("bench_id"))

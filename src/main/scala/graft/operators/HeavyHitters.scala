@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Count-min-sketch heavy hitters (SURVEY §2.D22).
   *
@@ -36,13 +37,21 @@ object HeavyHitters {
     *            few docs.
     * @param sampleOneIn nomination rate r: occurrence rows with
     *        xxhash64(seed, id) mod r == 0 nominate their element
+    * @param storage how to hold the occurrence set between the two
+    *        passes. The default spills to disk rather than pinning a
+    *        near-corpus-sized cache in executor memory; pass
+    *        `StorageLevel.NONE` to recompute the scan per pass instead
+    *        of materializing at all (right when the upstream scan is
+    *        cheaper than corpus-sized disk)
     */
   def topK(df: DataFrame, id: Column, elem: Column, k: Int,
            eps: Double = 0.001, confidence: Double = 0.99,
-           sampleOneIn: Int = 10, seed: Int = 42): DataFrame = {
+           sampleOneIn: Int = 10, seed: Int = 42,
+           storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val occ = df.select(id.as("i"), elem.cast("string").as("e")).persist()
+    val occ0 = df.select(id.as("i"), elem.cast("string").as("e"))
+    val occ = if (storage == StorageLevel.NONE) occ0 else occ0.persist(storage)
     try {
       val sketchBytes = occ
         .agg(count_min_sketch(col("e"), lit(eps), lit(confidence), lit(seed)))
@@ -61,6 +70,6 @@ object HeavyHitters {
         .orderBy(col("est_freq").desc, col("word"))
         .limit(k)
         .localCheckpoint() // materialize before unpersisting occ
-    } finally occ.unpersist()
+    } finally if (storage != StorageLevel.NONE) occ.unpersist()
   }
 }

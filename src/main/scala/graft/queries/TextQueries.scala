@@ -96,7 +96,8 @@ object TextQueries {
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val bench = docs.filter(col("doc_id") % 10 === 0)
-    Dedup.contamination(docs, bench, "text", "doc_id", n = 8)
+    Dedup.contamination(docs, bench, "text", "doc_id", n = 8,
+      benchIsSmall = Some(true))
       .orderBy(col("doc_id"), col("bench_id"))
   }
 

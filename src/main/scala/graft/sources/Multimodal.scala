@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,7 +13,8 @@ import org.apache.spark.sql.types._
   * shape `mapInPandas` gives PySpark. The container has no media
   * libraries, so THE DECODER HERE IS A DETERMINISTIC STUB — the Spark
   * plumbing (schema, batching, partition flow) is the real, tested
-  * part; swap [[decodeBatch]] for a real codec binding at deploy time.
+  * part; bind a real codec by passing a [[BatchDecoder]] to
+  * [[extractFeatures]] at deploy time.
   */
 object Multimodal {
 
@@ -38,16 +39,35 @@ object Multimodal {
         length(payload).cast("long").as("n_bytes")))
   }
 
-  /** STUB decoder: a real implementation would hand `batch` to a codec
-    * and return pixel/sample features. This one emits deterministic
-    * pseudo-features (first-8-bytes checksum + size) so the pipeline is
-    * testable end-to-end without media libraries.
+  /** Columnar-batch decoder interface — the Arrow RecordBatch shape
+    * (parallel arrays, one entry per row) rather than row tuples, so a
+    * real codec (JNI, Arrow C data interface, subprocess feeding
+    * `mapInArrow` on the PySpark side) binds here without touching the
+    * Spark plan: implement `decode` over the arrays, pass the instance
+    * to [[extractFeatures]]. Implementations must be Serializable
+    * (shipped to executors once, reused across batches — init
+    * heavyweight state lazily in a transient field).
     */
-  private[sources] def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Array[Float])] =
-    batch.map { case (id, bytes) =>
-      val checksum = bytes.take(8).foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
-      id -> Array(checksum.toFloat, bytes.length.toFloat)
-    }
+  trait BatchDecoder extends Serializable {
+    /** @param ids      row ids, parallel to `payloads`
+      * @param payloads raw media bytes, one per row
+      * @return one feature vector per row, parallel to `ids`
+      */
+    def decode(ids: Array[Long], payloads: Array[Array[Byte]]): Array[Array[Float]]
+  }
+
+  /** STUB decoder: a real implementation would hand the batch to a
+    * codec and return pixel/sample features. This one emits
+    * deterministic pseudo-features (first-8-bytes checksum + size) so
+    * the pipeline is testable end-to-end without media libraries.
+    */
+  object StubDecoder extends BatchDecoder {
+    def decode(ids: Array[Long], payloads: Array[Array[Byte]]): Array[Array[Float]] =
+      payloads.map { bytes =>
+        val checksum = bytes.take(8).foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+        Array(checksum.toFloat, bytes.length.toFloat)
+      }
+  }
 
   /** Frame sampling: one media row → one row per sampled "frame"
     * (every `stride`-th block of `frameBytes` bytes). The frame
@@ -72,24 +92,33 @@ object Multimodal {
           lit(frameBytes)).as("frame"))
   }
 
-  /** Feature extraction over the media column: per-partition batched
-    * decode (batchSize tunes decoder amortization vs memory). The
-    * output keeps the join key so features re-attach with a co-
-    * partitioned join.
+  /** Feature extraction over the media column: per-partition columnar
+    * batches fed to a [[BatchDecoder]] (batchSize tunes decoder
+    * amortization vs memory). A typed `mapPartitions` keeps this
+    * inside one Dataset plan — no `.rdd` drop, no re-analysis, so
+    * pushed filters/pruning below and AQE above survive — while the
+    * decoder sees exactly the parallel-array batch a `mapInArrow`
+    * worker would. The output keeps the join key so features
+    * re-attach with a co-partitioned join.
     */
   def extractFeatures(media: DataFrame, idCol: String = "doc_id",
-                      batchSize: Int = 64): DataFrame = {
+                      batchSize: Int = 64,
+                      decoder: BatchDecoder = StubDecoder): DataFrame = {
     val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("features", ArrayType(FloatType))))
-    val rows = media.select(col(idCol), col("media")).rdd
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { chunk =>
-          decodeBatch(chunk.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))))
-            .map { case (id, f) => Row(id, f.toSeq) }
+          val ids = new Array[Long](chunk.size)
+          val payloads = new Array[Array[Byte]](chunk.size)
+          var i = 0
+          chunk.foreach { case (id, bytes) =>
+            ids(i) = id; payloads(i) = bytes; i += 1
+          }
+          ids.iterator.zip(decoder.decode(ids, payloads).iterator)
         }
       }
-    spark.createDataFrame(rows, outSchema)
+      .toDF(idCol, "features")
   }
 }

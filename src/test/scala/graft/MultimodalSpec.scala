@@ -83,6 +83,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1 == f2, "features must not depend on partitioning or batch size")
   }
 
+  test("a custom BatchDecoder binds without plan surgery") {
+    val media = Multimodal.withFakeMedia(Tables.documents(spark, sfDir))
+    val custom = new Multimodal.BatchDecoder {
+      def decode(ids: Array[Long], payloads: Array[Array[Byte]]): Array[Array[Float]] =
+        ids.zip(payloads).map { case (id, p) => Array(id.toFloat, p.length.toFloat) }
+    }
+    val out = Multimodal.extractFeatures(media, batchSize = 16, decoder = custom)
+    val got = out.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(got.nonEmpty && got.forall { case (id, f) => f.head == id.toFloat })
+    // the swap is plan-free: still ONE Dataset plan — a typed
+    // MapPartitions above the scan, not an RDD round-trip that would
+    // sever pushdown below and AQE above
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD"),
+      "extractFeatures must not drop to .rdd + createDataFrame")
+  }
+
   test("fingerprint custom expression matches a scala reference and survives codegen") {
     val ref = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()

@@ -11,6 +11,28 @@ import graft.streaming.EventsStream
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  /** SURVEY §4 prescribes the RocksDB state store for big keyed state
+    * (state off-heap, incremental snapshots); the stateful specs run
+    * under BOTH providers so the prescription is exercised, not just
+    * documented. The conf is read at streaming-query start, so setting
+    * it on the shared session around each variant is sufficient.
+    */
+  private val stateStoreVariants: Seq[(Option[String], String)] = Seq(
+    (None, "default HDFS store"),
+    (Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      "RocksDB store"))
+
+  private def withStateStoreProvider[A](provider: Option[String])(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    provider.foreach(spark.conf.set(key, _))
+    try body
+    finally if (provider.isDefined) prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming windowed agg equals the batch equivalent") {
     val stream = EventsStream.windowedAgg(
       EventsStream.readEvents(spark, sfDir))
@@ -30,28 +52,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming dedup keeps one arrival per key across batches") {
+  for (((provider, label), vi) <- stateStoreVariants.zipWithIndex)
+  test(s"streaming dedup keeps one arrival per key across batches ($label)") {
     import spark.implicits._
     def ev(id: Long, minute: Long): EventsStream.Event =
       EventsStream.Event(id, new java.sql.Timestamp(
         java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + minute * 60000L),
         7L, "click", 1.0)
-    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event](
-      spark, 3)
-    val q = EventsStream.streamingDedup(src.toDS().toDF(), Seq("event_id"))
-      .writeStream.outputMode("append").format("memory")
-      .queryName("dedup_out").start()
-    try {
-      // duplicates inside a batch AND repeated across batches
-      src.addData(ev(1, 0), ev(1, 0), ev(2, 1))
-      q.processAllAvailable()
-      src.addData(ev(2, 1), ev(3, 2), ev(1, 0))
-      q.processAllAvailable()
-      val got = spark.table("dedup_out")
-        .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
-      assert(got == Seq(1L, 2L, 3L),
-        s"each key must survive exactly once, got $got")
-    } finally q.stop()
+    withStateStoreProvider(provider) {
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event](
+        spark, 3 + vi * 100)
+      val q = EventsStream.streamingDedup(src.toDS().toDF(), Seq("event_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"dedup_out_$vi").start()
+      try {
+        // duplicates inside a batch AND repeated across batches
+        src.addData(ev(1, 0), ev(1, 0), ev(2, 1))
+        q.processAllAvailable()
+        src.addData(ev(2, 1), ev(3, 2), ev(1, 0))
+        q.processAllAvailable()
+        val got = spark.table(s"dedup_out_$vi")
+          .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == Seq(1L, 2L, 3L),
+          s"each key must survive exactly once, got $got")
+      } finally q.stop()
+    }
   }
 
   test("stream-stream interval join equals its batch twin") {
@@ -136,7 +161,8 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("stateful sessionizer: gaps within bound never split, events conserved") {
+  for (((provider, label), vi) <- stateStoreVariants.zipWithIndex)
+  test(s"stateful sessionizer: gaps within bound never split, events conserved ($label)") {
     import spark.implicits._
     val events = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -144,15 +170,16 @@ class StreamingSpec extends AnyFunSuite {
       .as[EventsStream.Event]
     // batch-mode flatMapGroupsWithState needs Update output semantics;
     // run it through the streaming engine with a memory source instead
+    withStateStoreProvider(provider) {
     val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event](
       spark, 1)
     src.addData(events.collect().toSeq)
     val q = EventsStream.sessionize(src.toDS(), gapSeconds = 4 * 3600)
       .writeStream.outputMode("append").format("memory")
-      .queryName("sess_out").start()
+      .queryName(s"sess_out_$vi").start()
     try {
       q.processAllAvailable()
-      val sessions = spark.table("sess_out").collect()
+      val sessions = spark.table(s"sess_out_$vi").collect()
         .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
       // emitted (closed) sessions respect the gap invariant:
       // start <= end, and per-user sessions don't overlap
@@ -167,5 +194,6 @@ class StreamingSpec extends AnyFunSuite {
         }
       }
     } finally q.stop()
+    }
   }
 }
