@@ -57,8 +57,12 @@ object SparkEntry {
     "rollup_totals"      -> (ExtendedQueries.rollupTotals _),
     "events_range_join"  -> (ExtendedQueries.eventsRangeJoin _),
     "price_histogram"    -> (ExtendedQueries.priceHistogram _),
+    "bloom_prune_join"   -> (RelationalQueries.bloomPruneJoin _),
+    "zorder_layout"      -> (ExtendedQueries.zorderLayout _),
+    "hll_partitioned_distinct" -> (ExtendedQueries.hllPartitionedDistinct _),
     "events_click_attribution" -> (TextQueries.clickAttribution _),
     "text_length_quantiles" -> (TextQueries.textLengthQuantiles _),
+    "text_length_quantiles_exact" -> (TextQueries.textLengthQuantilesExact _),
     "pivot_segments"     -> (ExtendedQueries.pivotSegments _),
     "setop_except"       -> (ExtendedQueries.setopExcept _),
     "text_normalize"     -> (ExtendedQueries.textNormalize _),
@@ -327,6 +331,41 @@ object SparkEntry {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The bloom pre-filter only removes rows the join would drop, so
+    // the oracle is the PLAIN join — exactness of the pruned plan is
+    // the point being checked.
+    "bloom_prune_join" -> s"""SELECT s_name, $revenueSum AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 7
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    // Clustering is a pure reordering: the filtered aggregate over the
+    // z-ordered copy must equal the same query on the raw table.
+    "zorder_layout" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 60 AND value BETWEEN 5.0 AND 40.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Discrete quantile: least length whose cumulative count reaches
+    // q*N; the integer cumulative count compares against the same IEEE
+    // double product in both engines.
+    "text_length_quantiles_exact" ->
+      """WITH c AS (
+        |  SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars),
+        |cum AS (
+        |  SELECT n_chars,
+        |    SUM(cnt) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(cnt) OVER () AS n
+        |  FROM c),
+        |qs AS (SELECT CAST(q AS DOUBLE) AS q
+        |       FROM (VALUES (0.25),(0.5),(0.75),(0.95),(0.99)) t(q))
+        |SELECT q, MIN(n_chars) AS len_q
+        |FROM cum, qs WHERE cum >= q * n
+        |GROUP BY q ORDER BY q""".stripMargin,
 
     "events_click_attribution" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,

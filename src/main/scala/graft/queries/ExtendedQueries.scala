@@ -33,6 +33,54 @@ object ExtendedQueries {
       .orderBy(col("win_lo"))
   }
 
+  /** A10: z-order clustered lake round-trip — events are rewritten
+    * clustered on (user_id, value) via [[graft.sources.ZOrder]], then
+    * read back through a two-dimensional filter. Correctness face of
+    * the layout operator: clustering must be a pure reordering, so the
+    * filtered aggregate over the clustered copy equals the same query
+    * on the raw table (the DuckDB oracle). The pruning payoff — fewer
+    * files touched for filters on EITHER clustered dimension — is
+    * pinned separately in IngestSpec.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_zorder_${new java.io.File(dir).getName}").getAbsolutePath
+    graft.sources.ZOrder.writeClustered(ev, Seq("user_id", "value"), out,
+      numFiles = 16)
+    ev.sparkSession.read.parquet(out)
+      .filter(col("user_id").between(10, 60) && col("value").between(5.0, 40.0))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** C17: sketch pre-aggregation for incremental distinct counts —
+    * the lake pattern for "distinct users over an arbitrary date
+    * range" at 100 TB: materialize one mergeable HLL sketch per
+    * partition (per day here) ONCE, then any range query unions the
+    * relevant sketches — bytes per day, no re-scan of raw events.
+    * Built on Spark's DataSketches HLL functions (`hll_sketch_agg` /
+    * `hll_union_agg` / `hll_sketch_estimate`). Rows-only (sketch
+    * estimates are engine-specific); OperatorsSpec pins the estimate
+    * against the exact distinct count and the sketches' survival of a
+    * parquet round-trip.
+    */
+  def hllPartitionedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+    daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_distinct_users"),
+      count(lit(1)).as("n_days"),
+      sum(col("n_events")).as("n_events"))
+  }
+
   /** C15: fixed-width histogram — binned aggregation is a pure
     * projection + one shuffle (the 100 TB-safe way to get a value
     * distribution; contrast a global sort). Bucket 25k of the

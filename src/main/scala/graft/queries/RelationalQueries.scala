@@ -111,6 +111,30 @@ object RelationalQueries {
     withOrders.unionAll(withoutOrders).orderBy(col("bucket"))
   }
 
+  /** C16: bloom-pruned fact⋈dim join — the fact side is pre-filtered
+    * by a bloom filter built over the (filtered) dim keys BEFORE the
+    * join, so at scale only probable matches reach the join's
+    * exchange ([[graft.operators.BloomPrune]]; the filter stays ~MiB
+    * no matter how large the fact is). False positives are removed by
+    * the join itself, so the result — and the DuckDB oracle — is the
+    * plain join's. PlanSpec pins might_contain below the join and
+    * result equality with the unpruned plan.
+    */
+  def bloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") === 7)
+      .select(col("s_suppkey"), col("s_name"))
+    graft.operators.BloomPrune
+      .pruneJoin(Tables.lineitem(spark, dir), sup,
+        "l_suppkey", "s_suppkey", expectedDimKeys = 4096)
+      .groupBy(col("s_name"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("s_name"))
+  }
+
   /** C6: exact distinct counts (the approx variant is covered in tests;
     * HLL output is engine-specific so it has no DuckDB oracle).
     */

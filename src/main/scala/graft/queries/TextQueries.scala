@@ -158,6 +158,35 @@ object TextQueries {
       .orderBy(col("q"))
   }
 
+  /** D18 (exact face): discrete length quantiles, DuckDB-oracled. The
+    * corpus first collapses to its length DOMAIN (`groupBy(n_chars)` —
+    * thousands of rows at any corpus size), and only that tiny
+    * aggregate flows through the cumulative window — scale-safe where
+    * an unpartitioned window over raw rows is not. Quantile q is the
+    * smallest length whose cumulative count reaches q·N: a
+    * well-defined discrete quantile with an identical ANSI-SQL
+    * formulation (both engines compare the integer cumulative count
+    * against the same IEEE double q·N, so the boundary cannot
+    * disagree). The sketch path ([[textLengthQuantiles]]) stays the
+    * scale default; this is its exactness witness.
+    */
+  def textLengthQuantilesExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("n"))))
+    cum.crossJoin(broadcast(qs.toDF("q")))
+      .filter(col("cum") >= col("q") * col("n"))
+      .groupBy(col("q")).agg(min(col("n_chars")).as("len_q"))
+      .orderBy(col("q"))
+  }
+
   /** E5 (batch face): click→purchase attribution — the same plan
     * [[graft.streaming.EventsStream.clickPurchaseJoin]] runs as a
     * stream-stream join; batch execution gives the DuckDB-oracled

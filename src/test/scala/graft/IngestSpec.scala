@@ -74,6 +74,41 @@ class IngestSpec extends AnyFunSuite {
       "expected partition pruning on period")
   }
 
+  test("z-order clustering prunes files on BOTH dimensions, not just the sort prefix") {
+    import graft.sources.ZOrder
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val zPath = tmpDir("graft_zorder") + "/z"
+    val linPath = tmpDir("graft_zorder") + "/linear"
+    ZOrder.writeClustered(ev, Seq("user_id", "value"), zPath, numFiles = 16)
+    // the single-dimension baseline: range-sorted on user_id only
+    ev.repartitionByRange(16, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(linPath)
+
+    def filesTouched(path: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(cond)
+        .select(input_file_name()).distinct().count()
+    val zTotal = spark.read.parquet(zPath)
+      .select(input_file_name()).distinct().count()
+    assert(zTotal > 4, s"need enough files for pruning to be observable, got $zTotal")
+
+    // clustering must be a pure reordering
+    assert(spark.read.parquet(zPath).count() == ev.count())
+
+    val byUser  = col("user_id") <= 3      // narrow range on dim 1
+    val byValue = col("value") >= 250.0    // narrow range on dim 2
+    val zU = filesTouched(zPath, byUser)
+    val zV = filesTouched(zPath, byValue)
+    assert(zU < zTotal, s"z-layout should prune on user_id: $zU/$zTotal files")
+    assert(zV < zTotal, s"z-layout should prune on value: $zV/$zTotal files")
+    // the linear layout concentrates user_id but scatters value; the
+    // z layout must be at least as concentrated on the NON-sorted dim
+    val lV = filesTouched(linPath, byValue)
+    assert(zV <= lV,
+      s"z-layout must cluster the second dimension at least as well ($zV vs $lV files)")
+  }
+
   test("upsertWrite: batch rows win on key collision, others survive") {
     val base = tmpDir("graft_upsert") + "/base"
     val out = tmpDir("graft_upsert") + "/out"

@@ -197,4 +197,25 @@ class OperatorsSpec extends AnyFunSuite {
         s"col $i: approx=$approx exact=$exact")
     }
   }
+
+  test("hll pre-aggregated sketches merge to the global distinct and survive parquet") {
+    val ev = Tables.events(spark, sfDir)
+    val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+    val row = graft.queries.ExtendedQueries.hllPartitionedDistinct(spark, sfDir).head()
+    val est = row.getLong(0)
+    assert(math.abs(est - exact) <= math.max(1L, (exact * 0.05).toLong),
+      s"merged estimate $est vs exact $exact")
+    assert(row.getLong(2) == ev.count(), "pre-agg must cover every event")
+
+    // the sketch column is lake-persistable: daily sketches written to
+    // parquet and unioned later must give the SAME estimate — that is
+    // the incremental-maintenance contract (merge bytes, not rescan)
+    val path = Files.createTempDirectory("graft_hll").toString + "/daily"
+    ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .write.mode("overwrite").parquet(path)
+    val est2 = spark.read.parquet(path)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    assert(est2 == est, s"round-tripped sketches drifted: $est2 vs $est")
+  }
 }

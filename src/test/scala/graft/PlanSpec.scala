@@ -214,6 +214,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!below.contains("Sort "), s"sort below the heap operator:\n$p")
   }
 
+  test("bloom-pruned join: might_contain probes the fact below the join, result exact") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val sup = graft.sources.Tables.supplier(spark, sfDir)
+      .filter(col("s_nationkey") === 7)
+      .select(col("s_suppkey"), col("s_name"))
+    val pruned = graft.operators.BloomPrune
+      .pruneJoin(li, sup, "l_suppkey", "s_suppkey", expectedDimKeys = 4096)
+    val p = planString(pruned)
+    assert(p.contains("might_contain"),
+      s"bloom probe must survive into the physical plan:\n$p")
+    val plain = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+    assert(pruned.count() == plain.count(),
+      "bloom pre-filter must not change the join result")
+    // the probe is selective: it passes all matches but strictly fewer
+    // rows than the whole fact (that reduction IS the shuffled-bytes
+    // saving at scale)
+    val bloom = graft.operators.BloomPrune
+      .buildBloom(sup, col("s_suppkey"), expectedItems = 4096)
+    val passed = li.filter(
+      graft.operators.BloomPrune.mightContain(bloom, col("l_suppkey"))).count()
+    assert(passed >= plain.count(), "a bloom filter can never drop a true match")
+    assert(passed < li.count(), "the probe should reject most non-matching fact rows")
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = graft.queries.TextQueries.dedupSimhash(spark, sfDir)
     val p = planString(df)
