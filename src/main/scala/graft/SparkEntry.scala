@@ -77,6 +77,8 @@ object SparkEntry {
     "dedup_simhash"      -> (TextQueries.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
     "dedup_resolve"      -> (TextQueries.dedupResolve _),
+    "dedup_incremental"  -> (TextQueries.dedupIncremental _),
+    "train_split"        -> (TextQueries.trainSplit _),
     "decontamination"    -> (TextQueries.decontaminate _),
     "training_order"     -> ((s, d) => TextQueries.trainingOrder(s, d)),
     "mixture_resample"   -> (TextQueries.mixtureResample _),
@@ -89,6 +91,7 @@ object SparkEntry {
     "ann_bruteforce_topk" -> (VectorQueries.annBruteForce _),
     "ann_lsh_topk"       -> (VectorQueries.annLsh _),
     "ann_ivf_topk"       -> (VectorQueries.annIvf _),
+    "ann_quantized_topk" -> (VectorQueries.annQuantized _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -338,7 +341,7 @@ object SparkEntry {
     "bloom_prune_join" -> s"""SELECT s_name, $revenueSum AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE s_nationkey = 7
+        |WHERE s_nationkey = 3
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
 
     // Clustering is a pure reordering: the filtered aggregate over the

@@ -30,6 +30,29 @@ object VectorFunctions {
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
   }
 
+  /** Symmetric int8 quantization of an embedding (D24): per-vector
+    * scale = max|xᵢ|/127, stored as `struct(scale float, q array<tinyint>)`
+    * — 4× smaller than float32 at ~0.4% worst-case per-component
+    * error, the standard storage/recall trade for billion-vector ANN
+    * corpora. Pure column algebra (quantized ANN search dequantizes
+    * with [[dequantize8]] or probes int8 directly).
+    */
+  def quantize8(v: Column): Column = {
+    val scale = aggregate(v, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
+    struct(
+      scale.cast("float").as("scale"),
+      transform(v, x =>
+        when(scale === 0.0, lit(0))
+          .otherwise(round(x.cast("double") / scale))
+          .cast("tinyint")).as("q"))
+  }
+
+  /** Inverse of [[quantize8]]: `array<float>` reconstruction. */
+  def dequantize8(qv: Column): Column =
+    transform(qv.getField("q"), x =>
+      (x.cast("double") * qv.getField("scale").cast("double")).cast("float"))
+
   /** Random-hyperplane LSH bucket: `planes` sign bits packed into a
     * long. Plane components are pseudo-random ±1 derived from
     * xxhash64(plane, dim) — deterministic, no stored model, and the

@@ -45,10 +45,20 @@ object Dedup {
     * @param df    input with (idCol, textCol)
     * @return (id_a, id_b, jaccard) with id_a < id_b
     */
+  /** (id, band, bandhash) light rows from an (id, sh) shingle frame —
+    * the 24-byte unit every LSH exchange here carries.
+    */
+  private def mhBandRows(withSh: DataFrame, bands: Int, rows: Int): DataFrame =
+    withSh
+      .withColumn("sig", minhashSignature(col("sh"), bands * rows))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 3, bands: Int = 8, rows: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
-    val k = bands * rows
     val withSh = df.select(
         col(idCol).as("id"),
         graft.functions.ShingleFunctions.word_shingles(col(textCol), shingleSize)
@@ -56,12 +66,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     // light rows: (id, band, bandhash); band hash folds the band's
     // signature slice
-    val banded = withSh
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+    val banded = mhBandRows(withSh, bands, rows)
     val cand = banded.select(col("band"), col("bandhash"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bandhash"), col("id").as("id_b")),
         Seq("band", "bandhash"))
@@ -272,6 +277,66 @@ object Dedup {
     connectedComponents(edges, df.select(col(idCol).as("id")))
   }
 
+  /** D23: incremental corpus admission — the growth loop of a training
+    * corpus. Each incoming batch is screened for near-dups against the
+    * EXISTING corpus and against itself, WITHOUT ever re-pairing the
+    * corpus with itself: the existing side contributes only its
+    * (id, band, bandhash) rows — appendable from a lake-side band
+    * index — and only the buckets an incoming band actually touches
+    * join. Cost scales with the batch, not the corpus.
+    *
+    * Semantics (transitive clustering, matching the resolution
+    * operators): verified near-dup pairs (exact Jaccard ≥ threshold —
+    * LSH false positives never reject a doc) form a graph over the
+    * incoming batch; a component any member of which verifies against
+    * the existing corpus is rejected wholesale, otherwise its
+    * minimum-id member is admitted as the representative.
+    *
+    * @return admitted incoming rows, original columns intact
+    */
+  def admitIncremental(existing: DataFrame, incoming: DataFrame,
+                       textCol: String, idCol: String,
+                       shingleSize: Int = 3, bands: Int = 8, rows: Int = 4,
+                       threshold: Double = 0.5): DataFrame = {
+    def shingled(df: DataFrame) = df.select(col(idCol).as("id"),
+        graft.functions.ShingleFunctions
+          .word_shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inSh = shingled(incoming)
+    val exSh = shingled(existing)
+
+    // incoming ↔ existing: band collision nominates, exact Jaccard decides
+    val tainted = mhBandRows(inSh, bands, rows)
+      .select(col("band"), col("bandhash"), col("id").as("in_id"))
+      .join(mhBandRows(exSh, bands, rows)
+        .select(col("band"), col("bandhash"), col("id").as("ex_id")),
+        Seq("band", "bandhash"))
+      .select(col("in_id"), col("ex_id")).distinct()
+      .join(inSh.select(col("id").as("in_id"), col("sh").as("sh_in")), Seq("in_id"))
+      .join(exSh.select(col("id").as("ex_id"), col("sh").as("sh_ex")), Seq("ex_id"))
+      .filter(TextFunctions.jaccard(col("sh_in"), col("sh_ex")) >= threshold)
+      .select(col("in_id")).distinct()
+
+    // incoming ↔ incoming: verified near-dup graph → components
+    val inEdges = minhashLsh(incoming, textCol, idCol,
+        shingleSize, bands, rows, threshold)
+      .select(col("id_a"), col("id_b"))
+    val comp = connectedComponents(inEdges,
+      incoming.select(col(idCol).as("id")))
+
+    val taintedComponents = comp
+      .join(tainted, col("id") === col("in_id"))
+      .select(col("canonical_id")).distinct()
+    // the component label IS the minimum member id, so the
+    // representative needs no extra aggregation
+    val admittedIds = comp
+      .join(taintedComponents.withColumnRenamed("canonical_id", "bad"),
+        col("canonical_id") === col("bad"), "left_anti")
+      .filter(col("id") === col("canonical_id"))
+      .select(col("id"))
+    incoming.join(admittedIds, incoming(idCol) === admittedIds("id"), "left_semi")
+  }
+
   /** D19: benchmark decontamination — find corpus documents sharing
     * any word n-gram with an eval/benchmark set (the standard
     * training-data hygiene check: eval examples leaking into training
@@ -281,9 +346,12 @@ object Dedup {
     * Scale shape: benchmark sets are small by nature, so up to
     * `broadcastDocLimit` bench docs the exploded benchmark n-grams
     * broadcast — the corpus is scanned once, never shuffled on the
-    * gram. A larger bench side degrades automatically to the plain
-    * gram equality join — both sides shuffle once, still linear,
-    * never a nested loop.
+    * gram. A larger bench side degrades to the gram equality join,
+    * with the corpus side first bloom-pruned ([[BloomPrune]]) against
+    * the bench grams: almost every corpus gram is clean, so the ~MiB
+    * filter strips the corpus exchange down to probable hits before
+    * the shuffle — the join then removes the false positives. Both
+    * sides stay linear, never a nested loop.
     *
     * The broadcast decision costs no job: `benchIsSmall` when the
     * caller knows (it usually does — the bench set is its own input),
@@ -310,8 +378,17 @@ object Dedup {
         case None => stats.sizeInBytes <= BigInt(broadcastDocLimit) * 1024L
       }
     }
-    val benchSide = if (small) broadcast(benchGrams) else benchGrams
-    grams(corpus, "doc_id")
+    val corpusGrams = grams(corpus, "doc_id")
+    val (benchSide, corpusSide) =
+      if (small) (broadcast(benchGrams), corpusGrams)
+      else {
+        // one extra narrow job over the (smaller) bench side buys a
+        // corpus-side exchange that carries only probable hits
+        val bloom = BloomPrune.buildBloom(benchGrams, col("gram"),
+          expectedItems = math.max(1L, broadcastDocLimit) * 64L)
+        (benchGrams, corpusGrams.filter(BloomPrune.mightContain(bloom, col("gram"))))
+      }
+    corpusSide
       .join(benchSide, Seq("gram"))
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy(col("doc_id"), col("bench_id"))

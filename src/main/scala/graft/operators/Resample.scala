@@ -35,4 +35,33 @@ object Resample {
     }
     df.filter(bucket < frac * M)
   }
+
+  /** D25: deterministic disjoint split (train/val/test). Each row's
+    * seeded hash bucket lands in exactly one of the `weights` ranges,
+    * so the splits are DISJOINT and COMPLETE by construction — the
+    * property `randomSplit` only approximates (its per-partition RNG
+    * resamples on retry/re-execution; a lost executor can silently
+    * move rows between splits mid-job). A pure projection: no
+    * shuffle, no state, stable under repartitioning, and adding data
+    * later never moves an old row to a different split.
+    *
+    * @param weights relative split weights (normalized internally)
+    * @return df with an int `split` column in [0, weights.size)
+    */
+  def splitByHash(df: DataFrame, id: Column, weights: Seq[Double],
+                  seed: Long = 42L,
+                  splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ >= 0) && weights.sum > 0,
+      s"weights must be non-negative with a positive sum, got $weights")
+    val total = weights.sum
+    // cumulative upper bounds in hash-bucket space; last pinned to M
+    // so float rounding can never leave a bucket unassigned
+    val bounds = weights.scanLeft(0.0)(_ + _).tail
+      .map(c => (c / total * M).toLong).dropRight(1) :+ M
+    val bucket = pmod(xxhash64(lit(seed), id), lit(M))
+    val splitExpr = bounds.zipWithIndex.reverse.foldLeft(lit(bounds.size - 1)) {
+      case (acc, (hi, i)) => when(bucket < hi, lit(i)).otherwise(acc)
+    }
+    df.withColumn(splitCol, splitExpr)
+  }
 }

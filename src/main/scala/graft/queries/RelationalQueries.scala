@@ -122,7 +122,7 @@ object RelationalQueries {
     */
   def bloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(spark, dir)
-      .filter(col("s_nationkey") === 7)
+      .filter(col("s_nationkey") === 3)
       .select(col("s_suppkey"), col("s_name"))
     graft.operators.BloomPrune
       .pruneJoin(Tables.lineitem(spark, dir), sup,

@@ -158,6 +158,35 @@ object TextQueries {
       .orderBy(col("q"))
   }
 
+  /** D23: incremental corpus admission — even doc ids play the
+    * existing lake, odd ids the incoming batch (planted near-dup
+    * pairs are id-adjacent, so cross-batch rejections are exercised
+    * at every SF). Rows-only (LSH banding is engine-specific);
+    * DedupSpec pins the admitted set against a driver-side exact
+    * Jaccard + union-find reference.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.admitIncremental(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", threshold = 0.8)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** D25: deterministic train/val/test split — 90/5/5 by seeded id
+    * hash; disjoint and complete by construction. Rows-only (hash
+    * buckets are engine-specific); OperatorsSpec pins disjointness,
+    * determinism, and fraction accuracy.
+    */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.splitByHash(
+        Tables.documents(spark, dir), col("doc_id"), Seq(0.9, 0.05, 0.05))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+      .orderBy(col("split"))
+
   /** D18 (exact face): discrete length quantiles, DuckDB-oracled. The
     * corpus first collapses to its length DOMAIN (`groupBy(n_chars)` —
     * thousands of rows at any corpus size), and only that tiny

@@ -46,6 +46,20 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** D24: the int8-quantized storage path end-to-end — corpus vectors
+    * quantized ([[graft.functions.VectorFunctions.quantize8]], 4×
+    * smaller at rest), dequantized on read, searched exactly. Rows-only
+    * (float accumulation); SimilaritySpec pins reconstruction error
+    * and top-k agreement with the float path.
+    */
+  def annQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{dequantize8, quantize8}
+    val qCorpus = corpus(spark, dir)
+      .select(col("id"), dequantize8(quantize8(col("vec"))).as("vec"))
+    Similarity.bruteForceKnn(queries(spark, dir), qCorpus, 10)
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** D5: embedding-cosine near-dup pairs at 8 hyperplanes with 1-bit
     * multi-probe (candidate volume ~N²/28, shrinking 2× per extra
     * plane — the planes=2 all-pairs posture was the round-1/2 defect).

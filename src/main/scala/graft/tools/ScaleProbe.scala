@@ -110,16 +110,43 @@ object ScaleProbe {
       graft.sources.Multimodal.sampleFrames(
         graft.sources.Multimodal.withFakeMedia(docs)).count()
     }
+    val ev = graft.sources.Tables.events(spark, dir)
+      .crossJoin(copies)
+      .select((col("event_id") * mult + col("copy")).as("event_id"),
+        col("ts"), col("user_id"), col("value"))
     t("range_join") {
-      val ev = graft.sources.Tables.events(spark, dir)
-        .crossJoin(copies)
-        .select((col("event_id") * mult + col("copy")).as("event_id"),
-          col("ts"), col("value"))
       val windows = ev.select(date_trunc("day", col("ts")).as("day")).distinct()
         .select((col("day") + expr("INTERVAL 8 HOURS")).as("win_lo"),
           (col("day") + expr("INTERVAL 18 HOURS")).as("win_hi"))
       graft.operators.RangeJoin.pointInInterval(
         ev, windows, col("ts"), col("win_lo"), col("win_hi"), 3600).count()
+    }
+    t("bloom_prune_join") {
+      val sup = graft.sources.Tables.supplier(spark, dir)
+        .filter(col("s_nationkey") === 3)
+        .select(col("s_suppkey"), col("s_name"))
+      graft.operators.BloomPrune
+        .pruneJoin(li, sup, "l_suppkey", "s_suppkey", expectedDimKeys = 4096)
+        .count()
+    }
+    t("zorder_write_read") {
+      val path = "/tmp/graft_probe_zorder"
+      graft.sources.ZOrder.writeClustered(
+        ev.select(col("event_id"), col("user_id"), col("value")),
+        Seq("user_id", "value"), path, numFiles = 64)
+      spark.read.parquet(path)
+        .filter(col("user_id") <= 100 && col("value") >= 400.0).count()
+    }
+    t("hll_preagg_union") {
+      val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head.getLong(0)
+    }
+    t("incremental_admission") {
+      graft.operators.Dedup.admitIncremental(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", threshold = 0.8).count()
     }
     spark.stop()
   }

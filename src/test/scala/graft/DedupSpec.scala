@@ -30,6 +30,49 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("incremental admission matches an exact jaccard + union-find reference") {
+    val threshold = 0.8
+    val sets = docs.collect().map { r =>
+      val toks = r.getAs[String]("text").trim.split("\\s+")
+      r.getAs[Long]("doc_id") -> toks.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    def j(a: Long, b: Long): Double = {
+      val u = (sets(a) union sets(b)).size
+      if (u == 0) 0.0 else (sets(a) intersect sets(b)).size.toDouble / u
+    }
+    val inc = sets.keys.filter(_ % 2 == 1).toSeq.sorted
+    val ex = sets.keys.filter(_ % 2 == 0).toSeq
+    // union-find over incoming near-dup pairs
+    val parent = scala.collection.mutable.Map(inc.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for (a <- inc; b <- inc if a < b && j(a, b) >= threshold)
+      parent(find(math.max(a, b))) = find(math.min(a, b))
+    val tainted = inc.filter(i => ex.exists(e => j(i, e) >= threshold))
+      .map(find).toSet
+    val want = inc.groupBy(find).collect {
+      case (root, members) if !tainted.contains(root) => members.min
+    }.toSet
+    val got = graft.queries.TextQueries.dedupIncremental(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && got == want,
+      s"admitted mismatch: extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("contamination: bloom-pruned shuffle path equals the broadcast path") {
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    def run(small: Boolean) = graft.operators.Dedup
+      .contamination(docs, bench, "text", "doc_id", n = 8,
+        benchIsSmall = Some(small))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val viaBroadcast = run(small = true)
+    val viaBloomShuffle = run(small = false)
+    assert(viaBroadcast.nonEmpty)
+    assert(viaBloomShuffle == viaBroadcast,
+      "the bloom prefilter must not change which pairs/counts survive")
+  }
+
   test("training order: deterministic non-identity permutation, seed-sensitive") {
     val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
     val a = graft.queries.TextQueries.trainingOrder(spark, sfDir)

@@ -198,6 +198,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hash split: disjoint, complete, deterministic, near-target fractions") {
+    import graft.operators.Resample
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    def splits(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      Resample.splitByHash(df, col("doc_id"), Seq(0.9, 0.05, 0.05))
+        .select(col("doc_id"), col("split"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s1 = splits(docs)
+    assert(s1.size == n, "every row lands in exactly one split")
+    assert(s1.values.forall(s => s >= 0 && s <= 2))
+    // deterministic under repartitioning
+    assert(splits(docs.repartition(7)) == s1)
+    // growing the input never moves an old row's split
+    val subset = splits(docs.filter(col("doc_id") < 100))
+    assert(subset.forall { case (id, s) => s1(id) == s })
+    // fractions near target (binomial noise at sf test sizes)
+    val frac0 = s1.values.count(_ == 0).toDouble / n
+    assert(math.abs(frac0 - 0.9) < 0.05, s"train fraction $frac0")
+    // weights are normalized: relative weights give the same split
+    val w2 = Resample.splitByHash(docs, col("doc_id"), Seq(18.0, 1.0, 1.0))
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(w2 == s1)
+  }
+
   test("hll pre-aggregated sketches merge to the global distinct and survive parquet") {
     val ev = Tables.events(spark, sfDir)
     val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)

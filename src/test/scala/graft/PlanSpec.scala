@@ -218,7 +218,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     val li = graft.sources.Tables.lineitem(spark, sfDir)
     val sup = graft.sources.Tables.supplier(spark, sfDir)
-      .filter(col("s_nationkey") === 7)
+      .filter(col("s_nationkey") === 3)
       .select(col("s_suppkey"), col("s_name"))
     val pruned = graft.operators.BloomPrune
       .pruneJoin(li, sup, "l_suppkey", "s_suppkey", expectedDimKeys = 4096)

@@ -123,4 +123,40 @@ class SimilaritySpec extends AnyFunSuite {
       "probe rings must monotonically improve recall here")
     assert(probed3 >= 0.9, f"multi-probe recall $probed3%.2f below 0.9")
   }
+
+  test("int8 quantization: per-component error bounded by scale/2, top-k mostly stable") {
+    import graft.functions.VectorFunctions.{dequantize8, quantize8}
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val rows = emb
+      .select(col("vec_id"), col("embedding"),
+        dequantize8(quantize8(col("embedding"))).as("rec"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1); val rec = r.getSeq[Float](2)
+      assert(v.length == rec.length)
+      val maxAbs = v.map(x => math.abs(x.toDouble)).max
+      // scale/2 rounding bound, padded for the float32 scale storage
+      val bound = maxAbs / 127.0 * 0.5 * (1 + 1e-5) + 1e-7
+      v.zip(rec).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= bound,
+          s"vec ${r.getLong(0)}: |$x - $y| > $bound")
+      }
+    }
+    // the quantized ANN path agrees with the float path on most of
+    // each query's top-10 (ties may reorder at the boundary)
+    val float = graft.queries.VectorQueries.annBruteForce(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = graft.queries.VectorQueries.annQuantized(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(float.keySet == quant.keySet)
+    float.foreach { case (qid, ids) =>
+      val overlap = (ids intersect quant(qid)).size
+      assert(overlap >= 8, s"query $qid: only $overlap/10 shared with float path")
+    }
+  }
 }
