@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_resolve"      -> (TextQueries.dedupResolve _),
     "dedup_incremental"  -> (TextQueries.dedupIncremental _),
     "train_split"        -> (TextQueries.trainSplit _),
+    "corpus_pipeline"    -> (TextQueries.corpusPipeline _),
     "decontamination"    -> (TextQueries.decontaminate _),
     "training_order"     -> ((s, d) => TextQueries.trainingOrder(s, d)),
     "mixture_resample"   -> (TextQueries.mixtureResample _),

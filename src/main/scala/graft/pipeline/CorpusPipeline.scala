@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Resample}
+
+/** End-to-end training-corpus preparation (the capstone composition of
+  * SURVEY §2.D): quality gate → exact dedup → near-dup resolution →
+  * benchmark decontamination → mixture resampling → train/val/test
+  * split → deterministic order key. One lazy DataFrame composition —
+  * Catalyst sees the whole flow, so the quality filter pushes into the
+  * scan, stages share the corpus scan where possible, and nothing
+  * materializes until the caller writes.
+  *
+  * Stage shapes at 100 TB (each pinned individually by its operator's
+  * spec; PipelineSpec pins the composed invariants):
+  *  - quality gate: pure projection+filter, no shuffle
+  *  - exact dedup: digest groupBy, 32-byte shuffle rows
+  *  - near-dup: LSH candidates (band-bucketed, id-only exchanges) +
+  *    exact-Jaccard verify + pointer-jump CC — the [[Dedup.resolveCandidates]]
+  *    scale path, never the Σ freq² all-pairs index
+  *  - decontamination: bench grams broadcast (or bloom-prefiltered join)
+  *  - resample/split/order: seeded-hash projections, shuffle-free
+  */
+object CorpusPipeline {
+
+  /** @param minQuality      drop docs scoring below ([[TextFunctions.qualityScore]])
+    * @param nearDupThreshold exact-Jaccard bar for near-dup rejection
+    * @param fractionsByLang  per-language keep fractions (mixture)
+    * @param splitWeights     train/val/test relative weights
+    */
+  case class Config(
+      minQuality: Double = 0.2,
+      shingleSize: Int = 3,
+      nearDupThreshold: Double = 0.8,
+      contaminationNgram: Int = 8,
+      fractionsByLang: Map[String, Double] = Map.empty,
+      defaultFraction: Double = 1.0,
+      splitWeights: Seq[Double] = Seq(0.9, 0.05, 0.05),
+      seed: Long = 42L)
+
+  /** @param docs  corpus with (idCol: long, textCol: string)
+    * @param bench eval/benchmark docs with the same two columns
+    * @return surviving docs: original columns + quality, lang, split,
+    *         sort_key (order by sort_key for the training sequence)
+    */
+  def run(docs: DataFrame, bench: DataFrame,
+          textCol: String, idCol: String,
+          cfg: Config = Config()): DataFrame = {
+    // 1. quality gate
+    val scored = docs
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .filter(col("quality") >= cfg.minQuality)
+
+    // 2. exact dedup — keep the canonical (min-id) copy per digest
+    val exactKeep = Dedup.exact(scored, col(textCol), col(idCol))
+      .select(col("canonical_id").as("__keep"))
+    val exactDeduped = scored
+      .join(exactKeep, scored(idCol) === col("__keep"), "left_semi")
+
+    // 3. near-dup resolution (LSH candidates → verified edges → CC);
+    //    keep each component's representative
+    val cand = Dedup.minhashLsh(exactDeduped, textCol, idCol,
+      cfg.shingleSize, threshold = cfg.nearDupThreshold)
+    val resolved = Dedup.resolveCandidates(exactDeduped, textCol, idCol,
+      cand.select(col("id_a"), col("id_b")), cfg.shingleSize,
+      cfg.nearDupThreshold, verified = true)
+    val repIds = resolved.filter(col("id") === col("canonical_id"))
+      .select(col("id").as("__rep"))
+    val nearDeduped = exactDeduped
+      .join(repIds, exactDeduped(idCol) === col("__rep"), "left_semi")
+
+    // 4. benchmark decontamination
+    val dirty = Dedup.contamination(nearDeduped, bench, textCol, idCol,
+        cfg.contaminationNgram, benchIsSmall = Some(true))
+      .select(col("doc_id").as("__dirty")).distinct()
+    val clean = nearDeduped
+      .join(dirty, nearDeduped(idCol) === col("__dirty"), "left_anti")
+
+    // 5. language mixture, 6. split, 7. deterministic order key
+    val withLang = clean.withColumn("lang", TextFunctions.langId(col(textCol)))
+    val sampled = Resample.byStratum(withLang, col("lang"), col(idCol),
+      cfg.fractionsByLang, cfg.defaultFraction, cfg.seed)
+    Resample.splitByHash(sampled, col(idCol), cfg.splitWeights, cfg.seed)
+      .withColumn("sort_key", xxhash64(lit(cfg.seed), col(idCol)))
+  }
+}

@@ -175,6 +175,24 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Capstone: the full §2.D corpus-prep pipeline — quality gate,
+    * exact + near dedup, decontamination vs an external eval set
+    * (every 10th doc), mixture resample (all strata kept here so the
+    * oracle-style invariants are deterministic), split, order key.
+    * Rows-only; PipelineSpec pins the composed invariants (no
+    * surviving near-dups, no eval leakage, disjoint splits,
+    * run-to-run determinism).
+    */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    graft.pipeline.CorpusPipeline.run(
+        docs.filter(col("doc_id") % 10 =!= 0), bench, "text", "doc_id")
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D25: deterministic train/val/test split — 90/5/5 by seeded id
     * hash; disjoint and complete by construction. Rows-only (hash
     * buckets are engine-specific); OperatorsSpec pins disjointness,

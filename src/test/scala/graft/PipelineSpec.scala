@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.pipeline.FplPipeline
 
@@ -96,5 +97,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(dim.count() == 2)
     assert(dim.filter(col("id") === 1).head.getAs[Double]("form") == 9.9)
     assert(dim.filter(col("id") === 2).count() == 1)
+  }
+
+  test("corpus pipeline: composed invariants hold end-to-end") {
+    val out = graft.queries.TextQueries.corpusPipeline(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.nonEmpty, "pipeline must admit a non-trivial corpus")
+    val ids = out.map(_._1).toSet
+    assert(out.forall { case (_, _, s) => s >= 0 && s <= 2 })
+    assert(ids.forall(_ % 10 != 0), "eval docs never enter the corpus")
+
+    // deterministic end to end
+    val again = graft.queries.TextQueries.corpusPipeline(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(again.toSeq == out.toSeq)
+
+    // driver-side reference shingle/gram sets for the corpus + bench
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String, n: Int): Set[String] = {
+      val toks = t.trim.split("\\s+")
+      toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    }
+    // no exact duplicates survive
+    assert(ids.toSeq.map(texts).distinct.size == ids.size,
+      "exact duplicates survived the pipeline")
+    // no surviving near-dup pair at the 0.8 bar
+    val sh = ids.map(i => i -> grams(texts(i), 3)).toMap
+    for (a <- ids; b <- ids if a < b) {
+      val u = (sh(a) union sh(b)).size
+      val j = if (u == 0) 0.0 else (sh(a) intersect sh(b)).size.toDouble / u
+      assert(j < 0.8, s"near-dup pair ($a, $b) j=$j survived")
+    }
+    // no eval 8-gram leaks into the corpus
+    val benchGrams = texts.keys.filter(_ % 10 == 0)
+      .flatMap(b => grams(texts(b), 8)).toSet
+    ids.foreach { i =>
+      assert((grams(texts(i), 8) intersect benchGrams).isEmpty,
+        s"doc $i shares an 8-gram with the eval set")
+    }
   }
 }
