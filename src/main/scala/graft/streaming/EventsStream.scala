@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the events stream (SURVEY §2.E).
@@ -188,5 +190,64 @@ object EventsStream {
           cur.foreach(state.update)
           closed.iterator
       }
+  }
+
+  /** E2c: the gap sessionizer on `transformWithState` — Spark 4's
+    * successor to flatMapGroupsWithState (typed `ValueState` +
+    * explicit event-time timers instead of the single timeout slot).
+    * Semantics identical to [[sessionizeEventTime]]; the operator
+    * mandates the RocksDB state store provider, which SURVEY §4
+    * prescribes for big keyed state anyway. Timer discipline: every
+    * batch (re-)registers a timer at the session's current deadline;
+    * stale timers from extended sessions fire and are ignored because
+    * their expiry predates the live deadline.
+    */
+  class GapSessionProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def deadlineMs(s: SessionState): Long =
+      s.last / 1000L + gapSeconds * 1000L
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val prev = if (session.exists()) Some(session.get()) else None
+      val (cur, closed) = foldBatch(userId, sorted, prev, gapSeconds * 1000000L)
+      cur.foreach { s =>
+        session.update(s)
+        // event-time timers fire when the watermark passes them; keep
+        // the registered instant strictly ahead of the watermark so it
+        // fires on a later batch, exactly like the v1 clamp
+        getHandle.registerTimer(math.max(deadlineMs(s),
+          timers.getCurrentWatermarkInMs() + 1L))
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[Session] = {
+      if (!session.exists()) Iterator.empty
+      else {
+        val s = session.get()
+        if (expired.getExpiryTimeInMs() >= deadlineMs(s)) {
+          session.clear()
+          Iterator(toSession(userId, s))
+        } else Iterator.empty // stale timer; a newer one guards the session
+      }
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Event], gapSeconds: Long,
+                    watermarkDelay: String = "1 minute"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new GapSessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -129,6 +129,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer matches the flatMapGroupsWithState semantics") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, minute: Long): EventsStream.Event =
+      EventsStream.Event(id, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + minute * 60000L),
+        user, "click", 1.0)
+    // transformWithState mandates the RocksDB provider
+    withStateStoreProvider(stateStoreVariants.last._1) {
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event](
+        spark, 201)
+      val q = EventsStream.sessionizeTws(src.toDS(), gapSeconds = 600)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sess_tws_out").start()
+      try {
+        // same scenario as the v1 event-time test: an idle session must
+        // close via the event-time TIMER once the watermark passes
+        src.addData(ev(1, 1, 0), ev(2, 1, 3), ev(3, 1, 6))
+        q.processAllAvailable()
+        assert(spark.table("sess_tws_out").isEmpty,
+          "session still live — nothing may be emitted yet")
+        src.addData(ev(4, 2, 600))
+        q.processAllAvailable()
+        src.addData(ev(5, 2, 601))
+        q.processAllAvailable()
+        val sessions = spark.table("sess_tws_out").as[EventsStream.Session]
+          .collect().filter(_.user_id == 1L)
+        assert(sessions.length == 1,
+          s"idle session must close via the event-time timer, got ${sessions.toSeq}")
+        assert(sessions.head.n_events == 3)
+        assert(sessions.head.t_end.getTime ==
+          java.sql.Timestamp.valueOf("2024-01-01 00:06:00").getTime)
+      } finally q.stop()
+    }
+  }
+
   test("late in-gap event extends the session without dragging bounds backward") {
     import spark.implicits._
     def ev(id: Long, user: Long, minute: Long): EventsStream.Event =
