@@ -30,23 +30,31 @@ object VectorFunctions {
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
   }
 
+  /** max|xᵢ| in double (0.0 for the empty vector). */
+  def maxAbs(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+
   /** Symmetric int8 quantization of an embedding (D24): per-vector
     * scale = max|xᵢ|/127, stored as `struct(scale float, q array<tinyint>)`
     * — 4× smaller than float32 at ~0.4% worst-case per-component
     * error, the standard storage/recall trade for billion-vector ANN
     * corpora. Pure column algebra (quantized ANN search dequantizes
     * with [[dequantize8]] or probes int8 directly).
+    *
+    * Pass a pre-computed `scale` column (e.g. via `withColumn("s",
+    * maxAbs(v) / 127.0)`) on hot paths: higher-order lambdas are
+    * interpreted, so the 1-arg convenience form re-evaluates the
+    * embedded max-abs fold per element — O(d²) per vector.
     */
-  def quantize8(v: Column): Column = {
-    val scale = aggregate(v, lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
+  def quantize8(v: Column, scale: Column): Column =
     struct(
       scale.cast("float").as("scale"),
       transform(v, x =>
         when(scale === 0.0, lit(0))
           .otherwise(round(x.cast("double") / scale))
           .cast("tinyint")).as("q"))
-  }
+
+  def quantize8(v: Column): Column = quantize8(v, maxAbs(v) / 127.0)
 
   /** Inverse of [[quantize8]]: `array<float>` reconstruction. */
   def dequantize8(qv: Column): Column =

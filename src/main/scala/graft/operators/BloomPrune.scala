@@ -29,9 +29,19 @@ import org.apache.spark.util.sketch.BloomFilter
 object BloomPrune {
 
   /** Distributed bloom build over `key`. One narrow aggregate job; the
-    * returned blob is `optimalNumOfBits(expectedItems, fpp)` bits.
-    * Overshooting `expectedItems` is safe (fpp degrades gracefully);
-    * size the estimate from table stats, not a count job.
+    * returned blob is `optimalNumOfBits(expectedItems, fpp)` bits
+    * (~1.2 MiB per million keys at 1%). Overshooting `expectedItems`
+    * is safe (fpp degrades gracefully); size the estimate from table
+    * stats, not a count job. Mind the blob itself at very large key
+    * counts — it ships to every probe task as a literal, so beyond a
+    * few tens of millions of keys a broadcast semi-join prunes better
+    * than a filter this size.
+    *
+    * `BloomFilterAggregate` silently clamps its size against the
+    * runtime-filter SQLConf caps (4M items / 67M bits by default —
+    * they exist to bound Catalyst's own injected filters). An
+    * explicit build must honor the requested size, so the caps are
+    * raised for this one job and restored after.
     */
   def buildBloom(df: DataFrame, key: Column,
                  expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
@@ -40,7 +50,19 @@ object BloomPrune {
     val agg = new BloomFilterAggregate(
       XxHash64(Seq(ColumnBridge.expression(key)), 42L),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    df.select(ColumnBridge.column(agg).as("bloom")).head().getAs[Array[Byte]](0)
+    val conf = df.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = conf.getOption(itemsKey)
+    val prevBits = conf.getOption(bitsKey)
+    def restore(k: String, prev: Option[String]): Unit = prev match {
+      case Some(v) => conf.set(k, v)
+      case None    => conf.unset(k)
+    }
+    conf.set(itemsKey, math.max(expectedItems, 4000000L).toString)
+    conf.set(bitsKey, math.max(numBits, 67108864L).toString)
+    try df.select(ColumnBridge.column(agg).as("bloom")).head().getAs[Array[Byte]](0)
+    finally { restore(itemsKey, prevItems); restore(bitsKey, prevBits) }
   }
 
   /** Codegen membership probe against a built filter (hash-compatible
@@ -59,7 +81,10 @@ object BloomPrune {
                 factKey: String, dimKey: String,
                 expectedDimKeys: Long, fpp: Double = 0.01): DataFrame = {
     val bloom = buildBloom(dim, col(dimKey), expectedDimKeys, fpp)
-    fact.filter(mightContain(bloom, col(factKey)))
-      .join(dim, col(factKey) === col(dimKey))
+    val pruned = fact.filter(mightContain(bloom, col(factKey)))
+    // dataset-qualified condition: bare col() is ambiguous when both
+    // sides share the key name
+    if (factKey == dimKey) pruned.join(dim, Seq(factKey))
+    else pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
 }

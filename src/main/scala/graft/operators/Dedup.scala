@@ -59,14 +59,26 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 3, bands: Int = 8, rows: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
-    val withSh = df.select(
+    val withSh = shingleFrame(df, textCol, idCol, shingleSize)
+    minhashLshFromShingles(withSh, mhBandRows(withSh, bands, rows), threshold)
+  }
+
+  /** (id, sh) frame: each doc's distinct word shingles (empty-shingle
+    * docs dropped — they can never near-dup).
+    */
+  private def shingleFrame(df: DataFrame, textCol: String, idCol: String,
+                           shingleSize: Int): DataFrame =
+    df.select(
         col(idCol).as("id"),
         graft.functions.ShingleFunctions.word_shingles(col(textCol), shingleSize)
           .as("sh"))
       .filter(size(col("sh")) > 0)
-    // light rows: (id, band, bandhash); band hash folds the band's
-    // signature slice
-    val banded = mhBandRows(withSh, bands, rows)
+
+  /** LSH core over pre-computed shingles + band rows, so callers that
+    * already hold both (incremental admission) never shingle twice.
+    */
+  private def minhashLshFromShingles(withSh: DataFrame, banded: DataFrame,
+                                     threshold: Double): DataFrame = {
     val cand = banded.select(col("band"), col("bandhash"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bandhash"), col("id").as("id_b")),
         Seq("band", "bandhash"))
@@ -277,13 +289,30 @@ object Dedup {
     connectedComponents(edges, df.select(col(idCol).as("id")))
   }
 
+  /** The persistable LSH band index of a corpus: (id, band, bandhash)
+    * — 24 bytes per doc·band. Write it to the lake alongside the
+    * corpus and APPEND each admitted batch's rows; then
+    * [[admitIncremental]] with `existingIndex` never recomputes
+    * shingles or signatures over the existing corpus.
+    */
+  def bandIndex(df: DataFrame, textCol: String, idCol: String,
+                shingleSize: Int = 3, bands: Int = 8, rows: Int = 4): DataFrame =
+    mhBandRows(shingleFrame(df, textCol, idCol, shingleSize), bands, rows)
+
   /** D23: incremental corpus admission — the growth loop of a training
     * corpus. Each incoming batch is screened for near-dups against the
     * EXISTING corpus and against itself, WITHOUT ever re-pairing the
-    * corpus with itself: the existing side contributes only its
-    * (id, band, bandhash) rows — appendable from a lake-side band
-    * index — and only the buckets an incoming band actually touches
-    * join. Cost scales with the batch, not the corpus.
+    * corpus with itself.
+    *
+    * Cost shape: the batch is shingled/signed ONCE; the existing
+    * corpus contributes only its [[bandIndex]] rows (pass the
+    * persisted index via `existingIndex` — the convenience overload
+    * without it recomputes the index, costing a full corpus pass).
+    * Existing TEXT is touched only for band-collision candidates:
+    * the exact-Jaccard verify joins candidate ex_ids back to
+    * `existing` first and shingles the matched rows only, so with an
+    * id-partitioned corpus lake the admission reads O(batch +
+    * candidates), not O(corpus).
     *
     * Semantics (transitive clustering, matching the resolution
     * operators): verified near-dup pairs (exact Jaccard ≥ threshold —
@@ -292,34 +321,40 @@ object Dedup {
     * the existing corpus is rejected wholesale, otherwise its
     * minimum-id member is admitted as the representative.
     *
+    * @param existingIndex [[bandIndex]] of `existing`, if persisted
     * @return admitted incoming rows, original columns intact
     */
   def admitIncremental(existing: DataFrame, incoming: DataFrame,
                        textCol: String, idCol: String,
                        shingleSize: Int = 3, bands: Int = 8, rows: Int = 4,
-                       threshold: Double = 0.5): DataFrame = {
-    def shingled(df: DataFrame) = df.select(col(idCol).as("id"),
-        graft.functions.ShingleFunctions
-          .word_shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val inSh = shingled(incoming)
-    val exSh = shingled(existing)
+                       threshold: Double = 0.5,
+                       existingIndex: Option[DataFrame] = None): DataFrame = {
+    val inSh = shingleFrame(incoming, textCol, idCol, shingleSize)
+    val inBands = mhBandRows(inSh, bands, rows)
+    val exIndex = existingIndex.getOrElse(
+      bandIndex(existing, textCol, idCol, shingleSize, bands, rows))
 
-    // incoming ↔ existing: band collision nominates, exact Jaccard decides
-    val tainted = mhBandRows(inSh, bands, rows)
+    // incoming ↔ existing: band collision nominates; exact Jaccard
+    // decides, shingling only the candidate existing docs
+    val candPairs = inBands
       .select(col("band"), col("bandhash"), col("id").as("in_id"))
-      .join(mhBandRows(exSh, bands, rows)
-        .select(col("band"), col("bandhash"), col("id").as("ex_id")),
+      .join(exIndex.select(col("band"), col("bandhash"), col("id").as("ex_id")),
         Seq("band", "bandhash"))
       .select(col("in_id"), col("ex_id")).distinct()
+    val exCandSh = candPairs.select(col("ex_id")).distinct()
+      .join(existing.select(col(idCol).as("ex_id"), col(textCol).as("__text")),
+        Seq("ex_id"))
+      .select(col("ex_id"), graft.functions.ShingleFunctions
+        .word_shingles(col("__text"), shingleSize).as("sh_ex"))
+    val tainted = candPairs
       .join(inSh.select(col("id").as("in_id"), col("sh").as("sh_in")), Seq("in_id"))
-      .join(exSh.select(col("id").as("ex_id"), col("sh").as("sh_ex")), Seq("ex_id"))
+      .join(exCandSh, Seq("ex_id"))
       .filter(TextFunctions.jaccard(col("sh_in"), col("sh_ex")) >= threshold)
       .select(col("in_id")).distinct()
 
     // incoming ↔ incoming: verified near-dup graph → components
-    val inEdges = minhashLsh(incoming, textCol, idCol,
-        shingleSize, bands, rows, threshold)
+    // (reuses the batch's shingles + band rows — nothing recomputed)
+    val inEdges = minhashLshFromShingles(inSh, inBands, threshold)
       .select(col("id_a"), col("id_b"))
     val comp = connectedComponents(inEdges,
       incoming.select(col(idCol).as("id")))
@@ -363,7 +398,8 @@ object Dedup {
                     textCol: String, idCol: String,
                     n: Int = 8,
                     broadcastDocLimit: Long = 50000L,
-                    benchIsSmall: Option[Boolean] = None): DataFrame = {
+                    benchIsSmall: Option[Boolean] = None,
+                    maxBloomGrams: Long = 1L << 22): DataFrame = {
     def grams(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).as(as),
         explode(array_distinct(graft.functions.ShingleFunctions
@@ -382,11 +418,19 @@ object Dedup {
     val (benchSide, corpusSide) =
       if (small) (broadcast(benchGrams), corpusGrams)
       else {
-        // one extra narrow job over the (smaller) bench side buys a
-        // corpus-side exchange that carries only probable hits
-        val bloom = BloomPrune.buildBloom(benchGrams, col("gram"),
-          expectedItems = math.max(1L, broadcastDocLimit) * 64L)
-        (benchGrams, corpusGrams.filter(BloomPrune.mightContain(bloom, col("gram"))))
+        // two narrow bench-side jobs (count, then a correctly-SIZED
+        // bloom build) buy a corpus-side exchange that carries only
+        // probable hits — trivial next to the corpus shuffle they
+        // save. Beyond maxBloomGrams the filter itself stops being
+        // broadcast-sized (and would saturate), so fall back to the
+        // plain gram join rather than ship a useless filter.
+        val nGrams = benchGrams.count()
+        if (nGrams > 0 && nGrams <= maxBloomGrams) {
+          val bloom = BloomPrune.buildBloom(benchGrams, col("gram"),
+            expectedItems = nGrams)
+          (benchGrams,
+            corpusGrams.filter(BloomPrune.mightContain(bloom, col("gram"))))
+        } else (benchGrams, corpusGrams)
       }
     corpusSide
       .join(benchSide, Seq("gram"))

@@ -53,9 +53,11 @@ object VectorQueries {
     * and top-k agreement with the float path.
     */
   def annQuantized(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.{dequantize8, quantize8}
+    import graft.functions.VectorFunctions.{dequantize8, maxAbs, quantize8}
     val qCorpus = corpus(spark, dir)
-      .select(col("id"), dequantize8(quantize8(col("vec"))).as("vec"))
+      .withColumn("__scale", maxAbs(col("vec")) / 127.0) // shared, once per row
+      .select(col("id"),
+        dequantize8(quantize8(col("vec"), col("__scale"))).as("vec"))
     Similarity.bruteForceKnn(queries(spark, dir), qCorpus, 10)
       .orderBy(col("qid"), col("rk"))
   }

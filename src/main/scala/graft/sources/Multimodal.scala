@@ -116,7 +116,13 @@ object Multimodal {
           chunk.foreach { case (id, bytes) =>
             ids(i) = id; payloads(i) = bytes; i += 1
           }
-          ids.iterator.zip(decoder.decode(ids, payloads).iterator)
+          val feats = decoder.decode(ids, payloads)
+          // a decoder that drops rows would silently truncate the zip
+          // and mis-align ids with features — fail at the decoder
+          require(feats.length == ids.length,
+            s"BatchDecoder returned ${feats.length} rows for ${ids.length} inputs; " +
+              "emit one (possibly empty) feature array per input row")
+          ids.iterator.zip(feats.iterator)
         }
       }
       .toDF(idCol, "features")

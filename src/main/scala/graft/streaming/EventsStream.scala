@@ -205,13 +205,28 @@ object EventsStream {
   class GapSessionProcessor(gapSeconds: Long)
       extends StatefulProcessor[Long, Event, Session] {
     @transient private var session: ValueState[SessionState] = _
+    // the single armed timer instant — unlike v1's timeout slot,
+    // registerTimer ADDS a timer, so the superseded one must be
+    // deleted explicitly or stale timers pile up one per batch
+    @transient private var armed: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       session = getHandle.getValueState("session",
         org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+      armed = getHandle.getValueState("armed",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     private def deadlineMs(s: SessionState): Long =
       s.last / 1000L + gapSeconds * 1000L
+
+    private def rearm(at: Long): Unit = {
+      if (armed.exists() && armed.get() != at) getHandle.deleteTimer(armed.get())
+      if (!armed.exists() || armed.get() != at) {
+        getHandle.registerTimer(at)
+        armed.update(at)
+      }
+    }
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
                                  timers: TimerValues): Iterator[Session] = {
@@ -223,8 +238,7 @@ object EventsStream {
         // event-time timers fire when the watermark passes them; keep
         // the registered instant strictly ahead of the watermark so it
         // fires on a later batch, exactly like the v1 clamp
-        getHandle.registerTimer(math.max(deadlineMs(s),
-          timers.getCurrentWatermarkInMs() + 1L))
+        rearm(math.max(deadlineMs(s), timers.getCurrentWatermarkInMs() + 1L))
       }
       closed.iterator
     }
@@ -236,6 +250,7 @@ object EventsStream {
         val s = session.get()
         if (expired.getExpiryTimeInMs() >= deadlineMs(s)) {
           session.clear()
+          armed.clear()
           Iterator(toSession(userId, s))
         } else Iterator.empty // stale timer; a newer one guards the session
       }

@@ -60,6 +60,23 @@ class DedupSpec extends AnyFunSuite {
       s"admitted mismatch: extra=${got -- want} missing=${want -- got}")
   }
 
+  test("incremental admission via a persisted band index equals the direct path") {
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    def admitted(index: Option[org.apache.spark.sql.DataFrame]): Set[Long] =
+      graft.operators.Dedup.admitIncremental(existing, incoming,
+          "text", "doc_id", threshold = 0.8, existingIndex = index)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val direct = admitted(None)
+    // the lake pattern: the index is persisted once, read back, reused
+    val path = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    graft.operators.Dedup.bandIndex(existing, "text", "doc_id")
+      .write.mode("overwrite").parquet(path)
+    val viaIndex = admitted(Some(spark.read.parquet(path)))
+    assert(direct.nonEmpty && viaIndex == direct,
+      "persisted-index admission must match recomputing the index")
+  }
+
   test("contamination: bloom-pruned shuffle path equals the broadcast path") {
     val bench = docs.filter(col("doc_id") % 10 === 0)
     def run(small: Boolean) = graft.operators.Dedup
