@@ -148,6 +148,18 @@ object ScaleProbe {
         docs.filter(col("doc_id") % 2 === 1),
         "text", "doc_id", threshold = 0.8).count()
     }
+    t("incremental_admission_indexed") {
+      // the lake pattern: band index persisted once, admission reads it
+      val idxPath = "/tmp/graft_probe_bandidx"
+      graft.operators.Dedup.bandIndex(
+          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+        .write.mode("overwrite").parquet(idxPath)
+      graft.operators.Dedup.admitIncremental(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", threshold = 0.8,
+        existingIndex = Some(spark.read.parquet(idxPath))).count()
+    }
     spark.stop()
   }
 }
