@@ -105,6 +105,42 @@ class NullSafetySpec extends AnyFunSuite {
     assert(out.isEmpty, "no 8-grams exist, so no contamination pairs")
   }
 
+  test("splitByHash: invalid weights throw; a single weight puts every row in split 0") {
+    val df = Seq(1L, 2L, 3L).toDF("id")
+    intercept[IllegalArgumentException] {
+      graft.operators.Resample.splitByHash(df, col("id"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Resample.splitByHash(df, col("id"), Seq(0.0, 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Resample.splitByHash(df, col("id"), Seq(0.5, -0.5))
+    }
+    val one = graft.operators.Resample.splitByHash(df, col("id"), Seq(1.0))
+      .select(col("split")).collect().map(_.getInt(0))
+    assert(one.toSeq == Seq(0, 0, 0))
+  }
+
+  test("z-order write: empty input and degenerate ranges degrade to a plain layout, no NPE") {
+    val path = java.nio.file.Files.createTempDirectory("graft_zorder_empty").toString
+    val empty = Seq.empty[(Long, Double)].toDF("a", "b")
+    graft.sources.ZOrder.writeClustered(empty, Seq("a", "b"), path + "/e", numFiles = 4)
+    assert(spark.read.parquet(path + "/e").isEmpty)
+    // one distinct value per dim → every range is degenerate → bucket 0
+    val const = Seq((1L, 2.0), (1L, 2.0)).toDF("a", "b")
+    graft.sources.ZOrder.writeClustered(const, Seq("a", "b"), path + "/c", numFiles = 4)
+    assert(spark.read.parquet(path + "/c").count() == 2)
+  }
+
+  test("contamination: empty bench on the shuffle path yields no pairs, no bloom") {
+    val df = Seq((1L, "a b c d e f g h i j k l m n o p")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.contamination(
+        df, df.filter(col("doc_id") < 0), "text", "doc_id", n = 8,
+        benchIsSmall = Some(false))
+      .collect()
+    assert(out.isEmpty)
+  }
+
   test("sessionize: single-event users and duplicate timestamps stay deterministic") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val df = Seq((1L, ts, 1L), (2L, ts, 2L), (2L, ts, 3L)).toDF("u", "ts", "eid")
