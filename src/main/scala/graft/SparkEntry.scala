@@ -60,6 +60,7 @@ object SparkEntry {
     "bloom_prune_join"   -> (RelationalQueries.bloomPruneJoin _),
     "zorder_layout"      -> (ExtendedQueries.zorderLayout _),
     "hll_partitioned_distinct" -> (ExtendedQueries.hllPartitionedDistinct _),
+    "histogram_preagg_quantiles" -> (ExtendedQueries.histogramPreaggQuantiles _),
     "events_click_attribution" -> (TextQueries.clickAttribution _),
     "text_length_quantiles" -> (TextQueries.textLengthQuantiles _),
     "text_length_quantiles_exact" -> (TextQueries.textLengthQuantilesExact _),
@@ -353,6 +354,26 @@ object SparkEntry {
         |FROM events
         |WHERE user_id BETWEEN 10 AND 60 AND value BETWEEN 5.0 AND 40.0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The histogram pre-agg is exactly mergeable (integer bucket
+    // counts), so the merged cumulative histogram — and the bucket
+    // each quantile lands in — is deterministic in both engines.
+    "histogram_preagg_quantiles" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |merged AS (SELECT bucket, SUM(n) AS n FROM daily GROUP BY bucket),
+        |cum AS (
+        |  SELECT bucket,
+        |    SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(n) OVER () AS total
+        |  FROM merged),
+        |qs AS (SELECT CAST(q AS DOUBLE) AS q
+        |       FROM (VALUES (0.5),(0.9),(0.99)) t(q))
+        |SELECT q, MIN(bucket) * 10.0 AS value_at_q
+        |FROM cum, qs WHERE cum >= q * total
+        |GROUP BY q ORDER BY q""".stripMargin,
 
     // Discrete quantile: least length whose cumulative count reaches
     // q*N; the integer cumulative count compares against the same IEEE

@@ -81,6 +81,39 @@ object ExtendedQueries {
       sum(col("n_events")).as("n_events"))
   }
 
+  /** C18: histogram pre-aggregation — the deterministic cousin of the
+    * HLL pattern (C17) for DISTRIBUTION stats: persist per-partition
+    * (per-day) fixed-width bucket counts once; any date-range query
+    * then merges bucket counts (plain sums — exactly mergeable, no
+    * sketch error) and reads quantiles off the cumulative histogram,
+    * precise to a bucket width. Raw events are never rescanned.
+    * Integer counts make this fully DuckDB-oracle-able, unlike true
+    * quantile sketches.
+    */
+  def histogramPreaggQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val width = 10.0
+    // the persistable pre-agg: (day, bucket, n)
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"),
+        floor(col("value") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    // merge an arbitrary day range (here: all) — bucket domain is tiny,
+    // so the cumulative window runs over the collapsed histogram only
+    val merged = daily.groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = merged
+      .withColumn("cum", sum(col("n")).over(w))
+      .crossJoin(broadcast(merged.agg(sum(col("n")).as("total"))))
+    cum.crossJoin(broadcast(Seq(0.5, 0.9, 0.99).toDF("q")))
+      .filter(col("cum") >= col("q") * col("total"))
+      .groupBy(col("q"))
+      .agg((min(col("bucket")) * width).as("value_at_q"))
+      .orderBy(col("q"))
+  }
+
   /** C15: fixed-width histogram — binned aggregation is a pure
     * projection + one shuffle (the 100 TB-safe way to get a value
     * distribution; contrast a global sort). Bucket 25k of the
