@@ -259,4 +259,48 @@ class PropertiesSpec extends AnyFunSuite {
       assert(got == want, s"containment diverges: points=$points ivs=$ivs")
     }
   }
+
+  test("z-interleave: monotone in each dimension, bijective on bucket tuples") {
+    import graft.sources.ZOrder
+    val gBuckets = Gen.listOfN(24, Gen.zip(
+      Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)))
+    forAll(gBuckets) { pairs =>
+      val df = pairs.toDF("a", "b")
+        .select(col("a"), col("b"),
+          ZOrder.interleave(Seq(col("a"), col("b"))).as("z"))
+      val rows = df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      rows.foreach { case (_, z) => assert(z >= 0, "z must never reach the sign bit") }
+      // bijective: equal z ⇔ equal bucket tuple
+      rows.groupBy(_._2).foreach { case (_, g) =>
+        assert(g.map(_._1).distinct.length == 1,
+          "two distinct bucket tuples interleaved to the same z")
+      }
+      // monotone per dimension with the other fixed
+      for (((a1, b1), z1) <- rows; ((a2, b2), z2) <- rows) {
+        if (a1 == a2 && b1 < b2) assert(z1 < z2, s"z not monotone in b at a=$a1")
+        if (b1 == b2 && a1 < a2) assert(z1 < z2, s"z not monotone in a at b=$b1")
+      }
+    }
+  }
+
+  test("splitByHash: partition of the id space for arbitrary positive weights") {
+    val gWeights = Gen.choose(1, 4).flatMap(k =>
+      Gen.listOfN(k, Gen.choose(0.05, 10.0)))
+    forAll(gWeights, n = 4) { weights =>
+      val ids = (0L until 400L).toDF("id")
+      val out = graft.operators.Resample
+        .splitByHash(ids, col("id"), weights)
+        .select(col("id"), col("split"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(out.length == 400, "complete: every id assigned exactly once")
+      assert(out.forall { case (_, s) => s >= 0 && s < weights.size })
+      // every split with meaningful weight share is non-empty at n=400
+      val total = weights.sum
+      val counts = out.groupBy(_._2).view.mapValues(_.size).toMap
+      weights.zipWithIndex.foreach { case (w, i) =>
+        if (w / total > 0.05)
+          assert(counts.getOrElse(i, 0) > 0, s"split $i (share ${w / total}) empty")
+      }
+    }
+  }
 }

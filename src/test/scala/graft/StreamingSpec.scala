@@ -164,6 +164,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState sessionizer: late in-gap event merges without a duplicate timer") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, minute: Long): EventsStream.Event =
+      EventsStream.Event(id, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + minute * 60000L),
+        user, "click", 1.0)
+    withStateStoreProvider(stateStoreVariants.last._1) {
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event](
+        spark, 202)
+      val q = EventsStream.sessionizeTws(src.toDS(), gapSeconds = 600,
+          watermarkDelay = "30 minutes")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sess_tws_late").start()
+      try {
+        src.addData(ev(1, 1, 0), ev(2, 1, 6))
+        q.processAllAvailable()
+        // a LATE in-gap event: s.last is unchanged, so the re-arm sees
+        // the same deadline and must NOT stack a second timer
+        src.addData(ev(3, 1, 3))
+        q.processAllAvailable()
+        src.addData(ev(4, 2, 60))
+        q.processAllAvailable()
+        src.addData(ev(5, 2, 61))
+        q.processAllAvailable()
+        val s = spark.table("sess_tws_late").as[EventsStream.Session]
+          .collect().filter(_.user_id == 1L)
+        assert(s.length == 1, s"expected exactly one closed session, got ${s.toSeq}")
+        assert(s.head.n_events == 3, "late event must merge into the session")
+        assert(s.head.t_end.getTime ==
+          java.sql.Timestamp.valueOf("2024-01-01 00:06:00").getTime,
+          "a late event must not drag the session end backward")
+      } finally q.stop()
+    }
+  }
+
   test("late in-gap event extends the session without dragging bounds backward") {
     import spark.implicits._
     def ev(id: Long, user: Long, minute: Long): EventsStream.Event =
