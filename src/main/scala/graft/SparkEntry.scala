@@ -79,6 +79,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
     "dedup_resolve"      -> (TextQueries.dedupResolve _),
     "dedup_incremental"  -> (TextQueries.dedupIncremental _),
+    "dedup_repeated_spans" -> (TextQueries.dedupRepeatedSpans _),
+    "source_quota"       -> (TextQueries.sourceQuota _),
     "train_split"        -> (TextQueries.trainSplit _),
     "corpus_pipeline"    -> (TextQueries.corpusPipeline _),
     "decontamination"    -> (TextQueries.decontaminate _),
@@ -580,6 +582,72 @@ object SparkEntry {
         |JOIN documents d ON d.doc_id = c.doc_id
         |WHERE c.doc_id = c.label AND c.label NOT IN (SELECT label FROM bad)
         |ORDER BY c.doc_id""".stripMargin,
+
+    // Span-granular dedup: the covered-position set and the positional
+    // rewrite are plain integer/array algebra — identical in ANSI SQL.
+    "dedup_repeated_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(len(tk) - 3, 0))) AS pos,
+        |    unnest(list_transform(range(0, greatest(len(tk) - 3, 0)),
+        |      i -> array_to_string(list_slice(tk, i + 1, i + 4), ' '))) AS gram
+        |  FROM t),
+        |hot AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) >= 2),
+        |cov AS (
+        |  SELECT doc_id, list(DISTINCT cp) AS cov FROM (
+        |    SELECT doc_id, unnest(range(pos, pos + 4)) AS cp
+        |    FROM occ JOIN hot USING (gram))
+        |  GROUP BY doc_id),
+        |fin AS (
+        |  SELECT t.doc_id,
+        |    list_filter(tk, (x, i) ->
+        |      NOT list_contains(COALESCE(cov, CAST([] AS BIGINT[])), i - 1)) AS ct,
+        |    len(tk) AS nt
+        |  FROM t LEFT JOIN cov USING (doc_id))
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(ct, ' '), '') AS clean_text,
+        |  CAST(nt - len(ct) AS INTEGER) AS n_removed
+        |FROM fin ORDER BY doc_id""".stripMargin,
+
+    "source_quota" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 12 ORDER BY source, doc_id""".stripMargin,
+
+    // Bit-exact across engines: the kernel (GraftKernels.cosine) is a
+    // left-to-right double fold over float inputs — float→double
+    // widening is exact and IEEE +,*,/,sqrt are correctly rounded, so
+    // mirroring the fold order in list_reduce reproduces the same 64
+    // bits, and the rank tiebreak (cos DESC, id) cannot diverge.
+    "ann_bruteforce_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT qid, e.vec_id AS id,
+        |    list_reduce(list_transform(range(1, len(qv) + 1),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |      (a, b) -> a + b) AS dot,
+        |    list_reduce(list_transform(range(1, len(qv) + 1),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+        |      (a, b) -> a + b) AS na,
+        |    list_reduce(list_transform(range(1, len(qv) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |      (a, b) -> a + b) AS nb
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |c AS (
+        |  SELECT qid, id,
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+        |  FROM s),
+        |r AS (
+        |  SELECT qid, id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+        |  FROM c)
+        |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     "decontamination" ->
       """WITH t AS (

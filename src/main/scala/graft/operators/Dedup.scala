@@ -453,4 +453,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
+
+  /** D26: corpus-level duplicated-span removal — every token position
+    * covered by an exact n-token span that occurs at least `minCount`
+    * times ACROSS THE CORPUS (all occurrences, within- and cross-doc)
+    * is dropped from its document. This is span-granular dedup in the
+    * style of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al., 2022) / C4's repeated-line filter: document-
+    * level dedup keeps one copy of a boilerplate paragraph PER
+    * DISTINCT DOCUMENT — this removes the repeated span itself
+    * everywhere, which is what stops an LLM from memorizing it.
+    *
+    * Plan shape (no driver state, no all-pairs work):
+    *  1. positional n-grams per doc (codegen `shingles` transform —
+    *     an array op, tokens never explode for counting);
+    *  2. corpus gram frequencies via partial-aggregated groupBy —
+    *     repeated grams collapse map-side, so the exchange carries
+    *     ~distinct grams, not corpus positions;
+    *  3. hot grams (`count >= minCount`) are rare by construction —
+    *     AQE sees the tiny post-agg side and broadcasts the join back
+    *     onto occurrences (worst case: equality shuffle on the gram,
+    *     still never quadratic);
+    *  4. covered positions fold to one small int-set per doc, and the
+    *     rewrite is a positional array `filter` — documents are
+    *     reassembled in place, never re-grouped from exploded tokens.
+    *
+    * Returns (id, clean_text, n_removed) — `n_removed` counts dropped
+    * token positions. Deterministic, and exactly reproducible in ANSI
+    * SQL (DuckDB-oracled as `dedup_repeated_spans`).
+    */
+  def stripRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 4, minCount: Long = 2): DataFrame = {
+    require(n > 0, s"stripRepeatedSpans: span length must be positive, got $n")
+    require(minCount >= 2,
+      s"stripRepeatedSpans: minCount < 2 would remove every token, got $minCount")
+    val toked = df.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val occ = toked.select(col("id"),
+      posexplode(TextFunctions.shingles(col("toks"), n)).as(Seq("pos", "gram")))
+    val hot = occ.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("gram"))
+    val covered = occ.join(hot, "gram")
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("cp"))
+      .groupBy(col("id")).agg(collect_set(col("cp")).as("cov"))
+    toked.join(covered, Seq("id"), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .withColumn("clean_toks",
+        filter(col("toks"), (x, i) => !array_contains(col("cov"), i)))
+      .select(col("id"),
+        array_join(col("clean_toks"), " ").as("clean_text"),
+        (size(col("toks")) - size(col("clean_toks"))).as("n_removed"))
+  }
 }

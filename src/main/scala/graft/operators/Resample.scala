@@ -64,4 +64,33 @@ object Resample {
     }
     df.withColumn(splitCol, splitExpr)
   }
+
+  /** D27: per-stratum quota cap — keep at most `quota` rows per
+    * stratum (source domain, site, license bucket, …), chosen by the
+    * `priority` ordering with ties broken deterministically. Corpus
+    * curation caps over-represented domains this way: without a cap,
+    * one boilerplate-heavy site dominates the token budget of its
+    * whole stratum.
+    *
+    * Deliberately phrased as the `row_number() <= k` window idiom: the
+    * injected [[graft.plans.TopKRewrite]] rule turns it into the
+    * bounded-heap [[graft.plans.TopKPerGroup]] physical operator, so
+    * the cap runs with O(strata × quota) task state instead of a
+    * per-partition sort buffer — one expression of the op, two plans,
+    * the optimizer picks.
+    *
+    * @param priority ordering columns, highest-priority first; the
+    *                 caller appends a unique key (e.g. the row id) to
+    *                 make the kept set deterministic.
+    */
+  def quotaCap(df: DataFrame, stratum: Column, priority: Seq[Column],
+               quota: Int): DataFrame = {
+    require(quota > 0, s"quotaCap: quota must be positive, got $quota")
+    require(priority.nonEmpty, "quotaCap: priority ordering must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(priority: _*)
+    df.withColumn("__qrank", row_number().over(w))
+      .filter(col("__qrank") <= quota)
+      .drop("__qrank")
+  }
 }

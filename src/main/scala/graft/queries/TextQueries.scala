@@ -49,6 +49,29 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D26: duplicated-span removal — strips every token position
+    * covered by a 4-gram that occurs ≥2 times corpus-wide. The word
+    * domain in the synthetic corpus is small, so cross-doc repeated
+    * 4-grams genuinely exist and the rewrite is non-degenerate (a few
+    * percent of positions drop); real boilerplate repeats far harder.
+    */
+  def dedupRepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stripRepeatedSpans(Tables.documents(spark, dir), "text", "doc_id",
+        n = 4, minCount = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** D27: per-source quota cap — at most 12 docs per source, kept by
+    * lowest doc_id (deterministic priority). Goes through the
+    * `row_number <= k` idiom, so TopKRewrite runs it on the
+    * bounded-heap operator.
+    */
+  def sourceQuota(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.quotaCap(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        col("source"), Seq(col("doc_id")), quota = 12)
+      .orderBy(col("source"), col("doc_id"))
+
   /** D8: token counting — whitespace tokens and BPE-ish subtokens. */
   def textTokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

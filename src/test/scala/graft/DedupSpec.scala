@@ -127,6 +127,51 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("stripRepeatedSpans matches an exact driver-side reference") {
+    val n = 4
+    val toks = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.split("\\s+").toSeq)
+      .toMap
+    val counts = toks.values.flatMap(_.sliding(n).filter(_.length == n)
+      .map(_.mkString(" "))).groupBy(identity).map { case (g, o) => g -> o.size }
+    val hot = counts.collect { case (g, c) if c >= 2 => g }.toSet
+    assert(hot.nonEmpty, "testdata should contain repeated 4-grams")
+    val want = toks.map { case (id, tk) =>
+      val covered = tk.sliding(n).zipWithIndex
+        .collect { case (w, i) if w.length == n && hot(w.mkString(" ")) =>
+          i until i + n }
+        .flatten.toSet
+      val clean = tk.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      id -> ((clean.mkString(" "), tk.length - clean.length))
+    }
+    val got = Dedup.stripRepeatedSpans(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got == want)
+    assert(want.values.map(_._2).sum > 0, "removal should be non-degenerate")
+  }
+
+  test("stripRepeatedSpans: planted boilerplate vanishes everywhere, short docs untouched") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact us here"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta $boiler"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, s"iota kappa $boiler lambda mu"),
+      (4L, "completely unique sentence nothing shared whatsoever today"),
+      (5L, "tiny doc") // shorter than the span width
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedSpans(corpus, "text", "doc_id", n = 4, minCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val bt = boiler.split(" ").toSet
+    for (id <- Seq(1L, 2L, 3L)) {
+      val kept = out(id)._1.split("\\s+").filter(_.nonEmpty).toSet
+      assert(kept.intersect(bt).isEmpty, s"doc $id kept boilerplate tokens: $kept")
+      assert(out(id)._2 == 6, s"doc $id should lose exactly the 6 boilerplate tokens")
+    }
+    assert(out(4L) == (("completely unique sentence nothing shared whatsoever today", 0)))
+    assert(out(5L) == (("tiny doc", 0)))
+  }
+
   private lazy val docs =
     graft.sources.Tables.documents(spark, sfDir).cache()
 

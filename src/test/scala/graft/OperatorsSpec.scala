@@ -9,6 +9,25 @@ import graft.sources.Tables
 class OperatorsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("quotaCap keeps at most the quota per stratum, lowest priority first") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val quota = 7
+    val kept = graft.operators.Resample.quotaCap(
+        docs, col("source"), Seq(col("doc_id")), quota)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val bySource = docs.collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = kept.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got.keySet == bySource.keySet, "no stratum may vanish")
+    bySource.foreach { case (src, ids) =>
+      assert(got(src) == ids.take(quota).toSeq,
+        s"stratum $src must keep exactly its $quota lowest ids")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Resample.quotaCap(docs, col("source"), Seq(col("doc_id")), 0)
+    }
+  }
+
   test("GraftExtensions registers all kernel functions for SQL") {
     // builder-time extensions don't apply to an already-running
     // session (common in tests) — the runtime path covers that

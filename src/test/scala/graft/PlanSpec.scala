@@ -140,6 +140,26 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("quotaCap routes through the bounded-heap operator under TopKRewrite") {
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        prev.filterNot(_ == graft.plans.TopKRewrite) :+ graft.plans.TopKRewrite
+      import org.apache.spark.sql.functions.col
+      val df = graft.operators.Resample.quotaCap(
+        graft.sources.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("source")),
+        col("source"), Seq(col("doc_id")), quota = 12)
+      df.collect()
+      val p = planString(df)
+      assert(p.contains("TopKPerGroup ["),
+        s"quota cap should run on the bounded-heap operator:\n$p")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("TopKRewrite fires on the keep-latest idiom (row_number === 1), not on rank()") {
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
       spark.experimental.extraStrategies =
