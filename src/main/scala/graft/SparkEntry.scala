@@ -649,6 +649,56 @@ object SparkEntry {
         |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
+    // Same bit-exactness argument as ann_bruteforce_topk, extended
+    // through the quantization round-trip: round() (HALF_UP vs C
+    // round-half-away) agrees on every exact double, and each
+    // double↔float cast is the same IEEE correctly-rounded operation
+    // in both engines — so the dequantized corpus, and therefore every
+    // cosine, reproduces exactly.
+    "ann_quantized_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, embedding,
+        |    list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+        |      (a, b) -> greatest(a, b)) / 127.0 AS s
+        |  FROM embeddings),
+        |quant AS (
+        |  SELECT id,
+        |    CAST(s AS FLOAT) AS sf,
+        |    list_transform(embedding, x ->
+        |      CASE WHEN s = 0 THEN CAST(0 AS TINYINT)
+        |           ELSE CAST(round(CAST(x AS DOUBLE) / s) AS TINYINT) END) AS q
+        |  FROM base),
+        |dq AS (
+        |  SELECT id,
+        |    list_transform(q, x ->
+        |      CAST(CAST(x AS DOUBLE) * CAST(sf AS DOUBLE) AS FLOAT)) AS vec
+        |  FROM quant),
+        |qs AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT qid, d.id AS id,
+        |    list_reduce(list_transform(range(1, len(qv) + 1),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(d.vec[i] AS DOUBLE)),
+        |      (a, b) -> a + b) AS dot,
+        |    list_reduce(list_transform(range(1, len(qv) + 1),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+        |      (a, b) -> a + b) AS na,
+        |    list_reduce(list_transform(range(1, len(qv) + 1),
+        |      i -> CAST(d.vec[i] AS DOUBLE) * CAST(d.vec[i] AS DOUBLE)),
+        |      (a, b) -> a + b) AS nb
+        |  FROM dq d CROSS JOIN qs WHERE d.id <> qs.qid),
+        |c AS (
+        |  SELECT qid, id,
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+        |  FROM s),
+        |r AS (
+        |  SELECT qid, id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+        |  FROM c)
+        |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
     "decontamination" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),

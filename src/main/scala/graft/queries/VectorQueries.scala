@@ -6,10 +6,16 @@ import graft.operators.Similarity
 import graft.sources.Tables
 
 /** Similarity search over the embeddings table (SURVEY §2.D5-D7).
-  * Scores are left-fold doubles — deterministic within Spark, but not
-  * bit-reproducible by another engine's accumulation order, so these
-  * are rows-only queries (no DuckDB oracle); exactness is covered by
-  * SimilaritySpec against a scala reference implementation.
+  *
+  * Scores are left-to-right double folds over float inputs — fully
+  * deterministic, and because float→double widening is exact and IEEE
+  * +,*,/,sqrt are correctly rounded, any engine that mirrors the fold
+  * order reproduces the same 64 bits. The exact paths
+  * ([[annBruteForce]], [[annQuantized]]) are therefore DuckDB-oracled
+  * bit-for-bit (`list_reduce` mirrors the fold); the LSH/IVF paths
+  * stay rows-only (bucketing depends on engine-seeded hyperplanes /
+  * trained centroids), pinned by SimilaritySpec against a scala
+  * reference.
   */
 object VectorQueries {
 
@@ -48,9 +54,10 @@ object VectorQueries {
 
   /** D24: the int8-quantized storage path end-to-end — corpus vectors
     * quantized ([[graft.functions.VectorFunctions.quantize8]], 4×
-    * smaller at rest), dequantized on read, searched exactly. Rows-only
-    * (float accumulation); SimilaritySpec pins reconstruction error
-    * and top-k agreement with the float path.
+    * smaller at rest), dequantized on read, searched exactly.
+    * DuckDB-oracled bit-for-bit (the whole round-trip is IEEE
+    * correctly-rounded ops in both engines); SimilaritySpec pins
+    * reconstruction error and top-k agreement with the float path.
     */
   def annQuantized(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{dequantize8, maxAbs, quantize8}
