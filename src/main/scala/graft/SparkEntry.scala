@@ -583,6 +583,28 @@ object SparkEntry {
         |WHERE c.doc_id = c.label AND c.label NOT IN (SELECT label FROM bad)
         |ORDER BY c.doc_id""".stripMargin,
 
+    // Valid as an oracle for the same reason as dedup_incremental:
+    // every true >=0.5-jaccard pair in the gate corpora actually sits
+    // at j >= 0.88, where the 8x4 band miss probability is < 5e-4, the
+    // pipeline is deterministic, and reported jaccards are the exact
+    // verify values — so LSH + verify equals this exact formulation
+    // (DedupSpec pins full set equality at sf0.001).
+    "dedup_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM t),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s
+        |       WHERE len(sh) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+        |FROM pairs WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Span-granular dedup: the covered-position set and the positional
     // rewrite are plain integer/array algebra — identical in ANSI SQL.
     "dedup_repeated_spans" ->
