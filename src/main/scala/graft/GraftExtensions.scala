@@ -48,7 +48,18 @@ object GraftExtensions {
       exprs => VecCosine(exprs.head, exprs(1))),
     ("hyperplane_bucket",
       "hyperplane_bucket(array<float>, planes) - LSH bucket",
-      exprs => HyperplaneBucketExpr(exprs.head, intArg(exprs(1)))))
+      exprs => HyperplaneBucketExpr(exprs.head, intArg(exprs(1)))),
+    ("kll_sketch_agg",
+      "kll_sketch_agg(double[, k]) - mergeable KLL quantile sketch bytes",
+      exprs => KllSketchAgg(exprs.head,
+        if (exprs.size > 1) intArg(exprs(1)) else KllFunctions.DefaultK)),
+    ("kll_merge_agg",
+      "kll_merge_agg(binary[, k]) - merge persisted KLL sketches",
+      exprs => KllMergeAgg(exprs.head,
+        if (exprs.size > 1) intArg(exprs(1)) else KllFunctions.DefaultK)),
+    ("kll_quantiles",
+      "kll_quantiles(binary, array<double>) - quantile values at the given ranks",
+      exprs => KllQuantiles(exprs.head, exprs(1))))
 
   /** Patch a LIVE session to the same posture `withExtensions` gives a
     * new one: every SQL function, the top-k planner strategy, AND the

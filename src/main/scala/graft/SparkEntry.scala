@@ -61,6 +61,7 @@ object SparkEntry {
     "zorder_layout"      -> (ExtendedQueries.zorderLayout _),
     "hll_partitioned_distinct" -> (ExtendedQueries.hllPartitionedDistinct _),
     "histogram_preagg_quantiles" -> (ExtendedQueries.histogramPreaggQuantiles _),
+    "kll_preagg_quantiles" -> (ExtendedQueries.kllPreaggQuantiles _),
     "events_click_attribution" -> (TextQueries.clickAttribution _),
     "text_length_quantiles" -> (TextQueries.textLengthQuantiles _),
     "text_length_quantiles_exact" -> (TextQueries.textLengthQuantilesExact _),

@@ -81,6 +81,30 @@ object ExtendedQueries {
       sum(col("n_events")).as("n_events"))
   }
 
+  /** C19: KLL sketch pre-aggregation — true quantile sketches as a
+    * mergeable lake column ([[graft.functions.KllAggregates]]): one
+    * KB-scale binary sketch per day persisted once, any date range's
+    * quantiles read by merging sketches. The sketch twin of C18's
+    * exact histogram (bucket-width precision) and D18's one-shot
+    * `approx_percentile` (not storable). Rows-only: sketch internals
+    * are engine-specific; OperatorsSpec pins the rank-error bound and
+    * the parquet round-trip.
+    */
+  def kllPreaggQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllFunctions._
+    val qs = Seq(0.5, 0.9, 0.99)
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(kll_sketch_agg(col("value").cast("double")).as("sk"))
+    daily
+      .agg(kll_quantiles(kll_merge_agg(col("sk")),
+        array(qs.map(lit): _*)).as("qv"))
+      .select(posexplode(col("qv")).as(Seq("pos", "value_at_q")))
+      .select(element_at(array(qs.map(lit): _*), col("pos") + 1).as("q"),
+        col("value_at_q"))
+      .orderBy(col("q"))
+  }
+
   /** C18: histogram pre-aggregation — the deterministic cousin of the
     * HLL pattern (C17) for DISTRIBUTION stats: persist per-partition
     * (per-day) fixed-width bucket counts once; any date-range query

@@ -9,6 +9,46 @@ import graft.sources.Tables
 class OperatorsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("kll lake column: merged per-day sketches hit exact ranks within bound, survive parquet") {
+    import graft.functions.KllFunctions._
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val exact = Tables.events(spark, sfDir).select(col("value").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    def rankOf(v: Double): Double = {
+      val below = exact.count(_ <= v)
+      below.toDouble / exact.length
+    }
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(kll_sketch_agg(col("value").cast("double")).as("sk"))
+    def mergedQuantiles(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.agg(kll_quantiles(kll_merge_agg(col("sk")),
+          array(qs.map(lit): _*)).as("qv"))
+        .head().getSeq[Double](0)
+    val got = mergedQuantiles(daily)
+    // k=200 ⇒ ~1.65% normalized rank error; 3% keeps the spec stable
+    qs.zip(got).foreach { case (q, v) =>
+      assert(math.abs(rankOf(v) - q) <= 0.03,
+        s"quantile $q -> $v has rank ${rankOf(v)}, outside the KLL bound")
+    }
+    // the sketch column is a persistable lake column: parquet
+    // round-trip must keep it mergeable with the same guarantees
+    val dir = Files.createTempDirectory("kll_lake").toString
+    daily.write.mode("overwrite").parquet(dir)
+    val rt = mergedQuantiles(spark.read.parquet(dir))
+    qs.zip(rt).foreach { case (q, v) =>
+      assert(math.abs(rankOf(v) - q) <= 0.03,
+        s"round-trip quantile $q -> $v outside the KLL bound")
+    }
+    // SQL face via GraftExtensions
+    GraftExtensions.registerAll(spark)
+    daily.createOrReplaceTempView("kll_daily")
+    val sqlQ = spark.sql(
+      "SELECT kll_quantiles(kll_merge_agg(sk), array(0.5D)) FROM kll_daily")
+      .head().getSeq[Double](0)
+    assert(math.abs(rankOf(sqlQ.head) - 0.5) <= 0.03)
+  }
+
   test("quotaCap keeps at most the quota per stratum, lowest priority first") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
     val quota = 7
