@@ -82,6 +82,7 @@ object SparkEntry {
     "dedup_incremental"  -> (TextQueries.dedupIncremental _),
     "dedup_repeated_spans" -> (TextQueries.dedupRepeatedSpans _),
     "source_quota"       -> (TextQueries.sourceQuota _),
+    "sequence_pack"      -> (TextQueries.sequencePack _),
     "train_split"        -> (TextQueries.trainSplit _),
     "corpus_pipeline"    -> (TextQueries.corpusPipeline _),
     "decontamination"    -> (TextQueries.decontaminate _),
@@ -633,6 +634,19 @@ object SparkEntry {
         |  COALESCE(array_to_string(ct, ' '), '') AS clean_text,
         |  CAST(nt - len(ct) AS INTEGER) AS n_removed
         |FROM fin ORDER BY doc_id""".stripMargin,
+
+    "sequence_pack" ->
+      """SELECT doc_id, doc_id % 8 AS bucket,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |  SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)) OVER (
+        |    PARTITION BY doc_id % 8 ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - len(string_split_regex(trim(text), '\s+')) AS start_offset,
+        |  CAST(FLOOR((SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)) OVER (
+        |    PARTITION BY doc_id % 8 ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - len(string_split_regex(trim(text), '\s+'))) / 512.0) AS BIGINT) AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "source_quota" ->
       """SELECT doc_id, source FROM (

@@ -72,6 +72,21 @@ object TextQueries {
         col("source"), Seq(col("doc_id")), quota = 12)
       .orderBy(col("source"), col("doc_id"))
 
+  /** D28: deterministic sequence packing — documents land at
+    * reproducible offsets in 8 parallel token streams, chunked into
+    * 512-token context windows. The bucket here is `doc_id % 8` so
+    * the oracle can express it; production callers pass a seeded
+    * hash bucket.
+    */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Pack.concatChunk(docs,
+        col("doc_id"), TextFunctions.tokenCount(col("text")),
+        pmod(col("doc_id"), lit(8)), budget = 512L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** D8: token counting — whitespace tokens and BPE-ish subtokens. */
   def textTokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

@@ -142,6 +142,29 @@ object ScaleProbe {
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
       daily.agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head.getLong(0)
     }
+    t("repeated_span_strip") {
+      // amplified docs repeat every 4-gram ~mult× across copies, so
+      // this runs the REMOVAL path at full volume (worst case: nearly
+      // every position covered). Aggregate n_removed so count() can't
+      // prune the positional rewrite itself out of the plan.
+      graft.operators.Dedup.stripRepeatedSpans(docs, "text", "doc_id",
+          n = 4, minCount = mult * 2)
+        .agg(sum(col("n_removed"))).head.getLong(0)
+    }
+    t("source_quota_cap") {
+      graft.operators.Resample.quotaCap(
+        docs.withColumn("src", (col("doc_id") % 500).cast("string")),
+        col("src"), Seq(col("doc_id")), quota = 20).count()
+    }
+    t("kll_preagg_merge") {
+      val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(graft.functions.KllFunctions.kll_sketch_agg(
+          col("value").cast("double")).as("sk"))
+      daily.agg(graft.functions.KllFunctions.kll_quantiles(
+          graft.functions.KllFunctions.kll_merge_agg(col("sk")),
+          array(lit(0.5), lit(0.99))))
+        .head.getSeq[Double](0).length.toLong
+    }
     t("incremental_admission") {
       graft.operators.Dedup.admitIncremental(
         docs.filter(col("doc_id") % 2 === 0),

@@ -49,6 +49,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(rankOf(sqlQ.head) - 0.5) <= 0.03)
   }
 
+  test("sequence packing: per-bucket streams are contiguous, shards cut at the budget") {
+    val budget = 512L
+    val docs = Tables.documents(spark, sfDir)
+    val got = graft.operators.Pack.concatChunk(docs,
+        col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text")),
+        pmod(col("doc_id"), lit(8)), budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    // exact reference: sequential layout per bucket in id order
+    val ref = got.map { case (id, _, n, _, _) => (id, n) }.sortBy(_._1)
+      .groupBy { case (id, _) => id % 8 }
+      .flatMap { case (b, ds) =>
+        var off = 0L
+        ds.map { case (id, n) =>
+          val r = (id, b, n, off, off / budget); off += n; r
+        }.toSeq
+      }.toSet
+    assert(got.toSet == ref)
+    assert(got.map(_._5).max >= 1, "corpus should span multiple shards")
+    // deterministic under re-evaluation
+    val again = graft.operators.Pack.concatChunk(docs,
+        col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text")),
+        pmod(col("doc_id"), lit(8)), budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again == got.map(t => (t._1, t._4)).toSet)
+  }
+
   test("quotaCap keeps at most the quota per stratum, lowest priority first") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
     val quota = 7

@@ -109,6 +109,20 @@ class PlanSpec extends AnyFunSuite {
     // quadratic band-bucket exchange must stay light)
   }
 
+  test("span removal: gram counts combine map-side, no nested-loop join anywhere") {
+    val df = graft.operators.Dedup.stripRepeatedSpans(
+      graft.sources.Tables.documents(spark, sfDir), "text", "doc_id")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span removal must stay an equality-join plan:\n$p")
+    // the corpus gram-frequency count must partial-aggregate before its
+    // exchange — the property that keeps the shuffle ~distinct-gram-sized
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg > 0 && p.indexOf("HashAggregate", firstAgg + 1) > 0,
+      s"expected partial+final aggregate pair for gram counts:\n$p")
+  }
+
   test("TopKRewrite: the window idiom optimizes into the bounded-heap operator") {
     // the strategy must be available for the rewritten node to plan
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
