@@ -72,6 +72,7 @@ object SparkEntry {
     "text_redact"        -> (ExtendedQueries.textRedact _),
     "vocab_top_words"    -> (ExtendedQueries.vocabTopWords _),
     "events_sessionize"  -> (TextQueries.eventsSessionize _),
+    "events_session_window" -> (TextQueries.eventsSessionWindow _),
     "events_windowed_agg" -> (TextQueries.eventsWindowedAgg _),
     // §2.D — LLM-training-data operators
     "dedup_exact"        -> (TextQueries.dedupExact _),
@@ -496,6 +497,29 @@ object SparkEntry {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS t_start, MAX(ts) AS t_end
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    // session_window semantics: per-event windows [ts, ts+gap) merge
+    // while they OVERLAP, so a new session starts at diff >= gap
+    // (strict window containment — unlike C8's lag formulation, which
+    // breaks only at diff > gap); start = first ts, end = last ts +
+    // gap (exclusive).
+    "events_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+        |         THEN 1 ELSE 0 END AS flag
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, SUM(flag) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 4 HOUR AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "events_windowed_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

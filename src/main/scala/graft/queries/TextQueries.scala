@@ -290,6 +290,21 @@ object TextQueries {
         Seq(col("ts"), col("event_id")))
       .orderBy(col("user_id"), col("session_id"))
 
+  /** C8b: gap sessionization through Spark's native `session_window`
+    * aggregate — the same 4-hour-gap semantics as [[eventsSessionize]]
+    * expressed as a windowed GROUP BY instead of lag+cumsum, and the
+    * formulation that runs unchanged as a Structured Streaming query
+    * (session windows merge incrementally under a watermark). Window
+    * end is exclusive: last event + gap.
+    */
+  def eventsSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** E1 (batch face): tumbling 1-hour windowed aggregation — the same
     * plan Structured Streaming runs incrementally (see
     * graft.streaming.EventsStream).

@@ -149,4 +149,26 @@ class NullSafetySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSet == Set((1L, 1L, 1L), (2L, 1L, 2L)))
   }
+
+  test("stripRepeatedSpans: null/empty texts survive, unaffected docs unchanged") {
+    val df = Seq(
+      (1L, Some("a b c d e a b c d e")), // within-doc repeated 4-gram
+      (2L, Some("x y z w q")),           // unique, untouched
+      (3L, Some("")),                    // empty
+      (4L, None)                         // null text
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .stripRepeatedSpans(df, "text", "doc_id", n = 4, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2)))).toMap
+    // doc 1: "a b c d" and "b c d e" each occur twice -> positions
+    // 0..4 and 5..9 are all covered; everything is removed
+    assert(out(1L) == (("", 10)))
+    assert(out(2L) == (("x y z w q", 0)))
+    // empty text tokenizes to a single empty token; nothing repeats
+    assert(out(3L)._2 == 0)
+    // null text propagates null, never throws
+    assert(out(4L) == ((null, -1)))
+  }
 }
