@@ -84,6 +84,7 @@ object SparkEntry {
     "dedup_repeated_spans" -> (TextQueries.dedupRepeatedSpans _),
     "source_quota"       -> (TextQueries.sourceQuota _),
     "sequence_pack"      -> (TextQueries.sequencePack _),
+    "text_repetition_score" -> (TextQueries.textRepetitionScore _),
     "train_split"        -> (TextQueries.trainSplit _),
     "corpus_pipeline"    -> (TextQueries.corpusPipeline _),
     "decontamination"    -> (TextQueries.decontaminate _),
@@ -773,6 +774,30 @@ object SparkEntry {
         |FROM ex e JOIN (SELECT * FROM ex WHERE doc_id % 10 = 0) b
         |  ON e.gram = b.gram AND e.doc_id <> b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_repetition_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |tg AS (
+        |  SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+        |    list_transform(range(1, greatest(len(tk) - 1, 1)),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g
+        |  FROM t),
+        |dup AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN len(g) = 0 THEN 0.0
+        |         ELSE CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+        |              / CAST(len(g) AS DOUBLE) END AS dup_trigram_frac
+        |  FROM tg),
+        |top AS (
+        |  SELECT doc_id, MAX(c) AS top_c FROM (
+        |    SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |      SELECT doc_id, unnest(tk) AS tok FROM t)
+        |    GROUP BY doc_id, tok)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, dup_trigram_frac,
+        |  CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac
+        |FROM dup JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,

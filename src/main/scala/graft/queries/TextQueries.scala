@@ -87,6 +87,37 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D29: intra-document repetition scoring (Gopher/MassiveText-style
+    * quality signals): the fraction of trigram occurrences that are
+    * duplicates (positional shingles vs their distinct set — pure
+    * codegen array algebra, no shuffle), and the fraction of tokens
+    * taken by the single most frequent token (explode → two partial
+    * aggregates — the shuffle carries (doc, token) counts, not text).
+    * High values mark the looping/boilerplate docs corpus filters
+    * drop.
+    */
+  def textRepetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("toks"),
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("tg"))
+    val dup = base.select(col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      when(size(col("tg")) === 0, 0.0)
+        .otherwise((size(col("tg")) - size(array_distinct(col("tg"))))
+          .cast("double") / size(col("tg")).cast("double"))
+        .as("dup_trigram_frac"))
+    val top = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    dup.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("dup_trigram_frac"),
+        (col("top_c").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D8: token counting — whitespace tokens and BPE-ish subtokens. */
   def textTokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
