@@ -51,6 +51,22 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** C8b streaming face: gap sessionization via the native
+    * `session_window` aggregate — per-event windows merge while they
+    * overlap, session state closes (and emits, in append mode) once
+    * the watermark passes the session's end. The batch twin is
+    * [[graft.queries.TextQueries.eventsSessionWindow]]; StreamingSpec
+    * pins stream == batch.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "4 hours",
+                       watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** E6: streaming dedup — the streaming face of D1 exact dedup:
     * keeps the first arrival per key within the watermark horizon and
     * EVICTS the key's state once the watermark passes it, so state is

@@ -52,6 +52,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window equals the batch formulation once the watermark passes") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, minute: Long): EventsStream.Event =
+      EventsStream.Event(id, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + minute * 60000L),
+        user, "click", 1.0)
+    // user 1: two sessions (gap 400min > 4h); user 2: one singleton
+    val real = Seq(ev(1, 1, 0), ev(2, 1, 100), ev(3, 1, 500), ev(4, 2, 30))
+    // epilogue far in the future so the watermark passes every real
+    // session and append mode emits them all
+    val epilogue = ev(99, 99, 60 * 24 * 10)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event](
+      spark, 42)
+    val q = EventsStream.sessionWindowAgg(src.toDS().toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_win_out").start()
+    try {
+      src.addData(real: _*)
+      q.processAllAvailable()
+      src.addData(epilogue)
+      q.processAllAvailable()
+      val got = spark.table("sess_win_out")
+        .filter(col("user_id") =!= 99)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+      val batch = real.toDF()
+        .groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start"), col("w.end"), col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+      assert(got == batch)
+      assert(got.size == 3, s"expected 3 sessions, got $got")
+    } finally q.stop()
+  }
+
   for (((provider, label), vi) <- stateStoreVariants.zipWithIndex)
   test(s"streaming dedup keeps one arrival per key across batches ($label)") {
     import spark.implicits._
