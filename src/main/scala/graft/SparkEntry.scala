@@ -499,16 +499,15 @@ object SparkEntry {
         |  MIN(ts) AS t_start, MAX(ts) AS t_end
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
 
-    // session_window semantics: per-event windows [ts, ts+gap) merge
-    // while they OVERLAP, so a new session starts at diff >= gap
-    // (strict window containment — unlike C8's lag formulation, which
-    // breaks only at diff > gap); start = first ts, end = last ts +
-    // gap (exclusive).
+    // session_window semantics, verified empirically on Spark 4.1:
+    // an event at EXACTLY prev_ts + gap still merges (sessions split
+    // only at diff > gap) — the same boundary as C8's lag
+    // formulation; start = first ts, end = last ts + gap (exclusive).
     "events_session_window" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+        |              OR ts - lag(ts) OVER w > INTERVAL 4 HOUR
         |         THEN 1 ELSE 0 END AS flag
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
@@ -612,10 +611,12 @@ object SparkEntry {
 
     // Valid as an oracle for the same reason as dedup_incremental:
     // every true >=0.5-jaccard pair in the gate corpora actually sits
-    // at j >= 0.88, where the 8x4 band miss probability is < 5e-4, the
-    // pipeline is deterministic, and reported jaccards are the exact
-    // verify values — so LSH + verify equals this exact formulation
-    // (DedupSpec pins full set equality at sf0.001).
+    // at j >= 0.889 (sf0.001 floor; 0.9 at sf0.01), where the 8x4
+    // band miss probability (1-j^4)^8 is ~4e-4 and ~2e-4
+    // respectively, the pipeline is deterministic, and reported
+    // jaccards are the exact verify values — so LSH + verify equals
+    // this exact formulation (DedupSpec pins full set equality at
+    // sf0.001).
     "dedup_minhash_lsh" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),

@@ -133,9 +133,11 @@ case class KllQuantiles(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      // containsNull = false only: toDoubleArray on a null slot would
+      // NPE or silently read 0.0 depending on the physical encoding
+      case (BinaryType, ArrayType(DoubleType, false)) => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"kll_quantiles needs (binary, array<double>), got $t")
+        s"kll_quantiles needs (binary, array<double> without null ranks), got $t")
     }
 
   override def nullSafeEval(sketchBytes: Any, ranks: Any): Any = {

@@ -326,7 +326,9 @@ object TextQueries {
     * expressed as a windowed GROUP BY instead of lag+cumsum, and the
     * formulation that runs unchanged as a Structured Streaming query
     * (session windows merge incrementally under a watermark). Window
-    * end is exclusive: last event + gap.
+    * end is exclusive: last event + gap. Boundary (spec-pinned): an
+    * event at exactly prev + gap still merges — sessions split only
+    * at diff > gap, matching the lag formulation.
     */
   def eventsSessionWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

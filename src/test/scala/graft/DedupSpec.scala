@@ -203,9 +203,9 @@ class DedupSpec extends AnyFunSuite {
     }
     // full set equality with the exact >= 0.5 pairs — the property the
     // DuckDB oracle for dedup_minhash_lsh relies on: every true pair on
-    // the gate corpora sits at j >= 0.88 where the 8x4 band miss
-    // probability is < 5e-4, and the pipeline is deterministic, so
-    // LSH + exact verify IS the exact pair set here
+    // the gate corpora sits at j >= 0.889 where the 8x4 band miss
+    // probability (1-j^4)^8 is ~4e-4, and the pipeline is
+    // deterministic, so LSH + exact verify IS the exact pair set here
     assert(got.keySet == exactPairs.filter(_._2 >= 0.5).keySet,
       "LSH output must equal the exact jaccard >= 0.5 pair set")
   }

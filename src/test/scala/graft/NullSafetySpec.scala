@@ -150,6 +150,21 @@ class NullSafetySpec extends AnyFunSuite {
     assert(out.toSet == Set((1L, 1L, 1L), (2L, 1L, 2L)))
   }
 
+  test("session_window boundary: an event at exactly prev + gap merges into the session") {
+    // pins the semantics the events_session_window oracle encodes
+    // (sessions split only at diff > gap, NOT at diff == gap)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(h: Double) = new java.sql.Timestamp(t0.getTime + (h * 3600000L).toLong)
+    val df = Seq((1L, at(0)), (1L, at(4)), (2L, at(0)), (2L, at(4.001)))
+      .toDF("user_id", "ts")
+    val out = df.groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(out(1L) == Seq(2L), "exactly-gap-apart events must merge into one session")
+    assert(out(2L) == Seq(1L, 1L), "past-gap events must split")
+  }
+
   test("stripRepeatedSpans: null/empty texts survive, unaffected docs unchanged") {
     val df = Seq(
       (1L, Some("a b c d e a b c d e")), // within-doc repeated 4-gram
