@@ -303,4 +303,59 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("stripRepeatedSpans == scala reference on random small-vocab corpora") {
+    // small vocabulary forces genuine cross-doc gram repetition
+    val smallWord = Gen.oneOf("a", "b", "c", "d", "e")
+    val smallText = Gen.choose(0, 14)
+      .flatMap(k => Gen.listOfN(k, smallWord)).map(_.mkString(" "))
+    val corpus = Gen.listOfN(12, smallText)
+    forAll2(corpus, Gen.choose(2, 4), n = 5) { (ts, span) =>
+      val rows = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = rows.toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .stripRepeatedSpans(df, "text", "doc_id", n = span, minCount = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+      val toks = rows.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+      val counts = toks.flatMap(_._2.sliding(span).filter(_.length == span)
+        .map(_.mkString(" "))).groupBy(identity).view.mapValues(_.size).toMap
+      val hot = counts.collect { case (g, c) if c >= 2 => g }.toSet
+      toks.foreach { case (id, tk) =>
+        val covered = tk.sliding(span).zipWithIndex
+          .collect { case (w, i) if w.length == span && hot(w.mkString(" ")) =>
+            i until i + span }
+          .flatten.toSet
+        val clean = tk.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        assert(got(id) == ((clean.mkString(" "), tk.length - clean.length)),
+          s"doc $id diverges for span=$span corpus=$ts")
+      }
+    }
+  }
+
+  test("Pack.concatChunk: contiguous offsets, budget-aligned shards, permutation-safe") {
+    val gCounts = Gen.listOfN(40, Gen.choose(1, 300))
+    val gBudget = Gen.choose(64L, 1024L)
+    forAll2(gCounts, gBudget, n = 5) { (ns, budget) =>
+      val rows = ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      // shuffled input order must not change the layout (window sorts)
+      val df = scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+        .shuffle(rows).toDF("doc_id", "n")
+      val out = graft.operators.Pack.concatChunk(df,
+          col("doc_id"), col("n"), pmod(col("doc_id"), lit(4)), budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getLong(4)))
+      val byBucket = out.groupBy(_._2)
+      byBucket.foreach { case (b, ds) =>
+        val sorted = ds.sortBy(_._1)
+        var off = 0L
+        sorted.foreach { case (id, _, n, start, shard) =>
+          assert(start == off, s"bucket $b doc $id: offset $start != $off")
+          assert(shard == start / budget)
+          assert(id % 4 == b)
+          off += n
+        }
+      }
+      assert(out.length == rows.length)
+    }
+  }
 }
