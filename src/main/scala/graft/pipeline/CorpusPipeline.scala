@@ -6,12 +6,13 @@ import graft.functions.TextFunctions
 import graft.operators.{Dedup, Resample}
 
 /** End-to-end training-corpus preparation (the capstone composition of
-  * SURVEY §2.D): quality gate → exact dedup → near-dup resolution →
-  * benchmark decontamination → mixture resampling → train/val/test
-  * split → deterministic order key. One lazy DataFrame composition —
-  * Catalyst sees the whole flow, so the quality filter pushes into the
-  * scan, stages share the corpus scan where possible, and nothing
-  * materializes until the caller writes.
+  * SURVEY §2.D): [optional span-granular boilerplate removal] →
+  * quality gate → exact dedup → near-dup resolution → benchmark
+  * decontamination → [optional per-stratum quota cap] → mixture
+  * resampling → train/val/test split → deterministic order key. One
+  * lazy DataFrame composition — Catalyst sees the whole flow, so the
+  * quality filter pushes into the scan, stages share the corpus scan
+  * where possible, and nothing materializes until the caller writes.
   *
   * Stage shapes at 100 TB (each pinned individually by its operator's
   * spec; PipelineSpec pins the composed invariants):
@@ -29,6 +30,13 @@ object CorpusPipeline {
     * @param nearDupThreshold exact-Jaccard bar for near-dup rejection
     * @param fractionsByLang  per-language keep fractions (mixture)
     * @param splitWeights     train/val/test relative weights
+    * @param stripSpans      Some((n, minCount)): rewrite texts through
+    *                        [[Dedup.stripRepeatedSpans]] FIRST, so all
+    *                        later stages (quality, digests, shingles)
+    *                        see the de-boilerplated text
+    * @param quotaPerStratum Some((column, k)): cap survivors per
+    *                        stratum (e.g. source domain) after
+    *                        decontamination, lowest id kept
     */
   case class Config(
       minQuality: Double = 0.2,
@@ -38,7 +46,9 @@ object CorpusPipeline {
       fractionsByLang: Map[String, Double] = Map.empty,
       defaultFraction: Double = 1.0,
       splitWeights: Seq[Double] = Seq(0.9, 0.05, 0.05),
-      seed: Long = 42L)
+      seed: Long = 42L,
+      stripSpans: Option[(Int, Long)] = None,
+      quotaPerStratum: Option[(String, Int)] = None)
 
   /** @param docs  corpus with (idCol: long, textCol: string)
     * @param bench eval/benchmark docs with the same two columns
@@ -48,8 +58,22 @@ object CorpusPipeline {
   def run(docs: DataFrame, bench: DataFrame,
           textCol: String, idCol: String,
           cfg: Config = Config()): DataFrame = {
+    // 0. (optional) span-granular boilerplate removal — BEFORE any
+    // content-derived stage, so quality scores, digests, and shingles
+    // all see the rewritten text
+    val input = cfg.stripSpans match {
+      case None => docs
+      case Some((n, minCount)) =>
+        val cleaned = Dedup.stripRepeatedSpans(docs, textCol, idCol, n, minCount)
+          .select(col("id").as("__sid"), col("clean_text"))
+        docs.drop(textCol)
+          .join(cleaned, docs(idCol) === col("__sid"))
+          .withColumnRenamed("clean_text", textCol)
+          .drop("__sid")
+    }
+
     // 1. quality gate
-    val scored = docs
+    val scored = input
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .filter(col("quality") >= cfg.minQuality)
 
@@ -78,8 +102,15 @@ object CorpusPipeline {
     val clean = nearDeduped
       .join(dirty, nearDeduped(idCol) === col("__dirty"), "left_anti")
 
+    // 4b. (optional) per-stratum quota cap on the decontaminated set
+    val capped = cfg.quotaPerStratum match {
+      case None => clean
+      case Some((stratumCol, k)) =>
+        Resample.quotaCap(clean, col(stratumCol), Seq(col(idCol)), k)
+    }
+
     // 5. language mixture, 6. split, 7. deterministic order key
-    val withLang = clean.withColumn("lang", TextFunctions.langId(col(textCol)))
+    val withLang = capped.withColumn("lang", TextFunctions.langId(col(textCol)))
     val sampled = Resample.byStratum(withLang, col("lang"), col(idCol),
       cfg.fractionsByLang, cfg.defaultFraction, cfg.seed)
     Resample.splitByHash(sampled, col(idCol), cfg.splitWeights, cfg.seed)

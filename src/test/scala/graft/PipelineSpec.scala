@@ -138,4 +138,43 @@ class PipelineSpec extends AnyFunSuite {
         s"doc $i shares an 8-gram with the eval set")
     }
   }
+
+  test("corpus pipeline: optional span-removal and quota stages compose") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val out = graft.pipeline.CorpusPipeline.run(corpus, bench, "text", "doc_id",
+      graft.pipeline.CorpusPipeline.Config(
+        stripSpans = Some((4, 2L)), quotaPerStratum = Some(("source", 3))))
+    val rows = out.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.nonEmpty, "composed pipeline must still admit docs")
+    // quota honored per source
+    rows.groupBy(_._2).foreach { case (src, ds) =>
+      assert(ds.length <= 3, s"source $src exceeds its quota: ${ds.length}")
+    }
+    // survivors' texts are exactly the span-stripped rewrites of the
+    // originals (stripping ran BEFORE every later stage) — checked
+    // against a driver-side reference of the removal semantics
+    val orig = corpus.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val counts = orig.values
+      .flatMap(_.sliding(4).filter(_.length == 4).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val hot = counts.collect { case (g, c) if c >= 2 => g }.toSet
+    val outText = out.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    outText.foreach { case (id, t) =>
+      val tk = orig(id)
+      val covered = tk.sliding(4).zipWithIndex
+        .collect { case (w, i) if w.length == 4 && hot(w.mkString(" ")) =>
+          i until i + 4 }
+        .flatten.toSet
+      val want = tk.zipWithIndex.collect { case (x, i) if !covered(i) => x }
+        .mkString(" ")
+      assert(t == want, s"doc $id text is not the span-stripped rewrite")
+    }
+  }
 }
