@@ -712,6 +712,41 @@ object SparkEntry {
         |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
+    // Bucketing IS computable on any engine: the hyperplane signs are
+    // bit0 of the public xxhash64 chain (hash p with seed 42, then i
+    // with that result) — embedded below as literal constants (4
+    // planes x 64 dims, dumped from the same SQL xxhash64). The
+    // projection and cosine mirror the kernels' left-to-right double
+    // folds, so bucketing, candidate sets, and scores all reproduce
+    // bit-for-bit (planes=4, probeBits=0 home-bucket candidates).
+    "ann_lsh_topk" ->
+      """WITH s AS (SELECT [[-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0], [1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0], [1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0], [-1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0]] AS m),
+        |cb AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[1][i]), (a, b) -> a + b) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[2][i]), (a, b) -> a + b) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[3][i]), (a, b) -> a + b) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[4][i]), (a, b) -> a + b) > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings, s),
+        |qb AS (
+        |  SELECT vec_id AS qid, embedding AS qv,
+        |    (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[1][i]), (a, b) -> a + b) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[2][i]), (a, b) -> a + b) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[3][i]), (a, b) -> a + b) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[4][i]), (a, b) -> a + b) > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings, s WHERE vec_id < 5),
+        |sc AS (
+        |  SELECT qid, cb.id AS id,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cb.vec[i] AS DOUBLE)), (a, b) -> a + b) AS dot,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (a, b) -> a + b) AS na,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> CAST(cb.vec[i] AS DOUBLE) * CAST(cb.vec[i] AS DOUBLE)), (a, b) -> a + b) AS nb
+        |  FROM cb JOIN qb USING (bucket) WHERE cb.id <> qb.qid),
+        |c AS (
+        |  SELECT qid, id,
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+        |  FROM sc),
+        |r AS (
+        |  SELECT qid, id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+        |  FROM c)
+        |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // Same bit-exactness argument as ann_bruteforce_topk, extended
     // through the quantization round-trip: round() (HALF_UP vs C
     // round-half-away) agrees on every exact double, and each

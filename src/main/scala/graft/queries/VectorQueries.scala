@@ -11,11 +11,13 @@ import graft.sources.Tables
   * deterministic, and because float→double widening is exact and IEEE
   * +,*,/,sqrt are correctly rounded, any engine that mirrors the fold
   * order reproduces the same 64 bits. The exact paths
-  * ([[annBruteForce]], [[annQuantized]]) are therefore DuckDB-oracled
-  * bit-for-bit (`list_reduce` mirrors the fold); the LSH/IVF paths
-  * stay rows-only (bucketing depends on engine-seeded hyperplanes /
-  * trained centroids), pinned by SimilaritySpec against a scala
-  * reference.
+  * ([[annBruteForce]], [[annQuantized]]) are DuckDB-oracled
+  * bit-for-bit (`list_reduce` mirrors the fold), and so is
+  * [[annLsh]]: the hyperplane signs are bit0 of the public xxhash64
+  * chain — deterministic constants, embedded in the oracle SQL — so
+  * bucketing, candidates, and scores all reproduce. Only [[annIvf]]
+  * stays rows-only (trained centroids), pinned by SimilaritySpec
+  * against a scala reference.
   */
 object VectorQueries {
 
