@@ -712,6 +712,30 @@ object SparkEntry {
         |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
+    // Same constant-embedding technique as ann_lsh_topk, at planes=8
+    // with the 1-bit multi-probe: a pair is a candidate iff its
+    // embedded-constant sign signatures differ in <= 1 bit
+    // (bit_count(xor(...))), then the exact cosine fold decides.
+    // Bit-exact end to end.
+    "dedup_embedding_cosine" ->
+      """WITH s AS (SELECT [[-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0], [1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0], [1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0], [-1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0], [1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0], [-1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0], [-1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0], [1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]] AS m),
+        |b AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    CAST((CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[1][i]), (a, b) -> a + b) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[2][i]), (a, b) -> a + b) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[3][i]), (a, b) -> a + b) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[4][i]), (a, b) -> a + b) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[5][i]), (a, b) -> a + b) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[6][i]), (a, b) -> a + b) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[7][i]), (a, b) -> a + b) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[8][i]), (a, b) -> a + b) > 0 THEN 128 ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings, s),
+        |pr AS (
+        |  SELECT a.id AS id_a, a.vec AS vec_a, b2.id AS id_b, b2.vec AS vec_b
+        |  FROM b a JOIN b b2
+        |    ON a.id < b2.id AND bit_count(xor(a.bucket, b2.bucket)) <= 1),
+        |sc AS (
+        |  SELECT id_a, id_b, list_reduce(list_transform(range(1, 65), i -> CAST(vec_a[i] AS DOUBLE) * CAST(vec_b[i] AS DOUBLE)), (a, b) -> a + b) AS dot, list_reduce(list_transform(range(1, 65), i -> CAST(vec_a[i] AS DOUBLE) * CAST(vec_a[i] AS DOUBLE)), (a, b) -> a + b) AS na, list_reduce(list_transform(range(1, 65), i -> CAST(vec_b[i] AS DOUBLE) * CAST(vec_b[i] AS DOUBLE)), (a, b) -> a + b) AS nb FROM pr),
+        |c AS (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+        |  FROM sc)
+        |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
     // Bucketing IS computable on any engine: the hyperplane signs are
     // bit0 of the public xxhash64 chain (hash p with seed 42, then i
     // with that result) — embedded below as literal constants (4
