@@ -712,6 +712,140 @@ object SparkEntry {
         |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
+    // The capstone composition, end to end in SQL: quality formula,
+    // exact dedup (min-id per text), near-dup transitive closure (the
+    // engine's LSH candidates are complete on gate data at the 0.8
+    // bar — same argument as dedup_incremental), 8-gram
+    // decontamination against the eval slice, language id, and the
+    // portable-XXH64 hash split. Every stage is the already-oracled
+    // formulation; their composition oracles the whole pipeline.
+    "corpus_pipeline" ->
+      """WITH RECURSIVE
+        |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |tq AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk FROM corp),
+        |qual AS (
+        |  SELECT doc_id, text, tk FROM (
+        |    SELECT doc_id, text, tk,
+        |      CAST(len(tk) AS DOUBLE) AS n,
+        |      CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |      CAST(len(list_filter(tk, x -> list_contains(
+        |        ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS hcnt
+        |    FROM tq)
+        |  WHERE 0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((hcnt / n) * 8.0, 1.0) >= 0.2),
+        |exact AS (
+        |  SELECT doc_id, text, tk FROM (
+        |    SELECT doc_id, text, tk, MIN(doc_id) OVER (PARTITION BY text) AS cmin
+        |    FROM qual)
+        |  WHERE doc_id = cmin),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s3 FROM exact),
+        |ex AS (SELECT doc_id, len(s3) AS n3, unnest(s3) AS shingle FROM sh WHERE len(s3) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c,
+        |    any_value(a.n3) AS na, any_value(b.n3) AS nb
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT ida, idb FROM pairs
+        |  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8),
+        |und AS (SELECT ida AS src, idb AS dst FROM edges
+        |  UNION ALL SELECT idb, ida FROM edges),
+        |reach AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
+        |reps AS (
+        |  SELECT e.doc_id, e.text, e.tk FROM exact e
+        |  LEFT JOIN (SELECT src, MIN(dst) AS mind FROM reach GROUP BY src) m
+        |    ON m.src = e.doc_id
+        |  WHERE e.doc_id <= COALESCE(m.mind, e.doc_id)),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |      || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS gram
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS tk
+        |        FROM documents WHERE doc_id % 10 = 0)),
+        |dirty AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |        || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS gram
+        |    FROM reps) g
+        |  JOIN bg USING (gram)),
+        |clean AS (
+        |  SELECT r.doc_id, r.tk FROM reps r
+        |  WHERE r.doc_id NOT IN (SELECT doc_id FROM dirty)),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(he, hf, hd, hs) = 0 THEN 'und'
+        |         WHEN he = greatest(he, hf, hd, hs) THEN 'en'
+        |         WHEN hf = greatest(he, hf, hd, hs) THEN 'fr'
+        |         WHEN hd = greatest(he, hf, hd, hs) THEN 'de'
+        |         ELSE 'es' END AS lang
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS he,
+        |      len(list_filter(tk, x -> list_contains(['le','la','et','les','des','un','une'], x))) AS hf,
+        |      len(list_filter(tk, x -> list_contains(['der','die','und','das','ein','nicht'], x))) AS hd,
+        |      len(list_filter(tk, x -> list_contains(['el','los','y','que','un','una','en'], x))) AS hs
+        |    FROM clean)),
+        |hb AS (
+        |  SELECT doc_id, (((CAST(CASE WHEN hout >= 9223372036854775808 THEN hout - 18446744073709551616 ELSE hout END AS BIGINT)) % 1000000) + 1000000) % 1000000 AS bucket
+        |  FROM (SELECT *, xor(CAST(f4 AS HUGEINT), CAST((f4) // 4294967296 AS HUGEINT)) AS hout FROM (SELECT *, (((f3) % 4294967296) * ((1609587929392839161) % 4294967296) + ((((f3) // 4294967296) * ((1609587929392839161) % 4294967296) + ((f3) % 4294967296) * ((1609587929392839161) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f4 FROM (SELECT *, xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT)) AS f3 FROM (SELECT *, (((f1) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((f1) // 4294967296) * ((14029467366897019727) % 4294967296) + ((f1) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f2 FROM (SELECT *, xor(CAST(h2 AS HUGEINT), CAST((h2) // 8589934592 AS HUGEINT)) AS f1 FROM (SELECT *, ((((h1r) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((h1r) // 4294967296) * ((11400714785074694791) % 4294967296) + ((h1r) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) + 9650029242287828579) % 18446744073709551616 AS h2 FROM (SELECT *, (((h1) % 137438953472) * 134217728) + ((h1) // 137438953472) AS h1r FROM (SELECT *, xor(CAST(14440755233413290667 AS HUGEINT), CAST(k3 AS HUGEINT)) AS h1 FROM (SELECT *, (((k2) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((k2) // 4294967296) * ((11400714785074694791) % 4294967296) + ((k2) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k3 FROM (SELECT *, (((k1) % 8589934592) * 2147483648) + ((k1) // 8589934592) AS k2 FROM (SELECT *, (((xv) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((xv) // 4294967296) * ((14029467366897019727) % 4294967296) + ((xv) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k1 FROM (SELECT *, CAST(doc_id AS HUGEINT) AS xv FROM (SELECT doc_id FROM clean))))))))))))))
+        |SELECT l.doc_id, l.lang,
+        |  CASE WHEN hb.bucket < 900000 THEN 0
+        |       WHEN hb.bucket < 950000 THEN 1 ELSE 2 END AS split
+        |FROM lang l JOIN hb USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin,
+
+    // The seeded-hash family is ALSO engine-independent: Spark's
+    // xxhash64 over (lit(seed), id) is hashLong(id, hashLong(seed,
+    // seed)) — the inner call is a constant, and XXH64 of one 8-byte
+    // block is ~10 multiply/rotate/xor steps, expressed below in
+    // portable SQL as nested subqueries over HUGEINT with 32-bit-limb
+    // multiplication mod 2^64. Bit-for-bit equal to the engine hash,
+    // so the deterministic order, the hash split, and the mixture
+    // filter all oracle exactly.
+    "training_order" ->
+      """SELECT doc_id, CAST(CASE WHEN hout >= 9223372036854775808 THEN hout - 18446744073709551616 ELSE hout END AS BIGINT) AS sort_key FROM (SELECT *, xor(CAST(f4 AS HUGEINT), CAST((f4) // 4294967296 AS HUGEINT)) AS hout FROM (SELECT *, (((f3) % 4294967296) * ((1609587929392839161) % 4294967296) + ((((f3) // 4294967296) * ((1609587929392839161) % 4294967296) + ((f3) % 4294967296) * ((1609587929392839161) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f4 FROM (SELECT *, xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT)) AS f3 FROM (SELECT *, (((f1) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((f1) // 4294967296) * ((14029467366897019727) % 4294967296) + ((f1) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f2 FROM (SELECT *, xor(CAST(h2 AS HUGEINT), CAST((h2) // 8589934592 AS HUGEINT)) AS f1 FROM (SELECT *, ((((h1r) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((h1r) // 4294967296) * ((11400714785074694791) % 4294967296) + ((h1r) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) + 9650029242287828579) % 18446744073709551616 AS h2 FROM (SELECT *, (((h1) % 137438953472) * 134217728) + ((h1) // 137438953472) AS h1r FROM (SELECT *, xor(CAST(14440755233413290667 AS HUGEINT), CAST(k3 AS HUGEINT)) AS h1 FROM (SELECT *, (((k2) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((k2) // 4294967296) * ((11400714785074694791) % 4294967296) + ((k2) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k3 FROM (SELECT *, (((k1) % 8589934592) * 2147483648) + ((k1) // 8589934592) AS k2 FROM (SELECT *, (((xv) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((xv) // 4294967296) * ((14029467366897019727) % 4294967296) + ((xv) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k1 FROM (SELECT *, CAST(doc_id AS HUGEINT) AS xv FROM (SELECT doc_id FROM documents))))))))))))) ORDER BY sort_key, doc_id""".stripMargin,
+
+    "train_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, (((CAST(CASE WHEN hout >= 9223372036854775808 THEN hout - 18446744073709551616 ELSE hout END AS BIGINT)) % 1000000) + 1000000) % 1000000 AS bucket FROM (SELECT *, xor(CAST(f4 AS HUGEINT), CAST((f4) // 4294967296 AS HUGEINT)) AS hout FROM (SELECT *, (((f3) % 4294967296) * ((1609587929392839161) % 4294967296) + ((((f3) // 4294967296) * ((1609587929392839161) % 4294967296) + ((f3) % 4294967296) * ((1609587929392839161) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f4 FROM (SELECT *, xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT)) AS f3 FROM (SELECT *, (((f1) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((f1) // 4294967296) * ((14029467366897019727) % 4294967296) + ((f1) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f2 FROM (SELECT *, xor(CAST(h2 AS HUGEINT), CAST((h2) // 8589934592 AS HUGEINT)) AS f1 FROM (SELECT *, ((((h1r) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((h1r) // 4294967296) * ((11400714785074694791) % 4294967296) + ((h1r) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) + 9650029242287828579) % 18446744073709551616 AS h2 FROM (SELECT *, (((h1) % 137438953472) * 134217728) + ((h1) // 137438953472) AS h1r FROM (SELECT *, xor(CAST(14440755233413290667 AS HUGEINT), CAST(k3 AS HUGEINT)) AS h1 FROM (SELECT *, (((k2) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((k2) // 4294967296) * ((11400714785074694791) % 4294967296) + ((k2) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k3 FROM (SELECT *, (((k1) % 8589934592) * 2147483648) + ((k1) // 8589934592) AS k2 FROM (SELECT *, (((xv) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((xv) // 4294967296) * ((14029467366897019727) % 4294967296) + ((xv) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k1 FROM (SELECT *, CAST(doc_id AS HUGEINT) AS xv FROM (SELECT doc_id FROM documents)))))))))))))),
+        |sp AS (
+        |  SELECT doc_id, CASE WHEN bucket < 900000 THEN 0
+        |                      WHEN bucket < 950000 THEN 1 ELSE 2 END AS split
+        |  FROM h)
+        |SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    "mixture_resample" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |hh AS (
+        |  SELECT doc_id,
+        |    len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS he,
+        |    len(list_filter(tk, x -> list_contains(['le','la','et','les','des','un','une'], x))) AS hf,
+        |    len(list_filter(tk, x -> list_contains(['der','die','und','das','ein','nicht'], x))) AS hd,
+        |    len(list_filter(tk, x -> list_contains(['el','los','y','que','un','una','en'], x))) AS hs
+        |  FROM t),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(he, hf, hd, hs) = 0 THEN 'und'
+        |         WHEN he = greatest(he, hf, hd, hs) THEN 'en'
+        |         WHEN hf = greatest(he, hf, hd, hs) THEN 'fr'
+        |         WHEN hd = greatest(he, hf, hd, hs) THEN 'de'
+        |         ELSE 'es' END AS pred_lang
+        |  FROM hh),
+        |h AS (
+        |  SELECT doc_id, (((CAST(CASE WHEN hout >= 9223372036854775808 THEN hout - 18446744073709551616 ELSE hout END AS BIGINT)) % 1000000) + 1000000) % 1000000 AS bucket FROM (SELECT *, xor(CAST(f4 AS HUGEINT), CAST((f4) // 4294967296 AS HUGEINT)) AS hout FROM (SELECT *, (((f3) % 4294967296) * ((1609587929392839161) % 4294967296) + ((((f3) // 4294967296) * ((1609587929392839161) % 4294967296) + ((f3) % 4294967296) * ((1609587929392839161) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f4 FROM (SELECT *, xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT)) AS f3 FROM (SELECT *, (((f1) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((f1) // 4294967296) * ((14029467366897019727) % 4294967296) + ((f1) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f2 FROM (SELECT *, xor(CAST(h2 AS HUGEINT), CAST((h2) // 8589934592 AS HUGEINT)) AS f1 FROM (SELECT *, ((((h1r) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((h1r) // 4294967296) * ((11400714785074694791) % 4294967296) + ((h1r) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) + 9650029242287828579) % 18446744073709551616 AS h2 FROM (SELECT *, (((h1) % 137438953472) * 134217728) + ((h1) // 137438953472) AS h1r FROM (SELECT *, xor(CAST(14440755233413290667 AS HUGEINT), CAST(k3 AS HUGEINT)) AS h1 FROM (SELECT *, (((k2) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((k2) // 4294967296) * ((11400714785074694791) % 4294967296) + ((k2) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k3 FROM (SELECT *, (((k1) % 8589934592) * 2147483648) + ((k1) // 8589934592) AS k2 FROM (SELECT *, (((xv) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((xv) // 4294967296) * ((14029467366897019727) % 4294967296) + ((xv) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k1 FROM (SELECT *, CAST(doc_id AS HUGEINT) AS xv FROM (SELECT doc_id FROM documents))))))))))))))
+        |SELECT doc_id, pred_lang
+        |FROM lang JOIN h USING (doc_id)
+        |WHERE CAST(bucket AS DOUBLE) <
+        |  CASE pred_lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 1.0 WHEN 'de' THEN 0.25
+        |                 WHEN 'es' THEN 0.75 ELSE 0.1 END * 1000000
+        |ORDER BY doc_id""".stripMargin,
+
     // Same constant-embedding technique as ann_lsh_topk, at planes=8
     // with the 1-bit multi-probe: a pair is a candidate iff its
     // embedded-constant sign signatures differ in <= 1 bit
