@@ -131,6 +131,84 @@ object SparkEntry {
        |    CAST(SUM(${DP.format("l_extendedprice")} * ${DR.format("l_tax")}) AS DOUBLE) AS tax_amount
        |  FROM lineitem GROUP BY 1)""".stripMargin
 
+
+  // ---- portable-XXH64 + hyperplane constants (oracle generators) -------
+  // Spark's xxhash64(lit(42L), x) = XXH64.hashLong(x, C) with
+  // C = hashLong(42, 42) — a constant. One 8-byte XXH64 block is ~10
+  // multiply/rotate/xor steps, emitted as nested subqueries (one level
+  // per step: lateral aliases substitute textually and would blow up
+  // exponentially) over HUGEINT with 32-bit-limb multiplication mod
+  // 2^64. Bit-for-bit equal to the engine hash.
+  private val M64 = "18446744073709551616"
+  private val M32 = "4294967296"
+  private def mul64(a: String, b: String): String =
+    s"(($a) % $M32) * (($b) % $M32)" +
+      s" + (((($a) // $M32) * (($b) % $M32)" +
+      s" + (($a) % $M32) * (($b) // $M32)) % $M32) * $M32"
+  private def rotl(x: String, r: Int): String =
+    s"((($x) % ${BigInt(1) << (64 - r)}) * ${BigInt(1) << r}) + (($x) // ${BigInt(1) << (64 - r)})"
+  private def xorShift(x: String, n: Int): String =
+    s"xor(CAST($x AS HUGEINT), CAST(($x) // ${BigInt(1) << n} AS HUGEINT))"
+  private val XP1 = "11400714785074694791" // XXH64 primes, decimal
+  private val XP2 = "14029467366897019727"
+  private val XP3 = "1609587929392839161"
+  private val XP4 = "9650029242287828579"
+  private val XSEEDHEAD = "14440755233413290667" // (hashLong(42,42) + P5 + 8) mod 2^64
+
+  /** Nested-subquery XXH64 hashLong of `idExpr` rows from `inner`,
+    * exposing the unsigned 64-bit result as column `hout`.
+    */
+  private def xxh64Nested(inner: String, idExpr: String): String =
+    Seq(
+      s"(${mul64("xv", XP2)}) % $M64 AS k1",
+      s"${rotl("k1", 31)} AS k2",
+      s"(${mul64("k2", XP1)}) % $M64 AS k3",
+      s"xor(CAST($XSEEDHEAD AS HUGEINT), CAST(k3 AS HUGEINT)) AS h1",
+      s"${rotl("h1", 27)} AS h1r",
+      s"((${mul64("h1r", XP1)}) + $XP4) % $M64 AS h2",
+      s"${xorShift("h2", 33)} AS f1",
+      s"(${mul64("f1", XP2)}) % $M64 AS f2",
+      s"${xorShift("f2", 29)} AS f3",
+      s"(${mul64("f3", XP3)}) % $M64 AS f4",
+      s"${xorShift("f4", 32)} AS hout")
+      .foldLeft(s"SELECT *, CAST($idExpr AS HUGEINT) AS xv FROM ($inner)") {
+        (q, step) => s"SELECT *, $step FROM ($q)"
+      }
+
+  private val xxhSigned =
+    s"CAST(CASE WHEN hout >= 9223372036854775808 THEN hout - $M64 ELSE hout END AS BIGINT)"
+  private val xxhBucket = s"((($xxhSigned) % 1000000) + 1000000) % 1000000"
+
+  // Hyperplane signs: bit0 of xxhash64(p, i), dumped once from the
+  // engine hash. Row p = plane p; a lower plane count uses the prefix.
+  private val hyperSigns: Seq[Seq[Int]] = Seq(
+    Seq(-1, -1, -1, -1, 1, 1, -1, -1, 1, 1, 1, 1, 1, 1, 1, -1, 1, 1, -1, 1, -1, -1, -1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, 1, -1, -1, -1, 1, -1, -1, -1, -1),
+    Seq(1, -1, -1, 1, 1, -1, -1, 1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, -1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, 1, 1, -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, 1, -1, 1),
+    Seq(1, 1, 1, -1, 1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, -1, 1, -1, -1, -1, -1, -1, -1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, -1, -1, 1, -1, -1, -1, -1, -1, -1, -1, -1, 1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, -1),
+    Seq(-1, 1, 1, 1, -1, -1, -1, -1, -1, -1, 1, 1, 1, -1, 1, 1, 1, -1, -1, -1, -1, 1, -1, -1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, -1, 1, -1, 1, 1, -1, 1, -1, -1, -1, 1, 1, 1, 1, -1, 1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1),
+    Seq(1, -1, -1, -1, -1, -1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, -1, -1, 1, -1, 1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, 1, 1, 1, -1, 1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, -1, -1, 1, 1, -1, -1, 1, -1, -1),
+    Seq(-1, -1, 1, -1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, -1, 1, -1, -1, -1, 1, -1, -1, 1, -1, 1, -1, -1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, 1, 1),
+    Seq(-1, 1, 1, 1, 1, -1, 1, -1, 1, 1, 1, 1, -1, 1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, -1, 1, 1, 1, 1, 1, 1, -1, -1, -1, 1, 1, 1, -1, -1, -1, 1, -1, 1, 1, -1, 1, -1, 1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, 1, -1, 1, -1, -1, -1),
+    Seq(1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, 1, -1, 1, -1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1))
+  private def hyperMatrix(planes: Int): String =
+    hyperSigns.take(planes)
+      .map(_.map(s => s"$s.0").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+  /** The kernel's bucket: sign bits of per-plane projection folds. */
+  private def hyperBucketExpr(vec: String, planes: Int): String =
+    (0 until planes).map { p =>
+      val proj = s"list_reduce(list_transform(range(1, 65), " +
+        s"i -> CAST($vec[i] AS DOUBLE) * m[${p + 1}][i]), (a, b) -> a + b)"
+      s"(CASE WHEN $proj > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val langCase =
+    """CASE WHEN greatest(he, hf, hd, hs) = 0 THEN 'und'
+      |         WHEN he = greatest(he, hf, hd, hs) THEN 'en'
+      |         WHEN hf = greatest(he, hf, hd, hs) THEN 'fr'
+      |         WHEN hd = greatest(he, hf, hd, hs) THEN 'de'
+      |         ELSE 'es' END""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "json_ingest" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
@@ -720,9 +798,9 @@ object SparkEntry {
     // portable-XXH64 hash split. Every stage is the already-oracled
     // formulation; their composition oracles the whole pipeline.
     "corpus_pipeline" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
-        |tq AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk FROM corp),
+        |tq AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS tk FROM corp),
         |qual AS (
         |  SELECT doc_id, text, tk FROM (
         |    SELECT doc_id, text, tk,
@@ -763,7 +841,7 @@ object SparkEntry {
         |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tk) - 6),
         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
         |      || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS gram
-        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS tk
+        |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS tk
         |        FROM documents WHERE doc_id % 10 = 0)),
         |dirty AS (
         |  SELECT DISTINCT doc_id FROM (
@@ -776,12 +854,7 @@ object SparkEntry {
         |  SELECT r.doc_id, r.tk FROM reps r
         |  WHERE r.doc_id NOT IN (SELECT doc_id FROM dirty)),
         |lang AS (
-        |  SELECT doc_id,
-        |    CASE WHEN greatest(he, hf, hd, hs) = 0 THEN 'und'
-        |         WHEN he = greatest(he, hf, hd, hs) THEN 'en'
-        |         WHEN hf = greatest(he, hf, hd, hs) THEN 'fr'
-        |         WHEN hd = greatest(he, hf, hd, hs) THEN 'de'
-        |         ELSE 'es' END AS lang
+        |  SELECT doc_id, $langCase AS lang
         |  FROM (
         |    SELECT doc_id,
         |      len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS he,
@@ -790,28 +863,24 @@ object SparkEntry {
         |      len(list_filter(tk, x -> list_contains(['el','los','y','que','un','una','en'], x))) AS hs
         |    FROM clean)),
         |hb AS (
-        |  SELECT doc_id, (((CAST(CASE WHEN hout >= 9223372036854775808 THEN hout - 18446744073709551616 ELSE hout END AS BIGINT)) % 1000000) + 1000000) % 1000000 AS bucket
-        |  FROM (SELECT *, xor(CAST(f4 AS HUGEINT), CAST((f4) // 4294967296 AS HUGEINT)) AS hout FROM (SELECT *, (((f3) % 4294967296) * ((1609587929392839161) % 4294967296) + ((((f3) // 4294967296) * ((1609587929392839161) % 4294967296) + ((f3) % 4294967296) * ((1609587929392839161) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f4 FROM (SELECT *, xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT)) AS f3 FROM (SELECT *, (((f1) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((f1) // 4294967296) * ((14029467366897019727) % 4294967296) + ((f1) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f2 FROM (SELECT *, xor(CAST(h2 AS HUGEINT), CAST((h2) // 8589934592 AS HUGEINT)) AS f1 FROM (SELECT *, ((((h1r) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((h1r) // 4294967296) * ((11400714785074694791) % 4294967296) + ((h1r) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) + 9650029242287828579) % 18446744073709551616 AS h2 FROM (SELECT *, (((h1) % 137438953472) * 134217728) + ((h1) // 137438953472) AS h1r FROM (SELECT *, xor(CAST(14440755233413290667 AS HUGEINT), CAST(k3 AS HUGEINT)) AS h1 FROM (SELECT *, (((k2) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((k2) // 4294967296) * ((11400714785074694791) % 4294967296) + ((k2) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k3 FROM (SELECT *, (((k1) % 8589934592) * 2147483648) + ((k1) // 8589934592) AS k2 FROM (SELECT *, (((xv) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((xv) // 4294967296) * ((14029467366897019727) % 4294967296) + ((xv) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k1 FROM (SELECT *, CAST(doc_id AS HUGEINT) AS xv FROM (SELECT doc_id FROM clean))))))))))))))
+        |  SELECT doc_id, $xxhBucket AS bucket
+        |  FROM (${xxh64Nested("SELECT doc_id FROM clean", "doc_id")}))
         |SELECT l.doc_id, l.lang,
         |  CASE WHEN hb.bucket < 900000 THEN 0
         |       WHEN hb.bucket < 950000 THEN 1 ELSE 2 END AS split
         |FROM lang l JOIN hb USING (doc_id)
         |ORDER BY l.doc_id""".stripMargin,
 
-    // The seeded-hash family is ALSO engine-independent: Spark's
-    // xxhash64 over (lit(seed), id) is hashLong(id, hashLong(seed,
-    // seed)) — the inner call is a constant, and XXH64 of one 8-byte
-    // block is ~10 multiply/rotate/xor steps, expressed below in
-    // portable SQL as nested subqueries over HUGEINT with 32-bit-limb
-    // multiplication mod 2^64. Bit-for-bit equal to the engine hash,
-    // so the deterministic order, the hash split, and the mixture
-    // filter all oracle exactly.
+    // Deterministic order: sort by the portable XXH64 of the doc id.
     "training_order" ->
-      """SELECT doc_id, CAST(CASE WHEN hout >= 9223372036854775808 THEN hout - 18446744073709551616 ELSE hout END AS BIGINT) AS sort_key FROM (SELECT *, xor(CAST(f4 AS HUGEINT), CAST((f4) // 4294967296 AS HUGEINT)) AS hout FROM (SELECT *, (((f3) % 4294967296) * ((1609587929392839161) % 4294967296) + ((((f3) // 4294967296) * ((1609587929392839161) % 4294967296) + ((f3) % 4294967296) * ((1609587929392839161) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f4 FROM (SELECT *, xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT)) AS f3 FROM (SELECT *, (((f1) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((f1) // 4294967296) * ((14029467366897019727) % 4294967296) + ((f1) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f2 FROM (SELECT *, xor(CAST(h2 AS HUGEINT), CAST((h2) // 8589934592 AS HUGEINT)) AS f1 FROM (SELECT *, ((((h1r) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((h1r) // 4294967296) * ((11400714785074694791) % 4294967296) + ((h1r) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) + 9650029242287828579) % 18446744073709551616 AS h2 FROM (SELECT *, (((h1) % 137438953472) * 134217728) + ((h1) // 137438953472) AS h1r FROM (SELECT *, xor(CAST(14440755233413290667 AS HUGEINT), CAST(k3 AS HUGEINT)) AS h1 FROM (SELECT *, (((k2) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((k2) // 4294967296) * ((11400714785074694791) % 4294967296) + ((k2) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k3 FROM (SELECT *, (((k1) % 8589934592) * 2147483648) + ((k1) // 8589934592) AS k2 FROM (SELECT *, (((xv) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((xv) // 4294967296) * ((14029467366897019727) % 4294967296) + ((xv) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k1 FROM (SELECT *, CAST(doc_id AS HUGEINT) AS xv FROM (SELECT doc_id FROM documents))))))))))))) ORDER BY sort_key, doc_id""".stripMargin,
+      s"""SELECT doc_id, $xxhSigned AS sort_key
+        |FROM (${xxh64Nested("SELECT doc_id FROM documents", "doc_id")})
+        |ORDER BY sort_key, doc_id""".stripMargin,
 
     "train_split" ->
-      """WITH h AS (
-        |  SELECT doc_id, (((CAST(CASE WHEN hout >= 9223372036854775808 THEN hout - 18446744073709551616 ELSE hout END AS BIGINT)) % 1000000) + 1000000) % 1000000 AS bucket FROM (SELECT *, xor(CAST(f4 AS HUGEINT), CAST((f4) // 4294967296 AS HUGEINT)) AS hout FROM (SELECT *, (((f3) % 4294967296) * ((1609587929392839161) % 4294967296) + ((((f3) // 4294967296) * ((1609587929392839161) % 4294967296) + ((f3) % 4294967296) * ((1609587929392839161) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f4 FROM (SELECT *, xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT)) AS f3 FROM (SELECT *, (((f1) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((f1) // 4294967296) * ((14029467366897019727) % 4294967296) + ((f1) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f2 FROM (SELECT *, xor(CAST(h2 AS HUGEINT), CAST((h2) // 8589934592 AS HUGEINT)) AS f1 FROM (SELECT *, ((((h1r) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((h1r) // 4294967296) * ((11400714785074694791) % 4294967296) + ((h1r) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) + 9650029242287828579) % 18446744073709551616 AS h2 FROM (SELECT *, (((h1) % 137438953472) * 134217728) + ((h1) // 137438953472) AS h1r FROM (SELECT *, xor(CAST(14440755233413290667 AS HUGEINT), CAST(k3 AS HUGEINT)) AS h1 FROM (SELECT *, (((k2) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((k2) // 4294967296) * ((11400714785074694791) % 4294967296) + ((k2) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k3 FROM (SELECT *, (((k1) % 8589934592) * 2147483648) + ((k1) // 8589934592) AS k2 FROM (SELECT *, (((xv) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((xv) // 4294967296) * ((14029467366897019727) % 4294967296) + ((xv) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k1 FROM (SELECT *, CAST(doc_id AS HUGEINT) AS xv FROM (SELECT doc_id FROM documents)))))))))))))),
+      s"""WITH h AS (
+        |  SELECT doc_id, $xxhBucket AS bucket
+        |  FROM (${xxh64Nested("SELECT doc_id FROM documents", "doc_id")})),
         |sp AS (
         |  SELECT doc_id, CASE WHEN bucket < 900000 THEN 0
         |                      WHEN bucket < 950000 THEN 1 ELSE 2 END AS split
@@ -820,8 +889,8 @@ object SparkEntry {
         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "mixture_resample" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
         |hh AS (
         |  SELECT doc_id,
         |    len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS he,
@@ -830,15 +899,11 @@ object SparkEntry {
         |    len(list_filter(tk, x -> list_contains(['el','los','y','que','un','una','en'], x))) AS hs
         |  FROM t),
         |lang AS (
-        |  SELECT doc_id,
-        |    CASE WHEN greatest(he, hf, hd, hs) = 0 THEN 'und'
-        |         WHEN he = greatest(he, hf, hd, hs) THEN 'en'
-        |         WHEN hf = greatest(he, hf, hd, hs) THEN 'fr'
-        |         WHEN hd = greatest(he, hf, hd, hs) THEN 'de'
-        |         ELSE 'es' END AS pred_lang
+        |  SELECT doc_id, $langCase AS pred_lang
         |  FROM hh),
         |h AS (
-        |  SELECT doc_id, (((CAST(CASE WHEN hout >= 9223372036854775808 THEN hout - 18446744073709551616 ELSE hout END AS BIGINT)) % 1000000) + 1000000) % 1000000 AS bucket FROM (SELECT *, xor(CAST(f4 AS HUGEINT), CAST((f4) // 4294967296 AS HUGEINT)) AS hout FROM (SELECT *, (((f3) % 4294967296) * ((1609587929392839161) % 4294967296) + ((((f3) // 4294967296) * ((1609587929392839161) % 4294967296) + ((f3) % 4294967296) * ((1609587929392839161) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f4 FROM (SELECT *, xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT)) AS f3 FROM (SELECT *, (((f1) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((f1) // 4294967296) * ((14029467366897019727) % 4294967296) + ((f1) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f2 FROM (SELECT *, xor(CAST(h2 AS HUGEINT), CAST((h2) // 8589934592 AS HUGEINT)) AS f1 FROM (SELECT *, ((((h1r) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((h1r) // 4294967296) * ((11400714785074694791) % 4294967296) + ((h1r) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) + 9650029242287828579) % 18446744073709551616 AS h2 FROM (SELECT *, (((h1) % 137438953472) * 134217728) + ((h1) // 137438953472) AS h1r FROM (SELECT *, xor(CAST(14440755233413290667 AS HUGEINT), CAST(k3 AS HUGEINT)) AS h1 FROM (SELECT *, (((k2) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((k2) // 4294967296) * ((11400714785074694791) % 4294967296) + ((k2) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k3 FROM (SELECT *, (((k1) % 8589934592) * 2147483648) + ((k1) // 8589934592) AS k2 FROM (SELECT *, (((xv) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((xv) // 4294967296) * ((14029467366897019727) % 4294967296) + ((xv) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS k1 FROM (SELECT *, CAST(doc_id AS HUGEINT) AS xv FROM (SELECT doc_id FROM documents))))))))))))))
+        |  SELECT doc_id, $xxhBucket AS bucket
+        |  FROM (${xxh64Nested("SELECT doc_id FROM documents", "doc_id")}))
         |SELECT doc_id, pred_lang
         |FROM lang JOIN h USING (doc_id)
         |WHERE CAST(bucket AS DOUBLE) <
@@ -846,46 +911,48 @@ object SparkEntry {
         |                 WHEN 'es' THEN 0.75 ELSE 0.1 END * 1000000
         |ORDER BY doc_id""".stripMargin,
 
-    // Same constant-embedding technique as ann_lsh_topk, at planes=8
-    // with the 1-bit multi-probe: a pair is a candidate iff its
-    // embedded-constant sign signatures differ in <= 1 bit
+    // Same constants at planes=8 with the 1-bit multi-probe: a pair is
+    // a candidate iff its sign signatures differ in <= 1 bit
     // (bit_count(xor(...))), then the exact cosine fold decides.
-    // Bit-exact end to end.
     "dedup_embedding_cosine" ->
-      """WITH s AS (SELECT [[-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0], [1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0], [1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0], [-1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0], [1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0], [-1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0], [-1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0], [1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]] AS m),
+      s"""WITH s AS (SELECT ${hyperMatrix(8)} AS m),
         |b AS (
         |  SELECT vec_id AS id, embedding AS vec,
-        |    CAST((CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[1][i]), (a, b) -> a + b) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[2][i]), (a, b) -> a + b) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[3][i]), (a, b) -> a + b) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[4][i]), (a, b) -> a + b) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[5][i]), (a, b) -> a + b) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[6][i]), (a, b) -> a + b) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[7][i]), (a, b) -> a + b) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[8][i]), (a, b) -> a + b) > 0 THEN 128 ELSE 0 END) AS BIGINT) AS bucket
+        |    CAST(${hyperBucketExpr("embedding", 8)} AS BIGINT) AS bucket
         |  FROM embeddings, s),
         |pr AS (
         |  SELECT a.id AS id_a, a.vec AS vec_a, b2.id AS id_b, b2.vec AS vec_b
         |  FROM b a JOIN b b2
         |    ON a.id < b2.id AND bit_count(xor(a.bucket, b2.bucket)) <= 1),
         |sc AS (
-        |  SELECT id_a, id_b, list_reduce(list_transform(range(1, 65), i -> CAST(vec_a[i] AS DOUBLE) * CAST(vec_b[i] AS DOUBLE)), (a, b) -> a + b) AS dot, list_reduce(list_transform(range(1, 65), i -> CAST(vec_a[i] AS DOUBLE) * CAST(vec_a[i] AS DOUBLE)), (a, b) -> a + b) AS na, list_reduce(list_transform(range(1, 65), i -> CAST(vec_b[i] AS DOUBLE) * CAST(vec_b[i] AS DOUBLE)), (a, b) -> a + b) AS nb FROM pr),
+        |  SELECT id_a, id_b,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> CAST(vec_a[i] AS DOUBLE) * CAST(vec_b[i] AS DOUBLE)), (a, b) -> a + b) AS dot,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> CAST(vec_a[i] AS DOUBLE) * CAST(vec_a[i] AS DOUBLE)), (a, b) -> a + b) AS na,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> CAST(vec_b[i] AS DOUBLE) * CAST(vec_b[i] AS DOUBLE)), (a, b) -> a + b) AS nb
+        |  FROM pr),
         |c AS (
         |  SELECT id_a, id_b,
-        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
-        |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
         |  FROM sc)
         |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
 
     // Bucketing IS computable on any engine: the hyperplane signs are
-    // bit0 of the public xxhash64 chain (hash p with seed 42, then i
-    // with that result) — embedded below as literal constants (4
-    // planes x 64 dims, dumped from the same SQL xxhash64). The
-    // projection and cosine mirror the kernels' left-to-right double
-    // folds, so bucketing, candidate sets, and scores all reproduce
-    // bit-for-bit (planes=4, probeBits=0 home-bucket candidates).
+    // bit0 of the public xxhash64 chain, embedded via hyperSigns, and
+    // projections/cosines mirror the kernels' left-to-right double
+    // folds — bucketing, candidates, and scores reproduce bit-for-bit
+    // (planes=4, probeBits=0 home-bucket candidates).
     "ann_lsh_topk" ->
-      """WITH s AS (SELECT [[-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0], [1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0], [1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0], [-1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0]] AS m),
+      s"""WITH s AS (SELECT ${hyperMatrix(4)} AS m),
         |cb AS (
         |  SELECT vec_id AS id, embedding AS vec,
-        |    (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[1][i]), (a, b) -> a + b) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[2][i]), (a, b) -> a + b) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[3][i]), (a, b) -> a + b) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[4][i]), (a, b) -> a + b) > 0 THEN 8 ELSE 0 END) AS bucket
+        |    ${hyperBucketExpr("embedding", 4)} AS bucket
         |  FROM embeddings, s),
         |qb AS (
         |  SELECT vec_id AS qid, embedding AS qv,
-        |    (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[1][i]), (a, b) -> a + b) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[2][i]), (a, b) -> a + b) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[3][i]), (a, b) -> a + b) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[4][i]), (a, b) -> a + b) > 0 THEN 8 ELSE 0 END) AS bucket
+        |    ${hyperBucketExpr("embedding", 4)} AS bucket
         |  FROM embeddings, s WHERE vec_id < 5),
         |sc AS (
         |  SELECT qid, cb.id AS id,

@@ -133,11 +133,13 @@ case class KllQuantiles(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      // containsNull = false only: toDoubleArray on a null slot would
-      // NPE or silently read 0.0 depending on the physical encoding
-      case (BinaryType, ArrayType(DoubleType, false)) => TypeCheckResult.TypeCheckSuccess
+      // nullable elements are accepted at the type level (parquet
+      // round-trips mark arrays nullable even when null-free); an
+      // actual null rank is rejected at eval with a clear error
+      // rather than the NPE-or-silent-0.0 toDoubleArray would give
+      case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"kll_quantiles needs (binary, array<double> without null ranks), got $t")
+        s"kll_quantiles needs (binary, array<double>), got $t")
     }
 
   override def nullSafeEval(sketchBytes: Any, ranks: Any): Any = {
@@ -145,8 +147,16 @@ case class KllQuantiles(left: Expression, right: Expression)
       Memory.wrap(sketchBytes.asInstanceOf[Array[Byte]]))
     if (sk.isEmpty) null
     else {
-      val qs = ranks.asInstanceOf[ArrayData].toDoubleArray()
-      new GenericArrayData(qs.map(sk.getQuantile))
+      val arr = ranks.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        require(!arr.isNullAt(i), s"kll_quantiles: rank at position $i is null")
+        out(i) = sk.getQuantile(arr.getDouble(i))
+        i += 1
+      }
+      new GenericArrayData(out)
     }
   }
 

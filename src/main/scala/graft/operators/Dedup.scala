@@ -478,33 +478,28 @@ object Dedup {
     *     rewrite is a positional array `filter` — documents are
     *     reassembled in place, never re-grouped from exploded tokens.
     *
-    * Cost caveat the exchange story above does NOT cover: the token
-    * arrays are an independent subtree under the gram count, the
+    * Cost caveat the exchange story above does NOT cover: the input
+    * is an independent subtree under the gram count, the
     * covered-position join, and the final rewrite — as a pure lazy
-    * plan (default) the scan + tokenization runs up to THREE times
-    * (there is no common exchange for ReuseExchange to dedupe when
-    * AQE broadcasts the hot side). That is the right default for a
-    * composable operator, but on wide corpora pass `storage` (e.g.
-    * `MEMORY_AND_DISK`) to materialize the tokenized frame once —
-    * one scan, shingles recompute from cached arrays; the caller owns
-    * the cache's lifetime (unpersist after the result is written).
+    * plan the scan + tokenization runs up to THREE times (there is no
+    * common exchange for ReuseExchange to dedupe when AQE broadcasts
+    * the hot side). On wide corpora, `df.persist(...)` BEFORE calling
+    * so the three passes share one scan — the caller holds the handle
+    * and can unpersist once the result is written (an internal
+    * persist would be unreleasable: the cached subtree is not the
+    * returned plan, so `result.unpersist()` could never match it).
     *
     * Returns (id, clean_text, n_removed) — `n_removed` counts dropped
     * token positions. Deterministic, and exactly reproducible in ANSI
     * SQL (DuckDB-oracled as `dedup_repeated_spans`).
     */
   def stripRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
-                         n: Int = 4, minCount: Long = 2,
-                         storage: org.apache.spark.storage.StorageLevel =
-                           org.apache.spark.storage.StorageLevel.NONE): DataFrame = {
+                         n: Int = 4, minCount: Long = 2): DataFrame = {
     require(n > 0, s"stripRepeatedSpans: span length must be positive, got $n")
     require(minCount >= 2,
       s"stripRepeatedSpans: minCount < 2 would remove every token, got $minCount")
-    val toked0 = df.select(col(idCol).as("id"),
+    val toked = df.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
-    val toked =
-      if (storage == org.apache.spark.storage.StorageLevel.NONE) toked0
-      else toked0.persist(storage)
     val occ = toked.select(col("id"),
       posexplode(TextFunctions.shingles(col("toks"), n)).as(Seq("pos", "gram")))
     val hot = occ.groupBy(col("gram"))

@@ -33,7 +33,12 @@ object CorpusPipeline {
     * @param stripSpans      Some((n, minCount)): rewrite texts through
     *                        [[Dedup.stripRepeatedSpans]] FIRST, so all
     *                        later stages (quality, digests, shingles)
-    *                        see the de-boilerplated text
+    *                        see the de-boilerplated text. The strip
+    *                        subtree then feeds EVERY downstream leg of
+    *                        this one-lazy-plan composition — on wide
+    *                        corpora, persist `docs` before calling so
+    *                        its scans are shared (caller owns the
+    *                        handle; see the operator's scaladoc)
     * @param quotaPerStratum Some((column, k)): cap survivors per
     *                        stratum (e.g. source domain) after
     *                        decontamination, lowest id kept
