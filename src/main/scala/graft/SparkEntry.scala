@@ -687,6 +687,77 @@ object SparkEntry {
         |WHERE c.doc_id = c.label AND c.label NOT IN (SELECT label FROM bad)
         |ORDER BY c.doc_id""".stripMargin,
 
+    // SimHash, end to end in portable SQL: XXH64 over each distinct
+    // shingle's bytes (the general short-input path — word/4-byte/byte
+    // tails; gate shingles are ASCII and < 32 bytes so the 32-byte
+    // stripe loop is never entered and is not emitted), 64-bit +/-1
+    // voting per doc, and ALL pairs at hamming <= 7 — valid because
+    // maxHamming(7) < bands(8) makes the engine's band candidates
+    // pigeonhole-complete, so banding is performance-only. List-lambda
+    // variables (unlike SQL aliases) don't textually expand, which is
+    // what makes the per-word fold writable inline.
+    "dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |shd AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t),
+        |dsh AS (SELECT DISTINCT sh FROM shd),
+        |cd AS (
+        |  SELECT sh, length(sh) AS L,
+        |    list_transform(range(1, length(sh) + 1),
+        |      i -> CAST(ascii(substr(sh, i, 1)) AS HUGEINT)) AS cs
+        |  FROM dsh),
+        |w8 AS (
+        |  SELECT sh, L, cs,
+        |    list_transform(range(0, L // 8), w ->
+        |      cs[w*8+1] + cs[w*8+2]*256 + cs[w*8+3]*65536 + cs[w*8+4]*16777216
+        |      + cs[w*8+5]*4294967296 + cs[w*8+6]*1099511627776
+        |      + cs[w*8+7]*281474976710656 + cs[w*8+8]*72057594037927936) AS words
+        |  FROM cd),
+        |hw AS (
+        |  SELECT sh, L, cs,
+        |    list_reduce(list_prepend(CAST((42 + 2870177450012600261 + L) % 18446744073709551616 AS HUGEINT), words),
+        |      (acc, w) -> ((((((((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 137438953472) * 134217728) + ((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 137438953472))) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((((((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 137438953472) * 134217728) + ((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 137438953472))) // 4294967296) * ((11400714785074694791) % 4294967296) + ((((((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 137438953472) * 134217728) + ((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 137438953472))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616) AS h1
+        |  FROM w8),
+        |h4 AS (
+        |  SELECT sh, L, cs,
+        |    CASE WHEN L % 8 >= 4 THEN
+        |      ((((((((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 2199023255552) * 8388608) + ((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 2199023255552))) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((((((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 2199023255552) * 8388608) + ((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 2199023255552))) // 4294967296) * ((14029467366897019727) % 4294967296) + ((((((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 2199023255552) * 8388608) + ((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 2199023255552))) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 + 1609587929392839161) % 18446744073709551616
+        |    ELSE h1 END AS h2,
+        |    (L // 8) * 8 + CASE WHEN L % 8 >= 4 THEN 4 ELSE 0 END AS tstart
+        |  FROM hw),
+        |hb AS (
+        |  SELECT sh,
+        |    list_reduce(list_prepend(CAST(h2 AS HUGEINT),
+        |      list_transform(range(tstart + 1, L + 1), i -> cs[i])),
+        |      (acc, b) -> (((((((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 9007199254740992) * 2048) + ((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 9007199254740992))) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((((((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 9007199254740992) * 2048) + ((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 9007199254740992))) // 4294967296) * ((11400714785074694791) % 4294967296) + ((((((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 9007199254740992) * 2048) + ((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 9007199254740992))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS h3
+        |  FROM h4),
+        |hf AS (
+        |  SELECT sh, xor(CAST(f4 AS HUGEINT), CAST((f4) // 4294967296 AS HUGEINT)) AS hv FROM (
+        |    SELECT sh, (((xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT))) % 4294967296) * ((1609587929392839161) % 4294967296) + ((((xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT))) // 4294967296) * ((1609587929392839161) % 4294967296) + ((xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT))) % 4294967296) * ((1609587929392839161) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f4 FROM (
+        |      SELECT sh, (((xor(CAST(h3 AS HUGEINT), CAST((h3) // 8589934592 AS HUGEINT))) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((xor(CAST(h3 AS HUGEINT), CAST((h3) // 8589934592 AS HUGEINT))) // 4294967296) * ((14029467366897019727) % 4294967296) + ((xor(CAST(h3 AS HUGEINT), CAST((h3) // 8589934592 AS HUGEINT))) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f2 FROM hb)) ),
+        |pw AS (SELECT * FROM (VALUES (0, 1), (1, 2), (2, 4), (3, 8), (4, 16), (5, 32), (6, 64), (7, 128), (8, 256), (9, 512), (10, 1024), (11, 2048), (12, 4096), (13, 8192), (14, 16384), (15, 32768), (16, 65536), (17, 131072), (18, 262144), (19, 524288), (20, 1048576), (21, 2097152), (22, 4194304), (23, 8388608), (24, 16777216), (25, 33554432), (26, 67108864), (27, 134217728), (28, 268435456), (29, 536870912), (30, 1073741824), (31, 2147483648), (32, 4294967296), (33, 8589934592), (34, 17179869184), (35, 34359738368), (36, 68719476736), (37, 137438953472), (38, 274877906944), (39, 549755813888), (40, 1099511627776), (41, 2199023255552), (42, 4398046511104), (43, 8796093022208), (44, 17592186044416), (45, 35184372088832), (46, 70368744177664), (47, 140737488355328), (48, 281474976710656), (49, 562949953421312), (50, 1125899906842624), (51, 2251799813685248), (52, 4503599627370496), (53, 9007199254740992), (54, 18014398509481984), (55, 36028797018963968), (56, 72057594037927936), (57, 144115188075855872), (58, 288230376151711744), (59, 576460752303423488), (60, 1152921504606846976), (61, 2305843009213693952), (62, 4611686018427387904), (63, 9223372036854775808)) p(j, pv)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN CAST(pv AS HUGEINT) ELSE 0 END)
+        |      - CASE WHEN SUM(CASE WHEN v > 0 AND j = 63 THEN 1 ELSE 0 END) > 0
+        |             THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS s
+        |  FROM (
+        |    SELECT doc_id, j, pv,
+        |      SUM(CASE WHEN (hv // CAST(pv AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |    FROM shd JOIN hf USING (sh)
+        |    CROSS JOIN pw
+        |    GROUP BY doc_id, j, pv)
+        |  GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 7
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Valid as an oracle for the same reason as dedup_incremental:
     // every true >=0.5-jaccard pair in the gate corpora actually sits
     // at j >= 0.889 (sf0.001 floor; 0.9 at sf0.01), where the 8x4
