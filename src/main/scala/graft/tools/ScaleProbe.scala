@@ -165,6 +165,19 @@ object ScaleProbe {
           array(lit(0.5), lit(0.99))))
         .head.getSeq[Double](0).length.toLong
     }
+    t("corpus_pipeline") {
+      // the capstone composition at amplified scale, optional stages
+      // on (span strip + per-stratum quota); resolution rides the
+      // LSH-candidate route inside CorpusPipeline
+      graft.pipeline.CorpusPipeline.run(
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("src", (col("doc_id") % 100).cast("string")),
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text")),
+        "text", "doc_id",
+        graft.pipeline.CorpusPipeline.Config(
+          stripSpans = Some((4, mult * 2L)),
+          quotaPerStratum = Some(("src", 200)))).count()
+    }
     t("incremental_admission") {
       graft.operators.Dedup.admitIncremental(
         docs.filter(col("doc_id") % 2 === 0),
