@@ -100,6 +100,12 @@ object SparkEntry {
     "ann_lsh_topk"       -> (VectorQueries.annLsh _),
     "ann_ivf_topk"       -> (VectorQueries.annIvf _),
     "ann_quantized_topk" -> (VectorQueries.annQuantized _),
+    // §2 round-5 additions — warehouse + retrieval surface
+    "scd2_history"       -> (WarehouseQueries.scd2History _),
+    "funnel_steps"       -> (WarehouseQueries.funnelSteps _),
+    "bucketed_join"      -> (WarehouseQueries.bucketedJoin _),
+    "table_profile"      -> (WarehouseQueries.tableProfile _),
+    "bm25_search"        -> (WarehouseQueries.bm25Search _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -209,7 +215,115 @@ object SparkEntry {
       |         WHEN hd = greatest(he, hf, hd, hs) THEN 'de'
       |         ELSE 'es' END""".stripMargin
 
+  /** BM25 oracle: mirrors [[graft.operators.TextRank.bm25TopK]]'s
+    * expression tree node for node — same token filter, same
+    * left-assoc per-term fold, same left-to-right term sum in
+    * sorted-term order, and fp constants emitted from the very same
+    * Scala doubles (shortest-roundtrip repr → DuckDB parses the
+    * identical bits). Only `ln` can drift (1 ulp between libms), which
+    * the 6-dp rounding on BOTH sides absorbs; the ORDER BY and the
+    * `> 0` filter run on the rounded value so the cut cannot diverge.
+    */
+  private def bm25Oracle(terms: Seq[String], k: Int,
+                         k1: Double, b: Double): String = {
+    val sorted = terms.distinct.sorted
+    val tfCols = sorted.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n    ")
+    val dfCols = sorted.indices.map { i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(",\n    ")
+    val termScores = sorted.indices.map { i =>
+      s"ln(((n - df$i) + 0.5) / (df$i + 0.5) + 1.0) * " +
+        s"((tf$i * ${k1 + 1.0}) / (tf$i + $k1 * (${1.0 - b} + (($b * dl) / (sumdl / n)))))"
+    }.mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM d),
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sumdl,
+       |    $dfCols
+       |  FROM t)
+       |SELECT doc_id, score FROM (
+       |  SELECT doc_id, round($termScores, 6) AS score FROM t, s)
+       |WHERE score > 0
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  /** Profile oracle: one UNION ALL branch per column, numerics
+    * canonicalized through DECIMAL(18,2) exactly like
+    * [[graft.operators.Profile.profile]].
+    */
+  private def profileOracle(table: String, cols: Seq[String],
+                            numeric: Set[String]): String = {
+    val branches = cols.map { c =>
+      val canon = (e: String) =>
+        if (numeric(c)) s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"
+        else s"CAST($e AS VARCHAR)"
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  ${canon(s"MIN($c)")} AS min_val,
+         |  ${canon(s"MAX($c)")} AS max_val FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"SELECT * FROM (\n$branches\n) ORDER BY col_name"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "scd2_history" ->
+      """WITH v AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |c AS (SELECT * FROM v WHERE prev IS DISTINCT FROM o_orderpriority)
+        |SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  (lead(o_orderdate) OVER w) IS NULL AS is_current
+        |FROM c
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin,
+
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events),
+        |q0 AS (SELECT *, CASE WHEN event_type = 'view' THEN ts END AS c0 FROM e),
+        |w0 AS (SELECT *, MIN(c0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS saw0 FROM q0),
+        |q1 AS (SELECT *, CASE WHEN event_type = 'click' AND saw0 IS NOT NULL
+        |         AND ts <= saw0 + INTERVAL 4 HOUR THEN ts END AS c1 FROM w0),
+        |w1 AS (SELECT *, MIN(c1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS saw1 FROM q1),
+        |q2 AS (SELECT *, CASE WHEN event_type = 'purchase' AND saw1 IS NOT NULL
+        |         AND ts <= saw1 + INTERVAL 4 HOUR THEN ts END AS c2 FROM w1)
+        |SELECT step, stage, users FROM (
+        |  SELECT 1 AS step, 'view' AS stage,
+        |    COUNT(DISTINCT CASE WHEN c0 IS NOT NULL THEN user_id END) AS users FROM q2
+        |  UNION ALL SELECT 2, 'click',
+        |    COUNT(DISTINCT CASE WHEN c1 IS NOT NULL THEN user_id END) FROM q2
+        |  UNION ALL SELECT 3, 'purchase',
+        |    COUNT(DISTINCT CASE WHEN c2 IS NOT NULL THEN user_id END) FROM q2
+        |) ORDER BY step""".stripMargin,
+
+    "bucketed_join" ->
+      """SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "table_profile" -> profileOracle("customer",
+      graft.queries.WarehouseQueries.ProfileCols,
+      Set("c_acctbal", "c_custkey", "c_nationkey")),
+
+    "bm25_search" -> bm25Oracle(
+      graft.queries.WarehouseQueries.Bm25Terms, 50, 1.2, 0.75),
+
     "json_ingest" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis over an event stream.
+  *
+  * The reference's dashboard counts "who did X" aggregates
+  * (fpl-data-pipeline application/routes.py, sql_queries.py:194-198);
+  * the natural warehouse generalization is the ordered funnel: of the
+  * users who did stage 1, how many went on to do stage 2 *after* it,
+  * then stage 3 after that — the core product-analytics query shape.
+  *
+  * Spark-first shape: ONE shuffle, ever. All stages resolve in a single
+  * window pass per user ordered by event time: `saw_i` = the earliest
+  * time the funnel prefix `0..i` completed among STRICTLY EARLIER rows
+  * (`rowsBetween(unboundedPreceding, -1)`), so a row of stage i+1
+  * qualifies iff `saw_i` is already set (and, optionally, the row falls
+  * within `maxGap` of it). Every `saw_i` rides the same partitioning and
+  * sort — Catalyst stacks the window operators on one exchange. The
+  * alternative (one self-join per stage) shuffles the fact table N
+  * times; at 100 TB that is N full-data exchanges versus this plan's
+  * single one.
+  *
+  * Semantics: first-touch. Stage i+1 must follow the EARLIEST
+  * completion of stage i (not any completion); a later re-entry does
+  * not reopen the window. Ties in event time are broken by `tiebreak`,
+  * making qualification deterministic under any partitioning.
+  */
+object Funnel {
+
+  /** Per-row qualification timestamps for each stage.
+    *
+    * @param stages  event-type value per funnel stage, in funnel order
+    * @param maxGap  optional max delay between the earliest completion
+    *                of stage i and a qualifying stage-i+1 event (an
+    *                INTERVAL column, e.g. `expr("INTERVAL 4 HOURS")`)
+    * @return input plus `__q0..__qN` (this row's qualifying time for
+    *         stage i, null if it does not qualify)
+    */
+  def qualify(df: DataFrame, user: String, typeCol: String, ts: String,
+              tiebreak: String, stages: Seq[String],
+              maxGap: Option[Column] = None): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val before = Window.partitionBy(col(user))
+      .orderBy(col(ts), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stages.zipWithIndex.foldLeft(df) { case (cur, (stage, i)) =>
+      val qual =
+        if (i == 0) when(col(typeCol) === stage, col(ts))
+        else {
+          val sawPrev = min(col(s"__q${i - 1}")).over(before)
+          val inGap = maxGap
+            .map(g => col(ts) <= sawPrev + g)
+            .getOrElse(lit(true))
+          when(col(typeCol) === stage && sawPrev.isNotNull && inGap,
+            col(ts))
+        }
+      cur.withColumn(s"__q$i", qual)
+    }
+  }
+
+  /** Funnel reach: one row per stage with the distinct-user count that
+    * completed the funnel up to and including it.
+    */
+  def steps(df: DataFrame, user: String, typeCol: String, ts: String,
+            tiebreak: String, stages: Seq[String],
+            maxGap: Option[Column] = None): DataFrame = {
+    val qualified = qualify(df, user, typeCol, ts, tiebreak, stages, maxGap)
+    val aggs = stages.indices.map { i =>
+      countDistinct(when(col(s"__q$i").isNotNull, col(user))).as(s"__u$i")
+    }
+    val wide = qualified.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = stages.zipWithIndex
+      .map { case (stage, i) => s"${i + 1}, '$stage', __u$i" }
+      .mkString(", ")
+    wide
+      .selectExpr(
+        s"stack(${stages.size}, $stackArgs) AS (step, stage, users)")
+      .orderBy(col("step"))
+  }
+}

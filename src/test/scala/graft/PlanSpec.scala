@@ -279,4 +279,46 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WholeStageCodegen") || df.queryExecution.executedPlan
       .toString.contains("*"), s"no codegen spans:\n$p")
   }
+
+  test("bucketed join: sort-merge with zero exchanges on either side") {
+    // force SMJ (at sf0.001 the dims would broadcast) so the pin is on
+    // the bucketing, not on broadcast luck
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val p = planString(
+        graft.queries.WarehouseQueries.bucketedJoin(spark, sfDir))
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      // the only allowed Exchange is the presentational orderBy sort —
+      // neither the join nor the groupBy may reshuffle bucketed data
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"),
+        s"bucketed join/agg reshuffled:\n$p")
+    }
+  }
+
+  test("funnel: all stage windows ride ONE exchange on the user key") {
+    val p = planString(
+      graft.queries.WarehouseQueries.funnelSteps(spark, sfDir))
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p).length
+    assert(userExchanges == 1,
+      s"funnel should shuffle user rows exactly once, saw $userExchanges:\n$p")
+  }
+
+  test("bm25: the corpus is never hash-exchanged; top-k is TakeOrdered") {
+    val p = planString(
+      graft.queries.WarehouseQueries.bm25Search(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"bm25 shuffled the corpus:\n$p")
+  }
+
+  private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

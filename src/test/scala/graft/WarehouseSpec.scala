@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+import graft.operators.{Funnel, Profile, Scd2, TextRank}
+
+/** Semantics pins for the round-5 warehouse/retrieval operators, on
+  * hand-built data where every expected row is derivable by eye. Value
+  * correctness at sf scale is the DuckDB oracle's job; these pin the
+  * CONTRACTS — gap cutoffs, first-touch funnels, null-safe change
+  * detection, interval tiling, score math.
+  */
+class WarehouseSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---- Funnel -----------------------------------------------------------
+
+  private val funnelEvents = Seq(
+    // u1 completes view→click→purchase strictly in order and in gap
+    (1L, "view", ts("2024-01-01 10:00:00"), 1L),
+    (1L, "click", ts("2024-01-01 11:00:00"), 2L),
+    (1L, "purchase", ts("2024-01-01 12:00:00"), 3L),
+    // u2 clicks BEFORE any view: click never qualifies
+    (2L, "click", ts("2024-01-01 10:00:00"), 4L),
+    (2L, "view", ts("2024-01-01 11:00:00"), 5L),
+    (2L, "purchase", ts("2024-01-01 12:00:00"), 6L),
+    // u3 clicks past the 4h gap from the first view
+    (3L, "view", ts("2024-01-01 10:00:00"), 7L),
+    (3L, "click", ts("2024-01-01 15:00:01"), 8L),
+    // u4: purchase gap is measured from the FIRST qualified click
+    // (first-touch) — the later in-gap click does not reopen it
+    (4L, "view", ts("2024-01-01 10:00:00"), 9L),
+    (4L, "click", ts("2024-01-01 10:30:00"), 10L),
+    (4L, "click", ts("2024-01-01 13:00:00"), 11L),
+    (4L, "purchase", ts("2024-01-01 14:31:00"), 12L)
+  ).toDF("user_id", "event_type", "ts", "event_id")
+
+  test("funnel: ordering, gap cutoff, and first-touch semantics") {
+    val out = Funnel.steps(funnelEvents, "user_id", "event_type", "ts",
+        "event_id", Seq("view", "click", "purchase"),
+        maxGap = Some(expr("INTERVAL 4 HOURS")))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // step1: u1,u2,u3,u4 viewed; step2: u1,u4 (u2 out of order, u3 out
+    // of gap); step3: u1 only (u4's purchase is 4h01m after its first
+    // qualified click at 10:30)
+    assert(out.toSeq == Seq((1, "view", 4L), (2, "click", 2L),
+      (3, "purchase", 1L)))
+  }
+
+  test("funnel: boundary event exactly at maxGap still qualifies") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "click", ts("2024-01-01 14:00:00"), 2L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Funnel.steps(ev, "user_id", "event_type", "ts", "event_id",
+        Seq("view", "click"), Some(expr("INTERVAL 4 HOURS")))
+      .collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(1L, 1L))
+  }
+
+  test("funnel: same-timestamp events qualify by tiebreak order only") {
+    val ev = Seq(
+      // view and click share a timestamp; click's event_id sorts AFTER
+      // the view's, so the strictly-earlier window sees the view
+      (1L, "view", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "click", ts("2024-01-01 10:00:00"), 2L),
+      // u2: click's id sorts BEFORE the same-ts view — no view strictly
+      // earlier, click must not qualify
+      (2L, "click", ts("2024-01-01 10:00:00"), 3L),
+      (2L, "view", ts("2024-01-01 10:00:00"), 4L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Funnel.steps(ev, "user_id", "event_type", "ts", "event_id",
+        Seq("view", "click"), None)
+      .collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(2L, 1L))
+  }
+
+  // ---- SCD2 -------------------------------------------------------------
+
+  private val changeLog = Seq(
+    // k1: A A B A — consecutive dup collapses, re-entry reopens
+    (1L, Option("A"), ts("2024-01-01 00:00:00"), 1L),
+    (1L, Option("A"), ts("2024-01-02 00:00:00"), 2L),
+    (1L, Option("B"), ts("2024-01-03 00:00:00"), 3L),
+    (1L, Option("A"), ts("2024-01-04 00:00:00"), 4L),
+    // k2: null is a VALUE — null→A→null opens three versions,
+    // null→null collapses
+    (2L, None, ts("2024-01-01 00:00:00"), 5L),
+    (2L, None, ts("2024-01-02 00:00:00"), 6L),
+    (2L, Option("A"), ts("2024-01-03 00:00:00"), 7L),
+    (2L, None, ts("2024-01-04 00:00:00"), 8L)
+  ).toDF("k", "attr", "at", "seq")
+
+  test("scd2: collapses dups, reopens on re-entry, null-safe compare") {
+    val h = Scd2.history(changeLog, Seq("k"), Seq("attr"), "at", "seq")
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    val d = (s: String) => ts(s + " 00:00:00")
+    assert(h.toSeq == Seq(
+      (1L, Some("A"), d("2024-01-01"), Some(d("2024-01-03")), false),
+      (1L, Some("B"), d("2024-01-03"), Some(d("2024-01-04")), false),
+      (1L, Some("A"), d("2024-01-04"), None, true),
+      (2L, None, d("2024-01-01"), Some(d("2024-01-03")), false),
+      (2L, Some("A"), d("2024-01-03"), Some(d("2024-01-04")), false),
+      (2L, None, d("2024-01-04"), None, true)))
+  }
+
+  test("scd2: intervals tile each key's timeline (no gaps, no overlaps)") {
+    val h = Scd2.history(
+      graft.sources.Tables.orders(spark, sfDir),
+      Seq("o_custkey"), Seq("o_orderpriority"), "o_orderdate", "o_orderkey")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("valid_from"))
+    val bad = h
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter((col("next_from").isNotNull &&
+        !(col("valid_to") <=> col("next_from"))) ||
+        (col("next_from").isNull && !col("is_current")))
+      .count()
+    assert(bad == 0L)
+    // exactly one current row per key
+    val keys = h.select("o_custkey").distinct().count()
+    val current = h.filter(col("is_current")).count()
+    assert(current == keys)
+  }
+
+  test("scd2: stateAt returns exactly one version per key") {
+    val h = Scd2.history(changeLog, Seq("k"), Seq("attr"), "at", "seq")
+    val at = Scd2.stateAt(h, lit(ts("2024-01-03 12:00:00")))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(at.toSeq == Seq((1L, Some("B")), (2L, Some("A"))))
+  }
+
+  // ---- Profile ----------------------------------------------------------
+
+  test("profile: nulls, distincts, bounds, and canonical rendering") {
+    val df = Seq(
+      (Some(1.5), Some("b")),
+      (Some(2.25), None),
+      (None, Some("a")),
+      (Some(1.5), Some("a"))
+    ).toDF("x", "s")
+    val p = Profile.profile(df, Seq("s", "x")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+    assert(p.toSeq == Seq(
+      ("s", 4L, 1L, 2L, "a", "b"),
+      ("x", 4L, 1L, 2L, "1.50", "2.25")))
+  }
+
+  test("profile: approx variant agrees on exact-count corpora") {
+    val cust = graft.sources.Tables.customer(spark, sfDir)
+    val exact = Profile.profile(cust, Seq("c_mktsegment")).collect()(0)
+    val approx = Profile.profile(cust, Seq("c_mktsegment"),
+      approxDistinct = true).collect()(0)
+    // 5 segments — HLL is exact at this cardinality; bounds identical
+    assert(approx.getLong(3) == exact.getLong(3))
+    assert(approx.getString(4) == exact.getString(4))
+    assert(approx.getString(5) == exact.getString(5))
+  }
+
+  // ---- BM25 -------------------------------------------------------------
+
+  test("bm25: scores match a direct reference implementation") {
+    val docs = Seq(
+      (1L, "spark joins the hash table to the stream"),
+      (2L, "a hash join beats a sort merge join for small builds"),
+      (3L, "vectors and streams and vectors again"),
+      (4L, "nothing relevant here at all"),
+      (5L, "hash hash hash join join vector stream")
+    ).toDF("id", "text")
+    val terms = Seq("hash", "join", "vector", "stream")
+    val out = TextRank.bm25TopK(docs, "id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+
+    // reference: same formula, straight Scala
+    val toks = Seq(
+      1L -> "spark joins the hash table to the stream",
+      2L -> "a hash join beats a sort merge join for small builds",
+      3L -> "vectors and streams and vectors again",
+      4L -> "nothing relevant here at all",
+      5L -> "hash hash hash join join vector stream"
+    ).map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    }
+    val n = toks.size.toDouble
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val sorted = terms.sorted
+    val dfs = sorted.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    val expected = toks.map { case (id, tk) =>
+      val dl = tk.size.toDouble
+      val score = sorted.map { t =>
+        val tf = tk.count(_ == t).toDouble
+        val idf = math.log((n - dfs(t) + 0.5) / (dfs(t) + 0.5) + 1.0)
+        idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+      }.sum
+      id -> BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }.filter(_._2 > 0).toMap
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (id, s) =>
+      assert(math.abs(out(id) - s) < 1e-9, s"doc $id: ${out(id)} vs $s")
+    }
+    // doc 4 has no query term → excluded
+    assert(!out.contains(4L))
+  }
+
+  test("bm25: tokenizer drops empties and non-ascii-word runs") {
+    val docs = Seq((1L, "Hash—JOIN!! vector…stream 42x")).toDF("id", "text")
+    val out = TextRank.bm25TopK(docs, "id", "text",
+      Seq("hash", "join", "vector", "stream"), 5).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L)
+  }
+}
