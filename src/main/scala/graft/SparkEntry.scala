@@ -106,6 +106,10 @@ object SparkEntry {
     "bucketed_join"      -> (WarehouseQueries.bucketedJoin _),
     "table_profile"      -> (WarehouseQueries.tableProfile _),
     "bm25_search"        -> (WarehouseQueries.bm25Search _),
+    "fuzzy_name_match"   -> (WarehouseQueries.fuzzyNameMatch _),
+    "events_sliding_agg" -> (WarehouseQueries.eventsSlidingAgg _),
+    "events_outliers"    -> (WarehouseQueries.eventsOutliers _),
+    "ewma_user_value"    -> (WarehouseQueries.ewmaUserValue _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -275,7 +279,67 @@ object SparkEntry {
     s"SELECT * FROM (\n$branches\n) ORDER BY col_name"
   }
 
+  /** EWMA oracle: DuckDB's `list_reduce` seeds from the first element
+    * and folds left — exactly [[graft.operators.Ewma.smooth]]'s
+    * `aggregate(slice(…, 2, n−1), first, …)`. The α constants are
+    * emitted from the same Scala doubles (shortest-roundtrip repr), and
+    * every fold step is IEEE +,· — bit-identical across engines.
+    */
+  private def ewmaOracle(alpha: Double): String = {
+    val a = alpha.toString
+    val b = (1.0 - alpha).toString
+    s"""WITH daily AS (
+       |  SELECT user_id, date_trunc('day', ts) AS day,
+       |    SUM(CAST(value AS DECIMAL(12,2))) AS dval
+       |  FROM events GROUP BY 1, 2),
+       |arr AS (
+       |  SELECT user_id, list(CAST(dval AS DOUBLE) ORDER BY day) AS vals
+       |  FROM daily GROUP BY 1)
+       |SELECT user_id, CAST(len(vals) AS INTEGER) AS n_periods,
+       |  list_reduce(vals, (acc, x) -> ($a * x) + ($b * acc)) AS ewma
+       |FROM arr ORDER BY user_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "fuzzy_name_match" ->
+      """SELECT a.c_custkey AS a_id, a.c_name AS a_val,
+        |  b.c_custkey AS b_id, b.c_name AS b_val,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a, customer b
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "events_sliding_agg" ->
+      """WITH x AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - k * INTERVAL '15 minutes' AS window_start,
+        |         event_type, value
+        |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k))
+        |SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "events_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS s1,
+        |    SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS s2
+        |  FROM events GROUP BY 1),
+        |z AS (
+        |  SELECT event_id, e.event_type, value,
+        |    (value - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt((CAST(s2 AS DOUBLE)
+        |          - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0)) AS z
+        |  FROM events e JOIN s USING (event_type))
+        |SELECT event_id, event_type, value, z FROM z
+        |WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin,
+
+    "ewma_user_value" -> ewmaOracle(0.3),
+
     "scd2_history" ->
       """WITH v AS (
         |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exponentially-weighted moving average per entity.
+  *
+  * The reference's "form" metric is FPL's pre-computed rolling average
+  * (fpl-data-pipeline sql_queries.py:111 just reads it); the engine
+  * should be able to DERIVE such smoothed signals. EWMA is the
+  * recursive one — s_i = α·x_i + (1−α)·s_{i−1} — which no window
+  * frame expresses (every output depends on the full prefix).
+  *
+  * Spark-first shape: the recursion runs as a fold (`aggregate` HOF)
+  * over each entity's period-ordered value array, built by ONE groupBy
+  * — the shuffle carries per-period aggregates, never raw rows, and
+  * the array length is the entity's period count (bounded and small:
+  * dashboards smooth per-week/per-day series), not its event count.
+  * The codegen'd fold beats the alternative — a window + N self-joins
+  * or an unpartitioned sort — at any scale, and the left-to-right fold
+  * order makes the float result deterministic under any partitioning
+  * (same associativity every run, unlike a float `sum`).
+  */
+object Ewma {
+
+  /** One row per key: period count and the EWMA of `value` over the
+    * key's periods in `orderCol` order (seed = earliest value).
+    *
+    * `value` should be an exact per-period aggregate (e.g. a decimal
+    * sum) — it is cast to double only at the fold input.
+    */
+  def smooth(df: DataFrame, key: String, orderCol: String,
+             value: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val grouped = df.groupBy(col(key))
+      // struct sorts by its first field — orderCol — and periods are
+      // unique per key, so this is ORDER BY orderCol
+      .agg(sort_array(collect_list(struct(col(orderCol), value.as("__v"))))
+        .as("__arr"))
+      .withColumn("__vals",
+        transform(col("__arr"), s => s.getField("__v").cast("double")))
+    grouped.select(
+      col(key),
+      size(col("__vals")).as("n_periods"),
+      aggregate(
+        slice(col("__vals"), lit(2),
+          greatest(size(col("__vals")) - lit(1), lit(0))),
+        element_at(col("__vals"), 1),
+        (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc).as("ewma"))
+  }
+}

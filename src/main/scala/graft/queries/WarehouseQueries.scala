@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Num._
-import graft.operators.{Funnel, Profile, Scd2, TextRank}
+import graft.operators.{Ewma, Funnel, FuzzyJoin, Profile, Scd2, TextRank}
 import graft.sources.{BucketedLake, Tables}
 
 /** Round-5 warehouse + retrieval surface (SURVEY §2: C20-C22, A11, D31).
@@ -75,4 +75,64 @@ object WarehouseQueries {
       terms = Bm25Terms, k = 50)
 
   val Bm25Terms: Seq[String] = Seq("hash", "join", "vector", "stream")
+
+  /** D32: fuzzy entity matching — all customer-name pairs within edit
+    * distance 1, via deletion-neighborhood blocking + exact verify
+    * (see [[graft.operators.FuzzyJoin]]).
+    */
+  def fuzzyNameMatch(spark: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.selfJoin(Tables.customer(spark, dir), "c_custkey", "c_name")
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** E7 batch face: sliding 1h windows every 15min. Decimal-exact sums
+    * make the result partitioning-independent; the streaming twin is
+    * [[graft.streaming.EventsStream.slidingAgg]].
+    */
+  def eventsSlidingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** C23: z-score outlier detection per event type. Moments come from
+    * decimal-exact sums (Σx, Σx² are exact → identical under any
+    * partitioning and in any engine); the z arithmetic is pure IEEE
+    * +,·,/,√ — all correctly rounded, so even the doubles hash-match
+    * the oracle bit for bit. One partial-agg pass for the moments
+    * (broadcast back), one narrow scoring pass.
+    */
+  def eventsOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("__n"),
+      sum(dec2(col("value"))).as("__s1"),
+      sum(dec2(col("value")) * dec2(col("value"))).as("__s2"))
+    val n = col("__n").cast("double")
+    val s1 = col("__s1").cast("double")
+    val s2 = col("__s2").cast("double")
+    val mean = s1 / n
+    val variance = (s2 - (s1 * s1) / n) / (n - lit(1.0))
+    val z = (col("value") - mean) / sqrt(variance)
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", z)
+      .filter(abs(col("z")) > lit(3.0))
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** C24: EWMA-smoothed daily spend per user (α = 0.3) — the derived
+    * "form" signal (see [[graft.operators.Ewma]]). Daily sums are
+    * decimal-exact; the fold is deterministic left-to-right.
+    */
+  def ewmaUserValue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(dec2(col("value"))).as("dval"))
+    Ewma.smooth(daily, "user_id", "day", col("dval"), alpha = 0.3)
+      .orderBy(col("user_id"))
+  }
 }

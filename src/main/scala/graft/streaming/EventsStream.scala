@@ -51,6 +51,24 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** E7: sliding (hopping) windowed aggregation — each event lands in
+    * duration/slide overlapping windows, so trend dashboards refresh
+    * every `slide` without waiting out a full tumbling window. Same
+    * incremental state mechanics as [[windowedAgg]]; state size scales
+    * by the overlap factor (duration/slide open windows per key). The
+    * batch twin is [[graft.queries.WarehouseQueries.eventsSlidingAgg]];
+    * StreamingSpec pins stream == batch.
+    */
+  def slidingAgg(events: DataFrame, duration: String = "1 hour",
+                 slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), duration, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n_events"))
+
   /** C8b streaming face: gap sessionization via the native
     * `session_window` aggregate — per-event windows merge while they
     * overlap, session state closes (and emits, in append mode) once

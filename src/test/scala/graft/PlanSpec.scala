@@ -305,6 +305,13 @@ class PlanSpec extends AnyFunSuite {
       s"funnel should shuffle user rows exactly once, saw $userExchanges:\n$p")
   }
 
+  test("fuzzy join meets on the variant hash, never a nested loop") {
+    val p = planString(
+      graft.queries.WarehouseQueries.fuzzyNameMatch(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degenerated to all-pairs:\n$p")
+  }
+
   test("bm25: the corpus is never hash-exchanged; top-k is TakeOrdered") {
     val p = planString(
       graft.queries.WarehouseQueries.bm25Search(spark, sfDir))

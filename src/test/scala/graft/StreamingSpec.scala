@@ -52,6 +52,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding agg equals the batch equivalent") {
+    val stream = EventsStream.slidingAgg(
+      EventsStream.readEvents(spark, sfDir))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("slide_out")
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1),
+          r.getString(2), r.getLong(3))).toSet
+      val want = graft.queries.WarehouseQueries
+        .eventsSlidingAgg(spark, sfDir)
+        .select(col("window_start"), col("window_end"), col("event_type"),
+          col("n_events"))
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1),
+          r.getString(2), r.getLong(3))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming session_window equals the batch formulation once the watermark passes") {
     import spark.implicits._
     def ev(id: Long, user: Long, minute: Long): EventsStream.Event =

@@ -220,4 +220,89 @@ class WarehouseSpec extends AnyFunSuite {
       Seq("hash", "join", "vector", "stream"), 5).collect()
     assert(out.length == 1 && out(0).getLong(0) == 1L)
   }
+
+  // ---- FuzzyJoin --------------------------------------------------------
+
+  test("fuzzy join: finds substitution/insertion/deletion pairs, not d=2") {
+    val df = Seq(
+      (1L, "spark"),   // base
+      (2L, "spork"),   // substitution (d=1)
+      (3L, "sparks"),  // insertion (d=1)
+      (4L, "spak"),    // deletion (d=1)
+      (5L, "spark"),   // exact duplicate (d=0)
+      (6L, "sprk"),    // d=1 from spark (del a), spork (del o), spak (sub)
+      (7L, "scala")    // far away
+    ).toDF("id", "name")
+    val pairs = graft.operators.FuzzyJoin.selfJoin(df, "id", "name")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L),
+      (2L, 5L), (2L, 6L), (3L, 5L), (4L, 5L), (4L, 6L), (5L, 6L))
+    assert(pairs == expected)
+  }
+
+  test("fuzzy join: blocking is complete vs brute force on real names") {
+    val cust = graft.sources.Tables.customer(spark, sfDir).limit(200)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val got = graft.operators.FuzzyJoin.selfJoin(cust, "id", "name")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = cust.toDF("a_id", "a_name")
+    val b = cust.toDF("b_id", "b_name")
+    val brute = a.crossJoin(b)
+      .filter(col("a_id") < col("b_id") &&
+        levenshtein(col("a_name"), col("b_name")) <= 1)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+  }
+
+  // ---- EWMA -------------------------------------------------------------
+
+  test("ewma: fold matches the recursive definition; order by period") {
+    val df = Seq(
+      // deliberately out of period order in the input
+      (1L, 3, 30.0), (1L, 1, 10.0), (1L, 2, 20.0),
+      (2L, 1, 5.0) // single period: ewma = the value itself
+    ).toDF("k", "period", "v")
+    val out = graft.operators.Ewma
+      .smooth(df, "k", "period", col("v"), alpha = 0.5)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // k1: s1=10; s2=.5*20+.5*10=15; s3=.5*30+.5*15=22.5
+    assert(out.toSeq == Seq((1L, 3, 22.5), (2L, 1, 5.0)))
+  }
+
+  // ---- Sliding windows --------------------------------------------------
+
+  test("sliding agg: every event lands in exactly duration/slide windows") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val total = ev.count()
+    val windowed = graft.queries.WarehouseQueries
+      .eventsSlidingAgg(spark, sfDir)
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(windowed == total * 4,
+      s"each event should appear in 4 overlapping windows: $windowed vs ${total * 4}")
+  }
+
+  // ---- Outliers ---------------------------------------------------------
+
+  test("outliers: z-scores match per-type moments; all |z| > 3") {
+    val out = graft.queries.WarehouseQueries.eventsOutliers(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "exponential-tail values must produce 3-sigma outliers")
+    assert(rows.forall(r => math.abs(r.getDouble(3)) > 3.0))
+    // spot-check one z against driver-side moments
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byType = ev.groupBy(_._1)
+    val r0 = rows.head
+    val vals = byType(r0.getString(1)).map(_._2)
+    val n = vals.length.toDouble
+    val mean = vals.sum / n
+    val sd = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+    val z = (r0.getDouble(2) - mean) / sd
+    assert(math.abs(r0.getDouble(3) - z) < 1e-6)
+  }
 }
