@@ -110,6 +110,9 @@ object SparkEntry {
     "events_sliding_agg" -> (WarehouseQueries.eventsSlidingAgg _),
     "events_outliers"    -> (WarehouseQueries.eventsOutliers _),
     "ewma_user_value"    -> (WarehouseQueries.ewmaUserValue _),
+    "quality_filter"     -> (TextQueries.qualityFilter _),
+    "cohort_retention"   -> (WarehouseQueries.cohortRetention _),
+    "events_enriched_agg" -> (WarehouseQueries.eventsEnrichedAgg _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -339,6 +342,55 @@ object SparkEntry {
         |WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin,
 
     "ewma_user_value" -> ewmaOracle(0.3),
+
+    // quality CTE mirrors text_quality_score's (already hash-green →
+    // the per-doc quality doubles are bit-identical in both engines);
+    // the threshold logic mirrors TextQueries.qualityFilter: 2-dp
+    // buckets, p75 = least bucket with cum ≥ 0.75·N, keep b ≥ thr.
+    "quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((h / n) * 8.0, 1.0) AS quality
+        |  FROM c),
+        |sb AS (SELECT doc_id, quality,
+        |  CAST(floor(quality * 100.0) AS BIGINT) AS b FROM s),
+        |hist AS (SELECT b, COUNT(*) AS cnt FROM sb GROUP BY 1),
+        |cum AS (SELECT b, SUM(cnt) OVER (ORDER BY b
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+        |thr AS (SELECT MIN(b) AS thr FROM cum, (SELECT COUNT(*) AS n FROM sb)
+        |  WHERE cum >= n * 0.75)
+        |SELECT doc_id, quality FROM sb, thr WHERE b >= thr
+        |ORDER BY doc_id""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH f AS (
+        |  -- DuckDB's week-trunc yields DATE; Spark's yields TIMESTAMP
+        |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events)
+        |SELECT cohort_week,
+        |  CAST((epoch(week) - epoch(cohort_week)) / 604800 AS BIGINT) AS week_number,
+        |  COUNT(DISTINCT user_id) AS active_users
+        |FROM w JOIN f USING (user_id)
+        |GROUP BY cohort_week, week_number
+        |ORDER BY cohort_week, week_number""".stripMargin,
+
+    "events_enriched_agg" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "scd2_history" ->
       """WITH v AS (

@@ -44,23 +44,30 @@ object FuzzyJoin {
 
   /** All pairs (a_id < b_id) with levenshtein(a_val, b_val) ≤ maxDist.
     * Complete for maxDist = 1 (see blocking argument above).
+    *
+    * Candidates carry IDS ONLY (16 bytes/pair) through the self-join
+    * and dedup — the strings join back by id just for the final
+    * verify, the same discipline as the D5/D17 candidate paths.
     */
   def selfJoin(df: DataFrame, id: String, value: String,
                maxDist: Int = 1): DataFrame = {
     require(maxDist == 1,
       "deletion-1 blocking is complete only for maxDist = 1")
-    val variants = df
-      .select(col(id).as("__id"), col(value).as("__val"))
-      .select(col("__id"), col("__val"),
+    val base = df.select(col(id).as("__id"), col(value).as("__val"))
+    val variants = base
+      .select(col("__id"),
         explode(deletionNeighborhood(col("__val"))).as("__v"))
-      .select(col("__id"), col("__val"), xxhash64(col("__v")).as("__h"))
-    val a = variants.toDF("a_id", "a_val", "__h")
-    val b = variants.toDF("b_id", "b_val", "__h")
+      .select(col("__id"), xxhash64(col("__v")).as("__h"))
+    val a = variants.toDF("a_id", "__h")
+    val b = variants.toDF("b_id", "__h")
     a.join(b, "__h")
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "a_val", "b_id", "b_val")
+      .select("a_id", "b_id")
       .distinct()
+      .join(base.toDF("a_id", "a_val"), "a_id")
+      .join(base.toDF("b_id", "b_val"), "b_id")
       .withColumn("dist", levenshtein(col("a_val"), col("b_val")))
       .filter(col("dist") <= maxDist)
+      .select("a_id", "a_val", "b_id", "b_val", "dist")
   }
 }

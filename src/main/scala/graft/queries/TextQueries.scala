@@ -140,6 +140,36 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D33: percentile-threshold quality filter — keep the top quartile
+    * of the corpus by quality score, WITHOUT a global sort or per-doc
+    * window. Scores live in [0,1]: the corpus collapses to a ≤101-row
+    * 2-dp bucket histogram, the p75 threshold bucket reads off the
+    * cumulative histogram (same tiny-domain pattern as
+    * [[textLengthQuantilesExact]]/C18), and the keep-filter runs as a
+    * narrow broadcast-compare pass. Threshold granularity is a bucket
+    * (0.01) — the curation contract is "top ~quartile", not an exact
+    * doc count, which is what makes it exchange-free at any scale.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir).select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .withColumn("__b", floor(col("quality") * lit(100.0)).cast("long"))
+    val counts = scored.groupBy(col("__b")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val thr = counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("n"))))
+      .filter(col("cum") >= col("n") * lit(0.75))
+      .agg(min(col("__b")).as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("__b") >= col("__thr"))
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D10: language ID by stopword scoring with deterministic argmax. */
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

@@ -124,6 +124,44 @@ object WarehouseQueries {
       .orderBy(col("event_id"))
   }
 
+  /** C25: cohort retention — users grouped by first-activity week,
+    * distinct-active counts per (cohort, weeks-since). Two passes over
+    * events (first-touch agg, weekly-activity distinct), one join on
+    * the user key; week arithmetic stays in exact integer seconds.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).as("cohort_week"))
+    val weekly = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    weekly.join(firsts, "user_id")
+      .withColumn("week_number",
+        ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week")))
+          / lit(604800)).cast("long"))
+      .groupBy(col("cohort_week"), col("week_number"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_week"), col("week_number"))
+  }
+
+  /** E8 batch face: stream-static enrichment — events joined to the
+    * customer dim (broadcast; a dim re-read per micro-batch in the
+    * streaming twin [[graft.streaming.EventsStream.enrichedAgg]]),
+    * aggregated by segment and type.
+    */
+  def eventsEnrichedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    ev.join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** C24: EWMA-smoothed daily spend per user (α = 0.3) — the derived
     * "form" signal (see [[graft.operators.Ewma]]). Daily sums are
     * decimal-exact; the fold is deterministic left-to-right.

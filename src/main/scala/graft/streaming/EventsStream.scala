@@ -69,6 +69,24 @@ object EventsStream {
         col("window.end").as("window_end"), col("event_type"),
         col("n_events"))
 
+  /** E8: stream-static enrichment join + windowed agg. The static dim
+    * side is planned per micro-batch (so slowly-changing dims refresh
+    * without restarting the query) and broadcast — the stream side
+    * never shuffles for the join, and the only state is the windowed
+    * aggregation's. The batch twin is
+    * [[graft.queries.WarehouseQueries.eventsEnrichedAgg]];
+    * StreamingSpec pins stream == batch on the shared grouping.
+    */
+  def enrichedAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("c_mktsegment"),
+        col("event_type"), col("n_events"))
+
   /** C8b streaming face: gap sessionization via the native
     * `session_window` aggregate — per-event windows merge while they
     * overlap, session state closes (and emits, in append mode) once

@@ -201,6 +201,83 @@ object ScaleProbe {
         "text", "doc_id", threshold = 0.8,
         existingIndex = Some(spark.read.parquet(idxPath))).count()
     }
+    val ord = graft.sources.Tables.orders(spark, dir)
+      .crossJoin(copies)
+      .select((col("o_orderkey") * mult + col("copy")).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    t("scd2_history") {
+      graft.operators.Scd2.history(ord, Seq("o_custkey"),
+        Seq("o_orderpriority"), "o_orderdate", "o_orderkey").count()
+    }
+    t("funnel_steps") {
+      val evt = ev.withColumn("event_type",
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          (col("event_id") % 3 + 1).cast("int")))
+      graft.operators.Funnel.steps(evt, "user_id", "event_type", "ts",
+        "event_id", Seq("view", "click", "purchase"),
+        Some(expr("INTERVAL 4 HOURS"))).count()
+    }
+    t("bucketed_write_join") {
+      // one-time co-location cost + the exchange-free join it buys
+      val base = "/tmp/graft_probe_bucketed"
+      graft.sources.BucketedLake.writeBucketed(ord,
+        "probe_orders_b", s"$base/orders", "o_orderkey", 32)
+      graft.sources.BucketedLake.writeBucketed(
+        li.withColumn("l_orderkey", col("l_orderkey")),
+        "probe_lineitem_b", s"$base/lineitem", "l_orderkey", 32)
+      spark.table("probe_lineitem_b")
+        .join(spark.table("probe_orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1))).count()
+    }
+    t("table_profile") {
+      graft.operators.Profile.profile(li,
+        Seq("l_suppkey", "l_quantity", "l_returnflag"),
+        approxDistinct = true).count()
+    }
+    t("bm25_search") {
+      graft.operators.TextRank.bm25TopK(docs, "doc_id", "text",
+        Seq("hash", "join", "vector", "stream"), 50).count()
+    }
+    t("fuzzy_name_match") {
+      // double the copy tag so cross-copy name pairs sit at d=2 and the
+      // pair volume stays within-copy (true-dup density, not amplified
+      // quadratically)
+      val names = graft.sources.Tables.customer(spark, dir)
+        .crossJoin(copies)
+        .select((col("c_custkey") * mult + col("copy")).as("id"),
+          concat(col("c_name"), lit("-"), col("copy"), col("copy")).as("name"))
+      graft.operators.FuzzyJoin.selfJoin(names, "id", "name").count()
+    }
+    t("events_outliers") {
+      val stats = ev.groupBy((col("event_id") % 5).as("g")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("s1"),
+        sum(col("value").cast("decimal(18,2)")
+          * col("value").cast("decimal(18,2)")).as("s2"))
+      val n = col("n").cast("double")
+      val mean = col("s1").cast("double") / n
+      val sd = sqrt((col("s2").cast("double")
+        - (col("s1").cast("double") * col("s1").cast("double")) / n) / (n - lit(1.0)))
+      ev.withColumn("g", col("event_id") % 5)
+        .join(broadcast(stats), "g")
+        .filter(abs((col("value") - mean) / sd) > 3.0).count()
+    }
+    t("ewma_smooth") {
+      val daily = ev.groupBy(col("user_id"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("dval"))
+      graft.operators.Ewma.smooth(daily, "user_id", "day",
+        col("dval"), 0.3).count()
+    }
+    t("sliding_agg") {
+      ev.withColumn("event_type",
+          element_at(array(lit("a"), lit("b")), (col("event_id") % 2 + 1).cast("int")))
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1))).count()
+    }
     spark.stop()
   }
 }

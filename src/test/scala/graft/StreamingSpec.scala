@@ -72,6 +72,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch equivalent") {
+    val dim = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = EventsStream.enrichedAgg(
+      EventsStream.readEvents(spark, sfDir), dim)
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      // collapse the stream's windows: totals per (segment, type) must
+      // match the batch face exactly
+      val got = spark.table("enrich_out")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(sum(col("n_events")).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val want = graft.queries.WarehouseQueries
+        .eventsEnrichedAgg(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming session_window equals the batch formulation once the watermark passes") {
     import spark.implicits._
     def ev(id: Long, user: Long, minute: Long): EventsStream.Event =

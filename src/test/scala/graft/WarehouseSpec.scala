@@ -285,6 +285,43 @@ class WarehouseSpec extends AnyFunSuite {
       s"each event should appear in 4 overlapping windows: $windowed vs ${total * 4}")
   }
 
+  // ---- Cohorts ----------------------------------------------------------
+
+  test("cohort retention: week-0 cells partition the user base") {
+    val rows = graft.queries.WarehouseQueries
+      .cohortRetention(spark, sfDir).collect()
+    assert(rows.forall(_.getLong(1) >= 0L), "no activity before the cohort week")
+    val week0 = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    // every user is active in their own first week by definition
+    assert(week0 == users)
+    // later-week cells never exceed their cohort's size
+    val cohortSize = rows.filter(_.getLong(1) == 0L)
+      .map(r => r.getTimestamp(0) -> r.getLong(2)).toMap
+    assert(rows.forall(r => r.getLong(2) <= cohortSize(r.getTimestamp(0))))
+  }
+
+  // ---- Quality filter ---------------------------------------------------
+
+  test("quality filter: keeps the top ~quartile at bucket granularity") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val total = docs.count()
+    val kept = graft.queries.TextQueries.qualityFilter(spark, sfDir)
+    val k = kept.count()
+    // threshold is bucket-granular: the kept share is ~25%, never under
+    assert(k >= total / 4, s"kept $k of $total — p75 cut lost rows")
+    assert(k <= total / 2, s"kept $k of $total — threshold far too low")
+    // separation: every kept doc scores >= every dropped doc - 0.01
+    val keptIds = kept.select("doc_id")
+    val dropped = graft.queries.TextQueries.textQualityScore(spark, sfDir)
+      .join(keptIds, Seq("doc_id"), "left_anti")
+    val minKept = kept.agg(min(col("quality"))).collect()(0).getDouble(0)
+    val maxDrop = dropped.agg(max(col("quality"))).collect()(0).getDouble(0)
+    assert(minKept >= maxDrop - 0.01,
+      s"bucket separation violated: $minKept vs $maxDrop")
+  }
+
   // ---- Outliers ---------------------------------------------------------
 
   test("outliers: z-scores match per-type moments; all |z| > 3") {
