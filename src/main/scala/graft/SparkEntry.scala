@@ -264,14 +264,14 @@ object SparkEntry {
   }
 
   /** Profile oracle: one UNION ALL branch per column, numerics
-    * canonicalized through DECIMAL(18,2) exactly like
+    * canonicalized through DECIMAL(38,6) exactly like
     * [[graft.operators.Profile.profile]].
     */
   private def profileOracle(table: String, cols: Seq[String],
                             numeric: Set[String]): String = {
     val branches = cols.map { c =>
       val canon = (e: String) =>
-        if (numeric(c)) s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"
+        if (numeric(c)) s"CAST(CAST($e AS DECIMAL(38,6)) AS VARCHAR)"
         else s"CAST($e AS VARCHAR)"
       s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
          |  COUNT(*) - COUNT($c) AS n_nulls,
@@ -333,13 +333,18 @@ object SparkEntry {
         |  FROM events GROUP BY 1),
         |z AS (
         |  SELECT event_id, e.event_type, value,
+        |    (CAST(s2 AS DOUBLE)
+        |        - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0) AS variance,
+        |    n,
         |    (value - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
         |      / sqrt((CAST(s2 AS DOUBLE)
         |          - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE))
         |        / (CAST(n AS DOUBLE) - 1.0)) AS z
         |  FROM events e JOIN s USING (event_type))
         |SELECT event_id, event_type, value, z FROM z
-        |WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin,
+        |WHERE n >= 2 AND variance > 0.0 AND abs(z) > 3.0
+        |ORDER BY event_id""".stripMargin,
 
     "ewma_user_value" -> ewmaOracle(0.3),
 
@@ -380,7 +385,7 @@ object SparkEntry {
         |w AS (SELECT DISTINCT user_id,
         |  CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events)
         |SELECT cohort_week,
-        |  CAST((epoch(week) - epoch(cohort_week)) / 604800 AS BIGINT) AS week_number,
+        |  CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_number,
         |  COUNT(DISTINCT user_id) AS active_users
         |FROM w JOIN f USING (user_id)
         |GROUP BY cohort_week, week_number

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The tiny-domain cumulative-histogram core shared by the exact
+  * quantile witness (D18b), histogram pre-aggregation (C18) and the
+  * quality-percentile filter (D33): given an already-collapsed
+  * `(domain, count)` aggregate, attach the running count and the
+  * grand total so thresholds/quantiles read off with a comparison.
+  *
+  * The unpartitioned window is safe BY CONSTRUCTION — the input is a
+  * domain aggregate (distinct lengths, 2-dp score buckets, value
+  * buckets: ≤ thousands of rows), never raw data. Callers own that
+  * invariant; this helper is what keeps "exact quantile" queries
+  * exchange-light at any corpus size.
+  */
+object CumHistogram {
+
+  /** counts(domain, cnt) → + `cum` (cumulative count in domain order)
+    * and `total` (broadcast grand total).
+    */
+  def cumulative(counts: DataFrame, domain: String, cnt: String): DataFrame = {
+    val w = Window.orderBy(col(domain))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts
+      .withColumn("cum", sum(col(cnt)).over(w))
+      .crossJoin(broadcast(counts.agg(sum(col(cnt)).as("total"))))
+  }
+}

@@ -32,7 +32,10 @@ object Ewma {
   def smooth(df: DataFrame, key: String, orderCol: String,
              value: Column, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
-    val grouped = df.groupBy(col(key))
+    // a null period value would poison the fold from that step onward
+    // (alpha·x + (1−alpha)·null = null); null periods are dropped and
+    // do not count toward n_periods — stated contract, not an accident
+    val grouped = df.filter(value.isNotNull).groupBy(col(key))
       // struct sorts by its first field — orderCol — and periods are
       // unique per key, so this is ORDER BY orderCol
       .agg(sort_array(collect_list(struct(col(orderCol), value.as("__v"))))

@@ -72,12 +72,15 @@ object Funnel {
       countDistinct(when(col(s"__q$i").isNotNull, col(user))).as(s"__u$i")
     }
     val wide = qualified.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = stages.zipWithIndex
-      .map { case (stage, i) => s"${i + 1}, '$stage', __u$i" }
-      .mkString(", ")
+    // unpivot via explode(array(struct…)) — stage values stay data,
+    // never spliced into SQL text
+    val rows = stages.zipWithIndex.map { case (stage, i) =>
+      struct(lit(i + 1).as("step"), lit(stage).as("stage"),
+        col(s"__u$i").as("users"))
+    }
     wide
-      .selectExpr(
-        s"stack(${stages.size}, $stackArgs) AS (step, stage, users)")
+      .select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.step"), col("__r.stage"), col("__r.users"))
       .orderBy(col("step"))
   }
 }

@@ -28,8 +28,14 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
+  /** Canonical rendering for bounds. Numerics go through
+    * DECIMAL(38,6) so both engines print identical text — note the
+    * display contract: 6-dp rounding (a min of 0.0000004 reads
+    * "0.000000") and overflow to null beyond ±10^32. Raw typed bounds
+    * are a projection away if a caller needs them lossless.
+    */
   private def canon(c: Column, dt: DataType): Column = dt match {
-    case _: NumericType => c.cast(DecimalType(18, 2)).cast("string")
+    case _: NumericType => c.cast(DecimalType(38, 6)).cast("string")
     case _ => c.cast("string")
   }
 
@@ -37,24 +43,30 @@ object Profile {
               approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val dtypes = cols.map(c => c -> df.schema(c).dataType).toMap
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"__nn_$c"),
-        (if (approxDistinct) approx_count_distinct(col(c))
-         else countDistinct(col(c))).as(s"__nd_$c"),
-        canon(min(col(c)), dtypes(c)).as(s"__min_$c"),
-        canon(max(col(c)), dtypes(c)).as(s"__max_$c"))
+    // per-column aliases are positional (__m0, __m1, …), so column
+    // NAMES never splice into expression text — any legal Spark
+    // column name (spaces, quotes, dots) profiles fine
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap {
+      case (c, i) =>
+        Seq(
+          count(col(c)).as(s"__nn_$i"),
+          (if (approxDistinct) approx_count_distinct(col(c))
+           else countDistinct(col(c))).as(s"__nd_$i"),
+          canon(min(col(c)), dtypes(c)).as(s"__min_$i"),
+          canon(max(col(c)), dtypes(c)).as(s"__max_$i"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', __n - __nn_$c, __nd_$c, __min_$c, __max_$c"
-    }.mkString(", ")
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"),
+        (col("__n") - col(s"__nn_$i")).as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"),
+        col(s"__min_$i").as("min_val"),
+        col(s"__max_$i").as("max_val"))
+    }
     wide
-      .selectExpr("__n AS n_rows",
-        s"stack(${cols.size}, $stackArgs) " +
-          "AS (col_name, n_nulls, n_distinct, min_val, max_val)")
-      .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_val"), col("max_val"))
+      .select(col("__n").as("n_rows"), explode(array(rows: _*)).as("__r"))
+      .select(col("__r.col_name"), col("n_rows"), col("__r.n_nulls"),
+        col("__r.n_distinct"), col("__r.min_val"), col("__r.max_val"))
       .orderBy(col("col_name"))
   }
 }

@@ -47,6 +47,11 @@ object TextRank {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val sorted = terms.distinct.sorted
     require(sorted.nonEmpty, "bm25 needs at least one term")
+    // a term outside the token alphabet can never match — refuse it
+    // loudly instead of silently scoring it 0 everywhere
+    require(sorted.forall(_.matches("[a-z0-9]+")),
+      s"terms must be lowercase [a-z0-9]+ (the token alphabet); got " +
+        sorted.filterNot(_.matches("[a-z0-9]+")).mkString(", "))
     val base = docs
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("double"))

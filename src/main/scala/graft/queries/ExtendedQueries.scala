@@ -125,12 +125,7 @@ object ExtendedQueries {
     // merge an arbitrary day range (here: all) — bucket domain is tiny,
     // so the cumulative window runs over the collapsed histogram only
     val merged = daily.groupBy(col("bucket")).agg(sum(col("n")).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bucket"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = merged
-      .withColumn("cum", sum(col("n")).over(w))
-      .crossJoin(broadcast(merged.agg(sum(col("n")).as("total"))))
+    val cum = graft.operators.CumHistogram.cumulative(merged, "bucket", "n")
     cum.crossJoin(broadcast(Seq(0.5, 0.9, 0.99).toDF("q")))
       .filter(col("cum") >= col("q") * col("total"))
       .groupBy(col("q"))

@@ -156,13 +156,8 @@ object TextQueries {
         TextFunctions.qualityScore(col("text")).as("quality"))
       .withColumn("__b", floor(col("quality") * lit(100.0)).cast("long"))
     val counts = scored.groupBy(col("__b")).agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__b"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val thr = counts
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("n"))))
-      .filter(col("cum") >= col("n") * lit(0.75))
+    val thr = graft.operators.CumHistogram.cumulative(counts, "__b", "cnt")
+      .filter(col("cum") >= col("total") * lit(0.75))
       .agg(min(col("__b")).as("__thr"))
     scored.crossJoin(broadcast(thr))
       .filter(col("__b") >= col("__thr"))
@@ -321,14 +316,9 @@ object TextQueries {
     val qs = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
     val counts = Tables.documents(spark, dir)
       .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_chars"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = counts
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("n"))))
-    cum.crossJoin(broadcast(qs.toDF("q")))
-      .filter(col("cum") >= col("q") * col("n"))
+    graft.operators.CumHistogram.cumulative(counts, "n_chars", "cnt")
+      .crossJoin(broadcast(qs.toDF("q")))
+      .filter(col("cum") >= col("q") * col("total"))
       .groupBy(col("q")).agg(min(col("n_chars")).as("len_q"))
       .orderBy(col("q"))
   }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Num._
-import graft.operators.{Ewma, Funnel, FuzzyJoin, Profile, Scd2, TextRank}
+import graft.operators.{Ewma, Funnel, FuzzyJoin, Outliers, Profile, Scd2, TextRank}
 import graft.sources.{BucketedLake, Tables}
 
 /** Round-5 warehouse + retrieval surface (SURVEY §2: C20-C22, A11, D31).
@@ -39,15 +39,22 @@ object WarehouseQueries {
     * (PlanSpec pins it; see [[graft.sources.BucketedLake]]).
     */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val sfName = new java.io.File(dir).getName
-    val base = s"/tmp/graft_bucketed/$sfName"
+    // table names + path keyed by the FULL dataset path, so two
+    // datasets sharing a basename can't clobber each other's catalog
+    // entries or files (concurrent sessions on the SAME dataset still
+    // share a path — fine for this dev-gate query; production callers
+    // own table names and paths via BucketedLake directly)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val base = s"/tmp/graft_bucketed/$key"
     BucketedLake.writeBucketed(Tables.orders(spark, dir),
-      "graft_orders_b", s"$base/orders", "o_orderkey", 8)
+      s"graft_orders_b_$key", s"$base/orders", "o_orderkey", 8)
     BucketedLake.writeBucketed(Tables.lineitem(spark, dir),
-      "graft_lineitem_b", s"$base/lineitem", "l_orderkey", 8)
+      s"graft_lineitem_b_$key", s"$base/lineitem", "l_orderkey", 8)
     val one = lit(1).cast("decimal(18,2)")
-    spark.table("graft_lineitem_b")
-      .join(spark.table("graft_orders_b"),
+    spark.table(s"graft_lineitem_b_$key")
+      .join(spark.table(s"graft_orders_b_$key"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
@@ -98,36 +105,23 @@ object WarehouseQueries {
         col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
-  /** C23: z-score outlier detection per event type. Moments come from
-    * decimal-exact sums (Σx, Σx² are exact → identical under any
-    * partitioning and in any engine); the z arithmetic is pure IEEE
-    * +,·,/,√ — all correctly rounded, so even the doubles hash-match
-    * the oracle bit for bit. One partial-agg pass for the moments
-    * (broadcast back), one narrow scoring pass.
+  /** C23: z-score outliers per event type (3σ) — see
+    * [[graft.operators.Outliers]] for the exact-moment/bit-exact and
+    * degenerate-group-guard story (the guard is mirrored in the
+    * oracle).
     */
-  def eventsOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val stats = ev.groupBy(col("event_type")).agg(
-      count(lit(1)).as("__n"),
-      sum(dec2(col("value"))).as("__s1"),
-      sum(dec2(col("value")) * dec2(col("value"))).as("__s2"))
-    val n = col("__n").cast("double")
-    val s1 = col("__s1").cast("double")
-    val s2 = col("__s2").cast("double")
-    val mean = s1 / n
-    val variance = (s2 - (s1 * s1) / n) / (n - lit(1.0))
-    val z = (col("value") - mean) / sqrt(variance)
-    ev.join(broadcast(stats), "event_type")
-      .withColumn("z", z)
-      .filter(abs(col("z")) > lit(3.0))
+  def eventsOutliers(spark: SparkSession, dir: String): DataFrame =
+    Outliers.zscore(Tables.events(spark, dir), "event_type", "value")
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
       .orderBy(col("event_id"))
-  }
 
   /** C25: cohort retention — users grouped by first-activity week,
     * distinct-active counts per (cohort, weeks-since). Two passes over
     * events (first-touch agg, weekly-activity distinct), one join on
-    * the user key; week arithmetic stays in exact integer seconds.
+    * the user key. Weeks-since counts CALENDAR days / 7 (Monday weeks
+    * are always exactly 7 calendar days apart), so the math survives
+    * DST-observing session timezones where a "week" is not 604800
+    * seconds.
     */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -140,8 +134,7 @@ object WarehouseQueries {
       .distinct()
     weekly.join(firsts, "user_id")
       .withColumn("week_number",
-        ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week")))
-          / lit(604800)).cast("long"))
+        (datediff(col("week"), col("cohort_week")) / lit(7)).cast("long"))
       .groupBy(col("cohort_week"), col("week_number"))
       .agg(countDistinct(col("user_id")).as("active_users"))
       .orderBy(col("cohort_week"), col("week_number"))

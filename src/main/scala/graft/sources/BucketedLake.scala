@@ -43,6 +43,9 @@ object BucketedLake {
     */
   def writeBucketed(df: DataFrame, tableName: String, path: String,
                     key: String, buckets: Int): Unit = {
+    // tableName reaches raw SQL (DROP TABLE) — keep it an identifier
+    require(tableName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"table name must be a bare SQL identifier, got '$tableName'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     df.repartition(buckets, col(key))

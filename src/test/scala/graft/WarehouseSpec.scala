@@ -154,7 +154,7 @@ class WarehouseSpec extends AnyFunSuite {
         r.getLong(3), r.getString(4), r.getString(5)))
     assert(p.toSeq == Seq(
       ("s", 4L, 1L, 2L, "a", "b"),
-      ("x", 4L, 1L, 2L, "1.50", "2.25")))
+      ("x", 4L, 1L, 2L, "1.500000", "2.250000")))
   }
 
   test("profile: approx variant agrees on exact-count corpora") {
@@ -323,6 +323,50 @@ class WarehouseSpec extends AnyFunSuite {
   }
 
   // ---- Outliers ---------------------------------------------------------
+
+  test("outliers: degenerate groups are excluded, not flagged") {
+    val df = (Seq(
+      ("single", 7.25),              // n=1: variance undefined
+      ("const", 5.0), ("const", 5.0), ("const", 5.0), // variance 0
+      // a lone outlier's max z is (n-1)/sqrt(n) — needs n ≥ 12 to pass 3
+      ("ok", 100.0)) ++ Seq.fill(12)(("ok", 1.0))).toDF("g", "v")
+    val out = graft.operators.Outliers.zscore(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.forall(_._1 == "ok"),
+      s"degenerate groups leaked: ${out.mkString(", ")}")
+    assert(out.map(_._2).toSeq == Seq(100.0))
+  }
+
+  test("profile: column names with spaces and quotes survive") {
+    val df = Seq((1, "x"), (2, null))
+      .toDF("order date", "na'me")
+    val p = Profile.profile(df, Seq("na'me", "order date"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(4)))
+    assert(p.toSeq == Seq(("na'me", 1L, "x"), ("order date", 0L, "1.000000")))
+  }
+
+  test("funnel: stage labels with quotes survive") {
+    val ev = Seq(
+      (1L, "add's", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "buy", ts("2024-01-01 11:00:00"), 2L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Funnel.steps(ev, "user_id", "event_type", "ts", "event_id",
+        Seq("add's", "buy"), None)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("add's", 1L), ("buy", 1L)))
+  }
+
+  test("ewma: null period values are dropped, not poisoning the fold") {
+    val df = Seq(
+      (1L, 1, Option(10.0)), (1L, 2, Option.empty[Double]),
+      (1L, 3, Option(30.0))
+    ).toDF("k", "period", "v")
+    val out = graft.operators.Ewma
+      .smooth(df, "k", "period", col("v"), alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // null period dropped: series = [10, 30], ewma = .5*30+.5*10 = 20
+    assert(out.toSeq == Seq((1L, 2, 20.0)))
+  }
 
   test("outliers: z-scores match per-type moments; all |z| > 3") {
     val out = graft.queries.WarehouseQueries.eventsOutliers(spark, sfDir)
