@@ -30,6 +30,12 @@ object GraftExtensions {
   private def intArg(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
 
+  private def stringArrayArg(e: Expression): Seq[String] =
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
+
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("rolling_fingerprint",
       "rolling_fingerprint(str) - rolling polynomial hash mod 1e9+7",
@@ -59,7 +65,11 @@ object GraftExtensions {
         if (exprs.size > 1) intArg(exprs(1)) else KllFunctions.DefaultK)),
     ("kll_quantiles",
       "kll_quantiles(binary, array<double>) - quantile values at the given ranks",
-      exprs => KllQuantiles(exprs.head, exprs(1))))
+      exprs => KllQuantiles(exprs.head, exprs(1))),
+    ("greedy_tokenize",
+      "greedy_tokenize(str, array<string> vocab, maxLen) - greedy longest-match subword tokens",
+      exprs => GreedyTokenize(exprs.head, stringArrayArg(exprs(1)),
+        intArg(exprs(2)))))
 
   /** Patch a LIVE session to the same posture `withExtensions` gives a
     * new one: every SQL function, the top-k planner strategy, AND the

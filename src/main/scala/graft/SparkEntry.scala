@@ -111,6 +111,7 @@ object SparkEntry {
     "events_outliers"    -> (WarehouseQueries.eventsOutliers _),
     "ewma_user_value"    -> (WarehouseQueries.ewmaUserValue _),
     "quality_filter"     -> (TextQueries.qualityFilter _),
+    "vocab_tokenize"     -> (TextQueries.vocabTokenize _),
     "cohort_retention"   -> (WarehouseQueries.cohortRetention _),
     "events_enriched_agg" -> (WarehouseQueries.eventsEnrichedAgg _),
   )
@@ -303,7 +304,43 @@ object SparkEntry {
        |FROM arr ORDER BY user_id""".stripMargin
   }
 
+  /** Greedy-tokenizer oracle: the kernel's recurrence as a list_reduce
+    * fold — acc = [count, skip] rides the element type (the init row
+    * [[0,0]] is prepended because DuckDB's list_reduce seeds from the
+    * first element). Longest-match checks mirror the HOF twin's
+    * coalesce chain: substr truncation near the string end makes the
+    * longer branches find shorter candidates exactly like the kernel's
+    * m = min(maxLen, n-i) bound. Pure string/integer ops — bit-exact.
+    */
+  private def vocabTokenizeOracle(vocab: Seq[String], maxLen: Int): String = {
+    val vlit = vocab.filter(_.length >= 2)
+      .map(v => s"'$v'").mkString("[", ", ", "]")
+    val whens = (maxLen to 2 by -1).map { l =>
+      s"WHEN list_contains($vlit, substr(w, CAST(x[1] AS INTEGER), $l)) " +
+        s"THEN substr(w, CAST(x[1] AS INTEGER), $l)"
+    }.mkString(" ")
+    val tok = s"CASE $whens ELSE substr(w, CAST(x[1] AS INTEGER), 1) END"
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+       |    list_transform(ws, w ->
+       |      list_reduce(
+       |        [[CAST(0 AS BIGINT), CAST(0 AS BIGINT)]]
+       |          || list_transform(range(1, len(w) + 1), i -> [i, CAST(0 AS BIGINT)]),
+       |        (acc, x) -> CASE WHEN acc[2] > 0 THEN [acc[1], acc[2] - 1]
+       |          ELSE [acc[1] + 1, CAST(len($tok) AS BIGINT) - 1] END
+       |      )[1]) AS counts
+       |  FROM t)
+       |SELECT doc_id, n_words,
+       |  CAST(list_sum(counts) AS INTEGER) AS n_subtokens
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "vocab_tokenize" -> vocabTokenizeOracle(
+      graft.queries.TextQueries.SubwordVocab, 3),
+
     "fuzzy_name_match" ->
       """SELECT a.c_custkey AS a_id, a.c_name AS a_val,
         |  b.c_custkey AS b_id, b.c_name AS b_val,

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Vocabulary lookup for greedy subword tokenization, bucketed by
+  * codepoint length. Built once on the driver, shipped to executors
+  * inside the expression (codegen references it as a constant).
+  *
+  * Entries of length 1 are redundant by design: every single
+  * codepoint is an implicit base-alphabet token (the fallback), so
+  * the tokenizer is TOTAL — any input string tokenizes, vocabulary
+  * coverage only changes granularity. That is the property BPE-style
+  * vocabularies rely on.
+  */
+final class VocabTable(val vocab: Array[String], val maxLen: Int)
+    extends Serializable {
+  @transient lazy val byLen: Array[java.util.HashSet[UTF8String]] = {
+    val arr = Array.fill(maxLen + 1)(new java.util.HashSet[UTF8String]())
+    vocab.foreach { v =>
+      val u = UTF8String.fromString(v)
+      val n = u.numChars()
+      if (n >= 2 && n <= maxLen) arr(n).add(u)
+    }
+    arr
+  }
+}
+
+/** Greedy longest-match subword tokenization (SURVEY §2.D34).
+  *
+  * At each position the longest vocabulary entry (maxLen down to 2
+  * codepoints) wins; no entry → the single codepoint itself. One pass
+  * over the string, hash-set probes per position — the WordPiece-style
+  * scan, as a native kernel. The composable twin
+  * ([[TokenizeKernel.greedySubwordsHof]]) is the same recurrence as a
+  * HOF fold, kept as the oracle mirror and property-test witness
+  * (interpreted lambda eval makes it the slow path — same story as
+  * the other kernels).
+  */
+object TokenizeKernel {
+
+  def tokenize(w: UTF8String, t: VocabTable): GenericArrayData = {
+    val n = w.numChars()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < n) {
+      var tok: UTF8String = null
+      var m = math.min(t.maxLen, n - i)
+      while (m >= 2 && tok == null) {
+        val cand = w.substring(i, i + m)
+        if (t.byLen(m).contains(cand)) tok = cand
+        m -= 1
+      }
+      if (tok == null) tok = w.substring(i, i + 1)
+      out.add(tok)
+      i += tok.numChars()
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The same greedy recurrence as a pure-column fold over positions:
+    * acc = (tokens, skip); a position inside the previous match only
+    * decrements skip, otherwise the longest vocab prefix (checked
+    * maxLen→2 via a coalesce chain, single codepoint fallback) is
+    * emitted. Deterministic string/integer ops only — mirrorable in
+    * ANSI-ish SQL, which is how the DuckDB oracle checks the kernel.
+    */
+  def greedySubwordsHof(word: Column, vocab: Seq[String], maxLen: Int): Column = {
+    val vocabLit = array(vocab.filter(_.length >= 2).map(lit): _*)
+    val matchAt = (i: Column) => coalesce(
+      ((maxLen to 2 by -1).map { l =>
+        val cand = word.substr(i, lit(l))
+        when(array_contains(vocabLit, cand), cand)
+      } :+ word.substr(i, lit(1))): _*)
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(array().cast("array<string>").as("toks"), lit(0).as("skip")),
+      (acc, i) => {
+        val m = matchAt(i)
+        struct(
+          when(acc.getField("skip") > 0, acc.getField("toks"))
+            .otherwise(concat(acc.getField("toks"), array(m))).as("toks"),
+          when(acc.getField("skip") > 0, acc.getField("skip") - 1)
+            .otherwise(length(m) - 1).as("skip"))
+      },
+      acc => acc.getField("toks"))
+  }
+
+  /** Column face over the native kernel. */
+  def greedySubwords(word: Column, vocab: Seq[String], maxLen: Int = 3): Column =
+    ColumnBridge.column(
+      GreedyTokenize(ColumnBridge.expression(word), vocab, maxLen))
+}
+
+/** greedy_tokenize(string) → array<string> of subword tokens. */
+case class GreedyTokenize(child: Expression, vocab: Seq[String], maxLen: Int)
+    extends UnaryExpression {
+  @transient private lazy val table = new VocabTable(vocab.toArray, maxLen)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if maxLen >= 2 && vocab.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"greedy_tokenize needs a string, non-empty vocab, maxLen>=2; got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TokenizeKernel.tokenize(v.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabTable", table,
+      classOf[VocabTable].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenizeKernel.tokenize($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): GreedyTokenize =
+    copy(child = newChild)
+  override def prettyName: String = "greedy_tokenize"
+}

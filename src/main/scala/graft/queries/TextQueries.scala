@@ -165,6 +165,33 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D34: vocabulary-driven greedy subword tokenization — the
+    * BPE-vocab upgrade of D8's regex counts. Per-word subword counts
+    * via the [[graft.functions.GreedyTokenize]] kernel (one pass, hash
+    * probes, whole-stage codegen); zero shuffle — token arrays never
+    * leave their rows. The HOF twin mirrors the recurrence for the
+    * DuckDB oracle (pure string/integer ops — bit-exact).
+    */
+  def vocabTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val words = TextFunctions.tokens(col("text"))
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        size(words).as("n_words"),
+        aggregate(
+          transform(words, w => size(graft.functions.TokenizeKernel
+            .greedySubwords(w, SubwordVocab, maxLen = 3))),
+          lit(0), (a, x) => a + x).as("n_subtokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Plan-time subword vocabulary for [[vocabTokenize]] — common
+    * English 2-3-grams; single codepoints are the implicit fallback
+    * alphabet (see [[graft.functions.VocabTable]]).
+    */
+  val SubwordVocab: Seq[String] = Seq(
+    "the", "and", "ing", "ion", "ent", "er", "in", "on", "at", "or",
+    "re", "st", "an", "te", "ed", "ti", "es", "le")
+
   /** D10: language ID by stopword scoring with deterministic argmax. */
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

@@ -285,6 +285,57 @@ class WarehouseSpec extends AnyFunSuite {
       s"each event should appear in 4 overlapping windows: $windowed vs ${total * 4}")
   }
 
+  // ---- Greedy tokenizer -------------------------------------------------
+
+  test("greedy tokenizer: longest match wins, single-char fallback") {
+    import graft.functions.TokenizeKernel
+    val vocab = Seq("the", "th", "he", "in", "ing")
+    val df = Seq("theme", "singing", "xyz", "").toDF("w")
+    val out = df.select(
+      TokenizeKernel.greedySubwords(col("w"), vocab, 3).as("t"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out(0) == List("the", "m", "e"))       // "the" beats "th"
+    assert(out(1) == List("s", "ing", "ing"))     // greedy restart after s
+    assert(out(2) == List("x", "y", "z"))         // pure fallback
+    assert(out(3) == Nil)                         // empty input
+  }
+
+  test("greedy tokenizer: kernel equals the HOF twin on corpus words") {
+    import graft.functions.TokenizeKernel
+    val vocab = graft.queries.TextQueries.SubwordVocab
+    val words = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("w"))
+      .limit(2000)
+    val mismatches = words.select(
+        TokenizeKernel.greedySubwords(col("w"), vocab, 3).as("k"),
+        TokenizeKernel.greedySubwordsHof(col("w"), vocab, 3).as("h"))
+      .filter(not(col("k") <=> col("h")))
+      .count()
+    assert(mismatches == 0L)
+  }
+
+  test("greedy tokenizer: concatenation of subwords reconstructs the word") {
+    import graft.functions.TokenizeKernel
+    val vocab = graft.queries.TextQueries.SubwordVocab
+    val words = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("w"))
+      .limit(2000)
+    val broken = words.filter(
+      concat_ws("", TokenizeKernel.greedySubwords(col("w"), vocab, 3))
+        =!= col("w")).count()
+    assert(broken == 0L)
+  }
+
+  test("greedy tokenizer: registered as a SQL function") {
+    graft.GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT greedy_tokenize('theme', array('the', 'he'), 3) AS t")
+      .collect()(0).getSeq[String](0)
+    assert(r.toList == List("the", "m", "e"))
+  }
+
   // ---- Cohorts ----------------------------------------------------------
 
   test("cohort retention: week-0 cells partition the user base") {
