@@ -112,6 +112,7 @@ object SparkEntry {
     "ewma_user_value"    -> (WarehouseQueries.ewmaUserValue _),
     "quality_filter"     -> (TextQueries.qualityFilter _),
     "vocab_tokenize"     -> (TextQueries.vocabTokenize _),
+    "quality_weighted_sample" -> (TextQueries.qualityWeightedSample _),
     "cohort_retention"   -> (WarehouseQueries.cohortRetention _),
     "events_enriched_agg" -> (WarehouseQueries.eventsEnrichedAgg _),
   )
@@ -340,6 +341,32 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "vocab_tokenize" -> vocabTokenizeOracle(
       graft.queries.TextQueries.SubwordVocab, 3),
+
+    // composes the (already bit-exact) D9 quality doubles with the
+    // portable-XXH64 bucket; the clamp and the bucket<score·M compare
+    // mirror Resample.byScore exactly
+    "quality_weighted_sample" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((h / n) * 8.0, 1.0) AS quality
+        |  FROM c),
+        |hb AS (
+        |  SELECT doc_id, $xxhBucket AS bucket
+        |  FROM (${xxh64Nested("SELECT doc_id FROM documents", "doc_id")}))
+        |SELECT doc_id, quality
+        |FROM s JOIN hb USING (doc_id)
+        |WHERE CAST(bucket AS DOUBLE) < greatest(0.0, least(1.0, quality)) * 1000000
+        |ORDER BY doc_id""".stripMargin,
 
     "fuzzy_name_match" ->
       """SELECT a.c_custkey AS a_id, a.c_name AS a_val,

@@ -36,6 +36,23 @@ object Resample {
     df.filter(bucket < frac * M)
   }
 
+  /** D35: score-proportional (quality-weighted) sampling — keep each
+    * row with probability equal to its OWN score in [0, 1], the
+    * "quality temperature" move real corpus recipes make (better
+    * documents survive more often, bad ones still contribute a
+    * trickle). Deterministic exactly like [[byStratum]]: kept iff
+    * `xxhash64(seed, id) mod M < score·M` — a pure filter (no RNG, no
+    * shuffle, pushes to the scan), reproducible, and hash-range
+    * prefix-stable: raising a document's score can only ADD it to the
+    * kept set, never evict others. Scores are clamped to [0, 1].
+    */
+  def byScore(df: DataFrame, score: Column, id: Column,
+              seed: Long = 42L): DataFrame = {
+    val bucket = pmod(xxhash64(lit(seed), id), lit(M))
+    val clamped = greatest(lit(0.0), least(lit(1.0), score))
+    df.filter(bucket < clamped * M)
+  }
+
   /** D25: deterministic disjoint split (train/val/test). Each row's
     * seeded hash bucket lands in exactly one of the `weights` ranges,
     * so the splits are DISJOINT and COMPLETE by construction — the

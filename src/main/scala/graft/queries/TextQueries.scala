@@ -165,6 +165,21 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D35: quality-weighted sampling — each doc survives with
+    * probability equal to its quality score (deterministic seeded
+    * hash, see [[graft.operators.Resample.byScore]]). Composes two
+    * already-bit-exact pieces: the D9 quality doubles and the
+    * portable-XXH64 bucket, so the kept SET is oracle-checkable
+    * exactly.
+    */
+  def qualityWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    graft.operators.Resample.byScore(scored, col("quality"), col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D34: vocabulary-driven greedy subword tokenization — the
     * BPE-vocab upgrade of D8's regex counts. Per-word subword counts
     * via the [[graft.functions.GreedyTokenize]] kernel (one pass, hash

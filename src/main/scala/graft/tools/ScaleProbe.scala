@@ -272,6 +272,14 @@ object ScaleProbe {
       graft.operators.Ewma.smooth(daily, "user_id", "day",
         col("dval"), 0.3).count()
     }
+    t("vocab_tokenize") {
+      docs.select(aggregate(
+          transform(graft.functions.TextFunctions.tokens(col("text")),
+            w => size(graft.functions.TokenizeKernel.greedySubwords(
+              w, graft.queries.TextQueries.SubwordVocab, 3))),
+          lit(0), (a, x) => a + x).as("n"))
+        .agg(sum(col("n"))).head.getLong(0)
+    }
     t("sliding_agg") {
       ev.withColumn("event_type",
           element_at(array(lit("a"), lit("b")), (col("event_id") % 2 + 1).cast("int")))

@@ -336,6 +336,33 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.toList == List("the", "m", "e"))
   }
 
+  // ---- Quality-weighted sampling ----------------------------------------
+
+  test("byScore: boundary scores, determinism, and prefix stability") {
+    import graft.operators.Resample
+    val df = spark.range(2000).select(col("id"),
+      (col("id") % 2).cast("double").as("half"))
+    // score 1 keeps everything, score 0 keeps nothing
+    assert(Resample.byScore(df, lit(1.0), col("id")).count() == 2000)
+    assert(Resample.byScore(df, lit(0.0), col("id")).count() == 0)
+    // clamping: scores outside [0,1] behave as the boundary
+    assert(Resample.byScore(df, lit(7.5), col("id")).count() == 2000)
+    assert(Resample.byScore(df, lit(-3.0), col("id")).count() == 0)
+    // deterministic across runs
+    val a = Resample.byScore(df, col("half") * 0.6, col("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Resample.byScore(df, col("half") * 0.6, col("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // raising every score only ADDS rows (hash-range prefix)
+    val hi = Resample.byScore(df, col("half") * 0.9, col("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(hi))
+    // kept fraction tracks the score (0.6 on the odd half)
+    val oddKept = a.size.toDouble / 1000
+    assert(math.abs(oddKept - 0.6) < 0.06, s"kept fraction $oddKept")
+  }
+
   // ---- Cohorts ----------------------------------------------------------
 
   test("cohort retention: week-0 cells partition the user base") {
