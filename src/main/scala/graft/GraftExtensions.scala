@@ -69,6 +69,10 @@ object GraftExtensions {
     ("greedy_tokenize",
       "greedy_tokenize(str, array<string> vocab, maxLen) - greedy longest-match subword tokens",
       exprs => GreedyTokenize(exprs.head, stringArrayArg(exprs(1)),
+        intArg(exprs(2)))),
+    ("greedy_tokenize_text",
+      "greedy_tokenize_text(str, array<string> vocab, maxLen) - flat subword stream over all words",
+      exprs => GreedyTokenizeText(exprs.head, stringArrayArg(exprs(1)),
         intArg(exprs(2)))))
 
   /** Patch a LIVE session to the same posture `withExtensions` gives a

@@ -47,9 +47,14 @@ final class VocabTable(val vocab: Array[String], val maxLen: Int)
 object TokenizeKernel {
 
   def tokenize(w: UTF8String, t: VocabTable): GenericArrayData = {
-    val n = w.numChars()
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
     val out = new java.util.ArrayList[Any]()
+    tokenizeWordInto(w, t, out)
+    new GenericArrayData(out.toArray)
+  }
+
+  private def tokenizeWordInto(w: UTF8String, t: VocabTable,
+                               out: java.util.ArrayList[Any]): Unit = {
+    val n = w.numChars()
     var i = 0
     while (i < n) {
       var tok: UTF8String = null
@@ -62,6 +67,33 @@ object TokenizeKernel {
       if (tok == null) tok = w.substring(i, i + 1)
       out.add(tok)
       i += tok.numChars()
+    }
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Whole-document tokenization: split on \s+ runs (ASCII bytes, same
+    * boundaries as `split(trim(text), "\\s+")`), greedy-tokenize each
+    * word, emit the flat subword stream. ONE kernel call per document
+    * — the per-word face wrapped in `transform`/`aggregate` HOFs would
+    * drag the entire projection into interpreted lambda eval (HOFs
+    * don't codegen), which is exactly what this entry point avoids.
+    */
+  def tokenizeText(s: UTF8String, t: VocabTable): GenericArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        val word = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, start, i))
+        tokenizeWordInto(word, t, out)
+      }
     }
     new GenericArrayData(out.toArray)
   }
@@ -94,10 +126,18 @@ object TokenizeKernel {
       acc => acc.getField("toks"))
   }
 
-  /** Column face over the native kernel. */
+  /** Column face over the native kernel (single word). */
   def greedySubwords(word: Column, vocab: Seq[String], maxLen: Int = 3): Column =
     ColumnBridge.column(
       GreedyTokenize(ColumnBridge.expression(word), vocab, maxLen))
+
+  /** Column face over the whole-document kernel (flat subword stream,
+    * one codegen call per row).
+    */
+  def greedySubwordsText(text: Column, vocab: Seq[String],
+                         maxLen: Int = 3): Column =
+    ColumnBridge.column(
+      GreedyTokenizeText(ColumnBridge.expression(text), vocab, maxLen))
 }
 
 /** greedy_tokenize(string) → array<string> of subword tokens. */
@@ -107,7 +147,12 @@ case class GreedyTokenize(child: Expression, vocab: Seq[String], maxLen: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType if maxLen >= 2 && vocab.nonEmpty =>
-      TypeCheckResult.TypeCheckSuccess
+      // an entry longer than maxLen could never match — refuse loudly
+      // instead of silently tokenizing without it
+      val tooLong = vocab.filter(v => v.codePointCount(0, v.length) > maxLen)
+      if (tooLong.isEmpty) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"vocab entries longer than maxLen=$maxLen: ${tooLong.mkString(", ")}")
     case t => TypeCheckResult.TypeCheckFailure(
       s"greedy_tokenize needs a string, non-empty vocab, maxLen>=2; got $t")
   }
@@ -122,4 +167,33 @@ case class GreedyTokenize(child: Expression, vocab: Seq[String], maxLen: Int)
   override protected def withNewChildInternal(newChild: Expression): GreedyTokenize =
     copy(child = newChild)
   override def prettyName: String = "greedy_tokenize"
+}
+
+/** greedy_tokenize_text(string) → flat array<string> of subword tokens
+  * across all \s+-separated words of the document.
+  */
+case class GreedyTokenizeText(child: Expression, vocab: Seq[String], maxLen: Int)
+    extends UnaryExpression {
+  @transient private lazy val table = new VocabTable(vocab.toArray, maxLen)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if maxLen >= 2 && vocab.nonEmpty =>
+      val tooLong = vocab.filter(v => v.codePointCount(0, v.length) > maxLen)
+      if (tooLong.isEmpty) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"vocab entries longer than maxLen=$maxLen: ${tooLong.mkString(", ")}")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"greedy_tokenize_text needs a string, non-empty vocab, maxLen>=2; got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TokenizeKernel.tokenizeText(v.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabTable", table,
+      classOf[VocabTable].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenizeKernel.tokenizeText($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): GreedyTokenizeText =
+    copy(child = newChild)
+  override def prettyName: String = "greedy_tokenize_text"
 }

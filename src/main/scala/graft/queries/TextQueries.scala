@@ -187,17 +187,13 @@ object TextQueries {
     * leave their rows. The HOF twin mirrors the recurrence for the
     * DuckDB oracle (pure string/integer ops — bit-exact).
     */
-  def vocabTokenize(spark: SparkSession, dir: String): DataFrame = {
-    val words = TextFunctions.tokens(col("text"))
+  def vocabTokenize(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
         col("doc_id"),
-        size(words).as("n_words"),
-        aggregate(
-          transform(words, w => size(graft.functions.TokenizeKernel
-            .greedySubwords(w, SubwordVocab, maxLen = 3))),
-          lit(0), (a, x) => a + x).as("n_subtokens"))
+        size(TextFunctions.tokens(col("text"))).as("n_words"),
+        size(graft.functions.TokenizeKernel.greedySubwordsText(
+          col("text"), SubwordVocab, maxLen = 3)).as("n_subtokens"))
       .orderBy(col("doc_id"))
-  }
 
   /** Plan-time subword vocabulary for [[vocabTokenize]] — common
     * English 2-3-grams; single codepoints are the implicit fallback

@@ -273,11 +273,8 @@ object ScaleProbe {
         col("dval"), 0.3).count()
     }
     t("vocab_tokenize") {
-      docs.select(aggregate(
-          transform(graft.functions.TextFunctions.tokens(col("text")),
-            w => size(graft.functions.TokenizeKernel.greedySubwords(
-              w, graft.queries.TextQueries.SubwordVocab, 3))),
-          lit(0), (a, x) => a + x).as("n"))
+      docs.select(size(graft.functions.TokenizeKernel.greedySubwordsText(
+          col("text"), graft.queries.TextQueries.SubwordVocab, 3)).as("n"))
         .agg(sum(col("n"))).head.getLong(0)
     }
     t("sliding_agg") {

@@ -305,6 +305,27 @@ class PlanSpec extends AnyFunSuite {
       s"funnel should shuffle user rows exactly once, saw $userExchanges:\n$p")
   }
 
+  test("scd2 history builds on ONE exchange (filter preserves the sort)") {
+    val p = planString(
+      graft.queries.WarehouseQueries.scd2History(spark, sfDir))
+    val keyExchanges = "Exchange hashpartitioning\\(o_custkey".r
+      .findAllIn(p).length
+    assert(keyExchanges == 1,
+      s"scd2 should shuffle the change log exactly once, saw $keyExchanges:\n$p")
+  }
+
+  test("greedy tokenizer runs inside whole-stage codegen") {
+    val df = graft.queries.TextQueries.vocabTokenize(spark, sfDir)
+    val p = planString(df)
+    // AQE renders codegen stages as "*(n)" — the Project carrying the
+    // kernel must sit inside one (no HOF lambda dragging it to
+    // interpreted eval)
+    assert(p.matches("(?s).*\\*\\(\\d+\\)\\s+Project.*greedy_tokenize.*"),
+      s"tokenizer projection not codegen'd:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"tokenizer fell off the codegen path:\n$p")
+  }
+
   test("fuzzy join meets on the variant hash, never a nested loop") {
     val p = planString(
       graft.queries.WarehouseQueries.fuzzyNameMatch(spark, sfDir))

@@ -328,6 +328,19 @@ class WarehouseSpec extends AnyFunSuite {
     assert(broken == 0L)
   }
 
+  test("greedy tokenizer: text kernel equals per-word flat concatenation") {
+    import graft.functions.{TextFunctions, TokenizeKernel}
+    val vocab = graft.queries.TextQueries.SubwordVocab
+    val mism = graft.sources.Tables.documents(spark, sfDir).limit(200)
+      .select(
+        TokenizeKernel.greedySubwordsText(col("text"), vocab, 3).as("t"),
+        flatten(transform(TextFunctions.tokens(col("text")),
+          w => TokenizeKernel.greedySubwords(w, vocab, 3))).as("f"))
+      .filter(not(col("t") <=> col("f")))
+      .count()
+    assert(mism == 0L)
+  }
+
   test("greedy tokenizer: registered as a SQL function") {
     graft.GraftExtensions.registerAll(spark)
     val r = spark.sql(
