@@ -115,6 +115,9 @@ object SparkEntry {
     "quality_weighted_sample" -> (TextQueries.qualityWeightedSample _),
     "cohort_retention"   -> (WarehouseQueries.cohortRetention _),
     "events_enriched_agg" -> (WarehouseQueries.eventsEnrichedAgg _),
+    "events_priority_at_time" -> (WarehouseQueries.eventsPriorityAtTime _),
+    "window_suite"       -> (WarehouseQueries.windowSuite _),
+    "grouping_sets_totals" -> (WarehouseQueries.groupingSetsTotals _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -460,6 +463,48 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same history CTE as scd2_history; empty intervals dropped so the
+    // ASOF pick is unique — mirrors eventsPriorityAtTime exactly
+    "events_priority_at_time" ->
+      """WITH v AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |c AS (SELECT * FROM v WHERE prev IS DISTINCT FROM o_orderpriority),
+        |hist AS (
+        |  SELECT o_custkey AS user_id, o_orderpriority AS priority_at_event,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER w AS valid_to
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |h AS (SELECT * FROM hist WHERE valid_to IS NULL OR valid_from < valid_to)
+        |SELECT e.event_id, e.user_id, e.ts, h.priority_at_event
+        |FROM events e
+        |ASOF LEFT JOIN h ON e.user_id = h.user_id AND e.ts >= h.valid_from
+        |ORDER BY e.event_id""".stripMargin,
+
+    "window_suite" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  lag(l_quantity, 1) OVER w AS prev_qty,
+        |  lead(l_quantity, 1) OVER w AS next_qty,
+        |  first_value(l_quantity) OVER w AS first_qty,
+        |  nth_value(l_quantity, 3) OVER w AS third_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "grouping_sets_totals" -> s"""SELECT l_returnflag, l_linestatus,
+        |  ${dsum("l_quantity")} AS sum_qty, COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "scd2_history" ->
       """WITH v AS (

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Num._
-import graft.operators.{Ewma, Funnel, FuzzyJoin, Outliers, Profile, Scd2, TextRank}
+import graft.operators.{AsOfJoin, Ewma, Funnel, FuzzyJoin, Outliers, Profile, Scd2, TextRank}
 import graft.sources.{BucketedLake, Tables}
 
 /** Round-5 warehouse + retrieval surface (SURVEY §2: C20-C22, A11, D31).
@@ -154,6 +154,69 @@ object WarehouseQueries {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
+
+  /** C26: temporal (point-in-time) enrichment — each event picks up
+    * the dimension attribute VALID AT its timestamp, composing C20's
+    * SCD2 history with C13's as-of join. Zero-length versions (two
+    * changes on the same order date; interval [d, d) holds at no
+    * instant) are dropped first, which leaves `valid_from` unique per
+    * key — the as-of pick is then fully deterministic. One shuffle on
+    * the entity key for the history build, one for the as-of union
+    * window.
+    */
+  def eventsPriorityAtTime(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Scd2.history(Tables.orders(spark, dir), Seq("o_custkey"),
+        Seq("o_orderpriority"), "o_orderdate", "o_orderkey")
+      .filter(col("valid_to").isNull || col("valid_from") < col("valid_to"))
+      .select(col("o_custkey").as("user_id"), col("valid_from"),
+        col("o_orderpriority").as("priority_at_event"))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOfJoin.lastValue(ev, hist, key = "user_id",
+        leftTime = "ts", rightTime = "valid_from",
+        payloadCols = Seq("priority_at_event"))
+      .orderBy(col("event_id"))
+  }
+
+  /** C4b: the full window-function family in one pass — ntile,
+    * percent_rank, cume_dist, lag/lead, first/nth value — over a
+    * UNIQUE ordering (ties would make rank-family output
+    * partitioning-dependent). One shuffle; every function rides the
+    * same window spec. percent_rank/cume_dist are exact rationals
+    * (one correctly-rounded division) — bit-stable across engines.
+    */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+        lead(col("l_quantity"), 1).over(w).as("next_qty"),
+        first(col("l_quantity")).over(w).as("first_qty"),
+        nth_value(col("l_quantity"), 3).over(w).as("third_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** C10b: arbitrary GROUPING SETS (beyond ROLLUP's prefix chain) —
+    * one Expand, one shuffle, `grouping_id` disambiguates set
+    * membership from genuine nulls.
+    */
+  def groupingSetsTotals(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
 
   /** C24: EWMA-smoothed daily spend per user (α = 0.3) — the derived
     * "form" signal (see [[graft.operators.Ewma]]). Daily sums are
