@@ -34,7 +34,12 @@ object GraftExtensions {
     e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toArray[org.apache.spark.unsafe.types.UTF8String](
         org.apache.spark.sql.types.StringType)
-      .map(_.toString).toSeq
+      .map(u => if (u == null) null else u.toString).toSeq
+
+  private def arity(name: String, usage: String, exprs: Seq[Expression],
+                    n: Int): Unit =
+    if (exprs.size != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments — usage: $usage")
 
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("rolling_fingerprint",
@@ -68,12 +73,18 @@ object GraftExtensions {
       exprs => KllQuantiles(exprs.head, exprs(1))),
     ("greedy_tokenize",
       "greedy_tokenize(str, array<string> vocab, maxLen) - greedy longest-match subword tokens",
-      exprs => GreedyTokenize(exprs.head, stringArrayArg(exprs(1)),
-        intArg(exprs(2)))),
+      exprs => {
+        arity("greedy_tokenize",
+          "greedy_tokenize(str, array<string> vocab, maxLen)", exprs, 3)
+        GreedyTokenize(exprs.head, stringArrayArg(exprs(1)), intArg(exprs(2)))
+      }),
     ("greedy_tokenize_text",
       "greedy_tokenize_text(str, array<string> vocab, maxLen) - flat subword stream over all words",
-      exprs => GreedyTokenizeText(exprs.head, stringArrayArg(exprs(1)),
-        intArg(exprs(2)))))
+      exprs => {
+        arity("greedy_tokenize_text",
+          "greedy_tokenize_text(str, array<string> vocab, maxLen)", exprs, 3)
+        GreedyTokenizeText(exprs.head, stringArrayArg(exprs(1)), intArg(exprs(2)))
+      }))
 
   /** Patch a LIVE session to the same posture `withExtensions` gives a
     * new one: every SQL function, the top-k planner strategy, AND the

@@ -317,8 +317,10 @@ object SparkEntry {
     * m = min(maxLen, n-i) bound. Pure string/integer ops — bit-exact.
     */
   private def vocabTokenizeOracle(vocab: Seq[String], maxLen: Int): String = {
+    // SQL-escape entries — an apostrophe vocab entry ("'s") is
+    // plausible for English subwords and must not break the generator
     val vlit = vocab.filter(_.length >= 2)
-      .map(v => s"'$v'").mkString("[", ", ", "]")
+      .map(v => s"'${v.replace("'", "''")}'").mkString("[", ", ", "]")
     val whens = (maxLen to 2 by -1).map { l =>
       s"WHEN list_contains($vlit, substr(w, CAST(x[1] AS INTEGER), $l)) " +
         s"THEN substr(w, CAST(x[1] AS INTEGER), $l)"

@@ -20,8 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * coverage only changes granularity. That is the property BPE-style
   * vocabularies rely on.
   */
-final class VocabTable(val vocab: Array[String], val maxLen: Int)
+final class VocabTable(val vocab: Array[String], requestedMaxLen: Int)
     extends Serializable {
+  /** Effective scan bound: probing lengths beyond the longest entry
+    * is pure waste, and sizing the bucket array by the raw request
+    * would let `greedy_tokenize(s, array('ab'), 100000000)` allocate
+    * 100M hash sets (or overflow on Int.MaxValue + 1).
+    */
+  val maxLen: Int = math.max(1, math.min(requestedMaxLen,
+    vocab.map(v => v.codePointCount(0, v.length)).foldLeft(1)(math.max)))
   @transient lazy val byLen: Array[java.util.HashSet[UTF8String]] = {
     val arr = Array.fill(maxLen + 1)(new java.util.HashSet[UTF8String]())
     vocab.foreach { v =>
@@ -112,7 +119,7 @@ object TokenizeKernel {
         val cand = word.substr(i, lit(l))
         when(array_contains(vocabLit, cand), cand)
       } :+ word.substr(i, lit(1))): _*)
-    aggregate(
+    val folded = aggregate(
       sequence(lit(1), length(word)),
       struct(array().cast("array<string>").as("toks"), lit(0).as("skip")),
       (acc, i) => {
@@ -124,6 +131,10 @@ object TokenizeKernel {
             .otherwise(length(m) - 1).as("skip"))
       },
       acc => acc.getField("toks"))
+    // sequence(1, 0) counts DOWN ([1, 0]) — an empty word must yield
+    // [] like the kernel, not two folds over empty substrings (the
+    // same pitfall TextFunctions.shingles guards)
+    when(length(word) > 0, folded).otherwise(array().cast("array<string>"))
   }
 
   /** Column face over the native kernel (single word). */
@@ -140,30 +151,47 @@ object TokenizeKernel {
       GreedyTokenizeText(ColumnBridge.expression(text), vocab, maxLen))
 }
 
-/** greedy_tokenize(string) → array<string> of subword tokens. */
-case class GreedyTokenize(child: Expression, vocab: Seq[String], maxLen: Int)
-    extends UnaryExpression {
-  @transient private lazy val table = new VocabTable(vocab.toArray, maxLen)
+/** Shared checks/codegen for the two tokenizer expressions: they
+  * differ only in the kernel entry point. Keeping the type-check in
+  * one place means a future guard can't silently miss one of them.
+  */
+sealed trait GreedyTokenizeBase extends UnaryExpression {
+  def vocab: Seq[String]
+  def maxLen: Int
+  /** static kernel method invoked from both eval and generated code */
+  protected def kernelMethod: String
+  @transient protected lazy val table = new VocabTable(vocab.toArray, maxLen)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType if maxLen >= 2 && vocab.nonEmpty =>
-      // an entry longer than maxLen could never match — refuse loudly
-      // instead of silently tokenizing without it
-      val tooLong = vocab.filter(v => v.codePointCount(0, v.length) > maxLen)
-      if (tooLong.isEmpty) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
-        s"vocab entries longer than maxLen=$maxLen: ${tooLong.mkString(", ")}")
+      if (vocab.contains(null)) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: vocab entries must be non-null")
+      else {
+        // an entry longer than maxLen could never match — refuse
+        // loudly instead of silently tokenizing without it
+        val tooLong = vocab.filter(v => v.codePointCount(0, v.length) > maxLen)
+        if (tooLong.isEmpty) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: vocab entries longer than maxLen=$maxLen: " +
+            tooLong.mkString(", "))
+      }
     case t => TypeCheckResult.TypeCheckFailure(
-      s"greedy_tokenize needs a string, non-empty vocab, maxLen>=2; got $t")
+      s"$prettyName needs a string, non-empty vocab, maxLen>=2; got $t")
   }
-  override def nullSafeEval(v: Any): Any =
-    TokenizeKernel.tokenize(v.asInstanceOf[UTF8String], table)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("vocabTable", table,
       classOf[VocabTable].getName)
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.TokenizeKernel.tokenize($c, $ref)")
+      c => s"graft.functions.TokenizeKernel.$kernelMethod($c, $ref)")
   }
+}
+
+/** greedy_tokenize(string) → array<string> of subword tokens. */
+case class GreedyTokenize(child: Expression, vocab: Seq[String], maxLen: Int)
+    extends GreedyTokenizeBase {
+  override protected def kernelMethod: String = "tokenize"
+  override def nullSafeEval(v: Any): Any =
+    TokenizeKernel.tokenize(v.asInstanceOf[UTF8String], table)
   override protected def withNewChildInternal(newChild: Expression): GreedyTokenize =
     copy(child = newChild)
   override def prettyName: String = "greedy_tokenize"
@@ -173,26 +201,10 @@ case class GreedyTokenize(child: Expression, vocab: Seq[String], maxLen: Int)
   * across all \s+-separated words of the document.
   */
 case class GreedyTokenizeText(child: Expression, vocab: Seq[String], maxLen: Int)
-    extends UnaryExpression {
-  @transient private lazy val table = new VocabTable(vocab.toArray, maxLen)
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType if maxLen >= 2 && vocab.nonEmpty =>
-      val tooLong = vocab.filter(v => v.codePointCount(0, v.length) > maxLen)
-      if (tooLong.isEmpty) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
-        s"vocab entries longer than maxLen=$maxLen: ${tooLong.mkString(", ")}")
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"greedy_tokenize_text needs a string, non-empty vocab, maxLen>=2; got $t")
-  }
+    extends GreedyTokenizeBase {
+  override protected def kernelMethod: String = "tokenizeText"
   override def nullSafeEval(v: Any): Any =
     TokenizeKernel.tokenizeText(v.asInstanceOf[UTF8String], table)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("vocabTable", table,
-      classOf[VocabTable].getName)
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.TokenizeKernel.tokenizeText($c, $ref)")
-  }
   override protected def withNewChildInternal(newChild: Expression): GreedyTokenizeText =
     copy(child = newChild)
   override def prettyName: String = "greedy_tokenize_text"

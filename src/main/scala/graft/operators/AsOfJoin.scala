@@ -22,26 +22,36 @@ object AsOfJoin {
 
   /** @param payloadCols right-side columns to attach (renamed as-is,
     *        so pre-alias them to avoid clashes with left columns)
+    *
+    * Payloads ride inside a one-field struct: `last(…, ignoreNulls)`
+    * must skip the LEFT rows' placeholder (the struct is null there)
+    * but still carry a right row whose payload VALUE is null — a null
+    * attribute is a value, not a gap (the same contract as
+    * [[Scd2]]'s null-safe change detection). Carrying the bare column
+    * would silently resurrect the previous non-null version.
     */
   def lastValue(left: DataFrame, right: DataFrame, key: String,
                 leftTime: String, rightTime: String,
                 payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val wrapType = (c: String) => new org.apache.spark.sql.types.StructType()
+      .add("v", right.schema(c).dataType)
     val tagged =
       left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
         .select(Seq(col("__t"), col("__side"), col(key).as("__k")) ++
           leftCols.map(col) ++
-          payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+          payloadCols.map(c => lit(null).cast(wrapType(c)).as(s"__p_$c")): _*)
       .unionByName(
         right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
           .select(Seq(col("__t"), col("__side"), col(key).as("__k")) ++
             leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-            payloadCols.map(col): _*))
+            payloadCols.map(c => struct(col(c).as("v")).as(s"__p_$c")): _*))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payloadCols.foldLeft(tagged) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      df.withColumn(c,
+        last(col(s"__p_$c"), ignoreNulls = true).over(w).getField("v"))
     }
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ payloadCols.map(col): _*)

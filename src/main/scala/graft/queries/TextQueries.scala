@@ -190,7 +190,7 @@ object TextQueries {
   def vocabTokenize(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
         col("doc_id"),
-        size(TextFunctions.tokens(col("text"))).as("n_words"),
+        TextFunctions.tokenCount(col("text")).as("n_words"),
         size(graft.functions.TokenizeKernel.greedySubwordsText(
           col("text"), SubwordVocab, maxLen = 3)).as("n_subtokens"))
       .orderBy(col("doc_id"))

@@ -341,6 +341,31 @@ class WarehouseSpec extends AnyFunSuite {
     assert(mism == 0L)
   }
 
+  test("greedy tokenizer: HOF twin returns [] on the empty word, like the kernel") {
+    import graft.functions.TokenizeKernel
+    val vocab = Seq("ab")
+    val out = Seq("", "ab").toDF("w").select(
+        TokenizeKernel.greedySubwordsHof(col("w"), vocab, 3).as("h"),
+        TokenizeKernel.greedySubwords(col("w"), vocab, 3).as("k"))
+      .collect().map(r => (r.getSeq[String](0).toList, r.getSeq[String](1).toList))
+    assert(out(0) == (Nil, Nil)) // sequence(1,0) counts down — guarded
+    assert(out(1) == (List("ab"), List("ab")))
+  }
+
+  test("asof join carries a right row whose payload VALUE is null") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, ts("2024-01-05 00:00:00"))).toDF("id", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Option("HIGH")),
+      (1L, ts("2024-01-03 00:00:00"), Option.empty[String]) // null IS the value
+    ).toDF("id", "rt", "payload")
+    val out = AsOfJoin.lastValue(left, right, "id", "t", "rt",
+      Seq("payload")).collect()
+    // the valid-at version is the null one — must NOT resurrect HIGH
+    assert(out.length == 1 && out(0).isNullAt(2),
+      s"stale payload resurrected: ${out.toSeq}")
+  }
+
   test("greedy tokenizer: registered as a SQL function") {
     graft.GraftExtensions.registerAll(spark)
     val r = spark.sql(
