@@ -63,6 +63,7 @@ object SparkEntry {
     "histogram_preagg_quantiles" -> (ExtendedQueries.histogramPreaggQuantiles _),
     "kll_preagg_quantiles" -> (ExtendedQueries.kllPreaggQuantiles _),
     "events_click_attribution" -> (TextQueries.clickAttribution _),
+    "events_click_attribution_outer" -> (TextQueries.clickAttributionOuter _),
     "text_length_quantiles" -> (TextQueries.textLengthQuantiles _),
     "text_length_quantiles_exact" -> (TextQueries.textLengthQuantilesExact _),
     "pivot_segments"     -> (ExtendedQueries.pivotSegments _),
@@ -827,6 +828,15 @@ object SparkEntry {
         |  c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts >= c.ts
+        |  AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "events_click_attribution_outer" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts >= c.ts
         |  AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,

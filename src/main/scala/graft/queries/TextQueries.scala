@@ -370,6 +370,14 @@ object TextQueries {
     graft.streaming.EventsStream.clickPurchaseJoin(Tables.events(spark, dir))
       .orderBy(col("click_id"), col("purchase_id"))
 
+  /** E5b batch face: left-outer attribution — every click, matched or
+    * not (null purchase columns = abandonment).
+    */
+  def clickAttributionOuter(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream
+      .clickPurchaseJoinOuter(Tables.events(spark, dir))
+      .orderBy(col("click_id"), col("purchase_id"))
+
   /** C8: gap sessionization of events (4h inactivity closes a
     * session), rolled up per session.
     */

@@ -125,7 +125,20 @@ object EventsStream {
     * The range condition is what lets the streaming engine evict —
     * without it, both sides' state would grow forever.
     */
-  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+  def clickPurchaseJoin(events: DataFrame): DataFrame =
+    attributionJoin(events, "inner")
+
+  /** E5b: LEFT-OUTER stream-stream attribution — the unmatched clicks
+    * ARE the signal (abandonment analysis). Same state bounds as E5;
+    * the outer row for a click emits only once BOTH watermarks pass
+    * its 30-minute window (no purchase can still arrive), which is
+    * why the spec drives late events on each side. The identical plan
+    * runs batch as a plain LEFT JOIN — the DuckDB-oracled face.
+    */
+  def clickPurchaseJoinOuter(events: DataFrame): DataFrame =
+    attributionJoin(events, "leftOuter")
+
+  private def attributionJoin(events: DataFrame, joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -137,7 +150,8 @@ object EventsStream {
     clicks.join(purchases,
         col("user_id") === col("p_user")
           && col("purchase_ts") >= col("click_ts")
-          && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+          && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        joinType)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         col("click_ts"), col("purchase_ts"), col("purchase_value"))
   }

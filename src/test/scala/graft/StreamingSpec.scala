@@ -179,6 +179,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer attribution emits an unmatched click once both watermarks pass") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, minute: Long, typ: String): EventsStream.Event =
+      EventsStream.Event(id, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + minute * 60000L),
+        user, typ, 1.0)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event](
+      spark, 1)
+    val q = EventsStream.clickPurchaseJoinOuter(src.toDS().toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_outer_out").start()
+    try {
+      // user 1: click matched by a purchase 10 min later;
+      // user 2: click with NO purchase — the abandonment signal
+      src.addData(ev(1, 1, 0, "click"), ev(2, 1, 10, "purchase"),
+        ev(3, 2, 5, "click"))
+      q.processAllAvailable()
+      // advance BOTH sides' watermarks far past click+30min windows
+      src.addData(ev(4, 9, 600, "click"), ev(5, 9, 601, "purchase"))
+      q.processAllAvailable()
+      src.addData(ev(6, 9, 650, "click"), ev(7, 9, 651, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("attr_outer_out")
+        .select(col("click_id"), col("purchase_id"))
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got(1L) == Some(2L), s"matched click wrong: $got")
+      assert(got.contains(3L) && got(3L).isEmpty,
+        s"unmatched click not emitted as outer row: $got")
+    } finally q.stop()
+  }
+
   test("event-time timeout closes an idle session once the watermark passes") {
     import spark.implicits._
     def ev(id: Long, user: Long, minute: Long): EventsStream.Event =
