@@ -377,7 +377,7 @@ object SparkEntry {
     "fuzzy_name_match" ->
       """SELECT a.c_custkey AS a_id, a.c_name AS a_val,
         |  b.c_custkey AS b_id, b.c_name AS b_val,
-        |  levenshtein(a.c_name, b.c_name) AS dist
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
         |FROM customer a, customer b
         |WHERE a.c_custkey < b.c_custkey
         |  AND levenshtein(a.c_name, b.c_name) <= 1
@@ -490,7 +490,7 @@ object SparkEntry {
 
     "window_suite" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
-        |  ntile(4) OVER w AS quartile,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |  percent_rank() OVER w AS pct_rank,
         |  cume_dist() OVER w AS cume,
         |  lag(l_quantity, 1) OVER w AS prev_qty,
@@ -802,7 +802,7 @@ object SparkEntry {
         |  FROM merged),
         |qs AS (SELECT CAST(q AS DOUBLE) AS q
         |       FROM (VALUES (0.5),(0.9),(0.99)) t(q))
-        |SELECT q, MIN(bucket) * 10.0 AS value_at_q
+        |SELECT q, CAST(MIN(bucket) * 10.0 AS DOUBLE) AS value_at_q
         |FROM cum, qs WHERE cum >= q * total
         |GROUP BY q ORDER BY q""".stripMargin,
 
@@ -1169,10 +1169,10 @@ object SparkEntry {
     "sequence_pack" ->
       """SELECT doc_id, doc_id % 8 AS bucket,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
-        |  SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)) OVER (
+        |  CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)) OVER (
         |    PARTITION BY doc_id % 8 ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    - len(string_split_regex(trim(text), '\s+')) AS start_offset,
+        |    - len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS start_offset,
         |  CAST(FLOOR((SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)) OVER (
         |    PARTITION BY doc_id % 8 ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -32,6 +32,17 @@ def canon(rows, cols):
     out.sort(key=repr)
     return out
 
+def type_canon(t):
+    # Canonical DuckDB type family for strictness: the driver's hasher
+    # materializes values per-type (HUGEINT -> float64!), so the oracle
+    # must produce the SAME duckdb type family as the Spark parquet.
+    # Exact-int family members are NOT merged (HUGEINT is the bug this
+    # guard exists for); only representation-identical aliases collapse.
+    t = str(t).upper()
+    if t in ("TIMESTAMP WITH TIME ZONE", "TIMESTAMPTZ"):
+        return "TIMESTAMP"  # same instant payload; hasher emits isoformat
+    return t
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -46,12 +57,23 @@ def main():
         try:
             o = con.sql(sql)
             ocols, orows = [c.lower() for c in o.columns], o.fetchall()
+            otypes = [type_canon(t) for t in o.types]
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
         s = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         scols, srows = [c.lower() for c in s.columns], s.fetchall()
+        stypes = [type_canon(t) for t in s.types]
         if sorted(ocols) != sorted(scols):
             print(f"FAIL {name}: cols oracle={sorted(ocols)} spark={sorted(scols)}")
+            n_fail += 1; continue
+        # Type-strict gate: per column (matched by name), the DuckDB
+        # oracle type must equal the Spark parquet type — names+values
+        # alone pass while the driver's hasher diverges (HUGEINT vs
+        # BIGINT hashed float64 vs int). Proven by sequence_pack in r5.
+        omap = dict(zip(ocols, otypes)); smap = dict(zip(scols, stypes))
+        tbad = [(c, omap[c], smap[c]) for c in sorted(omap) if omap[c] != smap[c]]
+        if tbad:
+            print(f"FAIL {name}: type mismatch (col, oracle, spark): {tbad}")
             n_fail += 1; continue
         if len(orows) != len(srows):
             print(f"FAIL {name}: rows oracle={len(orows)} spark={len(srows)}")
