@@ -1534,4 +1534,101 @@ object SparkEntry {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  // ------------------------------------------------------------------
+  // Oracles rendered at Verify time from session-trained state.
+  //
+  // ann_ivf_topk's codebook comes out of Lloyd iterations whose
+  // per-cluster double sums merge in shuffle-fetch order — deterministic
+  // in VALUE only to ~ulp, so the exact centroid bits belong to the
+  // training run, not the algorithm. The same session that dumped the
+  // query result embeds ITS trained centroids as literals (exactly as
+  // ann_lsh_topk embeds its hyperplane signs); everything downstream of
+  // the codebook — assignment (squared-L2 left fold, ties to the lower
+  // cid), probe ranking and cosine scoring (left-to-right double folds
+  // over floats) — is IEEE correctly-rounded arithmetic that DuckDB
+  // reproduces bit-for-bit via list_reduce in the same order.
+  // ------------------------------------------------------------------
+
+  /** Float literal that parses back to the identical 32 bits:
+    * Float.toString is the shortest decimal that round-trips, and
+    * DuckDB's VARCHAR→FLOAT cast is correctly rounded. (A bare numeric
+    * literal would type DECIMAL and risk double rounding.)
+    */
+  private def floatLit(f: Float): String = s"CAST('$f' AS FLOAT)"
+
+  private def centroidsValues(cents: Array[Array[Float]]): String =
+    cents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(floatLit).mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+
+  /** The three cosine accumulators as index-order folds (mirrors
+    * GraftKernels.cosine: independent left folds, float→double exact).
+    */
+  private def cosineFolds(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+       |    list_reduce(list_transform(range(1, 65),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x, y) -> x + y) AS na,
+       |    list_reduce(list_transform(range(1, 65),
+       |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y) AS nb""".stripMargin
+
+  private def ivfOracle(cents: Array[Array[Float]], k: Int, nprobe: Int): String =
+    s"""WITH cents AS (
+       |  SELECT * FROM (VALUES
+       |    ${centroidsValues(cents)}) t(cid, cvec)),
+       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |asg AS (
+       |  -- nearest centroid by squared L2, index-order fold, ties to lower cid
+       |  SELECT id, vec, cid FROM (
+       |    SELECT c.id, c.vec, ct.cid,
+       |      row_number() OVER (PARTITION BY c.id ORDER BY
+       |        list_reduce(list_transform(range(1, 65),
+       |          i -> (CAST(c.vec[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))
+       |             * (CAST(c.vec[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))),
+       |          (x, y) -> x + y) ASC, ct.cid ASC) AS rn
+       |    FROM corpus c CROSS JOIN cents ct)
+       |  WHERE rn = 1),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |qcos AS (
+       |  SELECT qid, qv, cid,
+       |    ${cosineFolds("qv", "cvec")}
+       |  FROM qs CROSS JOIN cents),
+       |qp AS (
+       |  -- the nprobe nearest lists per query (cosine desc, cid tiebreak)
+       |  SELECT qid, qv, cid FROM (
+       |    SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid ORDER BY
+       |      CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |           ELSE dot / (sqrt(na) * sqrt(nb)) END DESC, cid ASC) AS rk
+       |    FROM qcos)
+       |  WHERE rk <= $nprobe),
+       |sc AS (
+       |  SELECT qp.qid, a.id,
+       |    ${cosineFolds("qp.qv", "a.vec")}
+       |  FROM asg a JOIN qp USING (cid) WHERE a.id <> qp.qid),
+       |scored AS (
+       |  SELECT qid, id,
+       |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+       |  FROM sc),
+       |r AS (
+       |  SELECT qid, id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+       |  FROM scored)
+       |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
+
+  /** Oracles that need this session's trained state. Called by Verify
+    * AFTER the query dump, so [[graft.operators.IvfIndex.trainCached]]
+    * is a cache hit on the very codebook that produced the dumped
+    * result (same key as [[graft.queries.VectorQueries.annIvf]]).
+    */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = graft.operators.IvfIndex.trainCached(
+      s"embeddings:$sfDir", corpus, "vec", "id", k = 16, dim = 64)
+    Map("ann_ivf_topk" -> ivfOracle(cents, k = 10, nprobe = 2))
+  }
 }

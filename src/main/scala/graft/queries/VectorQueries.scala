@@ -15,9 +15,12 @@ import graft.sources.Tables
   * bit-for-bit (`list_reduce` mirrors the fold), and so is
   * [[annLsh]]: the hyperplane signs are bit0 of the public xxhash64
   * chain — deterministic constants, embedded in the oracle SQL — so
-  * bucketing, candidates, and scores all reproduce. Only [[annIvf]]
-  * stays rows-only (trained centroids), pinned by SimilaritySpec
-  * against a scala reference.
+  * bucketing, candidates, and scores all reproduce. [[annIvf]] is
+  * oracled too, via `SparkEntry.dynamicOracleSql`: the session's
+  * trained centroids are embedded as float literals at Verify time,
+  * and assignment/probe/score are all index-order IEEE folds DuckDB
+  * mirrors bit-for-bit (SimilaritySpec additionally pins a scala
+  * reference).
   */
 object VectorQueries {
 
