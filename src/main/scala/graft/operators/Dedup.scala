@@ -299,6 +299,27 @@ object Dedup {
                 shingleSize: Int = 3, bands: Int = 8, rows: Int = 4): DataFrame =
     mhBandRows(shingleFrame(df, textCol, idCol, shingleSize), bands, rows)
 
+  /** Persist a [[bandIndex]] as a lake artifact, partitioned by band:
+    * an admission probe joins on (band, bandhash), so per-band
+    * directories keep each probe's shuffle to 1/bands of the index and
+    * let a band-restricted read prune at file listing. `append = true`
+    * is the growth path: after [[admitIncremental]], append ONLY the
+    * admitted batch's band rows — the existing corpus is never
+    * re-signed (DedupSpec pins append ≡ recompute).
+    */
+  def saveBandIndex(index: DataFrame, path: String,
+                    append: Boolean = false): Unit =
+    index.select(col("id"), col("band"), col("bandhash"))
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("band").parquet(path)
+
+  /** Read a [[saveBandIndex]] artifact back in [[bandIndex]] column
+    * order (hash values are integral — exact through parquet).
+    */
+  def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(path).select(col("id"), col("band"), col("bandhash"))
+
   /** D23: incremental corpus admission — the growth loop of a training
     * corpus. Each incoming batch is screened for near-dups against the
     * EXISTING corpus and against itself, WITHOUT ever re-pairing the

@@ -87,6 +87,55 @@ object IvfIndex {
     centroids
   }
 
+  /** Persist the codebook as a lake artifact: one tiny parquet of
+    * (cid INT, cvec ARRAY<FLOAT>) rows. The in-session [[trainCached]]
+    * map dies with the JVM; at 100 TB the codebook must outlive it —
+    * retraining is a corpus-sample scan, and worse, a retrained
+    * codebook INVALIDATES every `cid=`-partitioned layout written with
+    * the old one. Write the codebook next to [[writePartitioned]]'s
+    * output and load it for every later search/assign/append.
+    */
+  def saveCodebook(spark: org.apache.spark.sql.SparkSession,
+                   centroids: Array[Array[Float]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a [[saveCodebook]] artifact back; float bits round-trip
+    * exactly through parquet, so searches against a loaded codebook
+    * reproduce the training session's results bit-for-bit
+    * (BucketingSpec pins the round-trip + search equality).
+    */
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Array[Array[Float]] =
+    spark.read.parquet(path)
+      .orderBy(col("cid"))
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Restart-safe training face: load the codebook if the artifact
+    * exists, else train and save it. The happy path after a restart is
+    * one tiny parquet read — no corpus scan at all.
+    */
+  def trainOrLoad(spark: org.apache.spark.sql.SparkSession, path: String,
+                  corpus: DataFrame, vecCol: String, idCol: String,
+                  k: Int, dim: Int, iters: Int = 3,
+                  sampleCap: Int = 4096): Array[Array[Float]] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      loadCodebook(spark, path)
+    else {
+      val c = train(corpus, vecCol, idCol, k, dim, iters, sampleCap)
+      saveCodebook(spark, c, path)
+      c
+    }
+  }
+
   def centroidsLiteral(centroids: Array[Array[Float]]): Column =
     array(centroids.map(c => array(c.map(x => lit(x)): _*).cast("array<float>")): _*)
 

@@ -50,6 +50,38 @@ class BucketingSpec extends AnyFunSuite {
       s"expected a pruned list subset, got IN (${inList.get})")
   }
 
+  test("IVF codebook round-trips through the lake and reproduces searches") {
+    val c = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val trained = graft.operators.IvfIndex.train(c, "vec", "id", k = 8, dim = 64)
+    val path = java.nio.file.Files.createTempDirectory("graft_codebook")
+      .toFile.getAbsolutePath + "/cb"
+
+    graft.operators.IvfIndex.saveCodebook(spark, trained, path)
+    val loaded = graft.operators.IvfIndex.loadCodebook(spark, path)
+    assert(loaded.length == trained.length &&
+      loaded.zip(trained).forall { case (a, b) => a.sameElements(b) },
+      "codebook floats must round-trip bit-exactly through parquet")
+
+    // restart-safe face: the artifact exists, so trainOrLoad must NOT
+    // retrain — it returns the stored centroids even though we hand it
+    // a corpus that would train differently
+    val fromLake = graft.operators.IvfIndex.trainOrLoad(
+      spark, path, c.limit(10), "vec", "id", k = 8, dim = 64)
+    assert(fromLake.zip(trained).forall { case (a, b) => a.sameElements(b) },
+      "trainOrLoad must load the stored codebook, not retrain")
+
+    val want = graft.operators.IvfIndex.search(q, c, 5, trained, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    val got = graft.operators.IvfIndex.search(q, c, 5, loaded, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(want.nonEmpty && got == want,
+      "a loaded codebook must reproduce the training session's searches")
+  }
+
   test("join of co-bucketed tables plans without any Exchange") {
     // warehouse dir is a static conf — tables land in ./spark-warehouse
     // (gitignored); managed-table DROP removes the data in finally

@@ -70,11 +70,29 @@ class DedupSpec extends AnyFunSuite {
     val direct = admitted(None)
     // the lake pattern: the index is persisted once, read back, reused
     val path = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
-    graft.operators.Dedup.bandIndex(existing, "text", "doc_id")
-      .write.mode("overwrite").parquet(path)
-    val viaIndex = admitted(Some(spark.read.parquet(path)))
+    graft.operators.Dedup.saveBandIndex(
+      graft.operators.Dedup.bandIndex(existing, "text", "doc_id"), path)
+    val loaded = graft.operators.Dedup.loadBandIndex(spark, path)
+    val viaIndex = admitted(Some(loaded))
     assert(direct.nonEmpty && viaIndex == direct,
       "persisted-index admission must match recomputing the index")
+
+    // growth path: append ONLY the admitted batch's band rows; the
+    // appended artifact must equal re-signing the grown corpus
+    val admittedDocs = incoming
+      .join(spark.createDataset(direct.toSeq)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id"),
+        Seq("doc_id"), "left_semi")
+    graft.operators.Dedup.saveBandIndex(
+      graft.operators.Dedup.bandIndex(admittedDocs, "text", "doc_id"),
+      path, append = true)
+    val grownGot = graft.operators.Dedup.loadBandIndex(spark, path)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val grownWant = graft.operators.Dedup.bandIndex(
+        existing.unionByName(admittedDocs), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(grownGot == grownWant,
+      "appended band index must equal re-signing the grown corpus")
   }
 
   test("contamination: bloom-pruned shuffle path equals the broadcast path") {
