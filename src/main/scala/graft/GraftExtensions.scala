@@ -30,11 +30,22 @@ object GraftExtensions {
   private def intArg(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
 
-  private def stringArrayArg(e: Expression): Seq[String] =
-    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  /** Foldable-argument guard: `eval()` with no input row only works on
+    * a literal/foldable expression — a column here would surface as an
+    * opaque UnsupportedOperation/ClassCast at registration. Rethrow as
+    * the same usage error the arity guard raises.
+    */
+  private def stringArrayArg(name: String, usage: String,
+                             e: Expression): Seq[String] =
+    try e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toArray[org.apache.spark.unsafe.types.UTF8String](
         org.apache.spark.sql.types.StringType)
       .map(u => if (u == null) null else u.toString).toSeq
+    catch { case ex: RuntimeException =>
+      throw new IllegalArgumentException(
+        s"$name: the vocab argument must be a constant array literal " +
+          s"— usage: $usage", ex)
+    }
 
   private def arity(name: String, usage: String, exprs: Seq[Expression],
                     n: Int): Unit =
@@ -76,14 +87,18 @@ object GraftExtensions {
       exprs => {
         arity("greedy_tokenize",
           "greedy_tokenize(str, array<string> vocab, maxLen)", exprs, 3)
-        GreedyTokenize(exprs.head, stringArrayArg(exprs(1)), intArg(exprs(2)))
+        GreedyTokenize(exprs.head, stringArrayArg("greedy_tokenize",
+          "greedy_tokenize(str, array<string> vocab, maxLen)", exprs(1)),
+          intArg(exprs(2)))
       }),
     ("greedy_tokenize_text",
       "greedy_tokenize_text(str, array<string> vocab, maxLen) - flat subword stream over all words",
       exprs => {
         arity("greedy_tokenize_text",
           "greedy_tokenize_text(str, array<string> vocab, maxLen)", exprs, 3)
-        GreedyTokenizeText(exprs.head, stringArrayArg(exprs(1)), intArg(exprs(2)))
+        GreedyTokenizeText(exprs.head, stringArrayArg("greedy_tokenize_text",
+          "greedy_tokenize_text(str, array<string> vocab, maxLen)", exprs(1)),
+          intArg(exprs(2)))
       }))
 
   /** Patch a LIVE session to the same posture `withExtensions` gives a

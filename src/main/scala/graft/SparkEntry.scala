@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_resolve"      -> (TextQueries.dedupResolve _),
     "dedup_incremental"  -> (TextQueries.dedupIncremental _),
     "dedup_repeated_spans" -> (TextQueries.dedupRepeatedSpans _),
+    "dedup_char_spans"   -> (TextQueries.dedupCharSpans _),
     "source_quota"       -> (TextQueries.sourceQuota _),
     "sequence_pack"      -> (TextQueries.sequencePack _),
     "text_repetition_score" -> (TextQueries.textRepetitionScore _),
@@ -1164,6 +1165,36 @@ object SparkEntry {
         |SELECT doc_id,
         |  COALESCE(array_to_string(ct, ' '), '') AS clean_text,
         |  CAST(nt - len(ct) AS INTEGER) AS n_removed
+        |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // Exact char-level span dedup: positions covered by a repeated
+    // substring of length >= 30 equal positions covered by a repeated
+    // exact-30 gram (the suffix-array reduction — SuffixDedup scaladoc),
+    // and gram counting / coverage / positional rewrite are plain
+    // integer-and-substring algebra identical in ANSI SQL.
+    "dedup_char_spans" ->
+      """WITH occ AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, greatest(len(text) - 28, 1))) AS pos,
+        |    unnest(list_transform(range(1, greatest(len(text) - 28, 1)),
+        |      i -> substr(text, CAST(i AS INTEGER), 30))) AS gram
+        |  FROM documents),
+        |hot AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) >= 2),
+        |cov AS (
+        |  SELECT doc_id, list(DISTINCT cp) AS cov FROM (
+        |    SELECT doc_id, unnest(range(pos, pos + 30)) AS cp
+        |    FROM occ JOIN hot USING (gram))
+        |  GROUP BY doc_id),
+        |fin AS (
+        |  SELECT d.doc_id, d.text,
+        |    -- array_to_string([]) is NULL in duckdb, not '' — coalesce
+        |    COALESCE(array_to_string(list_transform(
+        |      list_filter(range(1, len(text) + 1),
+        |        i -> NOT list_contains(COALESCE(cov, CAST([] AS BIGINT[])), i)),
+        |      i -> substr(text, CAST(i AS INTEGER), 1)), ''), '') AS clean_text
+        |  FROM documents d LEFT JOIN cov USING (doc_id))
+        |SELECT doc_id, clean_text,
+        |  CAST(len(text) - len(clean_text) AS INTEGER) AS n_removed
         |FROM fin ORDER BY doc_id""".stripMargin,
 
     "sequence_pack" ->

@@ -113,7 +113,12 @@ object TokenizeKernel {
     * ANSI-ish SQL, which is how the DuckDB oracle checks the kernel.
     */
   def greedySubwordsHof(word: Column, vocab: Seq[String], maxLen: Int): Column = {
-    val vocabLit = array(vocab.filter(_.length >= 2).map(lit): _*)
+    // codepoint count, not UTF-16 length: VocabTable buckets entries by
+    // codepoints, so a single supplementary-plane-codepoint entry (two
+    // UTF-16 units) must be dropped here too or the twin would keep a
+    // vocab word the kernel ignores
+    val vocabLit = array(
+      vocab.filter(v => v.codePointCount(0, v.length) >= 2).map(lit): _*)
     val matchAt = (i: Column) => coalesce(
       ((maxLen to 2 by -1).map { l =>
         val cand = word.substr(i, lit(l))

@@ -17,8 +17,9 @@ import org.apache.spark.sql.types._
   * plan as Spark's Expand-based multi-distinct — one shuffle whose
   * width is the expand factor (#cols), not one job per column. The
   * typed min/max are converted to canonical strings only in the final
-  * projection (numerics via DECIMAL(18,2) so both engines render
-  * identical text), then the single stats row unpivots via `stack`.
+  * projection (numerics via DECIMAL(38,6) so both engines render
+  * identical text — see [[canon]]), then the single stats row unpivots
+  * through an explode over one struct per column.
   *
   * At 100 TB: exact multi-distinct expands the shuffle #cols-fold —
   * fine for dims, wrong for fact tables. Set `approxDistinct=true` to

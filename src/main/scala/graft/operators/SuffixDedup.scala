@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact character-level repeated-span removal — the byte-level
+  * memorization control of "Deduplicating Training Data Makes
+  * Language Models Better" (Lee et al. 2022), where a suffix array
+  * over the concatenated corpus finds every substring of length ≥ L
+  * occurring ≥ minCount times and the duplicated bytes are removed.
+  *
+  * [[Dedup.stripRepeatedSpans]] is the fixed-n WORD-gram
+  * approximation; this operator is exact at the character level via
+  * the standard reduction that makes the suffix array unnecessary for
+  * the REMOVAL semantics:
+  *
+  *   a position is covered by some repeated substring of length ≥ L
+  *   iff it is covered by some repeated substring of length EXACTLY L
+  *
+  * (⇒ every occurrence of a repeat s with |s| = m ≥ L repeats each of
+  * its length-L windows wherever s occurs, and some window covers the
+  * position; ⇐ an exact-L repeat IS a ≥L repeat). The same holds per
+  * occurrence-count threshold: each window of s occurs at least as
+  * often as s. So counting positional L-grams — the same
+  * occurrence-join shape as the word-level operator — yields exactly
+  * the positions a suffix-array pass would mark, without
+  * materializing suffixes.
+  *
+  * Scale shape (the suffix array itself would be a full corpus sort):
+  *  1. positional char L-grams per doc (pure column algebra);
+  *  2. the counting exchange carries `xxhash64(gram)` — 8-byte rows,
+  *     never L-char strings — with map-side combine;
+  *  3. hot HASHES (count ≥ minCount) join back onto occurrences and
+  *     the survivors are re-counted on the exact gram, so a hash
+  *     collision can nominate a candidate but never remove a byte
+  *     (same nominate-then-verify discipline as the MinHash/SimHash
+  *     family);
+  *  4. covered positions fold to one int-set per doc and the rewrite
+  *     is positional — documents never re-assemble from an exploded
+  *     shuffle.
+  *
+  * Like [[Dedup.stripRepeatedSpans]], the input subtree runs under
+  * several legs of the plan — `persist()` the input at corpus scale
+  * (caller-owned; see that operator's scaladoc for why).
+  *
+  * Returns (id, clean_text, n_removed) where n_removed counts removed
+  * characters. Deterministic; DuckDB-oracled as `dedup_char_spans`.
+  */
+object SuffixDedup {
+
+  /** Positional exact-L char grams: (id, pos [1-based], gram).
+    * Empty for docs shorter than L (`sequence(1, n<1)` would count
+    * DOWN — the shared pitfall — hence the guard).
+    */
+  private def charGrams(df: DataFrame, textCol: String, idCol: String,
+                        len: Int): DataFrame = {
+    val starts = when(length(col("__t")) >= len,
+        sequence(lit(1), length(col("__t")) - (len - 1)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .select(col("id"),
+        posexplode(transform(starts, i => col("__t").substr(i, lit(len))))
+          .as(Seq("__p0", "gram")))
+      .select(col("id"), (col("__p0") + 1).as("pos"), col("gram"))
+  }
+
+  /** Remove every character position covered by a substring of length
+    * ≥ `minLen` that occurs ≥ `minCount` times across the corpus
+    * (occurrences = (doc, position) pairs; overlapping self-repeats
+    * within one doc count, exactly as in a suffix array).
+    */
+  def stripRepeatedCharSpans(df: DataFrame, textCol: String, idCol: String,
+                             minLen: Int = 20,
+                             minCount: Long = 2): DataFrame = {
+    require(minLen > 0,
+      s"stripRepeatedCharSpans: minLen must be positive, got $minLen")
+    require(minCount >= 2,
+      s"stripRepeatedCharSpans: minCount < 2 would remove every char, got $minCount")
+    val occ = charGrams(df, textCol, idCol, minLen)
+    // count 8-byte hashes, not L-char grams; verify exact on survivors
+    val hotHash = occ.groupBy(xxhash64(col("gram")).as("__h"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("__h"))
+    val hot = occ.join(hotHash, xxhash64(col("gram")) === col("__h"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("gram"))
+    val covered = occ.join(hot, "gram")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (minLen - 1))).as("cp"))
+      .groupBy(col("id")).agg(collect_set(col("cp")).as("cov"))
+    val text = col(textCol)
+    val positions = when(length(text) >= 1, sequence(lit(1), length(text)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol).as("id"), text.as("__t"), positions.as("__ps"))
+      .join(covered, Seq("id"), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .withColumn("clean_text",
+        array_join(transform(
+          filter(col("__ps"), i => !array_contains(col("cov"), i)),
+          i => col("__t").substr(i, lit(1))), ""))
+      .select(col("id"), col("clean_text"),
+        (length(col("__t")) - length(col("clean_text"))).as("n_removed"))
+  }
+
+  /** The suffix array's other classic answer: the corpus-wide LONGEST
+    * substring occurring ≥ `minCount` times, by binary search over the
+    * length (a repeat of length m implies repeats at every length
+    * < m, so existence is monotone in L). Each probe is one
+    * hash-counting pass — O(log maxLen) Spark jobs total, each the
+    * same light exchange as [[stripRepeatedCharSpans]] step 2, against
+    * a suffix array's full corpus sort.
+    *
+    * Returns (span, len, n_occurrences) — one row, the lexicically
+    * smallest span at the maximal length (deterministic tie-break), or
+    * an empty frame if even length-1 repeats are absent.
+    */
+  def longestRepeatedSpan(df: DataFrame, textCol: String, idCol: String,
+                          minCount: Long = 2,
+                          maxLenCap: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // exact-gram existence at length L (hash-nominate, exact-verify)
+    def existsAt(len: Int): Boolean = {
+      val occ = charGrams(df, textCol, idCol, len)
+      val hotHash = occ.groupBy(xxhash64(col("gram")).as("__h"))
+        .agg(count(lit(1)).as("__cnt")).filter(col("__cnt") >= minCount)
+        .select(col("__h"))
+      !occ.join(hotHash, xxhash64(col("gram")) === col("__h"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") >= minCount).isEmpty
+    }
+    val maxDoc = df.agg(max(length(col(textCol)))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    var lo = 0 // longest length known to repeat
+    var hi = math.min(maxDoc, maxLenCap) + 1 // shortest known not to
+    if (hi > 1 && existsAt(1)) {
+      lo = 1
+      while (lo + 1 < hi) {
+        val mid = lo + (hi - lo) / 2
+        if (existsAt(mid)) lo = mid else hi = mid
+      }
+    }
+    if (lo == 0)
+      Seq.empty[(String, Int, Long)].toDF("span", "len", "n_occurrences")
+    else {
+      val occ = charGrams(df, textCol, idCol, lo)
+      occ.groupBy(col("gram")).agg(count(lit(1)).as("n_occurrences"))
+        .filter(col("n_occurrences") >= minCount)
+        .orderBy(col("gram")).limit(1)
+        .select(col("gram").as("span"), lit(lo).as("len"),
+          col("n_occurrences"))
+    }
+  }
+}

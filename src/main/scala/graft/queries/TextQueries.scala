@@ -61,6 +61,16 @@ object TextQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** D36: exact character-level span dedup (suffix-array semantics at
+    * threshold L=30 via the exact-L reduction — see
+    * [[graft.operators.SuffixDedup]]).
+    */
+  def dedupCharSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SuffixDedup.stripRepeatedCharSpans(
+        Tables.documents(spark, dir), "text", "doc_id", minLen = 30)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** D27: per-source quota cap — at most 12 docs per source, kept by
     * lowest doc_id (deterministic priority). Goes through the
     * `row_number <= k` idiom, so TopKRewrite runs it on the

@@ -55,4 +55,32 @@ object BucketedLake {
       .mode("overwrite")
       .saveAsTable(tableName)
   }
+
+  /** Idempotent face of [[writeBucketed]]: skip the DROP + rewrite when
+    * the catalog already has `tableName` with the SAME (key, buckets)
+    * spec at the SAME location and the files still exist. Re-running a
+    * read query must not re-pay the write (nor race a concurrent
+    * session on DROP/overwrite); any spec or location drift falls
+    * through to the full rewrite, preserving writeBucketed semantics.
+    */
+  def ensureBucketed(df: DataFrame, tableName: String, path: String,
+                     key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    val reusable = spark.catalog.tableExists(tableName) && {
+      try {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+        val hadoopConf = spark.sparkContext.hadoopConfiguration
+        val want = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(hadoopConf).makeQualified(
+            new org.apache.hadoop.fs.Path(path))
+        val have = new org.apache.hadoop.fs.Path(meta.location)
+        meta.bucketSpec.exists(b => b.numBuckets == buckets &&
+          b.bucketColumnNames == Seq(key)) &&
+          have.getFileSystem(hadoopConf).makeQualified(have) == want &&
+          have.getFileSystem(hadoopConf).exists(have)
+      } catch { case _: Exception => false }
+    }
+    if (!reusable) writeBucketed(df, tableName, path, key, buckets)
+  }
 }

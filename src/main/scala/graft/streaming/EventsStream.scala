@@ -64,10 +64,13 @@ object EventsStream {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), duration, slide), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
+      // decimal-exact sum (order-independent), like the batch twin —
+      // stream == batch holds for the sum too, not just the counts
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Num.dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("event_type"),
-        col("n_events"))
+        col("n_events"), col("sum_value"))
 
   /** E8: stream-static enrichment join + windowed agg. The static dim
     * side is planned per micro-batch (so slowly-changing dims refresh

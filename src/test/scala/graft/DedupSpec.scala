@@ -95,6 +95,60 @@ class DedupSpec extends AnyFunSuite {
       "appended band index must equal re-signing the grown corpus")
   }
 
+  test("char-span dedup matches a brute-force suffix reference on planted substrings") {
+    import spark.implicits._
+    val boiler = "SUBSCRIBE-TO-OUR-NEWSLETTER-TODAY!" // 34 chars
+    val fixture: Seq[(Long, String)] = Seq(
+      1L -> s"alpha beta $boiler gamma delta",
+      2L -> s"$boiler completely different middle $boiler",
+      3L -> "unique text with no repeats whatsoever here",
+      4L -> "",
+      5L -> "short",
+      // a 20-char repeat must NOT trigger at minLen=25
+      6L -> s"pre ${boiler.take(20)} xx not long enough qq ${boiler.take(20)} yy")
+    val docs = fixture.toDF("doc_id", "text")
+    val L = 25
+
+    // brute-force suffix-style reference: every position covered by a
+    // length-L gram with >= 2 corpus occurrences is removed
+    val occ = fixture.flatMap { case (id, t) =>
+      (0 to t.length - L).map(i => (t.substring(i, i + L), id, i)) }
+    val hot = occ.groupBy(_._1).collect {
+      case (g, os) if os.size >= 2 => g }.toSet
+    val want = fixture.map { case (id, t) =>
+      val cov = occ.collect { case (g, `id`, i) if hot(g) =>
+        i until (i + L) }.flatten.toSet
+      val clean = t.zipWithIndex.collect {
+        case (c, i) if !cov(i) => c }.mkString
+      (id, clean, t.length - clean.length)
+    }.toSet
+    val got = graft.operators.SuffixDedup
+      .stripRepeatedCharSpans(docs, "text", "doc_id", minLen = L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    assert(want.exists(_._3 > 0), "fixture must actually remove something")
+
+    // longest repeated span vs brute force (monotone binary search
+    // must land on the true maximum, incl. the space-extended repeat)
+    val maxLen = fixture.map(_._2.length).max
+    val brute = (maxLen to 1 by -1).iterator.map { len =>
+      val gs = fixture.flatMap { case (_, t) =>
+        (0 to t.length - len).map(i => t.substring(i, i + len)) }
+      val rep = gs.groupBy(identity).filter(_._2.size >= 2)
+      if (rep.isEmpty) None
+      else { val g = rep.keys.min; Some((g, len, rep(g).size.toLong)) }
+    }.collectFirst { case Some(x) => x }.get
+    val lrs = graft.operators.SuffixDedup
+      .longestRepeatedSpan(docs, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).head
+    assert(lrs == brute, s"got $lrs want $brute")
+
+    // no repeats at all -> empty result frame
+    assert(graft.operators.SuffixDedup.longestRepeatedSpan(
+      Seq(7L -> "abcdefg").toDF("doc_id", "text"), "text", "doc_id")
+      .isEmpty)
+  }
+
   test("contamination: bloom-pruned shuffle path equals the broadcast path") {
     val bench = docs.filter(col("doc_id") % 10 === 0)
     def run(small: Boolean) = graft.operators.Dedup

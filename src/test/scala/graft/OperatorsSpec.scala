@@ -9,6 +9,34 @@ import graft.sources.Tables
 class OperatorsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("period pivot: null periods never rank, n is guarded, pivot is exact") {
+    import spark.implicits._
+    import graft.operators.PeriodPivot
+    val df = Seq(
+      (1L, Some("2024-03"), 10), (1L, Some("2024-02"), 20),
+      (1L, Some("2024-01"), 30), (1L, None, 99),
+      (2L, Some("2024-03"), 5), (2L, None, 88))
+      .toDF("entity", "period", "v")
+    // contract: null periods are dropped before ranking — they can
+    // never occupy one of the trailing-n slots
+    val ranked = PeriodPivot.rankPeriods(df, "period", 2)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sortBy(_._2)
+    assert(ranked == Seq(("2024-03", 1), ("2024-02", 2)),
+      s"null period must not rank, got $ranked")
+    val piv = PeriodPivot.lastPeriods(df, "entity", "period", col("v"),
+        2, i => s"p$i")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(piv == Map(
+      1L -> ((Some(10), Some(20))),
+      2L -> ((Some(5), None))),
+      s"pivot mismatch: $piv")
+    assertThrows[IllegalArgumentException] {
+      PeriodPivot.rankPeriods(df, "period", -1)
+    }
+    assert(PeriodPivot.rankPeriods(df, "period", 0).count() == 0L)
+  }
+
   test("kll lake column: merged per-day sketches hit exact ranks within bound, survive parquet") {
     import graft.functions.KllFunctions._
     val qs = Seq(0.25, 0.5, 0.9, 0.99)

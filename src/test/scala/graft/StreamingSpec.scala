@@ -59,15 +59,16 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName("slide_out").start()
     try {
       q.processAllAvailable()
+      // counts AND the decimal-exact sum: stream == batch bit-for-bit
       val got = spark.table("slide_out")
         .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1),
-          r.getString(2), r.getLong(3))).toSet
+          r.getString(2), r.getLong(3), r.getDouble(4))).toSet
       val want = graft.queries.WarehouseQueries
         .eventsSlidingAgg(spark, sfDir)
         .select(col("window_start"), col("window_end"), col("event_type"),
-          col("n_events"))
+          col("n_events"), col("sum_value"))
         .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1),
-          r.getString(2), r.getLong(3))).toSet
+          r.getString(2), r.getLong(3), r.getDouble(4))).toSet
       assert(got == want)
     } finally q.stop()
   }
