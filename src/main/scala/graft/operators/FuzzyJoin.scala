@@ -19,9 +19,19 @@ import org.apache.spark.sql.functions._
   * insertion shares the shorter string itself. So exploding each row
   * into its |s|+1 variants and equality-joining on the variant finds
   * EVERY qualifying pair (candidates are a superset; an exact
-  * `levenshtein` verify keeps precision). Deletion-2 neighborhoods
-  * generalize to maxDist 2 at |s|²/2 variants per row — quadratic in
-  * string length, deliberately not materialized here.
+  * `levenshtein` verify keeps precision).
+  *
+  * Deletion-≤d blocking (the FastSS scheme) is complete for ANY d:
+  * take an optimal edit script from a to b of cost k ≤ d. Delete from
+  * a every character the script substitutes or deletes (≤ k chars),
+  * and from b every character the script substitutes or inserts
+  * (≤ k chars); what remains on both sides is the script's copied
+  * characters, in order — the same string. So a's and b's ≤d-deletion
+  * neighborhoods intersect, and the equality join finds the pair.
+  * maxDist = 2 materializes 1 + |s| + |s|(|s|-1)/2 variants per row —
+  * quadratic in string length, fine for name/entity-length values
+  * (~200 variants at |s| = 18); it is NOT offered beyond 2 because
+  * |s|^d variants overtake the pair verification they avoid.
   *
   * Scale shape: the exchange carries (xxhash64(variant), id, value) —
   * the 8-byte hash replaces the variant string, exactly like the
@@ -42,8 +52,21 @@ object FuzzyJoin {
         i => concat(c.substr(lit(1), i - lit(1)),
           c.substr(i + lit(1), length(c) - i)))))
 
+  /** Every string reachable by at most `maxDeletes` single-character
+    * deletions: the ≤1 neighborhood applied `maxDeletes` times (each
+    * application includes the identity, so depths accumulate). Stays
+    * pure column algebra — the variants exist only inside the explode
+    * that immediately hashes them.
+    */
+  def deletionNeighborhood(c: Column, maxDeletes: Int): Column = {
+    require(maxDeletes >= 1, s"maxDeletes must be >= 1, got $maxDeletes")
+    (2 to maxDeletes).foldLeft(deletionNeighborhood(c)) { (nb, _) =>
+      array_distinct(flatten(transform(nb, s => deletionNeighborhood(s))))
+    }
+  }
+
   /** All pairs (a_id < b_id) with levenshtein(a_val, b_val) ≤ maxDist.
-    * Complete for maxDist = 1 (see blocking argument above).
+    * Complete for maxDist ∈ {1, 2} (see blocking argument above).
     *
     * Candidates carry IDS ONLY (16 bytes/pair) through the self-join
     * and dedup — the strings join back by id just for the final
@@ -51,12 +74,13 @@ object FuzzyJoin {
     */
   def selfJoin(df: DataFrame, id: String, value: String,
                maxDist: Int = 1): DataFrame = {
-    require(maxDist == 1,
-      "deletion-1 blocking is complete only for maxDist = 1")
+    require(maxDist >= 1 && maxDist <= 2,
+      "deletion blocking is materialized for maxDist in {1, 2} — " +
+        "variant count grows |s|^d (see scaladoc)")
     val base = df.select(col(id).as("__id"), col(value).as("__val"))
     val variants = base
       .select(col("__id"),
-        explode(deletionNeighborhood(col("__val"))).as("__v"))
+        explode(deletionNeighborhood(col("__val"), maxDist)).as("__v"))
       .select(col("__id"), xxhash64(col("__v")).as("__h"))
     val a = variants.toDF("a_id", "__h")
     val b = variants.toDF("b_id", "__h")

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.Dedup
+
+/** Streaming corpus admission (SURVEY §2.E ∘ D23): the growth loop of
+  * a training corpus as a continuous pipeline. Each incoming
+  * micro-batch is screened for near-duplicates against the lake corpus
+  * and against itself ([[Dedup.admitIncremental]]); admitted rows
+  * append to the corpus AND their band rows append to the persisted
+  * LSH index ([[Dedup.saveBandIndex]]) — so the screen stays O(batch)
+  * forever: the existing corpus is never re-shingled, each batch pays
+  * for itself exactly once.
+  *
+  * foreachBatch (not a stateful operator) because admission state is
+  * the LAKE — corpus + band index artifacts shared with the batch
+  * path, surviving restarts, queryable mid-stream. StreamingSpec pins
+  * stream admission ≡ sequential batch admission on the same batches,
+  * and that a restarted query resumes against the artifacts.
+  */
+object StreamingAdmission {
+
+  /** @param corpusPath parquet corpus the stream grows (created on the
+    *        first batch if absent)
+    * @param indexPath  [[Dedup.saveBandIndex]] artifact kept in step
+    *        with the corpus (created if absent)
+    */
+  def start(stream: DataFrame, textCol: String, idCol: String,
+            corpusPath: String, indexPath: String, checkpoint: String,
+            shingleSize: Int = 3, bands: Int = 8, rows: Int = 4,
+            threshold: Double = 0.5,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing = scala.util.Try(spark.read.parquet(corpusPath)).toOption
+        val admittedPlan = existing match {
+          case Some(corpus) =>
+            // reuse the persisted index; fall back to re-signing the
+            // corpus only if the artifact is missing (first run after
+            // a manual corpus import)
+            val idx = scala.util.Try(Dedup.loadBandIndex(spark, indexPath)).toOption
+            Dedup.admitIncremental(corpus, batch, textCol, idCol,
+              shingleSize, bands, rows, threshold, existingIndex = idx)
+          case None =>
+            Dedup.admitIncremental(batch.limit(0), batch, textCol, idCol,
+              shingleSize, bands, rows, threshold)
+        }
+        // materialize BEFORE appending: the plan reads corpusPath, and
+        // the index append would otherwise re-execute it against the
+        // just-grown corpus (every batch doc would then self-match and
+        // the index rows would vanish). localCheckpoint is eager and
+        // cuts the lineage to the pre-append file listing.
+        val admitted = admittedPlan.localCheckpoint()
+        admitted.write.mode("append").parquet(corpusPath)
+        Dedup.saveBandIndex(
+          Dedup.bandIndex(admitted, textCol, idCol, shingleSize, bands, rows),
+          indexPath, append = true)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+}

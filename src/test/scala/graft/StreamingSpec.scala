@@ -73,6 +73,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming admission equals sequential batch admission and resumes from the lake") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.StreamingAdmission
+    import org.apache.spark.sql.streaming.Trigger
+    val all = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val seed = all.filter(_._1 % 3 == 0)
+    val batch1 = all.filter(_._1 % 3 == 1)
+    val batch2 = all.filter(_._1 % 3 == 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_admit_stream").toString
+    val (corpusPath, indexPath, ckpt) = (s"$dir/corpus", s"$dir/index", s"$dir/ckpt")
+    // seed the lake through the batch path, index kept in step
+    seed.toDF("doc_id", "text").write.parquet(corpusPath)
+    Dedup.saveBandIndex(
+      Dedup.bandIndex(seed.toDF("doc_id", "text"), "text", "doc_id"), indexPath)
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark, 77)
+    val q = StreamingAdmission.start(src.toDS().toDF("doc_id", "text"),
+      "text", "doc_id", corpusPath, indexPath, ckpt, threshold = 0.8,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      src.addData(batch1: _*); q.processAllAvailable()
+      src.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // sequential batch reference over the same two batches
+    var corpus = seed.toDF("doc_id", "text")
+    val want = scala.collection.mutable.Set(seed.map(_._1): _*)
+    Seq(batch1, batch2).foreach { b =>
+      val admitted = Dedup.admitIncremental(corpus, b.toDF("doc_id", "text"),
+        "text", "doc_id", threshold = 0.8)
+      want ++= ids(admitted)
+      corpus = corpus.unionByName(admitted).localCheckpoint()
+    }
+    assert(ids(spark.read.parquet(corpusPath)) == want.toSet,
+      "stream admission must equal sequential batch admission")
+    // the persisted index stayed in step with the grown corpus
+    val gotIdx = Dedup.loadBandIndex(spark, indexPath)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val wantIdx = Dedup.bandIndex(corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotIdx == wantIdx)
+
+    // a NEW query on the same artifacts keeps screening: an exact copy
+    // of a seed doc is rejected, a novel doc admitted
+    val copyOfSeed = (900001L, seed.head._2)
+    val novel = (900002L, "zanzibar quokka paradox luminous arcade " +
+      "velvet thunder biscuit meridian opal cascade")
+    val src2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark, 78)
+    val q2 = StreamingAdmission.start(src2.toDS().toDF("doc_id", "text"),
+      "text", "doc_id", corpusPath, indexPath, s"$dir/ckpt2", threshold = 0.8,
+      trigger = Trigger.ProcessingTime(0L))
+    try { src2.addData(copyOfSeed, novel); q2.processAllAvailable() }
+    finally q2.stop()
+    val finalIds = ids(spark.read.parquet(corpusPath))
+    assert(finalIds.contains(900002L) && !finalIds.contains(900001L),
+      "resumed admission must reject the copy and admit the novel doc")
+  }
+
   test("stream-static enrichment join equals the batch equivalent") {
     val dim = graft.sources.Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))

@@ -257,6 +257,43 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("fuzzy join d=2: complete vs a driver-side levenshtein brute force") {
+    // small alphabet forces dense distance-1/2 structure, incl. pairs
+    // that need BOTH sides to delete (substitution+substitution)
+    val rnd = new scala.util.Random(42)
+    val corpus = (1L to 80L).map { i =>
+      val len = 3 + rnd.nextInt(6)
+      (i, Seq.fill(len)("abc" (rnd.nextInt(3))).mkString)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, va) <- corpus; (ib, vb) <- corpus
+      if ia < ib && lev(va, vb) <= 2
+    } yield (ia, ib, lev(va, vb))).toSet
+    import spark.implicits._
+    val got = graft.operators.FuzzyJoin
+      .selfJoin(corpus.toDF("id", "name"), "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4))).toSet
+    assert(want.nonEmpty && got == want,
+      s"extra=${got -- want} missing=${want -- got}")
+    // d=1 results are a subset (the verify keeps distances exact)
+    val got1 = graft.operators.FuzzyJoin
+      .selfJoin(corpus.toDF("id", "name"), "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4))).toSet
+    assert(got1 == want.filter(_._3 <= 1))
+    assertThrows[IllegalArgumentException] {
+      graft.operators.FuzzyJoin
+        .selfJoin(corpus.toDF("id", "name"), "id", "name", maxDist = 3)
+    }
+  }
+
   // ---- EWMA -------------------------------------------------------------
 
   test("ewma: fold matches the recursive definition; order by period") {
