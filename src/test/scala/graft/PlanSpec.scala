@@ -123,6 +123,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final aggregate pair for gram counts:\n$p")
   }
 
+  test("char-span dedup: the counting exchange keys on the 8-byte gram hash") {
+    val df = graft.operators.SuffixDedup.stripRepeatedCharSpans(
+      graft.sources.Tables.documents(spark, sfDir), "text", "doc_id")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"char-span dedup must stay an equality-join plan:\n$p")
+    // the nominating count groups on xxhash64(gram) — Catalyst projects
+    // the key into a _groupingexpression, so match the projected form —
+    // the 8-byte shuffle row that makes the exact verify affordable
+    assert(p.contains("xxhash64(gram") &&
+      p.contains("_groupingexpression"),
+      s"expected the gram count keyed on xxhash64(gram):\n$p")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg > 0 && p.indexOf("HashAggregate", firstAgg + 1) > 0,
+      s"expected partial+final aggregate pair:\n$p")
+  }
+
   test("TopKRewrite: the window idiom optimizes into the bounded-heap operator") {
     // the strategy must be available for the rewritten node to plan
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
