@@ -95,6 +95,7 @@ object SparkEntry {
     "vocab_heavy_hitters" -> (TextQueries.vocabHeavyHitters _),
     "text_token_count"   -> (TextQueries.textTokenCount _),
     "text_quality_score" -> (TextQueries.textQualityScore _),
+    "lm_cross_entropy"   -> (TextQueries.lmCrossEntropy _),
     "text_lang_id"       -> (TextQueries.textLangId _),
     "text_fingerprint"   -> (TextQueries.textFingerprint _),
     "dedup_embedding_cosine" -> (VectorQueries.dedupEmbeddingCosine _),
@@ -1166,6 +1167,31 @@ object SparkEntry {
         |  COALESCE(array_to_string(ct, ' '), '') AS clean_text,
         |  CAST(nt - len(ct) AS INTEGER) AS n_removed
         |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // Unigram LM cross-entropy: counts and the top-64 vocab cut are
+    // exact integers (ties on the word), so both engines train the
+    // SAME model; only ln can drift (libm ulp) plus double-sum
+    // reorder (~1e-13 over ≤1k terms), both absorbed by the 6-dp
+    // rounding on the published score — the BM25 oracle argument.
+    "lm_cross_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 64),
+        |dn AS (
+        |  SELECT CAST((SELECT SUM(c) FROM cnt)
+        |    + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS d),
+        |lp AS (
+        |  SELECT t.doc_id,
+        |    COALESCE(ln(CAST(tp.c + 1 AS DOUBLE) / d), ln(1.0 / d)) AS lnp
+        |  FROM tok t LEFT JOIN top tp USING (w), dn),
+        |s AS (SELECT doc_id, COUNT(*) AS nt, SUM(lnp) AS sl
+        |      FROM lp GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(nt, 0) AS INTEGER) AS n_tokens,
+        |  COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE)) AS cross_entropy
+        |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Exact char-level span dedup: positions covered by a repeated
     // substring of length >= 30 equal positions covered by a repeated

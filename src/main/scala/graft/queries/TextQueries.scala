@@ -71,6 +71,15 @@ object TextQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** D37: unigram LM cross-entropy per document (CCNet-style quality
+    * signal — see [[graft.operators.LanguageModel]]).
+    */
+  def lmCrossEntropy(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.scoreCorpus(
+        Tables.documents(spark, dir), "text", "doc_id", topK = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** D27: per-source quota cap — at most 12 docs per source, kept by
     * lowest doc_id (deterministic priority). Goes through the
     * `row_number <= k` idiom, so TopKRewrite runs it on the

@@ -9,6 +9,44 @@ import graft.sources.Tables
 class OperatorsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("unigram LM: cross-entropy matches a driver reference, OOV and empty docs handled") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the the the the"),          // most predictable
+      (3L, "zyx wvu tsr"),              // mostly OOV at topK=4 → highest H
+      (4L, ""),                         // token-less
+      (5L, "the cat zyx"))              // mixed
+      .toDF("doc_id", "text")
+    val topK = 4
+    // driver reference, same model definition
+    val words = Seq(1L -> "the cat sat on the mat", 2L -> "the the the the",
+      3L -> "zyx wvu tsr", 5L -> "the cat zyx")
+      .flatMap(_._2.split("\\s+"))
+    val cnt = words.groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = cnt.toSeq.sortBy { case (w, c) => (-c, w) }.take(topK)
+    val d = (words.size + vocab.size + 1).toDouble
+    val lnP = vocab.map { case (w, c) => w -> math.log((c + 1) / d) }.toMap
+    val lnOov = math.log(1 / d)
+    def ref(text: String): (Int, Double) = {
+      val ts = text.split("\\s+").filter(_.nonEmpty)
+      if (ts.isEmpty) (0, 0.0)
+      else (ts.length, BigDecimal(-ts.map(w => lnP.getOrElse(w, lnOov)).sum / ts.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val want = Seq(1L, 2L, 3L, 4L, 5L).map(i =>
+      (i, ref(Seq("the cat sat on the mat", "the the the the", "zyx wvu tsr",
+        "", "the cat zyx")(i.toInt - 1)))).map { case (i, (n, h)) => (i, n, h) }.toSet
+    val got = LanguageModel.scoreCorpus(docs, "text", "doc_id", topK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    // the quality ordering the score exists for
+    val byId = got.map(t => t._1 -> t._3).toMap
+    assert(byId(2L) < byId(1L) && byId(1L) < byId(3L),
+      s"repetitive < natural < gibberish expected, got $byId")
+  }
+
   test("period pivot: null periods never rank, n is guarded, pivot is exact") {
     import spark.implicits._
     import graft.operators.PeriodPivot
