@@ -127,6 +127,45 @@ object GraftKernels {
     best
   }
 
+  /** Rolling 64-bit hash of EVERY `len`-codepoint window of `s` —
+    * O(n) total where the substring-then-hash alternative is O(n·len)
+    * and materializes n gram strings. The hash only NOMINATES
+    * (SuffixDedup exact-verifies survivors on the real substrings),
+    * so collision rate is all that matters, not cross-engine
+    * portability; the splitmix64 finalizer decorrelates the
+    * polynomial structure without breaking the O(1) roll.
+    */
+  def charWindowHashes(s: UTF8String, len: Int): ArrayData = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n < len)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val cps = new Array[Int](n)
+    var ci = 0
+    var i = 0
+    while (ci < str.length) {
+      val cp = str.codePointAt(ci)
+      cps(i) = cp; i += 1; ci += Character.charCount(cp)
+    }
+    val B = 0x9E3779B97F4A7C15L | 1L
+    var pow = 1L
+    i = 0
+    while (i < len - 1) { pow *= B; i += 1 }
+    val out = new Array[Long](n - len + 1)
+    var h = 0L
+    i = 0
+    while (i < len) { h = h * B + cps(i); i += 1 }
+    out(0) = mix64(h)
+    i = len
+    while (i < n) {
+      h = (h - cps(i - len) * pow) * B + cps(i)
+      out(i - len + 1) = mix64(h)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Random-hyperplane LSH bucket (see VectorFunctions.hyperplaneBucket
     * for the HOF twin): plane p dim i sign = bit of xxhash64(p, i).
     */
@@ -225,6 +264,27 @@ case class HyperplaneBucketExpr(child: Expression, planes: Int) extends UnaryExp
   override def prettyName: String = "hyperplane_bucket"
 }
 
+/** CharWindowHashes(string, len) → array<long>: one rolling hash per
+  * len-codepoint window (see GraftKernels.charWindowHashes).
+  */
+case class CharWindowHashes(child: Expression, len: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if len > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_window_hashes needs string and len>0, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.charWindowHashes(v.asInstanceOf[UTF8String], len)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftKernels.charWindowHashes($c, $len)")
+  override protected def withNewChildInternal(newChild: Expression): CharWindowHashes =
+    copy(child = newChild)
+  override def prettyName: String = "char_window_hashes"
+}
+
 /** Column-API entry points for the kernel expressions. */
 object GraftFunctions {
   def simhash64(c: Column): Column =
@@ -235,4 +295,6 @@ object GraftFunctions {
     ColumnBridge.column(VecCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def hyperplane_bucket(v: Column, planes: Int): Column =
     ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(v), planes))
+  def char_window_hashes(c: Column, len: Int): Column =
+    ColumnBridge.column(CharWindowHashes(ColumnBridge.expression(c), len))
 }

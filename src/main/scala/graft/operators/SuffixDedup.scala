@@ -27,14 +27,19 @@ import org.apache.spark.sql.functions._
   * materializing suffixes.
   *
   * Scale shape (the suffix array itself would be a full corpus sort):
-  *  1. positional char L-grams per doc (pure column algebra);
-  *  2. the counting exchange carries `xxhash64(gram)` — 8-byte rows,
-  *     never L-char strings — with map-side combine;
-  *  3. hot HASHES (count ≥ minCount) join back onto occurrences and
-  *     the survivors are re-counted on the exact gram, so a hash
+  *  1. per-doc window hashes from the O(n) rolling kernel
+  *     ([[graft.functions.GraftKernels.charWindowHashes]]) — gram
+  *     STRINGS never materialize in the nominate pass, which the
+  *     substring alternative paid O(n·L) compute and bytes for
+  *     (measured 7× the whole-operator time at the ×10 probe);
+  *  2. the counting exchange carries those 8-byte hashes with
+  *     map-side combine;
+  *  3. hot HASHES (count ≥ minCount) join back onto occurrences;
+  *     only the SURVIVORS fetch their substring (join back to the doc
+  *     text by id) and are re-counted on the exact gram — a hash
   *     collision can nominate a candidate but never remove a byte
   *     (same nominate-then-verify discipline as the MinHash/SimHash
-  *     family);
+  *     family), and survivor volume is bounded by true repeat volume;
   *  4. covered positions fold to one int-set per doc and the rewrite
   *     is positional — documents never re-assemble from an exploded
   *     shuffle.
@@ -48,20 +53,38 @@ import org.apache.spark.sql.functions._
   */
 object SuffixDedup {
 
-  /** Positional exact-L char grams: (id, pos [1-based], gram).
-    * Empty for docs shorter than L (`sequence(1, n<1)` would count
-    * DOWN — the shared pitfall — hence the guard).
+  /** Positional window hashes: (id, pos [1-based], h) from the O(n)
+    * rolling kernel (empty for docs shorter than L).
     */
-  private def charGrams(df: DataFrame, textCol: String, idCol: String,
-                        len: Int): DataFrame = {
-    val starts = when(length(col("__t")) >= len,
-        sequence(lit(1), length(col("__t")) - (len - 1)))
-      .otherwise(array().cast("array<int>"))
-    df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .select(col("id"),
-        posexplode(transform(starts, i => col("__t").substr(i, lit(len))))
-          .as(Seq("__p0", "gram")))
-      .select(col("id"), (col("__p0") + 1).as("pos"), col("gram"))
+  private def occHashes(df: DataFrame, textCol: String, idCol: String,
+                        len: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(graft.functions.GraftFunctions
+          .char_window_hashes(col(textCol), len)).as(Seq("__p0", "h")))
+      .select(col("id"), (col("__p0") + 1).as("pos"), col("h"))
+
+  /** Every occurrence of an exact-verified hot gram: (id, pos, gram).
+    * Hash-count nominates; survivors join their doc text back by id,
+    * extract the real substring, and re-count on it — complete because
+    * ALL occurrences of a gram share its hash, so a surviving hash
+    * carries every occurrence into the exact count.
+    */
+  private def hotOccurrences(df: DataFrame, textCol: String, idCol: String,
+                             len: Int, minCount: Long): DataFrame = {
+    val occ = occHashes(df, textCol, idCol, len)
+    val hotHash = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("h"))
+    val survG = occ.join(hotHash, "h")
+      .join(df.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
+      .select(col("id"), col("pos"),
+        col("__t").substr(col("pos"), lit(len)).as("gram"))
+    val hotG = survG.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("gram"))
+    survG.join(hotG, "gram").select(col("id"), col("pos"), col("gram"))
   }
 
   /** Remove every character position covered by a substring of length
@@ -76,17 +99,7 @@ object SuffixDedup {
       s"stripRepeatedCharSpans: minLen must be positive, got $minLen")
     require(minCount >= 2,
       s"stripRepeatedCharSpans: minCount < 2 would remove every char, got $minCount")
-    val occ = charGrams(df, textCol, idCol, minLen)
-    // count 8-byte hashes, not L-char grams; verify exact on survivors
-    val hotHash = occ.groupBy(xxhash64(col("gram")).as("__h"))
-      .agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= minCount)
-      .select(col("__h"))
-    val hot = occ.join(hotHash, xxhash64(col("gram")) === col("__h"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= minCount)
-      .select(col("gram"))
-    val covered = occ.join(hot, "gram")
+    val covered = hotOccurrences(df, textCol, idCol, minLen, minCount)
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (minLen - 1))).as("cp"))
       .groupBy(col("id")).agg(collect_set(col("cp")).as("cov"))
@@ -122,15 +135,8 @@ object SuffixDedup {
     val spark = df.sparkSession
     import spark.implicits._
     // exact-gram existence at length L (hash-nominate, exact-verify)
-    def existsAt(len: Int): Boolean = {
-      val occ = charGrams(df, textCol, idCol, len)
-      val hotHash = occ.groupBy(xxhash64(col("gram")).as("__h"))
-        .agg(count(lit(1)).as("__cnt")).filter(col("__cnt") >= minCount)
-        .select(col("__h"))
-      !occ.join(hotHash, xxhash64(col("gram")) === col("__h"))
-        .groupBy(col("gram")).agg(count(lit(1)).as("__cnt"))
-        .filter(col("__cnt") >= minCount).isEmpty
-    }
+    def existsAt(len: Int): Boolean =
+      !hotOccurrences(df, textCol, idCol, len, minCount).isEmpty
     val maxDoc = df.agg(max(length(col(textCol)))).head() match {
       case r if r.isNullAt(0) => 0
       case r => r.getInt(0)
@@ -146,13 +152,11 @@ object SuffixDedup {
     }
     if (lo == 0)
       Seq.empty[(String, Int, Long)].toDF("span", "len", "n_occurrences")
-    else {
-      val occ = charGrams(df, textCol, idCol, lo)
-      occ.groupBy(col("gram")).agg(count(lit(1)).as("n_occurrences"))
-        .filter(col("n_occurrences") >= minCount)
+    else
+      hotOccurrences(df, textCol, idCol, lo, minCount)
+        .groupBy(col("gram")).agg(count(lit(1)).as("n_occurrences"))
         .orderBy(col("gram")).limit(1)
         .select(col("gram").as("span"), lit(lo).as("len"),
           col("n_occurrences"))
-    }
   }
 }

@@ -151,6 +151,17 @@ object ScaleProbe {
           n = 4, minCount = mult * 2)
         .agg(sum(col("n_removed"))).head.getLong(0)
     }
+    t("char_span_strip") {
+      // amplified copies multiply every gram's count, so scale the
+      // threshold with mult exactly like span_strip above
+      graft.operators.SuffixDedup.stripRepeatedCharSpans(
+          docs, "text", "doc_id", minLen = 30, minCount = mult * 2)
+        .agg(sum(col("n_removed"))).head.getLong(0)
+    }
+    t("lm_score") {
+      graft.operators.LanguageModel.scoreCorpus(
+        docs, "text", "doc_id", topK = 64).count()
+    }
     t("source_quota_cap") {
       graft.operators.Resample.quotaCap(
         docs.withColumn("src", (col("doc_id") % 500).cast("string")),

@@ -130,12 +130,11 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"char-span dedup must stay an equality-join plan:\n$p")
-    // the nominating count groups on xxhash64(gram) — Catalyst projects
-    // the key into a _groupingexpression, so match the projected form —
-    // the 8-byte shuffle row that makes the exact verify affordable
-    assert(p.contains("xxhash64(gram") &&
-      p.contains("_groupingexpression"),
-      s"expected the gram count keyed on xxhash64(gram):\n$p")
+    // the nominate pass runs on the O(n) rolling-hash kernel — gram
+    // strings must NOT materialize under the counting aggregate (the
+    // substring form only appears above the survivor join)
+    assert(p.contains("char_window_hashes"),
+      s"expected the rolling-hash nominate kernel in the plan:\n$p")
     val firstAgg = p.indexOf("HashAggregate")
     assert(firstAgg > 0 && p.indexOf("HashAggregate", firstAgg + 1) > 0,
       s"expected partial+final aggregate pair:\n$p")
