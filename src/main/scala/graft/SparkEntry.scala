@@ -102,6 +102,7 @@ object SparkEntry {
     "ann_bruteforce_topk" -> (VectorQueries.annBruteForce _),
     "ann_lsh_topk"       -> (VectorQueries.annLsh _),
     "ann_ivf_topk"       -> (VectorQueries.annIvf _),
+    "ann_pq_topk"        -> (VectorQueries.annPq _),
     "ann_quantized_topk" -> (VectorQueries.annQuantized _),
     // §2 round-5 additions — warehouse + retrieval surface
     "scd2_history"       -> (WarehouseQueries.scd2History _),
@@ -1675,10 +1676,72 @@ object SparkEntry {
        |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
        |FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
 
+  /** PQ oracle: encode = per-subspace argmin (index-order squared-L2
+    * fold, ties to the lower code — bit-exact vs the kernel), ADC
+    * candidate cut on round(adc, 6) with the id tiebreak (the kernel
+    * folds all 64 terms in one accumulator while SQL sums 8 subspace
+    * folds — ±ulp regrouping drift, absorbed by the rounding both
+    * engines rank on), exact-cosine re-rank mirrored bit-for-bit.
+    */
+  private def pqOracle(cb: graft.operators.PqIndex.Codebooks,
+                       k: Int, poolMult: Int): String = {
+    val ds = cb.ds
+    val centsRows = (for (j <- 0 until cb.m; c <- 0 until cb.ksub) yield
+      s"($j, $c, ${cb.books(j)(c).map(floatLit).mkString("[", ", ", "]")})")
+      .mkString(",\n    ")
+    def subDist(vec: String, jExpr: String) =
+      s"""list_reduce(list_transform(range(1, ${ds + 1}),
+         |      i -> (CAST($vec[$jExpr * $ds + i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))
+         |         * (CAST($vec[$jExpr * $ds + i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT * FROM (VALUES
+       |    $centsRows) t(j, c, cvec)),
+       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |enc AS (
+       |  SELECT id, j, c AS code FROM (
+       |    SELECT cr.id, ct.j, ct.c,
+       |      row_number() OVER (PARTITION BY cr.id, ct.j ORDER BY
+       |        ${subDist("cr.vec", "ct.j")} ASC, ct.c ASC) AS rn
+       |    FROM corpus cr CROSS JOIN cents ct)
+       |  WHERE rn = 1),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |adc AS (
+       |  SELECT q.qid, e.id,
+       |    round(SUM(${subDist("q.qv", "e.j")}), 6) AS radc
+       |  FROM qs q CROSS JOIN enc e
+       |  JOIN cents ct ON ct.j = e.j AND ct.c = e.code
+       |  WHERE e.id <> q.qid
+       |  GROUP BY q.qid, e.id),
+       |pool AS (
+       |  SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY radc ASC, id) AS prk
+       |    FROM adc) WHERE prk <= ${k * poolMult}),
+       |sc AS (
+       |  SELECT p.qid, p.id,
+       |    ${cosineFolds("qs.qv", "cv.vec")}
+       |  FROM pool p
+       |  JOIN corpus cv ON cv.id = p.id
+       |  JOIN qs ON qs.qid = p.qid),
+       |scored AS (
+       |  SELECT qid, id,
+       |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+       |  FROM sc),
+       |r AS (
+       |  SELECT qid, id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+       |  FROM scored)
+       |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
+  }
+
   /** Oracles that need this session's trained state. Called by Verify
-    * AFTER the query dump, so [[graft.operators.IvfIndex.trainCached]]
-    * is a cache hit on the very codebook that produced the dumped
-    * result (same key as [[graft.queries.VectorQueries.annIvf]]).
+    * AFTER the query dump, so the `trainCached` calls are cache hits
+    * on the very codebooks that produced the dumped results (same
+    * cache keys as [[graft.queries.VectorQueries.annIvf]] /
+    * [[graft.queries.VectorQueries.annPq]]).
     */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
     import org.apache.spark.sql.functions.col
@@ -1686,6 +1749,10 @@ object SparkEntry {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val cents = graft.operators.IvfIndex.trainCached(
       s"embeddings:$sfDir", corpus, "vec", "id", k = 16, dim = 64)
-    Map("ann_ivf_topk" -> ivfOracle(cents, k = 10, nprobe = 2))
+    val pqBooks = graft.operators.PqIndex.trainCached(
+      s"embeddings-pq:$sfDir", corpus, "vec", "id", dim = 64)
+    Map(
+      "ann_ivf_topk" -> ivfOracle(cents, k = 10, nprobe = 2),
+      "ann_pq_topk" -> pqOracle(pqBooks, k = 10, poolMult = 4))
   }
 }

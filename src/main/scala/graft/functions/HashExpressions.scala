@@ -166,6 +166,33 @@ object GraftKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Asymmetric distance computation for product-quantized codes:
+    * squared L2 between a raw query vector and a PQ-coded corpus
+    * vector, read off the flattened codebooks
+    * (layout: `flat((j·ksub + c)·ds + i)` = centroid i-th dim of code
+    * c in subspace j). Index-order double fold per subspace, subspaces
+    * summed in order — deterministic, mirrorable.
+    */
+  def pqAdc(q: ArrayData, codes: ArrayData, flat: Array[Float],
+            ksub: Int, ds: Int): Double = {
+    val m = codes.numElements()
+    var sum = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getByte(j).toInt & 0xFF
+      val base = (j * ksub + c) * ds
+      val qbase = j * ds
+      var i = 0
+      while (i < ds) {
+        val d = q.getFloat(qbase + i).toDouble - flat(base + i).toDouble
+        sum += d * d
+        i += 1
+      }
+      j += 1
+    }
+    sum
+  }
+
   /** Random-hyperplane LSH bucket (see VectorFunctions.hyperplaneBucket
     * for the HOF twin): plane p dim i sign = bit of xxhash64(p, i).
     */
@@ -285,6 +312,35 @@ case class CharWindowHashes(child: Expression, len: Int)
   override def prettyName: String = "char_window_hashes"
 }
 
+/** PqAdc(array<float> query, array<tinyint> codes) → double squared-L2
+  * via the flattened PQ codebooks. The codebooks ship with the
+  * serialized plan through `ctx.addReferenceObj` (NOT a static
+  * registry — executors on a real cluster only see plan references).
+  */
+case class PqAdc(left: Expression, right: Expression,
+                 flat: Array[Float], ksub: Int, ds: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc needs (array<float>, array<tinyint>), got $t")
+    }
+  override def nullSafeEval(q: Any, codes: Any): Any =
+    java.lang.Double.valueOf(GraftKernels.pqAdc(
+      q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], flat, ksub, ds))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", flat, "float[]")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.GraftKernels.pqAdc($a, $b, $ref, $ksub, $ds)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_adc"
+}
+
 /** Column-API entry points for the kernel expressions. */
 object GraftFunctions {
   def simhash64(c: Column): Column =
@@ -297,4 +353,8 @@ object GraftFunctions {
     ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(v), planes))
   def char_window_hashes(c: Column, len: Int): Column =
     ColumnBridge.column(CharWindowHashes(ColumnBridge.expression(c), len))
+  def pq_adc(q: Column, codes: Column, flat: Array[Float],
+             ksub: Int, ds: Int): Column =
+    ColumnBridge.column(PqAdc(ColumnBridge.expression(q),
+      ColumnBridge.expression(codes), flat, ksub, ds))
 }

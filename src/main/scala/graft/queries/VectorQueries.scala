@@ -57,6 +57,22 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** D7c: product-quantized ANN — 8 subspace codebooks (16 codes
+    * each: 8 code bytes per vector, 32× smaller than float32 at
+    * rest), ADC candidate pool from codes alone, exact cosine
+    * re-rank of the pool (see [[graft.operators.PqIndex]]).
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cb = graft.operators.PqIndex.trainCached(
+      s"embeddings-pq:$dir", c, "vec", "id", dim = 64)
+    val codes = graft.operators.PqIndex.encode(c, "vec", cb)
+      .select(col("id"), col("codes"))
+    graft.operators.PqIndex.searchAdc(queries(spark, dir), codes, 10, cb,
+        refineWith = Some(c))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** D24: the int8-quantized storage path end-to-end — corpus vectors
     * quantized ([[graft.functions.VectorFunctions.quantize8]], 4×
     * smaller at rest), dequantized on read, searched exactly.

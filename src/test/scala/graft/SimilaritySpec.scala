@@ -159,4 +159,81 @@ class SimilaritySpec extends AnyFunSuite {
       assert(overlap >= 8, s"query $qid: only $overlap/10 shared with float path")
     }
   }
+
+  test("PQ: ADC kernel matches a driver fold, reconstruction bounded, codebooks round-trip") {
+    import graft.operators.PqIndex
+    val c = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cb = PqIndex.train(c, "vec", "id", dim = 64)
+    assert(cb.m == 8 && cb.ds == 8 && cb.ksub == 16)
+
+    // ADC column result ≡ the same fold run driver-side (bit-exact)
+    val q = c.filter(col("id") === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val coded = PqIndex.encode(c, "vec", cb).select(col("id"), col("codes"))
+    val gotAdc = PqIndex.searchAdc(q, coded, 5, cb)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val qvec = c.filter(col("id") === 0).select(col("vec"))
+      .head().getSeq[Float](0).toArray
+    val codesById = coded.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).toArray).toMap
+    def adcRef(codes: Array[Byte]): Double = {
+      var sum = 0.0
+      for (j <- 0 until cb.m) {
+        val cent = cb.books(j)(codes(j) & 0xFF)
+        for (i <- 0 until cb.ds) {
+          val d = qvec(j * cb.ds + i).toDouble - cent(i).toDouble
+          sum += d * d
+        }
+      }
+      sum
+    }
+    gotAdc.foreach { case (id, adc) =>
+      assert(adc == adcRef(codesById(id)), s"ADC drift on id $id")
+    }
+
+    // reconstruction error well under the raw signal energy
+    val err = PqIndex.encode(c, "vec", cb)
+      .select(PqIndex.decode(col("codes"), cb).as("rec"), col("vec"))
+      .select(aggregate(zip_with(col("vec"), col("rec"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x).as("se"),
+        aggregate(col("vec"), lit(0.0),
+          (acc, x) => acc + x * x).as("energy"))
+      .agg(sum(col("se")), sum(col("energy"))).head()
+    // the synthetic embeddings are near-isotropic — PQ's worst case
+    // (real embedding corpora cluster and reconstruct far tighter);
+    // observed ~0.56·energy here, so pin "clearly better than the
+    // zero-vector quantizer" rather than a clustered-data bound
+    assert(err.getDouble(0) < 0.8 * err.getDouble(1),
+      s"PQ reconstruction must beat the trivial quantizer: ${err}")
+
+    // refined search recall vs brute force (candidate pool from codes
+    // alone; observed ≥0.85 on the testdata — pin a safe floor)
+    val queries = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceKnn(queries, c, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = PqIndex.searchAdc(queries, coded, 10, cb, refineWith = Some(c))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.map(qid =>
+      (exact(qid) intersect pq.getOrElse(qid, Set.empty)).size.toDouble / 10).sum / exact.size
+    assert(recall >= 0.5, f"PQ+refine recall@10 too low: $recall%.2f")
+
+    // persistence round-trip reproduces the codes bit-for-bit
+    val path = java.nio.file.Files.createTempDirectory("graft_pq")
+      .toFile.getAbsolutePath + "/books"
+    PqIndex.saveCodebooks(spark, cb, path)
+    val loaded = PqIndex.loadCodebooks(spark, path)
+    assert(loaded.m == cb.m && loaded.ds == cb.ds &&
+      loaded.books.zip(cb.books).forall { case (a, b) =>
+        a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    val recoded = PqIndex.encode(c, "vec", loaded)
+      .select(col("id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).toSeq).toMap
+    assert(recoded == codesById.map { case (k, v) => k -> v.toSeq })
+  }
 }
