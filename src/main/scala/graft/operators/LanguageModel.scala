@@ -32,10 +32,12 @@ import graft.functions.TextFunctions
   */
 object LanguageModel {
 
-  /** Trained unigram model: word → ln P(w), plus the OOV ln-prob. */
-  final case class Unigram(lnP: Map[String, Double], lnOov: Double) {
-    require(lnP.nonEmpty, "unigram LM trained on an empty corpus")
-  }
+  /** Trained unigram model: word → ln P(w), plus the OOV ln-prob.
+    * An empty `lnP` is legal (corpus with no tokens — e.g. everything
+    * span-stripped upstream): every token scores as OOV, token-less
+    * docs score the 0.0 sentinel, matching the oracle's contract.
+    */
+  final case class Unigram(lnP: Map[String, Double], lnOov: Double)
 
   /** Tokens with the empty-document guard (`split(trim(''))` is [''],
     * not [] — the shared pitfall).
@@ -51,13 +53,19 @@ object LanguageModel {
     val cnt = corpus
       .select(explode(toks(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val agg = cnt.agg(sum(col("c"))).head()
-    val n = if (agg.isNullAt(0)) 0L else agg.getLong(0)
-    val top = cnt.orderBy(col("c").desc, col("w")).limit(topK).collect()
-    val d = (n + top.length + 1).toDouble
-    Unigram(
-      top.map(r => r.getString(0) -> math.log((r.getLong(1) + 1) / d)).toMap,
-      math.log(1 / d))
+      // two actions read this (total + top-K cut); without the persist
+      // each would re-run the full tokenize/explode/shuffle — "one
+      // counting pass" only holds if the aggregate is shared
+      .persist()
+    try {
+      val agg = cnt.agg(sum(col("c"))).head()
+      val n = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+      val top = cnt.orderBy(col("c").desc, col("w")).limit(topK).collect()
+      val d = (n + top.length + 1).toDouble
+      Unigram(
+        top.map(r => r.getString(0) -> math.log((r.getLong(1) + 1) / d)).toMap,
+        math.log(1 / d))
+    } finally { cnt.unpersist(); () }
   }
 
   /** Per-doc cross-entropy column: -(Σ ln P(w_i)) / n, rounded to 6 dp
@@ -65,12 +73,18 @@ object LanguageModel {
     * shuffle, no join.
     */
   def crossEntropy(textCol: Column, lm: Unigram): Column = {
-    val mapLit = map(
-      lm.lnP.toSeq.sortBy(_._1)
-        .flatMap { case (w, p) => Seq(lit(w), lit(p)) }: _*)
     val t = toks(textCol)
-    val total = aggregate(t, lit(0.0),
-      (acc, w) => acc + coalesce(element_at(mapLit, w), lit(lm.lnOov)))
+    // a degenerate (empty-vocab) model scores every token as OOV — an
+    // empty `map()` literal is not constructible, so branch
+    val perToken: Column => Column =
+      if (lm.lnP.isEmpty) _ => lit(lm.lnOov)
+      else {
+        val mapLit = map(
+          lm.lnP.toSeq.sortBy(_._1)
+            .flatMap { case (w, p) => Seq(lit(w), lit(p)) }: _*)
+        w => coalesce(element_at(mapLit, w), lit(lm.lnOov))
+      }
+    val total = aggregate(t, lit(0.0), (acc, w) => acc + perToken(w))
     when(size(t) > 0, round(-total / size(t), 6)).otherwise(lit(0.0))
   }
 

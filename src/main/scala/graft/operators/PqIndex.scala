@@ -60,8 +60,12 @@ object PqIndex {
             m: Int = 8, ksub: Int = 16, iters: Int = 3,
             sampleCap: Int = 4096): Codebooks = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    require(ksub >= 2 && ksub <= 256,
-      s"ksub must fit a code byte (2..256), got $ksub")
+    // codes live in a SIGNED tinyint column: 128..255 would wrap
+    // negative through the cast and decode()'s element_at would then
+    // index the codebook from the END — cap at 128 so every code
+    // round-trips as itself (the ADC kernel's & 0xFF is then a no-op)
+    require(ksub >= 2 && ksub <= 128,
+      s"ksub must fit a signed code byte (2..128), got $ksub")
     val ds = dim / m
     Codebooks(ds, (0 until m).map { j =>
       IvfIndex.train(

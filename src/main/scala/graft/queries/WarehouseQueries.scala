@@ -39,13 +39,22 @@ object WarehouseQueries {
     * (PlanSpec pins it; see [[graft.sources.BucketedLake]]).
     */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    // table names + path keyed by the FULL dataset path, so two
-    // datasets sharing a basename can't clobber each other's catalog
-    // entries or files (concurrent sessions on the SAME dataset still
-    // share a path — fine for this dev-gate query; production callers
-    // own table names and paths via BucketedLake directly)
+    // table names + path keyed by the dataset path AND its files'
+    // (name, length, mtime) fingerprint: two datasets sharing a
+    // basename can't clobber each other, and regenerating the data
+    // in-place changes the key, so ensureBucketed's skip-rewrite can
+    // never serve a stale bucketed copy of replaced source files.
+    // (Concurrent sessions on the SAME unchanged dataset still share
+    // a path — fine for this dev-gate query; production callers own
+    // table names and paths via BucketedLake directly.)
+    val fingerprint = Seq("orders", "lineitem").flatMap { t =>
+      val d = new java.io.File(s"$dir/$t.parquet")
+      val fs = if (d.isDirectory) d.listFiles().sortBy(_.getName).toSeq else Seq(d)
+      fs.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    }.mkString("|")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .digest((new java.io.File(dir).getAbsolutePath + "|" + fingerprint)
+        .getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
     val base = s"/tmp/graft_bucketed/$key"
     // idempotent: a repeat invocation (bench iterations, re-runs) skips

@@ -55,10 +55,25 @@ object StreamingAdmission {
         // the index rows would vanish). localCheckpoint is eager and
         // cuts the lineage to the pre-append file listing.
         val admitted = admittedPlan.localCheckpoint()
-        admitted.write.mode("append").parquet(corpusPath)
+        // WRITE ORDER IS LOAD-BEARING under foreachBatch's
+        // at-least-once replay: index FIRST, corpus second. Every
+        // crash point then converges on replay —
+        //  · after index, before corpus: the replayed batch's band
+        //    rows point at ex_ids absent from the corpus, so the
+        //    exact-verify join drops them; the batch re-admits, the
+        //    index gains duplicate rows (candidate nomination
+        //    .distinct()s them away), the corpus appends once;
+        //  · after both: replayed docs exact-match themselves in the
+        //    corpus and are rejected — no duplicate corpus rows, no
+        //    index append.
+        // Corpus-first instead leaves admitted docs PERMANENTLY
+        // unindexed when the index write is the one that dies: the
+        // replay self-match rejects the batch, so the index append
+        // never happens and later near-dups screen against nothing.
         Dedup.saveBandIndex(
           Dedup.bandIndex(admitted, textCol, idCol, shingleSize, bands, rows),
           indexPath, append = true)
+        admitted.write.mode("append").parquet(corpusPath)
         ()
       }
       .trigger(trigger)

@@ -93,6 +93,18 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(grownGot == grownWant,
       "appended band index must equal re-signing the grown corpus")
+
+    // replay tolerance (StreamingAdmission's index-first write order
+    // leans on this): duplicate index rows AND rows for docs not in
+    // the corpus must not change admission — candidate pairs dedup
+    // and the exact-verify join drops unknown ex_ids
+    graft.operators.Dedup.saveBandIndex(
+      graft.operators.Dedup.bandIndex(admittedDocs, "text", "doc_id"),
+      path, append = true)
+    val viaNoisyIndex =
+      admitted(Some(graft.operators.Dedup.loadBandIndex(spark, path)))
+    assert(viaNoisyIndex == direct,
+      "a duplicated / ahead-of-corpus index must not change admission")
   }
 
   test("char-span dedup matches a brute-force suffix reference on planted substrings") {

@@ -45,6 +45,13 @@ class OperatorsSpec extends AnyFunSuite {
     val byId = got.map(t => t._1 -> t._3).toMap
     assert(byId(2L) < byId(1L) && byId(1L) < byId(3L),
       s"repetitive < natural < gibberish expected, got $byId")
+
+    // a token-less corpus trains a degenerate (all-OOV) model and
+    // still scores every doc with the 0.0 sentinel instead of throwing
+    val empties = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val degens = LanguageModel.scoreCorpus(empties, "text", "doc_id", topK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(degens == Set((1L, 0, 0.0), (2L, 0, 0.0)))
   }
 
   test("period pivot: null periods never rank, n is guarded, pivot is exact") {

@@ -166,6 +166,10 @@ class SimilaritySpec extends AnyFunSuite {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val cb = PqIndex.train(c, "vec", "id", dim = 64)
     assert(cb.m == 8 && cb.ds == 8 && cb.ksub == 16)
+    // codes live in a SIGNED tinyint: ksub past 128 would wrap
+    assertThrows[IllegalArgumentException] {
+      PqIndex.train(c, "vec", "id", dim = 64, ksub = 200)
+    }
 
     // ADC column result ≡ the same fold run driver-side (bit-exact)
     val q = c.filter(col("id") === 0)
