@@ -96,6 +96,7 @@ object SparkEntry {
     "text_token_count"   -> (TextQueries.textTokenCount _),
     "text_quality_score" -> (TextQueries.textQualityScore _),
     "lm_cross_entropy"   -> (TextQueries.lmCrossEntropy _),
+    "lm_bigram_cross_entropy" -> (TextQueries.lmBigramCrossEntropy _),
     "text_lang_id"       -> (TextQueries.textLangId _),
     "text_fingerprint"   -> (TextQueries.textFingerprint _),
     "dedup_embedding_cosine" -> (VectorQueries.dedupEmbeddingCosine _),
@@ -1191,6 +1192,53 @@ object SparkEntry {
         |      FROM lp GROUP BY doc_id)
         |SELECT d.doc_id,
         |  CAST(COALESCE(nt, 0) AS INTEGER) AS n_tokens,
+        |  COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE)) AS cross_entropy
+        |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Stupid-backoff bigram scoring: pair counts, the vocab cut, and
+    // which branch each token takes (first / seen-pair / backoff) are
+    // all exact-integer decisions, so both engines walk the same
+    // branches; ln drift + sum regrouping absorbed by the rounding.
+    "lm_bigram_cross_entropy" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) > 0
+        |    THEN string_split_regex(trim(text), '\s+')
+        |    ELSE CAST([] AS VARCHAR[]) END AS tk
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(tk, (w, i) -> struct_pack(i := i, w := w))) AS s
+        |  FROM d0),
+        |tw AS (SELECT doc_id, s.i AS i, s.w AS w FROM tok),
+        |cnt AS (SELECT w, COUNT(*) AS c FROM tw GROUP BY w),
+        |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 64),
+        |dn AS (SELECT CAST((SELECT SUM(c) FROM cnt)
+        |  + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS d),
+        |lagged AS (
+        |  SELECT doc_id, i, w,
+        |    lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM tw),
+        |pc AS (
+        |  SELECT l.prev AS v, l.w AS w, COUNT(*) AS c
+        |  FROM lagged l
+        |  JOIN top tv ON tv.w = l.prev JOIN top tc ON tc.w = l.w
+        |  WHERE l.prev IS NOT NULL GROUP BY l.prev, l.w),
+        |lp AS (
+        |  SELECT l.doc_id,
+        |    CASE WHEN l.prev IS NULL THEN
+        |      COALESCE(ln(CAST(tc.c + 1 AS DOUBLE) / d), ln(1.0 / d))
+        |    ELSE
+        |      COALESCE(ln(CAST(pc.c AS DOUBLE) / CAST(tv.c AS DOUBLE)),
+        |        ln(0.4) + COALESCE(ln(CAST(tc.c + 1 AS DOUBLE) / d), ln(1.0 / d)))
+        |    END AS lnS
+        |  FROM lagged l
+        |  LEFT JOIN top tc ON tc.w = l.w
+        |  LEFT JOIN top tv ON tv.w = l.prev
+        |  LEFT JOIN pc ON pc.v = l.prev AND pc.w = l.w
+        |  CROSS JOIN dn),
+        |s AS (SELECT doc_id, COUNT(*) AS nt, SUM(lnS) AS sl
+        |      FROM lp GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(nt, 0) AS INTEGER) AS n_tokens,
         |  COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE)) AS cross_entropy
         |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
 

@@ -99,4 +99,95 @@ object LanguageModel {
       size(toks(col(textCol))).as("n_tokens"),
       crossEntropy(col(textCol), lm).as("cross_entropy"))
   }
+
+  // ---- bigram / stupid-backoff extension ---------------------------
+
+  /** Bigram model with stupid backoff (Brants et al. 2007 — the
+    * standard web-scale recipe precisely because the model stays a
+    * lookup table): S(w|v) = c(v,w)/c(v) when the vocab-pair was
+    * seen, else α·P_uni(w). Scores every pair of consecutive tokens;
+    * the first token scores P_uni. `lnPair` keys are "v w" — tokens
+    * are whitespace-split, so the space join is unambiguous.
+    */
+  final case class Bigram(uni: Unigram, lnPair: Map[String, Double],
+                          lnAlpha: Double)
+
+  /** Adds one pure-column pair-counting pass over the corpus (zip of
+    * adjacent tokens) to [[train]]'s counting pass; only vocab-vocab
+    * pairs enter the table, so its size is ≤ min(distinct bigrams,
+    * topK²) — broadcastable by construction.
+    */
+  def trainBigram(corpus: DataFrame, textCol: String, topK: Int = 64,
+                  alpha: Double = 0.4): Bigram = {
+    val uni = train(corpus, textCol, topK)
+    // raw (unsmoothed) vocab counts condition the bigram: recover
+    // c(v) from the smoothed lnP (exactly: c = round(exp(lnP)·d − 1))
+    // is fragile — recount the tops instead, cheap and exact
+    val vocab = uni.lnP.keySet.toSeq
+    if (vocab.isEmpty) Bigram(uni, Map.empty, math.log(alpha))
+    else {
+      val vocabLit = array(vocab.sorted.map(lit): _*)
+      val t = toks(col(textCol))
+      val pairs = corpus
+        .select(explode(arrays_zip(
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))).as("v"),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))).as("w"))).as("p"))
+        .select(col("p.v").as("v"), col("p.w").as("w"))
+        .filter(array_contains(vocabLit, col("v")) &&
+          array_contains(vocabLit, col("w")))
+        .groupBy(col("v"), col("w")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val prevTotals = corpus
+        .select(explode(t).as("w")).filter(array_contains(vocabLit, col("w")))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Bigram(uni,
+        pairs.map { case (v, w, c) =>
+          s"$v $w" -> math.log(c.toDouble / prevTotals(v).toDouble)
+        }.toMap,
+        math.log(alpha))
+    }
+  }
+
+  /** Cross-entropy under the backoff model: a struct-accumulator fold
+    * carries (prev token, running sum) — same zero-shuffle plan shape
+    * as the unigram scorer, still all plan literals.
+    */
+  def crossEntropyBigram(textCol: Column, lm: Bigram): Column = {
+    val t = toks(textCol)
+    val uniLn: Column => Column =
+      if (lm.uni.lnP.isEmpty) _ => lit(lm.uni.lnOov)
+      else {
+        val m = map(lm.uni.lnP.toSeq.sortBy(_._1)
+          .flatMap { case (w, p) => Seq(lit(w), lit(p)) }: _*)
+        w => coalesce(element_at(m, w), lit(lm.uni.lnOov))
+      }
+    val pairLn: (Column, Column) => Column =
+      if (lm.lnPair.isEmpty) (_, w) => lit(lm.lnAlpha) + uniLn(w)
+      else {
+        val m = map(lm.lnPair.toSeq.sortBy(_._1)
+          .flatMap { case (k, p) => Seq(lit(k), lit(p)) }: _*)
+        (prev, w) => coalesce(element_at(m, concat(prev, lit(" "), w)),
+          lit(lm.lnAlpha) + uniLn(w))
+      }
+    val folded = aggregate(t,
+      struct(lit("").as("prev"), lit(0.0).as("sum")),
+      (acc, w) => {
+        // "" is never a token, so it marks the first position
+        val lnS = when(acc.getField("prev") === "", uniLn(w))
+          .otherwise(pairLn(acc.getField("prev"), w))
+        struct(w.as("prev"), (acc.getField("sum") + lnS).as("sum"))
+      },
+      acc => acc.getField("sum"))
+    when(size(t) > 0, round(-folded / size(t), 6)).otherwise(lit(0.0))
+  }
+
+  /** Query face for the bigram scorer. */
+  def scoreCorpusBigram(corpus: DataFrame, textCol: String, idCol: String,
+                        topK: Int = 64, alpha: Double = 0.4): DataFrame = {
+    val lm = trainBigram(corpus, textCol, topK, alpha)
+    corpus.select(col(idCol).as("id"),
+      size(toks(col(textCol))).as("n_tokens"),
+      crossEntropyBigram(col(textCol), lm).as("cross_entropy"))
+  }
 }

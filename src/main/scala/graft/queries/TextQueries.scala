@@ -80,6 +80,15 @@ object TextQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** D37b: stupid-backoff bigram cross-entropy (sharper perplexity
+    * signal, same broadcastable-model shape).
+    */
+  def lmBigramCrossEntropy(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.scoreCorpusBigram(
+        Tables.documents(spark, dir), "text", "doc_id", topK = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** D27: per-source quota cap — at most 12 docs per source, kept by
     * lowest doc_id (deterministic priority). Goes through the
     * `row_number <= k` idiom, so TopKRewrite runs it on the

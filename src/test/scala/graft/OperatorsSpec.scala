@@ -54,6 +54,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(degens == Set((1L, 0, 0.0), (2L, 0, 0.0)))
   }
 
+  test("bigram LM: backoff fold matches a driver reference") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    val fixture = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat the cat the cat",
+      3L -> "mat on sat zzz",
+      4L -> "")
+    val docs = fixture.toDF("doc_id", "text")
+    val topK = 4
+    val lm = LanguageModel.trainBigram(docs, "text", topK)
+    // driver reference walking the same branches
+    def ref(text: String): (Int, Double) = {
+      val ts = text.split("\\s+").filter(_.nonEmpty)
+      if (ts.isEmpty) return (0, 0.0)
+      var prev = ""
+      var sum = 0.0
+      ts.foreach { w =>
+        val uni = lm.uni.lnP.getOrElse(w, lm.uni.lnOov)
+        val lnS =
+          if (prev == "") uni
+          else lm.lnPair.getOrElse(s"$prev $w", lm.lnAlpha + uni)
+        sum += lnS
+        prev = w
+      }
+      (ts.length, BigDecimal(-sum / ts.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val want = fixture.map { case (id, t) =>
+      val (n, h) = ref(t); (id, n, h) }.toSet
+    val got = LanguageModel.scoreCorpusBigram(docs, "text", "doc_id", topK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    // the seen-pair branch actually fired (doc 2's "the cat" repeats)
+    assert(lm.lnPair.nonEmpty && lm.lnPair.contains("the cat"))
+  }
+
   test("period pivot: null periods never rank, n is guarded, pivot is exact") {
     import spark.implicits._
     import graft.operators.PeriodPivot
