@@ -104,6 +104,7 @@ object SparkEntry {
     "ann_lsh_topk"       -> (VectorQueries.annLsh _),
     "ann_ivf_topk"       -> (VectorQueries.annIvf _),
     "ann_pq_topk"        -> (VectorQueries.annPq _),
+    "ann_ivfpq_topk"     -> (VectorQueries.annIvfPq _),
     "ann_quantized_topk" -> (VectorQueries.annQuantized _),
     // §2 round-5 additions — warehouse + retrieval surface
     "scd2_history"       -> (WarehouseQueries.scd2History _),
@@ -1785,6 +1786,105 @@ object SparkEntry {
        |FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
   }
 
+  /** IVF-PQ oracle: the [[ivfOracle]] assignment/probe stages composed
+    * with the [[pqOracle]] encode/ADC/re-rank stages, with one new
+    * ingredient — the RESIDUAL `vec − centroid(cid)`, a per-element
+    * single-precision subtract (correctly rounded in both engines, so
+    * the residual bits reproduce; FLOAT − FLOAT stays FLOAT in DuckDB).
+    * Encode argmin and re-rank folds are bit-exact; the regrouped ADC
+    * sum (kernel: one accumulator over all 64 terms; SQL: 8 subspace
+    * folds summed) is absorbed by the round(·, 6) both engines cut
+    * the pool on.
+    */
+  private def ivfpqOracle(idx: graft.operators.IvfPq.Index,
+                          k: Int, nprobe: Int, poolMult: Int): String = {
+    val cb = idx.books
+    val ds = cb.ds
+    val pqRows = (for (j <- 0 until cb.m; c <- 0 until cb.ksub) yield
+      s"($j, $c, ${cb.books(j)(c).map(floatLit).mkString("[", ", ", "]")})")
+      .mkString(",\n    ")
+    def subDist(vec: String, jExpr: String) =
+      s"""list_reduce(list_transform(range(1, ${ds + 1}),
+         |      i -> (CAST($vec[$jExpr * $ds + i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))
+         |         * (CAST($vec[$jExpr * $ds + i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT * FROM (VALUES
+       |    ${centroidsValues(idx.centroids)}) t(cid, cvec)),
+       |pq AS (
+       |  SELECT * FROM (VALUES
+       |    $pqRows) t(j, c, cvec)),
+       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |asg AS (
+       |  SELECT id, vec, cid FROM (
+       |    SELECT c.id, c.vec, ct.cid,
+       |      row_number() OVER (PARTITION BY c.id ORDER BY
+       |        list_reduce(list_transform(range(1, 65),
+       |          i -> (CAST(c.vec[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))
+       |             * (CAST(c.vec[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))),
+       |          (x, y) -> x + y) ASC, ct.cid ASC) AS rn
+       |    FROM corpus c CROSS JOIN cents ct)
+       |  WHERE rn = 1),
+       |res AS (
+       |  -- float residual: single-precision subtract, bit-exact
+       |  SELECT a.id, a.cid,
+       |    list_transform(range(1, 65), i -> a.vec[i] - ct.cvec[i]) AS rvec
+       |  FROM asg a JOIN cents ct USING (cid)),
+       |enc AS (
+       |  SELECT id, cid, j, c AS code FROM (
+       |    SELECT r.id, r.cid, ct.j, ct.c,
+       |      row_number() OVER (PARTITION BY r.id, ct.j ORDER BY
+       |        ${subDist("r.rvec", "ct.j")} ASC, ct.c ASC) AS rn
+       |    FROM res r CROSS JOIN pq ct)
+       |  WHERE rn = 1),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |qcos AS (
+       |  SELECT qid, qv, cid,
+       |    ${cosineFolds("qv", "cvec")}
+       |  FROM qs CROSS JOIN cents),
+       |qp AS (
+       |  SELECT qid, qv, cid FROM (
+       |    SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid ORDER BY
+       |      CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |           ELSE dot / (sqrt(na) * sqrt(nb)) END DESC, cid ASC) AS rk
+       |    FROM qcos)
+       |  WHERE rk <= $nprobe),
+       |qres AS (
+       |  SELECT p.qid, p.cid,
+       |    list_transform(range(1, 65), i -> p.qv[i] - ct.cvec[i]) AS qrv
+       |  FROM qp p JOIN cents ct USING (cid)),
+       |adc AS (
+       |  SELECT q.qid, e.id,
+       |    round(SUM(${subDist("q.qrv", "e.j")}), 6) AS radc
+       |  FROM qres q
+       |  JOIN enc e ON e.cid = q.cid
+       |  JOIN pq ct ON ct.j = e.j AND ct.c = e.code
+       |  WHERE e.id <> q.qid
+       |  GROUP BY q.qid, e.id),
+       |pool AS (
+       |  SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY radc ASC, id) AS prk
+       |    FROM adc) WHERE prk <= ${k * poolMult}),
+       |sc AS (
+       |  SELECT p.qid, p.id,
+       |    ${cosineFolds("qs.qv", "cv.vec")}
+       |  FROM pool p
+       |  JOIN corpus cv ON cv.id = p.id
+       |  JOIN qs ON qs.qid = p.qid),
+       |scored AS (
+       |  SELECT qid, id,
+       |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+       |  FROM sc),
+       |r AS (
+       |  SELECT qid, id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+       |  FROM scored)
+       |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
+  }
+
   /** Oracles that need this session's trained state. Called by Verify
     * AFTER the query dump, so the `trainCached` calls are cache hits
     * on the very codebooks that produced the dumped results (same
@@ -1799,8 +1899,11 @@ object SparkEntry {
       s"embeddings:$sfDir", corpus, "vec", "id", k = 16, dim = 64)
     val pqBooks = graft.operators.PqIndex.trainCached(
       s"embeddings-pq:$sfDir", corpus, "vec", "id", dim = 64)
+    val ivfpq = graft.operators.IvfPq.trainCached(
+      s"embeddings-ivfpq:$sfDir", corpus, "vec", "id", k = 16, dim = 64)
     Map(
       "ann_ivf_topk" -> ivfOracle(cents, k = 10, nprobe = 2),
-      "ann_pq_topk" -> pqOracle(pqBooks, k = 10, poolMult = 4))
+      "ann_pq_topk" -> pqOracle(pqBooks, k = 10, poolMult = 4),
+      "ann_ivfpq_topk" -> ivfpqOracle(ivfpq, k = 10, nprobe = 2, poolMult = 4))
   }
 }

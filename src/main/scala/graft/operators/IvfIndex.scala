@@ -147,10 +147,13 @@ object IvfIndex {
     df.withColumn("cid",
       VectorAggregates.nearest_centroid(col(vecCol), centroidsLiteral(centroids)))
 
-  /** The `nprobe` nearest lists per query: (qid, qvec, cid). */
-  private def queryProbes(queries: DataFrame,
-                          centroids: Array[Array[Float]],
-                          nprobe: Int): DataFrame =
+  /** The `nprobe` nearest lists per query: (qid, qvec, cid).
+    * Shared with [[IvfPq]] — the composed index probes coarse lists
+    * with exactly the same ranking.
+    */
+  private[operators] def queryProbes(queries: DataFrame,
+                                     centroids: Array[Array[Float]],
+                                     nprobe: Int): DataFrame =
     if (nprobe <= 1) assign(queries, "qvec", centroids)
       .select(col("qid"), col("qvec"), col("cid"))
     else {

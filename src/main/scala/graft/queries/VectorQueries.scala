@@ -73,6 +73,22 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** D7d: the full composed IVF-PQ index — 16 coarse lists for probe
+    * pruning, 8×16 residual codebooks for 32×-lighter list scans, ADC
+    * pool from codes alone, exact-cosine re-rank
+    * (see [[graft.operators.IvfPq]]). Oracled via the Verify-time
+    * trained-state embedding like `ann_ivf_topk`/`ann_pq_topk`.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val idx = graft.operators.IvfPq.trainCached(
+      s"embeddings-ivfpq:$dir", c, "vec", "id", k = 16, dim = 64)
+    val codes = graft.operators.IvfPq.encode(c, "vec", "id", idx)
+    graft.operators.IvfPq.search(queries(spark, dir), codes, 10, idx,
+        refineWith = c, nprobe = 2)
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** D24: the int8-quantized storage path end-to-end — corpus vectors
     * quantized ([[graft.functions.VectorFunctions.quantize8]], 4×
     * smaller at rest), dequantized on read, searched exactly.

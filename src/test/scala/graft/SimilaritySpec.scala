@@ -240,4 +240,84 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Byte](1).toSeq).toMap
     assert(recoded == codesById.map { case (k, v) => k -> v.toSeq })
   }
+
+  test("IVF-PQ: residual coding beats raw PQ reconstruction, partitioned search " +
+       "matches in-memory, index round-trips") {
+    import graft.operators.{IvfPq, PqIndex}
+    val c = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val idx = IvfPq.train(c, "vec", "id", k = 16, dim = 64)
+    val queries = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    // every row lands in exactly one list, codes in range
+    val coded = IvfPq.encode(c, "vec", "id", idx)
+    val n = c.count()
+    assert(coded.count() == n)
+    assert(coded.select(countDistinct(col("id"))).head().getLong(0) == n)
+    val codeBounds = coded
+      .select(explode(col("codes")).as("b")).agg(min("b"), max("b")).head()
+    assert(codeBounds.getByte(0) >= 0 && codeBounds.getByte(1) < 16)
+
+    // the reason residual PQ exists: reconstructing centroid + decoded
+    // residual must beat raw-vector PQ's reconstruction on the same
+    // (m, ksub) budget
+    val rawCb = PqIndex.train(c, "vec", "id", dim = 64)
+    def sqErr(recon: org.apache.spark.sql.DataFrame): Double = recon
+      .select(aggregate(zip_with(col("vec"), col("rec"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x).as("se"))
+      .agg(sum(col("se"))).head().getDouble(0)
+    val rawErr = sqErr(PqIndex.encode(c, "vec", rawCb)
+      .select(col("vec"), PqIndex.decode(col("codes"), rawCb).as("rec")))
+    val centsLit = graft.operators.IvfIndex.centroidsLiteral(idx.centroids)
+    val resErr = sqErr(
+      PqIndex.encode(
+          graft.operators.IvfIndex.assign(c, "vec", idx.centroids)
+            .withColumn("__res", IvfPq.residual(col("vec"), col("cid"), idx.centroids)),
+          "__res", idx.books)
+        .select(col("vec"),
+          zip_with(element_at(centsLit, col("cid") + lit(1)),
+            PqIndex.decode(col("codes"), idx.books),
+            (a, b) => a + b).as("rec")))
+    assert(resErr < rawErr,
+      f"residual coding must reconstruct tighter: res=$resErr%.1f raw=$rawErr%.1f")
+
+    // refined recall floor vs brute force
+    val exact = Similarity.bruteForceKnn(queries, c, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = IvfPq.search(queries, coded, 10, idx, refineWith = c, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.map(qid =>
+      (exact(qid) intersect got.getOrElse(qid, Set.empty)).size.toDouble / 10)
+      .sum / exact.size
+    assert(recall >= 0.4, f"IVF-PQ recall@10 too low: $recall%.2f")
+
+    // partitioned layout: pruned read, identical results
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+      .toFile.getAbsolutePath
+    IvfPq.writePartitioned(c, "vec", "id", idx, s"$base/lists")
+    val inMem = IvfPq.search(queries, coded, 10, idx, refineWith = c, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val part = IvfPq.searchPartitioned(spark, s"$base/lists", queries, 10, idx,
+        refineWith = c, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(part == inMem)
+
+    // index artifact round-trip: loaded index reproduces the search
+    IvfPq.saveIndex(spark, idx, s"$base/index")
+    val loaded = IvfPq.loadIndex(spark, s"$base/index")
+    assert(loaded.centroids.zip(idx.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
+    assert(loaded.books.books.zip(idx.books.books).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    val reSearch = IvfPq.search(queries,
+        IvfPq.encode(c, "vec", "id", loaded), 10, loaded,
+        refineWith = c, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(reSearch == inMem)
+  }
 }
