@@ -105,6 +105,7 @@ object SparkEntry {
     "ann_ivf_topk"       -> (VectorQueries.annIvf _),
     "ann_pq_topk"        -> (VectorQueries.annPq _),
     "ann_ivfpq_topk"     -> (VectorQueries.annIvfPq _),
+    "dedup_semantic"     -> (VectorQueries.dedupSemantic _),
     "ann_quantized_topk" -> (VectorQueries.annQuantized _),
     // §2 round-5 additions — warehouse + retrieval surface
     "scd2_history"       -> (WarehouseQueries.scd2History _),
@@ -1885,6 +1886,62 @@ object SparkEntry {
        |FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
   }
 
+  /** SemDeDup oracle: the [[ivfOracle]] assignment stage, within-
+    * cluster exact-cosine edges (bit-exact folds, threshold on the
+    * exact double), the recursive-CTE closure from `dedup_resolve`,
+    * and the paper's keep rule ranked on (cos_to_centroid, id) — all
+    * engine-independent given the embedded centroids.
+    */
+  private def semDedupOracle(cents: Array[Array[Float]],
+                             threshold: Double): String =
+    s"""WITH RECURSIVE cents AS (
+       |  SELECT * FROM (VALUES
+       |    ${centroidsValues(cents)}) t(cid, cvec)),
+       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |asg AS (
+       |  SELECT id, vec, cid FROM (
+       |    SELECT c.id, c.vec, ct.cid,
+       |      row_number() OVER (PARTITION BY c.id ORDER BY
+       |        list_reduce(list_transform(range(1, 65),
+       |          i -> (CAST(c.vec[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))
+       |             * (CAST(c.vec[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))),
+       |          (x, y) -> x + y) ASC, ct.cid ASC) AS rn
+       |    FROM corpus c CROSS JOIN cents ct)
+       |  WHERE rn = 1),
+       |pr AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    ${cosineFolds("a.vec", "b.vec")}
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id),
+       |edges AS (
+       |  SELECT id_a, id_b FROM pr
+       |  WHERE CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |        ELSE dot / (sqrt(na) * sqrt(nb)) END >= $threshold),
+       |und AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |  UNION ALL SELECT id_b, id_a FROM edges),
+       |reach AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
+       |comp AS (
+       |  SELECT c.id, LEAST(c.id, COALESCE(MIN(r.dst), c.id)) AS canonical_id
+       |  FROM corpus c LEFT JOIN reach r ON r.src = c.id GROUP BY c.id),
+       |cc AS (
+       |  SELECT a.id, a.cid,
+       |    ${cosineFolds("a.vec", "ct.cvec")}
+       |  FROM asg a JOIN cents ct USING (cid)),
+       |scored AS (
+       |  SELECT id, cid,
+       |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos_centroid
+       |  FROM cc),
+       |ranked AS (
+       |  SELECT s.id, s.cid, m.canonical_id, s.cos_centroid,
+       |    row_number() OVER (PARTITION BY m.canonical_id
+       |      ORDER BY s.cos_centroid ASC, s.id) AS rk
+       |  FROM scored s JOIN comp m ON m.id = s.id)
+       |SELECT id, cid, canonical_id, cos_centroid, (rk = 1) AS keep
+       |FROM ranked ORDER BY id""".stripMargin
+
   /** Oracles that need this session's trained state. Called by Verify
     * AFTER the query dump, so the `trainCached` calls are cache hits
     * on the very codebooks that produced the dumped results (same
@@ -1904,6 +1961,7 @@ object SparkEntry {
     Map(
       "ann_ivf_topk" -> ivfOracle(cents, k = 10, nprobe = 2),
       "ann_pq_topk" -> pqOracle(pqBooks, k = 10, poolMult = 4),
-      "ann_ivfpq_topk" -> ivfpqOracle(ivfpq, k = 10, nprobe = 2, poolMult = 4))
+      "ann_ivfpq_topk" -> ivfpqOracle(ivfpq, k = 10, nprobe = 2, poolMult = 4),
+      "dedup_semantic" -> semDedupOracle(cents, threshold = 0.35))
   }
 }

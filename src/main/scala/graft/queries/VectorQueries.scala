@@ -106,6 +106,22 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** D38: SemDeDup semantic deduplication — cluster with the SAME
+    * coarse codebook as `ann_ivf_topk` (cache key shared, so Verify
+    * trains once), connect within-cluster pairs at cosine ≥ 0.35 (the
+    * observed tail of this synthetic corpus — real re-phrasings sit
+    * at 0.9+), keep the least-typical member per group
+    * (see [[graft.operators.SemDedup]]). Oracled via the Verify-time
+    * centroid embedding + recursive-CTE closure.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val centroids = graft.operators.IvfIndex.trainCached(
+      s"embeddings:$dir", c, "vec", "id", k = 16, dim = 64)
+    graft.operators.SemDedup.semDedup(c, "vec", "id", centroids, threshold = 0.35)
+      .orderBy(col("id"))
+  }
+
   /** D5: embedding-cosine near-dup pairs at 8 hyperplanes with 1-bit
     * multi-probe (candidate volume ~N²/28, shrinking 2× per extra
     * plane — the planes=2 all-pairs posture was the round-1/2 defect).

@@ -320,4 +320,49 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(reSearch == inMem)
   }
+
+  test("SemDeDup: planted paraphrase groups collapse to one kept representative each") {
+    import spark.implicits._
+    import graft.operators.{IvfIndex, SemDedup}
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float], eps: Float): Seq[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * eps).toSeq
+    // two tight "paraphrase" groups around far-apart anchors, plus
+    // isolated uniform noise
+    val anchorA = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val anchorB = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val rows =
+      (0L to 3L).map(i => i -> jitter(anchorA, 0.02f)) ++
+      (10L to 12L).map(i => i -> jitter(anchorB, 0.02f)) ++
+      (20L to 39L).map(i => i -> Seq.fill(64)(rnd.nextFloat() * 2 - 1))
+    val df = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .localCheckpoint()
+    val cents = IvfIndex.train(df, "vec", "id", k = 4, dim = 64)
+    val out = SemDedup.semDedup(df, "vec", "id", cents, threshold = 0.95)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.length == rows.length) // verdict for every row
+
+    // each planted group shares one canonical id; the two groups differ
+    val byId = out.map(t => t._1 -> t).toMap
+    val compA = (0L to 3L).map(byId(_)._3).toSet
+    val compB = (10L to 12L).map(byId(_)._3).toSet
+    assert(compA.size == 1 && compB.size == 1 && compA != compB,
+      s"planted groups must each collapse: A=$compA B=$compB")
+
+    // exactly one keep per component, and it's the least-typical member
+    out.groupBy(_._3).foreach { case (canon, members) =>
+      val kept = members.filter(_._5)
+      assert(kept.length == 1, s"component $canon kept ${kept.length}")
+      val want = members.minBy(m => (m._4, m._1))
+      assert(kept.head._1 == want._1,
+        s"component $canon kept ${kept.head._1}, want least-typical ${want._1}")
+    }
+
+    // noise rows keep themselves
+    (20L to 39L).foreach { i =>
+      assert(byId(i)._3 == i && byId(i)._5, s"noise row $i must survive")
+    }
+  }
 }
