@@ -119,6 +119,7 @@ object SparkEntry {
     "ewma_user_value"    -> (WarehouseQueries.ewmaUserValue _),
     "quality_filter"     -> (TextQueries.qualityFilter _),
     "vocab_tokenize"     -> (TextQueries.vocabTokenize _),
+    "vocab_bpe_tokenize" -> (TextQueries.vocabBpeTokenize _),
     "quality_weighted_sample" -> (TextQueries.qualityWeightedSample _),
     "cohort_retention"   -> (WarehouseQueries.cohortRetention _),
     "events_enriched_agg" -> (WarehouseQueries.eventsEnrichedAgg _),
@@ -1958,10 +1959,17 @@ object SparkEntry {
       s"embeddings-pq:$sfDir", corpus, "vec", "id", dim = 64)
     val ivfpq = graft.operators.IvfPq.trainCached(
       s"embeddings-ivfpq:$sfDir", corpus, "vec", "id", k = 16, dim = 64)
+    // the trained-vocab twin of the codebook embeddings: same merge
+    // list as the query dump (cache key shared with vocabBpeTokenize)
+    val bpe = graft.operators.Bpe.trainCached(
+      s"documents:$sfDir", graft.sources.Tables.documents(spark, sfDir),
+      "text", numMerges = 64)
     Map(
       "ann_ivf_topk" -> ivfOracle(cents, k = 10, nprobe = 2),
       "ann_pq_topk" -> pqOracle(pqBooks, k = 10, poolMult = 4),
       "ann_ivfpq_topk" -> ivfpqOracle(ivfpq, k = 10, nprobe = 2, poolMult = 4),
-      "dedup_semantic" -> semDedupOracle(cents, threshold = 0.35))
+      "dedup_semantic" -> semDedupOracle(cents, threshold = 0.35),
+      "vocab_bpe_tokenize" -> vocabTokenizeOracle(bpe.vocab,
+        graft.operators.Bpe.maxTokenLen(bpe)))
   }
 }

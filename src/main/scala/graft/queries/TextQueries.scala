@@ -231,6 +231,25 @@ object TextQueries {
     "the", "and", "ing", "ion", "ent", "er", "in", "on", "at", "or",
     "re", "st", "an", "te", "ed", "ti", "es", "le")
 
+  /** D39: [[vocabTokenize]] with a vocab TRAINED on this corpus — BPE
+    * merges learned from the word-frequency table
+    * ([[graft.operators.Bpe]], 64 merges), then the same zero-shuffle
+    * greedy kernel. Oracled via the Verify-time trained-vocab
+    * embedding (the `vocab_tokenize` oracle generator, dynamic vocab).
+    */
+  def vocabBpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val trained = graft.operators.Bpe.trainCached(
+      s"documents:$dir", docs, "text", numMerges = 64)
+    docs.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_words"),
+        size(graft.functions.TokenizeKernel.greedySubwordsText(
+          col("text"), trained.vocab,
+          graft.operators.Bpe.maxTokenLen(trained))).as("n_subtokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D10: language ID by stopword scoring with deterministic argmax. */
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

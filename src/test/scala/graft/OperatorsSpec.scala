@@ -440,4 +440,43 @@ class OperatorsSpec extends AnyFunSuite {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
     assert(est2 == est, s"round-tripped sketches drifted: $est2 vs $est")
   }
+
+  test("BPE training: textbook merges, monotone structure, deterministic, compresses") {
+    import graft.operators.Bpe
+    // Sennrich et al. 2016's worked example (no end-of-word marker):
+    // first four merges are hand-derivable
+    val counts = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val t = Bpe.trainFromCounts(counts, numMerges = 4)
+    assert(t.merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")),
+      s"textbook merges diverge: ${t.merges}")
+    assert(t.vocab == Seq("es", "est", "lo", "low"))
+
+    // every merge operand is a single codepoint or an earlier product
+    val full = Bpe.trainFromCounts(counts, numMerges = 100)
+    full.merges.zipWithIndex.foreach { case ((a, b), i) =>
+      val prior = full.merges.take(i).map(p => p._1 + p._2).toSet
+      Seq(a, b).foreach(s =>
+        assert(s.codePointCount(0, s.length) == 1 || prior.contains(s),
+          s"merge $i operand '$s' from nowhere"))
+    }
+    // early stop: no pair repeats twice -> loop ends before numMerges
+    assert(full.merges.length < 100)
+
+    // corpus-trained: deterministic, and the trained vocab compresses
+    // (fewer subword tokens than codepoints, at least one per word)
+    val docs = Tables.documents(spark, sfDir)
+    val t1 = Bpe.train(docs, "text", numMerges = 64)
+    val t2 = Bpe.train(docs, "text", numMerges = 64)
+    assert(t1 == t2, "same corpus must train the same merges")
+    assert(t1.vocab.nonEmpty && t1.vocab.forall(_.length >= 2))
+    val row = graft.queries.TextQueries.vocabBpeTokenize(spark, sfDir)
+      .join(docs.select(col("doc_id"),
+        length(regexp_replace(col("text"), "\\s", "")).as("n_cp")), "doc_id")
+      .agg(sum(col("n_subtokens")).as("st"), sum(col("n_words")).as("w"),
+        sum(col("n_cp")).as("cp"))
+      .head()
+    assert(row.getLong(0) >= row.getLong(1), "at least one subtoken per word")
+    assert(row.getLong(0) < row.getLong(2),
+      s"trained vocab must beat the char fallback: ${row.getLong(0)} vs ${row.getLong(2)}")
+  }
 }
