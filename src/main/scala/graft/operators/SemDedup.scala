@@ -53,16 +53,28 @@ object SemDedup {
       .filter(col("id_a") < col("id_b"))
       .filter(GraftFunctions.vec_cosine(col("__va"), col("__vb")) >= threshold)
       .select(col("id_a"), col("id_b"))
-    val comp = Dedup.connectedComponents(edges, asg.select(col("id")))
+      .localCheckpoint()
+    // rank ONLY edge-incident rows (bounded by duplicate density —
+    // ≪ corpus): the keep-rule window never shuffles the full corpus,
+    // and the verdicts join back broadcast-small; everything outside a
+    // duplicate group keeps itself by construction
+    val incident = edges.select(col("id_a").as("id"))
+      .union(edges.select(col("id_b").as("id"))).distinct()
+    val comp = Dedup.connectedComponents(edges, incident)
     val centsLit = IvfIndex.centroidsLiteral(centroids)
     val withCent = asg.withColumn("cos_centroid",
       GraftFunctions.vec_cosine(col("vec"),
         element_at(centsLit, col("cid") + lit(1))))
-    withCent.join(comp, "id")
+    val verdicts = withCent.select(col("id"), col("cos_centroid"))
+      .join(comp, "id")
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("canonical_id"))
           .orderBy(col("cos_centroid").asc, col("id"))))
-      .select(col("id"), col("cid"), col("canonical_id"),
-        col("cos_centroid"), (col("__rk") === 1).as("keep"))
+      .select(col("id"), col("canonical_id"), (col("__rk") === 1).as("__keep"))
+    withCent.join(verdicts, Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        coalesce(col("canonical_id"), col("id")).as("canonical_id"),
+        col("cos_centroid"),
+        coalesce(col("__keep"), lit(true)).as("keep"))
   }
 }
