@@ -97,6 +97,7 @@ object SparkEntry {
     "text_quality_score" -> (TextQueries.textQualityScore _),
     "lm_cross_entropy"   -> (TextQueries.lmCrossEntropy _),
     "lm_bigram_cross_entropy" -> (TextQueries.lmBigramCrossEntropy _),
+    "text_blocklist"     -> (TextQueries.textBlocklist _),
     "text_lang_id"       -> (TextQueries.textLangId _),
     "text_fingerprint"   -> (TextQueries.textFingerprint _),
     "dedup_embedding_cosine" -> (VectorQueries.dedupEmbeddingCosine _),
@@ -883,6 +884,15 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ') AS chunk_text,
         |  CAST(len(string_split(array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '), ' ')) AS INTEGER) AS n_chunk_tokens
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "text_blocklist" ->
+      """SELECT doc_id, CAST(n_hits AS INTEGER) AS n_hits, (n_hits = 0) AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> list_contains(['slow', 'dup', 'big'], t))) AS n_hits
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_redact" ->
       """SELECT doc_id,

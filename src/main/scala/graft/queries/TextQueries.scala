@@ -250,6 +250,31 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D40: blocklist screening (the C4-recipe banned-word stage): exact
+    * whitespace-token hits against a plan-time banned list. Pure
+    * codegen array algebra — the list rides the plan as a literal,
+    * zero shuffle, and the filter composes with any downstream stage.
+    * Word-boundary semantics (token equality, not substring) so
+    * "bigram" never trips a ban on "big" — the standard word-filter
+    * contract. Exact integer counts → DuckDB-oracled.
+    */
+  def textBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    val banned = array(Blocklist.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(trim(col("text")), "\\s+"),
+          t => array_contains(banned, t))).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits") === 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Plan-time banned tokens for [[textBlocklist]] — stand-ins for a
+    * real word-filter list; mid-frequency in the synthetic corpus so
+    * both outcomes are exercised.
+    */
+  val Blocklist: Seq[String] = Seq("slow", "dup", "big")
+
   /** D10: language ID by stopword scoring with deterministic argmax. */
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

@@ -294,6 +294,33 @@ object ScaleProbe {
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(count(lit(1))).count()
     }
+    t("ivfpq_search") {
+      val idx = graft.operators.IvfPq.train(emb, "vec", "id", k = 16, dim = 64)
+      val codes = graft.operators.IvfPq.encode(emb, "vec", "id", idx)
+      val qs = emb.filter(col("id") < 50)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      graft.operators.IvfPq.search(qs, codes, 10, idx,
+        refineWith = emb, nprobe = 2).count()
+    }
+    t("sem_dedup") {
+      // k scales with the corpus (the SemDeDup contract): cluster sizes
+      // stay ~constant, so the within-cluster pair volume grows ~mult,
+      // not mult² — this leg demonstrates that dial. The amplified
+      // embeddings repeat each vector `mult`× (cosine-1 planted dups),
+      // so the edge/component path runs at full volume too.
+      val idx = graft.operators.IvfIndex.train(
+        emb, "vec", "id", k = 16 * mult, dim = 64)
+      graft.operators.SemDedup.semDedup(
+        emb, "vec", "id", idx, threshold = 0.35).count()
+    }
+    t("lm_bigram_score") {
+      graft.operators.LanguageModel.scoreCorpusBigram(
+        docs, "text", "doc_id", topK = 64).count()
+    }
+    t("bpe_train") {
+      graft.operators.Bpe.train(docs, "text", numMerges = 64)
+        .vocab.length.toLong
+    }
     spark.stop()
   }
 }
