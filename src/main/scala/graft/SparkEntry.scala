@@ -121,6 +121,7 @@ object SparkEntry {
     "quality_filter"     -> (TextQueries.qualityFilter _),
     "vocab_tokenize"     -> (TextQueries.vocabTokenize _),
     "vocab_bpe_tokenize" -> (TextQueries.vocabBpeTokenize _),
+    "vocab_tokenize_ids" -> (TextQueries.vocabTokenizeIds _),
     "quality_weighted_sample" -> (TextQueries.qualityWeightedSample _),
     "cohort_retention"   -> (WarehouseQueries.cohortRetention _),
     "events_enriched_agg" -> (WarehouseQueries.eventsEnrichedAgg _),
@@ -352,8 +353,53 @@ object SparkEntry {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** Token-ID oracle: the [[vocabTokenizeOracle]] fold with a LIST
+    * accumulator — acc = [skip] ‖ ids-so-far (uniform BIGINT[], so it
+    * rides list_reduce's element type like the count fold's [count,
+    * skip] pair). In-vocab ids mirror `list_position − 1` against the
+    * SAME ordered effective vocab the Spark map literal indexes;
+    * fallback ids are `V + ascii(tok)` — `ascii` is the Unicode
+    * codepoint of a 1-char string in both engines on this corpus's
+    * BMP text. Pure string/integer ops — exact.
+    */
+  private def vocabTokenizeIdsOracle(vocab: Seq[String], maxLen: Int): String = {
+    val effective = vocab.filter(v => v.codePointCount(0, v.length) >= 2)
+    val vlit = effective
+      .map(v => s"'${v.replace("'", "''")}'").mkString("[", ", ", "]")
+    val vSize = effective.length
+    val whens = (maxLen to 2 by -1).map { l =>
+      s"WHEN list_contains($vlit, substr(w, CAST(x[1] AS INTEGER), $l)) " +
+        s"THEN substr(w, CAST(x[1] AS INTEGER), $l)"
+    }.mkString(" ")
+    val tok = s"CASE $whens ELSE substr(w, CAST(x[1] AS INTEGER), 1) END"
+    // NULLIF guard: list_position signals "not found" as 0 here (not
+    // NULL) — without it the fallback branch would read -1
+    val idExpr = s"COALESCE(CAST(NULLIF(list_position($vlit, $tok), 0) - 1 AS BIGINT), " +
+      s"CAST($vSize AS BIGINT) + ascii($tok))"
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    flatten(list_transform(ws, w ->
+       |      list_slice(
+       |        list_reduce(
+       |          [[CAST(0 AS BIGINT)]]
+       |            || list_transform(range(1, len(w) + 1), i -> [CAST(i AS BIGINT)]),
+       |          (acc, x) -> CASE WHEN acc[1] > 0
+       |            THEN [acc[1] - 1] || list_slice(acc, 2, len(acc))
+       |            ELSE [CAST(len($tok) AS BIGINT) - 1]
+       |              || list_slice(acc, 2, len(acc)) || [$idExpr] END
+       |        ), 2, 1000000000))) AS ids
+       |  FROM t)
+       |SELECT doc_id, CAST(len(ids) AS INTEGER) AS n_tokens,
+       |  list_transform(ids, x -> CAST(x AS INTEGER)) AS token_ids
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "vocab_tokenize" -> vocabTokenizeOracle(
+      graft.queries.TextQueries.SubwordVocab, 3),
+    "vocab_tokenize_ids" -> vocabTokenizeIdsOracle(
       graft.queries.TextQueries.SubwordVocab, 3),
 
     // composes the (already bit-exact) D9 quality doubles with the

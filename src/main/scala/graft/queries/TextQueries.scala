@@ -250,6 +250,32 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D34b: token-ID emission — the subword stream as trainer-ready
+    * vocab ids. Id space: index into the effective (≥2-codepoint)
+    * vocab for real entries, `V + codepoint` for the single-codepoint
+    * fallback alphabet — total and collision-free by construction
+    * (codepoints start above any vocab index). The kernel does the
+    * heavy scan in codegen; the id projection is a per-token map probe
+    * over the result array (an interpreted HOF, but O(tokens) map
+    * lookups — the scan itself stays in the codegen span).
+    */
+  def vocabTokenizeIds(spark: SparkSession, dir: String): DataFrame = {
+    val effective = SubwordVocab.filter(v => v.codePointCount(0, v.length) >= 2)
+    val idMap = map(effective.zipWithIndex
+      .flatMap { case (v, i) => Seq(lit(v), lit(i)) }: _*)
+    val v = effective.length
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        transform(
+          graft.functions.TokenizeKernel.greedySubwordsText(
+            col("text"), SubwordVocab, maxLen = 3),
+          s => coalesce(element_at(idMap, s), lit(v) + ascii(s)))
+          .as("token_ids"))
+      .select(col("doc_id"), size(col("token_ids")).as("n_tokens"),
+        col("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D40: blocklist screening (the C4-recipe banned-word stage): exact
     * whitespace-token hits against a plan-time banned list. Pure
     * codegen array algebra — the list rides the plan as a literal,
