@@ -100,7 +100,18 @@ object IvfPq {
     */
   def search(queries: DataFrame, codes: DataFrame, k: Int, idx: Index,
              refineWith: DataFrame, nprobe: Int = 2,
-             poolMult: Int = 4): DataFrame = {
+             poolMult: Int = 4): DataFrame =
+    refine(adcPool(queries, codes, k, idx, nprobe, poolMult),
+      queries, refineWith, k)
+
+  /** The ADC candidate stage alone: (qid, id) pairs, `k·poolMult` per
+    * query, cut on `round(adc, 6)` with the id tiebreak. Exposed so
+    * refine strategies can differ — [[refine]] joins a float corpus
+    * DF; [[searchLakeRefine]] fetches only the pool's vectors from an
+    * id-clustered lake.
+    */
+  def adcPool(queries: DataFrame, codes: DataFrame, k: Int, idx: Index,
+              nprobe: Int = 2, poolMult: Int = 4): DataFrame = {
     val qp = IvfIndex.queryProbes(queries, idx.centroids, nprobe)
       .withColumn("__qres", residual(col("qvec"), col("cid"), idx.centroids))
       .select(col("qid"), col("cid"), col("__qres"))
@@ -111,11 +122,16 @@ object IvfPq {
           idx.books.flat, idx.books.ksub, idx.books.ds).as("adc"))
     val wAdc = Window.partitionBy(col("qid"))
       .orderBy(round(col("adc"), 6).asc, col("id"))
-    val pool = scored.withColumn("prk", row_number().over(wAdc))
+    scored.withColumn("prk", row_number().over(wAdc))
       .filter(col("prk") <= k * poolMult)
       .select(col("qid"), col("id"))
+  }
+
+  /** Exact-cosine re-rank of a candidate pool against (id, vec) rows. */
+  def refine(pool: DataFrame, queries: DataFrame, vectors: DataFrame,
+             k: Int): DataFrame = {
     val re = pool
-      .join(refineWith, "id")
+      .join(vectors, "id")
       .join(broadcast(queries), "qid")
       .select(col("qid"), col("id"),
         GraftFunctions.vec_cosine(col("qvec"), col("vec")).as("cos"))
@@ -153,6 +169,29 @@ object IvfPq {
     // the probe set is checkpointed, so the search body's broadcast
     // reads the same materialized probes the cid collect did
     search(queries, listed, k, idx, refineWith, nprobe, poolMult)
+  }
+
+  /** Search with the re-rank vectors fetched from an ID-CLUSTERED
+    * float lake instead of a full corpus DF: the pool's ids (bounded
+    * by |queries|·k·poolMult — driver-tiny by the same contract as
+    * [[searchPartitioned]]'s cid collect) become a literal IN filter
+    * the parquet reader pushes to row-group stats, so an id-sorted
+    * layout reads only the row groups holding pool members. The
+    * composed at-rest story: codes live `cid=`-partitioned (probe
+    * pruning), floats live id-clustered (refine pruning) — neither
+    * side ever scans fully.
+    */
+  def searchLakeRefine(spark: SparkSession, codes: DataFrame,
+                       floatPath: String, queries: DataFrame, k: Int,
+                       idx: Index, nprobe: Int = 2,
+                       poolMult: Int = 4): DataFrame = {
+    val pool = adcPool(queries, codes, k, idx, nprobe, poolMult)
+      .localCheckpoint()
+    val ids = pool.select(col("id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val vecs = spark.read.parquet(floatPath)
+      .filter(col("id").isin(ids: _*))
+    refine(pool, queries, vecs, k)
   }
 
   /** Both halves as one lake artifact (coarse/ + pq/ under `path`) —

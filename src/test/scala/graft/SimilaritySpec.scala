@@ -307,6 +307,15 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(part == inMem)
 
+    // lake refine: float vectors id-clustered, pool ids pushed to the
+    // parquet reader as an IN filter — identical results
+    c.repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(s"$base/floats")
+    val lake = IvfPq.searchLakeRefine(spark, coded, s"$base/floats",
+        queries, 10, idx, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(lake == inMem)
+
     // index artifact round-trip: loaded index reproduces the search
     IvfPq.saveIndex(spark, idx, s"$base/index")
     val loaded = IvfPq.loadIndex(spark, s"$base/index")
