@@ -113,6 +113,7 @@ object SparkEntry {
     "funnel_steps"       -> (WarehouseQueries.funnelSteps _),
     "bucketed_join"      -> (WarehouseQueries.bucketedJoin _),
     "table_profile"      -> (WarehouseQueries.tableProfile _),
+    "data_expectations"  -> (WarehouseQueries.dataExpectations _),
     "bm25_search"        -> (WarehouseQueries.bm25Search _),
     "fuzzy_name_match"   -> (WarehouseQueries.fuzzyNameMatch _),
     "events_sliding_agg" -> (WarehouseQueries.eventsSlidingAgg _),
@@ -610,6 +611,36 @@ object SparkEntry {
 
     "bm25_search" -> bm25Oracle(
       graft.queries.WarehouseQueries.Bm25Terms, 50, 1.2, 0.75),
+
+    // every leg is an exact integer count; rule names are the stable
+    // sort key on both sides
+    "data_expectations" ->
+      """WITH legs AS (
+        |  SELECT 'not_null(o_custkey)' AS rule,
+        |    COUNT(*) FILTER (WHERE o_custkey IS NULL) AS violations FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice)',
+        |    COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)) FROM orders
+        |  UNION ALL
+        |  SELECT 'in_set(o_orderstatus)',
+        |    COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F')) FROM orders
+        |  UNION ALL
+        |  SELECT 'matches(o_orderpriority)',
+        |    COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
+        |      AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) FROM orders
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'ref_integrity(o_custkey)',
+        |    (SELECT COUNT(*) FROM orders o
+        |     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |     WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL))
+        |SELECT rule, CAST(violations AS BIGINT) AS violations,
+        |  (violations = 0) AS pass
+        |FROM legs ORDER BY rule""".stripMargin,
 
     "json_ingest" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n

@@ -240,4 +240,23 @@ object WarehouseQueries {
     Ewma.smooth(daily, "user_id", "day", col("dval"), alpha = 0.3)
       .orderBy(col("user_id"))
   }
+
+  /** C27: declarative data-quality expectations over the orders fact
+    * (see [[graft.operators.Expectations]]) — row rules + uniqueness
+    * in one wide-aggregate scan, referential integrity as a broadcast
+    * anti-join; mixed pass/fail outcomes on this data so both paths
+    * are exercised.
+    */
+  def dataExpectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations
+    Expectations.check(Tables.orders(spark, dir),
+      rowRules = Seq(
+        Expectations.notNull("o_custkey"),
+        Expectations.inRange("o_totalprice", 0.0, 400000.0),
+        Expectations.inSet("o_orderstatus", Seq("O", "F")),
+        Expectations.matches("o_orderpriority", "^[1-5]-")),
+      uniqueCols = Seq("o_orderkey"),
+      refRules = Seq(Expectations.refIntegrity("o_custkey",
+        Tables.customer(spark, dir), "c_custkey")))
+  }
 }

@@ -539,4 +539,38 @@ class WarehouseSpec extends AnyFunSuite {
     val z = (r0.getDouble(2) - mean) / sd
     assert(math.abs(r0.getDouble(3) - z) < 1e-6)
   }
+
+  test("expectations: planted violations counted exactly, clean rules pass") {
+    import spark.implicits._
+    import graft.operators.Expectations
+    val df = Seq(
+      (1L, Option(10L), 50.0, "O"),
+      (2L, Option(11L), -5.0, "O"),   // range violation
+      (3L, None,        60.0, "F"),   // null violation
+      (3L, Option(12L), 70.0, "X"),   // dup id + set violation
+      (4L, Option(99L), 80.0, "F"))   // missing FK
+      .toDF("id", "fk", "amount", "status")
+    val dim = Seq(10L, 11L, 12L).toDF("pk")
+    val got = Expectations.check(df,
+        rowRules = Seq(
+          Expectations.notNull("fk"),
+          Expectations.inRange("amount", 0.0, 100.0),
+          Expectations.inSet("status", Seq("O", "F"))),
+        uniqueCols = Seq("id"),
+        refRules = Seq(Expectations.refIntegrity("fk", dim, "pk")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      "not_null(fk)" -> ((1L, false)),
+      "in_range(amount)" -> ((1L, false)),
+      "in_set(status)" -> ((1L, false)),
+      "unique(id)" -> ((1L, false)),
+      "ref_integrity(fk)" -> ((1L, false))))
+
+    val clean = Expectations.check(df.filter(col("id") === 1),
+        rowRules = Seq(Expectations.notNull("fk")),
+        uniqueCols = Seq("id"),
+        refRules = Seq(Expectations.refIntegrity("fk", dim, "pk")))
+      .collect()
+    assert(clean.forall(_.getBoolean(2)), "clean subset must pass every rule")
+  }
 }
