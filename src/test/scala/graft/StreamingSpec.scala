@@ -447,4 +447,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     }
   }
+
+  test("streaming trending heavy hitters equals the one-shot batch operator") {
+    import spark.implicits._
+    // skewed occurrence stream: unique occurrence ids, known heavies
+    val words = Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
+      Seq.fill(20)("gamma") ++ (1 to 40).map(i => s"tail$i")
+    val occ = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val base = java.nio.file.Files.createTempDirectory("graft_trend")
+      .toFile.getAbsolutePath
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark, 79)
+    val q = graft.streaming.StreamingTrending.start(
+      src.toDS().toDF("i", "e"), col("i"), col("e"),
+      s"$base/lake", s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      val (b1, rest) = occ.splitAt(47)
+      val (b2, b3) = rest.splitAt(51)
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      src.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.streaming.StreamingTrending
+      .trendingTopK(spark, s"$base/lake", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = graft.operators.HeavyHitters
+      .topK(occ.toDF("i", "e"), col("i"), col("e"), 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // exact equality: merged per-batch CMS == one CMS over the union
+    // (counters sum; same depth/width/seed), nomination coins are a
+    // pure function of the occurrence id
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.take(3).map(_._1) == Seq("alpha", "beta", "gamma"))
+    assert(streamed.head._2 >= 50, "CMS never undercounts")
+  }
 }
