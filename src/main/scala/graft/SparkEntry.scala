@@ -98,6 +98,7 @@ object SparkEntry {
     "lm_cross_entropy"   -> (TextQueries.lmCrossEntropy _),
     "lm_bigram_cross_entropy" -> (TextQueries.lmBigramCrossEntropy _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),
+    "gopher_quality"     -> (TextQueries.gopherQualityFilter _),
     "text_lang_id"       -> (TextQueries.textLangId _),
     "text_fingerprint"   -> (TextQueries.textFingerprint _),
     "dedup_embedding_cosine" -> (VectorQueries.dedupEmbeddingCosine _),
@@ -961,6 +962,30 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ') AS chunk_text,
         |  CAST(len(string_split(array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '), ' ')) AS INTEGER) AS n_chunk_tokens
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // single int/int -> double divisions are correctly rounded in both
+    // engines; every count is exact
+    "gopher_quality" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ws,
+        |    len(regexp_replace(trim(text), '\s+', '', 'g')) AS n_chars
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS INTEGER) AS n_words,
+        |    CAST(n_chars AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS alpha_frac,
+        |    CAST(len(list_filter(ws,
+        |      w -> list_contains(['the', 'a', 'of', 'to', 'and'], w))) AS INTEGER)
+        |      AS stop_hits
+        |  FROM s)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+        |  (n_words BETWEEN 40 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 5.0
+        |    AND alpha_frac >= 0.8 AND stop_hits >= 1) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_blocklist" ->
       """SELECT doc_id, CAST(n_hits AS INTEGER) AS n_hits, (n_hits = 0) AS keep

@@ -276,6 +276,36 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D41: the Gopher/MassiveText document-quality rule set (Rae et
+    * al. 2021 §A1.1): word-count bounds, mean-word-length band,
+    * alphabetic-word fraction, stopword floor — the published recipe
+    * web-corpus curation actually runs, as ONE zero-shuffle projection
+    * (all rules are per-doc column algebra; thresholds sit in the
+    * observed corpus range so both outcomes occur). `keep` is the
+    * conjunction; the component signals surface for auditability.
+    * Exact integer counts + single double divisions → hash-exact.
+    */
+  def gopherQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val stops = array(Seq("the", "a", "of", "to", "and").map(lit): _*)
+    val ws = split(trim(col("text")), "\\s+")
+    val nWords = size(ws)
+    val meanLen = length(regexp_replace(trim(col("text")), "\\s+", ""))
+      .cast("double") / nWords.cast("double")
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]")))
+      .cast("double") / nWords.cast("double")
+    val stopHits = size(filter(ws, w => array_contains(stops, w)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nWords.as("n_words"),
+        meanLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
+        stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(40, 100000) &&
+        col("mean_word_len").between(3.0, 5.0) &&
+        col("alpha_frac") >= 0.8 &&
+        col("stop_hits") >= 1)
+      .orderBy(col("doc_id"))
+  }
+
   /** D40: blocklist screening (the C4-recipe banned-word stage): exact
     * whitespace-token hits against a plan-time banned list. Pure
     * codegen array algebra — the list rides the plan as a literal,
