@@ -99,6 +99,7 @@ object SparkEntry {
     "lm_bigram_cross_entropy" -> (TextQueries.lmBigramCrossEntropy _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),
     "gopher_quality"     -> (TextQueries.gopherQualityFilter _),
+    "fim_transform"      -> (TextQueries.fimTransform _),
     "text_lang_id"       -> (TextQueries.textLangId _),
     "text_fingerprint"   -> (TextQueries.textFingerprint _),
     "dedup_embedding_cosine" -> (VectorQueries.dedupEmbeddingCosine _),
@@ -962,6 +963,33 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ') AS chunk_text,
         |  CAST(len(string_split(array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '), ' ')) AS INTEGER) AS n_chunk_tokens
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // coin, cut start, and cut length all derive from the portable
+    // XXH64 of the doc id with integer mod/div chains — exact in both
+    // engines (the floor(h/n) double division is exact at these
+    // magnitudes: true non-integer quotients sit ≥ 1/n from any
+    // integer, ~8 orders above the ulp)
+    "fim_transform" ->
+      s"""WITH hx AS (${xxh64Nested("SELECT doc_id, text FROM documents", "doc_id")}),
+         |j AS (
+         |  SELECT doc_id, text,
+         |    ((($xxhSigned) % 1000000) + 1000000) % 1000000 AS hb,
+         |    len(text) AS n, greatest(len(text), 2) AS ns
+         |  FROM hx),
+         |c AS (
+         |  SELECT doc_id, text, hb, n,
+         |    1 + (hb % ns) AS a,
+         |    ((hb // ns) % (ns - (1 + (hb % ns)) + 2)) AS lm
+         |  FROM j)
+         |SELECT doc_id,
+         |  (hb % 2 = 0 AND n >= 2) AS fim_applied,
+         |  CASE WHEN hb % 2 = 0 AND n >= 2
+         |    THEN '<PRE>' || substr(text, 1, CAST(a - 1 AS INTEGER))
+         |      || '<SUF>' || substr(text, CAST(a + lm AS INTEGER),
+         |           CAST(n - a - lm + 1 AS INTEGER))
+         |      || '<MID>' || substr(text, CAST(a AS INTEGER), CAST(lm AS INTEGER))
+         |    ELSE text END AS fim_text
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // single int/int -> double divisions are correctly rounded in both
     // engines; every count is exact

@@ -276,6 +276,37 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D42: fill-in-middle transformation (Bavarian et al. 2022) — the
+    * FIM data augmentation code/infilling models train on: for a
+    * seeded-hash-chosen half of the corpus, the character sequence
+    * splits at two hash-derived cut points and re-emits in
+    * prefix-suffix-middle order with sentinel markers; the rest pass
+    * through. Everything derives from ONE xxhash64 of the doc id
+    * (coin, cut start, cut length — integer mod/div chains), so the
+    * transform is a zero-shuffle projection, reproducible under any
+    * partitioning, and prefix-stable as the corpus grows — the D20/D25
+    * seeded-hash discipline applied to sequence surgery.
+    */
+  def fimTransform(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(xxhash64(lit(42L), col("doc_id")), lit(1000000L))
+    val n = length(col("text")).cast("long")
+    val nSafe = greatest(n, lit(2L)) // keep the mod chain total on tiny docs
+    val a = lit(1L) + (h % nSafe)
+    val lenMid = pmod(floor(h / nSafe).cast("long"), nSafe - a + lit(2L))
+    val prefix = col("text").substr(lit(1), (a - 1).cast("int"))
+    val middle = col("text").substr(a.cast("int"), lenMid.cast("int"))
+    val suffix = col("text").substr((a + lenMid).cast("int"),
+      (n - a - lenMid + 1).cast("int"))
+    val applied = (h % 2 === 0) && (n >= 2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), applied.as("fim_applied"),
+        when(applied,
+          concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+            lit("<MID>"), middle))
+          .otherwise(col("text")).as("fim_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D41: the Gopher/MassiveText document-quality rule set (Rae et
     * al. 2021 §A1.1): word-count bounds, mean-word-length band,
     * alphabetic-word fraction, stopword floor — the published recipe

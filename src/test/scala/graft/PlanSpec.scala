@@ -358,6 +358,20 @@ class PlanSpec extends AnyFunSuite {
       s"bm25 shuffled the corpus:\n$p")
   }
 
+  test("expectations: row rules + uniqueness share ONE scan of the fact table") {
+    import graft.operators.Expectations
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    val p = planString(Expectations.check(orders,
+      rowRules = Seq(
+        Expectations.notNull("o_custkey"),
+        Expectations.inRange("o_totalprice", 0.0, 400000.0),
+        Expectations.inSet("o_orderstatus", Seq("O", "F"))),
+      uniqueCols = Seq("o_orderkey")))
+    // however many rules, the aggregate leg reads orders exactly once
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one fact scan, plan had $scans:\n$p")
+  }
+
   private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
