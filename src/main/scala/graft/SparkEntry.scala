@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_char_spans"   -> (TextQueries.dedupCharSpans _),
     "source_quota"       -> (TextQueries.sourceQuota _),
     "sequence_pack"      -> (TextQueries.sequencePack _),
+    "sequence_pack_nextfit" -> (TextQueries.sequencePackNextFit _),
     "text_repetition_score" -> (TextQueries.textRepetitionScore _),
     "train_split"        -> (TextQueries.trainSplit _),
     "corpus_pipeline"    -> (TextQueries.corpusPipeline _),
@@ -1427,6 +1428,45 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    - len(string_split_regex(trim(text), '\s+'))) / 512.0) AS BIGINT) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the NFD fold mirrored: same (neglen, id) sort, same left fold.
+    // The accumulator is ONE FLAT BIGINT list — [fill, shard, (id,
+    // len, shard, off)×docs] — because a struct accumulator silently
+    // drops its LIST field between list_reduce steps in this DuckDB
+    // (scalar fields accumulate, list fields reset); the flat-list
+    // fold is the same proven shape as vocab_tokenize_ids. All-integer
+    // arithmetic — exact.
+    "sequence_pack_nextfit" -> {
+      val fits = "acc[2] >= 0 AND acc[1] + (-x[1]) <= 512"
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 8 AS bucket,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+         |  FROM documents),
+         |b AS (
+         |  SELECT bucket, list_sort(list([-n, doc_id])) AS docs
+         |  FROM t GROUP BY bucket),
+         |f AS (
+         |  SELECT bucket,
+         |    list_reduce(
+         |      [[CAST(0 AS BIGINT), CAST(-1 AS BIGINT)]] || docs,
+         |      (acc, x) ->
+         |        [CASE WHEN $fits THEN acc[1] + (-x[1]) ELSE (-x[1]) END,
+         |         CASE WHEN $fits THEN acc[2] ELSE acc[2] + 1 END]
+         |        || list_slice(acc, 3, len(acc))
+         |        || [x[2], -x[1],
+         |            CASE WHEN $fits THEN acc[2] ELSE acc[2] + 1 END,
+         |            CASE WHEN $fits THEN acc[1] ELSE CAST(0 AS BIGINT) END]
+         |    ) AS packed
+         |  FROM b),
+         |e AS (
+         |  SELECT bucket, packed,
+         |    unnest(range(0, (len(packed) - 2) // 4)) AS k
+         |  FROM f)
+         |SELECT packed[3 + k * 4] AS doc_id, bucket,
+         |  packed[4 + k * 4] AS n_tokens, packed[5 + k * 4] AS shard,
+         |  packed[6 + k * 4] AS "offset"
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
 
     "source_quota" ->
       """SELECT doc_id, source FROM (

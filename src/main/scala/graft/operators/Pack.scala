@@ -39,4 +39,60 @@ object Pack {
       .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("shard", floor(col("start_offset") / budget))
   }
+
+  /** D43: TRUNCATION-FREE packing — next-fit-decreasing bin packing
+    * within each bucket. [[concatChunk]] cuts the stream mid-document
+    * (the classic recipe, and the classic complaint: truncation splits
+    * reasoning chains — Ding et al. 2024 measure the damage and pack
+    * whole documents instead). Here every document lands INSIDE one
+    * shard: docs sort by (length desc, id), the fold opens a new shard
+    * whenever the next doc doesn't fit, and an oversized doc gets a
+    * shard of its own. Next-fit (not best-fit) is the deliberate
+    * choice: the assignment is a pure left fold over a deterministic
+    * order, so any engine replaying the fold reproduces it exactly —
+    * best-fit's bin search is equally deterministic but not
+    * expressible as a mirrorable fold, and NFD's waste is bounded
+    * (every two consecutive shards together exceed `budget`, so shard
+    * count < 2·optimal; decreasing order keeps practical utilization
+    * near BFD's).
+    *
+    * Scale shape: one groupBy(bucket) shuffle carrying (id, n_tokens)
+    * pairs only; each bucket's fold is a codegen `aggregate` over its
+    * sorted array — bucket count is the parallelism dial exactly as in
+    * [[concatChunk]].
+    *
+    * Output: (id, bucket, n_tokens, shard, offset) — shard local to
+    * the bucket, offset = first-token position inside the shard.
+    */
+  def nextFitDecreasing(df: DataFrame, id: Column, nTokens: Column,
+                        bucket: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"nextFitDecreasing: token budget must be positive, got $budget")
+    val rows = df.select(id.as("id"), bucket.as("bucket"),
+      nTokens.cast("long").as("n_tokens"))
+    val sorted = rows.groupBy(col("bucket"))
+      .agg(array_sort(collect_list(struct(
+        (-col("n_tokens")).as("neglen"), col("id").as("id")))).as("docs"))
+    val outType = "array<struct<id:bigint,len:bigint,shard:bigint,offset:bigint>>"
+    val folded = sorted.select(col("bucket"),
+      aggregate(col("docs"),
+        struct(lit(0L).as("fill"), lit(-1L).as("shard"),
+          array().cast(outType).as("out")),
+        (acc, d) => {
+          val len = -d.getField("neglen")
+          val fits = acc.getField("shard") >= 0 &&
+            acc.getField("fill") + len <= budget
+          val shard = when(fits, acc.getField("shard"))
+            .otherwise(acc.getField("shard") + 1)
+          val offset = when(fits, acc.getField("fill")).otherwise(lit(0L))
+          struct((offset + len).as("fill"), shard.as("shard"),
+            concat(acc.getField("out"), array(struct(
+              d.getField("id").as("id"), len.as("len"),
+              shard.as("shard"), offset.as("offset")))).as("out"))
+        },
+        acc => acc.getField("out")).as("packed"))
+    folded.select(col("bucket"), explode(col("packed")).as("p"))
+      .select(col("p.id").as("id"), col("bucket"),
+        col("p.len").as("n_tokens"), col("p.shard").as("shard"),
+        col("p.offset").as("offset"))
+  }
 }

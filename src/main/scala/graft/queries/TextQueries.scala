@@ -115,6 +115,18 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D43: truncation-free packing — next-fit-decreasing whole-document
+    * shards (see [[graft.operators.Pack.nextFitDecreasing]]); same
+    * bucket/budget dials as [[sequencePack]] so the two recipes
+    * compare directly.
+    */
+  def sequencePackNextFit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Pack.nextFitDecreasing(Tables.documents(spark, dir),
+        col("doc_id"), TextFunctions.tokenCount(col("text")),
+        pmod(col("doc_id"), lit(8)), budget = 512L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** D29: intra-document repetition scoring (Gopher/MassiveText-style
     * quality signals): the fraction of trigram occurrences that are
     * duplicates (positional shingles vs their distinct set — pure

@@ -441,6 +441,75 @@ class OperatorsSpec extends AnyFunSuite {
     assert(est2 == est, s"round-tripped sketches drifted: $est2 vs $est")
   }
 
+  test("next-fit-decreasing packing: whole docs, budget respected, NFD reference order") {
+    import spark.implicits._
+    import graft.operators.Pack
+    // one bucket, budget 10, lengths 7,5,4,3,3,2,12 (12 is oversized)
+    val docs = Seq((1L, 7L), (2L, 5L), (3L, 4L), (4L, 3L), (5L, 3L),
+      (6L, 2L), (7L, 12L)).toDF("id", "n")
+    val got = Pack.nextFitDecreasing(docs, col("id"), col("n"), lit(0), 10L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // NFD order by (len desc, id): 7(12) 1(7) 2(5) 3(4) 4(3) 5(3) 6(2)
+    // shard 0: [12] oversized alone; shard 1: 7 (5 doesn't fit);
+    // shard 2: 5+4 (3 doesn't fit at fill 9+3>10... 9+3=12>10);
+    // shard 3: 3+3+2
+    assert(got == Map(
+      7L -> ((12L, 0L, 0L)),
+      1L -> ((7L, 1L, 0L)),
+      2L -> ((5L, 2L, 0L)),
+      3L -> ((4L, 2L, 5L)),
+      4L -> ((3L, 3L, 0L)),
+      5L -> ((3L, 3L, 3L)),
+      6L -> ((2L, 3L, 6L))), s"assignments diverge: $got")
+
+    // corpus-level invariants at the gate dials: every doc exactly
+    // once, no truncation (offset + len <= budget unless singleton
+    // oversized), shards contiguous from 0 per bucket
+    val corpus = graft.queries.TextQueries.sequencePackNextFit(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(corpus.length == n && corpus.map(_._1).distinct.length == n)
+    corpus.foreach { case (id, _, len, _, off) =>
+      assert(off + len <= 512 || off == 0,
+        s"doc $id truncated: off=$off len=$len")
+    }
+    corpus.groupBy(_._2).foreach { case (bucket, rows) =>
+      val shards = rows.map(_._4).distinct.sorted.toSeq
+      assert(shards == (0L until shards.length.toLong).toSeq,
+        s"bucket $bucket shards not contiguous: $shards")
+    }
+  }
+
+  test("FIM transform: reassembling prefix+middle+suffix recovers every document") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = graft.queries.TextQueries.fimTransform(spark, sfDir).collect()
+    assert(out.length == docs.size)
+    var applied = 0
+    out.foreach { r =>
+      val (id, isFim, t) = (r.getLong(0), r.getBoolean(1), r.getString(2))
+      if (!isFim) assert(t == docs(id), s"passthrough doc $id must be untouched")
+      else {
+        applied += 1
+        // <PRE>p<SUF>s<MID>m  ->  p + m + s == original
+        val m1 = t.indexOf("<PRE>"); val m2 = t.indexOf("<SUF>")
+        val m3 = t.indexOf("<MID>")
+        assert(m1 == 0 && m2 > 0 && m3 > m2, s"doc $id malformed: $t")
+        val p = t.substring(5, m2)
+        val s = t.substring(m2 + 5, m3)
+        val m = t.substring(m3 + 5)
+        assert(p + m + s == docs(id), s"doc $id does not reassemble")
+      }
+    }
+    // the hash coin picks roughly half
+    assert(applied > out.length / 4 && applied < out.length * 3 / 4,
+      s"$applied of ${out.length} FIM'd")
+  }
+
   test("BPE training: textbook merges, monotone structure, deterministic, compresses") {
     import graft.operators.Bpe
     // Sennrich et al. 2016's worked example (no end-of-word marker):
