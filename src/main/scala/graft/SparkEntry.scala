@@ -117,6 +117,7 @@ object SparkEntry {
     "bucketed_join"      -> (WarehouseQueries.bucketedJoin _),
     "table_profile"      -> (WarehouseQueries.tableProfile _),
     "data_expectations"  -> (WarehouseQueries.dataExpectations _),
+    "pagerank_centrality" -> (WarehouseQueries.pagerankCentrality _),
     "bm25_search"        -> (WarehouseQueries.bm25Search _),
     "fuzzy_name_match"   -> (WarehouseQueries.fuzzyNameMatch _),
     "events_sliding_agg" -> (WarehouseQueries.eventsSlidingAgg _),
@@ -400,7 +401,44 @@ object SparkEntry {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** Integer PageRank oracle: fixed iterations unroll into chained
+    * CTEs (no recursion needed — the generator emits r1..rI), each one
+    * aggregate over the outdegree-joined edges plus the base term.
+    * Every operation is BIGINT arithmetic (integer sums are
+    * order-independent, `//` matches Spark's DIV on non-negatives) —
+    * hash-exact.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.id,
+         |    (SELECT base FROM params) + (85 * COALESCE(s.c, 0)) // 100 AS "rank"
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, SUM(r."rank" // e.outdeg) AS c
+         |    FROM eo e JOIN r${k - 1} r ON r.id = e.src
+         |    GROUP BY e.dst) s ON s.dst = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM cs
+       |  UNION SELECT s, c FROM cs),
+       |nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+       |  UNION ALL SELECT s_suppkey + 1000000 FROM supplier),
+       |params AS (SELECT CAST(1000000000 // COUNT(*) AS BIGINT) AS r0,
+       |  CAST((15 * (1000000000 // COUNT(*))) // 100 AS BIGINT) AS base
+       |  FROM nodes),
+       |outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |eo AS (SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outd o USING (src)),
+       |r0 AS (SELECT id, (SELECT r0 FROM params) AS "rank" FROM nodes),
+       |$iterCtes
+       |SELECT id, CAST("rank" AS BIGINT) AS "rank" FROM r$iters
+       |ORDER BY id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "pagerank_centrality" -> pageRankOracle(10),
+
     "vocab_tokenize" -> vocabTokenizeOracle(
       graft.queries.TextQueries.SubwordVocab, 3),
     "vocab_tokenize_ids" -> vocabTokenizeIdsOracle(

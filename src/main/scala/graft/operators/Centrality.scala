@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-analysis centrality (PageRank, Brin & Page 1998) — the graph
+  * quality signal web-corpus curation uses (Common Crawl publishes
+  * exactly this family over its host graph).
+  *
+  * FIXED-POINT formulation: ranks are integer micro-units
+  * (SCALE = 10⁹ ≈ total mass SCALE·1), every step is integer
+  * arithmetic —
+  * {{{ r₀(v) = SCALE div N
+  *     r_{k+1}(v) = base + (85 · Σ_{(u,v)∈E} (r_k(u) div outdeg(u))) div 100
+  *     base = (15 · (SCALE div N)) div 100 }}}
+  * Integer sums are order-independent and integer division is
+  * engine-independent, so the WHOLE iteration is bit-reproducible
+  * under any partitioning — which is what makes a distributed
+  * PageRank hash-oracle-able (the float formulation's per-dst sums
+  * reorder across engines). The deterministic floor-rounding loss is
+  * bounded by outdeg per edge per step — immaterial for a ranking
+  * signal, and identical everywhere.
+  *
+  * Scale shape: the classic iterative plan — edges pre-joined with
+  * outdegree once (one shuffle, reused every step via checkpoint);
+  * each iteration is one join (ranks ⋈ edges on src) + one
+  * partial-aggregated groupBy(dst) + a left join back to the node
+  * set; `localCheckpoint` cuts the growing lineage each step (in
+  * cluster terms: iterations materialize — the standard Pregel-style
+  * recipe). Iterations are fixed (default 10), not convergence-gated
+  * — deterministic cost AND deterministic output.
+  */
+object Centrality {
+
+  val Scale = 1000000000L
+
+  /** @param edges (src, dst) BIGINT pairs — direction respected; pass
+    *        both directions for an undirected graph. Duplicates are
+    *        collapsed.
+    * @param nodes (id) — the full node universe (isolated nodes keep
+    *        the base rank).
+    * @return (id, rank) — integer micro-ranks.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame,
+               iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty node set")
+    val r0 = Scale / n
+    val base = (15L * r0) / 100L
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // contribution denominator rides each edge: one join, reused by
+    // every iteration through the checkpoint
+    val eo = e.join(out, "src").localCheckpoint()
+    var ranks = nodes.select(col("id"), lit(r0).as("rank")).localCheckpoint()
+    var it = 0
+    while (it < iterations) {
+      val contrib = eo.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("`rank` DIV outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes.select(col("id"))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
+        .localCheckpoint()
+      it += 1
+    }
+    ranks
+  }
+}

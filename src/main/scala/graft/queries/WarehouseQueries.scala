@@ -241,6 +241,32 @@ object WarehouseQueries {
       .orderBy(col("user_id"))
   }
 
+  /** C28: link-analysis centrality over the customer–supplier
+    * bipartite trade graph (undirected: both directions inserted) —
+    * the integer fixed-point PageRank of
+    * [[graft.operators.Centrality]], 10 iterations; every step is
+    * integer arithmetic so the distributed result hash-matches the
+    * unrolled-SQL oracle exactly.
+    */
+  def pagerankCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val off = lit(1000000L)
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + off).as("s"))
+      .distinct()
+    val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+    val nodes = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("id"))
+      .unionAll(Tables.supplier(spark, dir)
+        .select((col("s_suppkey") + off).as("id")))
+    graft.operators.Centrality.pageRank(edges, nodes, iterations = 10)
+      .orderBy(col("id"))
+  }
+
   /** C27: declarative data-quality expectations over the orders fact
     * (see [[graft.operators.Expectations]]) — row rules + uniqueness
     * in one wide-aggregate scan, referential integrity as a broadcast

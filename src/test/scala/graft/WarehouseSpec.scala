@@ -540,6 +540,39 @@ class WarehouseSpec extends AnyFunSuite {
     assert(math.abs(r0.getDouble(3) - z) < 1e-6)
   }
 
+  test("integer PageRank: matches the driver recursion exactly, hub dominates, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.Centrality
+    // undirected star: hub 0 <-> {1,2,3,4}
+    val ePairs = (1L to 4L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val edges = ePairs.toDF("src", "dst")
+    val nodes = (0L to 4L).toDF("id")
+    val got = Centrality.pageRank(edges, nodes, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // the same integer recursion, folded on the driver
+    val out = ePairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inc = ePairs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val n = 5L
+    val r0 = Centrality.Scale / n
+    val base = (15L * r0) / 100L
+    var ranks = (0L to 4L).map(_ -> r0).toMap
+    (1 to 10).foreach { _ =>
+      ranks = (0L to 4L).map { v =>
+        val s = inc.getOrElse(v, Nil).map(u => ranks(u) / out(u)).sum
+        v -> (base + (85L * s) / 100L)
+      }.toMap
+    }
+    assert(got == ranks, s"got $got want $ranks")
+    assert(got(0L) == got.values.max, "hub must rank highest")
+    assert(got(1L) == got(2L) && got(2L) == got(3L), "leaves symmetric")
+
+    // integer arithmetic => identical under any partitioning
+    val re = Centrality.pageRank(edges.repartition(7), nodes.repartition(3), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == got)
+  }
+
   test("expectations: planted violations counted exactly, clean rules pass") {
     import spark.implicits._
     import graft.operators.Expectations
