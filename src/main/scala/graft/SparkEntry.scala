@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_simhash"      -> (TextQueries.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
     "dedup_resolve"      -> (TextQueries.dedupResolve _),
+    "dedup_cluster_sizes" -> (TextQueries.dedupClusterSizes _),
     "dedup_incremental"  -> (TextQueries.dedupIncremental _),
     "dedup_repeated_spans" -> (TextQueries.dedupRepeatedSpans _),
     "dedup_char_spans"   -> (TextQueries.dedupCharSpans _),
@@ -1188,6 +1189,35 @@ object SparkEntry {
         |  LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS canonical_id
         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // the dedup_resolve closure + two aggregates
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM t),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT ida, idb FROM pairs
+        |  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |und AS (SELECT ida AS src, idb AS dst FROM edges
+        |  UNION ALL SELECT idb, ida FROM edges),
+        |reach AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
+        |canon AS (
+        |  SELECT d.doc_id,
+        |    LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS canonical_id
+        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |  GROUP BY d.doc_id),
+        |cl AS (SELECT canonical_id, COUNT(*) AS sz FROM canon GROUP BY canonical_id)
+        |SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+        |FROM cl GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
     // Incremental admission, closed-form: even ids = existing corpus,
     // odd ids = incoming. Valid as an oracle because LSH candidate

@@ -49,6 +49,22 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D17b: dedup-audit cluster-size distribution — how many duplicate
+    * groups exist at each size (the first chart any dedup report
+    * shows; a fat tail means boilerplate cliques). Composes the D17
+    * resolution with two tiny aggregates — the expensive edges/CC work
+    * is the same plan as `dedup_resolve`.
+    */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = Dedup.similarityJoinEdges(docs, "text", "doc_id")
+    Dedup.connectedComponents(edges, docs.select(col("doc_id").as("id")))
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** D26: duplicated-span removal — strips every token position
     * covered by a 4-gram that occurs ≥2 times corpus-wide. The word
     * domain in the synthetic corpus is small, so cross-doc repeated

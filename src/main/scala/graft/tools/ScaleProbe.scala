@@ -321,6 +321,28 @@ object ScaleProbe {
       graft.operators.Bpe.train(docs, "text", numMerges = 64)
         .vocab.length.toLong
     }
+    t("pack_nextfit") {
+      // bucket count scales with the corpus (the parallelism dial):
+      // per-bucket arrays stay one task's comfortable size
+      graft.operators.Pack.nextFitDecreasing(docs, col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        pmod(col("doc_id"), lit(8 * mult)), budget = 512L).count()
+    }
+    t("pagerank") {
+      val off = lit(1000000L)
+      val cs = graft.sources.Tables.orders(spark, dir).crossJoin(copies)
+        .select((col("o_orderkey") * mult + col("copy")).as("ok"),
+          (col("o_custkey") * mult + col("copy")).as("c"))
+        .join(li.select(col("l_orderkey"), col("l_suppkey")),
+          col("ok") === col("l_orderkey"))
+        .select(col("c"), (col("l_suppkey") + off).as("s"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+      val nodes = cs.select(col("c").as("id"))
+        .unionAll(cs.select(col("s").as("id"))).distinct()
+      graft.operators.Centrality.pageRank(edges, nodes, iterations = 10).count()
+    }
     spark.stop()
   }
 }
