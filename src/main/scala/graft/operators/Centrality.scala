@@ -50,22 +50,29 @@ object Centrality {
     val base = (15L * r0) / 100L
     val e = edges.select(col("src"), col("dst")).distinct()
     val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // contribution denominator rides each edge: one join, reused by
-    // every iteration through the checkpoint
+    // materialize BOTH loop-invariant inputs once: the edge+outdegree
+    // join AND the node set (every iteration joins nodes — without the
+    // checkpoint each one re-plans the upstream source scan)
     val eo = e.join(out, "src").localCheckpoint()
-    var ranks = nodes.select(col("id"), lit(r0).as("rank")).localCheckpoint()
+    val ns = nodes.select(col("id")).localCheckpoint()
+    var ranks = ns.select(col("id"), lit(r0).as("rank")).localCheckpoint()
     var it = 0
     while (it < iterations) {
       val contrib = eo.join(ranks, col("src") === col("id"))
         .select(col("dst"), expr("`rank` DIV outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes.select(col("id"))
+      val next = ns
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(base) +
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
-        .localCheckpoint()
       it += 1
+      // cut lineage every other step (and at the end): one
+      // materialization buys two iterations of plan growth — halves
+      // the per-step job overhead that dominates small-graph runs
+      // without letting the DAG compound
+      ranks = if (it % 2 == 0 || it == iterations) next.localCheckpoint()
+              else next
     }
     ranks
   }

@@ -448,6 +448,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming quality monitoring totals equal the batch expectation scan") {
+    import spark.implicits._
+    import graft.operators.Expectations
+    val rules = Seq(
+      Expectations.notNull("fk"),
+      Expectations.inRange("amount", 0.0, 100.0),
+      Expectations.inSet("status", Seq("O", "F")))
+    val rows = Seq(
+      (Option(1L), 50.0, "O"), (Option(2L), -5.0, "O"),
+      (None: Option[Long], 60.0, "F"), (Option(3L), 70.0, "X"),
+      (Option(4L), 200.0, "F"), (None: Option[Long], 300.0, "Y"))
+    val base = java.nio.file.Files.createTempDirectory("graft_squal")
+      .toFile.getAbsolutePath
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Option[Long], Double, String)](spark, 80)
+    val q = graft.streaming.StreamingQuality.start(
+      src.toDS().toDF("fk", "amount", "status"), rules,
+      s"$base/lake", s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      src.addData(rows.take(2): _*); q.processAllAvailable()
+      src.addData(rows.slice(2, 5): _*); q.processAllAvailable()
+      src.addData(rows.drop(5): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.streaming.StreamingQuality.totals(spark, s"$base/lake")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val batch = Expectations.check(rows.toDF("fk", "amount", "status"),
+        rowRules = rules)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // the per-batch history is the monitoring series: 3 rows per rule
+    assert(spark.read.parquet(s"$base/lake").count() == 3L * rules.length)
+  }
+
   test("streaming trending heavy hitters equals the one-shot batch operator") {
     import spark.implicits._
     // skewed occurrence stream: unique occurrence ids, known heavies
