@@ -111,6 +111,7 @@ object SparkEntry {
     "ann_pq_topk"        -> (VectorQueries.annPq _),
     "ann_ivfpq_topk"     -> (VectorQueries.annIvfPq _),
     "dedup_semantic"     -> (VectorQueries.dedupSemantic _),
+    "ann_recall_report"  -> (VectorQueries.annRecallReport _),
     "ann_quantized_topk" -> (VectorQueries.annQuantized _),
     // §2 round-5 additions — warehouse + retrieval surface
     "scd2_history"       -> (WarehouseQueries.scd2History _),
@@ -2212,10 +2213,28 @@ object SparkEntry {
     val bpe = graft.operators.Bpe.trainCached(
       s"documents:$sfDir", graft.sources.Tables.documents(spark, sfDir),
       "text", numMerges = 64)
+    // the recall report composes the per-method oracles as subqueries
+    // (DuckDB allows WITH inside a parenthesized subquery) against the
+    // static brute-force/LSH oracles; hits are exact intersections
+    def sub(sql: String) = s"SELECT qid, id FROM ($sql)"
+    val recallReport =
+      s"""WITH bf AS (${sub(oracleSql("ann_bruteforce_topk"))}),
+         |l AS (${sub(oracleSql("ann_lsh_topk"))}),
+         |i AS (${sub(ivfOracle(cents, k = 10, nprobe = 2))}),
+         |p AS (${sub(pqOracle(pqBooks, k = 10, poolMult = 4))}),
+         |c AS (${sub(ivfpqOracle(ivfpq, k = 10, nprobe = 2, poolMult = 4))})
+         |SELECT method, hits, CAST(hits AS DOUBLE) / 50.0 AS recall_at_10
+         |FROM (
+         |  SELECT 'ivf' AS method, COUNT(*) AS hits FROM i JOIN bf USING (qid, id)
+         |  UNION ALL SELECT 'ivfpq', COUNT(*) FROM c JOIN bf USING (qid, id)
+         |  UNION ALL SELECT 'lsh', COUNT(*) FROM l JOIN bf USING (qid, id)
+         |  UNION ALL SELECT 'pq', COUNT(*) FROM p JOIN bf USING (qid, id))
+         |ORDER BY method""".stripMargin
     Map(
       "ann_ivf_topk" -> ivfOracle(cents, k = 10, nprobe = 2),
       "ann_pq_topk" -> pqOracle(pqBooks, k = 10, poolMult = 4),
       "ann_ivfpq_topk" -> ivfpqOracle(ivfpq, k = 10, nprobe = 2, poolMult = 4),
+      "ann_recall_report" -> recallReport,
       "dedup_semantic" -> semDedupOracle(cents, threshold = 0.35),
       "vocab_bpe_tokenize" -> vocabTokenizeOracle(bpe.vocab,
         graft.operators.Bpe.maxTokenLen(bpe)))

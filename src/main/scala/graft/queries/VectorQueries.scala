@@ -106,6 +106,28 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** D7e: ANN self-audit — recall@10 of every approximate path against
+    * the exact brute force, AS a gate query: the quality/IO trade
+    * every index family makes is itself measured, oracled, and
+    * hash-checked each round (50 = 5 queries × k=10 ground-truth
+    * pairs; hits are exact set intersections, so the only arithmetic
+    * is one int/const division).
+    */
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteForce(spark, dir).select(col("qid"), col("id"))
+    def leg(name: String, df: DataFrame): DataFrame =
+      df.select(col("qid"), col("id"))
+        .join(bf, Seq("qid", "id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("hits"),
+          (col("hits").cast("double") / 50.0).as("recall_at_10"))
+    leg("ivf", annIvf(spark, dir))
+      .unionAll(leg("ivfpq", annIvfPq(spark, dir)))
+      .unionAll(leg("lsh", annLsh(spark, dir)))
+      .unionAll(leg("pq", annPq(spark, dir)))
+      .orderBy(col("method"))
+  }
+
   /** D38: SemDeDup semantic deduplication — cluster with the SAME
     * coarse codebook as `ann_ivf_topk` (cache key shared, so Verify
     * trains once), connect within-cluster pairs at cosine ≥ 0.35 (the
