@@ -85,9 +85,12 @@ object Expectations {
           .select(col("e.rule").as("rule"), col("e.violations").as("violations")))
       }
     val refLegs = refRules.map { r =>
-      df.select(col(r.fk)).filter(col(r.fk).isNotNull)
-        .join(broadcast(r.dim.select(col(r.pk))),
-          col(r.fk) === col(r.pk), "left_anti")
+      // rename both sides: fk and pk may carry the SAME column name
+      // (a self-named key like c_custkey -> c_custkey would otherwise
+      // make the join condition ambiguous)
+      df.select(col(r.fk).as("__fk")).filter(col("__fk").isNotNull)
+        .join(broadcast(r.dim.select(col(r.pk).as("__pk"))),
+          col("__fk") === col("__pk"), "left_anti")
         .agg(count(lit(1)).as("violations"))
         .select(lit(r.name).as("rule"), col("violations"))
     }
