@@ -49,12 +49,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$runs,"stat":"median"}"""
-    println(line)
     // stdout runs through sbt and spark logging; a file is the only
     // channel guaranteed to contain exactly the JSON line.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    // Print the JSON line LAST, alone on its own line, AFTER the noisy
+    // spark.stop() teardown logging — the driver tails stdout for it.
     spark.stop()
+    System.out.println(line)
+    System.out.flush()
   }
 }

@@ -120,6 +120,7 @@ object SparkEntry {
     "table_profile"      -> (WarehouseQueries.tableProfile _),
     "data_expectations"  -> (WarehouseQueries.dataExpectations _),
     "pagerank_centrality" -> (WarehouseQueries.pagerankCentrality _),
+    "pagerank_personalized" -> (WarehouseQueries.pagerankPersonalized _),
     "bm25_search"        -> (WarehouseQueries.bm25Search _),
     "fuzzy_name_match"   -> (WarehouseQueries.fuzzyNameMatch _),
     "events_sliding_agg" -> (WarehouseQueries.eventsSlidingAgg _),
@@ -399,7 +400,7 @@ object SparkEntry {
        |        ), 2, 1000000000))) AS ids
        |  FROM t)
        |SELECT doc_id, CAST(len(ids) AS INTEGER) AS n_tokens,
-       |  list_transform(ids, x -> CAST(x AS INTEGER)) AS token_ids
+       |  array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), '-') AS token_ids
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
@@ -438,8 +439,46 @@ object SparkEntry {
        |ORDER BY id""".stripMargin
   }
 
+  /** Personalized PageRank oracle: same unrolled-CTE shape as
+    * [[pageRankOracle]] with a per-node teleport share t(v) (BUILDING
+    * customers weight 1, all else 0) replacing the scalar base — the
+    * per-node `(15·t) // 100` term rides the nodes CTE through every
+    * iteration. All-BIGINT, hash-exact.
+    */
+  private def personalizedPageRankOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.id,
+         |    (15 * n.t) // 100 + (85 * COALESCE(s.c, 0)) // 100 AS "rank"
+         |  FROM tv n LEFT JOIN (
+         |    SELECT e.dst, SUM(r."rank" // e.outdeg) AS c
+         |    FROM eo e JOIN r${k - 1} r ON r.id = e.src
+         |    GROUP BY e.dst) s ON s.dst = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM cs
+       |  UNION SELECT s, c FROM cs),
+       |nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+       |    CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS w
+       |  FROM customer
+       |  UNION ALL SELECT s_suppkey + 1000000, 0 FROM supplier),
+       |tv AS (SELECT id,
+       |    CAST((1000000000 * w) // (SELECT SUM(w) FROM nodes) AS BIGINT) AS t
+       |  FROM nodes),
+       |outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |eo AS (SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outd o USING (src)),
+       |r0 AS (SELECT id, t AS "rank" FROM tv),
+       |$iterCtes
+       |SELECT id, CAST("rank" AS BIGINT) AS "rank" FROM r$iters
+       |ORDER BY id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "pagerank_centrality" -> pageRankOracle(10),
+    "pagerank_personalized" -> personalizedPageRankOracle(10),
 
     "vocab_tokenize" -> vocabTokenizeOracle(
       graft.queries.TextQueries.SubwordVocab, 3),
@@ -1075,6 +1114,13 @@ object SparkEntry {
       """SELECT word, COUNT(*) AS freq FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
         |GROUP BY word ORDER BY freq DESC, word LIMIT 50""".stripMargin,
+
+    // D22's exact-verified join-back: the sketch only nominates; the
+    // emitted counts are exact, so the oracle is the exact top-10
+    "vocab_heavy_hitters" ->
+      """SELECT word, COUNT(*) AS freq FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |GROUP BY word ORDER BY freq DESC, word LIMIT 10""".stripMargin,
 
     "topk_per_group_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (

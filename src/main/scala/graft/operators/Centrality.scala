@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   * outdegree once (one shuffle, reused every step via checkpoint);
   * each iteration is one join (ranks ⋈ edges on src) + one
   * partial-aggregated groupBy(dst) + a left join back to the node
-  * set; `localCheckpoint` cuts the growing lineage each step (in
-  * cluster terms: iterations materialize — the standard Pregel-style
-  * recipe). Iterations are fixed (default 10), not convergence-gated
+  * set; [[Materialize.cut]] severs the growing lineage each step
+  * (reliable `checkpoint` when the session set a checkpoint dir,
+  * `localCheckpoint` locally — the standard Pregel-style recipe).
+  * Iterations are fixed (default 10), not convergence-gated
   * — deterministic cost AND deterministic output.
   */
 object Centrality {
@@ -53,9 +54,9 @@ object Centrality {
     // materialize BOTH loop-invariant inputs once: the edge+outdegree
     // join AND the node set (every iteration joins nodes — without the
     // checkpoint each one re-plans the upstream source scan)
-    val eo = e.join(out, "src").localCheckpoint()
-    val ns = nodes.select(col("id")).localCheckpoint()
-    var ranks = ns.select(col("id"), lit(r0).as("rank")).localCheckpoint()
+    val eo = Materialize.cut(e.join(out, "src"))
+    val ns = Materialize.cut(nodes.select(col("id")))
+    var ranks = Materialize.cut(ns.select(col("id"), lit(r0).as("rank")))
     var it = 0
     while (it < iterations) {
       val contrib = eo.join(ranks, col("src") === col("id"))
@@ -71,7 +72,58 @@ object Centrality {
       // materialization buys two iterations of plan growth — halves
       // the per-step job overhead that dominates small-graph runs
       // without letting the DAG compound
-      ranks = if (it % 2 == 0 || it == iterations) next.localCheckpoint()
+      ranks = if (it % 2 == 0 || it == iterations) Materialize.cut(next)
+              else next
+    }
+    ranks
+  }
+
+  /** Personalized (seed-biased) PageRank — teleport mass concentrates
+    * on a weighted seed set instead of spreading uniformly, so rank
+    * becomes "trust flowing out of the seeds": the TrustRank /
+    * domain-trust signal web-corpus curation layers on top of plain
+    * centrality (seed = vetted hosts; rank = crawl-quality prior).
+    *
+    * Same integer fixed point as [[pageRank]], with a per-node base
+    * vector instead of a scalar:
+    * {{{ t(v)     = (SCALE · w(v)) div Σw          // teleport share
+    *     r₀(v)    = t(v)
+    *     r_{k+1}(v) = (15·t(v)) div 100
+    *                + (85 · Σ_{(u,v)∈E} (r_k(u) div outdeg(u))) div 100 }}}
+    * All arithmetic is BIGINT, so the distributed run hash-matches an
+    * unrolled-CTE oracle bit-exactly. Nodes with zero teleport weight
+    * receive rank only through links — the defining property.
+    *
+    * @param edges    (src, dst) BIGINT pairs; duplicates collapsed.
+    * @param teleport (id, weight) — the FULL node universe with a
+    *        non-negative BIGINT weight per node (0 for non-seeds).
+    *        Weights need not be normalized.
+    * @return (id, rank) integer micro-ranks.
+    */
+  def personalizedPageRank(edges: DataFrame, teleport: DataFrame,
+                           iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val wsum = teleport.agg(sum(col("weight"))).head().getLong(0)
+    require(wsum > 0, "personalizedPageRank: teleport weights sum to 0")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eo = Materialize.cut(e.join(out, "src"))
+    // loop-invariant per-node teleport share (the base VECTOR)
+    val ns = Materialize.cut(teleport.select(col("id"),
+      expr(s"($Scale * weight) DIV $wsum").as("t")))
+    var ranks = Materialize.cut(ns.select(col("id"), col("t").as("rank")))
+    var it = 0
+    while (it < iterations) {
+      val contrib = eo.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("`rank` DIV outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val next = ns
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (expr("(15 * t) DIV 100") +
+            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
+      it += 1
+      ranks = if (it % 2 == 0 || it == iterations) Materialize.cut(next)
               else next
     }
     ranks

@@ -203,7 +203,9 @@ object Dedup {
     * step (label := label-of-label) each round, so chains collapse in
     * O(log diameter) rounds instead of O(diameter) — a 50-hop path
     * converges in ~6 rounds. Lineage is truncated per round with
-    * localCheckpoint; the convergence probe is a filter over the
+    * [[Materialize.cut]] (reliable checkpoint under a session
+    * checkpoint dir, localCheckpoint otherwise); the convergence
+    * probe is a filter over the
     * just-materialized round output (the old label travels with the
     * row), NOT an extra join job.
     *
@@ -214,14 +216,14 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIters: Int = 20): DataFrame = {
-    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+    val und = Materialize.cut(
+      edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
     // Iterate only over edge-incident nodes — dup clusters are a small
     // fraction of any real corpus, so the loop's frames stay tiny;
     // isolated nodes join back (label = own id) once at the end.
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    var labels = Materialize.cut(und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -235,10 +237,10 @@ object Dedup {
       // are always node ids of the same component, so this only ever
       // shortcuts toward the component minimum.
       val lookup = prop.select(col("id").as("pid"), col("mid").as("plabel"))
-      val next = prop.join(lookup, col("mid") === col("pid"), "left")
-        .select(col("id"), col("old"),
-          least(col("mid"), coalesce(col("plabel"), col("mid"))).as("label"))
-        .localCheckpoint()
+      val next = Materialize.cut(
+        prop.join(lookup, col("mid") === col("pid"), "left")
+          .select(col("id"), col("old"),
+            least(col("mid"), coalesce(col("plabel"), col("mid"))).as("label")))
       converged = next.filter(col("label") =!= col("old")).isEmpty
       labels = next.select(col("id"), col("label"))
       iter += 1

@@ -300,7 +300,12 @@ object TextQueries {
           s => coalesce(element_at(idMap, s), lit(v) + ascii(s)))
           .as("token_ids"))
       .select(col("doc_id"), size(col("token_ids")).as("n_tokens"),
-        col("token_ids"))
+        // scalar serialization, not a bare array<int>: downstream
+        // row-hash harnesses can't sort/hash list cells, and the
+        // '-'-joined form is byte-identical across engines for
+        // non-negative ids
+        concat_ws("-", transform(col("token_ids"), i => i.cast("string")))
+          .as("token_ids"))
       .orderBy(col("doc_id"))
   }
 
@@ -433,8 +438,13 @@ object TextQueries {
 
   /** D22: count-min-sketch heavy hitters — the scale path for "most
     * frequent tokens" (vocab_top_words' exact twin shuffles the whole
-    * token domain; this never does). Rows-only: sketch estimates are
-    * engine-specific; OperatorsSpec pins them against the exact counts.
+    * token domain; this never does). The sketch nominates a top-20
+    * candidate slate, then a join-back pass counts ONLY those ≤20
+    * words exactly (broadcast semi-filter + partial agg — the wide
+    * token-domain shuffle still never happens) and re-ranks by exact
+    * frequency. CMS never undercounts and the exact top-10 always
+    * survives nomination (OperatorsSpec pins both), so the output is
+    * the exact top-10 — oracle-able even though a sketch drove it.
     */
   def vocabHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val occ = Tables.documents(spark, dir)
@@ -442,8 +452,12 @@ object TextQueries {
         posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "word")))
     // (doc_id, pos) is unique PER OCCURRENCE — required for the
     // nomination coin independence (see HeavyHitters.topK scaladoc)
-    graft.operators.HeavyHitters.topK(occ,
+    val candidates = graft.operators.HeavyHitters.topK(occ,
       struct(col("doc_id"), col("pos")), col("word"), 20)
+    occ.join(broadcast(candidates.select(col("word"))), "word")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(10)
   }
 
   /** D21: deterministic mixture resampling — documents stratified by

@@ -267,6 +267,36 @@ object WarehouseQueries {
       .orderBy(col("id"))
   }
 
+  /** C28b: PERSONALIZED PageRank over the same trade graph — teleport
+    * mass only on BUILDING-segment customers (weight 1; everyone else
+    * 0), so rank measures "trust" flowing out of that seed cohort
+    * through trade links (see
+    * [[graft.operators.Centrality.personalizedPageRank]]). Suppliers
+    * acquire rank purely via links — a non-uniform teleport row the
+    * uniform oracle cannot fake.
+    */
+  def pagerankPersonalized(spark: SparkSession, dir: String): DataFrame = {
+    val off = lit(1000000L)
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + off).as("s"))
+      .distinct()
+    val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+    val teleport = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("id"),
+        when(col("c_mktsegment") === "BUILDING", lit(1L)).otherwise(lit(0L))
+          .as("weight"))
+      .unionAll(Tables.supplier(spark, dir)
+        .select((col("s_suppkey") + off).as("id"), lit(0L).as("weight")))
+    graft.operators.Centrality.personalizedPageRank(edges, teleport,
+        iterations = 10)
+      .orderBy(col("id"))
+  }
+
   /** C27: declarative data-quality expectations over the orders fact
     * (see [[graft.operators.Expectations]]) — row rules + uniqueness
     * in one wide-aggregate scan, referential integrity as a broadcast

@@ -334,4 +334,39 @@ object EventsStream {
       .transformWithState(new GapSessionProcessor(gapSeconds),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** E2d: the NO-TIMEOUT sessionizer ([[sessionize]]) on
+    * `transformWithState` — completes the v2 port: every fMGWS path
+    * now has a tws twin. TimeMode.None means no timers at all; idle
+    * sessions stay in state until the next event for that user closes
+    * them, exactly like the v1 NoTimeout variant. Same in-batch
+    * [[foldBatch]] merge, so StreamingSpec pins the two emissions
+    * equal row-for-row.
+    */
+  class GapSessionNoTimerProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      session = getHandle.getValueState("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val prev = if (session.exists()) Some(session.get()) else None
+      val (cur, closed) = foldBatch(userId, sorted, prev, gapSeconds * 1000000L)
+      cur.foreach(session.update)
+      closed.iterator
+    }
+  }
+
+  def sessionizeTwsNoTimeout(events: Dataset[Event],
+                             gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new GapSessionNoTimerProcessor(gapSeconds),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -267,7 +267,13 @@ class OperatorsSpec extends AnyFunSuite {
     val totalTokens = Tables.documents(spark, sfDir)
       .agg(sum(graft.functions.TextFunctions.tokenCount(col("text"))))
       .head().getLong(0)
-    val est = graft.queries.TextQueries.vocabHeavyHitters(spark, sfDir)
+    // sketch-level pins, against the raw CMS slate (the query's
+    // join-back layer would mask an undercount)
+    val occ = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextFunctions.tokens(col("text"))).as(Seq("pos", "word")))
+    val est = graft.operators.HeavyHitters.topK(occ,
+        struct(col("doc_id"), col("pos")), col("word"), 20)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     exact.foreach { case (w, f) =>
       assert(est.contains(w), s"true heavy hitter '$w' missing from sketch top-k")
@@ -275,6 +281,11 @@ class OperatorsSpec extends AnyFunSuite {
       assert(est(w) - f <= math.max(2, (0.001 * totalTokens).toLong),
         s"$w overestimated: est=${est(w)} exact=$f")
     }
+    // query-level pin: the exact-verified join-back equals the exact top-10
+    val verified = graft.queries.TextQueries.vocabHeavyHitters(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(verified == exact.toSeq,
+      s"exact-verified heavy hitters must equal the exact top-10: $verified vs ${exact.toSeq}")
   }
 
   test("mixture resample: deterministic, prefix-stable, near-target fractions") {

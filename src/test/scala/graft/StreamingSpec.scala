@@ -448,6 +448,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("tws NoTimeout sessionizer emits exactly the fMGWS NoTimeout sessions across batches") {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventsStream.Event]
+      .collect().toSeq
+    // split into two batches mid-stream so sessions span a state
+    // round-trip in both engines; chronological split keeps the
+    // scenario realistic (state carries OPEN sessions forward)
+    val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = sorted.splitAt(sorted.length / 2)
+    def run(name: String, mk: org.apache.spark.sql.Dataset[EventsStream.Event] =>
+        org.apache.spark.sql.Dataset[EventsStream.Session]): Set[(Long, Long, Long, Long)] = {
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event](
+        spark, name.hashCode.abs % 1000 + 300)
+      val q = mk(src.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        src.addData(b1); q.processAllAvailable()
+        src.addData(b2); q.processAllAvailable()
+        spark.table(name).as[EventsStream.Session].collect()
+          .map(s => (s.user_id, s.t_start.getTime, s.t_end.getTime, s.n_events))
+          .toSet
+      } finally q.stop()
+    }
+    val v1 = withStateStoreProvider(stateStoreVariants.head._1) {
+      run("sess_v1_parity", EventsStream.sessionize(_, gapSeconds = 4 * 3600))
+    }
+    // transformWithState mandates the RocksDB provider
+    val v2 = withStateStoreProvider(stateStoreVariants.last._1) {
+      run("sess_tws_parity",
+        EventsStream.sessionizeTwsNoTimeout(_, gapSeconds = 4 * 3600))
+    }
+    assert(v1.nonEmpty, "the two-batch split must close at least one session")
+    assert(v2 == v1, s"tws and fMGWS emissions differ: " +
+      s"only-v1=${(v1 -- v2).take(3)} only-v2=${(v2 -- v1).take(3)}")
+  }
+
   test("streaming quality monitoring totals equal the batch expectation scan") {
     import spark.implicits._
     import graft.operators.Expectations

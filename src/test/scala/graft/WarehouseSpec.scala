@@ -573,6 +573,67 @@ class WarehouseSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("personalized PageRank: matches driver recursion, seeds dominate, zero-weight isolates get 0") {
+    import spark.implicits._
+    import graft.operators.Centrality
+    // path 0-1-2-3 (undirected) + isolated 4; teleport only on node 0
+    val ePairs = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val edges = ePairs.toDF("src", "dst")
+    val teleport = Seq((0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L))
+      .toDF("id", "weight")
+    val got = Centrality.personalizedPageRank(edges, teleport, iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same integer recursion on the driver
+    val out = ePairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inc = ePairs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val t = Map(0L -> Centrality.Scale, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L)
+    var ranks = t
+    (1 to 8).foreach { _ =>
+      ranks = (0L to 4L).map { v =>
+        val s = inc.getOrElse(v, Nil).map(u => ranks(u) / out(u)).sum
+        v -> ((15L * t(v)) / 100L + (85L * s) / 100L)
+      }.toMap
+    }
+    assert(got == ranks, s"got $got want $ranks")
+    assert(got(0L) == got.values.max, "seed must rank highest")
+    // (no strict monotone decay on a reflecting path — the dead-end
+    // node 3 bounces all its mass back to 2, lifting 2 above 1)
+    assert(got(3L) < got(1L), "farthest node must rank below the seed's neighbour")
+    assert(got(4L) == 0L, "zero-weight isolated node gets no teleport and no links")
+  }
+
+  test("Materialize.cut: reliable-checkpoint path matches local path bit-exactly") {
+    import spark.implicits._
+    import graft.operators.{Centrality, Dedup}
+    val ePairs = (1L to 4L).flatMap(i => Seq((0L, i), (i, 0L))) ++
+      Seq((5L, 6L), (6L, 5L))
+    val edges = ePairs.toDF("src", "dst")
+    val nodes = (0L to 7L).toDF("id")
+    val ccEdges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 5L)).toDF("id_a", "id_b")
+    val ccNodes = (1L to 7L).toDF("id")
+    def runBoth[A](f: => A): (A, A) = {
+      val sc = spark.sparkContext
+      assert(sc.getCheckpointDir.isEmpty, "test expects no ambient checkpoint dir")
+      val local = f
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      sc.setCheckpointDir(dir)
+      // setCheckpointDir(null) resets to None (Option(null) inside)
+      try { (local, f) } finally sc.setCheckpointDir(null)
+    }
+    val (prLocal, prReliable) = runBoth {
+      Centrality.pageRank(edges, nodes, iterations = 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(prLocal == prReliable, "pageRank must be identical under both cut modes")
+    val (ccLocal, ccReliable) = runBoth {
+      Dedup.connectedComponents(ccEdges, ccNodes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(ccLocal == ccReliable,
+      "connectedComponents must be identical under both cut modes")
+    assert(ccLocal(4L) == 1L && ccLocal(7L) == 7L && ccLocal(6L) == 5L)
+  }
+
   test("expectations: planted violations counted exactly, clean rules pass") {
     import spark.implicits._
     import graft.operators.Expectations

@@ -49,6 +49,9 @@ def main():
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) > 3:  # dev-only: comma-separated key substring filter
+        pats = sys.argv[3].split(",")
+        oracles = {k: v for k, v in oracles.items() if any(p in k for p in pats)}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -63,6 +66,15 @@ def main():
         s = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         scols, srows = [c.lower() for c in s.columns], s.fetchall()
         stypes = [type_canon(t) for t in s.types]
+        # List/struct-typed output columns are rejected outright: the
+        # driver's pandas-based hasher sorts rows and dies on unhashable
+        # numpy arrays (proven by vocab_tokenize_ids in r7). Serialize
+        # nested values to scalars (concat_ws / array_to_string) instead.
+        nested = [(c, t) for c, t in list(zip(scols, stypes)) + list(zip(ocols, otypes))
+                  if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST", "ARRAY"))]
+        if nested:
+            print(f"FAIL {name}: nested-typed output cols (unhashable downstream): {sorted(set(nested))}")
+            n_fail += 1; continue
         if sorted(ocols) != sorted(scols):
             print(f"FAIL {name}: cols oracle={sorted(ocols)} spark={sorted(scols)}")
             n_fail += 1; continue
