@@ -92,6 +92,7 @@ object SparkEntry {
     "train_split"        -> (TextQueries.trainSplit _),
     "corpus_pipeline"    -> (TextQueries.corpusPipeline _),
     "decontamination"    -> (TextQueries.decontaminate _),
+    "decontamination_score" -> (TextQueries.decontaminationScore _),
     "training_order"     -> ((s, d) => TextQueries.trainingOrder(s, d)),
     "mixture_resample"   -> (TextQueries.mixtureResample _),
     "vocab_heavy_hitters" -> (TextQueries.vocabHeavyHitters _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "data_expectations"  -> (WarehouseQueries.dataExpectations _),
     "pagerank_centrality" -> (WarehouseQueries.pagerankCentrality _),
     "pagerank_personalized" -> (WarehouseQueries.pagerankPersonalized _),
+    "hits_centrality"    -> (WarehouseQueries.hitsCentrality _),
     "bm25_search"        -> (WarehouseQueries.bm25Search _),
     "fuzzy_name_match"   -> (WarehouseQueries.fuzzyNameMatch _),
     "events_sliding_agg" -> (WarehouseQueries.eventsSlidingAgg _),
@@ -476,9 +478,51 @@ object SparkEntry {
        |ORDER BY id""".stripMargin
   }
 
+  /** HITS oracle: the authority/hub half-steps unroll into chained
+    * CTEs; the integer normalizer `GREATEST(1, SUM(s) OVER () // SCALE)`
+    * mirrors the operator exactly (no s·SCALE product — overflow-safe
+    * on both engines). The normalizer is a WINDOW total, not a scalar
+    * subquery, so each CTE is referenced exactly ONCE downstream — a
+    * scalar `(SELECT SUM(s) FROM a_k_raw)` would reference the chain
+    * twice per half-step and, under CTE inlining, double the plan each
+    * of the 16 half-steps (2^16 parquet scans → fd exhaustion). DuckDB
+    * SUMs widen to HUGEINT; every emitted column is cast back to
+    * BIGINT.
+    */
+  private def hitsOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""a$k AS (
+         |  SELECT id, s // GREATEST(1, SUM(s) OVER () // 1000000000)
+         |    AS authority FROM (
+         |    SELECT n.id, COALESCE(s.c, 0) AS s FROM nodes n LEFT JOIN (
+         |      SELECT e.dst, SUM(h.hub) AS c FROM edges e
+         |      JOIN h${k - 1} h ON h.id = e.src GROUP BY e.dst) s ON s.dst = n.id)),
+         |h$k AS (
+         |  SELECT id, s // GREATEST(1, SUM(s) OVER () // 1000000000)
+         |    AS hub FROM (
+         |    SELECT n.id, COALESCE(s.c, 0) AS s FROM nodes n LEFT JOIN (
+         |      SELECT e.src, SUM(a.authority) AS c FROM edges e
+         |      JOIN a$k a ON a.id = e.dst GROUP BY e.src) s ON s.src = n.id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM cs),
+       |nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+       |  UNION ALL SELECT s_suppkey + 1000000 FROM supplier),
+       |h0 AS (SELECT id, 1000000000 // (SELECT COUNT(*) FROM nodes) AS hub
+       |  FROM nodes),
+       |$iterCtes
+       |SELECT n.id, CAST(a.authority AS BIGINT) AS authority,
+       |  CAST(h.hub AS BIGINT) AS hub
+       |FROM nodes n JOIN a$iters a ON a.id = n.id JOIN h$iters h ON h.id = n.id
+       |ORDER BY n.id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "pagerank_centrality" -> pageRankOracle(10),
     "pagerank_personalized" -> personalizedPageRankOracle(10),
+    "hits_centrality" -> hitsOracle(8),
 
     "vocab_tokenize" -> vocabTokenizeOracle(
       graft.queries.TextQueries.SubwordVocab, 3),
@@ -1866,6 +1910,23 @@ object SparkEntry {
         |FROM ex e JOIN (SELECT * FROM ex WHERE doc_id % 10 = 0) b
         |  ON e.gram = b.gram AND e.doc_id <> b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "decontamination_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 6),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |      || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS gs
+        |  FROM t),
+        |bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 0),
+        |ex AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 10 <> 0),
+        |sh AS (SELECT e.doc_id, COUNT(*) AS c FROM ex e JOIN bg USING (gram) GROUP BY 1)
+        |SELECT g.doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(s.c, 0) AS BIGINT) AS n_shared,
+        |  CAST(COALESCE(s.c, 0) AS DOUBLE) / GREATEST(len(gs), 1) AS overlap_frac
+        |FROM g LEFT JOIN sh s USING (doc_id)
+        |WHERE g.doc_id % 10 <> 0 ORDER BY g.doc_id""".stripMargin,
 
     "text_repetition_score" ->
       """WITH t AS (

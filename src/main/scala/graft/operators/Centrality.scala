@@ -128,4 +128,67 @@ object Centrality {
     }
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) — the OTHER classic
+    * link-analysis signal: on a directed graph, a good HUB points at
+    * good authorities and a good AUTHORITY is pointed at by good hubs
+    * (on a buyer→seller trade graph: hub = well-connected buyer,
+    * authority = supplier serving well-connected buyers).
+    *
+    * INTEGER fixed point, like [[pageRank]]: scores are micro-units;
+    * each iteration is
+    * {{{ a'(v) = Σ_{(u,v)∈E} h(u);   a(v) = a'(v) div d_a
+    *     h'(v) = Σ_{(v,u)∈E} a(u);   h(v) = h'(v) div d_h }}}
+    * where the normalizer `d = max(1, Σ x' div SCALE)` keeps total
+    * mass ≈ SCALE WITHOUT the `x'·SCALE` product (which would
+    * overflow BIGINT at in-degree ≥ 10) — division by a global
+    * integer is order-independent, so the whole iteration stays
+    * bit-reproducible and hash-oracle-able. Totals are computed on
+    * the just-materialized frame each half-step (a KB-scale agg job).
+    *
+    * @param edges (src, dst) BIGINT pairs, DIRECTION MATTERS;
+    *        duplicates collapsed.
+    * @param nodes (id) — full node universe (nodes with no in-edges
+    *        hold authority 0; no out-edges, hub 0).
+    * @return (id, authority, hub) integer micro-scores.
+    */
+  def hits(edges: DataFrame, nodes: DataFrame,
+           iterations: Int = 8): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = Materialize.cut(edges.select(col("src"), col("dst")).distinct())
+    val ns = Materialize.cut(nodes.select(col("id")))
+    val n = ns.count()
+    require(n > 0, "hits: empty node set")
+    val h0 = Scale / n
+    def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
+      // raw: (id, s) un-normalized; divide by the global integer
+      // normalizer so Σ score ≈ SCALE — materialize first so the
+      // total and the normalized frame share one computation
+      val m = Materialize.cut(raw)
+      val total = m.agg(sum(col("s"))).head().getLong(0)
+      val d = math.max(1L, total / Scale)
+      m.select(col("id"), expr(s"s DIV $d").as(scoreCol))
+    }
+    var hub = ns.select(col("id"), lit(h0).as("hub"))
+    var auth: DataFrame = null
+    var it = 0
+    while (it < iterations) {
+      val aRaw = e.join(hub, col("src") === col("id"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("c"))
+      auth = normalized(
+        ns.join(aRaw, col("id") === col("dst"), "left")
+          .select(col("id"), coalesce(col("c"), lit(0L)).as("s")), "authority")
+      val hRaw = e.join(auth, col("dst") === col("id"))
+        .groupBy(col("src")).agg(sum(col("authority")).as("c"))
+      hub = normalized(
+        ns.join(hRaw, col("id") === col("src"), "left")
+          .select(col("id"), coalesce(col("c"), lit(0L)).as("s")), "hub")
+      it += 1
+    }
+    ns.join(auth, Seq("id"), "left")
+      .join(hub, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("authority"), lit(0L)).as("authority"),
+        coalesce(col("hub"), lit(0L)).as("hub"))
+  }
 }

@@ -462,6 +462,45 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** D19b: per-document contamination SCORE — the graded companion to
+    * [[contamination]]'s binary pair flags: for each corpus doc, the
+    * fraction of its distinct word n-grams that appear ANYWHERE in
+    * the benchmark set. The operator behind threshold policies like
+    * "drop if >X% eval overlap" (exact-pair flags over-trigger on a
+    * single boilerplate gram; the fraction grades severity).
+    *
+    * Scale shape: the bench gram SET (distinct values only, no
+    * bench_id fan-out) broadcasts; the corpus is scanned once, each
+    * doc's distinct grams counted against the broadcast set with a
+    * map-side partial agg on doc_id — no corpus shuffle on the gram,
+    * no pair blow-up on grams shared by many bench docs (the very
+    * case where [[contamination]]'s output is largest, this stays one
+    * row per doc).
+    *
+    * @return (doc_id, n_grams, n_shared, overlap_frac); docs shorter
+    *         than `n` words score 0 over 0 grams.
+    */
+  def contaminationScore(corpus: DataFrame, bench: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int = 8): DataFrame = {
+    val benchSet = bench.select(explode(array_distinct(
+        graft.functions.ShingleFunctions.word_shingles(col(textCol), n)))
+        .as("gram"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    corpus
+      .select(col(idCol).as("doc_id"), array_distinct(
+        graft.functions.ShingleFunctions.word_shingles(col(textCol), n)).as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode_outer(col("gs")).as("gram"))
+      .join(broadcast(benchSet), Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(col("hit")).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          greatest(col("n_grams"), lit(1L)).cast("double")).as("overlap_frac"))
+  }
+
   /** D4: n-gram Jaccard similarity for given candidate pairs (here:
     * consecutive doc ids — a deterministic, oracle-checkable pairing;
     * LSH supplies candidates at scale).

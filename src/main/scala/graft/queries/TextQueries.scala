@@ -425,6 +425,21 @@ object TextQueries {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** D19b: per-document contamination score — the graded overlap
+    * fraction against the same every-10th-doc eval slice as
+    * [[decontaminate]] (see [[graft.operators.Dedup.contaminationScore]]);
+    * scored docs are the non-bench remainder (training candidates vs
+    * the eval set, the realistic framing).
+    */
+  def decontaminationScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Dedup.contaminationScore(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** D20: deterministic training-order shuffle — a seeded hash of the
     * id as the sort key. At 100 TB this is a range-partitioned sort
     * (Spark samples split points), the standard way to randomize

@@ -297,6 +297,31 @@ object WarehouseQueries {
       .orderBy(col("id"))
   }
 
+  /** C28c: HITS hubs & authorities over the DIRECTED buyer→supplier
+    * trade graph — customers score as hubs (well-connected buyers),
+    * suppliers as authorities (serving well-connected buyers); see
+    * [[graft.operators.Centrality.hits]]. Direction matters here
+    * (unlike C28's undirected walk), so the bipartite split falls out
+    * of the math: customers get authority 0, suppliers hub 0.
+    */
+  def hitsCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val off = lit(1000000L)
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + off).as("s"))
+      .distinct()
+    val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+    val nodes = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("id"))
+      .unionAll(Tables.supplier(spark, dir)
+        .select((col("s_suppkey") + off).as("id")))
+    graft.operators.Centrality.hits(edges, nodes, iterations = 8)
+      .orderBy(col("id"))
+  }
+
   /** C27: declarative data-quality expectations over the orders fact
     * (see [[graft.operators.Expectations]]) — row rules + uniqueness
     * in one wide-aggregate scan, referential integrity as a broadcast

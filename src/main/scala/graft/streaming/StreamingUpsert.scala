@@ -50,4 +50,48 @@ object StreamingUpsert {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** E3 ∘ A12: the same continuous merge, committed through
+    * [[graft.sources.SnapshotLake]] — every micro-batch becomes a
+    * VERSIONED copy-on-write commit, so the streaming table gains the
+    * full lake contract mid-stream: snapshot-isolated readers (a scan
+    * planned at version v is untouched by later commits), time travel
+    * across stream progress, and rollback to any earlier batch's
+    * state (itself a new version — history preserved).
+    *
+    * Scale shape: only the partition VALUES present in the batch are
+    * read back and rewritten (the manifest carries every untouched
+    * partition forward), so per-batch commit cost is O(changed
+    * partitions + batch), never O(table). The distinct partition list
+    * is the one driver-side collect — bounded by partitions touched
+    * per batch.
+    */
+  def startVersioned(stream: DataFrame, keys: Seq[String], versionCol: String,
+                     tiebreak: Seq[String], tablePath: String,
+                     checkpoint: String, partCol: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.col
+        val spark = batch.sparkSession
+        val deduped = Upsert.keepLatest(batch, keys, col(versionCol),
+          tiebreak.map(col))
+        val parts = deduped.select(col(partCol).cast("string"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        if (parts.nonEmpty) {
+          val merged =
+            if (graft.sources.SnapshotLake.currentVersion(spark, tablePath) >= 1) {
+              val base = graft.sources.SnapshotLake
+                .read(spark, tablePath, partCol = partCol)
+                .filter(col(partCol).cast("string").isin(parts: _*))
+              Upsert.merge(base, deduped, keys)
+            } else deduped
+          graft.sources.SnapshotLake.overwritePartitions(merged, tablePath, partCol)
+        }
+        ()
+      }
+      .trigger(trigger)
+      .start()
 }

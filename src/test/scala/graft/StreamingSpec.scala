@@ -138,6 +138,60 @@ class StreamingSpec extends AnyFunSuite {
       "resumed admission must reject the copy and admit the novel doc")
   }
 
+  test("versioned streaming upsert: one commit per batch, rollback serves the prior version") {
+    import spark.implicits._
+    import graft.sources.SnapshotLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_vsupsert").toString
+    val (table, ckpt) = (s"$dir/table", s"$dir/ckpt")
+    // (user_id, event_type, ts_version, value); keys = (user_id,
+    // event_type), partition = event_type
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, Double)](spark, 91)
+    val q = graft.streaming.StreamingUpsert.startVersioned(
+      src.toDS().toDF("user_id", "event_type", "ver", "value"),
+      Seq("user_id", "event_type"), "ver", Nil, table, ckpt, "event_type",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    def snapshot(v: Option[Int]): Map[(Long, String), (Long, Double)] =
+      SnapshotLake.read(spark, table, v, partCol = "event_type")
+        .select(col("user_id"), col("event_type"), col("ver"), col("value"))
+        .collect().map(r => ((r.getLong(0), r.getString(1)),
+          (r.getLong(2), r.getDouble(3)))).toMap
+    try {
+      src.addData((1L, "click", 1L, 1.0), (2L, "click", 1L, 2.0),
+        (3L, "view", 1L, 3.0))
+      q.processAllAvailable()
+      assert(SnapshotLake.currentVersion(spark, table) == 1)
+      val v1 = snapshot(None)
+      assert(v1 == Map((1L, "click") -> (1L, 1.0), (2L, "click") -> (1L, 2.0),
+        (3L, "view") -> (1L, 3.0)))
+      // batch 2 updates user 1's click and adds a purchase — only the
+      // click partition is rewritten; view carries forward by manifest
+      src.addData((1L, "click", 2L, 10.0), (4L, "purchase", 1L, 4.0))
+      q.processAllAvailable()
+      assert(SnapshotLake.currentVersion(spark, table) == 2)
+      val v2 = snapshot(None)
+      assert(v2((1L, "click")) == (2L, 10.0), "batch row must win on collision")
+      assert(v2((2L, "click")) == (1L, 2.0) && v2((3L, "view")) == (1L, 3.0))
+      assert(v2((4L, "purchase")) == (1L, 4.0))
+      // time travel: version 1 still serves the pre-merge state
+      assert(snapshot(Some(1)) == v1, "older version must be unaffected by commits")
+      // mid-stream rollback: the table serves version 1's content again...
+      SnapshotLake.rollback(spark, table, 1)
+      assert(snapshot(None) == v1, "rollback must serve the prior version")
+      // ...and the STREAM keeps committing on top of the rolled-back state
+      src.addData((5L, "view", 3L, 5.0))
+      q.processAllAvailable()
+      val v4 = snapshot(None)
+      assert(v4((5L, "view")) == (3L, 5.0))
+      assert(v4((1L, "click")) == (1L, 1.0),
+        "post-rollback commit must build on the rolled-back content")
+      assert(!v4.contains((4L, "purchase")),
+        "rolled-back partition content must stay rolled back")
+      // full history retained: 4 versions (3 commits + 1 rollback)
+      assert(SnapshotLake.currentVersion(spark, table) == 4)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch equivalent") {
     val dim = graft.sources.Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))

@@ -602,6 +602,44 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got(4L) == 0L, "zero-weight isolated node gets no teleport and no links")
   }
 
+  test("HITS: matches driver recursion, hubs/authorities split the bipartite graph") {
+    import spark.implicits._
+    import graft.operators.Centrality
+    // directed bipartite: hubs {1,2} → authorities {10,11,12}; 3 isolated
+    val ePairs = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L))
+    val edges = ePairs.toDF("src", "dst")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 12L)
+    val nodes = ids.toDF("id")
+    val got = Centrality.hits(edges, nodes, iterations = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the same integer recursion on the driver
+    val inc = ePairs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val out = ePairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var hub = ids.map(_ -> Centrality.Scale / ids.length).toMap
+    var auth = Map.empty[Long, Long]
+    (1 to 4).foreach { _ =>
+      val aRaw = ids.map(v => v -> inc.getOrElse(v, Nil).map(hub).sum).toMap
+      val da = math.max(1L, aRaw.values.sum / Centrality.Scale)
+      auth = aRaw.view.mapValues(_ / da).toMap
+      val hRaw = ids.map(v => v -> out.getOrElse(v, Nil).map(auth).sum).toMap
+      val dh = math.max(1L, hRaw.values.sum / Centrality.Scale)
+      hub = hRaw.view.mapValues(_ / dh).toMap
+    }
+    val want = ids.map(v => v -> (auth(v), hub(v))).toMap
+    assert(got == want, s"got $got want $want")
+    // structure: hub side has zero authority and vice versa
+    assert(got(1L)._1 == 0L && got(2L)._1 == 0L)
+    assert(got(10L)._2 == 0L && got(12L)._2 == 0L)
+    assert(got(3L) == (0L, 0L), "isolated node scores zero both ways")
+    assert(got(2L)._2 > got(1L)._2, "the 3-degree buyer out-hubs the 2-degree one")
+    assert(got(10L)._1 == got(11L)._1 && got(10L)._1 > got(12L)._1,
+      "authorities served by both hubs beat the single-hub one")
+    // integer arithmetic => partition-invariant
+    val re = Centrality.hits(edges.repartition(5), nodes.repartition(3), 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(re == got)
+  }
+
   test("Materialize.cut: reliable-checkpoint path matches local path bit-exactly") {
     import spark.implicits._
     import graft.operators.{Centrality, Dedup}
