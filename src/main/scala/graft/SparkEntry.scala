@@ -95,6 +95,9 @@ object SparkEntry {
     "decontamination_score" -> (TextQueries.decontaminationScore _),
     "training_order"     -> ((s, d) => TextQueries.trainingOrder(s, d)),
     "mixture_resample"   -> (TextQueries.mixtureResample _),
+    "dsir_resample"      -> (TextQueries.dsirResample _),
+    "perplexity_filter"  -> (TextQueries.perplexityFilter _),
+    "temperature_mix"    -> (TextQueries.temperatureMix _),
     "vocab_heavy_hitters" -> (TextQueries.vocabHeavyHitters _),
     "text_token_count"   -> (TextQueries.textTokenCount _),
     "text_quality_score" -> (TextQueries.textQualityScore _),
@@ -123,7 +126,9 @@ object SparkEntry {
     "pagerank_centrality" -> (WarehouseQueries.pagerankCentrality _),
     "pagerank_personalized" -> (WarehouseQueries.pagerankPersonalized _),
     "hits_centrality"    -> (WarehouseQueries.hitsCentrality _),
+    "triangle_count"     -> (WarehouseQueries.triangleCount _),
     "bm25_search"        -> (WarehouseQueries.bm25Search _),
+    "tfidf_search"       -> (WarehouseQueries.tfidfSearch _),
     "fuzzy_name_match"   -> (WarehouseQueries.fuzzyNameMatch _),
     "events_sliding_agg" -> (WarehouseQueries.eventsSlidingAgg _),
     "events_outliers"    -> (WarehouseQueries.eventsOutliers _),
@@ -519,10 +524,193 @@ object SparkEntry {
        |ORDER BY n.id""".stripMargin
   }
 
+  /** Stupid-backoff bigram cross-entropy CTE chain (mirrors
+    * [[graft.operators.LanguageModel.crossEntropyBigram]] branch for
+    * branch), shared by the `lm_bigram_cross_entropy` oracle and the
+    * `perplexity_filter` cut built on top of it. Ends at `s` =
+    * (doc_id, nt, sl).
+    */
+  private val bigramCeCtes: String =
+    """d0 AS (
+      |  SELECT doc_id, CASE WHEN len(trim(text)) > 0
+      |    THEN string_split_regex(trim(text), '\s+')
+      |    ELSE CAST([] AS VARCHAR[]) END AS tk
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(tk, (w, i) -> struct_pack(i := i, w := w))) AS s
+      |  FROM d0),
+      |tw AS (SELECT doc_id, s.i AS i, s.w AS w FROM tok),
+      |cnt AS (SELECT w, COUNT(*) AS c FROM tw GROUP BY w),
+      |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 64),
+      |dn AS (SELECT CAST((SELECT SUM(c) FROM cnt)
+      |  + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS d),
+      |lagged AS (
+      |  SELECT doc_id, i, w,
+      |    lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      |  FROM tw),
+      |pc AS (
+      |  SELECT l.prev AS v, l.w AS w, COUNT(*) AS c
+      |  FROM lagged l
+      |  JOIN top tv ON tv.w = l.prev JOIN top tc ON tc.w = l.w
+      |  WHERE l.prev IS NOT NULL GROUP BY l.prev, l.w),
+      |lp AS (
+      |  SELECT l.doc_id,
+      |    CASE WHEN l.prev IS NULL THEN
+      |      COALESCE(ln(CAST(tc.c + 1 AS DOUBLE) / d), ln(1.0 / d))
+      |    ELSE
+      |      COALESCE(ln(CAST(pc.c AS DOUBLE) / CAST(tv.c AS DOUBLE)),
+      |        ln(0.4) + COALESCE(ln(CAST(tc.c + 1 AS DOUBLE) / d), ln(1.0 / d)))
+      |    END AS lnS
+      |  FROM lagged l
+      |  LEFT JOIN top tc ON tc.w = l.w
+      |  LEFT JOIN top tv ON tv.w = l.prev
+      |  LEFT JOIN pc ON pc.v = l.prev AND pc.w = l.w
+      |  CROSS JOIN dn),
+      |s AS (SELECT doc_id, COUNT(*) AS nt, SUM(lnS) AS sl
+      |      FROM lp GROUP BY doc_id)""".stripMargin
+
+  /** TF-IDF oracle: mirrors [[graft.operators.TextRank.tfidfTopK]]
+    * node for node — same tokens, same smooth idf, the full-vocabulary
+    * L2 norm as Σ(tf·idf)² regrouped freely (absorbed by the 6-dp
+    * round), numerator/query-norm in the identical left-assoc order,
+    * and the match filter on the exact-integer tf sum.
+    */
+  private def tfidfOracle(terms: Seq[String], k: Int): String = {
+    val sorted = terms.distinct.sorted
+    val tfCols = sorted.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n    ")
+    val dfCols = sorted.indices.map { i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(",\n    ")
+    def idf(i: Int) = s"(ln((1.0 + n) / (1.0 + df$i)) + 1.0)"
+    val num = sorted.indices.map(i => s"((tf$i * ${idf(i)}) * ${idf(i)})")
+      .mkString(" + ")
+    val qnorm = "sqrt(" +
+      sorted.indices.map(i => s"(${idf(i)} * ${idf(i)})").mkString(" + ") + ")"
+    val anyTf = sorted.indices.map(i => s"tf$i").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id,
+       |    $tfCols
+       |  FROM d),
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    $dfCols
+       |  FROM t),
+       |tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+       |ptf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+       |        FROM tok GROUP BY doc_id, w),
+       |dfw AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM ptf GROUP BY w),
+       |nrm AS (
+       |  SELECT doc_id,
+       |    sqrt(SUM((tf * (ln((1.0 + n) / (1.0 + df)) + 1.0))
+       |      * (tf * (ln((1.0 + n) / (1.0 + df)) + 1.0)))) AS nd
+       |  FROM ptf JOIN dfw USING (w) CROSS JOIN s GROUP BY doc_id)
+       |SELECT doc_id, score FROM (
+       |  SELECT t.doc_id, round(($num) / (nd * $qnorm), 6) AS score,
+       |    ($anyTf) AS tfsum
+       |  FROM t CROSS JOIN s JOIN nrm ON nrm.doc_id = t.doc_id)
+       |WHERE tfsum > 0
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "pagerank_centrality" -> pageRankOracle(10),
     "pagerank_personalized" -> personalizedPageRankOracle(10),
     "hits_centrality" -> hitsOracle(8),
+    "tfidf_search" -> tfidfOracle(
+      graft.queries.WarehouseQueries.Bm25Terms, 50),
+
+    "triangle_count" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT id, COUNT(*) AS c FROM
+        |  (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (SELECT id, COUNT(*) AS t FROM
+        |  (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        |   UNION ALL SELECT c FROM tri) GROUP BY id)
+        |SELECT p.id, CAST(COALESCE(d.c, 0) AS BIGINT) AS degree,
+        |  CAST(COALESCE(tn.t, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN COALESCE(d.c, 0) >= 2
+        |    THEN round(2.0 * COALESCE(tn.t, 0)
+        |      / CAST(d.c * (d.c - 1) AS DOUBLE), 6)
+        |    ELSE 0.0 END AS lcc
+        |FROM (SELECT CAST(p_partkey AS BIGINT) AS id FROM part) p
+        |LEFT JOIN deg d USING (id) LEFT JOIN tn USING (id)
+        |ORDER BY p.id""".stripMargin,
+
+    // DSIR: two add-one unigram LMs (target = lang 'en', raw = whole
+    // corpus, the exact lm_cross_entropy estimator twice), per-doc
+    // Σ(lnPt − lnPr), Gumbel keys from the portable-XXH64 uniform;
+    // ln drift + sum regrouping absorbed by the 6-dp round, the cut
+    // ordered on the rounded key.
+    "dsir_resample" ->
+      raw"""WITH tokr AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |cr AS (SELECT w, COUNT(*) AS c FROM tokr GROUP BY w),
+        |topr AS (SELECT w, c FROM cr ORDER BY c DESC, w LIMIT 64),
+        |dr AS (SELECT CAST((SELECT SUM(c) FROM cr)
+        |  + (SELECT COUNT(*) FROM topr) + 1 AS DOUBLE) AS d),
+        |tokt AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE lang = 'en' AND len(trim(text)) > 0),
+        |ct AS (SELECT w, COUNT(*) AS c FROM tokt GROUP BY w),
+        |topt AS (SELECT w, c FROM ct ORDER BY c DESC, w LIMIT 64),
+        |dt AS (SELECT CAST((SELECT SUM(c) FROM ct)
+        |  + (SELECT COUNT(*) FROM topt) + 1 AS DOUBLE) AS d),
+        |lpw AS (
+        |  SELECT t.doc_id,
+        |    COALESCE(ln(CAST(a.c + 1 AS DOUBLE) / dt.d), ln(1.0 / dt.d))
+        |      - COALESCE(ln(CAST(b.c + 1 AS DOUBLE) / dr.d), ln(1.0 / dr.d)) AS lw
+        |  FROM tokr t LEFT JOIN topt a USING (w) LEFT JOIN topr b USING (w)
+        |  CROSS JOIN dt CROSS JOIN dr),
+        |sw AS (SELECT doc_id, SUM(lw) AS lw FROM lpw GROUP BY doc_id),
+        |gw AS (SELECT d.doc_id, COALESCE(sw.lw, 0.0) AS lw
+        |  FROM documents d LEFT JOIN sw USING (doc_id)),
+        |uu AS (
+        |  SELECT doc_id, (CAST($xxhBucket AS DOUBLE) + 0.5) / 1000000.0 AS u
+        |  FROM (${xxh64Nested("SELECT doc_id FROM documents", "doc_id")}))
+        |SELECT g.doc_id, round(g.lw, 6) AS log_weight,
+        |  round(g.lw + (-ln(-ln(u.u))), 6) AS gumbel_key
+        |FROM gw g JOIN uu u USING (doc_id)
+        |ORDER BY gumbel_key DESC, g.doc_id
+        |LIMIT 100""".stripMargin,
+
+    // Temperature mixing: per-source √token-mass quotas (sqrt is
+    // IEEE-correctly-rounded, the total folded in sorted-source order
+    // — fixed association, identical doubles), selection by the
+    // portable-XXH64 rank within source.
+    "temperature_mix" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT source, SUM(n_tokens) AS n FROM d GROUP BY source),
+        |ww AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS w FROM m),
+        |tt AS (SELECT list_reduce(list(w ORDER BY source),
+        |  (a, b) -> a + b) AS tot FROM ww),
+        |q AS (SELECT source, CAST(floor(400 * w / tot) AS BIGINT) AS quota
+        |  FROM ww CROSS JOIN tt),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY $xxhBucket, doc_id) AS rk
+        |  FROM (${xxh64Nested("SELECT doc_id, source, n_tokens FROM d", "doc_id")}))
+        |SELECT r.doc_id, r.source, r.n_tokens
+        |FROM r JOIN q USING (source) WHERE rk <= quota
+        |ORDER BY r.doc_id""".stripMargin,
 
     "vocab_tokenize" -> vocabTokenizeOracle(
       graft.queries.TextQueries.SubwordVocab, 3),
@@ -1503,47 +1691,29 @@ object SparkEntry {
     // all exact-integer decisions, so both engines walk the same
     // branches; ln drift + sum regrouping absorbed by the rounding.
     "lm_bigram_cross_entropy" ->
-      """WITH d0 AS (
-        |  SELECT doc_id, CASE WHEN len(trim(text)) > 0
-        |    THEN string_split_regex(trim(text), '\s+')
-        |    ELSE CAST([] AS VARCHAR[]) END AS tk
-        |  FROM documents),
-        |tok AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(tk, (w, i) -> struct_pack(i := i, w := w))) AS s
-        |  FROM d0),
-        |tw AS (SELECT doc_id, s.i AS i, s.w AS w FROM tok),
-        |cnt AS (SELECT w, COUNT(*) AS c FROM tw GROUP BY w),
-        |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 64),
-        |dn AS (SELECT CAST((SELECT SUM(c) FROM cnt)
-        |  + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS d),
-        |lagged AS (
-        |  SELECT doc_id, i, w,
-        |    lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-        |  FROM tw),
-        |pc AS (
-        |  SELECT l.prev AS v, l.w AS w, COUNT(*) AS c
-        |  FROM lagged l
-        |  JOIN top tv ON tv.w = l.prev JOIN top tc ON tc.w = l.w
-        |  WHERE l.prev IS NOT NULL GROUP BY l.prev, l.w),
-        |lp AS (
-        |  SELECT l.doc_id,
-        |    CASE WHEN l.prev IS NULL THEN
-        |      COALESCE(ln(CAST(tc.c + 1 AS DOUBLE) / d), ln(1.0 / d))
-        |    ELSE
-        |      COALESCE(ln(CAST(pc.c AS DOUBLE) / CAST(tv.c AS DOUBLE)),
-        |        ln(0.4) + COALESCE(ln(CAST(tc.c + 1 AS DOUBLE) / d), ln(1.0 / d)))
-        |    END AS lnS
-        |  FROM lagged l
-        |  LEFT JOIN top tc ON tc.w = l.w
-        |  LEFT JOIN top tv ON tv.w = l.prev
-        |  LEFT JOIN pc ON pc.v = l.prev AND pc.w = l.w
-        |  CROSS JOIN dn),
-        |s AS (SELECT doc_id, COUNT(*) AS nt, SUM(lnS) AS sl
-        |      FROM lp GROUP BY doc_id)
+      s"""WITH $bigramCeCtes
         |SELECT d.doc_id, CAST(COALESCE(nt, 0) AS INTEGER) AS n_tokens,
         |  COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE)) AS cross_entropy
         |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Perplexity filter: the bigram CE pipeline above + a per-language
+    // exact-integer rank cut on the rounded score (id tiebreak), so
+    // both engines place the 70% boundary identically.
+    "perplexity_filter" ->
+      s"""WITH $bigramCeCtes,
+        |ce AS (
+        |  SELECT d.doc_id, d.lang,
+        |    COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE)) AS cross_entropy
+        |  FROM documents d LEFT JOIN s USING (doc_id)),
+        |rk AS (
+        |  SELECT doc_id, lang, cross_entropy,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY cross_entropy, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM ce)
+        |SELECT doc_id, lang, cross_entropy,
+        |  (rn <= CAST(ceil(n * 0.7) AS BIGINT)) AS kept
+        |FROM rk ORDER BY doc_id""".stripMargin,
 
     // Exact char-level span dedup: positions covered by a repeated
     // substring of length >= 30 equal positions covered by a repeated

@@ -110,4 +110,60 @@ object Resample {
       .filter(col("__qrank") <= quota)
       .drop("__qrank")
   }
+
+  /** D48: temperature-flattened source mixing at τ = ½ — the
+    * multilingual/multi-source rebalancing move (mBERT, XLM-R, Llama
+    * data recipes): sample source s with probability ∝ mass_s^τ, so
+    * head sources are down-weighted and tail sources up-weighted
+    * without ever vanishing. τ is PINNED to ½ because n^½ = √n is the
+    * one non-trivial power IEEE 754 rounds correctly — pow(n, 0.7)
+    * may differ between libms, sqrt cannot — which keeps the per-source
+    * quotas (and therefore the kept set) bit-reproducible across
+    * engines.
+    *
+    * Quotas: quota_s = ⌊N·√mass_s / Σ_s √mass_s⌋ with the total folded
+    * in sorted-stratum order (fixed association = identical double
+    * anywhere). The per-source masses collapse to ONE ROW PER STRATUM
+    * before the driver sees them — bounded by the source-domain count,
+    * the same class of driver-side state as the LM vocabularies.
+    * Selection within a source is the seeded-hash ranking (smallest
+    * `xxhash64(seed, id) mod M` first, id tiebreak): deterministic,
+    * retry-stable, and growing a source only shifts its tail.
+    *
+    * Shape: one partial-agg'd mass pass, then one rank-within-stratum
+    * window (shuffle on stratum; per-partition state is a sort over
+    * that stratum's rows — the variable per-group quota is why this
+    * stays a window rather than the constant-k heap rewrite).
+    *
+    * @param mass per-row mass column (token count, byte size);
+    *             integer-typed, summed exactly.
+    * @return the selected rows of `df`, original columns.
+    */
+  def temperatureBySource(df: DataFrame, stratum: Column, id: Column,
+                          mass: Column, sampleN: Long,
+                          seed: Long = 42L): DataFrame = {
+    require(sampleN > 0, s"temperatureBySource: sampleN must be positive, got $sampleN")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val masses = df.groupBy(stratum.cast("string").as("__stratum"))
+      .agg(sum(mass.cast("long")).as("__mass"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    val ws = masses.map { case (s, n) => s -> math.sqrt(n.toDouble) }
+    val total = ws.foldLeft(0.0)(_ + _._2)
+    require(total > 0, "temperatureBySource: zero total mass")
+    val quotas = ws.toSeq.map { case (s, w) =>
+      (s, math.floor(sampleN * w / total).toLong)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(pmod(xxhash64(lit(seed), id), lit(M)).asc, id.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .join(broadcast(quotas.toDF("__stratum", "__quota")),
+        stratum.cast("string") === col("__stratum"))
+      .filter(col("__rk") <= col("__quota"))
+      .drop("__rk", "__stratum", "__quota")
+  }
 }

@@ -85,4 +85,73 @@ object TextRank {
       .limit(k)
       .select(col(idCol), col("score"))
   }
+
+  /** TF-IDF cosine retrieval (SURVEY §2.D46) — the smooth-idf,
+    * L2-normalized scheme (sklearn's TfidfVectorizer defaults):
+    * idf(t) = ln((1+N)/(1+df)) + 1, w_dt = tf·idf, documents L2-
+    * normalized over their FULL vocabulary, query = the term set at
+    * tf 1. Complements BM25: cosine punishes long documents by their
+    * whole weight mass (a term-spam page scores low even when every
+    * query term matches), where BM25 only saturates per-term.
+    *
+    * Shape: the full-vocabulary norm genuinely needs global df per
+    * token, so unlike BM25's zero-shuffle plan this one earns its
+    * shuffles — ONE tokenize feeding (a) per-(doc, term) tf
+    * [shuffle on (doc, term)], (b) the df table derived from it
+    * [shuffle on term, partial-agg'd], (c) per-doc Σ(tf·idf)² norms
+    * [shuffle on doc]. Query-side numerator stays zero-shuffle:
+    * plan-literal term columns + the one-row broadcast stats, cut by
+    * TakeOrdered(k). At 100 TB the exchanges carry (doc, distinct
+    * token) pairs — the same cost class as the D16 vocabulary pass.
+    *
+    * Determinism: mirror-association arithmetic, 6-dp rounded score,
+    * match-filter on an exact-integer tf sum (never on the float) —
+    * the BM25 oracle argument.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], k: Int): DataFrame = {
+    val sorted = terms.distinct.sorted
+    require(sorted.nonEmpty, "tfidf needs at least one term")
+    require(sorted.forall(_.matches("[a-z0-9]+")),
+      s"terms must be lowercase [a-z0-9]+ (the token alphabet); got " +
+        sorted.filterNot(_.matches("[a-z0-9]+")).mkString(", "))
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val withTf = sorted.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"__tf$i",
+        size(filter(col("__toks"), x => x === lit(t))).cast("double"))
+    }
+    val statAggs = count(lit(1)).cast("double").as("__n") +:
+      sorted.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0d, 1L).otherwise(0L))
+          .cast("double").as(s"__df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    // full-vocabulary document norms: per-(doc, token) tf, token df
+    // derived by collapsing the doc dimension (partial-agg), Σ(tf·idf)²
+    val perDocTf = base
+      .select(col(idCol), explode(col("__toks")).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfTab = perDocTf.groupBy(col("__w"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val wIdf = log((lit(1.0) + col("__n")) / (lit(1.0) + col("__df"))) + lit(1.0)
+    val norms = perDocTf.join(dfTab, "__w")
+      .crossJoin(broadcast(stats.select(col("__n"))))
+      .select(col(idCol),
+        ((col("__tf") * wIdf) * (col("__tf") * wIdf)).as("__w2"))
+      .groupBy(col(idCol)).agg(sqrt(sum(col("__w2"))).as("__norm"))
+    val scored = withTf.crossJoin(broadcast(stats))
+      .join(norms, Seq(idCol), "left")
+    val idfs = sorted.indices.map(i =>
+      log((lit(1.0) + col("__n")) / (lit(1.0) + col(s"__df$i"))) + lit(1.0))
+    val num = sorted.indices.map(i => (col(s"__tf$i") * idfs(i)) * idfs(i))
+      .reduceLeft(_ + _)
+    val qnorm = sqrt(idfs.map(f => f * f).reduceLeft(_ + _))
+    val anyTf = sorted.indices.map(i => col(s"__tf$i")).reduceLeft(_ + _)
+    scored
+      .withColumn("score", round(num / (col("__norm") * qnorm), 6))
+      .filter(anyTf > 0d)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
 }

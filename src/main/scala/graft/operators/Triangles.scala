@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting + local clustering coefficients (SURVEY §2.C29).
+  *
+  * Triangles are the basic cohesion signal of a graph: per-node
+  * triangle counts feed clustering coefficients, spam/bot detection
+  * (genuine communities are triangle-dense, crawler link farms are
+  * triangle-sparse), and the global transitivity statistic. On the
+  * warehouse's co-occurrence graphs (parts bought together, users
+  * sharing sessions) the local clustering coefficient ranks how
+  * "bundle-like" an item's neighborhood is.
+  *
+  * Scale shape — degree-ordered orientation (the MapReduce-classic
+  * Suri/Vassilvitskii 2011 / Cohen 2009 trick): orient every
+  * undirected edge from its lower-(degree, id) endpoint to the higher
+  * one. The orientation is acyclic and every out-neighborhood has
+  * O(√m) size on any graph (bounded by arboricity), so the wedge
+  * self-join — the only quadratic step — generates
+  * Σ_v outdeg(v)² = O(m^1.5) candidates worst-case instead of the
+  * Σ_v deg(v)² blowup a naive neighbor join suffers on hub nodes
+  * (a hub of degree d contributes d² wedges unoriented but ~0
+  * oriented, because almost all its edges point INTO it). Each
+  * triangle is emitted exactly once, at its minimum-(degree, id)
+  * vertex. Three hash-shuffles on node keys (degree agg, wedge join,
+  * closing-edge join) — no all-pairs step anywhere.
+  *
+  * Determinism: counts are exact integers; the coefficient
+  * 2·T / (d·(d−1)) is one IEEE multiply+divide over exact integers —
+  * identical in any engine — rounded to 6 dp for house style.
+  */
+object Triangles {
+
+  /** Per-node triangle counts over an undirected simple graph.
+    *
+    * @param edges (u, v) BIGINT endpoint pairs; normalized internally
+    *              (self-loops dropped, duplicates and orientation
+    *              collapsed), so callers may pass raw pair lists.
+    * @param nodes (id) — node universe; isolated nodes report
+    *              degree 0, triangles 0, lcc 0.
+    * @return (id, degree, triangles, lcc) one row per node.
+    */
+  def nodeTriangles(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    // canonical undirected edge set: u < v, distinct, loop-free —
+    // materialized once, read by the degree agg and both joins
+    val e = Materialize.cut(
+      edges.select(
+          least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+    val deg = e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    // orient by (degree, id): the total order that bounds every
+    // out-neighborhood by O(√m)
+    val du = deg.select(col("id").as("u"), col("degree").as("du"))
+    val dv = deg.select(col("id").as("v"), col("degree").as("dv"))
+    val uKey = struct(col("du").as("d"), col("u").as("n"))
+    val vKey = struct(col("dv").as("d"), col("v").as("n"))
+    val oriented = e.join(du, "u").join(dv, "v")
+      .select(
+        when(uKey < vKey, col("u")).otherwise(col("v")).as("src"),
+        when(uKey < vKey, vKey).otherwise(uKey).as("dk"))
+      .select(col("src"), col("dk.n").as("dst"), col("dk").as("dstKey"))
+    // wedges at the minimum vertex: two out-edges of the same src,
+    // canonically ordered so the closing edge's orientation matches
+    val o1 = oriented.select(col("src"), col("dst").as("b"),
+      col("dstKey").as("bk"))
+    val o2 = oriented.select(col("src"), col("dst").as("c"),
+      col("dstKey").as("ck"))
+    val wedges = o1.join(o2, Seq("src"))
+      .filter(col("bk") < col("ck"))
+      .select(col("src").as("a"), col("b"), col("c"))
+    val closing = oriented.select(col("dst").as("c2"), col("src").as("b2"))
+    val triangles = wedges.join(closing,
+      col("b") === col("b2") && col("c") === col("c2"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    nodes.select(col("id"))
+      .join(deg, Seq("id"), "left")
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lcc",
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("triangles") /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)))
+  }
+}

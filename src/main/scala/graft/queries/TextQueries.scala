@@ -440,6 +440,63 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D45: DSIR importance resampling — target distribution = the
+    * English slice, raw = the whole corpus; Gumbel-top-100 weighted
+    * sample without replacement (see [[graft.operators.Dsir]]). The
+    * realistic curation move: "make the training mix look like the
+    * trusted slice".
+    */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Dsir.resample(docs,
+        docs.filter(col("lang") === "en"), "text", "doc_id",
+        k = 100, vocabTopK = 64)
+      .orderBy(col("doc_id"))
+  }
+
+  /** D47: perplexity filtering — CCNet's actual gate: score every doc
+    * under the D37b stupid-backoff bigram LM, keep the most-fluent 70%
+    * PER LANGUAGE (a global cut would just drop whole low-resource
+    * languages, the known failure mode the per-lang split avoids).
+    * Emits the keep flag rather than dropping rows, so downstream
+    * stages (and the oracle) see both sides of the cut. Exact-integer
+    * rank cut on the 6-dp-rounded score with id tiebreaks — both
+    * engines walk the same boundary.
+    */
+  def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lm = graft.operators.LanguageModel.trainBigram(docs, "text", topK = 64)
+    val scored = docs.select(col("doc_id"), col("lang"),
+      graft.operators.LanguageModel.crossEntropyBigram(col("text"), lm)
+        .as("cross_entropy"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("cross_entropy"), col("doc_id"))
+    val cntW = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    scored
+      .withColumn("__rn", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(cntW))
+      .withColumn("kept", col("__rn") <= ceil(col("__n") * lit(0.7)))
+      .drop("__rn", "__n")
+      .orderBy(col("doc_id"))
+  }
+
+  /** D48: temperature-flattened source mixture — 400 docs sampled
+    * across the 20 source domains ∝ √(token mass) (τ = ½; see
+    * [[graft.operators.Resample.temperatureBySource]] for why ½ is
+    * the bit-reproducible temperature). Returns the kept (doc_id,
+    * source, n_tokens) rows — the mixture a fill-the-context training
+    * run would read.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.Resample.temperatureBySource(
+        docs, col("source"), col("doc_id"), col("n_tokens"), sampleN = 400L)
+      .orderBy(col("doc_id"))
+  }
+
   /** D20: deterministic training-order shuffle — a seeded hash of the
     * id as the sort key. At 100 TB this is a range-partitioned sort
     * (Spark samples split points), the standard way to randomize

@@ -322,6 +322,37 @@ object WarehouseQueries {
       .orderBy(col("id"))
   }
 
+  /** C29: triangle counting + local clustering over the parts-bought-
+    * together graph — parts are adjacent when some order contains
+    * both (pair generation is a self-join on the order key, bounded by
+    * the ≤7 lineitems per order, so Σk² stays O(|lineitem|)); see
+    * [[graft.operators.Triangles]] for the degree-ordered-orientation
+    * scale argument. The lcc column ranks how "bundle-like" each
+    * part's co-purchase neighborhood is.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = lp.as("a").join(lp.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    val nodes = Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("id"))
+    graft.operators.Triangles.nodeTriangles(e, nodes)
+      .orderBy(col("id"))
+  }
+
+  /** D46: TF-IDF cosine retrieval over the corpus, same query terms as
+    * [[bm25Search]] so the two rankers are directly comparable (see
+    * [[graft.operators.TextRank.tfidfTopK]] for the full-vocabulary-
+    * norm shape).
+    */
+  def tfidfSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextRank.tfidfTopK(Tables.documents(spark, dir),
+      idCol = "doc_id", textCol = "text",
+      terms = Bm25Terms, k = 50)
+
   /** C27: declarative data-quality expectations over the orders fact
     * (see [[graft.operators.Expectations]]) — row rules + uniqueness
     * in one wide-aggregate scan, referential integrity as a broadcast

@@ -559,4 +559,104 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getLong(0) < row.getLong(2),
       s"trained vocab must beat the char fallback: ${row.getLong(0)} vs ${row.getLong(2)}")
   }
+
+  test("DSIR: hand-computed importance weights, on-target docs win the Gumbel cut, repartition-invariant") {
+    import spark.implicits._
+    import graft.operators.Dsir
+    // 3 on-target docs (60 tokens of {aa,bb,cc}) + 3 junk docs
+    // (60 tokens of {zz,yy,xx}); target = the on-target slice
+    val tgtText = Seq.fill(20)("aa bb cc").mkString(" ")
+    val junkText = Seq.fill(20)("zz yy xx").mkString(" ")
+    val docs = Seq((1L, tgtText), (2L, tgtText), (3L, tgtText),
+      (4L, junkText), (5L, junkText), (6L, junkText)).toDF("doc_id", "text")
+    val got = Dsir.resample(docs, docs.filter(col("doc_id") <= 3),
+        "text", "doc_id", k = 3, vocabTopK = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // weight gap (≈60·ln 2 per side) dwarfs the Gumbel range
+    // ([−2.7, 14.6] for the M=1e6 bucket grid) → the cut is the slice
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L))
+    // driver reference: same add-one estimator on both models
+    // target: 180 tokens, vocab {aa,bb,cc} → d = 184
+    // raw: 360 tokens, vocab all 6 words → d = 367
+    val perTok = Map(
+      "aa" -> (math.log(61 / 184.0) - math.log(61 / 367.0)),
+      "bb" -> (math.log(61 / 184.0) - math.log(61 / 367.0)),
+      "cc" -> (math.log(61 / 184.0) - math.log(61 / 367.0)))
+    val wantLw = BigDecimal(
+      tgtText.split(" ").foldLeft(0.0)((acc, w) => acc + perTok(w)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (id, lw, key) =>
+      assert(lw == wantLw, s"doc $id log_weight $lw want $wantLw")
+      val g = key - lw
+      assert(g > -3.0 && g < 15.0, s"gumbel part $g outside the bucket-grid range")
+    }
+    // deterministic under repartitioning (seeded hash, not an RNG)
+    val re = Dsir.resample(docs.repartition(7), docs.filter(col("doc_id") <= 3),
+        "text", "doc_id", k = 3, vocabTopK = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(re.sortBy(_._1).sameElements(got.sortBy(_._1)))
+  }
+
+  test("temperature mixing: √mass quotas, lowest-hash-first selection, repartition-invariant") {
+    import spark.implicits._
+    import graft.operators.Resample
+    // masses: A = 25×16 = 400, B = 20×5 = 100, C = 2×0 = 0
+    // √: 20 / 10 / 0, total 30; sampleN 30 → quotas 20 / 10 / 0
+    val rows = (1L to 25L).map(i => (i, "A", 16L)) ++
+      (26L to 45L).map(i => (i, "B", 5L)) ++ Seq((46L, "C", 0L), (47L, "C", 0L))
+    val df = rows.toDF("id", "src", "mass")
+    val kept = Resample.temperatureBySource(df, col("src"), col("id"),
+      col("mass"), sampleN = 30L)
+    val bySrc = kept.groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("A" -> 20L, "B" -> 10L),
+      s"quotas must be ⌊N·√mass/Σ√mass⌋ per source, got $bySrc")
+    // selection = the quota smallest seeded-hash buckets per source
+    val buckets = df.select(col("id"), col("src"),
+        pmod(xxhash64(lit(42L), col("id")), lit(1000000L)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = buckets.groupBy(_._2).toSeq.flatMap { case (s, g) =>
+      g.sortBy(x => (x._3, x._1)).take(if (s == "A") 20 else if (s == "B") 10 else 0)
+    }.map(_._1).toSet
+    val gotIds = kept.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(gotIds == want, "kept set must be the lowest-bucket prefix per source")
+    val re = Resample.temperatureBySource(df.repartition(5), col("src"),
+      col("id"), col("mass"), sampleN = 30L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(re == gotIds)
+  }
+
+  test("TF-IDF: hand-computed cosine scores, spam page ranks below a focused one") {
+    import spark.implicits._
+    import graft.operators.TextRank
+    val texts = Map(
+      1L -> "apple banana",                      // focused: 1 of 2 tokens
+      2L -> ("apple " * 8 + (2 to 93).map(i => s"w$i").mkString(" ")), // spam
+      3L -> "banana cherry")                     // no match
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val got = TextRank.tfidfTopK(docs, "doc_id", "text",
+        terms = Seq("apple"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L), "only matching docs are returned")
+    // driver reference, same smooth-idf / L2-normalized scheme
+    val n = 3.0
+    val toksOf = texts.view.mapValues(
+      _.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq).toMap
+    val df = toksOf.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size.toDouble).toMap
+    def idf(w: String) = math.log((1 + n) / (1 + df.getOrElse(w, 0.0))) + 1
+    def score(id: Long): Double = {
+      val tf = toksOf(id).groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val norm = math.sqrt(tf.map { case (w, f) =>
+        val x = f * idf(w); x * x }.sum)
+      val qn = math.sqrt(idf("apple") * idf("apple"))
+      BigDecimal(tf.getOrElse("apple", 0.0) * idf("apple") * idf("apple") / (norm * qn))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(1L) == score(1L) && got(2L) == score(2L),
+      s"got $got want ${Seq(1L, 2L).map(i => i -> score(i))}")
+    // cosine punishes the term-spam page: its weight mass is spread
+    // over 20 tokens, the focused page concentrates on 2
+    assert(got(1L) > got(2L))
+  }
 }

@@ -705,4 +705,30 @@ class WarehouseSpec extends AnyFunSuite {
       .collect()
     assert(clean.forall(_.getBoolean(2)), "clean subset must pass every rule")
   }
+
+  test("Triangles: hand-counted K4 + pendant, raw-edge normalization, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.Triangles
+    // K4 on {1,2,3,4} (4 triangles, every node in 3) + pendant 1–5 +
+    // isolated 6; input deliberately dirty: reversed duplicates and a
+    // self-loop must normalize away
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L), (4L, 4L), (1L, 5L)).toDF("u", "v")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val got = Triangles.nodeTriangles(edges, nodes)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // node 1: degree 4 (K4 + pendant), 3 triangles, lcc 2·3/(4·3) = 0.5
+    assert(got(1L) == (4L, 3L, 0.5))
+    // nodes 2–4: degree 3, 3 triangles, lcc 2·3/(3·2) = 1.0
+    Seq(2L, 3L, 4L).foreach(v => assert(got(v) == (3L, 3L, 1.0), s"node $v"))
+    assert(got(5L) == (1L, 0L, 0.0), "pendant: degree 1, no triangles")
+    assert(got(6L) == (0L, 0L, 0.0), "isolated node")
+    // total incidences = 3 × triangle count
+    assert(got.values.map(_._2).sum == 12L)
+    val re = Triangles.nodeTriangles(edges.repartition(5), nodes.repartition(3))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(re == got, "exact integer counts must be partition-invariant")
+  }
 }
