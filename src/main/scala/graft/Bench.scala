@@ -50,14 +50,20 @@ object Bench {
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$runs,"stat":"median"}"""
     // stdout runs through sbt and spark logging; a file is the only
-    // channel guaranteed to contain exactly the JSON line.
+    // channel guaranteed to contain exactly the full JSON line.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    // Print the JSON line LAST, alone on its own line, AFTER the noisy
-    // spark.stop() teardown logging — the driver tails stdout for it.
+    // The driver keeps only a ~2000-char stdout tail; the full line
+    // with a 117-entry per-query map (~3.6 KB) can never fit. Print a
+    // COMPACT final line (<200 chars, no per-query map) LAST, alone,
+    // AFTER the noisy spark.stop() teardown logging — the per-query
+    // map lives in bench.json only.
+    val fTotal = math.round(total * 1000.0) / 1000.0
+    val compact =
+      s"""{"metric":"total","value":$fTotal,"unit":"sec","nqueries":${results.size},"sf":"$sfDir","n":$runs,"stat":"median","detail":"bench.json"}"""
     spark.stop()
-    System.out.println(line)
+    System.out.println(compact)
     System.out.flush()
   }
 }

@@ -130,10 +130,14 @@ object Resample {
     * `xxhash64(seed, id) mod M` first, id tiebreak): deterministic,
     * retry-stable, and growing a source only shifts its tail.
     *
-    * Shape: one partial-agg'd mass pass, then one rank-within-stratum
-    * window (shuffle on stratum; per-partition state is a sort over
-    * that stratum's rows — the variable per-group quota is why this
-    * stays a window rather than the constant-k heap rewrite).
+    * Shape: one partial-agg'd mass pass, then the
+    * [[StratifiedTopQuota]] boundary-bucket selection — bulk
+    * admit/reject off a per-(source, hash-bucket÷1000) cumulative
+    * histogram, rank only the one ~0.1%-wide hash slice that
+    * straddles each quota. No window ever sorts a whole stratum (the
+    * variable per-group quota is why the constant-k heap rewrite
+    * can't apply, but the histogram walk doesn't need it). The kept
+    * set is bit-identical to the naive full-rank window.
     *
     * @param mass per-row mass column (token count, byte size);
     *             integer-typed, summed exactly.
@@ -157,13 +161,10 @@ object Resample {
     val quotas = ws.toSeq.map { case (s, w) =>
       (s, math.floor(sampleN * w / total).toLong)
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum)
-      .orderBy(pmod(xxhash64(lit(seed), id), lit(M)).asc, id.asc)
-    df.withColumn("__rk", row_number().over(w))
-      .join(broadcast(quotas.toDF("__stratum", "__quota")),
-        stratum.cast("string") === col("__stratum"))
-      .filter(col("__rk") <= col("__quota"))
-      .drop("__rk", "__stratum", "__quota")
+    val bucket = pmod(xxhash64(lit(seed), id), lit(M))
+    StratifiedTopQuota.take(df, stratum,
+      ord = Seq(bucket, id),
+      coarse = floor(bucket / lit(1000L)),
+      quotas = broadcast(quotas.toDF("__stratum", "__quota")))
   }
 }

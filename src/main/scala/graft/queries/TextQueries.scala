@@ -462,6 +462,18 @@ object TextQueries {
     * stages (and the oracle) see both sides of the cut. Exact-integer
     * rank cut on the 6-dp-rounded score with id tiebreaks — both
     * engines walk the same boundary.
+    *
+    * Scale shape: the naive `row_number() OVER (PARTITION BY lang)`
+    * puts EVERY document of a language into one task — at 100 TB the
+    * dominant language is most of the corpus in one sort partition.
+    * Instead the cut runs through [[graft.operators.StratifiedTopQuota]]:
+    * per-(lang, 2-dp score bucket) histogram → per-lang p70 boundary
+    * bucket off the cumulative histogram (a window over the
+    * AGGREGATE) → narrow broadcast-compare verdict for every doc
+    * outside the boundary bucket → rank only the one 0.01-nat-wide
+    * score band that straddles each language's quota. The kept set is
+    * bit-identical to the window twin (the oracle keeps that
+    * formulation).
     */
   def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -469,15 +481,15 @@ object TextQueries {
     val scored = docs.select(col("doc_id"), col("lang"),
       graft.operators.LanguageModel.crossEntropyBigram(col("text"), lm)
         .as("cross_entropy"))
-    val rankW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
-      .orderBy(col("cross_entropy"), col("doc_id"))
-    val cntW = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-    scored
-      .withColumn("__rn", row_number().over(rankW))
-      .withColumn("__n", count(lit(1)).over(cntW))
-      .withColumn("kept", col("__rn") <= ceil(col("__n") * lit(0.7)))
-      .drop("__rn", "__n")
+    val quotas = scored.groupBy(col("lang").as("__stratum"))
+      .agg(ceil(count(lit(1)) * lit(0.7)).cast("long").as("__quota"))
+    graft.operators.StratifiedTopQuota.markKept(scored,
+        stratum = col("lang"),
+        ord = Seq(col("cross_entropy"), col("doc_id")),
+        coarse = floor(col("cross_entropy") * lit(100.0)),
+        quotas = broadcast(quotas),
+        keptCol = "kept")
+      .select(col("doc_id"), col("lang"), col("cross_entropy"), col("kept"))
       .orderBy(col("doc_id"))
   }
 

@@ -23,16 +23,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
-  /** The events table carries a nanosecond parquet timestamp, which
-    * Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read it
-    * as a long (legacy conf) and rebuild the µs timestamp — lossless
-    * here, and the same ns→µs truncation DuckDB applies on read.
+  /** The events table has shipped with two timestamp encodings: a
+    * nanosecond parquet timestamp (which Spark's vectorized reader
+    * rejects — PARQUET_TYPE_ILLEGAL — so it is read as a long via the
+    * legacy conf and rebuilt as a µs timestamp, the same ns→µs
+    * truncation DuckDB applies on read) and a plain µs timestamp that
+    * needs no rewrite. Detect which one this directory carries from
+    * the loaded schema and adapt, so both generations of testdata read
+    * identically.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _ =>
+        // µs parquet timestamps surface as TIMESTAMP_NTZ; cast to the
+        // session-UTC TIMESTAMP so downstream plans (watermarks need
+        // LTZ) and outputs match the ns-era loader bit-for-bit.
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -18,25 +18,35 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Schema of the events lake table with ts as µs timestamp (the
-    * parquet carries ns — see [[graft.sources.Tables.events]]).
+  /** Schema of the events lake table, parameterized on how the file
+    * encodes ts: older testdata carries a ns timestamp (read as long —
+    * see [[graft.sources.Tables.events]]), newer carries a plain µs
+    * timestamp.
     */
-  val eventSchema: StructType = StructType(Seq(
+  def eventSchema(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),       // ns in the lake files
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream of events with proper µs timestamps. */
+  /** File-source stream of events with proper µs timestamps. The ts
+    * encoding is sniffed from the parquet footer with a one-off batch
+    * read (driver-side metadata only), so both testdata generations
+    * stream identically.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // FileStreamSource wants a directory; pick the events file by glob
-    spark.readStream.schema(eventSchema)
+    val raw = spark.readStream.schema(eventSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    if (tsType == LongType) raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    // µs parquet ts surfaces as TIMESTAMP_NTZ; watermarks need LTZ —
+    // the session-UTC cast matches the ns-era loader bit-for-bit
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** E1: tumbling 1-hour windowed aggregation with a 2-hour watermark.
