@@ -127,6 +127,7 @@ object SparkEntry {
     "pagerank_personalized" -> (WarehouseQueries.pagerankPersonalized _),
     "hits_centrality"    -> (WarehouseQueries.hitsCentrality _),
     "triangle_count"     -> (WarehouseQueries.triangleCount _),
+    "community_labels"   -> (WarehouseQueries.communityLabels _),
     "bm25_search"        -> (WarehouseQueries.bm25Search _),
     "tfidf_search"       -> (WarehouseQueries.tfidfSearch _),
     "fuzzy_name_match"   -> (WarehouseQueries.fuzzyNameMatch _),
@@ -524,6 +525,42 @@ object SparkEntry {
        |ORDER BY n.id""".stripMargin
   }
 
+  /** Label-propagation oracle: the synchronous rounds of
+    * [[graft.operators.Community.labelPropagation]] unroll into
+    * chained CTEs — plurality histogram per (node, neighbor label),
+    * argmax with min-label tiebreak as a ROW_NUMBER pick, isolated
+    * nodes carry the previous label via LEFT JOIN + COALESCE. All
+    * exact integers; each CTE is referenced a bounded number of times
+    * so CTE inlining cannot compound the plan.
+    */
+  private def lpaOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""h$k AS (SELECT e.src, l.community, COUNT(*) AS c
+         |  FROM e JOIN l${k - 1} l ON l.id = e.dst GROUP BY e.src, l.community),
+         |b$k AS (SELECT src AS id, community AS next FROM (
+         |    SELECT src, community,
+         |      ROW_NUMBER() OVER (PARTITION BY src
+         |        ORDER BY c DESC, community ASC) AS rn
+         |    FROM h$k) WHERE rn = 1),
+         |l$k AS (SELECT l.id, COALESCE(b.next, l.community) AS community
+         |  FROM l${k - 1} l LEFT JOIN b$k b USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |pr AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+       |e AS (SELECT u AS src, v AS dst FROM pr
+       |  UNION ALL SELECT v, u FROM pr),
+       |nd AS (SELECT CAST(p_partkey AS BIGINT) AS id FROM part),
+       |l0 AS (SELECT id, id AS community FROM nd),
+       |$iterCtes,
+       |cs AS (SELECT community, COUNT(*) AS csize
+       |  FROM l$iters GROUP BY community)
+       |SELECT l.id, l.community, cs.csize
+       |FROM l$iters l JOIN cs USING (community)
+       |ORDER BY l.id""".stripMargin
+  }
+
   /** Stupid-backoff bigram cross-entropy CTE chain (mirrors
     * [[graft.operators.LanguageModel.crossEntropyBigram]] branch for
     * branch), shared by the `lm_bigram_cross_entropy` oracle and the
@@ -624,6 +661,7 @@ object SparkEntry {
     "pagerank_centrality" -> pageRankOracle(10),
     "pagerank_personalized" -> personalizedPageRankOracle(10),
     "hits_centrality" -> hitsOracle(8),
+    "community_labels" -> lpaOracle(5),
     "tfidf_search" -> tfidfOracle(
       graft.queries.WarehouseQueries.Bm25Terms, 50),
 

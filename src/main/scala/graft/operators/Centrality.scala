@@ -163,11 +163,16 @@ object Centrality {
     def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
       // raw: (id, s) un-normalized; divide by the global integer
       // normalizer so Σ score ≈ SCALE — materialize first so the
-      // total and the normalized frame share one computation
+      // total and the normalized frame share one computation. The
+      // normalizer folds in-plan as a broadcast scalar (no driver
+      // .head() sync per half-iteration): the agg subtree reads the
+      // just-cut blocks, so the cross join costs one broadcast of a
+      // single row.
       val m = Materialize.cut(raw)
-      val total = m.agg(sum(col("s"))).head().getLong(0)
-      val d = math.max(1L, total / Scale)
-      m.select(col("id"), expr(s"s DIV $d").as(scoreCol))
+      val total = m.agg(sum(col("s")).as("__t"))
+      m.crossJoin(broadcast(total))
+        .select(col("id"),
+          expr(s"s DIV greatest(1L, __t DIV $Scale)").as(scoreCol))
     }
     var hub = ns.select(col("id"), lit(h0).as("hub"))
     var auth: DataFrame = null

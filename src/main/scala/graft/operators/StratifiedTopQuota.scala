@@ -78,23 +78,30 @@ object StratifiedTopQuota {
         (col("__quota") - col("__stq_before")).as("__stq_topup"))
 
     // 3. narrow bulk verdicts + rank only the boundary bucket. A
-    //    stratum with quota >= its row count never reaches the quota
-    //    in `bounds` (no such cum) — every bucket sorts below the
-    //    MaxValue sentinel, admitting the whole stratum, which is
+    //    LISTED stratum with quota >= its row count never reaches the
+    //    quota in `bounds` (no such cum) — every bucket sorts below
+    //    the MaxValue sentinel, admitting the whole stratum, which is
     //    exactly rank <= quota there. quota <= 0 yields boundary =
-    //    first bucket with topup <= 0: nothing admitted.
-    val withThr = withB.join(broadcast(bounds), Seq("__stq_s"), "left")
+    //    first bucket with topup <= 0: nothing admitted. A stratum
+    //    ABSENT from `quotas` keeps nothing (the __quota null check —
+    //    without it the MaxValue sentinel would silently admit every
+    //    unlisted stratum whole).
+    val withThr = withB
+      .join(broadcast(quotas.withColumnRenamed("__stratum", "__stq_s")),
+        Seq("__stq_s"), "left")
+      .join(broadcast(bounds), Seq("__stq_s"), "left")
       .withColumn("__stq_bcb",
         coalesce(col("__stq_bcb"), lit(Long.MaxValue)))
     val nonBoundary = withThr.filter(col("__stq_cb") =!= col("__stq_bcb"))
-      .withColumn(keptCol, col("__stq_cb") < col("__stq_bcb"))
+      .withColumn(keptCol,
+        col("__quota").isNotNull && col("__stq_cb") < col("__stq_bcb"))
     val wRank = Window.partitionBy(col("__stq_s")).orderBy(ord.map(_.asc): _*)
     val boundary = withThr.filter(col("__stq_cb") === col("__stq_bcb"))
       .withColumn("__stq_rk", row_number().over(wRank))
       .withColumn(keptCol, col("__stq_rk") <= col("__stq_topup"))
       .drop("__stq_rk")
     nonBoundary.unionByName(boundary)
-      .drop("__stq_s", "__stq_cb", "__stq_bcb", "__stq_topup")
+      .drop("__stq_s", "__stq_cb", "__stq_bcb", "__stq_topup", "__quota")
   }
 
   /** Filter form of [[markKept]]: return only the admitted rows. */

@@ -343,6 +343,33 @@ object WarehouseQueries {
       .orderBy(col("id"))
   }
 
+  /** C30: community detection over the same parts-bought-together
+    * graph as [[triangleCount]] — synchronous min-tiebreak label
+    * propagation ([[graft.operators.Community]]), 5 rounds, both edge
+    * directions inserted for the undirected semantics. Output carries
+    * the converged community label plus the community's node count
+    * (the quantity a mixture cap actually budgets on).
+    */
+  def communityLabels(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = lp.as("a").join(lp.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+    val nodes = Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("id"))
+    val lab = graft.operators.Community.labelPropagation(edges, nodes,
+      iterations = 5)
+    val sizes = lab.groupBy(col("community"))
+      .agg(count(lit(1)).as("csize"))
+    lab.join(sizes, "community")
+      .select(col("id"), col("community"), col("csize"))
+      .orderBy(col("id"))
+  }
+
   /** D46: TF-IDF cosine retrieval over the corpus, same query terms as
     * [[bm25Search]] so the two rankers are directly comparable (see
     * [[graft.operators.TextRank.tfidfTopK]] for the full-vocabulary-

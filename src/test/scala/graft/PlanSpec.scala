@@ -372,6 +372,56 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected one fact scan, plan had $scans:\n$p")
   }
 
+  /** Flatten an executed plan including adaptive stages and reused
+    * exchanges, so node-type assertions see the whole tree. */
+  private def flattenPlan(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val next = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: next.flatMap(flattenPlan)
+  }
+
+  /** The de-skew contract of StratifiedTopQuota (SURVEY §2 D47/D48):
+    * every row_number window in the plan must rank ONLY the boundary
+    * bucket — its input subtree carries the `__stq_bcb` equality
+    * filter — never a whole stratum's rows. A full-stratum sort is
+    * the 100 TB killer this operator exists to avoid.
+    */
+  private def assertRankWindowsBoundaryOnly(df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    df.collect()
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    val rankWindows = nodes.collect {
+      case w: WindowExec
+        if w.windowExpression.exists(_.toString.contains("row_number")) => w
+    }
+    assert(rankWindows.nonEmpty, "expected a boundary-bucket rank window")
+    rankWindows.foreach { w =>
+      val guarded = flattenPlan(w.child).exists {
+        case f: FilterExec => f.condition.toString.contains("__stq_bcb")
+        case _ => false
+      }
+      assert(guarded,
+        s"row_number window ranks unbounded stratum rows:\n$w")
+    }
+  }
+
+  test("perplexity filter: no rank window sorts a whole language") {
+    assertRankWindowsBoundaryOnly(
+      graft.queries.TextQueries.perplexityFilter(spark, sfDir))
+  }
+
+  test("temperature mix: no rank window sorts a whole source") {
+    assertRankWindowsBoundaryOnly(
+      graft.queries.TextQueries.temperatureMix(spark, sfDir))
+  }
+
   private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }

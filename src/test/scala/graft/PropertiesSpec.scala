@@ -358,4 +358,40 @@ class PropertiesSpec extends AnyFunSuite {
       assert(out.length == rows.length)
     }
   }
+
+  test("StratifiedTopQuota == row_number window twin on arbitrary strata/quotas") {
+    import org.apache.spark.sql.expressions.Window
+    val gRows = Gen.listOfN(80, for {
+      s <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.choose(-50L, 50L)
+    } yield (s, v))
+    // quotas exercise the edge cases: 0, tiny, ~half, and > stratum
+    // size; stratum "d" is deliberately ABSENT (must keep nothing)
+    val gQuotas = for {
+      qa <- Gen.choose(0L, 100L)
+      qb <- Gen.choose(0L, 10L)
+      qc <- Gen.oneOf(0L, 1L, 1000L)
+    } yield Seq(("a", qa), ("b", qb), ("c", qc))
+    forAll2(gRows, gQuotas, n = 6) { (rows, qs) =>
+      val df = rows.zipWithIndex
+        .map { case ((s, v), i) => (s, v, i.toLong) }
+        .toDF("s", "v", "id")
+      val quotas = qs.toDF("__stratum", "__quota")
+      val got = graft.operators.StratifiedTopQuota.markKept(df,
+          stratum = col("s"),
+          ord = Seq(col("v"), col("id")),
+          // a coarse, collision-heavy monotone bucketing of v
+          coarse = floor(col("v") / lit(7.0)),
+          quotas = broadcast(quotas))
+        .collect().map(r => (r.getLong(2), r.getBoolean(3))).toMap
+      val w = Window.partitionBy(col("s")).orderBy(col("v").asc, col("id").asc)
+      val want = df.withColumn("__rk", row_number().over(w))
+        .join(broadcast(quotas), col("s") === col("__stratum"), "left")
+        .withColumn("kept",
+          col("__quota").isNotNull && col("__rk") <= col("__quota"))
+        .collect().map(r => (r.getLong(2), r.getBoolean(6))).toMap
+      assert(got == want,
+        s"diff=${got.toSet.diff(want.toSet).take(5)} quotas=$qs")
+    }
+  }
 }

@@ -609,4 +609,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.take(3).map(_._1) == Seq("alpha", "beta", "gamma"))
     assert(streamed.head._2 >= 50, "CMS never undercounts")
   }
+
+  test("streaming perplexity gate equals the batch threshold filter and honors the frozen cut") {
+    import graft.streaming.StreamingScoreFilter
+    import graft.operators.LanguageModel
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val lm = LanguageModel.trainBigram(docs, "text", topK = 64)
+    val cut = graft.queries.TextQueries.perplexityFilter(spark, sfDir)
+    val thr = StreamingScoreFilter.thresholds(cut)
+    // artifact round-trip: what the stream loads is what batch froze
+    val base = java.nio.file.Files.createTempDirectory("graft_pplgate")
+      .toFile.getAbsolutePath
+    StreamingScoreFilter.saveThresholds(thr, s"$base/thr")
+    val thrLake = spark.read.parquet(s"$base/thr")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val q = StreamingScoreFilter.filtered(stream, lm, thrLake)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ppl_gate").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("ppl_gate").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    } finally q.stop()
+    // the gate is a stateless plan: the same transform over the static
+    // frame is its batch twin
+    val want = StreamingScoreFilter.filtered(docs, lm, thrLake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"only-stream=${(got -- want).take(3)} " +
+      s"only-batch=${(want -- got).take(3)}")
+    // threshold admission is the quota cut plus boundary ties: every
+    // quota-kept doc passes, and nothing below any language threshold
+    // is lost
+    val keptBatch = cut.filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptBatch.subsetOf(got), "a quota-kept doc failed the frozen gate")
+  }
 }

@@ -640,6 +640,41 @@ class WarehouseSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("label propagation: matches driver recursion, cliques split, isolated node keeps its label") {
+    import spark.implicits._
+    import graft.operators.Community
+    // two triangles {1,2,3} and {4,5,6} joined by bridge 3-4; 7 isolated
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val ePairs = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val edges = ePairs.toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("id")
+    val got = Community.labelPropagation(edges, nodes, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the same synchronous min-tiebreak recursion on the driver
+    val nbrs = ePairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = (1L to 7L).map(v => v -> v).toMap
+    (1 to 5).foreach { _ =>
+      val prev = lab
+      lab = (1L to 7L).map { v =>
+        val ls = nbrs.getOrElse(v, Nil).map(prev)
+        if (ls.isEmpty) v -> prev(v)
+        else v -> ls.groupBy(identity).toSeq
+          .map { case (l, occ) => (-occ.size.toLong, l) }.min._2
+      }.toMap
+    }
+    assert(got == lab, s"got $got want $lab")
+    assert(got(1L) == got(2L) && got(2L) == got(3L), "left clique converges")
+    assert(got(4L) == got(5L) && got(5L) == got(6L), "right clique converges")
+    assert(got(1L) != got(4L), "bridge must not merge the cliques")
+    assert(got(7L) == 7L, "isolated node keeps its own label")
+    // exact integers => partition-invariant
+    val re = Community.labelPropagation(
+        edges.repartition(5), nodes.repartition(3), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == got)
+  }
+
   test("Materialize.cut: reliable-checkpoint path matches local path bit-exactly") {
     import spark.implicits._
     import graft.operators.{Centrality, Dedup}
