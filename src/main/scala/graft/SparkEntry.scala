@@ -43,6 +43,7 @@ object SparkEntry {
     "q1_pricing_summary" -> (RelationalQueries.q1PricingSummary _),
     "q3_shipping_priority" -> (RelationalQueries.q3ShippingPriority _),
     "q5_local_supplier"  -> (RelationalQueries.q5LocalSupplier _),
+    "q17_small_quantity" -> (RelationalQueries.q17SmallQuantity _),
     "window_running_sum" -> (RelationalQueries.windowRunningSum _),
     "semi_join_exists"   -> (RelationalQueries.semiJoinExists _),
     "distinct_counts"    -> (RelationalQueries.distinctCounts _),
@@ -93,11 +94,13 @@ object SparkEntry {
     "corpus_pipeline"    -> (TextQueries.corpusPipeline _),
     "decontamination"    -> (TextQueries.decontaminate _),
     "decontamination_score" -> (TextQueries.decontaminationScore _),
+    "ngram_novelty"      -> (TextQueries.ngramNovelty _),
     "training_order"     -> ((s, d) => TextQueries.trainingOrder(s, d)),
     "mixture_resample"   -> (TextQueries.mixtureResample _),
     "dsir_resample"      -> (TextQueries.dsirResample _),
     "perplexity_filter"  -> (TextQueries.perplexityFilter _),
     "temperature_mix"    -> (TextQueries.temperatureMix _),
+    "unimax_mix"         -> (TextQueries.unimaxMix _),
     "vocab_heavy_hitters" -> (TextQueries.vocabHeavyHitters _),
     "text_token_count"   -> (TextQueries.textTokenCount _),
     "text_quality_score" -> (TextQueries.textQualityScore _),
@@ -750,6 +753,37 @@ object SparkEntry {
         |FROM r JOIN q USING (source) WHERE rk <= quota
         |ORDER BY r.doc_id""".stripMargin,
 
+    // UniMax water-fill: the driver's greedy integer fold replays as a
+    // recursive CTE walking strata in (cap, name) order — every step
+    // BIGINT, so quotas and the kept set hash-match; selection is the
+    // same portable-XXH64 rank the other mixture oracles use
+    "unimax_mix" ->
+      s"""WITH RECURSIVE caps AS (
+        |  SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS cap
+        |  FROM documents GROUP BY lang),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM caps),
+        |srt AS (SELECT s, cap,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cap, s) AS BIGINT) AS i
+        |  FROM caps),
+        |alloc AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CAST(380 AS BIGINT) AS rem,
+        |         CAST(NULL AS VARCHAR) AS s, CAST(0 AS BIGINT) AS a
+        |  UNION ALL
+        |  SELECT t.i,
+        |         al.rem - LEAST(t.cap, al.rem // (nn.n - t.i + 1)),
+        |         t.s,
+        |         LEAST(t.cap, al.rem // (nn.n - t.i + 1))
+        |  FROM alloc al JOIN srt t ON t.i = al.i + 1 CROSS JOIN nn),
+        |q AS (SELECT s AS lang, a AS quota FROM alloc WHERE i > 0),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY $xxhBucket, doc_id) AS rk
+        |  FROM (${xxh64Nested("SELECT doc_id, lang FROM documents", "doc_id")}))
+        |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+        |WHERE rk <= quota
+        |ORDER BY r.doc_id""".stripMargin,
+
     "vocab_tokenize" -> vocabTokenizeOracle(
       graft.queries.TextQueries.SubwordVocab, 3),
     "vocab_tokenize_ids" -> vocabTokenizeIdsOracle(
@@ -1136,6 +1170,23 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    // Q17 shape: the correlated scalar subquery decorrelated the same
+    // way the Spark side writes it — per-part decimal-exact avg (sum
+    // cast double / count, THEN ×0.2), decimal revenue sum / 7.0
+    "q17_small_quantity" ->
+      """WITH thr AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(l_quantity) * 0.2 AS thr
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / 7.0 AS avg_yearly
+        |FROM lineitem JOIN thr USING (l_partkey)
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < thr
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q5_local_supplier" -> s"""SELECT n_name, $revenueSum AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -2135,6 +2186,23 @@ object SparkEntry {
         |  CAST(COALESCE(s.c, 0) AS DOUBLE) / GREATEST(len(gs), 1) AS overlap_frac
         |FROM g LEFT JOIN sh s USING (doc_id)
         |WHERE g.doc_id % 10 <> 0 ORDER BY g.doc_id""".stripMargin,
+
+    "ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 6),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |      || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS gs
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |sh AS (SELECT gram FROM e GROUP BY gram HAVING COUNT(*) >= 2),
+        |pd AS (SELECT e.doc_id, COUNT(*) AS c FROM e JOIN sh USING (gram) GROUP BY 1)
+        |SELECT g.doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(p.c, 0) AS BIGINT) AS n_dup,
+        |  CAST(COALESCE(p.c, 0) AS DOUBLE) / GREATEST(len(gs), 1) AS dup_frac
+        |FROM g LEFT JOIN pd p USING (doc_id)
+        |ORDER BY g.doc_id""".stripMargin,
 
     "text_repetition_score" ->
       """WITH t AS (

@@ -501,6 +501,54 @@ object Dedup {
           greatest(col("n_grams"), lit(1L)).cast("double")).as("overlap_frac"))
   }
 
+  /** D50: within-corpus n-gram novelty audit — for every document,
+    * the fraction of its distinct word n-grams that also occur in at
+    * least one OTHER document. This is the memorization/boilerplate
+    * exposure dial (Lee et al. 2022's analysis face): dup_frac ≈ 1
+    * marks template spam and licenses, dup_frac ≈ 0 marks genuinely
+    * novel text; the corpus-level histogram of this score is the
+    * first chart of any duplication report, and the per-doc score
+    * composes with D33's percentile threshold for "drop the least
+    * novel X%" curation.
+    *
+    * Scale shape: one explode of per-doc DISTINCT grams → a
+    * partial-agg'd `groupBy(gram)` doc-frequency count (map-side
+    * combine collapses within-partition repeats) → the shared-gram
+    * set (df ≥ 2) semi-joins back against the same exploded frame →
+    * per-doc partial-agg'd hit counts. Two gram-keyed shuffles, no
+    * pair blow-up (gram doc-frequency, never gram × gram). At 100 TB
+    * the gram key would ride as `xxhash64(gram)` 8-byte tokens with
+    * an exact-verify pass on survivors (the D36 discipline); at
+    * oracle scale the string key keeps both engines trivially
+    * aligned.
+    *
+    * @return (doc_id, n_grams, n_dup, dup_frac); docs shorter than
+    *         `n` words score 0 over 0 grams.
+    */
+  def noveltyScore(corpus: DataFrame, textCol: String, idCol: String,
+                   n: Int = 8): DataFrame = {
+    val grams = corpus.select(col(idCol).as("doc_id"),
+      explode(array_distinct(
+        graft.functions.ShingleFunctions.word_shingles(col(textCol), n)))
+        .as("gram"))
+    // grams are distinct WITHIN a doc, so plain count == doc frequency
+    val shared = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gram"))
+    val perDoc = grams.join(shared, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    corpus
+      .select(col(idCol).as("doc_id"), size(array_distinct(
+        graft.functions.ShingleFunctions.word_shingles(col(textCol), n)))
+        .cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") /
+          greatest(col("n_grams"), lit(1L)).cast("double")).as("dup_frac"))
+  }
+
   /** D4: n-gram Jaccard similarity for given candidate pairs (here:
     * consecutive doc ids — a deterministic, oracle-checkable pairing;
     * LSH supplies candidates at scale).

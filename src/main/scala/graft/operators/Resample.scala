@@ -167,4 +167,56 @@ object Resample {
       coarse = floor(bucket / lit(1000L)),
       quotas = broadcast(quotas.toDF("__stratum", "__quota")))
   }
+
+  /** D49: UniMax-style max-uniform allocation (Chung et al. 2023) —
+    * draw a `budget`-row sample spread as UNIFORMLY across strata as
+    * the data allows: small strata are included WHOLE (capped at
+    * their available rows), and the budget they can't absorb cascades
+    * to the larger ones. Where D48's temperature mix flattens
+    * proportionally (head sources still dominate, just less), UniMax
+    * is the end of that dial: perfect uniformity up to availability —
+    * the multilingual recipe that stops a 70%-English corpus from
+    * producing a 70%-English mixture.
+    *
+    * Allocation is the exact integer water-fill: strata sorted by
+    * (available rows asc, name asc), each takes
+    * `min(available, remaining div strataLeft)` — every step BIGINT,
+    * so the quotas (and the kept set) are bit-reproducible in any
+    * engine; the DuckDB oracle replays the same fold as a recursive
+    * CTE. The per-stratum counts collapse to one row per stratum
+    * before the driver loop sees them (the same aggregate-sized
+    * driver state as [[temperatureBySource]]). Selection within a
+    * stratum is the seeded-hash ranking through the
+    * [[StratifiedTopQuota]] boundary-bucket walk — no full-stratum
+    * sorts, deterministic, retry-stable.
+    *
+    * Up to `strata − 1` rows of the budget can go unspent (integer
+    * floors, no fractional redistribution) — the deterministic
+    * trade documented over a ±1-row reshuffle no engine would
+    * reproduce identically.
+    */
+  def waterFillByStratum(df: DataFrame, stratum: Column, id: Column,
+                         budget: Long, seed: Long = 42L): DataFrame = {
+    require(budget > 0, s"waterFillByStratum: budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(stratum.cast("string").as("__stratum"))
+      .agg(count(lit(1)).as("__m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (s, m) => (m, s) }
+    require(counts.nonEmpty, "waterFillByStratum: empty input")
+    val n = counts.length
+    var rem = budget
+    val quotas = counts.zipWithIndex.map { case ((s, cap), i) =>
+      val a = math.min(cap, rem / (n - i))
+      rem -= a
+      (s, a)
+    }
+    val bucket = pmod(xxhash64(lit(seed), id), lit(M))
+    StratifiedTopQuota.take(df, stratum,
+      ord = Seq(bucket, id),
+      coarse = floor(bucket / lit(1000L)),
+      quotas = broadcast(quotas.toSeq.toDF("__stratum", "__quota")))
+  }
 }

@@ -95,6 +95,36 @@ object RelationalQueries {
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** C31: correlated aggregate subquery, decorrelated by hand (TPC-H
+    * Q17 shape — "revenue from small-quantity orders", per brand):
+    * `l_quantity < (SELECT 0.2·avg(l_quantity) WHERE same part)`.
+    *
+    * Spark-first decorrelation: the correlated scalar subquery IS a
+    * `groupBy(l_partkey)` threshold frame joined back to the fact —
+    * which is what Catalyst's RewriteCorrelatedScalarSubquery would
+    * produce, written explicitly so the plan shape is guaranteed:
+    * both sides of the self-join shuffle on the SAME key
+    * (l_partkey), so AQE's sort-merge join reuses one exchange
+    * lineage instead of re-shuffling; the part dim then broadcasts.
+    * Numeric parity: the per-part avg is the exact decimal sum
+    * divided in double ([[graft.functions.Num.davg]]) and the
+    * revenue sum is decimal-exact — both single-rounded to double,
+    * so the filter boundary and the output hash-match any engine.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val thr = li.groupBy(col("l_partkey"))
+      .agg((davg(col("l_quantity")) * lit(0.2)).as("thr"))
+    val pt = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(thr, "l_partkey")
+      .filter(col("l_quantity") < col("thr"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+      .orderBy(col("p_brand"))
+  }
+
   /** C5: EXISTS / NOT EXISTS as semi/anti joins (no row duplication,
     * no distinct needed — semantically and physically better than
     * join+dedup at scale).

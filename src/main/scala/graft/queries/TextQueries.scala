@@ -440,6 +440,17 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D50: within-corpus n-gram novelty audit — per-doc fraction of
+    * distinct 8-grams shared with at least one other document (see
+    * [[graft.operators.Dedup.noveltyScore]]). The memorization /
+    * boilerplate exposure signal D26's span REMOVAL decides with;
+    * this emits the graded score for reporting and thresholding.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.noveltyScore(
+        Tables.documents(spark, dir), "text", "doc_id", n = 8)
+      .orderBy(col("doc_id"))
+
   /** D45: DSIR importance resampling — target distribution = the
     * English slice, raw = the whole corpus; Gumbel-top-100 weighted
     * sample without replacement (see [[graft.operators.Dsir]]). The
@@ -506,6 +517,21 @@ object TextQueries {
       TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
     graft.operators.Resample.temperatureBySource(
         docs, col("source"), col("doc_id"), col("n_tokens"), sampleN = 400L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** D49: UniMax max-uniform language mixture — 380 docs allocated as
+    * uniformly across the 5 languages as availability allows (see
+    * [[graft.operators.Resample.waterFillByStratum]]). On this corpus
+    * every tail language (fr/de/es/zh) is included WHOLE and English
+    * absorbs the cascaded remainder — the exact opposite failure mode
+    * of a proportional draw.
+    */
+  def unimaxMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    graft.operators.Resample.waterFillByStratum(
+        docs, col("lang"), col("doc_id"), budget = 380L)
       .orderBy(col("doc_id"))
   }
 

@@ -343,6 +343,43 @@ object ScaleProbe {
         .unionAll(cs.select(col("s").as("id"))).distinct()
       graft.operators.Centrality.pageRank(edges, nodes, iterations = 10).count()
     }
+    t("hits") {
+      val off = lit(1000000L)
+      val cs = graft.sources.Tables.orders(spark, dir).crossJoin(copies)
+        .select((col("o_orderkey") * mult + col("copy")).as("ok"),
+          (col("o_custkey") * mult + col("copy")).as("c"))
+        .join(li.select(col("l_orderkey"), col("l_suppkey")),
+          col("ok") === col("l_orderkey"))
+        .select(col("c"), (col("l_suppkey") + off).as("s"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+      val nodes = cs.select(col("c").as("id"))
+        .unionAll(cs.select(col("s").as("id"))).distinct()
+      graft.operators.Centrality.hits(edges, nodes, iterations = 8).count()
+    }
+    // co-purchase part graph at ×mult order volume: the part universe
+    // is fixed, so edge DENSITY (not just count) grows — the stress
+    // case for the wedge join's O(m^1.5) bound
+    t("triangles") {
+      val lp = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = lp.as("a").join(lp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      val nodes = lp.select(col("pk").as("id")).distinct()
+      graft.operators.Triangles.nodeTriangles(e, nodes).count()
+    }
+    t("community_lpa") {
+      val lp = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pr = lp.as("a").join(lp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      val edges = pr.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(pr.select(col("v").as("src"), col("u").as("dst")))
+      val nodes = lp.select(col("pk").as("id")).distinct()
+      graft.operators.Community.labelPropagation(edges, nodes, 5).count()
+    }
     spark.stop()
   }
 }

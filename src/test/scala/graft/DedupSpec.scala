@@ -339,6 +339,23 @@ class DedupSpec extends AnyFunSuite {
       "unverified garbage candidate must be filtered by the exact verify")
   }
 
+  test("noveltyScore: shared grams counted once per doc, unique and short docs score zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six seven eight alpha"),
+      (2L, "zzz one two three four five six seven eight"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (4L, "hi there")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.noveltyScore(docs, "text", "doc_id", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 1/2 share exactly the 8-gram "one ... eight"; each has 2 grams
+    assert(got(1L) == (2L, 1L, 0.5), s"doc1: ${got(1L)}")
+    assert(got(2L) == (2L, 1L, 0.5), s"doc2: ${got(2L)}")
+    assert(got(3L) == (1L, 0L, 0.0), "unique doc must score 0")
+    assert(got(4L) == (0L, 0L, 0.0), "short doc: 0 grams, 0 dup, frac 0")
+  }
+
   test("exact dedup: digests are unique per text and counts sum to corpus size") {
     val out = graft.queries.TextQueries.dedupExact(spark, sfDir).collect()
     assert(out.map(_.getLong(2)).sum == docs.count())

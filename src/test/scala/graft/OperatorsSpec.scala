@@ -626,6 +626,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(re == gotIds)
   }
 
+  test("water-fill mixing: small strata whole, budget cascades, repartition-invariant") {
+    import spark.implicits._
+    import graft.operators.Resample
+    // capacities: a = 2, b = 5, c = 100; budget 30
+    // sorted (a2, b5, c100): a min(2, 30/3=10)=2 rem 28;
+    // b min(5, 28/2=14)=5 rem 23; c min(100, 23)=23
+    val rows = Seq((1L, "a"), (2L, "a")) ++
+      (3L to 7L).map(i => (i, "b")) ++ (8L to 107L).map(i => (i, "c"))
+    val df = rows.toDF("id", "s")
+    val kept = Resample.waterFillByStratum(df, col("s"), col("id"), budget = 30L)
+    val byS = kept.groupBy(col("s")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS == Map("a" -> 2L, "b" -> 5L, "c" -> 23L),
+      s"water-fill allocation wrong: $byS")
+    // selection within the capped stratum = lowest-hash prefix
+    val buckets = df.filter(col("s") === "c").select(col("id"),
+        pmod(xxhash64(lit(42L), col("id")), lit(1000000L)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wantC = buckets.sortBy(x => (x._2, x._1)).take(23).map(_._1).toSet
+    val gotC = kept.filter(col("s") === "c").select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(gotC == wantC, "kept c-rows must be the lowest-bucket prefix")
+    val re = Resample.waterFillByStratum(df.repartition(7), col("s"),
+        col("id"), budget = 30L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val got = kept.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(re == got)
+    // a budget above the corpus takes everything
+    val all = Resample.waterFillByStratum(df, col("s"), col("id"),
+      budget = 1000L)
+    assert(all.count() == rows.length.toLong)
+  }
+
   test("TF-IDF: hand-computed cosine scores, spam page ranks below a focused one") {
     import spark.implicits._
     import graft.operators.TextRank
