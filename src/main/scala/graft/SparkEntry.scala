@@ -44,6 +44,8 @@ object SparkEntry {
     "q3_shipping_priority" -> (RelationalQueries.q3ShippingPriority _),
     "q5_local_supplier"  -> (RelationalQueries.q5LocalSupplier _),
     "q17_small_quantity" -> (RelationalQueries.q17SmallQuantity _),
+    "q18_large_volume"   -> (RelationalQueries.q18LargeVolumeCustomer _),
+    "seed_distance"      -> (WarehouseQueries.seedDistance _),
     "window_running_sum" -> (RelationalQueries.windowRunningSum _),
     "semi_join_exists"   -> (RelationalQueries.semiJoinExists _),
     "distinct_counts"    -> (RelationalQueries.distinctCounts _),
@@ -564,6 +566,39 @@ object SparkEntry {
        |ORDER BY l.id""".stripMargin
   }
 
+  /** BFS seed-distance oracle: the frontier rounds of
+    * [[graft.operators.Centrality.seedDistance]] unroll into chained
+    * CTEs — frontier = nodes stamped last round, reached = distinct
+    * out-neighbors, unreached nodes stamp the round number. Exact
+    * integers; −1 marks nodes beyond the horizon.
+    */
+  private def bfsOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""f$k AS (SELECT DISTINCT e.dst FROM e JOIN d${k - 1} d
+         |  ON d.id = e.src AND d.dist = ${k - 1}),
+         |d$k AS (SELECT d.id,
+         |    CASE WHEN d.dist >= 0 THEN d.dist
+         |         WHEN f.dst IS NOT NULL THEN CAST($k AS BIGINT)
+         |         ELSE CAST(-1 AS BIGINT) END AS dist
+         |  FROM d${k - 1} d LEFT JOIN f$k f ON f.dst = d.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT c AS src, s AS dst FROM cs
+       |  UNION ALL SELECT s, c FROM cs),
+       |nd AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+       |  UNION ALL SELECT s_suppkey + 1000000 FROM supplier),
+       |sd AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |d0 AS (SELECT nd.id,
+       |    CASE WHEN sd.id IS NOT NULL THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(-1 AS BIGINT) END AS dist
+       |  FROM nd LEFT JOIN sd ON sd.id = nd.id),
+       |$iterCtes
+       |SELECT id, dist FROM d$iters ORDER BY id""".stripMargin
+  }
+
   /** Stupid-backoff bigram cross-entropy CTE chain (mirrors
     * [[graft.operators.LanguageModel.crossEntropyBigram]] branch for
     * branch), shared by the `lm_bigram_cross_entropy` oracle and the
@@ -665,6 +700,7 @@ object SparkEntry {
     "pagerank_personalized" -> personalizedPageRankOracle(10),
     "hits_centrality" -> hitsOracle(8),
     "community_labels" -> lpaOracle(5),
+    "seed_distance" -> bfsOracle(4),
     "tfidf_search" -> tfidfOracle(
       graft.queries.WarehouseQueries.Bm25Terms, 50),
 
@@ -1187,6 +1223,21 @@ object SparkEntry {
         |JOIN part ON p_partkey = l_partkey
         |WHERE l_quantity < thr
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // Q18 shape: HAVING-subquery membership as agg → filter → semi join
+    "q18_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN lineitem ON o_orderkey = lineitem.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q5_local_supplier" -> s"""SELECT n_name, $revenueSum AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -196,4 +196,44 @@ object Centrality {
         coalesce(col("authority"), lit(0L)).as("authority"),
         coalesce(col("hub"), lit(0L)).as("hub"))
   }
+
+  /** C33: multi-source BFS hop distance — "crawl depth from the seed
+    * set", the trust-propagation counterpart to
+    * [[personalizedPageRank]]: where PPR grades trust continuously,
+    * hop distance is the discrete audit (seed-linked ≤ 2 hops is the
+    * classic link-spam / trusted-frontier cut).
+    *
+    * Frontier-only expansion: round t joins ONLY the nodes that
+    * acquired distance t−1 against the edge list, emits their
+    * out-neighbors distinct, and stamps still-unreached ones with t —
+    * per-round shuffled state is the frontier and its neighbor set,
+    * never the whole graph's rows re-propagated. Exact integers
+    * throughout; fixed `maxIter` (no convergence probe) so the oracle
+    * unrolls per round. Unreached nodes report −1.
+    */
+  def seedDistance(edges: DataFrame, seeds: DataFrame, nodes: DataFrame,
+                   maxIter: Int): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val e = Materialize.cut(edges.select(col("src"), col("dst")).distinct())
+    val ns = Materialize.cut(nodes.select(col("id")))
+    var dist = Materialize.cut(
+      ns.join(seeds.select(col("id"), lit(0L).as("__d0")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__d0"), lit(-1L)).as("dist")))
+    var it = 0
+    while (it < maxIter) {
+      val frontier = dist.filter(col("dist") === lit(it.toLong))
+      val reached = e.join(frontier, col("src") === col("id"))
+        .select(col("dst")).distinct()
+        .withColumn("__hit", lit(1L))
+      val step = dist.join(reached, col("id") === col("dst"), "left")
+        .select(col("id"),
+          when(col("dist") >= 0, col("dist"))
+            .otherwise(when(col("__hit").isNotNull, lit(it + 1L))
+              .otherwise(lit(-1L))).as("dist"))
+      it += 1
+      dist = if (it % 2 == 0 || it == maxIter) Materialize.cut(step)
+             else step
+    }
+    dist
+  }
 }

@@ -125,6 +125,38 @@ object RelationalQueries {
       .orderBy(col("p_brand"))
   }
 
+  /** C32: HAVING-subquery membership, decorrelated (TPC-H Q18 shape —
+    * "large volume customers"): orders whose lineitems total > 250
+    * units, with customer detail. The `IN (SELECT … HAVING)` becomes
+    * an aggregate→filter→LEFT SEMI join; the qualifying-order agg,
+    * the semi join, and the re-join to lineitem all key on
+    * l_orderkey/o_orderkey, so the whole pipeline rides one shuffle
+    * key end to end; customer dim broadcasts. Quantity sums are
+    * decimal-exact, the (price desc, date, orderkey) order makes the
+    * LIMIT deterministic.
+    */
+  def q18LargeVolumeCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("__q"))
+      .filter(col("__q") > 250)
+      .select(col("l_orderkey").as("__ok"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+    ord.join(big, col("o_orderkey") === col("__ok"), "left_semi")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+        col("o_orderkey"))
+      .limit(100)
+  }
+
   /** C5: EXISTS / NOT EXISTS as semi/anti joins (no row duplication,
     * no distinct needed — semantically and physically better than
     * join+dedup at scale).

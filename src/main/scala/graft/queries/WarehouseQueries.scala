@@ -297,6 +297,37 @@ object WarehouseQueries {
       .orderBy(col("id"))
   }
 
+  /** C33: BFS hop distance from the BUILDING-segment seed customers
+    * over the undirected trade graph (see
+    * [[graft.operators.Centrality.seedDistance]]) — the discrete
+    * trust-frontier audit beside C28b's continuous PPR: suppliers at
+    * distance 1 trade directly with a seed, customers at 2 share a
+    * supplier with one, etc.; −1 marks nodes outside the 4-hop
+    * frontier.
+    */
+  def seedDistance(spark: SparkSession, dir: String): DataFrame = {
+    val off = lit(1000000L)
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + off).as("s"))
+      .distinct()
+    val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+    val nodes = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("id"))
+      .unionAll(Tables.supplier(spark, dir)
+        .select((col("s_suppkey") + off).as("id")))
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").cast("long").as("id"))
+    graft.operators.Centrality.seedDistance(edges, seeds, nodes,
+        maxIter = 4)
+      .orderBy(col("id"))
+  }
+
   /** C28c: HITS hubs & authorities over the DIRECTED buyer→supplier
     * trade graph — customers score as hubs (well-connected buyers),
     * suppliers as authorities (serving well-connected buyers); see

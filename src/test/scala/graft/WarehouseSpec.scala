@@ -675,6 +675,27 @@ class WarehouseSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("seedDistance: BFS hops from a seed set, unreached -1, horizon respected") {
+    import spark.implicits._
+    import graft.operators.Centrality
+    // path 0-1-2-3-4 (undirected) + isolated 5; seeds {0, 9}
+    // (9 is not in the node set and must be ignored)
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val nodes = (0L to 5L).toDF("id")
+    val seeds = Seq(0L, 9L).toDF("id")
+    val got = Centrality.seedDistance(edges, seeds, nodes, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      4L -> -1L, 5L -> -1L), s"got $got")
+    // a wider horizon reaches node 4; exact integers => partition-invariant
+    val far = Centrality.seedDistance(
+        edges.repartition(5), seeds, nodes.repartition(3), maxIter = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(far(4L) == 4L && far(5L) == -1L)
+  }
+
   test("Materialize.cut: reliable-checkpoint path matches local path bit-exactly") {
     import spark.implicits._
     import graft.operators.{Centrality, Dedup}
