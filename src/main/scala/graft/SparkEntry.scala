@@ -122,6 +122,7 @@ object SparkEntry {
     "dedup_semantic"     -> (VectorQueries.dedupSemantic _),
     "ann_recall_report"  -> (VectorQueries.annRecallReport _),
     "ann_quantized_topk" -> (VectorQueries.annQuantized _),
+    "pca_project"        -> (VectorQueries.pcaProject _),
     // §2 round-5 additions — warehouse + retrieval surface
     "scd2_history"       -> (WarehouseQueries.scd2History _),
     "funnel_steps"       -> (WarehouseQueries.funnelSteps _),
@@ -2632,6 +2633,35 @@ object SparkEntry {
     * cache keys as [[graft.queries.VectorQueries.annIvf]] /
     * [[graft.queries.VectorQueries.annPq]]).
     */
+  /** PCA oracle: the plan-literal projection fold mirrored in
+    * list_transform/list_reduce — float→double widening exact, center
+    * /multiply/fold/√-divide all correctly rounded, model doubles
+    * embedded as 17-significant-digit SCIENTIFIC literals: DuckDB
+    * parses exponent-form numerics as DOUBLE (plain decimals become
+    * DECIMAL, and the list literal's common-type resolution then
+    * perturbs the low bits), and 17 digits round-trip any double to
+    * identical bits.
+    */
+  private def pcaOracle(model: graft.operators.Pca.Model): String = {
+    def d(x: Double) = f"$x%.17e"
+    def dlist(xs: Array[Double]) = xs.map(d).mkString("[", ", ", "]")
+    val comps = model.basis.indices.map { j =>
+      s"""list_reduce(list_transform(range(1, ${model.mean.length + 1}),
+         |    i -> (CAST(embedding[i] AS DOUBLE) - m[i]) * b${j + 1}[i]),
+         |    (a, b) -> a + b)
+         |  / sqrt(${d(model.eigenvalues(j))}) AS pc${j + 1}""".stripMargin
+    }.mkString(",\n  ")
+    val axes = model.basis.indices
+      .map(j => s"${dlist(model.basis(j))} AS b${j + 1}").mkString(",\n  ")
+    s"""WITH mdl AS (SELECT
+       |  ${dlist(model.mean)} AS m,
+       |  $axes)
+       |SELECT vec_id AS id,
+       |  $comps
+       |FROM embeddings CROSS JOIN mdl
+       |ORDER BY id""".stripMargin
+  }
+
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
     import org.apache.spark.sql.functions.col
     val corpus = graft.sources.Tables.embeddings(spark, sfDir)
@@ -2664,7 +2694,11 @@ object SparkEntry {
          |  UNION ALL SELECT 'lsh', COUNT(*) FROM l JOIN bf USING (qid, id)
          |  UNION ALL SELECT 'pq', COUNT(*) FROM p JOIN bf USING (qid, id))
          |ORDER BY method""".stripMargin
+    val pca = graft.operators.Pca.trainCached(
+      s"embeddings-pca:$sfDir", corpus, "vec", "id", dim = 64,
+      components = 4)
     Map(
+      "pca_project" -> pcaOracle(pca),
       "ann_ivf_topk" -> ivfOracle(cents, k = 10, nprobe = 2),
       "ann_pq_topk" -> pqOracle(pqBooks, k = 10, poolMult = 4),
       "ann_ivfpq_topk" -> ivfpqOracle(ivfpq, k = 10, nprobe = 2, poolMult = 4),

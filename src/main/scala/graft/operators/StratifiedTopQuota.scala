@@ -49,9 +49,15 @@ object StratifiedTopQuota {
                coarse: Column, quotas: DataFrame,
                keptCol: String = "kept"): DataFrame = {
     require(ord.nonEmpty, "StratifiedTopQuota: ord must be non-empty")
-    val withB = df
+    // The walk reads its input THREE times (histogram, bulk verdicts,
+    // boundary rank). Materialize it once: callers feed expensive
+    // scored frames (a bigram-LM fold per row in D47), and recomputing
+    // that per scan triples the dominant cost — at 100 TB an executor-
+    // disk checkpoint of the scored columns is exactly the trade a
+    // cluster run wants over re-scoring the corpus.
+    val withB = Materialize.cut(df
       .withColumn("__stq_s", stratum.cast("string"))
-      .withColumn("__stq_cb", coarse.cast("long"))
+      .withColumn("__stq_cb", coarse.cast("long")))
 
     // 1. histogram over (stratum, coarse bucket) — aggregate-sized
     val counts = withB.groupBy(col("__stq_s"), col("__stq_cb"))

@@ -489,9 +489,13 @@ object TextQueries {
   def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val lm = graft.operators.LanguageModel.trainBigram(docs, "text", topK = 64)
-    val scored = docs.select(col("doc_id"), col("lang"),
-      graft.operators.LanguageModel.crossEntropyBigram(col("text"), lm)
-        .as("cross_entropy"))
+    // cut once: the LM fold is the dominant cost and BOTH the quota
+    // count and the quota walk read this frame (3 narrow columns —
+    // storing it is ~nothing, re-scoring the corpus is everything)
+    val scored = graft.operators.Materialize.cut(
+      docs.select(col("doc_id"), col("lang"),
+        graft.operators.LanguageModel.crossEntropyBigram(col("text"), lm)
+          .as("cross_entropy")))
     val quotas = scored.groupBy(col("lang").as("__stratum"))
       .agg(ceil(count(lit(1)) * lit(0.7)).cast("long").as("__quota"))
     graft.operators.StratifiedTopQuota.markKept(scored,

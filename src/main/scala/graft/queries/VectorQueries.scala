@@ -156,4 +156,21 @@ object VectorQueries {
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDup(corpus(spark, dir), threshold = 0.35, planes = 8)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** D51: whitened PCA projection of the embedding corpus onto its
+    * top 4 principal axes (see [[graft.operators.Pca]]) — scalar
+    * component faces for the gate; the library face returns the full
+    * array. Basis trained once per lake dir on the deterministic
+    * sample, shared with the Verify-time oracle embedding.
+    */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val model = graft.operators.Pca.trainCached(
+      s"embeddings-pca:$dir", c, "vec", "id", dim = 64, components = 4)
+    c.select(col("id") +:
+        model.basis.indices.map(j => graft.operators.Pca
+          .component(col("vec"), model, j, whiten = true)
+          .as(s"pc${j + 1}")): _*)
+      .orderBy(col("id"))
+  }
 }

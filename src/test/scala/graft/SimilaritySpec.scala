@@ -374,4 +374,51 @@ class SimilaritySpec extends AnyFunSuite {
       assert(byId(i)._3 == i && byId(i)._5, s"noise row $i must survive")
     }
   }
+
+  test("PCA: orthonormal basis, descending eigenvalues, bit-exact projection, artifact round-trip") {
+    import graft.operators.Pca
+    val corpus = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val m = Pca.train(corpus, "vec", "id", dim = 64, components = 4)
+    // orthonormal within numeric tolerance, eigenvalues sorted desc > 0
+    m.basis.indices.foreach { i =>
+      m.basis.indices.foreach { j =>
+        val dot = (0 until 64).map(k => m.basis(i)(k) * m.basis(j)(k)).sum
+        val want = if (i == j) 1.0 else 0.0
+        assert(math.abs(dot - want) < 1e-9, s"basis($i)·basis($j) = $dot")
+      }
+    }
+    assert(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1)))
+    assert(m.eigenvalues.forall(_ > 0))
+    // the plan-literal projection equals the driver fold BIT-exactly
+    val got = corpus.select(col("id"), Pca.project(col("vec"), m))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val want = m.basis.map { axis =>
+        var acc = 0.0
+        var i = 0
+        while (i < 64) { acc += (v(i).toDouble - m.mean(i)) * axis(i); i += 1 }
+        acc
+      }.toSeq
+      assert(got(id) == want, s"projection mismatch for id $id")
+    }
+    // whitened projections have ~unit variance along each axis
+    val proj = corpus.select(Pca.project(col("vec"), m, whiten = true))
+      .collect().map(_.getSeq[Double](0))
+    val n = proj.length
+    (0 until 4).foreach { j =>
+      val mu = proj.map(_(j)).sum / n
+      val va = proj.map(p => (p(j) - mu) * (p(j) - mu)).sum / (n - 1)
+      assert(va > 0.5 && va < 2.0, s"whitened variance axis $j = $va")
+    }
+    // lake artifact round-trips the exact model
+    val path = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    Pca.save(spark, m, s"$path/pca")
+    val back = Pca.load(spark, s"$path/pca")
+    assert(back.mean.toSeq == m.mean.toSeq &&
+      back.eigenvalues.toSeq == m.eigenvalues.toSeq &&
+      back.basis.map(_.toSeq).toSeq == m.basis.map(_.toSeq).toSeq)
+  }
 }
