@@ -193,6 +193,23 @@ object GraftKernels {
     sum
   }
 
+  /** One PCA component: `Σ_i (v_i − mean_i)·axis_i` folded in index
+    * order, then / div (√eigenvalue when whitening, 1.0 otherwise —
+    * x/1.0 is the bitwise identity). Exactly the HOF
+    * transform/zip_with/aggregate fold, as a codegen kernel.
+    */
+  def vecProject(v: ArrayData, mean: Array[Double], axis: Array[Double],
+                 div: Double): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = mean.length
+    while (i < n) {
+      acc += (v.getFloat(i).toDouble - mean(i)) * axis(i)
+      i += 1
+    }
+    acc / div
+  }
+
   /** Random-hyperplane LSH bucket (see VectorFunctions.hyperplaneBucket
     * for the HOF twin): plane p dim i sign = bit of xxhash64(p, i).
     */
@@ -341,6 +358,36 @@ case class PqAdc(left: Expression, right: Expression,
   override def prettyName: String = "pq_adc"
 }
 
+/** VecProject(array<float> vec) → double PCA component via the
+  * plan-shipped mean/axis (`ctx.addReferenceObj`, the PqAdc
+  * discipline). One instance per component; whitening folds into
+  * `div`. HOFs (transform/zip_with/aggregate) are CodegenFallback, so
+  * the hot-path projection runs through this kernel instead — the
+  * same lesson the greedy tokenizer learned (SURVEY round 6).
+  */
+case class VecProject(child: Expression, mean: Array[Double],
+                      axis: Array[Double], div: Double)
+  extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_project needs array<float>, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.valueOf(GraftKernels.vecProject(
+      v.asInstanceOf[ArrayData], mean, axis, div))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("pcaMean", mean, "double[]")
+    val aRef = ctx.addReferenceObj("pcaAxis", axis, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftKernels.vecProject($c, $mRef, $aRef, $div)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): VecProject =
+    copy(child = newChild)
+  override def prettyName: String = "vec_project"
+}
+
 /** Column-API entry points for the kernel expressions. */
 object GraftFunctions {
   def simhash64(c: Column): Column =
@@ -357,4 +404,8 @@ object GraftFunctions {
              ksub: Int, ds: Int): Column =
     ColumnBridge.column(PqAdc(ColumnBridge.expression(q),
       ColumnBridge.expression(codes), flat, ksub, ds))
+  def vec_project(v: Column, mean: Array[Double], axis: Array[Double],
+                  div: Double): Column =
+    ColumnBridge.column(VecProject(ColumnBridge.expression(v),
+      mean, axis, div))
 }

@@ -158,15 +158,27 @@ object Pca {
     (Array.tabulate(n)(i => a(i)(i)), v)
   }
 
-  /** One projected component as a plan-literal fold:
-    * `Σ_i (v_i − mean_i)·basis_ji` in index order, `/ √eig_j` when
-    * whitening. Codegen'd array algebra, zero shuffle.
+  /** One projected component: `Σ_i (v_i − mean_i)·basis_ji` folded in
+    * index order, `/ √eig_j` when whitening — the codegen
+    * [[graft.functions.VecProject]] kernel (HOF lambdas are
+    * CodegenFallback; the model ships with the plan via
+    * `addReferenceObj`). Zero shuffle. [[componentHof]] is the
+    * built-in-function twin the spec pins bit-equal.
     */
   def component(vec: Column, model: Model, j: Int,
-                whiten: Boolean = false): Column = {
+                whiten: Boolean = false): Column =
+    graft.functions.GraftFunctions.vec_project(vec, model.mean,
+      model.basis(j),
+      if (whiten) math.sqrt(model.eigenvalues(j)) else 1.0)
+
+  /** HOF twin of [[component]] (transform/zip_with/aggregate fold) —
+    * the property witness: same center/multiply/left-fold/divide ops
+    * in the same order, so it must match the kernel bit for bit.
+    */
+  def componentHof(vec: Column, model: Model, j: Int,
+                   whiten: Boolean = false): Column = {
     val meanLit = array(model.mean.map(lit): _*)
     val axisLit = array(model.basis(j).map(lit): _*)
-    // center, zip with the axis, left-fold the products in index order
     val centered = zip_with(transform(vec, x => x.cast("double")), meanLit,
       (x, mu) => x - mu)
     val prods = zip_with(centered, axisLit, (x, b) => x * b)

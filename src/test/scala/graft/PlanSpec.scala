@@ -297,6 +297,20 @@ class PlanSpec extends AnyFunSuite {
       .toString.contains("*"), s"no codegen spans:\n$p")
   }
 
+  test("pca projection runs inside whole-stage codegen (kernel, not HOF fallback)") {
+    val df = graft.queries.VectorQueries.pcaProject(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("vec_project"), s"kernel expression missing:\n$p")
+    // the kernel projections must sit inside a codegen span, which a
+    // CodegenFallback HOF chain would break
+    val projLine = p.linesIterator.find(_.contains("vec_project")).get
+    // AQE prints codegen membership as a `*(n)` stage prefix
+    assert(p.contains("WholeStageCodegen") || projLine.contains("*("),
+      s"projection not in a codegen span:\n$projLine")
+    assert(!projLine.contains("aggregate(") && !projLine.contains("zip_with("),
+      s"projection fell back to HOF lambdas:\n$projLine")
+  }
+
   test("bucketed join: sort-merge with zero exchanges on either side") {
     // force SMJ (at sf0.001 the dims would broadcast) so the pin is on
     // the bucketing, not on broadcast luck

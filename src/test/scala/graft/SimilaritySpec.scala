@@ -413,6 +413,15 @@ class SimilaritySpec extends AnyFunSuite {
       val va = proj.map(p => (p(j) - mu) * (p(j) - mu)).sum / (n - 1)
       assert(va > 0.5 && va < 2.0, s"whitened variance axis $j = $va")
     }
+    // codegen kernel == HOF fold twin, bit for bit (both whiten modes)
+    Seq(true, false).foreach { w =>
+      val pair = corpus.select(
+          Pca.component(col("vec"), m, 2, whiten = w).as("k"),
+          Pca.componentHof(col("vec"), m, 2, whiten = w).as("h"))
+        .collect()
+      pair.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+        s"kernel/HOF mismatch (whiten=$w): ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    }
     // lake artifact round-trips the exact model
     val path = java.nio.file.Files.createTempDirectory("graft_pca").toString
     Pca.save(spark, m, s"$path/pca")
