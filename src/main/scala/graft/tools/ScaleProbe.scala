@@ -380,6 +380,27 @@ object ScaleProbe {
       val nodes = lp.select(col("pk").as("id")).distinct()
       graft.operators.Community.labelPropagation(edges, nodes, 5).count()
     }
+    // the D47/D48 boundary-bucket walk at full volume: a per-stratum
+    // 70% cut over 500k rows — histogram + bulk verdicts + one narrow
+    // boundary rank, never a full-stratum sort
+    t("stratified_quota") {
+      val scored = docs.select(col("doc_id"),
+        pmod(col("doc_id"), lit(5)).as("s"),
+        pmod(xxhash64(col("doc_id")), lit(1000000L)).as("score"))
+      val quotas = scored.groupBy(col("s").cast("string").as("__stratum"))
+        .agg(ceil(count(lit(1)) * lit(0.7)).cast("long").as("__quota"))
+      graft.operators.StratifiedTopQuota.take(scored, col("s"),
+        ord = Seq(col("score"), col("doc_id")),
+        coarse = floor(col("score") / lit(1000L)),
+        quotas = broadcast(quotas)).count()
+    }
+    t("pca_project") {
+      val m = graft.operators.Pca.train(emb, "vec", "id",
+        dim = 64, components = 4)
+      emb.select(col("id"),
+        graft.operators.Pca.project(col("vec"), m, whiten = true))
+        .count()
+    }
     spark.stop()
   }
 }
