@@ -527,9 +527,12 @@ object Dedup {
     */
   def noveltyScore(corpus: DataFrame, textCol: String, idCol: String,
                    n: Int = 8): DataFrame = {
+    // null text behaves as empty (0 grams, 0 dup) instead of
+    // poisoning n_grams with a null size
+    val safeText = coalesce(col(textCol), lit(""))
     val grams = corpus.select(col(idCol).as("doc_id"),
       explode(array_distinct(
-        graft.functions.ShingleFunctions.word_shingles(col(textCol), n)))
+        graft.functions.ShingleFunctions.word_shingles(safeText, n)))
         .as("gram"))
     // grams are distinct WITHIN a doc, so plain count == doc frequency
     val shared = grams.groupBy(col("gram"))
@@ -540,7 +543,7 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
     corpus
       .select(col(idCol).as("doc_id"), size(array_distinct(
-        graft.functions.ShingleFunctions.word_shingles(col(textCol), n)))
+        graft.functions.ShingleFunctions.word_shingles(safeText, n)))
         .cast("long").as("n_grams"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),

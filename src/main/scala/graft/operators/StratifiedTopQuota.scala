@@ -55,9 +55,16 @@ object StratifiedTopQuota {
     // that per scan triples the dominant cost — at 100 TB an executor-
     // disk checkpoint of the scored columns is exactly the trade a
     // cluster run wants over re-scoring the corpus.
+    // A null coarse bucket maps to MinValue: ascending Spark windows
+    // sort NULLS FIRST, so the twin ranks null-ord rows ahead of
+    // everything — the sentinel reproduces that, and without it the
+    // `=!=`/`===` branch filters would silently DROP null rows from
+    // the output. Null strata never match a quota row and keep
+    // nothing, same as the twin.
     val withB = Materialize.cut(df
       .withColumn("__stq_s", stratum.cast("string"))
-      .withColumn("__stq_cb", coarse.cast("long")))
+      .withColumn("__stq_cb",
+        coalesce(coarse.cast("long"), lit(Long.MinValue))))
 
     // 1. histogram over (stratum, coarse bucket) — aggregate-sized
     val counts = withB.groupBy(col("__stq_s"), col("__stq_cb"))

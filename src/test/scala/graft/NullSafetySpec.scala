@@ -186,4 +186,47 @@ class NullSafetySpec extends AnyFunSuite {
     // null text propagates null, never throws
     assert(out(4L) == ((null, -1)))
   }
+
+  test("StratifiedTopQuota: null ord ranks first (window twin parity), null stratum keeps nothing, no rows vanish") {
+    val df = Seq(
+      (1L, Option("a"), Option(5L)), (2L, Option("a"), Option.empty[Long]),
+      (3L, Option("a"), Option(1L)), (4L, Option.empty[String], Option(1L)))
+      .toDF("id", "s", "v")
+    val quotas = Seq(("a", 2L)).toDF("__stratum", "__quota")
+    val out = graft.operators.StratifiedTopQuota.markKept(df,
+        stratum = col("s"), ord = Seq(col("v"), col("id")),
+        coarse = col("v"), quotas = broadcast(quotas))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.size == 4, "every input row must appear in the output")
+    // nulls-first: the null-v row outranks v=5 for stratum a's 2 slots
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false),
+      s"got $out")
+  }
+
+  test("label propagation: empty edge set leaves every node its own community; self-loops vote") {
+    import graft.operators.Community
+    val nodes = (1L to 4L).toDF("id")
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val own = Community.labelPropagation(empty, nodes, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(own == (1L to 4L).map(v => v -> v).toMap)
+    // a self-loop is just a vote for the node's own label — stable
+    val loops = Seq((2L, 2L)).toDF("src", "dst")
+    val still = Community.labelPropagation(loops, nodes, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(still == own)
+  }
+
+  test("noveltyScore: null and short texts score 0 over 0 grams, never null") {
+    val docs = Seq((1L, Option.empty[String]), (2L, Option("tiny text")),
+      (3L, Option("a b c d e f g h")), (4L, Option("a b c d e f g h")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.noveltyScore(docs, "text", "doc_id", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (0L, 0L, 0.0), s"null text: ${out(1L)}")
+    assert(out(2L) == (0L, 0L, 0.0))
+    assert(out(3L) == (1L, 1L, 1.0) && out(4L) == (1L, 1L, 1.0),
+      "the planted duplicate pair must still register")
+  }
 }
