@@ -47,6 +47,21 @@ object GraftExtensions {
           s"— usage: $usage", ex)
     }
 
+  /** Foldable numeric-array argument, cast to double elements first so
+    * SQL decimal literals (`array(0.1, ...)`) work. */
+  private def doubleArrayArg(name: String, usage: String,
+                             e: Expression): Array[Double] =
+    try org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+      .eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    catch { case ex: RuntimeException =>
+      throw new IllegalArgumentException(
+        s"$name: mean/axis must be constant numeric array literals " +
+          s"— usage: $usage", ex)
+    }
+
   private def arity(name: String, usage: String, exprs: Seq[Expression],
                     n: Int): Unit =
     if (exprs.size != n) throw new IllegalArgumentException(
@@ -99,6 +114,20 @@ object GraftExtensions {
         GreedyTokenizeText(exprs.head, stringArrayArg("greedy_tokenize_text",
           "greedy_tokenize_text(str, array<string> vocab, maxLen)", exprs(1)),
           intArg(exprs(2)))
+      }),
+    ("vec_project",
+      "vec_project(array<float> vec, array<double> mean, array<double> axis, div) - PCA component: sum((v-mean)*axis)/div",
+      exprs => {
+        val usage = "vec_project(array<float> vec, array<double> mean, " +
+          "array<double> axis, div)"
+        arity("vec_project", usage, exprs, 4)
+        // SQL numeric literals can surface as Decimal — cast first
+        val div = org.apache.spark.sql.catalyst.expressions
+          .Cast(exprs(3), org.apache.spark.sql.types.DoubleType)
+          .eval().asInstanceOf[Double]
+        VecProject(exprs.head,
+          doubleArrayArg("vec_project", usage, exprs(1)),
+          doubleArrayArg("vec_project", usage, exprs(2)), div)
       }))
 
   /** Patch a LIVE session to the same posture `withExtensions` gives a

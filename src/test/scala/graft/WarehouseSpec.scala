@@ -411,6 +411,16 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.toList == List("the", "m", "e"))
   }
 
+  test("vec_project: registered as a SQL function, matches the driver fold") {
+    graft.GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT vec_project(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |  array(0.5, 0.5), array(2.0, 4.0), 2.0) AS p""".stripMargin)
+      .collect()(0).getDouble(0)
+    // ((1-0.5)*2 + (2-0.5)*4) / 2 = 7/2
+    assert(r == 3.5)
+  }
+
   // ---- Quality-weighted sampling ----------------------------------------
 
   test("byScore: boundary scores, determinism, and prefix stability") {
