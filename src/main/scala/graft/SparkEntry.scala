@@ -138,6 +138,7 @@ object SparkEntry {
     "tfidf_search"       -> (WarehouseQueries.tfidfSearch _),
     "fuzzy_name_match"   -> (WarehouseQueries.fuzzyNameMatch _),
     "events_sliding_agg" -> (WarehouseQueries.eventsSlidingAgg _),
+    "events_gap_fill"    -> (WarehouseQueries.eventsGapFill _),
     "events_outliers"    -> (WarehouseQueries.eventsOutliers _),
     "ewma_user_value"    -> (WarehouseQueries.ewmaUserValue _),
     "quality_filter"     -> (TextQueries.qualityFilter _),
@@ -860,6 +861,25 @@ object SparkEntry {
         |WHERE a.c_custkey < b.c_custkey
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // gap-fill: densify per-user daily series over each user's own
+    // span, forward-fill via IGNORE NULLS; sums decimal-exact
+    "events_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY user_id, date_trunc('day', ts)),
+        |cal AS (
+        |  SELECT user_id, unnest(generate_series(
+        |    min(day), max(day), INTERVAL 1 DAY)) AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT c.user_id, c.day,
+        |  last_value(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY c.user_id ORDER BY c.day
+        |    ROWS UNBOUNDED PRECEDING) AS filled_value,
+        |  d.day_value IS NULL AS is_gap
+        |FROM cal c LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY c.user_id, c.day""".stripMargin,
 
     "events_sliding_agg" ->
       """WITH x AS (

@@ -116,6 +116,38 @@ object WarehouseQueries {
         col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** C34: calendar gap-fill with forward fill — densify each user's
+    * daily value series over their own [first, last] activity span
+    * and carry the last observed value across silent days (the
+    * dashboard/feature-store "as-of daily snapshot" shape; EWMA C24
+    * and cohort C25 consume exactly this kind of regularized series).
+    *
+    * Scale shape: the calendar explode emits span-length rows per
+    * user (bounded by the date range, not events); the forward-fill
+    * window partitions by user over that bounded series — state per
+    * task = one user's days, never the event log. Daily sums are
+    * decimal-exact; the fill is value-copying (no arithmetic), so
+    * parity with the oracle's IGNORE NULLS window is structural.
+    */
+  def eventsGapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(dsum(col("value")).as("day_value"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col("user_id"),
+        explode(sequence(col("__d0"), col("__d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"),
+        col("day_value").isNull.as("is_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** C23: z-score outliers per event type (3σ) — see
     * [[graft.operators.Outliers]] for the exact-moment/bit-exact and
     * degenerate-group-guard story (the guard is mirrored in the
