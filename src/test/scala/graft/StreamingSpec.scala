@@ -610,6 +610,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.head._2 >= 50, "CMS never undercounts")
   }
 
+  test("streaming mixture gate equals the batch hash-range sampler at frozen fractions") {
+    import graft.streaming.StreamingMixture
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    // freeze: one small stratum whole, the big one halved, one zeroed;
+    // strata not listed (es/zh) take the 0.0 quarantine default
+    val pairs = Seq(("en", 0.5), ("fr", 1.0), ("de", 0.0))
+    val base = java.nio.file.Files.createTempDirectory("graft_mixgate")
+      .toFile.getAbsolutePath
+    StreamingMixture.saveFractions(
+      StreamingMixture.fractions(pairs, spark), s"$base/fr")
+    val lake = spark.read.parquet(s"$base/fr")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val q = StreamingMixture.admitted(stream, "lang", "doc_id", lake)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mix_gate").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("mix_gate").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    } finally q.stop()
+    // batch twin #1: the same transform over the static frame
+    val want = StreamingMixture.admitted(docs, "lang", "doc_id", lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // batch twin #2: Resample.byStratum with the same fractions/seed
+    // (quarantine default 0.0) — the frozen gate IS the batch sampler
+    val byStratum = graft.operators.Resample.byStratum(docs,
+        col("lang"), col("doc_id"), pairs.toMap, defaultFraction = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == byStratum,
+      s"only-stream=${(got -- byStratum).take(3)} only-batch=${(byStratum -- got).take(3)}")
+    val langs = docs.filter(col("doc_id").isInCollection(got.take(200).toSeq))
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(!langs.contains("de") && !langs.contains("es"),
+      "zeroed and unlisted strata must be quarantined")
+  }
+
   test("streaming perplexity gate equals the batch threshold filter and honors the frozen cut") {
     import graft.streaming.StreamingScoreFilter
     import graft.operators.LanguageModel
