@@ -97,6 +97,7 @@ object SparkEntry {
     "decontamination"    -> (TextQueries.decontaminate _),
     "decontamination_score" -> (TextQueries.decontaminationScore _),
     "ngram_novelty"      -> (TextQueries.ngramNovelty _),
+    "corpus_drift"       -> (TextQueries.corpusDrift _),
     "training_order"     -> ((s, d) => TextQueries.trainingOrder(s, d)),
     "mixture_resample"   -> (TextQueries.mixtureResample _),
     "dsir_resample"      -> (TextQueries.dsirResample _),
@@ -2258,6 +2259,29 @@ object SparkEntry {
         |  CAST(COALESCE(s.c, 0) AS DOUBLE) / GREATEST(len(gs), 1) AS overlap_frac
         |FROM g LEFT JOIN sh s USING (doc_id)
         |WHERE g.doc_id % 10 <> 0 ORDER BY g.doc_id""".stripMargin,
+
+    // PSI drift: exact integer counts, add-one smoothing over the
+    // union bucket count, single divides, one ln absorbed by 6-dp
+    "corpus_drift" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(substr(source, 4) AS INT) AS sn FROM documents),
+        |r AS (SELECT lang AS bucket, COUNT(*) AS ref_n FROM d
+        |  WHERE sn < 10 GROUP BY lang),
+        |c AS (SELECT lang AS bucket, COUNT(*) AS cur_n FROM d
+        |  WHERE sn >= 10 GROUP BY lang),
+        |j AS (SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+        |    CAST(COALESCE(ref_n, 0) AS BIGINT) AS ref_n,
+        |    CAST(COALESCE(cur_n, 0) AS BIGINT) AS cur_n
+        |  FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+        |t AS (SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct,
+        |    COUNT(*) AS k FROM j),
+        |s AS (SELECT bucket, ref_n, cur_n,
+        |    CAST(ref_n + 1 AS DOUBLE) / CAST(rt + k AS DOUBLE) AS p,
+        |    CAST(cur_n + 1 AS DOUBLE) / CAST(ct + k AS DOUBLE) AS q
+        |  FROM j CROSS JOIN t)
+        |SELECT bucket, ref_n, cur_n, round(p, 6) AS p, round(q, 6) AS q,
+        |  round((p - q) * ln(p / q), 6) AS psi_term
+        |FROM s ORDER BY bucket""".stripMargin,
 
     "ngram_novelty" ->
       """WITH t AS (

@@ -440,6 +440,22 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D52: corpus drift report — PSI of the language mix between the
+    * first source group (src0–src9, the "reference" corpus) and the
+    * second (src10–src19, the "incoming" batch); see
+    * [[graft.operators.Drift.psi]]. The admission gate a pipeline
+    * runs before folding a new crawl into the training mix.
+    */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("__sn", expr("CAST(substr(source, 4) AS INT)"))
+    graft.operators.Drift.psi(
+        docs.filter(col("__sn") < 10),
+        docs.filter(col("__sn") >= 10),
+        col("lang"))
+      .orderBy(col("bucket"))
+  }
+
   /** D50: within-corpus n-gram novelty audit — per-doc fraction of
     * distinct 8-grams shared with at least one other document (see
     * [[graft.operators.Dedup.noveltyScore]]). The memorization /

@@ -659,6 +659,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all.count() == rows.length.toLong)
   }
 
+  test("Drift.psi: hand-computed terms, one-sided buckets finite, identical corpora score ~0") {
+    import spark.implicits._
+    import graft.operators.Drift
+    val ref = (Seq.fill(8)("a") ++ Seq.fill(2)("b")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "k")
+    val cur = (Seq.fill(2)("a") ++ Seq.fill(6)("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "k")
+    val got = Drift.psi(ref, cur, col("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    def term(rn: Long, cn: Long): Double = {
+      val p = (rn + 1).toDouble / 13.0; val q = (cn + 1).toDouble / 13.0
+      math.round((p - q) * math.log(p / q) * 1e6) / 1e6
+    }
+    assert(got("a") == (8L, 2L, term(8, 2)), s"a: ${got("a")}")
+    assert(got("b") == (2L, 6L, term(2, 6)))
+    // bucket c exists only on the cur side — smoothing keeps it finite
+    assert(got("c") == (0L, 2L, term(0, 2)))
+    assert(got.values.map(_._3).sum > 0.25, "planted shift must alarm")
+    // identical distributions → every term exactly 0 (p == q bitwise)
+    val same = Drift.psi(ref, ref, col("k"))
+      .collect().map(_.getDouble(5))
+    assert(same.forall(_ == 0.0))
+  }
+
   test("TF-IDF: hand-computed cosine scores, spam page ranks below a focused one") {
     import spark.implicits._
     import graft.operators.TextRank
