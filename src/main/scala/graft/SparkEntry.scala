@@ -69,6 +69,7 @@ object SparkEntry {
     "events_click_attribution_outer" -> (TextQueries.clickAttributionOuter _),
     "text_length_quantiles" -> (TextQueries.textLengthQuantiles _),
     "text_length_quantiles_exact" -> (TextQueries.textLengthQuantilesExact _),
+    "length_quantiles_by_lang" -> (TextQueries.lengthQuantilesByLang _),
     "pivot_segments"     -> (ExtendedQueries.pivotSegments _),
     "setop_except"       -> (ExtendedQueries.setopExcept _),
     "text_normalize"     -> (ExtendedQueries.textNormalize _),
@@ -1383,6 +1384,22 @@ object SparkEntry {
         |SELECT q, MIN(n_chars) AS len_q
         |FROM cum, qs WHERE cum >= q * n
         |GROUP BY q ORDER BY q""".stripMargin,
+
+    "length_quantiles_by_lang" ->
+      """WITH c AS (
+        |  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents
+        |  GROUP BY lang, n_chars),
+        |cum AS (
+        |  SELECT lang, n_chars,
+        |    SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM c),
+        |qs AS (SELECT CAST(q AS DOUBLE) AS q
+        |       FROM (VALUES (0.5),(0.9)) t(q))
+        |SELECT lang, q, MIN(n_chars) AS len_q
+        |FROM cum, qs WHERE cum >= q * n
+        |GROUP BY lang, q ORDER BY lang, q""".stripMargin,
 
     "events_click_attribution" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,

@@ -28,4 +28,20 @@ object CumHistogram {
       .withColumn("cum", sum(col(cnt)).over(w))
       .crossJoin(broadcast(counts.agg(sum(col(cnt)).as("total"))))
   }
+
+  /** Per-group variant: cumulative counts within each `group`'s
+    * domain histogram plus that group's `total`. The window runs over
+    * the (group × domain) AGGREGATE — state per task is one group's
+    * domain values, never its rows — so grouped exact quantiles cost
+    * the same class of work as the global ones.
+    */
+  def cumulativeByGroup(counts: DataFrame, group: String, domain: String,
+                        cnt: String): DataFrame = {
+    val w = Window.partitionBy(col(group)).orderBy(col(domain))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts
+      .withColumn("cum", sum(col(cnt)).over(w))
+      .join(broadcast(counts.groupBy(col(group))
+        .agg(sum(col(cnt)).as("total"))), group)
+  }
 }

@@ -692,6 +692,26 @@ object TextQueries {
       .orderBy(col("q"))
   }
 
+  /** D18c: exact per-language length quantiles — the grouped face of
+    * [[textLengthQuantilesExact]] via
+    * [[graft.operators.CumHistogram.cumulativeByGroup]]: the chunking
+    * / packing dials (D14/D28) are tuned per language, and a global
+    * quantile hides that zh's character lengths live on a different
+    * scale than en's.
+    */
+  def lengthQuantilesByLang(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = Seq(0.5, 0.9)
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("cnt"))
+    graft.operators.CumHistogram.cumulativeByGroup(
+        counts, "lang", "n_chars", "cnt")
+      .crossJoin(broadcast(qs.toDF("q")))
+      .filter(col("cum") >= col("q") * col("total"))
+      .groupBy(col("lang"), col("q")).agg(min(col("n_chars")).as("len_q"))
+      .orderBy(col("lang"), col("q"))
+  }
+
   /** E5 (batch face): click→purchase attribution — the same plan
     * [[graft.streaming.EventsStream.clickPurchaseJoin]] runs as a
     * stream-stream join; batch execution gives the DuckDB-oracled
