@@ -2704,7 +2704,9 @@ object SparkEntry {
     * identical bits.
     */
   private def pcaOracle(model: graft.operators.Pca.Model): String = {
-    def d(x: Double) = f"$x%.17e"
+    // Locale.ROOT: f"" interpolation uses the JVM default locale, and a
+    // comma-decimal locale (de_DE) would emit SQL-invalid literals.
+    def d(x: Double) = String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
     def dlist(xs: Array[Double]) = xs.map(d).mkString("[", ", ", "]")
     val comps = model.basis.indices.map { j =>
       s"""list_reduce(list_transform(range(1, ${model.mean.length + 1}),

@@ -18,10 +18,32 @@ import org.apache.spark.sql.functions._
   */
 object CumHistogram {
 
+  /** Enforce the caller-owned invariant at plan-build time (zero run
+    * cost): the input must be a collapsed frame — an Aggregate (or an
+    * explicit limit) somewhere in its plan — because the unpartitioned
+    * window moves ALL input rows to one task. Passing raw data here
+    * would silently serialize the corpus through a single partition;
+    * failing fast at plan time is the cheap defense.
+    */
+  private def requireCollapsed(counts: DataFrame, fn: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalRelation}
+    val plan = counts.queryExecution.analyzed
+    val collapsed = plan.collectFirst {
+      case _: Aggregate => ()
+      case _: GlobalLimit => ()
+      case _: LocalRelation => ()
+    }.isDefined
+    require(collapsed,
+      s"CumHistogram.$fn: input must be a domain AGGREGATE (groupBy.agg / " +
+        "limit) — the unpartitioned cumulative window is only safe over a " +
+        "collapsed histogram, never raw rows")
+  }
+
   /** counts(domain, cnt) → + `cum` (cumulative count in domain order)
     * and `total` (broadcast grand total).
     */
   def cumulative(counts: DataFrame, domain: String, cnt: String): DataFrame = {
+    requireCollapsed(counts, "cumulative")
     val w = Window.orderBy(col(domain))
       .rowsBetween(Window.unboundedPreceding, 0)
     counts
@@ -37,6 +59,7 @@ object CumHistogram {
     */
   def cumulativeByGroup(counts: DataFrame, group: String, domain: String,
                         cnt: String): DataFrame = {
+    requireCollapsed(counts, "cumulativeByGroup")
     val w = Window.partitionBy(col(group)).orderBy(col(domain))
       .rowsBetween(Window.unboundedPreceding, 0)
     counts

@@ -53,7 +53,13 @@ object Pca {
       .filter(pmod(xxhash64(col(idCol)), lit(step)) === 0)
       .select(col(idCol), col(vecCol))
     val sample =
-      (if (step > 1 && sample0.count() < 2) corpus.select(col(idCol), col(vecCol))
+      // Unlucky-hash fallback stays BOUNDED: limit to sampleCap rows
+      // (id-ordered, still deterministic) — collecting the whole corpus
+      // here would be a driver OOM at scale, the very case the hash
+      // sample exists to avoid.
+      (if (step > 1 && sample0.count() < 2)
+         corpus.select(col(idCol), col(vecCol))
+           .orderBy(col(idCol)).limit(math.max(2, sampleCap))
        else sample0)
         .orderBy(col(idCol))
         .collect()
@@ -222,7 +228,12 @@ object Pca {
     * SAME model without retraining per call.
     */
   def trainCached(key: String, corpus: DataFrame, vecCol: String,
-                  idCol: String, dim: Int, components: Int): Model =
-    cache.getOrElseUpdate(key,
+                  idCol: String, dim: Int, components: Int): Model = {
+    // Fold the hyper-parameters into the cache key: a second call site
+    // sharing the caller's key string but asking for a different
+    // dim/components must not silently reuse the wrong model.
+    val fullKey = s"$key#d$dim#c$components"
+    cache.getOrElseUpdate(fullKey,
       train(corpus, vecCol, idCol, dim, components))
+  }
 }

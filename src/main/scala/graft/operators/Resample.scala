@@ -200,7 +200,12 @@ object Resample {
     require(budget > 0, s"waterFillByStratum: budget must be positive, got $budget")
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(stratum.cast("string").as("__stratum"))
+    // Total over null strata: coalesce to a sentinel so (a) the driver
+    // sortBy never compares a null String (NPE on a count tie) and
+    // (b) null-stratum rows form their own stratum instead of being
+    // silently dropped by the quota join below.
+    val stratumKey = coalesce(stratum.cast("string"), lit("\u0000<null>"))
+    val counts = df.groupBy(stratumKey.as("__stratum"))
       .agg(count(lit(1)).as("__m"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
@@ -214,7 +219,7 @@ object Resample {
       (s, a)
     }
     val bucket = pmod(xxhash64(lit(seed), id), lit(M))
-    StratifiedTopQuota.take(df, stratum,
+    StratifiedTopQuota.take(df, stratumKey,
       ord = Seq(bucket, id),
       coarse = floor(bucket / lit(1000L)),
       quotas = broadcast(quotas.toSeq.toDF("__stratum", "__quota")))

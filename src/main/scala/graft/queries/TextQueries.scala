@@ -517,7 +517,12 @@ object TextQueries {
     graft.operators.StratifiedTopQuota.markKept(scored,
         stratum = col("lang"),
         ord = Seq(col("cross_entropy"), col("doc_id")),
-        coarse = floor(col("cross_entropy") * lit(100.0)),
+        // NaN guard: a degenerate doc scoring NaN would floor/cast to 0
+        // under non-ANSI casts and bucket AHEAD of every real score,
+        // while the row_number twin (and DuckDB) sort NaN LAST — pin
+        // NaN into the last bucket so both paths agree.
+        coarse = when(isnan(col("cross_entropy")), lit(Long.MaxValue))
+          .otherwise(floor(col("cross_entropy") * lit(100.0))),
         quotas = broadcast(quotas),
         keptCol = "kept")
       .select(col("doc_id"), col("lang"), col("cross_entropy"), col("kept"))

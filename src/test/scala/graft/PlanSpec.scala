@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -434,6 +435,28 @@ class PlanSpec extends AnyFunSuite {
   test("temperature mix: no rank window sorts a whole source") {
     assertRankWindowsBoundaryOnly(
       graft.queries.TextQueries.temperatureMix(spark, sfDir))
+  }
+
+  /** CumHistogram's unpartitioned window moves its whole input to one
+    * task — safe ONLY over a collapsed aggregate. The operator now
+    * enforces that at plan-build time; pin both directions.
+    */
+  test("CumHistogram rejects raw rows, accepts domain aggregates") {
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("n_chars"), lit(1L).as("cnt"))
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.CumHistogram.cumulative(raw, "n_chars", "cnt")
+    }
+    assert(err.getMessage.contains("domain AGGREGATE"))
+    val agg = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val ok = graft.operators.CumHistogram.cumulative(agg, "n_chars", "cnt")
+    assert(ok.limit(1).count() == 1)
+    val okGrouped = graft.operators.CumHistogram.cumulativeByGroup(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("cnt")),
+      "lang", "n_chars", "cnt")
+    assert(okGrouped.limit(1).count() == 1)
   }
 
   private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
