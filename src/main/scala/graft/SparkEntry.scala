@@ -153,6 +153,10 @@ object SparkEntry {
     "events_priority_at_time" -> (WarehouseQueries.eventsPriorityAtTime _),
     "window_suite"       -> (WarehouseQueries.windowSuite _),
     "grouping_sets_totals" -> (WarehouseQueries.groupingSetsTotals _),
+    // §2.D12 — real media decode (BMP / WAV round-trip through the
+    // batched BatchDecoder plumbing)
+    "media_decode_image" -> (MultimodalQueries.mediaDecodeImage _),
+    "media_decode_audio" -> (MultimodalQueries.mediaDecodeAudio _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2387,6 +2391,32 @@ object SparkEntry {
         |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // D12: the oracle recomputes the stats from the pixel/sample
+    // GENERATOR arithmetic (MultimodalQueries.synthImage/synthAudio),
+    // while the Spark side recovers them by DECODING the real
+    // BMP/WAV bytes — a hash match proves the byte-level round-trip.
+    // (range() can't take lateral column args in DuckDB, hence the
+    // join-filter against the max domain size.)
+    "media_decode_image" ->
+      """SELECT d.doc_id,
+        |  CAST(d.doc_id % 6 + 2 AS INTEGER) AS width,
+        |  CAST(d.doc_id % 4 + 2 AS INTEGER) AS height,
+        |  CAST(SUM((d.doc_id*7 + i.i*3) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((d.doc_id*11 + i.i*5) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((d.doc_id*13 + i.i*7) % 256) AS BIGINT) AS sum_b
+        |FROM documents d JOIN range(0, 35) AS i(i)
+        |  ON i.i < (d.doc_id % 6 + 2)*(d.doc_id % 4 + 2)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "media_decode_audio" ->
+      """SELECT d.doc_id,
+        |  CAST(8000 + (d.doc_id % 8)*1000 AS INTEGER) AS sample_rate,
+        |  CAST(d.doc_id % 24 + 4 AS BIGINT) AS n_samples,
+        |  CAST(SUM((d.doc_id*131 + i.i*17) % 4001 - 2000) AS BIGINT) AS sum_amp,
+        |  CAST(MAX(ABS((d.doc_id*131 + i.i*17) % 4001 - 2000)) AS BIGINT) AS peak_amp
+        |FROM documents d JOIN range(0, 28) AS i(i) ON i.i < d.doc_id % 24 + 4
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
   )
 
   // ------------------------------------------------------------------

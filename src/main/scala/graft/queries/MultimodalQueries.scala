@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{MediaCodecs, Multimodal, Tables}
+
+/** D12 query faces: REAL media decode through the batched
+  * `mapPartitions` plumbing ([[graft.sources.Multimodal.extractFeatures]]).
+  *
+  * Each document carries a synthetic-but-REAL media file — a 24-bit
+  * BMP / PCM16 WAV whose pixel/sample values are a pure function of
+  * `doc_id` — encoded to the true on-disk byte layout (row padding,
+  * bottom-up rows, RIFF chunk framing) by [[graft.sources.MediaCodecs]],
+  * then decoded back by the real parsers. The DuckDB oracle recomputes
+  * the same stats from the generator arithmetic, so a hash match
+  * proves the decoder recovered every pixel/sample byte-exactly
+  * through the real container format. All stats are small integers
+  * (exact in Float and in the BIGINT oracle).
+  *
+  * At scale: encode+decode is a per-row map inside one typed
+  * `mapPartitions` — no shuffle, no driver state; the only exchange
+  * is the final presentation sort.
+  */
+object MultimodalQueries {
+
+  /** Deterministic image for a doc: w∈[2,7], h∈[2,5], channel values
+    * walk `(a·id + 3i) mod 256` lanes. Kept in sync with the oracle
+    * SQL in [[graft.SparkEntry]].
+    */
+  private[graft] def synthImage(id: Long): (Int, Int, Array[Int]) = {
+    val w = (id % 6 + 2).toInt
+    val h = (id % 4 + 2).toInt
+    val px = Array.tabulate(w * h) { i =>
+      val r = ((id * 7 + i.toLong * 3) % 256).toInt
+      val g = ((id * 11 + i.toLong * 5) % 256).toInt
+      val b = ((id * 13 + i.toLong * 7) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+    (w, h, px)
+  }
+
+  /** Deterministic audio for a doc: n∈[4,27] mono PCM16 samples in
+    * [-2000, 2000], rate ∈ {8000..15000}.
+    */
+  private[graft] def synthAudio(id: Long): (Int, Array[Short]) = {
+    val rate = (8000 + (id % 8) * 1000).toInt
+    val n = (id % 24 + 4).toInt
+    val samples = Array.tabulate(n) { i =>
+      ((id * 131 + i.toLong * 17) % 4001 - 2000).toShort
+    }
+    (rate, samples)
+  }
+
+  /** D12a: image decode — encode each doc's synthetic image as a real
+    * 24-bit BMP, decode it back through the batched decoder plumbing,
+    * emit per-image channel stats.
+    */
+  def mediaDecodeImage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, px) = synthImage(id)
+        (id, MediaCodecs.encodeBmp(w, h, px))
+      })
+      .toDF("doc_id", "media")
+    Multimodal.extractFeatures(media, decoder = MediaCodecs.BmpStatsDecoder)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        element_at(col("features"), 3).cast("long").as("sum_r"),
+        element_at(col("features"), 4).cast("long").as("sum_g"),
+        element_at(col("features"), 5).cast("long").as("sum_b"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** D12b: audio decode — real RIFF/PCM16 WAV round-trip through the
+    * same plumbing, emitting per-clip sample stats.
+    */
+  def mediaDecodeAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (rate, samples) = synthAudio(id)
+        (id, MediaCodecs.encodeWavPcm16(rate, 1, samples))
+      })
+      .toDF("doc_id", "media")
+    Multimodal.extractFeatures(media, decoder = MediaCodecs.WavStatsDecoder)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("sample_rate"),
+        element_at(col("features"), 3).cast("long").as("n_samples"),
+        element_at(col("features"), 4).cast("long").as("sum_amp"),
+        element_at(col("features"), 5).cast("long").as("peak_amp"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -100,6 +100,132 @@ class MultimodalSpec extends AnyFunSuite {
       "extractFeatures must not drop to .rdd + createDataFrame")
   }
 
+  // ------------------------------------------------------- D12 codecs
+
+  test("decodeBmp: hand-built 2x2 24-bit BMP fixture, byte-for-byte") {
+    import graft.sources.MediaCodecs
+    // 2x2, stride 8 (2-byte pad), bottom-up BGR rows. Logical pixels
+    // (top-down): (0,0)=red (0,1)=green / (1,0)=blue (1,1)=white.
+    val fixture: Array[Byte] = Array[Int](
+      'B', 'M',             // magic
+      70, 0, 0, 0,          // file size = 54 + 16
+      0, 0, 0, 0,           // reserved
+      54, 0, 0, 0,          // pixel data offset
+      40, 0, 0, 0,          // BITMAPINFOHEADER size
+      2, 0, 0, 0,           // width = 2
+      2, 0, 0, 0,           // height = 2 (bottom-up)
+      1, 0,                 // planes
+      24, 0,                // bpp
+      0, 0, 0, 0,           // BI_RGB
+      16, 0, 0, 0,          // pixel data size
+      0x13, 0x0b, 0, 0,     // 2835 ppm x
+      0x13, 0x0b, 0, 0,     // 2835 ppm y
+      0, 0, 0, 0, 0, 0, 0, 0, // palette fields
+      // bottom row first (logical y=1): blue, white, pad
+      0xff, 0x00, 0x00, 0xff, 0xff, 0xff, 0, 0,
+      // top row (logical y=0): red, green, pad
+      0x00, 0x00, 0xff, 0x00, 0xff, 0x00, 0, 0
+    ).map(_.toByte)
+    val (w, h, px) = MediaCodecs.decodeBmp(fixture)
+    assert((w, h) == (2, 2))
+    assert(px.toSeq == Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
+    // the encoder reproduces the fixture byte-for-byte
+    assert(MediaCodecs.encodeBmp(2, 2, px).toSeq == fixture.toSeq)
+  }
+
+  test("decodeBmp: top-down (negative height) images and odd-width padding") {
+    import graft.sources.MediaCodecs
+    // flip the fixture to top-down: height = -2, rows in logical order
+    val px = Array(0x102030, 0x405060, 0x708090, 0xa0b0c0, 0xd0e0f0, 0x112233)
+    val enc = MediaCodecs.encodeBmp(3, 2, px) // width 3 → stride 12, pad 3
+    val buf = java.nio.ByteBuffer.wrap(enc).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -2) // declare top-down
+    // swap the two rows in place so content still matches logical order
+    val row0 = enc.slice(54, 54 + 9)
+    val row1 = enc.slice(66, 66 + 9)
+    System.arraycopy(row1, 0, enc, 54, 9)
+    System.arraycopy(row0, 0, enc, 66, 9)
+    val (w, h, got) = MediaCodecs.decodeBmp(enc)
+    assert((w, h) == (3, 2) && got.toSeq == px.toSeq)
+  }
+
+  test("BMP and PPM round-trip across widths that exercise every pad amount") {
+    import graft.sources.MediaCodecs
+    for (w <- 1 to 5; h <- Seq(1, 3)) {
+      val px = Array.tabulate(w * h)(i => (i * 2654435761L % 0x1000000).toInt)
+      val (bw, bh, bpx) = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(w, h, px))
+      assert((bw, bh) == (w, h) && bpx.toSeq == px.toSeq, s"bmp ${w}x$h")
+      val (pw, ph, ppx) = MediaCodecs.decodePpm(MediaCodecs.encodePpm(w, h, px))
+      assert((pw, ph) == (w, h) && ppx.toSeq == px.toSeq, s"ppm ${w}x$h")
+    }
+  }
+
+  test("decodePpm: header comments and whitespace variants") {
+    import graft.sources.MediaCodecs
+    val body = Array[Byte](1, 2, 3, 4, 5, 6)
+    val header = "P6\n# a comment\n2\t1\n# another\n255\n".getBytes("US-ASCII")
+    val (w, h, px) = MediaCodecs.decodePpm(header ++ body)
+    assert((w, h) == (2, 1))
+    assert(px.toSeq == Seq(0x010203, 0x040506))
+  }
+
+  test("decodeWavPcm16: hand-built fixture with a LIST chunk before data") {
+    import graft.sources.MediaCodecs
+    val buf = java.nio.ByteBuffer.allocate(44 + 12 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 12 + 6)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(22050).putInt(44100)
+      .putShort(2).putShort(16)
+    buf.put("LIST".getBytes("US-ASCII")).putInt(4)
+      .put("INFO".getBytes("US-ASCII"))       // skippable metadata chunk
+    buf.put("data".getBytes("US-ASCII")).putInt(6)
+      .putShort(1000).putShort(-2000).putShort(32767)
+    val wav = MediaCodecs.decodeWavPcm16(buf.array())
+    assert(wav.sampleRate == 22050 && wav.channels == 1)
+    assert(wav.samples.toSeq == Seq[Short](1000, -2000, 32767))
+  }
+
+  test("WAV round-trip incl. stereo; malformed inputs rejected") {
+    import graft.sources.MediaCodecs
+    val samples = Array.tabulate(10)(i => ((i * 7919) % 65536 - 32768).toShort)
+    val wav = MediaCodecs.decodeWavPcm16(
+      MediaCodecs.encodeWavPcm16(16000, 2, samples))
+    assert(wav.sampleRate == 16000 && wav.channels == 2)
+    assert(wav.samples.toSeq == samples.toSeq)
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeWavPcm16("RIFFxxxxNOPE".getBytes ++ new Array[Byte](40))
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeBmp(Array.fill[Byte](60)(0))
+    }
+  }
+
+  test("media decode query faces match a driver-side recomputation") {
+    import graft.queries.MultimodalQueries
+    val img = MultimodalQueries.mediaDecodeImage(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(img.nonEmpty)
+    img.foreach { case (id, (w, h, sr, sg, sb)) =>
+      val (ew, eh, px) = MultimodalQueries.synthImage(id)
+      assert((w, h) == (ew, eh), s"doc $id dims")
+      assert(sr == px.map(p => ((p >> 16) & 0xff).toLong).sum, s"doc $id sum_r")
+      assert(sg == px.map(p => ((p >> 8) & 0xff).toLong).sum, s"doc $id sum_g")
+      assert(sb == px.map(p => (p & 0xff).toLong).sum, s"doc $id sum_b")
+    }
+    val aud = MultimodalQueries.mediaDecodeAudio(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    aud.foreach { case (id, (rate, n, sum, peak)) =>
+      val (eRate, samples) = MultimodalQueries.synthAudio(id)
+      assert(rate == eRate && n == samples.length, s"doc $id header")
+      assert(sum == samples.map(_.toLong).sum, s"doc $id sum_amp")
+      assert(peak == samples.map(s => math.abs(s.toLong)).max, s"doc $id peak")
+    }
+  }
+
   test("fingerprint custom expression matches a scala reference and survives codegen") {
     val ref = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
