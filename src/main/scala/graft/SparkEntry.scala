@@ -132,6 +132,7 @@ object SparkEntry {
     "table_profile"      -> (WarehouseQueries.tableProfile _),
     "data_expectations"  -> (WarehouseQueries.dataExpectations _),
     "pagerank_centrality" -> (WarehouseQueries.pagerankCentrality _),
+    "pagerank_weighted"  -> (WarehouseQueries.pagerankWeighted _),
     "pagerank_personalized" -> (WarehouseQueries.pagerankPersonalized _),
     "hits_centrality"    -> (WarehouseQueries.hitsCentrality _),
     "triangle_count"     -> (WarehouseQueries.triangleCount _),
@@ -460,6 +461,41 @@ object SparkEntry {
        |ORDER BY id""".stripMargin
   }
 
+  /** Weighted PageRank oracle: the [[pageRankOracle]] unrolled-CTE
+    * shape with per-edge BIGINT weights — contribution
+    * `(rank·w) // wout` mirrors Centrality.weightedPageRank's integer
+    * fixed point term-for-term, so the hash is exact.
+    */
+  private def weightedPageRankOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.id,
+         |    (SELECT base FROM params) + (85 * COALESCE(s.c, 0)) // 100 AS "rank"
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, SUM((r."rank" * e.w) // e.wout) AS c
+         |    FROM eo e JOIN r${k - 1} r ON r.id = e.src
+         |    GROUP BY e.dst) s ON s.dst = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT o_custkey AS c, l_suppkey + 1000000 AS s,
+       |    COUNT(*) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT c AS src, s AS dst, w FROM cs
+       |  UNION ALL SELECT s, c, w FROM cs),
+       |nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+       |  UNION ALL SELECT s_suppkey + 1000000 FROM supplier),
+       |params AS (SELECT CAST(1000000000 // COUNT(*) AS BIGINT) AS r0,
+       |  CAST((15 * (1000000000 // COUNT(*))) // 100 AS BIGINT) AS base
+       |  FROM nodes),
+       |outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+       |eo AS (SELECT e.src, e.dst, e.w, o.wout FROM edges e JOIN outw o USING (src)),
+       |r0 AS (SELECT id, (SELECT r0 FROM params) AS "rank" FROM nodes),
+       |$iterCtes
+       |SELECT id, CAST("rank" AS BIGINT) AS "rank" FROM r$iters
+       |ORDER BY id""".stripMargin
+  }
+
   /** Personalized PageRank oracle: same unrolled-CTE shape as
     * [[pageRankOracle]] with a per-node teleport share t(v) (BUILDING
     * customers weight 1, all else 0) replacing the scalar base — the
@@ -705,6 +741,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "pagerank_centrality" -> pageRankOracle(10),
+    "pagerank_weighted" -> weightedPageRankOracle(10),
     "pagerank_personalized" -> personalizedPageRankOracle(10),
     "hits_centrality" -> hitsOracle(8),
     "community_labels" -> lpaOracle(5),

@@ -78,6 +78,57 @@ object Centrality {
     ranks
   }
 
+  /** WEIGHTED-edge PageRank — real host graphs are weighted (link
+    * counts between hosts, co-purchase multiplicities), and rank
+    * should flow proportionally to edge weight, not per-edge:
+    * {{{ r_{k+1}(v) = base + (85 · Σ_{(u,v,w)∈E} (r_k(u)·w) div wout(u)) div 100
+    *     wout(u)   = Σ_{(u,·,w)∈E} w }}}
+    * The same all-BIGINT fixed point as [[pageRank]] (products before
+    * integer division keep precision; sums are order-independent), so
+    * the distributed run stays hash-exact against an unrolled-CTE
+    * oracle. Overflow bound: rank ≤ SCALE (total mass), so
+    * `rank·w` needs `w < 2^63/SCALE ≈ 9.2e9` — any realistic link
+    * count.
+    *
+    * Parallel edges are collapsed by SUMMING weight first (a link
+    * count is additive); zero/negative weights are rejected upstream
+    * by the groupBy producing them being counts.
+    *
+    * @param edges (src, dst, weight) — BIGINT triples, direction
+    *        respected; duplicates collapse by weight sum.
+    * @param nodes (id) — full node universe.
+    * @return (id, rank) integer micro-ranks.
+    */
+  def weightedPageRank(edges: DataFrame, nodes: DataFrame,
+                       iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val n = nodes.count()
+    require(n > 0, "weightedPageRank: empty node set")
+    val r0 = Scale / n
+    val base = (15L * r0) / 100L
+    val e = edges.groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("w"))
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val eo = Materialize.cut(e.join(outw, "src"))
+    val ns = Materialize.cut(nodes.select(col("id")))
+    var ranks = Materialize.cut(ns.select(col("id"), lit(r0).as("rank")))
+    var it = 0
+    while (it < iterations) {
+      val contrib = eo.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("(`rank` * w) DIV wout").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val next = ns
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
+      it += 1
+      ranks = if (it % 2 == 0 || it == iterations) Materialize.cut(next)
+              else next
+    }
+    ranks
+  }
+
   /** Personalized (seed-biased) PageRank — teleport mass concentrates
     * on a weighted seed set instead of spreading uniformly, so rank
     * becomes "trust flowing out of the seeds": the TrustRank /

@@ -329,6 +329,33 @@ object WarehouseQueries {
       .orderBy(col("id"))
   }
 
+  /** C28d: WEIGHTED PageRank over the trade graph — edge weight = the
+    * lineitem count linking a customer and supplier (a link-count
+    * multiplicity, exactly what real host graphs carry), so rank
+    * flows proportionally to trade volume instead of per-partner (see
+    * [[graft.operators.Centrality.weightedPageRank]]). A customer
+    * funneling 90% of its lineitems to one supplier now sends 90% of
+    * its rank there; the unweighted C28 splits it evenly.
+    */
+  def pagerankWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val off = lit(1000000L)
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("c"), (col("l_suppkey") + off).as("s"))
+      .agg(count(lit(1)).as("w"))
+    val edges = cs.select(col("c").as("src"), col("s").as("dst"), col("w").as("weight"))
+      .unionAll(cs.select(col("s").as("src"), col("c").as("dst"), col("w").as("weight")))
+    val nodes = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("id"))
+      .unionAll(Tables.supplier(spark, dir)
+        .select((col("s_suppkey") + off).as("id")))
+    graft.operators.Centrality.weightedPageRank(edges, nodes, iterations = 10)
+      .orderBy(col("id"))
+  }
+
   /** C33: BFS hop distance from the BUILDING-segment seed customers
     * over the undirected trade graph (see
     * [[graft.operators.Centrality.seedDistance]]) — the discrete

@@ -583,6 +583,45 @@ class WarehouseSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("weighted PageRank: matches driver recursion, weight skew shifts rank, duplicate edges collapse by sum") {
+    import spark.implicits._
+    import graft.operators.Centrality
+    // hub 0 with skewed weights to {1,2}: 9 vs 1 (both directions);
+    // edge (0,1) supplied as two parallel rows that must sum to 9
+    val ePairs = Seq(
+      (0L, 1L, 4L), (0L, 1L, 5L), (0L, 2L, 1L),
+      (1L, 0L, 9L), (2L, 0L, 1L))
+    val edges = ePairs.toDF("src", "dst", "weight")
+    val nodes = (0L to 2L).toDF("id")
+    val got = Centrality.weightedPageRank(edges, nodes, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // same integer recursion on the driver, over the COLLAPSED edges
+    val collapsed = ePairs.groupBy(p => (p._1, p._2)).view
+      .mapValues(_.map(_._3).sum).toSeq.map { case ((s, d), w) => (s, d, w) }
+    val wout = collapsed.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val inc = collapsed.groupBy(_._2)
+    val n = 3L
+    val r0 = Centrality.Scale / n
+    val base = (15L * r0) / 100L
+    var ranks = (0L to 2L).map(_ -> r0).toMap
+    (1 to 10).foreach { _ =>
+      ranks = (0L to 2L).map { v =>
+        val s = inc.getOrElse(v, Nil)
+          .map { case (u, _, w) => ranks(u) * w / wout(u) }.sum
+        v -> (base + (85L * s) / 100L)
+      }.toMap
+    }
+    assert(got == ranks, s"got $got want $ranks")
+    assert(got(1L) > got(2L),
+      "the 9x-weighted neighbor must outrank the 1x one")
+    // partition-invariant (integer sums reorder freely)
+    val re = Centrality.weightedPageRank(
+      edges.repartition(5), nodes.repartition(2), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == got)
+  }
+
   test("personalized PageRank: matches driver recursion, seeds dominate, zero-weight isolates get 0") {
     import spark.implicits._
     import graft.operators.Centrality
