@@ -62,6 +62,7 @@ object SparkEntry {
     "price_histogram"    -> (ExtendedQueries.priceHistogram _),
     "bloom_prune_join"   -> (RelationalQueries.bloomPruneJoin _),
     "zorder_layout"      -> (ExtendedQueries.zorderLayout _),
+    "orc_ingest"         -> (ExtendedQueries.orcIngest _),
     "hll_partitioned_distinct" -> (ExtendedQueries.hllPartitionedDistinct _),
     "histogram_preagg_quantiles" -> (ExtendedQueries.histogramPreaggQuantiles _),
     "kll_preagg_quantiles" -> (ExtendedQueries.kllPreaggQuantiles _),
@@ -2428,6 +2429,16 @@ object SparkEntry {
         |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // A13: the aggregate runs over the ORC round-trip on the Spark
+    // side but over the parquet source here — a hash match proves the
+    // ORC write→read path preserved every row and value.
+    "orc_ingest" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // D12: the oracle recomputes the stats from the pixel/sample
     // GENERATOR arithmetic (MultimodalQueries.synthImage/synthAudio),

@@ -39,7 +39,19 @@ object Drift {
       .agg(count(lit(1)).as("ref_n"))
     val c = cur.groupBy(key.cast("string").as("bucket"))
       .agg(count(lit(1)).as("cur_n"))
-    val joined = r.join(c, Seq("bucket"), "full_outer")
+    psiFromCounts(r, c)
+  }
+
+  /** The PSI arithmetic over PRE-AGGREGATED per-bucket counts —
+    * `(bucket, ref_n)` × `(bucket, cur_n)`. Split out so callers that
+    * already hold count aggregates (the streaming monitor's additive
+    * per-batch histograms, a persisted reference artifact) run the
+    * IDENTICAL expression tree as [[psi]] — same smoothing, same
+    * divides, same rounding — and therefore produce bit-identical
+    * doubles.
+    */
+  def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val joined = refCounts.join(curCounts, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("ref_n"), lit(0L)).as("ref_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))

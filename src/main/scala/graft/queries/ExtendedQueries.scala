@@ -42,6 +42,31 @@ object ExtendedQueries {
     * files touched for filters on EITHER clustered dimension — is
     * pinned separately in IngestSpec.
     */
+  /** A13: ORC lake round-trip — write documents as a lang-partitioned
+    * ORC table, read it back through a partition-pruned scan, and
+    * aggregate. The oracle runs the same aggregate on the PARQUET
+    * source, so a hash match proves the ORC write→read path preserves
+    * every row and value exactly (ids, strings, counts). Pruning and
+    * pushdown on the ORC scan are pinned in IngestSpec; this gate key
+    * pins fidelity.
+    */
+  def orcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_orc_${new java.io.File(dir).getName}").getAbsolutePath
+    graft.sources.OrcLake.write(docs, "lang", out)
+    graft.sources.OrcLake.read(spark, out)
+      .filter(col("lang") === "en")          // partition-pruned at listing
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("source"))
+  }
+
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))

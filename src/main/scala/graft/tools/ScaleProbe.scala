@@ -19,12 +19,15 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    // optional 2nd arg: run only legs whose name contains the filter
+    val legFilter = args.drop(1).headOption
 
-    def t(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-    }
+    def t(name: String)(f: => Long): Unit =
+      if (legFilter.forall(name.contains)) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
 
     val copies = spark.range(mult).withColumnRenamed("id", "copy")
 
@@ -400,6 +403,78 @@ object ScaleProbe {
       emb.select(col("id"),
         graft.operators.Pca.project(col("vec"), m, whiten = true))
         .count()
+    }
+    // round-10/11 stragglers: the probe legs VERDICT r10 asked for
+    t("seed_distance") {
+      val off = lit(1000000L)
+      val cs = graft.sources.Tables.orders(spark, dir).crossJoin(copies)
+        .select((col("o_orderkey") * mult + col("copy")).as("ok"),
+          (col("o_custkey") * mult + col("copy")).as("c"))
+        .join(li.select(col("l_orderkey"), col("l_suppkey")),
+          col("ok") === col("l_orderkey"))
+        .select(col("c"), (col("l_suppkey") + off).as("s"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+      val nodes = cs.select(col("c").as("id"))
+        .unionAll(cs.select(col("s").as("id"))).distinct()
+      val seeds = nodes.filter(col("id") % 97 === 0)
+      graft.operators.Centrality.seedDistance(edges, seeds, nodes, 4).count()
+    }
+    t("weighted_pagerank") {
+      val off = lit(1000000L)
+      val cs = graft.sources.Tables.orders(spark, dir).crossJoin(copies)
+        .select((col("o_orderkey") * mult + col("copy")).as("ok"),
+          (col("o_custkey") * mult + col("copy")).as("c"))
+        .join(li.select(col("l_orderkey"), col("l_suppkey")),
+          col("ok") === col("l_orderkey"))
+        .groupBy(col("c"), (col("l_suppkey") + off).as("s"))
+        .agg(count(lit(1)).as("w"))
+      val edges = cs.select(col("c").as("src"), col("s").as("dst"), col("w").as("weight"))
+        .unionAll(cs.select(col("s").as("src"), col("c").as("dst"), col("w").as("weight")))
+      val nodes = cs.select(col("c").as("id"))
+        .unionAll(cs.select(col("s").as("id"))).distinct()
+      graft.operators.Centrality.weightedPageRank(edges, nodes, 10).count()
+    }
+    t("events_gap_fill") {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev.groupBy(col("user_id"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("day_value"))
+      val cal = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+        .select(col("user_id"),
+          explode(sequence(col("__d0"), col("__d1"),
+            expr("INTERVAL 1 DAY"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("filled"))
+        .count()
+    }
+    t("corpus_drift") {
+      // snapshot split by id parity: PSI over token-count buckets
+      val snap = docs.withColumn("b",
+        least(floor(graft.functions.TextFunctions.tokenCount(col("text")) / 8), lit(20)))
+      graft.operators.Drift.psi(
+        snap.filter(col("doc_id") % 2 === 0),
+        snap.filter(col("doc_id") % 2 === 1), col("b")).count()
+    }
+    t("unimax_mix") {
+      graft.operators.Resample.waterFillByStratum(
+        docs.withColumn("src", (col("doc_id") % 200).cast("string")),
+        col("src"), col("doc_id"), budget = 40000L).count()
+    }
+    t("media_decode") {
+      import spark.implicits._
+      val media = docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h, px) = graft.queries.MultimodalQueries.synthImage(id)
+          (id, graft.sources.MediaCodecs.encodeBmp(w, h, px))
+        }).toDF("doc_id", "media")
+      graft.sources.Multimodal.extractFeatures(media,
+        decoder = graft.sources.MediaCodecs.BmpStatsDecoder).count()
     }
     spark.stop()
   }

@@ -74,6 +74,36 @@ class IngestSpec extends AnyFunSuite {
       "expected partition pruning on period")
   }
 
+  test("ORC lake: round-trip fidelity, partition pruning, and predicate pushdown") {
+    val out = tmpDir("graft_orc_spec") + "/docs"
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    graft.sources.OrcLake.write(docs, "lang", out)
+    // fidelity: every row survives the ORC round-trip exactly
+    val back = graft.sources.OrcLake.read(spark, out)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val want = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(back == want, "ORC round-trip must be lossless")
+    // lang=… dirs exist and a lang filter prunes at the partition level
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
+    assert(dirs.length > 1, s"expected lang partitions, got ${dirs.toSeq}")
+    val pruned = graft.sources.OrcLake.read(spark, out)
+      .filter(col("lang") === "en").select(col("doc_id"), col("n_chars"))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"lang filter must prune ORC partitions:\n$scan")
+    // predicate pushdown reaches the ORC scan for data columns
+    val pushed = graft.sources.OrcLake.read(spark, out)
+      .filter(col("n_chars") > 100).select(col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]")
+        || pushed.contains("GreaterThan(n_chars,100)"),
+      s"n_chars predicate must push into the ORC scan:\n$pushed")
+  }
+
   test("z-order clustering prunes files on BOTH dimensions, not just the sort prefix") {
     import graft.sources.ZOrder
     val ev = Tables.events(spark, sfDir)

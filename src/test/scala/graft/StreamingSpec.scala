@@ -541,6 +541,48 @@ class StreamingSpec extends AnyFunSuite {
       s"only-v1=${(v1 -- v2).take(3)} only-v2=${(v2 -- v1).take(3)}")
   }
 
+  test("tws event-time sessionizer emits exactly the fMGWS event-time sessions across batches") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, minute: Long): EventsStream.Event =
+      EventsStream.Event(id, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + minute * 60000L),
+        user, "click", 1.0)
+    // three batches driving the same watermark march through both
+    // engines: u1/u2 close via TIMER when b2's watermark passes, u3's
+    // first session closes on b3, u3's last event stays open (emitted
+    // by neither)
+    val batches = Seq(
+      Seq(ev(1, 1, 0), ev(2, 1, 3), ev(3, 1, 6), ev(4, 2, 2)),
+      Seq(ev(5, 3, 30)),
+      Seq(ev(6, 3, 60)))
+    def run(name: String, mk: org.apache.spark.sql.Dataset[EventsStream.Event] =>
+        org.apache.spark.sql.Dataset[EventsStream.Session]): Set[(Long, Long, Long, Long)] = {
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event](
+        spark, name.hashCode.abs % 1000 + 1300)
+      val q = mk(src.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        batches.foreach { b => src.addData(b); q.processAllAvailable() }
+        spark.table(name).as[EventsStream.Session].collect()
+          .map(s => (s.user_id, s.t_start.getTime, s.t_end.getTime, s.n_events))
+          .toSet
+      } finally q.stop()
+    }
+    val v1 = withStateStoreProvider(stateStoreVariants.head._1) {
+      run("sess_v1_et_parity",
+        EventsStream.sessionizeEventTime(_, gapSeconds = 600))
+    }
+    // transformWithState mandates the RocksDB provider
+    val v2 = withStateStoreProvider(stateStoreVariants.last._1) {
+      run("sess_tws_et_parity",
+        EventsStream.sessionizeTws(_, gapSeconds = 600))
+    }
+    assert(v1.exists(_._1 == 1L) && v1.exists(_._1 == 2L),
+      s"timer-closed sessions expected for u1 and u2, got $v1")
+    assert(v2 == v1, s"tws and fMGWS event-time emissions differ: " +
+      s"only-v1=${v1 -- v2} only-v2=${v2 -- v1}")
+  }
+
   test("streaming quality monitoring totals equal the batch expectation scan") {
     import spark.implicits._
     import graft.operators.Expectations
@@ -646,6 +688,51 @@ class StreamingSpec extends AnyFunSuite {
       .select("lang").distinct().collect().map(_.getString(0)).toSet
     assert(!langs.contains("de") && !langs.contains("es"),
       "zeroed and unlisted strata must be quarantined")
+  }
+
+  test("streaming drift monitor: merged batch histograms give the batch PSI bit-exactly") {
+    import spark.implicits._
+    import graft.streaming.StreamingDrift
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val key = col("lang")
+    // reference = even doc_ids; the stream carries the odd half,
+    // arriving in two micro-batches split mid-stream
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val curRows = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect().toSeq
+    val (b1, b2) = curRows.splitAt(curRows.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_drift")
+      .toFile.getAbsolutePath
+    StreamingDrift.saveReference(ref, key, s"$base/ref")
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      spark, 2101)
+    // continuous trigger: AvailableNow would stop after batch 1
+    val q = StreamingDrift.start(src.toDF().toDF("doc_id", "lang"),
+      col("lang"), s"$base/counts", s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // per-batch rows are aggregate-sized and form a time series
+    val perBatch = spark.read.parquet(s"$base/counts")
+    assert(perBatch.select("batch_id").distinct().count() == 2)
+    // stream-to-date PSI ≡ the batch operator over the union,
+    // BIT-exactly (same expression tree via psiFromCounts)
+    val got = StreamingDrift.psiToDate(spark, s"$base/ref", s"$base/counts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    val want = graft.operators.Drift.psi(
+        ref, docs.filter(col("doc_id") % 2 === 1), key)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == want,
+      s"only-stream=${(got -- want).take(2)} only-batch=${(want -- got).take(2)}")
+    // identical halves of a corpus: headline must read stable
+    val verdict = StreamingDrift.headline(
+      StreamingDrift.psiToDate(spark, s"$base/ref", s"$base/counts")).head()
+    assert(verdict.getString(1) == "stable",
+      s"even/odd halves of one corpus must not alarm: $verdict")
   }
 
   test("streaming perplexity gate equals the batch threshold filter and honors the frozen cut") {
