@@ -94,6 +94,7 @@ object SparkEntry {
     "sequence_pack"      -> (TextQueries.sequencePack _),
     "sequence_pack_nextfit" -> (TextQueries.sequencePackNextFit _),
     "text_repetition_score" -> (TextQueries.textRepetitionScore _),
+    "paragraph_dedup"    -> (TextQueries.paragraphDedup _),
     "train_split"        -> (TextQueries.trainSplit _),
     "corpus_pipeline"    -> (TextQueries.corpusPipeline _),
     "decontamination"    -> (TextQueries.decontaminate _),
@@ -2429,6 +2430,32 @@ object SparkEntry {
         |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // D53: fixed 12-word paragraphs; a paragraph is boilerplate iff
+    // its text occurs in >= 2 distinct docs; survivors reassemble in
+    // order. (range() can't take lateral column args — join-filter
+    // against the max paragraph count, 16 covers the 99-token max.)
+    "paragraph_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |paras AS (
+        |  SELECT t.doc_id, i.i AS para_idx,
+        |    array_to_string(tk[(i.i*12+1):(i.i*12+12)], ' ') AS para
+        |  FROM toks t JOIN range(0, 16) AS i(i)
+        |    ON i.i < CAST(ceil(len(tk)/12.0) AS BIGINT)),
+        |dup AS (SELECT para FROM paras
+        |  GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT * FROM paras WHERE para NOT IN (SELECT para FROM dup)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(para, ' ' ORDER BY para_idx) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(ceil(len(string_split_regex(trim(d.text), '\s+'))/12.0) AS BIGINT)
+        |    AS n_paras,
+        |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // A13: the aggregate runs over the ORC round-trip on the Spark
     // side but over the parquet source here — a hash match proves the

@@ -143,6 +143,59 @@ object TextQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** D53: CCNet-style duplicated-paragraph removal — the
+    * paragraph-granular dedup between whole-doc exact dedup (D1) and
+    * char-span stripping (D26/D36): segment each doc into fixed
+    * 12-word paragraphs (the stand-in for newline paragraphs on this
+    * corpus — real text segments on `\n\n` with the same plan), drop
+    * every paragraph whose text occurs in ≥2 DISTINCT docs (cross-doc
+    * boilerplate: headers, footers, licence blocks), and reassemble
+    * the survivors in order. CCNet dedups exactly this way before
+    * language ID, because boilerplate dominates crawl bytes.
+    *
+    * Scale shape: the duplicate set groups on the paragraphs'
+    * sha2-256 digest, so the detection shuffle ships 64-byte digests
+    * + counts — never paragraph text; the only text-bearing exchanges
+    * are the doc-keyed reassembly (partial-agg'd collect_list) and
+    * the anti-join probe side. No window, no driver state; AQE
+    * re-splits skewed digest buckets.
+    */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val W = 12
+    val docs = Tables.documents(spark, dir)
+    val withP = docs.select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("np",
+        ceil(size(col("toks")).cast("double") / W).cast("long"))
+    val paras = withP
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0L), col("np") - 1)))
+      .select(col("doc_id"), col("col").as("para_idx"),
+        concat_ws(" ",
+          slice(col("toks"), (col("col") * W + 1).cast("int"), lit(W)))
+          .as("para"))
+    val dup = paras
+      .groupBy(sha2(col("para"), 256).as("digest"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("digest"))
+    val kept = paras.join(dup,
+      sha2(col("para"), 256) === dup("digest"), "left_anti")
+    val perDoc = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("para_idx"), col("para")))),
+            x => x.getField("para")),
+          " ").as("clean_text"))
+    withP.select(col("doc_id"), col("np").as("n_paras"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D29: intra-document repetition scoring (Gopher/MassiveText-style
     * quality signals): the fraction of trigram occurrences that are
     * duplicates (positional shingles vs their distinct set — pure

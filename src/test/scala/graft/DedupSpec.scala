@@ -211,6 +211,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph dedup matches a driver-side reference and drops cross-doc boilerplate only") {
+    val W = 12
+    val got = graft.queries.TextQueries.paragraphDedup(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // driver reference: same segmentation, same >= 2-distinct-docs rule
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def paras(t: String): Seq[String] =
+      t.trim.split("\\s+").grouped(W).map(_.mkString(" ")).toSeq
+    val byPara = texts.flatMap { case (id, t) => paras(t).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val want = texts.map { case (id, t) =>
+      val ps = paras(t)
+      val kept = ps.filter(p => byPara(p) < 2)
+      id -> ((ps.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }.toMap
+    assert(got == want,
+      s"diff=${(got.toSet -- want.toSet).take(2)} / ${(want.toSet -- got.toSet).take(2)}")
+    // the rule fired: this corpus has cross-doc duplicate paragraphs
+    assert(want.exists { case (_, (np, nk, _)) => nk < np },
+      "expected at least one dropped boilerplate paragraph")
+    assert(want.forall { case (_, (np, nk, _)) => nk <= np })
+  }
+
   test("stripRepeatedSpans matches an exact driver-side reference") {
     val n = 4
     val toks = docs.collect()
