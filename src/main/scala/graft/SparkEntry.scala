@@ -95,6 +95,7 @@ object SparkEntry {
     "sequence_pack_nextfit" -> (TextQueries.sequencePackNextFit _),
     "text_repetition_score" -> (TextQueries.textRepetitionScore _),
     "paragraph_dedup"    -> (TextQueries.paragraphDedup _),
+    "token_budget_select" -> (TextQueries.tokenBudgetSelect _),
     "train_split"        -> (TextQueries.trainSplit _),
     "corpus_pipeline"    -> (TextQueries.corpusPipeline _),
     "decontamination"    -> (TextQueries.decontaminate _),
@@ -2430,6 +2431,30 @@ object SparkEntry {
         |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // D54: the naive global running-sum window IS the oracle — the
+    // operator's bucket decomposition evaluates the same window
+    // bucket-wise, so the kept sets match exactly. Budget = half the
+    // total token mass, computed in-query on both sides.
+    "token_budget_select" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |c AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
+        |  FROM t),
+        |s AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |    0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((h / n) * 8.0, 1.0) AS quality
+        |  FROM c),
+        |r AS (SELECT *, SUM(n_tokens) OVER (
+        |    ORDER BY CAST(floor(quality * 100) AS BIGINT) DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s)
+        |SELECT doc_id, n_tokens, quality,
+        |  cum <= (SELECT SUM(n_tokens) // 2 FROM s) AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // D53: fixed 12-word paragraphs; a paragraph is boilerplate iff
     // its text occurs in >= 2 distinct docs; survivors reassemble in

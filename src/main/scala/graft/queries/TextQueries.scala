@@ -196,6 +196,24 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D54: token-budget selection — fill half the corpus's TOKEN mass
+    * with the highest-quality docs (see
+    * [[graft.operators.TokenBudget]]): the budget question curation
+    * actually answers, distinct from D33's doc-count percentile
+    * because long docs make the two cuts diverge. Returns every doc
+    * with its kept verdict.
+    */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir).select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val budget = scored.agg(sum(col("n_tokens"))).head().getLong(0) / 2
+    graft.operators.TokenBudget.markKept(scored,
+        col("quality"), col("n_tokens"), col("doc_id"), budget)
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D29: intra-document repetition scoring (Gopher/MassiveText-style
     * quality signals): the fraction of trigram occurrences that are
     * duplicates (positional shingles vs their distinct set — pure

@@ -717,4 +717,38 @@ class OperatorsSpec extends AnyFunSuite {
     // over 20 tokens, the focused page concentrates on 2
     assert(got(1L) > got(2L))
   }
+
+  test("token budget selection equals the naive running-sum window, edge cases pinned") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.documents(spark, sfDir).select(col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("m"))
+    val total = df.agg(sum(col("m"))).head().getLong(0)
+    val budget = total / 2
+    val got = graft.operators.TokenBudget.markKept(
+        df, col("q"), col("m"), col("doc_id"), budget)
+      .select(col("doc_id"), col("kept"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // naive twin: one global running-sum window in the same order
+    val w = Window.orderBy(floor(col("q") * 100).cast("long").desc,
+        col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("cum", sum(col("m")).over(w))
+      .select(col("doc_id"), (col("cum") <= budget).as("kept"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == want, s"diff=${got.toSet.diff(want.toSet).take(5)}")
+    // the cut is real: some kept, some dropped, mass within budget
+    assert(got.values.exists(identity) && got.values.exists(!_))
+    // budget >= total admits everything (empty-bounds sentinel path)
+    val all = graft.operators.TokenBudget.markKept(
+        df, col("q"), col("m"), col("doc_id"), total + 1)
+      .filter(col("kept")).count()
+    assert(all == df.count(), "budget above total mass must keep all")
+    // kept mass never exceeds the budget
+    val keptMass = graft.operators.TokenBudget.select(
+        df, col("q"), col("m"), col("doc_id"), budget)
+      .agg(sum(col("m"))).head().getLong(0)
+    assert(keptMass <= budget, s"$keptMass > $budget")
+  }
 }

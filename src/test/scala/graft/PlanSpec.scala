@@ -437,6 +437,37 @@ class PlanSpec extends AnyFunSuite {
       graft.queries.TextQueries.temperatureMix(spark, sfDir))
   }
 
+  /** TokenBudget's de-skew contract (D54): every window in the plan
+    * must run either over an AGGREGATE (the <=101-bucket cumulative
+    * histogram) or over the boundary-bucket rows only (its subtree
+    * carries the `__tb_bb` equality filter). A window over unbounded
+    * raw rows is the global sort the operator exists to avoid.
+    */
+  test("token budget: no window sorts unbounded raw rows") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.queries.TextQueries.tokenBudgetSelect(spark, sfDir)
+    df.collect()
+    val windows = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the histogram + boundary windows")
+    windows.foreach { w =>
+      val sub = flattenPlan(w.child)
+      val overAggregate = sub.exists {
+        case _: HashAggregateExec | _: ObjectHashAggregateExec |
+             _: SortAggregateExec => true
+        case _ => false
+      }
+      val boundaryOnly = sub.exists {
+        case f: FilterExec => f.condition.toString.contains("__tb_bb")
+        case _ => false
+      }
+      assert(overAggregate || boundaryOnly,
+        s"window over unbounded raw rows:\n$w")
+    }
+  }
+
   /** CumHistogram's unpartitioned window moves its whole input to one
     * task — safe ONLY over a collapsed aggregate. The operator now
     * enforces that at plan-build time; pin both directions.
