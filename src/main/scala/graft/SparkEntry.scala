@@ -151,6 +151,7 @@ object SparkEntry {
     "vocab_tokenize"     -> (TextQueries.vocabTokenize _),
     "vocab_bpe_tokenize" -> (TextQueries.vocabBpeTokenize _),
     "vocab_tokenize_ids" -> (TextQueries.vocabTokenizeIds _),
+    "vocab_oov_rate"     -> (TextQueries.vocabOovRate _),
     "quality_weighted_sample" -> (TextQueries.qualityWeightedSample _),
     "cohort_retention"   -> (WarehouseQueries.cohortRetention _),
     "events_enriched_agg" -> (WarehouseQueries.eventsEnrichedAgg _),
@@ -384,6 +385,47 @@ object SparkEntry {
        |SELECT doc_id, n_words,
        |  CAST(list_sum(counts) AS INTEGER) AS n_subtokens
        |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  /** OOV-rate oracle: the [[vocabTokenizeOracle]] fold with a
+    * 3-element accumulator [pieces, fallbacks, skip] — the fallback
+    * counter increments exactly when the greedy CASE emitted a
+    * 1-char piece (every vocab entry is ≥2 chars, so length 1 ⇔
+    * fallback). Per-word triples sum per doc, then per language;
+    * the one divide rounds 6 dp on both engines.
+    */
+  private def vocabOovOracle(vocab: Seq[String], maxLen: Int): String = {
+    val vlit = vocab.filter(_.length >= 2)
+      .map(v => s"'${v.replace("'", "''")}'").mkString("[", ", ", "]")
+    val whens = (maxLen to 2 by -1).map { l =>
+      s"WHEN list_contains($vlit, substr(w, CAST(x[1] AS INTEGER), $l)) " +
+        s"THEN substr(w, CAST(x[1] AS INTEGER), $l)"
+    }.mkString(" ")
+    val tok = s"CASE $whens ELSE substr(w, CAST(x[1] AS INTEGER), 1) END"
+    s"""WITH t AS (
+       |  SELECT lang, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+       |c AS (
+       |  SELECT lang,
+       |    list_transform(ws, w ->
+       |      list_reduce(
+       |        [[CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)]]
+       |          || list_transform(range(1, len(w) + 1),
+       |               i -> [i, CAST(0 AS BIGINT), CAST(0 AS BIGINT)]),
+       |        (acc, x) -> CASE WHEN acc[3] > 0 THEN [acc[1], acc[2], acc[3] - 1]
+       |          ELSE [acc[1] + 1,
+       |                acc[2] + (CASE WHEN len($tok) = 1 THEN 1 ELSE 0 END),
+       |                CAST(len($tok) AS BIGINT) - 1] END
+       |      )) AS cs
+       |  FROM t),
+       |a AS (
+       |  SELECT lang,
+       |    list_sum(list_transform(cs, c -> c[1])) AS np,
+       |    list_sum(list_transform(cs, c -> c[2])) AS nf
+       |  FROM c)
+       |SELECT lang, CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(nf) AS BIGINT) AS n_fallback,
+       |  round(CAST(SUM(nf) AS DOUBLE) / CAST(SUM(np) AS DOUBLE), 6) AS oov_rate
+       |FROM a GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   /** Token-ID oracle: the [[vocabTokenizeOracle]] fold with a LIST
@@ -871,6 +913,8 @@ object SparkEntry {
     "vocab_tokenize" -> vocabTokenizeOracle(
       graft.queries.TextQueries.SubwordVocab, 3),
     "vocab_tokenize_ids" -> vocabTokenizeIdsOracle(
+      graft.queries.TextQueries.SubwordVocab, 3),
+    "vocab_oov_rate" -> vocabOovOracle(
       graft.queries.TextQueries.SubwordVocab, 3),
 
     // composes the (already bit-exact) D9 quality doubles with the

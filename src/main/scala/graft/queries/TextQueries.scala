@@ -174,13 +174,18 @@ object TextQueries {
         concat_ws(" ",
           slice(col("toks"), (col("col") * W + 1).cast("int"), lit(W)))
           .as("para"))
-    val dup = paras
-      .groupBy(sha2(col("para"), 256).as("digest"))
+      .withColumn("__digest", sha2(col("para"), 256))
+    // cut once: both the dup-detection agg and the anti-join probe
+    // read the exploded+hashed paragraph frame — at scale, re-running
+    // the corpus explode + sha2 per consumer is the dominant cost
+    val parasCut = graft.operators.Materialize.cut(paras)
+    val dup = parasCut
+      .groupBy(col("__digest").as("digest"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("digest"))
-    val kept = paras.join(dup,
-      sha2(col("para"), 256) === dup("digest"), "left_anti")
+    val kept = parasCut.join(dup,
+      col("__digest") === dup("digest"), "left_anti")
     val perDoc = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(
@@ -348,6 +353,31 @@ object TextQueries {
           graft.operators.Bpe.maxTokenLen(trained))).as("n_subtokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** D34c: tokenizer vocabulary coverage / OOV-rate report — per
+    * language, the fraction of emitted pieces that fell back to the
+    * single-codepoint alphabet (every vocab entry is ≥2 codepoints,
+    * so piece length 1 ⇔ fallback). THE acceptance metric for a
+    * tokenizer/corpus pairing: a language whose OOV rate spikes is
+    * one the vocab under-serves, and its token counts (and therefore
+    * its mixture quotas, D47/D48) are inflated by char-level
+    * fragmentation. Zero extra shuffle beyond the per-lang aggregate:
+    * the kernel scan is the same codegen pass D34 runs.
+    */
+  def vocabOovRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        graft.functions.TokenizeKernel.greedySubwordsText(
+          col("text"), SubwordVocab, maxLen = 3).as("pieces"))
+      .select(col("lang"),
+        size(col("pieces")).cast("long").as("np"),
+        size(filter(col("pieces"), p => length(p) === 1)).cast("long").as("nf"))
+      .groupBy(col("lang"))
+      .agg(sum(col("np")).as("n_pieces"), sum(col("nf")).as("n_fallback"))
+      .select(col("lang"), col("n_pieces"), col("n_fallback"),
+        round(col("n_fallback").cast("double") / col("n_pieces").cast("double"), 6)
+          .as("oov_rate"))
+      .orderBy(col("lang"))
 
   /** D34b: token-ID emission — the subword stream as trainer-ready
     * vocab ids. Id space: index into the effective (≥2-codepoint)

@@ -337,6 +337,42 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out(3) == Nil)                         // empty input
   }
 
+  test("vocab OOV-rate matches a driver-side greedy reference per language") {
+    import graft.queries.TextQueries
+    val got = TextQueries.vocabOovRate(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // plain-Scala greedy segmentation (independent of the kernel)
+    val vocab = TextQueries.SubwordVocab.toSet
+    def segment(w: String): Seq[Int] = {  // emitted piece lengths
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < w.length) {
+        val l = (3 to 2 by -1).find(l =>
+          i + l <= w.length && vocab(w.substring(i, i + l))).getOrElse(1)
+        out += l; i += l
+      }
+      out.toSeq
+    }
+    val want = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues { rows =>
+        val lens = rows.flatMap(_._2.trim.split("\\s+").flatMap(segment))
+        val np = lens.size.toLong
+        val nf = lens.count(_ == 1).toLong
+        (np, nf, BigDecimal(nf.toDouble / np.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (lang, (np, nf, rate)) =>
+      val (wnp, wnf, wrate) = want(lang)
+      assert(np == wnp && nf == wnf, s"$lang counts: ($np,$nf) vs ($wnp,$wnf)")
+      assert(math.abs(rate - wrate) < 1e-9, s"$lang rate: $rate vs $wrate")
+    }
+    // every language has fallback on this corpus but never 100%
+    assert(got.values.forall { case (np, nf, r) => nf > 0 && nf < np && r > 0 && r < 1 })
+  }
+
   test("greedy tokenizer: kernel equals the HOF twin on corpus words") {
     import graft.functions.TokenizeKernel
     val vocab = graft.queries.TextQueries.SubwordVocab
