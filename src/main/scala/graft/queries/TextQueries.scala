@@ -143,63 +143,18 @@ object TextQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
-  /** D53: CCNet-style duplicated-paragraph removal — the
-    * paragraph-granular dedup between whole-doc exact dedup (D1) and
-    * char-span stripping (D26/D36): segment each doc into fixed
-    * 12-word paragraphs (the stand-in for newline paragraphs on this
-    * corpus — real text segments on `\n\n` with the same plan), drop
-    * every paragraph whose text occurs in ≥2 DISTINCT docs (cross-doc
-    * boilerplate: headers, footers, licence blocks), and reassemble
-    * the survivors in order. CCNet dedups exactly this way before
-    * language ID, because boilerplate dominates crawl bytes.
-    *
-    * Scale shape: the duplicate set groups on the paragraphs'
-    * sha2-256 digest, so the detection shuffle ships 64-byte digests
-    * + counts — never paragraph text; the only text-bearing exchanges
-    * are the doc-keyed reassembly (partial-agg'd collect_list) and
-    * the anti-join probe side. No window, no driver state; AQE
-    * re-splits skewed digest buckets.
+  /** D53: CCNet-style duplicated-paragraph removal — see
+    * [[graft.operators.ParagraphDedup]] (digest-keyed detection,
+    * anti-join strip, ordered reassembly; the granularity between
+    * whole-doc D1 and char-span D26/D36). This face runs the one-shot
+    * batch form over the documents table; the frozen-digest streaming
+    * gate is [[graft.streaming.StreamingBoilerplate]] (E15).
     */
-  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
-    val W = 12
-    val docs = Tables.documents(spark, dir)
-    val withP = docs.select(col("doc_id"),
-        split(trim(col("text")), "\\s+").as("toks"))
-      .withColumn("np",
-        ceil(size(col("toks")).cast("double") / W).cast("long"))
-    val paras = withP
-      .select(col("doc_id"), col("toks"),
-        posexplode(sequence(lit(0L), col("np") - 1)))
-      .select(col("doc_id"), col("col").as("para_idx"),
-        concat_ws(" ",
-          slice(col("toks"), (col("col") * W + 1).cast("int"), lit(W)))
-          .as("para"))
-      .withColumn("__digest", sha2(col("para"), 256))
-    // cut once: both the dup-detection agg and the anti-join probe
-    // read the exploded+hashed paragraph frame — at scale, re-running
-    // the corpus explode + sha2 per consumer is the dominant cost
-    val parasCut = graft.operators.Materialize.cut(paras)
-    val dup = parasCut
-      .groupBy(col("__digest").as("digest"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("digest"))
-    val kept = parasCut.join(dup,
-      col("__digest") === dup("digest"), "left_anti")
-    val perDoc = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("para_idx"), col("para")))),
-            x => x.getField("para")),
-          " ").as("clean_text"))
-    withP.select(col("doc_id"), col("np").as("n_paras"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_paras"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ParagraphDedup.dedup(
+        Tables.documents(spark, dir), col("text"), col("doc_id"))
+      .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
-  }
 
   /** D54: token-budget selection — fill half the corpus's TOKEN mass
     * with the highest-quality docs (see

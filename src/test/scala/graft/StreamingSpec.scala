@@ -690,6 +690,41 @@ class StreamingSpec extends AnyFunSuite {
       "zeroed and unlisted strata must be quarantined")
   }
 
+  test("streaming boilerplate strip equals the batch strip at the frozen digest set") {
+    import spark.implicits._
+    import graft.streaming.StreamingBoilerplate
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_boiler")
+      .toFile.getAbsolutePath
+    StreamingBoilerplate.saveBoilerplate(docs, col("text"), col("doc_id"),
+      s"$base/dup")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      spark, 2201)
+    val q = StreamingBoilerplate.start(src.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", s"$base/dup", s"$base/out", s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    // batch twin: strip the static frame against the same artifact
+    val want = graft.operators.ParagraphDedup.strip(docs, col("text"),
+        col("doc_id"), spark.read.parquet(s"$base/dup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == want,
+      s"only-stream=${(got -- want).take(2)} only-batch=${(want -- got).take(2)}")
+    // and the one-shot dedup (detect + strip on the same corpus) is
+    // the same thing when the artifact came from that corpus
+    val oneShot = graft.queries.TextQueries.paragraphDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == oneShot)
+  }
+
   test("streaming drift monitor: merged batch histograms give the batch PSI bit-exactly") {
     import spark.implicits._
     import graft.streaming.StreamingDrift
