@@ -63,6 +63,7 @@ object SparkEntry {
     "bloom_prune_join"   -> (RelationalQueries.bloomPruneJoin _),
     "zorder_layout"      -> (ExtendedQueries.zorderLayout _),
     "orc_ingest"         -> (ExtendedQueries.orcIngest _),
+    "corpus_diff"        -> (ExtendedQueries.corpusDiff _),
     "hll_partitioned_distinct" -> (ExtendedQueries.hllPartitionedDistinct _),
     "histogram_preagg_quantiles" -> (ExtendedQueries.histogramPreaggQuantiles _),
     "kll_preagg_quantiles" -> (ExtendedQueries.kllPreaggQuantiles _),
@@ -2525,6 +2526,26 @@ object SparkEntry {
         |  COALESCE(a.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // A14: both engines derive the two snapshots the same way; the
+    // digest compare reduces to text equality under the derivation
+    // (sha256 is injective on this corpus), so the oracle compares
+    // the rewritten text directly.
+    "corpus_diff" ->
+      """WITH old AS (SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 11 <> 3),
+        |neu AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT COALESCE(o.source, n.source) AS source,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text <> n.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  COUNT(*) AS n_docs
+        |FROM old o FULL OUTER JOIN neu n
+        |  ON o.doc_id = n.doc_id AND o.source = n.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // A13: the aggregate runs over the ORC round-trip on the Spark
     // side but over the parquet source here — a hash match proves the

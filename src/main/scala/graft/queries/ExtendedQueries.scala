@@ -42,6 +42,39 @@ object ExtendedQueries {
     * files touched for filters on EITHER clustered dimension — is
     * pinned separately in IngestSpec.
     */
+  /** A14: corpus snapshot diff — the audit every versioned corpus
+    * needs before promoting a new crawl: which docs were ADDED,
+    * REMOVED, or CHANGED between two snapshots, summarized per
+    * source. One full-outer join on the id with a content-digest
+    * compare on both sides — the digests (sha2-256) are what a real
+    * deployment stores in its manifest, so the diff never re-reads
+    * unchanged text at scale; counts partial-agg per (source,
+    * status). The two snapshots here derive deterministically from
+    * the documents table (old drops `doc_id % 11 = 3`, new drops
+    * `% 13 = 5` and rewrites `% 5 = 0`), so the DuckDB oracle
+    * replays the same derivation.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val old = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("od"))
+    val neu = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), col("source"),
+        sha2(when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")), 256)
+          .as("nd"))
+    old.join(neu, Seq("doc_id", "source"), "full_outer")
+      .select(col("source"),
+        when(col("od").isNull, lit("added"))
+          .when(col("nd").isNull, lit("removed"))
+          .when(col("od") =!= col("nd"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("status"))
+  }
+
   /** A13: ORC lake round-trip — write documents as a lang-partitioned
     * ORC table, read it back through a partition-pruned scan, and
     * aggregate. The oracle runs the same aggregate on the PARQUET

@@ -466,6 +466,18 @@ object ScaleProbe {
         docs.withColumn("src", (col("doc_id") % 200).cast("string")),
         col("src"), col("doc_id"), budget = 40000L).count()
     }
+    t("paragraph_dedup") {
+      graft.operators.ParagraphDedup.dedup(
+        docs, col("text"), col("doc_id")).count()
+    }
+    t("token_budget") {
+      val scored = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("m"))
+      val budget = scored.agg(sum(col("m"))).head().getLong(0) / 2
+      graft.operators.TokenBudget.select(
+        scored, col("q"), col("m"), col("doc_id"), budget).count()
+    }
     t("media_decode") {
       import spark.implicits._
       val media = docs.select(col("doc_id")).as[Long]

@@ -68,4 +68,22 @@ class QueriesSpec extends AnyFunSuite {
       .count().filter(col("count") > 1).count()
     assert(dup == 0L)
   }
+
+  test("corpus diff: statuses partition both snapshots, counts reconcile") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.ExtendedQueries.corpusDiff(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val byStatus = rows.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    assert(Set("added", "removed", "changed", "unchanged")
+      .subsetOf(byStatus.keySet), s"got ${byStatus.keySet}")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val oldIds = docs.filter(_ % 11 != 3).toSet
+    val newIds = docs.filter(_ % 13 != 5).toSet
+    assert(byStatus("added") == (newIds -- oldIds).size)
+    assert(byStatus("removed") == (oldIds -- newIds).size)
+    val common = oldIds intersect newIds
+    assert(byStatus("changed") == common.count(_ % 5 == 0))
+    assert(byStatus("unchanged") == common.count(_ % 5 != 0))
+  }
 }
