@@ -38,10 +38,17 @@ object TokenBudget {
   def markKept(df: DataFrame, score: Column, mass: Column, id: Column,
                budget: Long, keptCol: String = "kept"): DataFrame = {
     require(budget > 0, s"TokenBudget: budget must be positive, got $budget")
-    // cut once: histogram, bulk verdicts, and boundary rank all read it
+    // cut once: histogram, bulk verdicts, and boundary rank all read it.
+    // Null/NaN scores land in a worst-than-everything sentinel bucket
+    // (kept only if budget remains after every scored row) — without
+    // the coalesce, a null bucket fails BOTH branch equality filters
+    // below and the row would vanish from the output entirely.
+    val bucket = floor(score * lit(100.0)).cast("long")
     val withB = Materialize.cut(df
-      .withColumn("__tb_b", floor(score * lit(100.0)).cast("long"))
-      .withColumn("__tb_m", mass.cast("long")))
+      .withColumn("__tb_b",
+        coalesce(when(isnan(score.cast("double")), lit(Long.MinValue + 1))
+          .otherwise(bucket), lit(Long.MinValue + 1)))
+      .withColumn("__tb_m", coalesce(mass.cast("long"), lit(0L))))
 
     // per-bucket mass histogram — aggregate-sized
     val hist = withB.groupBy(col("__tb_b"))

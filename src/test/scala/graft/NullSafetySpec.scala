@@ -105,6 +105,39 @@ class NullSafetySpec extends AnyFunSuite {
     assert(out.isEmpty, "no 8-grams exist, so no contamination pairs")
   }
 
+  test("token budget: null/NaN scores are never dropped — they queue last") {
+    val df = Seq(
+      (1L, Some(0.9), 10L), (2L, Some(0.5), 10L), (3L, None, 10L),
+      (4L, Some(Double.NaN), 10L), (5L, Some(0.1), 10L))
+      .toDF("id", "score", "m")
+    val out = graft.operators.TokenBudget.markKept(
+      df, col("score"), col("m"), col("id"), budget = 20L)
+    // every input row survives with a concrete verdict
+    assert(out.count() == 5 && out.filter(col("kept").isNull).count() == 0)
+    val kept = out.filter(col("kept")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"best two fill the budget, got $kept")
+    // with room for everything, the null/NaN rows are admitted too
+    val all = graft.operators.TokenBudget.markKept(
+      df, col("score"), col("m"), col("id"), budget = 100L)
+    assert(all.filter(col("kept")).count() == 5)
+  }
+
+  test("paragraph dedup: null and empty texts survive with zero paragraphs") {
+    val df = Seq((1L, Some("a b c")), (2L, Some("a b c")), (3L, None),
+        (4L, Some("")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.ParagraphDedup.dedup(
+        df, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.isNullAt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "no row may vanish")
+    // the duplicated doc pair strips to empty
+    assert(out(1L)._2 == 0 && out(1L)._3 == "" && out(2L)._2 == 0)
+    // null text: no paragraphs, empty rewrite (n_paras null is fine)
+    assert(out(3L)._2 == 0 && out(3L)._3 == "")
+  }
+
   test("splitByHash: invalid weights throw; a single weight puts every row in split 0") {
     val df = Seq(1L, 2L, 3L).toDF("id")
     intercept[IllegalArgumentException] {
