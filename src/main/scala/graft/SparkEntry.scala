@@ -45,6 +45,9 @@ object SparkEntry {
     "q5_local_supplier"  -> (RelationalQueries.q5LocalSupplier _),
     "q17_small_quantity" -> (RelationalQueries.q17SmallQuantity _),
     "q18_large_volume"   -> (RelationalQueries.q18LargeVolumeCustomer _),
+    "q2_min_cost"        -> (RelationalQueries.q2MinCostSupplier _),
+    "q16_supplier_variety" -> (RelationalQueries.q16SupplierVariety _),
+    "q21_suppliers_waiting" -> (RelationalQueries.q21SuppliersWaiting _),
     "seed_distance"      -> (WarehouseQueries.seedDistance _),
     "window_running_sum" -> (RelationalQueries.windowRunningSum _),
     "semi_join_exists"   -> (RelationalQueries.semiJoinExists _),
@@ -1350,6 +1353,43 @@ object SparkEntry {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q2_min_cost" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_partkey, MIN(cost) AS mc FROM ps GROUP BY 1)
+        |SELECT ps.l_partkey AS p_partkey, ps.l_suppkey AS s_suppkey,
+        |  CAST(ps.cost AS DOUBLE) AS cost
+        |FROM ps JOIN m ON ps.l_partkey = m.l_partkey AND ps.cost = m.mc
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q21_suppliers_waiting" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate, o_orderstatus
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |l1 AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lo
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM l1 JOIN supplier ON sk = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.ok AND l2.l_suppkey <> l1.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM lo l3
+        |    WHERE l3.l_orderkey = l1.ok AND l3.l_suppkey <> l1.sk
+        |      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
 
     "q5_local_supplier" -> s"""SELECT n_name, $revenueSum AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

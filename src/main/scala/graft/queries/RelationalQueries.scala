@@ -157,6 +157,92 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** C35: correlated MIN-subquery, decorrelated (TPC-H Q2 shape —
+    * "min-cost supplier per part", with lineitem standing in for
+    * partsupp: a (part, supplier)'s cost = its min extendedprice).
+    * The correlated `= (SELECT MIN … WHERE same part)` becomes one
+    * extra aggregation level + an equality join back — both keyed on
+    * the part, so the decorrelation adds no new shuffle key. Costs
+    * stay DECIMAL through the min and the equality compare (a double
+    * compare could split a tie the oracle keeps), cast to double only
+    * at output. Ties keep every minimal supplier, like the SQL.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec2(col("l_extendedprice"))).as("__cost"))
+    val m = ps.groupBy(col("l_partkey").as("__pk"))
+      .agg(min(col("__cost")).as("__mc"))
+    ps.join(m, col("l_partkey") === col("__pk") &&
+        col("__cost") === col("__mc"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("l_suppkey").as("s_suppkey"),
+        col("__cost").cast("double").as("cost"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  /** C36: NOT IN + COUNT(DISTINCT) (TPC-H Q16 shape — "supplier
+    * variety per part attribute, excluding flagged suppliers"): the
+    * NOT IN subquery becomes a broadcast LEFT ANTI join (null-safe
+    * by construction — the blocklist can't inject nulls), then a
+    * two-level distinct aggregate per (brand, size). The anti join
+    * runs BEFORE the wide distinct agg, so excluded suppliers never
+    * enter the shuffle.
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val pt = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** C37: double-correlated EXISTS + NOT EXISTS (TPC-H Q21 shape —
+    * "suppliers who kept waiting": a delayed lineitem in a
+    * multi-supplier order where NO OTHER supplier was delayed; delay
+    * = shipped >90 days after the order date, standing in for the
+    * receipt/commit columns this dataset doesn't carry). The two
+    * correlated subqueries decorrelate into a LEFT SEMI (some other
+    * supplier exists) and a LEFT ANTI (no other delayed supplier)
+    * against the same order-keyed frames — three joins, all on
+    * l_orderkey, one shuffle key end to end; the blame count is
+    * per-supplier distinct orders.
+    */
+  def q21SuppliersWaiting(spark: SparkSession, dir: String): DataFrame = {
+    val lo = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+    val delayed = lo
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+    val l1 = delayed.filter(col("o_orderstatus") === "F")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val others = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val otherDelayed = delayed
+      .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    l1.join(others,
+        col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(otherDelayed,
+        col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("sk") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   /** C5: EXISTS / NOT EXISTS as semi/anti joins (no row duplication,
     * no distinct needed — semantically and physically better than
     * join+dedup at scale).
