@@ -150,6 +150,7 @@ object SparkEntry {
     "events_sliding_agg" -> (WarehouseQueries.eventsSlidingAgg _),
     "events_gap_fill"    -> (WarehouseQueries.eventsGapFill _),
     "events_outliers"    -> (WarehouseQueries.eventsOutliers _),
+    "events_winsorize"   -> (WarehouseQueries.eventsWinsorize _),
     "ewma_user_value"    -> (WarehouseQueries.ewmaUserValue _),
     "quality_filter"     -> (TextQueries.qualityFilter _),
     "vocab_tokenize"     -> (TextQueries.vocabTokenize _),
@@ -2566,6 +2567,27 @@ object SparkEntry {
         |  COALESCE(a.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // C38: thresholds off the per-type cumulative bucket histogram;
+    // lo/hi are integer buckets so the /100.0 divides and the clamp
+    // are identically-rounded doubles on both engines.
+    "events_winsorize" ->
+      """WITH b AS (SELECT event_id, event_type, value,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS bk FROM events),
+        |h AS (SELECT event_type, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |cumt AS (SELECT event_type, bk,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY bk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS total
+        |  FROM h),
+        |thr AS (SELECT event_type,
+        |    MIN(CASE WHEN cum >= 0.05 * total THEN bk END) AS lo,
+        |    MIN(CASE WHEN cum >= 0.95 * total THEN bk END) AS hi
+        |  FROM cumt GROUP BY 1)
+        |SELECT event_id, b.event_type, value,
+        |  least(greatest(value, lo / 100.0), hi / 100.0) AS clipped
+        |FROM b JOIN thr USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     // A14: both engines derive the two snapshots the same way; the
     // digest compare reduces to text equality under the derivation

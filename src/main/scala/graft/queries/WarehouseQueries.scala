@@ -148,6 +148,37 @@ object WarehouseQueries {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** C38: per-type winsorization (robust clipping) — clamp each
+    * event's value to its type's exact [p05, p95] band, the standard
+    * feature-cleaning companion to C23's z-score REPORT (winsorize
+    * repairs, outliers alarms). Percentile thresholds come off the
+    * grouped 2-dp-bucket cumulative histogram
+    * ([[graft.operators.CumHistogram.cumulativeByGroup]]) — exact at
+    * bucket granularity, windows only over the aggregate, thresholds
+    * broadcast back — so the whole clip is exchange-light at any
+    * volume; the clamp itself is a codegen projection.
+    */
+  def eventsWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("__bk", floor(col("value") * lit(100.0)).cast("long"))
+    val counts = ev.groupBy(col("event_type"), col("__bk"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = graft.operators.CumHistogram.cumulativeByGroup(
+      counts, "event_type", "__bk", "cnt")
+    val thr = cum.groupBy(col("event_type"))
+      .agg(
+        min(when(col("cum") >= lit(0.05) * col("total"), col("__bk")))
+          .as("__lo"),
+        min(when(col("cum") >= lit(0.95) * col("total"), col("__bk")))
+          .as("__hi"))
+    ev.join(broadcast(thr), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("__lo") / lit(100.0)),
+          col("__hi") / lit(100.0)).as("clipped"))
+      .orderBy(col("event_id"))
+  }
+
   /** C23: z-score outliers per event type (3σ) — see
     * [[graft.operators.Outliers]] for the exact-moment/bit-exact and
     * degenerate-group-guard story (the guard is mirrored in the

@@ -567,6 +567,30 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2, 20.0)))
   }
 
+  test("winsorize: clipping respects the exact p05/p95 bucket thresholds per type") {
+    val rows = graft.queries.WarehouseQueries.eventsWinsorize(spark, sfDir)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, vs) =>
+      val n = vs.length.toDouble
+      // driver-side exact thresholds from the same bucket rule
+      val buckets = vs.map(v => math.floor(v._2 * 100.0).toLong).sorted
+      def thrAt(q: Double): Long = {
+        val need = math.ceil(q * n).toLong
+        buckets(need.toInt - 1)
+      }
+      val lo = thrAt(0.05) / 100.0
+      val hi = thrAt(0.95) / 100.0
+      vs.foreach { case (_, v, c) =>
+        val expect = math.min(math.max(v, lo), hi)
+        assert(c == expect, s"$tpe: value $v clipped to $c, want $expect")
+      }
+      // the clip actually fires on both tails of this distribution
+      assert(vs.exists { case (_, v, c) => c > v } &&
+        vs.exists { case (_, v, c) => c < v }, s"$tpe: no clipping happened")
+    }
+  }
+
   test("outliers: z-scores match per-type moments; all |z| > 3") {
     val out = graft.queries.WarehouseQueries.eventsOutliers(spark, sfDir)
     val rows = out.collect()
