@@ -151,6 +151,7 @@ object SparkEntry {
     "events_gap_fill"    -> (WarehouseQueries.eventsGapFill _),
     "events_outliers"    -> (WarehouseQueries.eventsOutliers _),
     "events_winsorize"   -> (WarehouseQueries.eventsWinsorize _),
+    "peak_concurrency"   -> (WarehouseQueries.peakConcurrency _),
     "ewma_user_value"    -> (WarehouseQueries.ewmaUserValue _),
     "quality_filter"     -> (TextQueries.qualityFilter _),
     "vocab_tokenize"     -> (TextQueries.vocabTokenize _),
@@ -2567,6 +2568,40 @@ object SparkEntry {
         |  COALESCE(a.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // C39: same C8 session CTE; the sweep line runs per day with
+    // carry-in from a calendar join (equivalent to the Spark side's
+    // midnight explode: calendar day D counts a session iff
+    // t_start < D <= t_end).
+    "peak_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 4 HOUR
+        |         THEN 1 ELSE 0 END AS flag
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s0 AS (
+        |  SELECT user_id, ts, SUM(flag) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e),
+        |s AS (SELECT user_id, sid, MIN(ts) AS t_start, MAX(ts) AS t_end
+        |  FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT date_trunc('day', t) AS day, t, d FROM (
+        |  SELECT t_start AS t, 1 AS d FROM s
+        |  UNION ALL SELECT t_end, -1 FROM s)),
+        |r AS (SELECT day, SUM(d) OVER (PARTITION BY day ORDER BY t, d
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM d),
+        |m AS (SELECT day, MAX(run) AS mr FROM r GROUP BY day),
+        |cal AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+        |carry AS (SELECT cal.day, COUNT(*) AS c
+        |  FROM s JOIN cal ON cal.day > s.t_start AND cal.day <= s.t_end
+        |  GROUP BY 1)
+        |SELECT CAST(COALESCE(m.day, carry.day) AS TIMESTAMP) AS day,
+        |  CAST(COALESCE(carry.c, 0)
+        |    + greatest(0, COALESCE(m.mr, 0)) AS BIGINT) AS peak
+        |FROM m FULL OUTER JOIN carry ON m.day = carry.day
+        |ORDER BY day""".stripMargin,
 
     // C38: thresholds off the per-type cumulative bucket histogram;
     // lo/hi are integer buckets so the /100.0 divides and the clamp

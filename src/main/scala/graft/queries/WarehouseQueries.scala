@@ -148,6 +148,46 @@ object WarehouseQueries {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** C39: peak session concurrency per day — the distributed
+    * SWEEP-LINE: how many user sessions (C8's 4-hour-gap sessions)
+    * were simultaneously open at the busiest instant of each day, the
+    * capacity-planning number a global sort over all interval
+    * endpoints would naively compute. Scale shape: endpoints become
+    * ±1 deltas windowed PER DAY (bounded partitions, never a global
+    * order), and cross-midnight sessions enter as a per-day CARRY-IN
+    * computed by exploding each session over the (few) day boundaries
+    * it spans — so peak(day) = carry_in + max(0, running delta sum).
+    * Interval semantics are half-open [t_start, t_end): at a shared
+    * instant the −1 applies before the +1 (the (t, d) tiebreak).
+    */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = graft.operators.Sessionize.sessions(Tables.events(spark, dir),
+        col("user_id"), col("ts"), 4 * 3600L, Seq(col("ts"), col("event_id")))
+      .select(col("t_start"), col("t_end"))
+    val deltas = s.select(col("t_start").as("t"), lit(1L).as("d"))
+      .unionAll(s.select(col("t_end").as("t"), lit(-1L).as("d")))
+      .withColumn("day", date_trunc("day", col("t")))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dayMax = deltas.withColumn("run", sum(col("d")).over(w))
+      .groupBy(col("day")).agg(max(col("run")).as("mr"))
+    // carry-in: one row per (session, midnight it spans) — sessions
+    // span at most a handful of days, so the explode is O(sessions)
+    val carry = s
+      .filter(date_trunc("day", col("t_end")) > date_trunc("day", col("t_start")))
+      .select(explode(sequence(
+        date_trunc("day", col("t_start")) + expr("INTERVAL 1 DAY"),
+        date_trunc("day", col("t_end")),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    dayMax.join(carry, Seq("day"), "full_outer")
+      .select(col("day"),
+        (coalesce(col("c"), lit(0L)) +
+          greatest(lit(0L), coalesce(col("mr"), lit(0L)))).as("peak"))
+      .orderBy(col("day"))
+  }
+
   /** C38: per-type winsorization (robust clipping) — clamp each
     * event's value to its type's exact [p05, p95] band, the standard
     * feature-cleaning companion to C23's z-score REPORT (winsorize

@@ -567,6 +567,40 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2, 20.0)))
   }
 
+  test("peak concurrency matches a driver-side global sweep line") {
+    val got = graft.queries.WarehouseQueries.peakConcurrency(spark, sfDir)
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    // reference: ONE global sweep (the thing the operator decomposes
+    // per-day), tracking the running count and each day's max —
+    // including the concurrency carried across midnight
+    val sessions = graft.operators.Sessionize.sessions(
+        graft.sources.Tables.events(spark, sfDir),
+        col("user_id"), col("ts"), 4 * 3600L, Seq(col("ts"), col("event_id")))
+      .select(col("t_start"), col("t_end")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+    val points = sessions.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .sortBy(identity)  // (t asc, d asc) → -1 before +1 at shared t
+    def dayOf(t: Long): Long = t - Math.floorMod(t, 86400000L)
+    val peak = scala.collection.mutable.Map.empty[Long, Long]
+    var cur = 0L
+    var prevDay = Long.MinValue
+    points.foreach { case (t, d) =>
+      val day = dayOf(t)
+      if (prevDay != Long.MinValue && day > prevDay) {
+        // concurrency at each crossed midnight is `cur`
+        var x = prevDay + 86400000L
+        while (x <= day) { peak(x) = math.max(peak.getOrElse(x, 0L), cur); x += 86400000L }
+      }
+      cur += d
+      peak(day) = math.max(peak.getOrElse(day, 0L), cur)
+      prevDay = math.max(prevDay, day)
+    }
+    val want = peak.toMap.filter(_._2 > 0)
+    assert(got == want,
+      s"diff only-got=${(got.toSet -- want.toSet).take(3)} only-want=${(want.toSet -- got.toSet).take(3)}")
+    assert(got.values.max > 1, "busiest instant must overlap sessions")
+  }
+
   test("winsorize: clipping respects the exact p05/p95 bucket thresholds per type") {
     val rows = graft.queries.WarehouseQueries.eventsWinsorize(spark, sfDir)
       .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
