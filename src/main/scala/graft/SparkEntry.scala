@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_simhash"      -> (TextQueries.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
     "dedup_resolve"      -> (TextQueries.dedupResolve _),
+    "dedup_keep_best"    -> (TextQueries.dedupKeepBest _),
     "dedup_cluster_sizes" -> (TextQueries.dedupClusterSizes _),
     "dedup_incremental"  -> (TextQueries.dedupIncremental _),
     "dedup_repeated_spans" -> (TextQueries.dedupRepeatedSpans _),
@@ -1778,6 +1779,47 @@ object SparkEntry {
         |  LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS canonical_id
         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // D17c: the dedup_resolve closure + the D9 quality doubles + a
+    // per-cluster rank window (quality desc, id) — kept = rank 1
+    "dedup_keep_best" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM t),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT ida, idb FROM pairs
+        |  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |und AS (SELECT ida AS src, idb AS dst FROM edges
+        |  UNION ALL SELECT idb, ida FROM edges),
+        |reach AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
+        |cc AS (
+        |  SELECT d.doc_id,
+        |    LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS canonical_id
+        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |  GROUP BY d.doc_id),
+        |c2 AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
+        |  FROM t),
+        |q AS (SELECT doc_id,
+        |    0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((h / n) * 8.0, 1.0) AS quality
+        |  FROM c2)
+        |SELECT cc.doc_id, cc.canonical_id,
+        |  row_number() OVER (PARTITION BY canonical_id
+        |    ORDER BY quality DESC, cc.doc_id) = 1 AS kept
+        |FROM cc JOIN q ON cc.doc_id = q.doc_id
+        |ORDER BY cc.doc_id""".stripMargin,
 
     // the dedup_resolve closure + two aggregates
     "dedup_cluster_sizes" ->

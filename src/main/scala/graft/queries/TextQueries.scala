@@ -65,6 +65,30 @@ object TextQueries {
       .orderBy(col("cluster_size"))
   }
 
+  /** D17c: quality-aware canonical selection — the keep-rule real
+    * dedup pipelines actually run: within each duplicate cluster
+    * (D17's connected components), keep the HIGHEST-QUALITY document
+    * (D9's score; ties → lowest id), not an arbitrary min-id. The
+    * per-cluster rank window is bounded by cluster size — dup-density
+    * bounded, never corpus-bounded — so the keep-rule adds no
+    * scale risk over the resolution itself.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val edges = Dedup.similarityJoinEdges(docs, "text", "doc_id")
+    val cc = Dedup.connectedComponents(edges, docs.select(col("doc_id").as("id")))
+    val scored = docs.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy(col("canonical_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    cc.join(scored, col("id") === col("doc_id"))
+      .withColumn("__rn", row_number().over(w))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("__rn") === 1).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D26: duplicated-span removal — strips every token position
     * covered by a 4-gram that occurs ≥2 times corpus-wide. The word
     * domain in the synthetic corpus is small, so cross-doc repeated

@@ -211,6 +211,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("keep-best canonical selection: exactly one winner per cluster, and it's the best") {
+    val rows = graft.queries.TextQueries.dedupKeepBest(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val quality = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.length == docs.count())
+    rows.groupBy(_._2).foreach { case (canon, members) =>
+      val kept = members.filter(_._3)
+      assert(kept.length == 1, s"cluster $canon: ${kept.length} winners")
+      // the winner has max quality (ties → lowest id)
+      val best = members.map(m => (quality(m._1), -m._1)).max
+      assert((quality(kept.head._1), -kept.head._1) == best,
+        s"cluster $canon kept ${kept.head._1}, best was $best")
+    }
+    // multi-doc clusters exist (planted near-dups) and in at least one
+    // the winner is NOT the min id — the rule genuinely differs from
+    // dedup_resolve's min-id canonical
+    val multi = rows.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty)
+    assert(multi.exists { case (_, ms) =>
+      ms.filter(_._3).head._1 != ms.map(_._1).min },
+      "expected at least one cluster where best != min id")
+  }
+
   test("paragraph dedup matches a driver-side reference and drops cross-doc boilerplate only") {
     val W = 12
     val got = graft.queries.TextQueries.paragraphDedup(spark, sfDir)
