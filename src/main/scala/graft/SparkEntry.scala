@@ -48,6 +48,8 @@ object SparkEntry {
     "q2_min_cost"        -> (RelationalQueries.q2MinCostSupplier _),
     "q16_supplier_variety" -> (RelationalQueries.q16SupplierVariety _),
     "q21_suppliers_waiting" -> (RelationalQueries.q21SuppliersWaiting _),
+    "q20_dominant_suppliers" -> (RelationalQueries.q20DominantSuppliers _),
+    "q22_idle_rich_customers" -> (RelationalQueries.q22IdleRichCustomers _),
     "seed_distance"      -> (WarehouseQueries.seedDistance _),
     "window_running_sum" -> (RelationalQueries.windowRunningSum _),
     "semi_join_exists"   -> (RelationalQueries.semiJoinExists _),
@@ -101,6 +103,7 @@ object SparkEntry {
     "text_repetition_score" -> (TextQueries.textRepetitionScore _),
     "paragraph_dedup"    -> (TextQueries.paragraphDedup _),
     "token_budget_select" -> (TextQueries.tokenBudgetSelect _),
+    "doc_chunking"       -> (TextQueries.docChunking _),
     "train_split"        -> (TextQueries.trainSplit _),
     "corpus_pipeline"    -> (TextQueries.corpusPipeline _),
     "decontamination"    -> (TextQueries.decontaminate _),
@@ -1394,6 +1397,38 @@ object SparkEntry {
         |      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
 
+    // Q20 shape: the correlated scalar aggregate decorrelates to a
+    // double aggregate + join-back; the keep decision is integer-CENTS
+    // cross-multiplied (2·q·ns > 3·tq) so it's exact in both engines.
+    "q20_dominant_suppliers" ->
+      """WITH sp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS qc
+        |  FROM lineitem GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, SUM(qc) AS tqc, COUNT(*) AS ns
+        |       FROM sp GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_dominant FROM (
+        |  SELECT l_suppkey, COUNT(*) AS n_dominant
+        |  FROM sp JOIN pt USING (l_partkey)
+        |  WHERE 2 * qc * ns > 3 * tqc GROUP BY 1) d
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // Q22 shape: global scalar avg (cross-multiplied in cents — no
+    // division) + NOT EXISTS as an anti join with the filter pushed.
+    "q22_idle_rich_customers" ->
+      """WITH pos AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS tot,
+        |         COUNT(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, pos
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n > tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c_custkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q5_local_supplier" -> s"""SELECT n_name, $revenueSum AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -2584,6 +2619,21 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, quality,
         |  cum <= (SELECT SUM(n_tokens) // 2 FROM s) AS kept
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // D55: fixed 64-char windows, stride 48; chunk count =
+    // (max(0, n-64) + 47) DIV 48 + 1 — positive integer division, so
+    // truncating (Spark DIV) ≡ floor (DuckDB //).
+    "doc_chunking" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, (greatest(length(text) - 64, 0) + 47) // 48 + 1)) AS k
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+        |  CAST(k * 48 AS INTEGER) AS chunk_start,
+        |  substring(text, CAST(k * 48 + 1 AS INTEGER), 64) AS chunk_text,
+        |  CAST(length(substring(text, CAST(k * 48 + 1 AS INTEGER), 64))
+        |    AS INTEGER) AS chunk_len
+        |FROM n ORDER BY doc_id, chunk_id""".stripMargin,
 
     // D53: fixed 12-word paragraphs; a paragraph is boilerplate iff
     // its text occurs in >= 2 distinct docs; survivors reassemble in

@@ -333,4 +333,60 @@ object RelationalQueries {
       .filter(col("rk") <= 3)
       .orderBy(col("o_custkey"), col("rk"))
   }
+
+  /** C40: TPC-H Q20's correlated-aggregate shape on this schema —
+    * "which suppliers dominate a part's supply": per (part, supplier)
+    * shipped quantity vs 1.5× the part's mean per-supplier quantity.
+    * The correlated scalar subquery ("for this part, what does the
+    * average supplier ship?") decorrelates into a SECOND aggregate
+    * over the FIRST aggregate's output plus one equi-join back on
+    * the part key — no per-row subquery, no nested loop; at scale
+    * both aggregates partial-combine and the join reuses the part-key
+    * shuffle. The keep decision is cross-multiplied in integer CENTS
+    * (2·q·ns > 3·tq) so it is bit-exact in any engine — no decimal
+    * promotion rules, no double rounding.
+    */
+  def q20DominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((sum(dec2(col("l_quantity"))) * 100).cast("long").as("qc"))
+    val pt = sp.groupBy(col("l_partkey"))
+      .agg(sum(col("qc")).as("tqc"), count(lit(1)).as("ns"))
+    sp.join(pt, Seq("l_partkey"))
+      .filter(col("qc") * 2 * col("ns") > col("tqc") * 3)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominant"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominant"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** C41: TPC-H Q22's shape — a global scalar aggregate feeding a
+    * per-row filter plus an anti-join ("rich customers who never
+    * placed an urgent order, by segment"). The scalar subquery
+    * (average positive balance) computes ONCE and broadcasts as a
+    * single-row crossJoin — the standard scalar-fold pattern — and
+    * NOT EXISTS becomes a LEFT ANTI join with the priority filter
+    * pushed below it, so only urgent orders' custkeys enter the
+    * anti-join shuffle. The balance comparison cross-multiplies in
+    * integer cents (bal·n > tot) — exact, engine-independent.
+    */
+  def q22IdleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val pos = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec2(col("c_acctbal"))) * 100).cast("long").as("tot"),
+        count(lit(1)).as("n"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(pos))
+      .filter((dec2(col("c_acctbal")) * 100).cast("long") * col("n") > col("tot"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

@@ -840,6 +840,35 @@ object TextQueries {
         col("w.end").as("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** D55: retrieval chunking — tile each document into fixed-width
+    * 64-char windows with 16-char overlap (stride 48), the unit every
+    * embedding/RAG pipeline feeds its encoder. The LangChain-style
+    * tiling rule: starts at k·stride for k = 0..⌈(n−W)/S⌉, so a doc
+    * no longer than one window yields exactly one chunk and the LAST
+    * chunk is the first that covers the tail (no dribble of tiny tail
+    * chunks). ZERO shuffle — `sequence`+`explode` and `substring` are
+    * pure codegen projections, so at 100 TB this is a map-only pass
+    * whose output partitioning inherits the scan's; the downstream
+    * encoder join key (doc_id, chunk_id) is emitted here.
+    * Token-aware chunking composes by running D34's tokenizer on
+    * `chunk_text`. The chunk count is computed in integer arithmetic
+    * ((max(0, n−W) + S−1) DIV S) — exact in any engine.
+    */
+  def docChunking(spark: SparkSession, dir: String): DataFrame = {
+    val W = 64; val S = 48
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          expr(s"CAST((greatest(length(text) - $W, 0) + ${S - 1}) DIV $S AS INT)")))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * S).as("chunk_start"),
+        expr(s"substring(text, chunk_id * $S + 1, $W)").as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** E1 (batch face): tumbling 1-hour windowed aggregation — the same
     * plan Structured Streaming runs incrementally (see
     * graft.streaming.EventsStream).

@@ -930,4 +930,59 @@ class WarehouseSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(re == got, "exact integer counts must be partition-invariant")
   }
+
+  test("Q20 shape: dominance decision matches a driver-side recompute") {
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact cents arithmetic, mirroring the plan's cross-multiply
+    val sp = li.groupBy(t => (t._1, t._2))
+      .map { case (k, rows) => k -> rows.map(t => math.round(t._3 * 100)).sum }
+    val byPart = sp.groupBy(_._1._1)
+    val expect = sp.collect {
+      case ((pk, sk), qc)
+        if 2 * qc * byPart(pk).size > 3 * byPart(pk).values.sum => sk
+    }.groupBy(identity).map { case (sk, xs) => sk -> xs.size.toLong }
+    val got = graft.queries.RelationalQueries.q20DominantSuppliers(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expect)
+  }
+
+  test("Q22 shape: no kept customer has an urgent order; threshold is the positive-balance mean") {
+    val cust = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 100), r.getString(2)))
+    val urgent = graft.sources.Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val pos = cust.map(_._2).filter(_ > 0)
+    val kept = cust.filter(c => !urgent(c._1) && c._2 * pos.length > pos.sum)
+    val expect = kept.groupBy(_._3).map { case (seg, xs) => seg -> xs.length.toLong }
+    val got = graft.queries.RelationalQueries.q22IdleRichCustomers(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("doc chunking: tiling covers every char, stride/width hold, text reassembles") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = graft.queries.TextQueries.docChunking(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1)
+    docs.filter(_._2.nonEmpty).foreach { case (id, text) =>
+      val cs = chunks(id).sortBy(_._2)
+      assert(cs.head._3 == 0 && cs.forall(c => c._3 == c._2 * 48))
+      assert(cs.forall(c => c._4.length <= 64 && c._4.nonEmpty))
+      // every chunk is the exact substring at its offset
+      assert(cs.forall(c => text.slice(c._3, c._3 + 64) == c._4))
+      // tail coverage: the last chunk reaches the end of the doc
+      val last = cs.last
+      assert(last._3 + last._4.length == text.length ||
+        (text.length <= 64 && cs.length == 1))
+      // a doc within one window yields exactly one chunk
+      if (text.length <= 64) assert(cs.length == 1)
+    }
+    assert(chunks.keySet == docs.filter(_._2.nonEmpty).keySet)
+  }
 }
