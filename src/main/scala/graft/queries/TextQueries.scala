@@ -840,6 +840,18 @@ object TextQueries {
         col("w.end").as("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** D56: fastText-style curated-vs-crawl quality classifier — train
+    * the closed-form naive-Bayes log-odds model with source `src0` as
+    * the curated reference class, score every doc's margin. See
+    * [[graft.operators.QualityClassifier]] for the model and the
+    * zero-shuffle scoring shape.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityClassifier.scoreCorpus(
+      Tables.documents(spark, dir), "text", "doc_id",
+      col("source") === "src0")
+      .orderBy(col("doc_id"))
+
   /** D55: retrieval chunking — tile each document into fixed-width
     * 64-char windows with 16-char overlap (stride 48), the unit every
     * embedding/RAG pipeline feeds its encoder. The LangChain-style

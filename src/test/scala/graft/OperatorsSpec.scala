@@ -54,6 +54,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(degens == Set((1L, 0, 0.0), (2L, 0, 0.0)))
   }
 
+  test("quality classifier: log-odds model and margins match a driver reference") {
+    import spark.implicits._
+    import graft.operators.QualityClassifier
+    val docs = Seq(
+      (1L, "good clean prose text", true),
+      (2L, "good good prose", true),
+      (3L, "spam spam click here", false),
+      (4L, "click spam now", false),
+      (5L, "", false),                       // token-less → bare bias
+      (6L, "good spam mystery", false))      // mixed + OOV at topV=4
+      .toDF("doc_id", "text", "pos")
+    val topV = 4
+    // driver reference, same closed form
+    val toks = docs.collect().map(r =>
+      (r.getString(1).split("\\s+").filter(_.nonEmpty), r.getBoolean(2)))
+    val all = toks.flatMap { case (ws, p) => ws.map(_ -> p) }
+    val cnt = all.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.count(_._2).toLong)).toMap
+    val vocab = cnt.toSeq.sortBy { case (w, (c, _)) => (-c, w) }.take(topV)
+    val np = all.count(_._2).toLong; val nn = all.length - np
+    val denP = (np + vocab.length + 1).toDouble
+    val denN = (nn + vocab.length + 1).toDouble
+    val wts = vocab.map { case (w, (c, cp)) =>
+      w -> (math.log((cp + 1) / denP) - math.log((c - cp + 1) / denN)) }.toMap
+    val oov = math.log(1 / denP) - math.log(1 / denN)
+    val bias = math.log(2 + 1.0) - math.log(4 + 1.0)   // 2 pos, 4 neg docs
+    def ref(text: String): Double = {
+      val ts = text.split("\\s+").filter(_.nonEmpty)
+      BigDecimal(ts.foldLeft(bias)((a, w) => a + wts.getOrElse(w, oov)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val m = QualityClassifier.train(docs, "text", col("pos"), topV)
+    assert(m.weights == wts && m.oov == oov && m.bias == bias)
+    // curated-class words carry positive weight, spam words negative
+    assert(m.weights("good") > 0 && m.weights("spam") < 0)
+    val got = QualityClassifier.scoreCorpus(docs, "text", "doc_id",
+        col("pos"), topV)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val texts = Map(1L -> "good clean prose text", 2L -> "good good prose",
+      3L -> "spam spam click here", 4L -> "click spam now", 5L -> "",
+      6L -> "good spam mystery")
+    texts.foreach { case (id, t) =>
+      assert(got(id) == ((ref(t), ref(t) > 0)), s"doc $id") }
+    // the separation the classifier exists for
+    assert(got(2L)._1 > got(3L)._1)
+  }
+
   test("bigram LM: backoff fold matches a driver reference") {
     import spark.implicits._
     import graft.operators.LanguageModel
