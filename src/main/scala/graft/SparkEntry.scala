@@ -105,6 +105,7 @@ object SparkEntry {
     "token_budget_select" -> (TextQueries.tokenBudgetSelect _),
     "doc_chunking"       -> (TextQueries.docChunking _),
     "quality_classifier" -> (TextQueries.qualityClassifier _),
+    "dedup_containment"  -> (TextQueries.dedupContainment _),
     "train_split"        -> (TextQueries.trainSplit _),
     "corpus_pipeline"    -> (TextQueries.corpusPipeline _),
     "decontamination"    -> (TextQueries.decontaminate _),
@@ -2620,6 +2621,26 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, quality,
         |  cum <= (SELECT SUM(n_tokens) // 2 FROM s) AS kept
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // D57: containment = c / min(na, nb) — one divide of exact
+    // integers, bit-identical cross-engine; shingles are the D17
+    // trigram definition verbatim.
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM t),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(c AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE) AS containment
+        |FROM pairs
+        |WHERE CAST(c AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // D56: closed-form naive-Bayes log-odds classifier. Counts, the
     // top-128 vocab cut (ties by word), and class totals are exact

@@ -176,7 +176,18 @@ object Dedup {
   def similarityJoinEdges(df: DataFrame, textCol: String, idCol: String,
                           shingleSize: Int = 3,
                           threshold: Double = 0.5,
-                          maxPostingLen: Int = 1000): DataFrame = {
+                          maxPostingLen: Int = 1000): DataFrame =
+    pairIntersections(df, textCol, idCol, shingleSize, maxPostingLen)
+      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+
+  /** Shared inverted-index core: exact per-pair shared-shingle counts
+    * (id_a < id_b) with both set sizes — the frame Jaccard and
+    * containment both filter from.
+    */
+  private def pairIntersections(df: DataFrame, textCol: String,
+                                idCol: String, shingleSize: Int,
+                                maxPostingLen: Int): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(graft.functions.ShingleFunctions
         .word_shingles(col(textCol), shingleSize)).as("sh"))
@@ -193,9 +204,27 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("c"),
         first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
-      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= threshold)
-      .select(col("id_a"), col("id_b"))
   }
+
+  /** D57: asymmetric CONTAINMENT near-dup — C(A,B) = |S_A ∩ S_B| /
+    * min(|S_A|, |S_B|). Jaccard under-scores a short doc pasted
+    * inside a long one (the union term is dominated by the long
+    * side); containment fires at 1.0 there, which is exactly the
+    * partial-copy / quote-extraction case web corpora are full of.
+    * Same inverted-index candidate machinery as
+    * [[similarityJoinEdges]] (one posting-list shuffle, 8-byte keys,
+    * hot-shingle cap), different final ratio. The published ratio is
+    * ONE divide of two exact integers — bit-identical in any engine.
+    */
+  def containmentJoinEdges(df: DataFrame, textCol: String, idCol: String,
+                           shingleSize: Int = 3,
+                           threshold: Double = 0.8,
+                           maxPostingLen: Int = 1000): DataFrame =
+    pairIntersections(df, textCol, idCol, shingleSize, maxPostingLen)
+      .select(col("id_a"), col("id_b"),
+        (col("c").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
 
   /** Connected components over near-dup pairs — the resolution step
     * that turns pairwise edges into dedup clusters (canonical id =

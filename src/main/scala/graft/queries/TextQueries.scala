@@ -840,6 +840,14 @@ object TextQueries {
         col("w.end").as("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** D57: containment near-dup pairs — the asymmetric partial-copy
+    * detector (short doc pasted into a long one) Jaccard misses. See
+    * [[graft.operators.Dedup.containmentJoinEdges]].
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentJoinEdges(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy(col("id_a"), col("id_b"))
+
   /** D56: fastText-style curated-vs-crawl quality classifier — train
     * the closed-form naive-Bayes log-odds model with source `src0` as
     * the curated reference class, score every doc's margin. See

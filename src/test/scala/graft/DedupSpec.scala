@@ -406,6 +406,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got(4L) == (0L, 0L, 0.0), "short doc: 0 grams, 0 dup, frac 0")
   }
 
+  test("containment fires on a planted partial copy that jaccard misses") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")      // 38 trigrams
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")     // 8 trigrams, all shared
+    val other = (100 to 110).map(i => s"x$i").mkString(" ")  // disjoint
+    val docs = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentJoinEdges(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)),
+      s"exact subset must score containment 1.0, got ${got.toSeq}")
+    // the same pair is BELOW any useful jaccard threshold: 8/38
+    val jac = Dedup.similarityJoinEdges(docs, "text", "doc_id").count()
+    assert(jac == 0, "jaccard at 0.5 must miss the partial copy")
+    // symmetric near-dups still pass: two docs sharing all shingles
+    val twins = Seq((1L, short), (2L, short)).toDF("doc_id", "text")
+    val t = Dedup.containmentJoinEdges(twins, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(t.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("exact dedup: digests are unique per text and counts sum to corpus size") {
     val out = graft.queries.TextQueries.dedupExact(spark, sfDir).collect()
     assert(out.map(_.getLong(2)).sum == docs.count())
