@@ -52,6 +52,8 @@ object SparkEntry {
     "q22_idle_rich_customers" -> (RelationalQueries.q22IdleRichCustomers _),
     "q13_customer_distribution" -> (RelationalQueries.q13CustomerDistribution _),
     "embedding_audit"    -> (VectorQueries.embeddingAudit _),
+    "events_twap"        -> (WarehouseQueries.eventsTwap _),
+    "k_anonymity_audit"  -> (TextQueries.kAnonymityAudit _),
     "seed_distance"      -> (WarehouseQueries.seedDistance _),
     "window_running_sum" -> (RelationalQueries.windowRunningSum _),
     "semi_join_exists"   -> (RelationalQueries.semiJoinExists _),
@@ -2650,6 +2652,34 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, quality,
         |  cum <= (SELECT SUM(n_tokens) // 2 FROM s) AS kept
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // C43: weights are integer µs, weighted mass in DECIMAL (exact,
+    // associative), TWAP = one double divide of two exact aggregates.
+    "events_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts, value,
+        |    lead(ts) OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |                   ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, day, COUNT(*) AS n_gaps,
+        |    SUM(CAST(value AS DECIMAL(18,2))
+        |        * (epoch_us(nxt) - epoch_us(ts))) AS vw,
+        |    CAST(SUM(epoch_us(nxt) - epoch_us(ts)) AS BIGINT) AS tw
+        |  FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT user_id, day, n_gaps,
+        |  CAST(vw AS DOUBLE) / CAST(tw AS DOUBLE) AS twap
+        |FROM w ORDER BY user_id, day""".stripMargin,
+
+    // D59: all-integer class sizes; the broadcast join back is the
+    // window twin COUNT(*) OVER (PARTITION BY qid) — row-identical.
+    "k_anonymity_audit" ->
+      """SELECT doc_id, lang, source, n_chars // 100 AS len_bucket,
+        |  COUNT(*) OVER (PARTITION BY lang, source, n_chars // 100)
+        |    AS class_size,
+        |  COUNT(*) OVER (PARTITION BY lang, source, n_chars // 100) < 5
+        |    AS at_risk
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // D57: containment = c / min(na, nb) — one divide of exact
     // integers, bit-identical cross-engine; shingles are the D17

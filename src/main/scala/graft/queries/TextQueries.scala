@@ -840,6 +840,32 @@ object TextQueries {
         col("w.end").as("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** D59: k-anonymity release audit over quasi-identifiers — before a
+    * corpus ships, count each document's equivalence class under the
+    * attributes an adversary could link on (language, source, coarse
+    * length bucket) and flag classes smaller than k=5: those rows are
+    * re-identifiable by their metadata alone, independent of any
+    * in-text PII (which D15's redaction handles). Two-phase shape
+    * that matters at 100 TB: the class table is AGGREGATE-sized
+    * (≤ |langs|·|sources|·|buckets| rows), so phase 1 is a
+    * partial-combined count shuffle of that cardinality and phase 2
+    * broadcasts it back as a map-only join — the naive window
+    * formulation (COUNT(*) OVER (PARTITION BY qid)) would shuffle
+    * the whole corpus instead. All integers — exact in any engine.
+    */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars DIV 100").as("len_bucket"))
+    val classes = docs.groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+    docs.join(broadcast(classes), Seq("lang", "source", "len_bucket"))
+      .withColumn("at_risk", col("class_size") < 5)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("len_bucket"), col("class_size"), col("at_risk"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D57: containment near-dup pairs — the asymmetric partial-copy
     * detector (short doc pasted into a long one) Jaccard misses. See
     * [[graft.operators.Dedup.containmentJoinEdges]].

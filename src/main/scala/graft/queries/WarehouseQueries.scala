@@ -559,4 +559,36 @@ object WarehouseQueries {
       refRules = Seq(Expectations.refIntegrity("o_custkey",
         Tables.customer(spark, dir), "c_custkey")))
   }
+
+  /** C43: time-weighted average (TWAP) of the event value per
+    * user-day — the metric ops dashboards actually want when events
+    * arrive irregularly (an arithmetic mean over-weights bursts; the
+    * time-weighted mean holds each value for exactly the interval it
+    * was current). Each value is weighted by the gap to the NEXT
+    * event in the same user-day (`lead` over the bounded user-day
+    * window — per-task state is one user's day, never the corpus);
+    * single-event days carry no weighted interval and drop out, like
+    * any interval metric. EXACT cross-engine: weights are integer
+    * microseconds, the weighted mass accumulates in DECIMAL
+    * (value(2dp) × µs — associative, partitioning-independent), and
+    * the published TWAP is ONE double divide of two exact aggregates.
+    */
+  def eventsTwap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("value"), date_trunc("day", col("ts")).cast("date").as("day"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("nxt", lead(col("ts"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dt_us", unix_micros(col("nxt")) - unix_micros(col("ts")))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(graft.functions.Num.dec2(col("value")) * col("dt_us")).as("vw"),
+        sum(col("dt_us")).as("tw"))
+      .select(col("user_id"), col("day"), col("n_gaps"),
+        (col("vw").cast("double") / col("tw").cast("double")).as("twap"))
+      .orderBy(col("user_id"), col("day"))
+  }
 }

@@ -931,6 +931,50 @@ class WarehouseSpec extends AnyFunSuite {
     assert(re == got, "exact integer counts must be partition-invariant")
   }
 
+  test("TWAP: hand-computed weighted means, single-event days drop, day boundary splits") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1, one day: 10.0 held 10s, then 20.0 held 30s → (100+600)/40
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (2L, ts("2024-01-01 00:00:10"), 1L, 20.0),
+      (3L, ts("2024-01-01 00:00:40"), 1L, 99.0),   // last event: no gap
+      // user 1, next day: single event → no interval, day drops
+      (4L, ts("2024-01-02 12:00:00"), 1L, 7.0),
+      // user 2 same day as user 1: independent window
+      (5L, ts("2024-01-01 00:00:00"), 2L, 4.0),
+      (6L, ts("2024-01-01 00:01:00"), 2L, 8.0))
+      .toDF("event_id", "ts", "user_id", "value")
+      .withColumn("event_type", lit("x")).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_twap")
+      .toFile.getAbsolutePath
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.WarehouseQueries.eventsTwap(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01", 2L, (10.0 * 10 + 20.0 * 30) / 40.0),
+      (2L, "2024-01-01", 1L, 4.0)), s"got ${got.toSeq}")
+  }
+
+  test("k-anonymity: class sizes match a driver recompute and small classes flag") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val classes = docs.groupBy(d => (d._2, d._3, d._4 / 100))
+      .view.mapValues(_.length.toLong).toMap
+    val got = graft.queries.TextQueries.kAnonymityAudit(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getBoolean(5)))
+    assert(got.length == docs.length, "audit must cover every doc")
+    val byId = docs.map(d => d._1 -> (d._2, d._3, d._4 / 100)).toMap
+    got.foreach { case (id, sz, risk) =>
+      assert(sz == classes(byId(id)), s"doc $id class size")
+      assert(risk == (sz < 5), s"doc $id risk flag")
+    }
+    assert(got.exists(_._3), "sf0.001 fixture should contain small classes")
+  }
+
   test("Q20 shape: dominance decision matches a driver-side recompute") {
     val li = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
