@@ -51,6 +51,13 @@ object SparkEntry {
     "q20_dominant_suppliers" -> (RelationalQueries.q20DominantSuppliers _),
     "q22_idle_rich_customers" -> (RelationalQueries.q22IdleRichCustomers _),
     "q13_customer_distribution" -> (RelationalQueries.q13CustomerDistribution _),
+    "q7_nation_volume"   -> (RelationalQueries.q7NationVolume _),
+    "q8_market_share"    -> (RelationalQueries.q8MarketShare _),
+    "q9_product_profit"  -> (RelationalQueries.q9ProductProfit _),
+    "q14_promo_revenue"  -> (RelationalQueries.q14PromoRevenue _),
+    "q15_top_supplier"   -> (RelationalQueries.q15TopSupplier _),
+    "q19_disjunctive_predicates" -> (RelationalQueries.q19DisjunctivePredicates _),
+    "q11_important_stock" -> (RelationalQueries.q11ImportantStock _),
     "embedding_audit"    -> (VectorQueries.embeddingAudit _),
     "events_twap"        -> (WarehouseQueries.eventsTwap _),
     "k_anonymity_audit"  -> (TextQueries.kAnonymityAudit _),
@@ -117,6 +124,7 @@ object SparkEntry {
     "ngram_novelty"      -> (TextQueries.ngramNovelty _),
     "corpus_drift"       -> (TextQueries.corpusDrift _),
     "training_order"     -> ((s, d) => TextQueries.trainingOrder(s, d)),
+    "dense_ids"          -> ((s, d) => TextQueries.denseIds(s, d)),
     "mixture_resample"   -> (TextQueries.mixtureResample _),
     "dsir_resample"      -> (TextQueries.dsirResample _),
     "perplexity_filter"  -> (TextQueries.perplexityFilter _),
@@ -156,6 +164,7 @@ object SparkEntry {
     "community_labels"   -> (WarehouseQueries.communityLabels _),
     "bm25_search"        -> (WarehouseQueries.bm25Search _),
     "tfidf_search"       -> (WarehouseQueries.tfidfSearch _),
+    "hybrid_search_rrf"  -> (WarehouseQueries.hybridSearchRrf _),
     "fuzzy_name_match"   -> (WarehouseQueries.fuzzyNameMatch _),
     "events_sliding_agg" -> (WarehouseQueries.eventsSlidingAgg _),
     "events_gap_fill"    -> (WarehouseQueries.eventsGapFill _),
@@ -799,6 +808,40 @@ object SparkEntry {
        |ORDER BY score DESC, doc_id
        |LIMIT $k""".stripMargin
   }
+
+  // Hoisted so hybrid_search_rrf (and dynamicOracleSql's recall
+  // report) can compose it as a subquery. Bit-exact across engines:
+  // the kernel (GraftKernels.cosine) is a left-to-right double fold
+  // over float inputs — float→double widening is exact and IEEE
+  // +,*,/,sqrt are correctly rounded, so mirroring the fold order in
+  // list_reduce reproduces the same 64 bits, and the rank tiebreak
+  // (cos DESC, id) cannot diverge.
+  private val bruteForceOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |s AS (
+      |  SELECT qid, e.vec_id AS id,
+      |    list_reduce(list_transform(range(1, len(qv) + 1),
+      |      i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+      |      (a, b) -> a + b) AS dot,
+      |    list_reduce(list_transform(range(1, len(qv) + 1),
+      |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+      |      (a, b) -> a + b) AS na,
+      |    list_reduce(list_transform(range(1, len(qv) + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+      |      (a, b) -> a + b) AS nb
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      |c AS (
+      |  SELECT qid, id,
+      |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+      |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+      |  FROM s),
+      |r AS (
+      |  SELECT qid, id, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+      |  FROM c)
+      |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
+      |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "pagerank_centrality" -> pageRankOracle(10),
@@ -1470,6 +1513,109 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  $revenueSum AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      s"""WITH ac AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA')
+        |SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  round(
+        |    CAST(SUM(CASE WHEN n_name = 'NATION_5'
+        |      THEN ${DP.format("l_extendedprice")} *
+        |        ($ONE - ${DR.format("l_discount")})
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    / CAST(SUM(${DP.format("l_extendedprice")} *
+        |        ($ONE - ${DR.format("l_discount")})) AS DOUBLE), 6)
+        |    AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_custkey IN (SELECT c_custkey FROM ac)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(${DP.format("l_extendedprice")} *
+        |      ($ONE - ${DR.format("l_discount")})
+        |    - ${DP.format("l_quantity")} * ${DP.format("p_retailprice")} *
+        |      CAST(0.5 AS DECIMAL(3,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+
+    "q14_promo_revenue" ->
+      s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  round(100.0 *
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN ${DP.format("l_extendedprice")} *
+        |        ($ONE - ${DR.format("l_discount")})
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    / CAST(SUM(${DP.format("l_extendedprice")} *
+        |        ($ONE - ${DR.format("l_discount")})) AS DOUBLE), 6)
+        |    AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(${DP.format("l_extendedprice")} *
+        |      ($ONE - ${DR.format("l_discount")})) AS total
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  CAST(total AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total = (SELECT MAX(total) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q19_disjunctive_predicates" ->
+      s"""SELECT $revenueSum AS revenue, COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+
+    // the 1.5×-mean threshold cross-multiplies DECIMALs and integers
+    // (2·val·n > 3·tot) — exact in both engines, so the boundary part
+    // set cannot diverge
+    "q11_important_stock" ->
+      s"""WITH pp AS (
+        |  SELECT l_partkey,
+        |    SUM(${DP.format("l_extendedprice")} *
+        |      ($ONE - ${DR.format("l_discount")})) AS val
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS stock_value
+        |FROM pp
+        |WHERE val * (SELECT COUNT(*) FROM pp) * 2
+        |    > (SELECT SUM(val) FROM pp) * 3
+        |ORDER BY stock_value DESC, p_partkey""".stripMargin,
 
     "window_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
@@ -2223,37 +2369,35 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn <= 12 ORDER BY source, doc_id""".stripMargin,
 
-    // Bit-exact across engines: the kernel (GraftKernels.cosine) is a
-    // left-to-right double fold over float inputs — float→double
-    // widening is exact and IEEE +,*,/,sqrt are correctly rounded, so
-    // mirroring the fold order in list_reduce reproduces the same 64
-    // bits, and the rank tiebreak (cos DESC, id) cannot diverge.
-    "ann_bruteforce_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |s AS (
-        |  SELECT qid, e.vec_id AS id,
-        |    list_reduce(list_transform(range(1, len(qv) + 1),
-        |      i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
-        |      (a, b) -> a + b) AS dot,
-        |    list_reduce(list_transform(range(1, len(qv) + 1),
-        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
-        |      (a, b) -> a + b) AS na,
-        |    list_reduce(list_transform(range(1, len(qv) + 1),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
-        |      (a, b) -> a + b) AS nb
-        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
-        |c AS (
-        |  SELECT qid, id,
-        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
-        |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
-        |  FROM s),
-        |r AS (
-        |  SELECT qid, id, cos,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
-        |  FROM c)
-        |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
-        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "ann_bruteforce_topk" -> bruteForceOracle,
+
+    // RRF fusion of the two already-oracled legs: BM25 rank list ×
+    // dense-cosine rank list (query vector 0), fused as
+    // Σ 1/(60+rank) with absent legs contributing 0. Ranks are exact
+    // integers, the sum is a fixed two-term double fold, and the
+    // 9-dp round runs before ORDER BY on both sides — the cut cannot
+    // diverge.
+    "hybrid_search_rrf" ->
+      s"""WITH bm AS (${bm25Oracle(
+             graft.queries.WarehouseQueries.Bm25Terms, 50, 1.2, 0.75)}),
+        |bmr AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+        |      AS bm25_rank
+        |  FROM bm),
+        |bf AS ($bruteForceOracle),
+        |dr AS (SELECT id AS doc_id, rk AS dense_rank FROM bf WHERE qid = 0),
+        |f AS (
+        |  SELECT COALESCE(bmr.doc_id, dr.doc_id) AS doc_id,
+        |    bm25_rank, dense_rank
+        |  FROM bmr FULL OUTER JOIN dr ON bmr.doc_id = dr.doc_id)
+        |SELECT doc_id, bm25_rank, dense_rank,
+        |  round((CASE WHEN bm25_rank IS NULL THEN 0.0
+        |              ELSE 1.0 / (60.0 + CAST(bm25_rank AS DOUBLE)) END)
+        |      + (CASE WHEN dense_rank IS NULL THEN 0.0
+        |              ELSE 1.0 / (60.0 + CAST(dense_rank AS DOUBLE)) END), 9)
+        |    AS rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     // The capstone composition, end to end in SQL: quality formula,
     // exact dedup (min-id per text), near-dup transitive closure (the
@@ -2341,6 +2485,18 @@ object SparkEntry {
       s"""SELECT doc_id, $xxhSigned AS sort_key
         |FROM (${xxh64Nested("SELECT doc_id FROM documents", "doc_id")})
         |ORDER BY sort_key, doc_id""".stripMargin,
+
+    // the bucket-offset id scheme is bit-identical to a global
+    // row_number over (sort_key, doc_id) — the oracle states the
+    // specification the operator avoids paying for
+    "dense_ids" ->
+      s"""WITH h AS (
+        |  SELECT doc_id, $xxhSigned AS sort_key
+        |  FROM (${xxh64Nested("SELECT doc_id FROM documents", "doc_id")}))
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY sort_key, doc_id) - 1 AS BIGINT)
+        |    AS gid
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "train_split" ->
       s"""WITH h AS (

@@ -410,4 +410,203 @@ object RelationalQueries {
         sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** C43: disjunctive nation-pair join predicate (TPC-H Q7 shape —
+    * bilateral trade volume between two nations per year). The
+    * nation dims broadcast TWICE (supplier side, customer side); the
+    * pair disjunction evaluates on broadcast-joined name columns, so
+    * the only big exchanges are lineitem⋈orders (orderkey) and the
+    * already-small filtered result's final aggregation. Filtering to
+    * the two nations happens right after each broadcast join —
+    * before the orderkey shuffle — so non-qualifying rows never
+    * shuffle.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+      .filter(col("supp_nation").isin("NATION_18", "NATION_19"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .select(col("c_custkey"), col("cust_nation"))
+      .filter(col("cust_nation").isin("NATION_18", "NATION_19"))
+    val one = lit(1).cast("decimal(18,2)")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      // customer side shuffles on custkey — at 100 TB the filtered
+      // customer dim is ~8% of 1e8+ rows, past broadcast range; AQE
+      // may still demote this to broadcast at small SF
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** C44: conditional-sum market share (TPC-H Q8 shape — one supplier
+    * nation's share of a customer region's market per year). The
+    * share is a CASE-sum ratio over ONE aggregation — numerator and
+    * denominator are decimal-exact sums in the same agg, divided once
+    * in double and rounded; no second pass, no join of two aggs.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nk = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nk), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val one = lit(1).cast("decimal(18,2)")
+    val vol = dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      // semi join ships only custkeys; still a shuffle at 100 TB (a
+      // region's customers outgrow broadcast range)
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_5", vol)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(vol).cast("double"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** C45: multi-dim profit rollup with a LIKE filter (TPC-H Q9 shape
+    * — profit per supplier nation per year for one part family;
+    * profit = revenue − cost, with quantity×retail standing in for
+    * partsupp's supplycost on this schema). The LIKE prunes parts
+    * BEFORE broadcasting, so the fact join is against the small
+    * filtered dim; all money math stays decimal until output.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_name").like("%gear%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("nation"))
+    val one = lit(1).cast("decimal(18,2)")
+    val half = lit(0.5).cast("decimal(3,2)")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("l_shipdate")).as("o_year"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+          - dec2(col("l_quantity")) * dec2(col("p_retailprice")) * half)
+        .cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** C46: promo-share ratio (TPC-H Q14 shape — CASE-numerator over
+    * total revenue per year). Same single-agg ratio discipline as
+    * C44; the part type rides a broadcast dim join.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val one = lit(1).cast("decimal(18,2)")
+    val vol = dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("l_year"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+        sum(vol).cast("double"), 6).as("promo_revenue"))
+      .orderBy(col("l_year"))
+  }
+
+  /** C47: max-of-aggregate decorrelation (TPC-H Q15 shape — the
+    * top-revenue supplier(s) of one quarter; the view + `WHERE total
+    * = (SELECT MAX(...))` pattern). Same two-level scheme as C35: the
+    * per-supplier agg computes once, its single-row MAX broadcasts
+    * back, and the equality keeps ties exactly because both sides are
+    * the same DECIMAL — never a double compare.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+        .as("__rev"))
+    val mx = rev.agg(max(col("__rev")).as("__mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("__rev") === col("__mx"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("__rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** C48: disjunction of multi-column conjunctions (TPC-H Q19 shape —
+    * three (brand × size-band × quantity-band) clauses OR'd into one
+    * scan predicate). The whole disjunction is a single codegen'd
+    * filter over the broadcast part join — one fact scan, no union of
+    * three subqueries; Parquet still gets the common l_quantity
+    * range pushed down as `quantity BETWEEN min(lo) AND max(hi)`.
+    */
+  def q19DisjunctivePredicates(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val one = lit(1).cast("decimal(18,2)")
+    val q = col("l_quantity")
+    val clause =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        q.between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(16, 30) &&
+        q.between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(31, 50) &&
+        q.between(20, 50))
+    Tables.lineitem(spark, dir)
+      // the disjunction's quantity envelope — pushable to the scan
+      .filter(q.between(1, 50))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(clause)
+      .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** C49: global-fraction HAVING (TPC-H Q11 shape — parts whose stock
+    * value exceeds 1.5× the mean per-part value; lineitem value
+    * standing in for partsupp; the mean-relative bar keeps the query
+    * meaningful at every SF where a fixed fraction degenerates). The
+    * grand total/count is the per-part agg re-aggregated (never a
+    * second fact scan) and broadcasts as one row; the threshold
+    * cross-multiplies DECIMALs and integers (2·val·n > 3·tot) —
+    * exact, so the boundary part set is engine-independent.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+        .as("__val"))
+    val total = perPart.agg(sum(col("__val")).as("__tot"),
+      count(lit(1)).as("__n"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("__val") * col("__n") * 2 > col("__tot") * 3)
+      .select(col("l_partkey").as("p_partkey"),
+        col("__val").cast("double").as("stock_value"))
+      .orderBy(col("stock_value").desc, col("p_partkey"))
+  }
 }

@@ -651,6 +651,22 @@ object TextQueries {
       .select(col("doc_id"), xxhash64(lit(seed), col("doc_id")).as("sort_key"))
       .orderBy(col("sort_key"), col("doc_id"))
 
+  /** D60: dense contiguous example ids in training order —
+    * D20's seeded-hash shuffle order, with ids 0..n-1 assigned by the
+    * bucket-offset scheme instead of a global sort or an unpartitioned
+    * `row_number` (see [[graft.operators.GlobalIds]] — the shard/
+    * example-index assignment a 100 TB training run needs).
+    */
+  def denseIds(spark: SparkSession, dir: String, seed: Long = 42L): DataFrame =
+    graft.operators.GlobalIds.assign(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            xxhash64(lit(seed), col("doc_id")).as("sort_key")),
+        orderCol = col("sort_key"), tieCol = col("doc_id"),
+        bucketBits = 6)
+      .select(col("doc_id"), col("gid"))
+      .orderBy(col("doc_id"))
+
   /** D22: count-min-sketch heavy hitters — the scale path for "most
     * frequent tokens" (vocab_top_words' exact twin shuffles the whole
     * token domain; this never does). The sketch nominates a top-20

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Num._
-import graft.operators.{AsOfJoin, Ewma, Funnel, FuzzyJoin, Outliers, Profile, Scd2, TextRank}
+import graft.operators.{AsOfJoin, Ewma, Funnel, FuzzyJoin, HybridRetrieval, Outliers, Profile, Scd2, Similarity, TextRank}
 import graft.sources.{BucketedLake, Tables}
 
 /** Round-5 warehouse + retrieval surface (SURVEY §2: C20-C22, A11, D31).
@@ -93,6 +93,35 @@ object WarehouseQueries {
       terms = Bm25Terms, k = 50)
 
   val Bm25Terms: Seq[String] = Seq("hash", "join", "vector", "stream")
+
+  /** D55: hybrid retrieval — RRF fusion of the BM25 lexical leg
+    * (D31's terms, top-50) and the dense cosine leg (query vector 0,
+    * exact top-10). Both legs are bounded top-N lists, so fusion is
+    * driver-scale by construction; at 100 TB the cost is the legs'
+    * own scale stories (see [[graft.operators.HybridRetrieval]]).
+    */
+  def hybridSearchRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // explicit 1-based rank over the ≤50-row BM25 leg — the
+    // unpartitioned window is bounded by bm25TopK's LIMIT
+    val bm = TextRank.bm25TopK(Tables.documents(spark, dir),
+        idCol = "doc_id", textCol = "text", terms = Bm25Terms, k = 50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val emb = Tables.embeddings(spark, dir)
+    // query 0 only — per-qid ranks make the slice identical whether
+    // the other oracle queries run or not, so the leg skips them
+    val dense = Similarity.bruteForceKnn(
+        emb.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 10)
+      .select(col("id").as("doc_id"), col("rk").as("rank"))
+    HybridRetrieval.rrf(Seq("bm25" -> bm, "dense" -> dense),
+        idCol = "doc_id", rankCol = "rank", kConst = 60, topK = 20)
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
 
   /** D32: fuzzy entity matching — all customer-name pairs within edit
     * distance 1, via deletion-neighborhood blocking + exact verify

@@ -799,4 +799,57 @@ class OperatorsSpec extends AnyFunSuite {
       .agg(sum(col("m"))).head().getLong(0)
     assert(keptMass <= budget, s"$keptMass > $budget")
   }
+
+  test("GlobalIds: contiguous 0..n-1, equals the global row_number twin, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.GlobalIds
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 997L).map(i => (i, i * 7919L)).toDF("id", "salt")
+      .withColumn("k", xxhash64(col("salt")))
+    val assigned = GlobalIds.assign(df, col("k"), col("id"), bucketBits = 5)
+    val got = assigned.select(col("id"), col("gid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the specification: gid == global row_number over (k, id) - 1
+    val twin = df.withColumn("gid",
+        row_number().over(Window.orderBy(col("k"), col("id"))).cast("long") - 1L)
+      .select(col("id"), col("gid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == twin)
+    assert(got.values.toSeq.sorted == (0L until 997L))
+    // the buckets really fan out (the scheme isn't degenerate-single-bucket)
+    val nBkt = df.select(shiftright(col("k"), 59)).distinct().count()
+    assert(nBkt > 10, s"only $nBkt buckets populated")
+    // partitioning cannot change ids
+    val re = GlobalIds.assign(df.repartition(13), col("k"), col("id"),
+        bucketBits = 5)
+      .select(col("id"), col("gid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == twin)
+  }
+
+  test("HybridRetrieval.rrf: hand-computed fusion, absent legs contribute zero, id tiebreak") {
+    import spark.implicits._
+    import graft.operators.HybridRetrieval
+    // leg A ranks docs 1,2,3; leg B ranks 2,3,4
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2), (4L, 3)).toDF("doc_id", "rank")
+    val out = HybridRetrieval.rrf(Seq("a" -> a, "b" -> b),
+      idCol = "doc_id", rankCol = "rank", kConst = 60, topK = 10)
+    val rows = out.collect().map(r => (r.getLong(0),
+      Option(r.get(1)), Option(r.get(2)), r.getDouble(3)))
+    def rr(r: Int) = 1.0 / (60.0 + r)
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = Map(
+      1L -> rnd(rr(1)),          // only leg A
+      2L -> rnd(rr(2) + rr(1)),  // both
+      3L -> rnd(rr(3) + rr(2)),
+      4L -> rnd(rr(3)))          // only leg B
+    assert(rows.map(r => r._1 -> r._4).toMap == expect)
+    // doc 2 wins (both legs, best ranks); doc in one leg has a null
+    // rank on the other side
+    assert(rows.head._1 == 2L)
+    val d1 = rows.find(_._1 == 1L).get
+    assert(d1._2.contains(1) && d1._3.isEmpty)
+  }
 }

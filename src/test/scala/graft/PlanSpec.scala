@@ -490,6 +490,33 @@ class PlanSpec extends AnyFunSuite {
     assert(okGrouped.limit(1).count() == 1)
   }
 
+  /** GlobalIds' de-sort contract (D60): the per-row rank window must
+    * PARTITION (by bucket); any unpartitioned window in the plan must
+    * run over an aggregate (the ≤2^bits offsets frame). A global
+    * unpartitioned row_number is the single-task sort the operator
+    * exists to avoid.
+    */
+  test("dense_ids: no unpartitioned window over raw rows") {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.queries.TextQueries.denseIds(spark, sfDir)
+    df.collect()
+    val windows = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the bucket-rank + offsets windows")
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "expected the bucket-partitioned rank window")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val overAggregate = flattenPlan(w.child).exists {
+        case _: HashAggregateExec | _: ObjectHashAggregateExec |
+             _: SortAggregateExec => true
+        case _ => false
+      }
+      assert(overAggregate,
+        s"unpartitioned window over raw rows:\n$w")
+    }
+  }
+
   private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
