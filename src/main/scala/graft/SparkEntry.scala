@@ -58,7 +58,12 @@ object SparkEntry {
     "q15_top_supplier"   -> (RelationalQueries.q15TopSupplier _),
     "q19_disjunctive_predicates" -> (RelationalQueries.q19DisjunctivePredicates _),
     "q11_important_stock" -> (RelationalQueries.q11ImportantStock _),
+    "q4_order_priority"  -> (RelationalQueries.q4OrderPriority _),
+    "q6_forecast_revenue" -> (RelationalQueries.q6ForecastRevenue _),
+    "q10_returned_items" -> (RelationalQueries.q10ReturnedItems _),
+    "q12_late_priority"  -> (RelationalQueries.q12LatePriority _),
     "embedding_audit"    -> (VectorQueries.embeddingAudit _),
+    "mmr_diversified_topk" -> (VectorQueries.mmrDiversified _),
     "events_twap"        -> (WarehouseQueries.eventsTwap _),
     "k_anonymity_audit"  -> (TextQueries.kAnonymityAudit _),
     "seed_distance"      -> (WarehouseQueries.seedDistance _),
@@ -170,6 +175,7 @@ object SparkEntry {
     "events_gap_fill"    -> (WarehouseQueries.eventsGapFill _),
     "events_outliers"    -> (WarehouseQueries.eventsOutliers _),
     "events_winsorize"   -> (WarehouseQueries.eventsWinsorize _),
+    "mad_outliers"       -> (WarehouseQueries.eventsMadOutliers _),
     "peak_concurrency"   -> (WarehouseQueries.peakConcurrency _),
     "ewma_user_value"    -> (WarehouseQueries.ewmaUserValue _),
     "quality_filter"     -> (TextQueries.qualityFilter _),
@@ -842,6 +848,69 @@ object SparkEntry {
       |  FROM c)
       |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
       |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  /** Unrolled-CTE replay of the MMR greedy loop (query vector 0,
+    * pool = exact-cosine top-`c`, λ = 0.5). Every cosine is the same
+    * index-order IEEE double fold as the kernel (see
+    * [[bruteForceOracle]]'s bit-exactness argument), the λ-arithmetic
+    * `0.5·rel − 0.5·ms` is a fixed two-op double chain, and each
+    * step's argmax breaks ties on the lower id — so the k-step chain
+    * reproduces [[graft.operators.MmrRetrieval]] decision for
+    * decision.
+    */
+  private def mmrOracle(k: Int, c: Int): String = {
+    def fold(u: String, v: String): String =
+      s"""list_reduce(list_transform(range(1, len($u) + 1),
+         |      i -> CAST($u[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)),
+         |      (a, b) -> a + b)""".stripMargin
+    // each selN references selN-1 three times — MATERIALIZED stops
+    // DuckDB's CTE inlining from exponentiating the chain (3^k scans)
+    val steps = (2 to k).map { i =>
+      s"""sel$i AS MATERIALIZED (
+         |  SELECT * FROM sel${i - 1}
+         |  UNION ALL
+         |  (SELECT id, rel, 0.5 * rel - 0.5 * ms AS mmr,
+         |     CAST($i AS INTEGER) AS rk
+         |   FROM (
+         |     SELECT cd.id, cd.rel, MAX(p.cs) AS ms
+         |     FROM cand cd
+         |     JOIN pair p ON p.ai = cd.id
+         |     JOIN sel${i - 1} s ON p.bi = s.id
+         |     WHERE cd.id NOT IN (SELECT id FROM sel${i - 1})
+         |     GROUP BY cd.id, cd.rel)
+         |   ORDER BY mmr DESC, id LIMIT 1))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |r0 AS (
+       |  SELECT e.vec_id AS id, e.embedding AS v,
+       |    ${fold("qv", "e.embedding")} AS dot,
+       |    ${fold("qv", "qv")} AS na,
+       |    ${fold("e.embedding", "e.embedding")} AS nb
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+       |cand AS MATERIALIZED (
+       |  SELECT id, CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |    ELSE dot / (sqrt(na) * sqrt(nb)) END AS rel, v
+       |  FROM r0
+       |  ORDER BY rel DESC, id LIMIT $c),
+       |p0 AS (
+       |  SELECT a.id AS ai, b.id AS bi,
+       |    ${fold("a.v", "b.v")} AS dot,
+       |    ${fold("a.v", "a.v")} AS na,
+       |    ${fold("b.v", "b.v")} AS nb
+       |  FROM cand a JOIN cand b ON a.id <> b.id),
+       |pair AS MATERIALIZED (
+       |  SELECT ai, bi, CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |    ELSE dot / (sqrt(na) * sqrt(nb)) END AS cs
+       |  FROM p0),
+       |sel1 AS MATERIALIZED (
+       |  SELECT id, rel, 0.5 * rel - 0.5 * 0.0 AS mmr,
+       |    CAST(1 AS INTEGER) AS rk
+       |  FROM cand ORDER BY mmr DESC, id LIMIT 1),
+       |$steps
+       |SELECT CAST(0 AS BIGINT) AS qid, id, rel, mmr, rk
+       |FROM sel$k ORDER BY rk""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "pagerank_centrality" -> pageRankOracle(10),
@@ -1617,6 +1686,57 @@ object SparkEntry {
         |    > (SELECT SUM(val) FROM pp) * 3
         |ORDER BY stock_value DESC, p_partkey""".stripMargin,
 
+    // Q4 shape: correlated EXISTS as a semi join with the late-ship
+    // predicate in the join condition
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // Q12 shape: CASE-sums fold into one aggregate pass; BIGINT casts
+    // keep DuckDB's HUGEINT sums off the wire
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "window_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
@@ -2371,6 +2491,8 @@ object SparkEntry {
 
     "ann_bruteforce_topk" -> bruteForceOracle,
 
+    "mmr_diversified_topk" -> mmrOracle(10, 50),
+
     // RRF fusion of the two already-oracled legs: BM25 rank list ×
     // dense-cosine rank list (query vector 0), fused as
     // Σ 1/(60+rank) with absent legs contributing 0. Ranks are exact
@@ -2990,6 +3112,37 @@ object SparkEntry {
         |SELECT event_id, b.event_type, value,
         |  least(greatest(value, lo / 100.0), hi / 100.0) AS clipped
         |FROM b JOIN thr USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    // median + MAD off the same cent-bucket histograms; the flag is an
+    // all-integer compare (dev > 3·mad in buckets) so no double
+    // boundary can diverge; MAD-0 groups flag nothing (mirrored guard)
+    "mad_outliers" ->
+      """WITH b AS (SELECT event_id, event_type, value,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS bk FROM events),
+        |h AS (SELECT event_type, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |cumt AS (SELECT event_type, bk,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY bk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS total
+        |  FROM h),
+        |med AS (SELECT event_type,
+        |    MIN(CASE WHEN cum >= 0.5 * total THEN bk END) AS med_bk
+        |  FROM cumt GROUP BY 1),
+        |dh AS (SELECT h.event_type, abs(bk - med_bk) AS dev, SUM(c) AS c
+        |  FROM h JOIN med USING (event_type) GROUP BY 1, 2),
+        |dcum AS (SELECT event_type, dev,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS total
+        |  FROM dh),
+        |mad AS (SELECT event_type,
+        |    MIN(CASE WHEN cum >= 0.5 * total THEN dev END) AS mad_bk
+        |  FROM dcum GROUP BY 1)
+        |SELECT event_id, b.event_type, value,
+        |  med_bk / 100.0 AS median, mad_bk / 100.0 AS mad,
+        |  (mad_bk > 0 AND abs(bk - med_bk) > 3 * mad_bk) AS is_outlier
+        |FROM b JOIN med USING (event_type) JOIN mad USING (event_type)
         |ORDER BY event_id""".stripMargin,
 
     // A14: both engines derive the two snapshots the same way; the

@@ -609,4 +609,106 @@ object RelationalQueries {
         col("__val").cast("double").as("stock_value"))
       .orderBy(col("stock_value").desc, col("p_partkey"))
   }
+
+  /** C50: EXISTS-probe priority count (TPC-H Q4 shape — "how many
+    * orders per priority had at least one late line"; late = shipped
+    * >60 days after the order date, standing in for the
+    * commit/receipt columns this dataset doesn't carry). The
+    * correlated EXISTS decorrelates into a LEFT SEMI join carrying
+    * the date predicate in the join condition — the probe side never
+    * duplicates order rows (no DISTINCT repair), and both sides key
+    * on the order key, one shuffle end to end; at 100 TB the
+    * quarter's date filter prunes the orders scan before the
+    * exchange.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val late = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** C51: single-scan filtered aggregate (TPC-H Q6 shape — revenue
+    * delta from discount changes). The canonical scan-bound query:
+    * every predicate (date range, discount band, quantity cap) pushes
+    * to the parquet scan, projection prunes to 4 columns, the
+    * aggregate partial-combines to ONE row per map task — zero
+    * shuffle volume beyond 32 rows. Revenue = Σ price·discount in
+    * exact DECIMAL, single-rounded to double at the edge.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** C52: returned-item reporting (TPC-H Q10 shape — top 20 customers
+    * by revenue lost to returns in a quarter, with nation detail).
+    * Orders prune on the quarter BEFORE the fact join (at 100 TB this
+    * is the difference between shuffling a quarter and shuffling six
+    * years); lineitem filters on the return flag at the scan; the two
+    * facts shuffle once on the order key; customer and nation
+    * broadcast. Revenue is decimal-exact; (revenue desc, custkey)
+    * makes the LIMIT deterministic.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** C53: conditional two-way priority split per category (TPC-H Q12
+    * shape — for each line category, how many LATE lines came from
+    * high- vs low-priority orders; l_returnflag stands in for
+    * l_shipmode, late = shipped >30 days after the order date). The
+    * CASE-sums fold into ONE aggregate pass (no pivot, no second
+    * scan); the year filter pushes to the lineitem scan; the single
+    * fact-fact shuffle keys on the order key.
+    */
+  def q12LatePriority(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -187,6 +187,22 @@ object VectorQueries {
     * index-ordered IEEE fold for the norm, and exact float min/max
     * selection — no rounding needed.
     */
+  /** D61: MMR diversified retrieval — the redundancy-aware re-rank
+    * after a relevance leg (see [[graft.operators.MmrRetrieval]]).
+    * Query vector 0, pool = exact-cosine top-50, k = 10, λ = 0.5; at
+    * corpus scale the pool leg swaps for IVF/PQ unchanged. The
+    * unrolled-CTE oracle replays the greedy argmax chain step for
+    * step on the same IEEE folds.
+    */
+  def mmrDiversified(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.operators.MmrRetrieval
+      .diversifyBruteForce(spark, q, corpus(spark, dir), k = 10,
+        lambda = 0.5, poolSize = 50)
+      .orderBy(col("rk"))
+  }
+
   def embeddingAudit(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"),
         size(col("embedding")).as("dim"),

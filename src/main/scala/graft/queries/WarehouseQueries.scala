@@ -248,6 +248,50 @@ object WarehouseQueries {
       .orderBy(col("event_id"))
   }
 
+  /** C54: median/MAD robust outliers per event type — the
+    * heavy-tail-safe companion to C23's z-score (one wild day shifts
+    * a mean and inflates σ enough to hide real outliers; the median
+    * and the median absolute deviation move only when HALF the data
+    * moves). Both medians come off the same grouped 2-dp-bucket
+    * cumulative histogram as [[eventsWinsorize]] — two aggregate-sized
+    * windows, thresholds broadcast back, the flag itself a codegen
+    * integer compare (`dev > 3·mad` in cent buckets — exact in any
+    * engine, no double boundary). Degenerate guard: a type whose MAD
+    * is 0 (over half its values in one cent bucket) flags nothing —
+    * the modified-z statistic is undefined there, and "everything
+    * unusual" is noise, not detection.
+    */
+  def eventsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("__bk", floor(col("value") * lit(100.0)).cast("long"))
+    val counts = ev.groupBy(col("event_type"), col("__bk"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = graft.operators.CumHistogram.cumulativeByGroup(
+        counts, "event_type", "__bk", "cnt")
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") >= lit(0.5) * col("total"), col("__bk")))
+        .as("__med_bk"))
+    val devCounts = counts.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"),
+        abs(col("__bk") - col("__med_bk")).as("__dev"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = graft.operators.CumHistogram.cumulativeByGroup(
+        devCounts, "event_type", "__dev", "cnt")
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") >= lit(0.5) * col("total"), col("__dev")))
+        .as("__mad_bk"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        (col("__med_bk") / lit(100.0)).as("median"),
+        (col("__mad_bk") / lit(100.0)).as("mad"),
+        (col("__mad_bk") > 0 &&
+          abs(col("__bk") - col("__med_bk")) > lit(3) * col("__mad_bk"))
+          .as("is_outlier"))
+      .orderBy(col("event_id"))
+  }
+
   /** C23: z-score outliers per event type (3σ) — see
     * [[graft.operators.Outliers]] for the exact-moment/bit-exact and
     * degenerate-group-guard story (the guard is mirrored in the

@@ -430,4 +430,48 @@ class SimilaritySpec extends AnyFunSuite {
       back.eigenvalues.toSeq == m.eigenvalues.toSeq &&
       back.basis.map(_.toSeq).toSeq == m.basis.map(_.toSeq).toSeq)
   }
+
+  test("MMR: demotes the near-duplicate out of the top-k") {
+    import spark.implicits._
+    val q = Seq((0L, Array(1f, 0f, 0f))).toDF("qid", "qvec")
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.141f, 0f)),  // rel ≈ 0.990 — picked first
+      (2L, Array(0.99f, 0.145f, 0f)),  // rel ≈ 0.989, near-dup of 1
+      (3L, Array(0.7f, -0.714f, 0f)),  // rel ≈ 0.700, diverse
+      (4L, Array(0f, 0f, 1f))          // rel = 0, orthogonal
+    ).toDF("id", "vec")
+    val got = graft.operators.MmrRetrieval
+      .diversifyBruteForce(spark, q, corpus, k = 3, lambda = 0.5, poolSize = 10)
+      .orderBy(col("rk"))
+      .collect().map(r => (r.getLong(1), r.getInt(4)))
+    // plain top-3 by relevance would be (1, 2, 3); under MMR the
+    // near-duplicate's sim≈1 penalty pushes it below BOTH diverse docs
+    assert(got.map(_._1).toList == List(1L, 3L, 4L), got.mkString(","))
+  }
+
+  test("MMR: executor greedy matches a driver-side replay on the sf corpus") {
+    val all = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val qv = all(0L)
+    val pool = all.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosineRef(qv, v), v) }
+      .sortBy { case (id, c, _) => (-c, id) }.take(50)
+    // greedy replay
+    var sel = List.empty[(Long, Double, Double, Int)]
+    var remaining = pool
+    for (rk <- 1 to 10) {
+      val scored = remaining.map { case (id, rel, v) =>
+        val ms = if (sel.isEmpty) 0.0
+          else sel.map(s => cosineRef(v, all(s._1))).max
+        (id, rel, 0.5 * rel - 0.5 * ms)
+      }
+      val best = scored.minBy { case (id, _, s) => (-s, id) }
+      sel = sel :+ ((best._1, best._2, best._3, rk))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    val got = graft.queries.VectorQueries.mmrDiversified(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    assert(got.toList == sel, s"got=${got.toList}\nwant=$sel")
+  }
 }

@@ -1029,4 +1029,85 @@ class WarehouseSpec extends AnyFunSuite {
     }
     assert(chunks.keySet == docs.filter(_._2.nonEmpty).keySet)
   }
+
+  test("Q4 shape: counts match a driver recompute; no order double-counted") {
+    import java.time.LocalDateTime
+    val lo = LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hi = LocalDateTime.of(1996, 4, 1, 0, 0)
+    val ord = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getAs[LocalDateTime](1), r.getString(2)))
+      .filter(o => !o._2.isBefore(lo) && o._2.isBefore(hi))
+    val ship = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .collect().map(r => (r.getLong(0), r.getAs[LocalDateTime](1)))
+      .groupBy(_._1)
+    val expect = ord
+      .filter(o => ship.getOrElse(o._1, Array.empty[(Long, LocalDateTime)])
+        .exists(_._2.isAfter(o._2.plusDays(60))))
+      .groupBy(_._3).map { case (p, xs) => p -> xs.length.toLong }
+    val got = graft.queries.RelationalQueries.q4OrderPriority(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // an order with MANY late lines still counts once (semi-join contract)
+    assert(got.values.sum == expect.values.sum)
+  }
+
+  test("Q6 shape: revenue matches exact cents arithmetic over the filter") {
+    import java.time.LocalDateTime
+    val lo = LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hi = LocalDateTime.of(1997, 1, 1, 0, 0)
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_shipdate"), col("l_discount"), col("l_quantity"),
+        col("l_extendedprice"))
+      .collect().map(r => (r.getAs[LocalDateTime](0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .filter(t => !t._1.isBefore(lo) && t._1.isBefore(hi) &&
+        t._2 >= 0.05 && t._2 <= 0.07 && t._3 < 24)
+    // decimal(18,2) × decimal(18,2) in integer hundredths-of-cents
+    val cents = li.map(t =>
+      BigInt(math.round(t._4 * 100)) * BigInt(math.round(t._2 * 100))).sum
+    val row = graft.queries.RelationalQueries.q6ForecastRevenue(spark, sfDir).collect()(0)
+    assert(row.getLong(1) == li.length.toLong)
+    assert(math.abs(row.getDouble(0) - (BigDecimal(cents) / 10000).toDouble) < 1e-9)
+  }
+
+  test("Q12 shape: high+low counts partition the late lines per flag") {
+    val got = graft.queries.RelationalQueries.q12LatePriority(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).sorted.sameElements(got.map(_._1)))
+    import java.time.LocalDateTime
+    val lo = LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hi = LocalDateTime.of(1997, 1, 1, 0, 0)
+    val ordPrio = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect().map(r => r.getLong(0) -> (r.getAs[LocalDateTime](1), r.getString(2))).toMap
+    val lines = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[LocalDateTime](2)))
+      .filter(t => !t._3.isBefore(lo) && t._3.isBefore(hi) &&
+        ordPrio.contains(t._1) &&
+        t._3.isAfter(ordPrio(t._1)._1.plusDays(30)))
+    val expect = lines.groupBy(_._2).map { case (f, xs) =>
+      val hi = xs.count(x => Set("1-URGENT", "2-HIGH")(ordPrio(x._1)._2))
+      f -> (hi.toLong, (xs.length - hi).toLong)
+    }
+    assert(got.map(t => t._1 -> (t._2, t._3)).toMap == expect)
+  }
+
+  test("Q10 shape: top-20 deterministic, revenue desc, only returned lines") {
+    val rows = graft.queries.RelationalQueries.q10ReturnedItems(spark, sfDir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val rev = rows.map(_.getAs[Double]("revenue"))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+    // every reported customer really has an 'R' line in the quarter
+    val ids = rows.map(_.getAs[Long]("c_custkey")).toSet
+    val withR = graft.sources.Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .join(graft.sources.Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(withR))
+  }
 }
