@@ -67,6 +67,7 @@ object SparkEntry {
     "events_twap"        -> (WarehouseQueries.eventsTwap _),
     "k_anonymity_audit"  -> (TextQueries.kAnonymityAudit _),
     "seed_distance"      -> (WarehouseQueries.seedDistance _),
+    "shortest_paths"     -> (WarehouseQueries.shortestPathCost _),
     "window_running_sum" -> (RelationalQueries.windowRunningSum _),
     "semi_join_exists"   -> (RelationalQueries.semiJoinExists _),
     "distinct_counts"    -> (RelationalQueries.distinctCounts _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "text_chunk"         -> (ExtendedQueries.textChunk _),
     "text_redact"        -> (ExtendedQueries.textRedact _),
     "vocab_top_words"    -> (ExtendedQueries.vocabTopWords _),
+    "zipf_fit"           -> (ExtendedQueries.zipfFit _),
     "events_sessionize"  -> (TextQueries.eventsSessionize _),
     "events_session_window" -> (TextQueries.eventsSessionWindow _),
     "events_windowed_agg" -> (TextQueries.eventsWindowedAgg _),
@@ -692,6 +694,43 @@ object SparkEntry {
     * out-neighbors, unreached nodes stamp the round number. Exact
     * integers; −1 marks nodes beyond the horizon.
     */
+  /** Unrolled min-plus CTE chain mirroring
+    * [[graft.operators.Centrality.weightedDistance]] — full relaxation
+    * per round, which equals the operator's frontier relaxation round
+    * for round (an unimproved node re-offers candidates already
+    * applied). All-integer costs, so MIN and the keep CASE cannot
+    * diverge. Each round references its predecessor twice →
+    * MATERIALIZED keeps the inlining linear.
+    */
+  private def ssspOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT d.id,
+         |    CASE WHEN d.dist IS NULL THEN c.best
+         |         WHEN c.best IS NULL THEN d.dist
+         |         WHEN c.best < d.dist THEN c.best ELSE d.dist END AS dist
+         |  FROM d${k - 1} d LEFT JOIN (
+         |    SELECT e.dst, MIN(d.dist + e.w) AS best
+         |    FROM e JOIN d${k - 1} d ON d.id = e.src AND d.dist IS NOT NULL
+         |    GROUP BY e.dst) c ON c.dst = d.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wt AS (
+       |  SELECT o_custkey AS c, l_suppkey + 1000000 AS s,
+       |    CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT c AS src, s AS dst, w FROM wt
+       |  UNION ALL SELECT s, c, w FROM wt),
+       |nd AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+       |  UNION ALL SELECT s_suppkey + 1000000 FROM supplier),
+       |sd AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |d0 AS MATERIALIZED (SELECT nd.id,
+       |    CASE WHEN sd.id IS NOT NULL THEN CAST(0 AS BIGINT) END AS dist
+       |  FROM nd LEFT JOIN sd ON sd.id = nd.id),
+       |$iterCtes
+       |SELECT id, dist FROM d$iters ORDER BY id""".stripMargin
+  }
+
   private def bfsOracle(iters: Int): String = {
     val iterCtes = (1 to iters).map { k =>
       s"""f$k AS (SELECT DISTINCT e.dst FROM e JOIN d${k - 1} d
@@ -919,6 +958,7 @@ object SparkEntry {
     "hits_centrality" -> hitsOracle(8),
     "community_labels" -> lpaOracle(5),
     "seed_distance" -> bfsOracle(4),
+    "shortest_paths" -> ssspOracle(4),
     "tfidf_search" -> tfidfOracle(
       graft.queries.WarehouseQueries.Bm25Terms, 50),
 
@@ -1991,6 +2031,41 @@ object SparkEntry {
       """SELECT word, COUNT(*) AS freq FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
         |GROUP BY word ORDER BY freq DESC, word LIMIT 50""".stripMargin,
+
+    // regression sums are explicit left folds over the rank-sorted
+    // ≤K list on BOTH engines (fixed double-add order); ln/round
+    // parity per the BM25 precedent
+    "zipf_fit" ->
+      """WITH v AS (
+        |  SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  GROUP BY word ORDER BY freq DESC, word LIMIT 200),
+        |r AS (
+        |  SELECT CAST(rank AS DOUBLE) AS rank,
+        |    ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+        |  FROM (SELECT freq, word,
+        |      row_number() OVER (ORDER BY freq DESC, word) AS rank FROM v)),
+        |l AS (SELECT list_sort(list([rank, x, y])) AS a FROM r),
+        |s AS (SELECT CAST(len(a) AS DOUBLE) AS n,
+        |  list_reduce([0.0] || list_transform(a, e -> e[2]),
+        |    (p, q) -> p + q) AS sx,
+        |  list_reduce([0.0] || list_transform(a, e -> e[3]),
+        |    (p, q) -> p + q) AS sy,
+        |  list_reduce([0.0] || list_transform(a, e -> e[2] * e[3]),
+        |    (p, q) -> p + q) AS sxy,
+        |  list_reduce([0.0] || list_transform(a, e -> e[2] * e[2]),
+        |    (p, q) -> p + q) AS sxx,
+        |  list_reduce([0.0] || list_transform(a, e -> e[3] * e[3]),
+        |    (p, q) -> p + q) AS syy
+        |  FROM l)
+        |SELECT CAST(n AS BIGINT) AS n_types,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+        |    AS intercept,
+        |  round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        |FROM s""".stripMargin,
 
     // D22's exact-verified join-back: the sketch only nominates; the
     // emitted counts are exact, so the oracle is the exact top-10

@@ -287,4 +287,60 @@ object Centrality {
     }
     dist
   }
+
+  /** C55: bounded-hop weighted single-source shortest paths —
+    * `maxIter` rounds of Bellman-Ford min-plus relaxation from a seed
+    * SET, i.e. the exact "cheapest ≤k-hop cost" (well-defined output
+    * regardless of global convergence, like [[seedDistance]]'s hop
+    * semantics). Costs are BIGINT, so every candidate `dist + w`, the
+    * per-dst MIN, and the keep decision are integer — order
+    * independent, bit-reproducible, oracle-able by an unrolled
+    * min-plus CTE chain.
+    *
+    * Scale shape: FRONTIER relaxation — round i only expands nodes
+    * whose distance IMPROVED in round i−1 (provably identical to
+    * full relaxation round for round: an unimproved node re-offers
+    * candidates already applied), so per-round work is
+    * O(edges-out-of-improved), the weighted analogue of the BFS
+    * frontier. Shuffles carry (node, long) pairs; the per-dst MIN
+    * partial-aggregates map-side; lineage cut every other round.
+    *
+    * @param edges (src, dst, w) — BIGINT non-negative weights;
+    *              pass both directions for an undirected graph
+    * @param seeds (id) — distance-0 sources
+    * @param nodes (id) — full node universe
+    * @return (id, dist) — NULL dist = unreachable within maxIter hops
+    */
+  def weightedDistance(edges: DataFrame, seeds: DataFrame,
+                       nodes: DataFrame, maxIter: Int): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val e = Materialize.cut(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
+    val ns = Materialize.cut(nodes.select(col("id")))
+    var dist = Materialize.cut(
+      ns.join(seeds.select(col("id"), lit(0L).as("__d0")), Seq("id"), "left")
+        .select(col("id"), col("__d0").as("dist")))
+    // round 0's improved set IS the seed set
+    var frontier = dist.filter(col("dist").isNotNull)
+    var it = 0
+    while (it < maxIter) {
+      val cand = e.join(frontier, col("src") === col("id"))
+        .select(col("dst"), (col("dist") + col("w")).as("__c"))
+        .groupBy(col("dst")).agg(min(col("__c")).as("__best"))
+      val step = dist.join(cand, col("id") === col("dst"), "left")
+        .select(col("id"), col("dist"), col("__best"),
+          when(col("dist").isNull, col("__best"))
+            .when(col("__best").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("__best"))).as("__nd"))
+      it += 1
+      val next = step.select(col("id"), col("__nd").as("dist"))
+      dist = if (it % 2 == 0 || it == maxIter) Materialize.cut(next)
+             else next
+      frontier = step
+        .filter(col("__nd").isNotNull &&
+          (col("dist").isNull || col("__nd") < col("dist")))
+        .select(col("id"), col("__nd").as("dist"))
+    }
+    dist
+  }
 }

@@ -350,6 +350,53 @@ object ExtendedQueries {
       .orderBy(col("freq").desc, col("word"))
       .limit(50)
 
+  /** D62: Zipf rank-frequency fit — the corpus-health audit every
+    * tokenizer/vocab decision leans on: regress ln(freq) on ln(rank)
+    * over the top-K vocabulary and report slope (natural text ≈ −1;
+    * flatter = template/boilerplate corpus, steeper = degenerate
+    * repetition), intercept, and R². One shuffle (the word count);
+    * the top-K cut is a bounded ranked limit, and the regression
+    * sums run as an EXPLICIT left fold over the rank-sorted ≤K array
+    * (`sort_array` + `aggregate`) — a fixed summation order both
+    * engines replay exactly, where a window/partial sum would leave
+    * double addition order engine-defined. 6-dp round on the fitted
+    * outputs.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 200
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(k)
+    val ranked = vocab
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+      .select(col("rank"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(col("a"), lit(0.0), (acc, e) => acc + f(e))
+    val sums = ranked
+      .agg(sort_array(collect_list(struct(col("rank"), col("x"), col("y"))))
+        .as("a"))
+      .select(size(col("a")).cast("double").as("n"),
+        fold(_.getField("x")).as("sx"), fold(_.getField("y")).as("sy"),
+        fold(e => e.getField("x") * e.getField("y")).as("sxy"),
+        fold(e => e.getField("x") * e.getField("x")).as("sxx"),
+        fold(e => e.getField("y") * e.getField("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    sums.select(
+      col("n").cast("long").as("n_types"),
+      round(num / den, 6).as("slope"),
+      round((col("sy") - (num / den) * col("sx")) / col("n"), 6)
+        .as("intercept"),
+      round(num * num / (den * deny), 6).as("r2"))
+  }
+
   /** D13: text normalization for LLM pipelines — lowercase, strip
     * punctuation, collapse whitespace; plus the cleaned token count.
     * Pure codegen'd string expressions over the scan.

@@ -264,31 +264,11 @@ object WarehouseQueries {
   def eventsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("__bk", floor(col("value") * lit(100.0)).cast("long"))
-    val counts = ev.groupBy(col("event_type"), col("__bk"))
-      .agg(count(lit(1)).as("cnt"))
-    val med = graft.operators.CumHistogram.cumulativeByGroup(
-        counts, "event_type", "__bk", "cnt")
-      .groupBy(col("event_type"))
-      .agg(min(when(col("cum") >= lit(0.5) * col("total"), col("__bk")))
-        .as("__med_bk"))
-    val devCounts = counts.join(broadcast(med), Seq("event_type"))
-      .groupBy(col("event_type"),
-        abs(col("__bk") - col("__med_bk")).as("__dev"))
-      .agg(sum(col("cnt")).as("cnt"))
-    val mad = graft.operators.CumHistogram.cumulativeByGroup(
-        devCounts, "event_type", "__dev", "cnt")
-      .groupBy(col("event_type"))
-      .agg(min(when(col("cum") >= lit(0.5) * col("total"), col("__dev")))
-        .as("__mad_bk"))
-    ev.join(broadcast(med), Seq("event_type"))
-      .join(broadcast(mad), Seq("event_type"))
+    val stats = graft.operators.RobustStats
+      .medMadBuckets(ev, "event_type", "value")
+    graft.operators.RobustStats.flag(ev, "event_type", "value", stats)
       .select(col("event_id"), col("event_type"), col("value"),
-        (col("__med_bk") / lit(100.0)).as("median"),
-        (col("__mad_bk") / lit(100.0)).as("mad"),
-        (col("__mad_bk") > 0 &&
-          abs(col("__bk") - col("__med_bk")) > lit(3) * col("__mad_bk"))
-          .as("is_outlier"))
+        col("median"), col("mad"), col("is_outlier"))
       .orderBy(col("event_id"))
   }
 
@@ -527,6 +507,39 @@ object WarehouseQueries {
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").cast("long").as("id"))
     graft.operators.Centrality.seedDistance(edges, seeds, nodes,
+        maxIter = 4)
+      .orderBy(col("id"))
+  }
+
+  /** C55: bounded-hop weighted shortest paths from the BUILDING-segment
+    * seed set over the trade graph — edge cost = the cheapest single
+    * lineitem linking a (customer, supplier) pair, in integer cents
+    * (exact decimal→cents, the q20 pattern), 4 min-plus rounds. The
+    * weighted companion to C33's hop distance: hops say HOW FAR the
+    * crawl frontier is, costs say how expensive the cheapest route is.
+    * See [[graft.operators.Centrality.weightedDistance]] for the
+    * frontier-relaxation scale story.
+    */
+  def shortestPathCost(spark: SparkSession, dir: String): DataFrame = {
+    val off = lit(1000000L)
+    val wt = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("c"), (col("l_suppkey") + off).as("s"))
+      .agg((min(graft.functions.Num.dec2(col("l_quantity"))) * 100)
+        .cast("long").as("w"))
+    val edges = wt.select(col("c").as("src"), col("s").as("dst"), col("w"))
+      .unionAll(wt.select(col("s").as("src"), col("c").as("dst"), col("w")))
+    val nodes = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("id"))
+      .unionAll(Tables.supplier(spark, dir)
+        .select((col("s_suppkey") + off).as("id")))
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").cast("long").as("id"))
+    graft.operators.Centrality.weightedDistance(edges, seeds, nodes,
         maxIter = 4)
       .orderBy(col("id"))
   }

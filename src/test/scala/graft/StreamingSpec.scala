@@ -835,4 +835,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.nonEmpty && got.size < docs.count(),
       "the gate must actually separate (non-trivial keep set)")
   }
+
+  test("streaming robust monitor equals the static twin and the batch report; artifact round-trips") {
+    import graft.streaming.StreamingRobust
+    import graft.operators.RobustStats
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = RobustStats.medMadBuckets(ev, "event_type", "value")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_robust").toString + "/stats"
+    StreamingRobust.saveStats(stats, path)
+    val back = StreamingRobust.loadStats(spark, path)
+    assert(back.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet == stats.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+      "stats artifact must round-trip exactly")
+    val evDir = java.nio.file.Files
+      .createTempDirectory("graft_robust_ev").toString
+    ev.write.mode("overwrite").parquet(evDir)
+    val stream = spark.readStream.schema(ev.schema).parquet(evDir)
+    val q = StreamingRobust.monitored(stream, back)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("robust_mon").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("robust_mon")
+        .select(col("event_id"), col("is_outlier"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    } finally q.stop()
+    val want = StreamingRobust.monitored(ev, back)
+      .select(col("event_id"), col("is_outlier"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == want, "stream must equal the static twin")
+    // and both equal the batch report's verdicts (same frozen stats)
+    val report = graft.queries.WarehouseQueries
+      .eventsMadOutliers(spark, sfDir)
+      .select(col("event_id"), col("is_outlier"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == report, "stream must equal the batch report")
+    assert(got.valuesIterator.exists(identity) &&
+      got.valuesIterator.exists(!_),
+      "sf fixture should contain both verdicts")
+  }
 }

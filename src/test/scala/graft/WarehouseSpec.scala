@@ -839,6 +839,40 @@ class WarehouseSpec extends AnyFunSuite {
     assert(far(4L) == 4L && far(5L) == -1L)
   }
 
+  test("weightedDistance: cheap multi-hop beats expensive direct; horizon + nulls hold") {
+    import spark.implicits._
+    import graft.operators.Centrality
+    // 0→3 direct costs 100; 0→1→2→3 costs 3·10 = 30 (3 hops);
+    // node 4 dangles two hops past 3; node 5 isolated
+    val und = Seq((0L, 3L, 100L), (0L, 1L, 10L), (1L, 2L, 10L),
+      (2L, 3L, 10L), (3L, 4L, 10L))
+    val edges = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .toDF("src", "dst", "w")
+    val nodes = (0L to 5L).toDF("id")
+    val seeds = Seq(0L).toDF("id")
+    def run(iters: Int) = Centrality
+      .weightedDistance(edges, seeds, nodes, maxIter = iters)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // 2 rounds: 3 is reachable only via the expensive direct edge
+    val near = run(2)
+    assert(near(3L) == Some(100L) && near(2L) == Some(20L) &&
+      near(4L) == Some(110L) && near(5L) == None, s"got $near")
+    // 3 rounds: the cheap 3-hop path relaxes through to 3 — but 4
+    // still rides the expensive route until round 4 propagates it
+    val mid = run(3)
+    assert(mid(3L) == Some(30L) && mid(4L) == Some(110L), s"got $mid")
+    val far = run(4)
+    assert(far == Map(0L -> Some(0L), 1L -> Some(10L), 2L -> Some(20L),
+      3L -> Some(30L), 4L -> Some(40L), 5L -> None), s"got $far")
+    // integer min-plus => partition-invariant
+    val re = Centrality.weightedDistance(
+        edges.repartition(5), seeds, nodes.repartition(3), maxIter = 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(re == far)
+  }
+
   test("Materialize.cut: reliable-checkpoint path matches local path bit-exactly") {
     import spark.implicits._
     import graft.operators.{Centrality, Dedup}
