@@ -107,6 +107,7 @@ object SparkEntry {
     // §2.D — LLM-training-data operators
     "dedup_exact"        -> (TextQueries.dedupExact _),
     "dedup_minhash_lsh"  -> (TextQueries.dedupMinhashLsh _),
+    "dedup_source_matrix" -> (TextQueries.dedupSourceMatrix _),
     "dedup_simhash"      -> (TextQueries.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
     "dedup_resolve"      -> (TextQueries.dedupResolve _),
@@ -2393,6 +2394,31 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
         |FROM pairs WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the D2 pair CTEs + a provenance rollup; counts integer,
+    // max-jaccard exact selection — hash-stable wherever the pair set
+    // is (same completeness argument as dedup_minhash_lsh)
+    "dedup_source_matrix" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM t),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s
+        |       WHERE len(sh) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+        |  FROM pairs WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5)
+        |SELECT least(d1.source, d2.source) AS source_a,
+        |  greatest(d1.source, d2.source) AS source_b,
+        |  COUNT(*) AS n_pairs, MAX(jaccard) AS max_jaccard
+        |FROM j JOIN documents d1 ON d1.doc_id = id_a
+        |JOIN documents d2 ON d2.doc_id = id_b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Span-granular dedup: the covered-position set and the positional
     // rewrite are plain integer/array algebra — identical in ANSI SQL.

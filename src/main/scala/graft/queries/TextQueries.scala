@@ -24,6 +24,31 @@ object TextQueries {
     Dedup.minhashLsh(Tables.documents(spark, dir), "text", "doc_id")
       .orderBy(col("id_a"), col("id_b"))
 
+  /** D63: cross-source duplication matrix — the provenance audit on
+    * top of the near-dup pairs: WHICH sources duplicate WHICH (a hot
+    * (src_a, src_b) cell = mirrored/scraped content between two
+    * domains; a hot diagonal = within-source boilerplate). Rides the
+    * same LSH pair machinery as D2 (so the corpus is shingled once,
+    * never all-pairs); the matrix step joins the pair frame — bounded
+    * by dup density, ≪ corpus — to the (id, source) projection and
+    * partial-aggregates per canonical (least, greatest) source cell.
+    * Counts are integers and max-jaccard is exact selection, so the
+    * matrix is hash-stable wherever the pair set is.
+    */
+  def dedupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.minhashLsh(docs, "text", "doc_id")
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")),
+        Seq("id_b"))
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** D3: SimHash near-dup pairs at Hamming ≤ 3. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "text", "doc_id")

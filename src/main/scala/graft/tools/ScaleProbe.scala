@@ -478,6 +478,51 @@ object ScaleProbe {
       graft.operators.TokenBudget.select(
         scored, col("q"), col("m"), col("doc_id"), budget).count()
     }
+    t("shortest_paths") {
+      val off = lit(1000000000L)
+      val cs = graft.sources.Tables.orders(spark, dir).crossJoin(copies)
+        .select((col("o_orderkey") * mult + col("copy")).as("ok"),
+          (col("o_custkey") * mult + col("copy")).as("c"))
+        .join(li.select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          col("ok") === col("l_orderkey"))
+        .groupBy(col("c"), (col("l_suppkey") + off).as("s"))
+        .agg((min(col("l_quantity").cast("decimal(18,2)")) * 100)
+          .cast("long").as("w"))
+      val edges = cs.select(col("c").as("src"), col("s").as("dst"), col("w"))
+        .unionAll(cs.select(col("s").as("src"), col("c").as("dst"), col("w")))
+      val nodes = cs.select(col("c").as("id"))
+        .unionAll(cs.select(col("s").as("id"))).distinct()
+      val seeds = nodes.filter(col("id") % 97 === 0)
+      graft.operators.Centrality.weightedDistance(edges, seeds, nodes, 4).count()
+    }
+    t("mmr_rerank") {
+      // many queries in parallel — the per-query pool re-rank is the
+      // point: 64 query vectors over the x10 corpus, pool 50, k 10
+      val q = emb.filter(col("id") % 997 === 0).limit(64)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      graft.operators.MmrRetrieval.diversifyBruteForce(
+        spark, q, emb, k = 10, lambda = 0.5, poolSize = 50).count()
+    }
+    t("mad_outliers") {
+      // the amplified frame drops event_type — synthesize a 5-way
+      // group so the per-group histograms match the real shape
+      val evt = ev.withColumn("event_type",
+        (col("event_id") % 5).cast("string"))
+      val stats = graft.operators.RobustStats
+        .medMadBuckets(evt, "event_type", "value")
+      graft.operators.RobustStats
+        .flag(evt, "event_type", "value", stats).count()
+    }
+    t("zipf_fit") {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = docs
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word")).limit(200)
+      vocab.withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+        .agg(count(lit(1))).head().getLong(0)
+    }
     t("media_decode") {
       import spark.implicits._
       val media = docs.select(col("doc_id")).as[Long]

@@ -344,6 +344,26 @@ class DedupSpec extends AnyFunSuite {
       "LSH output must equal the exact jaccard >= 0.5 pair set")
   }
 
+  test("dedupSourceMatrix rolls the pair set up by canonical source cell") {
+    val srcOf = docs.select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    val expect = pairs.groupBy { case ((a, b), _) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.map { case (cell, xs) =>
+      cell -> (xs.length.toLong, xs.map(_._2).max)
+    }
+    val got = graft.queries.TextQueries.dedupSourceMatrix(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == expect, s"got $got\nwant $expect")
+    got.keys.foreach { case (a, b) => assert(a <= b, "cells must be canonical") }
+  }
+
   test("simhash is deterministic and near-identical docs have small hamming distance") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -517,6 +517,55 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q6: every predicate reaches the parquet scan; agg is partial") {
+    val p = planString(
+      graft.queries.RelationalQueries.q6ForecastRevenue(spark, sfDir))
+    // the rendered PushedFilters list truncates, so pin the prefix and
+    // the full DataFilters (same predicate set, untruncated)
+    assert(p.matches("(?s).*PushedFilters.*GreaterThanOrEqual\\(l_shipda.*"),
+      s"q6 shipdate bound not pushed to the scan:\n$p")
+    assert(p.matches("(?s).*DataFilters.*l_quantity.*") ||
+      p.matches("(?s).*PushedFilters.*l_quantity.*"),
+      s"q6 quantity bound not at the scan:\n$p")
+    assert(p.contains("partial"), s"q6 aggregate not partial:\n$p")
+    // no shuffle of data rows: the only exchange is the 1-row final agg
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"q6 should be a pure scan+agg:\n$p")
+  }
+
+  test("q10: orders prune on the quarter at the scan; dims broadcast") {
+    val p = planString(
+      graft.queries.RelationalQueries.q10ReturnedItems(spark, sfDir))
+    assert(p.matches("(?s).*PushedFilters.*EqualTo\\(l_returnflag,R\\).*"),
+      s"return-flag filter not pushed:\n$p")
+    assert(p.matches("(?s).*PushedFilters.*GreaterThanOrEqual\\(o_orderdate.*"),
+      s"quarter filter not pushed into the orders scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+  }
+
+  test("q4: the EXISTS probe plans as a semi join (no row duplication)") {
+    val p = planString(
+      graft.queries.RelationalQueries.q4OrderPriority(spark, sfDir))
+    assert(p.contains("LeftSemi"), s"expected a semi join:\n$p")
+  }
+
+  test("MMR: the pool window partitions by qid (never a global sort)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val q = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val df = graft.operators.MmrRetrieval
+      .diversifyBruteForce(spark, q, c, k = 5, lambda = 0.5, poolSize = 20)
+    df.collect()
+    val windows = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the pool-cut ranked window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"pool window must partition by qid:\n$w"))
+  }
+
   private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
