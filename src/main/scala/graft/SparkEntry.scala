@@ -64,6 +64,7 @@ object SparkEntry {
     "q12_late_priority"  -> (RelationalQueries.q12LatePriority _),
     "embedding_audit"    -> (VectorQueries.embeddingAudit _),
     "mmr_diversified_topk" -> (VectorQueries.mmrDiversified _),
+    "cluster_balanced_sample" -> (VectorQueries.clusterBalancedSample _),
     "events_twap"        -> (WarehouseQueries.eventsTwap _),
     "k_anonymity_audit"  -> (TextQueries.kAnonymityAudit _),
     "seed_distance"      -> (WarehouseQueries.seedDistance _),
@@ -3552,6 +3553,55 @@ object SparkEntry {
     * and the paper's keep rule ranked on (cos_to_centroid, id) — all
     * engine-independent given the embedded centroids.
     */
+  /** Cluster-balanced sample oracle: the semDedup assignment CTE
+    * (nearest centroid by squared-L2 fold, tie to lower cid) feeding
+    * the unimax_mix recursive water-fill — caps keyed on the STRING
+    * form of cid (mirroring waterFillByStratum's stratum cast, whose
+    * driver sort is lexicographic) and selection by the portable
+    * XXH64 bucket rank.
+    */
+  private def clusterBalancedOracle(cents: Array[Array[Float]],
+                                    budget: Long): String =
+    s"""WITH RECURSIVE cents AS (
+       |  SELECT * FROM (VALUES
+       |    ${centroidsValues(cents)}) t(cid, cvec)),
+       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |asg AS (
+       |  SELECT id, cid FROM (
+       |    SELECT c.id, ct.cid,
+       |      row_number() OVER (PARTITION BY c.id ORDER BY
+       |        list_reduce(list_transform(range(1, 65),
+       |          i -> (CAST(c.vec[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))
+       |             * (CAST(c.vec[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))),
+       |          (x, y) -> x + y) ASC, ct.cid ASC) AS rn
+       |    FROM corpus c CROSS JOIN cents ct)
+       |  WHERE rn = 1),
+       |caps AS (
+       |  SELECT CAST(cid AS VARCHAR) AS s, CAST(COUNT(*) AS BIGINT) AS cap
+       |  FROM asg GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM caps),
+       |srt AS (SELECT s, cap,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cap, s) AS BIGINT) AS i
+       |  FROM caps),
+       |alloc AS (
+       |  SELECT CAST(0 AS BIGINT) AS i, CAST($budget AS BIGINT) AS rem,
+       |         CAST(NULL AS VARCHAR) AS s, CAST(0 AS BIGINT) AS a
+       |  UNION ALL
+       |  SELECT t.i,
+       |         al.rem - LEAST(t.cap, al.rem // (nn.n - t.i + 1)),
+       |         t.s,
+       |         LEAST(t.cap, al.rem // (nn.n - t.i + 1))
+       |  FROM alloc al JOIN srt t ON t.i = al.i + 1 CROSS JOIN nn),
+       |q AS (SELECT s, a AS quota FROM alloc WHERE i > 0),
+       |r AS (
+       |  SELECT id, cid,
+       |    row_number() OVER (PARTITION BY cid
+       |      ORDER BY $xxhBucket, id) AS rk
+       |  FROM (${xxh64Nested("SELECT id, cid FROM asg", "id")}))
+       |SELECT r.id, r.cid FROM r JOIN q ON CAST(r.cid AS VARCHAR) = q.s
+       |WHERE rk <= quota
+       |ORDER BY r.id""".stripMargin
+
   private def semDedupOracle(cents: Array[Array[Float]],
                              threshold: Double): String =
     s"""WITH RECURSIVE cents AS (
@@ -3681,6 +3731,7 @@ object SparkEntry {
       "ann_ivfpq_topk" -> ivfpqOracle(ivfpq, k = 10, nprobe = 2, poolMult = 4),
       "ann_recall_report" -> recallReport,
       "dedup_semantic" -> semDedupOracle(cents, threshold = 0.35),
+      "cluster_balanced_sample" -> clusterBalancedOracle(cents, budget = 200),
       "vocab_bpe_tokenize" -> vocabTokenizeOracle(bpe.vocab,
         graft.operators.Bpe.maxTokenLen(bpe)))
   }

@@ -187,6 +187,30 @@ object VectorQueries {
     * index-ordered IEEE fold for the norm, and exact float min/max
     * selection — no rounding needed.
     */
+  /** D64: cluster-balanced subsample — the diversity-balanced data
+    * selection real curation pipelines run between dedup and mixing:
+    * assign every embedding to its coarse k-means cluster (the SAME
+    * cached codebook as `ann_ivf_topk`, so Verify trains once) and
+    * water-fill a fixed budget as uniformly across clusters as
+    * availability allows ([[graft.operators.Resample
+    * .waterFillByStratum]], D49's exact integer fold). Topic-sized
+    * clusters stop a corpus dominated by one content mode from
+    * producing a sample dominated by it — the embedding-space
+    * analogue of D49's per-source uniformity. Assignment is a
+    * zero-shuffle codegen kernel; the quota walk never sorts a full
+    * cluster.
+    */
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = graft.operators.IvfIndex.trainCached(
+      s"embeddings:$dir", c, "vec", "id", k = 16, dim = 64)
+    val assigned = graft.operators.IvfIndex.assign(c, "vec", cents)
+      .select(col("id"), col("cid"))
+    graft.operators.Resample.waterFillByStratum(
+        assigned, col("cid"), col("id"), budget = 200)
+      .orderBy(col("id"))
+  }
+
   /** D61: MMR diversified retrieval — the redundancy-aware re-rank
     * after a relevance leg (see [[graft.operators.MmrRetrieval]]).
     * Query vector 0, pool = exact-cosine top-50, k = 10, λ = 0.5; at

@@ -431,6 +431,36 @@ class SimilaritySpec extends AnyFunSuite {
       back.basis.map(_.toSeq).toSeq == m.basis.map(_.toSeq).toSeq)
   }
 
+  test("cluster-balanced sample: quotas are the exact water-fill of cluster caps") {
+    val c = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = graft.operators.IvfIndex.trainCached(
+      s"embeddings:$sfDir", c, "vec", "id", k = 16, dim = 64)
+    val assigned = graft.operators.IvfIndex.assign(c, "vec", cents)
+      .select(col("id"), col("cid"))
+    val caps = assigned.groupBy(col("cid")).count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+    val budget = 17L
+    // driver replay of the exact integer water-fill (avail asc, name asc)
+    var rem = budget
+    val sorted = caps.sortBy { case (s, m) => (m, s) }
+    val quotas = sorted.zipWithIndex.map { case ((s, cap), i) =>
+      val a = math.min(cap, rem / (sorted.length - i)); rem -= a; s -> a
+    }.toMap
+    val kept = graft.operators.Resample
+      .waterFillByStratum(assigned, col("cid"), col("id"), budget)
+      .collect().map(r => r.get(1).toString)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    quotas.filter(_._2 > 0).foreach { case (s, q) =>
+      assert(kept.getOrElse(s, 0L) == q, s"cluster $s quota")
+    }
+    assert(kept.values.sum == quotas.values.sum && kept.values.sum <= budget)
+    // and the registered query fills its whole budget when caps allow
+    val full = graft.queries.VectorQueries
+      .clusterBalancedSample(spark, sfDir).count()
+    assert(full == math.min(200L, c.count()), "query should fill the budget")
+  }
+
   test("MMR: demotes the near-duplicate out of the top-k") {
     import spark.implicits._
     val q = Seq((0L, Array(1f, 0f, 0f))).toDF("qid", "qvec")
