@@ -836,6 +836,82 @@ class StreamingSpec extends AnyFunSuite {
       "the gate must actually separate (non-trivial keep set)")
   }
 
+  test("streaming funnel equals batch first-touch across a chronological batch split") {
+    import spark.implicits._
+    import graft.streaming.StreamingFunnel
+    val stages = Seq("view", "click", "purchase")
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventsStream.Event]
+      .collect().toSeq
+    val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = sorted.splitAt(sorted.length / 2)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventsStream.Event](spark, 411)
+    val q = StreamingFunnel.funnel(src.toDS(), stages,
+        gapSeconds = Some(4 * 3600L))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    val got = try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+      spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getTimestamp(3)))
+        .toSet
+    } finally q.stop()
+    // twin 1: the in-order fold over the full corpus
+    val want = StreamingFunnel.funnelBatch(events, stages, Some(4 * 3600L))
+      .map(h => (h.user_id, h.step, h.stage, h.ts)).toSet
+    assert(got == want, s"only-stream=${(got -- want).take(3)} " +
+      s"only-batch=${(want -- got).take(3)}")
+    // twin 2: operators.Funnel first-touch — per (user, stage) the
+    // earliest qualifying ts must agree exactly
+    val qual = graft.operators.Funnel.qualify(
+      events.toDF(), "user_id", "event_type", "ts", "event_id", stages,
+      Some(expr("INTERVAL 4 HOURS")))
+    val ft = stages.indices.flatMap { i =>
+      qual.filter(col(s"__q$i").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(col(s"__q$i")).as("t"))
+        .collect().map(r => (r.getLong(0), i + 1, stages(i), r.getTimestamp(1)))
+    }.toSet
+    assert(got == ft, s"stream diverges from Funnel.qualify: " +
+      s"only-stream=${(got -- ft).take(3)} only-funnel=${(ft -- got).take(3)}")
+    assert(got.exists(_._2 == stages.length), "some user completes the funnel")
+  }
+
+  test("streaming funnel: idle state evicts and a returning user restarts at step 1") {
+    import spark.implicits._
+    import graft.streaming.StreamingFunnel
+    def ev(id: Long, user: Long, day: Long, typ: String): EventsStream.Event =
+      EventsStream.Event(id, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+          + day * 86400000L), user, typ, 1.0)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventsStream.Event](spark, 412)
+    val q = StreamingFunnel.funnel(src.toDS(), Seq("view", "click"),
+        gapSeconds = None, expireSeconds = 86400L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_evict").start()
+    val got = try {
+      src.addData(ev(1, 7, 0, "view")); q.processAllAvailable()
+      // another user far ahead marches the watermark past 7's horizon
+      src.addData(ev(2, 8, 5, "view")); q.processAllAvailable()
+      src.addData(ev(3, 8, 5, "click")); q.processAllAvailable()
+      // user 7 returns after eviction: a fresh funnel, step 1 re-emits;
+      // the click then completes the NEW funnel (state restarted)
+      src.addData(ev(4, 7, 6, "view"), ev(5, 7, 6, "click"))
+      q.processAllAvailable()
+      spark.table("funnel_evict").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    } finally q.stop()
+    val sevens = got.filter(_._1 == 7L).map(_._2)
+    assert(sevens.count(_ == 1) == 2,
+      s"user 7 should emit step 1 twice (pre- and post-eviction): $got")
+    assert(sevens.contains(2), s"user 7's restarted funnel should complete: $got")
+  }
+
   test("streaming robust monitor equals the static twin and the batch report; artifact round-trips") {
     import graft.streaming.StreamingRobust
     import graft.operators.RobustStats
