@@ -65,6 +65,8 @@ object SparkEntry {
     "embedding_audit"    -> (VectorQueries.embeddingAudit _),
     "mmr_diversified_topk" -> (VectorQueries.mmrDiversified _),
     "cluster_balanced_sample" -> (VectorQueries.clusterBalancedSample _),
+    "semantic_drift"     -> (VectorQueries.semanticDrift _),
+    "retrieval_quality_report" -> (VectorQueries.retrievalQualityReport _),
     "events_twap"        -> (WarehouseQueries.eventsTwap _),
     "k_anonymity_audit"  -> (TextQueries.kAnonymityAudit _),
     "seed_distance"      -> (WarehouseQueries.seedDistance _),
@@ -3602,6 +3604,43 @@ object SparkEntry {
        |WHERE rk <= quota
        |ORDER BY r.id""".stripMargin
 
+  /** Semantic-drift oracle: the centroid-assignment CTE feeding the
+    * corpus_drift PSI tree (same smoothing/divides/rounding), buckets
+    * keyed on the cid string cast.
+    */
+  private def semanticDriftOracle(cents: Array[Array[Float]]): String =
+    s"""WITH cents AS (
+       |  SELECT * FROM (VALUES
+       |    ${centroidsValues(cents)}) t(cid, cvec)),
+       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |asg AS (
+       |  SELECT id, cid FROM (
+       |    SELECT c.id, ct.cid,
+       |      row_number() OVER (PARTITION BY c.id ORDER BY
+       |        list_reduce(list_transform(range(1, 65),
+       |          i -> (CAST(c.vec[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))
+       |             * (CAST(c.vec[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))),
+       |          (x, y) -> x + y) ASC, ct.cid ASC) AS rn
+       |    FROM corpus c CROSS JOIN cents ct)
+       |  WHERE rn = 1),
+       |r AS (SELECT CAST(cid AS VARCHAR) AS bucket, COUNT(*) AS ref_n
+       |  FROM asg WHERE id % 2 = 0 GROUP BY 1),
+       |c AS (SELECT CAST(cid AS VARCHAR) AS bucket, COUNT(*) AS cur_n
+       |  FROM asg WHERE id % 2 = 1 GROUP BY 1),
+       |j AS (SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+       |    CAST(COALESCE(ref_n, 0) AS BIGINT) AS ref_n,
+       |    CAST(COALESCE(cur_n, 0) AS BIGINT) AS cur_n
+       |  FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+       |t AS (SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct,
+       |    COUNT(*) AS k FROM j),
+       |s AS (SELECT bucket, ref_n, cur_n,
+       |    CAST(ref_n + 1 AS DOUBLE) / CAST(rt + k AS DOUBLE) AS p,
+       |    CAST(cur_n + 1 AS DOUBLE) / CAST(ct + k AS DOUBLE) AS q
+       |  FROM j CROSS JOIN t)
+       |SELECT bucket, ref_n, cur_n, round(p, 6) AS p, round(q, 6) AS q,
+       |  round((p - q) * ln(p / q), 6) AS psi_term
+       |FROM s ORDER BY bucket""".stripMargin
+
   private def semDedupOracle(cents: Array[Array[Float]],
                              threshold: Double): String =
     s"""WITH RECURSIVE cents AS (
@@ -3721,6 +3760,56 @@ object SparkEntry {
          |  UNION ALL SELECT 'lsh', COUNT(*) FROM l JOIN bf USING (qid, id)
          |  UNION ALL SELECT 'pq', COUNT(*) FROM p JOIN bf USING (qid, id))
          |ORDER BY method""".stripMargin
+    // ranking-quality report: per-leg MRR/nDCG folds over the same leg
+    // oracles the recall report composes; every sum is a list_reduce
+    // left fold over rank-/qid-sorted lists mirroring the Spark
+    // sort_array+aggregate tree
+    def sub3(sql: String) = s"SELECT qid, id, rk FROM ($sql)"
+    val qualityLegs = Seq(
+      "ivf" -> sub3(ivfOracle(cents, k = 10, nprobe = 2)),
+      "ivfpq" -> sub3(ivfpqOracle(ivfpq, k = 10, nprobe = 2, poolMult = 4)),
+      "lsh" -> sub3(oracleSql("ann_lsh_topk")),
+      "pq" -> sub3(pqOracle(pqBooks, k = 10, poolMult = 4)))
+    val qualityCtes = qualityLegs.map { case (name, legSql) =>
+      s"""h_$name AS (
+         |  SELECT l.qid, l.rk,
+         |    CASE WHEN b.id IS NOT NULL THEN 1.0 ELSE 0.0 END AS h
+         |  FROM ($legSql) l LEFT JOIN bf b ON b.qid = l.qid AND b.id = l.id),
+         |p_$name AS (
+         |  SELECT qid, list_sort(list([CAST(rk AS DOUBLE), h])) AS a
+         |  FROM h_$name GROUP BY qid),
+         |q_$name AS (
+         |  SELECT qid,
+         |    list_reduce([0.0] || list_transform(a,
+         |      e -> e[2] / (ln(e[1] + 1.0) / ln(2.0))),
+         |      (p, q) -> p + q) AS dcg,
+         |    CASE WHEN len(list_filter(a, e -> e[2] = 1.0)) > 0
+         |         THEN 1.0 / list_filter(a, e -> e[2] = 1.0)[1][1]
+         |         ELSE 0.0 END AS rr
+         |  FROM p_$name),
+         |m_$name AS (
+         |  SELECT list_sort(list([CAST(f.qid AS DOUBLE),
+         |      COALESCE(q.dcg, 0.0), COALESCE(q.rr, 0.0)])) AS a
+         |  FROM qq f LEFT JOIN q_$name q ON q.qid = f.qid)""".stripMargin
+    }.mkString(",\n")
+    val qualitySelects = qualityLegs.map { case (name, _) =>
+      s"""SELECT '$name' AS method,
+         |  round(list_reduce([0.0] || list_transform(m.a, e -> e[3]),
+         |    (p, q) -> p + q) / 5.0, 6) AS mrr_at_10,
+         |  round(list_reduce([0.0] || list_transform(m.a, e -> e[2] / ic.v),
+         |    (p, q) -> p + q) / 5.0, 6) AS ndcg_at_10
+         |FROM m_$name m CROSS JOIN idcg ic""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val qualityReport =
+      s"""WITH bf AS (${sub(oracleSql("ann_bruteforce_topk"))}),
+         |qq AS (SELECT DISTINCT qid FROM bf),
+         |idcg AS (
+         |  SELECT list_reduce([0.0] || list_transform(range(1, 11),
+         |    i -> 1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0))),
+         |    (p, q) -> p + q) AS v),
+         |$qualityCtes
+         |SELECT * FROM ($qualitySelects)
+         |ORDER BY method""".stripMargin
     val pca = graft.operators.Pca.trainCached(
       s"embeddings-pca:$sfDir", corpus, "vec", "id", dim = 64,
       components = 4)
@@ -3732,6 +3821,8 @@ object SparkEntry {
       "ann_recall_report" -> recallReport,
       "dedup_semantic" -> semDedupOracle(cents, threshold = 0.35),
       "cluster_balanced_sample" -> clusterBalancedOracle(cents, budget = 200),
+      "semantic_drift" -> semanticDriftOracle(cents),
+      "retrieval_quality_report" -> qualityReport,
       "vocab_bpe_tokenize" -> vocabTokenizeOracle(bpe.vocab,
         graft.operators.Bpe.maxTokenLen(bpe)))
   }

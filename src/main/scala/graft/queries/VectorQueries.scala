@@ -211,6 +211,84 @@ object VectorQueries {
       .orderBy(col("id"))
   }
 
+  /** D66: retrieval ranking-quality report — MRR@10 and nDCG@10 of
+    * every approximate ANN path against the exact brute-force top-10,
+    * as a gate query (the ranking-quality sibling of D7e's recall
+    * audit: recall says WHETHER the true neighbors surface, nDCG says
+    * WHERE — an index that returns them in positions 6-10 scores the
+    * same recall and half the nDCG). All inputs are the bounded leg
+    * frames (5 queries × ≤10 ranks); every metric is an EXPLICIT
+    * left fold over rank- and qid-sorted arrays (`sort_array` +
+    * `aggregate`), so the double-add order — and the one `ln` per
+    * term, per the BM25 parity precedent — replays identically in
+    * the oracle; 6-dp round on the means.
+    */
+  def retrievalQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val bf = annBruteForce(spark, dir).select(col("qid"), col("id"))
+    val qids = bf.select(col("qid")).distinct()
+    def log2(x: Column): Column = log(x) / log(lit(2.0))
+    val idcg: Column = aggregate(sequence(lit(1), lit(10)), lit(0.0),
+      (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0)))
+    def leg(name: String, df: DataFrame): DataFrame = {
+      val hits = df.select(col("qid"), col("id"), col("rk"))
+        .join(bf.withColumn("__h", lit(1)), Seq("qid", "id"), "left")
+        .select(col("qid"), col("rk"),
+          coalesce(col("__h"), lit(0)).cast("double").as("h"))
+      val perQ = hits.groupBy(col("qid"))
+        .agg(sort_array(collect_list(struct(col("rk"), col("h")))).as("a"))
+        .select(col("qid"),
+          aggregate(col("a"), lit(0.0), (acc, e) =>
+            acc + e.getField("h") /
+              log2(e.getField("rk").cast("double") + lit(1.0))).as("dcg"),
+          { val f = filter(col("a"), e => e.getField("h") === 1.0)
+            when(size(f) > 0,
+                lit(1.0) / element_at(f, 1).getField("rk").cast("double"))
+              .otherwise(lit(0.0)).as("rr") })
+      qids.join(perQ, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("dcg"), lit(0.0)).as("dcg"),
+          coalesce(col("rr"), lit(0.0)).as("rr"))
+        .agg(sort_array(collect_list(struct(col("qid"), col("dcg"),
+          col("rr")))).as("a"))
+        .select(lit(name).as("method"),
+          round(aggregate(col("a"), lit(0.0),
+            (acc, e) => acc + e.getField("rr")) / lit(5.0), 6)
+            .as("mrr_at_10"),
+          round(aggregate(col("a"), lit(0.0),
+            (acc, e) => acc + e.getField("dcg") / idcg) / lit(5.0), 6)
+            .as("ndcg_at_10"))
+    }
+    leg("ivf", annIvf(spark, dir))
+      .unionAll(leg("ivfpq", annIvfPq(spark, dir)))
+      .unionAll(leg("lsh", annLsh(spark, dir)))
+      .unionAll(leg("pq", annPq(spark, dir)))
+      .orderBy(col("method"))
+  }
+
+  /** D65: semantic drift between corpus snapshots — D52's PSI gate in
+    * EMBEDDING space: assign both snapshots to the shared coarse
+    * codebook and compare the per-cluster occupancy distributions.
+    * Where `corpus_drift` answers "did the source/language mix
+    * move?", this answers "did the CONTENT move?" — a new crawl can
+    * keep its source mix while its topics shift entirely, and the
+    * cluster histogram is the cheapest detector (assignment is a
+    * zero-shuffle codegen kernel; PSI touches only the ≤k-row count
+    * aggregates, `Drift.psiFromCounts`' bit-stable tree). Snapshots
+    * derive by id parity here, mirrored in the oracle.
+    */
+  def semanticDrift(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = graft.operators.IvfIndex.trainCached(
+      s"embeddings:$dir", c, "vec", "id", k = 16, dim = 64)
+    val asg = graft.operators.IvfIndex.assign(c, "vec", cents)
+      .select(col("id"), col("cid"))
+    graft.operators.Drift.psi(
+        asg.filter(col("id") % 2 === 0),
+        asg.filter(col("id") % 2 === 1), col("cid"))
+      .orderBy(col("bucket"))
+  }
+
   /** D61: MMR diversified retrieval — the redundancy-aware re-rank
     * after a relevance leg (see [[graft.operators.MmrRetrieval]]).
     * Query vector 0, pool = exact-cosine top-50, k = 10, λ = 0.5; at

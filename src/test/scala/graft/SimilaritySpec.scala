@@ -461,6 +461,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == math.min(200L, c.count()), "query should fill the budget")
   }
 
+  test("retrieval quality: metrics bounded, consistent with recall, drift buckets cover the corpus") {
+    val rq = graft.queries.VectorQueries
+      .retrievalQualityReport(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rq.keySet == Set("ivf", "ivfpq", "lsh", "pq"))
+    rq.values.foreach { case (mrr, ndcg) =>
+      assert(mrr >= 0.0 && mrr <= 1.0 && ndcg >= 0.0 && ndcg <= 1.0)
+    }
+    // a method with perfect recall would have ndcg 1.0 only if ranks
+    // match; conversely zero recall forces both metrics to 0 — check
+    // consistency against the recall report
+    val rec = graft.queries.VectorQueries.annRecallReport(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    rec.foreach { case (m, r) =>
+      if (r == 0.0) assert(rq(m) == ((0.0, 0.0)), s"$m: no hits but nonzero metric")
+      if (r > 0.0) assert(rq(m)._2 > 0.0, s"$m: hits but zero ndcg")
+    }
+    val sd = graft.queries.VectorQueries.semanticDrift(spark, sfDir)
+      .collect()
+    assert(sd.map(_.getLong(1)).sum + sd.map(_.getLong(2)).sum ==
+      graft.sources.Tables.embeddings(spark, sfDir).count(),
+      "drift buckets must partition the corpus")
+  }
+
   test("MMR: demotes the near-duplicate out of the top-k") {
     import spark.implicits._
     val q = Seq((0L, Array(1f, 0f, 0f))).toDF("qid", "qvec")
