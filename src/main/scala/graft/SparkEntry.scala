@@ -129,6 +129,7 @@ object SparkEntry {
     "quality_classifier" -> (TextQueries.qualityClassifier _),
     "dedup_containment"  -> (TextQueries.dedupContainment _),
     "train_split"        -> (TextQueries.trainSplit _),
+    "leakage_safe_split" -> (TextQueries.leakageSafeSplit _),
     "corpus_pipeline"    -> (TextQueries.corpusPipeline _),
     "decontamination"    -> (TextQueries.decontaminate _),
     "decontamination_score" -> (TextQueries.decontaminationScore _),
@@ -2168,6 +2169,42 @@ object SparkEntry {
         |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+
+    // the dedup_resolve closure feeding the train_split hash CASE on
+    // the CLUSTER canonical id — near-dups share a bucket by
+    // construction, so they share a split
+    "leakage_safe_split" ->
+      s"""WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM t),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT ida, idb FROM pairs
+        |  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+        |und AS (SELECT ida AS src, idb AS dst FROM edges
+        |  UNION ALL SELECT idb, ida FROM edges),
+        |reach AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
+        |canon AS (
+        |  SELECT d.doc_id,
+        |    LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS canonical_id
+        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |  GROUP BY d.doc_id),
+        |h AS (
+        |  SELECT doc_id, canonical_id, $xxhBucket AS bucket
+        |  FROM (${xxh64Nested("SELECT doc_id, canonical_id FROM canon",
+             "canonical_id")}))
+        |SELECT doc_id, canonical_id,
+        |  CASE WHEN bucket < 900000 THEN 0
+        |       WHEN bucket < 950000 THEN 1 ELSE 2 END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "dedup_resolve" ->
       """WITH RECURSIVE

@@ -74,6 +74,28 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D67: leakage-safe train/val/test split — the split real eval
+    * hygiene requires: hash the DEDUP CLUSTER's canonical id, not the
+    * doc id, so near-duplicates can never straddle train and test (a
+    * doc-id split leaks every paraphrase pair across the boundary and
+    * inflates eval scores — the memorization hole D19's
+    * decontamination can't see because the "test set" is in-corpus).
+    * Composes D17's resolution (the expensive plan, shared shape)
+    * with D25's seeded-hash projection on `canonical_id`; singleton
+    * docs are their own cluster, so the split marginals stay ≈
+    * 90/5/5.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = Dedup.similarityJoinEdges(docs, "text", "doc_id")
+    val canon = Dedup.connectedComponents(
+      edges, docs.select(col("doc_id").as("id")))
+    graft.operators.Resample
+      .splitByHash(canon, col("canonical_id"), Seq(0.9, 0.05, 0.05))
+      .select(col("id").as("doc_id"), col("canonical_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D17b: dedup-audit cluster-size distribution — how many duplicate
     * groups exist at each size (the first chart any dedup report
     * shows; a fat tail means boilerplate cliques). Composes the D17

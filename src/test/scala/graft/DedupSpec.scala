@@ -344,6 +344,26 @@ class DedupSpec extends AnyFunSuite {
       "LSH output must equal the exact jaccard >= 0.5 pair set")
   }
 
+  test("leakage-safe split: near-dup clusters never straddle splits") {
+    val rows = graft.queries.TextQueries.leakageSafeSplit(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == docs.count())
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= 2))
+    // every member of a cluster gets its cluster's split
+    rows.groupBy(_._2).foreach { case (c, xs) =>
+      assert(xs.map(_._3).distinct.length == 1,
+        s"cluster $c straddles splits: ${xs.toSeq}")
+    }
+    // and the planted near-dup pairs really do share clusters
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val splitOf = rows.map(r => r._1 -> r._3).toMap
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"near-dups $a/$b split apart")
+    }
+    assert(pairs.nonEmpty && rows.map(_._3).distinct.length > 1)
+  }
+
   test("dedupSourceMatrix rolls the pair set up by canonical source cell") {
     val srcOf = docs.select(col("doc_id"), col("source"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
