@@ -559,9 +559,14 @@ class PlanSpec extends AnyFunSuite {
     val df = graft.operators.MmrRetrieval
       .diversifyBruteForce(spark, q, c, k = 5, lambda = 0.5, poolSize = 20)
     df.collect()
-    val windows = flattenPlan(df.queryExecution.executedPlan)
-      .collect { case w: WindowExec => w }
-    assert(windows.nonEmpty, "expected the pool-cut ranked window")
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    val windows = nodes.collect { case w: WindowExec => w }
+    // with TopKRewrite installed (production posture) the rk<=pool
+    // idiom plans as the bounded-heap operator instead — either way,
+    // nothing may sort the corpus globally
+    val heap = nodes.exists(_.isInstanceOf[graft.plans.TopKPerGroupExec])
+    assert(windows.nonEmpty || heap,
+      "expected the pool-cut ranked window or its heap rewrite")
     windows.foreach(w => assert(w.partitionSpec.nonEmpty,
       s"pool window must partition by qid:\n$w"))
   }
