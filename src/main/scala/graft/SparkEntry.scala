@@ -69,8 +69,11 @@ object SparkEntry {
     "retrieval_quality_report" -> (VectorQueries.retrievalQualityReport _),
     "events_twap"        -> (WarehouseQueries.eventsTwap _),
     "k_anonymity_audit"  -> (TextQueries.kAnonymityAudit _),
+    "dp_noisy_counts"    -> (TextQueries.dpNoisyCounts _),
+    "doremi_mix"         -> (TextQueries.doremiMix _),
     "seed_distance"      -> (WarehouseQueries.seedDistance _),
     "shortest_paths"     -> (WarehouseQueries.shortestPathCost _),
+    "kcore_layers"       -> (WarehouseQueries.kcoreLayers _),
     "window_running_sum" -> (RelationalQueries.windowRunningSum _),
     "semi_join_exists"   -> (RelationalQueries.semiJoinExists _),
     "distinct_counts"    -> (RelationalQueries.distinctCounts _),
@@ -199,6 +202,7 @@ object SparkEntry {
     // §2.D12 — real media decode (BMP / WAV round-trip through the
     // batched BatchDecoder plumbing)
     "media_decode_image" -> (MultimodalQueries.mediaDecodeImage _),
+    "media_dedup_phash"  -> (MultimodalQueries.mediaDedupPhash _),
     "media_decode_audio" -> (MultimodalQueries.mediaDecodeAudio _),
   )
 
@@ -763,6 +767,47 @@ object SparkEntry {
        |SELECT id, dist FROM d$iters ORDER BY id""".stripMargin
   }
 
+  /** Unrolled peel-round CTE chain mirroring
+    * [[graft.operators.KCore.peelLayers]] round for round: each round
+    * recomputes degrees over the surviving edge set, removes nodes of
+    * degree < k (recording the 1-based round as the onion layer), and
+    * restricts the edge list to survivors. Peeling is confluent and
+    * monotone — all-integer degrees, synchronous schedule — so the
+    * unrolled chain is bit-identical to the distributed loop.
+    * MATERIALIZED on the per-round node/edge CTEs keeps the inlining
+    * linear (each is referenced twice downstream).
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val iterCtes = (1 to rounds).map { r =>
+      s"""g$r AS MATERIALIZED (SELECT n.id,
+         |    COALESCE(d.deg, 0) AS deg
+         |  FROM n${r - 1} n LEFT JOIN (
+         |    SELECT src, COUNT(*) AS deg FROM e${r - 1} GROUP BY src) d
+         |    ON d.src = n.id),
+         |rm$r AS (SELECT id FROM g$r WHERE deg < $k),
+         |n$r AS MATERIALIZED (SELECT id FROM g$r WHERE deg >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN n$r a ON e.src = a.id JOIN n$r b ON e.dst = b.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val layerArms = (1 to rounds).map { r =>
+      s"SELECT id, CAST($r AS INTEGER) AS peel_round, FALSE AS in_core FROM rm$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH cs AS (
+       |  SELECT o_custkey AS c, l_suppkey + 1000000 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE l_quantity >= 40
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT c AS src, s AS dst FROM cs
+       |  UNION SELECT s, c FROM cs),
+       |n0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0),
+       |$iterCtes
+       |$layerArms
+       |  UNION ALL SELECT id, CAST(NULL AS INTEGER), TRUE FROM n$rounds
+       |ORDER BY id""".stripMargin
+  }
+
   /** Stupid-backoff bigram cross-entropy CTE chain (mirrors
     * [[graft.operators.LanguageModel.crossEntropyBigram]] branch for
     * branch), shared by the `lm_bigram_cross_entropy` oracle and the
@@ -964,6 +1009,7 @@ object SparkEntry {
     "community_labels" -> lpaOracle(5),
     "seed_distance" -> bfsOracle(4),
     "shortest_paths" -> ssspOracle(4),
+    "kcore_layers" -> kcoreOracle(2, 9),
     "tfidf_search" -> tfidfOracle(
       graft.queries.WarehouseQueries.Bm25Terms, 50),
 
@@ -2513,6 +2559,74 @@ object SparkEntry {
         |  COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE)) AS cross_entropy
         |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // D69: DoReMi replayed exactly — per-doc CE is the ALREADY
+    // 6-dp-rounded D37 value lifted to integer micro-units (ROUND
+    // makes the double integer-valued, so the BIGINT cast is exact),
+    // per-domain mean is an integer //, and the 10-round
+    // exponentiated-gradient fold runs over a source-sorted list():
+    // list_reduce left-folds in list order = the operator's
+    // driver-side foldLeft in sorted-domain order, so only exp/÷
+    // ulps can drift — absorbed by the 6-dp weight rounding.
+    "doremi_mix" -> {
+      val rounds = (1 to 10).map { k =>
+        s"""r$k AS (
+           |  SELECT ds, ls, dn, lbar,
+           |    list_transform(a, x -> (1.0 - 0.01) * (x / s) + 0.01 / dn)
+           |      AS w
+           |  FROM (
+           |    SELECT ds, ls, dn, lbar, a,
+           |      list_reduce(a, (x, y) -> x + y) AS s
+           |    FROM (
+           |      SELECT ds, ls, dn, lbar,
+           |        list_transform(range(1, dn + 1),
+           |          i -> w[i] * exp(0.1 * greatest(0.0, ls[i] - lbar)))
+           |          AS a
+           |      FROM r${k - 1})))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+         |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 64),
+         |dnm AS (
+         |  SELECT CAST((SELECT SUM(c) FROM cnt)
+         |    + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS d),
+         |lp AS (
+         |  SELECT t.doc_id,
+         |    COALESCE(ln(CAST(tp.c + 1 AS DOUBLE) / d), ln(1.0 / d)) AS lnp
+         |  FROM tok t LEFT JOIN top tp USING (w), dnm),
+         |sc AS (SELECT doc_id, COUNT(*) AS nt, SUM(lnp) AS sl
+         |       FROM lp GROUP BY doc_id),
+         |ce AS (
+         |  SELECT d.source,
+         |    CAST(ROUND(COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS micro
+         |  FROM documents d LEFT JOIN sc USING (doc_id)),
+         |dom AS (
+         |  SELECT source AS domain, COUNT(*) AS n_docs,
+         |    CAST(SUM(micro) AS BIGINT) AS sm
+         |  FROM ce GROUP BY 1),
+         |base AS (
+         |  SELECT list(domain ORDER BY domain) AS ds,
+         |    list(CAST(sm // n_docs AS DOUBLE) / 1000000.0
+         |      ORDER BY domain) AS ls,
+         |    COUNT(*) AS dn,
+         |    CAST((SELECT CAST(SUM(sm) AS BIGINT)
+         |            // CAST(SUM(n_docs) AS BIGINT) FROM dom) AS DOUBLE)
+         |      / 1000000.0 AS lbar
+         |  FROM dom),
+         |r0 AS (
+         |  SELECT ds, ls, dn, lbar,
+         |    list_transform(ls, x -> 1.0 / dn) AS w
+         |  FROM base),
+         |$rounds
+         |SELECT d.domain, d.n_docs,
+         |  CAST(d.sm // d.n_docs AS BIGINT) AS mean_loss_micro,
+         |  ROUND(r.w[list_position(r.ds, d.domain)], 6) AS weight
+         |FROM dom d, r10 r
+         |ORDER BY d.domain""".stripMargin
+    },
+
     // Stupid-backoff bigram scoring: pair counts, the vocab cut, and
     // which branch each token takes (first / seen-pair / backoff) are
     // all exact-integer decisions, so both engines walk the same
@@ -3100,6 +3214,30 @@ object SparkEntry {
         |    AS at_risk
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // D68: the Laplace mechanism replayed bit for bit — dense release
+    // index over the sorted histogram, portable-XXH64 of the index,
+    // top 53 bits → uniform, inverse CDF → deviate; the one `ln` is
+    // absorbed by the 6-dp rounding both engines apply (the BM25/LM
+    // oracle argument).
+    "dp_noisy_counts" -> {
+      val inner = xxh64Nested(
+        """SELECT lang, source, n_true,
+          |  CAST(ROW_NUMBER() OVER (ORDER BY lang, source) AS BIGINT)
+          |    AS gid
+          |FROM (SELECT lang, source, COUNT(*) AS n_true
+          |      FROM documents GROUP BY 1, 2)""".stripMargin, "gid")
+      s"""WITH u AS (
+         |  SELECT lang, source, n_true,
+         |    (CAST(hout // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0
+         |      AS uu
+         |  FROM ($inner))
+         |SELECT lang, source, n_true,
+         |  ROUND(CAST(n_true AS DOUBLE) + CASE WHEN uu < 0.5
+         |    THEN 1.0 * ln(2.0 * uu)
+         |    ELSE -1.0 * ln(2.0 * (1.0 - uu)) END, 6) AS noisy_count
+         |FROM u ORDER BY lang, source""".stripMargin
+    },
+
     // D57: containment = c / min(na, nb) — one divide of exact
     // integers, bit-identical cross-engine; shingles are the D17
     // trigram definition verbatim.
@@ -3332,6 +3470,39 @@ object SparkEntry {
         |FROM documents d JOIN range(0, 35) AS i(i)
         |  ON i.i < (d.doc_id % 6 + 2)*(d.doc_id % 4 + 2)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // D70: the dHash fingerprints re-derived from the pixel-GENERATOR
+    // arithmetic (the D12 oracle pattern) — grayscale, gradient sign,
+    // 48-bit pack, 4×12-bit banding, xor+popcount verify: every step
+    // exact integers, so the pair set is bit-identical to the Spark
+    // side that got there by decoding real BMP bytes.
+    "media_dedup_phash" ->
+      """WITH hs AS (
+        |  SELECT d.doc_id, CAST(d.doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(d.doc_id % 4 + 2 AS INTEGER) AS h,
+        |    CAST(COALESCE(SUM(CASE WHEN
+        |      ((d.doc_id*7 + (i.i+1)*3) % 256 + (d.doc_id*11 + (i.i+1)*5) % 256
+        |        + (d.doc_id*13 + (i.i+1)*7) % 256) // 3
+        |      > ((d.doc_id*7 + i.i*3) % 256 + (d.doc_id*11 + i.i*5) % 256
+        |        + (d.doc_id*13 + i.i*7) % 256) // 3
+        |      THEN (CAST(1 AS BIGINT) << i.i)
+        |      ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS phash
+        |  FROM documents d JOIN range(0, 34) AS i(i)
+        |    ON i.i < (d.doc_id % 6 + 2)*(d.doc_id % 4 + 2) - 1
+        |  GROUP BY d.doc_id),
+        |bands AS (
+        |  SELECT doc_id, w, h, phash, b.b AS band,
+        |    (phash >> (b.b*12)) & 4095 AS bv
+        |  FROM hs JOIN range(0, 4) AS b(b) ON TRUE),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.phash AS ha, b.phash AS hb
+        |  FROM bands a JOIN bands b ON a.w = b.w AND a.h = b.h
+        |    AND a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "media_decode_audio" ->
       """SELECT d.doc_id,

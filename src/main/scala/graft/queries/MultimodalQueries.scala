@@ -74,6 +74,37 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D70: perceptual image near-dup pairs — each doc's synthetic
+    * image round-trips through the REAL BMP codec, the decoder emits
+    * the 48-bit dHash of the decoded pixels, and
+    * [[graft.operators.MediaDedup.phashPairs]] finds all pairs
+    * within Hamming distance 2 via the complete banded self-join
+    * (4 × 12-bit slices). The oracle recomputes the fingerprints
+    * from the pixel-generator arithmetic, so a hash match proves
+    * decode + fingerprint + banding end to end.
+    */
+  def mediaDedupPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, px) = synthImage(id)
+        (id, MediaCodecs.encodeBmp(w, h, px))
+      })
+      .toDF("doc_id", "media")
+    val hashes = Multimodal.extractFeatures(media,
+        decoder = MediaCodecs.BmpDHashDecoder)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        (element_at(col("features"), 3).cast("long") * lit(16777216L) +
+          element_at(col("features"), 4).cast("long")).as("phash"))
+    graft.operators.MediaDedup.phashPairs(hashes, "doc_id", "phash",
+        dimCols = Seq("width", "height"),
+        hashBits = 48, bandBits = 12, bands = 4, maxHamming = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** D12b: audio decode — real RIFF/PCM16 WAV round-trip through the
     * same plumbing, emitting per-clip sample stats.
     */

@@ -929,6 +929,34 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D68: differentially-private release of the per-(lang, source)
+    * document histogram — the Laplace mechanism with ε = 1 and the
+    * deterministic keyed-hash draw of
+    * [[graft.operators.DpRelease.noisyCounts]]. Complements the D59
+    * k-anonymity audit: that decides what may ship, this noises what
+    * does.
+    */
+  def dpNoisyCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DpRelease.noisyCounts(
+      Tables.documents(spark, dir), Seq("lang", "source"), epsilon = 1.0)
+      .orderBy(col("lang"), col("source"))
+
+  /** D69: DoReMi-style domain reweighting — the D37 unigram
+    * cross-entropy as the frozen loss snapshot, sources as mixture
+    * domains, 10 exponentiated-gradient rounds with uniform
+    * smoothing. See [[graft.operators.Doremi]].
+    */
+  def doremiMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Doremi, LanguageModel}
+    val docs = Tables.documents(spark, dir)
+    val lm = LanguageModel.train(docs, "text", topK = 64)
+    val scored = docs.select(col("source"),
+      LanguageModel.crossEntropy(col("text"), lm).as("ce"))
+    Doremi.domainWeights(scored, "source", "ce",
+        eta = 0.1, smoothing = 0.01, rounds = 10)
+      .orderBy(col("domain"))
+  }
+
   /** D57: containment near-dup pairs — the asymmetric partial-copy
     * detector (short doc pasted into a long one) Jaccard misses. See
     * [[graft.operators.Dedup.containmentJoinEdges]].

@@ -617,6 +617,33 @@ object WarehouseQueries {
       .orderBy(col("id"))
   }
 
+  /** C56: k-core decomposition with onion layers over the
+    * high-volume trade graph — customer–supplier pairs linked by ≥ 2
+    * lineitems of quantity ≥ 40 (the multiplicity filter sparsifies
+    * the bipartite graph enough that peeling cascades for several
+    * rounds instead of converging trivially). k = 2, 9 synchronous
+    * peel rounds ([[graft.operators.KCore]]); the cascade fixpoints
+    * at round 7 on the gate data, so the survivors are the exact
+    * 2-core and every peeled node carries its onion-layer index.
+    */
+  def kcoreLayers(spark: SparkSession, dir: String): DataFrame = {
+    val off = lit(1000000L)
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .where(col("l_quantity") >= 40)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("c"), (col("l_suppkey") + off).as("s"))
+      .agg(count(lit(1)).as("m"))
+      .where(col("m") >= 2)
+      .select(col("c"), col("s"))
+    val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+    graft.operators.KCore.peelLayers(edges, k = 2, rounds = 9)
+      .orderBy(col("id"))
+  }
+
   /** D46: TF-IDF cosine retrieval over the corpus, same query terms as
     * [[bm25Search]] so the two rankers are directly comparable (see
     * [[graft.operators.TextRank.tfidfTopK]] for the full-vocabulary-

@@ -274,6 +274,39 @@ object MediaCodecs {
       }
   }
 
+  /** Image decode → difference-hash features:
+    * `[width, height, dhash_hi24, dhash_lo24]`.
+    *
+    * dHash (the classic perceptual fingerprint: Krawetz's
+    * "difference hash") over the decoded pixels in row-major order:
+    * bit i is set iff `gray(i+1) > gray(i)` with integer grayscale
+    * `(r+g+b) DIV 3` — gradient SIGNS, so the fingerprint survives
+    * uniform brightness shifts that break exact byte hashes. The
+    * first 48 gradient bits are kept (i < 48); the hash travels as
+    * two ≤24-bit halves because the feature lane is Float and floats
+    * carry only 24 exact integer bits — callers reassemble
+    * `hi · 2²⁴ + lo`.
+    */
+  object BmpDHashDecoder extends Multimodal.BatchDecoder {
+    def decode(ids: Array[Long], payloads: Array[Array[Byte]]): Array[Array[Float]] =
+      payloads.map { bytes =>
+        val (w, h, px) = decodeBmp(bytes)
+        def gray(i: Int): Int = {
+          val p = px(i)
+          (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        }
+        var hash = 0L
+        var i = 0
+        val n = math.min(px.length - 1, 48)
+        while (i < n) {
+          if (gray(i + 1) > gray(i)) hash |= (1L << i)
+          i += 1
+        }
+        Array(w.toFloat, h.toFloat,
+          (hash >>> 24).toFloat, (hash & 0xffffff).toFloat)
+      }
+  }
+
   /** Audio decode → stats features:
     * `[sample_rate, channels, n_samples, sum_amp, peak_amp]`.
     */

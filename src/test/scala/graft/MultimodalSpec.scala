@@ -245,4 +245,70 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(viaSql == ref)
   }
+
+  test("dHash + banded Hamming join: hand fixtures, completeness vs brute force, dims block") {
+    import spark.implicits._
+    import graft.sources.MediaCodecs
+    import graft.operators.MediaDedup
+    // base image 3x3 with a clear gradient; variants flip few pixels
+    def img(bright: Int, tweak: Map[Int, Int] = Map.empty): Array[Int] =
+      Array.tabulate(9) { i =>
+        val v = math.min(255, math.max(0,
+          tweak.getOrElse(i, i * 20 + bright)))
+        (v << 16) | (v << 8) | v
+      }
+    def dhash(px: Array[Int]): Long = {
+      def gray(p: Int) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+      (0 until math.min(px.length - 1, 48)).foldLeft(0L) { (h, i) =>
+        if (gray(px(i + 1)) > gray(px(i))) h | (1L << i) else h
+      }
+    }
+    // brightness shift leaves every gradient sign intact -> hamming 0
+    assert(dhash(img(0)) == dhash(img(30)), "dHash is brightness-invariant")
+    val imgs = Seq(
+      1L -> img(0),               // base
+      2L -> img(40),              // brightness shift: hamming 0 vs 1
+      3L -> img(0, Map(4 -> 0)),  // one pixel crushed: small hamming
+      4L -> img(0).reverse)       // reversed gradient: far
+    val decoded = imgs.map { case (id, px) =>
+      val feats = MediaCodecs.BmpDHashDecoder.decode(Array(id),
+        Array(MediaCodecs.encodeBmp(3, 3, px)))(0)
+      (id, feats(0).toInt, feats(1).toInt,
+        feats(2).toLong * 16777216L + feats(3).toLong)
+    }
+    // decoder path == direct-pixel dHash (proves the BMP round-trip)
+    decoded.foreach { case (id, w, h, ph) =>
+      assert((w, h) == (3, 3))
+      assert(ph == dhash(imgs.find(_._1 == id).get._2), s"id $id")
+    }
+    val hashes = decoded.toDF("doc_id", "width", "height", "phash")
+    val got = MediaDedup.phashPairs(hashes, "doc_id", "phash",
+        maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over all pairs
+    val want = (for {
+      Seq((ia, _, _, ha), (ib, _, _, hb)) <- decoded.combinations(2)
+      hd = java.lang.Long.bitCount(ha ^ hb) if hd <= 2
+    } yield (math.min(ia, ib), math.max(ia, ib), hd)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(got.contains((1L, 2L, 0)), "brightness twin found at hamming 0")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L),
+      "reversed gradient stays unpaired")
+    // different dimensions never pair even at hamming 0
+    val other = (decoded :+ ((5L, 2, 2, decoded.head._4)))
+      .toDF("doc_id", "width", "height", "phash")
+    val got2 = MediaDedup.phashPairs(other, "doc_id", "phash",
+        maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got2.exists(p => p._1 == 5L || p._2 == 5L))
+    // guards
+    assertThrows[IllegalArgumentException] {
+      MediaDedup.phashPairs(hashes, "doc_id", "phash",
+        bands = 2, maxHamming = 2)
+    }
+    assertThrows[IllegalArgumentException] {
+      MediaDedup.phashPairs(hashes, "doc_id", "phash",
+        hashBits = 64, bandBits = 12, bands = 4)
+    }
+  }
 }

@@ -852,4 +852,90 @@ class OperatorsSpec extends AnyFunSuite {
     val d1 = rows.find(_._1 == 1L).get
     assert(d1._2.contains(1) && d1._3.isEmpty)
   }
+
+  test("DpRelease: deterministic Laplace draws, exact 1/ε scaling, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.DpRelease
+    val df = (1 to 300).map { i =>
+      (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c",
+        s"g${i % 5}")
+    }.toDF("id", "k1", "k2")
+    val out = DpRelease.noisyCounts(df, Seq("k1", "k2"), epsilon = 1.0)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 15, "3×5 released groups")
+    // counts exact; noise bounded away from silly magnitudes at ε=1
+    // (|Lap(1)| < 37 with prob 1−2e−37; a blowup means the inverse
+    // CDF is wrong)
+    out.foreach { case (_, _, n, noisy) =>
+      assert(n == 20L)
+      assert(math.abs(noisy - n) < 37.0, s"noise blowup: $noisy vs $n")
+    }
+    // noise actually varies across groups (u is keyed per group)
+    assert(out.map(o => o._4 - o._3).distinct.length > 10)
+    // determinism + partition invariance
+    val re = DpRelease.noisyCounts(df.repartition(7), Seq("k1", "k2"), 1.0)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(re.sortBy(o => (o._1, o._2)).toSeq ==
+      out.sortBy(o => (o._1, o._2)).toSeq)
+    // same u ⇒ noise scales exactly 1/ε: ε = 0.5 doubles every deviate
+    val half = DpRelease.noisyCounts(df, Seq("k1", "k2"), epsilon = 0.5)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3) - r.getLong(2)))
+      .toMap
+    val one = out.map(o => ((o._1, o._2), o._4 - o._3)).toMap
+    one.foreach { case (k, nz) =>
+      assert(math.abs(half(k) - 2.0 * nz) < 1e-5,
+        s"$k: ${half(k)} vs ${2.0 * nz}")
+    }
+  }
+
+  test("Doremi: uniform losses stay uniform, worst domain gains, weights sum to 1, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.Doremi
+    // three domains with well-separated mean losses
+    val scored = (
+      (1 to 40).map(i => ("low", 1.000001)) ++
+      (1 to 40).map(i => ("mid", 3.500002)) ++
+      (1 to 20).map(i => ("high", 6.000003))).toDF("dom", "ce")
+    val out = Doremi.domainWeights(scored, "dom", "ce",
+        eta = 0.1, smoothing = 0.01, rounds = 10)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out("low")._1 == 40 && out("high")._1 == 20)
+    assert(out("low")._2 == 1000001L && out("mid")._2 == 3500002L &&
+      out("high")._2 == 6000003L, s"micro means: $out")
+    // driver reference of the same fold
+    val doms = Seq("high", "low", "mid") // sorted order
+    val losses = Map("low" -> 1.000001, "mid" -> 3.500002, "high" -> 6.000003)
+    val lbar = Math.floorDiv(
+      40L * 1000001L + 40L * 3500002L + 20L * 6000003L, 100L) / 1e6
+    var w = Map("low" -> 1.0 / 3, "mid" -> 1.0 / 3, "high" -> 1.0 / 3)
+    (1 to 10).foreach { _ =>
+      val a = doms.map(d => d -> w(d) * math.exp(0.1 * math.max(0.0, losses(d) - lbar)))
+      val s = a.map(_._2).foldLeft(0.0)(_ + _)
+      w = a.map { case (d, ai) => d -> (0.99 * (ai / s) + 0.01 / 3) }.toMap
+    }
+    doms.foreach { d =>
+      val want = BigDecimal(w(d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(out(d)._3 - want) < 1e-9, s"$d: ${out(d)._3} vs $want")
+    }
+    assert(out("high")._3 > out("mid")._3 && out("mid")._3 > out("low")._3,
+      "worse loss ⇒ bigger weight")
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-4)
+    // uniform losses ⇒ weights stay uniform (excess = 0 everywhere)
+    val flat = (1 to 30).map(i => (s"d${i % 3}", 2.0)).toDF("dom", "ce")
+    val fw = Doremi.domainWeights(flat, "dom", "ce").collect()
+      .map(_.getDouble(3))
+    assert(fw.forall(x => math.abs(x - 1.0 / 3) < 1e-6))
+    // partition invariance (exact-integer aggregation + driver fold)
+    val re = Doremi.domainWeights(scored.repartition(13), "dom", "ce",
+        eta = 0.1, smoothing = 0.01, rounds = 10)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    doms.foreach(d => assert(re(d) == out(d)._3))
+  }
 }

@@ -818,6 +818,47 @@ class WarehouseSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("kcore: onion layers match driver peeling, core exact, fixpoint idempotent") {
+    import spark.implicits._
+    import graft.operators.KCore
+    // square {10,11,12,13} (the 2-core) with a chain 1-2-3-10 hanging
+    // off it and a pendant 14 on the square: peeling at k=2 removes
+    // 1 (deg 1) and 14 in round 1, then 2 in round 2, then 3 in
+    // round 3; the square survives as the exact 2-core.
+    val und = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L),
+      (1L, 2L), (2L, 3L), (3L, 10L), (10L, 14L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = KCore.peelLayers(edges, k = 2, rounds = 6)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getBoolean(2)))
+      .toMap
+    val want = Map(
+      1L -> (Some(1), false), 14L -> (Some(1), false),
+      2L -> (Some(2), false), 3L -> (Some(3), false),
+      10L -> (None, true), 11L -> (None, true),
+      12L -> (None, true), 13L -> (None, true))
+    assert(got == want, s"got $got want $want")
+    // extra rounds past the fixpoint are the identity
+    val more = KCore.peelLayers(edges, k = 2, rounds = 9)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getBoolean(2)))
+      .toMap
+    assert(more == got, "idempotent past fixpoint")
+    // k above the max degree peels everything in one round
+    val all = KCore.peelLayers(edges, k = 10, rounds = 3).collect()
+    assert(all.forall(r => r.getInt(1) == 1 && !r.getBoolean(2)))
+    // exact integers => partition-invariant
+    val re = KCore.peelLayers(edges.repartition(5), k = 2, rounds = 6)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getBoolean(2)))
+      .toMap
+    assert(re == got)
+  }
+
   test("seedDistance: BFS hops from a seed set, unreached -1, horizon respected") {
     import spark.implicits._
     import graft.operators.Centrality
