@@ -71,6 +71,7 @@ object SparkEntry {
     "k_anonymity_audit"  -> (TextQueries.kAnonymityAudit _),
     "dp_noisy_counts"    -> (TextQueries.dpNoisyCounts _),
     "doremi_mix"         -> (TextQueries.doremiMix _),
+    "quality_fusion"     -> (TextQueries.qualityFusion _),
     "seed_distance"      -> (WarehouseQueries.seedDistance _),
     "shortest_paths"     -> (WarehouseQueries.shortestPathCost _),
     "kcore_layers"       -> (WarehouseQueries.kcoreLayers _),
@@ -203,6 +204,7 @@ object SparkEntry {
     // batched BatchDecoder plumbing)
     "media_decode_image" -> (MultimodalQueries.mediaDecodeImage _),
     "media_dedup_phash"  -> (MultimodalQueries.mediaDedupPhash _),
+    "media_dedup_audio"  -> (MultimodalQueries.mediaDedupAudio _),
     "media_decode_audio" -> (MultimodalQueries.mediaDecodeAudio _),
   )
 
@@ -3238,6 +3240,80 @@ object SparkEntry {
          |FROM u ORDER BY lang, source""".stripMargin
     },
 
+    // D71: reciprocal-rank fusion over three quality legs. Each leg
+    // signal reuses an oracle-proven expression tree (D14 composite,
+    // D37 CE, D29 trigram dup-frac) — bit-exact values, so the
+    // per-lang doc_id-tiebroken rank cuts cannot diverge; the fused
+    // sum is three fixed-order correctly-rounded terms, ordered on
+    // the ROUNDED value like the D59 fusion.
+    "quality_fusion" -> {
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    0.4 * least(CAST(len(tk) AS DOUBLE) / 64.0, 1.0)
+         |    + 0.4 * (CAST(len(list_distinct(tk)) AS DOUBLE)
+         |             / CAST(len(tk) AS DOUBLE))
+         |    + 0.2 * least((CAST(len(list_filter(tk, x -> list_contains(
+         |        ['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+         |        / CAST(len(tk) AS DOUBLE)) * 8.0, 1.0) AS quality
+         |  FROM t),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+         |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 64),
+         |dnm AS (
+         |  SELECT CAST((SELECT SUM(c) FROM cnt)
+         |    + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS d),
+         |lp AS (
+         |  SELECT t2.doc_id,
+         |    COALESCE(ln(CAST(tp.c + 1 AS DOUBLE) / d), ln(1.0 / d)) AS lnp
+         |  FROM tok t2 LEFT JOIN top tp USING (w), dnm),
+         |sc AS (SELECT doc_id, COUNT(*) AS nt, SUM(lnp) AS sl
+         |       FROM lp GROUP BY doc_id),
+         |ce AS (
+         |  SELECT t.doc_id, t.lang,
+         |    COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE)) AS ce
+         |  FROM t LEFT JOIN sc USING (doc_id)),
+         |tg AS (
+         |  SELECT doc_id, lang,
+         |    list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g
+         |  FROM t),
+         |rep AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN len(g) = 0 THEN 0.0
+         |         ELSE CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+         |              / CAST(len(g) AS DOUBLE) END AS rep
+         |  FROM tg),
+         |lq AS (
+         |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY quality DESC, doc_id) AS INTEGER) AS rq
+         |  FROM q QUALIFY rq <= 100),
+         |lc AS (
+         |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY ce ASC, doc_id) AS INTEGER) AS rc
+         |  FROM ce QUALIFY rc <= 100),
+         |lr AS (
+         |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY rep ASC, doc_id) AS INTEGER) AS rr
+         |  FROM rep QUALIFY rr <= 100),
+         |f AS (
+         |  SELECT lang, doc_id, rq, rc, rr,
+         |    ROUND(COALESCE(1.0 / (60.0 + rq), 0.0)
+         |      + COALESCE(1.0 / (60.0 + rc), 0.0)
+         |      + COALESCE(1.0 / (60.0 + rr), 0.0), 9) AS fused
+         |  FROM lq FULL OUTER JOIN lc USING (lang, doc_id)
+         |    FULL OUTER JOIN lr USING (lang, doc_id))
+         |SELECT lang, doc_id, rq, rc, rr, fused,
+         |  CAST(rk AS INTEGER) AS rk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+         |  ORDER BY fused DESC, doc_id) AS rk FROM f)
+         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+    },
+
     // D57: containment = c / min(na, nb) — one divide of exact
     // integers, bit-identical cross-engine; shingles are the D17
     // trigram definition verbatim.
@@ -3498,6 +3574,37 @@ object SparkEntry {
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |    a.phash AS ha, b.phash AS hb
         |  FROM bands a JOIN bands b ON a.w = b.w AND a.h = b.h
+        |    AND a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // D70b: the audio contour hash from the sample-GENERATOR
+    // arithmetic — the ±2000 offset cancels in the comparison, so the
+    // oracle compares raw mod values; banding/popcount identical to
+    // the image oracle.
+    "media_dedup_audio" ->
+      """WITH hs AS (
+        |  SELECT d.doc_id,
+        |    CAST(8000 + (d.doc_id % 8)*1000 AS INTEGER) AS sr,
+        |    CAST(d.doc_id % 24 + 4 AS INTEGER) AS ns,
+        |    CAST(COALESCE(SUM(CASE WHEN
+        |      (d.doc_id*131 + (i.i+1)*17) % 4001
+        |        > (d.doc_id*131 + i.i*17) % 4001
+        |      THEN (CAST(1 AS BIGINT) << i.i)
+        |      ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS phash
+        |  FROM documents d JOIN range(0, 27) AS i(i)
+        |    ON i.i < d.doc_id % 24 + 3
+        |  GROUP BY d.doc_id),
+        |bands AS (
+        |  SELECT doc_id, sr, ns, phash, b.b AS band,
+        |    (phash >> (b.b*12)) & 4095 AS bv
+        |  FROM hs JOIN range(0, 4) AS b(b) ON TRUE),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.phash AS ha, b.phash AS hb
+        |  FROM bands a JOIN bands b ON a.sr = b.sr AND a.ns = b.ns
         |    AND a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b,
         |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming

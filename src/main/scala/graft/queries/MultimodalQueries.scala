@@ -105,6 +105,33 @@ object MultimodalQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** D70b: perceptual audio near-dup pairs — the [[mediaDedupPhash]]
+    * recipe on the PCM amplitude contour: real WAV round-trip, sign-
+    * of-slope dHash of the decoded samples, complete banded Hamming
+    * join blocked on (sample_rate, n_samples).
+    */
+  def mediaDedupAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (rate, samples) = synthAudio(id)
+        (id, MediaCodecs.encodeWavPcm16(rate, 1, samples))
+      })
+      .toDF("doc_id", "media")
+    val hashes = Multimodal.extractFeatures(media,
+        decoder = MediaCodecs.WavDHashDecoder)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("sample_rate"),
+        element_at(col("features"), 2).cast("int").as("n_samples"),
+        (element_at(col("features"), 3).cast("long") * lit(16777216L) +
+          element_at(col("features"), 4).cast("long")).as("phash"))
+    graft.operators.MediaDedup.phashPairs(hashes, "doc_id", "phash",
+        dimCols = Seq("sample_rate", "n_samples"),
+        hashBits = 48, bandBits = 12, bands = 4, maxHamming = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** D12b: audio decode — real RIFF/PCM16 WAV round-trip through the
     * same plumbing, emitting per-clip sample stats.
     */

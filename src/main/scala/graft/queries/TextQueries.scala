@@ -957,6 +957,57 @@ object TextQueries {
       .orderBy(col("domain"))
   }
 
+  /** D71: multi-signal quality fusion — the per-language curation
+    * shortlist fused from three independent quality signals (D14
+    * composite score, D37 LM cross-entropy, D29 trigram repetition)
+    * by reciprocal-rank fusion, the D59 retrieval recipe turned on
+    * quality legs. A doc must rank well on SEVERAL signals to
+    * surface; one noisy signal can't admit garbage (FineWeb-style
+    * signal ensembling).
+    *
+    * Scale shape: each leg is the `row_number ≤ k` idiom, which the
+    * injected TopKRewrite rule executes as a bounded heap — the
+    * corpus is scanned, never per-language SORTED; everything after
+    * the legs operates on ≤ 3·k·|langs| rows.
+    */
+  def qualityFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.LanguageModel
+    val docs = Tables.documents(spark, dir)
+    val lm = LanguageModel.train(docs, "text", topK = 64)
+    val tg = TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      LanguageModel.crossEntropy(col("text"), lm).as("ce"),
+      when(size(tg) === 0, 0.0)
+        .otherwise((size(tg) - size(array_distinct(tg)))
+          .cast("double") / size(tg).cast("double")).as("rep"))
+    def leg(ord: Seq[org.apache.spark.sql.Column], name: String): DataFrame = {
+      val w = Window.partitionBy(col("lang")).orderBy(ord: _*)
+      scored.select(col("lang"), col("doc_id"),
+          row_number().over(w).as(name))
+        .filter(col(name) <= 100)
+    }
+    val lq = leg(Seq(col("quality").desc, col("doc_id")), "rq")
+    val lc = leg(Seq(col("ce").asc, col("doc_id")), "rc")
+    val lr = leg(Seq(col("rep").asc, col("doc_id")), "rr")
+    val fusedCol =
+      coalesce(lit(1.0) / (lit(60.0) + col("rq")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60.0) + col("rc")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60.0) + col("rr")), lit(0.0))
+    val fused = lq
+      .join(lc, Seq("lang", "doc_id"), "full_outer")
+      .join(lr, Seq("lang", "doc_id"), "full_outer")
+      .withColumn("fused", round(fusedCol, 9))
+    val wf = Window.partitionBy(col("lang"))
+      .orderBy(col("fused").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("doc_id"), col("rq"), col("rc"),
+        col("rr"), col("fused"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** D57: containment near-dup pairs — the asymmetric partial-copy
     * detector (short doc pasted into a long one) Jaccard misses. See
     * [[graft.operators.Dedup.containmentJoinEdges]].

@@ -307,6 +307,29 @@ object MediaCodecs {
       }
   }
 
+  /** Audio decode → difference-hash features:
+    * `[sample_rate, n_samples, dhash_hi24, dhash_lo24]` — the
+    * [[BmpDHashDecoder]] recipe on the PCM amplitude contour: bit i
+    * is set iff `sample(i+1) > sample(i)` (first 48 deltas). The
+    * sign-of-slope contour survives uniform gain changes the way the
+    * image hash survives brightness shifts.
+    */
+  object WavDHashDecoder extends Multimodal.BatchDecoder {
+    def decode(ids: Array[Long], payloads: Array[Array[Byte]]): Array[Array[Float]] =
+      payloads.map { bytes =>
+        val wav = decodeWavPcm16(bytes)
+        var hash = 0L
+        var i = 0
+        val n = math.min(wav.samples.length - 1, 48)
+        while (i < n) {
+          if (wav.samples(i + 1) > wav.samples(i)) hash |= (1L << i)
+          i += 1
+        }
+        Array(wav.sampleRate.toFloat, wav.samples.length.toFloat,
+          (hash >>> 24).toFloat, (hash & 0xffffff).toFloat)
+      }
+  }
+
   /** Audio decode → stats features:
     * `[sample_rate, channels, n_samples, sum_amp, peak_amp]`.
     */

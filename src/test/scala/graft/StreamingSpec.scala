@@ -953,4 +953,37 @@ class StreamingSpec extends AnyFunSuite {
       got.valuesIterator.exists(!_),
       "sf fixture should contain both verdicts")
   }
+
+  test("streaming DP release equals the batch twin bit-for-bit; noise keyed per cell") {
+    import graft.streaming.StreamingDp
+    val stream = graft.streaming.EventsStream.readEvents(spark, sfDir)
+    val q = StreamingDp.windowedNoisyCounts(stream, epsilon = 1.0)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dp_out").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("dp_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+    } finally q.stop()
+    val want = StreamingDp.windowedNoisyCounts(
+        graft.sources.Tables.events(spark, sfDir), epsilon = 1.0)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want, "stream must equal the batch twin exactly")
+    assert(got.nonEmpty)
+    // noise is keyed per (window, type) cell: deviates differ across
+    // cells, and every |deviate| stays in the Lap(1) plausibility band
+    val devs = got.toSeq.map(t => t._4 - t._3)
+    assert(devs.distinct.length > math.max(1, devs.length / 2))
+    assert(devs.forall(d => math.abs(d) < 37.0))
+    // tighter ε ⇒ the SAME cell's deviate scales exactly by 1/ε
+    val half = StreamingDp.windowedNoisyCounts(
+        graft.sources.Tables.events(spark, sfDir), epsilon = 0.5)
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)),
+        r.getDouble(3) - r.getLong(2))).toMap
+    val one = got.map(t => ((t._1, t._2), t._4 - t._3)).toMap
+    one.foreach { case (k, d) =>
+      assert(math.abs(half(k) - 2.0 * d) < 1e-5) }
+  }
 }
