@@ -75,6 +75,7 @@ object SparkEntry {
     "seed_distance"      -> (WarehouseQueries.seedDistance _),
     "shortest_paths"     -> (WarehouseQueries.shortestPathCost _),
     "kcore_layers"       -> (WarehouseQueries.kcoreLayers _),
+    "markov_attribution" -> (WarehouseQueries.markovAttribution _),
     "window_running_sum" -> (RelationalQueries.windowRunningSum _),
     "semi_join_exists"   -> (RelationalQueries.semiJoinExists _),
     "distinct_counts"    -> (RelationalQueries.distinctCounts _),
@@ -810,6 +811,93 @@ object SparkEntry {
        |ORDER BY id""".stripMargin
   }
 
+  /** Markov removal-effect attribution oracle: journey extraction
+    * (rank + first-conversion cut + lead under the same (ts,
+    * event_id) total order), the transition matrix pivoted into ONE
+    * row, and the integer absorption fixed point unrolled per
+    * variant — `full` plus one knockout per channel, where knocking
+    * out c is just computing with `p(c) ≡ 0` (mirrors
+    * [[graft.operators.Attribution]] term for term; all-integer, so
+    * hash-exact).
+    */
+  private def markovOracle(iterations: Int): String = {
+    val chans = Seq("click", "error", "signup", "view")
+    val srcs = "start" +: chans
+    def variant(name: String, dead: Option[String]): String = {
+      val live = srcs.filterNot(dead.contains)
+      val zeros = live.map(v => s"CAST(0 AS BIGINT) AS p_$v").mkString(", ")
+      val iters = (1 to iterations).map { k =>
+        val exprs = live.map { v =>
+          val terms = chans.filterNot(dead.contains)
+            .map(u => s"c_${v}_$u * p_$u") :+ s"c_${v}_conv * 1000000000"
+          s"CASE WHEN tot_$v = 0 THEN CAST(0 AS BIGINT) " +
+            s"ELSE (${terms.mkString(" + ")}) // tot_$v END AS p_$v"
+        }.mkString(",\n    ")
+        s"p${k}_$name AS (SELECT $exprs FROM m, p${k - 1}_$name)"
+      }
+      (s"p0_$name AS (SELECT $zeros)" +: iters).mkString(",\n")
+    }
+    val variants = variant("full", None) +: chans.map(c => variant(c, Some(c)))
+    val mCols = (
+      (for { s <- srcs; d <- chans :+ "conv" } yield {
+        val sLit = if (s == "start") "__START__" else s
+        val dLit = if (d == "conv") "__CONV__" else d
+        s"CAST(COALESCE(SUM(CASE WHEN src = '$sLit' AND dst = '$dLit' " +
+          s"THEN n END), 0) AS BIGINT) AS c_${s}_$d"
+      }) ++ srcs.map { s =>
+        val sLit = if (s == "start") "__START__" else s
+        s"CAST(COALESCE(SUM(CASE WHEN src = '$sLit' THEN n END), 0) " +
+          s"AS BIGINT) AS tot_$s"
+      }).mkString(",\n    ")
+    val remCols = chans.map(c =>
+      s"GREATEST(CAST(0 AS BIGINT), (SELECT p_start FROM p${iterations}_full)" +
+        s" - (SELECT p_start FROM p${iterations}_$c)) AS r_$c")
+      .mkString(",\n    ")
+    val arms = chans.map(c =>
+      s"""SELECT '$c' AS channel, r_$c AS removal_micro,
+         |  CASE WHEN rt = 0 THEN 0.0
+         |       ELSE ROUND(CAST(r_$c AS DOUBLE) / CAST(rt AS DOUBLE), 6)
+         |  END AS share FROM rem""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type AS t,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |fc AS (SELECT user_id, MIN(rn) AS cut FROM ev
+       |  WHERE t = 'purchase' GROUP BY user_id),
+       |kept AS (SELECT ev.user_id, ev.t, ev.rn
+       |  FROM ev LEFT JOIN fc USING (user_id)
+       |  WHERE cut IS NULL OR rn <= cut),
+       |nx AS (SELECT user_id, t, rn,
+       |  lead(t) OVER (PARTITION BY user_id ORDER BY rn) AS nxt FROM kept),
+       |steps AS (
+       |  SELECT t AS src,
+       |    CASE WHEN nxt IS NULL THEN
+       |           CASE WHEN t = 'purchase' THEN NULL ELSE '__NULL__' END
+       |         WHEN nxt = 'purchase' THEN '__CONV__'
+       |         ELSE nxt END AS dst
+       |  FROM nx WHERE t != 'purchase'),
+       |starts AS (
+       |  SELECT '__START__' AS src,
+       |    CASE WHEN t = 'purchase' THEN '__CONV__' ELSE t END AS dst
+       |  FROM kept WHERE rn = 1),
+       |tr AS (SELECT src, dst, COUNT(*) AS n FROM (
+       |  SELECT * FROM starts UNION ALL SELECT * FROM steps)
+       |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |m AS (SELECT
+       |    $mCols
+       |  FROM tr),
+       |${variants.mkString(",\n")},
+       |rem AS (SELECT *, r_click + r_error + r_signup + r_view AS rt
+       |  FROM (SELECT
+       |    $remCols)),
+       |res AS (
+       |  $arms)
+       |SELECT channel, removal_micro, share FROM res
+       |ORDER BY channel""".stripMargin
+  }
+
   /** Stupid-backoff bigram cross-entropy CTE chain (mirrors
     * [[graft.operators.LanguageModel.crossEntropyBigram]] branch for
     * branch), shared by the `lm_bigram_cross_entropy` oracle and the
@@ -1012,6 +1100,7 @@ object SparkEntry {
     "seed_distance" -> bfsOracle(4),
     "shortest_paths" -> ssspOracle(4),
     "kcore_layers" -> kcoreOracle(2, 9),
+    "markov_attribution" -> markovOracle(12),
     "tfidf_search" -> tfidfOracle(
       graft.queries.WarehouseQueries.Bm25Terms, 50),
 

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Markov-chain removal-effect attribution (SURVEY §2.C57).
+  *
+  * The data-driven alternative to first/last-touch rules (C21/E18's
+  * funnels): model user journeys as a first-order Markov chain over
+  * channels with absorbing CONVERSION/DROP states, then credit each
+  * channel by its REMOVAL EFFECT (Anderl et al. 2014) — how much the
+  * chain's conversion probability falls when that channel is knocked
+  * out. A channel that merely appears in many converting paths but
+  * is always bypassable earns little; a channel every converting
+  * path must traverse earns most.
+  *
+  * Removal is evaluated WITHOUT rebuilding the chain: knocking out
+  * channel c is exactly the full-chain absorption iteration with
+  * `p(c) ≡ 0` (transitions into c then contribute nothing, which is
+  * the "entering c fails the journey" semantics), so one transition
+  * matrix serves every variant.
+  *
+  * Determinism — journeys cut at the FIRST conversion under a total
+  * per-user order (ts, then a caller tiebreak), so path extraction
+  * is order-unambiguous; the absorption fixed point runs in integer
+  * micro-units (`(Σ c(v,u)·p(u) + c(v,CONV)·SCALE) DIV total(v)`,
+  * monotone non-decreasing from p₀ = 0, every step exact), so a
+  * fixed iteration count is engine-independent and the DuckDB
+  * oracle unrolls it with the identical integer arithmetic.
+  *
+  * Scale shape — the corpus-sized work is ONE per-user window pass
+  * (rank + lead over (user, ts); per-user partitions, never global)
+  * and one partial-agg'd `groupBy(src, dst)` whose output is the
+  * transition matrix: ≤ (|channels|+1)·(|channels|+2) rows,
+  * aggregate-sized by construction. The fixed point then runs on
+  * that matrix driver-side (the Resample/Doremi state bound:
+  * |channels| rows, not data). No corpus-sized collect.
+  */
+object Attribution {
+
+  val Scale = 1000000000L
+  val StartState = "__START__"
+  val ConvState = "__CONV__"
+  val NullState = "__NULL__"
+
+  /** Per-journey transition extraction: one row per (src, dst) pair
+    * with counts. Exposed for tests.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  tieCol: String, typeCol: String,
+                  convType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val ranked = events.select(col(userCol).as("u"),
+        col(typeCol).as("t"), row_number().over(w).as("rn"))
+    // journey = events up to and including the FIRST conversion
+    val firstConv = ranked.where(col("t") === convType)
+      .groupBy(col("u")).agg(min(col("rn")).as("cut"))
+    val kept = ranked.join(firstConv, Seq("u"), "left")
+      .where(col("cut").isNull || col("rn") <= col("cut"))
+    val w2 = Window.partitionBy(col("u")).orderBy(col("rn"))
+    val withNext = kept.withColumn("nxt", lead(col("t"), 1).over(w2))
+    // src = the transient state; dst folds the absorbers in
+    val stepDst = when(col("nxt").isNull,
+        when(col("t") === convType, lit(null)).otherwise(lit(NullState)))
+      .otherwise(when(col("nxt") === convType, lit(ConvState))
+        .otherwise(col("nxt")))
+    val steps = withNext
+      .where(col("t") =!= convType) // the conversion row emits nothing
+      .select(col("t").as("src"), stepDst.as("dst"))
+      .where(col("dst").isNotNull)
+    val starts = kept.where(col("rn") === 1)
+      .select(lit(StartState).as("src"),
+        when(col("t") === convType, lit(ConvState)).otherwise(col("t"))
+          .as("dst"))
+    starts.unionAll(steps)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+  }
+
+  /** The integer absorption fixed point over a collected matrix.
+    * `dead` states are treated as knocked out (p ≡ 0).
+    */
+  private def absorb(counts: Map[(String, String), Long],
+                     transients: Seq[String], iterations: Int,
+                     dead: Set[String]): Map[String, Long] = {
+    val live = transients.filterNot(dead)
+    val tot = transients.map { v =>
+      v -> counts.collect { case ((s, _), n) if s == v => n }.sum
+    }.toMap
+    var p = live.map(_ -> 0L).toMap
+    var it = 0
+    while (it < iterations) {
+      p = live.map { v =>
+        val inflow = live.foldLeft(0L) { (acc, u) =>
+          acc + counts.getOrElse((v, u), 0L) * p(u)
+        } + counts.getOrElse((v, ConvState), 0L) * Scale
+        v -> (if (tot(v) == 0L) 0L else inflow / tot(v))
+      }.toMap
+      it += 1
+    }
+    p
+  }
+
+  /** Removal-effect attribution over user journeys.
+    *
+    * @return one row per channel (non-conversion event type):
+    *         (channel, removal_micro, share) — `removal_micro` the
+    *         integer micro-unit conversion-probability drop when the
+    *         channel is knocked out, `share` the 6-dp normalized
+    *         attribution (0.0 everywhere if no removal bites).
+    */
+  def markovRemoval(events: DataFrame, userCol: String, tsCol: String,
+                    tieCol: String, typeCol: String, convType: String,
+                    iterations: Int = 12,
+                    channelsHint: Option[Seq[String]] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val spark = events.sparkSession
+    val tm = transitions(events, userCol, tsCol, tieCol, typeCol, convType)
+    // aggregate-sized collect: the transition matrix
+    val counts = tm.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // channels: from the hint (a fixed vocabulary keeps the output —
+    // and the oracle — stable even when a channel is absent at a
+    // given sf) or observed from the matrix
+    val channels = channelsHint.map(_.distinct.sorted).getOrElse(
+      counts.keysIterator
+        .flatMap { case (s, d) => Seq(s, d) }
+        .filter(s => s != StartState && s != ConvState && s != NullState)
+        .toSeq.distinct.sorted)
+    val transients = StartState +: channels
+    val full = absorb(counts, transients, iterations, Set.empty)
+    val base = full(StartState)
+    val removals = channels.map { c =>
+      val pc = absorb(counts, transients, iterations, Set(c))(StartState)
+      c -> math.max(0L, base - pc)
+    }
+    val totR = removals.foldLeft(0L)(_ + _._2)
+    import spark.implicits._
+    removals.map { case (c, r) =>
+      val share =
+        if (totR == 0L) 0.0
+        else BigDecimal(r.toDouble / totR.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (c, r, share)
+    }.toDF("channel", "removal_micro", "share")
+  }
+}

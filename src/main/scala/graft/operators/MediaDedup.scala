@@ -32,6 +32,22 @@ import org.apache.spark.sql.functions._
   */
 object MediaDedup {
 
+  /** Exact-fingerprint pre-collapse: one canonical (min id) per
+    * (dims, hash) group. At mass-duplication density (re-hosted
+    * images, mirrored assets) most near-dup mass is Hamming-0 —
+    * collapsing it first is LINEAR (one partial-agg'd groupBy), and
+    * [[phashPairs]] over the canonicals then pays quadratic cost
+    * only across genuinely-distinct fingerprints. Same staging as
+    * the char-span dedup's gram pre-hash.
+    *
+    * @return (dimCols..., hash, canonical_id, n_members)
+    */
+  def collapseExact(hashes: DataFrame, idCol: String, hashCol: String,
+                    dimCols: Seq[String] = Seq("width", "height")): DataFrame =
+    hashes.groupBy((dimCols.map(col) :+ col(hashCol)): _*)
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_members"))
+
   /** Banded Hamming self-join over perceptual hashes.
     *
     * @param hashes     (idCol, dimension columns..., hashCol) one

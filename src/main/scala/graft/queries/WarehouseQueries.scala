@@ -644,6 +644,19 @@ object WarehouseQueries {
       .orderBy(col("id"))
   }
 
+  /** C57: Markov-chain removal-effect attribution over the events
+    * stream — user journeys cut at the first `purchase`, channels =
+    * the four non-conversion event types, 12 integer-micro-unit
+    * absorption iterations. See [[graft.operators.Attribution]].
+    */
+  def markovAttribution(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Attribution.markovRemoval(
+        Tables.events(spark, dir), userCol = "user_id", tsCol = "ts",
+        tieCol = "event_id", typeCol = "event_type",
+        convType = "purchase", iterations = 12,
+        channelsHint = Some(Seq("click", "error", "signup", "view")))
+      .orderBy(col("channel"))
+
   /** D46: TF-IDF cosine retrieval over the corpus, same query terms as
     * [[bm25Search]] so the two rankers are directly comparable (see
     * [[graft.operators.TextRank.tfidfTopK]] for the full-vocabulary-

@@ -533,6 +533,91 @@ object ScaleProbe {
       graft.sources.Multimodal.extractFeatures(media,
         decoder = graft.sources.MediaCodecs.BmpStatsDecoder).count()
     }
+    // round-12-opening legs: the new graph / privacy / mixture /
+    // media-dedup operators
+    t("kcore_layers") {
+      val cs = graft.sources.Tables.orders(spark, dir).crossJoin(copies)
+        .select((col("o_orderkey") * mult + col("copy")).as("ok"),
+          (col("o_custkey") * mult + col("copy")).as("c"))
+        .join(li.filter(col("l_quantity") >= 40)
+            .select(col("l_orderkey"), col("l_suppkey")),
+          col("ok") === col("l_orderkey"))
+        .groupBy(col("c"), (col("l_suppkey") + lit(1000000L)).as("s"))
+        .agg(count(lit(1)).as("m")).where(col("m") >= 2)
+      val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+      graft.operators.KCore.peelLayers(edges, k = 2, rounds = 9).count()
+    }
+    t("dp_noisy_counts") {
+      graft.operators.DpRelease.noisyCounts(
+        docs.withColumn("g1", (col("doc_id") % 50).cast("string"))
+          .withColumn("g2", (col("doc_id") % 7).cast("string")),
+        Seq("g1", "g2"), epsilon = 1.0).count()
+    }
+    t("doremi_mix") {
+      val lm = graft.operators.LanguageModel.train(docs, "text", topK = 64)
+      val scored = docs.select(
+        (col("doc_id") % 20).cast("string").as("domain"),
+        graft.operators.LanguageModel.crossEntropy(col("text"), lm).as("ce"))
+      graft.operators.Doremi.domainWeights(scored, "domain", "ce").count()
+    }
+    t("media_dedup_phash") {
+      import spark.implicits._
+      val media = docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h, px) = graft.queries.MultimodalQueries.synthImage(id)
+          (id, graft.sources.MediaCodecs.encodeBmp(w, h, px))
+        }).toDF("doc_id", "media")
+      val hashes = graft.sources.Multimodal.extractFeatures(media,
+          decoder = graft.sources.MediaCodecs.BmpDHashDecoder)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("int").as("width"),
+          element_at(col("features"), 2).cast("int").as("height"),
+          (element_at(col("features"), 3).cast("long") * lit(16777216L) +
+            element_at(col("features"), 4).cast("long")).as("phash"))
+      graft.operators.MediaDedup.phashPairs(hashes, "doc_id", "phash")
+        .count()
+    }
+    t("media_dedup_collapsed") {
+      // the production staging: exact-hash collapse (linear) before
+      // the banded pairing — pairs enumerate across CANONICALS only
+      import spark.implicits._
+      val media = docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h, px) = graft.queries.MultimodalQueries.synthImage(id)
+          (id, graft.sources.MediaCodecs.encodeBmp(w, h, px))
+        }).toDF("doc_id", "media")
+      val hashes = graft.sources.Multimodal.extractFeatures(media,
+          decoder = graft.sources.MediaCodecs.BmpDHashDecoder)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("int").as("width"),
+          element_at(col("features"), 2).cast("int").as("height"),
+          (element_at(col("features"), 3).cast("long") * lit(16777216L) +
+            element_at(col("features"), 4).cast("long")).as("phash"))
+      val canon = graft.operators.MediaDedup.collapseExact(
+          hashes, "doc_id", "phash")
+        .select(col("canonical_id").as("doc_id"), col("width"),
+          col("height"), col("phash"))
+      graft.operators.MediaDedup.phashPairs(canon, "doc_id", "phash")
+        .count()
+    }
+    t("quality_fusion_legs") {
+      import org.apache.spark.sql.expressions.Window
+      val lm = graft.operators.LanguageModel.train(docs, "text", topK = 64)
+      val scored = docs.select(col("doc_id"),
+        (col("doc_id") % 5).cast("string").as("lang"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+        graft.operators.LanguageModel.crossEntropy(col("text"), lm).as("ce"))
+      val w1 = Window.partitionBy(col("lang"))
+        .orderBy(col("q").desc, col("doc_id"))
+      val w2 = Window.partitionBy(col("lang"))
+        .orderBy(col("ce").asc, col("doc_id"))
+      val lq = scored.select(col("lang"), col("doc_id"),
+        row_number().over(w1).as("rq")).filter(col("rq") <= 100)
+      val lc = scored.select(col("lang"), col("doc_id"),
+        row_number().over(w2).as("rc")).filter(col("rc") <= 100)
+      lq.join(lc, Seq("lang", "doc_id"), "full_outer").count()
+    }
     spark.stop()
   }
 }

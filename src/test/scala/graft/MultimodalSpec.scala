@@ -301,6 +301,13 @@ class MultimodalSpec extends AnyFunSuite {
         maxHamming = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!got2.exists(p => p._1 == 5L || p._2 == 5L))
+    // exact-hash pre-collapse: the brightness twins (hamming 0, same
+    // fingerprint) fold to ONE canonical (min id); distinct prints
+    // stay separate
+    val collapsed = MediaDedup.collapseExact(hashes, "doc_id", "phash")
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toSet
+    assert(collapsed.contains((1L, 2L)), "ids 1+2 share a fingerprint")
+    assert(collapsed.count(_._2 == 1L) == 2, "3 and 4 stay singletons")
     // guards
     assertThrows[IllegalArgumentException] {
       MediaDedup.phashPairs(hashes, "doc_id", "phash",

@@ -859,6 +859,59 @@ class WarehouseSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("Markov attribution: exact transitions, mandatory channel dominates, no-conv zeroes, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.Attribution
+    // journeys (tiebreak = eid): u1 view→click→P, u2 click→P,
+    // u3 view→signup (drop), u4 signup→click→P — every conversion
+    // passes through click
+    val ev = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      (2L, 10L, 4L, "click"), (2L, 20L, 5L, "purchase"),
+      (3L, 10L, 6L, "view"), (3L, 20L, 7L, "signup"),
+      (4L, 10L, 8L, "signup"), (4L, 20L, 9L, "click"), (4L, 30L, 10L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val tr = Attribution.transitions(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val S = Attribution.StartState; val C = Attribution.ConvState
+    val N = Attribution.NullState
+    val wantTr = Map(
+      (S, "view") -> 2L, (S, "click") -> 1L, (S, "signup") -> 1L,
+      ("view", "click") -> 1L, ("view", "signup") -> 1L,
+      ("click", C) -> 3L, ("signup", "click") -> 1L, ("signup", N) -> 1L)
+    assert(tr == wantTr, s"got $tr want $wantTr")
+    val out = Attribution.markovRemoval(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", iterations = 12,
+        channelsHint = Some(Seq("click", "error", "signup", "view")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.keySet == Set("click", "error", "signup", "view"))
+    // click is on EVERY converting path: removing it kills all
+    // conversions, so its removal effect is the full base probability
+    // and strictly dominates the others
+    assert(out("click")._1 > out("view")._1 &&
+      out("click")._1 > out("signup")._1, s"got $out")
+    assert(out("error")._1 == 0L, "absent channel earns nothing")
+    assert(out("click")._2 > 0.5, "mandatory channel takes the majority share")
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-3)
+    // partition invariance (integer fixed point + aggregate collect)
+    val re = Attribution.markovRemoval(ev.repartition(5), "user_id", "ts",
+        "event_id", "event_type", "purchase", iterations = 12,
+        channelsHint = Some(Seq("click", "error", "signup", "view")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(re == out)
+    // a corpus with no conversions attributes nothing
+    val cold = ev.filter(col("event_type") =!= "purchase")
+    val zero = Attribution.markovRemoval(cold, "user_id", "ts", "event_id",
+        "event_type", "purchase",
+        channelsHint = Some(Seq("click", "error", "signup", "view")))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(zero.forall(_ == ((0L, 0.0))))
+  }
+
   test("seedDistance: BFS hops from a seed set, unreached -1, horizon respected") {
     import spark.implicits._
     import graft.operators.Centrality
