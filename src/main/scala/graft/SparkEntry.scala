@@ -76,6 +76,7 @@ object SparkEntry {
     "shortest_paths"     -> (WarehouseQueries.shortestPathCost _),
     "kcore_layers"       -> (WarehouseQueries.kcoreLayers _),
     "markov_attribution" -> (WarehouseQueries.markovAttribution _),
+    "frequent_pairs"     -> (WarehouseQueries.frequentPairs _),
     "window_running_sum" -> (RelationalQueries.windowRunningSum _),
     "semi_join_exists"   -> (RelationalQueries.semiJoinExists _),
     "distinct_counts"    -> (RelationalQueries.distinctCounts _),
@@ -1101,6 +1102,15 @@ object SparkEntry {
     "shortest_paths" -> ssspOracle(4),
     "kcore_layers" -> kcoreOracle(2, 9),
     "markov_attribution" -> markovOracle(12),
+    // C58: exact-integer supports; total (support DESC, u, v) order
+    // makes the LIMIT boundary engine-independent
+    "frequent_pairs" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS u, b.pk AS v, COUNT(*) AS support
+        |FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY support DESC, u, v LIMIT 50""".stripMargin,
     "tfidf_search" -> tfidfOracle(
       graft.queries.WarehouseQueries.Bm25Terms, 50),
 

@@ -52,8 +52,12 @@ object Attribution {
                   convType: String): DataFrame = {
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(tieCol))
+    // a null event type must stay a (sentinel) channel — the bare
+    // column would null out the =!=/=== comparisons below and
+    // silently unlink the journey around it
     val ranked = events.select(col(userCol).as("u"),
-        col(typeCol).as("t"), row_number().over(w).as("rn"))
+        coalesce(col(typeCol).cast("string"), lit("__missing__")).as("t"),
+        row_number().over(w).as("rn"))
     // journey = events up to and including the FIRST conversion
     val firstConv = ranked.where(col("t") === convType)
       .groupBy(col("u")).agg(min(col("rn")).as("cut"))

@@ -65,10 +65,15 @@ object Doremi {
       s"smoothing must be in [0,1), got $smoothing")
     val spark = scored.sparkSession
     // lift the 6-dp score to exact integer micro-units: round() makes
-    // the double integer-valued, so the cast is exact in any engine
-    val micro = round(col(lossCol) * 1000000.0).cast("long")
+    // the double integer-valued, so the cast is exact in any engine.
+    // Null/NaN scores count as 0 loss (they must not silently vanish
+    // from the domain mass), and a null domain folds to a sentinel so
+    // the driver-side sorted fold stays total.
+    val micro = round(coalesce(nanvl(col(lossCol), lit(0.0)), lit(0.0))
+      * 1000000.0).cast("long")
     val dom = scored
-      .groupBy(col(domainCol).as("domain"))
+      .groupBy(coalesce(col(domainCol).cast("string"), lit("__null__"))
+        .as("domain"))
       .agg(count(lit(1)).as("n_docs"), sum(micro).as("sm"))
       .select(col("domain"), col("n_docs"),
         expr("sm DIV n_docs").as("mean_loss_micro"), col("sm"))

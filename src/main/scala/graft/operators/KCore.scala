@@ -57,7 +57,9 @@ object KCore {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e0 = Materialize.cut(
-      edges.select(col("src"), col("dst")).distinct())
+      edges.select(col("src"), col("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct())
     // both directions are present, so src alone covers the universe
     var nodes = Materialize.cut(e0.select(col("src").as("id")).distinct())
     var rem = e0

@@ -32,6 +32,27 @@ import org.apache.spark.sql.functions._
   */
 object MediaDedup {
 
+  /** The band-slice explosion shared by [[phashPairs]] and the E20
+    * streaming gate: one row per (id, dims..., hash, band, slice
+    * value). Codegen projection + explode — no shuffle.
+    */
+  def bandedRows(hashes: DataFrame, idCol: String, hashCol: String,
+                 dimCols: Seq[String] = Seq("width", "height"),
+                 bandBits: Int = 12, bands: Int = 4): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val slices = array((0 until bands).map { bn =>
+      struct(lit(bn).as("band"),
+        shiftrightunsigned(col("ph"), bn * bandBits)
+          .bitwiseAND(lit(mask)).as("bv"))
+    }: _*)
+    hashes.select(
+      (col(idCol).as("id") +: dimCols.map(col)) :+ col(hashCol).as("ph"): _*)
+      .withColumn("bb", explode(slices))
+      .withColumn("band", col("bb.band"))
+      .withColumn("bv", col("bb.bv"))
+      .drop("bb")
+  }
+
   /** Exact-fingerprint pre-collapse: one canonical (min id) per
     * (dims, hash) group. At mass-duplication density (re-hosted
     * images, mirrored assets) most near-dup mass is Hamming-0 —
@@ -47,6 +68,64 @@ object MediaDedup {
     hashes.groupBy((dimCols.map(col) :+ col(hashCol)): _*)
       .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("n_members"))
+
+  /** Incremental fingerprint screening (the D23 admission recipe on
+    * perceptual hashes): admit each incoming asset unless it is
+    * within `maxHamming` of an already-indexed fingerprint, or a
+    * non-representative member of a within-batch near-dup component
+    * (component = connected near-dup graph, representative = min
+    * id — mirroring [[Dedup.admitIncremental]]'s taint/representative
+    * rule exactly: a component touching the index is rejected whole).
+    *
+    * Cost is O(batch · bands) join rows against the banded index —
+    * the existing corpus is never re-decoded.
+    *
+    * @param existingFp indexed fingerprints (dimCols..., hashCol),
+    *        or None for a cold start.
+    * @return the admitted subset of `hashes` rows (same schema).
+    */
+  def admitBatch(existingFp: Option[DataFrame], hashes: DataFrame,
+                 idCol: String, hashCol: String,
+                 dimCols: Seq[String] = Seq("width", "height"),
+                 hashBits: Int = 48, bandBits: Int = 12, bands: Int = 4,
+                 maxHamming: Int = 2): DataFrame = {
+    require(bands > maxHamming && bands * bandBits >= hashBits,
+      "banding must be complete for the screen to be exact")
+    val inB = bandedRows(hashes, idCol, hashCol, dimCols, bandBits, bands)
+    val tainted = existingFp match {
+      case Some(fp) =>
+        val exB = bandedRows(
+            fp.select((dimCols.map(col) :+ col(hashCol)): _*).distinct(),
+            hashCol, hashCol, dimCols, bandBits, bands)
+          .select((dimCols.map(c => col(c).as(s"x_$c")) ++
+            Seq(col("ph").as("xph"), col("band").as("xband"),
+              col("bv").as("xbv"))): _*)
+        inB.join(exB,
+            dimCols.map(c => col(c) === col(s"x_$c"))
+              .reduce(_ && _) && col("band") === col("xband") &&
+              col("bv") === col("xbv"))
+          .where(bit_count(col("ph").bitwiseXOR(col("xph"))) <= maxHamming)
+          .select(col("id").as("in_id")).distinct()
+      case None =>
+        hashes.sparkSession.emptyDataFrame
+          .withColumn("in_id", lit(0L)).limit(0)
+    }
+    val inEdges = phashPairs(hashes, idCol, hashCol, dimCols,
+      hashBits, bandBits, bands, maxHamming)
+    val comp = Dedup.connectedComponents(
+      inEdges.select(col("id_a"), col("id_b")),
+      hashes.select(col(idCol).as("id")))
+    val taintedComponents = comp
+      .join(tainted, col("id") === col("in_id"))
+      .select(col("canonical_id")).distinct()
+    val admittedIds = comp
+      .join(taintedComponents.withColumnRenamed("canonical_id", "bad"),
+        col("canonical_id") === col("bad"), "left_anti")
+      .filter(col("id") === col("canonical_id"))
+      .select(col("id"))
+    hashes.join(admittedIds, hashes(idCol) === admittedIds("id"),
+      "left_semi")
+  }
 
   /** Banded Hamming self-join over perceptual hashes.
     *
@@ -75,18 +154,7 @@ object MediaDedup {
       s"need bands ($bands) > maxHamming ($maxHamming) for the pigeonhole")
     require(bands * bandBits >= hashBits,
       s"bands*bandBits (${bands * bandBits}) must cover hashBits ($hashBits)")
-    val mask = (1L << bandBits) - 1
-    val slices = array((0 until bands).map { bn =>
-      struct(lit(bn).as("band"),
-        shiftrightunsigned(col("ph"), bn * bandBits)
-          .bitwiseAND(lit(mask)).as("bv"))
-    }: _*)
-    val banded = hashes.select(
-      (col(idCol).as("id") +: dimCols.map(col)) :+ col(hashCol).as("ph"): _*)
-      .withColumn("bb", explode(slices))
-      .withColumn("band", col("bb.band"))
-      .withColumn("bv", col("bb.bv"))
-      .drop("bb")
+    val banded = bandedRows(hashes, idCol, hashCol, dimCols, bandBits, bands)
     val joinKeys = dimCols ++ Seq("band", "bv")
     val a = banded.as("a")
     val b = banded.as("b")

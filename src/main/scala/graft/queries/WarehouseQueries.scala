@@ -644,6 +644,27 @@ object WarehouseQueries {
       .orderBy(col("id"))
   }
 
+  /** C58: frequent co-purchase pairs (the support-counting core of
+    * market-basket/FP-growth mining): parts appearing together in ≥ 2
+    * orders, top-50 by support. The per-order self-join is bounded by
+    * order size (≤ 7 lineitems), the pair count partial-aggregates
+    * before its one shuffle, and the final cut is TakeOrdered — never
+    * a global sort. Total (support DESC, u, v) order makes the
+    * boundary deterministic in any engine.
+    */
+  def frequentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    lp.as("a").join(lp.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+      .orderBy(col("support").desc, col("u"), col("v"))
+      .limit(50)
+  }
+
   /** C57: Markov-chain removal-effect attribution over the events
     * stream — user journeys cut at the first `purchase`, channels =
     * the four non-conversion event types, 12 integer-micro-unit

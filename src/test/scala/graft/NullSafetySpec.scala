@@ -262,4 +262,58 @@ class NullSafetySpec extends AnyFunSuite {
     assert(out(3L) == (1L, 1L, 1.0) && out(4L) == (1L, 1L, 1.0),
       "the planted duplicate pair must still register")
   }
+
+  test("doremi: null domains fold to a sentinel, null/NaN losses count as zero mass") {
+    import spark.implicits._
+    import graft.operators.Doremi
+    val scored = Seq(
+      (Some("a"), Some(2.5)), (Some("a"), Some(3.5)),
+      (None, Some(9.0)),                 // null domain
+      (Some("b"), None),                 // null loss
+      (Some("b"), Some(Double.NaN)),     // NaN loss
+      (Some("b"), Some(4.0)))
+      .toDF("dom", "ce")
+      .select(col("dom"), col("ce").cast("double").as("ce"))
+    val out = Doremi.domainWeights(scored, "dom", "ce", rounds = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // null domain present as sentinel; nothing NPEs in the sorted fold
+    assert(out.keySet == Set("a", "b", "__null__"))
+    assert(out("__null__") == ((1L, 9000000L)))
+    // null/NaN losses contribute zero, not absence: b keeps 3 docs
+    // and mean = floor(4.0e6 / 3)
+    assert(out("b") == ((3L, 1333333L)), s"got ${out("b")}")
+  }
+
+  test("attribution: null event types become a sentinel channel, journeys stay linked") {
+    import spark.implicits._
+    import graft.operators.Attribution
+    // u1: view → <null> → purchase — the null event must stay in the
+    // chain (view→__missing__→CONV), not unlink view from purchase
+    val ev = Seq(
+      (1L, 10L, 1L, Some("view")), (1L, 20L, 2L, None),
+      (1L, 30L, 3L, Some("purchase")))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val tr = Attribution.transitions(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(tr == Map(
+      (Attribution.StartState, "view") -> 1L,
+      ("view", "__missing__") -> 1L,
+      ("__missing__", Attribution.ConvState) -> 1L), s"got $tr")
+  }
+
+  test("kcore: edges with null endpoints drop before peeling, no null node rows") {
+    import spark.implicits._
+    import graft.operators.KCore
+    val edges = Seq(
+      (Some(1L), Some(2L)), (Some(2L), Some(1L)),
+      (Some(1L), None), (None, Some(2L)))
+      .toDF("src", "dst")
+    val out = KCore.peelLayers(edges, k = 1, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(out.toSet == Set((1L, true), (2L, true)),
+      s"only the 1-2 edge survives, got ${out.toSeq}")
+  }
 }

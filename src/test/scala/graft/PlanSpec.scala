@@ -571,6 +571,32 @@ class PlanSpec extends AnyFunSuite {
       s"pool window must partition by qid:\n$w"))
   }
 
+  test("quality fusion: every leg and the final cut ride the bounded heap, never a window sort") {
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    val prev = spark.experimental.extraOptimizations
+    try {
+      val off = prev.filterNot(_ == graft.plans.TopKRewrite)
+      spark.experimental.extraOptimizations = off
+      val base = graft.queries.TextQueries.qualityFusion(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      spark.experimental.extraOptimizations = off :+ graft.plans.TopKRewrite
+      val df = graft.queries.TextQueries.qualityFusion(spark, sfDir)
+      val rewritten = df.collect().map(_.toString).sorted.toSeq
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other => other.toString
+      }
+      val heaps = "TopKPerGroup \\[".r.findAllIn(p).length
+      assert(heaps == 4,
+        s"3 legs + final cut should all be heap operators, saw $heaps:\n$p")
+      assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"),
+        s"fusion plan still carries a window sort:\n$p")
+      assert(rewritten == base, "rewrite must not change the fused shortlist")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -954,6 +954,76 @@ class StreamingSpec extends AnyFunSuite {
       "sf fixture should contain both verdicts")
   }
 
+  test("streaming media gate: index screen, within-batch reps, resume across queries") {
+    import spark.implicits._
+    import graft.operators.MediaDedup
+    import graft.streaming.StreamingMediaGate
+    import graft.sources.MediaCodecs
+    import org.apache.spark.sql.streaming.Trigger
+    // 3x3 gradient fixtures: bright shifts are dHash twins, the
+    // reversed gradient is distinct
+    def img(bright: Int, reverse: Boolean = false): Array[Byte] = {
+      val px = Array.tabulate(9) { i =>
+        val v = math.min(255, i * 20 + bright)
+        (v << 16) | (v << 8) | v
+      }
+      MediaCodecs.encodeBmp(3, 3, if (reverse) px.reverse else px)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_media_gate").toString
+    val (assetPath, indexPath) = (s"$dir/assets", s"$dir/index")
+    val b1 = Seq((1L, img(0)), (2L, img(30)), (3L, img(0, reverse = true)))
+    val b2 = Seq((4L, img(60)), (5L, img(5, reverse = true)))
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])](spark, 81)
+    val q = StreamingMediaGate.start(src.toDS().toDF("doc_id", "media"),
+      "doc_id", assetPath, indexPath, s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(assetPath)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // b1: {1,2} are a within-batch component → rep 1; 3 distinct.
+    // b2: 4 is a twin of indexed 1 → rejected; 5 is a twin of
+    // indexed 3 (reversed gradient, small brightness shift) → rejected
+    assert(got == Set(1L, 3L), s"got $got")
+    // sequential batch reference over the same batches
+    var idx: Option[org.apache.spark.sql.DataFrame] = None
+    val want = scala.collection.mutable.Set.empty[Long]
+    Seq(b1, b2).foreach { b =>
+      val hashes = StreamingMediaGate.fingerprint(
+        b.toDF("doc_id", "media"), "doc_id")
+      val adm = MediaDedup.admitBatch(idx, hashes, "doc_id", "phash")
+        .localCheckpoint()
+      want ++= adm.select(col("doc_id")).collect().map(_.getLong(0))
+      idx = Some(idx.map(_.unionByName(
+          adm.select(col("width"), col("height"), col("phash"))))
+        .getOrElse(adm.select(col("width"), col("height"), col("phash")))
+        .localCheckpoint())
+    }
+    assert(got == want.toSet, "stream must equal sequential admitBatch")
+    // a NEW query on the same artifacts keeps screening
+    val src2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])](spark, 82)
+    val q2 = StreamingMediaGate.start(src2.toDS().toDF("doc_id", "media"),
+      "doc_id", assetPath, indexPath, s"$dir/ckpt2",
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      // 6 = yet another twin of 1 (rejected); 7 = genuinely new
+      // pattern (admitted)
+      // alternating gray 10/200 → dHash bits 10101010: hamming 4
+      // from both indexed prints (all-ascending 0xFF, all-descending 0)
+      val fresh = MediaCodecs.encodeBmp(3, 3,
+        Array.tabulate(9)(i => if (i % 2 == 0) 0x0A0A0A else 0xC8C8C8))
+      src2.addData((6L, img(90)), (7L, fresh)); q2.processAllAvailable()
+    } finally q2.stop()
+    val finalIds = spark.read.parquet(assetPath)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(finalIds == Set(1L, 3L, 7L), s"got $finalIds")
+  }
+
   test("streaming DP release equals the batch twin bit-for-bit; noise keyed per cell") {
     import graft.streaming.StreamingDp
     val stream = graft.streaming.EventsStream.readEvents(spark, sfDir)
