@@ -188,6 +188,7 @@ object SparkEntry {
     "events_gap_fill"    -> (WarehouseQueries.eventsGapFill _),
     "events_outliers"    -> (WarehouseQueries.eventsOutliers _),
     "events_winsorize"   -> (WarehouseQueries.eventsWinsorize _),
+    "quantile_buckets"   -> (WarehouseQueries.eventsQuantileBuckets _),
     "mad_outliers"       -> (WarehouseQueries.eventsMadOutliers _),
     "peak_concurrency"   -> (WarehouseQueries.peakConcurrency _),
     "ewma_user_value"    -> (WarehouseQueries.ewmaUserValue _),
@@ -3567,6 +3568,32 @@ object SparkEntry {
         |  least(greatest(value, lo / 100.0), hi / 100.0) AS clipped
         |FROM b JOIN thr USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    // C59: decile boundaries off the same cent-bucket histogram; the
+    // per-event decile is an all-integer fold over the nine broadcast
+    // thresholds, so no double boundary can diverge
+    "quantile_buckets" -> {
+      val bs = (1 to 9).map(d =>
+        s"MIN(CASE WHEN cum >= ${d / 10.0} * total THEN bk END) AS b$d")
+        .mkString(",\n    ")
+      val fold = (1 to 9).map(d =>
+        s"(CASE WHEN bk > b$d THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH b AS (SELECT event_id, event_type, value,
+         |    CAST(floor(value * 100.0) AS BIGINT) AS bk FROM events),
+         |h AS (SELECT event_type, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         |cumt AS (SELECT event_type, bk,
+         |    SUM(c) OVER (PARTITION BY event_type ORDER BY bk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(c) OVER (PARTITION BY event_type) AS total
+         |  FROM h),
+         |thr AS (SELECT event_type,
+         |    $bs
+         |  FROM cumt GROUP BY 1)
+         |SELECT event_id, b.event_type, value,
+         |  CAST(1 + $fold AS INTEGER) AS decile
+         |FROM b JOIN thr USING (event_type)
+         |ORDER BY event_id""".stripMargin
+    },
 
     // median + MAD off the same cent-bucket histograms; the flag is an
     // all-integer compare (dev > 3·mad in buckets) so no double

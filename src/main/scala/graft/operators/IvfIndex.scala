@@ -204,6 +204,23 @@ object IvfIndex {
     assign(corpus, "vec", centroids)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
+  /** Incremental insertion into the IVF lake: assign a NEW batch to
+    * the FROZEN codebook and append into the same `cid=` layout — no
+    * retrain, no rewrite of existing lists, no read of the resident
+    * corpus. This is the ingestion loop of a production vector index
+    * (new crawl lands daily; the codebook retrains on a cadence, not
+    * per batch): recall degrades only as far as the data drifts from
+    * the frozen centroids, which the D65 semantic-drift gate watches.
+    * [[searchPartitioned]] over the grown table is identical to a
+    * search over the union corpus with the same centroids, because
+    * assignment is a pure per-row function of (vec, codebook) —
+    * SimilaritySpec pins that equality.
+    */
+  def appendPartitioned(batch: DataFrame, centroids: Array[Array[Float]],
+                        path: String): Unit =
+    assign(batch, "vec", centroids)
+      .write.mode("append").partitionBy("cid").parquet(path)
+
   /** Search an IVF-partitioned table: the probed cids (≤ queries ×
     * nprobe values — the query set is broadcast-small by contract, so
     * the collect is a handful of ints) become a literal partition

@@ -248,6 +248,38 @@ object WarehouseQueries {
       .orderBy(col("event_id"))
   }
 
+  /** C59: per-type quantile discretization (equi-depth feature
+    * binning — the QuantileDiscretizer of ML feature prep, without
+    * the global sort `ntile` would cost): decile boundaries come off
+    * the same grouped cent-bucket cumulative histogram as
+    * [[eventsWinsorize]] (aggregate-sized windows, broadcast back),
+    * and each event's decile is `1 + |{d : bucket > b_d}|` — a
+    * codegen integer fold over nine broadcast thresholds. Exact at
+    * bucket granularity, deterministic in any engine.
+    */
+  def eventsQuantileBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("__bk", floor(col("value") * lit(100.0)).cast("long"))
+    val counts = ev.groupBy(col("event_type"), col("__bk"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = graft.operators.CumHistogram.cumulativeByGroup(
+      counts, "event_type", "__bk", "cnt")
+    val thrCols = (1 to 9).map { d =>
+      min(when(col("cum") >= lit(d / 10.0) * col("total"), col("__bk")))
+        .as(s"__b$d")
+    }
+    val thr = cum.groupBy(col("event_type"))
+      .agg(thrCols.head, thrCols.tail: _*)
+    val decile = (1 to 9).foldLeft(lit(1)) { (acc, d) =>
+      acc + when(col("__bk") > col(s"__b$d"), 1).otherwise(0)
+    }
+    ev.join(broadcast(thr), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        decile.cast("int").as("decile"))
+      .orderBy(col("event_id"))
+  }
+
   /** C54: median/MAD robust outliers per event type — the
     * heavy-tail-safe companion to C23's z-score (one wild day shifts
     * a mean and inflates σ enough to hide real outliers; the median

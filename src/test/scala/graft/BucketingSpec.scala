@@ -50,6 +50,41 @@ class BucketingSpec extends AnyFunSuite {
       s"expected a pruned list subset, got IN (${inList.get})")
   }
 
+  test("IVF append: incremental batches land in frozen-codebook lists; search equals the union corpus") {
+    import org.apache.spark.sql.functions.col
+    val all = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val base = all.filter(col("id") % 3 =!= 0)
+    val batch = all.filter(col("id") % 3 === 0)
+    val q = all.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    // codebook trains ONCE on the base corpus and stays frozen
+    val cent = graft.operators.IvfIndex.train(base, "vec", "id", k = 8, dim = 64)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_append")
+      .toFile.getAbsolutePath + "/emb"
+    graft.operators.IvfIndex.writePartitioned(base, cent, path)
+    graft.operators.IvfIndex.appendPartitioned(batch, cent, path)
+    // the grown lake answers exactly like a search over the union
+    // corpus with the same centroids — assignment is pure per-row
+    val got = graft.operators.IvfIndex
+      .searchPartitioned(spark, path, q, 10, cent, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val want = graft.operators.IvfIndex
+      .search(q, all, 10, cent, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == want, "append must be invisible to search semantics")
+    // appended rows really live in their assigned lists: every cid
+    // directory holding a batch row existed in the assignment, and no
+    // resident file was rewritten (append-only: base file count grows)
+    val asg = graft.operators.IvfIndex.assign(batch, "vec", cent)
+      .select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+      .map(_.getName.stripPrefix("cid=").toInt).toSet
+    assert(asg.subsetOf(dirs), s"batch cids $asg missing from lake dirs $dirs")
+  }
+
   test("IVF codebook round-trips through the lake and reproduces searches") {
     val c = graft.sources.Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
