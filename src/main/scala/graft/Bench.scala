@@ -25,8 +25,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Materialize EVERY output column. A bare .count() lets Catalyst
+    // prune a projection tail (and eliminate provably-unique left
+    // joins), so expression-heavy queries would be timed as bare
+    // scans — toRdd.count() evaluates the final plan's rows without
+    // collecting them to the driver.
+    def consume(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => }
     }
 
     // This host's wall-times swing ~3x run-to-run under external load;
@@ -37,7 +45,7 @@ object Bench {
     val passes = (1 to runs).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { consume(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }

@@ -137,6 +137,7 @@ object SparkEntry {
     "train_split"        -> (TextQueries.trainSplit _),
     "leakage_safe_split" -> (TextQueries.leakageSafeSplit _),
     "corpus_pipeline"    -> (TextQueries.corpusPipeline _),
+    "pipeline_audit"     -> (TextQueries.pipelineAudit _),
     "decontamination"    -> (TextQueries.decontaminate _),
     "decontamination_score" -> (TextQueries.decontaminationScore _),
     "ngram_novelty"      -> (TextQueries.ngramNovelty _),
@@ -1092,6 +1093,68 @@ object SparkEntry {
        |SELECT CAST(0 AS BIGINT) AS qid, id, rel, mmr, rk
        |FROM sel$k ORDER BY rk""".stripMargin
   }
+
+  /** The corpus-pipeline CTE chain through `clean` — shared by the
+    * `corpus_pipeline` oracle and the `pipeline_audit` stage counts.
+    */
+  private val corpusPipelineChain: String =
+    // RAW margins (no stripMargin here): this text interpolates into
+    // templates that strip ONCE — stripping twice would eat the first
+    // bar of SQL `||` concat lines
+    s"""corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |tq AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS tk FROM corp),
+        |qual AS (
+        |  SELECT doc_id, text, tk FROM (
+        |    SELECT doc_id, text, tk,
+        |      CAST(len(tk) AS DOUBLE) AS n,
+        |      CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |      CAST(len(list_filter(tk, x -> list_contains(
+        |        ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS hcnt
+        |    FROM tq)
+        |  WHERE 0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((hcnt / n) * 8.0, 1.0) >= 0.2),
+        |exact AS (
+        |  SELECT doc_id, text, tk FROM (
+        |    SELECT doc_id, text, tk, MIN(doc_id) OVER (PARTITION BY text) AS cmin
+        |    FROM qual)
+        |  WHERE doc_id = cmin),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s3 FROM exact),
+        |ex AS (SELECT doc_id, len(s3) AS n3, unnest(s3) AS shingle FROM sh WHERE len(s3) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c,
+        |    any_value(a.n3) AS na, any_value(b.n3) AS nb
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT ida, idb FROM pairs
+        |  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8),
+        |und AS (SELECT ida AS src, idb AS dst FROM edges
+        |  UNION ALL SELECT idb, ida FROM edges),
+        |reach AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
+        |reps AS (
+        |  SELECT e.doc_id, e.text, e.tk FROM exact e
+        |  LEFT JOIN (SELECT src, MIN(dst) AS mind FROM reach GROUP BY src) m
+        |    ON m.src = e.doc_id
+        |  WHERE e.doc_id <= COALESCE(m.mind, e.doc_id)),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |      || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS gram
+        |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS tk
+        |        FROM documents WHERE doc_id % 10 = 0)),
+        |dirty AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |        || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS gram
+        |    FROM reps) g
+        |  JOIN bg USING (gram)),
+        |clean AS (
+        |  SELECT r.doc_id, r.tk FROM reps r
+        |  WHERE r.doc_id NOT IN (SELECT doc_id FROM dirty))"""
 
   def oracleSql: Map[String, String] = Map(
     "pagerank_centrality" -> pageRankOracle(10),
@@ -2887,60 +2950,7 @@ object SparkEntry {
     // formulation; their composition oracles the whole pipeline.
     "corpus_pipeline" ->
       s"""WITH RECURSIVE
-        |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
-        |tq AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS tk FROM corp),
-        |qual AS (
-        |  SELECT doc_id, text, tk FROM (
-        |    SELECT doc_id, text, tk,
-        |      CAST(len(tk) AS DOUBLE) AS n,
-        |      CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
-        |      CAST(len(list_filter(tk, x -> list_contains(
-        |        ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS hcnt
-        |    FROM tq)
-        |  WHERE 0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
-        |      + 0.2 * least((hcnt / n) * 8.0, 1.0) >= 0.2),
-        |exact AS (
-        |  SELECT doc_id, text, tk FROM (
-        |    SELECT doc_id, text, tk, MIN(doc_id) OVER (PARTITION BY text) AS cmin
-        |    FROM qual)
-        |  WHERE doc_id = cmin),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
-        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s3 FROM exact),
-        |ex AS (SELECT doc_id, len(s3) AS n3, unnest(s3) AS shingle FROM sh WHERE len(s3) > 0),
-        |pairs AS (
-        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c,
-        |    any_value(a.n3) AS na, any_value(b.n3) AS nb
-        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
-        |  GROUP BY 1, 2),
-        |edges AS (SELECT ida, idb FROM pairs
-        |  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8),
-        |und AS (SELECT ida AS src, idb AS dst FROM edges
-        |  UNION ALL SELECT idb, ida FROM edges),
-        |reach AS (
-        |  SELECT src, dst FROM und
-        |  UNION
-        |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
-        |reps AS (
-        |  SELECT e.doc_id, e.text, e.tk FROM exact e
-        |  LEFT JOIN (SELECT src, MIN(dst) AS mind FROM reach GROUP BY src) m
-        |    ON m.src = e.doc_id
-        |  WHERE e.doc_id <= COALESCE(m.mind, e.doc_id)),
-        |bg AS (
-        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tk) - 6),
-        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
-        |      || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS gram
-        |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS tk
-        |        FROM documents WHERE doc_id % 10 = 0)),
-        |dirty AS (
-        |  SELECT DISTINCT doc_id FROM (
-        |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 6),
-        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
-        |        || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS gram
-        |    FROM reps) g
-        |  JOIN bg USING (gram)),
-        |clean AS (
-        |  SELECT r.doc_id, r.tk FROM reps r
-        |  WHERE r.doc_id NOT IN (SELECT doc_id FROM dirty)),
+        |$corpusPipelineChain,
         |lang AS (
         |  SELECT doc_id, $langCase AS lang
         |  FROM (
@@ -2958,6 +2968,29 @@ object SparkEntry {
         |       WHEN hb.bucket < 950000 THEN 1 ELSE 2 END AS split
         |FROM lang l JOIN hb USING (doc_id)
         |ORDER BY l.doc_id""".stripMargin,
+
+    // D72: the same CTE chain, counted per stage. Default config keeps
+    // everything after decontamination (no quota, keep-all mixture),
+    // so stages 5-7 mirror stage 4's count — exactly what the Spark
+    // audit reports for the identity stages.
+    "pipeline_audit" ->
+      s"""WITH RECURSIVE
+        |$corpusPipelineChain,
+        |cnts AS (
+        |  SELECT '0_input' AS stage, 0 AS stage_order,
+        |    (SELECT COUNT(*) FROM corp) AS rows_out
+        |  UNION ALL SELECT '1_quality_gate', 1, (SELECT COUNT(*) FROM qual)
+        |  UNION ALL SELECT '2_exact_dedup', 2, (SELECT COUNT(*) FROM exact)
+        |  UNION ALL SELECT '3_near_dedup', 3, (SELECT COUNT(*) FROM reps)
+        |  UNION ALL SELECT '4_decontaminated', 4, (SELECT COUNT(*) FROM clean)
+        |  UNION ALL SELECT '5_quota_capped', 5, (SELECT COUNT(*) FROM clean)
+        |  UNION ALL SELECT '6_mixture_sampled', 6, (SELECT COUNT(*) FROM clean)
+        |  UNION ALL SELECT '7_final', 7, (SELECT COUNT(*) FROM clean))
+        |SELECT stage, CAST(stage_order AS INTEGER) AS stage_order,
+        |  CAST(rows_out AS BIGINT) AS rows_out,
+        |  CAST(COALESCE(lag(rows_out) OVER (ORDER BY stage_order),
+        |    rows_out) - rows_out AS BIGINT) AS rows_dropped
+        |FROM cnts ORDER BY stage_order""".stripMargin,
 
     // Deterministic order: sort by the portable XXH64 of the doc id.
     "training_order" ->

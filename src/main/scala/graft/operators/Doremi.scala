@@ -71,12 +71,15 @@ object Doremi {
     // the driver-side sorted fold stays total.
     val micro = round(coalesce(nanvl(col(lossCol), lit(0.0)), lit(0.0))
       * 1000000.0).cast("long")
-    val dom = scored
+    // cut the (aggregate-sized) domain table: the driver collect AND
+    // the result join both read it — without the cut the corpus
+    // scoring pass runs twice
+    val dom = Materialize.cut(scored
       .groupBy(coalesce(col(domainCol).cast("string"), lit("__null__"))
         .as("domain"))
       .agg(count(lit(1)).as("n_docs"), sum(micro).as("sm"))
       .select(col("domain"), col("n_docs"),
-        expr("sm DIV n_docs").as("mean_loss_micro"), col("sm"))
+        expr("sm DIV n_docs").as("mean_loss_micro"), col("sm")))
     // aggregate-sized collect: one row per mixture domain
     val rows = dom.select(col("domain"), col("n_docs"),
         col("mean_loss_micro"), col("sm"))

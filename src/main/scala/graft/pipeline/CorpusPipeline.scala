@@ -60,9 +60,47 @@ object CorpusPipeline {
     * @return surviving docs: original columns + quality, lang, split,
     *         sort_key (order by sort_key for the training sequence)
     */
+  /** Named stage frames of one pipeline build — the audit face reads
+    * these; `run` returns only the final frame.
+    */
+  final case class Stages(stages: Seq[(String, DataFrame)]) {
+    def result: DataFrame = stages.last._2
+  }
+
   def run(docs: DataFrame, bench: DataFrame,
           textCol: String, idCol: String,
-          cfg: Config = Config()): DataFrame = {
+          cfg: Config = Config()): DataFrame =
+    build(docs, bench, textCol, idCol, cfg).result
+
+  /** Per-stage survivorship audit — the data-ablation bookkeeping a
+    * corpus card publishes (rows in/out/dropped per stage). Each
+    * stage frame is persisted before its count so the O(stages)
+    * count actions re-read cached rows instead of re-running the
+    * lineage prefix per stage (audit is an explicitly materializing
+    * mode — `run` stays one lazy plan).
+    */
+  def audit(docs: DataFrame, bench: DataFrame,
+            textCol: String, idCol: String,
+            cfg: Config = Config()): DataFrame = {
+    val spark = docs.sparkSession
+    val built = build(docs, bench, textCol, idCol, cfg)
+    val persisted = built.stages.map { case (n, df) => (n, df.persist()) }
+    try {
+      val counts = persisted.zipWithIndex.map { case ((n, df), i) =>
+        (n, i, df.count())
+      }
+      val rows = counts.zipWithIndex.map { case ((n, i, c), _) =>
+        val prev = if (i == 0) c else counts(i - 1)._3
+        (n, i, c, prev - c)
+      }
+      import spark.implicits._
+      rows.toDF("stage", "stage_order", "rows_out", "rows_dropped")
+    } finally persisted.foreach { case (_, df) => df.unpersist(); () }
+  }
+
+  private def build(docs: DataFrame, bench: DataFrame,
+                    textCol: String, idCol: String,
+                    cfg: Config): Stages = {
     // 0. (optional) span-granular boilerplate removal — BEFORE any
     // content-derived stage, so quality scores, digests, and shingles
     // all see the rewritten text
@@ -118,7 +156,16 @@ object CorpusPipeline {
     val withLang = capped.withColumn("lang", TextFunctions.langId(col(textCol)))
     val sampled = Resample.byStratum(withLang, col("lang"), col(idCol),
       cfg.fractionsByLang, cfg.defaultFraction, cfg.seed)
-    Resample.splitByHash(sampled, col(idCol), cfg.splitWeights, cfg.seed)
+    val fin = Resample.splitByHash(sampled, col(idCol), cfg.splitWeights, cfg.seed)
       .withColumn("sort_key", xxhash64(lit(cfg.seed), col(idCol)))
+    Stages(Seq(
+      "0_input" -> input,
+      "1_quality_gate" -> scored,
+      "2_exact_dedup" -> exactDeduped,
+      "3_near_dedup" -> nearDeduped,
+      "4_decontaminated" -> clean,
+      "5_quota_capped" -> capped,
+      "6_mixture_sampled" -> sampled,
+      "7_final" -> fin))
   }
 }

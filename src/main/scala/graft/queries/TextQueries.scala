@@ -808,6 +808,20 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D72: pipeline survivorship audit — the data-ablation bookkeeping
+    * a corpus card publishes: rows in/out/dropped at every stage of
+    * the D30 capstone pipeline, same corpus/bench split and default
+    * config as `corpus_pipeline` so the two keys cross-check.
+    */
+  def pipelineAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    graft.pipeline.CorpusPipeline.audit(
+        docs.filter(col("doc_id") % 10 =!= 0), bench, "text", "doc_id")
+      .orderBy(col("stage_order"))
+  }
+
   /** D25: deterministic train/val/test split — 90/5/5 by seeded id
     * hash; disjoint and complete by construction. Rows-only (hash
     * buckets are engine-specific); OperatorsSpec pins disjointness,
