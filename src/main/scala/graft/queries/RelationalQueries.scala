@@ -222,8 +222,10 @@ object RelationalQueries {
       .join(Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus")),
         col("l_orderkey") === col("o_orderkey"))
-    val delayed = lo
-      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+    // materialized once: BOTH the l1 seed and the anti-join probe read
+    // this frame — without the cut the lineitem⋈orders join runs twice
+    val delayed = graft.operators.Materialize.cut(lo
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")))
     val l1 = delayed.filter(col("o_orderstatus") === "F")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .distinct()

@@ -18,9 +18,14 @@ object TimeOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(key)
-    fn(spark, sfDir).count()
+    // toRdd: materialize every output column (a bare count() lets
+    // Catalyst prune projection tails and unique left joins — the
+    // Bench main consumes the same way)
+    def consume(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+    consume(fn(spark, sfDir))
     val t0 = System.nanoTime()
-    val n = fn(spark, sfDir).count()
+    val n = consume(fn(spark, sfDir))
     println(f"[timeone] $key: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     spark.stop()
   }
