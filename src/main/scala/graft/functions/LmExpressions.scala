@@ -1,0 +1,207 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** LM scoring tables, built once on the driver and shipped inside the
+  * expression (codegen references them as constants — the
+  * [[VocabTable]] pattern). Lookups are hash probes; the HOF twins'
+  * `element_at` on a map LITERAL is a per-token linear scan in
+  * interpreted lambda eval, which is why the kernels exist.
+  */
+final class UnigramTable(words: Array[String], lnPs: Array[Double],
+                         val lnOov: Double) extends Serializable {
+  require(words.length == lnPs.length, "words/lnPs length mismatch")
+  @transient lazy val map: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](
+      words.length * 2)
+    var i = 0
+    while (i < words.length) {
+      m.put(UTF8String.fromString(words(i)), lnPs(i)); i += 1
+    }
+    m
+  }
+  def lnP(w: UTF8String): Double = {
+    val v = map.get(w)
+    if (v == null) lnOov else v.doubleValue()
+  }
+}
+
+final class BigramTable(val uni: UnigramTable,
+                        pairKeys: Array[String], pairLnPs: Array[Double],
+                        val lnAlpha: Double) extends Serializable {
+  require(pairKeys.length == pairLnPs.length, "pair arrays length mismatch")
+  @transient lazy val map: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](
+      pairKeys.length * 2)
+    var i = 0
+    while (i < pairKeys.length) {
+      m.put(UTF8String.fromString(pairKeys(i)), pairLnPs(i)); i += 1
+    }
+    m
+  }
+}
+
+/** Native LM scoring kernels. Both walk whitespace token boundaries
+  * on raw UTF-8 bytes (the same `\s+` runs as `split(trim(text),
+  * "\\s+")`) and fold ln-probs LEFT TO RIGHT — bit-identical to the
+  * HOF `aggregate` twins (0.0 + x₁ is exact, every subsequent add is
+  * the same operation in the same order), so swapping them in under
+  * an existing DuckDB oracle changes nothing.
+  */
+object LmKernel {
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  private val Space = UTF8String.fromString(" ")
+  private val Empty = UTF8String.fromString("")
+
+  /** Tokenization parity with `split(trim(text), "\\s+")`, quirks
+    * included: `trim` strips SPACES (0x20) only, and Java's split
+    * keeps a leading EMPTY token when the space-trimmed string still
+    * starts with other whitespace (tab/newline). The twins score that
+    * empty token as OOV, so the kernels must too. `(start, end)`
+    * token bounds after the optional leading empty; end == start
+    * marks the empty token.
+    */
+  private def spaceTrimBounds(bytes: Array[Byte]): (Int, Int) = {
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+    (lo, hi)
+  }
+
+  /** −(Σ ln P(wᵢ))/n, 0.0 for token-less text (UNROUNDED — callers
+    * apply the house 6-dp `round` as a column, exactly like the twin).
+    */
+  def unigramCe(s: UTF8String, t: UnigramTable): Double = {
+    val bytes = s.getBytes
+    val (lo, hi) = spaceTrimBounds(bytes)
+    if (lo >= hi) return 0.0 // length(trim) == 0 guard of the twin
+    var sum = 0.0
+    var n = 0
+    var i = lo
+    if (isWs(bytes(lo))) { sum += t.lnP(Empty); n += 1 } // leading ""
+    while (i < hi) {
+      while (i < hi && isWs(bytes(i))) i += 1
+      if (i < hi) {
+        val start = i
+        while (i < hi && !isWs(bytes(i))) i += 1
+        sum += t.lnP(UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, start, i)))
+        n += 1
+      }
+    }
+    if (n == 0) 0.0 else -sum / n
+  }
+
+  /** Stupid-backoff bigram cross-entropy, same contract: first token
+    * scores P_uni, a seen vocab-pair scores S(w|v), otherwise
+    * lnα + lnP_uni(w) — branch decisions and fold order mirror
+    * [[graft.operators.LanguageModel.crossEntropyBigram]] exactly,
+    * including the twin's `prev == ""` first-position marker: a
+    * leading empty token leaves the NEXT token scoring P_uni too.
+    */
+  def bigramCe(s: UTF8String, t: BigramTable): Double = {
+    val bytes = s.getBytes
+    val (lo, hi) = spaceTrimBounds(bytes)
+    if (lo >= hi) return 0.0
+    var sum = 0.0
+    var n = 0
+    var prev: UTF8String = null
+    var i = lo
+    if (isWs(bytes(lo))) {
+      sum += t.uni.lnP(Empty); n += 1
+      prev = null // the "" marker: next token is "first" again
+    }
+    while (i < hi) {
+      while (i < hi && isWs(bytes(i))) i += 1
+      if (i < hi) {
+        val start = i
+        while (i < hi && !isWs(bytes(i))) i += 1
+        val w = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, start, i))
+        val lnS =
+          if (prev == null) t.uni.lnP(w)
+          else {
+            val p = t.map.get(UTF8String.concat(prev, Space, w))
+            if (p == null) t.lnAlpha + t.uni.lnP(w)
+            else p.doubleValue()
+          }
+        sum += lnS
+        n += 1
+        prev = w
+      }
+    }
+    if (n == 0) 0.0 else -sum / n
+  }
+}
+
+sealed trait LmCeBase extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got $t")
+  }
+}
+
+/** unigram_ce(text) → mean negative ln-prob per token (unrounded). */
+case class UnigramCrossEntropy(child: Expression, words: Seq[String],
+                               lnPs: Seq[Double], lnOov: Double)
+    extends LmCeBase {
+  @transient private lazy val table =
+    new UnigramTable(words.toArray, lnPs.toArray, lnOov)
+  override def nullSafeEval(v: Any): Any =
+    LmKernel.unigramCe(v.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramTable", table,
+      classOf[UnigramTable].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LmKernel.unigramCe($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramCrossEntropy =
+    copy(child = newChild)
+  override def prettyName: String = "unigram_ce"
+}
+
+/** bigram_ce(text) → stupid-backoff mean negative ln-prob (unrounded). */
+case class BigramCrossEntropy(child: Expression, words: Seq[String],
+                              lnPs: Seq[Double], lnOov: Double,
+                              pairKeys: Seq[String], pairLnPs: Seq[Double],
+                              lnAlpha: Double)
+    extends LmCeBase {
+  @transient private lazy val table = new BigramTable(
+    new UnigramTable(words.toArray, lnPs.toArray, lnOov),
+    pairKeys.toArray, pairLnPs.toArray, lnAlpha)
+  override def nullSafeEval(v: Any): Any =
+    LmKernel.bigramCe(v.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigramTable", table,
+      classOf[BigramTable].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LmKernel.bigramCe($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BigramCrossEntropy =
+    copy(child = newChild)
+  override def prettyName: String = "bigram_ce"
+}
+
+object LmFunctions {
+  def unigram_ce(text: Column, words: Seq[String], lnPs: Seq[Double],
+                 lnOov: Double): Column =
+    ColumnBridge.column(
+      UnigramCrossEntropy(ColumnBridge.expression(text), words, lnPs, lnOov))
+  def bigram_ce(text: Column, words: Seq[String], lnPs: Seq[Double],
+                lnOov: Double, pairKeys: Seq[String], pairLnPs: Seq[Double],
+                lnAlpha: Double): Column =
+    ColumnBridge.column(
+      BigramCrossEntropy(ColumnBridge.expression(text), words, lnPs, lnOov,
+        pairKeys, pairLnPs, lnAlpha))
+}

@@ -73,6 +73,22 @@ object LanguageModel {
     * shuffle, no join.
     */
   def crossEntropy(textCol: Column, lm: Unigram): Column = {
+    // native kernel (hash probes inside whole-stage codegen); the HOF
+    // twin below is the spec-pinned witness — identical token walk
+    // and left fold, so the two are bit-equal on any input
+    val sorted = lm.lnP.toSeq.sortBy(_._1)
+    // coalesce: the twin scores NULL text 0.0 (its token guard), the
+    // null-propagating kernel must match
+    round(coalesce(graft.functions.LmFunctions.unigram_ce(
+      textCol, sorted.map(_._1), sorted.map(_._2), lm.lnOov), lit(0.0)), 6)
+  }
+
+  /** The composable-HOF formulation of [[crossEntropy]] (map-literal
+    * `element_at` + `aggregate` fold) — kept as the documented twin
+    * and property-test witness; interpreted lambda eval makes it the
+    * slow path, same story as the shingle/tokenizer kernels.
+    */
+  def crossEntropyHof(textCol: Column, lm: Unigram): Column = {
     val t = toks(textCol)
     // a degenerate (empty-vocab) model scores every token as OOV — an
     // empty `map()` literal is not constructible, so branch
@@ -154,6 +170,17 @@ object LanguageModel {
     * as the unigram scorer, still all plan literals.
     */
   def crossEntropyBigram(textCol: Column, lm: Bigram): Column = {
+    // native kernel; [[crossEntropyBigramHof]] is the pinned twin
+    val uniSorted = lm.uni.lnP.toSeq.sortBy(_._1)
+    val pairSorted = lm.lnPair.toSeq.sortBy(_._1)
+    round(coalesce(graft.functions.LmFunctions.bigram_ce(
+      textCol, uniSorted.map(_._1), uniSorted.map(_._2), lm.uni.lnOov,
+      pairSorted.map(_._1), pairSorted.map(_._2), lm.lnAlpha),
+      lit(0.0)), 6)
+  }
+
+  /** HOF twin of [[crossEntropyBigram]] — witness only. */
+  def crossEntropyBigramHof(textCol: Column, lm: Bigram): Column = {
     val t = toks(textCol)
     val uniLn: Column => Column =
       if (lm.uni.lnP.isEmpty) _ => lit(lm.uni.lnOov)

@@ -47,6 +47,47 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("LM CE kernels == HOF folds bit-for-bit, quirky whitespace included") {
+    import graft.operators.LanguageModel
+    // hand corpus with vocab overlap + OOV + adversarial whitespace:
+    // leading tab (the split-keeps-a-leading-empty-token quirk),
+    // internal runs, trailing spaces, empty, null
+    val corpus = Seq(
+      "the cat sat on the mat", "the cat the cat", "zzz yyy the",
+      "\tthe cat", "  the   cat  ", "", "the")
+      .toDF("text")
+    val probes = (corpus.collect().map(_.getString(0)) :+ null)
+      .toSeq.toDF("text")
+    val uni = LanguageModel.train(corpus, "text", topK = 4)
+    val bi = LanguageModel.trainBigram(corpus, "text", topK = 4)
+    val got = probes.select(
+        LanguageModel.crossEntropy(col("text"), uni).as("u"),
+        LanguageModel.crossEntropyBigram(col("text"), bi).as("b"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toList
+    val want = probes.select(
+        LanguageModel.crossEntropyHof(col("text"), uni).as("u"),
+        LanguageModel.crossEntropyBigramHof(col("text"), bi).as("b"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toList
+    assert(got == want, s"kernel vs HOF:\n$got\n$want")
+    // property sweep on random texts
+    forAll(texts) { ts =>
+      if (ts.nonEmpty) {
+        val df = ts.toDF("text")
+        val u2 = LanguageModel.train(df, "text", topK = 8)
+        val b2 = LanguageModel.trainBigram(df, "text", topK = 8)
+        val k = df.select(
+            LanguageModel.crossEntropy(col("text"), u2),
+            LanguageModel.crossEntropyBigram(col("text"), b2))
+          .collect().map(r => (r.getDouble(0), r.getDouble(1))).toList
+        val h = df.select(
+            LanguageModel.crossEntropyHof(col("text"), u2),
+            LanguageModel.crossEntropyBigramHof(col("text"), b2))
+          .collect().map(r => (r.getDouble(0), r.getDouble(1))).toList
+        assert(k == h)
+      }
+    }
+  }
+
   test("SimHash64 kernel == HOF vote formulation (same xxhash64 seed)") {
     forAll(texts) { ts =>
       if (ts.nonEmpty) {
