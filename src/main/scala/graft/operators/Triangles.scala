@@ -83,8 +83,10 @@ object Triangles {
     // count reads the checkpoint), falling back to the shuffle join
     // on graphs whose edge list is genuinely large.
     val closing0 = oriented.select(col("dst").as("c2"), col("src").as("b2"))
+    // 5M edges × 16 B ≈ 80 MB broadcast — cheap against sorting the
+    // Σ outdeg² wedge side (measured 2× even at 1.2M edges)
     val closing =
-      if (e.count() <= 1000000L) broadcast(closing0) else closing0
+      if (e.count() <= 5000000L) broadcast(closing0) else closing0
     val triangles = wedges.join(closing,
       col("b") === col("b2") && col("c") === col("c2"))
       .select(col("a"), col("b"), col("c"))

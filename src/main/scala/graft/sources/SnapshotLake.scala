@@ -85,6 +85,50 @@ object SnapshotLake {
     v
   }
 
+  /** Write-audit-publish (A15 — the commit discipline production
+    * Delta/Iceberg deployments run): STAGE the commit's data files,
+    * AUDIT the staged bytes with declarative expectations
+    * ([[graft.operators.Expectations]]), and PUBLISH the manifest only
+    * if every rule passes. The audit reads the files the write
+    * produced — not the input plan — so encoding/schema surprises in
+    * the staged bytes fail the audit too. A failed audit leaves the
+    * table's visible history completely untouched: no manifest is
+    * written and the staged directory is removed; readers of any
+    * version never observe the rejected data (the manifest IS the
+    * publication point, so stage-then-publish needs no lock beyond
+    * the manifest's own errorifexists write).
+    *
+    * @return (audit report (rule, violations, pass), published
+    *         version — None when the audit rejected the commit)
+    */
+  def writeAuditPublish(df: DataFrame, path: String, partCol: String,
+                        rowRules: Seq[graft.operators.Expectations.RowRule] = Nil,
+                        uniqueCols: Seq[String] = Nil)
+      : (DataFrame, Option[Int]) = {
+    val spark = df.sparkSession
+    val v = currentVersion(spark, path) + 1
+    val dir = f"c$v%05d"
+    df.write.partitionBy(partCol).mode("errorifexists").parquet(s"$path/$dir")
+    val staged = spark.read.parquet(s"$path/$dir")
+    // eager: the report must be computed BEFORE any publish/cleanup
+    // decision reads it twice
+    val report = graft.operators.Expectations
+      .check(staged, rowRules, uniqueCols).localCheckpoint()
+    val rejected = report.filter(!col("pass")).limit(1).count() > 0
+    if (rejected) {
+      fs(spark, path).delete(new Path(s"$path/$dir"), true)
+      (report, None)
+    } else {
+      val written = fs(spark, path).listStatus(new Path(s"$path/$dir"))
+        .map(_.getPath.getName).filter(_.contains("="))
+        .map(_.split("=", 2)(1)).toSeq
+      val prev = if (v == 1) Map.empty[String, String]
+                 else readManifest(spark, path, v - 1)
+      writeManifest(spark, path, v, prev ++ written.map(_ -> dir))
+      (report, Some(v))
+    }
+  }
+
   /** Read a version (latest by default): one partitioned scan per
     * referenced commit dir, pruned to the partitions that dir still
     * owns, unioned by name.

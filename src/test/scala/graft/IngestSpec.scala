@@ -209,4 +209,45 @@ class IngestSpec extends AnyFunSuite {
       s"vacuum must drop unreferenced commit dirs: $dirs")
     assert(dirs.contains("c00001"), "still-referenced dir must survive")
   }
+
+  test("write-audit-publish: failed audit leaves history untouched, staged files gone") {
+    import spark.implicits._
+    import graft.sources.SnapshotLake
+    import graft.operators.Expectations
+    val path = tmpDir("graft_wap") + "/t"
+    def table(rows: (Long, Option[String], String)*) =
+      rows.toDF("id", "payload", "part")
+    val rules = Seq(Expectations.notNull("payload"))
+
+    // clean commit publishes
+    val (r1, v1) = SnapshotLake.writeAuditPublish(
+      table((1L, Some("a1"), "a"), (2L, Some("b1"), "b")), path, "part",
+      rowRules = rules, uniqueCols = Seq("id"))
+    assert(v1.contains(1))
+    assert(r1.collect().forall(_.getBoolean(2)), "all rules pass")
+    assert(SnapshotLake.read(spark, path).count() == 2)
+
+    // dirty commit (null payload + duplicate id) is rejected:
+    // no new version, no staged dir, latest read unchanged
+    val (r2, v2) = SnapshotLake.writeAuditPublish(
+      table((3L, None, "a"), (3L, Some("x"), "a")), path, "part",
+      rowRules = rules, uniqueCols = Seq("id"))
+    assert(v2.isEmpty, "audit must reject")
+    val rep = r2.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(rep("not_null(payload)") == ((1L, false)))
+    assert(rep("unique(id)") == ((1L, false)))
+    assert(SnapshotLake.currentVersion(spark, path) == 1)
+    assert(SnapshotLake.read(spark, path).count() == 2,
+      "visible history untouched")
+    val dirs = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(!dirs.contains("c00002"), s"staged dir must be removed: $dirs")
+
+    // and a later clean commit takes the next version as if the
+    // rejected one never happened
+    val (_, v3) = SnapshotLake.writeAuditPublish(
+      table((4L, Some("c1"), "c")), path, "part", rowRules = rules)
+    assert(v3.contains(2))
+    assert(SnapshotLake.read(spark, path).count() == 3)
+  }
 }
