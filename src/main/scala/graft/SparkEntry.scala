@@ -138,6 +138,7 @@ object SparkEntry {
     "leakage_safe_split" -> (TextQueries.leakageSafeSplit _),
     "corpus_pipeline"    -> (TextQueries.corpusPipeline _),
     "pipeline_audit"     -> (TextQueries.pipelineAudit _),
+    "packing_efficiency" -> (TextQueries.packingEfficiency _),
     "decontamination"    -> (TextQueries.decontaminate _),
     "decontamination_score" -> (TextQueries.decontaminationScore _),
     "ngram_novelty"      -> (TextQueries.ngramNovelty _),
@@ -1155,6 +1156,44 @@ object SparkEntry {
         |clean AS (
         |  SELECT r.doc_id, r.tk FROM reps r
         |  WHERE r.doc_id NOT IN (SELECT doc_id FROM dirty))"""
+
+  /** The D43 next-fit-decreasing fold chain ending at per-doc CTE
+    * `pk` — shared by the `sequence_pack_nextfit` oracle and the
+    * `packing_efficiency` waste ledger. RAW margins (no stripMargin
+    * here): interpolates into templates that strip once.
+    */
+  private val nextFitChain: String = {
+    val fits = "acc[2] >= 0 AND acc[1] + (-x[1]) <= 512"
+    s"""t AS (
+         |  SELECT doc_id, doc_id % 8 AS bucket,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+         |  FROM documents),
+         |b AS (
+         |  SELECT bucket, list_sort(list([-n, doc_id])) AS docs
+         |  FROM t GROUP BY bucket),
+         |f AS (
+         |  SELECT bucket,
+         |    list_reduce(
+         |      [[CAST(0 AS BIGINT), CAST(-1 AS BIGINT)]] || docs,
+         |      (acc, x) ->
+         |        [CASE WHEN $fits THEN acc[1] + (-x[1]) ELSE (-x[1]) END,
+         |         CASE WHEN $fits THEN acc[2] ELSE acc[2] + 1 END]
+         |        || list_slice(acc, 3, len(acc))
+         |        || [x[2], -x[1],
+         |            CASE WHEN $fits THEN acc[2] ELSE acc[2] + 1 END,
+         |            CASE WHEN $fits THEN acc[1] ELSE CAST(0 AS BIGINT) END]
+         |    ) AS packed
+         |  FROM b),
+         |e AS (
+         |  SELECT bucket, packed,
+         |    unnest(range(0, (len(packed) - 2) // 4)) AS k
+         |  FROM f),
+         |pk AS (
+         |  SELECT packed[3 + k * 4] AS doc_id, bucket,
+         |    packed[4 + k * 4] AS n_tokens, packed[5 + k * 4] AS shard,
+         |    packed[6 + k * 4] AS "offset"
+         |  FROM e)"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "pagerank_centrality" -> pageRankOracle(10),
@@ -2871,37 +2910,25 @@ object SparkEntry {
     // (scalar fields accumulate, list fields reset); the flat-list
     // fold is the same proven shape as vocab_tokenize_ids. All-integer
     // arithmetic — exact.
-    "sequence_pack_nextfit" -> {
-      val fits = "acc[2] >= 0 AND acc[1] + (-x[1]) <= 512"
-      s"""WITH t AS (
-         |  SELECT doc_id, doc_id % 8 AS bucket,
-         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
-         |  FROM documents),
-         |b AS (
-         |  SELECT bucket, list_sort(list([-n, doc_id])) AS docs
-         |  FROM t GROUP BY bucket),
-         |f AS (
-         |  SELECT bucket,
-         |    list_reduce(
-         |      [[CAST(0 AS BIGINT), CAST(-1 AS BIGINT)]] || docs,
-         |      (acc, x) ->
-         |        [CASE WHEN $fits THEN acc[1] + (-x[1]) ELSE (-x[1]) END,
-         |         CASE WHEN $fits THEN acc[2] ELSE acc[2] + 1 END]
-         |        || list_slice(acc, 3, len(acc))
-         |        || [x[2], -x[1],
-         |            CASE WHEN $fits THEN acc[2] ELSE acc[2] + 1 END,
-         |            CASE WHEN $fits THEN acc[1] ELSE CAST(0 AS BIGINT) END]
-         |    ) AS packed
-         |  FROM b),
-         |e AS (
-         |  SELECT bucket, packed,
-         |    unnest(range(0, (len(packed) - 2) // 4)) AS k
-         |  FROM f)
-         |SELECT packed[3 + k * 4] AS doc_id, bucket,
-         |  packed[4 + k * 4] AS n_tokens, packed[5 + k * 4] AS shard,
-         |  packed[6 + k * 4] AS "offset"
-         |FROM e ORDER BY doc_id""".stripMargin
-    },
+    "sequence_pack_nextfit" ->
+      s"""WITH $nextFitChain
+         |SELECT doc_id, bucket, n_tokens, shard, "offset"
+         |FROM pk ORDER BY doc_id""".stripMargin,
+
+    // D73: the waste ledger of the D43 packer — shard counts, token
+    // mass, capacity and utilization per bucket, all exact integers
+    // over the SAME fold chain (utilization is one divide, 6-dp).
+    "packing_efficiency" ->
+      s"""WITH $nextFitChain
+         |SELECT bucket,
+         |  CAST(MAX(shard) + 1 AS BIGINT) AS n_shards,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST((MAX(shard) + 1) * 512 AS BIGINT) AS capacity_tokens,
+         |  CAST((MAX(shard) + 1) * 512 - SUM(n_tokens) AS BIGINT)
+         |    AS waste_tokens,
+         |  ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+         |    / CAST((MAX(shard) + 1) * 512 AS DOUBLE), 6) AS utilization
+         |FROM pk GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "source_quota" ->
       """SELECT doc_id, source FROM (

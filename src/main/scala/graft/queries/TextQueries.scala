@@ -214,6 +214,27 @@ object TextQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** D73: the packer's waste ledger — shard counts, token mass,
+    * capacity and utilization per bucket over the SAME D43 packing
+    * (the number a training-efficiency dashboard actually tracks:
+    * every wasted slot is paid-for compute attending to padding).
+    */
+  def packingEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val packed = graft.operators.Pack.nextFitDecreasing(
+      Tables.documents(spark, dir),
+      col("doc_id"), TextFunctions.tokenCount(col("text")),
+      pmod(col("doc_id"), lit(8)), budget = 512L)
+    packed.groupBy(col("bucket"))
+      .agg((max(col("shard")) + 1).as("n_shards"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("bucket"), col("n_shards"), col("total_tokens"),
+        (col("n_shards") * 512).as("capacity_tokens"),
+        (col("n_shards") * 512 - col("total_tokens")).as("waste_tokens"),
+        round(col("total_tokens").cast("double") /
+          (col("n_shards") * 512).cast("double"), 6).as("utilization"))
+      .orderBy(col("bucket"))
+  }
+
   /** D53: CCNet-style duplicated-paragraph removal — see
     * [[graft.operators.ParagraphDedup]] (digest-keyed detection,
     * anti-join strip, ordered reassembly; the granularity between
