@@ -3253,13 +3253,19 @@ object SparkEntry {
         |FROM g LEFT JOIN pd p USING (doc_id)
         |ORDER BY g.doc_id""".stripMargin,
 
+    // trigram leg tokenizes the FULLY-whitespace-trimmed text (tk2) —
+    // the codegen shingle kernel's boundary behavior on any input; the
+    // n_tokens/top-token stats keep the house split(trim) tokens (tk)
     "text_repetition_score" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+        |    string_split_regex(
+        |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS tk2
+        |  FROM documents),
         |tg AS (
         |  SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
-        |    list_transform(range(1, greatest(len(tk) - 1, 1)),
-        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g
+        |    list_transform(range(1, greatest(len(tk2) - 1, 1)),
+        |      i -> tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2]) AS g
         |  FROM t),
         |dup AS (
         |  SELECT doc_id, n_tokens,
@@ -3409,7 +3415,10 @@ object SparkEntry {
     "quality_fusion" -> {
       s"""WITH t AS (
          |  SELECT doc_id, lang,
-         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |    string_split_regex(trim(text), '\\s+') AS tk,
+         |    string_split_regex(
+         |      regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS tk2
+         |  FROM documents),
          |q AS (
          |  SELECT doc_id, lang,
          |    0.4 * least(CAST(len(tk) AS DOUBLE) / 64.0, 1.0)
@@ -3439,8 +3448,8 @@ object SparkEntry {
          |  FROM t LEFT JOIN sc USING (doc_id)),
          |tg AS (
          |  SELECT doc_id, lang,
-         |    list_transform(range(1, greatest(len(tk) - 1, 1)),
-         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g
+         |    list_transform(range(1, greatest(len(tk2) - 1, 1)),
+         |      i -> tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2]) AS g
          |  FROM t),
          |rep AS (
          |  SELECT doc_id, lang,

@@ -62,12 +62,12 @@ object LmKernel {
   private val Empty = UTF8String.fromString("")
 
   /** Tokenization parity with `split(trim(text), "\\s+")`, quirks
-    * included: `trim` strips SPACES (0x20) only, and Java's split
-    * keeps a leading EMPTY token when the space-trimmed string still
-    * starts with other whitespace (tab/newline). The twins score that
-    * empty token as OOV, so the kernels must too. `(start, end)`
-    * token bounds after the optional leading empty; end == start
-    * marks the empty token.
+    * included: `trim` strips SPACES (0x20) only, and Spark's split
+    * (Java regex split with limit −1) keeps BOTH a leading and a
+    * TRAILING empty token when the space-trimmed string starts/ends
+    * with other whitespace (tab/newline — note limit −1: unlike bare
+    * `String.split`, trailing empties are NOT dropped). The twins
+    * score those empty tokens as OOV, so the kernels must too.
     */
   private def spaceTrimBounds(bytes: Array[Byte]): (Int, Int) = {
     var lo = 0
@@ -98,6 +98,7 @@ object LmKernel {
         n += 1
       }
     }
+    if (isWs(bytes(hi - 1))) { sum += t.lnP(Empty); n += 1 } // trailing ""
     if (n == 0) 0.0 else -sum / n
   }
 
@@ -138,6 +139,17 @@ object LmKernel {
         n += 1
         prev = w
       }
+    }
+    if (isWs(bytes(hi - 1))) { // trailing "" token, scored like any w
+      val lnS =
+        if (prev == null) t.uni.lnP(Empty)
+        else {
+          val p = t.map.get(UTF8String.concat(prev, Space, Empty))
+          if (p == null) t.lnAlpha + t.uni.lnP(Empty)
+          else p.doubleValue()
+        }
+      sum += lnS
+      n += 1
     }
     if (n == 0) 0.0 else -sum / n
   }

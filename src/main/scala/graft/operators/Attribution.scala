@@ -92,6 +92,12 @@ object Attribution {
     val tot = transients.map { v =>
       v -> counts.collect { case ((s, _), n) if s == v => n }.sum
     }.toMap
+    // the inflow sum is bounded by tot(v)·SCALE in Long arithmetic —
+    // fail loudly instead of wrapping silently past ~9.2e9 transitions
+    // out of one state (shard journeys by epoch before that point)
+    tot.valuesIterator.foreach(t => require(t <= Long.MaxValue / Scale,
+      s"transition total $t would overflow the integer fixed point; " +
+        "shard the journey window"))
     var p = live.map(_ -> 0L).toMap
     var it = 0
     while (it < iterations) {

@@ -71,15 +71,12 @@ object Doremi {
     // the driver-side sorted fold stays total.
     val micro = round(coalesce(nanvl(col(lossCol), lit(0.0)), lit(0.0))
       * 1000000.0).cast("long")
-    // cut the (aggregate-sized) domain table: the driver collect AND
-    // the result join both read it — without the cut the corpus
-    // scoring pass runs twice
-    val dom = Materialize.cut(scored
+    val dom = scored
       .groupBy(coalesce(col(domainCol).cast("string"), lit("__null__"))
         .as("domain"))
       .agg(count(lit(1)).as("n_docs"), sum(micro).as("sm"))
       .select(col("domain"), col("n_docs"),
-        expr("sm DIV n_docs").as("mean_loss_micro"), col("sm")))
+        expr("sm DIV n_docs").as("mean_loss_micro"), col("sm"))
     // aggregate-sized collect: one row per mixture domain
     val rows = dom.select(col("domain"), col("n_docs"),
         col("mean_loss_micro"), col("sm"))
@@ -103,11 +100,12 @@ object Doremi {
       w = a.map(ai => (1.0 - smoothing) * (ai / s) + smoothing / d)
       it += 1
     }
-    val weights = rows.map(_._1).zip(w).toSeq
+    // the result is |domains| rows already sitting on the driver — no
+    // second read of the scoring plan, no join
     import spark.implicits._
-    val wDf = weights.toDF("domain", "w")
-    dom.join(broadcast(wDf), "domain")
-      .select(col("domain"), col("n_docs"), col("mean_loss_micro"),
-        round(col("w"), 6).as("weight"))
+    rows.zip(w).map { case ((d, n, mm, _), wi) =>
+      (d, n, mm, BigDecimal(wi)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF("domain", "n_docs", "mean_loss_micro", "weight")
   }
 }

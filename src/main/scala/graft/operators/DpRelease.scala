@@ -49,11 +49,28 @@ object DpRelease {
     *         drop it before an actual external release),
     *         `noisy_count` is count + Lap(1/ε) rounded to 6 dp.
     */
+  /** The deterministic noise chain shared by this mechanism and the
+    * E19 streaming face: `hash` → top 53 bits (>>> 11 reads the
+    * unsigned two's-complement bits) → `u = (bits + 0.5)/2^53 ∈
+    * (0,1)` exclusive on both ends → inverse Laplace CDF → count +
+    * deviate, 6-dp rounded. ONE definition so the pinned batch ≡
+    * stream bit-equality can never un-sync by copy-paste drift.
+    */
+  def noisyColumn(countCol: Column, hash: Column, epsilon: Double): Column = {
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    val b = 1.0 / epsilon
+    val bits = shiftrightunsigned(hash, 11)
+    val u = (bits.cast("double") + lit(0.5)) / lit(9007199254740992.0)
+    val lap: Column =
+      when(u < 0.5, lit(b) * log(lit(2.0) * u))
+        .otherwise(-lit(b) * log(lit(2.0) * (lit(1.0) - u)))
+    round(countCol.cast("double") + lap, 6)
+  }
+
   def noisyCounts(df: DataFrame, keys: Seq[String],
                   epsilon: Double): DataFrame = {
     require(keys.nonEmpty, "noisyCounts: need at least one key")
     require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
-    val b = 1.0 / epsilon
     val kcols = keys.map(col)
     val counts = df.groupBy(kcols: _*).agg(count(lit(1)).as("n_true"))
     // dense release index over the (aggregate-sized) histogram; the
@@ -61,17 +78,9 @@ object DpRelease {
     // is — its input is already one row per released group
     val ranked = counts.withColumn("gid",
       row_number().over(Window.orderBy(kcols: _*)).cast("long"))
-    // engine XXH64 of the index; >>> 11 keeps the top 53 bits of the
-    // unsigned value (logical shift reads two's-complement bits), so
-    // u = (bits + 0.5) / 2^53 ∈ (0,1) exclusive on both ends
-    val bits = shiftrightunsigned(xxhash64(lit(42L), col("gid")), 11)
-    val u = (bits.cast("double") + lit(0.5)) / lit(9007199254740992.0)
-    val lap: Column =
-      when(u < 0.5, lit(b) * log(lit(2.0) * u))
-        .otherwise(-lit(b) * log(lit(2.0) * (lit(1.0) - u)))
     ranked
       .withColumn("noisy_count",
-        round(col("n_true").cast("double") + lap, 6))
+        noisyColumn(col("n_true"), xxhash64(lit(42L), col("gid")), epsilon))
       .drop("gid")
   }
 }

@@ -89,7 +89,7 @@ object CorpusPipeline {
       val counts = persisted.zipWithIndex.map { case ((n, df), i) =>
         (n, i, df.count())
       }
-      val rows = counts.zipWithIndex.map { case ((n, i, c), _) =>
+      val rows = counts.map { case (n, i, c) =>
         val prev = if (i == 0) c else counts(i - 1)._3
         (n, i, c, prev - c)
       }

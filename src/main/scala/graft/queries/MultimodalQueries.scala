@@ -92,13 +92,7 @@ object MultimodalQueries {
         (id, MediaCodecs.encodeBmp(w, h, px))
       })
       .toDF("doc_id", "media")
-    val hashes = Multimodal.extractFeatures(media,
-        decoder = MediaCodecs.BmpDHashDecoder)
-      .select(col("doc_id"),
-        element_at(col("features"), 1).cast("int").as("width"),
-        element_at(col("features"), 2).cast("int").as("height"),
-        (element_at(col("features"), 3).cast("long") * lit(16777216L) +
-          element_at(col("features"), 4).cast("long")).as("phash"))
+    val hashes = Multimodal.dhashImageFrame(media)
     graft.operators.MediaDedup.phashPairs(hashes, "doc_id", "phash",
         dimCols = Seq("width", "height"),
         hashBits = 48, bandBits = 12, bands = 4, maxHamming = 2)
@@ -124,8 +118,8 @@ object MultimodalQueries {
       .select(col("doc_id"),
         element_at(col("features"), 1).cast("int").as("sample_rate"),
         element_at(col("features"), 2).cast("int").as("n_samples"),
-        (element_at(col("features"), 3).cast("long") * lit(16777216L) +
-          element_at(col("features"), 4).cast("long")).as("phash"))
+        Multimodal.packHash(element_at(col("features"), 3),
+          element_at(col("features"), 4)).as("phash"))
     graft.operators.MediaDedup.phashPairs(hashes, "doc_id", "phash",
         dimCols = Seq("sample_rate", "n_samples"),
         hashBits = 48, bandBits = 12, bands = 4, maxHamming = 2)

@@ -277,9 +277,11 @@ object TextQueries {
     */
   def textRepetitionScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // codegen shingle kernel — identical raw trigrams to the HOF
-    // formulation, ~10× throughput on the materialization path (the
-    // D71 fusion measurement)
+    // codegen shingle kernel, ~10× throughput on the materialization
+    // path (the D71 fusion measurement). Trigrams come from the
+    // FULLY-whitespace-trimmed text (no phantom empty tokens at
+    // tab/newline edges — the kernel's boundary semantics, mirrored
+    // by the oracle); n_tokens keeps the house split(trim) count
     val base = docs.select(col("doc_id"),
       TextFunctions.tokens(col("text")).as("toks"),
       graft.functions.ShingleFunctions.word_shingles(col("text"), 3)
@@ -1030,9 +1032,10 @@ object TextQueries {
         .filter(col(name) <= 100)
     }
     val tgc = col("__tg")
-    // the codegen shingle kernel, not the HOF formulation — identical
-    // raw trigram output (whitespace tokens, space-joined), ~10× the
-    // throughput on the materialization path
+    // the codegen shingle kernel, not the HOF formulation — ~10× the
+    // throughput on the materialization path. Boundary semantics:
+    // trigrams of the FULLY-whitespace-trimmed text (no phantom empty
+    // tokens at tab/newline edges); the oracle tokenizes the same way
     val repDoc = docs
       .select(col("lang"), col("doc_id"),
         graft.functions.ShingleFunctions.word_shingles(col("text"), 3)

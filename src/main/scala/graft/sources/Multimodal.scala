@@ -101,6 +101,27 @@ object Multimodal {
     * worker would. The output keeps the join key so features
     * re-attach with a co-partitioned join.
     */
+  /** Reassemble a 48-bit fingerprint carried as two ≤24-bit Float
+    * feature lanes (floats hold only 24 exact integer bits) — the ONE
+    * definition of the 2²⁴ packing every dHash consumer shares.
+    */
+  def packHash(hi: org.apache.spark.sql.Column,
+               lo: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hi.cast("long") * lit(16777216L) + lo.cast("long")
+
+  /** Decode + fingerprint a frame of (idCol, media) image bytes:
+    * (idCol, width, height, phash) via [[MediaCodecs.BmpDHashDecoder]]
+    * — shared by the D70 batch query, the E20 streaming gate, and the
+    * scale probes.
+    */
+  def dhashImageFrame(media: DataFrame, idCol: String = "doc_id"): DataFrame =
+    extractFeatures(media, idCol, decoder = MediaCodecs.BmpDHashDecoder)
+      .select(col(idCol),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        packHash(element_at(col("features"), 3),
+          element_at(col("features"), 4)).as("phash"))
+
   def extractFeatures(media: DataFrame, idCol: String = "doc_id",
                       batchSize: Int = 64,
                       decoder: BatchDecoder = StubDecoder): DataFrame = {

@@ -69,12 +69,14 @@ object SnapshotLake {
     * (dynamic-partition-overwrite semantics, but copy-on-write: old
     * files stay for older versions). Returns the new version number.
     */
-  def overwritePartitions(df: DataFrame, path: String,
-                          partCol: String): Int = {
-    val spark = df.sparkSession
-    val v = currentVersion(spark, path) + 1
-    val dir = f"c$v%05d"
-    df.write.partitionBy(partCol).mode("errorifexists").parquet(s"$path/$dir")
+  /** Merge a staged commit dir's partitions over the previous
+    * manifest and publish version `v` — the single publication step
+    * both commit paths ([[overwritePartitions]],
+    * [[writeAuditPublish]]) share, so the manifest convention can
+    * never diverge between them.
+    */
+  private def publish(spark: SparkSession, path: String, v: Int,
+                      dir: String): Int = {
     // the partitions this commit owns = the dirs the write produced
     val written = fs(spark, path).listStatus(new Path(s"$path/$dir"))
       .map(_.getPath.getName).filter(_.contains("="))
@@ -83,6 +85,15 @@ object SnapshotLake {
                else readManifest(spark, path, v - 1)
     writeManifest(spark, path, v, prev ++ written.map(_ -> dir))
     v
+  }
+
+  def overwritePartitions(df: DataFrame, path: String,
+                          partCol: String): Int = {
+    val spark = df.sparkSession
+    val v = currentVersion(spark, path) + 1
+    val dir = f"c$v%05d"
+    df.write.partitionBy(partCol).mode("errorifexists").parquet(s"$path/$dir")
+    publish(spark, path, v, dir)
   }
 
   /** Write-audit-publish (A15 — the commit discipline production
@@ -118,15 +129,7 @@ object SnapshotLake {
     if (rejected) {
       fs(spark, path).delete(new Path(s"$path/$dir"), true)
       (report, None)
-    } else {
-      val written = fs(spark, path).listStatus(new Path(s"$path/$dir"))
-        .map(_.getPath.getName).filter(_.contains("="))
-        .map(_.split("=", 2)(1)).toSeq
-      val prev = if (v == 1) Map.empty[String, String]
-                 else readManifest(spark, path, v - 1)
-      writeManifest(spark, path, v, prev ++ written.map(_ -> dir))
-      (report, Some(v))
-    }
+    } else (report, Some(publish(spark, path, v, dir)))
   }
 
   /** Read a version (latest by default): one partitioned scan per

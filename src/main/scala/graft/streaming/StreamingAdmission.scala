@@ -36,13 +36,23 @@ object StreamingAdmission {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val existing = scala.util.Try(spark.read.parquet(corpusPath)).toOption
+        // cold start ONLY on genuine path absence — a Try around the
+        // read would also swallow transient store errors and silently
+        // admit the whole batch against an empty corpus; those must
+        // fail the batch so the checkpoint retries
+        def exists(path: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        }
+        val existing =
+          if (exists(corpusPath)) Some(spark.read.parquet(corpusPath)) else None
         val admittedPlan = existing match {
           case Some(corpus) =>
             // reuse the persisted index; fall back to re-signing the
             // corpus only if the artifact is missing (first run after
             // a manual corpus import)
-            val idx = scala.util.Try(Dedup.loadBandIndex(spark, indexPath)).toOption
+            val idx = if (exists(indexPath))
+              Some(Dedup.loadBandIndex(spark, indexPath)) else None
             Dedup.admitIncremental(corpus, batch, textCol, idCol,
               shingleSize, bands, rows, threshold, existingIndex = idx)
           case None =>

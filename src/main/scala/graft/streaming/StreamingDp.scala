@@ -28,20 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDp {
 
-  /** The shared noise chain: count + Lap(1/ε) with the deviate drawn
-    * from the keyed hash — literally the same expression tree on the
-    * stream and the batch twin.
+  /** The shared noise chain — delegates to
+    * [[graft.operators.DpRelease.noisyColumn]], the ONE definition
+    * both the batch mechanism and this face build from (so the
+    * pinned batch ≡ stream bit-equality cannot un-sync).
     */
-  def noisyColumn(countCol: Column, hash: Column, epsilon: Double): Column = {
-    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
-    val b = 1.0 / epsilon
-    val bits = shiftrightunsigned(hash, 11)
-    val u = (bits.cast("double") + lit(0.5)) / lit(9007199254740992.0)
-    val lap =
-      when(u < 0.5, lit(b) * log(lit(2.0) * u))
-        .otherwise(-lit(b) * log(lit(2.0) * (lit(1.0) - u)))
-    round(countCol.cast("double") + lap, 6)
-  }
+  def noisyColumn(countCol: Column, hash: Column, epsilon: Double): Column =
+    graft.operators.DpRelease.noisyColumn(countCol, hash, epsilon)
 
   /** Tumbling-window noisy counts per event type. Works on a
     * streaming OR static events frame — the spec runs both and

@@ -34,15 +34,10 @@ import graft.sources.{MediaCodecs, Multimodal}
   */
 object StreamingMediaGate {
 
-  /** Decode + fingerprint a static micro-batch of (idCol, media). */
+  /** Decode + fingerprint a static micro-batch of (idCol, media) —
+    * the shared [[Multimodal.dhashImageFrame]]. */
   def fingerprint(batch: DataFrame, idCol: String = "doc_id"): DataFrame =
-    Multimodal.extractFeatures(batch, idCol,
-        decoder = MediaCodecs.BmpDHashDecoder)
-      .select(col(idCol),
-        element_at(col("features"), 1).cast("int").as("width"),
-        element_at(col("features"), 2).cast("int").as("height"),
-        (element_at(col("features"), 3).cast("long") * lit(16777216L) +
-          element_at(col("features"), 4).cast("long")).as("phash"))
+    Multimodal.dhashImageFrame(batch, idCol)
 
   /** @param assetPath parquet lake of admitted (id, width, height,
     *        phash) rows — join back to payload storage by id
@@ -58,7 +53,15 @@ object StreamingMediaGate {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val hashes = fingerprint(batch, idCol)
-        val idx = scala.util.Try(spark.read.parquet(indexPath)).toOption
+        // cold start ONLY when the index path genuinely doesn't exist —
+        // a Try around the read would also swallow transient store/
+        // corruption errors and silently screen against an empty index
+        // (admitting duplicates permanently); those must fail the batch
+        // so the checkpoint retries
+        val p = new org.apache.hadoop.fs.Path(indexPath)
+        val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(p)
+        val idx = if (exists) Some(spark.read.parquet(indexPath)) else None
         val admittedPlan = MediaDedup.admitBatch(idx, hashes, idCol,
           "phash", maxHamming = maxHamming)
         // eager cut BEFORE the appends: the plan reads indexPath, and

@@ -568,13 +568,7 @@ object ScaleProbe {
           val (w, h, px) = graft.queries.MultimodalQueries.synthImage(id)
           (id, graft.sources.MediaCodecs.encodeBmp(w, h, px))
         }).toDF("doc_id", "media")
-      val hashes = graft.sources.Multimodal.extractFeatures(media,
-          decoder = graft.sources.MediaCodecs.BmpDHashDecoder)
-        .select(col("doc_id"),
-          element_at(col("features"), 1).cast("int").as("width"),
-          element_at(col("features"), 2).cast("int").as("height"),
-          (element_at(col("features"), 3).cast("long") * lit(16777216L) +
-            element_at(col("features"), 4).cast("long")).as("phash"))
+      val hashes = graft.sources.Multimodal.dhashImageFrame(media)
       graft.operators.MediaDedup.phashPairs(hashes, "doc_id", "phash")
         .count()
     }
@@ -587,13 +581,7 @@ object ScaleProbe {
           val (w, h, px) = graft.queries.MultimodalQueries.synthImage(id)
           (id, graft.sources.MediaCodecs.encodeBmp(w, h, px))
         }).toDF("doc_id", "media")
-      val hashes = graft.sources.Multimodal.extractFeatures(media,
-          decoder = graft.sources.MediaCodecs.BmpDHashDecoder)
-        .select(col("doc_id"),
-          element_at(col("features"), 1).cast("int").as("width"),
-          element_at(col("features"), 2).cast("int").as("height"),
-          (element_at(col("features"), 3).cast("long") * lit(16777216L) +
-            element_at(col("features"), 4).cast("long")).as("phash"))
+      val hashes = graft.sources.Multimodal.dhashImageFrame(media)
       val canon = graft.operators.MediaDedup.collapseExact(
           hashes, "doc_id", "phash")
         .select(col("canonical_id").as("doc_id"), col("width"),

@@ -54,7 +54,10 @@ class PropertiesSpec extends AnyFunSuite {
     // internal runs, trailing spaces, empty, null
     val corpus = Seq(
       "the cat sat on the mat", "the cat the cat", "zzz yyy the",
-      "\tthe cat", "  the   cat  ", "", "the")
+      "\tthe cat", "  the   cat  ", "", "the",
+      // trailing non-space whitespace: split(limit -1) KEEPS the
+      // trailing empty token — the regression the kernels once had
+      "the cat\t", "the cat\n ", "\t", "\tthe\t")
       .toDF("text")
     val probes = (corpus.collect().map(_.getString(0)) :+ null)
       .toSeq.toDF("text")
