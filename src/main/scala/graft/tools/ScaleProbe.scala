@@ -589,6 +589,59 @@ object ScaleProbe {
       graft.operators.MediaDedup.phashPairs(canon, "doc_id", "phash")
         .count()
     }
+    t("markov_attribution") {
+      // 10x longer journeys per user (copies share user ids) — the
+      // per-user window and the matrix collect are the stress axes
+      val evt = ev.withColumn("event_type",
+        element_at(array(lit("view"), lit("click"), lit("signup"),
+          lit("error"), lit("purchase")),
+          (pmod(col("event_id"), lit(5)) + 1).cast("int")))
+      graft.operators.Attribution.markovRemoval(evt, "user_id", "ts",
+        "event_id", "event_type", "purchase",
+        channelsHint = Some(Seq("click", "error", "signup", "view")))
+        .count()
+    }
+    t("frequent_pairs") {
+      val lp = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      lp.as("a").join(lp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+        .orderBy(col("support").desc, col("u"), col("v"))
+        .limit(50).count()
+    }
+    t("quantile_buckets") {
+      import org.apache.spark.sql.expressions.Window
+      val evt = ev.withColumn("event_type",
+        (col("event_id") % 5).cast("string"))
+        .withColumn("__bk", floor(col("value") * lit(100.0)).cast("long"))
+      val counts = evt.groupBy(col("event_type"), col("__bk"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = graft.operators.CumHistogram.cumulativeByGroup(
+        counts, "event_type", "__bk", "cnt")
+      val thrCols = (1 to 9).map { d =>
+        min(when(col("cum") >= lit(d / 10.0) * col("total"), col("__bk")))
+          .as(s"__b$d")
+      }
+      val thr = cum.groupBy(col("event_type"))
+        .agg(thrCols.head, thrCols.tail: _*)
+      val decile = (1 to 9).foldLeft(lit(1)) { (acc, d) =>
+        acc + when(col("__bk") > col(s"__b$d"), 1).otherwise(0)
+      }
+      evt.join(broadcast(thr), Seq("event_type"))
+        .select(col("event_id"), decile.cast("int").as("decile"))
+        .agg(sum(col("decile"))).head.getLong(0)
+    }
+    t("packing_efficiency") {
+      val packed = graft.operators.Pack.nextFitDecreasing(docs,
+        col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text")),
+        pmod(col("doc_id"), lit(8)), budget = 512L)
+      packed.groupBy(col("bucket"))
+        .agg((max(col("shard")) + 1).as("n_shards"),
+          sum(col("n_tokens")).as("total_tokens")).count()
+    }
     t("quality_fusion_legs") {
       import org.apache.spark.sql.expressions.Window
       val lm = graft.operators.LanguageModel.train(docs, "text", topK = 64)
