@@ -141,6 +141,7 @@ object SparkEntry {
     "packing_efficiency" -> (TextQueries.packingEfficiency _),
     "decontamination"    -> (TextQueries.decontaminate _),
     "decontamination_score" -> (TextQueries.decontaminationScore _),
+    "decontamination_char" -> (TextQueries.decontaminationChar _),
     "ngram_novelty"      -> (TextQueries.ngramNovelty _),
     "corpus_drift"       -> (TextQueries.corpusDrift _),
     "training_order"     -> ((s, d) => TextQueries.trainingOrder(s, d)),
@@ -2859,6 +2860,25 @@ object SparkEntry {
         |SELECT doc_id, lang, cross_entropy,
         |  (rn <= CAST(ceil(n * 0.7) AS BIGINT)) AS kept
         |FROM rk ORDER BY doc_id""".stripMargin,
+
+    // D74: exact 30-char windows on both sides, joined on the gram
+    // string — pure substring algebra identical in ANSI SQL (the
+    // Spark side's rolling-hash nomination is an optimization the
+    // exact verify erases from the result).
+    "decontamination_char" ->
+      """WITH cg AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 30) AS gram
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(len(text) - 28, 1))) AS i
+        |        FROM documents WHERE doc_id % 10 <> 0)),
+        |bg AS (
+        |  SELECT DISTINCT substr(text, CAST(i AS INTEGER), 30) AS gram
+        |  FROM (SELECT text,
+        |          unnest(range(1, greatest(len(text) - 28, 1))) AS i
+        |        FROM documents WHERE doc_id % 10 = 0))
+        |SELECT doc_id, COUNT(*) AS n_shared_grams
+        |FROM cg JOIN bg USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Exact char-level span dedup: positions covered by a repeated
     // substring of length >= 30 equal positions covered by a repeated

@@ -87,6 +87,48 @@ object SuffixDedup {
     survG.join(hotG, "gram").select(col("id"), col("pos"), col("gram"))
   }
 
+  /** Char-level decontamination (SURVEY §2.D74): flag corpus docs
+    * sharing any EXACT substring of length `len` with a benchmark
+    * doc. The D19 token-8-gram screen misses overlap that crosses
+    * token boundaries differently (reflowed whitespace, inserted
+    * punctuation shifting tokenization); an exact char window is the
+    * strictest practical overlap test — the same exact-L reduction
+    * as [[stripRepeatedCharSpans]]: any shared substring of length
+    * ≥ len contains a shared exact-len window, so screening at
+    * exactly `len` is complete for the ≥ len contract.
+    *
+    * Scale shape — the benchmark side is small by definition: its
+    * gram-HASH set broadcasts (8 B per window), so the corpus pays
+    * ONE rolling-hash scan and a broadcast semi-join — corpus gram
+    * STRINGS materialize only for hash-nominated candidates, which
+    * then exact-verify against the bench gram strings (hash
+    * collisions cannot flag a clean doc).
+    *
+    * @return (id, n_shared_grams) — one row per CONTAMINATED corpus
+    *         doc with its count of distinct shared windows.
+    */
+  def charContamination(corpus: DataFrame, bench: DataFrame,
+                        textCol: String, idCol: String,
+                        len: Int = 30): DataFrame = {
+    require(len >= 8, s"charContamination: len must be >= 8, got $len")
+    val benchOcc = occHashes(bench, textCol, idCol, len)
+    val benchH = benchOcc.select(col("h")).distinct()
+    val benchGrams = benchOcc
+      .join(bench.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
+      .select(col("__t").substr(col("pos"), lit(len)).as("gram"))
+      .distinct()
+    val cand = occHashes(corpus, textCol, idCol, len)
+      .join(broadcast(benchH), "h")
+    val corpGrams = cand
+      .join(corpus.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
+      .select(col("id"),
+        col("__t").substr(col("pos"), lit(len)).as("gram"))
+      .distinct()
+    corpGrams.join(broadcast(benchGrams), "gram")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Remove every character position covered by a substring of length
     * ≥ `minLen` that occurs ≥ `minCount` times across the corpus
     * (occurrences = (doc, position) pairs; overlapping self-repeats

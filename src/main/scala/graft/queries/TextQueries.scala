@@ -594,6 +594,23 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D74: char-level decontamination — corpus docs sharing any exact
+    * 30-char substring with the same every-10th-doc eval slice; the
+    * strictest overlap screen, catching reflowed/re-punctuated
+    * copies the D19 token-8-gram screen tokenizes differently. See
+    * [[graft.operators.SuffixDedup.charContamination]].
+    */
+  def decontaminationChar(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.operators.SuffixDedup.charContamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text")),
+        "text", "doc_id", len = 30)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** D52: corpus drift report — PSI of the language mix between the
     * first source group (src0–src9, the "reference" corpus) and the
     * second (src10–src19, the "incoming" batch); see

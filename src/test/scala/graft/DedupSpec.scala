@@ -480,4 +480,39 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0).isEmpty)
     assert(out(1) == Seq("a b c", "b c d"))
   }
+
+  test("charContamination: planted 30-char copy flagged, 29-char near-miss clean, counts exact") {
+    import spark.implicits._
+    import graft.operators.SuffixDedup
+    val span30 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123" // exactly 30 chars
+    assert(span30.length == 30)
+    val bench = Seq((100L, s"eval question: $span30 end"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // exact 30-char overlap → flagged; the copy sits mid-document
+      (1L, s"some prefix $span30 some suffix"),
+      // 28 shared chars behind non-matching boundaries → every
+      // 30-window differs → clean
+      (2L, "some prefix-" + span30.drop(1).dropRight(1) + "-some suffix"),
+      // no overlap at all
+      (3L, "completely unrelated text with nothing shared here at all"),
+      // a LONGER shared region: " question: " + span + " " = 42
+      // shared chars → 13 distinct shared 30-windows
+      (4L, s"xx question: $span30 yy"))
+      .toDF("doc_id", "text")
+    val got = SuffixDedup.charContamination(corpus, bench,
+        "text", "doc_id", len = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(1L) && !got.contains(2L) && !got.contains(3L),
+      s"got $got")
+    assert(got(4L) == 13L, s"got $got")
+    // doc 1's shared region is " " + span30 + " " = 32 chars →
+    // 3 distinct shared 30-windows (counts verified by brute force)
+    assert(got(1L) == 3L, s"got $got")
+    // partition invariance
+    val re = SuffixDedup.charContamination(corpus.repartition(5), bench,
+        "text", "doc_id", len = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == got)
+  }
 }
