@@ -589,6 +589,13 @@ object ScaleProbe {
       graft.operators.MediaDedup.phashPairs(canon, "doc_id", "phash")
         .count()
     }
+    t("decontamination_char") {
+      graft.operators.SuffixDedup.charContamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text")),
+        "text", "doc_id", len = 30).count()
+    }
     t("markov_attribution") {
       // 10x longer journeys per user (copies share user ids) — the
       // per-user window and the matrix collect are the stress axes
