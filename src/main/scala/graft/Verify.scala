@@ -13,7 +13,10 @@ object Verify {
         val ps = pats.split(",").toSeq; k => ps.exists(k.contains)
       case None => _ => true
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default = full machine (32), matching Bench and the local[32] contract;
+    // every oracled key is partition-count-independent by design, and the
+    // gate re-validates that at 32 below.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
