@@ -116,6 +116,7 @@ object SparkEntry {
     // §2.D — LLM-training-data operators
     "dedup_exact"        -> (TextQueries.dedupExact _),
     "dedup_minhash_lsh"  -> (TextQueries.dedupMinhashLsh _),
+    "dedup_bbit_minhash" -> (TextQueries.dedupBbitMinhash _),
     "dedup_source_matrix" -> (TextQueries.dedupSourceMatrix _),
     "dedup_simhash"      -> (TextQueries.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
@@ -286,6 +287,50 @@ object SparkEntry {
       .foldLeft(s"SELECT *, CAST($idExpr AS HUGEINT) AS xv FROM ($inner)") {
         (q, step) => s"SELECT *, $step FROM ($q)"
       }
+
+
+  /** CTE chain `cd..hf`: variable-length string XXH64 (seed 42) of
+    * each row of a preceding CTE `dsh(sh)` -> `hf(sh, hv)` with hv the
+    * unsigned 64-bit result as HUGEINT. Valid for ASCII inputs < 32
+    * bytes (the stripe loop is never entered and is not emitted) --
+    * true of the gate word-shingles. Shared by the dedup_simhash and
+    * dedup_bbit_minhash oracles. Trailing comma included.
+    */
+  private val strXxh64Ctes: String =
+    """cd AS (
+        |  SELECT sh, length(sh) AS L,
+        |    list_transform(range(1, length(sh) + 1),
+        |      i -> CAST(ascii(substr(sh, i, 1)) AS HUGEINT)) AS cs
+        |  FROM dsh),
+        |w8 AS (
+        |  SELECT sh, L, cs,
+        |    list_transform(range(0, L // 8), w ->
+        |      cs[w*8+1] + cs[w*8+2]*256 + cs[w*8+3]*65536 + cs[w*8+4]*16777216
+        |      + cs[w*8+5]*4294967296 + cs[w*8+6]*1099511627776
+        |      + cs[w*8+7]*281474976710656 + cs[w*8+8]*72057594037927936) AS words
+        |  FROM cd),
+        |hw AS (
+        |  SELECT sh, L, cs,
+        |    list_reduce(list_prepend(CAST((42 + 2870177450012600261 + L) % 18446744073709551616 AS HUGEINT), words),
+        |      (acc, w) -> ((((((((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 137438953472) * 134217728) + ((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 137438953472))) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((((((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 137438953472) * 134217728) + ((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 137438953472))) // 4294967296) * ((11400714785074694791) % 4294967296) + ((((((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 137438953472) * 134217728) + ((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 137438953472))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616) AS h1
+        |  FROM w8),
+        |h4 AS (
+        |  SELECT sh, L, cs,
+        |    CASE WHEN L % 8 >= 4 THEN
+        |      ((((((((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 2199023255552) * 8388608) + ((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 2199023255552))) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((((((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 2199023255552) * 8388608) + ((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 2199023255552))) // 4294967296) * ((14029467366897019727) % 4294967296) + ((((((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 2199023255552) * 8388608) + ((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 2199023255552))) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 + 1609587929392839161) % 18446744073709551616
+        |    ELSE h1 END AS h2,
+        |    (L // 8) * 8 + CASE WHEN L % 8 >= 4 THEN 4 ELSE 0 END AS tstart
+        |  FROM hw),
+        |hb AS (
+        |  SELECT sh,
+        |    list_reduce(list_prepend(CAST(h2 AS HUGEINT),
+        |      list_transform(range(tstart + 1, L + 1), i -> cs[i])),
+        |      (acc, b) -> (((((((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 9007199254740992) * 2048) + ((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 9007199254740992))) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((((((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 9007199254740992) * 2048) + ((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 9007199254740992))) // 4294967296) * ((11400714785074694791) % 4294967296) + ((((((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 9007199254740992) * 2048) + ((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 9007199254740992))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS h3
+        |  FROM h4),
+        |hf AS (
+        |  SELECT sh, xor(CAST(f4 AS HUGEINT), CAST((f4) // 4294967296 AS HUGEINT)) AS hv FROM (
+        |    SELECT sh, (((xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT))) % 4294967296) * ((1609587929392839161) % 4294967296) + ((((xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT))) // 4294967296) * ((1609587929392839161) % 4294967296) + ((xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT))) % 4294967296) * ((1609587929392839161) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f4 FROM (
+        |      SELECT sh, (((xor(CAST(h3 AS HUGEINT), CAST((h3) // 8589934592 AS HUGEINT))) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((xor(CAST(h3 AS HUGEINT), CAST((h3) // 8589934592 AS HUGEINT))) // 4294967296) * ((14029467366897019727) % 4294967296) + ((xor(CAST(h3 AS HUGEINT), CAST((h3) // 8589934592 AS HUGEINT))) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f2 FROM hb)) ),"""
 
   private val xxhSigned =
     s"CAST(CASE WHEN hout >= 9223372036854775808 THEN hout - $M64 ELSE hout END AS BIGINT)"
@@ -2601,48 +2646,15 @@ object SparkEntry {
     // variables (unlike SQL aliases) don't textually expand, which is
     // what makes the per-word fold writable inline.
     "dedup_simhash" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
         |shd AS (
         |  SELECT DISTINCT doc_id,
         |    unnest(list_transform(range(1, len(tk) - 1),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
         |  FROM t),
         |dsh AS (SELECT DISTINCT sh FROM shd),
-        |cd AS (
-        |  SELECT sh, length(sh) AS L,
-        |    list_transform(range(1, length(sh) + 1),
-        |      i -> CAST(ascii(substr(sh, i, 1)) AS HUGEINT)) AS cs
-        |  FROM dsh),
-        |w8 AS (
-        |  SELECT sh, L, cs,
-        |    list_transform(range(0, L // 8), w ->
-        |      cs[w*8+1] + cs[w*8+2]*256 + cs[w*8+3]*65536 + cs[w*8+4]*16777216
-        |      + cs[w*8+5]*4294967296 + cs[w*8+6]*1099511627776
-        |      + cs[w*8+7]*281474976710656 + cs[w*8+8]*72057594037927936) AS words
-        |  FROM cd),
-        |hw AS (
-        |  SELECT sh, L, cs,
-        |    list_reduce(list_prepend(CAST((42 + 2870177450012600261 + L) % 18446744073709551616 AS HUGEINT), words),
-        |      (acc, w) -> ((((((((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 137438953472) * 134217728) + ((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 137438953472))) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((((((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 137438953472) * 134217728) + ((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 137438953472))) // 4294967296) * ((11400714785074694791) % 4294967296) + ((((((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 137438953472) * 134217728) + ((xor(CAST(acc AS HUGEINT), CAST(((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * ((11400714785074694791) % 4294967296) + (((((((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) % 8589934592) * 2147483648) + (((((w) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((w) // 4294967296) * ((14029467366897019727) % 4294967296) + ((w) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 137438953472))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616) AS h1
-        |  FROM w8),
-        |h4 AS (
-        |  SELECT sh, L, cs,
-        |    CASE WHEN L % 8 >= 4 THEN
-        |      ((((((((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 2199023255552) * 8388608) + ((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 2199023255552))) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((((((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 2199023255552) * 8388608) + ((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 2199023255552))) // 4294967296) * ((14029467366897019727) % 4294967296) + ((((((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 2199023255552) * 8388608) + ((xor(CAST(h1 AS HUGEINT), CAST((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) // 4294967296) * ((11400714785074694791) % 4294967296) + ((cs[(L//8)*8+1] + cs[(L//8)*8+2]*256 + cs[(L//8)*8+3]*65536 + cs[(L//8)*8+4]*16777216) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 2199023255552))) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 + 1609587929392839161) % 18446744073709551616
-        |    ELSE h1 END AS h2,
-        |    (L // 8) * 8 + CASE WHEN L % 8 >= 4 THEN 4 ELSE 0 END AS tstart
-        |  FROM hw),
-        |hb AS (
-        |  SELECT sh,
-        |    list_reduce(list_prepend(CAST(h2 AS HUGEINT),
-        |      list_transform(range(tstart + 1, L + 1), i -> cs[i])),
-        |      (acc, b) -> (((((((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 9007199254740992) * 2048) + ((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 9007199254740992))) % 4294967296) * ((11400714785074694791) % 4294967296) + ((((((((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 9007199254740992) * 2048) + ((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 9007199254740992))) // 4294967296) * ((11400714785074694791) % 4294967296) + ((((((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) % 9007199254740992) * 2048) + ((xor(CAST(acc AS HUGEINT), CAST((((b) % 4294967296) * ((2870177450012600261) % 4294967296) + ((((b) // 4294967296) * ((2870177450012600261) % 4294967296) + ((b) % 4294967296) * ((2870177450012600261) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS HUGEINT))) // 9007199254740992))) % 4294967296) * ((11400714785074694791) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS h3
-        |  FROM h4),
-        |hf AS (
-        |  SELECT sh, xor(CAST(f4 AS HUGEINT), CAST((f4) // 4294967296 AS HUGEINT)) AS hv FROM (
-        |    SELECT sh, (((xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT))) % 4294967296) * ((1609587929392839161) % 4294967296) + ((((xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT))) // 4294967296) * ((1609587929392839161) % 4294967296) + ((xor(CAST(f2 AS HUGEINT), CAST((f2) // 536870912 AS HUGEINT))) % 4294967296) * ((1609587929392839161) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f4 FROM (
-        |      SELECT sh, (((xor(CAST(h3 AS HUGEINT), CAST((h3) // 8589934592 AS HUGEINT))) % 4294967296) * ((14029467366897019727) % 4294967296) + ((((xor(CAST(h3 AS HUGEINT), CAST((h3) // 8589934592 AS HUGEINT))) // 4294967296) * ((14029467366897019727) % 4294967296) + ((xor(CAST(h3 AS HUGEINT), CAST((h3) // 8589934592 AS HUGEINT))) % 4294967296) * ((14029467366897019727) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS f2 FROM hb)) ),
+        |$strXxh64Ctes
         |pw AS (SELECT * FROM (VALUES (0, 1), (1, 2), (2, 4), (3, 8), (4, 16), (5, 32), (6, 64), (7, 128), (8, 256), (9, 512), (10, 1024), (11, 2048), (12, 4096), (13, 8192), (14, 16384), (15, 32768), (16, 65536), (17, 131072), (18, 262144), (19, 524288), (20, 1048576), (21, 2097152), (22, 4194304), (23, 8388608), (24, 16777216), (25, 33554432), (26, 67108864), (27, 134217728), (28, 268435456), (29, 536870912), (30, 1073741824), (31, 2147483648), (32, 4294967296), (33, 8589934592), (34, 17179869184), (35, 34359738368), (36, 68719476736), (37, 137438953472), (38, 274877906944), (39, 549755813888), (40, 1099511627776), (41, 2199023255552), (42, 4398046511104), (43, 8796093022208), (44, 17592186044416), (45, 35184372088832), (46, 70368744177664), (47, 140737488355328), (48, 281474976710656), (49, 562949953421312), (50, 1125899906842624), (51, 2251799813685248), (52, 4503599627370496), (53, 9007199254740992), (54, 18014398509481984), (55, 36028797018963968), (56, 72057594037927936), (57, 144115188075855872), (58, 288230376151711744), (59, 576460752303423488), (60, 1152921504606846976), (61, 2305843009213693952), (62, 4611686018427387904), (63, 9223372036854775808)) p(j, pv)),
         |sig AS (
         |  SELECT doc_id,
@@ -2685,6 +2697,12 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
         |FROM pairs WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // b-bit minhash audit: exact pairs (same CTEs/completeness as
+    // dedup_minhash_lsh) + a bit-exact replay of the engine signature
+    // (XXH64 ∘ splitmix64, signed minima, low-b lanes, Li–König
+    // correction). Defaults mirror Dedup.bbitMinhashAudit.
+    "dedup_bbit_minhash" -> bbitOracle(8, 4, 4, 0.5),
 
     // the D2 pair CTEs + a provenance rollup; counts integer,
     // max-jaccard exact selection — hash-stable wherever the pair set
@@ -3856,6 +3874,77 @@ object SparkEntry {
     * DuckDB's VARCHAR→FLOAT cast is correctly rounded. (A bare numeric
     * literal would type DECIMAL and risk double rounding.)
     */
+  /** DuckDB replay of the b-bit minhash audit (D72). Ground truth =
+    * the exact-pair CTEs of dedup_minhash_lsh (same completeness
+    * argument); the estimator side replays the engine signature
+    * bit-for-bit: per-shingle XXH64 via the shared cd..hf chain,
+    * per-slot derivation mix64(base ^ mix64(s)) with splitmix64
+    * constants and per-slot constants emitted from the very same Scala
+    * implementation, SIGNED minima per (doc, slot) (the kernel
+    * compares Java longs), low-b-bit lanes, and the Li–König
+    * correction (P−C)/(1−C) with double constants routed through
+    * CAST('…' AS DOUBLE) so they parse as DOUBLE, not DECIMAL.
+    * Mixing runs per DISTINCT shingle × slot; minima fold per doc.
+    */
+  private def bbitOracle(bands: Int, rows: Int, b: Int,
+                         threshold: Double): String = {
+    val k = bands * rows
+    def u(x: Long) = java.lang.Long.toUnsignedString(x)
+    def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+    val slots = (0 until k).map(s =>
+      s"($s, CAST('${u(graft.functions.GraftKernels.mix64(s.toLong))}' AS HUGEINT))")
+      .mkString(", ")
+    val C0 = u(0x9e3779b97f4a7c15L)
+    val C1 = u(0xbf58476d1ce4e5b9L)
+    val C2 = u(0x94d049bb133111ebL)
+    val mixChain = Seq(
+      s"(xor(CAST(hv AS HUGEINT), sc) + $C0) % $M64 AS z1",
+      s"${xorShift("z1", 30)} AS x1",
+      s"(${mul64("x1", C1)}) % $M64 AS z2",
+      s"${xorShift("z2", 27)} AS x2",
+      s"(${mul64("x2", C2)}) % $M64 AS z3",
+      s"${xorShift("z3", 31)} AS m")
+      .foldLeft("SELECT hf.sh, sl.s, sl.sc, hf.hv FROM hf CROSS JOIN (VALUES "
+        + slots + ") sl(s, sc)") { (q, step) => s"SELECT *, $step FROM ($q)" }
+    val mod = u(1L << b)
+    val est = s"(CAST(cnt AS DOUBLE) / ${d(k.toDouble)} - ${d(1.0 / (1L << b))})" +
+      s" / ${d(1.0 - 1.0 / (1L << b))}"
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM t),
+      |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s
+      |       WHERE len(sh) > 0),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+      |    any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT id_a, id_b, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+      |  FROM pairs WHERE CAST(c AS DOUBLE) / (na + nb - c) >= $threshold),
+      |dsh AS (SELECT DISTINCT shingle AS sh FROM ex),
+      |$strXxh64Ctes
+      |msig AS (
+      |  SELECT sh, s,
+      |    CAST(CASE WHEN m >= 9223372036854775808 THEN m - $M64 ELSE m END
+      |      AS BIGINT) AS ms
+      |  FROM ($mixChain)),
+      |mins AS (
+      |  SELECT ex.doc_id, msig.s, MIN(msig.ms) AS mn
+      |  FROM ex JOIN msig ON msig.sh = ex.shingle GROUP BY 1, 2),
+      |lanes AS (SELECT doc_id, s, ((mn % $mod) + $mod) % $mod AS lane FROM mins),
+      |mt AS (
+      |  SELECT j.id_a, j.id_b, j.jaccard,
+      |    SUM(CASE WHEN la.lane = lb.lane THEN 1 ELSE 0 END) AS cnt
+      |  FROM j JOIN lanes la ON la.doc_id = j.id_a
+      |         JOIN lanes lb ON lb.doc_id = j.id_b AND lb.s = la.s
+      |  GROUP BY 1, 2, 3)
+      |SELECT id_a, id_b, jaccard, $est AS jaccard_bbit,
+      |  ($est >= ${d(threshold)}) AS kept_bbit
+      |FROM mt ORDER BY id_a, id_b""".stripMargin
+  }
+
   private def floatLit(f: Float): String = s"CAST('$f' AS FLOAT)"
 
   private def centroidsValues(cents: Array[Array[Float]]): String =

@@ -26,8 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftKernels {
   final val SEED = 42L
 
-  private def mix64(z0: Long): Long = {
-    // splitmix64 finalizer — full avalanche, cheap
+  // splitmix64 finalizer — full avalanche, cheap. Public because the
+  // DuckDB oracle builder replays the per-slot constants mix64(s).
+  def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -84,6 +85,48 @@ object GraftKernels {
       i += 1
     }
     mins
+  }
+
+  /** b-bit minhash compression (Li & König 2010): keep only the low
+    * `b` bits of each signature lane, packed little-endian into 64-bit
+    * words — k·b bits per document instead of 64·k. `b` must divide 64
+    * and k must be a multiple of 64/b so words pack exactly (callers
+    * assert; k=32, b=4 → 2 words vs 32).
+    */
+  def bbitPack(sig: ArrayData, b: Int): Array[Long] = {
+    val lanesPerWord = 64 / b
+    val k = sig.numElements()
+    val words = new Array[Long]((k + lanesPerWord - 1) / lanesPerWord)
+    val mask = if (b == 64) -1L else (1L << b) - 1L
+    var s = 0
+    while (s < k) {
+      val lane = sig.getLong(s) & mask
+      words(s / lanesPerWord) |= lane << ((s % lanesPerWord) * b)
+      s += 1
+    }
+    words
+  }
+
+  /** Count equal b-bit lanes between two packed signatures (the
+    * collision count behind the Li–König estimator).
+    */
+  def bbitMatches(a: ArrayData, other: ArrayData, b: Int): Int = {
+    val lanesPerWord = 64 / b
+    val mask = if (b == 64) -1L else (1L << b) - 1L
+    val n = math.min(a.numElements(), other.numElements())
+    var cnt = 0
+    var w = 0
+    while (w < n) {
+      var x = a.getLong(w) ^ other.getLong(w)
+      var l = 0
+      while (l < lanesPerWord) {
+        if ((x & mask) == 0L) cnt += 1
+        x = x >>> b
+        l += 1
+      }
+      w += 1
+    }
+    cnt
   }
 
   /** Cosine similarity of two float vectors, accumulated in double
@@ -271,6 +314,48 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "minhash_sig"
 }
 
+/** BbitPack(array<long>, b) → array<long>: b-bit minhash compression. */
+case class BbitPack(child: Expression, b: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if b > 0 && 64 % b == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bbit_pack needs array<long> and b dividing 64, got $t / b=$b")
+  }
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GraftKernels.bbitPack(v.asInstanceOf[ArrayData], b))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.GraftKernels.bbitPack($c, $b))")
+  override protected def withNewChildInternal(newChild: Expression): BbitPack =
+    copy(child = newChild)
+  override def prettyName: String = "bbit_pack"
+}
+
+/** BbitMatches(array<long>, array<long>, b) → int: equal-lane count. */
+case class BbitMatches(left: Expression, right: Expression, b: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) if b > 0 && 64 % b == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bbit_matches needs two array<long> and b dividing 64, got $t / b=$b")
+  }
+  override def nullSafeEval(a: Any, o: Any): Any =
+    java.lang.Integer.valueOf(GraftKernels.bbitMatches(
+      a.asInstanceOf[ArrayData], o.asInstanceOf[ArrayData], b))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, o) =>
+      s"graft.functions.GraftKernels.bbitMatches($a, $o, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BbitMatches =
+    copy(left = l, right = r)
+  override def prettyName: String = "bbit_matches"
+}
+
 /** VecCosine(array<float>, array<float>) → double. */
 case class VecCosine(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -394,6 +479,11 @@ object GraftFunctions {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
   def minhash_sig(c: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
+  def bbit_pack(c: Column, b: Int): Column =
+    ColumnBridge.column(BbitPack(ColumnBridge.expression(c), b))
+  def bbit_matches(a: Column, o: Column, b: Int): Column =
+    ColumnBridge.column(BbitMatches(ColumnBridge.expression(a),
+      ColumnBridge.expression(o), b))
   def vec_cosine(a: Column, b: Column): Column =
     ColumnBridge.column(VecCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def hyperplane_bucket(v: Column, planes: Int): Column =

@@ -49,8 +49,16 @@ object Dedup {
     * the 24-byte unit every LSH exchange here carries.
     */
   private def mhBandRows(withSh: DataFrame, bands: Int, rows: Int): DataFrame =
-    withSh
-      .withColumn("sig", minhashSignature(col("sh"), bands * rows))
+    bandRowsFromSig(
+      withSh.withColumn("sig", minhashSignature(col("sh"), bands * rows)),
+      bands, rows)
+
+  /** Band rows from a frame that already carries the k=bands·rows
+    * signature, so callers needing the signature for something else
+    * too (b-bit compression) never hash twice.
+    */
+  private def bandRowsFromSig(sigged: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigged
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
@@ -92,6 +100,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** D75: b-bit minhash side-by-side audit (Li & König 2010). The SAME
+    * k=bands·rows signature that feeds the LSH bands compresses to its
+    * low b bits per lane, packed to k·b bits per document (16 bytes at
+    * k=32,b=4 — 16× smaller than the raw 64-bit signature); Jaccard is
+    * then ESTIMATED from the fraction P of agreeing lanes with the
+    * Li–König collision correction Ĵ = (P − C)/(1 − C), C = 2^-b.
+    *
+    * At 100 TB the estimator replaces the exact-verify join — the one
+    * step of D2 that ships shingle sets across the cluster; the
+    * candidate join carries two 8-byte words per side instead. This
+    * audit query runs BOTH paths over the same LSH candidates and
+    * emits exact vs estimate per true pair plus the estimator's keep
+    * decision, so the recall/precision trade of switching is measured
+    * on the corpus, not asserted from the paper's variance formula.
+    *
+    * @return (id_a, id_b, jaccard, jaccard_bbit, kept_bbit) for pairs
+    *         with exact jaccard ≥ threshold
+    */
+  def bbitMinhashAudit(df: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 3, bands: Int = 8, rows: Int = 4,
+                       b: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val k = bands * rows
+    require(64 % b == 0 && k % (64 / b) == 0,
+      s"b=$b must divide 64 and k=$k must fill whole packed words")
+    val withSh = shingleFrame(df, textCol, idCol, shingleSize)
+    val sigged = withSh.withColumn("sig", minhashSignature(col("sh"), k))
+    val packed = sigged.select(col("id"),
+      graft.functions.GraftFunctions.bbit_pack(col("sig"), b).as("pk"))
+    val cand = {
+      val banded = bandRowsFromSig(sigged, bands, rows)
+      banded.select(col("band"), col("bandhash"), col("id").as("id_a"))
+        .join(banded.select(col("band"), col("bandhash"), col("id").as("id_b")),
+          Seq("band", "bandhash"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+    }
+    val c = 1.0 / (1L << b)
+    val est = cand
+      .join(packed.select(col("id").as("id_a"), col("pk").as("pk_a")), Seq("id_a"))
+      .join(packed.select(col("id").as("id_b"), col("pk").as("pk_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ((graft.functions.GraftFunctions.bbit_matches(col("pk_a"), col("pk_b"), b)
+          .cast("double") / lit(k.toDouble) - lit(c)) / lit(1.0 - c))
+          .as("jaccard_bbit"))
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .join(est, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("jaccard_bbit"),
+        (col("jaccard_bbit") >= lit(threshold)).as("kept_bbit"))
   }
 
   /** SimHash (64-bit): per element hash, each bit votes ±1; the sign of

@@ -24,6 +24,14 @@ object TextQueries {
     Dedup.minhashLsh(Tables.documents(spark, dir), "text", "doc_id")
       .orderBy(col("id_a"), col("id_b"))
 
+  /** D75: b-bit minhash estimate vs exact Jaccard on the same LSH
+    * candidates — the measured recall/precision trade of replacing the
+    * shingle-shipping verify join with 16-byte compressed signatures.
+    */
+  def dedupBbitMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bbitMinhashAudit(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy(col("id_a"), col("id_b"))
+
   /** D63: cross-source duplication matrix — the provenance audit on
     * top of the near-dup pairs: WHICH sources duplicate WHICH (a hot
     * (src_a, src_b) cell = mirrored/scraped content between two

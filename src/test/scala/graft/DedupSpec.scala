@@ -344,6 +344,49 @@ class DedupSpec extends AnyFunSuite {
       "LSH output must equal the exact jaccard >= 0.5 pair set")
   }
 
+  test("b-bit minhash audit: bit-exact vs an independent driver reference") {
+    val got = Dedup.bbitMinhashAudit(docs, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // same pair set as the exact >= 0.5 set (the LSH completeness the
+    // dedup_minhash_lsh test already pins)
+    assert(got.keySet == exactPairs.filter(_._2 >= 0.5).keySet)
+    // independent reference: naive signature from Spark's public XXH64
+    // + an inline splitmix64, low-4-bit lanes, Li-Konig correction
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val k = 32; val b = 4
+    val sigs = docs.collect().map { r =>
+      val sh = r.getAs[String]("text").trim.split("\\s+").toSeq
+        .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq.distinct
+      val mins = Array.fill(k)(Long.MaxValue)
+      sh.foreach { g =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(g)
+        val base = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        (0 until k).foreach { s =>
+          val h = mix(base ^ mix(s.toLong))
+          if (h < mins(s)) mins(s) = h
+        }
+      }
+      r.getAs[Long]("doc_id") -> mins.map(_ & ((1L << b) - 1))
+    }.toMap
+    val c = 1.0 / (1L << b)
+    got.foreach { case ((a, o), (j, est, kept)) =>
+      val m = sigs(a).zip(sigs(o)).count { case (x, y) => x == y }
+      val want = (m.toDouble / k - c) / (1.0 - c)
+      assert(est == want, s"pair ($a,$o) estimate mismatch: $est vs $want")
+      assert(kept == (est >= 0.5))
+      assert(math.abs(j - exactPairs((a, o))) < 1e-12)
+      // sanity: with k=32 lanes the estimate tracks the exact value
+      assert(math.abs(est - j) < 0.35, s"estimator off by ${math.abs(est - j)}")
+    }
+  }
+
   test("leakage-safe split: near-dup clusters never straddle splits") {
     val rows = graft.queries.TextQueries.leakageSafeSplit(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
