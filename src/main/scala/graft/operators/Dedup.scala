@@ -123,6 +123,42 @@ object Dedup {
   def bbitMinhashAudit(df: DataFrame, textCol: String, idCol: String,
                        shingleSize: Int = 3, bands: Int = 8, rows: Int = 4,
                        b: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val (withSh, cand, est) =
+      bbitCore(df, textCol, idCol, shingleSize, bands, rows, b)
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .join(est, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("jaccard_bbit"),
+        (col("jaccard_bbit") >= lit(threshold)).as("kept_bbit"))
+  }
+
+  /** The PRODUCTION b-bit path: LSH candidates kept by the estimator
+    * alone — after banding, the only per-pair payload is the packed
+    * k·b-bit signature (two 8-byte words at k=32/b=4); shingle sets
+    * never leave their partitions. This is what replaces
+    * [[minhashLsh]] at 100 TB; [[bbitMinhashAudit]] measures what the
+    * swap trades.
+    *
+    * @return (id_a, id_b, jaccard_bbit) with estimate ≥ threshold
+    */
+  def bbitMinhashPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 3, bands: Int = 8, rows: Int = 4,
+                       b: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val (_, _, est) = bbitCore(df, textCol, idCol, shingleSize, bands, rows, b)
+    est.filter(col("jaccard_bbit") >= lit(threshold))
+  }
+
+  /** Shared b-bit machinery: shingle frame, LSH candidate pairs off
+    * the k=bands·rows signature, and the per-candidate Li–König
+    * estimate frame (id_a, id_b, jaccard_bbit).
+    */
+  private def bbitCore(df: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int, bands: Int, rows: Int,
+                       b: Int): (DataFrame, DataFrame, DataFrame) = {
     val k = bands * rows
     require(64 % b == 0 && k % (64 / b) == 0,
       s"b=$b must divide 64 and k=$k must fill whole packed words")
@@ -147,15 +183,7 @@ object Dedup {
         ((graft.functions.GraftFunctions.bbit_matches(col("pk_a"), col("pk_b"), b)
           .cast("double") / lit(k.toDouble) - lit(c)) / lit(1.0 - c))
           .as("jaccard_bbit"))
-    cand
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .join(est, Seq("id_a", "id_b"))
-      .select(col("id_a"), col("id_b"), col("jaccard"), col("jaccard_bbit"),
-        (col("jaccard_bbit") >= lit(threshold)).as("kept_bbit"))
+    (withSh, cand, est)
   }
 
   /** SimHash (64-bit): per element hash, each bit votes ±1; the sign of

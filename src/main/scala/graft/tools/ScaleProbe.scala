@@ -52,6 +52,8 @@ object ScaleProbe {
 
     t("minhash_lsh")(graft.operators.Dedup
       .minhashLsh(docs, "text", "doc_id").count())
+    t("bbit_estimate_pairs")(graft.operators.Dedup
+      .bbitMinhashPairs(docs, "text", "doc_id").count())
     t("simhash_pairs")(graft.operators.Dedup
       .simhashPairs(docs, "text", "doc_id").count())
     t("exact_dedup")(graft.operators.Dedup

@@ -387,6 +387,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("b-bit production path equals the audit's kept set on gate data") {
+    val prod = Dedup.bbitMinhashPairs(docs, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val audit = Dedup.bbitMinhashAudit(docs, "text", "doc_id")
+      .filter(col("kept_bbit"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // gate corpora have no mid-jaccard pairs, so the estimator admits
+    // exactly the exact-verify set — the same separation argument the
+    // LSH oracle uses; where the corpora differ the audit key is the
+    // tool that MEASURES the difference
+    assert(prod == audit)
+  }
+
   test("leakage-safe split: near-dup clusters never straddle splits") {
     val rows = graft.queries.TextQueries.leakageSafeSplit(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
