@@ -170,6 +170,7 @@ object SparkEntry {
     "ann_ivfpq_topk"     -> (VectorQueries.annIvfPq _),
     "dedup_semantic"     -> (VectorQueries.dedupSemantic _),
     "ann_recall_report"  -> (VectorQueries.annRecallReport _),
+    "ann_matryoshka_report" -> (VectorQueries.annMatryoshka _),
     "ann_quantized_topk" -> (VectorQueries.annQuantized _),
     "pca_project"        -> (VectorQueries.pcaProject _),
     // §2 round-5 additions — warehouse + retrieval surface
@@ -1077,6 +1078,63 @@ object SparkEntry {
       |  FROM c)
       |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
       |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  /** Matryoshka truncation audit (D76): full-dim and prefix-dim cosine
+    * legs are the same index-order IEEE double folds as the kernel
+    * (see [[bruteForceOracle]]'s bit-exactness argument) with the
+    * range bound at d+1; rank windows tiebreak on the lower id, the
+    * shortlist re-rank joins the full-dim scores back over the pool,
+    * and hits are exact set intersections — the only non-integer
+    * arithmetic is one hits/50 division in both engines.
+    */
+  private def matryoshkaOracle(d: Int, pool: Int, k: Int): String = {
+    def scoreCtes(sName: String, cName: String, hi: String): String =
+      s"""$sName AS (
+        |  SELECT qid, e.vec_id AS id,
+        |    list_reduce(list_transform(range(1, $hi),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |      (a, b) -> a + b) AS dot,
+        |    list_reduce(list_transform(range(1, $hi),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+        |      (a, b) -> a + b) AS na,
+        |    list_reduce(list_transform(range(1, $hi),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |      (a, b) -> a + b) AS nb
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |$cName AS (
+        |  SELECT qid, id,
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+        |  FROM $sName),"""
+    s"""WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |${scoreCtes("sf", "cf", "len(qv) + 1")}
+      |bf AS (
+      |  SELECT qid, id FROM (
+      |    SELECT qid, id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+      |    FROM cf) WHERE rk <= $k),
+      |${scoreCtes("st", "ct", s"${d + 1}")}
+      |tr AS (
+      |  SELECT qid, id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+      |  FROM ct),
+      |ref AS (
+      |  SELECT qid, id FROM (
+      |    SELECT p.qid, p.id,
+      |      row_number() OVER (PARTITION BY p.qid
+      |        ORDER BY c.cos DESC, p.id) AS rk
+      |    FROM (SELECT qid, id FROM tr WHERE rk <= $pool) p
+      |    JOIN cf c ON c.qid = p.qid AND c.id = p.id) WHERE rk <= $k)
+      |SELECT method, hits, CAST(hits AS DOUBLE) / 50.0 AS recall_at_10
+      |FROM (
+      |  SELECT 'trunc$d' AS method, COUNT(*) AS hits
+      |  FROM (SELECT qid, id FROM tr WHERE rk <= $k) t
+      |  JOIN bf USING (qid, id)
+      |  UNION ALL SELECT 'trunc${d}_refine', COUNT(*)
+      |  FROM ref JOIN bf USING (qid, id))
+      |ORDER BY method""".stripMargin
+  }
 
   /** Unrolled-CTE replay of the MMR greedy loop (query vector 0,
     * pool = exact-cosine top-`c`, λ = 0.5). Every cosine is the same
@@ -2975,6 +3033,8 @@ object SparkEntry {
         |  FROM documents) WHERE rn <= 12 ORDER BY source, doc_id""".stripMargin,
 
     "ann_bruteforce_topk" -> bruteForceOracle,
+
+    "ann_matryoshka_report" -> matryoshkaOracle(16, 40, 10),
 
     "mmr_diversified_topk" -> mmrOracle(10, 50),
 

@@ -128,6 +128,50 @@ object VectorQueries {
       .orderBy(col("method"))
   }
 
+  /** D76: Matryoshka truncation audit (Kusupati et al. 2022 — MRL
+    * embeddings concentrate signal in the prefix dims, so serving can
+    * scan d'=16 of 64 dims: 4× less vector IO/memory). Two legs,
+    * measured against the exact full-dim top-10: `trunc16` = top-10 by
+    * prefix-dim cosine alone; `trunc16_refine` = the real serving
+    * pattern, a 4×k prefix-dim shortlist re-ranked with full vectors
+    * (full dims are read for only `pool` candidates per query, not the
+    * corpus). Like D7e, the quality/IO trade is itself a gate query —
+    * oracled and hash-checked — not an assertion. Note the synthetic
+    * embeddings are NOT MRL-trained, so `trunc16` recall here is the
+    * pessimistic floor; the refine leg shows the pattern recovers
+    * exactness when the shortlist covers the true top-k.
+    */
+  def annMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val d = 16; val pool = 40; val k = 10
+    val full = corpus(spark, dir)
+    val q = queries(spark, dir)
+    val tCorpus = full.select(col("id"), slice(col("vec"), 1, d).as("vec"))
+    val tQueries = q.select(col("qid"), slice(col("qvec"), 1, d).as("qvec"))
+    val trunc = Similarity.bruteForceKnn(tQueries, tCorpus, k)
+      .select(col("qid"), col("id"))
+    val shortlist = Similarity.bruteForceKnn(tQueries, tCorpus, pool)
+      .select(col("qid"), col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    val refined = shortlist
+      .join(full, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("id"),
+        graft.functions.GraftFunctions.vec_cosine(col("qvec"), col("vec")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"))
+    val bf = annBruteForce(spark, dir).select(col("qid"), col("id"))
+    def leg(name: String, df: DataFrame): DataFrame =
+      df.join(bf, Seq("qid", "id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("hits"),
+          (col("hits").cast("double") / 50.0).as("recall_at_10"))
+    leg("trunc16", trunc)
+      .unionAll(leg("trunc16_refine", refined))
+      .orderBy(col("method"))
+  }
+
   /** D38: SemDeDup semantic deduplication — cluster with the SAME
     * coarse codebook as `ann_ivf_topk` (cache key shared, so Verify
     * trains once), connect within-cluster pairs at cosine ≥ 0.35 (the

@@ -77,6 +77,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert((bf intersect ivf).nonEmpty, "IVF found none of the true neighbors")
   }
 
+  test("matryoshka audit: refine leg dominates truncation-only, recalls in range") {
+    val rows = graft.queries.VectorQueries.annMatryoshka(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == Set("trunc16", "trunc16_refine"))
+    val (th, tr) = rows("trunc16"); val (rh, rr) = rows("trunc16_refine")
+    assert(tr >= 0.0 && tr <= 1.0 && rr >= 0.0 && rr <= 1.0)
+    assert(tr == th / 50.0 && rr == rh / 50.0)
+    // the full-dim re-rank can only promote true neighbors the prefix
+    // scan already surfaced in its 4x shortlist — never lose them
+    assert(rr >= tr, s"refine recall $rr below truncation recall $tr")
+  }
+
   test("cosineNearDup pairs all meet the threshold") {
     val out = graft.queries.VectorQueries.dedupEmbeddingCosine(spark, "/root/testdata/sf0.01")
     assert(out.filter(col("cos") < 0.35).count() == 0)
