@@ -186,6 +186,7 @@ object SparkEntry {
     "triangle_count"     -> (WarehouseQueries.triangleCount _),
     "community_labels"   -> (WarehouseQueries.communityLabels _),
     "bm25_search"        -> (WarehouseQueries.bm25Search _),
+    "ql_search"          -> (WarehouseQueries.qlSearch _),
     "tfidf_search"       -> (WarehouseQueries.tfidfSearch _),
     "hybrid_search_rrf"  -> (WarehouseQueries.hybridSearchRrf _),
     "fuzzy_name_match"   -> (WarehouseQueries.fuzzyNameMatch _),
@@ -404,6 +405,40 @@ object SparkEntry {
        |SELECT doc_id, score FROM (
        |  SELECT doc_id, round($termScores, 6) AS score FROM t, s)
        |WHERE score > 0
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  /** Query-likelihood oracle: mirrors
+    * [[graft.operators.TextRank.queryLikelihoodTopK]] node for node —
+    * same token filter, same sorted-term left-to-right sum, same
+    * (μ·cf/|C|) association; only `ln` can drift (1 ulp between
+    * libms), absorbed by the 6-dp rounding that runs before ORDER BY
+    * on both sides.
+    */
+  private def qlOracle(terms: Seq[String], k: Int, mu: Double): String = {
+    val sorted = terms.distinct.sorted
+    val tfCols = sorted.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n    ")
+    val cfCols = sorted.indices.map(i => s"SUM(tf$i) AS cf$i")
+      .mkString(",\n    ")
+    val termScores = sorted.indices.map { i =>
+      s"ln((tf$i + $mu * cf$i / sumdl) / (dl + $mu))"
+    }.mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM d),
+       |s AS (
+       |  SELECT SUM(dl) AS sumdl,
+       |    $cfCols
+       |  FROM t)
+       |SELECT doc_id, round($termScores, 6) AS score FROM t, s
        |ORDER BY score DESC, doc_id
        |LIMIT $k""".stripMargin
   }
@@ -1671,6 +1706,9 @@ object SparkEntry {
 
     "bm25_search" -> bm25Oracle(
       graft.queries.WarehouseQueries.Bm25Terms, 50, 1.2, 0.75),
+
+    "ql_search" -> qlOracle(
+      graft.queries.WarehouseQueries.Bm25Terms, 50, 100.0),
 
     // every leg is an exact integer count; rule names are the stable
     // sort key on both sides

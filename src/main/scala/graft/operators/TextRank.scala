@@ -86,6 +86,53 @@ object TextRank {
       .select(col(idCol), col("score"))
   }
 
+  /** D77: Dirichlet-smoothed query-likelihood retrieval (Zhai &
+    * Lafferty 2001) — the language-model face of the retrieval triad
+    * (D31 BM25, D46 TF-IDF): score(D,Q) = Σ_t ln((tf_t + μ·cf_t/|C|)
+    * / (dl + μ)) with cf_t the collection term frequency. Smoothing
+    * gives every document a finite score (a zero-tf doc backs off to
+    * the collection LM) and the μ-normalization calibrates length
+    * without BM25's tuned saturation curve.
+    *
+    * Plan shape = BM25's: ONE tokenize pass, plan-literal term
+    * columns, a one-row broadcast stats aggregate (cf_t, |C|), and a
+    * TakeOrdered(k) cut — no data shuffle at any corpus size.
+    * Per-term scores sum left-to-right in sorted-term order; the
+    * oracle mirrors the association, so the fp result is identical.
+    *
+    * Terms must occur in the corpus: cf_t = 0 would make every score
+    * ln(0) = −∞ for zero-tf docs (the gate terms are corpus vocab).
+    */
+  def queryLikelihoodTopK(docs: DataFrame, idCol: String, textCol: String,
+                          terms: Seq[String], k: Int,
+                          mu: Double = 100.0): DataFrame = {
+    val sorted = terms.distinct.sorted
+    require(sorted.nonEmpty, "query likelihood needs at least one term")
+    require(sorted.forall(_.matches("[a-z0-9]+")),
+      s"terms must be lowercase [a-z0-9]+ (the token alphabet); got " +
+        sorted.filterNot(_.matches("[a-z0-9]+")).mkString(", "))
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+    val withTf = sorted.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"__tf$i",
+        size(filter(col("__toks"), x => x === lit(t))).cast("double"))
+    }
+    val statAggs = sum(col("__dl")).as("__sumdl") +:
+      sorted.indices.map(i => sum(col(s"__tf$i")).as(s"__cf$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val score = sorted.indices.map { i =>
+      log((col(s"__tf$i") + lit(mu) * col(s"__cf$i") / col("__sumdl")) /
+        (col("__dl") + lit(mu)))
+    }.reduceLeft(_ + _)
+    scored
+      .withColumn("score", round(score, 6))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** TF-IDF cosine retrieval (SURVEY §2.D46) — the smooth-idf,
     * L2-normalized scheme (sklearn's TfidfVectorizer defaults):
     * idf(t) = ln((1+N)/(1+df)) + 1, w_dt = tf·idf, documents L2-

@@ -94,6 +94,14 @@ object WarehouseQueries {
 
   val Bm25Terms: Seq[String] = Seq("hash", "join", "vector", "stream")
 
+  /** D77: Dirichlet query-likelihood retrieval — the LM-ranking face
+    * of the triad, same terms/k as D31 for side-by-side comparison.
+    */
+  def qlSearch(spark: SparkSession, dir: String): DataFrame =
+    TextRank.queryLikelihoodTopK(Tables.documents(spark, dir),
+      idCol = "doc_id", textCol = "text",
+      terms = Bm25Terms, k = 50)
+
   /** D55: hybrid retrieval — RRF fusion of the BM25 lexical leg
     * (D31's terms, top-50) and the dense cosine leg (query vector 0,
     * exact top-10). Both legs are bounded top-N lists, so fusion is

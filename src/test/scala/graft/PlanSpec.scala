@@ -373,6 +373,14 @@ class PlanSpec extends AnyFunSuite {
       s"bm25 shuffled the corpus:\n$p")
   }
 
+  test("query likelihood: the corpus is never hash-exchanged; top-k is TakeOrdered") {
+    val p = planString(
+      graft.queries.WarehouseQueries.qlSearch(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"query likelihood shuffled the corpus:\n$p")
+  }
+
   test("expectations: row rules + uniqueness share ONE scan of the fact table") {
     import graft.operators.Expectations
     val orders = graft.sources.Tables.orders(spark, sfDir)

@@ -214,6 +214,51 @@ class WarehouseSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("query likelihood: scores match a direct reference implementation") {
+    val docs = Seq(
+      (1L, "spark joins the hash table to the stream"),
+      (2L, "a hash join beats a sort merge join for small builds"),
+      (3L, "vectors and streams and vectors again"),
+      (4L, "nothing relevant here at all"),
+      (5L, "hash hash hash join join vector stream")
+    ).toDF("id", "text")
+    val terms = Seq("hash", "join", "vector", "stream")
+    val mu = 100.0
+    val out = TextRank.queryLikelihoodTopK(docs, "id", "text", terms, 10, mu)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val toks = Seq(
+      1L -> "spark joins the hash table to the stream",
+      2L -> "a hash join beats a sort merge join for small builds",
+      3L -> "vectors and streams and vectors again",
+      4L -> "nothing relevant here at all",
+      5L -> "hash hash hash join join vector stream"
+    ).map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    }
+    val sumdl = toks.map(_._2.size).sum.toDouble
+    val sorted = terms.sorted
+    val cfs = sorted.map(t => t -> toks.map(_._2.count(_ == t)).sum.toDouble).toMap
+    val expected = toks.map { case (id, tk) =>
+      val dl = tk.size.toDouble
+      val score = sorted.map { t =>
+        val tf = tk.count(_ == t).toDouble
+        math.log((tf + mu * cfs(t) / sumdl) / (dl + mu))
+      }.sum
+      id -> BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }.toMap
+    // smoothing scores EVERY doc, including term-free doc 4
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (id, s) =>
+      assert(math.abs(out(id) - s) < 1e-9, s"doc $id: ${out(id)} vs $s")
+    }
+    // the term-dense doc ranks first; the two term-free docs (3 has
+    // only "vectors"/"streams", not the exact terms) rank bottom —
+    // between them the LONGER zero-tf doc scores lower (÷(dl+μ))
+    val ranked = out.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1)
+    assert(ranked.head == 5L && ranked.takeRight(2) == Seq(4L, 3L))
+  }
+
   test("bm25: tokenizer drops empties and non-ascii-word runs") {
     val docs = Seq((1L, "Hash—JOIN!! vector…stream 42x")).toDF("id", "text")
     val out = TextRank.bm25TopK(docs, "id", "text",
