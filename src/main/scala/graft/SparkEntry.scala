@@ -69,6 +69,7 @@ object SparkEntry {
     "retrieval_quality_report" -> (VectorQueries.retrievalQualityReport _),
     "events_twap"        -> (WarehouseQueries.eventsTwap _),
     "k_anonymity_audit"  -> (TextQueries.kAnonymityAudit _),
+    "l_diversity_audit"  -> (TextQueries.lDiversityAudit _),
     "dp_noisy_counts"    -> (TextQueries.dpNoisyCounts _),
     "doremi_mix"         -> (TextQueries.doremiMix _),
     "quality_fusion"     -> (TextQueries.qualityFusion _),
@@ -3517,6 +3518,16 @@ object SparkEntry {
         |  COUNT(*) OVER (PARTITION BY lang, source, n_chars // 100) < 5
         |    AS at_risk
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // D78: all-integer class/distinct counts; sum-over-cells ==
+    // class size, count-of-cells == distinct sensitive values
+    "l_diversity_audit" ->
+      """SELECT source, n_chars // 100 AS len_bucket,
+        |  COUNT(*) AS class_size,
+        |  COUNT(DISTINCT lang) AS n_sensitive,
+        |  COUNT(DISTINCT lang) >= 2 AS l_diverse
+        |FROM documents GROUP BY 1, 2
+        |ORDER BY source, len_bucket""".stripMargin,
 
     // D68: the Laplace mechanism replayed bit for bit — dense release
     // index over the sorted histogram, portable-XXH64 of the index,

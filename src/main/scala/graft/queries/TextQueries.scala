@@ -995,6 +995,32 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D78: l-diversity release audit (Machanavajjhala et al. 2007) —
+    * the homogeneity-attack check D59's k-anonymity misses: a class
+    * can be large yet uniform in a sensitive attribute, and then
+    * linking a person to the class reveals the attribute anyway. Per
+    * quasi-identifier class (source, length bucket) count the DISTINCT
+    * sensitive values (language here) and flag classes below l=2.
+    *
+    * Shape at 100 TB: two partial-aggregated shuffles — corpus →
+    * (QI, sensitive) cells, cells → classes — so the exchanges carry
+    * cell/class cardinalities, never documents; the second stage's
+    * COUNT(rows) over cells IS the distinct-sensitive count without a
+    * distinct shuffle. All integers, exact in any engine.
+    */
+  def lDiversityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), expr("n_chars DIV 100").as("len_bucket"),
+        col("lang"))
+    docs.groupBy(col("source"), col("len_bucket"), col("lang"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(sum(col("__n")).as("class_size"),
+        count(lit(1)).as("n_sensitive"))
+      .withColumn("l_diverse", col("n_sensitive") >= 2)
+      .orderBy(col("source"), col("len_bucket"))
+  }
+
   /** D68: differentially-private release of the per-(lang, source)
     * document histogram — the Laplace mechanism with ε = 1 and the
     * deterministic keyed-hash draw of

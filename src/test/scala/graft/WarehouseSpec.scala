@@ -1148,6 +1148,27 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.exists(_._3), "sf0.001 fixture should contain small classes")
   }
 
+  test("l-diversity: class stats match a driver recompute; homogeneous classes flag") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 100, r.getString(2)))
+    val want = docs.groupBy(d => (d._1, d._2)).map { case (k, rows) =>
+      k -> (rows.length.toLong, rows.map(_._3).distinct.length.toLong)
+    }
+    val got = graft.queries.TextQueries.lDiversityAudit(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (sz, ns, div)) =>
+      assert((sz, ns) == want(k), s"class $k stats")
+      assert(div == (ns >= 2), s"class $k flag")
+    }
+    // the audit is non-degenerate both ways on the gate corpus: some
+    // classes are diverse, and some are k-large yet lang-homogeneous —
+    // exactly the rows k-anonymity alone would wave through
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
+
   test("Q20 shape: dominance decision matches a driver-side recompute") {
     val li = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
