@@ -188,6 +188,7 @@ object SparkEntry {
     "community_labels"   -> (WarehouseQueries.communityLabels _),
     "bm25_search"        -> (WarehouseQueries.bm25Search _),
     "ql_search"          -> (WarehouseQueries.qlSearch _),
+    "item_cosine"        -> (WarehouseQueries.itemCosine _),
     "tfidf_search"       -> (WarehouseQueries.tfidfSearch _),
     "hybrid_search_rrf"  -> (WarehouseQueries.hybridSearchRrf _),
     "fuzzy_name_match"   -> (WarehouseQueries.fuzzyNameMatch _),
@@ -1347,6 +1348,22 @@ object SparkEntry {
     "markov_attribution" -> markovOracle(12),
     // C58: exact-integer supports; total (support DESC, u, v) order
     // makes the LIMIT boundary engine-independent
+    // C60: co-counts are C58's integers; the cosine is one
+    // sqrt/÷ chain over exact integer products — correctly-rounded
+    // IEEE in both engines, hashes raw
+    "item_cosine" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |f AS (SELECT pk, COUNT(*) AS n FROM lp GROUP BY pk),
+        |p AS (
+        |  SELECT a.pk AS u, b.pk AS v, COUNT(*) AS support
+        |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT u, v, support,
+        |  CAST(support AS DOUBLE) / sqrt(CAST(fu.n * fv.n AS DOUBLE)) AS cosine
+        |FROM p JOIN f fu ON fu.pk = u JOIN f fv ON fv.pk = v
+        |ORDER BY cosine DESC, u, v LIMIT 50""".stripMargin,
+
     "frequent_pairs" ->
       """WITH lp AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)

@@ -705,6 +705,39 @@ object WarehouseQueries {
       .limit(50)
   }
 
+  /** C60: item-item co-occurrence cosine — the normalization that
+    * turns C58's raw supports into a recommender similarity:
+    * sim(u,v) = co(u,v)/√(n_u·n_v) discounts pairs that co-occur only
+    * because both items are everywhere (raw support's popularity
+    * bias). The classic item-based CF neighborhood (Sarwar et al.
+    * 2001) on implicit per-order signals.
+    *
+    * Shape: C58's bounded per-order self-join for co-counts (pair
+    * volume ∝ Σ order_size², never corpus²), one partial-aggregated
+    * per-item order count joined back on the pair frame (exchanges
+    * carry (item, count) pairs), TakeOrdered cut. The cosine is
+    * integer-exact under sqrt/÷ (correctly-rounded IEEE ops), so it
+    * hashes raw in any engine.
+    */
+  def itemCosine(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val freq = lp.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    lp.as("a").join(lp.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+      .join(freq.select(col("pk").as("u"), col("n").as("n_u")), Seq("u"))
+      .join(freq.select(col("pk").as("v"), col("n").as("n_v")), Seq("v"))
+      .select(col("u"), col("v"), col("support"),
+        (col("support").cast("double") /
+          sqrt((col("n_u") * col("n_v")).cast("double"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("u"), col("v"))
+      .limit(50)
+  }
+
   /** C57: Markov-chain removal-effect attribution over the events
     * stream — user journeys cut at the first `purchase`, channels =
     * the four non-conversion event types, 12 integer-micro-unit

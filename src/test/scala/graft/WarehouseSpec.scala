@@ -1169,6 +1169,30 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
   }
 
+  test("item cosine: matches a driver recompute; normalization beats raw support") {
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byItem = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val co = li.groupBy(_._1).values.flatMap { rows =>
+      val pks = rows.map(_._2).sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length) yield (pks(i), pks(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2).toMap
+    val want = co.map { case ((u, v), s) =>
+      (u, v) -> (s, s.toDouble / math.sqrt((byItem(u) * byItem(v)).toDouble))
+    }
+    val top = want.toSeq.map { case ((u, v), (s, c)) => (c, u, v, s) }
+      .sortBy { case (c, u, v, _) => (-c, u, v) }.take(50)
+    val got = graft.queries.WarehouseQueries.itemCosine(spark, sfDir)
+      .collect().map(r => (r.getDouble(3), r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == top)
+    // the popularity discount is live: the cosine order differs from
+    // the raw-support order (else C60 would be C58 re-sorted)
+    val bySupport = want.toSeq.map { case ((u, v), (s, _)) => (s, u, v) }
+      .sortBy { case (s, u, v) => (-s, u, v) }.take(50).map(t => (t._2, t._3))
+    assert(got.map(t => (t._2, t._3)).toSeq != bySupport)
+  }
+
   test("Q20 shape: dominance decision matches a driver-side recompute") {
     val li = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
