@@ -70,6 +70,7 @@ object SparkEntry {
     "events_twap"        -> (WarehouseQueries.eventsTwap _),
     "k_anonymity_audit"  -> (TextQueries.kAnonymityAudit _),
     "l_diversity_audit"  -> (TextQueries.lDiversityAudit _),
+    "signal_correlation" -> (TextQueries.signalCorrelation _),
     "dp_noisy_counts"    -> (TextQueries.dpNoisyCounts _),
     "doremi_mix"         -> (TextQueries.doremiMix _),
     "quality_fusion"     -> (TextQueries.qualityFusion _),
@@ -3535,6 +3536,60 @@ object SparkEntry {
         |  COUNT(*) OVER (PARTITION BY lang, source, n_chars // 100) < 5
         |    AS at_risk
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // D79: the quality/repetition doubles reuse their oracle-proven
+    // expression trees, lift to integer micro-units (the Doremi round
+    // idiom), and every sum is exact-integer; the Pearson chain is the
+    // literal double-op mirror of the engine's, over sums that are
+    // exactly double-representable at gate scale
+    "signal_correlation" -> {
+      def p(a: String, b: String, sx: String, sy: String,
+            sxx: String, syy: String, sxy: String) =
+        s"""SELECT '$a' AS signal_a, '$b' AS signal_b, n,
+           |    (CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)
+           |       - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
+           |    / (sqrt(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)
+           |         - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))
+           |       * sqrt(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)
+           |         - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE)))
+           |      AS pearson_r
+           |  FROM s"""
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk,
+        |    string_split_regex(
+        |      regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS tk2
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h,
+        |    CAST(len(tk) AS BIGINT) AS ntok,
+        |    list_transform(range(1, greatest(len(tk2) - 1, 1)),
+        |      i -> tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2]) AS g
+        |  FROM t),
+        |m AS (
+        |  SELECT
+        |    CAST(round((0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((h / n) * 8.0, 1.0)) * 1000000.0) AS BIGINT) AS q,
+        |    CAST(round((CASE WHEN len(g) = 0 THEN 0.0
+        |      ELSE CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+        |           / CAST(len(g) AS DOUBLE) END) * 1000000.0) AS BIGINT) AS r,
+        |    ntok AS tokl
+        |  FROM c),
+        |s AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(q) AS sq, SUM(r) AS sr, SUM(tokl) AS st,
+        |    SUM(q*q) AS sqq, SUM(r*r) AS srr, SUM(tokl*tokl) AS stt,
+        |    SUM(q*r) AS sqr, SUM(q*tokl) AS sqt, SUM(r*tokl) AS srt
+        |  FROM m)
+        |SELECT signal_a, signal_b, n, pearson_r FROM (
+        |  ${p("quality", "repetition", "sq", "sr", "sqq", "srr", "sqr")}
+        |  UNION ALL ${p("quality", "tokens", "sq", "st", "sqq", "stt", "sqt")}
+        |  UNION ALL ${p("repetition", "tokens", "sr", "st", "srr", "stt", "srt")})
+        |ORDER BY signal_a, signal_b""".stripMargin
+    },
 
     // D78: all-integer class/distinct counts; sum-over-cells ==
     // class size, count-of-cells == distinct sensitive values

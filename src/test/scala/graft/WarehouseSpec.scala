@@ -1193,6 +1193,48 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.map(t => (t._2, t._3)).toSeq != bySupport)
   }
 
+  test("signal correlation: Pearson matrix matches a driver recompute") {
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val rows = texts.map { txt =>
+      val tk = txt.trim.split("\\s+").toSeq
+      val n = tk.size.toDouble
+      val u = tk.distinct.size.toDouble
+      val h = tk.count(stop).toDouble
+      val q = 0.4 * math.min(n / 64.0, 1.0) + 0.4 * (u / n) +
+        0.2 * math.min((h / n) * 8.0, 1.0)
+      val g = tk.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val rep = if (g.isEmpty) 0.0
+        else (g.size - g.distinct.size).toDouble / g.size
+      (math.round(q * 1e6), math.round(rep * 1e6), tk.size.toLong)
+    }
+    def pear(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val n = xs.size.toDouble
+      val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+      val sxx = xs.map(x => x * x).sum.toDouble
+      val syy = ys.map(y => y * y).sum.toDouble
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum.toDouble
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val qs = rows.map(_._1).toSeq; val rs = rows.map(_._2).toSeq
+    val ts = rows.map(_._3).toSeq
+    val want = Map(
+      ("quality", "repetition") -> pear(qs, rs),
+      ("quality", "tokens") -> pear(qs, ts),
+      ("repetition", "tokens") -> pear(rs, ts))
+    val got = graft.queries.TextQueries.signalCorrelation(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (n, r)) =>
+      assert(n == texts.length)
+      assert(math.abs(r - want(k)) < 1e-12, s"$k: $r vs ${want(k)}")
+      assert(r >= -1.0 && r <= 1.0)
+    }
+  }
+
   test("Q20 shape: dominance decision matches a driver-side recompute") {
     val li = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
