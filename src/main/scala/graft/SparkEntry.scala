@@ -190,6 +190,7 @@ object SparkEntry {
     "bm25_search"        -> (WarehouseQueries.bm25Search _),
     "ql_search"          -> (WarehouseQueries.qlSearch _),
     "item_cosine"        -> (WarehouseQueries.itemCosine _),
+    "holt_forecast"      -> (WarehouseQueries.holtForecast _),
     "tfidf_search"       -> (WarehouseQueries.tfidfSearch _),
     "hybrid_search_rrf"  -> (WarehouseQueries.hybridSearchRrf _),
     "fuzzy_name_match"   -> (WarehouseQueries.fuzzyNameMatch _),
@@ -484,6 +485,39 @@ object SparkEntry {
        |SELECT user_id, CAST(len(vals) AS INTEGER) AS n_periods,
        |  list_reduce(vals, (acc, x) -> ($a * x) + ($b * acc)) AS ewma
        |FROM arr ORDER BY user_id""".stripMargin
+  }
+
+  /** Holt oracle: the two-component (level, trend) fold as a
+    * list_reduce over list-typed elements (the vocabTokenize
+    * accumulator trick — init state prepended, inputs lifted to
+    * [x, 0.0]); `newl` appears textually twice where the engine
+    * computes it once — identical bits either way. Same α/β literal
+    * treatment as [[ewmaOracle]].
+    */
+  private def holtOracle(alpha: Double, beta: Double): String = {
+    val a = alpha.toString; val oa = (1.0 - alpha).toString
+    val b = beta.toString; val ob = (1.0 - beta).toString
+    val newl = s"($a * e[1]) + ($oa * (acc[1] + acc[2]))"
+    s"""WITH daily AS (
+       |  SELECT user_id, date_trunc('day', ts) AS day,
+       |    SUM(CAST(value AS DECIMAL(12,2))) AS dval
+       |  FROM events GROUP BY 1, 2),
+       |arr AS (
+       |  SELECT user_id, list(CAST(dval AS DOUBLE) ORDER BY day) AS vals
+       |  FROM daily GROUP BY 1),
+       |f AS (
+       |  SELECT user_id, CAST(len(vals) AS INTEGER) AS n_periods,
+       |    list_reduce(
+       |      list_prepend(
+       |        [vals[1], CASE WHEN len(vals) >= 2
+       |                       THEN vals[2] - vals[1] ELSE 0.0 END],
+       |        list_transform(vals[2:], x -> [x, 0.0])),
+       |      (acc, e) -> [$newl,
+       |        ($b * (($newl) - acc[1])) + ($ob * acc[2])]) AS st
+       |  FROM arr)
+       |SELECT user_id, n_periods, st[1] AS level, st[2] AS trend,
+       |  st[1] + st[2] AS forecast
+       |FROM f ORDER BY user_id""".stripMargin
   }
 
   /** Greedy-tokenizer oracle: the kernel's recurrence as a list_reduce
@@ -1586,6 +1620,8 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "ewma_user_value" -> ewmaOracle(0.3),
+
+    "holt_forecast" -> holtOracle(0.3, 0.3),
 
     // quality CTE mirrors text_quality_score's (already hash-green →
     // the per-doc quality doubles are bit-identical in both engines);

@@ -51,4 +51,52 @@ object Ewma {
         element_at(col("__vals"), 1),
         (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc).as("ewma"))
   }
+
+  /** C61: Holt linear-trend smoothing (double exponential smoothing,
+    * Holt 1957) — the forecast face the dashboard's rolling average
+    * can't express: EWMA lags a trending series by construction; Holt
+    * carries an explicit trend state and extrapolates one period out.
+    *
+    * l₁ = x₁, b₁ = x₂ − x₁; for t ≥ 2:
+    * lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁;
+    * forecast = lₙ + bₙ. Single-period keys have zero trend by
+    * contract. Same plan shape as [[smooth]] — ONE groupBy whose
+    * shuffle carries per-period aggregates, a bounded per-key fold,
+    * deterministic under any partitioning; the two-component state
+    * rides an array<double> accumulator (the oracle mirrors it with
+    * the list-element-typed accumulator trick).
+    */
+  def holt(df: DataFrame, key: String, orderCol: String,
+           value: Column, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0,1], got $beta")
+    val grouped = df.filter(value.isNotNull).groupBy(col(key))
+      .agg(sort_array(collect_list(struct(col(orderCol), value.as("__v"))))
+        .as("__arr"))
+      .withColumn("__vals",
+        transform(col("__arr"), s => s.getField("__v").cast("double")))
+    val vals = col("__vals")
+    val init = array(
+      element_at(vals, 1),
+      when(size(vals) >= 2,
+        element_at(vals, 2) - element_at(vals, 1)).otherwise(lit(0.0)))
+    val state = aggregate(
+      slice(vals, lit(2), greatest(size(vals) - lit(1), lit(0))),
+      init,
+      (acc, x) => {
+        // newl computed once, used twice — same bits as the oracle's
+        // textually-duplicated expression
+        val newl = lit(alpha) * x +
+          lit(1.0 - alpha) * (element_at(acc, 1) + element_at(acc, 2))
+        array(newl,
+          lit(beta) * (newl - element_at(acc, 1)) +
+            lit(1.0 - beta) * element_at(acc, 2))
+      })
+    grouped.select(
+      col(key),
+      size(vals).as("n_periods"),
+      element_at(state, 1).as("level"),
+      element_at(state, 2).as("trend"),
+      (element_at(state, 1) + element_at(state, 2)).as("forecast"))
+  }
 }

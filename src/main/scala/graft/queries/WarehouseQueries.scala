@@ -437,6 +437,19 @@ object WarehouseQueries {
       .orderBy(col("user_id"))
   }
 
+  /** C61: Holt linear-trend forecast per user over the same daily
+    * decimal-exact sums as C24's EWMA — level + trend state, one-step
+    * extrapolation (see [[graft.operators.Ewma.holt]]).
+    */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(dec2(col("value"))).as("dval"))
+    Ewma.holt(daily, "user_id", "day", col("dval"),
+        alpha = 0.3, beta = 0.3)
+      .orderBy(col("user_id"))
+  }
+
   /** C28: link-analysis centrality over the customer–supplier
     * bipartite trade graph (undirected: both directions inserted) —
     * the integer fixed-point PageRank of

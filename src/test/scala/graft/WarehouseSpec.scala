@@ -355,6 +355,40 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3, 22.5), (2L, 1, 5.0)))
   }
 
+  test("holt: fold matches the recursive definition; linear series tracked exactly") {
+    val df = Seq(
+      (1L, 3, 30.0), (1L, 1, 10.0), (1L, 2, 20.0), // linear, out of order
+      (2L, 1, 5.0), // single period: trend 0, forecast = value
+      (3L, 1, 4.0), (3L, 2, 2.0), (3L, 3, 9.0)
+    ).toDF("k", "period", "v")
+    val out = graft.operators.Ewma
+      .holt(df, "k", "period", col("v"), alpha = 0.5, beta = 0.5)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    // driver reference: same recursion
+    def ref(xs: Seq[Double]): (Double, Double) =
+      xs.drop(1).foldLeft((xs.head,
+        if (xs.size >= 2) xs(1) - xs.head else 0.0)) { case ((l, b), x) =>
+        val nl = 0.5 * x + 0.5 * (l + b)
+        (nl, 0.5 * (nl - l) + 0.5 * b)
+      }
+    Seq(1L -> Seq(10.0, 20.0, 30.0), 2L -> Seq(5.0),
+        3L -> Seq(4.0, 2.0, 9.0)).foreach { case (k, xs) =>
+      val (l, b) = ref(xs)
+      val row = out.find(_._1 == k).get
+      assert(row._2 == xs.size)
+      assert(row._3 == l && row._4 == b && row._5 == l + b, s"key $k: $row")
+    }
+    // a perfectly linear series is tracked exactly: level = last point,
+    // trend = slope, forecast = the true next point
+    val r1 = out.find(_._1 == 1L).get
+    assert(r1._3 == 30.0 && r1._4 == 10.0 && r1._5 == 40.0)
+    // single-period contract
+    val r2 = out.find(_._1 == 2L).get
+    assert(r2._3 == 5.0 && r2._4 == 0.0 && r2._5 == 5.0)
+  }
+
   // ---- Sliding windows --------------------------------------------------
 
   test("sliding agg: every event lands in exactly duration/slide windows") {
