@@ -668,6 +668,50 @@ object ScaleProbe {
         row_number().over(w2).as("rc")).filter(col("rc") <= 100)
       lq.join(lc, Seq("lang", "doc_id"), "full_outer").count()
     }
+    t("ql_search") {
+      graft.operators.TextRank.queryLikelihoodTopK(docs, "doc_id", "text",
+        Seq("hash", "join", "vector", "stream"), 50).count()
+    }
+    t("item_cosine") {
+      val lp = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val freq = lp.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      lp.as("a").join(lp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+        .join(freq.select(col("pk").as("u"), col("n").as("n_u")), Seq("u"))
+        .join(freq.select(col("pk").as("v"), col("n").as("n_v")), Seq("v"))
+        .select(col("u"), col("v"),
+          (col("support").cast("double") /
+            sqrt((col("n_u") * col("n_v")).cast("double"))).as("cosine"))
+        .orderBy(col("cosine").desc, col("u"), col("v")).limit(50).count()
+    }
+    t("holt_hourly") {
+      // hourly grain → ~24x longer per-key series than the gate's
+      // daily one: stresses the collect_list size and the fold length
+      val daily = ev.groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(col("value").cast("decimal(12,2)")).as("dval"))
+      graft.operators.Ewma.holt(daily, "user_id", "hr", col("dval"),
+        alpha = 0.3, beta = 0.3).count()
+    }
+    t("signal_correlation") {
+      val tg = graft.functions.ShingleFunctions.word_shingles(col("text"), 3)
+      val rep = when(size(tg) === 0, 0.0)
+        .otherwise((size(tg) - size(array_distinct(tg))).cast("double")
+          / size(tg).cast("double"))
+      docs.select(
+          round(graft.functions.TextFunctions.qualityScore(col("text"))
+            * 1000000.0).cast("long").as("q"),
+          round(rep * 1000000.0).cast("long").as("r"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("t"))
+        .agg(count(lit(1)), sum(col("q") * col("r")),
+          sum(col("q") * col("t")), sum(col("r") * col("t")))
+        .count()
+    }
     spark.stop()
   }
 }
