@@ -1009,39 +1009,9 @@ object TextQueries {
     * correctly-rounded beyond it.
     */
   def signalCorrelation(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val tg = graft.functions.ShingleFunctions.word_shingles(col("text"), 3)
-    val rep = when(size(tg) === 0, 0.0)
-      .otherwise((size(tg) - size(array_distinct(tg))).cast("double")
-        / size(tg).cast("double"))
-    val sigs = docs.select(
-      round(TextFunctions.qualityScore(col("text")) * 1000000.0)
-        .cast("long").as("q"),
-      round(rep * 1000000.0).cast("long").as("r"),
-      TextFunctions.tokenCount(col("text")).cast("long").as("t"))
-    def dsum(c: org.apache.spark.sql.Column, as: String) =
-      sum(c.cast("decimal(38,0)")).as(as)
-    val stats = sigs.agg(
-      count(lit(1)).as("n"),
-      dsum(col("q"), "sq"), dsum(col("r"), "sr"), dsum(col("t"), "st"),
-      dsum(col("q") * col("q"), "sqq"), dsum(col("r") * col("r"), "srr"),
-      dsum(col("t") * col("t"), "stt"), dsum(col("q") * col("r"), "sqr"),
-      dsum(col("q") * col("t"), "sqt"), dsum(col("r") * col("t"), "srt"))
-    def pearson(sx: String, sy: String, sxx: String, syy: String,
-                sxy: String): org.apache.spark.sql.Column = {
-      val n = col("n").cast("double")
-      val x = col(sx).cast("double"); val y = col(sy).cast("double")
-      val xx = col(sxx).cast("double"); val yy = col(syy).cast("double")
-      val xy = col(sxy).cast("double")
-      (n * xy - x * y) / (sqrt(n * xx - x * x) * sqrt(n * yy - y * y))
-    }
-    def row(a: String, b: String, r: org.apache.spark.sql.Column) =
-      stats.select(lit(a).as("signal_a"), lit(b).as("signal_b"),
-        col("n"), r.as("pearson_r"))
-    row("quality", "repetition", pearson("sq", "sr", "sqq", "srr", "sqr"))
-      .unionAll(row("quality", "tokens", pearson("sq", "st", "sqq", "stt", "sqt")))
-      .unionAll(row("repetition", "tokens", pearson("sr", "st", "srr", "stt", "srt")))
-      .orderBy(col("signal_a"), col("signal_b"))
+    import graft.operators.SignalStats
+    SignalStats.pearsonMatrix(SignalStats.sums(
+      SignalStats.microSignals(Tables.documents(spark, dir), "text")))
   }
 
   /** D78: l-diversity release audit (Machanavajjhala et al. 2007) —

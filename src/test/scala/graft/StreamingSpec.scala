@@ -770,6 +770,38 @@ class StreamingSpec extends AnyFunSuite {
       s"even/odd halves of one corpus must not alarm: $verdict")
   }
 
+  test("streaming correlation monitor: merged statistics give the batch Pearson bit-exactly") {
+    import spark.implicits._
+    import graft.streaming.StreamingCorrelation
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_corr")
+      .toFile.getAbsolutePath
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      spark, 2102)
+    val q = StreamingCorrelation.start(src.toDF().toDF("doc_id", "text"),
+      "text", s"$base/stats", s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // one statistics row per micro-batch — the correlation time series
+    val perBatch = spark.read.parquet(s"$base/stats")
+    assert(perBatch.count() == 2)
+    // stream-to-date matrix ≡ the batch D79 audit over the union,
+    // bit-exactly: the sums are additive integers
+    val got = StreamingCorrelation.matrixToDate(spark, s"$base/stats")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val want = graft.queries.TextQueries.signalCorrelation(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want, s"stream=$got batch=$want")
+  }
+
   test("streaming perplexity gate equals the batch threshold filter and honors the frozen cut") {
     import graft.streaming.StreamingScoreFilter
     import graft.operators.LanguageModel
