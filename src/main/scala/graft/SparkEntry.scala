@@ -159,6 +159,7 @@ object SparkEntry {
     "text_quality_score" -> (TextQueries.textQualityScore _),
     "lm_cross_entropy"   -> (TextQueries.lmCrossEntropy _),
     "lm_bigram_cross_entropy" -> (TextQueries.lmBigramCrossEntropy _),
+    "lm_kn_cross_entropy" -> (TextQueries.lmKnCrossEntropy _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),
     "gopher_quality"     -> (TextQueries.gopherQualityFilter _),
     "fim_transform"      -> (TextQueries.fimTransform _),
@@ -1027,7 +1028,7 @@ object SparkEntry {
     * `perplexity_filter` cut built on top of it. Ends at `s` =
     * (doc_id, nt, sl).
     */
-  private val bigramCeCtes: String =
+  private val lmPairCtes: String =
     """d0 AS (
       |  SELECT doc_id, CASE WHEN len(trim(text)) > 0
       |    THEN string_split_regex(trim(text), '\s+')
@@ -1040,8 +1041,6 @@ object SparkEntry {
       |tw AS (SELECT doc_id, s.i AS i, s.w AS w FROM tok),
       |cnt AS (SELECT w, COUNT(*) AS c FROM tw GROUP BY w),
       |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 64),
-      |dn AS (SELECT CAST((SELECT SUM(c) FROM cnt)
-      |  + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS d),
       |lagged AS (
       |  SELECT doc_id, i, w,
       |    lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS prev
@@ -1050,7 +1049,12 @@ object SparkEntry {
       |  SELECT l.prev AS v, l.w AS w, COUNT(*) AS c
       |  FROM lagged l
       |  JOIN top tv ON tv.w = l.prev JOIN top tc ON tc.w = l.w
-      |  WHERE l.prev IS NOT NULL GROUP BY l.prev, l.w),
+      |  WHERE l.prev IS NOT NULL GROUP BY l.prev, l.w)""".stripMargin
+
+  private val bigramCeCtes: String =
+    s"""$lmPairCtes,
+      |dn AS (SELECT CAST((SELECT SUM(c) FROM cnt)
+      |  + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS d),
       |lp AS (
       |  SELECT l.doc_id,
       |    CASE WHEN l.prev IS NULL THEN
@@ -1064,6 +1068,44 @@ object SparkEntry {
       |  LEFT JOIN top tv ON tv.w = l.prev
       |  LEFT JOIN pc ON pc.v = l.prev AND pc.w = l.w
       |  CROSS JOIN dn),
+      |s AS (SELECT doc_id, COUNT(*) AS nt, SUM(lnS) AS sl
+      |      FROM lp GROUP BY doc_id)""".stripMargin
+
+  /** KN oracle CTEs (D37c): continuation/context tables off the shared
+    * `pc` pair counts, and the three-branch interpolated score
+    * mirroring [[graft.operators.LanguageModel.trainKneserNey]]'s
+    * arithmetic association exactly (unseen-pair branch = two lns
+    * ADDED, as the kernel adds the precomputed logs).
+    */
+  private val knCeCtes: String =
+    s"""$lmPairCtes,
+      |ctxk AS (SELECT v, SUM(c) AS cv, COUNT(*) AS n1 FROM pc GROUP BY v),
+      |bwd AS (SELECT w, COUNT(*) AS n1b FROM pc GROUP BY w),
+      |kdn AS (SELECT CAST((SELECT COUNT(*) FROM pc)
+      |  + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS kd),
+      |lp AS (
+      |  SELECT l.doc_id,
+      |    CASE
+      |      WHEN l.prev IS NULL OR cx.v IS NULL THEN
+      |        ln(CASE WHEN tc.w IS NOT NULL
+      |           THEN CAST(COALESCE(bw.n1b, 0) + 1 AS DOUBLE) / kd
+      |           ELSE 1.0 / kd END)
+      |      WHEN pc.c IS NOT NULL THEN
+      |        ln(((CAST(pc.c AS DOUBLE) - 0.75) / CAST(cx.cv AS DOUBLE))
+      |          + ((0.75 * CAST(cx.n1 AS DOUBLE)) / CAST(cx.cv AS DOUBLE))
+      |            * (CAST(COALESCE(bw.n1b, 0) + 1 AS DOUBLE) / kd))
+      |      ELSE
+      |        ln((0.75 * CAST(cx.n1 AS DOUBLE)) / CAST(cx.cv AS DOUBLE))
+      |        + ln(CASE WHEN tc.w IS NOT NULL
+      |             THEN CAST(COALESCE(bw.n1b, 0) + 1 AS DOUBLE) / kd
+      |             ELSE 1.0 / kd END)
+      |    END AS lnS
+      |  FROM lagged l
+      |  LEFT JOIN top tc ON tc.w = l.w
+      |  LEFT JOIN bwd bw ON bw.w = l.w
+      |  LEFT JOIN ctxk cx ON cx.v = l.prev
+      |  LEFT JOIN pc ON pc.v = l.prev AND pc.w = l.w
+      |  CROSS JOIN kdn),
       |s AS (SELECT doc_id, COUNT(*) AS nt, SUM(lnS) AS sl
       |      FROM lp GROUP BY doc_id)""".stripMargin
 
@@ -3007,6 +3049,12 @@ object SparkEntry {
     // branches; ln drift + sum regrouping absorbed by the rounding.
     "lm_bigram_cross_entropy" ->
       s"""WITH $bigramCeCtes
+        |SELECT d.doc_id, CAST(COALESCE(nt, 0) AS INTEGER) AS n_tokens,
+        |  COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE)) AS cross_entropy
+        |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "lm_kn_cross_entropy" ->
+      s"""WITH $knCeCtes
         |SELECT d.doc_id, CAST(COALESCE(nt, 0) AS INTEGER) AS n_tokens,
         |  COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE)) AS cross_entropy
         |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,

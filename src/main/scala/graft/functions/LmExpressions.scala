@@ -153,6 +153,88 @@ object LmKernel {
     }
     if (n == 0) 0.0 else -sum / n
   }
+
+  /** Interpolated Kneser–Ney cross-entropy, same tokenization/fold
+    * contract as [[bigramCe]] (the skeleton is a copy — leading and
+    * trailing empty tokens, the prev==null first-position marker):
+    * first token or OOV context scores the smoothed continuation
+    * base(w); a seen vocab pair scores its precomputed interpolated
+    * ln P; an unseen pair under a known context scores
+    * lnλ(v) + ln base(w) — both lns precomputed, added, mirroring
+    * the oracle's two-term branch.
+    */
+  def knCe(s: UTF8String, t: KnTable): Double = {
+    val bytes = s.getBytes
+    val (lo, hi) = spaceTrimBounds(bytes)
+    if (lo >= hi) return 0.0
+    var sum = 0.0
+    var n = 0
+    var prev: UTF8String = null
+    var i = lo
+    if (isWs(bytes(lo))) {
+      sum += t.base.lnP(Empty); n += 1
+      prev = null
+    }
+    def score(prevTok: UTF8String, w: UTF8String): Double =
+      if (prevTok == null) t.base.lnP(w)
+      else {
+        val p = t.map.get(UTF8String.concat(prevTok, Space, w))
+        if (p != null) p.doubleValue()
+        else {
+          val lam = t.lambda.get(prevTok)
+          if (lam == null) t.base.lnP(w)
+          else lam.doubleValue() + t.base.lnP(w)
+        }
+      }
+    while (i < hi) {
+      while (i < hi && isWs(bytes(i))) i += 1
+      if (i < hi) {
+        val start = i
+        while (i < hi && !isWs(bytes(i))) i += 1
+        val w = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, start, i))
+        sum += score(prev, w)
+        n += 1
+        prev = w
+      }
+    }
+    if (isWs(bytes(hi - 1))) {
+      sum += score(prev, Empty)
+      n += 1
+    }
+    if (n == 0) 0.0 else -sum / n
+  }
+}
+
+/** Interpolated Kneser–Ney tables: `base` maps vocab words to their
+  * ln smoothed continuation probability (lnOov = the add-one floor),
+  * `map` holds the FULL interpolated ln P for seen vocab pairs, and
+  * `lambda` the per-context ln backoff mass ln(d·N1+(v·)/c(v)).
+  */
+final class KnTable(val base: UnigramTable,
+                    pairKeys: Array[String], pairLnPs: Array[Double],
+                    lambdaKeys: Array[String], lnLambdas: Array[Double])
+  extends Serializable {
+  require(pairKeys.length == pairLnPs.length, "pair arrays length mismatch")
+  require(lambdaKeys.length == lnLambdas.length, "lambda arrays length mismatch")
+  @transient lazy val map: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](
+      pairKeys.length * 2)
+    var i = 0
+    while (i < pairKeys.length) {
+      m.put(UTF8String.fromString(pairKeys(i)), pairLnPs(i)); i += 1
+    }
+    m
+  }
+  @transient lazy val lambda: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](
+      lambdaKeys.length * 2)
+    var i = 0
+    while (i < lambdaKeys.length) {
+      m.put(UTF8String.fromString(lambdaKeys(i)), lnLambdas(i)); i += 1
+    }
+    m
+  }
 }
 
 sealed trait LmCeBase extends UnaryExpression {
@@ -205,6 +287,27 @@ case class BigramCrossEntropy(child: Expression, words: Seq[String],
   override def prettyName: String = "bigram_ce"
 }
 
+/** kn_ce(text) → interpolated Kneser–Ney mean neg ln-prob (unrounded). */
+case class KnCrossEntropy(child: Expression, baseWords: Seq[String],
+                          lnBases: Seq[Double], lnBaseOov: Double,
+                          pairKeys: Seq[String], pairLnPs: Seq[Double],
+                          lambdaKeys: Seq[String], lnLambdas: Seq[Double])
+    extends LmCeBase {
+  @transient private lazy val table = new KnTable(
+    new UnigramTable(baseWords.toArray, lnBases.toArray, lnBaseOov),
+    pairKeys.toArray, pairLnPs.toArray, lambdaKeys.toArray,
+    lnLambdas.toArray)
+  override def nullSafeEval(v: Any): Any =
+    LmKernel.knCe(v.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("knTable", table, classOf[KnTable].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.LmKernel.knCe($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): KnCrossEntropy =
+    copy(child = newChild)
+  override def prettyName: String = "kn_ce"
+}
+
 object LmFunctions {
   def unigram_ce(text: Column, words: Seq[String], lnPs: Seq[Double],
                  lnOov: Double): Column =
@@ -216,4 +319,10 @@ object LmFunctions {
     ColumnBridge.column(
       BigramCrossEntropy(ColumnBridge.expression(text), words, lnPs, lnOov,
         pairKeys, pairLnPs, lnAlpha))
+  def kn_ce(text: Column, baseWords: Seq[String], lnBases: Seq[Double],
+            lnBaseOov: Double, pairKeys: Seq[String], pairLnPs: Seq[Double],
+            lambdaKeys: Seq[String], lnLambdas: Seq[Double]): Column =
+    ColumnBridge.column(
+      KnCrossEntropy(ColumnBridge.expression(text), baseWords, lnBases,
+        lnBaseOov, pairKeys, pairLnPs, lambdaKeys, lnLambdas))
 }

@@ -217,4 +217,90 @@ object LanguageModel {
       size(toks(col(textCol))).as("n_tokens"),
       crossEntropyBigram(col(textCol), lm).as("cross_entropy"))
   }
+
+  // ---- interpolated Kneser–Ney extension ---------------------------
+
+  /** D37c: interpolated Kneser–Ney bigram model (Kneser & Ney 1995;
+    * Chen & Goodman 1999's benchmark winner) — the principled upgrade
+    * over stupid backoff: absolute discounting redistributes mass
+    * d·N1+(v·)/c(v) per context, and the backoff distribution is the
+    * CONTINUATION probability (how many contexts a word follows), not
+    * raw frequency — "francisco" is frequent but follows only "san",
+    * so KN stops over-scoring it in fresh contexts.
+    *
+    * Quantities (vocab-restricted, like the stupid-backoff table):
+    * c(v,w), c(v)=Σ_w c(v,w), N1+(v·), N1+(·w), with the continuation
+    * base add-one smoothed over vocab+OOV:
+    * base(w) = (N1+(·w)+1)/(N1+(··)+V+1), baseOov = 1/(N1+(··)+V+1).
+    * P(w|v) = (c(v,w)−d)/c(v) + λ(v)·base(w), λ(v) = d·N1+(v·)/c(v)
+    * (d = 0.75 < 1 makes the textbook max(c−d,0) vacuous). First
+    * token or unseen context scores base(w) alone.
+    *
+    * Distributed cost is exactly [[trainBigram]]'s: the one
+    * vocab-restricted pair-count pass; everything else is a driver
+    * fold over the ≤topK² pair table.
+    */
+  final case class KneserNey(baseWords: Seq[String], lnBases: Seq[Double],
+                             lnBaseOov: Double,
+                             pairKeys: Seq[String], pairLnPs: Seq[Double],
+                             lambdaKeys: Seq[String], lnLambdas: Seq[Double])
+
+  def trainKneserNey(corpus: DataFrame, textCol: String, topK: Int = 64,
+                     discount: Double = 0.75): KneserNey = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val uni = train(corpus, textCol, topK)
+    val vocab = uni.lnP.keySet.toSeq.sorted
+    if (vocab.isEmpty)
+      KneserNey(Nil, Nil, 0.0, Nil, Nil, Nil, Nil)
+    else {
+      val vocabLit = array(vocab.map(lit): _*)
+      val t = toks(col(textCol))
+      val pairs = corpus
+        .select(explode(arrays_zip(
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))).as("v"),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))).as("w"))).as("p"))
+        .select(col("p.v").as("v"), col("p.w").as("w"))
+        .filter(array_contains(vocabLit, col("v")) &&
+          array_contains(vocabLit, col("w")))
+        .groupBy(col("v"), col("w")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val ctx = pairs.groupBy(_._1).map { case (v, ps) =>
+        v -> (ps.map(_._3).sum, ps.length)
+      } // v -> (c(v), N1+(v·))
+      val n1bwd = pairs.groupBy(_._2).view.mapValues(_.length).toMap
+      val denom = (pairs.length + vocab.size + 1).toDouble
+      def base(w: String) = (n1bwd.getOrElse(w, 0) + 1).toDouble / denom
+      val lnBases = vocab.map(w => math.log(base(w)))
+      val lambdas = ctx.toSeq.sortBy(_._1).map { case (v, (cv, n1)) =>
+        v -> (discount * n1.toDouble / cv.toDouble)
+      }
+      val pairLnPs = pairs.sortBy(p => (p._1, p._2)).map { case (v, w, c) =>
+        val (cv, n1) = ctx(v)
+        val lam = discount * n1.toDouble / cv.toDouble
+        s"$v $w" -> math.log((c.toDouble - discount) / cv.toDouble +
+          lam * base(w))
+      }
+      KneserNey(vocab, lnBases, math.log(1.0 / denom),
+        pairLnPs.map(_._1), pairLnPs.map(_._2),
+        lambdas.map(_._1), lambdas.map(p => math.log(p._2)))
+    }
+  }
+
+  /** Cross-entropy under the KN model — the [[crossEntropyBigram]]
+    * plan shape: all plan literals, zero shuffle, native kernel.
+    */
+  def crossEntropyKn(textCol: Column, lm: KneserNey): Column =
+    round(coalesce(graft.functions.LmFunctions.kn_ce(
+      textCol, lm.baseWords, lm.lnBases, lm.lnBaseOov,
+      lm.pairKeys, lm.pairLnPs, lm.lambdaKeys, lm.lnLambdas),
+      lit(0.0)), 6)
+
+  /** Query face for the KN scorer. */
+  def scoreCorpusKn(corpus: DataFrame, textCol: String, idCol: String,
+                    topK: Int = 64, discount: Double = 0.75): DataFrame = {
+    val lm = trainKneserNey(corpus, textCol, topK, discount)
+    corpus.select(col(idCol).as("id"),
+      size(toks(col(textCol))).as("n_tokens"),
+      crossEntropyKn(col(textCol), lm).as("cross_entropy"))
+  }
 }

@@ -184,6 +184,17 @@ object TextQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** D37c: interpolated Kneser–Ney cross-entropy — the principled
+    * smoothing upgrade over D37b's stupid backoff (continuation-
+    * probability base, absolute discounting); same vocab, same
+    * zero-shuffle scoring plan.
+    */
+  def lmKnCrossEntropy(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.scoreCorpusKn(
+        Tables.documents(spark, dir), "text", "doc_id", topK = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** D27: per-source quota cap — at most 12 docs per source, kept by
     * lowest doc_id (deterministic priority). Goes through the
     * `row_number <= k` idiom, so TopKRewrite runs it on the

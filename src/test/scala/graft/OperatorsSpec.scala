@@ -139,6 +139,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lm.lnPair.nonEmpty && lm.lnPair.contains("the cat"))
   }
 
+  test("KN LM: interpolated fold matches an independent driver reference") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    val fixture = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat the cat the cat",
+      3L -> "mat on sat zzz",
+      4L -> "")
+    val docs = fixture.toDF("doc_id", "text")
+    val topK = 4
+    val lm = LanguageModel.trainKneserNey(docs, "text", topK)
+    // independent reference: recount everything from the fixture
+    val vocab = fixture.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(topK).map(_._1).toSet
+    val pairCounts = fixture.flatMap { case (_, t) =>
+      val ts = t.split("\\s+").filter(_.nonEmpty)
+      ts.zip(ts.drop(1)).filter { case (v, w) => vocab(v) && vocab(w) }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx = pairCounts.groupBy(_._1._1).map { case (v, ps) =>
+      v -> (ps.values.sum, ps.size) }
+    val n1b = pairCounts.groupBy(_._1._2).view.mapValues(_.size).toMap
+    val denom = (pairCounts.size + vocab.size + 1).toDouble
+    def base(w: String) = (n1b.getOrElse(w, 0) + 1).toDouble / denom
+    def ref(text: String): (Int, Double) = {
+      val ts = text.split("\\s+").filter(_.nonEmpty)
+      if (ts.isEmpty) return (0, 0.0)
+      var prev = ""
+      var sum = 0.0
+      ts.foreach { w =>
+        val lnS =
+          if (prev == "" || !ctx.contains(prev)) math.log(base(w))
+          else pairCounts.get((prev, w)) match {
+            case Some(c) =>
+              val (cv, n1) = ctx(prev)
+              math.log((c.toDouble - 0.75) / cv.toDouble +
+                (0.75 * n1.toDouble / cv.toDouble) * base(w))
+            case None =>
+              val (cv, n1) = ctx(prev)
+              math.log(0.75 * n1.toDouble / cv.toDouble) + math.log(base(w))
+          }
+        sum += lnS
+        prev = w
+      }
+      (ts.length, BigDecimal(-sum / ts.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val want = fixture.map { case (id, t) =>
+      val (n, h) = ref(t); (id, n, h) }.toSet
+    val got = LanguageModel.scoreCorpusKn(docs, "text", "doc_id", topK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    // the continuation signal is live: "the" precedes two distinct
+    // words, "cat" follows only one context
+    assert(lm.pairKeys.nonEmpty && lm.lambdaKeys.contains("the"))
+    // KN must genuinely differ from stupid backoff on this fixture
+    val sb = LanguageModel.scoreCorpusBigram(docs, "text", "doc_id", topK)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val kn = got.map(t => t._1 -> t._3).toMap
+    assert(fixture.exists { case (id, t) => t.nonEmpty && sb(id) != kn(id) })
+  }
+
   test("period pivot: null periods never rank, n is guarded, pivot is exact") {
     import spark.implicits._
     import graft.operators.PeriodPivot
