@@ -160,6 +160,7 @@ object SparkEntry {
     "lm_cross_entropy"   -> (TextQueries.lmCrossEntropy _),
     "lm_bigram_cross_entropy" -> (TextQueries.lmBigramCrossEntropy _),
     "lm_kn_cross_entropy" -> (TextQueries.lmKnCrossEntropy _),
+    "holdout_perplexity" -> (TextQueries.holdoutPerplexity _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),
     "gopher_quality"     -> (TextQueries.gopherQualityFilter _),
     "fim_transform"      -> (TextQueries.fimTransform _),
@@ -3058,6 +3059,66 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(COALESCE(nt, 0) AS INTEGER) AS n_tokens,
         |  COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE)) AS cross_entropy
         |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // D80: the train_split CASE gates which docs feed the model CTEs
+    // (train fold) and which get scored (val fold); the scoring
+    // branches and association are lm_bigram's
+    "holdout_perplexity" ->
+      s"""WITH h AS (
+        |  SELECT doc_id, $xxhBucket AS bucket
+        |  FROM (${xxh64Nested("SELECT doc_id FROM documents", "doc_id")})),
+        |sp AS (
+        |  SELECT doc_id, CASE WHEN bucket < 900000 THEN 0
+        |                      WHEN bucket < 950000 THEN 1 ELSE 2 END AS split
+        |  FROM h),
+        |d0 AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) > 0
+        |    THEN string_split_regex(trim(text), '\\s+')
+        |    ELSE CAST([] AS VARCHAR[]) END AS tk
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(tk, (w, i) -> struct_pack(i := i, w := w))) AS s
+        |  FROM d0),
+        |tw AS (SELECT doc_id, s.i AS i, s.w AS w FROM tok),
+        |twt AS (SELECT tw.doc_id, i, w FROM tw JOIN sp USING (doc_id)
+        |        WHERE split = 0),
+        |cnt AS (SELECT w, COUNT(*) AS c FROM twt GROUP BY w),
+        |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 64),
+        |dn AS (SELECT CAST((SELECT SUM(c) FROM cnt)
+        |  + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS d),
+        |laggedt AS (
+        |  SELECT doc_id, i, w,
+        |    lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM twt),
+        |pc AS (
+        |  SELECT l.prev AS v, l.w AS w, COUNT(*) AS c
+        |  FROM laggedt l
+        |  JOIN top tv ON tv.w = l.prev JOIN top tc ON tc.w = l.w
+        |  WHERE l.prev IS NOT NULL GROUP BY l.prev, l.w),
+        |laggedv AS (
+        |  SELECT tw.doc_id, i, w,
+        |    lag(w) OVER (PARTITION BY tw.doc_id ORDER BY i) AS prev
+        |  FROM tw JOIN sp USING (doc_id) WHERE split = 1),
+        |lp AS (
+        |  SELECT l.doc_id,
+        |    CASE WHEN l.prev IS NULL THEN
+        |      COALESCE(ln(CAST(tc.c + 1 AS DOUBLE) / d), ln(1.0 / d))
+        |    ELSE
+        |      COALESCE(ln(CAST(pc.c AS DOUBLE) / CAST(tv.c AS DOUBLE)),
+        |        ln(0.4) + COALESCE(ln(CAST(tc.c + 1 AS DOUBLE) / d), ln(1.0 / d)))
+        |    END AS lnS
+        |  FROM laggedv l
+        |  LEFT JOIN top tc ON tc.w = l.w
+        |  LEFT JOIN top tv ON tv.w = l.prev
+        |  LEFT JOIN pc ON pc.v = l.prev AND pc.w = l.w
+        |  CROSS JOIN dn),
+        |s AS (SELECT doc_id, COUNT(*) AS nt, SUM(lnS) AS sl
+        |      FROM lp GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(nt, 0) AS INTEGER) AS n_tokens,
+        |  COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE)) AS cross_entropy
+        |FROM (SELECT doc_id FROM sp WHERE split = 1) d
+        |LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // Perplexity filter: the bigram CE pipeline above + a per-language
     // exact-integer rank cut on the rounded score (id tiebreak), so

@@ -195,6 +195,30 @@ object TextQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** D80: holdout perplexity — the eval-hygiene face of the LM family:
+    * the bigram model trains ONLY on the D25 hash-split train fold and
+    * scores ONLY the val fold, so the reported cross-entropy is an
+    * out-of-sample number a perplexity-gated curation pipeline can
+    * trust (in-sample CE, which every lm_* key reports by design,
+    * flatters memorized boilerplate — exactly the documents dedup
+    * should have caught). Same retry-stable split as `train_split`,
+    * same zero-shuffle scoring plan; only the training pass's inputs
+    * shrink to the train fold.
+    */
+  def holdoutPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sp = graft.operators.Resample.splitByHash(
+      docs, col("doc_id"), Seq(0.9, 0.05, 0.05))
+    val lm = graft.operators.LanguageModel.trainBigram(
+      sp.filter(col("split") === 0), "text", topK = 64)
+    sp.filter(col("split") === 1)
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("n_tokens"),
+        graft.operators.LanguageModel.crossEntropyBigram(col("text"), lm)
+          .as("cross_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D27: per-source quota cap — at most 12 docs per source, kept by
     * lowest doc_id (deterministic priority). Goes through the
     * `row_number <= k` idiom, so TopKRewrite runs it on the
