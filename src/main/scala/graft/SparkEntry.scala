@@ -112,6 +112,7 @@ object SparkEntry {
     "text_redact"        -> (ExtendedQueries.textRedact _),
     "vocab_top_words"    -> (ExtendedQueries.vocabTopWords _),
     "zipf_fit"           -> (ExtendedQueries.zipfFit _),
+    "zipf_theil_sen"     -> (ExtendedQueries.zipfTheilSen _),
     "events_sessionize"  -> (TextQueries.eventsSessionize _),
     "events_session_window" -> (TextQueries.eventsSessionWindow _),
     "events_windowed_agg" -> (TextQueries.eventsWindowedAgg _),
@@ -2530,6 +2531,33 @@ object SparkEntry {
     // regression sums are explicit left folds over the rank-sorted
     // ≤K list on BOTH engines (fixed double-add order); ln/round
     // parity per the BM25 precedent
+    // D62b: same point CTEs as zipf_fit; slopes round to 6 dp BEFORE
+    // the lower-middle order statistic, so the selection can't
+    // diverge on a ulp; range bounds mirror the engine's guarded
+    // ascending sequences
+    "zipf_theil_sen" ->
+      """WITH v AS (
+        |  SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  GROUP BY word ORDER BY freq DESC, word LIMIT 200),
+        |r AS (
+        |  SELECT CAST(rank AS DOUBLE) AS rank,
+        |    ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+        |  FROM (SELECT freq, word,
+        |      row_number() OVER (ORDER BY freq DESC, word) AS rank FROM v)),
+        |l AS (SELECT list_sort(list([rank, x, y])) AS a FROM r),
+        |sl AS (
+        |  SELECT CAST(len(a) AS BIGINT) AS n_types,
+        |    flatten(list_transform(range(1, len(a)), i ->
+        |      list_transform(range(i + 1, len(a) + 1), j ->
+        |        round((a[j][3] - a[i][3]) / (a[j][2] - a[i][2]), 6)))) AS ss
+        |  FROM l)
+        |SELECT n_types, CAST(len(ss) AS BIGINT) AS n_pairs,
+        |  list_sort(ss)[CAST((len(ss) + 1) // 2 AS INTEGER)]
+        |    AS slope_theil_sen
+        |FROM sl""".stripMargin,
+
     "zipf_fit" ->
       """WITH v AS (
         |  SELECT word, COUNT(*) AS freq FROM (

@@ -362,20 +362,27 @@ object ExtendedQueries {
     * double addition order engine-defined. 6-dp round on the fitted
     * outputs.
     */
-  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+  /** (rank, x=ln rank, y=ln freq) over the top-k vocabulary — shared
+    * by the OLS fit and the Theil–Sen robust fit.
+    */
+  private def zipfPoints(spark: SparkSession, dir: String,
+                         k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val k = 200
     val vocab = Tables.documents(spark, dir)
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word"))
       .limit(k)
-    val ranked = vocab
+    vocab
       .withColumn("rank",
         row_number().over(Window.orderBy(col("freq").desc, col("word"))))
       .select(col("rank"),
         log(col("rank").cast("double")).as("x"),
         log(col("freq").cast("double")).as("y"))
+  }
+
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = zipfPoints(spark, dir, 200)
     def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       aggregate(col("a"), lit(0.0), (acc, e) => acc + f(e))
     val sums = ranked
@@ -395,6 +402,46 @@ object ExtendedQueries {
       round((col("sy") - (num / den) * col("sx")) / col("n"), 6)
         .as("intercept"),
       round(num * num / (den * deny), 6).as("r2"))
+  }
+
+  /** D62b: Theil–Sen robust Zipf slope (Theil 1950; Sen 1968 — the
+    * median of all pairwise slopes, a 29%-breakdown estimator): the
+    * OLS fit D62 reports is dragged by exactly the points a corpus
+    * audit cares about (a boilerplate-inflated head or a truncated
+    * tail), so the robust slope alongside it separates "the whole
+    * curve is off" from "a few ranks are off". Disagreement between
+    * the two slopes IS the signal.
+    *
+    * Shape: the same one word-count shuffle as D62; the ≤k point set
+    * is aggregate-sized, so the O(k²) pairwise slopes (19,900 at
+    * k=200) run as an in-plan nested HOF over the collected array —
+    * bounded by k, independent of corpus size. Slopes round to 6 dp
+    * BEFORE the median selection, so the order statistic cannot
+    * diverge between engines on a ulp.
+    */
+  def zipfTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = zipfPoints(spark, dir, 200)
+    val arr = ranked
+      .agg(sort_array(collect_list(struct(col("rank"), col("x"), col("y"))))
+        .as("a"))
+    val n = size(col("a"))
+    // i runs 1..n-1 so the inner sequence is never descending (Spark's
+    // sequence(a, b) REVERSES when a > b — an empty range needs the
+    // outer bound cut, not a degenerate call)
+    val slopes = when(n >= 2,
+      flatten(transform(sequence(lit(1), n - 1), i =>
+        transform(sequence(i + 1, n), j =>
+          round((element_at(col("a"), j).getField("y")
+              - element_at(col("a"), i).getField("y"))
+            / (element_at(col("a"), j).getField("x")
+              - element_at(col("a"), i).getField("x")), 6)))))
+      .otherwise(array().cast("array<double>"))
+    arr.select(n.cast("long").as("n_types"), slopes.as("ss"))
+      .select(col("n_types"), size(col("ss")).cast("long").as("n_pairs"),
+        when(size(col("ss")) > 0,
+          element_at(sort_array(col("ss")),
+            ((size(col("ss")) + 1) / 2).cast("int")))
+          .as("slope_theil_sen"))
   }
 
   /** D13: text normalization for LLM pipelines — lowercase, strip

@@ -373,6 +373,21 @@ class PlanSpec extends AnyFunSuite {
       s"bm25 shuffled the corpus:\n$p")
   }
 
+  test("b-bit production path: estimator only — no exact-verify jaccard in the plan") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val p = planString(
+      graft.operators.Dedup.bbitMinhashPairs(docs, "text", "doc_id"))
+    // the point of the path: candidates are judged from packed
+    // signatures alone; the shingle-shipping verify join must be gone
+    assert(p.contains("bbit_matches"), s"no estimator kernel in plan:\n$p")
+    // the verify jaccard expands to array_intersect over shingle sets
+    assert(!p.contains("array_intersect"), s"exact verify crept back in:\n$p")
+    // and the audit twin genuinely carries both
+    val pa = planString(
+      graft.operators.Dedup.bbitMinhashAudit(docs, "text", "doc_id"))
+    assert(pa.contains("bbit_matches") && pa.contains("array_intersect"))
+  }
+
   test("query likelihood: the corpus is never hash-exchanged; top-k is TakeOrdered") {
     val p = planString(
       graft.queries.WarehouseQueries.qlSearch(spark, sfDir))
