@@ -802,6 +802,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream=$got batch=$want")
   }
 
+  test("streaming forecast: merged period sums give the batch Holt bit-exactly") {
+    import spark.implicits._
+    import graft.streaming.StreamingForecast
+    val rows = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+    // split by parity so EVERY period's rows straddle the two batches
+    // — the case a per-batch running fold would get wrong
+    val (b1, b2) = rows.zipWithIndex.partition(_._2 % 2 == 0) match {
+      case (a, b) => (a.map(_._1), b.map(_._1))
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_fc")
+      .toFile.getAbsolutePath
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Double)](
+      spark, 2103)
+    val stream = src.toDF().toDF("user_id", "ts", "value")
+    val q = StreamingForecast.start(stream, col("user_id"),
+      date_trunc("day", col("ts")),
+      col("value").cast("decimal(12,2)"),
+      s"$base/sums", s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamingForecast
+      .forecastToDate(spark, s"$base/sums", alpha = 0.3, beta = 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val want = graft.queries.WarehouseQueries.holtForecast(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == want,
+      s"only-stream=${(got -- want).take(2)} only-batch=${(want -- got).take(2)}")
+  }
+
   test("streaming perplexity gate equals the batch threshold filter and honors the frozen cut") {
     import graft.streaming.StreamingScoreFilter
     import graft.operators.LanguageModel
