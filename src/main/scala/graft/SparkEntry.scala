@@ -3090,7 +3090,10 @@ object SparkEntry {
 
     // D80: the train_split CASE gates which docs feed the model CTEs
     // (train fold) and which get scored (val fold); the scoring
-    // branches and association are lm_bigram's
+    // branches and association are lm_bigram's. The split joins at
+    // the DOC level once and rides the token explosion as a column —
+    // joining the inlined hash chain against token rows made DuckDB
+    // re-evaluate it per probe and OOM.
     "holdout_perplexity" ->
       s"""WITH h AS (
         |  SELECT doc_id, $xxhBucket AS bucket
@@ -3100,17 +3103,16 @@ object SparkEntry {
         |                      WHEN bucket < 950000 THEN 1 ELSE 2 END AS split
         |  FROM h),
         |d0 AS (
-        |  SELECT doc_id, CASE WHEN len(trim(text)) > 0
+        |  SELECT d.doc_id, sp.split, CASE WHEN len(trim(text)) > 0
         |    THEN string_split_regex(trim(text), '\\s+')
         |    ELSE CAST([] AS VARCHAR[]) END AS tk
-        |  FROM documents),
+        |  FROM documents d JOIN sp ON sp.doc_id = d.doc_id),
         |tok AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, split,
         |    unnest(list_transform(tk, (w, i) -> struct_pack(i := i, w := w))) AS s
         |  FROM d0),
-        |tw AS (SELECT doc_id, s.i AS i, s.w AS w FROM tok),
-        |twt AS (SELECT tw.doc_id, i, w FROM tw JOIN sp USING (doc_id)
-        |        WHERE split = 0),
+        |tw AS (SELECT doc_id, split, s.i AS i, s.w AS w FROM tok),
+        |twt AS (SELECT doc_id, i, w FROM tw WHERE split = 0),
         |cnt AS (SELECT w, COUNT(*) AS c FROM twt GROUP BY w),
         |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 64),
         |dn AS (SELECT CAST((SELECT SUM(c) FROM cnt)
@@ -3125,9 +3127,9 @@ object SparkEntry {
         |  JOIN top tv ON tv.w = l.prev JOIN top tc ON tc.w = l.w
         |  WHERE l.prev IS NOT NULL GROUP BY l.prev, l.w),
         |laggedv AS (
-        |  SELECT tw.doc_id, i, w,
-        |    lag(w) OVER (PARTITION BY tw.doc_id ORDER BY i) AS prev
-        |  FROM tw JOIN sp USING (doc_id) WHERE split = 1),
+        |  SELECT doc_id, i, w,
+        |    lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM tw WHERE split = 1),
         |lp AS (
         |  SELECT l.doc_id,
         |    CASE WHEN l.prev IS NULL THEN
@@ -3145,7 +3147,7 @@ object SparkEntry {
         |      FROM lp GROUP BY doc_id)
         |SELECT d.doc_id, CAST(COALESCE(nt, 0) AS INTEGER) AS n_tokens,
         |  COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE)) AS cross_entropy
-        |FROM (SELECT doc_id FROM sp WHERE split = 1) d
+        |FROM (SELECT doc_id FROM d0 WHERE split = 1) d
         |LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // Perplexity filter: the bigram CE pipeline above + a per-language
@@ -3717,16 +3719,19 @@ object SparkEntry {
     // exactly double-representable at gate scale
     "signal_correlation" -> {
       def p(a: String, b: String, sx: String, sy: String,
-            sxx: String, syy: String, sxy: String) =
+            sxx: String, syy: String, sxy: String) = {
+        val dx = s"(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)" +
+          s" - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))"
+        val dy = s"(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)" +
+          s" - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))"
         s"""SELECT '$a' AS signal_a, '$b' AS signal_b, n,
-           |    (CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)
+           |    CASE WHEN $dx = 0.0 OR $dy = 0.0 THEN NULL
+           |    ELSE (CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)
            |       - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
-           |    / (sqrt(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)
-           |         - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))
-           |       * sqrt(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)
-           |         - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE)))
+           |    / (sqrt($dx) * sqrt($dy)) END
            |      AS pearson_r
            |  FROM s"""
+      }
       s"""WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk,
         |    string_split_regex(

@@ -96,8 +96,13 @@ object GraftKernels {
   def bbitPack(sig: ArrayData, b: Int): Array[Long] = {
     val lanesPerWord = 64 / b
     val k = sig.numElements()
-    val words = new Array[Long]((k + lanesPerWord - 1) / lanesPerWord)
-    val mask = if (b == 64) -1L else (1L << b) - 1L
+    // exact packing is a correctness precondition, not a convenience:
+    // zero-padded trailing lanes would count as MATCHES in bbitMatches
+    // (both sides pad with zeros), biasing the estimator upward
+    require(k % lanesPerWord == 0,
+      s"signature length $k must be a multiple of ${64 / b} lanes (b=$b)")
+    val words = new Array[Long](k / lanesPerWord)
+    val mask = (1L << b) - 1L
     var s = 0
     while (s < k) {
       val lane = sig.getLong(s) & mask
@@ -112,7 +117,7 @@ object GraftKernels {
     */
   def bbitMatches(a: ArrayData, other: ArrayData, b: Int): Int = {
     val lanesPerWord = 64 / b
-    val mask = if (b == 64) -1L else (1L << b) - 1L
+    val mask = (1L << b) - 1L
     val n = math.min(a.numElements(), other.numElements())
     var cnt = 0
     var w = 0
@@ -318,10 +323,10 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 case class BbitPack(child: Expression, b: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) if b > 0 && 64 % b == 0 =>
+    case ArrayType(LongType, _) if b > 0 && b < 64 && 64 % b == 0 =>
       TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"bbit_pack needs array<long> and b dividing 64, got $t / b=$b")
+      s"bbit_pack needs array<long> and b in {1,2,4,8,16,32}, got $t / b=$b")
   }
   override def nullSafeEval(v: Any): Any =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -340,10 +345,11 @@ case class BbitMatches(left: Expression, right: Expression, b: Int)
   extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(LongType, _), ArrayType(LongType, _)) if b > 0 && 64 % b == 0 =>
+    case (ArrayType(LongType, _), ArrayType(LongType, _))
+      if b > 0 && b < 64 && 64 % b == 0 =>
       TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"bbit_matches needs two array<long> and b dividing 64, got $t / b=$b")
+      s"bbit_matches needs two array<long> and b in {1,2,4,8,16,32}, got $t / b=$b")
   }
   override def nullSafeEval(a: Any, o: Any): Any =
     java.lang.Integer.valueOf(GraftKernels.bbitMatches(

@@ -86,21 +86,32 @@ object Dedup {
     * already hold both (incremental admission) never shingle twice.
     */
   private def minhashLshFromShingles(withSh: DataFrame, banded: DataFrame,
-                                     threshold: Double): DataFrame = {
-    val cand = banded.select(col("band"), col("bandhash"), col("id").as("id_a"))
+                                     threshold: Double): DataFrame =
+    verifyPairs(candidatePairs(banded), withSh, threshold)
+
+  /** Distinct (id_a < id_b) candidate pairs from band rows — the one
+    * LSH self-join, shared by the exact-verify and b-bit paths so the
+    * completeness argument covers both by construction.
+    */
+  private def candidatePairs(banded: DataFrame): DataFrame =
+    banded.select(col("band"), col("bandhash"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bandhash"), col("id").as("id_b")),
         Seq("band", "bandhash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // verify: join the shingle sets back in (id-partitioned, once per side)
+
+  /** Exact-verify join: shingle sets back in (id-partitioned, once per
+    * side), emit pairs at jaccard ≥ threshold.
+    */
+  private def verifyPairs(cand: DataFrame, withSh: DataFrame,
+                          threshold: Double): DataFrame =
     cand
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** D75: b-bit minhash side-by-side audit (Li & König 2010). The SAME
     * k=bands·rows signature that feeds the LSH bands compresses to its
@@ -125,12 +136,7 @@ object Dedup {
                        b: Int = 4, threshold: Double = 0.5): DataFrame = {
     val (withSh, cand, est) =
       bbitCore(df, textCol, idCol, shingleSize, bands, rows, b)
-    cand
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyPairs(cand, withSh, threshold)
       .join(est, Seq("id_a", "id_b"))
       .select(col("id_a"), col("id_b"), col("jaccard"), col("jaccard_bbit"),
         (col("jaccard_bbit") >= lit(threshold)).as("kept_bbit"))
@@ -160,21 +166,16 @@ object Dedup {
                        shingleSize: Int, bands: Int, rows: Int,
                        b: Int): (DataFrame, DataFrame, DataFrame) = {
     val k = bands * rows
-    require(64 % b == 0 && k % (64 / b) == 0,
-      s"b=$b must divide 64 and k=$k must fill whole packed words")
+    // b < 64: compressing to the full word is no compression, and
+    // 1L << 64 silently wraps to 1 making C = 1 (division by zero in
+    // the correction)
+    require(b < 64 && 64 % b == 0 && k % (64 / b) == 0,
+      s"b=$b must divide 64 (and be < 64) and k=$k must fill whole packed words")
     val withSh = shingleFrame(df, textCol, idCol, shingleSize)
     val sigged = withSh.withColumn("sig", minhashSignature(col("sh"), k))
     val packed = sigged.select(col("id"),
       graft.functions.GraftFunctions.bbit_pack(col("sig"), b).as("pk"))
-    val cand = {
-      val banded = bandRowsFromSig(sigged, bands, rows)
-      banded.select(col("band"), col("bandhash"), col("id").as("id_a"))
-        .join(banded.select(col("band"), col("bandhash"), col("id").as("id_b")),
-          Seq("band", "bandhash"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-        .distinct()
-    }
+    val cand = candidatePairs(bandRowsFromSig(sigged, bands, rows))
     val c = 1.0 / (1L << b)
     val est = cand
       .join(packed.select(col("id").as("id_a"), col("pk").as("pk_a")), Seq("id_a"))

@@ -40,9 +40,10 @@ object LanguageModel {
   final case class Unigram(lnP: Map[String, Double], lnOov: Double)
 
   /** Tokens with the empty-document guard (`split(trim(''))` is [''],
-    * not [] — the shared pitfall).
+    * not [] — the shared pitfall). Public so query faces that score
+    * with a pre-trained model count tokens the same way.
     */
-  private def toks(c: Column): Column =
+  def toks(c: Column): Column =
     when(length(trim(c)) > 0, TextFunctions.tokens(c))
       .otherwise(array().cast("array<string>"))
 
@@ -144,15 +145,7 @@ object LanguageModel {
     else {
       val vocabLit = array(vocab.sorted.map(lit): _*)
       val t = toks(col(textCol))
-      val pairs = corpus
-        .select(explode(arrays_zip(
-          slice(t, lit(1), greatest(size(t) - 1, lit(0))).as("v"),
-          slice(t, lit(2), greatest(size(t) - 1, lit(0))).as("w"))).as("p"))
-        .select(col("p.v").as("v"), col("p.w").as("w"))
-        .filter(array_contains(vocabLit, col("v")) &&
-          array_contains(vocabLit, col("w")))
-        .groupBy(col("v"), col("w")).agg(count(lit(1)).as("c"))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val pairs = vocabPairCounts(corpus, textCol, vocabLit)
       val prevTotals = corpus
         .select(explode(t).as("w")).filter(array_contains(vocabLit, col("w")))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -163,6 +156,25 @@ object LanguageModel {
         }.toMap,
         math.log(alpha))
     }
+  }
+
+  /** The ONE distributed pass both bigram trainers share: adjacent
+    * vocab-vocab pair counts, collected (≤ topK² rows by the vocab
+    * filter). The D37b/D37c oracles both replay exactly this pass, so
+    * it must stay single-definition.
+    */
+  private def vocabPairCounts(corpus: DataFrame, textCol: String,
+                              vocabLit: Column): Array[(String, String, Long)] = {
+    val t = toks(col(textCol))
+    corpus
+      .select(explode(arrays_zip(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))).as("v"),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))).as("w"))).as("p"))
+      .select(col("p.v").as("v"), col("p.w").as("w"))
+      .filter(array_contains(vocabLit, col("v")) &&
+        array_contains(vocabLit, col("w")))
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
   }
 
   /** Cross-entropy under the backoff model: a struct-accumulator fold
@@ -254,16 +266,7 @@ object LanguageModel {
       KneserNey(Nil, Nil, 0.0, Nil, Nil, Nil, Nil)
     else {
       val vocabLit = array(vocab.map(lit): _*)
-      val t = toks(col(textCol))
-      val pairs = corpus
-        .select(explode(arrays_zip(
-          slice(t, lit(1), greatest(size(t) - 1, lit(0))).as("v"),
-          slice(t, lit(2), greatest(size(t) - 1, lit(0))).as("w"))).as("p"))
-        .select(col("p.v").as("v"), col("p.w").as("w"))
-        .filter(array_contains(vocabLit, col("v")) &&
-          array_contains(vocabLit, col("w")))
-        .groupBy(col("v"), col("w")).agg(count(lit(1)).as("c"))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val pairs = vocabPairCounts(corpus, textCol, vocabLit)
       val ctx = pairs.groupBy(_._1).map { case (v, ps) =>
         v -> (ps.map(_._3).sum, ps.length)
       } // v -> (c(v), N1+(v·))

@@ -66,7 +66,12 @@ object SignalStats {
       val x = col(sx).cast("double"); val y = col(sy).cast("double")
       val xx = col(sxx).cast("double"); val yy = col(syy).cast("double")
       val xy = col(sxy).cast("double")
-      (n * xy - x * y) / (sqrt(n * xx - x * x) * sqrt(n * yy - y * y))
+      val dx = n * xx - x * x
+      val dy = n * yy - y * y
+      // a constant signal has zero variance: emit NULL explicitly
+      // instead of a silent 0/0 NaN that no alert threshold can see
+      when(dx === 0.0 || dy === 0.0, lit(null).cast("double"))
+        .otherwise((n * xy - x * y) / (sqrt(dx) * sqrt(dy)))
     }
     def row(a: String, b: String, r: Column) =
       stats.select(lit(a).as("signal_a"), lit(b).as("signal_b"),

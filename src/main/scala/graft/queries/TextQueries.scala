@@ -213,7 +213,9 @@ object TextQueries {
       sp.filter(col("split") === 0), "text", topK = 64)
     sp.filter(col("split") === 1)
       .select(col("doc_id"),
-        size(TextFunctions.tokens(col("text"))).as("n_tokens"),
+        // the guarded tokenizer: an empty val-fold doc must count 0
+        // tokens like the oracle's d0 CASE, not split(trim(''))'s ['']
+        size(graft.operators.LanguageModel.toks(col("text"))).as("n_tokens"),
         graft.operators.LanguageModel.crossEntropyBigram(col("text"), lm)
           .as("cross_entropy"))
       .orderBy(col("doc_id"))

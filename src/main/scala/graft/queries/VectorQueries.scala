@@ -147,10 +147,13 @@ object VectorQueries {
     val q = queries(spark, dir)
     val tCorpus = full.select(col("id"), slice(col("vec"), 1, d).as("vec"))
     val tQueries = q.select(col("qid"), slice(col("qvec"), 1, d).as("qvec"))
-    val trunc = Similarity.bruteForceKnn(tQueries, tCorpus, k)
+    // ONE prefix-dim scan: the trunc leg is the shortlist's rk <= k
+    // prefix (bruteForceKnn already carries rk)
+    val shortlistRk = Similarity.bruteForceKnn(tQueries, tCorpus, pool)
+      .select(col("qid"), col("id"), col("rk"))
+    val trunc = shortlistRk.filter(col("rk") <= k)
       .select(col("qid"), col("id"))
-    val shortlist = Similarity.bruteForceKnn(tQueries, tCorpus, pool)
-      .select(col("qid"), col("id"))
+    val shortlist = shortlistRk.select(col("qid"), col("id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
     val refined = shortlist

@@ -698,19 +698,10 @@ object ScaleProbe {
         alpha = 0.3, beta = 0.3).count()
     }
     t("signal_correlation") {
-      val tg = graft.functions.ShingleFunctions.word_shingles(col("text"), 3)
-      val rep = when(size(tg) === 0, 0.0)
-        .otherwise((size(tg) - size(array_distinct(tg))).cast("double")
-          / size(tg).cast("double"))
-      docs.select(
-          round(graft.functions.TextFunctions.qualityScore(col("text"))
-            * 1000000.0).cast("long").as("q"),
-          round(rep * 1000000.0).cast("long").as("r"),
-          graft.functions.TextFunctions.tokenCount(col("text"))
-            .cast("long").as("t"))
-        .agg(count(lit(1)), sum(col("q") * col("r")),
-          sum(col("q") * col("t")), sum(col("r") * col("t")))
-        .count()
+      // the shipped expression trees, not a re-implementation — the
+      // probe must measure what the query runs
+      graft.operators.SignalStats.sums(
+        graft.operators.SignalStats.microSignals(docs, "text")).count()
     }
     spark.stop()
   }
