@@ -162,6 +162,7 @@ object SparkEntry {
     "lm_bigram_cross_entropy" -> (TextQueries.lmBigramCrossEntropy _),
     "lm_kn_cross_entropy" -> (TextQueries.lmKnCrossEntropy _),
     "holdout_perplexity" -> (TextQueries.holdoutPerplexity _),
+    "corpus_card"        -> (TextQueries.corpusCard _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),
     "gopher_quality"     -> (TextQueries.gopherQualityFilter _),
     "fim_transform"      -> (TextQueries.fimTransform _),
@@ -2674,6 +2675,79 @@ object SparkEntry {
       """SELECT sha256(text) AS digest, MIN(doc_id) AS canonical_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+
+    // D81: every leg replays an already-proven oracle tree at
+    // aggregate granularity; counts are integers, the two non-count
+    // legs (mean quality micro, zipf slope) mirror their keys' exact
+    // association and 6-dp rounds
+    "corpus_card" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CASE WHEN len(trim(text)) > 0
+        |    THEN string_split_regex(trim(text), '\s+')
+        |    ELSE CAST([] AS VARCHAR[]) END AS tk
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM t),
+        |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+        |       WHERE len(s) > 0),
+        |prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2),
+        |g8 AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 6),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |      || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS gs
+        |  FROM t),
+        |ex8 AS (SELECT doc_id, unnest(gs) AS gram FROM g8),
+        |cont AS (
+        |  SELECT e.doc_id, b.doc_id AS bench_id
+        |  FROM ex8 e JOIN (SELECT * FROM ex8 WHERE doc_id % 10 = 0) b
+        |    ON e.gram = b.gram AND e.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |q AS (
+        |  SELECT CAST(round((0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((h / n) * 8.0, 1.0)) * 1000000.0) AS BIGINT) AS qm
+        |  FROM (
+        |    SELECT CAST(len(tk) AS DOUBLE) AS n,
+        |      CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |      CAST(len(list_filter(tk, x -> list_contains(
+        |        ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
+        |    FROM t)),
+        |zv AS (
+        |  SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  GROUP BY word ORDER BY freq DESC, word LIMIT 200),
+        |zr AS (
+        |  SELECT CAST(rank AS DOUBLE) AS rank,
+        |    ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+        |  FROM (SELECT freq, word,
+        |      row_number() OVER (ORDER BY freq DESC, word) AS rank FROM zv)),
+        |zl AS (SELECT list_sort(list([rank, x, y])) AS a FROM zr),
+        |zs AS (SELECT CAST(len(a) AS DOUBLE) AS n,
+        |  list_reduce([0.0] || list_transform(a, e -> e[2]), (p, q) -> p + q) AS sx,
+        |  list_reduce([0.0] || list_transform(a, e -> e[3]), (p, q) -> p + q) AS sy,
+        |  list_reduce([0.0] || list_transform(a, e -> e[2] * e[3]), (p, q) -> p + q) AS sxy,
+        |  list_reduce([0.0] || list_transform(a, e -> e[2] * e[2]), (p, q) -> p + q) AS sxx
+        |  FROM zl)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM documents
+        |  UNION ALL SELECT 'n_tokens', CAST(SUM(len(tk)) AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'docs_lang:' || lang, CAST(COUNT(*) AS DOUBLE)
+        |    FROM documents GROUP BY lang
+        |  UNION ALL SELECT 'exact_dup_groups', CAST(COUNT(*) AS DOUBLE) FROM
+        |    (SELECT sha256(text) FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
+        |  UNION ALL SELECT 'neardup_pairs', CAST(COUNT(*) AS DOUBLE) FROM
+        |    (SELECT id_a FROM prs WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5)
+        |  UNION ALL SELECT 'mean_quality_micro',
+        |    round(CAST(SUM(qm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) FROM q
+        |  UNION ALL SELECT 'zipf_slope',
+        |    round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) FROM zs
+        |  UNION ALL SELECT 'contamination_pairs', CAST(COUNT(*) AS DOUBLE)
+        |    FROM cont)
+        |ORDER BY metric""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH t AS (

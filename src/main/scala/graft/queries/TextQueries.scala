@@ -221,6 +221,45 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D81: corpus dataset card — the one-query summary a corpus release
+    * ships (HuggingFace dataset-card numbers): volume, language mix,
+    * duplication, quality, the Zipf health slope, and eval
+    * contamination, as one (metric, value) frame. Every leg is an
+    * already-oracled expression tree composed at aggregate
+    * granularity, so the card inherits each leg's determinism and
+    * scale story (the expensive legs — LSH pairs, contamination — are
+    * the same plans the standalone keys run; the card adds only their
+    * final counts).
+    */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def one(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), col("value").cast("double").as("value"))
+    val nDocs = one("n_docs", docs.agg(count(lit(1)).as("value")))
+    val nTokens = one("n_tokens", docs.agg(
+      sum(size(graft.operators.LanguageModel.toks(col("text")))).as("value")))
+    val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .select(concat(lit("docs_lang:"), col("lang")).as("metric"),
+        col("n").cast("double").as("value"))
+    val dupGroups = one("exact_dup_groups",
+      Dedup.exact(docs, col("text"), col("doc_id"))
+        .filter(col("n_copies") > 1).agg(count(lit(1)).as("value")))
+    val nearDup = one("neardup_pairs",
+      Dedup.minhashLsh(docs, "text", "doc_id").agg(count(lit(1)).as("value")))
+    val quality = one("mean_quality_micro", docs.select(
+        round(TextFunctions.qualityScore(col("text")) * 1000000.0)
+          .cast("long").as("q"))
+      .agg(round(sum(col("q")).cast("double") / count(lit(1)).cast("double"), 6)
+        .as("value")))
+    val zipf = one("zipf_slope",
+      ExtendedQueries.zipfFit(spark, dir).select(col("slope").as("value")))
+    val contam = one("contamination_pairs",
+      decontaminate(spark, dir).agg(count(lit(1)).as("value")))
+    nDocs.unionAll(nTokens).unionAll(langs).unionAll(dupGroups)
+      .unionAll(nearDup).unionAll(quality).unionAll(zipf).unionAll(contam)
+      .orderBy(col("metric"))
+  }
+
   /** D27: per-source quota cap — at most 12 docs per source, kept by
     * lowest doc_id (deterministic priority). Goes through the
     * `row_number <= k` idiom, so TopKRewrite runs it on the

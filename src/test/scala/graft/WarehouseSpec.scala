@@ -1227,6 +1227,22 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.map(t => (t._2, t._3)).toSeq != bySupport)
   }
 
+  test("corpus card: every leg equals its standalone key's aggregate") {
+    val card = graft.queries.TextQueries.corpusCard(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    assert(card("n_docs") == docs.count().toDouble)
+    assert(card("neardup_pairs") ==
+      graft.queries.TextQueries.dedupMinhashLsh(spark, sfDir).count().toDouble)
+    assert(card("contamination_pairs") ==
+      graft.queries.TextQueries.decontaminate(spark, sfDir).count().toDouble)
+    assert(card("zipf_slope") ==
+      graft.queries.ExtendedQueries.zipfFit(spark, sfDir)
+        .collect()(0).getDouble(1))
+    val langSum = card.collect { case (k, v) if k.startsWith("docs_lang:") => v }.sum
+    assert(langSum == card("n_docs"), "language mix must partition the corpus")
+  }
+
   test("signal correlation: Pearson matrix matches a driver recompute") {
     val texts = graft.sources.Tables.documents(spark, sfDir)
       .select(col("text")).collect().map(_.getString(0))
