@@ -697,6 +697,12 @@ object ScaleProbe {
       graft.operators.Ewma.holt(daily, "user_id", "hr", col("dval"),
         alpha = 0.3, beta = 0.3).count()
     }
+    t("lm_kn_score") {
+      val lm = graft.operators.LanguageModel.trainKneserNey(docs, "text", 64)
+      docs.select(graft.operators.LanguageModel
+        .crossEntropyKn(col("text"), lm).as("ce"))
+        .agg(count(col("ce"))).head.getLong(0)
+    }
     t("signal_correlation") {
       // the shipped expression trees, not a re-implementation — the
       // probe must measure what the query runs
