@@ -163,6 +163,7 @@ object SparkEntry {
     "lm_kn_cross_entropy" -> (TextQueries.lmKnCrossEntropy _),
     "holdout_perplexity" -> (TextQueries.holdoutPerplexity _),
     "corpus_card"        -> (TextQueries.corpusCard _),
+    "bootstrap_quality_ci" -> (TextQueries.bootstrapQualityCi _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),
     "gopher_quality"     -> (TextQueries.gopherQualityFilter _),
     "fim_transform"      -> (TextQueries.fimTransform _),
@@ -415,6 +416,52 @@ object SparkEntry {
        |WHERE score > 0
        |ORDER BY score DESC, doc_id
        |LIMIT $k""".stripMargin
+  }
+
+  /** Bootstrap CI oracle (D82): the proven quality-micro chain + the
+    * D68 uniform replay per (doc, replica) — ONE linear pass through
+    * the hash chain (the holdout lesson: never join the inlined chain
+    * against a big frame) — the SAME Poisson(1) CDF constants emitted
+    * from [[graft.operators.Bootstrap.cum]], exact-integer replica
+    * sums, and the explicit lo/hi rank convention.
+    */
+  private def bootstrapOracle(replicas: Int, alpha: Double): String = {
+    val lo = math.ceil(alpha * replicas).toInt
+    val hi = replicas - lo + 1
+    def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+    val whens = graft.operators.Bootstrap.cum.zipWithIndex
+      .map { case (c, k) => s"WHEN uu < ${d(c)} THEN $k" }.mkString(" ")
+    val inner = xxh64Nested(
+      s"SELECT doc_id, qm, b, doc_id * $replicas + b AS idx FROM r", "idx")
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) AS DOUBLE) AS n,
+      |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+      |    CAST(len(list_filter(tk, x -> list_contains(
+      |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
+      |  FROM t),
+      |q AS (
+      |  SELECT doc_id,
+      |    CAST(round((0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+      |      + 0.2 * least((h / n) * 8.0, 1.0)) * 1000000.0) AS BIGINT) AS qm
+      |  FROM c),
+      |r AS (SELECT doc_id, qm, unnest(range(0, $replicas)) AS b FROM q),
+      |hh AS ($inner),
+      |w AS (
+      |  SELECT b, qm, CASE $whens ELSE 8 END AS w
+      |  FROM (SELECT b, qm,
+      |      (CAST(hout // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0 AS uu
+      |    FROM hh)),
+      |m AS (
+      |  SELECT b, CAST(SUM(w * qm) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mb
+      |  FROM w GROUP BY b),
+      |arr AS (SELECT list_sort(list(mb)) AS a, COUNT(*) AS n_replicas FROM m),
+      |mn AS (SELECT round(CAST(SUM(qm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |  AS mean FROM q)
+      |SELECT n_replicas, mean, a[$lo] AS ci_lo, a[$hi] AS ci_hi
+      |FROM arr CROSS JOIN mn""".stripMargin
   }
 
   /** Query-likelihood oracle: mirrors
@@ -1809,6 +1856,8 @@ object SparkEntry {
 
     "ql_search" -> qlOracle(
       graft.queries.WarehouseQueries.Bm25Terms, 50, 100.0),
+
+    "bootstrap_quality_ci" -> bootstrapOracle(200, 0.025),
 
     // every leg is an exact integer count; rule names are the stable
     // sort key on both sides

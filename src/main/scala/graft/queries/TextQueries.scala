@@ -260,6 +260,18 @@ object TextQueries {
       .orderBy(col("metric"))
   }
 
+  /** D82: bootstrap CI on the card's mean-quality number — release
+    * summaries should ship with uncertainty (a mean over a skewed
+    * quality distribution moves with a handful of outlier docs). The
+    * deterministic Poisson bootstrap of [[graft.operators.Bootstrap]]
+    * over the D14 micro-unit quality: 200 replicas, 95% interval.
+    */
+  def bootstrapQualityCi(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bootstrap.meanCi(
+      Tables.documents(spark, dir),
+      col("doc_id"),
+      round(TextFunctions.qualityScore(col("text")) * 1000000.0).cast("long"))
+
   /** D27: per-source quota cap — at most 12 docs per source, kept by
     * lowest doc_id (deterministic priority). Goes through the
     * `row_number <= k` idiom, so TopKRewrite runs it on the

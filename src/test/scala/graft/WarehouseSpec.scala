@@ -1227,6 +1227,24 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.map(t => (t._2, t._3)).toSeq != bySupport)
   }
 
+  test("bootstrap CI: brackets the mean, deterministic, CDF constants sane") {
+    val r1 = graft.queries.TextQueries.bootstrapQualityCi(spark, sfDir).head()
+    val r2 = graft.queries.TextQueries.bootstrapQualityCi(spark, sfDir).head()
+    assert(r1 == r2, "bootstrap must be retry-stable")
+    val (n, mean, lo, hi) =
+      (r1.getLong(0), r1.getDouble(1), r1.getDouble(2), r1.getDouble(3))
+    assert(n == 200)
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] must bracket mean $mean")
+    // interval is meaningfully narrower than the score range — the
+    // replicas genuinely vary (weights aren't constant)
+    assert(hi - lo > 0.0 && hi - lo < 200000.0)
+    // Poisson(1) CDF thresholds: increasing, c0 = 1/e, -> 1
+    val c = graft.operators.Bootstrap.cum
+    assert(c(0) == math.exp(-1.0))
+    assert(c.sliding(2).forall(p => p(0) < p(1)))
+    assert(c.last > 0.9999 && c.last < 1.0)
+  }
+
   test("corpus card: every leg equals its standalone key's aggregate") {
     val card = graft.queries.TextQueries.corpusCard(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
