@@ -123,6 +123,7 @@ object SparkEntry {
     "dedup_source_matrix" -> (TextQueries.dedupSourceMatrix _),
     "dedup_simhash"      -> (TextQueries.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
+    "dedup_weighted_jaccard" -> (TextQueries.dedupWeightedJaccard _),
     "dedup_resolve"      -> (TextQueries.dedupResolve _),
     "dedup_keep_best"    -> (TextQueries.dedupKeepBest _),
     "dedup_cluster_sizes" -> (TextQueries.dedupClusterSizes _),
@@ -416,6 +417,105 @@ object SparkEntry {
        |WHERE score > 0
        |ORDER BY score DESC, doc_id
        |LIMIT $k""".stripMargin
+  }
+
+  /** ICWS weighted-minhash oracle (D83): replays
+    * [[graft.operators.Dedup.weightedJaccardAudit]] bit-for-bit —
+    * per-token XXH64 via the shared cd..hf chain, all five uniforms
+    * per (token, sample) derived by splitmix64 from embedded
+    * constants, Ioffe's r/c/β/t/ln a arithmetic in the engine's exact
+    * association with ln a rounded to 6 dp BEFORE the argmin
+    * (token-ordered tiebreak — the rank-on-rounded discipline), and
+    * the sample value as the double-splitmix of (token hash, t).
+    * Draw derivation runs per DISTINCT (token, tf) — token-level
+    * volume — and each chain CTE is referenced once (the holdout
+    * OOM lesson).
+    */
+  private def icwsOracle(k: Int): String = {
+    def u64(x: Long) = java.lang.Long.toUnsignedString(x)
+    val C0 = u64(0x9e3779b97f4a7c15L)
+    val C1 = u64(0xbf58476d1ce4e5b9L)
+    val C2 = u64(0x94d049bb133111ebL)
+    def mixChain(baseQ: String, z0: String, out: String, p: String): String =
+      Seq(
+        s"(($z0) + $C0) % $M64 AS ${p}z1",
+        s"${xorShift(s"${p}z1", 30)} AS ${p}x1",
+        s"(${mul64(s"${p}x1", C1)}) % $M64 AS ${p}z2",
+        s"${xorShift(s"${p}z2", 27)} AS ${p}x2",
+        s"(${mul64(s"${p}x2", C2)}) % $M64 AS ${p}z3",
+        s"${xorShift(s"${p}z3", 31)} AS $out")
+        .foldLeft(baseQ) { (q, step) => s"SELECT *, $step FROM ($q)" }
+    val draws = (0 until k).flatMap(s => (0 until 5).map(j =>
+      s"($s, $j, CAST('${u64(graft.functions.GraftKernels.mix64((s * 5 + j).toLong))}' AS HUGEINT))"))
+      .mkString(", ")
+    val um = mixChain(
+      "SELECT hf.sh, hf.hv, dr.s, dr.j, dr.mc FROM hf CROSS JOIN dr",
+      "xor(CAST(hv AS HUGEINT), mc)", "m1", "a")
+    val mt = mixChain("SELECT * FROM lt", "tu", "m2", "b")
+    val vvq = mixChain("SELECT * FROM vv0", "xz", "vval", "c")
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+      |cntw AS (
+      |  SELECT doc_id, tok AS sh, COUNT(*) AS w
+      |  FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY 1, 2),
+      |dsh AS (SELECT DISTINCT sh FROM cntw),
+      |$strXxh64Ctes
+      |dr AS (SELECT * FROM (VALUES $draws) d(s, j, mc)),
+      |uu AS (
+      |  SELECT sh, hv, s, j,
+      |    (CAST(m1 // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0 AS uv
+      |  FROM ($um)),
+      |pv AS (
+      |  SELECT sh, s, MAX(hv) AS hv,
+      |    MAX(CASE WHEN j = 0 THEN uv END) AS u0,
+      |    MAX(CASE WHEN j = 1 THEN uv END) AS u1,
+      |    MAX(CASE WHEN j = 2 THEN uv END) AS u2,
+      |    MAX(CASE WHEN j = 3 THEN uv END) AS u3,
+      |    MAX(CASE WHEN j = 4 THEN uv END) AS u4
+      |  FROM uu GROUP BY sh, s),
+      |dw AS (SELECT DISTINCT sh, w FROM cntw),
+      |tv AS (
+      |  SELECT sh, hv, s, w, r, lnc, beta,
+      |    floor(ln(CAST(w AS DOUBLE)) / r + beta) AS tt
+      |  FROM (
+      |    SELECT p.sh, p.hv, p.s, d.w,
+      |      -ln(u0 * u1) AS r, ln(-ln(u2 * u3)) AS lnc, u4 AS beta
+      |    FROM pv p JOIN dw d ON d.sh = p.sh)),
+      |lt AS (
+      |  SELECT sh, hv, s, w,
+      |    round(lnc - r * (tt - beta) - r, 6) AS lna6,
+      |    ((CAST(CAST(tt AS BIGINT) AS HUGEINT) % $M64) + $M64) % $M64 AS tu
+      |  FROM tv),
+      |vv0 AS (
+      |  SELECT sh, s, w, lna6,
+      |    xor(CAST(hv AS HUGEINT), CAST(m2 AS HUGEINT)) AS xz
+      |  FROM ($mt)),
+      |vv AS (SELECT sh, s, w, lna6, vval FROM ($vvq)),
+      |sv AS (
+      |  SELECT doc_id, s, vval FROM (
+      |    SELECT c.doc_id, v.s, v.vval,
+      |      row_number() OVER (PARTITION BY c.doc_id, v.s
+      |        ORDER BY v.lna6, v.sh) AS rn
+      |    FROM cntw c JOIN vv v ON v.sh = c.sh AND v.w = c.w)
+      |  WHERE rn = 1),
+      |ag AS (
+      |  SELECT a.doc_id AS id_a,
+      |    SUM(CASE WHEN a.vval = b.vval THEN 1 ELSE 0 END) AS cnt
+      |  FROM sv a JOIN sv b ON b.doc_id = a.doc_id + 1 AND b.s = a.s
+      |  GROUP BY 1),
+      |exw AS (
+      |  SELECT COALESCE(ca.id_a, cb.id_a) AS id_a,
+      |    SUM(least(COALESCE(ca.w, 0), COALESCE(cb.w, 0))) AS mins,
+      |    SUM(greatest(COALESCE(ca.w, 0), COALESCE(cb.w, 0))) AS maxs
+      |  FROM (SELECT doc_id AS id_a, sh, w FROM cntw) ca
+      |  FULL OUTER JOIN (SELECT doc_id - 1 AS id_a, sh, w FROM cntw) cb
+      |    ON ca.id_a = cb.id_a AND ca.sh = cb.sh
+      |  GROUP BY 1)
+      |SELECT ag.id_a, ag.id_a + 1 AS id_b,
+      |  CAST(exw.mins AS DOUBLE) / CAST(exw.maxs AS DOUBLE) AS jw_exact,
+      |  CAST(ag.cnt AS DOUBLE) / $k.0 AS jw_icws
+      |FROM ag JOIN exw ON exw.id_a = ag.id_a
+      |ORDER BY ag.id_a""".stripMargin
   }
 
   /** Bootstrap CI oracle (D82): the proven quality-micro chain + the
@@ -1858,6 +1958,8 @@ object SparkEntry {
       graft.queries.WarehouseQueries.Bm25Terms, 50, 100.0),
 
     "bootstrap_quality_ci" -> bootstrapOracle(200, 0.025),
+
+    "dedup_weighted_jaccard" -> icwsOracle(32),
 
     // every leg is an exact integer count; rule names are the stable
     // sort key on both sides

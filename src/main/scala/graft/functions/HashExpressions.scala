@@ -134,6 +134,62 @@ object GraftKernels {
     cnt
   }
 
+  /** ICWS weighted minhash (Ioffe 2010): consistent weighted sampling
+    * for the weighted Jaccard Σmin(tfₐ,tf_b)/Σmax(tfₐ,tf_b) — the
+    * tf-weighted upgrade over [[minhash]]'s set semantics. Per token
+    * and sample, five uniforms derive from splitmix64 of the token's
+    * ONE string hash (the [[minhash]] economics): r, c ~ Gamma(2,1)
+    * as −ln(u·u), β ~ U(0,1); t = ⌊ln w/r + β⌋, ln a = ln c − r(t−β)
+    * − r; the sample's value identifies the argmin (token, t) pair.
+    * P(valueₐ = value_b) = J_w exactly (the paper's theorem).
+    *
+    * Determinism across engines: draws are integer-derived (bit
+    * exact); ln a rounds to 6 dp before the argmin with the SORTED
+    * token order breaking ties — the perplexity_filter rank-on-
+    * rounded discipline. Tokens iterate in UTF8 binary order.
+    */
+  def weightedMinhash(arr: ArrayData, k: Int): Array[Long] = {
+    val tf = new java.util.TreeMap[UTF8String, Integer]()
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val c = tf.get(s)
+        tf.put(s, if (c == null) 1 else c + 1)
+      }
+      i += 1
+    }
+    val out = new Array[Long](k)
+    val best = Array.fill(k)(Double.PositiveInfinity)
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val base = hashString(e.getKey, SEED)
+      val lnw = math.log(e.getValue.doubleValue())
+      var s = 0
+      while (s < k) {
+        def u(j: Int): Double =
+          ((mix64(base ^ mix64((s * 5 + j).toLong)) >>> 11).toDouble + 0.5) /
+            9007199254740992.0
+        val r = -math.log(u(0) * u(1))
+        val lnc = math.log(-math.log(u(2) * u(3)))
+        val beta = u(4)
+        val t = math.floor(lnw / r + beta)
+        val lna0 = lnc - r * (t - beta) - r
+        // round half away from zero to 6 dp (DuckDB round semantics)
+        val lna = math.signum(lna0) *
+          math.floor(math.abs(lna0) * 1e6 + 0.5) / 1e6
+        if (lna < best(s)) { // strict <: sorted-token first-win tiebreak
+          best(s) = lna
+          out(s) = mix64(base ^ mix64(t.toLong))
+        }
+        s += 1
+      }
+    }
+    out
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double
     * (index order — same result as the HOF left-fold it replaces).
     */
@@ -319,6 +375,26 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "minhash_sig"
 }
 
+/** WeightedMinHashSig(array<string>, k) → array<long> ICWS samples. */
+case class WeightedMinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"weighted_minhash_sig needs array<string> and k>0, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GraftKernels.weightedMinhash(v.asInstanceOf[ArrayData], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.GraftKernels.weightedMinhash($c, $k))")
+  override protected def withNewChildInternal(newChild: Expression): WeightedMinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "weighted_minhash_sig"
+}
+
 /** BbitPack(array<long>, b) → array<long>: b-bit minhash compression. */
 case class BbitPack(child: Expression, b: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -485,6 +561,8 @@ object GraftFunctions {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
   def minhash_sig(c: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
+  def weighted_minhash_sig(c: Column, k: Int): Column =
+    ColumnBridge.column(WeightedMinHashSig(ColumnBridge.expression(c), k))
   def bbit_pack(c: Column, b: Int): Column =
     ColumnBridge.column(BbitPack(ColumnBridge.expression(c), b))
   def bbit_matches(a: Column, o: Column, b: Int): Column =

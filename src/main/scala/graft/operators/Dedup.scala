@@ -187,6 +187,55 @@ object Dedup {
     (withSh, cand, est)
   }
 
+  /** D83: ICWS weighted-Jaccard audit (Ioffe 2010) — the tf-weighted
+    * upgrade over D2/D4's SET semantics: a doc repeating "the the the"
+    * and one saying it once are identical sets but different
+    * multisets; weighted Jaccard Σmin(tf)/Σmax(tf) sees the
+    * difference, and ICWS samples estimate it with
+    * P(agree) = J_w exactly. Like D4, pairs are the deterministic
+    * consecutive-id pairing, so the audit reads estimate vs exact
+    * side by side per pair with no LSH plumbing in the way.
+    *
+    * Scale shape: signatures are k longs computed in one kernel scan
+    * (one string hash per distinct token; all draws derive by
+    * splitmix); the exact leg's exchange carries (id, token, tf)
+    * rows. Agreement is a bounded 32-lane fold.
+    */
+  def weightedJaccardAudit(df: DataFrame, textCol: String, idCol: String,
+                           k: Int = 32): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("tk"))
+    val sigs = base.select(col("id"),
+      graft.functions.GraftFunctions.weighted_minhash_sig(col("tk"), k)
+        .as("sig"))
+    val est = sigs.as("a")
+      .join(sigs.as("b"), col("a.id") + 1 === col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (aggregate(
+          zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
+          .as("jw_icws"))
+    val cnt = base
+      .select(col("id"), explode(col("tk")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("w"))
+    val ca = cnt.select(col("id").as("id_a"), col("tok"), col("w").as("wa"))
+    val cb = cnt.select((col("id") - 1).as("id_a"), col("tok"),
+      col("w").as("wb"))
+    val exact = ca.join(cb, Seq("id_a", "tok"), "full_outer")
+      .groupBy(col("id_a"))
+      .agg(
+        sum(least(coalesce(col("wa"), lit(0L)), coalesce(col("wb"), lit(0L))))
+          .as("mins"),
+        sum(greatest(coalesce(col("wa"), lit(0L)), coalesce(col("wb"), lit(0L))))
+          .as("maxs"))
+      .select(col("id_a"),
+        (col("mins").cast("double") / col("maxs").cast("double"))
+          .as("jw_exact"))
+    est.join(exact, Seq("id_a"))
+      .select(col("id_a"), col("id_b"), col("jw_exact"), col("jw_icws"))
+  }
+
   /** SimHash (64-bit): per element hash, each bit votes ±1; the sign of
     * the vote sum forms the fingerprint bit. Native kernel expression
     * ([[graft.functions.SimHash64]], bit-identical to the HOF

@@ -57,6 +57,14 @@ object TextQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** D83: ICWS weighted-Jaccard estimate vs exact, on the D4
+    * consecutive-id pairs — multiset similarity the set-based family
+    * can't see (see [[Dedup.weightedJaccardAudit]]).
+    */
+  def dedupWeightedJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.weightedJaccardAudit(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy(col("id_a"))
+
   /** D3: SimHash near-dup pairs at Hamming ≤ 3. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "text", "doc_id")

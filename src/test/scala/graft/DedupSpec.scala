@@ -400,6 +400,34 @@ class DedupSpec extends AnyFunSuite {
     assert(prod == audit)
   }
 
+  test("ICWS weighted jaccard: exact leg matches a driver recompute; multiset sensitivity") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a a a b"), (2L, "a b"), // same SET {a,b}; weighted differs
+      (3L, "x y z"), (4L, "x y z"), // identical multisets: exact = 1
+      (5L, "p q"), (6L, "r s")      // disjoint: exact = 0
+    ).toDF("doc_id", "text")
+    val rows = Dedup.weightedJaccardAudit(fixture, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // pair (1,2): min/max sums = (1+1)/(3+1) = 0.5 — the SET jaccard
+    // would be 1.0; the weighted audit sees the repetition
+    assert(rows(1L)._1 == 0.5)
+    // identical multisets estimate exactly 1 (every sample agrees)
+    assert(rows(3L)._1 == 1.0 && rows(3L)._2 == 1.0)
+    // disjoint multisets: exact 0; ICWS can only collide by hash
+    // accident (2^-64 per sample) — must be 0 here
+    assert(rows(5L)._1 == 0.0 && rows(5L)._2 == 0.0)
+    // estimates bounded
+    rows.values.foreach { case (e, i) =>
+      assert(e >= 0.0 && e <= 1.0 && i >= 0.0 && i <= 1.0)
+    }
+    // gate-corpus sanity: the estimator tracks exact with k=32 samples
+    val corpus = Dedup.weightedJaccardAudit(docs, "text", "doc_id")
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    val mae = corpus.map { case (e, i) => math.abs(e - i) }.sum / corpus.length
+    assert(mae < 0.12, s"ICWS mean abs error $mae too high for k=32")
+  }
+
   test("leakage-safe split: near-dup clusters never straddle splits") {
     val rows = graft.queries.TextQueries.leakageSafeSplit(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
