@@ -44,6 +44,13 @@ object Bootstrap {
       when(u < lit(c), lit(k.toLong)).otherwise(acc)
     }
 
+  /** The per-(id, replica) uniform — the D68 XXH64 draw. Shared with
+    * the streaming twin so the two faces cannot drift.
+    */
+  def uniform(id: Column, b: Column, replicas: Int, seed: Long): Column =
+    (shiftrightunsigned(xxhash64(lit(seed), id * replicas + b), 11)
+      .cast("double") + lit(0.5)) / lit(9007199254740992.0)
+
   /** One-row (n_replicas, mean, ci_lo, ci_hi) for the mean of an
     * exact-integer `valueCol` (micro-units — integer sums keep every
     * replica mean partition-order-free). Percentile convention:
@@ -61,9 +68,7 @@ object Bootstrap {
     val mean = base.agg(
       round(sum(col("__v").cast("decimal(38,0)")).cast("double")
         / count(lit(1)).cast("double"), 6).as("mean"))
-    val u = (shiftrightunsigned(
-        xxhash64(lit(seed), col("__id") * replicas + col("__b")), 11)
-      .cast("double") + lit(0.5)) / lit(9007199254740992.0)
+    val u = uniform(col("__id"), col("__b"), replicas, seed)
     val ci = base
       .select(col("__id"), col("__v"),
         explode(sequence(lit(0L), lit(replicas - 1L))).as("__b"))

@@ -697,6 +697,17 @@ object ScaleProbe {
       graft.operators.Ewma.holt(daily, "user_id", "hr", col("dval"),
         alpha = 0.3, beta = 0.3).count()
     }
+    t("bootstrap_ci") {
+      // explode x200 over 500k docs -> 100M (doc, replica) rows, all
+      // collapsing into 200 partial-agg'd cells
+      graft.operators.Bootstrap.meanCi(docs, col("doc_id"),
+        round(graft.functions.TextFunctions.qualityScore(col("text"))
+          * 1000000.0).cast("long")).count()
+    }
+    t("weighted_jaccard") {
+      graft.operators.Dedup.weightedJaccardAudit(docs, "text", "doc_id")
+        .count()
+    }
     t("lm_kn_score") {
       val lm = graft.operators.LanguageModel.trainKneserNey(docs, "text", 64)
       docs.select(graft.operators.LanguageModel

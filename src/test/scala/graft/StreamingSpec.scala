@@ -838,6 +838,30 @@ class StreamingSpec extends AnyFunSuite {
       s"only-stream=${(got -- want).take(2)} only-batch=${(want -- got).take(2)}")
   }
 
+  test("streaming bootstrap: merged replica cells give the batch CI bit-exactly") {
+    import spark.implicits._
+    import graft.streaming.StreamingBootstrap
+    val rows = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_bs")
+      .toFile.getAbsolutePath
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      spark, 2104)
+    val quality = round(graft.functions.TextFunctions
+      .qualityScore(col("text")) * 1000000.0).cast("long")
+    val q = StreamingBootstrap.start(src.toDF().toDF("doc_id", "text"),
+      col("doc_id"), quality, s"$base/cells", s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamingBootstrap.ciToDate(spark, s"$base/cells").head()
+    val want = graft.queries.TextQueries.bootstrapQualityCi(spark, sfDir).head()
+    assert(got == want, s"stream=$got batch=$want")
+  }
+
   test("streaming perplexity gate equals the batch threshold filter and honors the frozen cut") {
     import graft.streaming.StreamingScoreFilter
     import graft.operators.LanguageModel
