@@ -2858,14 +2858,18 @@ object SparkEntry {
         |    ON e.gram = b.gram AND e.doc_id <> b.doc_id
         |  GROUP BY 1, 2),
         |q AS (
+        |  -- UNGUARDED tokens: the engine's qualityScore splits
+        |  -- trim(text) directly, so an empty doc is the [''] token
+        |  -- (n=1), not [] — the guarded t CTE serves only n_tokens
         |  SELECT CAST(round((0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
         |      + 0.2 * least((h / n) * 8.0, 1.0)) * 1000000.0) AS BIGINT) AS qm
         |  FROM (
-        |    SELECT CAST(len(tk) AS DOUBLE) AS n,
-        |      CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
-        |      CAST(len(list_filter(tk, x -> list_contains(
+        |    SELECT CAST(len(tk2) AS DOUBLE) AS n,
+        |      CAST(len(list_distinct(tk2)) AS DOUBLE) AS u,
+        |      CAST(len(list_filter(tk2, x -> list_contains(
         |        ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
-        |    FROM t)),
+        |    FROM (SELECT string_split_regex(trim(text), '\s+') AS tk2
+        |          FROM documents))),
         |zv AS (
         |  SELECT word, COUNT(*) AS freq FROM (
         |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word

@@ -51,39 +51,56 @@ object Bootstrap {
     (shiftrightunsigned(xxhash64(lit(seed), id * replicas + b), 11)
       .cast("double") + lit(0.5)) / lit(9007199254740992.0)
 
-  /** One-row (n_replicas, mean, ci_lo, ci_hi) for the mean of an
-    * exact-integer `valueCol` (micro-units — integer sums keep every
-    * replica mean partition-order-free). Percentile convention:
-    * lo rank = ceil(α·B), hi rank = B − lo + 1, 1-based on the sorted
-    * replica means.
+  /** The B replica cells off ONE scan: (b, wv, ws, n, vsum). Every
+    * doc appears exactly once per replica group, so each cell also
+    * carries the batch's plain count and value sum — the mean needs
+    * no second pass over the input.
     */
-  def meanCi(df: DataFrame, idCol: Column, valueCol: Column,
-             replicas: Int = 200, alpha: Double = 0.025,
-             seed: Long = 42L): DataFrame = {
+  def cells(df: DataFrame, idCol: Column, valueCol: Column,
+            replicas: Int, seed: Long): DataFrame = {
     require(replicas > 1, s"need at least 2 replicas, got $replicas")
+    df.select(idCol.as("__id"), valueCol.as("__v"),
+        explode(sequence(lit(0L), lit(replicas - 1L))).as("__b"))
+      .withColumn("__w",
+        weight(uniform(col("__id"), col("__b"), replicas, seed)))
+      .groupBy(col("__b").as("b"))
+      .agg(sum((col("__w") * col("__v")).cast("decimal(38,0)")).as("wv"),
+        sum(col("__w").cast("decimal(38,0)")).as("ws"),
+        count(lit(1)).as("n"),
+        sum(col("__v").cast("decimal(38,0)")).as("vsum"))
+  }
+
+  /** Finish a (merged) cell frame into the one-row report — shared by
+    * the batch operator and the streaming read face so the percentile
+    * convention cannot drift: lo rank = ceil(α·B), hi = B − lo + 1,
+    * 1-based on the sorted replica means. The mean reads any cell's
+    * (n, vsum) pair (all equal by construction — max() selects it
+    * deterministically).
+    */
+  def finishCi(cellFrame: DataFrame, replicas: Int,
+               alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5), got $alpha")
     val lo = math.ceil(alpha * replicas).toInt
     val hi = replicas - lo + 1
-    val base = df.select(idCol.as("__id"), valueCol.as("__v"))
-    val mean = base.agg(
-      round(sum(col("__v").cast("decimal(38,0)")).cast("double")
-        / count(lit(1)).cast("double"), 6).as("mean"))
-    val u = uniform(col("__id"), col("__b"), replicas, seed)
-    val ci = base
-      .select(col("__id"), col("__v"),
-        explode(sequence(lit(0L), lit(replicas - 1L))).as("__b"))
-      .withColumn("__w", weight(u))
-      .groupBy(col("__b"))
-      .agg(sum((col("__w") * col("__v")).cast("decimal(38,0)")).as("__wv"),
-        sum(col("__w").cast("decimal(38,0)")).as("__ws"))
-      .select((col("__wv").cast("double") / col("__ws").cast("double"))
-        .as("__m"))
+    cellFrame
+      .select((col("wv").cast("double") / col("ws").cast("double")).as("__m"),
+        col("n"), col("vsum"))
       .agg(sort_array(collect_list(col("__m"))).as("a"),
-        count(lit(1)).as("n_replicas"))
+        count(lit(1)).as("n_replicas"),
+        max(col("n")).as("__n"), max(col("vsum")).as("__vs"))
       .select(col("n_replicas"),
+        round(col("__vs").cast("double") / col("__n").cast("double"), 6)
+          .as("mean"),
         element_at(col("a"), lo).as("ci_lo"),
         element_at(col("a"), hi).as("ci_hi"))
-    mean.crossJoin(broadcast(ci))
-      .select(col("n_replicas"), col("mean"), col("ci_lo"), col("ci_hi"))
   }
+
+  /** One-row (n_replicas, mean, ci_lo, ci_hi) for the mean of an
+    * exact-integer `valueCol` (micro-units — integer sums keep every
+    * replica mean partition-order-free). ONE scan: cells + finisher.
+    */
+  def meanCi(df: DataFrame, idCol: Column, valueCol: Column,
+             replicas: Int = 200, alpha: Double = 0.025,
+             seed: Long = 42L): DataFrame =
+    finishCi(cells(df, idCol, valueCol, replicas, seed), replicas, alpha)
 }

@@ -16,15 +16,19 @@ import graft.operators.Bootstrap
   * so each replica's weighted sums are ADDITIVE integers across any
   * batching — the lake-as-state recipe (E21's statistics rows, one
   * level richer): each micro-batch appends its B=replicas partial
-  * cells (b, wv, ws) plus the plain (n, sum) pair, and the read face
-  * merges cells and finishes with the same order statistics. Stream ≡
-  * batch BIT-exactly (StreamingSpec pins a mid-stream split). No
-  * state store, no watermark; per-batch cost is one partial-agg'd
-  * scan collapsing to B+1 rows.
+  * cells (b, wv, ws, n, vsum) from [[Bootstrap.cells]] — every cell
+  * carries the batch's plain count/sum too, so ONE scan covers both
+  * the CI and the mean — and the read face merges cells through the
+  * SAME [[Bootstrap.finishCi]] finisher. Stream ≡ batch BIT-exactly
+  * (StreamingSpec pins a mid-stream split). No state store, no
+  * watermark; per-batch cost is one partial-agg'd scan → B rows.
   */
 object StreamingBootstrap {
 
-  /** Append each micro-batch's replica cells and mean partials. */
+  /** Append each micro-batch's replica cells — ONE partial-aggregated
+    * scan producing B rows (each cell carries the batch's (n, vsum)
+    * pair too, see [[Bootstrap.cells]]).
+    */
   def start(stream: DataFrame, idCol: Column, valueCol: Column,
             path: String, checkpoint: String, replicas: Int = 200,
             seed: Long = 42L,
@@ -33,52 +37,26 @@ object StreamingBootstrap {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val base = batch.select(idCol.as("__id"), valueCol.as("__v"))
-        val u = Bootstrap.uniform(col("__id"), col("__b"), replicas, seed)
-        val cells = base
-          .select(col("__id"), col("__v"),
-            explode(sequence(lit(0L), lit(replicas - 1L))).as("__b"))
-          .withColumn("__w", Bootstrap.weight(u))
-          .groupBy(col("__b"))
-          .agg(sum((col("__w") * col("__v")).cast("decimal(38,0)")).as("wv"),
-            sum(col("__w").cast("decimal(38,0)")).as("ws"))
-          .select(lit(batchId).as("batch_id"), col("__b").as("b"),
-            col("wv"), col("ws"),
-            lit(null).cast("long").as("n"),
-            lit(null).cast("decimal(38,0)").as("vsum"))
-        val mean = base.agg(count(lit(1)).as("n"),
-            sum(col("__v").cast("decimal(38,0)")).as("vsum"))
-          .select(lit(batchId).as("batch_id"), lit(null).cast("long").as("b"),
-            lit(null).cast("decimal(38,0)").as("wv"),
-            lit(null).cast("decimal(38,0)").as("ws"),
-            col("n"), col("vsum"))
-        cells.unionAll(mean).write.mode("append").parquet(path)
+        Bootstrap.cells(batch, idCol, valueCol, replicas, seed)
+          .select(lit(batchId).as("batch_id"), col("*"))
+          .write.mode("append").parquet(path)
         ()
       }
       .trigger(trigger)
       .start()
 
   /** Stream-to-date CI — bit-identical to [[Bootstrap.meanCi]] over
-    * everything the stream has seen.
+    * everything the stream has seen: merged cells through the SAME
+    * finisher. `replicas`/`alpha` must match the writer's (the
+    * finisher's rank convention is shared, so a mismatch shows up as
+    * an element_at error, not silently-wrong ranks).
     */
   def ciToDate(spark: SparkSession, path: String, replicas: Int = 200,
                alpha: Double = 0.025): DataFrame = {
-    val lo = math.ceil(alpha * replicas).toInt
-    val hi = replicas - lo + 1
-    val rows = spark.read.parquet(path)
-    val mean = rows.filter(col("b").isNull)
-      .agg(round(sum(col("vsum")).cast("double")
-        / sum(col("n")).cast("double"), 6).as("mean"))
-    val ci = rows.filter(col("b").isNotNull)
+    val merged = spark.read.parquet(path)
       .groupBy(col("b"))
-      .agg(sum(col("wv")).as("wv"), sum(col("ws")).as("ws"))
-      .select((col("wv").cast("double") / col("ws").cast("double")).as("__m"))
-      .agg(sort_array(collect_list(col("__m"))).as("a"),
-        count(lit(1)).as("n_replicas"))
-      .select(col("n_replicas"),
-        element_at(col("a"), lo).as("ci_lo"),
-        element_at(col("a"), hi).as("ci_hi"))
-    mean.crossJoin(broadcast(ci))
-      .select(col("n_replicas"), col("mean"), col("ci_lo"), col("ci_hi"))
+      .agg(sum(col("wv")).as("wv"), sum(col("ws")).as("ws"),
+        sum(col("n")).as("n"), sum(col("vsum")).as("vsum"))
+    Bootstrap.finishCi(merged, replicas, alpha)
   }
 }

@@ -36,8 +36,8 @@ object PlanAudit {
         // below the first shuffle
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
           walk(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          Seq(r) // reuse marker: count the exchange once via its original
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq.empty // the original exchange is counted in its own stage
         case other => other +: other.children.flatMap(walk)
       }
       // subqueries (broadcast scalar folds) count too
@@ -70,7 +70,8 @@ object PlanAudit {
       println(f"$n%-28s $ex%9d $wsc%7d $sc%5d $pf%6b")
     }
     val tot = rows.size
-    println(s"[planaudit] keys=$tot " +
+    if (tot == 0) println("[planaudit] no keys matched / all failed")
+    else println(s"[planaudit] keys=$tot " +
       s"median_exchanges=${rows.map(_._2).sorted.apply(tot / 2)} " +
       s"zero_exchange=${rows.count(_._2 == 0)} " +
       s"with_pushdown=${rows.count(_._5)}")

@@ -698,8 +698,8 @@ object ScaleProbe {
         alpha = 0.3, beta = 0.3).count()
     }
     t("bootstrap_ci") {
-      // explode x200 over 500k docs -> 100M (doc, replica) rows, all
-      // collapsing into 200 partial-agg'd cells
+      // explode x200 over the 50k-doc probe corpus -> 10M
+      // (doc, replica) rows, all collapsing into 200 partial cells
       graft.operators.Bootstrap.meanCi(docs, col("doc_id"),
         round(graft.functions.TextFunctions.qualityScore(col("text"))
           * 1000000.0).cast("long")).count()
