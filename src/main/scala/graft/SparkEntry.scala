@@ -184,6 +184,7 @@ object SparkEntry {
     // §2 round-5 additions — warehouse + retrieval surface
     "scd2_history"       -> (WarehouseQueries.scd2History _),
     "funnel_steps"       -> (WarehouseQueries.funnelSteps _),
+    "window_funnel"      -> (WarehouseQueries.windowFunnelDepth _),
     "bucketed_join"      -> (WarehouseQueries.bucketedJoin _),
     "table_profile"      -> (WarehouseQueries.tableProfile _),
     "data_expectations"  -> (WarehouseQueries.dataExpectations _),
@@ -1956,6 +1957,38 @@ object SparkEntry {
 
     "ql_search" -> qlOracle(
       graft.queries.WarehouseQueries.Bm25Terms, 50, 100.0),
+
+    // C62: all-integer micros fold — list_reduce with the list-typed
+    // accumulator trick replays the engine's greedy chain-start state
+    // exactly (same (t, tiebreak, step) sort, same CASE branches)
+    "window_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id AS tb,
+        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |         WHEN 'purchase' THEN 2 ELSE -1 END AS s
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, list_sort(list([t, tb, s])) AS arr
+        |  FROM e WHERE s >= 0 GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id,
+        |    list_reduce(
+        |      list_prepend([CAST('-9223372036854775808' AS BIGINT),
+        |                    CAST('-9223372036854775808' AS BIGINT),
+        |                    CAST('-9223372036854775808' AS BIGINT)], arr),
+        |      (acc, x) -> list_transform(range(1, 4), d -> CASE
+        |        WHEN d = 1 AND x[3] = 0 THEN greatest(acc[1], x[1])
+        |        WHEN d - 1 = x[3] AND x[3] > 0
+        |             AND acc[d - 1] != CAST('-9223372036854775808' AS BIGINT)
+        |             AND x[1] - acc[d - 1] <= 86400000000
+        |             THEN greatest(acc[d], acc[d - 1])
+        |        ELSE acc[d] END)) AS st
+        |  FROM g)
+        |SELECT user_id,
+        |  CAST(len(list_filter(st,
+        |    v -> v != CAST('-9223372036854775808' AS BIGINT))) AS INTEGER)
+        |    AS depth
+        |FROM f ORDER BY user_id""".stripMargin,
 
     "bootstrap_quality_ci" -> bootstrapOracle(200, 0.025),
 

@@ -83,4 +83,56 @@ object Funnel {
       .select(col("__r.step"), col("__r.stage"), col("__r.users"))
       .orderBy(col("step"))
   }
+
+  /** C62: time-constrained window funnel (the ClickHouse
+    * `windowFunnel` metric): the maximum depth d such that SOME chain
+    * of stage-1..d events, in order, spans ≤ `windowMicros` from its
+    * first event. Unlike [[qualify]]'s first-touch semantics, every
+    * stage-1 event can start a fresh chain — the number product
+    * analytics tools report for "converted within T".
+    *
+    * Greedy fold over each user's time-ordered stage events, keeping
+    * per depth the chain-start of the LATEST-starting chain reaching
+    * it (dominance: any chain completable from an earlier start is
+    * completable from a later one, so only the latest start matters).
+    * All arithmetic is integer micros — the DuckDB oracle replays the
+    * fold exactly, no float anywhere. Same per-key bound as C24/C61:
+    * the fold length is the user's stage-event count.
+    *
+    * @return (user, depth) for every user with ≥1 stage event
+    */
+  def windowFunnel(df: DataFrame, user: String, typeCol: String,
+                   ts: String, tiebreak: String, stages: Seq[String],
+                   windowMicros: Long): DataFrame = {
+    require(stages.nonEmpty, "windowFunnel needs at least one stage")
+    val n = stages.size
+    val MIN = Long.MinValue
+    val step = stages.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col(typeCol) === s, i).otherwise(acc)
+    }
+    val ev = df
+      .select(col(user).as("__u"), unix_micros(col(ts)).as("__t"),
+        col(tiebreak).cast("long").as("__tb"), step.as("__s"))
+      .filter(col("__s") >= 0)
+      .groupBy(col("__u"))
+      .agg(sort_array(collect_list(
+        struct(col("__t"), col("__tb"), col("__s")))).as("__arr"))
+    val init = array(Seq.fill(n)(lit(MIN)): _*)
+    val state = aggregate(col("__arr"), init, (acc, e) => {
+      val t = e.getField("__t")
+      val s = e.getField("__s")
+      transform(sequence(lit(1), lit(n)), d => {
+        // element_at index guarded to >=1; the CASE predicates make
+        // the d=1 probe value irrelevant
+        val prev = element_at(acc, greatest(d - 1, lit(1)))
+        when(d === 1 && s === 0, greatest(element_at(acc, d), t))
+          .when(d - 1 === s && s > 0 && prev =!= lit(MIN) &&
+            t - prev <= lit(windowMicros),
+            greatest(element_at(acc, d), prev))
+          .otherwise(element_at(acc, d))
+      })
+    })
+    ev.select(col("__u").as(user),
+      size(filter(state, x => x =!= lit(MIN))).as("depth"))
+  }
 }

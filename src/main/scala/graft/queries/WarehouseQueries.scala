@@ -33,6 +33,19 @@ object WarehouseQueries {
       tiebreak = "event_id", stages = Seq("view", "click", "purchase"),
       maxGap = Some(expr("INTERVAL 4 HOURS")))
 
+  /** C62: time-constrained window funnel — max view→click→purchase
+    * depth within 24 hours of the chain's first event, per user (see
+    * [[graft.operators.Funnel.windowFunnel]]; 24 h populates all
+    * three depths on the gate data, so every fold branch is
+    * oracle-checked).
+    */
+  def windowFunnelDepth(spark: SparkSession, dir: String): DataFrame =
+    Funnel.windowFunnel(Tables.events(spark, dir),
+        user = "user_id", typeCol = "event_type", ts = "ts",
+        tiebreak = "event_id", stages = Seq("view", "click", "purchase"),
+        windowMicros = 24L * 3600 * 1000000)
+      .orderBy(col("user_id"))
+
   /** A11: exchange-free fact⋈fact join via bucketed lake tables. Both
     * tables are written bucketed+sorted on the join key, then joined
     * and aggregated on it — no shuffle in the whole read plan

@@ -1227,6 +1227,33 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.map(t => (t._2, t._3)).toSeq != bySupport)
   }
 
+  test("window funnel: chain restart, window cut, and latest-start dominance") {
+    import graft.operators.Funnel
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600 * 1000L)
+    val ev = Seq(
+      // u1: stale first chain, fresh complete chain later
+      (1L, 1L, "view", ts(0)), (1L, 2L, "click", ts(30)),
+      (1L, 3L, "view", ts(31)), (1L, 4L, "click", ts(32)),
+      (1L, 5L, "purchase", ts(33)),
+      // u2: purchase lands outside the 24h window from the chain start
+      (2L, 6L, "view", ts(0)), (2L, 7L, "click", ts(1)),
+      (2L, 8L, "purchase", ts(30)),
+      // u3: never saw the first stage
+      (3L, 9L, "click", ts(0)), (3L, 10L, "purchase", ts(1)),
+      // u4: no middle stage
+      (4L, 11L, "view", ts(0)), (4L, 12L, "purchase", ts(1)),
+      // u5: only the LATER view's chain fits the window — first-touch
+      // semantics (stage after EARLIEST view) would stop at depth 2
+      (5L, 13L, "view", ts(0)), (5L, 14L, "view", ts(20)),
+      (5L, 15L, "click", ts(23)), (5L, 16L, "purchase", ts(26))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Funnel.windowFunnel(ev, "user_id", "event_type", "ts",
+        "event_id", Seq("view", "click", "purchase"),
+        windowMicros = 24L * 3600 * 1000000)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 1, 5L -> 3), s"$got")
+  }
+
   test("bootstrap CI: brackets the mean, deterministic, CDF constants sane") {
     val r1 = graft.queries.TextQueries.bootstrapQualityCi(spark, sfDir).head()
     val r2 = graft.queries.TextQueries.bootstrapQualityCi(spark, sfDir).head()
