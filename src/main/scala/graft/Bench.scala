@@ -35,9 +35,22 @@ object Bench {
     def consume(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
 
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=a,b,c times just those keys.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(keys) => SparkEntry.queries.filter { case (k, _) => keys(k) }
+      case None => SparkEntry.queries
+    }
+
+    queries.foreach { case (_, fn) =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => }
     }
+
+    // The timed passes run at ERROR: the driver keeps only a short
+    // stdout tail, and the (by-design, bounded) unpartitioned-window
+    // WARNs would bury the final JSON line a human reads.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // This host's wall-times swing ~3x run-to-run under external load;
     // a single-shot snapshot keeps producing false regressions. Time
@@ -45,7 +58,7 @@ object Bench {
     // MEDIAN (the total is the sum of medians).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val passes = (1 to runs).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { consume(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
@@ -54,7 +67,7 @@ object Bench {
     // Per-query {med,min,max}: the dispersion lets the driver (and the
     // judge) separate this host's ~1.5x run-to-run noise from a real
     // regression without re-running the bench.
-    val results = SparkEntry.queries.keys.map { name =>
+    val results = queries.keys.map { name =>
       val ts = passes.map(_(name)).sorted
       name -> ((ts(ts.size / 2), ts.head, ts.last))
     }.toSeq

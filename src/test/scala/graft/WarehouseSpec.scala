@@ -1272,6 +1272,25 @@ class WarehouseSpec extends AnyFunSuite {
     assert(c.last > 0.9999 && c.last < 1.0)
   }
 
+  test("bootstrap cells: single-pass aggregate ≡ exploded reference bit-exactly") {
+    import graft.operators.Bootstrap
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("v"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getDecimal(1), r.getDecimal(2), r.getLong(3), r.getDecimal(4))).toMap
+    val fast = asMap(Bootstrap.cells(docs, col("doc_id"), col("v"), 50, 7L))
+    val ref = asMap(Bootstrap.cellsExploded(docs, col("doc_id"), col("v"), 50, 7L))
+    assert(fast.size == 50 && fast == ref,
+      s"agg path must replay the exploded draw exactly")
+    // null id and null value rows follow the exploded semantics too
+    val withNulls = docs.unionAll(spark.range(1).select(
+      lit(null).cast("long").as("doc_id"), lit(null).cast("long").as("v")))
+    val f2 = asMap(Bootstrap.cells(withNulls, col("doc_id"), col("v"), 5, 7L))
+    val r2 = asMap(Bootstrap.cellsExploded(withNulls, col("doc_id"), col("v"), 5, 7L))
+    assert(f2 == r2, "null-row semantics must match the exploded formulation")
+  }
+
   test("corpus card: every leg equals its standalone key's aggregate") {
     val card = graft.queries.TextQueries.corpusCard(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
