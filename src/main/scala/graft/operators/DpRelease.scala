@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Differentially-private count release (SURVEY §2.D68).
@@ -31,10 +30,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape — one partial-agg'd `groupBy` (map-side combine
   * collapses to one row per group before the shuffle) and a
-  * row_number over the released histogram, which is aggregate-sized
-  * by construction (it IS the release; a release too large to rank
-  * is too large to publish). Everything downstream of the count is
-  * per-row arithmetic in whole-stage codegen. No `.collect()`.
+  * [[PrefixSum]] distributed rank over the released histogram: the
+  * release is usually aggregate-sized, but nothing here ASSUMES it —
+  * a billion-cell release range-partitions across the cluster
+  * instead of serializing through one ranking task. Everything
+  * downstream of the count is per-row arithmetic in whole-stage
+  * codegen. No `.collect()`.
   */
 object DpRelease {
 
@@ -73,11 +74,14 @@ object DpRelease {
     require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
     val kcols = keys.map(col)
     val counts = df.groupBy(kcols: _*).agg(count(lit(1)).as("n_true"))
-    // dense release index over the (aggregate-sized) histogram; the
-    // unpartitioned window is safe for the same reason CumHistogram's
-    // is — its input is already one row per released group
-    val ranked = counts.withColumn("gid",
-      row_number().over(Window.orderBy(kcols: _*)).cast("long"))
+    // dense release index over the histogram: row_number in key order
+    // = a distributed prefix-count ([[PrefixSum]] — range-partitioned
+    // on the key struct, within-partition ranks + broadcast offsets),
+    // so even a release with billions of cells never serializes
+    // through one task; the bits are identical to the unpartitioned
+    // ROW_NUMBER the DuckDB oracle replays
+    val ranked = PrefixSum.runningSum(
+      counts, struct(kcols: _*), lit(1L), "gid")
     ranked
       .withColumn("noisy_count",
         noisyColumn(col("n_true"), xxhash64(lit(42L), col("gid")), epsilon))

@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   * (aggregate-sized shuffle), walk the cumulative histogram to find
   * the boundary bucket where the running mass crosses the budget,
   * bulk-admit all better buckets and bulk-reject all worse ones, and
-  * run the only row-level window over the boundary bucket's rows —
-  * expected 1/B of the data for B occupied buckets. Equal to the
+  * run the only row-level scan over the boundary bucket's rows —
+  * expected 1/B of the data for B occupied buckets, and even that
+  * scan is a [[PrefixSum]] distributed prefix-sum (range-partitioned
+  * on id), so a degenerate corpus where every row shares one 2-dp
+  * score still fans out over all shuffle partitions. Equal to the
   * naive global running-sum window bit-for-bit (the decomposition is
-  * just that window evaluated bucket-wise).
+  * just that window evaluated bucket-wise, and the prefix-sum is
+  * boundary-invariant).
   *
   * @param score  quality in [0, 1] (bucketed at 2 dp)
   * @param mass   non-negative integer token mass per row
@@ -72,11 +76,14 @@ object TokenBudget {
       .withColumn("__tb_before", coalesce(col("__tb_before"), lit(0L)))
     val nonBoundary = withThr.filter(col("__tb_b") =!= col("__tb_bb"))
       .withColumn(keptCol, col("__tb_b") > col("__tb_bb"))
-    // the only row-level window: the boundary bucket, id order
-    val wRun = Window.orderBy(id.asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val boundary = withThr.filter(col("__tb_b") === col("__tb_bb"))
-      .withColumn("__tb_run", sum(col("__tb_m")).over(wRun))
+    // the only row-level scan: the boundary bucket in id order —
+    // expected 1/B of the data, but NOT funneled through one task:
+    // the distributed prefix-sum range-partitions on id, so even the
+    // degenerate single-score corpus (every row in one bucket) fans
+    // out over all shuffle partitions (WarehouseSpec pins it).
+    val boundary = PrefixSum.runningSum(
+        withThr.filter(col("__tb_b") === col("__tb_bb")),
+        id, col("__tb_m"), "__tb_run")
       .withColumn(keptCol, col("__tb_before") + col("__tb_run") <= budget)
       .drop("__tb_run")
     nonBoundary.unionByName(boundary)

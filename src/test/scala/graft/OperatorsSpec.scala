@@ -862,6 +862,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keptMass <= budget, s"$keptMass > $budget")
   }
 
+  test("PrefixSum: distributed running sum equals the global window bit-exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+    val got = graft.operators.PrefixSum.runningSum(
+        df, col("doc_id"), col("n_chars"), "run")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val w = Window.orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("run", sum(col("n_chars")).over(w))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want, s"diff=${got.toSet.diff(want.toSet).take(5)}")
+  }
+
+  test("token budget: single-score corpus (whole corpus in the boundary bucket)") {
+    import org.apache.spark.sql.expressions.Window
+    // every row shares one 2-dp score: the degenerate case that would
+    // funnel the full corpus through an unpartitioned window without
+    // the PrefixSum decomposition
+    val df = Tables.documents(spark, sfDir).select(col("doc_id"),
+      lit(0.5).as("q"), col("n_chars").as("m"))
+    val total = df.agg(sum(col("m"))).head().getLong(0)
+    val budget = total / 3
+    val got = graft.operators.TokenBudget.markKept(
+        df, col("q"), col("m"), col("doc_id"), budget)
+      .select(col("doc_id"), col("kept"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val w = Window.orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("cum", sum(col("m")).over(w))
+      .select(col("doc_id"), (col("cum") <= budget).as("kept"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == want)
+    assert(got.values.exists(identity) && got.values.exists(!_))
+  }
+
   test("GlobalIds: contiguous 0..n-1, equals the global row_number twin, partition-invariant") {
     import spark.implicits._
     import graft.operators.GlobalIds

@@ -486,8 +486,12 @@ class PlanSpec extends AnyFunSuite {
         case f: FilterExec => f.condition.toString.contains("__tb_bb")
         case _ => false
       }
-      assert(overAggregate || boundaryOnly,
-        s"window over unbounded raw rows:\n$w")
+      // PrefixSum's within-partition running sum: partitioned by
+      // __ps_pid, so it never funnels rows through one task — the
+      // exact de-skew this contract protects.
+      val partitioned = w.partitionSpec.nonEmpty
+      assert(overAggregate || boundaryOnly || partitioned,
+        s"unpartitioned window over unbounded raw rows:\n$w")
     }
   }
 
