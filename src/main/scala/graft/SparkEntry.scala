@@ -165,6 +165,8 @@ object SparkEntry {
     "holdout_perplexity" -> (TextQueries.holdoutPerplexity _),
     "corpus_card"        -> (TextQueries.corpusCard _),
     "bootstrap_quality_ci" -> (TextQueries.bootstrapQualityCi _),
+    // E23 run to completion as a bounded file stream — same oracle
+    "stream_bootstrap_ci" -> (StreamFaces.streamBootstrapCi _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),
     "gopher_quality"     -> (TextQueries.gopherQualityFilter _),
     "fim_transform"      -> (TextQueries.fimTransform _),
@@ -1991,6 +1993,8 @@ object SparkEntry {
         |FROM f ORDER BY user_id""".stripMargin,
 
     "bootstrap_quality_ci" -> bootstrapOracle(200, 0.025),
+    // the streaming face must land on the EXACT batch bits — one SQL
+    "stream_bootstrap_ci" -> bootstrapOracle(200, 0.025),
 
     "dedup_weighted_jaccard" -> icwsOracle(32),
 

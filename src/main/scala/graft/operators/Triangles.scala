@@ -83,10 +83,22 @@ object Triangles {
     // count reads the checkpoint), falling back to the shuffle join
     // on graphs whose edge list is genuinely large.
     val closing0 = oriented.select(col("dst").as("c2"), col("src").as("b2"))
-    // 5M edges × 16 B ≈ 80 MB broadcast — cheap against sorting the
-    // Σ outdeg² wedge side (measured 2× even at 1.2M edges)
+    // Broadcast budget derives from the session's own ceiling, not a
+    // hard-coded row count (a fixed 5M-row cutoff was ~300 MB of
+    // hashed relation on default-sized drivers). This join warrants
+    // MORE than the generic auto threshold — the probe side is
+    // Σ outdeg² rows, so shipping the edge list saves a sort of a
+    // frame 10-100× larger (measured 2× end-to-end even at 1.2M
+    // edges) — so allow 8× it, at a conservative 64 B/row in-memory
+    // estimate for the two-long hashed relation. threshold = -1
+    // (broadcast disabled) disables this fast path too.
+    val thresholdBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(e.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
     val closing =
-      if (e.count() <= 5000000L) broadcast(closing0) else closing0
+      if (thresholdBytes > 0 && e.count() * 64L <= 8L * thresholdBytes)
+        broadcast(closing0)
+      else closing0
     val triangles = wedges.join(closing,
       col("b") === col("b2") && col("c") === col("c2"))
       .select(col("a"), col("b"), col("c"))

@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `path`:
   * {{{
-  *   c00001/<part>=<v>/part-*.parquet    immutable commit directories
-  *   c00002/...
+  *   c00001_<token>/<part>=<v>/part-*.parquet   immutable commit dirs
+  *   c00002_<token>/...
   *   _manifests/v00001/                  parquet rows (part, dir)
   *   _manifests/v00002/
+  *   _staging/<token>/                   in-flight (never referenced)
   * }}}
+  * Commits stage under `_staging/<token>` and move into place by
+  * rename at publish; the token in the committed dir name means a
+  * crashed attempt's orphan can never collide with a later commit,
+  * and the manifest write is the single publication point.
   * A manifest maps every live partition VALUE to the commit dir
   * holding its current files. Commits never mutate existing files —
   * an overwrite writes a new commit dir and a new manifest whose
@@ -87,13 +92,51 @@ object SnapshotLake {
     v
   }
 
+  /** Stage `df` under `_staging/<token>` — never under a version
+    * name. A crash after staging leaves an orphan that can NEVER
+    * block a later commit (version dirs are claimed only at publish
+    * time, by rename); [[cleanStaging]] reclaims the space.
+    */
+  private def stage(df: DataFrame, path: String, partCol: String): String = {
+    val token = s"s${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.write.partitionBy(partCol).mode("errorifexists")
+      .parquet(s"$path/_staging/$token")
+    token
+  }
+
+  /** Move a staged commit into place (rename — the files move,
+    * nothing is rewritten) and publish its manifest. The committed
+    * dir name carries the staging token, so it can NEVER collide
+    * with an orphan from a crashed attempt at the same version; the
+    * manifest's errorifexists write remains the one publication
+    * point (a concurrent writer racing to the same version throws
+    * there, and its uncommitted dir is vacuum's to reclaim).
+    */
+  private def publishStaged(spark: SparkSession, path: String,
+                            token: String): Int = {
+    val f = fs(spark, path)
+    val v = currentVersion(spark, path) + 1
+    val dir = f"c$v%05d_$token"
+    require(f.rename(new Path(s"$path/_staging/$token"),
+                     new Path(s"$path/$dir")),
+      s"publishStaged: rename of staged commit $token failed at $path")
+    publish(spark, path, v, dir)
+  }
+
+  /** Remove ALL staged-but-unpublished commit data. Safe only when no
+    * writer is in flight (an in-flight stage would be deleted too) —
+    * an ops call, not part of any commit path.
+    */
+  def cleanStaging(spark: SparkSession, path: String): Unit = {
+    val p = new Path(s"$path/_staging")
+    val f = fs(spark, path)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
   def overwritePartitions(df: DataFrame, path: String,
                           partCol: String): Int = {
-    val spark = df.sparkSession
-    val v = currentVersion(spark, path) + 1
-    val dir = f"c$v%05d"
-    df.write.partitionBy(partCol).mode("errorifexists").parquet(s"$path/$dir")
-    publish(spark, path, v, dir)
+    val token = stage(df, path, partCol)
+    publishStaged(df.sparkSession, path, token)
   }
 
   /** Write-audit-publish (A15 — the commit discipline production
@@ -117,19 +160,20 @@ object SnapshotLake {
                         uniqueCols: Seq[String] = Nil)
       : (DataFrame, Option[Int]) = {
     val spark = df.sparkSession
-    val v = currentVersion(spark, path) + 1
-    val dir = f"c$v%05d"
-    df.write.partitionBy(partCol).mode("errorifexists").parquet(s"$path/$dir")
-    val staged = spark.read.parquet(s"$path/$dir")
+    // stage under _staging (not a version name): a crash anywhere
+    // before the publish rename leaves an orphan that cannot collide
+    // with any future commit's version dir
+    val token = stage(df, path, partCol)
+    val staged = spark.read.parquet(s"$path/_staging/$token")
     // eager: the report must be computed BEFORE any publish/cleanup
-    // decision reads it twice
+    // decision reads it twice — and before the rename moves the files
     val report = graft.operators.Expectations
       .check(staged, rowRules, uniqueCols).localCheckpoint()
     val rejected = report.filter(!col("pass")).limit(1).count() > 0
     if (rejected) {
-      fs(spark, path).delete(new Path(s"$path/$dir"), true)
+      fs(spark, path).delete(new Path(s"$path/_staging/$token"), true)
       (report, None)
-    } else (report, Some(publish(spark, path, v, dir)))
+    } else (report, Some(publishStaged(spark, path, token)))
   }
 
   /** Read a version (latest by default): one partitioned scan per

@@ -43,10 +43,13 @@ object StreamingBoilerplate {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dup = batch.sparkSession.read.parquet(dupPath)
-        ParagraphDedup.strip(batch, col(textCol), col(idCol), dup, words)
-          .write.mode("append").parquet(outPath)
+        // replay-safe: a re-run batch REPLACES its own partition, so
+        // cleaned docs are never duplicated in the output corpus
+        LakeState.putBatch(
+          ParagraphDedup.strip(batch, col(textCol), col(idCol), dup, words),
+          outPath, batchId)
         ()
       }
       .trigger(trigger)

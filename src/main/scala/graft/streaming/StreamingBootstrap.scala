@@ -37,9 +37,12 @@ object StreamingBootstrap {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Bootstrap.cells(batch, idCol, valueCol, replicas, seed)
-          .select(lit(batchId).as("batch_id"), col("*"))
-          .write.mode("append").parquet(path)
+        // idempotent under foreachBatch's at-least-once replay: the
+        // batch's cells land in (and on replay REPLACE) their own
+        // batch_id partition — see [[LakeState.putBatch]]
+        LakeState.putBatch(
+          Bootstrap.cells(batch, idCol, valueCol, replicas, seed),
+          path, batchId)
         ()
       }
       .trigger(trigger)

@@ -37,9 +37,10 @@ object StreamingCorrelation {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        SignalStats.sums(SignalStats.microSignals(batch, textCol))
-          .select(lit(batchId).as("batch_id"), col("*"))
-          .write.mode("append").parquet(path)
+        // replay-safe: dynamic overwrite of the batch_id partition
+        LakeState.putBatch(
+          SignalStats.sums(SignalStats.microSignals(batch, textCol)),
+          path, batchId)
         ()
       }
       .trigger(trigger)

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming face of the DP count release (SURVEY §2.E19 ∘ D68):
   * continuously-published windowed count histograms with Laplace
@@ -14,12 +15,22 @@ import org.apache.spark.sql.functions._
   * inverse Laplace CDF, the same arithmetic chain. That makes the
   * noise a pure function of the (window, key) cell: the plan stays
   * STATELESS after the windowed aggregation (a codegen projection —
-  * no state store beyond the agg's own, no driver sync), every
-  * re-emission of a cell under `complete`/`update` output carries
-  * the identical noise (the continual-observation posture: one draw
-  * per cell, not one per refresh — refreshing never spends extra ε
-  * on old cells), and the batch twin over the same data is
-  * bit-identical, which is what the spec pins.
+  * no state store beyond the agg's own, no driver sync), and the
+  * batch twin over the same data is bit-identical, which is what
+  * the spec pins.
+  *
+  * RELEASE DISCIPLINE — identical noise across re-emissions is NOT
+  * free in the DP sense: publishing the same open cell at two true
+  * counts with the SAME Laplace deviate reveals the count increment
+  * exactly (the noise cancels in the difference), so intermediate
+  * emissions of a still-open window are unprotected. The mechanism's
+  * ε guarantee holds only for each cell's FINAL value, released
+  * once. [[release]] enforces that posture: APPEND output mode, so
+  * a cell is emitted exactly once, after the watermark closes its
+  * window (StreamingSpec pins once-only and finalized-only).
+  * `complete`/`update` sinks of [[windowedNoisyCounts]] are for
+  * trusted-boundary dashboards and the batch-twin spec — not for
+  * publishing outside the data boundary.
   *
   * Per-cell sensitivity of a disjoint count histogram is 1, so each
   * cell's noise is Lap(1/ε); a record appears in exactly one
@@ -55,5 +66,27 @@ object StreamingDp {
         xxhash64(lit(seed), unix_micros(col("window_start")),
           col("event_type")),
         epsilon))
+  }
+
+  /** The externally-publishable face: APPEND output mode, so each
+    * (window, key) cell is released exactly once, after the
+    * watermark closes its window — the only emission discipline
+    * under which the per-cell ε guarantee actually holds (see the
+    * class doc). Cells land in `path` as parquet via the file sink's
+    * exactly-once commit log.
+    */
+  def release(events: DataFrame, path: String, checkpoint: String,
+              epsilon: Double = 1.0, windowLen: String = "1 day",
+              seed: Long = 42L,
+              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(events.isStreaming, "release: needs a streaming frame")
+    windowedNoisyCounts(events, epsilon, windowLen, seed)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", path)
+      .trigger(trigger)
+      .start()
   }
 }

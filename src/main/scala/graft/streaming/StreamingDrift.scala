@@ -49,10 +49,11 @@ object StreamingDrift {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.groupBy(key.cast("string").as("bucket"))
-          .agg(count(lit(1)).as("cur_n"))
-          .select(lit(batchId).as("batch_id"), col("bucket"), col("cur_n"))
-          .write.mode("append").parquet(path)
+        // replay-safe: dynamic overwrite of the batch_id partition
+        LakeState.putBatch(
+          batch.groupBy(key.cast("string").as("bucket"))
+            .agg(count(lit(1)).as("cur_n")),
+          path, batchId)
         ()
       }
       .trigger(trigger)

@@ -36,10 +36,11 @@ object StreamingForecast {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.groupBy(key.as("k"), period.as("p"))
-          .agg(sum(value).as("v"))
-          .select(lit(batchId).as("batch_id"), col("k"), col("p"), col("v"))
-          .write.mode("append").parquet(path)
+        // replay-safe: dynamic overwrite of the batch_id partition
+        LakeState.putBatch(
+          batch.groupBy(key.as("k"), period.as("p"))
+            .agg(sum(value).as("v")),
+          path, batchId)
         ()
       }
       .trigger(trigger)

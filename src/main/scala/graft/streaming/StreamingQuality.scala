@@ -30,9 +30,11 @@ object StreamingQuality {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Expectations.check(batch, rowRules = rowRules)
-          .select(lit(batchId).as("batch_id"), col("rule"), col("violations"))
-          .write.mode("append").parquet(path)
+        // replay-safe: dynamic overwrite of the batch_id partition
+        LakeState.putBatch(
+          Expectations.check(batch, rowRules = rowRules)
+            .select(col("rule"), col("violations")),
+          path, batchId)
         ()
       }
       .trigger(trigger)

@@ -33,7 +33,8 @@ object StreamingTrending {
     */
   def appendBatch(batch: DataFrame, id: Column, elem: Column, path: String,
                   eps: Double = 0.001, confidence: Double = 0.99,
-                  sampleOneIn: Int = 10, seed: Int = 42): Unit = {
+                  sampleOneIn: Int = 10, seed: Int = 42,
+                  batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val occ = batch.select(id.as("i"), elem.cast("string").as("e"))
@@ -42,12 +43,18 @@ object StreamingTrending {
     val sketch = occ
       .agg(count_min_sketch(col("e"), lit(eps), lit(confidence), lit(seed)))
       .head().getAs[Array[Byte]](0)
-    Seq(Tuple1(sketch)).toDF("sketch")
-      .write.mode("append").parquet(s"$path/sketches")
-    occ.filter(pmod(xxhash64(lit(seed.toLong), col("i")),
-        lit(sampleOneIn.toLong)) === 0)
-      .select(col("e")).distinct()
-      .write.mode("append").parquet(s"$path/candidates")
+    // replay-safe ([[LakeState.putBatch]]): a foreachBatch replay
+    // REPLACES its batch_id partition — a duplicated sketch row would
+    // silently double-count the batch in the merged CMS. Backfill
+    // callers share batch_id=-1: re-running the backfill replaces it
+    // rather than double-counting the historical table.
+    LakeState.putBatch(Seq(Tuple1(sketch)).toDF("sketch"),
+      s"$path/sketches", batchId)
+    LakeState.putBatch(
+      occ.filter(pmod(xxhash64(lit(seed.toLong), col("i")),
+          lit(sampleOneIn.toLong)) === 0)
+        .select(col("e")).distinct(),
+      s"$path/candidates", batchId)
   }
 
   def start(stream: DataFrame, id: Column, elem: Column, path: String,
@@ -58,8 +65,9 @@ object StreamingTrending {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendBatch(batch, id, elem, path, eps, confidence, sampleOneIn, seed)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, id, elem, path, eps, confidence, sampleOneIn,
+          seed, batchId)
       }
       .trigger(trigger)
       .start()
@@ -74,7 +82,7 @@ object StreamingTrending {
   def trendingTopK(spark: SparkSession, path: String, k: Int): DataFrame = {
     import spark.implicits._
     val sketches = spark.read.parquet(s"$path/sketches")
-      .collect().map(_.getAs[Array[Byte]](0))
+      .collect().map(_.getAs[Array[Byte]]("sketch"))
     require(sketches.nonEmpty, s"no sketches at $path/sketches")
     val merged = sketches.map(b =>
         org.apache.spark.util.sketch.CountMinSketch
@@ -84,7 +92,7 @@ object StreamingTrending {
     merged.writeTo(out)
     val bc = spark.sparkContext.broadcast(out.toByteArray)
     spark.read.parquet(s"$path/candidates")
-      .distinct().as[String]
+      .select(col("e")).distinct().as[String]
       .mapPartitions { it =>
         val sketch = org.apache.spark.util.sketch.CountMinSketch
           .readFrom(new java.io.ByteArrayInputStream(bc.value))

@@ -205,9 +205,11 @@ class IngestSpec extends AnyFunSuite {
     assert(slurp(SnapshotLake.read(spark, path)) ==
       Set((1L, "a1", "a"), (2L, "b1", "b"), (3L, "c1", "c")))
     val dirs = new java.io.File(path).listFiles().map(_.getName).toSet
-    assert(!dirs.contains("c00002") && !dirs.contains("c00003"),
+    assert(!dirs.exists(_.startsWith("c00002")) &&
+        !dirs.exists(_.startsWith("c00003")),
       s"vacuum must drop unreferenced commit dirs: $dirs")
-    assert(dirs.contains("c00001"), "still-referenced dir must survive")
+    assert(dirs.exists(_.startsWith("c00001")),
+      "still-referenced dir must survive")
   }
 
   test("write-audit-publish: failed audit leaves history untouched, staged files gone") {
@@ -241,7 +243,11 @@ class IngestSpec extends AnyFunSuite {
     assert(SnapshotLake.read(spark, path).count() == 2,
       "visible history untouched")
     val dirs = new java.io.File(path).listFiles().map(_.getName).toSet
-    assert(!dirs.contains("c00002"), s"staged dir must be removed: $dirs")
+    assert(!dirs.exists(_.startsWith("c00002")),
+      s"staged dir must be removed: $dirs")
+    val stagingLeft = Option(new java.io.File(s"$path/_staging").listFiles())
+      .map(_.length).getOrElse(0)
+    assert(stagingLeft == 0, "rejected staging must be deleted")
 
     // and a later clean commit takes the next version as if the
     // rejected one never happened
@@ -249,5 +255,18 @@ class IngestSpec extends AnyFunSuite {
       table((4L, Some("c1"), "c")), path, "part", rowRules = rules)
     assert(v3.contains(2))
     assert(SnapshotLake.read(spark, path).count() == 3)
+
+    // crash-orphan resilience: a staged dir whose writer died before
+    // publish, and a renamed-but-unpublished commit dir, must block
+    // NOTHING — the next commit publishes the next version cleanly
+    new java.io.File(s"$path/_staging/sdeadbeef").mkdirs()
+    new java.io.File(s"$path/c00003_sorphan").mkdirs()
+    val (_, v4) = SnapshotLake.writeAuditPublish(
+      table((5L, Some("d1"), "d")), path, "part", rowRules = rules)
+    assert(v4.contains(3), s"orphans must not block publishing: $v4")
+    assert(SnapshotLake.read(spark, path).count() == 4)
+    // and cleanStaging reclaims the orphaned staging space
+    SnapshotLake.cleanStaging(spark, path)
+    assert(!new java.io.File(s"$path/_staging").exists())
   }
 }

@@ -860,6 +860,20 @@ class StreamingSpec extends AnyFunSuite {
     val got = StreamingBootstrap.ciToDate(spark, s"$base/cells").head()
     val want = graft.queries.TextQueries.bootstrapQualityCi(spark, sfDir).head()
     assert(got == want, s"stream=$got batch=$want")
+    // at-least-once recovery: REPLAY the last batch (same batchId,
+    // same rows — what foreachBatch does after a crash between the
+    // lake write and the checkpoint commit) and assert the read face
+    // is unchanged: the replay replaces its batch_id partition
+    // instead of double-counting it
+    val lastBatchId = spark.read.parquet(s"$base/cells")
+      .agg(max(col("batch_id"))).head().getInt(0)
+    graft.streaming.LakeState.putBatch(
+      graft.operators.Bootstrap.cells(
+        b2.toDF("doc_id", "text"), col("doc_id"), quality, 200, 42L),
+      s"$base/cells", lastBatchId)
+    val replayed = StreamingBootstrap.ciToDate(spark, s"$base/cells").head()
+    assert(replayed == want,
+      s"replayed batch double-counted: $replayed vs $want")
   }
 
   test("streaming perplexity gate equals the batch threshold filter and honors the frozen cut") {
@@ -1147,5 +1161,50 @@ class StreamingSpec extends AnyFunSuite {
     val one = got.map(t => ((t._1, t._2), t._4 - t._3)).toMap
     one.foreach { case (k, d) =>
       assert(math.abs(half(k) - 2.0 * d) < 1e-5) }
+  }
+
+  test("DP release face: append mode releases each cell once, finalized-only") {
+    import spark.implicits._
+    import graft.streaming.StreamingDp
+    def ts(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-0$day $hour%02d:00:00")
+    // day 1: 3 events, day 2: 2 events, day 3: 1 event
+    val d1 = Seq((ts(1, 10), "click"), (ts(1, 11), "click"), (ts(1, 12), "view"))
+    val d2 = Seq((ts(2, 10), "click"), (ts(2, 11), "view"))
+    val d3 = Seq((ts(3, 10), "click"))
+    val base = java.nio.file.Files.createTempDirectory("graft_dprel")
+      .toFile.getAbsolutePath
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)](
+      spark, 2301)
+    val q = StreamingDp.release(src.toDF().toDF("ts", "event_type"),
+      s"$base/out", s"$base/ckpt", epsilon = 1.0,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      src.addData(d1); q.processAllAvailable()
+      src.addData(d2); q.processAllAvailable()
+      src.addData(d3); q.processAllAvailable()
+      // one more trigger so the day-3 watermark (10:00 − 1h) finalizes day 2
+      src.addData(Seq((ts(3, 11), "view"))); q.processAllAvailable()
+    } finally q.stop()
+    val released = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    // once-only: no (window, key) cell appears twice
+    val cells = released.map(t => (t._1, t._2))
+    assert(cells.distinct.length == cells.length,
+      s"cell released more than once: ${released.toSeq}")
+    // finalized-only: day 3 is still open (watermark 10:00 < day-3 end)
+    assert(released.nonEmpty)
+    assert(released.forall(_._1.before(ts(3, 0))),
+      s"open window released: ${released.toSeq}")
+    // released values match the batch twin bit-for-bit on those cells
+    val twin = StreamingDp.windowedNoisyCounts(
+        (d1 ++ d2 ++ d3 ++ Seq((ts(3, 11), "view"))).toDF("ts", "event_type"),
+        epsilon = 1.0)
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    released.foreach { case (w, k, n, noisy) =>
+      assert(twin((w, k)) == ((n, noisy)), s"cell ($w, $k) drifted from twin")
+    }
   }
 }
