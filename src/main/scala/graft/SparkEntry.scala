@@ -225,6 +225,10 @@ object SparkEntry {
     // §2.D12 — real media decode (BMP / WAV round-trip through the
     // batched BatchDecoder plumbing)
     "media_decode_image" -> (MultimodalQueries.mediaDecodeImage _),
+    // D12c: rows-only BY NATURE — lossy codec, T.81 fixes the
+    // bitstream not the IDCT bits; MultimodalSpec pins byte-exact
+    // hand-assembled streams + two-way javax.imageio cross-validation
+    "media_decode_jpeg"  -> (MultimodalQueries.mediaDecodeJpeg _),
     "media_dedup_phash"  -> (MultimodalQueries.mediaDedupPhash _),
     "media_dedup_audio"  -> (MultimodalQueries.mediaDedupAudio _),
     "media_decode_audio" -> (MultimodalQueries.mediaDecodeAudio _),

@@ -74,6 +74,37 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D12c: JPEG decode — each doc's synthetic image round-trips
+    * through the pure-JVM baseline JPEG codec ([[graft.sources.JpegCodec]]:
+    * REAL entropy coding — Huffman, quantized DCT, byte stuffing),
+    * stats emitted via the same batched decoder plumbing as D12a.
+    * Rows-only by nature: a lossy codec's decoded pixels are
+    * implementation-defined at the last bit (T.81 fixes the
+    * bitstream, not the IDCT rounding), so correctness is pinned in
+    * MultimodalSpec — byte-exact hand-assembled DC-only streams,
+    * restart-marker resets, and cross-validation against
+    * `javax.imageio` in BOTH directions — not by a SQL oracle.
+    */
+  def mediaDecodeJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, px) = synthImage(id)
+        (id, graft.sources.JpegCodec.encodeJpeg(w, h, px))
+      })
+      .toDF("doc_id", "media")
+    Multimodal.extractFeatures(media,
+        decoder = graft.sources.JpegCodec.JpegStatsDecoder)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        element_at(col("features"), 3).cast("long").as("sum_r"),
+        element_at(col("features"), 4).cast("long").as("sum_g"),
+        element_at(col("features"), 5).cast("long").as("sum_b"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D70: perceptual image near-dup pairs — each doc's synthetic
     * image round-trips through the REAL BMP codec, the decoder emits
     * the 48-bit dHash of the decoded pixels, and

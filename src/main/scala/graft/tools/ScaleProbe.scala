@@ -698,8 +698,9 @@ object ScaleProbe {
         alpha = 0.3, beta = 0.3).count()
     }
     t("bootstrap_ci") {
-      // explode x200 over the 50k-doc probe corpus -> 10M
-      // (doc, replica) rows, all collapsing into 200 partial cells
+      // single-pass BootstrapCellsAgg over the 500k-doc probe corpus:
+      // one row per doc, 200 replica legs folded into a flat
+      // long[402] buffer per task — no row inflation anywhere
       graft.operators.Bootstrap.meanCi(docs, col("doc_id"),
         round(graft.functions.TextFunctions.qualityScore(col("text"))
           * 1000000.0).cast("long")).count()

@@ -318,4 +318,177 @@ class MultimodalSpec extends AnyFunSuite {
         hashBits = 64, bandBits = 12, bands = 4)
     }
   }
+
+  // ------------------------------------------------------ JPEG (D12c)
+
+  /** Hand-assemble a minimal baseline grayscale JPEG: flat quant q,
+    * DC cats at 5 bits (vals 0..11), AC table = EOB only (1-bit
+    * code), one component, DC-only blocks with the given per-MCU
+    * diffs, optional DRI=1 restarts between MCUs. DC-only blocks
+    * make the expected pixels EXACT: every sample = dc·q/8 + 128.
+    */
+  private def handJpeg(w: Int, h: Int, q: Int, dcDiffs: Seq[Int],
+                       restarts: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    w8(0xff); w8(0xd8)                                   // SOI
+    w8(0xff); w8(0xdb); w16(2 + 65); w8(0)               // DQT id 0
+    (0 until 64).foreach(_ => w8(q))
+    w8(0xff); w8(0xc0); w16(2 + 9)                       // SOF0, 1 comp
+    w8(8); w16(h); w16(w); w8(1); w8(1); w8(0x11); w8(0)
+    w8(0xff); w8(0xc4); w16(2 + 17 + 12); w8(0x00)       // DHT DC 0
+    val dcBits = Array(0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    dcBits.foreach(w8); (0 until 12).foreach(w8)
+    w8(0xff); w8(0xc4); w16(2 + 17 + 1); w8(0x10)        // DHT AC 0: EOB@1
+    val acBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    acBits.foreach(w8); w8(0x00)
+    if (restarts) { w8(0xff); w8(0xdd); w16(4); w16(1) } // DRI = 1
+    w8(0xff); w8(0xda); w16(2 + 6)                       // SOS
+    w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
+    // entropy data per MCU: huff(cat) + cat bits of diff + EOB('0')
+    def cat(v: Int): Int = { var a = math.abs(v); var t = 0
+      while (a != 0) { a >>= 1; t += 1 }; t }
+    var rst = 0
+    dcDiffs.zipWithIndex.foreach { case (d, i) =>
+      var bits = 0L; var n = 0
+      def put(code: Int, len: Int): Unit = {
+        bits = (bits << len) | (code & ((1L << len) - 1)); n += len }
+      val t = cat(d)
+      put(t, 5)                                          // DC symbol t
+      if (t > 0) put(if (d < 0) d + (1 << t) - 1 else d, t)
+      put(0, 1)                                          // EOB
+      while (n % 8 != 0) { put(1, 1) }                   // byte-align (pad 1s)
+      (1 to n / 8).foreach { k =>
+        val b = ((bits >> (n - 8 * k)) & 0xff).toInt
+        w8(b); if (b == 0xff) w8(0x00)
+      }
+      if (restarts && i < dcDiffs.length - 1) {
+        w8(0xff); w8(0xd0 + rst); rst = (rst + 1) % 8
+      }
+    }
+    w8(0xff); w8(0xd9)                                   // EOI
+    out.toByteArray
+  }
+
+  test("JPEG decode: hand-assembled DC-only stream is byte-exact") {
+    import graft.sources.JpegCodec
+    // one 8x8 MCU, q=16, DC diff 8 → every pixel = 8·16/8 + 128 = 144
+    val (w, h, px) = JpegCodec.decodeJpeg(
+      handJpeg(8, 8, q = 16, dcDiffs = Seq(8), restarts = false))
+    assert((w, h) == ((8, 8)))
+    assert(px.forall(_ == 0x909090), s"got ${px.take(4).map(_.toHexString).toSeq}")
+    // negative diff: DC −8 → 128 − 16 = 112 = 0x70
+    val (_, _, px2) = JpegCodec.decodeJpeg(
+      handJpeg(8, 8, q = 16, dcDiffs = Seq(-8), restarts = false))
+    assert(px2.forall(_ == 0x707070))
+  }
+
+  test("JPEG decode: restart markers reset DC prediction, byte-exact") {
+    import graft.sources.JpegCodec
+    // 16x8 = two MCUs with DRI=1: the second block's diff 8 lands on
+    // a RESET predictor, so both halves decode to 144 — without the
+    // reset the second would be 272-clamped
+    val (w, h, px) = JpegCodec.decodeJpeg(
+      handJpeg(16, 8, q = 16, dcDiffs = Seq(8, 8), restarts = true))
+    assert((w, h) == ((16, 8)))
+    assert(px.forall(_ == 0x909090), s"got ${px.take(4).map(_.toHexString).toSeq}")
+  }
+
+  test("JPEG round-trip: own encoder → own decoder within quantization error") {
+    import graft.sources.JpegCodec
+    // smooth gradient (JPEG's friendly case): tight bound
+    val w = 19; val h = 13
+    val smooth = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val r = 40 + x * 8; val g = 60 + y * 9; val b = 200 - x * 4
+      (r << 16) | (g << 8) | b
+    }
+    val (dw, dh, dec) = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(w, h, smooth))
+    assert((dw, dh) == ((w, h)))
+    val errs = smooth.zip(dec).flatMap { case (a, b) =>
+      Seq(math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff)),
+        math.abs(((a >> 8) & 0xff) - ((b >> 8) & 0xff)),
+        math.abs((a & 0xff) - (b & 0xff)))
+    }
+    assert(errs.max <= 12, s"max channel error ${errs.max}")
+    assert(errs.sum.toDouble / errs.length <= 3.0,
+      s"mean channel error ${errs.sum.toDouble / errs.length}")
+    // the engine's own synthetic images (high-frequency mod-256
+    // lanes — JPEG's WORST case) still round-trip boundedly
+    val (sw, sh, spx) = graft.queries.MultimodalQueries.synthImage(4242L)
+    val (_, _, sdec) = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(sw, sh, spx))
+    val serrs = spx.zip(sdec).flatMap { case (a, b) =>
+      Seq(math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff)),
+        math.abs(((a >> 8) & 0xff) - ((b >> 8) & 0xff)),
+        math.abs((a & 0xff) - (b & 0xff)))
+    }
+    assert(serrs.sum.toDouble / serrs.length <= 40.0)
+  }
+
+  test("JPEG cross-decoder: javax.imageio reads our bytes, we read its (incl. 4:2:0)") {
+    import graft.sources.JpegCodec
+    val w = 24; val h = 17
+    val smooth = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((30 + x * 6) << 16) | ((50 + y * 7) << 8) | (220 - x * 5)
+    }
+    // direction 1: the JDK's independent decoder reads OUR bitstream
+    val ours = JpegCodec.encodeJpeg(w, h, smooth)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(img != null, "ImageIO could not parse our JPEG — bitstream invalid")
+    assert(img.getWidth == w && img.getHeight == h)
+    val mine = JpegCodec.decodeJpeg(ours)._3
+    val d1 = (0 until w * h).flatMap { i =>
+      val a = img.getRGB(i % w, i / w); val b = mine(i)
+      Seq(math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff)),
+        math.abs(((a >> 8) & 0xff) - ((b >> 8) & 0xff)),
+        math.abs((a & 0xff) - (b & 0xff)))
+    }
+    assert(d1.max <= 4,
+      s"our decode differs from ImageIO on the same stream by ${d1.max}")
+    // direction 2: WE read the JDK writer's stream (its default path
+    // exercises third-party Huffman tables and chroma subsampling)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w * h).foreach(i => bi.setRGB(i % w, i / w, smooth(i)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpg", baos)
+    val theirs = baos.toByteArray
+    val (tw, th2, tdec) = JpegCodec.decodeJpeg(theirs)
+    assert((tw, th2) == ((w, h)))
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(theirs))
+    val d2 = (0 until w * h).flatMap { i =>
+      val a = ref.getRGB(i % w, i / w); val b = tdec(i)
+      Seq(math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff)),
+        math.abs(((a >> 8) & 0xff) - ((b >> 8) & 0xff)),
+        math.abs((a & 0xff) - (b & 0xff)))
+    }
+    assert(d2.sum.toDouble / d2.length <= 3.0,
+      s"mean diff vs ImageIO ${d2.sum.toDouble / d2.length}")
+    assert(d2.max <= 24, s"max diff vs ImageIO ${d2.max} (upsampling edges)")
+  }
+
+  test("JPEG batched decoder: stats features over real entropy-coded payloads") {
+    import spark.implicits._
+    import graft.sources.JpegCodec
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long].limit(64)
+      .mapPartitions(_.map { id =>
+        val (w, h, px) = graft.queries.MultimodalQueries.synthImage(id)
+        (id, JpegCodec.encodeJpeg(w, h, px))
+      }).toDF("doc_id", "media")
+    val feats = Multimodal.extractFeatures(media,
+        decoder = JpegCodec.JpegStatsDecoder)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(feats.size == 64)
+    feats.foreach { case (id, (w, h)) =>
+      val (ew, eh, _) = graft.queries.MultimodalQueries.synthImage(id)
+      assert((w, h) == ((ew, eh)), s"doc $id dims")
+    }
+  }
 }
