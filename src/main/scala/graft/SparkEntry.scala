@@ -69,6 +69,7 @@ object SparkEntry {
     "retrieval_quality_report" -> (VectorQueries.retrievalQualityReport _),
     "events_twap"        -> (WarehouseQueries.eventsTwap _),
     "k_anonymity_audit"  -> (TextQueries.kAnonymityAudit _),
+    "dedup_unicode"      -> (TextQueries.dedupUnicode _),
     "l_diversity_audit"  -> (TextQueries.lDiversityAudit _),
     "signal_correlation" -> (TextQueries.signalCorrelation _),
     "dp_noisy_counts"    -> (TextQueries.dpNoisyCounts _),
@@ -3981,6 +3982,22 @@ object SparkEntry {
         |  COUNT(*) OVER (PARTITION BY lang, source, n_chars // 100) < 5
         |    AS at_risk
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // D85: the canonical form is the same chain both engines own
+    // natively (NFC, lower, \s+ collapse, trim); gate text is
+    // all-ASCII so NFC is engine-invariant by construction, and the
+    // JVM-vs-utf8proc unicode agreement is spec-pinned separately
+    "dedup_unicode" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(nfc_normalize(text)),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |c AS (SELECT norm, MIN(doc_id) AS canonical_id FROM n GROUP BY 1)
+        |SELECT n.doc_id, c.canonical_id,
+        |  n.doc_id <> c.canonical_id AS is_dup,
+        |  n.text <> n.norm AS changed
+        |FROM n JOIN c USING (norm) ORDER BY n.doc_id""".stripMargin,
 
     // D79: the quality/repetition doubles reuse their oracle-proven
     // expression trees, lift to integer micro-units (the Doremi round

@@ -38,6 +38,25 @@ object GraftKernels {
   def hashString(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 
+  /** NFC Unicode normalization with an all-ASCII fast path: ASCII
+    * bytes are NFC-invariant, so the common crawl-text case never
+    * pays the String round-trip; only rows carrying non-ASCII go
+    * through java.text.Normalizer (the JDK's ICU-derived tables —
+    * pure JVM, no library).
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((s.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) s
+    else UTF8String.fromString(java.text.Normalizer
+      .normalize(s.toString, java.text.Normalizer.Form.NFC))
+  }
+
   /** 64-bit SimHash over a string array (distinct-ness is the caller's
     * choice): each element's hash votes ±1 per bit.
     */
@@ -555,10 +574,32 @@ case class VecProject(child: Expression, mean: Array[Double],
   override def prettyName: String = "vec_project"
 }
 
+
+/** NfcNorm(string) → NFC-normalized string (D85): the canonical form
+  * under which composed (U+00E9) and decomposed (U+0065 U+0301)
+  * spellings hash identically — byte-exact dedup misses these.
+  */
+case class NfcNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nfc_norm needs string, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.nfcNormalize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNorm =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_norm"
+}
+
 /** Column-API entry points for the kernel expressions. */
 object GraftFunctions {
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def nfc_norm(c: Column): Column =
+    ColumnBridge.column(NfcNorm(ColumnBridge.expression(c)))
   def minhash_sig(c: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
   def weighted_minhash_sig(c: Column, k: Int): Column =

@@ -19,6 +19,16 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Canonical text form for normalization-aware dedup (D85): NFC
+    * (composed and decomposed accents unify — the codegen
+    * [[GraftFunctions.nfc_norm]] kernel with its all-ASCII fast
+    * path), casefold, whitespace runs collapsed to one space, ends
+    * trimmed. DuckDB replays it as
+    * `trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))`.
+    */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(lower(GraftFunctions.nfc_norm(c)), "\\s+", " "))
+
   /** BPE-ish subtoken count: alpha runs, digits, and single
     * non-alphanumeric marks each count as one token. ASCII-only
     * pattern so Java and other regex engines agree.

@@ -1091,6 +1091,37 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D85: normalization-aware dedup map — exact byte hashing misses
+    * documents that differ only by Unicode form (composed U+00E9 vs
+    * decomposed e+U+0301), letter case, or whitespace runs; crawl
+    * pipelines canonicalize BEFORE hashing (the CCNet/fineweb
+    * normalize-then-dedup discipline). Emits the full doc →
+    * canonical mapping: canonical = lowest doc_id sharing the
+    * canonical form, `changed` marks docs the normalization
+    * actually rewrote.
+    *
+    * Shape at 100 TB: the A7 pk-dedup shape — one groupBy on the
+    * canonical string (map-side partial to one row per group) and
+    * one join back; both exchanges key on the same column so AQE
+    * reuses the partitioning. The normalization itself is the
+    * codegen NFC kernel (ASCII fast path: zero allocation on the
+    * overwhelmingly-ASCII crawl case). A corpus with adversarially
+    * long normalized groups routes through xxhash64(norm) grouping
+    * with exact verify, like D1.
+    */
+  def dedupUnicode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextFunctions.canonicalText(col("text")).as("norm"))
+    val canon = docs.groupBy(col("norm"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+    docs.join(canon, Seq("norm"))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"),
+        (col("text") =!= col("norm")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D79: quality-signal agreement audit — the Pearson correlation
     * matrix between three independent curation signals (D14 composite
     * quality, D29 trigram dup-fraction, token count). The number a

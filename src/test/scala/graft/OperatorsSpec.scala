@@ -862,6 +862,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keptMass <= budget, s"$keptMass > $budget")
   }
 
+  test("unicode dedup: NFC + casefold + whitespace unify; mapping exact") {
+    import spark.implicits._
+    val composed = "caf\u00e9 crema"     // e-acute, composed
+    val decomposed = "cafe\u0301 crema"  // e + combining acute
+    val docs = Seq(
+      (1L, composed),
+      (2L, decomposed),                  // NFC-equal to 1
+      (3L, "CAF\u00c9   crema"),         // case + whitespace run
+      (4L, "espresso lungo"),            // unique group
+      (5L, "espresso lungo")).toDF("doc_id", "text")
+    val norm = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.canonicalText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) == norm(2L) && norm(2L) == norm(3L),
+      s"NFC/case/space must unify: $norm")
+    assert(norm(1L) == composed.toLowerCase)
+    // full query shape over the frame: lowest id is canonical
+    val canon = docs.select(col("doc_id"), col("text"),
+        graft.functions.TextFunctions.canonicalText(col("text")).as("norm"))
+    val c = canon.groupBy(col("norm")).agg(min(col("doc_id")).as("cid"))
+    val got = canon.join(c, Seq("norm"))
+      .select(col("doc_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    // ASCII fast path: collapse + trim without the String round-trip
+    val ascii = graft.functions.TextFunctions.canonicalText(lit("plain  Text\n"))
+    assert(spark.range(1).select(ascii).head().getString(0) == "plain text")
+  }
+
   test("PrefixSum: distributed running sum equals the global window bit-exactly") {
     import org.apache.spark.sql.expressions.Window
     val df = Tables.documents(spark, sfDir)
