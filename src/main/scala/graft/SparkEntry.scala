@@ -70,6 +70,7 @@ object SparkEntry {
     "events_twap"        -> (WarehouseQueries.eventsTwap _),
     "k_anonymity_audit"  -> (TextQueries.kAnonymityAudit _),
     "dedup_unicode"      -> (TextQueries.dedupUnicode _),
+    "chunk_overlap"      -> ((s, d) => TextQueries.chunkOverlap(s, d)),
     "l_diversity_audit"  -> (TextQueries.lDiversityAudit _),
     "signal_correlation" -> (TextQueries.signalCorrelation _),
     "dp_noisy_counts"    -> (TextQueries.dpNoisyCounts _),
@@ -3998,6 +3999,24 @@ object SparkEntry {
         |  n.doc_id <> c.canonical_id AS is_dup,
         |  n.text <> n.norm AS changed
         |FROM n JOIN c USING (norm) ORDER BY n.doc_id""".stripMargin,
+
+    // D86: the proven split chain + range starts + 1-based inclusive
+    // list slice (both engines clamp the tail identically)
+    "chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |s AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+        |e AS (SELECT doc_id, tk, n,
+        |    unnest(range(0, n, 96)) AS start FROM s)
+        |SELECT doc_id,
+        |  CAST(start // 96 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(len(tk[start + 1 : least(start + 128, n)]) AS BIGINT)
+        |    AS n_tokens,
+        |  array_to_string(tk[start + 1 : least(start + 128, n)], ' ')
+        |    AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
 
     // D79: the quality/repetition doubles reuse their oracle-proven
     // expression trees, lift to integer micro-units (the Doremi round

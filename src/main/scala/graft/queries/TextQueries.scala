@@ -1091,6 +1091,43 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D86: overlapping context-window chunking — the chunker every
+    * RAG index and long-document training pipeline runs: fixed
+    * `window`-token chunks at `stride`-token steps (stride < window
+    * ⇒ overlap, so no boundary-straddling span is lost to retrieval
+    * or attention). Deterministic chunk ids (start DIV stride), tail
+    * chunks shorter; empty docs emit no chunks.
+    *
+    * Shape at 100 TB: pure per-row work — split, one generator
+    * (sequence+explode over ceil(n/stride) starts), slice,
+    * array_join, all built-ins inside whole-stage codegen around the
+    * generator; ZERO exchanges (the orderBy is the gate's
+    * determinism requirement, not part of the operator). Output
+    * volume is the window/stride amplification (×4/3 at 128/96) —
+    * the caller's dial, visible in the plan, not hidden in a UDF.
+    */
+  def chunkOverlap(spark: SparkSession, dir: String,
+                   window: Int = 128, stride: Int = 96): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") > 0)
+    docs
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        slice(col("tk"), col("start") + 1, lit(window)).as("ctk"))
+      .select(col("doc_id"), col("chunk_id"), col("start"),
+        size(col("ctk")).cast("long").as("n_tokens"),
+        array_join(col("ctk"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** D85: normalization-aware dedup map — exact byte hashing misses
     * documents that differ only by Unicode form (composed U+00E9 vs
     * decomposed e+U+0301), letter case, or whitespace runs; crawl

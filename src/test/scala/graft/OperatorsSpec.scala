@@ -862,6 +862,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keptMass <= budget, s"$keptMass > $budget")
   }
 
+  test("chunk overlap: exact fixture, coverage, overlap, reassembly") {
+    val got = graft.queries.TextQueries.chunkOverlap(spark, sfDir,
+        window = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    // per-doc: chunk count = ceil(n/stride); starts are 0,3,6,…; each
+    // chunk is exactly tokens[start, start+4); concatenating each
+    // chunk's first `stride` tokens rebuilds the doc
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet == docs.filter(_._2.nonEmpty).keySet)
+    byDoc.foreach { case (id, cs) =>
+      val toks = docs(id)
+      val n = toks.length
+      assert(cs.length == (n + 2) / 3, s"doc $id chunk count")
+      cs.sortBy(_._2).zipWithIndex.foreach { case ((_, cid, start, nt, txt), i) =>
+        assert(cid == i && start == 3L * i)
+        val want = toks.slice(start.toInt, start.toInt + 4)
+        assert(nt == want.length && txt == want.mkString(" "),
+          s"doc $id chunk $cid")
+      }
+      val rebuilt = cs.sortBy(_._2).flatMap(c =>
+        c._5.split(" ", -1).take(3)).toSeq
+      assert(rebuilt == toks, s"doc $id reassembly")
+    }
+  }
+
   test("unicode dedup: NFC + casefold + whitespace unify; mapping exact") {
     import spark.implicits._
     val composed = "caf\u00e9 crema"     // e-acute, composed
