@@ -176,6 +176,7 @@ object SparkEntry {
     "text_fingerprint"   -> (TextQueries.textFingerprint _),
     "dedup_embedding_cosine" -> (VectorQueries.dedupEmbeddingCosine _),
     "ann_bruteforce_topk" -> (VectorQueries.annBruteForce _),
+    "hard_negatives"     -> (VectorQueries.hardNegatives _),
     "ann_lsh_topk"       -> (VectorQueries.annLsh _),
     "ann_ivf_topk"       -> (VectorQueries.annIvf _),
     "ann_pq_topk"        -> (VectorQueries.annPq _),
@@ -3537,6 +3538,36 @@ object SparkEntry {
         |  FROM documents) WHERE rn <= 12 ORDER BY source, doc_id""".stripMargin,
 
     "ann_bruteforce_topk" -> bruteForceOracle,
+
+    // D87: the brute-force cosine chain (bit-exact IEEE folds, see
+    // bruteForceOracle) with the τ filter BEFORE the rank window —
+    // identical cos bits make the cut decision engine-invariant
+    "hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT qid, e.vec_id AS id,
+        |    list_reduce(list_transform(range(1, len(qv) + 1),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |      (a, b) -> a + b) AS dot,
+        |    list_reduce(list_transform(range(1, len(qv) + 1),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+        |      (a, b) -> a + b) AS na,
+        |    list_reduce(list_transform(range(1, len(qv) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |      (a, b) -> a + b) AS nb
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |c AS (
+        |  SELECT qid, id,
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+        |  FROM s),
+        |r AS (
+        |  SELECT qid, id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+        |  FROM c WHERE cos < 0.35)
+        |SELECT qid, id, cos, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     "ann_matryoshka_report" -> matryoshkaOracle(16, 40, 10),
 

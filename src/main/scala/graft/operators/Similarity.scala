@@ -34,6 +34,30 @@ object Similarity {
       .select(col("qid"), col("id"), col("cos"), col("rk"))
   }
 
+  /** D87: hard-negative mining for contrastive retrieval training —
+    * per query, the top-`k` most-similar corpus vectors whose cosine
+    * stays BELOW `maxCos`: near-misses, the negatives that actually
+    * teach a bi-encoder (random negatives are trivially separable;
+    * anything ≥ `maxCos` is treated as a positive/near-dup and must
+    * not be trained against). Same scan/broadcast shape as
+    * [[bruteForceKnn]]: the corpus is scanned once, queries ride a
+    * broadcast, the rank window is per-query (bounded by the heap
+    * rewrite); at scale the scored leg swaps for an IVF/PQ candidate
+    * stream with the identical filter+rank tail.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    maxCos: Double): DataFrame = {
+    val scored = corpus.join(broadcast(queries), col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        GraftFunctions.vec_cosine(col("qvec"), col("vec")).as("cos"))
+      .filter(col("cos") < maxCos)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rk"))
+  }
+
   /** All ≤`probeBits`-bit flip masks over `planes` sign bits — the
     * multi-probe neighborhood (Σ C(planes,b) buckets). Enumerated by
     * combinations so it stays cheap even for wide signatures.

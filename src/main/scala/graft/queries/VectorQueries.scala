@@ -352,6 +352,16 @@ object VectorQueries {
       .orderBy(col("rk"))
   }
 
+  /** D87: hard negatives for the standard 5-query sample — top-10
+    * below the 0.35 near-dup line (the same τ the D5 near-dup family
+    * treats as "same content"; anything above it is a positive, not
+    * a negative).
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(queries(spark, dir), corpus(spark, dir),
+        k = 10, maxCos = 0.35)
+      .orderBy(col("qid"), col("rk"))
+
   def embeddingAudit(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"),
         size(col("embedding")).as("dim"),

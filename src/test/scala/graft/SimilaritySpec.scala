@@ -45,6 +45,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: below-τ top-k, exact vs driver reference, τ genuinely bites") {
+    val tau = 0.35
+    val all = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val queries = all.filter(_._1 < 5)
+    val got = graft.queries.VectorQueries.hardNegatives(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 < tau), "every negative must sit below the positive line")
+    queries.foreach { case (qid, qvec) =>
+      val scored = all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosineRef(qvec, v)) }
+      val expect = scored.filter(_._2 < tau)
+        .sortBy { case (id, c) => (-c, id) }.take(10)
+      val gotQ = got.filter(_._1 == qid).sortBy(_._4).map(r => (r._2, r._3))
+      assert(gotQ.map(_._1).toList == expect.map(_._1).toList, s"qid=$qid")
+      gotQ.zip(expect).foreach { case ((_, c1), (_, c2)) =>
+        assert(math.abs(c1 - c2) < 1e-9) }
+    }
+    // the τ filter must exclude something for SOME query (the corpus
+    // plants near-dups ≥ τ), so hard negatives ≠ plain top-k
+    val excluded = queries.exists { case (qid, qvec) =>
+      all.toSeq.exists { case (id, v) => id != qid && cosineRef(qvec, v) >= tau } }
+    assert(excluded, "fixture must contain at least one above-τ positive")
+  }
+
   test("lshKnn returns a subset ranking consistent with brute force on shared candidates") {
     val bf = graft.queries.VectorQueries.annBruteForce(spark, sfDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
