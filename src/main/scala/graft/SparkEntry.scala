@@ -71,6 +71,7 @@ object SparkEntry {
     "k_anonymity_audit"  -> (TextQueries.kAnonymityAudit _),
     "dedup_unicode"      -> (TextQueries.dedupUnicode _),
     "chunk_overlap"      -> ((s, d) => TextQueries.chunkOverlap(s, d)),
+    "html_extract"       -> (TextQueries.htmlExtract _),
     "l_diversity_audit"  -> (TextQueries.lDiversityAudit _),
     "signal_correlation" -> (TextQueries.signalCorrelation _),
     "dp_noisy_counts"    -> (TextQueries.dpNoisyCounts _),
@@ -4030,6 +4031,37 @@ object SparkEntry {
         |  n.doc_id <> c.canonical_id AS is_dup,
         |  n.text <> n.norm AS changed
         |FROM n JOIN c USING (norm) ORDER BY n.doc_id""".stripMargin,
+
+    // D88: both sides build the identical page (escape & first, then
+    // angle brackets) and run the identical RE2-safe extraction chain
+    // (no backreferences; (?is)/(?s) inline flags, &amp; decoded last)
+    "html_extract" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    '<html><head><title></title>' ||
+        |    '<script type="text/javascript">var x = 1 < 2 && 3 > 2;</script>' ||
+        |    '<style>p { color: red; }</style></head>' ||
+        |    '<body><!-- boilerplate --><p>' ||
+        |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+        |      '>', '&gt;') ||
+        |    '</p><br/><div class="footer">visit &amp; read</div></body></html>'
+        |      AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, CAST(length(html) AS BIGINT) AS n_chars_html,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g') AS stripped
+        |  FROM p)
+        |SELECT doc_id, n_chars_html,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(stripped,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS extracted
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     // D86: the proven split chain + range starts + 1-based inclusive
     // list slice (both engines clamp the tail identically)

@@ -29,6 +29,36 @@ object TextFunctions {
   def canonicalText(c: Column): Column =
     trim(regexp_replace(lower(GraftFunctions.nfc_norm(c)), "\\s+", " "))
 
+  /** HTML → text extraction (D88): the first stage of any crawl
+    * pipeline. Drops script/style payloads and comments (non-greedy,
+    * case-insensitive, dot-matches-newline — RE2-compatible patterns
+    * with NO backreferences so DuckDB replays them verbatim), strips
+    * remaining tags to spaces, decodes the five predefined entities
+    * plus nbsp with `&amp;` LAST (double-encoded text stays correct:
+    * `&amp;lt;` → `&lt;`), collapses whitespace. Pure codegen string
+    * ops — no parser state, no UDF; a malformed-tag-soup page
+    * degrades to extra spaces, never an error.
+    */
+  def htmlToText(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = org.apache.spark.sql.functions.replace(
+      org.apache.spark.sql.functions.replace(
+        org.apache.spark.sql.functions.replace(
+          org.apache.spark.sql.functions.replace(
+            org.apache.spark.sql.functions.replace(
+              noTags, lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" "))
+    val ampLast = org.apache.spark.sql.functions.replace(
+      decoded, lit("&amp;"), lit("&"))
+    trim(regexp_replace(ampLast, "\\s+", " "))
+  }
+
   /** BPE-ish subtoken count: alpha runs, digits, and single
     * non-alphanumeric marks each count as one token. ASCII-only
     * pattern so Java and other regex engines agree.

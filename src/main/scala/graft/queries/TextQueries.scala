@@ -1091,6 +1091,39 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D88: HTML → text extraction — each doc rides a deterministic
+    * page template (escaped body, a script with `<`/`>`/`&&` inside,
+    * a style block, a comment, an entity-bearing footer — the traps
+    * a naive tag stripper fails), then
+    * [[graft.functions.TextFunctions.htmlToText]] recovers the text.
+    * The media-decode pattern in text: generator-built container,
+    * REAL extraction, oracle replays both sides.
+    *
+    * Shape at 100 TB: a pure codegen projection — zero exchanges
+    * beyond the gate's determinism orderBy.
+    */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val esc = org.apache.spark.sql.functions.replace(
+      org.apache.spark.sql.functions.replace(
+        org.apache.spark.sql.functions.replace(
+          col("text"), lit("&"), lit("&amp;")),
+        lit("<"), lit("&lt;")),
+      lit(">"), lit("&gt;"))
+    val page = concat(
+      lit("<html><head><title></title>" +
+        "<script type=\"text/javascript\">var x = 1 < 2 && 3 > 2;</script>" +
+        "<style>p { color: red; }</style></head>" +
+        "<body><!-- boilerplate --><p>"),
+      esc,
+      lit("</p><br/><div class=\"footer\">visit &amp; read</div></body></html>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), page.as("html"))
+      .select(col("doc_id"),
+        length(col("html")).cast("long").as("n_chars_html"),
+        graft.functions.TextFunctions.htmlToText(col("html")).as("extracted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D86: overlapping context-window chunking — the chunker every
     * RAG index and long-document training pipeline runs: fixed
     * `window`-token chunks at `stride`-token steps (stride < window

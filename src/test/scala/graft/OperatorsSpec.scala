@@ -862,6 +862,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keptMass <= budget, s"$keptMass > $budget")
   }
 
+  test("html extract: tag soup, script/style payloads, entities, case, multiline") {
+    import spark.implicits._
+    def x(html: String): String =
+      Seq(html).toDF("h")
+        .select(graft.functions.TextFunctions.htmlToText(col("h")))
+        .head().getString(0)
+    assert(x("<p>a  b</p>") == "a b")
+    // script payload containing markup: removed wholesale, not stripped
+    assert(x("<script>if (a<b) { w('<div>x</div>'); }</script>hello") == "hello")
+    assert(x("<SCRIPT>var y = 1;</SCRIPT>ok") == "ok")            // case
+    assert(x("<script>\nvar a;\n</script>done") == "done")        // multiline
+    assert(x("<style>p { color: red; }</style>text") == "text")
+    assert(x("a<!-- hidden\n boilerplate -->b") == "a b")
+    // entity decode with &amp; LAST: double-encoded stays literal
+    assert(x("&amp;lt; &lt; &quot;q&quot; &#39;s&#39; a&nbsp;b")
+      == "&lt; < \"q\" 's' a b")
+    // the full query round-trips every doc's text ahead of the footer
+    val got = graft.queries.TextQueries.htmlExtract(spark, sfDir)
+      .select(col("doc_id"), col("extracted")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        trim(regexp_replace(col("text"), "\\s+", " ")).as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1) + " visit & read")).toMap
+    assert(got == want)
+  }
+
   test("chunk overlap: exact fixture, coverage, overlap, reassembly") {
     val got = graft.queries.TextQueries.chunkOverlap(spark, sfDir,
         window = 4, stride = 3)
