@@ -170,12 +170,17 @@ object SparkEntry {
     "bootstrap_quality_ci" -> (TextQueries.bootstrapQualityCi _),
     // E23 run to completion as a bounded file stream — same oracle
     "stream_bootstrap_ci" -> (StreamFaces.streamBootstrapCi _),
+    // E11 / E14 run to completion the same way — additive per-batch
+    // rows make the read faces ≡ their batch twins exactly
+    "stream_quality_totals" -> (StreamFaces.streamQualityTotals _),
+    "stream_drift_psi"   -> (StreamFaces.streamDriftPsi _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),
     "gopher_quality"     -> (TextQueries.gopherQualityFilter _),
     "fim_transform"      -> (TextQueries.fimTransform _),
     "text_lang_id"       -> (TextQueries.textLangId _),
     "text_fingerprint"   -> (TextQueries.textFingerprint _),
     "dedup_embedding_cosine" -> (VectorQueries.dedupEmbeddingCosine _),
+    "decontamination_semantic" -> (VectorQueries.decontaminationSemantic _),
     "ann_bruteforce_topk" -> (VectorQueries.annBruteForce _),
     "hard_negatives"     -> (VectorQueries.hardNegatives _),
     "ann_lsh_topk"       -> (VectorQueries.annLsh _),
@@ -536,6 +541,32 @@ object SparkEntry {
     * from [[graft.operators.Bootstrap.cum]], exact-integer replica
     * sums, and the explicit lo/hi rank convention.
     */
+  /** Shared by `corpus_drift` and its E14 streaming face
+    * `stream_drift_psi` — the stream merges additive per-batch bucket
+    * counts and finishes through the literally-same `psiFromCounts`
+    * expression tree, so one SQL proves both bit-identical.
+    */
+  private val corpusDriftSql: String =
+    """WITH d AS (
+      |  SELECT lang, CAST(substr(source, 4) AS INT) AS sn FROM documents),
+      |r AS (SELECT lang AS bucket, COUNT(*) AS ref_n FROM d
+      |  WHERE sn < 10 GROUP BY lang),
+      |c AS (SELECT lang AS bucket, COUNT(*) AS cur_n FROM d
+      |  WHERE sn >= 10 GROUP BY lang),
+      |j AS (SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+      |    CAST(COALESCE(ref_n, 0) AS BIGINT) AS ref_n,
+      |    CAST(COALESCE(cur_n, 0) AS BIGINT) AS cur_n
+      |  FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+      |t AS (SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct,
+      |    COUNT(*) AS k FROM j),
+      |s AS (SELECT bucket, ref_n, cur_n,
+      |    CAST(ref_n + 1 AS DOUBLE) / CAST(rt + k AS DOUBLE) AS p,
+      |    CAST(cur_n + 1 AS DOUBLE) / CAST(ct + k AS DOUBLE) AS q
+      |  FROM j CROSS JOIN t)
+      |SELECT bucket, ref_n, cur_n, round(p, 6) AS p, round(q, 6) AS q,
+      |  round((p - q) * ln(p / q), 6) AS psi_term
+      |FROM s ORDER BY bucket""".stripMargin
+
   private def bootstrapOracle(replicas: Int, alpha: Double): String = {
     val lo = math.ceil(alpha * replicas).toInt
     val hi = replicas - lo + 1
@@ -2032,6 +2063,29 @@ object SparkEntry {
         |    (SELECT COUNT(*) FROM orders o
         |     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         |     WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL))
+        |SELECT rule, CAST(violations AS BIGINT) AS violations,
+        |  (violations = 0) AS pass
+        |FROM legs ORDER BY rule""".stripMargin,
+
+    // the E11 stream face monitors the ROW-LEVEL rule subset only
+    // (uniqueness/ref-integrity are not per-batch decomposable); the
+    // summed per-batch counts equal the batch scan exactly
+    "stream_quality_totals" ->
+      """WITH legs AS (
+        |  SELECT 'not_null(o_custkey)' AS rule,
+        |    COUNT(*) FILTER (WHERE o_custkey IS NULL) AS violations FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice)',
+        |    COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)) FROM orders
+        |  UNION ALL
+        |  SELECT 'in_set(o_orderstatus)',
+        |    COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F')) FROM orders
+        |  UNION ALL
+        |  SELECT 'matches(o_orderpriority)',
+        |    COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
+        |      AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) FROM orders)
         |SELECT rule, CAST(violations AS BIGINT) AS violations,
         |  (violations = 0) AS pass
         |FROM legs ORDER BY rule""".stripMargin,
@@ -3543,6 +3597,41 @@ object SparkEntry {
     // D87: the brute-force cosine chain (bit-exact IEEE folds, see
     // bruteForceOracle) with the τ filter BEFORE the rank window —
     // identical cos bits make the cut decision engine-invariant
+    // per-corpus-row argmax over the bench: the Spark fold keeps the
+    // FIRST max in bid-ascending order = ORDER BY cos DESC, bid pick;
+    // cosine bits are the D6 fold, so the tau cut cannot diverge
+    "decontamination_semantic" ->
+      """WITH b AS (
+        |  SELECT vec_id AS bid, embedding AS bv FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |c AS (
+        |  SELECT vec_id AS id, embedding AS v FROM embeddings
+        |  WHERE vec_id % 100 <> 0),
+        |s AS (
+        |  SELECT id, bid,
+        |    list_reduce(list_transform(range(1, len(v) + 1),
+        |      i -> CAST(v[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)),
+        |      (a, x) -> a + x) AS dot,
+        |    list_reduce(list_transform(range(1, len(v) + 1),
+        |      i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)),
+        |      (a, x) -> a + x) AS na,
+        |    list_reduce(list_transform(range(1, len(v) + 1),
+        |      i -> CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)),
+        |      (a, x) -> a + x) AS nb
+        |  FROM c CROSS JOIN b),
+        |sc AS (
+        |  SELECT id, bid,
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+        |  FROM s),
+        |r AS (
+        |  SELECT id, bid, cos,
+        |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, bid) AS rk
+        |  FROM sc)
+        |SELECT id, bid AS bench_id, cos AS max_cos,
+        |  (cos >= 0.35) AS contaminated
+        |FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
+
     "hard_negatives" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -3849,26 +3938,10 @@ object SparkEntry {
 
     // PSI drift: exact integer counts, add-one smoothing over the
     // union bucket count, single divides, one ln absorbed by 6-dp
-    "corpus_drift" ->
-      """WITH d AS (
-        |  SELECT lang, CAST(substr(source, 4) AS INT) AS sn FROM documents),
-        |r AS (SELECT lang AS bucket, COUNT(*) AS ref_n FROM d
-        |  WHERE sn < 10 GROUP BY lang),
-        |c AS (SELECT lang AS bucket, COUNT(*) AS cur_n FROM d
-        |  WHERE sn >= 10 GROUP BY lang),
-        |j AS (SELECT COALESCE(r.bucket, c.bucket) AS bucket,
-        |    CAST(COALESCE(ref_n, 0) AS BIGINT) AS ref_n,
-        |    CAST(COALESCE(cur_n, 0) AS BIGINT) AS cur_n
-        |  FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
-        |t AS (SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct,
-        |    COUNT(*) AS k FROM j),
-        |s AS (SELECT bucket, ref_n, cur_n,
-        |    CAST(ref_n + 1 AS DOUBLE) / CAST(rt + k AS DOUBLE) AS p,
-        |    CAST(cur_n + 1 AS DOUBLE) / CAST(ct + k AS DOUBLE) AS q
-        |  FROM j CROSS JOIN t)
-        |SELECT bucket, ref_n, cur_n, round(p, 6) AS p, round(q, 6) AS q,
-        |  round((p - q) * ln(p / q), 6) AS psi_term
-        |FROM s ORDER BY bucket""".stripMargin,
+    "corpus_drift" -> corpusDriftSql,
+    // the E14 stream face merges additive per-batch counts through the
+    // SAME psiFromCounts tree — one SQL proves both
+    "stream_drift_psi" -> corpusDriftSql,
 
     "ngram_novelty" ->
       """WITH t AS (

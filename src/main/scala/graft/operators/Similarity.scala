@@ -58,6 +58,50 @@ object Similarity {
       .select(col("qid"), col("id"), col("cos"), col("rk"))
   }
 
+  /** D89: semantic decontamination — per corpus vector, the max
+    * cosine against ANY benchmark/eval vector plus the responsible
+    * bench id, flagged at `tau`. The embedding-space companion of the
+    * token-8-gram screen (D19) and the char-window screen (D74):
+    * paraphrased eval items share no lexical n-gram but sit right on
+    * top of the original in embedding space — exactly what SemDeDup
+    * (D38) exploits for dedup, pointed at the eval boundary instead.
+    *
+    * Plan shape is the BM25/one-row-broadcast discipline, NOT the
+    * knn window: eval suites are small by construction (the D19
+    * broadcast argument), so the whole bench collapses to ONE row
+    * holding a bid-sorted array of (bid, vec) structs, cross-joined
+    * (broadcast) onto the corpus scan; per corpus row a left fold over
+    * that array keeps the best (cos, bid). ZERO shuffle — a map-only
+    * scan at any corpus size (the groupBy(id)-over-exploded-matches
+    * alternative would shuffle one row per corpus vector for nothing).
+    * Fold order is bid-ascending with strict-> keep, so ties resolve
+    * to the LOWEST bench id — the same pick as `row_number() OVER
+    * (ORDER BY cos DESC, bid)`, which is how the oracle states it.
+    * Cosines are the [[graft.functions.GraftFunctions.vec_cosine]]
+    * index-order IEEE fold — bit-exact cross-engine (the D6 proof),
+    * so the `tau` cut cannot diverge on a ulp. At a truly large bench
+    * swap the literal array for the IVF candidate stream (D7) with
+    * the identical filter+argmax tail.
+    */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+                            tau: Double): DataFrame = {
+    val benchRow = bench
+      .agg(sort_array(collect_list(struct(col("qid").as("bid"),
+        col("qvec").as("bvec")))).as("__bench"))
+    val scored = transform(col("__bench"), b =>
+      struct(GraftFunctions.vec_cosine(col("vec"), b.getField("bvec")).as("c"),
+        b.getField("bid").as("i")))
+    val best = aggregate(scored,
+      struct(lit(-2.0).as("c"), lit(-1L).as("i")),
+      (acc, s) => when(s.getField("c") > acc.getField("c"), s).otherwise(acc))
+    corpus.crossJoin(broadcast(benchRow))
+      .select(col("id"), best.as("__best"))
+      .select(col("id"),
+        col("__best").getField("i").as("bench_id"),
+        col("__best").getField("c").as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= lit(tau))
+  }
+
   /** All ≤`probeBits`-bit flip masks over `planes` sign bits — the
     * multi-probe neighborhood (Σ C(planes,b) buckets). Enumerated by
     * combinations so it stays cheap even for wide signatures.

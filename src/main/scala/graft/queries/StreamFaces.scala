@@ -42,4 +42,62 @@ object StreamFaces {
     q.awaitTermination()
     graft.streaming.StreamingBootstrap.ciToDate(spark, s"$base/cells")
   }
+
+  /** E11 as a gated key: continuous data-quality monitoring run to
+    * completion over the orders table arriving as a file stream. The
+    * monitored rules are the ROW-LEVEL subset of the batch
+    * `data_expectations` rule set (uniqueness/ref-integrity are not
+    * per-batch decomposable — the batch operator owns those); row
+    * violation counts are additive across any batching, so the summed
+    * read face equals the batch scan over the union EXACTLY and the
+    * oracle is the batch legs' SQL.
+    */
+  def streamQualityTotals(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_dq")
+      .toFile.getAbsolutePath
+    val schema = Tables.orders(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(dir)
+    val q = graft.streaming.StreamingQuality.start(
+      stream,
+      rowRules = Seq(
+        Expectations.notNull("o_custkey"),
+        Expectations.inRange("o_totalprice", 0.0, 400000.0),
+        Expectations.inSet("o_orderstatus", Seq("O", "F")),
+        Expectations.matches("o_orderpriority", "^[1-5]-")),
+      path = s"$base/viol", checkpoint = s"$base/ckpt",
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    graft.streaming.StreamingQuality.totals(spark, s"$base/viol")
+  }
+
+  /** E14 as a gated key: the streaming PSI drift monitor run to
+    * completion — reference histogram frozen from the first half of
+    * the corpus (source number < 10, the batch `corpus_drift` split),
+    * the second half arriving as a filtered file stream. Per-batch
+    * bucket counts are additive, and the read face runs the
+    * literally-same `Drift.psiFromCounts` expression tree as the batch
+    * operator, so the report is BIT-identical to `corpus_drift` and
+    * shares its oracle SQL verbatim.
+    */
+  def streamDriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_dr")
+      .toFile.getAbsolutePath
+    val docs = Tables.documents(spark, dir)
+      .withColumn("__sn", expr("CAST(substr(source, 4) AS INT)"))
+    graft.streaming.StreamingDrift.saveReference(
+      docs.filter(col("__sn") < 10), col("lang"), s"$base/ref")
+    val schema = Tables.documents(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(expr("CAST(substr(source, 4) AS INT)") >= 10)
+    val q = graft.streaming.StreamingDrift.start(
+      stream, col("lang"), s"$base/cur", s"$base/ckpt",
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    graft.streaming.StreamingDrift.psiToDate(spark, s"$base/ref", s"$base/cur")
+  }
 }

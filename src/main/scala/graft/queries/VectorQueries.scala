@@ -362,6 +362,23 @@ object VectorQueries {
         k = 10, maxCos = 0.35)
       .orderBy(col("qid"), col("rk"))
 
+  /** D89: semantic decontamination — the corpus screened against the
+    * 1%-slice eval bench (vec_id ≡ 0 mod 100) at the near-dup line
+    * τ = 0.35 (the same threshold [[dedupEmbeddingCosine]] treats as
+    * duplicate — anything that close to an eval item is contamination
+    * whether or not a single n-gram survives the paraphrase). See
+    * [[graft.operators.Similarity.semanticContamination]].
+    */
+  def decontaminationSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(spark, dir)
+    val bench = all.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corp = all.filter(col("vec_id") % 100 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.semanticContamination(corp, bench, tau = 0.35)
+      .orderBy(col("id"))
+  }
+
   def embeddingAudit(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"),
         size(col("embedding")).as("dim"),
