@@ -72,6 +72,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(excluded, "fixture must contain at least one above-τ positive")
   }
 
+  test("semantic decontamination: argmax matches a driver reference, both verdicts live") {
+    val all = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val bench = all.filter(_._1 % 100 == 0)
+    assert(bench.nonEmpty, "bench slice must be non-empty")
+    val got = graft.queries.VectorQueries.decontaminationSemantic(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.length == all.size - bench.size, "one row per corpus vector")
+    got.foreach { case (id, bid, maxCos, flag) =>
+      val expect = bench.toSeq
+        .map { case (b, bv) => (b, cosineRef(all(id), bv)) }
+        .sortBy { case (b, c) => (-c, b) }.head
+      assert(bid == expect._1, s"id=$id argmax bench id diverges")
+      assert(math.abs(maxCos - expect._2) < 1e-12, s"id=$id max cos diverges")
+      assert(flag == (maxCos >= 0.35), s"id=$id flag inconsistent with the cut")
+    }
+    assert(got.exists(_._4) && got.exists(!_._4),
+      "fixture must produce both contaminated and clean verdicts")
+  }
+
   test("lshKnn returns a subset ranking consistent with brute force on shared candidates") {
     val bf = graft.queries.VectorQueries.annBruteForce(spark, sfDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
