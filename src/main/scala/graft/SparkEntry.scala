@@ -113,6 +113,7 @@ object SparkEntry {
     "text_normalize"     -> (ExtendedQueries.textNormalize _),
     "text_chunk"         -> (ExtendedQueries.textChunk _),
     "text_redact"        -> (ExtendedQueries.textRedact _),
+    "text_redact_luhn"   -> (TextQueries.textRedactLuhn _),
     "vocab_top_words"    -> (ExtendedQueries.vocabTopWords _),
     "zipf_fit"           -> (ExtendedQueries.zipfFit _),
     "zipf_theil_sen"     -> (ExtendedQueries.zipfTheilSen _),
@@ -2773,6 +2774,54 @@ object SparkEntry {
         |  regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
         |    '[0-9]+', '<NUM>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // D90: both engines build the same card-shaped candidate (check
+    // digit solved from the Luhn fold), extract 13-16 digit runs,
+    // validate, and replace-fold only the valid ones; the fold is
+    // exact integer arithmetic so the verdicts cannot diverge
+    "text_redact_luhn" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    '400000' || lpad(CAST((doc_id * 37 + 11) % 1000000000 AS VARCHAR),
+        |      9, '0') AS p15
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, text, p15,
+        |    list_reduce(list_transform(range(1, 17),
+        |      i -> CASE WHEN i % 2 = 0 THEN
+        |             CASE WHEN 2 * (ascii(substr(p15 || '0', 17 - i, 1)) - 48) > 9
+        |                  THEN 2 * (ascii(substr(p15 || '0', 17 - i, 1)) - 48) - 9
+        |                  ELSE 2 * (ascii(substr(p15 || '0', 17 - i, 1)) - 48) END
+        |           ELSE ascii(substr(p15 || '0', 17 - i, 1)) - 48 END),
+        |      (a, b) -> a + b) AS ts
+        |  FROM g),
+        |e AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 30) || ' card ' || p15 ||
+        |      CAST(CASE WHEN doc_id % 2 = 0 THEN (10 - ts % 10) % 10
+        |           ELSE ((10 - ts % 10) % 10 + 5) % 10 END AS VARCHAR) ||
+        |      ' ref 12345 end' AS emb
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, emb,
+        |    regexp_extract_all(emb, '[0-9]{13,16}') AS cands
+        |  FROM e),
+        |v AS (
+        |  SELECT doc_id, emb, cands,
+        |    list_filter(cands, cd ->
+        |      list_reduce(list_transform(range(1, len(cd) + 1),
+        |        i -> CASE WHEN i % 2 = 0 THEN
+        |               CASE WHEN 2 * (ascii(substr(cd, len(cd) - i + 1, 1)) - 48) > 9
+        |                    THEN 2 * (ascii(substr(cd, len(cd) - i + 1, 1)) - 48) - 9
+        |                    ELSE 2 * (ascii(substr(cd, len(cd) - i + 1, 1)) - 48) END
+        |             ELSE ascii(substr(cd, len(cd) - i + 1, 1)) - 48 END),
+        |        (a, b) -> a + b) % 10 = 0) AS vc
+        |  FROM c)
+        |SELECT doc_id, CAST(len(cands) AS INTEGER) AS n_candidates,
+        |  CAST(len(vc) AS INTEGER) AS n_valid,
+        |  list_reduce(list_prepend(emb, vc),
+        |    (txt, cd) -> replace(txt, cd, '<CC>')) AS redacted
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "vocab_top_words" ->
       """SELECT word, COUNT(*) AS freq FROM (

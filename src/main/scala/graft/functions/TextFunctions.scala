@@ -11,6 +11,31 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Luhn mod-10 checksum of a digit string (ISO/IEC 7812 — the
+    * check every payment-card number carries): position 1 is the
+    * RIGHTMOST digit, every even position doubles with the
+    * 9-subtraction carry fold. A left fold over the index sequence —
+    * pure codegen arithmetic, no UDF; assumes the input is all
+    * digits (callers extract candidates with a digit-run regex).
+    */
+  def luhnSum(digits: Column): Column =
+    aggregate(sequence(lit(1), length(digits)), lit(0),
+      (acc, i) => {
+        val d = ascii(digits.substr(length(digits) - i + lit(1), lit(1))) -
+          lit(48)
+        val dd = when(i % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + dd
+      })
+
+  /** True iff the digit string passes the Luhn check — the validation
+    * that separates a real card-shaped number from an arbitrary id of
+    * the same length (redacting every 13–16 digit run would destroy
+    * clean order/reference ids; ~10% of random runs pass by chance,
+    * the documented residual).
+    */
+  def luhnValid(digits: Column): Column = luhnSum(digits) % 10 === 0
+
   /** Whitespace tokens (trimmed; empty string → single empty token,
     * callers filter if needed — testdata has no empty docs).
     */

@@ -1124,6 +1124,45 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D90: checksum-validated PII redaction — the upgrade over D15's
+    * pattern-only pass: a bare `[0-9]{13,16}` redaction destroys
+    * every clean order/reference id of card length, so real PII
+    * pipelines VALIDATE candidates (Luhn mod-10) and redact only the
+    * ones that could actually be card numbers. Each doc rides a
+    * deterministic generator-built sentence carrying one card-shaped
+    * candidate — Luhn-VALID for even doc ids (check digit solved from
+    * the fold), broken by +5 for odd ids — plus a short digit run the
+    * length window must ignore; the operator then extracts, validates
+    * with [[graft.functions.TextFunctions.luhnValid]], and
+    * replace-folds only the valid ones to `<CC>`.
+    *
+    * Shape at 100 TB: pure per-row codegen work (regex extract + a
+    * bounded fold per ≤16-char candidate), zero exchanges — the D15
+    * cost class with a constant-factor checksum.
+    */
+  def textRedactLuhn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val p15 = concat(lit("400000"),
+      lpad(((col("doc_id") * 37 + 11) % 1000000000L).cast("string"), 9, "0"))
+    // check digit d solves luhnSum(p15 || d) ≡ 0 (appending shifts
+    // nothing: the new digit sits at odd position 1, undoubled)
+    val t = TextFunctions.luhnSum(concat(p15, lit("0")))
+    val dv = (lit(10) - (t % 10)) % 10
+    val digit = when(col("doc_id") % 2 === 0, dv).otherwise((dv + 5) % 10)
+    val emb = concat(substring(col("text"), 1, 30), lit(" card "),
+      p15, digit.cast("string"), lit(" ref 12345 end"))
+    val cands = regexp_extract_all(emb, lit("[0-9]{13,16}"), lit(0))
+    val valid = filter(cands, c => TextFunctions.luhnValid(c))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(cands).as("n_candidates"),
+        size(valid).as("n_valid"),
+        aggregate(valid, emb,
+          (txt, c) => org.apache.spark.sql.functions.replace(
+            txt, c, lit("<CC>"))).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D86: overlapping context-window chunking — the chunker every
     * RAG index and long-document training pipeline runs: fixed
     * `window`-token chunks at `stride`-token steps (stride < window

@@ -889,6 +889,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("luhn redaction: known card vectors, valid-only replacement, length window") {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    // the textbook vectors: 4111111111111111 valid, last-digit flip invalid
+    val vecs = Seq(
+      ("4111111111111111", true), ("4111111111111112", false),
+      ("79927398713", true), // the Wikipedia reference number (11 digits)
+      ("1234567812345670", true), ("1234567812345678", false))
+    val got = spark.range(1).select(
+      vecs.map { case (s, _) =>
+        graft.functions.TextFunctions.luhnValid(lit(s)).as(s) }: _*)
+      .collect().head
+    vecs.zipWithIndex.foreach { case ((s, want), i) =>
+      assert(got.getBoolean(i) == want, s"luhnValid($s)") }
+
+    val rows = graft.queries.TextQueries.textRedactLuhn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nc, nv, red) =>
+      assert(nc == 1, s"doc $id: exactly one card-length candidate")
+      assert(nv == (if (id % 2 == 0) 1 else 0), s"doc $id: validity by parity")
+      if (id % 2 == 0) {
+        assert(red.contains("<CC>") && !red.matches(".*[0-9]{13,16}.*"),
+          s"doc $id: valid candidate must be redacted")
+      } else
+        assert(!red.contains("<CC>"), s"doc $id: invalid candidate kept")
+      assert(red.contains(" ref 12345 end"),
+        s"doc $id: short digit runs must survive the length window")
+    }
+  }
+
   test("chunk overlap: exact fixture, coverage, overlap, reassembly") {
     val got = graft.queries.TextQueries.chunkOverlap(spark, sfDir,
         window = 4, stride = 3)
