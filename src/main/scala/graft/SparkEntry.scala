@@ -220,6 +220,7 @@ object SparkEntry {
     "quantile_buckets"   -> (WarehouseQueries.eventsQuantileBuckets _),
     "mad_outliers"       -> (WarehouseQueries.eventsMadOutliers _),
     "peak_concurrency"   -> (WarehouseQueries.peakConcurrency _),
+    "pareto_frontier"    -> (WarehouseQueries.paretoFrontier _),
     "ewma_user_value"    -> (WarehouseQueries.ewmaUserValue _),
     "quality_filter"     -> (TextQueries.qualityFilter _),
     "vocab_tokenize"     -> (TextQueries.vocabTokenize _),
@@ -4475,6 +4476,19 @@ object SparkEntry {
     // carry-in from a calendar join (equivalent to the Spark side's
     // midnight explode: calendar day D counts a session iff
     // t_start < D <= t_end).
+    // C64: the distributed sort-scan keeps a row iff no strictly-
+    // earlier row in (x asc, y desc, id) order has y >= it — exactly
+    // the dominance predicate plus the least-id duplicate tiebreak;
+    // dominance compares STORED values only, so doubles are bit-safe
+    "pareto_frontier" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part t
+        |WHERE NOT EXISTS (SELECT 1 FROM part e WHERE
+        |  (e.p_retailprice < t.p_retailprice AND e.p_size >= t.p_size) OR
+        |  (e.p_retailprice <= t.p_retailprice AND e.p_size > t.p_size) OR
+        |  (e.p_retailprice = t.p_retailprice AND e.p_size = t.p_size
+        |   AND e.p_partkey < t.p_partkey))
+        |ORDER BY p_partkey""".stripMargin,
+
     "peak_concurrency" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id,

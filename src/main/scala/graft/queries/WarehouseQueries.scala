@@ -210,6 +210,19 @@ object WarehouseQueries {
     * Interval semantics are half-open [t_start, t_end): at a shared
     * instant the −1 applies before the +1 (the (t, d) tiebreak).
     */
+  /** C64: the price/size Pareto frontier of the part catalog — every
+    * part no other part beats on BOTH cost and capability (see
+    * [[graft.operators.Skyline]]). The multi-objective answer a
+    * scoring formula can't give: each frontier row is optimal under
+    * SOME monotone preference between the two dims.
+    */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline.paretoFrontier2d(
+        Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+        x = col("p_retailprice"), y = col("p_size"), id = col("p_partkey"))
+      .orderBy(col("p_partkey"))
+
   def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = graft.operators.Sessionize.sessions(Tables.events(spark, dir),

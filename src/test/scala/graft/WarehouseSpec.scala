@@ -1484,4 +1484,41 @@ class WarehouseSpec extends AnyFunSuite {
       .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
     assert(ids.subsetOf(withR))
   }
+
+  // ---- Pareto skyline ---------------------------------------------------
+
+  test("skyline: hand fixture incl. duplicates and one-dim ties, partition invariance") {
+    // (id, x minimize, y maximize). Frontier by hand:
+    //   (1, 1.0, 5)  cheapest AND best — dominates everything with y<=5
+    //   (4, 2.0, 7)  pricier but higher y
+    //   (7, 5.0, 9)  the high end
+    // Dominated: 2 (same x as 1, lower y), 3 (worse both), 5 (same y
+    // as 4, higher x), 6 (duplicate of 4 with larger id), 8 (worse
+    // than 7 on both).
+    val pts = Seq(
+      (1L, 1.0, 5), (2L, 1.0, 4), (3L, 3.0, 2), (4L, 2.0, 7),
+      (5L, 3.0, 7), (6L, 2.0, 7), (7L, 5.0, 9), (8L, 6.0, 8))
+      .toDF("id", "x", "y")
+    val got = graft.operators.Skyline.paretoFrontier2d(
+        pts, col("x"), col("y"), col("id"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L, 7L))
+    // brute-force dominance reference over the sf part table
+    val parts = graft.sources.Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val expect = parts.filter { case (id, x, y) =>
+      !parts.exists { case (eid, ex, ey) =>
+        (ex < x && ey >= y) || (ex <= x && ey > y) ||
+          (ex == x && ey == y && eid < id) }
+    }.map(_._1).toSet
+    val gotSf = graft.queries.WarehouseQueries.paretoFrontier(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotSf == expect)
+    // partition invariance: the range boundaries must not matter
+    val re = graft.operators.Skyline.paretoFrontier2d(
+        pts.repartition(7), col("x"), col("y"), col("id"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(re == got)
+  }
 }
