@@ -160,6 +160,7 @@ object SparkEntry {
     "perplexity_filter"  -> (TextQueries.perplexityFilter _),
     "temperature_mix"    -> (TextQueries.temperatureMix _),
     "unimax_mix"         -> (TextQueries.unimaxMix _),
+    "epoch_allocation"   -> (TextQueries.epochAllocation _),
     "vocab_heavy_hitters" -> (TextQueries.vocabHeavyHitters _),
     "text_token_count"   -> (TextQueries.textTokenCount _),
     "text_quality_score" -> (TextQueries.textQualityScore _),
@@ -1734,6 +1735,40 @@ object SparkEntry {
     // recursive CTE walking strata in (cap, name) order — every step
     // BIGINT, so quotas and the kept set hash-match; selection is the
     // same portable-XXH64 rank the other mixture oracles use
+    // D91: the greedy marginal schedule as pure integer arithmetic —
+    // marginals ride as u·7^k·10^(7−k) (0.7^k in fixed point, common
+    // denominator), so the order, the prefix-mass walk, and the
+    // partial boundary epoch are all BIGINT-exact in both engines
+    "epoch_allocation" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS u
+        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+        |t AS (SELECT CAST(SUM(u) AS BIGINT) AS tu FROM m),
+        |c AS (
+        |  SELECT source, u, k,
+        |    ([10000000, 7000000, 4900000, 3430000, 2401000, 1680700,
+        |      1176490, 823543][k + 1]) AS mult
+        |  FROM m CROSS JOIN (SELECT unnest(range(0, 8)) AS k)),
+        |w AS (
+        |  SELECT source, u, k, mult, u * mult AS mv,
+        |    COALESCE(SUM(u) OVER (ORDER BY u * mult DESC, source, k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev,
+        |    (SELECT tu * 3 // 2 FROM t) AS b
+        |  FROM c),
+        |a AS (
+        |  SELECT source, u, k, mult,
+        |    CASE WHEN prev >= b THEN 0
+        |         ELSE LEAST(u, b - prev) END AS alloc
+        |  FROM w)
+        |SELECT source, u AS unique_tokens,
+        |  CAST(COUNT(*) FILTER (WHERE alloc > 0) AS INTEGER) AS n_epochs,
+        |  CAST(COUNT(*) FILTER (WHERE alloc = u AND u > 0) AS INTEGER)
+        |    AS full_epochs,
+        |  CAST(SUM(alloc) AS BIGINT) AS tokens_alloc,
+        |  CAST(SUM(alloc * mult) AS BIGINT) AS eff_fp
+        |FROM a GROUP BY source, u ORDER BY source""".stripMargin,
+
     "unimax_mix" ->
       s"""WITH RECURSIVE caps AS (
         |  SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS cap

@@ -1124,6 +1124,22 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D91: data-constrained epoch allocation — 1.5× the corpus's
+    * unique token mass allocated across sources under the geometric
+    * repeated-epoch decay (see [[graft.operators.EpochAlloc]]). The
+    * budget question the other mixers don't answer: WHEN the budget
+    * exceeds the unique data, which sources earn a second (third, …)
+    * epoch and which stay at one.
+    */
+  def epochAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val masses = Tables.documents(spark, dir)
+      .filter(col("source").isNotNull)
+      .groupBy(col("source"))
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long")).as("u"))
+    graft.operators.EpochAlloc.allocate(masses)
+  }
+
   /** D90: checksum-validated PII redaction — the upgrade over D15's
     * pattern-only pass: a bare `[0-9]{13,16}` redaction destroys
     * every clean order/reference id of card length, so real PII

@@ -889,6 +889,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("epoch allocation: hand greedy replay, budget conservation, prefix property") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // u = (a:100, b:50, c:10), budget = 3/2 · 160 = 240. Greedy by
+    // marginal u·0.7^k: a0(1000)→100, a1(700)→100, b0(500)→40
+    // partial (budget hit), a2(490)→0, … c never starts.
+    val masses = Seq(("a", 100L), ("b", 50L), ("c", 10L)).toDF("source", "u")
+    val got = graft.operators.EpochAlloc.allocate(masses)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got("a") == ((100L, 2, 2, 200L, 100L * 10000000L + 100L * 7000000L)))
+    assert(got("b") == ((50L, 1, 0, 40L, 40L * 10000000L)))
+    assert(got("c") == ((10L, 0, 0, 0L, 0L)))
+    // budget exactly consumed when Σu exceeds it
+    assert(got.values.map(_._4).sum == 240L)
+    // sf face: per-source epochs form a prefix (full before partial),
+    // total allocation equals the 1.5× budget, output is per-source
+    val sf = graft.queries.TextQueries.epochAllocation(spark, sfDir).collect()
+    assert(sf.nonEmpty)
+    sf.foreach { r =>
+      val (ne, fe) = (r.getInt(2), r.getInt(3))
+      assert(ne == fe || ne == fe + 1, s"${r.getString(0)}: partial beyond prefix")
+    }
+    val totU = sf.map(_.getLong(1)).sum
+    assert(sf.map(_.getLong(4)).sum == totU * 3 / 2)
+  }
+
   test("luhn redaction: known card vectors, valid-only replacement, length window") {
     import org.apache.spark.sql.functions.{lit, typedLit}
     // the textbook vectors: 4111111111111111 valid, last-digit flip invalid
