@@ -127,6 +127,7 @@ object SparkEntry {
     "dedup_source_matrix" -> (TextQueries.dedupSourceMatrix _),
     "dedup_simhash"      -> (TextQueries.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
+    "rouge_overlap"      -> (TextQueries.rougeOverlap _),
     "dedup_weighted_jaccard" -> (TextQueries.dedupWeightedJaccard _),
     "dedup_resolve"      -> (TextQueries.dedupResolve _),
     "dedup_keep_best"    -> (TextQueries.dedupKeepBest _),
@@ -3100,6 +3101,53 @@ object SparkEntry {
         |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+
+    // D92: clipped (multiset) n-gram overlap per consecutive pair;
+    // integer counts under single int->double divides, F1 as the
+    // one-divide identity 2o/(na+nb) — no compound rounding
+    "rouge_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.tk AS ta, b.tk AS tb
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+        |g AS (
+        |  SELECT id_a, id_b, ta AS g1a, tb AS g1b,
+        |    list_transform(range(1, len(ta)), i -> ta[i] || ' ' || ta[i+1]) AS g2a,
+        |    list_transform(range(1, len(tb)), i -> tb[i] || ' ' || tb[i+1]) AS g2b
+        |  FROM p),
+        |c1a AS (SELECT id_a, id_b, gram, COUNT(*) AS ca FROM
+        |  (SELECT id_a, id_b, unnest(g1a) AS gram FROM g) GROUP BY 1, 2, 3),
+        |c1b AS (SELECT id_a, id_b, gram, COUNT(*) AS cb FROM
+        |  (SELECT id_a, id_b, unnest(g1b) AS gram FROM g) GROUP BY 1, 2, 3),
+        |o1 AS (SELECT id_a, id_b, SUM(LEAST(ca, cb)) AS o
+        |  FROM c1a JOIN c1b USING (id_a, id_b, gram) GROUP BY 1, 2),
+        |c2a AS (SELECT id_a, id_b, gram, COUNT(*) AS ca FROM
+        |  (SELECT id_a, id_b, unnest(g2a) AS gram FROM g) GROUP BY 1, 2, 3),
+        |c2b AS (SELECT id_a, id_b, gram, COUNT(*) AS cb FROM
+        |  (SELECT id_a, id_b, unnest(g2b) AS gram FROM g) GROUP BY 1, 2, 3),
+        |o2 AS (SELECT id_a, id_b, SUM(LEAST(ca, cb)) AS o
+        |  FROM c2a JOIN c2b USING (id_a, id_b, gram) GROUP BY 1, 2),
+        |f AS (
+        |  SELECT g.id_a, g.id_b,
+        |    CAST(COALESCE(o1.o, 0) AS BIGINT) AS o1v,
+        |    CAST(COALESCE(o2.o, 0) AS BIGINT) AS o2v,
+        |    CAST(len(g1a) AS BIGINT) AS n1a, CAST(len(g1b) AS BIGINT) AS n1b,
+        |    CAST(len(g2a) AS BIGINT) AS n2a, CAST(len(g2b) AS BIGINT) AS n2b
+        |  FROM g LEFT JOIN o1 USING (id_a, id_b) LEFT JOIN o2 USING (id_a, id_b))
+        |SELECT id_a, id_b,
+        |  o1v AS r1_overlap,
+        |  CASE WHEN n1a > 0 THEN CAST(o1v AS DOUBLE) / n1a ELSE 0.0 END AS r1_recall,
+        |  CASE WHEN n1b > 0 THEN CAST(o1v AS DOUBLE) / n1b ELSE 0.0 END AS r1_precision,
+        |  CASE WHEN n1a + n1b > 0 THEN CAST(o1v * 2 AS DOUBLE) / (n1a + n1b)
+        |       ELSE 0.0 END AS r1_f1,
+        |  o2v AS r2_overlap,
+        |  CASE WHEN n2a > 0 THEN CAST(o2v AS DOUBLE) / n2a ELSE 0.0 END AS r2_recall,
+        |  CASE WHEN n2b > 0 THEN CAST(o2v AS DOUBLE) / n2b ELSE 0.0 END AS r2_precision,
+        |  CASE WHEN n2a + n2b > 0 THEN CAST(o2v * 2 AS DOUBLE) / (n2a + n2b)
+        |       ELSE 0.0 END AS r2_f1
+        |FROM f ORDER BY id_a""".stripMargin,
 
     // the dedup_resolve closure feeding the train_split hash CASE on
     // the CLUSTER canonical id — near-dups share a bucket by

@@ -1124,6 +1124,22 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D92: ROUGE-1/ROUGE-2 overlap on consecutive-id doc pairs (the
+    * D4 pairing device: doc i as reference, doc i+1 as candidate) —
+    * see [[graft.operators.Rouge]]. Both orders share the pair frame;
+    * the two aggregate-grain results join back on the pair key.
+    */
+  def rougeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val pairs = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      .join(d.select(col("doc_id").as("id_b"), col("text").as("text_b")),
+        col("id_b") === col("id_a") + 1)
+    val r1 = graft.operators.Rouge.overlap(pairs, n = 1, prefix = "r1")
+    val r2 = graft.operators.Rouge.overlap(pairs, n = 2, prefix = "r2")
+    r1.join(r2, Seq("id_a", "id_b")).orderBy(col("id_a"))
+  }
+
   /** D91: data-constrained epoch allocation — 1.5× the corpus's
     * unique token mass allocated across sources under the geometric
     * repeated-epoch decay (see [[graft.operators.EpochAlloc]]). The

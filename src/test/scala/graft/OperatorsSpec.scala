@@ -889,6 +889,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("rouge overlap: clipped-count fixture, bounds, harmonic identity") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // ref "a a b c" vs cand "a b b d": R1 clip = min(2,1)+min(1,2) = 2
+    // → r=p=f1=0.5; R2 grams share only "a b" → 1/3 everywhere
+    val pairs = Seq((1L, 2L, "a a b c", "a b b d"))
+      .toDF("id_a", "id_b", "text_a", "text_b")
+    val r1 = graft.operators.Rouge.overlap(pairs, 1, "r1").collect().head
+    assert(r1.getLong(2) == 2L && r1.getDouble(3) == 0.5 &&
+      r1.getDouble(4) == 0.5 && r1.getDouble(5) == 0.5)
+    val r2 = graft.operators.Rouge.overlap(pairs, 2, "r2").collect().head
+    assert(r2.getLong(2) == 1L && r2.getDouble(3) == 1.0 / 3 &&
+      r2.getDouble(4) == 1.0 / 3 && r2.getDouble(5) == 1.0 / 3)
+    // a side shorter than n publishes zeros, not nulls
+    val short = Seq((1L, 2L, "a", "b c"))
+      .toDF("id_a", "id_b", "text_a", "text_b")
+    val rs = graft.operators.Rouge.overlap(short, 2, "r2").collect().head
+    assert(rs.getLong(2) == 0L && rs.getDouble(3) == 0.0 &&
+      rs.getDouble(5) == 0.0)
+    // sf face: bounds and the F1 harmonic identity
+    val sf = graft.queries.TextQueries.rougeOverlap(spark, sfDir).collect()
+    assert(sf.nonEmpty)
+    sf.foreach { r =>
+      Seq(3, 4, 5, 7, 8, 9).foreach { i =>
+        val v = r.getDouble(i); assert(v >= 0.0 && v <= 1.0) }
+      val (p, rc, f1) = (r.getDouble(4), r.getDouble(3), r.getDouble(5))
+      if (p + rc > 0)
+        assert(math.abs(f1 - 2 * p * rc / (p + rc)) < 1e-9,
+          s"pair ${r.getLong(0)}: F1 must be the harmonic mean")
+    }
+  }
+
   test("epoch allocation: hand greedy replay, budget conservation, prefix property") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
