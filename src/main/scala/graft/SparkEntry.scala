@@ -177,6 +177,7 @@ object SparkEntry {
     // rows make the read faces ≡ their batch twins exactly
     "stream_quality_totals" -> (StreamFaces.streamQualityTotals _),
     "stream_drift_psi"   -> (StreamFaces.streamDriftPsi _),
+    "stream_robust_flags" -> (StreamFaces.streamRobustFlags _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),
     "gopher_quality"     -> (TextQueries.gopherQualityFilter _),
     "fim_transform"      -> (TextQueries.fimTransform _),
@@ -570,6 +571,41 @@ object SparkEntry {
       |SELECT bucket, ref_n, cur_n, round(p, 6) AS p, round(q, 6) AS q,
       |  round((p - q) * ln(p / q), 6) AS psi_term
       |FROM s ORDER BY bucket""".stripMargin
+
+  /** Shared by `mad_outliers` and its E17 streaming face
+    * `stream_robust_flags` — the stream flags under stats frozen from
+    * the same corpus, a pure per-row decision, so one SQL proves
+    * both. Median + MAD off the same cent-bucket histograms; the flag
+    * is an all-integer compare (dev > 3·mad in buckets) so no double
+    * boundary can diverge; MAD-0 groups flag nothing (mirrored guard).
+    */
+  private val madOutliersSql: String =
+    """WITH b AS (SELECT event_id, event_type, value,
+      |    CAST(floor(value * 100.0) AS BIGINT) AS bk FROM events),
+      |h AS (SELECT event_type, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |cumt AS (SELECT event_type, bk,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY bk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS total
+      |  FROM h),
+      |med AS (SELECT event_type,
+      |    MIN(CASE WHEN cum >= 0.5 * total THEN bk END) AS med_bk
+      |  FROM cumt GROUP BY 1),
+      |dh AS (SELECT h.event_type, abs(bk - med_bk) AS dev, SUM(c) AS c
+      |  FROM h JOIN med USING (event_type) GROUP BY 1, 2),
+      |dcum AS (SELECT event_type, dev,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY dev
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS total
+      |  FROM dh),
+      |mad AS (SELECT event_type,
+      |    MIN(CASE WHEN cum >= 0.5 * total THEN dev END) AS mad_bk
+      |  FROM dcum GROUP BY 1)
+      |SELECT event_id, b.event_type, value,
+      |  med_bk / 100.0 AS median, mad_bk / 100.0 AS mad,
+      |  (mad_bk > 0 AND abs(bk - med_bk) > 3 * mad_bk) AS is_outlier
+      |FROM b JOIN med USING (event_type) JOIN mad USING (event_type)
+      |ORDER BY event_id""".stripMargin
 
   private def bootstrapOracle(replicas: Int, alpha: Double): String = {
     val lo = math.ceil(alpha * replicas).toInt
@@ -4652,33 +4688,10 @@ object SparkEntry {
     // median + MAD off the same cent-bucket histograms; the flag is an
     // all-integer compare (dev > 3·mad in buckets) so no double
     // boundary can diverge; MAD-0 groups flag nothing (mirrored guard)
-    "mad_outliers" ->
-      """WITH b AS (SELECT event_id, event_type, value,
-        |    CAST(floor(value * 100.0) AS BIGINT) AS bk FROM events),
-        |h AS (SELECT event_type, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
-        |cumt AS (SELECT event_type, bk,
-        |    SUM(c) OVER (PARTITION BY event_type ORDER BY bk
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    SUM(c) OVER (PARTITION BY event_type) AS total
-        |  FROM h),
-        |med AS (SELECT event_type,
-        |    MIN(CASE WHEN cum >= 0.5 * total THEN bk END) AS med_bk
-        |  FROM cumt GROUP BY 1),
-        |dh AS (SELECT h.event_type, abs(bk - med_bk) AS dev, SUM(c) AS c
-        |  FROM h JOIN med USING (event_type) GROUP BY 1, 2),
-        |dcum AS (SELECT event_type, dev,
-        |    SUM(c) OVER (PARTITION BY event_type ORDER BY dev
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    SUM(c) OVER (PARTITION BY event_type) AS total
-        |  FROM dh),
-        |mad AS (SELECT event_type,
-        |    MIN(CASE WHEN cum >= 0.5 * total THEN dev END) AS mad_bk
-        |  FROM dcum GROUP BY 1)
-        |SELECT event_id, b.event_type, value,
-        |  med_bk / 100.0 AS median, mad_bk / 100.0 AS mad,
-        |  (mad_bk > 0 AND abs(bk - med_bk) > 3 * mad_bk) AS is_outlier
-        |FROM b JOIN med USING (event_type) JOIN mad USING (event_type)
-        |ORDER BY event_id""".stripMargin,
+    "mad_outliers" -> madOutliersSql,
+    // the E17 stream face flags under stats frozen from the SAME
+    // corpus — a pure per-row decision, so one SQL proves both
+    "stream_robust_flags" -> madOutliersSql,
 
     // A14: both engines derive the two snapshots the same way; the
     // digest compare reduces to text equality under the derivation

@@ -73,6 +73,44 @@ object StreamFaces {
     graft.streaming.StreamingQuality.totals(spark, s"$base/viol")
   }
 
+  /** E17 as a gated key: the robust-outlier monitor run to
+    * completion — per-group median/MAD cent buckets frozen from the
+    * reference corpus (here: the same events table, the batch
+    * `mad_outliers` calibration), then the events arrive as a file
+    * stream and each row flags under the frozen stats — a STATELESS
+    * incremental plan (codegen projection + one ≤|groups|-row
+    * broadcast join, no state store, no watermark). Because the
+    * decision is a pure per-row function of (value, frozen stats),
+    * the streamed output IS the batch report: the oracle is
+    * `mad_outliers`' SQL verbatim.
+    */
+  def streamRobustFlags(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_rb")
+      .toFile.getAbsolutePath
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.streaming.StreamingRobust.saveStats(
+      graft.operators.RobustStats.medMadBuckets(ev, "event_type", "value"),
+      s"$base/stats")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val q = graft.streaming.StreamingRobust.monitored(
+        stream, graft.streaming.StreamingRobust.loadStats(spark, s"$base/stats"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("median"), col("mad"), col("is_outlier"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/out").orderBy(col("event_id"))
+  }
+
   /** E14 as a gated key: the streaming PSI drift monitor run to
     * completion — reference histogram frozen from the first half of
     * the corpus (source number < 10, the batch `corpus_drift` split),
