@@ -213,6 +213,7 @@ object SparkEntry {
     "ql_search"          -> (WarehouseQueries.qlSearch _),
     "item_cosine"        -> (WarehouseQueries.itemCosine _),
     "holt_forecast"      -> (WarehouseQueries.holtForecast _),
+    "holt_winters_forecast" -> (WarehouseQueries.holtWintersForecast _),
     "tfidf_search"       -> (WarehouseQueries.tfidfSearch _),
     "hybrid_search_rrf"  -> (WarehouseQueries.hybridSearchRrf _),
     "fuzzy_name_match"   -> (WarehouseQueries.fuzzyNameMatch _),
@@ -751,6 +752,60 @@ object SparkEntry {
        |SELECT user_id, n_periods, st[1] AS level, st[2] AS trend,
        |  st[1] + st[2] AS forecast
        |FROM f ORDER BY user_id""".stripMargin
+  }
+
+  /** Holt–Winters oracle: the [l, b, t, s_1..s_m] accumulator rides a
+    * DOUBLE list; fold items lift to [x]; the seasonal slot updates
+    * through DuckDB's 1-based indexed list lambda (Spark's transform
+    * is 0-based — the +1 offset is the only difference); `newl` is
+    * textually duplicated where the engine computes it once —
+    * identical bits (the C61 argument).
+    */
+  private def holtWintersOracle(alpha: Double, beta: Double,
+                                gamma: Double, m: Int): String = {
+    val a = alpha.toString; val oa = (1.0 - alpha).toString
+    val b = beta.toString; val ob = (1.0 - beta).toString
+    val g = gamma.toString; val og = (1.0 - gamma).toString
+    val slot = s"(((CAST(acc[3] + 1.0 AS INTEGER) - 1) % $m) + 1)"
+    val sOld = s"acc[$slot + 3]"
+    val newl = s"($a * (e[1] - $sOld)) + ($oa * (acc[1] + acc[2]))"
+    val newb = s"($b * (($newl) - acc[1])) + ($ob * acc[2])"
+    val news = s"($g * (e[1] - ($newl))) + ($og * $sOld)"
+    val nextIdx = s"((CAST(len(vals) AS INTEGER) % $m) + 1 + 3)"
+    s"""WITH daily AS (
+       |  SELECT event_type, date_trunc('day', ts) AS day,
+       |    SUM(CAST(value AS DECIMAL(12,2))) AS dval
+       |  FROM events GROUP BY 1, 2),
+       |arr AS (
+       |  SELECT event_type, list(CAST(dval AS DOUBLE) ORDER BY day) AS vals
+       |  FROM daily GROUP BY 1),
+       |ok AS (SELECT * FROM arr WHERE len(vals) >= ${2 * m}),
+       |ini AS (
+       |  SELECT event_type, vals,
+       |    list_reduce(list_prepend(0.0, vals[1:$m]),
+       |      (x, y) -> x + y) / $m AS l0,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, ${m + 1}), i -> vals[i + $m] - vals[i])),
+       |      (x, y) -> x + y) / ${m * m} AS b0
+       |  FROM ok),
+       |f AS (
+       |  SELECT event_type, CAST(len(vals) AS INTEGER) AS n_periods, vals,
+       |    list_reduce(
+       |      list_prepend(
+       |        list_concat([l0, b0, CAST($m AS DOUBLE)],
+       |          list_transform(vals[1:$m], x -> x - l0)),
+       |        list_transform(vals[${m + 1}:], x -> [x])),
+       |      (acc, e) -> list_transform(acc, (v, i) -> CASE
+       |        WHEN i = 1 THEN $newl
+       |        WHEN i = 2 THEN $newb
+       |        WHEN i = 3 THEN acc[3] + 1.0
+       |        WHEN i = $slot + 3 THEN $news
+       |        ELSE v END)) AS st
+       |  FROM ini)
+       |SELECT event_type, n_periods, st[1] AS level, st[2] AS trend,
+       |  st[$nextIdx] AS season_next,
+       |  st[1] + st[2] + st[$nextIdx] AS forecast
+       |FROM f ORDER BY event_type""".stripMargin
   }
 
   /** Greedy-tokenizer oracle: the kernel's recurrence as a list_reduce
@@ -1930,6 +1985,7 @@ object SparkEntry {
     "ewma_user_value" -> ewmaOracle(0.3),
 
     "holt_forecast" -> holtOracle(0.3, 0.3),
+    "holt_winters_forecast" -> holtWintersOracle(0.3, 0.2, 0.4, 7),
 
     // quality CTE mirrors text_quality_score's (already hash-green →
     // the per-doc quality doubles are bit-identical in both engines);

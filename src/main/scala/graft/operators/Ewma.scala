@@ -99,4 +99,78 @@ object Ewma {
       element_at(state, 2).as("trend"),
       (element_at(state, 1) + element_at(state, 2)).as("forecast"))
   }
+
+  /** C65: Holt–Winters additive seasonal smoothing (triple
+    * exponential smoothing, Winters 1960) — the face [[holt]] can't
+    * express: a series with a repeating within-period pattern (weekly
+    * shape on daily grain) needs explicit seasonal state or the trend
+    * chases the season. Classic init over the first two seasons
+    * (l = mean of season 1, b = the season-over-season mean slope,
+    * s_j = x_j − l), then for t > m:
+    * lₜ = α(xₜ−sₜ₋ₘ) + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁)+(1−β)bₜ₋₁,
+    * sₜ = γ(xₜ−lₜ) + (1−γ)sₜ₋ₘ; forecast = l + b + s_{T+1−m}.
+    *
+    * Same plan shape as [[holt]]: ONE groupBy carrying per-period
+    * aggregates, a bounded per-key fold, deterministic under any
+    * partitioning. The (level, trend, step counter, m seasonals)
+    * state rides an array<double> accumulator whose seasonal slot
+    * updates through an indexed `transform` — the oracle mirrors it
+    * with DuckDB's indexed list lambda (1-based there, 0-based here).
+    * Keys with fewer than 2m periods are dropped (the init needs two
+    * full seasons — stated contract).
+    */
+  def holtWinters(df: DataFrame, key: String, orderCol: String,
+                  value: Column, alpha: Double, beta: Double,
+                  gamma: Double, m: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta in [0,1], got $beta")
+    require(gamma >= 0 && gamma <= 1, s"gamma in [0,1], got $gamma")
+    require(m >= 2, s"season length must be >= 2, got $m")
+    val grouped = df.filter(value.isNotNull).groupBy(col(key))
+      .agg(sort_array(collect_list(struct(col(orderCol), value.as("__v"))))
+        .as("__arr"))
+      .withColumn("__vals",
+        transform(col("__arr"), s => s.getField("__v").cast("double")))
+      .filter(size(col("__vals")) >= 2 * m)
+      // level/trend init bound once as columns so the fold tree stays
+      // readable; the oracle computes them in their own CTE the same way
+      .withColumn("__l0",
+        aggregate(slice(col("__vals"), 1, m), lit(0.0), (a, x) => a + x)
+          / m)
+      .withColumn("__b0",
+        aggregate(sequence(lit(1), lit(m)), lit(0.0),
+          (a, i) => a + (element_at(col("__vals"), i + m) -
+            element_at(col("__vals"), i))) / (m * m))
+    val vals = col("__vals")
+    // acc = [l, b, t, s_1..s_m] (1-based positions 1,2,3,4..m+3)
+    val init = concat(
+      array(col("__l0"), col("__b0"), lit(m).cast("double")),
+      transform(slice(vals, 1, m), x => x - col("__l0")))
+    val state = aggregate(
+      slice(vals, lit(m + 1), greatest(size(vals) - m, lit(0))),
+      init,
+      (acc, x) => {
+        val t = element_at(acc, 3) + lit(1.0)
+        val slot = ((t.cast("int") - 1) % m) + 1
+        val sOld = element_at(acc, slot + 3)
+        val l = element_at(acc, 1)
+        val b = element_at(acc, 2)
+        val newl = lit(alpha) * (x - sOld) + lit(1.0 - alpha) * (l + b)
+        val newb = lit(beta) * (newl - l) + lit(1.0 - beta) * b
+        val news = lit(gamma) * (x - newl) + lit(1.0 - gamma) * sOld
+        transform(acc, (v, i) =>
+          when(i === 0, newl).when(i === 1, newb).when(i === 2, t)
+            .when(i === slot + 2, news)
+            .otherwise(v))
+      })
+    val nextSlot = (size(vals) % m) + 1
+    grouped.select(
+      col(key),
+      size(vals).as("n_periods"),
+      element_at(state, 1).as("level"),
+      element_at(state, 2).as("trend"),
+      element_at(state, nextSlot + 3).as("season_next"),
+      (element_at(state, 1) + element_at(state, 2) +
+        element_at(state, nextSlot + 3)).as("forecast"))
+  }
 }

@@ -476,6 +476,20 @@ object WarehouseQueries {
       .orderBy(col("user_id"))
   }
 
+  /** C65: Holt–Winters additive seasonal forecast of the daily event
+    * value per event type (m = 7: weekly shape on daily grain) — see
+    * [[graft.operators.Ewma.holtWinters]]. The seasonal face the
+    * plain Holt trend (C61) can't express.
+    */
+  def holtWintersForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(dec2(col("value"))).as("dval"))
+    Ewma.holtWinters(daily, "event_type", "day", col("dval"),
+        alpha = 0.3, beta = 0.2, gamma = 0.4, m = 7)
+      .orderBy(col("event_type"))
+  }
+
   /** C28: link-analysis centrality over the customer–supplier
     * bipartite trade graph (undirected: both directions inserted) —
     * the integer fixed-point PageRank of

@@ -1485,6 +1485,55 @@ class WarehouseSpec extends AnyFunSuite {
     assert(ids.subsetOf(withR))
   }
 
+  // ---- Holt-Winters -----------------------------------------------------
+
+  test("holt-winters: driver bit-replay, constant series degenerates, short keys dropped") {
+    val (al, be, ga, m) = (0.3, 0.2, 0.4, 7)
+    // driver replay of the exact recurrence on the sf daily series
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(graft.functions.Num.dec2(col("value"))).as("dval"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDecimal(2).doubleValue()))
+      .groupBy(_._1)
+      .map { case (k, rs) => k -> rs.sortBy(_._2.getTime).map(_._3).toVector }
+    val got = graft.queries.WarehouseQueries.holtWintersForecast(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(5))))
+      .toMap
+    daily.filter(_._2.length >= 2 * m).foreach { case (k, xs) =>
+      var l = xs.take(m).foldLeft(0.0)(_ + _) / m
+      var b = (1 to m).foldLeft(0.0)((a, i) => a + (xs(i + m - 1) - xs(i - 1))) / (m * m)
+      val s = Array.tabulate(m)(j => xs(j) - l)
+      var t = m
+      xs.drop(m).foreach { x =>
+        t += 1
+        val slot = ((t - 1) % m) // 0-based
+        val newl = al * (x - s(slot)) + (1.0 - al) * (l + b)
+        val newb = be * (newl - l) + (1.0 - be) * b
+        val news = ga * (x - newl) + (1.0 - ga) * s(slot)
+        l = newl; b = newb; s(slot) = news
+      }
+      val (np, gl, gb, gf) = got(k)
+      assert(np == xs.length)
+      assert(gl == l, s"$k level bits diverge")
+      assert(gb == b, s"$k trend bits diverge")
+      assert(gf == l + b + s(xs.length % m), s"$k forecast bits diverge")
+    }
+    // constant series: level = const, trend = 0, seasonals = 0
+    import spark.implicits._
+    val const = (1 to 20).map(t => ("k", t, 5.0)).toDF("k", "t", "v")
+    val r = graft.operators.Ewma.holtWinters(
+        const, "k", "t", col("v"), al, be, ga, m).collect().head
+    assert(r.getDouble(2) == 5.0 && r.getDouble(3) == 0.0 &&
+      r.getDouble(5) == 5.0)
+    // a key with fewer than 2m periods is dropped by contract
+    val short = (1 to 13).map(t => ("s", t, 1.0)).toDF("k", "t", "v")
+    assert(graft.operators.Ewma.holtWinters(
+      short, "k", "t", col("v"), al, be, ga, m).count() == 0)
+  }
+
   // ---- Pareto skyline ---------------------------------------------------
 
   test("skyline: hand fixture incl. duplicates and one-dim ties, partition invariance") {
