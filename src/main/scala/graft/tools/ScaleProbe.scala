@@ -721,6 +721,45 @@ object ScaleProbe {
       graft.operators.SignalStats.sums(
         graft.operators.SignalStats.microSignals(docs, "text")).count()
     }
+    t("decontamination_semantic") {
+      // bench = 1% of the amplified corpus broadcast as ONE row; the
+      // corpus side is a zero-shuffle map scan, cost ∝ |corpus|·|bench|
+      val bench = emb.filter(col("id") % 100 === 0)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      graft.operators.Similarity.semanticContamination(
+        emb.filter(col("id") % 100 =!= 0), bench, 0.35).count()
+    }
+    t("rouge_pairs") {
+      // consecutive-id pairing over the amplified corpus: the gram
+      // count shuffle is corpus-gram-bounded, no pair blow-up
+      val d = docs.select(col("doc_id"), col("text"))
+      val pairs = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+        .join(d.select(col("doc_id").as("id_b"), col("text").as("text_b")),
+          col("id_b") === col("id_a") + 1)
+      graft.operators.Rouge.overlap(pairs, 2, "r2").count()
+    }
+    t("pareto_skyline") {
+      // ×mult lineitem rows through the range-partition scan; the
+      // frontier stays tiny regardless of input volume
+      graft.operators.Skyline.paretoFrontier2d(
+        li.select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          col("l_extendedprice").as("x"), col("l_quantity").as("y")),
+        col("x"), col("y"), col("id")).count()
+    }
+    t("luhn_redact") {
+      // per-row bounded fold — the D15 cost class
+      docs.select(graft.functions.TextFunctions.luhnSum(
+        substring(col("text"), 1, 16)).as("s"))
+        .agg(count(col("s"))).head.getLong(0)
+    }
+    t("epoch_allocation") {
+      val masses = docs
+        .groupBy((col("doc_id") % 20).cast("string").as("source"))
+        .agg(sum(graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long")).as("u"))
+      graft.operators.EpochAlloc.allocate(masses).count()
+    }
     spark.stop()
   }
 }
