@@ -225,6 +225,10 @@ object SparkEntry {
     "mad_outliers"       -> (WarehouseQueries.eventsMadOutliers _),
     "peak_concurrency"   -> (WarehouseQueries.peakConcurrency _),
     "pareto_frontier"    -> (WarehouseQueries.paretoFrontier _),
+    "ab_welch_ttest"     -> (WarehouseQueries.welchTTest _),
+    "ab_chi_square"      -> (WarehouseQueries.chiSquareMix _),
+    "ab_mann_whitney"    -> (WarehouseQueries.mannWhitney _),
+    "ab_cuped_effect"    -> (WarehouseQueries.cupedEffect _),
     "ewma_user_value"    -> (WarehouseQueries.ewmaUserValue _),
     "quality_filter"     -> (TextQueries.qualityFilter _),
     "vocab_tokenize"     -> (TextQueries.vocabTokenize _),
@@ -4740,6 +4744,128 @@ object SparkEntry {
          |FROM b JOIN thr USING (event_type)
          |ORDER BY event_id""".stripMargin
     },
+
+    // C66: exact decimal sufficient aggregates (n, Σv, Σv²) per arm,
+    // then ONE scalar IEEE evaluation per statistic with identical
+    // parenthesization in both engines
+    "ab_welch_ttest" ->
+      """WITH p AS (SELECT user_id % 2 AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN v END) AS DOUBLE) AS sa,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN v END) AS DOUBLE) AS sb,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN v * v END) AS DOUBLE) AS ssa,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN v * v END) AS DOUBLE) AS ssb
+        |  FROM p),
+        |s AS (SELECT n_a, n_b, sa, sb,
+        |    (ssa - sa * sa / n_a) / (n_a - 1.0) AS va,
+        |    (ssb - sb * sb / n_b) / (n_b - 1.0) AS vb
+        |  FROM a),
+        |e AS (SELECT *, va / n_a + vb / n_b AS se2 FROM s)
+        |SELECT n_a, n_b,
+        |  round(sa / n_a, 6) AS mean_a, round(sb / n_b, 6) AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0 THEN
+        |    round((sa / n_a - sb / n_b) / sqrt(se2), 6) END AS t_stat,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0 THEN
+        |    round(se2 * se2 / (pow(va / n_a, 2) / (n_a - 1.0)
+        |      + pow(vb / n_b, 2) / (n_b - 1.0)), 6) END AS df
+        |FROM e""".stripMargin,
+
+    // C67: integer contingency cells + margins; each cell term is one
+    // IEEE evaluation over exact integers and the cross-cell sum folds
+    // in pinned (rk, ck) order — list_reduce mirrors Spark's
+    // sorted-collect aggregate fold including the 0.0 seed
+    "ab_chi_square" ->
+      """WITH cells AS (SELECT event_type AS rk, user_id % 2 AS ck,
+        |    COUNT(*) AS o FROM events GROUP BY 1, 2),
+        |rt AS (SELECT rk, SUM(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT ck, SUM(o) AS ct FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    COUNT(DISTINCT rk) AS nr, COUNT(DISTINCT ck) AS nc FROM cells),
+        |term AS (SELECT rk, ck,
+        |    pow(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE), 2)
+        |      / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+        |      AS tt
+        |  FROM cells JOIN rt USING (rk) JOIN ct USING (ck) CROSS JOIN t)
+        |SELECT n, CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list(tt ORDER BY rk, ck)), (a, b) -> a + b), 6) AS chi2
+        |FROM term CROSS JOIN t GROUP BY n, nr, nc""".stripMargin,
+
+    // C68: tie-group average ranks in exact HALF units
+    // (2·cum − c + 1), rank sums exact integers; z is one scalar IEEE
+    // evaluation mirrored parenthesis-for-parenthesis
+    "ab_mann_whitney" ->
+      """WITH p AS (SELECT user_id % 2 AS arm, value AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT v, COUNT(*) AS c,
+        |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT v, c, c1, SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g),
+        |a AS (SELECT
+        |    SUM(CAST(c1 AS HUGEINT) * (2 * CAST(cum AS HUGEINT) - c + 1))
+        |      AS r1x2,
+        |    CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS tie
+        |  FROM r),
+        |u AS (SELECT n1, n, tie,
+        |    CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0
+        |      AS u_stat,
+        |    CAST(n1 AS DOUBLE) * (n - n1) / 12.0 * ((n + 1.0)
+        |      - tie / (CAST(n AS DOUBLE) * (n - 1.0))) AS s2
+        |  FROM a)
+        |SELECT n1 AS n_a_ranked, CAST(n - n1 AS BIGINT) AS n_b_ranked,
+        |  u_stat,
+        |  CASE WHEN n1 > 0 AND n > n1 AND s2 > 0.0 THEN
+        |    round((u_stat - CAST(n1 AS DOUBLE) * (n - n1) / 2.0)
+        |      / sqrt(s2), 6) END AS z_stat
+        |FROM u""".stripMargin,
+
+    // C69: per-user period totals re-narrowed to decimal(18,2) so the
+    // x·x / x·y products stay exact decimal(37,4) in BOTH engines;
+    // θ / effect / ρ² are scalar IEEE evaluations over the exact sums
+    "ab_cuped_effect" ->
+      """WITH p AS (SELECT user_id AS u, CAST(value AS DECIMAL(18,2)) AS v,
+        |    (ts < TIMESTAMP '2024-01-16 00:00:00') AS pre
+        |  FROM events WHERE event_type = 'purchase'),
+        |pu AS (SELECT u,
+        |    CAST(COALESCE(SUM(CASE WHEN pre THEN v END), 0)
+        |      AS DECIMAL(18,2)) AS x,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT pre THEN v END), 0)
+        |      AS DECIMAL(18,2)) AS y,
+        |    CAST(u % 2 AS INT) AS arm
+        |  FROM p GROUP BY u),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN x END) AS DOUBLE) AS sx0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN x END) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN y END) AS DOUBLE) AS sy0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN y END) AS DOUBLE) AS sy1,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM pu),
+        |d AS (SELECT n_users, n0, n1, sx0, sx1, sy0, sy1,
+        |    sxy - (sx0 + sx1) * (sy0 + sy1) / (n0 + n1) AS covxy,
+        |    sxx - (sx0 + sx1) * (sx0 + sx1) / (n0 + n1) AS varx,
+        |    syy - (sy0 + sy1) * (sy0 + sy1) / (n0 + n1) AS vary
+        |  FROM a),
+        |f AS (SELECT *, (n0 > 0 AND n1 > 0 AND varx > 0.0 AND vary > 0.0)
+        |    AS ok, sy1 / n1 - sy0 / n0 AS raw FROM d)
+        |SELECT n_users,
+        |  CASE WHEN ok THEN round(covxy / varx, 6) END AS theta,
+        |  CASE WHEN n0 > 0 AND n1 > 0 THEN round(raw, 6) END AS raw_diff,
+        |  CASE WHEN ok THEN round(raw - covxy / varx
+        |    * (sx1 / n1 - sx0 / n0), 6) END AS adjusted_diff,
+        |  CASE WHEN ok THEN round(covxy * covxy / (varx * vary), 6) END
+        |    AS var_reduction
+        |FROM f""".stripMargin,
 
     // median + MAD off the same cent-bucket histograms; the flag is an
     // all-integer compare (dev > 3·mad in buckets) so no double

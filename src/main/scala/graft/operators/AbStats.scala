@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Num
+
+/** A/B experiment statistics over an event stream (SURVEY §2 C66-C69)
+  * — the decision layer a metrics warehouse exists to feed. Every
+  * statistic here is computed from a CONSTANT number of exact
+  * sufficient aggregates (counts and decimal sums), so the whole
+  * family is one or two partial-aggregated scans with aggregate-sized
+  * shuffles, and the published numbers are deterministic under any
+  * partitioning: doubles appear only in the final scalar arithmetic
+  * over already-exact aggregates (one IEEE evaluation per statistic,
+  * bit-identical in any engine), mirroring the reference's
+  * dashboard-stats discipline (fpl-data-pipeline sql_queries.py's
+  * aggregate-then-ratio shapes) at testable precision.
+  *
+  * Determinism rules (graft.functions.Num): sums in DECIMAL
+  * (associative ⇒ partition-order-free), division/sqrt in double
+  * AFTER the exact aggregate; the only multi-term double sum in the
+  * family (the chi-square cell fold) runs over a sorted collected
+  * list, ≤ |rows|·|cols| cells by construction.
+  */
+object AbStats {
+
+  private def dec0(c: Column): Column = c.cast(DecimalType(38, 0))
+
+  /** Welch's unequal-variance t-test (Welch 1947) comparing `value`
+    * between `arm` = 0 and `arm` = 1. ONE scan, ONE output row:
+    * (n_a, n_b, mean_a, mean_b, t_stat, df) — conditional aggregation
+    * legs instead of a groupBy, so there is no data shuffle at all,
+    * only the scalar partial-agg merge.
+    *
+    * Sample variance comes off exact decimals: n, Σv (decimal(18,2)
+    * sums), Σv² (decimal(37,4) sums of dec2·dec2 products), then
+    * s² = (Σv² − (Σv)²/n)/(n−1) in double — each Σ is exact, so the
+    * statistic is one deterministic scalar evaluation.
+    * Welch–Satterthwaite df published alongside t (the test is
+    * meaningless without it). Degenerate guard: arms with n < 2 or
+    * zero pooled variance yield null t/df rather than ±Inf.
+    */
+  def welchTTest(df: DataFrame, arm: Column, value: Column): DataFrame = {
+    val a = arm === 0
+    val b = arm === 1
+    val v2 = Num.dec2(value)
+    val agg = df.agg(
+      sum(when(a, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(b, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(a, v2)).cast("double").as("sa"),
+      sum(when(b, v2)).cast("double").as("sb"),
+      sum(when(a, v2 * v2)).cast("double").as("ssa"),
+      sum(when(b, v2 * v2)).cast("double").as("ssb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    // ANSI throws on double/0 even in a projection the guards would
+    // mask, so the variance legs (denominator n−1) carry their own
+    // n ≥ 2 guard and degenerate arms flow through as null
+    val va = when(col("n_a") >= 2,
+      (col("ssa") - col("sa") * col("sa") / na) / (na - 1.0))
+    val vb = when(col("n_b") >= 2,
+      (col("ssb") - col("sb") * col("sb") / nb) / (nb - 1.0))
+    agg
+      .withColumn("mean_a", when(col("n_a") > 0, round(col("sa") / na, 6)))
+      .withColumn("mean_b", when(col("n_b") > 0, round(col("sb") / nb, 6)))
+      .withColumn("__se2", va / na + vb / nb)
+      .withColumn("t_stat",
+        when(col("n_a") >= 2 && col("n_b") >= 2 && col("__se2") > 0.0,
+          round((col("sa") / na - col("sb") / nb) / sqrt(col("__se2")), 6)))
+      .withColumn("df",
+        when(col("n_a") >= 2 && col("n_b") >= 2 && col("__se2") > 0.0,
+          round(col("__se2") * col("__se2") /
+            (pow(va / na, 2) / (na - 1.0) + pow(vb / nb, 2) / (nb - 1.0)), 6)))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("t_stat"), col("df"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * keys. Phase 1 is ONE partial-agg'd count shuffle of the
+    * CONTINGENCY cardinality (|rows|·|cols| cells — aggregate-sized);
+    * margins re-aggregate that tiny frame and broadcast back. Each
+    * cell's term (o·N − r·c)²/(N·r·c) is one IEEE evaluation over
+    * exact integer margins; the cross-cell sum folds a SORTED
+    * collected list ((rk, ck) order) so the double addition order is
+    * pinned — deterministic and engine-replayable, never a
+    * partition-order sum.
+    *
+    * Output: one row (n, dof, chi2). Structural-zero margins cannot
+    * occur (a row/col with zero total has no cells).
+    */
+  def chiSquareIndependence(df: DataFrame, rowKey: Column,
+                            colKey: Column): DataFrame = {
+    val cells = df.groupBy(rowKey.as("rk"), colKey.as("ck"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("rk")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("ck")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).cast("long").as("n"),
+      countDistinct(col("rk")).as("nr"), countDistinct(col("ck")).as("nc"))
+    val termed = cells
+      .join(broadcast(rt), Seq("rk")).join(broadcast(ct), Seq("ck"))
+      .crossJoin(broadcast(n))
+      .withColumn("__t", {
+        val oD = col("o").cast("double"); val nD = col("n").cast("double")
+        val rD = col("rt").cast("double"); val cD = col("ct").cast("double")
+        pow(oD * nD - rD * cD, 2) / (nD * rD * cD)
+      })
+    termed
+      .agg(max(col("n")).as("n"),
+        ((max(col("nr")) - 1) * (max(col("nc")) - 1)).cast("long").as("dof"),
+        sort_array(collect_list(struct(col("rk"), col("ck"), col("__t"))))
+          .as("__cells"))
+      .select(col("n"), col("dof"),
+        round(aggregate(col("__cells"), lit(0.0),
+          (acc, x) => acc + x.getField("__t")), 6).as("chi2"))
+  }
+
+  /** Mann–Whitney U (Mann & Whitney 1947) with normal approximation
+    * and tie correction — the rank-sum test for arbitrary (non-normal)
+    * metric distributions. The classic single-node formulation sorts
+    * the corpus; here ranks come off the DISTRIBUTED prefix sum:
+    * tie-group counts (one groupBy on the value — the only data
+    * shuffle, |distinct values| rows), then [[PrefixSum.runningSum]]
+    * range-partitions that frame so no task ever holds more than
+    * ~frame/numParts rows — corpus-scale-safe ranking with zero
+    * unpartitioned windows.
+    *
+    * All-integer core: a tie group's average rank in HALF units is
+    * 2·cum − c + 1 (cum = inclusive running count, c = group size), so
+    * 2·R₁ = Σ c₁·(2·cum − c + 1) accumulates exactly in decimal; U₁,
+    * the tie term Σ(t³−t), and both arm sizes are exact integers, and
+    * z is one scalar IEEE evaluation. Output: one row
+    * (n_a, n_b, u_stat, z_stat); degenerate corpora (an empty arm or
+    * all values tied ⇒ zero variance) publish null z.
+    */
+  def mannWhitneyU(df: DataFrame, arm: Column, value: Column): DataFrame = {
+    val groups = df
+      .select(arm.as("__arm"), value.as("__v"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("c1"))
+    val ranked = PrefixSum.runningSum(groups, col("__v"), col("c"), "cum")
+    val agg = ranked.agg(
+      sum(dec0(col("c1")) * (dec0(col("cum")) * 2 - dec0(col("c")) + 1))
+        .as("r1x2"),
+      sum(col("c1")).cast("long").as("n1"),
+      sum(col("c")).cast("long").as("n"),
+      sum(dec0(col("c")) * dec0(col("c")) * dec0(col("c")) - dec0(col("c")))
+        .cast("double").as("tie"))
+    val n1 = col("n1").cast("double")
+    val n2 = (col("n") - col("n1")).cast("double")
+    val nD = col("n").cast("double")
+    val u1 = (col("r1x2") - dec0(col("n1")) * (dec0(col("n1")) + 1))
+      .cast("double") / 2.0
+    // n ≥ 2 guard: ANSI throws on the tie term's double/0 at n = 1
+    val sigma2 = when(col("n") >= 2,
+      n1 * n2 / 12.0 * ((nD + 1.0) - col("tie") / (nD * (nD - 1.0))))
+    agg
+      .withColumn("u_stat", u1)
+      .withColumn("__s2", sigma2)
+      .select(col("n1").as("n_a_ranked"),
+        (col("n") - col("n1")).cast("long").as("n_b_ranked"),
+        col("u_stat"),
+        when(col("n1") > 0 && col("n") > col("n1") && col("__s2") > 0.0,
+          round((col("u_stat") - n1 * n2 / 2.0) / sqrt(col("__s2")), 6))
+          .as("z_stat"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013 — "Improving the
+    * sensitivity of online controlled experiments"): regress the
+    * experiment-period metric on the PRE-period covariate and test the
+    * residual. Two conditional-sum scans composed as one lazy plan:
+    * phase 1 groups events to one (x = pre, y = post) row per user
+    * (the only data shuffle, user-count-sized); phase 2 is a scalar
+    * conditional aggregate over that frame — per-arm and pooled
+    * n/Σx/Σy plus pooled Σx²/Σxy in exact decimals (x, y are exact
+    * 2-dp decimals; their products decimal(38,4)).
+    *
+    * θ = cov(x,y)/var(x) pooled across arms (the standard single-θ
+    * CUPED), adjusted effect = (ȳ₁−ȳ₀) − θ·(x̄₁−x̄₀), and the
+    * variance-reduction factor is ρ²(x,y) — all one-evaluation
+    * scalars. Users absent from a period contribute an exact 0.
+    */
+  def cupedEffect(df: DataFrame, user: Column, value: Column,
+                  isPre: Column): DataFrame = {
+    val perUser = df
+      .groupBy(user.as("u"))
+      // per-user period totals re-narrow to decimal(18,2): keeps the
+      // x·x / x·y products at decimal(37,4) — legal and EXACT in both
+      // engines (a user's period total is far below 1e16 at any sane
+      // per-user scale; the cast would overflow-null before silently
+      // rounding)
+      .agg(coalesce(sum(when(isPre, Num.dec2(value))), lit(0))
+             .cast(DecimalType(18, 2)).as("x"),
+           coalesce(sum(when(!isPre, Num.dec2(value))), lit(0))
+             .cast(DecimalType(18, 2)).as("y"))
+      .withColumn("__arm", (col("u") % 2).cast("int"))
+    val a0 = col("__arm") === 0
+    val a1 = col("__arm") === 1
+    val agg = perUser.agg(
+      count(lit(1)).cast("long").as("n_users"),
+      sum(when(a0, 1L).otherwise(0L)).cast("double").as("n0"),
+      sum(when(a1, 1L).otherwise(0L)).cast("double").as("n1"),
+      sum(when(a0, col("x"))).cast("double").as("sx0"),
+      sum(when(a1, col("x"))).cast("double").as("sx1"),
+      sum(when(a0, col("y"))).cast("double").as("sy0"),
+      sum(when(a1, col("y"))).cast("double").as("sy1"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    val n = col("n0") + col("n1")
+    val sx = col("sx0") + col("sx1")
+    val sy = col("sy0") + col("sy1")
+    val covXY = col("sxy") - sx * sy / n
+    val varX = col("sxx") - sx * sx / n
+    val varY = col("syy") - sy * sy / n
+    val theta = covXY / varX
+    val raw = col("sy1") / col("n1") - col("sy0") / col("n0")
+    agg
+      .withColumn("__ok",
+        col("n0") > 0 && col("n1") > 0 && varX > 0.0 && varY > 0.0)
+      .select(col("n_users"),
+        when(col("__ok"), round(theta, 6)).as("theta"),
+        when(col("n0") > 0 && col("n1") > 0, round(raw, 6)).as("raw_diff"),
+        when(col("__ok"), round(
+          raw - theta * (col("sx1") / col("n1") - col("sx0") / col("n0")), 6))
+          .as("adjusted_diff"),
+        when(col("__ok"), round(covXY * covXY / (varX * varY), 6))
+          .as("var_reduction"))
+  }
+}

@@ -864,4 +864,40 @@ object WarehouseQueries {
         (col("vw").cast("double") / col("tw").cast("double")).as("twap"))
       .orderBy(col("user_id"), col("day"))
   }
+
+  /** C66: Welch t-test on purchase value between the deterministic
+    * user_id-parity arms — the experiment readout layer. One scan,
+    * one row, exact sufficient aggregates (see AbStats).
+    */
+  def welchTTest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.welchTTest(
+      Tables.events(spark, dir).filter(col("event_type") === "purchase"),
+      col("user_id") % 2, col("value"))
+
+  /** C67: chi-square independence of event mix vs assignment arm —
+    * the sample-ratio-mismatch / behavior-shift guardrail every
+    * experiment platform runs next to the metric test.
+    */
+  def chiSquareMix(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.chiSquareIndependence(
+      Tables.events(spark, dir), col("event_type"), col("user_id") % 2)
+
+  /** C68: Mann-Whitney rank-sum on purchase value between the arms —
+    * the distribution-free twin of C66, ranks off the distributed
+    * prefix sum.
+    */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.mannWhitneyU(
+      Tables.events(spark, dir).filter(col("event_type") === "purchase"),
+      col("user_id") % 2, col("value"))
+
+  /** C69: CUPED-adjusted treatment effect on per-user purchase value,
+    * pre-period = the first half of the event window (fixed calendar
+    * cut 2024-01-16, data-independent).
+    */
+  def cupedEffect(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.cupedEffect(
+      Tables.events(spark, dir).filter(col("event_type") === "purchase"),
+      col("user_id"), col("value"),
+      col("ts") < to_timestamp(lit("2024-01-16 00:00:00")))
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AbStats
+
+/** Contract pins for the A/B statistics family (SURVEY §2 C66-C69) on
+  * hand-built data where every statistic is derivable by eye (or by
+  * the textbook formula evaluated independently in plain Scala).
+  * sf-scale value correctness is the DuckDB oracle's job.
+  */
+class AbStatsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def d6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ---- Welch t ----------------------------------------------------------
+
+  test("welchTTest: textbook two-sample case") {
+    // arm0 = [1,2,3] (mean 2, s² 1), arm1 = [2,4,6] (mean 4, s² 4)
+    val df = Seq((0, 1.0), (0, 2.0), (0, 3.0), (1, 2.0), (1, 4.0), (1, 6.0))
+      .toDF("arm", "v")
+    val r = AbStats.welchTTest(df, col("arm"), col("v")).head
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Double]("mean_a") === 2.0)
+    assert(r.getAs[Double]("mean_b") === 4.0)
+    // t = (2-4)/sqrt(1/3 + 4/3), df via Welch–Satterthwaite = 50/17
+    assert(r.getAs[Double]("t_stat") === d6(-2.0 / math.sqrt(5.0 / 3.0)))
+    assert(r.getAs[Double]("df") === d6(50.0 / 17.0))
+  }
+
+  test("welchTTest: zero-variance and tiny arms yield null, not Inf") {
+    val flat = Seq((0, 5.0), (0, 5.0), (1, 5.0), (1, 5.0)).toDF("arm", "v")
+    val r = AbStats.welchTTest(flat, col("arm"), col("v")).head
+    assert(r.isNullAt(r.fieldIndex("t_stat")))
+    val tiny = Seq((0, 1.0), (1, 2.0), (1, 3.0)).toDF("arm", "v")
+    val r2 = AbStats.welchTTest(tiny, col("arm"), col("v")).head
+    assert(r2.isNullAt(r2.fieldIndex("t_stat")))
+    assert(r2.isNullAt(r2.fieldIndex("df")))
+  }
+
+  // ---- chi-square -------------------------------------------------------
+
+  test("chiSquareIndependence: 2x2 with expected 15s") {
+    // o = [[10,20],[20,10]]: every e = 15, chi2 = 4·(5²/15) = 20/3
+    val rows =
+      Seq.fill(10)(("A", 0)) ++ Seq.fill(20)(("A", 1)) ++
+      Seq.fill(20)(("B", 0)) ++ Seq.fill(10)(("B", 1))
+    val r = AbStats.chiSquareIndependence(
+      rows.toDF("k", "arm"), col("k"), col("arm")).head
+    assert(r.getAs[Long]("n") === 60L)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Double]("chi2") === d6(20.0 / 3.0))
+  }
+
+  test("chiSquareIndependence: independent margins give chi2 = 0") {
+    // perfectly proportional cells → every o = e
+    val rows =
+      Seq.fill(10)(("A", 0)) ++ Seq.fill(20)(("A", 1)) ++
+      Seq.fill(20)(("B", 0)) ++ Seq.fill(40)(("B", 1))
+    val r = AbStats.chiSquareIndependence(
+      rows.toDF("k", "arm"), col("k"), col("arm")).head
+    assert(r.getAs[Double]("chi2") === 0.0)
+  }
+
+  // ---- Mann–Whitney -----------------------------------------------------
+
+  test("mannWhitneyU: hand-ranked case with ties") {
+    // arm0 = [1,2,2,5], arm1 = [2,3,4,4]
+    // avg ranks: 1→1; 2,2,2→3; 3→5; 4,4→6.5; 5→8
+    // R1 = 3+5+6.5+6.5 = 21, U1 = 21 − 4·5/2 = 11
+    val df = Seq((0, 1.0), (0, 2.0), (0, 2.0), (0, 5.0),
+                 (1, 2.0), (1, 3.0), (1, 4.0), (1, 4.0)).toDF("arm", "v")
+    val r = AbStats.mannWhitneyU(df, col("arm"), col("v")).head
+    assert(r.getAs[Long]("n_a_ranked") === 4L)
+    assert(r.getAs[Long]("n_b_ranked") === 4L)
+    assert(r.getAs[Double]("u_stat") === 11.0)
+    // z from the textbook tie-corrected formula, evaluated independently
+    val tie = (27.0 - 3.0) + (8.0 - 2.0)
+    val s2 = 4.0 * 4.0 / 12.0 * (9.0 - tie / (8.0 * 7.0))
+    assert(r.getAs[Double]("z_stat") === d6((11.0 - 8.0) / math.sqrt(s2)))
+  }
+
+  test("mannWhitneyU: all-tied corpus yields null z") {
+    val df = Seq((0, 2.0), (0, 2.0), (1, 2.0), (1, 2.0)).toDF("arm", "v")
+    val r = AbStats.mannWhitneyU(df, col("arm"), col("v")).head
+    // single tie group: U1 = c1·avgrank − n1(n1+1)/2 = 2·2.5 − 3 = 2
+    assert(r.getAs[Double]("u_stat") === 2.0)
+    assert(r.isNullAt(r.fieldIndex("z_stat")))
+  }
+
+  // ---- CUPED ------------------------------------------------------------
+
+  test("cupedEffect: perfectly predictive covariate removes the effect") {
+    // users 0..3 (arm = u%2), x = [1,2,3,4], y = 2x exactly:
+    // θ = 2, raw = 2, adjusted = raw − θ·(x̄₁−x̄₀) = 2 − 2·1 = 0, ρ² = 1
+    val rows = (0 until 4).flatMap { u =>
+      Seq((u.toLong, (u + 1).toDouble, true),
+          (u.toLong, 2.0 * (u + 1), false))
+    }
+    val df = rows.toDF("u", "v", "pre")
+    val r = AbStats.cupedEffect(df, col("u"), col("v"), col("pre")).head
+    assert(r.getAs[Long]("n_users") === 4L)
+    assert(r.getAs[Double]("theta") === 2.0)
+    assert(r.getAs[Double]("raw_diff") === 2.0)
+    assert(r.getAs[Double]("adjusted_diff") === 0.0)
+    assert(r.getAs[Double]("var_reduction") === 1.0)
+  }
+
+  test("cupedEffect: a user absent from a period contributes exact 0") {
+    // u0 (arm0) has only a post event; u1 (arm1) only a pre event —
+    // x(u0) = 0 and y(u1) = 0 rather than dropped rows
+    val df = Seq((0L, 10.0, false), (1L, 4.0, true),
+                 (2L, 1.0, true), (2L, 2.0, false),
+                 (3L, 2.0, true), (3L, 3.0, false)).toDF("u", "v", "pre")
+    val r = AbStats.cupedEffect(df, col("u"), col("v"), col("pre")).head
+    assert(r.getAs[Long]("n_users") === 4L)
+    // raw = ȳ₁ − ȳ₀ = (0+3)/2 − (10+2)/2 = −4.5
+    assert(r.getAs[Double]("raw_diff") === -4.5)
+  }
+
+  test("cupedEffect: zero covariate variance publishes null theta") {
+    val df = Seq((0L, 1.0, true), (0L, 5.0, false),
+                 (1L, 1.0, true), (1L, 7.0, false)).toDF("u", "v", "pre")
+    val r = AbStats.cupedEffect(df, col("u"), col("v"), col("pre")).head
+    assert(r.isNullAt(r.fieldIndex("theta")))
+    assert(r.getAs[Double]("raw_diff") === 2.0)
+  }
+}
