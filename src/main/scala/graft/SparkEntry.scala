@@ -248,6 +248,7 @@ object SparkEntry {
     // bitstream not the IDCT bits; MultimodalSpec pins byte-exact
     // hand-assembled streams + two-way javax.imageio cross-validation
     "media_decode_jpeg"  -> (MultimodalQueries.mediaDecodeJpeg _),
+    "media_decode_png"   -> (MultimodalQueries.mediaDecodePng _),
     "media_dedup_phash"  -> (MultimodalQueries.mediaDedupPhash _),
     "media_dedup_audio"  -> (MultimodalQueries.mediaDedupAudio _),
     "media_decode_audio" -> (MultimodalQueries.mediaDecodeAudio _),
@@ -4912,6 +4913,22 @@ object SparkEntry {
     // (range() can't take lateral column args in DuckDB, hence the
     // join-filter against the max domain size.)
     "media_decode_image" ->
+      """SELECT d.doc_id,
+        |  CAST(d.doc_id % 6 + 2 AS INTEGER) AS width,
+        |  CAST(d.doc_id % 4 + 2 AS INTEGER) AS height,
+        |  CAST(SUM((d.doc_id*7 + i.i*3) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((d.doc_id*11 + i.i*5) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((d.doc_id*13 + i.i*7) % 256) AS BIGINT) AS sum_b
+        |FROM documents d JOIN range(0, 35) AS i(i)
+        |  ON i.i < (d.doc_id % 6 + 2)*(d.doc_id % 4 + 2)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // D12d: same generator arithmetic as media_decode_image — PNG is
+    // LOSSLESS, so the decode side must recover the identical pixels
+    // through real zlib + the five scanline filters; a hash match is
+    // the byte-exact proof (lossy JPEG can't make this claim and is
+    // spec-pinned instead)
+    "media_decode_png" ->
       """SELECT d.doc_id,
         |  CAST(d.doc_id % 6 + 2 AS INTEGER) AS width,
         |  CAST(d.doc_id % 4 + 2 AS INTEGER) AS height,

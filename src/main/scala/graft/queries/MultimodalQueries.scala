@@ -105,6 +105,35 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D12d: PNG decode — each doc's synthetic image round-trips
+    * through the pure-JVM PNG codec ([[graft.sources.PngCodec]]: real
+    * zlib via `java.util.zip`, CRC-verified chunk walk, and a filter
+    * rotation that exercises ALL FIVE scanline predictors). PNG is
+    * lossless, so unlike D12c this face is hash-green DuckDB-oracled:
+    * the oracle recomputes the stats from the generator arithmetic
+    * and a hash match proves every pixel survived deflate + filter
+    * round-trip byte-exactly.
+    */
+  def mediaDecodePng(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, px) = synthImage(id)
+        (id, graft.sources.PngCodec.encodePng(w, h, px))
+      })
+      .toDF("doc_id", "media")
+    Multimodal.extractFeatures(media,
+        decoder = graft.sources.PngCodec.PngStatsDecoder)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        element_at(col("features"), 3).cast("long").as("sum_r"),
+        element_at(col("features"), 4).cast("long").as("sum_g"),
+        element_at(col("features"), 5).cast("long").as("sum_b"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D70: perceptual image near-dup pairs — each doc's synthetic
     * image round-trips through the REAL BMP codec, the decoder emits
     * the 48-bit dHash of the decoded pixels, and

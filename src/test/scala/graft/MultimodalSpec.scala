@@ -491,4 +491,103 @@ class MultimodalSpec extends AnyFunSuite {
       assert((w, h) == ((ew, eh)), s"doc $id dims")
     }
   }
+
+  // ---- PNG (D12d) -------------------------------------------------------
+
+  test("PNG round-trip is LOSSLESS and exercises all five filters") {
+    import graft.sources.PngCodec
+    // h = 7 > 5 rows ⇒ the y%5 rotation hits None/Sub/Up/Average/Paeth
+    val w = 11; val h = 7
+    val px = Array.tabulate(w * h) { i =>
+      val r = (i * 37 + 11) % 256; val g = (i * 53 + 200) % 256
+      val b = (i * 91 + 3) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val bytes = PngCodec.encodePng(w, h, px)
+    val (dw, dh, dec) = PngCodec.decodePng(bytes)
+    assert((dw, dh) == ((w, h)))
+    assert(dec.sameElements(px), "lossless round-trip must be bit-exact")
+    // 1-row and 1-col edge shapes (no left/up neighbors on most lanes)
+    for ((ww, hh) <- Seq((1, 9), (9, 1), (1, 1))) {
+      val p2 = Array.tabulate(ww * hh)(i => (i * 123457) & 0xffffff)
+      val (ow, oh, o) = PngCodec.decodePng(PngCodec.encodePng(ww, hh, p2))
+      assert((ow, oh) == ((ww, hh)) && o.sameElements(p2), s"${ww}x$hh")
+    }
+  }
+
+  test("PNG cross-decoder: javax.imageio reads our bytes, we read its") {
+    import graft.sources.PngCodec
+    val w = 13; val h = 9
+    val px = Array.tabulate(w * h)(i => (i * 654321 + 987) & 0xffffff)
+    // our encoder → ImageIO
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(PngCodec.encodePng(w, h, px)))
+    assert(img != null, "ImageIO could not parse our PNG")
+    assert(img.getWidth == w && img.getHeight == h)
+    val fromImageIo = Array.tabulate(w * h)(i =>
+      img.getRGB(i % w, i / w) & 0xffffff)
+    assert(fromImageIo.sameElements(px), "ImageIO must see identical pixels")
+    // ImageIO (truecolor) → our decoder
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    px.zipWithIndex.foreach { case (p, i) => bi.setRGB(i % w, i / w, p) }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", baos)
+    val (rw, rh, rpx) = PngCodec.decodePng(baos.toByteArray)
+    assert((rw, rh) == ((w, h)) && rpx.sameElements(px))
+    // ImageIO ARGB (color type 6) → our decoder drops alpha
+    val bia = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    px.zipWithIndex.foreach { case (p, i) =>
+      bia.setRGB(i % w, i / w, 0xff000000 | p)
+    }
+    val baosA = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bia, "png", baosA)
+    val (aw, ah, apx) = PngCodec.decodePng(baosA.toByteArray)
+    assert((aw, ah) == ((w, h)) && apx.sameElements(px))
+    // grayscale (color type 0) → replicated channels
+    val big = new java.awt.image.BufferedImage(
+      4, 3, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 12).foreach { i =>
+      val g = (i * 21) % 256
+      big.setRGB(i % 4, i / 4, (g << 16) | (g << 8) | g)
+    }
+    val baosG = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "png", baosG)
+    val (gw, gh, gpx) = PngCodec.decodePng(baosG.toByteArray)
+    assert((gw, gh) == ((4, 3)))
+    gpx.foreach { p =>
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      assert(r == g && g == b, "grayscale must replicate to all channels")
+    }
+  }
+
+  test("PNG decoder rejects corruption: CRC flip, truncated IDAT, bad magic") {
+    import graft.sources.PngCodec
+    val good = PngCodec.encodePng(5, 4,
+      Array.tabulate(20)(i => (i * 999331) & 0xffffff))
+    // flip one IDAT payload byte → CRC must catch it
+    val corrupt = good.clone()
+    corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x41).toByte
+    intercept[IllegalArgumentException](PngCodec.decodePng(corrupt))
+    // bad signature
+    val badMagic = good.clone(); badMagic(0) = 0x42
+    intercept[IllegalArgumentException](PngCodec.decodePng(badMagic))
+    // truncated file
+    intercept[IllegalArgumentException](
+      PngCodec.decodePng(good.take(good.length - 13)))
+  }
+
+  test("PNG batched decoder face matches the generator arithmetic") {
+    import graft.queries.MultimodalQueries
+    val rows = MultimodalQueries.mediaDecodePng(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, px) = MultimodalQueries.synthImage(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"doc $id dims")
+      assert(r.getLong(3) == px.map(p => (p >> 16) & 0xff).map(_.toLong).sum,
+        s"doc $id sum_r")
+    }
+  }
 }
