@@ -73,6 +73,7 @@ object SparkEntry {
     "chunk_overlap"      -> ((s, d) => TextQueries.chunkOverlap(s, d)),
     "html_extract"       -> (TextQueries.htmlExtract _),
     "l_diversity_audit"  -> (TextQueries.lDiversityAudit _),
+    "t_closeness_audit"  -> (TextQueries.tClosenessAudit _),
     "signal_correlation" -> (TextQueries.signalCorrelation _),
     "dp_noisy_counts"    -> (TextQueries.dpNoisyCounts _),
     "doremi_mix"         -> (TextQueries.doremiMix _),
@@ -4450,6 +4451,37 @@ object SparkEntry {
         |  COUNT(DISTINCT lang) >= 2 AS l_diverse
         |FROM documents GROUP BY 1, 2
         |ORDER BY source, len_bucket""".stripMargin,
+
+    // D93: ordered-EMD t-closeness — the cumulative difference is the
+    // INTEGER (ng·cn − nc·cm) accumulated exactly (HUGEINT mirrors
+    // decimal(38,0)); the published t is ONE double divide, and the
+    // flag compares the 6-dp-rounded t so both engines cut identically
+    "t_closeness_audit" ->
+      """WITH b AS (SELECT lang, source, n_chars // 200 AS a
+        |  FROM documents),
+        |ca AS (SELECT lang, source, a, COUNT(*) AS n FROM b GROUP BY 1,2,3),
+        |ga AS (SELECT a, COUNT(*) AS m FROM b GROUP BY 1),
+        |cl AS (SELECT lang, source, SUM(n) AS nc FROM ca GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(m) AS BIGINT) AS ng, COUNT(*) AS nb FROM ga),
+        |grid AS (SELECT cl.lang, cl.source, cl.nc, ga.a, ga.m,
+        |    COALESCE(ca.n, 0) AS n
+        |  FROM cl CROSS JOIN ga LEFT JOIN ca
+        |    ON ca.lang = cl.lang AND ca.source = cl.source AND ca.a = ga.a),
+        |cum AS (SELECT lang, source, nc, a,
+        |    SUM(n) OVER w AS cn, SUM(m) OVER w AS cm
+        |  FROM grid WINDOW w AS (PARTITION BY lang, source ORDER BY a
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT lang, source, nc, ng, nb,
+        |    CAST(SUM(ABS(CAST(ng AS HUGEINT) * cn
+        |      - CAST(nc AS HUGEINT) * cm)) AS DOUBLE) AS sn
+        |  FROM cum CROSS JOIN t GROUP BY 1, 2, 3, 4, 5)
+        |SELECT lang, source, CAST(nc AS BIGINT) AS class_size,
+        |  CASE WHEN nb <= 1 THEN 0.0 ELSE
+        |    round(sn / (CAST(nc AS DOUBLE) * ng * (nb - 1)), 6) END AS t_emd,
+        |  (CASE WHEN nb <= 1 THEN 0.0 ELSE
+        |    round(sn / (CAST(nc AS DOUBLE) * ng * (nb - 1)), 6) END) <= 0.2
+        |    AS t_close
+        |FROM s ORDER BY lang, source""".stripMargin,
 
     // D68: the Laplace mechanism replayed bit for bit — dense release
     // index over the sorted histogram, portable-XXH64 of the index,

@@ -1308,6 +1308,19 @@ object TextQueries {
       .orderBy(col("source"), col("len_bucket"))
   }
 
+  /** D93: t-closeness audit — the skewness-attack check k-anonymity
+    * (D84) and l-diversity (D78) cannot see: classes = (lang, source)
+    * quasi-identifiers, ordered sensitive attribute = length bucket
+    * (n_chars DIV 200), distance = ordered EMD vs the corpus-wide
+    * distribution, exact integer core. See
+    * [[graft.operators.TCloseness]].
+    */
+  def tClosenessAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TCloseness.orderedEmdAudit(
+        Tables.documents(spark, dir), Seq("lang", "source"),
+        expr("n_chars DIV 200"), threshold = 0.2)
+      .orderBy(col("lang"), col("source"))
+
   /** D68: differentially-private release of the per-(lang, source)
     * document histogram — the Laplace mechanism with ε = 1 and the
     * deterministic keyed-hash draw of

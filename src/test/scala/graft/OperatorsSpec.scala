@@ -1214,4 +1214,43 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
     doms.foreach(d => assert(re(d) == out(d)._3))
   }
+
+  // ---- TCloseness (D93) ---------------------------------------------
+
+  test("tCloseness orderedEmdAudit: hand-computable skew and exact zero") {
+    import graft.operators.TCloseness
+    import spark.implicits._
+    // global buckets {0:2, 1:2}; class A all-bucket-0, class B
+    // all-bucket-1: both sit at ordered EMD 0.5 from the corpus
+    val df = Seq(("A", 0L), ("A", 0L), ("B", 1L), ("B", 1L)).toDF("cls", "a")
+    val out = TCloseness.orderedEmdAudit(df, Seq("cls"), col("a"),
+        threshold = 0.2)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("class_size"), r.getAs[Double]("t_emd"),
+          r.getAs[Boolean]("t_close"))).toMap
+    assert(out("A") === ((2L, 0.5, false)))
+    assert(out("B") === ((2L, 0.5, false)))
+    // a class mirroring the global distribution has t = 0 EXACTLY
+    val mirror = Seq(("A", 0L), ("A", 1L), ("B", 0L), ("B", 1L))
+      .toDF("cls", "a")
+    TCloseness.orderedEmdAudit(mirror, Seq("cls"), col("a")).collect()
+      .foreach { r =>
+        assert(r.getAs[Double]("t_emd") === 0.0)
+        assert(r.getAs[Boolean]("t_close"))
+      }
+    // single-bucket domain: identical by construction, t = 0 (no /0)
+    val one = Seq(("A", 5L), ("B", 5L)).toDF("cls", "a")
+    TCloseness.orderedEmdAudit(one, Seq("cls"), col("a")).collect()
+      .foreach(r => assert(r.getAs[Double]("t_emd") === 0.0))
+    // ordering matters: mass moved TWO buckets costs twice one bucket
+    val far = Seq(("A", 0L), ("B", 2L), ("C", 1L)).toDF("cls", "a")
+    val t = TCloseness.orderedEmdAudit(far, Seq("cls"), col("a")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("t_emd")).toMap
+    // class A: p=(1,0,0), q=(1/3,1/3,1/3): cum diffs 2/3, 1/3 → t=0.5
+    // class C: p=(0,1,0): cum diffs 1/3, 1/3 → t = 1/3 (closer)
+    assert(t("A") === 0.5)
+    assert(t("C") === BigDecimal(1.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(t("A") > t("C"), "two-bucket move must cost more than one")
+  }
 }
