@@ -74,6 +74,7 @@ object SparkEntry {
     "html_extract"       -> (TextQueries.htmlExtract _),
     "l_diversity_audit"  -> (TextQueries.lDiversityAudit _),
     "t_closeness_audit"  -> (TextQueries.tClosenessAudit _),
+    "rater_kappa"        -> (TextQueries.raterAgreementKappa _),
     "signal_correlation" -> (TextQueries.signalCorrelation _),
     "dp_noisy_counts"    -> (TextQueries.dpNoisyCounts _),
     "doremi_mix"         -> (TextQueries.doremiMix _),
@@ -4482,6 +4483,57 @@ object SparkEntry {
         |    round(sn / (CAST(nc AS DOUBLE) * ng * (nb - 1)), 6) END) <= 0.2
         |    AS t_close
         |FROM s ORDER BY lang, source""".stripMargin,
+
+    // D94: both raters replayed (quality micro-units — the bootstrap
+    // convention — and the Gopher rules), contingency cells exact
+    // integers, po/pe/kappa one IEEE evaluation each
+    "rater_kappa" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |q AS (
+        |  SELECT doc_id, text, tk,
+        |    CAST(len(tk) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
+        |  FROM t),
+        |v AS (
+        |  SELECT doc_id,
+        |    CAST(round((0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((h / n) * 8.0, 1.0)) * 1000000.0) AS BIGINT)
+        |      >= 500000 AS ra,
+        |    (len(tk) BETWEEN 40 AND 100000
+        |      AND CAST(len(regexp_replace(trim(text), '\s+', '', 'g'))
+        |            AS DOUBLE) / CAST(len(tk) AS DOUBLE) BETWEEN 3.0 AND 5.0
+        |      AND CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
+        |            AS DOUBLE) / CAST(len(tk) AS DOUBLE) >= 0.8
+        |      AND len(list_filter(tk, w -> list_contains(
+        |            ['the', 'a', 'of', 'to', 'and'], w))) >= 1) AS rb
+        |  FROM q),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN COALESCE(ra, false) AND COALESCE(rb, false)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(SUM(CASE WHEN COALESCE(ra, false) AND NOT COALESCE(rb, false)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(ra, false) AND COALESCE(rb, false)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(ra, false)
+        |      AND NOT COALESCE(rb, false) THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM v),
+        |k AS (SELECT n, n11, n10, n01, n00,
+        |    CAST(n11 + n00 AS DOUBLE) / n AS po,
+        |    (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+        |      + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+        |  FROM c)
+        |SELECT n, n11, n10, n01, n00,
+        |  CASE WHEN n > 0 THEN round(po, 6) END AS po,
+        |  CASE WHEN n > 0 THEN round(pe, 6) END AS pe,
+        |  CASE WHEN n > 0 AND pe < 1.0 THEN
+        |    round((po - pe) / (1.0 - pe), 6) END AS kappa
+        |FROM k""".stripMargin,
 
     // D68: the Laplace mechanism replayed bit for bit — dense release
     // index over the sorted histogram, portable-XXH64 of the index,

@@ -166,6 +166,43 @@ object AbStats {
           .as("z_stat"))
   }
 
+  /** Cohen's kappa inter-rater agreement (Cohen 1960) between two
+    * boolean verdict columns — the labeling-QA statistic a
+    * training-data pipeline runs over its automated quality raters:
+    * raw agreement po overstates consistency when both raters lean
+    * the same way, so kappa discounts the chance-agreement floor
+    * pe = (a₁b₁ + a₀b₀)/N².
+    *
+    * ONE scan, ZERO data shuffle (conditional-aggregation legs → one
+    * scalar partial-agg merge); the four contingency cells and both
+    * margins are exact integers, po/pe/κ one IEEE evaluation each.
+    * Null verdicts fall into the "false" legs of neither-cell counts
+    * consistently in both engines (CASE/when semantics). Degenerate
+    * pe = 1 (both raters constant) publishes null κ.
+    */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val a = coalesce(raterA, lit(false))
+    val b = coalesce(raterB, lit(false))
+    val agg = df.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(when(a && b, 1L).otherwise(0L)).cast("long").as("n11"),
+      sum(when(a && !b, 1L).otherwise(0L)).cast("long").as("n10"),
+      sum(when(!a && b, 1L).otherwise(0L)).cast("long").as("n01"),
+      sum(when(!a && !b, 1L).otherwise(0L)).cast("long").as("n00"))
+    val nD = col("n").cast("double")
+    val a1 = (col("n11") + col("n10")).cast("double")
+    val b1 = (col("n11") + col("n01")).cast("double")
+    val a0 = (col("n01") + col("n00")).cast("double")
+    val b0 = (col("n10") + col("n00")).cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pe = (a1 * b1 + a0 * b0) / (nD * nD)
+    agg.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      when(col("n") > 0, round(po, 6)).as("po"),
+      when(col("n") > 0, round(pe, 6)).as("pe"),
+      when(col("n") > 0 && pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6))
+        .as("kappa"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013 — "Improving the
     * sensitivity of online controlled experiments"): regress the
     * experiment-period metric on the PRE-period covariate and test the

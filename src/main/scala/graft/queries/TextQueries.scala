@@ -1321,6 +1321,31 @@ object TextQueries {
         expr("n_chars DIV 200"), threshold = 0.2)
       .orderBy(col("lang"), col("source"))
 
+  /** D94: Cohen's kappa between the pipeline's two automated quality
+    * raters — the D14 composite score at the 0.5 cut (thresholded on
+    * the MICRO-unit integer, the bootstrap-oracle convention, so no
+    * double boundary can diverge) vs the D41 Gopher rule verdict.
+    * Raw agreement po overstates consistency when both raters
+    * mostly-keep; κ discounts the chance floor. One scan, zero data
+    * shuffle. See [[graft.operators.AbStats.cohenKappa]].
+    */
+  def raterAgreementKappa(spark: SparkSession, dir: String): DataFrame = {
+    val qm = round(TextFunctions.qualityScore(col("text")) * 1000000.0)
+      .cast("long")
+    val stops = array(Seq("the", "a", "of", "to", "and").map(lit): _*)
+    val ws = split(trim(col("text")), "\\s+")
+    val nWords = size(ws)
+    val meanLen = length(regexp_replace(trim(col("text")), "\\s+", ""))
+      .cast("double") / nWords.cast("double")
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]")))
+      .cast("double") / nWords.cast("double")
+    val stopHits = size(filter(ws, w => array_contains(stops, w)))
+    val gopherKeep = nWords.between(40, 100000) &&
+      meanLen.between(3.0, 5.0) && alphaFrac >= 0.8 && stopHits >= 1
+    graft.operators.AbStats.cohenKappa(
+      Tables.documents(spark, dir), qm >= 500000L, gopherKeep)
+  }
+
   /** D68: differentially-private release of the per-(lang, source)
     * document histogram — the Laplace mechanism with ε = 1 and the
     * deterministic keyed-hash draw of

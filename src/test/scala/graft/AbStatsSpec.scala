@@ -92,6 +92,35 @@ class AbStatsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("z_stat")))
   }
 
+  // ---- Cohen's kappa ----------------------------------------------------
+
+  test("cohenKappa: textbook contingency gives kappa 0.4") {
+    // n11=20 n10=5 n01=10 n00=15: po=0.7, pe=(25·30+25·20)/50²=0.5
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false))
+    val r = AbStats.cohenKappa(rows.toDF("a", "b"), col("a"), col("b")).head
+    assert(r.getAs[Long]("n") === 50L)
+    assert(r.getAs[Double]("po") === 0.7)
+    assert(r.getAs[Double]("pe") === 0.5)
+    assert(r.getAs[Double]("kappa") === 0.4)
+  }
+
+  test("cohenKappa: perfect agreement is 1, constant raters are null") {
+    val perfect = Seq((true, true), (false, false), (true, true))
+      .toDF("a", "b")
+    assert(AbStats.cohenKappa(perfect, col("a"), col("b"))
+      .head.getAs[Double]("kappa") === 1.0)
+    // both raters always true → pe = 1 → undefined
+    val const = Seq((true, true), (true, true)).toDF("a", "b")
+    val r = AbStats.cohenKappa(const, col("a"), col("b")).head
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+    // null verdicts count as false in the cells
+    val withNull = Seq((Some(true), Some(true)), (None, Some(false)),
+      (Some(false), None)).toDF("a", "b")
+    val r2 = AbStats.cohenKappa(withNull, col("a"), col("b")).head
+    assert(r2.getAs[Long]("n11") === 1L && r2.getAs[Long]("n00") === 2L)
+  }
+
   // ---- CUPED ------------------------------------------------------------
 
   test("cupedEffect: perfectly predictive covariate removes the effect") {
