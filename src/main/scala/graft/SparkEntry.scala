@@ -75,6 +75,7 @@ object SparkEntry {
     "l_diversity_audit"  -> (TextQueries.lDiversityAudit _),
     "t_closeness_audit"  -> (TextQueries.tClosenessAudit _),
     "rater_kappa"        -> (TextQueries.raterAgreementKappa _),
+    "char_entropy"       -> (TextQueries.charEntropyFilter _),
     "signal_correlation" -> (TextQueries.signalCorrelation _),
     "dp_noisy_counts"    -> (TextQueries.dpNoisyCounts _),
     "doremi_mix"         -> (TextQueries.doremiMix _),
@@ -4483,6 +4484,32 @@ object SparkEntry {
         |    round(sn / (CAST(nc AS DOUBLE) * ng * (nb - 1)), 6) END) <= 0.2
         |    AS t_close
         |FROM s ORDER BY lang, source""".stripMargin,
+
+    // D95: byte entropy over the char histogram (ASCII corpus: chars
+    // ≡ bytes), terms folded in ascending byte order mirroring the
+    // kernel's pinned left-fold; ln(p)/ln(2) composed identically,
+    // the libm ulp absorbed by round 6
+    "char_entropy" ->
+      """WITH ch AS (
+        |  SELECT d.doc_id, substr(d.text, i.i + 1, 1) AS c
+        |  FROM documents d JOIN range(0, 1024) AS i(i)
+        |    ON i.i < length(d.text)),
+        |hist AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(SUM(k) AS DOUBLE) AS n
+        |  FROM hist GROUP BY 1),
+        |terms AS (SELECT h.doc_id, h.c,
+        |    -((CAST(h.k AS DOUBLE) / t.n)
+        |      * (ln(CAST(h.k AS DOUBLE) / t.n) / ln(2))) AS tt
+        |  FROM hist h JOIN tot t USING (doc_id)),
+        |e AS (SELECT doc_id,
+        |    round(list_reduce(list_prepend(0.0, list(tt ORDER BY c)),
+        |      (a, b) -> a + b), 6) AS entropy
+        |  FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+        |  COALESCE(e.entropy, 0.0) AS entropy,
+        |  COALESCE(e.entropy, 0.0) BETWEEN 2.0 AND 6.0 AS keep
+        |FROM documents d LEFT JOIN e USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // D94: both raters replayed (quality micro-units — the bootstrap
     // convention — and the Gopher rules), contingency cells exact

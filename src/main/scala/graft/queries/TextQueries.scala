@@ -1321,6 +1321,22 @@ object TextQueries {
         expr("n_chars DIV 200"), threshold = 0.2)
       .orderBy(col("lang"), col("source"))
 
+  /** D95: byte-entropy filter — the compressibility proxy cut:
+    * boilerplate sits low, random junk sits high, prose lands in a
+    * mid band. Per-row codegen kernel
+    * ([[graft.functions.ByteEntropy]]) — one scan, zero shuffle
+    * besides the presentation sort; the flag compares the
+    * 6-dp-rounded entropy so both engines cut identically.
+    */
+  def charEntropyFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        round(graft.functions.ByteEntropy.byte_entropy(col("text")), 6)
+          .as("entropy"))
+      .withColumn("keep", col("entropy").between(2.0, 6.0))
+      .orderBy(col("doc_id"))
+
   /** D94: Cohen's kappa between the pipeline's two automated quality
     * raters — the D14 composite score at the 0.5 cut (thresholded on
     * the MICRO-unit integer, the bootstrap-oracle convention, so no

@@ -1215,6 +1215,36 @@ class OperatorsSpec extends AnyFunSuite {
     doms.foreach(d => assert(re(d) == out(d)._3))
   }
 
+  // ---- ByteEntropy (D95) ----------------------------------------------
+
+  test("byteEntropy kernel: hand values, byte contract, codegen parity") {
+    import graft.functions.ByteEntropy
+    import spark.implicits._
+    // uniform k-symbol strings hit exactly log2(k) bits
+    val df = Seq(("aaaa", 1L), ("ab", 2L), ("abcd", 3L), ("", 4L),
+      ("é", 5L)) // é = 2 distinct UTF-8 bytes → 1 bit
+      .toDF("t", "id")
+    val out = df.select(col("id"), ByteEntropy.byte_entropy(col("t")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === 0.0)
+    assert(math.abs(out(2L) - 1.0) < 1e-12)
+    assert(math.abs(out(3L) - 2.0) < 1e-12)
+    assert(out(4L) === 0.0, "empty string is 0 by contract")
+    assert(math.abs(out(5L) - 1.0) < 1e-12,
+      "entropy is over UTF-8 BYTES: a 2-byte code point has 1 bit")
+    // null propagates; interpreted path (eval through a filter that
+    // blocks codegen is overkill — compare vs the static kernel)
+    val withNull = Seq((Some("abab"), 1L), (None, 2L)).toDF("t", "id")
+    val rows = withNull
+      .select(col("id"), ByteEntropy.byte_entropy(col("t")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1L) === Some(1.0))
+    assert(rows(2L) === None)
+    // kernel static function agrees with the column path (codegen)
+    assert(ByteEntropy.entropyOf("abab".getBytes("UTF-8")) === 1.0)
+  }
+
   // ---- TCloseness (D93) ---------------------------------------------
 
   test("tCloseness orderedEmdAudit: hand-computable skew and exact zero") {
