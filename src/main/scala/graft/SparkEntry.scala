@@ -228,6 +228,8 @@ object SparkEntry {
     "mad_outliers"       -> (WarehouseQueries.eventsMadOutliers _),
     "peak_concurrency"   -> (WarehouseQueries.peakConcurrency _),
     "pareto_frontier"    -> (WarehouseQueries.paretoFrontier _),
+    "cusum_changepoint"  -> (WarehouseQueries.cusumChangepoint _),
+    "rfm_segments"       -> (WarehouseQueries.rfmSegments _),
     "ab_welch_ttest"     -> (WarehouseQueries.welchTTest _),
     "ab_chi_square"      -> (WarehouseQueries.chiSquareMix _),
     "ab_mann_whitney"    -> (WarehouseQueries.mannWhitney _),
@@ -4855,6 +4857,78 @@ object SparkEntry {
          |  CAST(1 + $fold AS INTEGER) AS decile
          |FROM b JOIN thr USING (event_type)
          |ORDER BY event_id""".stripMargin
+    },
+
+    // C70: the D-scaled deviation cumsum S_i = D·cum_i − i·N is an
+    // exact integer (HUGEINT ↔ decimal(38,0)), so the argmax and the
+    // earliest-step tie-break are all-integer decisions; |S|/D and
+    // N/D are one IEEE divide each
+    "cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS HUGEINT) AS i,
+        |    SUM(CAST(n AS HUGEINT)) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum
+        |  FROM daily),
+        |t AS (SELECT event_type, COUNT(*) AS d,
+        |    SUM(CAST(n AS HUGEINT)) AS ntot FROM daily GROUP BY 1),
+        |s AS (SELECT c.event_type, c.day, t.d, t.ntot,
+        |    CAST(t.d AS HUGEINT) * c.cum - c.i * t.ntot AS S
+        |  FROM c JOIN t USING (event_type)),
+        |p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY ABS(S) DESC, day ASC) AS rk FROM s)
+        |SELECT event_type, day AS cp_step,
+        |  round(CAST(ABS(S) AS DOUBLE) / CAST(d AS DOUBLE), 6) AS cusum_stat,
+        |  round(CAST(ntot AS DOUBLE) / CAST(d AS DOUBLE), 6) AS mean_level,
+        |  CAST(d AS BIGINT) AS n_steps
+        |FROM p WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    // C71: quintile thresholds off the cumulative histogram — the
+    // C59 decile recipe ×3 metrics; fraction literals forced to
+    // DOUBLE so both engines cut the same IEEE boundary; scoring an
+    // all-integer fold; monetary exact cents → one divide
+    "rfm_segments" -> {
+      def thr(metric: String) = (1 to 4).map(d =>
+        s"MIN(CASE WHEN cum >= CAST(${d / 5.0} AS DOUBLE) * total " +
+          s"THEN bk END) AS ${metric}_b$d").mkString(",\n      ")
+      def hist(metric: String) =
+        s"""${metric}_h AS (SELECT $metric AS bk, COUNT(*) AS c
+           |  FROM u GROUP BY 1),
+           |${metric}_cum AS (SELECT bk,
+           |    SUM(c) OVER (ORDER BY bk
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    SUM(c) OVER () AS total FROM ${metric}_h),
+           |${metric}_thr AS (SELECT
+           |      ${thr(metric)}
+           |  FROM ${metric}_cum)""".stripMargin
+      def fold(metric: String) = (1 to 4).map(d =>
+        s"(CASE WHEN $metric > ${metric}_b$d THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(date_diff('day', CAST(max(date_trunc('day', ts)) AS DATE),
+         |      DATE '2024-01-31') AS BIGINT) AS recency,
+         |    COUNT(*) AS frequency,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |${hist("recency")},
+         |${hist("frequency")},
+         |${hist("cents")},
+         |sc AS (SELECT user_id, recency, frequency, cents,
+         |    CAST(6 - (1 + ${fold("recency")}) AS INTEGER) AS r_score,
+         |    CAST(1 + ${fold("frequency")} AS INTEGER) AS f_score,
+         |    CAST(1 + ${fold("cents")} AS INTEGER) AS m_score
+         |  FROM u CROSS JOIN recency_thr CROSS JOIN frequency_thr
+         |    CROSS JOIN cents_thr)
+         |SELECT user_id, recency, frequency,
+         |  CAST(cents AS DOUBLE) / 100.0 AS monetary,
+         |  r_score, f_score, m_score,
+         |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         |    || CAST(m_score AS VARCHAR) AS segment
+         |FROM sc ORDER BY user_id""".stripMargin
     },
 
     // C66: exact decimal sufficient aggregates (n, Σv, Σv²) per arm,

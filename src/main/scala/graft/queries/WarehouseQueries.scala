@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Num._
 import graft.operators.{AsOfJoin, Ewma, Funnel, FuzzyJoin, HybridRetrieval, Outliers, Profile, Scd2, Similarity, TextRank}
@@ -863,6 +863,72 @@ object WarehouseQueries {
       .select(col("user_id"), col("day"), col("n_gaps"),
         (col("vw").cast("double") / col("tw").cast("double")).as("twap"))
       .orderBy(col("user_id"), col("day"))
+  }
+
+  /** C70: CUSUM changepoint per event type over the daily count
+    * series — "did the volume shift, and on which day". The corpus
+    * scan is ONE partial-agg'd (type, day) count shuffle; everything
+    * after runs on the aggregate-sized series (see
+    * [[graft.operators.Changepoint]]).
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Changepoint.cusumMaxShift(
+        daily, Seq("event_type"), col("day"), col("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** C71: RFM segmentation (the classic recency/frequency/monetary
+    * quintile scoring every CRM warehouse ships): per-user metrics
+    * off ONE user-count-sized groupBy, quintile boundaries off the
+    * CumHistogram cumulative-histogram walk (aggregate-sized windows,
+    * broadcast back — the C59 decile pattern, never a corpus NTILE),
+    * all-integer scoring. Recency anchors at the fixed calendar day
+    * 2024-01-31 (data-independent); scores are 1..5 with 5 best
+    * (recency inverts: small gap = high score).
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CumHistogram
+    val anchor = to_date(lit("2024-01-31"))
+    val users = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(datediff(anchor, max(date_trunc("day", col("ts")).cast("date")))
+             .cast("long").as("recency"),
+           count(lit(1)).as("frequency"),
+           sum(graft.functions.Num.dec2(col("value")) * 100)
+             .cast("long").as("cents"))
+    def quintileThresholds(metric: String): DataFrame = {
+      val counts = users
+        .select(lit(1).as("__g"), col(metric).as("__bk"))
+        .groupBy(col("__g"), col("__bk")).agg(count(lit(1)).as("cnt"))
+      val cum = CumHistogram.cumulativeByGroup(counts, "__g", "__bk", "cnt")
+      val thrCols = (1 to 4).map(d =>
+        min(when(col("cum") >= lit(d / 5.0) * col("total"), col("__bk")))
+          .as(s"__${metric}_b$d"))
+      cum.groupBy(col("__g")).agg(thrCols.head, thrCols.tail: _*)
+        .drop("__g")
+    }
+    def score(metric: String): Column =
+      (1 to 4).foldLeft(lit(1)) { (acc, d) =>
+        acc + when(col(metric) > col(s"__${metric}_b$d"), 1).otherwise(0)
+      }
+    val withThr = users
+      .crossJoin(broadcast(quintileThresholds("recency")))
+      .crossJoin(broadcast(quintileThresholds("frequency")))
+      .crossJoin(broadcast(quintileThresholds("cents")))
+    withThr
+      .withColumn("r_score", (lit(6) - score("recency")).cast("int"))
+      .withColumn("f_score", score("frequency").cast("int"))
+      .withColumn("m_score", score("cents").cast("int"))
+      .select(col("user_id"), col("recency"), col("frequency"),
+        (col("cents").cast("double") / 100.0).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+      .orderBy(col("user_id"))
   }
 
   /** C66: Welch t-test on purchase value between the deterministic

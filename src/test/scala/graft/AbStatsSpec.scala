@@ -158,4 +158,32 @@ class AbStatsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("theta")))
     assert(r.getAs[Double]("raw_diff") === 2.0)
   }
+
+  // ---- CUSUM changepoint --------------------------------------------------
+
+  test("cusumMaxShift: hand series, level shift found at the step") {
+    import graft.operators.Changepoint
+    // [5,5,5,9,9]: D=5, N=33; S = 5·cum − i·33 = −8,−16,−24,−12,0 →
+    // max |S| = 24 at step 3, stat 24/5 = 4.8, mean 6.6
+    val s = Seq(("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 5L),
+                ("a", 4L, 9L), ("a", 5L, 9L)).toDF("k", "step", "x")
+    val r = Changepoint.cusumMaxShift(s, Seq("k"), col("step"), col("x")).head
+    assert(r.getAs[Long]("cp_step") === 3L)
+    assert(r.getAs[Double]("cusum_stat") === 4.8)
+    assert(r.getAs[Double]("mean_level") === 6.6)
+    assert(r.getAs[Long]("n_steps") === 5L)
+    // constant series: every S = 0, tie breaks to the EARLIEST step
+    val const = Seq(("a", 1L, 2L), ("a", 2L, 2L), ("a", 3L, 2L))
+      .toDF("k", "step", "x")
+    val rc = Changepoint.cusumMaxShift(const, Seq("k"), col("step"),
+      col("x")).head
+    assert(rc.getAs[Long]("cp_step") === 1L)
+    assert(rc.getAs[Double]("cusum_stat") === 0.0)
+    // single-step series publishes 0 at that step (no interior shift)
+    val one = Seq(("b", 7L, 4L)).toDF("k", "step", "x")
+    val ro = Changepoint.cusumMaxShift(one, Seq("k"), col("step"),
+      col("x")).head
+    assert(ro.getAs[Long]("cp_step") === 7L)
+    assert(ro.getAs[Double]("cusum_stat") === 0.0)
+  }
 }
