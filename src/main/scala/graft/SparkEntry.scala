@@ -229,6 +229,7 @@ object SparkEntry {
     "peak_concurrency"   -> (WarehouseQueries.peakConcurrency _),
     "pareto_frontier"    -> (WarehouseQueries.paretoFrontier _),
     "cusum_changepoint"  -> (WarehouseQueries.cusumChangepoint _),
+    "adamic_adar_links"  -> (WarehouseQueries.adamicAdarLinks _),
     "rfm_segments"       -> (WarehouseQueries.rfmSegments _),
     "ab_welch_ttest"     -> (WarehouseQueries.welchTTest _),
     "ab_chi_square"      -> (WarehouseQueries.chiSquareMix _),
@@ -4858,6 +4859,26 @@ object SparkEntry {
          |FROM b JOIN thr USING (event_type)
          |ORDER BY event_id""".stripMargin
     },
+
+    // C72: micro-unit integer AA weights (round(1e6/ln d) — the one
+    // libm ln sits inside a per-term rounding both engines apply),
+    // pair scores exact integer sums, total-order top-20
+    "adamic_adar_links" ->
+      """WITH m AS (SELECT DISTINCT o_custkey AS l, l_suppkey AS r
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (SELECT l, COUNT(*) AS d FROM m GROUP BY 1
+        |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 10000),
+        |w AS (SELECT l,
+        |    CAST(round(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS w
+        |  FROM deg),
+        |mw AS (SELECT m.l, m.r, w.w FROM m JOIN w USING (l)),
+        |wedge AS (SELECT x.r AS a, y.r AS b, x.w
+        |  FROM mw x JOIN mw y ON x.l = y.l AND x.r < y.r),
+        |p AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+        |    SUM(w) AS aa FROM wedge GROUP BY 1, 2)
+        |SELECT a, b, common_neighbors,
+        |  CAST(aa AS DOUBLE) / 1000000.0 AS aa_score
+        |FROM p ORDER BY aa DESC, a, b LIMIT 20""".stripMargin,
 
     // C70: the D-scaled deviation cumsum S_i = D·cum_i − i·N is an
     // exact integer (HUGEINT ↔ decimal(38,0)), so the argmax and the

@@ -865,6 +865,22 @@ object WarehouseQueries {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** C72: Adamic–Adar supplier affinity — which two suppliers a
+    * shared customer base most strongly ties, each common customer
+    * discounted by 1/ln(breadth). Top-20 pairs; see
+    * [[graft.operators.LinkPrediction]].
+    */
+  def adamicAdarLinks(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+    graft.operators.LinkPrediction.adamicAdarTopK(
+      cs, left = col("c"), right = col("s"), k = 20)
+  }
+
   /** C70: CUSUM changepoint per event type over the daily count
     * series — "did the volume shift, and on which day". The corpus
     * scan is ONE partial-agg'd (type, day) count shuffle; everything

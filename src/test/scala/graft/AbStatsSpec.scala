@@ -159,6 +159,37 @@ class AbStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("raw_diff") === 2.0)
   }
 
+  // ---- Adamic–Adar ---------------------------------------------------------
+
+  test("adamicAdarTopK: hand wedges, degree-1 prune, hub cut") {
+    import graft.operators.LinkPrediction
+    // l1,l2 → {A,B}; l3 → {A,C}; l4 → {C} (degree 1: no wedge)
+    val m = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+                (3L, "A"), (3L, "C"), (4L, "C")).toDF("l", "r")
+    val out = LinkPrediction.adamicAdarTopK(m, col("l"), col("r"), k = 10)
+      .collect()
+    val w2 = math.round(1000000.0 / math.log(2.0)) // deg-2 weight
+    assert(out.length === 2)
+    assert(out(0).getString(0) === "A" && out(0).getString(1) === "B")
+    assert(out(0).getAs[Long]("common_neighbors") === 2L)
+    assert(out(0).getAs[Double]("aa_score") === 2 * w2 / 1e6)
+    assert(out(1).getString(1) === "C")
+    assert(out(1).getAs[Double]("aa_score") === w2 / 1e6)
+    // hub cut: a left of degree 3 is dropped at maxDegree = 2
+    val hub = m.union(Seq((5L, "A"), (5L, "B"), (5L, "C")).toDF("l", "r"))
+    val cut = LinkPrediction.adamicAdarTopK(hub, col("l"), col("r"),
+      k = 10, maxDegree = 2)
+    assert(cut.collect().map(r => (r.getString(0), r.getString(1),
+      r.getAs[Long]("common_neighbors"))).toSeq ===
+      out.map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("common_neighbors"))).toSeq,
+      "hub left must not contribute wedges under the cut")
+    // duplicate memberships collapse before degree counting
+    val dup = m.union(Seq((1L, "A")).toDF("l", "r"))
+    assert(LinkPrediction.adamicAdarTopK(dup, col("l"), col("r"), k = 10)
+      .head.getAs[Double]("aa_score") === 2 * w2 / 1e6)
+  }
+
   // ---- CUSUM changepoint --------------------------------------------------
 
   test("cusumMaxShift: hand series, level shift found at the step") {
