@@ -181,6 +181,7 @@ object SparkEntry {
     "stream_quality_totals" -> (StreamFaces.streamQualityTotals _),
     "stream_drift_psi"   -> (StreamFaces.streamDriftPsi _),
     "stream_robust_flags" -> (StreamFaces.streamRobustFlags _),
+    "stream_trending_words" -> (StreamFaces.streamTrendingWords _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),
     "gopher_quality"     -> (TextQueries.gopherQualityFilter _),
     "fim_transform"      -> (TextQueries.fimTransform _),
@@ -3033,6 +3034,13 @@ object SparkEntry {
     // D22's exact-verified join-back: the sketch only nominates; the
     // emitted counts are exact, so the oracle is the exact top-10
     "vocab_heavy_hitters" ->
+      """SELECT word, COUNT(*) AS freq FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |GROUP BY word ORDER BY freq DESC, word LIMIT 10""".stripMargin,
+    // the E10 stream face exact-verifies the merged-sketch slate by
+    // the same join-back — slate ≡ batch slate (merge identity +
+    // id-pure coins), so the exact top-10 shares D22's oracle
+    "stream_trending_words" ->
       """SELECT word, COUNT(*) AS freq FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
         |GROUP BY word ORDER BY freq DESC, word LIMIT 10""".stripMargin,

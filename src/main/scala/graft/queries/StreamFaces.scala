@@ -111,6 +111,43 @@ object StreamFaces {
     spark.read.parquet(s"$base/out").orderBy(col("event_id"))
   }
 
+  /** E10 as a gated key: continuous trending heavy hitters run to
+    * completion — per micro-batch one KB-scale CMS row + nominated
+    * candidates append to the lake; the read face merges the batch
+    * sketches (counter sums — identical to one sketch over the
+    * union at the same eps/confidence/seed) to rank the candidate
+    * slate, then EXACT-verifies the top slate by the same broadcast
+    * join-back the batch D22 face uses. The slate equals the batch
+    * slate exactly (merge identity + id-pure nomination coins,
+    * StreamingSpec-pinned), so the exact-counted top-10 shares
+    * `vocab_heavy_hitters`' oracle SQL verbatim.
+    */
+  def streamTrendingWords(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_tr")
+      .toFile.getAbsolutePath
+    val schema = Tables.documents(spark, dir).schema
+    val occStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "word")))
+    val q = graft.streaming.StreamingTrending.start(
+      occStream, struct(col("doc_id"), col("pos")), col("word"),
+      s"$base/lake", s"$base/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val slate = graft.streaming.StreamingTrending
+      .trendingTopK(spark, s"$base/lake", 20)
+      .select(col("word"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "word")))
+      .join(broadcast(slate), "word")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(10)
+  }
+
   /** E14 as a gated key: the streaming PSI drift monitor run to
     * completion — reference histogram frozen from the first half of
     * the corpus (source number < 10, the batch `corpus_drift` split),
