@@ -35,12 +35,16 @@ object LinkPrediction {
   def adamicAdarTopK(membership: DataFrame, left: Column, right: Column,
                      k: Int = 20, maxDegree: Long = 10000L): DataFrame = {
     require(k > 0 && maxDegree >= 2, s"bad k=$k / maxDegree=$maxDegree")
-    val m = membership.select(left.as("__l"), right.as("__r")).distinct()
+    // cut lineage once: mw feeds BOTH sides of the wedge self-join —
+    // without the cut the upstream membership pipeline (joins +
+    // distinct) executes twice
+    val m = Materialize.cut(
+      membership.select(left.as("__l"), right.as("__r")).distinct())
     val deg = m.groupBy(col("__l")).agg(count(lit(1)).as("__d"))
       .filter(col("__d") >= 2 && col("__d") <= maxDegree)
       .withColumn("__w",
         round(lit(1000000.0) / log(col("__d").cast("double"))).cast("long"))
-    val mw = m.join(deg, Seq("__l"))
+    val mw = Materialize.cut(m.join(deg, Seq("__l")))
     val wedges = mw.as("x").join(mw.as("y"),
         col("x.__l") === col("y.__l") && col("x.__r") < col("y.__r"))
       .select(col("x.__r").as("a"), col("y.__r").as("b"),
