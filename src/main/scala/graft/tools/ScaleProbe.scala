@@ -760,6 +760,49 @@ object ScaleProbe {
           .cast("long")).as("u"))
       graft.operators.EpochAlloc.allocate(masses).count()
     }
+    t("mann_whitney_ranks") {
+      // 6M lineitem prices through the distributed PrefixSum rank —
+      // the rank-test cost is the tie-group groupBy + range scan
+      graft.operators.AbStats.mannWhitneyU(
+        li.select(col("l_orderkey"), col("l_extendedprice")),
+        col("l_orderkey") % 2, col("l_extendedprice")).count()
+    }
+    t("adamic_adar_wedges") {
+      // wedge self-join over ×mult membership; Σ deg² cost class with
+      // the degree-1 prune and hub cut live
+      graft.operators.LinkPrediction.adamicAdarTopK(
+        li.select(col("l_partkey").as("c"), col("l_suppkey").as("s")),
+        col("c"), col("s"), k = 20).count()
+    }
+    t("cusum_series") {
+      // corpus scan → aggregate-sized series → integer CUSUM scan
+      val daily = li.groupBy(col("l_returnflag"),
+          date_trunc("day", col("l_shipdate")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Changepoint.cusumMaxShift(
+        daily, Seq("l_returnflag"), col("day"), col("n")).count()
+    }
+    t("t_closeness_grid") {
+      graft.operators.TCloseness.orderedEmdAudit(
+        docs.select(col("doc_id"), col("text"),
+          (col("doc_id") % 7).cast("string").as("lang"),
+          (col("doc_id") % 40).cast("string").as("source")),
+        Seq("lang", "source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long")).count()
+    }
+    t("png_decode") {
+      // per-row encode + inflate + unfilter; pure map, zero exchanges
+      import spark.implicits._
+      val media = docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 6 + 2).toInt; val h = (id % 4 + 2).toInt
+          val px = Array.tabulate(w * h)(i => (id * 31 + i * 7).toInt & 0xffffff)
+          (id, graft.sources.PngCodec.encodePng(w, h, px))
+        }).toDF("doc_id", "media")
+      graft.sources.Multimodal.extractFeatures(media,
+        decoder = graft.sources.PngCodec.PngStatsDecoder).count()
+    }
     spark.stop()
   }
 }
