@@ -76,6 +76,9 @@ object SparkEntry {
     "t_closeness_audit"  -> (TextQueries.tClosenessAudit _),
     "rater_kappa"        -> (TextQueries.raterAgreementKappa _),
     "char_entropy"       -> (TextQueries.charEntropyFilter _),
+    "quality_calibration" -> (TextQueries.qualityCalibration _),
+    "lang_source_mi"     -> (TextQueries.langSourceMi _),
+    "association_rules"  -> (WarehouseQueries.associationRules _),
     "signal_correlation" -> (TextQueries.signalCorrelation _),
     "dp_noisy_counts"    -> (TextQueries.dpNoisyCounts _),
     "doremi_mix"         -> (TextQueries.doremiMix _),
@@ -4495,6 +4498,96 @@ object SparkEntry {
         |    round(sn / (CAST(nc AS DOUBLE) * ng * (nb - 1)), 6) END) <= 0.2
         |    AS t_close
         |FROM s ORDER BY lang, source""".stripMargin,
+
+    // D96: micro-unit score sums, integer bins/positives; mean, frac
+    // and gap are one divide each
+    "quality_calibration" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |q AS (
+        |  SELECT doc_id, text, tk,
+        |    CAST(len(tk) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
+        |  FROM t),
+        |v AS (
+        |  SELECT doc_id,
+        |    CAST(round((0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((h / n) * 8.0, 1.0)) * 1000000.0) AS BIGINT)
+        |      AS qm,
+        |    (len(tk) BETWEEN 40 AND 100000
+        |      AND CAST(len(regexp_replace(trim(text), '\s+', '', 'g'))
+        |            AS DOUBLE) / CAST(len(tk) AS DOUBLE) BETWEEN 3.0 AND 5.0
+        |      AND CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
+        |            AS DOUBLE) / CAST(len(tk) AS DOUBLE) >= 0.8
+        |      AND len(list_filter(tk, w -> list_contains(
+        |            ['the', 'a', 'of', 'to', 'and'], w))) >= 1) AS keep
+        |  FROM q),
+        |b AS (SELECT
+        |    CAST(least(floor(qm / 100000.0), 9.0) AS BIGINT) AS bin,
+        |    qm, CASE WHEN keep THEN 1 ELSE 0 END AS pos FROM v),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(qm) AS sq, SUM(pos) AS np FROM b GROUP BY 1)
+        |SELECT bin, n,
+        |  round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+        |    AS mean_pred,
+        |  round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+        |  round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |    - CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gap
+        |FROM g ORDER BY bin""".stripMargin,
+
+    // D97: exact-integer probability ratios, ln inside each term,
+    // three pinned sorted folds (cells, both margins)
+    "lang_source_mi" ->
+      """WITH cells AS (SELECT lang AS x, source AS y, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |rx AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY 1),
+        |cy AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        |term AS (SELECT cells.x, cells.y,
+        |    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+        |          / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) / ln(2)) AS tt
+        |  FROM cells JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN t),
+        |mi AS (SELECT list_reduce(list_prepend(0.0,
+        |    list(tt ORDER BY x, y)), (a, b) -> a + b) AS mi_raw FROM term),
+        |hx AS (SELECT list_reduce(list_prepend(0.0, list(
+        |    -(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)) / ln(2))
+        |    ORDER BY x)), (a, b) -> a + b) AS hx_raw
+        |  FROM rx CROSS JOIN t),
+        |hy AS (SELECT list_reduce(list_prepend(0.0, list(
+        |    -(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) / ln(2))
+        |    ORDER BY y)), (a, b) -> a + b) AS hy_raw
+        |  FROM cy CROSS JOIN t)
+        |SELECT n, round(mi_raw, 6) AS mi_bits,
+        |  round(hx_raw, 6) AS h_x, round(hy_raw, 6) AS h_y,
+        |  CASE WHEN least(hx_raw, hy_raw) > 0.0 THEN
+        |    round(mi_raw / least(hx_raw, hy_raw), 6)
+        |  END AS nmi
+        |FROM t CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+
+    // C73: exact integer co/item/basket counts; confidence and lift
+    // are one divide each; total order on the rounded lift
+    "association_rules" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |t AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM lp),
+        |i AS (SELECT pk, COUNT(*) AS cnt FROM lp GROUP BY 1),
+        |co AS (SELECT a.pk AS u, b.pk AS v, COUNT(*) AS support
+        |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk <> b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT u, v, support,
+        |  round(CAST(support AS DOUBLE) / CAST(iu.cnt AS DOUBLE), 6)
+        |    AS confidence,
+        |  round(CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |    / (CAST(iu.cnt AS DOUBLE) * CAST(iv.cnt AS DOUBLE)), 6) AS lift
+        |FROM co JOIN i iu ON iu.pk = u JOIN i iv ON iv.pk = v
+        |CROSS JOIN t
+        |ORDER BY lift DESC, u, v LIMIT 50""".stripMargin,
 
     // D95: byte entropy over the char histogram (ASCII corpus: chars
     // ≡ bytes), terms folded in ascending byte order mirroring the

@@ -166,6 +166,67 @@ object AbStats {
           .as("z_stat"))
   }
 
+  /** Mutual information between two categorical columns (plus both
+    * marginal entropies and the min-normalized NMI) — the dependence
+    * audit that catches what correlation can't (non-monotone
+    * association) over e.g. (lang, source) corpus metadata, and the
+    * feature-redundancy check a curation pipeline runs across its
+    * quality signals.
+    *
+    * ONE partial-agg'd count shuffle of CONTINGENCY cardinality, then
+    * margins off that tiny frame. Every term's probabilities are
+    * exact-integer ratios; the ln sits inside each term and the three
+    * double folds (cells, x margin, y margin) run over SORTED
+    * collected lists — pinned order, engine-replayable, absorbed by
+    * the final 6-dp rounding (the BM25/LM convention).
+    */
+  def mutualInformation(df: DataFrame, xCol: Column,
+                        yCol: Column): DataFrame = {
+    val ln2 = math.log(2.0)
+    val cells = df.groupBy(xCol.as("x"), yCol.as("y"))
+      .agg(count(lit(1)).as("c"))
+    val rx = cells.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+    val cy = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+    val n = cells.agg(sum(col("c")).cast("long").as("n"))
+    val termed = cells
+      .join(broadcast(rx), Seq("x")).join(broadcast(cy), Seq("y"))
+      .crossJoin(broadcast(n))
+      .withColumn("__t", {
+        val cD = col("c").cast("double"); val nD = col("n").cast("double")
+        val a = col("cx").cast("double"); val b = col("cy").cast("double")
+        (cD / nD) * (log(cD * nD / (a * b)) / ln2)
+      })
+    val hx = rx.crossJoin(broadcast(n))
+      .withColumn("__h", {
+        val a = col("cx").cast("double"); val nD = col("n").cast("double")
+        -(a / nD) * (log(a / nD) / ln2)
+      })
+      .agg(sort_array(collect_list(struct(col("x"), col("__h")))).as("l"))
+      .select(aggregate(col("l"), lit(0.0),
+        (acc, e) => acc + e.getField("__h")).as("h_x"))
+    val hy = cy.crossJoin(broadcast(n))
+      .withColumn("__h", {
+        val b = col("cy").cast("double"); val nD = col("n").cast("double")
+        -(b / nD) * (log(b / nD) / ln2)
+      })
+      .agg(sort_array(collect_list(struct(col("y"), col("__h")))).as("l"))
+      .select(aggregate(col("l"), lit(0.0),
+        (acc, e) => acc + e.getField("__h")).as("h_y"))
+    termed
+      .agg(max(col("n")).as("n"),
+        sort_array(collect_list(struct(col("x"), col("y"), col("__t"))))
+          .as("__cells"))
+      .select(col("n"),
+        aggregate(col("__cells"), lit(0.0),
+          (acc, e) => acc + e.getField("__t")).as("__mi"))
+      .crossJoin(hx).crossJoin(hy)
+      .select(col("n"), round(col("__mi"), 6).as("mi_bits"),
+        round(col("h_x"), 6).as("h_x"), round(col("h_y"), 6).as("h_y"),
+        when(least(col("h_x"), col("h_y")) > 0.0,
+          round(col("__mi") / least(col("h_x"), col("h_y")), 6))
+          .as("nmi"))
+  }
+
   /** Cohen's kappa inter-rater agreement (Cohen 1960) between two
     * boolean verdict columns — the labeling-QA statistic a
     * training-data pipeline runs over its automated quality raters:

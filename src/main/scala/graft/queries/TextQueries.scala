@@ -1321,6 +1321,56 @@ object TextQueries {
         expr("n_chars DIV 200"), threshold = 0.2)
       .orderBy(col("lang"), col("source"))
 
+  /** D96: calibration curve of the D14 quality score against the D41
+    * Gopher verdict — per decile bin of the score, mean predicted vs
+    * empirical keep rate (the reliability diagram behind every ECE
+    * number). All-integer core: the score travels as the micro-unit
+    * qm, bins are qm DIV 100000 clamped to 9, per-bin sums exact;
+    * mean/frac/gap are one divide each. One scan, one bin-sized
+    * shuffle.
+    */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val qm = round(TextFunctions.qualityScore(col("text")) * 1000000.0)
+      .cast("long")
+    val stops = array(Seq("the", "a", "of", "to", "and").map(lit): _*)
+    val ws = split(trim(col("text")), "\\s+")
+    val nWords = size(ws)
+    val meanLen = length(regexp_replace(trim(col("text")), "\\s+", ""))
+      .cast("double") / nWords.cast("double")
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]")))
+      .cast("double") / nWords.cast("double")
+    val stopHits = size(filter(ws, w => array_contains(stops, w)))
+    val gopherKeep = nWords.between(40, 100000) &&
+      meanLen.between(3.0, 5.0) && alphaFrac >= 0.8 && stopHits >= 1
+    Tables.documents(spark, dir)
+      .select(least(floor(qm / lit(100000.0)), lit(9.0)).cast("long")
+          .as("bin"),
+        qm.as("__qm"),
+        when(gopherKeep, 1L).otherwise(0L).as("__pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__qm")).as("__sq"), sum(col("__pos")).as("__np"))
+      .select(col("bin"), col("n"),
+        round(col("__sq").cast("double") / col("n").cast("double")
+          / 1000000.0, 6).as("mean_pred"),
+        round(col("__np").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"),
+        round(col("__sq").cast("double") / col("n").cast("double")
+          / 1000000.0
+          - col("__np").cast("double") / col("n").cast("double"), 6)
+          .as("gap"))
+      .orderBy(col("bin"))
+  }
+
+  /** D97: mutual information between the corpus's lang and source
+    * metadata — the dependence audit behind stratified-split design
+    * (a high-MI pair means "per-source splits leak language
+    * balance"). See [[graft.operators.AbStats.mutualInformation]].
+    */
+  def langSourceMi(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.mutualInformation(
+      Tables.documents(spark, dir), col("lang"), col("source"))
+
   /** D95: byte-entropy filter — the compressibility proxy cut:
     * boilerplate sits low, random junk sits high, prose lands in a
     * mid band. Per-row codegen kernel

@@ -865,6 +865,42 @@ object WarehouseQueries {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** C73: association rules over order baskets — C58's raw supports
+    * upgraded to the directional retail metrics: confidence
+    * co/n(u) and lift co·N/(n(u)·n(v)) (lift > 1 = genuinely
+    * associated, not just both popular). Same bounded per-order
+    * self-join for co-counts (pair volume ∝ Σ basket², never
+    * corpus²), item counts joined back broadcast, every input an
+    * exact integer and each metric ONE divide; top-50 rules under a
+    * TOTAL order (rounded lift desc, pair asc).
+    */
+  def associationRules(spark: SparkSession, dir: String): DataFrame = {
+    val lp = graft.operators.Materialize.cut(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
+    val nOrders = lp.agg(countDistinct(col("ok")).as("n_orders"))
+    val itemN = lp.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val co = lp.as("a").join(lp.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+    co.join(broadcast(itemN.withColumnRenamed("pk", "u")
+        .withColumnRenamed("cnt", "n_u")), Seq("u"))
+      .join(broadcast(itemN.withColumnRenamed("pk", "v")
+        .withColumnRenamed("cnt", "n_v")), Seq("v"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("u"), col("v"), col("support"),
+        round(col("support").cast("double") / col("n_u").cast("double"), 6)
+          .as("confidence"),
+        round(col("support").cast("double") * col("n_orders").cast("double")
+          / (col("n_u").cast("double") * col("n_v").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("u"), col("v"))
+      .limit(50)
+  }
+
   /** C72: Adamic–Adar supplier affinity — which two suppliers a
     * shared customer base most strongly ties, each common customer
     * discounted by 1/ln(breadth). Top-20 pairs; see

@@ -159,6 +159,65 @@ class AbStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("raw_diff") === 2.0)
   }
 
+  // ---- Mutual information ---------------------------------------------------
+
+  test("mutualInformation: independence is exact 0, identity is H(X)") {
+    import graft.operators.AbStats
+    // proportional cells: every c = rx·cy/N exactly → each term ln(1)=0
+    val indep = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q"),
+      ("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")).toDF("x", "y")
+    val ri = AbStats.mutualInformation(indep, col("x"), col("y")).head
+    assert(ri.getAs[Double]("mi_bits") === 0.0)
+    assert(ri.getAs[Double]("h_x") === 1.0)
+    assert(ri.getAs[Double]("nmi") === 0.0)
+    // y ≡ x: MI = H(X) = 1 bit (two equiprobable symbols), NMI = 1
+    val ident = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val rd = AbStats.mutualInformation(ident, col("x"), col("y")).head
+    assert(rd.getAs[Double]("mi_bits") === 1.0)
+    assert(rd.getAs[Double]("nmi") === 1.0)
+    // constant x: H(X) = 0 → nmi null, mi 0
+    val const = Seq(("a", "p"), ("a", "q")).toDF("x", "y")
+    val rc = AbStats.mutualInformation(const, col("x"), col("y")).head
+    assert(rc.getAs[Double]("mi_bits") === 0.0)
+    assert(rc.isNullAt(rc.fieldIndex("nmi")))
+  }
+
+  // ---- Association rules ------------------------------------------------
+
+  test("associationRules-style metrics: hand baskets") {
+    // verified through the registered query shape on a tiny frame:
+    // baskets (1:AB)(2:AB)(3:AC)(4:B) → rule A→B support 2,
+    // conf 2/3, lift 2·4/(3·3); AC below min support drops
+    val lp = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B")).toDF("ok", "pk")
+    val nOrders = lp.select(col("ok")).distinct().count()
+    val itemN = lp.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val co = lp.as("a").join(lp.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+    val rules = co
+      .join(itemN.withColumnRenamed("pk", "u").withColumnRenamed("cnt", "n_u"),
+        Seq("u"))
+      .join(itemN.withColumnRenamed("pk", "v").withColumnRenamed("cnt", "n_v"),
+        Seq("v"))
+      .select(col("u"), col("v"), col("support"),
+        round(col("support").cast("double") / col("n_u"), 6).as("confidence"),
+        round(col("support").cast("double") * nOrders
+          / (col("n_u").cast("double") * col("n_v")), 6).as("lift"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("support"), r.getAs[Double]("confidence"),
+          r.getAs[Double]("lift"))).toMap
+    assert(rules.keySet === Set(("A", "B"), ("B", "A")))
+    assert(rules(("A", "B"))._1 === 2L)
+    assert(rules(("A", "B"))._2 === BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rules(("A", "B"))._3 === BigDecimal(8.0 / 9.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   // ---- Adamic–Adar ---------------------------------------------------------
 
   test("adamicAdarTopK: hand wedges, degree-1 prune, hub cut") {
