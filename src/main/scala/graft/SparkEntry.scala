@@ -185,6 +185,7 @@ object SparkEntry {
     "stream_drift_psi"   -> (StreamFaces.streamDriftPsi _),
     "stream_robust_flags" -> (StreamFaces.streamRobustFlags _),
     "stream_trending_words" -> (StreamFaces.streamTrendingWords _),
+    "stream_ab_ttest"    -> (StreamFaces.streamAbTtest _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),
     "gopher_quality"     -> (TextQueries.gopherQualityFilter _),
     "fim_transform"      -> (TextQueries.fimTransform _),
@@ -595,6 +596,36 @@ object SparkEntry {
     * is an all-integer compare (dev > 3·mad in buckets) so no double
     * boundary can diverge; MAD-0 groups flag nothing (mirrored guard).
     */
+  /** Shared by `ab_welch_ttest` and its E24 streaming face
+    * `stream_ab_ttest` — the stream merges additive sufficient
+    * rows and runs the literally-same finisher, so one SQL
+    * proves both. */
+  private val welchTTestSql: String =
+    """WITH p AS (SELECT user_id % 2 AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN v END) AS DOUBLE) AS sa,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN v END) AS DOUBLE) AS sb,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN v * v END) AS DOUBLE) AS ssa,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN v * v END) AS DOUBLE) AS ssb
+        |  FROM p),
+        |s AS (SELECT n_a, n_b, sa, sb,
+        |    (ssa - sa * sa / n_a) / (n_a - 1.0) AS va,
+        |    (ssb - sb * sb / n_b) / (n_b - 1.0) AS vb
+        |  FROM a),
+        |e AS (SELECT *, va / n_a + vb / n_b AS se2 FROM s)
+        |SELECT n_a, n_b,
+        |  round(sa / n_a, 6) AS mean_a, round(sb / n_b, 6) AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0 THEN
+        |    round((sa / n_a - sb / n_b) / sqrt(se2), 6) END AS t_stat,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0 THEN
+        |    round(se2 * se2 / (pow(va / n_a, 2) / (n_a - 1.0)
+        |      + pow(vb / n_b, 2) / (n_b - 1.0)), 6) END AS df
+        |FROM e""".stripMargin
+
   private val madOutliersSql: String =
     """WITH b AS (SELECT event_id, event_type, value,
       |    CAST(floor(value * 100.0) AS BIGINT) AS bk FROM events),
@@ -5057,30 +5088,7 @@ object SparkEntry {
     // then ONE scalar IEEE evaluation per statistic with identical
     // parenthesization in both engines
     "ab_welch_ttest" ->
-      """WITH p AS (SELECT user_id % 2 AS arm,
-        |    CAST(value AS DECIMAL(18,2)) AS v
-        |  FROM events WHERE event_type = 'purchase'),
-        |a AS (SELECT
-        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-        |    CAST(SUM(CASE WHEN arm = 0 THEN v END) AS DOUBLE) AS sa,
-        |    CAST(SUM(CASE WHEN arm = 1 THEN v END) AS DOUBLE) AS sb,
-        |    CAST(SUM(CASE WHEN arm = 0 THEN v * v END) AS DOUBLE) AS ssa,
-        |    CAST(SUM(CASE WHEN arm = 1 THEN v * v END) AS DOUBLE) AS ssb
-        |  FROM p),
-        |s AS (SELECT n_a, n_b, sa, sb,
-        |    (ssa - sa * sa / n_a) / (n_a - 1.0) AS va,
-        |    (ssb - sb * sb / n_b) / (n_b - 1.0) AS vb
-        |  FROM a),
-        |e AS (SELECT *, va / n_a + vb / n_b AS se2 FROM s)
-        |SELECT n_a, n_b,
-        |  round(sa / n_a, 6) AS mean_a, round(sb / n_b, 6) AS mean_b,
-        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0 THEN
-        |    round((sa / n_a - sb / n_b) / sqrt(se2), 6) END AS t_stat,
-        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0 THEN
-        |    round(se2 * se2 / (pow(va / n_a, 2) / (n_a - 1.0)
-        |      + pow(vb / n_b, 2) / (n_b - 1.0)), 6) END AS df
-        |FROM e""".stripMargin,
+      welchTTestSql,
 
     // C67: integer contingency cells + margins; each cell term is one
     // IEEE evaluation over exact integers and the cross-cell sum folds
@@ -5179,6 +5187,9 @@ object SparkEntry {
     // all-integer compare (dev > 3·mad in buckets) so no double
     // boundary can diverge; MAD-0 groups flag nothing (mirrored guard)
     "mad_outliers" -> madOutliersSql,
+    // E24 stream face: merged additive sufficient rows +
+    // the same finisher == the batch query exactly
+    "stream_ab_ttest" -> welchTTestSql,
     // the E17 stream face flags under stats frozen from the SAME
     // corpus — a pure per-row decision, so one SQL proves both
     "stream_robust_flags" -> madOutliersSql,

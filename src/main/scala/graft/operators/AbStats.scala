@@ -42,17 +42,46 @@ object AbStats {
     * meaningless without it). Degenerate guard: arms with n < 2 or
     * zero pooled variance yield null t/df rather than ±Inf.
     */
-  def welchTTest(df: DataFrame, arm: Column, value: Column): DataFrame = {
+  def welchTTest(df: DataFrame, arm: Column, value: Column): DataFrame =
+    welchFinish(welchSufficient(df, arm, value))
+
+  /** The one-row ADDITIVE sufficient-statistics frame behind
+    * [[welchTTest]]: counts and DECIMAL sums (exact, associative), so
+    * rows over any partition of the data — micro-batches included —
+    * merge via [[welchMerge]] to exactly the union's statistics. The
+    * E24 streaming monitor appends one such row per batch.
+    */
+  def welchSufficient(df: DataFrame, arm: Column, value: Column): DataFrame = {
     val a = arm === 0
     val b = arm === 1
     val v2 = Num.dec2(value)
-    val agg = df.agg(
+    df.agg(
       sum(when(a, 1L).otherwise(0L)).cast("long").as("n_a"),
       sum(when(b, 1L).otherwise(0L)).cast("long").as("n_b"),
-      sum(when(a, v2)).cast("double").as("sa"),
-      sum(when(b, v2)).cast("double").as("sb"),
-      sum(when(a, v2 * v2)).cast("double").as("ssa"),
-      sum(when(b, v2 * v2)).cast("double").as("ssb"))
+      sum(when(a, v2)).as("sa"),
+      sum(when(b, v2)).as("sb"),
+      sum(when(a, v2 * v2)).as("ssa"),
+      sum(when(b, v2 * v2)).as("ssb"))
+  }
+
+  /** Merge sufficient-statistic rows (decimal sums — exact). */
+  def welchMerge(rows: DataFrame): DataFrame =
+    rows.agg(
+      sum(col("n_a")).cast("long").as("n_a"),
+      sum(col("n_b")).cast("long").as("n_b"),
+      sum(col("sa")).as("sa"), sum(col("sb")).as("sb"),
+      sum(col("ssa")).as("ssa"), sum(col("ssb")).as("ssb"))
+
+  /** The scalar finisher — shared verbatim by the batch key and the
+    * E24 stream read face, so the two cannot drift: every statistic
+    * is one IEEE evaluation over the exact merged aggregates.
+    */
+  def welchFinish(sufficient: DataFrame): DataFrame = {
+    val agg = sufficient.select(
+      col("n_a"), col("n_b"),
+      col("sa").cast("double").as("sa"), col("sb").cast("double").as("sb"),
+      col("ssa").cast("double").as("ssa"),
+      col("ssb").cast("double").as("ssb"))
     val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
     // ANSI throws on double/0 even in a projection the guards would
     // mask, so the variance legs (denominator n−1) carry their own

@@ -111,6 +111,28 @@ object StreamFaces {
     spark.read.parquet(s"$base/out").orderBy(col("event_id"))
   }
 
+  /** E24 as a gated key: the continuous A/B readout run to completion
+    * over purchase events arriving as a file stream — per batch ONE
+    * additive sufficient row, read face = the batch C66 finisher
+    * verbatim, oracle = `ab_welch_ttest`'s SQL verbatim.
+    */
+  def streamAbTtest(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_ab")
+      .toFile.getAbsolutePath
+    // normalizes the ns-vs-µs timestamp conf before the raw schema read
+    Tables.events(spark, dir)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .filter(col("event_type") === "purchase")
+    val q = graft.streaming.StreamingAb.start(
+      stream, col("user_id") % 2, col("value"),
+      s"$base/stats", s"$base/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    graft.streaming.StreamingAb.ttestToDate(spark, s"$base/stats")
+  }
+
   /** E10 as a gated key: continuous trending heavy hitters run to
     * completion — per micro-batch one KB-scale CMS row + nominated
     * candidates append to the lake; the read face merges the batch

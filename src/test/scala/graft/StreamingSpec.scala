@@ -617,6 +617,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/lake").count() == 3L * rules.length)
   }
 
+  test("streaming A/B readout equals the batch Welch row bit-exactly") {
+    import spark.implicits._
+    val rows = (1 to 60).map(i => (i.toLong, (i % 17) + 0.25 * (i % 4)))
+    val base = java.nio.file.Files.createTempDirectory("graft_ab")
+      .toFile.getAbsolutePath
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)](spark, 81)
+    val q = graft.streaming.StreamingAb.start(
+      src.toDS().toDF("u", "v"), col("u") % 2, col("v"),
+      s"$base/stats", s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      src.addData(rows.take(13): _*); q.processAllAvailable()
+      src.addData(rows.slice(13, 40): _*); q.processAllAvailable()
+      src.addData(rows.drop(40): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.streaming.StreamingAb
+      .ttestToDate(spark, s"$base/stats").collect().head
+    val batch = graft.operators.AbStats.welchTTest(
+      rows.toDF("u", "v"), col("u") % 2, col("v")).collect().head
+    assert(streamed === batch,
+      s"stream $streamed vs batch $batch — additive decimal sums + " +
+        "shared finisher must be bit-equal")
+    // replay idempotency: re-appending batch 1 replaces its partition
+    graft.streaming.LakeState.putBatch(
+      graft.operators.AbStats.welchSufficient(
+        rows.take(13).toDF("u", "v"), col("u") % 2, col("v")),
+      s"$base/stats", 0L)
+    assert(graft.streaming.StreamingAb.ttestToDate(spark, s"$base/stats")
+      .collect().head === batch, "replayed batch must not double-count")
+  }
+
   test("streaming trending heavy hitters equals the one-shot batch operator") {
     import spark.implicits._
     // skewed occurrence stream: unique occurrence ids, known heavies
