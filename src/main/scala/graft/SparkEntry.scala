@@ -237,6 +237,8 @@ object SparkEntry {
     "adamic_adar_links"  -> (WarehouseQueries.adamicAdarLinks _),
     "rfm_segments"       -> (WarehouseQueries.rfmSegments _),
     "ab_welch_ttest"     -> (WarehouseQueries.welchTTest _),
+    "ab_srm_check"       -> (WarehouseQueries.srmCheck _),
+    "source_concentration" -> (TextQueries.sourceConcentration _),
     "ab_chi_square"      -> (WarehouseQueries.chiSquareMix _),
     "ab_mann_whitney"    -> (WarehouseQueries.mannWhitney _),
     "ab_cuped_effect"    -> (WarehouseQueries.cupedEffect _),
@@ -5011,6 +5013,54 @@ object SparkEntry {
         |SELECT a, b, common_neighbors,
         |  CAST(aa AS DOUBLE) / 1000000.0 AS aa_score
         |FROM p ORDER BY aa DESC, a, b LIMIT 20""".stripMargin,
+
+    // C74: goodness-of-fit vs the designed 50/50 split reduces to
+    // (n_a − n_b)²/N — one IEEE evaluation over exact counts; flag
+    // compares the UNROUNDED statistic to the 1-dof 5% critical value
+    "ab_srm_check" ->
+      """WITH c AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM events)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a + n_b > 0 THEN
+        |    round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |      / CAST(n_a + n_b AS DOUBLE), 6) END AS chi2,
+        |  CASE WHEN n_a + n_b > 0 THEN
+        |    CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |      / CAST(n_a + n_b AS DOUBLE) > 3.841 END AS srm_flag
+        |FROM c""".stripMargin,
+
+    // D98: Gini via the rank formula (integer numerator — rank·count
+    // in exact decimal, tie order irrelevant to the sum), HHI and
+    // top-share one divide each
+    "source_concentration" ->
+      """WITH c AS (SELECT source AS k, COUNT(*) AS c
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT k, c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY c ASC, k ASC) AS HUGEINT) AS i
+        |  FROM c),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(c) AS BIGINT) AS total,
+        |    SUM(i * c) AS ric, SUM(CAST(c AS HUGEINT) * c) AS c2,
+        |    CAST(MAX(c) AS BIGINT) AS cmax
+        |  FROM r)
+        |SELECT n_groups, total,
+        |  CASE WHEN n_groups > 0 AND total > 0 THEN
+        |    round((2.0 * CAST(ric AS DOUBLE)
+        |      - (CAST(n_groups AS DOUBLE) + 1.0) * CAST(total AS DOUBLE))
+        |      / (CAST(n_groups AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+        |  END AS gini,
+        |  CASE WHEN total > 0 THEN
+        |    round(CAST(c2 AS DOUBLE)
+        |      / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+        |  END AS hhi,
+        |  CASE WHEN total > 0 THEN
+        |    round(CAST(cmax AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |  END AS top_share
+        |FROM a""".stripMargin,
 
     // C70: the D-scaled deviation cumsum S_i = D·cum_i − i·N is an
     // exact integer (HUGEINT ↔ decimal(38,0)), so the argmax and the

@@ -195,6 +195,27 @@ object AbStats {
           .as("z_stat"))
   }
 
+  /** Sample-ratio-mismatch check (the first guardrail every
+    * experiment platform runs: if the 50/50 assignment itself is
+    * skewed, every downstream metric is suspect) — chi-square
+    * goodness-of-fit of the two arm counts against equal expectation,
+    * 1 dof. ONE scan, zero data shuffle; the statistic over counts
+    * (n_a − n_b)²/N is one IEEE evaluation over exact integers.
+    */
+  def sampleRatioCheck(df: DataFrame, arm: Column,
+                       threshold: Double = 3.841): DataFrame = {
+    val agg = df.agg(
+      sum(when(arm === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(arm === 1, 1L).otherwise(0L)).cast("long").as("n_b"))
+    // chi2 vs equal split: (na−e)²/e + (nb−e)²/e with e = N/2
+    // = (na − nb)² / N exactly
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    val d = (col("n_a") - col("n_b")).cast("double")
+    agg.select(col("n_a"), col("n_b"),
+      when(nD > 0.0, round(d * d / nD, 6)).as("chi2"),
+      when(nD > 0.0, d * d / nD > threshold).as("srm_flag"))
+  }
+
   /** Mutual information between two categorical columns (plus both
     * marginal entropies and the min-normalized NMI) — the dependence
     * audit that catches what correlation can't (non-monotone

@@ -1321,6 +1321,16 @@ object TextQueries {
         expr("n_chars DIV 200"), threshold = 0.2)
       .orderBy(col("lang"), col("source"))
 
+  /** D98: source-concentration audit — Gini, HHI and top-share of
+    * the per-source document distribution: the release-card number
+    * that says HOW skewed the training mix is (the premise behind
+    * every D20/D69 reweighting decision). See
+    * [[graft.operators.Concentration]].
+    */
+  def sourceConcentration(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Concentration.giniHhi(
+      Tables.documents(spark, dir), col("source"))
+
   /** D96: calibration curve of the D14 quality score against the D41
     * Gopher verdict — per decile bin of the score, mean predicted vs
     * empirical keep rate (the reliability diagram behind every ECE

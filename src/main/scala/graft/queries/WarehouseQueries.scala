@@ -983,6 +983,14 @@ object WarehouseQueries {
       .orderBy(col("user_id"))
   }
 
+  /** C74: sample-ratio-mismatch guardrail — the user_id-parity
+    * assignment checked against its designed 50/50 split before any
+    * metric test is trusted. See [[graft.operators.AbStats]].
+    */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.sampleRatioCheck(
+      Tables.events(spark, dir), col("user_id") % 2)
+
   /** C66: Welch t-test on purchase value between the deterministic
     * user_id-parity arms — the experiment readout layer. One scan,
     * one row, exact sufficient aggregates (see AbStats).

@@ -159,6 +159,45 @@ class AbStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("raw_diff") === 2.0)
   }
 
+  // ---- SRM -------------------------------------------------------------
+
+  test("sampleRatioCheck: skew flags, balance doesn't") {
+    import graft.operators.AbStats
+    val skew = (1 to 60).map(_ => 0) ++ (1 to 40).map(_ => 1)
+    val r = AbStats.sampleRatioCheck(skew.toDF("arm"), col("arm")).head
+    assert(r.getAs[Long]("n_a") === 60L && r.getAs[Long]("n_b") === 40L)
+    assert(r.getAs[Double]("chi2") === 4.0) // (60−40)²/100
+    assert(r.getAs[Boolean]("srm_flag"))
+    val fair = (1 to 50).map(_ => 0) ++ (1 to 50).map(_ => 1)
+    val rf = AbStats.sampleRatioCheck(fair.toDF("arm"), col("arm")).head
+    assert(rf.getAs[Double]("chi2") === 0.0)
+    assert(!rf.getAs[Boolean]("srm_flag"))
+  }
+
+  // ---- Concentration -----------------------------------------------------
+
+  test("giniHhi: equality is 0, hand-skew matches the rank formula") {
+    import graft.operators.Concentration
+    val equal = Seq("a", "a", "b", "b", "c", "c").toDF("k")
+    val re = Concentration.giniHhi(equal, col("k")).head
+    assert(re.getAs[Double]("gini") === 0.0)
+    assert(re.getAs[Double]("hhi") === BigDecimal(1.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // counts {1,1,8}: G = (2·27 − 4·10)/(3·10) = 14/30
+    val skew = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(8)("c"))
+      .toDF("k")
+    val rs = Concentration.giniHhi(skew, col("k")).head
+    assert(rs.getAs[Double]("gini") === BigDecimal(14.0 / 30.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rs.getAs[Double]("hhi") === 0.66)
+    assert(rs.getAs[Double]("top_share") === 0.8)
+    // single group: maximal HHI, Gini 0 (equality among one)
+    val one = Seq("a", "a").toDF("k")
+    val ro = Concentration.giniHhi(one, col("k")).head
+    assert(ro.getAs[Double]("hhi") === 1.0)
+    assert(ro.getAs[Double]("gini") === 0.0)
+  }
+
   // ---- Mutual information ---------------------------------------------------
 
   test("mutualInformation: independence is exact 0, identity is H(X)") {
