@@ -238,6 +238,7 @@ object SparkEntry {
     "rfm_segments"       -> (WarehouseQueries.rfmSegments _),
     "ab_welch_ttest"     -> (WarehouseQueries.welchTTest _),
     "ab_srm_check"       -> (WarehouseQueries.srmCheck _),
+    "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "source_concentration" -> (TextQueries.sourceConcentration _),
     "ab_chi_square"      -> (WarehouseQueries.chiSquareMix _),
     "ab_mann_whitney"    -> (WarehouseQueries.mannWhitney _),
@@ -5013,6 +5014,42 @@ object SparkEntry {
         |SELECT a, b, common_neighbors,
         |  CAST(aa AS DOUBLE) / 1000000.0 AS aa_score
         |FROM p ORDER BY aa DESC, a, b LIMIT 20""".stripMargin,
+
+    // C75: per-time (deaths, leavers) exact integers; at-risk via the
+    // exclusive cumulative over the day domain; the survival product
+    // folds in pinned time order with seed 1.0, each factor one IEEE
+    // divide — list_reduce mirrors the association
+    "km_retention" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(min(date_trunc('day', ts)) AS DATE) AS fd,
+        |    CAST(max(date_trunc('day', ts)) AS DATE) AS ld,
+        |    CAST(min(CASE WHEN event_type = 'error'
+        |      THEN date_trunc('day', ts) END) AS DATE) AS ed
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(CASE WHEN ed IS NOT NULL
+        |      THEN date_diff('day', fd, ed)
+        |      ELSE date_diff('day', fd, ld) END AS BIGINT) AS t,
+        |    (ed IS NULL) AS cens FROM u),
+        |bt AS (SELECT t,
+        |    CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS leave
+        |  FROM s GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM s),
+        |r AS (SELECT t, d,
+        |    total - COALESCE(SUM(leave) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM bt CROSS JOIN n),
+        |dr AS (SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d
+        |  FROM r WHERE d >= 1)
+        |SELECT a.t, a.n_risk, a.d AS d_events,
+        |  round(list_reduce(list_prepend(1.0,
+        |    list(CAST(b.n_risk - b.d AS DOUBLE) / CAST(b.n_risk AS DOUBLE)
+        |      ORDER BY b.t)),
+        |    (x, y) -> x * y), 6) AS survival
+        |FROM dr a JOIN dr b ON b.t <= a.t
+        |GROUP BY a.t, a.n_risk, a.d
+        |ORDER BY a.t""".stripMargin,
 
     // C74: goodness-of-fit vs the designed 50/50 split reduces to
     // (n_a − n_b)²/N — one IEEE evaluation over exact counts; flag

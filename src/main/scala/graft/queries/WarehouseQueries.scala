@@ -983,6 +983,30 @@ object WarehouseQueries {
       .orderBy(col("user_id"))
   }
 
+  /** C75: Kaplan–Meier time-to-first-error — per user, days from the
+    * first event to the first `error` event (the failure); users who
+    * never error are right-censored at their LAST activity day, not
+    * counted as failures — the censoring-correct reliability curve a
+    * naive "fraction errored by day t" gets wrong. See
+    * [[graft.operators.Survival]].
+    */
+  def kaplanMeierRetention(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts")).cast("date")).as("first_day"),
+        max(date_trunc("day", col("ts")).cast("date")).as("last_day"),
+        min(when(col("event_type") === "error",
+          date_trunc("day", col("ts")).cast("date"))).as("err_day"))
+      .select(
+        when(col("err_day").isNotNull,
+            datediff(col("err_day"), col("first_day")))
+          .otherwise(datediff(col("last_day"), col("first_day")))
+          .cast("long").as("t"),
+        col("err_day").isNull.as("cens"))
+    graft.operators.Survival.kaplanMeier(users, col("t"), col("cens"))
+      .orderBy(col("t"))
+  }
+
   /** C74: sample-ratio-mismatch guardrail — the user_id-parity
     * assignment checked against its designed 50/50 split before any
     * metric test is trusted. See [[graft.operators.AbStats]].

@@ -159,6 +159,32 @@ class AbStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("raw_diff") === 2.0)
   }
 
+  // ---- Kaplan–Meier ------------------------------------------------------
+
+  test("kaplanMeier: textbook curve with censoring") {
+    import graft.operators.Survival
+    // deaths at t=1 (1 of 5 at risk) and t=3 (2 of 3 at risk);
+    // censor at t=2 and t=4: S(1)=4/5, S(3)=4/5·1/3
+    val subj = Seq((1L, false), (2L, true), (3L, false), (3L, false),
+      (4L, true)).toDF("t", "cens")
+    val out = Survival.kaplanMeier(subj, col("t"), col("cens"))
+      .orderBy(col("t")).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(out(0).getAs[Long]("n_risk") === 5L)
+    assert(out(0).getAs[Long]("d_events") === 1L)
+    assert(out(0).getAs[Double]("survival") === 0.8)
+    assert(out(1).getAs[Long]("n_risk") === 3L)
+    assert(out(1).getAs[Double]("survival") === d6(0.8 * (1.0 / 3.0)))
+    // no censoring: survival reaches exactly 0 at the last death
+    val all = Seq((1L, false), (2L, false)).toDF("t", "cens")
+    val o2 = Survival.kaplanMeier(all, col("t"), col("cens"))
+      .orderBy(col("t")).collect()
+    assert(o2.last.getAs[Double]("survival") === 0.0)
+    // all censored: no death steps at all
+    val none = Seq((1L, true), (2L, true)).toDF("t", "cens")
+    assert(Survival.kaplanMeier(none, col("t"), col("cens")).count() === 0L)
+  }
+
   // ---- SRM -------------------------------------------------------------
 
   test("sampleRatioCheck: skew flags, balance doesn't") {
