@@ -240,6 +240,8 @@ object SparkEntry {
     "ab_srm_check"       -> (WarehouseQueries.srmCheck _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "source_concentration" -> (TextQueries.sourceConcentration _),
+    "readability_scores" -> (TextQueries.readabilityScores _),
+    "quality_quantile_norm" -> (TextQueries.qualityQuantileNorm _),
     "ab_chi_square"      -> (WarehouseQueries.chiSquareMix _),
     "ab_mann_whitney"    -> (WarehouseQueries.mannWhitney _),
     "ab_cuped_effect"    -> (WarehouseQueries.cupedEffect _),
@@ -5069,6 +5071,68 @@ object SparkEntry {
         |    CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
         |      / CAST(n_a + n_b AS DOUBLE) > 3.841 END AS srm_flag
         |FROM c""".stripMargin,
+
+    // D100: the quality CTE's 2-dp buckets; per-source and global
+    // cumulative histograms; the mapping is the CROSS-MULTIPLIED
+    // integer compare — no double enters the decision
+    "quality_quantile_norm" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(tk) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
+        |  FROM t),
+        |q AS (
+        |  SELECT source,
+        |    CAST(floor((0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((h / n) * 8.0, 1.0)) * 100.0) AS BIGINT)
+        |      AS bucket
+        |  FROM c),
+        |sc AS (SELECT source, bucket, COUNT(*) AS n FROM q GROUP BY 1, 2),
+        |scum AS (SELECT source, bucket, n,
+        |    SUM(n) OVER (PARTITION BY source ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS src_cum,
+        |    SUM(n) OVER (PARTITION BY source) AS src_n
+        |  FROM sc),
+        |g AS (SELECT bucket AS gb, SUM(n) AS gn FROM sc GROUP BY 1),
+        |gcum AS (SELECT gb,
+        |    SUM(gn) OVER (ORDER BY gb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g_cum,
+        |    SUM(gn) OVER () AS g_n
+        |  FROM g)
+        |SELECT source, bucket, CAST(n AS BIGINT) AS n,
+        |  CAST(src_cum AS BIGINT) AS src_cum,
+        |  MIN(gb) AS norm_bucket
+        |FROM scum JOIN gcum
+        |  ON CAST(g_cum AS HUGEINT) * CAST(src_n AS HUGEINT)
+        |    >= CAST(src_cum AS HUGEINT) * CAST(g_n AS HUGEINT)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY source, bucket""".stripMargin,
+
+    // D99: integer word/sentence/syllable counters (same regex
+    // semantics both engines), two one-evaluation scores
+    "readability_scores" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |    6) AS flesch,
+        |  round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - 15.59, 6) AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // D98: Gini via the rank formula (integer numerator — rank·count
     // in exact decimal, tie order irrelevant to the sum), HHI and

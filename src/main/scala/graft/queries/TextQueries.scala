@@ -1321,6 +1321,49 @@ object TextQueries {
         expr("n_chars DIV 200"), threshold = 0.2)
       .orderBy(col("lang"), col("source"))
 
+  /** D100: cross-source quantile normalization of the D14 quality
+    * score — after the map, a fixed quality threshold means the same
+    * thing in every source (per-source raters sit on different
+    * scales). 2-dp score buckets, all-integer cross-multiplied
+    * mapping. See [[graft.operators.QuantileNorm]].
+    */
+  def qualityQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = floor(TextFunctions.qualityScore(col("text")) * 100.0)
+      .cast("long")
+    graft.operators.QuantileNorm.mappingTable(
+        Tables.documents(spark, dir), col("source"), bucket)
+      .select(col("source"), col("bucket"), col("n"), col("src_cum"),
+        col("norm_bucket"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  /** D99: Flesch readability scoring (Flesch 1948 / Kincaid 1975 —
+    * the curation heuristic between "too simple to train on" and
+    * "unreadable junk"): words via the established whitespace split,
+    * sentences = terminal-punctuation count (floored at 1), syllables
+    * = vowel-group count (the standard dictionary-free heuristic).
+    * All three are exact integers off codegen regex counters — no
+    * explode, no shuffle; the two scores are one IEEE evaluation
+    * each.
+    */
+  def readabilityScores(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(split(trim(col("text")), "\\s+")).cast("long")
+    val sents = greatest(regexp_count(col("text"), lit("[.!?]")), lit(1))
+      .cast("long")
+    val syls = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+      .cast("long")
+    val wps = words.cast("double") / sents.cast("double")
+    val spw = syls.cast("double") / words.cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        syls.as("n_syllables"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+          .as("flesch"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)
+          .as("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D98: source-concentration audit — Gini, HHI and top-share of
     * the per-source document distribution: the release-card number
     * that says HOW skewed the training mix is (the premise behind

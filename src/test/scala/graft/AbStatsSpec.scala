@@ -159,6 +159,27 @@ class AbStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("raw_diff") === 2.0)
   }
 
+  // ---- Quantile normalization -------------------------------------------
+
+  test("quantileNorm mapping: cross-source alignment and identity") {
+    import graft.operators.QuantileNorm
+    // A = buckets [1,1,2,2], B = [3,3,4,4]: both sources' medians map
+    // to the same global quantile buckets — that's the operator's job
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("A", 2L),
+      ("B", 3L), ("B", 3L), ("B", 4L), ("B", 4L)).toDF("s", "b")
+    val m = QuantileNorm.mappingTable(df, col("s"), col("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Long]("norm_bucket")).toMap
+    assert(m(("A", 1L)) === 2L && m(("B", 3L)) === 2L,
+      "both sources' lower halves must map to the global p50 bucket")
+    assert(m(("A", 2L)) === 4L && m(("B", 4L)) === 4L,
+      "both sources' upper halves must map to the global max bucket")
+    // single source: the map is the identity
+    val one = Seq(("A", 1L), ("A", 2L), ("A", 5L)).toDF("s", "b")
+    QuantileNorm.mappingTable(one, col("s"), col("b")).collect()
+      .foreach(r => assert(r.getLong(1) === r.getAs[Long]("norm_bucket")))
+  }
+
   // ---- Kaplan–Meier ------------------------------------------------------
 
   test("kaplanMeier: textbook curve with censoring") {
