@@ -239,6 +239,7 @@ object SparkEntry {
     "ab_welch_ttest"     -> (WarehouseQueries.welchTTest _),
     "ab_srm_check"       -> (WarehouseQueries.srmCheck _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
+    "jaro_winkler_links" -> (WarehouseQueries.jaroWinklerLinks _),
     "source_concentration" -> (TextQueries.sourceConcentration _),
     "readability_scores" -> (TextQueries.readabilityScores _),
     "quality_quantile_norm" -> (TextQueries.qualityQuantileNorm _),
@@ -5016,6 +5017,21 @@ object SparkEntry {
         |SELECT a, b, common_neighbors,
         |  CAST(aa AS DOUBLE) / 1000000.0 AS aa_score
         |FROM p ORDER BY aa DESC, a, b LIMIT 20""".stripMargin,
+
+    // C76: the oracle is DuckDB's BUILT-IN jaro_winkler_similarity —
+    // an independent implementation of the same Winkler-1990
+    // convention (window ⌊max/2⌋−1, halved transpositions, ≤4-char
+    // prefix at 0.1, 0.7 boost threshold); 6-dp rounding on both
+    // sides absorbs the ulp between the two codebases
+    "jaro_winkler_links" ->
+      """WITH p AS (SELECT p_partkey AS pk, p_name AS name,
+        |    substr(p_name, 1, 8) AS blk FROM part)
+        |SELECT a.pk AS id_a, b.pk AS id_b,
+        |  a.name AS name_a, b.name AS name_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.pk < b.pk
+        |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.94
+        |ORDER BY jw DESC, id_a, id_b LIMIT 50""".stripMargin,
 
     // C75: per-time (deaths, leavers) exact integers; at-risk via the
     // exclusive cumulative over the day domain; the survival product

@@ -983,6 +983,29 @@ object WarehouseQueries {
       .orderBy(col("user_id"))
   }
 
+  /** C76: Jaro-Winkler name linkage — near-identical part names found
+    * by blocking on the 8-char name prefix (the standard ER recipe:
+    * a cheap blocking key bounds the pair volume, the expensive
+    * string metric runs only within blocks) and keeping pairs at
+    * similarity ≥ 0.94. The kernel is the codegen
+    * [[graft.functions.JaroWinkler]]; the flag and the rank both use
+    * the 6-dp-rounded score so both engines cut identically.
+    */
+  def jaroWinklerLinks(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey").as("pk"), col("p_name").as("name"),
+        substring(col("p_name"), 1, 8).as("blk"))
+    p.as("a").join(p.as("b"),
+        col("a.blk") === col("b.blk") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("id_a"), col("b.pk").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"),
+        round(graft.functions.JaroWinkler.jaro_winkler(
+          col("a.name"), col("b.name")), 6).as("jw"))
+      .filter(col("jw") >= 0.94)
+      .orderBy(col("jw").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
   /** C75: Kaplan–Meier time-to-first-error — per user, days from the
     * first event to the first `error` event (the failure); users who
     * never error are right-censored at their LAST activity day, not

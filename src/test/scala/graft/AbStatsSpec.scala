@@ -159,6 +159,28 @@ class AbStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("raw_diff") === 2.0)
   }
 
+  // ---- Jaro-Winkler -------------------------------------------------------
+
+  test("jaroWinkler: textbook values, boost threshold, edge cases") {
+    import graft.functions.JaroWinkler.similarity
+    assert(d6(similarity("MARTHA", "MARHTA")) === 0.961111)
+    assert(d6(similarity("DIXON", "DICKSONX")) === 0.813333)
+    assert(d6(similarity("DWAYNE", "DUANE")) === 0.84)
+    assert(similarity("abc", "abc") === 1.0)
+    assert(similarity("", "abc") === 0.0)
+    assert(similarity("abc", "") === 0.0)
+    assert(similarity("abc", "xyz") === 0.0)
+    // boost threshold: jaro ≤ 0.7 gets NO prefix bonus (the DuckDB /
+    // Winkler convention the oracle cross-validates)
+    val lowJaro = similarity("abcdefgh", "abzzzzzz")
+    assert(lowJaro === 0.5, "prefix bonus must not apply below 0.7")
+    // column path (codegen) agrees with the kernel
+    import graft.functions.JaroWinkler
+    val df = Seq(("MARTHA", "MARHTA")).toDF("a", "b")
+      .select(JaroWinkler.jaro_winkler(col("a"), col("b")).as("jw"))
+    assert(d6(df.head.getDouble(0)) === 0.961111)
+  }
+
   // ---- Quantile normalization -------------------------------------------
 
   test("quantileNorm mapping: cross-source alignment and identity") {
