@@ -186,6 +186,8 @@ object SparkEntry {
     "stream_robust_flags" -> (StreamFaces.streamRobustFlags _),
     "stream_trending_words" -> (StreamFaces.streamTrendingWords _),
     "stream_ab_ttest"    -> (StreamFaces.streamAbTtest _),
+    "stream_signal_matrix" -> (StreamFaces.streamSignalMatrix _),
+    "stream_holt_forecast" -> (StreamFaces.streamHoltForecast _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),
     "gopher_quality"     -> (TextQueries.gopherQualityFilter _),
     "fim_transform"      -> (TextQueries.fimTransform _),
@@ -631,6 +633,61 @@ object SparkEntry {
         |    round(se2 * se2 / (pow(va / n_a, 2) / (n_a - 1.0)
         |      + pow(vb / n_b, 2) / (n_b - 1.0)), 6) END AS df
         |FROM e""".stripMargin
+
+  /** Shared by `signal_correlation` and its E21 gated stream
+    * face `stream_signal_matrix` — additive integer sufficient
+    * statistics + the same finisher, one SQL proves both. */
+  private val signalCorrelationSql: String = {
+      def p(a: String, b: String, sx: String, sy: String,
+            sxx: String, syy: String, sxy: String) = {
+        val dx = s"(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)" +
+          s" - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))"
+        val dy = s"(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)" +
+          s" - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))"
+        s"""SELECT '$a' AS signal_a, '$b' AS signal_b, n,
+           |    CASE WHEN $dx = 0.0 OR $dy = 0.0 THEN NULL
+           |    ELSE (CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)
+           |       - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
+           |    / (sqrt($dx) * sqrt($dy)) END
+           |      AS pearson_r
+           |  FROM s"""
+      }
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk,
+        |    string_split_regex(
+        |      regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS tk2
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h,
+        |    CAST(len(tk) AS BIGINT) AS ntok,
+        |    list_transform(range(1, greatest(len(tk2) - 1, 1)),
+        |      i -> tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2]) AS g
+        |  FROM t),
+        |m AS (
+        |  SELECT
+        |    CAST(round((0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((h / n) * 8.0, 1.0)) * 1000000.0) AS BIGINT) AS q,
+        |    CAST(round((CASE WHEN len(g) = 0 THEN 0.0
+        |      ELSE CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+        |           / CAST(len(g) AS DOUBLE) END) * 1000000.0) AS BIGINT) AS r,
+        |    ntok AS tokl
+        |  FROM c),
+        |s AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(q) AS sq, SUM(r) AS sr, SUM(tokl) AS st,
+        |    SUM(q*q) AS sqq, SUM(r*r) AS srr, SUM(tokl*tokl) AS stt,
+        |    SUM(q*r) AS sqr, SUM(q*tokl) AS sqt, SUM(r*tokl) AS srt
+        |  FROM m)
+        |SELECT signal_a, signal_b, n, pearson_r FROM (
+        |  ${p("quality", "repetition", "sq", "sr", "sqq", "srr", "sqr")}
+        |  UNION ALL ${p("quality", "tokens", "sq", "st", "sqq", "stt", "sqt")}
+        |  UNION ALL ${p("repetition", "tokens", "sr", "st", "srr", "stt", "srt")})
+        |ORDER BY signal_a, signal_b""".stripMargin
+    }
 
   private val madOutliersSql: String =
     """WITH b AS (SELECT event_id, event_type, value,
@@ -2037,6 +2094,9 @@ object SparkEntry {
     "ewma_user_value" -> ewmaOracle(0.3),
 
     "holt_forecast" -> holtOracle(0.3, 0.3),
+    // E22 stream face: merged per-(user, day) decimal sums +
+    // the same fold == the batch query exactly
+    "stream_holt_forecast" -> holtOracle(0.3, 0.3),
     "holt_winters_forecast" -> holtWintersOracle(0.3, 0.2, 0.4, 7),
 
     // quality CTE mirrors text_quality_score's (already hash-green →
@@ -4443,57 +4503,9 @@ object SparkEntry {
     // idiom), and every sum is exact-integer; the Pearson chain is the
     // literal double-op mirror of the engine's, over sums that are
     // exactly double-representable at gate scale
-    "signal_correlation" -> {
-      def p(a: String, b: String, sx: String, sy: String,
-            sxx: String, syy: String, sxy: String) = {
-        val dx = s"(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)" +
-          s" - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))"
-        val dy = s"(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)" +
-          s" - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))"
-        s"""SELECT '$a' AS signal_a, '$b' AS signal_b, n,
-           |    CASE WHEN $dx = 0.0 OR $dy = 0.0 THEN NULL
-           |    ELSE (CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)
-           |       - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
-           |    / (sqrt($dx) * sqrt($dy)) END
-           |      AS pearson_r
-           |  FROM s"""
-      }
-      s"""WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk,
-        |    string_split_regex(
-        |      regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS tk2
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id,
-        |    CAST(len(tk) AS DOUBLE) AS n,
-        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
-        |    CAST(len(list_filter(tk, x -> list_contains(
-        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h,
-        |    CAST(len(tk) AS BIGINT) AS ntok,
-        |    list_transform(range(1, greatest(len(tk2) - 1, 1)),
-        |      i -> tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2]) AS g
-        |  FROM t),
-        |m AS (
-        |  SELECT
-        |    CAST(round((0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
-        |      + 0.2 * least((h / n) * 8.0, 1.0)) * 1000000.0) AS BIGINT) AS q,
-        |    CAST(round((CASE WHEN len(g) = 0 THEN 0.0
-        |      ELSE CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
-        |           / CAST(len(g) AS DOUBLE) END) * 1000000.0) AS BIGINT) AS r,
-        |    ntok AS tokl
-        |  FROM c),
-        |s AS (
-        |  SELECT COUNT(*) AS n,
-        |    SUM(q) AS sq, SUM(r) AS sr, SUM(tokl) AS st,
-        |    SUM(q*q) AS sqq, SUM(r*r) AS srr, SUM(tokl*tokl) AS stt,
-        |    SUM(q*r) AS sqr, SUM(q*tokl) AS sqt, SUM(r*tokl) AS srt
-        |  FROM m)
-        |SELECT signal_a, signal_b, n, pearson_r FROM (
-        |  ${p("quality", "repetition", "sq", "sr", "sqq", "srr", "sqr")}
-        |  UNION ALL ${p("quality", "tokens", "sq", "st", "sqq", "stt", "sqt")}
-        |  UNION ALL ${p("repetition", "tokens", "sr", "st", "srr", "stt", "srt")})
-        |ORDER BY signal_a, signal_b""".stripMargin
-    },
+    "signal_correlation" -> signalCorrelationSql,
+    // E21 stream face: merged additive stats + same finisher
+    "stream_signal_matrix" -> signalCorrelationSql,
 
     // D78: all-integer class/distinct counts; sum-over-cells ==
     // class size, count-of-cells == distinct sensitive values

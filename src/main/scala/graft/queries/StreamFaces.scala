@@ -133,6 +133,57 @@ object StreamFaces {
     graft.streaming.StreamingAb.ttestToDate(spark, s"$base/stats")
   }
 
+  /** E21 as a gated key: the continuous quality-signal Pearson matrix
+    * run to completion over documents arriving as a file stream — per
+    * batch ONE row of additive integer sufficient statistics, read
+    * face = the batch D79 finisher verbatim, oracle =
+    * `signal_correlation`'s SQL verbatim.
+    */
+  def streamSignalMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_sc")
+      .toFile.getAbsolutePath
+    val schema = Tables.documents(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = graft.streaming.StreamingCorrelation.start(
+      stream, "text", s"$base/stats", s"$base/ckpt",
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    graft.streaming.StreamingCorrelation.matrixToDate(spark, s"$base/stats")
+  }
+
+  /** E22 as a gated key: the continuous Holt forecast run to
+    * completion over events arriving as a file stream — per batch the
+    * per-(user, day) decimal partial sums (additive, exact), read
+    * face re-aggregates and runs the batch C61 fold, oracle =
+    * `holt_forecast`'s SQL verbatim.
+    */
+  def streamHoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_hf")
+      .toFile.getAbsolutePath
+    Tables.events(spark, dir) // normalize the ns-vs-µs conf
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    // rebuild the µs timestamp exactly as Tables.events does
+    val stream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val q = graft.streaming.StreamingForecast.start(
+      stream, col("user_id"), date_trunc("day", col("ts")),
+      graft.functions.Num.dec2(col("value")),
+      s"$base/sums", s"$base/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    graft.streaming.StreamingForecast
+      .forecastToDate(spark, s"$base/sums", alpha = 0.3, beta = 0.3)
+      .withColumnRenamed("k", "user_id")
+      .orderBy(col("user_id"))
+  }
+
   /** E10 as a gated key: continuous trending heavy hitters run to
     * completion — per micro-batch one KB-scale CMS row + nominated
     * candidates append to the lake; the read face merges the batch
