@@ -220,6 +220,7 @@ object SparkEntry {
     "triangle_count"     -> (WarehouseQueries.triangleCount _),
     "community_labels"   -> (WarehouseQueries.communityLabels _),
     "bm25_search"        -> (WarehouseQueries.bm25Search _),
+    "rocchio_prf_search" -> (WarehouseQueries.rocchioPrfSearch _),
     "ql_search"          -> (WarehouseQueries.qlSearch _),
     "item_cosine"        -> (WarehouseQueries.itemCosine _),
     "holt_forecast"      -> (WarehouseQueries.holtForecast _),
@@ -463,6 +464,56 @@ object SparkEntry {
        |WHERE score > 0
        |ORDER BY score DESC, doc_id
        |LIMIT $k""".stripMargin
+  }
+
+  /** D101 Rocchio PRF oracle: pass 1 is [[bm25Oracle]] verbatim (top
+    * kDocs docs), the expansion is the fully-ordered (count desc,
+    * term asc) top-kExp non-seed non-stopword term pick, and pass 2
+    * is the SAME BM25 arithmetic with the terms as a RELATION — the
+    * per-doc sum folds in term order with a 0.0 seed, matching
+    * Spark's sorted reduceLeft exactly (0.0 + t₁ ≡ t₁).
+    */
+  private def rocchioPrfOracle(seeds: Seq[String], kDocs: Int, kExp: Int,
+                               k: Int, k1: Double, b: Double): String = {
+    val excluded = (seeds ++ graft.functions.TextFunctions.LangMarkers.en)
+      .distinct.map(t => s"'$t'").mkString(", ")
+    val seedList = seeds.map(s => s"'$s'").mkString(", ")
+    s"""WITH p1 AS (${bm25Oracle(seeds, kDocs, k1, b)}),
+       |tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |      x -> x <> '') AS toks
+       |  FROM documents),
+       |exp_t AS (
+       |  SELECT unnest(tk.toks) AS term FROM tk JOIN p1 USING (doc_id)),
+       |expn AS (
+       |  SELECT term FROM (
+       |    SELECT term, COUNT(*) AS c FROM exp_t
+       |    WHERE term NOT IN ($excluded) GROUP BY 1
+       |    ORDER BY c DESC, term LIMIT $kExp)),
+       |qterms AS (SELECT DISTINCT term FROM (
+       |  SELECT term FROM expn
+       |  UNION ALL SELECT unnest([$seedList]) AS term)),
+       |tfr AS (SELECT tk.doc_id, q.term,
+       |    CAST(len(list_filter(tk.toks, x -> x = q.term)) AS DOUBLE) AS tf,
+       |    CAST(len(tk.toks) AS DOUBLE) AS dl
+       |  FROM tk CROSS JOIN qterms q),
+       |dfr AS (SELECT term,
+       |    CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df
+       |  FROM tfr GROUP BY 1),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    SUM(CAST(len(toks) AS DOUBLE)) AS sumdl FROM tk),
+       |sc AS (SELECT tfr.doc_id, tfr.term,
+       |    ln(((n - df) + 0.5) / (df + 0.5) + 1.0) *
+       |      ((tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b}
+       |        + (($b * dl) / (sumdl / n))))) AS ts
+       |  FROM tfr JOIN dfr USING (term) CROSS JOIN st),
+       |agg AS (SELECT doc_id,
+       |    round(list_reduce(list_prepend(0.0, list(ts ORDER BY term)),
+       |      (a, bb) -> a + bb), 6) AS score
+       |  FROM sc GROUP BY doc_id)
+       |SELECT doc_id, score FROM agg WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
   /** ICWS weighted-minhash oracle (D83): replays
@@ -2237,6 +2288,12 @@ object SparkEntry {
 
     "bm25_search" -> bm25Oracle(
       graft.queries.WarehouseQueries.Bm25Terms, 50, 1.2, 0.75),
+
+    // D101: pass-1 BM25 verbatim, ordered expansion pick, pass-2
+    // join-based BM25 with the pinned per-doc term fold
+    "rocchio_prf_search" -> rocchioPrfOracle(
+      graft.queries.WarehouseQueries.Bm25Terms,
+      kDocs = 5, kExp = 3, k = 50, k1 = 1.2, b = 0.75),
 
     "ql_search" -> qlOracle(
       graft.queries.WarehouseQueries.Bm25Terms, 50, 100.0),

@@ -107,6 +107,33 @@ object WarehouseQueries {
 
   val Bm25Terms: Seq[String] = Seq("hash", "join", "vector", "stream")
 
+  /** D101: Rocchio-style pseudo-relevance feedback (Rocchio 1971 /
+    * the standard PRF loop every Lucene/Terrier deployment ships):
+    * retrieve with the seed query, assume the top-5 are relevant,
+    * expand the query with the 3 most frequent non-seed non-stopword
+    * terms in those docs (count desc, term asc — fully ordered), and
+    * re-retrieve with the expanded query. Two driver-scale collects
+    * (5 ids, 3 terms — top-k outputs, not corpus rows); both
+    * retrieval passes are the D31 plan: one tokenize scan,
+    * plan-literal terms, broadcast stats, TakeOrdered.
+    */
+  def rocchioPrfSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, dir)
+    val top5 = TextRank.bm25TopK(docs, "doc_id", "text", Bm25Terms, 5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val excluded = Bm25Terms ++ TextFunctions.LangMarkers.en
+    val expansion = docs
+      .filter(col("doc_id").isin(top5: _*))
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(!col("term").isin(excluded: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term"))
+      .limit(3)
+      .collect().map(_.getString(0)).toSeq
+    TextRank.bm25TopK(docs, "doc_id", "text", Bm25Terms ++ expansion, 50)
+  }
+
   /** D77: Dirichlet query-likelihood retrieval — the LM-ranking face
     * of the triad, same terms/k as D31 for side-by-side comparison.
     */

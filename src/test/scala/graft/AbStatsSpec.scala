@@ -159,6 +159,27 @@ class AbStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("raw_diff") === 2.0)
   }
 
+  // ---- Rocchio PRF ---------------------------------------------------------
+
+  test("rocchioPrfSearch: expansion terms are corpus-driven and ordered") {
+    import graft.queries.WarehouseQueries
+    val sfDir = "/root/testdata/sf0.001"
+    val prf = WarehouseQueries.rocchioPrfSearch(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val plain = WarehouseQueries.bm25Search(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(prf.nonEmpty)
+    // the expanded query scores strictly more mass (extra positive
+    // BM25 legs) — PRF must actually change the readout
+    assert(prf.toMap != plain.toMap,
+      "expansion must alter scores vs the plain seed query")
+    // deterministic across invocations (collect-driven expansion is
+    // a pure data function)
+    val again = WarehouseQueries.rocchioPrfSearch(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(prf.toSeq === again.toSeq)
+  }
+
   // ---- Jaro-Winkler -------------------------------------------------------
 
   test("jaroWinkler: textbook values, boost threshold, edge cases") {
