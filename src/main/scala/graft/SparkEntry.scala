@@ -221,6 +221,9 @@ object SparkEntry {
     "community_labels"   -> (WarehouseQueries.communityLabels _),
     "bm25_search"        -> (WarehouseQueries.bm25Search _),
     "rocchio_prf_search" -> (WarehouseQueries.rocchioPrfSearch _),
+    "event_transitions"  -> (WarehouseQueries.eventTransitionMatrix _),
+    "langid_confusion"   -> (TextQueries.langIdConfusion _),
+    "heaps_law_fit"      -> (TextQueries.heapsLawFit _),
     "ql_search"          -> (WarehouseQueries.qlSearch _),
     "item_cosine"        -> (WarehouseQueries.itemCosine _),
     "holt_forecast"      -> (WarehouseQueries.holtForecast _),
@@ -739,6 +742,52 @@ object SparkEntry {
         |  UNION ALL ${p("repetition", "tokens", "sr", "st", "srr", "stt", "srt")})
         |ORDER BY signal_a, signal_b""".stripMargin
     }
+
+  /** D103 Heaps-law oracle: first-occurrence vocabulary counts at the
+    * 10 integer thresholds, then the OLS chain in the SAME textual
+    * order as the Spark reduceLeft (left-assoc ln sums).
+    */
+  private def heapsOracle: String = {
+    def thr(i: Int) = s"(lo + ((hi - lo) * $i) // 10)"
+    val vLegs = (1 to 10).map(i =>
+      s"CAST(SUM(CASE WHEN fd <= ${thr(i)} THEN 1 ELSE 0 END) AS BIGINT) AS v$i")
+      .mkString(",\n      ")
+    val dLegs = (1 to 10).map(i =>
+      s"CAST(SUM(CASE WHEN doc_id <= ${thr(i)} THEN 1 ELSE 0 END) AS BIGINT) AS d$i")
+      .mkString(",\n      ")
+    val sx = (1 to 10).map(i => s"ln(CAST(d$i AS DOUBLE))").mkString(" + ")
+    val sy = (1 to 10).map(i => s"ln(CAST(v$i AS DOUBLE))").mkString(" + ")
+    val sxy = (1 to 10).map(i =>
+      s"ln(CAST(d$i AS DOUBLE)) * ln(CAST(v$i AS DOUBLE))").mkString(" + ")
+    val sxx = (1 to 10).map(i =>
+      s"ln(CAST(d$i AS DOUBLE)) * ln(CAST(d$i AS DOUBLE))").mkString(" + ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+       |    AS term
+       |  FROM documents),
+       |ft AS (SELECT term, MIN(doc_id) AS fd FROM tk GROUP BY 1),
+       |b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+       |v AS (SELECT
+       |      $vLegs
+       |  FROM ft CROSS JOIN b),
+       |d AS (SELECT
+       |      $dLegs
+       |  FROM documents CROSS JOIN b),
+       |j AS (SELECT * FROM v CROSS JOIN d),
+       |o AS (SELECT d10, v10,
+       |    ($sx) AS sx, ($sy) AS sy, ($sxy) AS sxy, ($sxx) AS sxx
+       |  FROM j)
+       |SELECT d10 AS n_docs, v10 AS vocab,
+       |  CASE WHEN 10.0 * sxx - sx * sx > 0.0 THEN
+       |    round((10.0 * sxy - sx * sy) / (10.0 * sxx - sx * sx), 6)
+       |  END AS beta,
+       |  CASE WHEN 10.0 * sxx - sx * sx > 0.0 THEN
+       |    round((sy - (10.0 * sxy - sx * sy) / (10.0 * sxx - sx * sx)
+       |      * sx) / 10.0, 6)
+       |  END AS ln_k
+       |FROM o""".stripMargin
+  }
 
   private val madOutliersSql: String =
     """WITH b AS (SELECT event_id, event_type, value,
@@ -5086,6 +5135,52 @@ object SparkEntry {
         |SELECT a, b, common_neighbors,
         |  CAST(aa AS DOUBLE) / 1000000.0 AS aa_score
         |FROM p ORDER BY aa DESC, a, b LIMIT 20""".stripMargin,
+
+    // D103: first-occurrence vocab growth at 10 integer thresholds,
+    // OLS chain in the same textual order as the Spark reduceLeft
+    "heaps_law_fit" -> heapsOracle,
+
+    // C77: user-partitioned lead pairs, exact integer cells, one
+    // divide per probability
+    "event_transitions" ->
+      """WITH p AS (SELECT user_id, ts, event_id, event_type AS cur,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM p
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.cur, c.nxt, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
+        |FROM c JOIN t USING (cur)
+        |ORDER BY cur, nxt""".stripMargin,
+
+    // D102: the D13 lang-id CTE verbatim as predictions, exact cells
+    "langid_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS he,
+        |    len(list_filter(tk, x -> list_contains(['le','la','et','les','des','un','une'], x))) AS hf,
+        |    len(list_filter(tk, x -> list_contains(['der','die','und','das','ein','nicht'], x))) AS hd,
+        |    len(list_filter(tk, x -> list_contains(['el','los','y','que','un','una','en'], x))) AS hs
+        |  FROM t),
+        |pr AS (SELECT lang AS true_lang,
+        |    CASE WHEN greatest(he, hf, hd, hs) = 0 THEN 'und'
+        |         WHEN he = greatest(he, hf, hd, hs) THEN 'en'
+        |         WHEN hf = greatest(he, hf, hd, hs) THEN 'fr'
+        |         WHEN hd = greatest(he, hf, hd, hs) THEN 'de'
+        |         ELSE 'es' END AS pred_lang
+        |  FROM h),
+        |c AS (SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pr GROUP BY 1, 2),
+        |tt AS (SELECT true_lang, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.true_lang, c.pred_lang, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+        |FROM c JOIN tt USING (true_lang)
+        |ORDER BY true_lang, pred_lang""".stripMargin,
 
     // C76: the oracle is DuckDB's BUILT-IN jaro_winkler_similarity —
     // an independent implementation of the same Winkler-1990

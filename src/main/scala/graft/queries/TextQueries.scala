@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Sessionize}
@@ -659,6 +659,71 @@ object TextQueries {
         col("doc_id"),
         TextFunctions.langId(col("text")).as("pred_lang"))
       .orderBy(col("doc_id"))
+
+  /** D103: Heaps'-law vocabulary-growth fit (Heaps 1978: V(n) ≈
+    * K·n^β — the law behind tokenizer/vocab sizing: how fast does
+    * vocabulary grow as the corpus grows). V is sampled at 10
+    * evenly-spaced doc_id thresholds: V(t) = #distinct terms whose
+    * FIRST document ≤ t (one corpus-gram-bounded min-aggregation —
+    * "distinct so far" without any sequential scan), D(t) = #docs ≤
+    * t; β and ln K come from OLS over the 10 (ln D, ln V) points,
+    * summed in FIXED textual order (a 10-term scalar chain — no
+    * collect, no fold list) so the doubles are engine-identical.
+    */
+  def heapsLawFit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
+        .as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+    val bounds = docs.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    def thr(i: Int): Column =
+      col("lo") + ((col("hi") - col("lo")) * i - ((col("hi") - col("lo")) * i) % 10) / 10
+    // V legs over the term frame, D legs over the doc frame — one
+    // conditional aggregate each, thresholds broadcast as scalars
+    val vLegs = (1 to 10).map(i =>
+      sum(when(col("fd") <= thr(i), 1L).otherwise(0L)).as(s"v$i"))
+    val dLegs = (1 to 10).map(i =>
+      sum(when(col("doc_id") <= thr(i), 1L).otherwise(0L)).as(s"d$i"))
+    val vRow = terms.crossJoin(broadcast(bounds))
+      .agg(vLegs.head, vLegs.tail: _*)
+    val dRow = docs.crossJoin(broadcast(bounds))
+      .agg(dLegs.head, dLegs.tail: _*)
+    val joined = vRow.crossJoin(dRow)
+    def x(i: Int): Column = log(col(s"d$i").cast("double"))
+    def y(i: Int): Column = log(col(s"v$i").cast("double"))
+    val k = lit(10.0)
+    val sx = (1 to 10).map(x).reduceLeft(_ + _)
+    val sy = (1 to 10).map(y).reduceLeft(_ + _)
+    val sxy = (1 to 10).map(i => x(i) * y(i)).reduceLeft(_ + _)
+    val sxx = (1 to 10).map(i => x(i) * x(i)).reduceLeft(_ + _)
+    val den = k * sxx - sx * sx
+    joined.select(
+      col("d10").as("n_docs"), col("v10").as("vocab"),
+      when(den > 0.0, round((k * sxy - sx * sy) / den, 6)).as("beta"),
+      when(den > 0.0,
+        round((sy - (k * sxy - sx * sy) / den * sx) / k, 6)).as("ln_k"))
+  }
+
+  /** D102: language-ID confusion matrix — the classifier eval behind
+    * D13: per (true label, prediction) cell count plus the true
+    * class's recall share. One scan, a \|langs\|²-cell shuffle; counts
+    * exact, recall ONE divide.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang").as("true_lang"),
+        TextFunctions.langId(col("text")).as("pred_lang"))
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("true_lang")).agg(sum(col("n")).as("tot"))
+    cells.join(broadcast(totals), Seq("true_lang"))
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
 
   /** D11: rolling-hash document fingerprint via the custom Catalyst
     * expression [[graft.functions.RollingFingerprint]] (codegen'd

@@ -1010,6 +1010,33 @@ object WarehouseQueries {
       .orderBy(col("user_id"))
   }
 
+  /** C77: event-transition matrix — P(next event type | current) per
+    * consecutive event pair within a user's stream (the full Markov
+    * transition table behind C57's attribution and C21's fixed
+    * funnels: which flows exist AT ALL, with probabilities). The
+    * corpus scan is one user-partitioned `lead` (per-task state = one
+    * user's events); the matrix is \|types\|² cells, counts exact,
+    * each probability ONE divide.
+    */
+  def eventTransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("cur")).agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(totals), Seq("cur"))
+      .select(col("cur"), col("nxt"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("p"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
   /** C76: Jaro-Winkler name linkage — near-identical part names found
     * by blocking on the 8-char name prefix (the standard ER recipe:
     * a cheap blocking key bounds the pair volume, the expensive

@@ -159,6 +159,33 @@ class AbStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("raw_diff") === 2.0)
   }
 
+  // ---- Heaps-law machinery -------------------------------------------------
+
+  test("heapsLaw-style first-occurrence growth recovers a sqrt exponent") {
+    // doc i carries token w_isqrt(i): V(d) = isqrt(d), so the log-log
+    // OLS over the thresholds must land near beta = 0.5; recompute
+    // through the SAME first-occurrence + threshold-leg machinery the
+    // query face uses, on a frame where the answer is known
+    import org.apache.spark.sql.DataFrame
+    val docs: DataFrame = (1 to 400)
+      .map(i => (i.toLong, s"w${math.sqrt(i.toDouble).toInt}"))
+      .toDF("doc_id", "text")
+    val terms = docs.groupBy(col("text").as("term"))
+      .agg(min(col("doc_id")).as("fd"))
+    val lo = 1.0; val hi = 400.0
+    val pts = (1 to 10).map { i =>
+      val t = (lo + (hi - lo) * i / 10).toLong
+      val v = terms.filter(col("fd") <= t).count().toDouble
+      (math.log(t.toDouble), math.log(v))
+    }
+    val k = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert(beta > 0.4 && beta < 0.6, s"sqrt-growth corpus fit beta=$beta")
+  }
+
   // ---- Rocchio PRF ---------------------------------------------------------
 
   test("rocchioPrfSearch: expansion terms are corpus-driven and ordered") {
