@@ -120,8 +120,11 @@ object AbStats {
     */
   def chiSquareIndependence(df: DataFrame, rowKey: Column,
                             colKey: Column): DataFrame = {
-    val cells = df.groupBy(rowKey.as("rk"), colKey.as("ck"))
-      .agg(count(lit(1)).as("o"))
+    // the cells frame is reused by margins/total/terms — cut lineage
+    // so the corpus scan runs ONCE, not once per consumer
+    val cells = Materialize.cut(
+      df.groupBy(rowKey.as("rk"), colKey.as("ck"))
+        .agg(count(lit(1)).as("o")))
     val rt = cells.groupBy(col("rk")).agg(sum(col("o")).as("rt"))
     val ct = cells.groupBy(col("ck")).agg(sum(col("o")).as("ct"))
     val n = cells.agg(sum(col("o")).cast("long").as("n"),
@@ -233,8 +236,10 @@ object AbStats {
   def mutualInformation(df: DataFrame, xCol: Column,
                         yCol: Column): DataFrame = {
     val ln2 = math.log(2.0)
-    val cells = df.groupBy(xCol.as("x"), yCol.as("y"))
-      .agg(count(lit(1)).as("c"))
+    // reused by both margins, the total and the terms — one scan
+    val cells = Materialize.cut(
+      df.groupBy(xCol.as("x"), yCol.as("y"))
+        .agg(count(lit(1)).as("c")))
     val rx = cells.groupBy(col("x")).agg(sum(col("c")).as("cx"))
     val cy = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
     val n = cells.agg(sum(col("c")).cast("long").as("n"))

@@ -37,11 +37,19 @@ object QuantileNorm {
     */
   def mappingTable(df: DataFrame, source: Column,
                    bucket: Column): DataFrame = {
-    val counts = df.select(source.as("source"), bucket.as("bucket"))
-      .groupBy(col("source"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
+    // reused by the per-source cum, the global histogram and the
+    // output — cut lineage so the corpus scans once
+    val counts = Materialize.cut(
+      df.select(source.as("source"), bucket.as("bucket"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n")))
+    // the lineage cut erases the Aggregate plan shape CumHistogram's
+    // raw-row guard checks for — re-aggregate the (aggregate-sized)
+    // cut frame: free, and the guard can see the collapse again
+    val countsAgg = counts.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
     val srcCum = CumHistogram.cumulativeByGroup(
-      counts, "source", "bucket", "n")
+      countsAgg, "source", "bucket", "n")
       .withColumnRenamed("cum", "src_cum")
       .withColumnRenamed("total", "src_n")
     val globalCounts = counts.groupBy(col("bucket"))

@@ -34,8 +34,9 @@ object Survival {
     */
   def kaplanMeier(subjects: DataFrame, timeCol: Column,
                   censored: Column): DataFrame = {
-    val byTime = subjects
-      .select(timeCol.as("t"), censored.as("__c"))
+    val subj = Materialize.cut(
+      subjects.select(timeCol.as("t"), censored.as("__c")))
+    val byTime = subj
       .groupBy(col("t"))
       .agg(sum(when(!col("__c"), 1L).otherwise(0L)).as("d"),
         count(lit(1)).as("leave"))
@@ -46,7 +47,7 @@ object Survival {
     val risk = byTime
       .withColumn("__gone", coalesce(sum(col("leave")).over(w), lit(0L)))
       .crossJoin(broadcast(
-        subjects.agg(count(lit(1)).cast("long").as("__n"))))
+        subj.agg(count(lit(1)).cast("long").as("__n"))))
       .withColumn("n_risk", col("__n") - col("__gone"))
       .filter(col("d") >= 1)
       .select(col("t"), col("n_risk"), col("d"))

@@ -42,9 +42,12 @@ object TCloseness {
     require(classCols.nonEmpty, "need at least one quasi-identifier column")
     val cls = classCols.map(col)
     val base = df.select(cls :+ attr.as("__a"): _*)
-    val ca = base.groupBy(cls :+ col("__a"): _*)
-      .agg(count(lit(1)).as("n"))
-    val ga = base.groupBy(col("__a")).agg(count(lit(1)).as("m"))
+    // ONE corpus scan: the global histogram re-aggregates the
+    // class-attribute cells instead of re-scanning the corpus, and
+    // the cells frame (reused by classes/grid) is lineage-cut
+    val ca = Materialize.cut(base.groupBy(cls :+ col("__a"): _*)
+      .agg(count(lit(1)).as("n")))
+    val ga = ca.groupBy(col("__a")).agg(sum(col("n")).as("m"))
     val classes = ca.groupBy(cls: _*).agg(sum(col("n")).as("nc"))
     val totals = ga.agg(sum(col("m")).cast("long").as("ng"),
       count(lit(1)).as("nb"))

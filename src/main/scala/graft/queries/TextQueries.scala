@@ -712,11 +712,12 @@ object TextQueries {
     * exact, recall ONE divide.
     */
   def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.documents(spark, dir)
+    // cells reused by totals + join — cut so the scoring scan runs once
+    val cells = graft.operators.Materialize.cut(Tables.documents(spark, dir)
       .select(col("lang").as("true_lang"),
         TextFunctions.langId(col("text")).as("pred_lang"))
       .groupBy(col("true_lang"), col("pred_lang"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val totals = cells.groupBy(col("true_lang")).agg(sum(col("n")).as("tot"))
     cells.join(broadcast(totals), Seq("true_lang"))
       .select(col("true_lang"), col("pred_lang"), col("n"),

@@ -972,14 +972,16 @@ object WarehouseQueries {
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.CumHistogram
     val anchor = to_date(lit("2024-01-31"))
-    val users = Tables.events(spark, dir)
+    // the user frame feeds three threshold branches + the scoring
+    // pass — cut lineage so the corpus scans once, not five times
+    val users = graft.operators.Materialize.cut(Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(datediff(anchor, max(date_trunc("day", col("ts")).cast("date")))
              .cast("long").as("recency"),
            count(lit(1)).as("frequency"),
            sum(graft.functions.Num.dec2(col("value")) * 100)
-             .cast("long").as("cents"))
+             .cast("long").as("cents")))
     def quintileThresholds(metric: String): DataFrame = {
       val counts = users
         .select(lit(1).as("__g"), col(metric).as("__bk"))
@@ -1022,13 +1024,14 @@ object WarehouseQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val pairs = Tables.events(spark, dir)
+    // cells reused by totals + join — cut so the lead scan runs once
+    val pairs = graft.operators.Materialize.cut(Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type").as("cur"))
       .withColumn("nxt", lead(col("cur"), 1).over(w))
       .filter(col("nxt").isNotNull)
       .groupBy(col("cur"), col("nxt"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val totals = pairs.groupBy(col("cur")).agg(sum(col("n")).as("tot"))
     pairs.join(broadcast(totals), Seq("cur"))
       .select(col("cur"), col("nxt"), col("n"),
