@@ -222,6 +222,7 @@ object SparkEntry {
     "bm25_search"        -> (WarehouseQueries.bm25Search _),
     "rocchio_prf_search" -> (WarehouseQueries.rocchioPrfSearch _),
     "event_transitions"  -> (WarehouseQueries.eventTransitionMatrix _),
+    "lead_lag_correlation" -> (WarehouseQueries.leadLagCorrelation _),
     "langid_confusion"   -> (TextQueries.langIdConfusion _),
     "heaps_law_fit"      -> (TextQueries.heapsLawFit _),
     "ql_search"          -> (WarehouseQueries.qlSearch _),
@@ -5139,6 +5140,35 @@ object SparkEntry {
     // D103: first-occurrence vocab growth at 10 integer thresholds,
     // OLS chain in the same textual order as the Spark reduceLeft
     "heaps_law_fit" -> heapsOracle,
+
+    // C78: exact integer day-series sums per lag, Pearson one IEEE
+    // evaluation with pinned parenthesization
+    "lead_lag_correlation" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT CAST(unnest(range(-3, 4)) AS INTEGER) AS lag),
+        |j AS (SELECT lag, a.x AS x, b.y AS y
+        |  FROM daily a CROSS JOIN lags JOIN daily b
+        |    ON a.day + to_days(lag) = b.day),
+        |g AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT lag, n_days,
+        |  CASE WHEN CAST(n_days AS DOUBLE) * sxx - sx * sx > 0.0
+        |        AND CAST(n_days AS DOUBLE) * syy - sy * sy > 0.0 THEN
+        |    round((CAST(n_days AS DOUBLE) * sxy - sx * sy)
+        |      / (sqrt(CAST(n_days AS DOUBLE) * sxx - sx * sx)
+        |        * sqrt(CAST(n_days AS DOUBLE) * syy - sy * sy)), 6)
+        |  END AS r
+        |FROM g ORDER BY lag""".stripMargin,
 
     // C77: user-partitioned lead pairs, exact integer cells, one
     // divide per probability

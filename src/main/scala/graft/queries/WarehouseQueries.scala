@@ -1012,6 +1012,49 @@ object WarehouseQueries {
       .orderBy(col("user_id"))
   }
 
+  /** C78: lead–lag cross-correlation between two daily metric series
+    * (does signup volume LEAD purchase value, and by how many days —
+    * the ops question behind every funnel dashboard). The corpus
+    * collapses to two day-series (aggregate-sized); each lag L in
+    * −3..+3 joins x(day) with y(day+L) via one lags×days frame, and
+    * the per-lag Pearson is one IEEE evaluation over exact integer
+    * cent/count sums. Output: 7 rows (lag, n_days, r).
+    */
+  def leadLagCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = graft.operators.Materialize.cut(ev
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+             .as("x"),
+           coalesce(sum(when(col("event_type") === "purchase",
+             graft.functions.Num.dec2(col("value")) * 100)), lit(0))
+             .cast("long").as("y")))
+    val lags = spark.range(-3, 4).select(col("id").cast("int").as("lag"))
+    val joined = daily.as("a")
+      .crossJoin(broadcast(lags))
+      .join(daily.as("b"),
+        expr("date_add(a.day, lag) = b.day"))
+      .select(col("lag"), col("a.x").as("x"), col("b.y").as("y"))
+    // products in decimal(38,0): cent·cent exceeds Long at real scale
+    val d0 = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val agg = joined.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(d0(col("x")) * d0(col("y"))).cast("double").as("sxy"),
+        sum(d0(col("x")) * d0(col("x"))).cast("double").as("sxx"),
+        sum(d0(col("y")) * d0(col("y"))).cast("double").as("syy"))
+    val nD = col("n_days").cast("double")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val dx = nD * col("sxx") - col("sx") * col("sx")
+    val dy = nD * col("syy") - col("sy") * col("sy")
+    agg.select(col("lag"), col("n_days"),
+        when(dx > 0.0 && dy > 0.0,
+          round(num / (sqrt(dx) * sqrt(dy)), 6)).as("r"))
+      .orderBy(col("lag"))
+  }
+
   /** C77: event-transition matrix — P(next event type | current) per
     * consecutive event pair within a user's stream (the full Markov
     * transition table behind C57's attribution and C21's fixed
