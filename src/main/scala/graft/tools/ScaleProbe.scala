@@ -791,6 +791,46 @@ object ScaleProbe {
         graft.functions.TextFunctions.tokenCount(col("text"))
           .cast("long")).count()
     }
+    t("rocchio_prf") {
+      // the two-pass PRF loop over the amplified corpus: two tokenize
+      // scans + two driver-scale collects (5 ids, 3 terms)
+      val top5 = graft.operators.TextRank.bm25TopK(
+        docs, "doc_id", "text",
+        graft.queries.WarehouseQueries.Bm25Terms, 5)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val excluded = graft.queries.WarehouseQueries.Bm25Terms ++
+        graft.functions.TextFunctions.LangMarkers.en
+      val expansion = docs.filter(col("doc_id").isin(top5: _*))
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("term"))
+        .filter(!col("term").isin(excluded: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      graft.operators.TextRank.bm25TopK(docs, "doc_id", "text",
+        graft.queries.WarehouseQueries.Bm25Terms ++ expansion, 50).count()
+    }
+    t("heaps_first_occurrence") {
+      // the D103 core: term first-document over the amplified corpus —
+      // one corpus-gram-bounded min aggregation
+      docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("term"))
+        .groupBy(col("term")).agg(min(col("doc_id")).as("fd")).count()
+    }
+    t("jaro_winkler_blocked") {
+      // the C76 ER shape at volume: prefix blocking bounds the pair
+      // fan-out, the codegen kernel runs only within blocks
+      val p = docs.select(col("doc_id").as("pk"),
+        substring(col("text"), 1, 40).as("name"),
+        substring(col("text"), 1, 12).as("blk"))
+      p.as("a").join(p.as("b"),
+          col("a.blk") === col("b.blk") && col("a.pk") < col("b.pk"))
+        .select(round(graft.functions.JaroWinkler.jaro_winkler(
+          col("a.name"), col("b.name")), 6).as("jw"))
+        .filter(col("jw") >= lit(0.97))
+        .count()
+    }
     t("png_decode") {
       // per-row encode + inflate + unfilter; pure map, zero exchanges
       import spark.implicits._
