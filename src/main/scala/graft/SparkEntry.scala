@@ -223,6 +223,7 @@ object SparkEntry {
     "rocchio_prf_search" -> (WarehouseQueries.rocchioPrfSearch _),
     "event_transitions"  -> (WarehouseQueries.eventTransitionMatrix _),
     "lead_lag_correlation" -> (WarehouseQueries.leadLagCorrelation _),
+    "benford_audit"      -> (WarehouseQueries.benfordAudit _),
     "langid_confusion"   -> (TextQueries.langIdConfusion _),
     "heaps_law_fit"      -> (TextQueries.heapsLawFit _),
     "ql_search"          -> (WarehouseQueries.qlSearch _),
@@ -5140,6 +5141,29 @@ object SparkEntry {
     // D103: first-occurrence vocab growth at 10 integer thresholds,
     // OLS chain in the same textual order as the Spark reduceLeft
     "heaps_law_fit" -> heapsOracle,
+
+    // C79: first digit off the cents integer's decimal string (no
+    // float log in the decision path); the expected probabilities are
+    // the SAME Scala-rendered double constants on both sides
+    "benford_audit" -> {
+      val e = (1 to 9).map(d =>
+        s"WHEN digit = $d THEN CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE)")
+        .mkString(" ")
+      s"""WITH c AS (SELECT CAST(substr(CAST(
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |  FROM lineitem),
+         |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c
+         |  WHERE digit >= 1 GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g),
+         |x AS (SELECT digit, n, tot, CASE $e END AS pe
+         |  FROM g CROSS JOIN t)
+         |SELECT digit, n, round(pe, 6) AS p_expected,
+         |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p_observed,
+         |  round(pow(CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * pe, 2)
+         |    / (CAST(tot AS DOUBLE) * pe), 6) AS chi2_term
+         |FROM x ORDER BY digit""".stripMargin
+    },
 
     // C78: exact integer day-series sums per lag, Pearson one IEEE
     // evaluation with pinned parenthesization

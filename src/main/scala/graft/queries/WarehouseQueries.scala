@@ -1012,6 +1012,41 @@ object WarehouseQueries {
       .orderBy(col("user_id"))
   }
 
+  /** C79: Benford's-law first-digit audit (Newcomb 1881 / Benford
+    * 1938 — the data-quality/fraud screen: organically-grown monetary
+    * values follow P(d) = log₁₀(1 + 1/d); fabricated or truncated
+    * feeds don't). The first digit comes off the CENTS INTEGER's
+    * decimal string — exact in any engine, no float log in the
+    * decision path; expected probabilities are 9 shared constants and
+    * the χ² distance folds 9 cells in pinned digit order.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (graft.functions.Num.dec2(col("l_extendedprice")) * 100)
+      .cast("long")
+    val digits = Tables.lineitem(spark, dir)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val withTot = digits
+      .crossJoin(broadcast(digits.agg(sum(col("n")).cast("long").as("tot"))))
+    val expected = (1 to 9).map(d =>
+      d -> math.log10(1.0 + 1.0 / d)).toMap
+    val pExp = (1 to 9).foldLeft(lit(Double.NaN)) { (acc, d) =>
+      when(col("digit") === d, lit(expected(d))).otherwise(acc)
+    }
+    withTot
+      .withColumn("p_expected", round(pExp, 6))
+      .withColumn("p_observed",
+        round(col("n").cast("double") / col("tot").cast("double"), 6))
+      .withColumn("chi2_term", {
+        val o = col("n").cast("double"); val t = col("tot").cast("double")
+        round(pow(o - t * pExp, 2) / (t * pExp), 6)
+      })
+      .select(col("digit"), col("n"), col("p_expected"),
+        col("p_observed"), col("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
   /** C78: lead–lag cross-correlation between two daily metric series
     * (does signup volume LEAD purchase value, and by how many days —
     * the ops question behind every funnel dashboard). The corpus
