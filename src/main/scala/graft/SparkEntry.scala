@@ -258,6 +258,7 @@ object SparkEntry {
     "quality_filter"     -> (TextQueries.qualityFilter _),
     "vocab_tokenize"     -> (TextQueries.vocabTokenize _),
     "vocab_bpe_tokenize" -> (TextQueries.vocabBpeTokenize _),
+    "tokenizer_fertility" -> (TextQueries.tokenizerFertility _),
     "vocab_tokenize_ids" -> (TextQueries.vocabTokenizeIds _),
     "vocab_oov_rate"     -> (TextQueries.vocabOovRate _),
     "quality_weighted_sample" -> (TextQueries.qualityWeightedSample _),
@@ -6305,6 +6306,20 @@ object SparkEntry {
       "semantic_drift" -> semanticDriftOracle(cents),
       "retrieval_quality_report" -> qualityReport,
       "vocab_bpe_tokenize" -> vocabTokenizeOracle(bpe.vocab,
-        graft.operators.Bpe.maxTokenLen(bpe)))
+        graft.operators.Bpe.maxTokenLen(bpe)),
+      // D104: the D39 per-doc oracle re-grouped by language — exact
+      // integer sums, fertility one divide
+      // (plain concatenation — embedding the inner oracle inside a
+      // stripMargin block would corrupt its `||` list-concat operators)
+      "tokenizer_fertility" ->
+        ("WITH base AS (" + vocabTokenizeOracle(bpe.vocab,
+            graft.operators.Bpe.maxTokenLen(bpe)) + ")\n" +
+          """SELECT d.lang,
+            |  CAST(SUM(base.n_words) AS BIGINT) AS n_words,
+            |  CAST(SUM(base.n_subtokens) AS BIGINT) AS n_subtokens,
+            |  round(CAST(SUM(base.n_subtokens) AS DOUBLE)
+            |    / CAST(SUM(base.n_words) AS DOUBLE), 6) AS fertility
+            |FROM base JOIN documents d USING (doc_id)
+            |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
   }
 }

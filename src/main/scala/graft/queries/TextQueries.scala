@@ -511,6 +511,30 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D104: tokenizer fertility per language (subtokens per whitespace
+    * word — THE multilingual tokenizer-quality number next to D34c's
+    * OOV rate: a language whose fertility balloons pays more compute
+    * per unit of text and silently shrinks in token-budgeted
+    * mixtures). Same codegen kernel scan as D39; per-lang exact
+    * integer sums, fertility ONE divide.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val trained = graft.operators.Bpe.trainCached(
+      s"documents:$dir", docs, "text", numMerges = 64)
+    docs.select(col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("__w"),
+        size(graft.functions.TokenizeKernel.greedySubwordsText(
+          col("text"), trained.vocab,
+          graft.operators.Bpe.maxTokenLen(trained))).cast("long").as("__s"))
+      .groupBy(col("lang"))
+      .agg(sum(col("__w")).as("n_words"), sum(col("__s")).as("n_subtokens"))
+      .select(col("lang"), col("n_words"), col("n_subtokens"),
+        round(col("n_subtokens").cast("double")
+          / col("n_words").cast("double"), 6).as("fertility"))
+      .orderBy(col("lang"))
+  }
+
   /** D34c: tokenizer vocabulary coverage / OOV-rate report — per
     * language, the fraction of emitted pieces that fell back to the
     * single-codepoint alphabet (every vocab entry is ≥2 codepoints,

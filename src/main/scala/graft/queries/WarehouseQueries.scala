@@ -123,9 +123,13 @@ object WarehouseQueries {
     val top5 = TextRank.bm25TopK(docs, "doc_id", "text", Bm25Terms, 5)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
     val excluded = Bm25Terms ++ TextFunctions.LangMarkers.en
+    // expansion terms come from the RETRIEVAL tokenizer (lowercase
+    // alnum — the alphabet pass 2 scores in), not the whitespace
+    // split: on punctuated text the two diverge and an expansion term
+    // outside the scoring alphabet could never match
     val expansion = docs
       .filter(col("doc_id").isin(top5: _*))
-      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      .select(explode(TextRank.tokens(col("text"))).as("term"))
       .filter(!col("term").isin(excluded: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("term"))

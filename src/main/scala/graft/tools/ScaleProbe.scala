@@ -801,7 +801,7 @@ object ScaleProbe {
       val excluded = graft.queries.WarehouseQueries.Bm25Terms ++
         graft.functions.TextFunctions.LangMarkers.en
       val expansion = docs.filter(col("doc_id").isin(top5: _*))
-        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .select(explode(graft.operators.TextRank.tokens(col("text")))
           .as("term"))
         .filter(!col("term").isin(excluded: _*))
         .groupBy(col("term")).agg(count(lit(1)).as("c"))
