@@ -224,6 +224,7 @@ object SparkEntry {
     "event_transitions"  -> (WarehouseQueries.eventTransitionMatrix _),
     "lead_lag_correlation" -> (WarehouseQueries.leadLagCorrelation _),
     "benford_audit"      -> (WarehouseQueries.benfordAudit _),
+    "ab_ks_test"         -> (WarehouseQueries.ksTwoSample _),
     "langid_confusion"   -> (TextQueries.langIdConfusion _),
     "heaps_law_fit"      -> (TextQueries.heapsLawFit _),
     "ql_search"          -> (WarehouseQueries.qlSearch _),
@@ -5142,6 +5143,38 @@ object SparkEntry {
     // D103: first-occurrence vocab growth at 10 integer thresholds,
     // OLS chain in the same textual order as the Spark reduceLeft
     "heaps_law_fit" -> heapsOracle,
+
+    // C80: cross-multiplied integer gap argmax (earliest value on
+    // ties), D one divide, threshold compare on the unrounded D
+    "ab_ks_test" ->
+      """WITH p AS (SELECT user_id % 2 AS arm, value AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT v,
+        |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+        |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM p GROUP BY 1),
+        |c AS (SELECT v,
+        |    SUM(c0) OVER w AS cum0, SUM(c1) OVER w AS cum1
+        |  FROM g WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+        |    CAST(SUM(c1) AS BIGINT) AS n1 FROM g),
+        |s AS (SELECT v,
+        |    ABS(CAST(cum0 AS HUGEINT) * n1 - CAST(cum1 AS HUGEINT) * n0)
+        |      AS gap, n0, n1
+        |  FROM c CROSS JOIN t),
+        |m AS (SELECT MAX(gap) AS mx FROM s)
+        |SELECT MAX(n0) AS n_a, MAX(n1) AS n_b,
+        |  MIN(v) AS ks_at_value,
+        |  round(CAST(MAX(gap) AS DOUBLE)
+        |    / (CAST(MAX(n0) AS DOUBLE) * CAST(MAX(n1) AS DOUBLE)), 6)
+        |    AS ks_stat,
+        |  CAST(MAX(gap) AS DOUBLE)
+        |    / (CAST(MAX(n0) AS DOUBLE) * CAST(MAX(n1) AS DOUBLE))
+        |    > 1.358 * sqrt(CAST(MAX(n0) + MAX(n1) AS DOUBLE)
+        |      / (CAST(MAX(n0) AS DOUBLE) * CAST(MAX(n1) AS DOUBLE)))
+        |    AS reject_05
+        |FROM s CROSS JOIN m WHERE gap = mx""".stripMargin,
 
     // C79: first digit off the cents integer's decimal string (no
     // float log in the decision path); the expected probabilities are

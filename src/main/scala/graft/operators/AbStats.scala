@@ -319,6 +319,52 @@ object AbStats {
         .as("kappa"))
   }
 
+  /** Kolmogorov–Smirnov two-sample test (Smirnov 1939) — the
+    * DISTRIBUTION-level A/B comparison the rank test (C68) can't
+    * localize: D = max_v |F̂₀(v) − F̂₁(v)|, reported with the value
+    * where the gap peaks (where the two arms' distributions actually
+    * diverge). EXACT core: on the tie-group frame, the gap at v is
+    * the integer |cum₀·n₁ − cum₁·n₀| (cross-multiplied — no double
+    * enters the argmax), accumulated in decimal; both per-arm
+    * cumulatives ride [[PrefixSum.runningSum]] (two range-partition
+    * passes), so no unpartitioned window exists at any cardinality.
+    * The published D is ONE divide; the asymptotic significance
+    * threshold c(α)·√((n₀+n₁)/(n₀·n₁)) at α = 0.05 (c = 1.358) is
+    * evaluated once.
+    */
+  def ksTwoSample(df: DataFrame, arm: Column, value: Column): DataFrame = {
+    val groups = df
+      .select(arm.as("__arm"), value.as("__v"))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("c1"))
+    val cum0 = PrefixSum.runningSum(groups, col("__v"), col("c0"), "cum0")
+    val cums = PrefixSum.runningSum(cum0, col("__v"), col("c1"), "cum1")
+    val totals = groups.agg(sum(col("c0")).cast("long").as("n0"),
+      sum(col("c1")).cast("long").as("n1"))
+    val gapped = cums.crossJoin(broadcast(totals))
+      .withColumn("__gap",
+        abs(dec0(col("cum0")) * dec0(col("n1"))
+          - dec0(col("cum1")) * dec0(col("n0"))))
+    val peak = gapped.agg(max(col("__gap")).as("__mx"))
+    gapped.crossJoin(broadcast(peak))
+      .filter(col("__gap") === col("__mx"))
+      .agg(max(col("n0")).as("n_a"), max(col("n1")).as("n_b"),
+        min(col("__v")).as("ks_at_value"),
+        max(col("__gap")).as("__g"))
+      .select(col("n_a"), col("n_b"), col("ks_at_value"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("__g").cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+          .as("ks_stat"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__g").cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double"))
+            > lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double")
+              / (col("n_a").cast("double") * col("n_b").cast("double"))))
+          .as("reject_05"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013 — "Improving the
     * sensitivity of online controlled experiments"): regress the
     * experiment-period metric on the PRE-period covariate and test the

@@ -1016,6 +1016,16 @@ object WarehouseQueries {
       .orderBy(col("user_id"))
   }
 
+  /** C80: Kolmogorov–Smirnov two-sample test on purchase value
+    * between the parity arms — the distribution-level companion to
+    * C66/C68, with the value where the gap peaks. See
+    * [[graft.operators.AbStats.ksTwoSample]].
+    */
+  def ksTwoSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.ksTwoSample(
+      Tables.events(spark, dir).filter(col("event_type") === "purchase"),
+      col("user_id") % 2, col("value"))
+
   /** C79: Benford's-law first-digit audit (Newcomb 1881 / Benford
     * 1938 — the data-quality/fraud screen: organically-grown monetary
     * values follow P(d) = log₁₀(1 + 1/d); fabricated or truncated

@@ -159,6 +159,31 @@ class AbStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("raw_diff") === 2.0)
   }
 
+  // ---- Kolmogorov–Smirnov --------------------------------------------------
+
+  test("ksTwoSample: hand CDFs, peak location, identical-samples zero") {
+    import graft.operators.AbStats
+    // arm0 = [1,2,3,4], arm1 = [3,4,5,6]: F0-F1 gaps at v=1..6 are
+    // 1/4, 2/4, 2/4, 2/4, 1/4, 0 → D = 0.5 first reached at v=2
+    val df = Seq((0, 1.0), (0, 2.0), (0, 3.0), (0, 4.0),
+      (1, 3.0), (1, 4.0), (1, 5.0), (1, 6.0)).toDF("arm", "v")
+    val r = AbStats.ksTwoSample(df, col("arm"), col("v")).head
+    assert(r.getAs[Long]("n_a") === 4L && r.getAs[Long]("n_b") === 4L)
+    assert(r.getAs[Double]("ks_stat") === 0.5)
+    assert(r.getAs[Double]("ks_at_value") === 2.0,
+      "tie on the max gap must report the EARLIEST value")
+    // D = 0.5 at n=4,4: threshold 1.358·sqrt(8/16) = 0.960 → keep
+    assert(!r.getAs[Boolean]("reject_05"))
+    // identical samples: D = 0 exactly
+    val same = Seq((0, 1.0), (0, 2.0), (1, 1.0), (1, 2.0)).toDF("arm", "v")
+    val rs = AbStats.ksTwoSample(same, col("arm"), col("v")).head
+    assert(rs.getAs[Double]("ks_stat") === 0.0)
+    // disjoint supports: D = 1 exactly
+    val disj = Seq((0, 1.0), (0, 2.0), (1, 9.0), (1, 10.0)).toDF("arm", "v")
+    assert(AbStats.ksTwoSample(disj, col("arm"), col("v"))
+      .head.getAs[Double]("ks_stat") === 1.0)
+  }
+
   // ---- Heaps-law machinery -------------------------------------------------
 
   test("heapsLaw-style first-occurrence growth recovers a sqrt exponent") {
