@@ -225,6 +225,7 @@ object SparkEntry {
     "lead_lag_correlation" -> (WarehouseQueries.leadLagCorrelation _),
     "benford_audit"      -> (WarehouseQueries.benfordAudit _),
     "ab_ks_test"         -> (WarehouseQueries.ksTwoSample _),
+    "frequent_triples"   -> (WarehouseQueries.frequentTriples _),
     "langid_confusion"   -> (TextQueries.langIdConfusion _),
     "heaps_law_fit"      -> (TextQueries.heapsLawFit _),
     "ql_search"          -> (WarehouseQueries.qlSearch _),
@@ -5143,6 +5144,20 @@ object SparkEntry {
     // D103: first-occurrence vocab growth at 10 integer thresholds,
     // OLS chain in the same textual order as the Spark reduceLeft
     "heaps_law_fit" -> heapsOracle,
+
+    // C81: Apriori level-1 prune, exact counts, total-order top-30
+    "frequent_triples" ->
+      """WITH lp AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |fi AS MATERIALIZED (
+        |  SELECT pk FROM lp GROUP BY pk HAVING COUNT(*) >= 2),
+        |pr AS MATERIALIZED (SELECT lp.ok, lp.pk FROM lp JOIN fi USING (pk))
+        |SELECT a.pk AS u, b.pk AS v, c.pk AS w,
+        |  CAST(COUNT(*) AS BIGINT) AS support
+        |FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk
+        |  JOIN pr c ON a.ok = c.ok AND b.pk < c.pk
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+        |ORDER BY support DESC, u, v, w LIMIT 30""".stripMargin,
 
     // C80: cross-multiplied integer gap argmax (earliest value on
     // ties), D one divide, threshold compare on the unrounded D

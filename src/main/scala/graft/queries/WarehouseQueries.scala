@@ -1016,6 +1016,36 @@ object WarehouseQueries {
       .orderBy(col("user_id"))
   }
 
+  /** C81: frequent triples via the Apriori prune (Agrawal & Srikant
+    * 1994: a frequent triple's items are each frequent — so the
+    * basket frame shrinks to FREQUENT items before the cubic
+    * enumeration, the pruning that makes k=3 tractable at volume).
+    * Pair volume ∝ Σ basket'³ over the PRUNED baskets; counts exact;
+    * top-30 under a total order.
+    */
+  def frequentTriples(spark: SparkSession, dir: String): DataFrame = {
+    val lp = graft.operators.Materialize.cut(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
+    // Apriori level 1: keep items appearing in ≥ 2 baskets
+    val freqItems = lp.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("pk"))
+    val pruned = graft.operators.Materialize.cut(
+      lp.join(broadcast(freqItems), Seq("pk")))
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .join(pruned.as("c"),
+        col("a.ok") === col("c.ok") && col("b.pk") < col("c.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"),
+        col("c.pk").as("w"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+      .orderBy(col("support").desc, col("u"), col("v"), col("w"))
+      .limit(30)
+  }
+
   /** C80: Kolmogorov–Smirnov two-sample test on purchase value
     * between the parity arms — the distribution-level companion to
     * C66/C68, with the value where the gap peaks. See
