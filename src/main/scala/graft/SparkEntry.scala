@@ -226,6 +226,7 @@ object SparkEntry {
     "benford_audit"      -> (WarehouseQueries.benfordAudit _),
     "ab_ks_test"         -> (WarehouseQueries.ksTwoSample _),
     "frequent_triples"   -> (WarehouseQueries.frequentTriples _),
+    "spearman_signals"   -> (TextQueries.spearmanSignals _),
     "langid_confusion"   -> (TextQueries.langIdConfusion _),
     "heaps_law_fit"      -> (TextQueries.heapsLawFit _),
     "ql_search"          -> (WarehouseQueries.qlSearch _),
@@ -5144,6 +5145,47 @@ object SparkEntry {
     // D103: first-occurrence vocab growth at 10 integer thresholds,
     // OLS chain in the same textual order as the Spark reduceLeft
     "heaps_law_fit" -> heapsOracle,
+
+    // D105: half-unit average ranks (2·cum − c + 1) per variable,
+    // exact sums, rho one IEEE evaluation (pinned parenthesization)
+    "spearman_signals" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
+        |  FROM t),
+        |v AS (
+        |  SELECT CAST(n AS BIGINT) AS x,
+        |    CAST(round((0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((h / n) * 8.0, 1.0)) * 1000000.0) AS BIGINT)
+        |      AS y
+        |  FROM c),
+        |rx AS (SELECT x, 2 * SUM(COUNT(*)) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - COUNT(*) + 1 AS xr2 FROM v GROUP BY x),
+        |ry AS (SELECT y, 2 * SUM(COUNT(*)) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - COUNT(*) + 1 AS yr2 FROM v GROUP BY y),
+        |j AS (SELECT xr2, yr2 FROM v JOIN rx USING (x) JOIN ry USING (y)),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(xr2) AS DOUBLE) AS sx, CAST(SUM(yr2) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(xr2 AS HUGEINT) * yr2) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(xr2 AS HUGEINT) * xr2) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(yr2 AS HUGEINT) * yr2) AS DOUBLE) AS syy
+        |  FROM j)
+        |SELECT n,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+        |        AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0 THEN
+        |    round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+        |  END AS rho
+        |FROM a""".stripMargin,
 
     // C81: Apriori level-1 prune, exact counts, total-order top-30
     "frequent_triples" ->

@@ -319,6 +319,44 @@ object AbStats {
         .as("kappa"))
   }
 
+  /** Spearman rank correlation (Spearman 1904) between two numeric
+    * columns — the monotone-association audit Pearson (D79) gets
+    * wrong under nonlinearity/outliers; the cross-signal
+    * sanity check a curation pipeline runs between e.g. length and
+    * quality. Tie-group AVERAGE ranks in exact HALF units (the C68
+    * identity 2·cum − c + 1), each variable ranked through
+    * [[PrefixSum.runningSum]] — no unpartitioned window at any
+    * cardinality — and joined back; all sufficient sums are exact
+    * decimals and ρ is one IEEE evaluation (the half-unit factor
+    * cancels in the correlation).
+    */
+  def spearmanCorrelation(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = Materialize.cut(df.select(x.as("__x"), y.as("__y")))
+    def rankMap(c: String): DataFrame = {
+      val groups = base.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+      PrefixSum.runningSum(groups, col(c), col("__cnt"), "__cum")
+        .select(col(c),
+          (dec0(col("__cum")) * 2 - dec0(col("__cnt")) + 1).as(s"${c}_r2"))
+    }
+    val joined = base
+      .join(rankMap("__x"), Seq("__x"))
+      .join(rankMap("__y"), Seq("__y"))
+    val agg = joined.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("__x_r2")).cast("double").as("sx"),
+      sum(col("__y_r2")).cast("double").as("sy"),
+      sum(col("__x_r2") * col("__y_r2")).cast("double").as("sxy"),
+      sum(col("__x_r2") * col("__x_r2")).cast("double").as("sxx"),
+      sum(col("__y_r2") * col("__y_r2")).cast("double").as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val dx = nD * col("sxx") - col("sx") * col("sx")
+    val dy = nD * col("syy") - col("sy") * col("sy")
+    agg.select(col("n"),
+      when(dx > 0.0 && dy > 0.0, round(num / (sqrt(dx) * sqrt(dy)), 6))
+        .as("rho"))
+  }
+
   /** Kolmogorov–Smirnov two-sample test (Smirnov 1939) — the
     * DISTRIBUTION-level A/B comparison the rank test (C68) can't
     * localize: D = max_v |F̂₀(v) − F̂₁(v)|, reported with the value

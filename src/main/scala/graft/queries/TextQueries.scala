@@ -511,6 +511,19 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D105: Spearman rank correlation between token count and the D14
+    * quality micro-score — the monotone-association audit behind the
+    * D79 Pearson matrix (quality SHOULD rise with length up to the
+    * 64-token saturation; a Pearson blind spot). See
+    * [[graft.operators.AbStats.spearmanCorrelation]].
+    */
+  def spearmanSignals(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.spearmanCorrelation(
+      Tables.documents(spark, dir),
+      TextFunctions.tokenCount(col("text")).cast("long"),
+      round(TextFunctions.qualityScore(col("text")) * 1000000.0)
+        .cast("long"))
+
   /** D104: tokenizer fertility per language (subtokens per whitespace
     * word — THE multilingual tokenizer-quality number next to D34c's
     * OOV rate: a language whose fertility balloons pays more compute

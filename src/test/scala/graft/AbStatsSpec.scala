@@ -159,6 +159,39 @@ class AbStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("raw_diff") === 2.0)
   }
 
+  // ---- Spearman --------------------------------------------------------------
+
+  test("spearmanCorrelation: monotone 1, anti-monotone -1, ties, rank math") {
+    import graft.operators.AbStats
+    // nonlinear but monotone: Pearson < 1, Spearman EXACTLY 1
+    val mono = Seq((1L, 1L), (2L, 8L), (3L, 27L), (4L, 64L)).toDF("x", "y")
+    assert(AbStats.spearmanCorrelation(mono, col("x"), col("y"))
+      .head.getAs[Double]("rho") === 1.0)
+    val anti = Seq((1L, 64L), (2L, 27L), (3L, 8L), (4L, 1L)).toDF("x", "y")
+    assert(AbStats.spearmanCorrelation(anti, col("x"), col("y"))
+      .head.getAs[Double]("rho") === -1.0)
+    // ties on both sides, still perfectly concordant
+    val ties = Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 40L)).toDF("x", "y")
+    assert(AbStats.spearmanCorrelation(ties, col("x"), col("y"))
+      .head.getAs[Double]("rho") === 1.0)
+    // textbook tie case: y ranks (1, 2, 3.5, 5, 3.5) vs x ranks 1..5 —
+    // expected rho from an independent plain-Scala Pearson over ranks
+    val mixed = Seq((1L, 5L), (2L, 6L), (3L, 7L), (4L, 8L), (5L, 7L))
+      .toDF("x", "y")
+    val rx = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val ry = Seq(1.0, 2.0, 3.5, 5.0, 3.5)
+    val n = 5.0
+    val num = n * rx.zip(ry).map(p => p._1 * p._2).sum - rx.sum * ry.sum
+    val den = math.sqrt(n * rx.map(r => r * r).sum - rx.sum * rx.sum) *
+      math.sqrt(n * ry.map(r => r * r).sum - ry.sum * ry.sum)
+    assert(AbStats.spearmanCorrelation(mixed, col("x"), col("y"))
+      .head.getAs[Double]("rho") === d6(num / den))
+    // constant y: zero variance → null
+    val const = Seq((1L, 7L), (2L, 7L)).toDF("x", "y")
+    val rc = AbStats.spearmanCorrelation(const, col("x"), col("y")).head
+    assert(rc.isNullAt(rc.fieldIndex("rho")))
+  }
+
   // ---- Kolmogorov–Smirnov --------------------------------------------------
 
   test("ksTwoSample: hand CDFs, peak location, identical-samples zero") {
