@@ -831,6 +831,21 @@ object ScaleProbe {
         .filter(col("jw") >= lit(0.97))
         .count()
     }
+    t("spearman_ranks") {
+      // both 6M-value variables ranked through PrefixSum, joined back
+      graft.operators.AbStats.spearmanCorrelation(
+        li.select(col("l_extendedprice"), col("l_quantity")),
+        col("l_extendedprice"), col("l_quantity")).count()
+    }
+    t("frequent_triples") {
+      // Apriori-pruned cubic enumeration over ×mult baskets
+      graft.queries.WarehouseQueries.frequentTriples(spark, dir).count()
+    }
+    t("ks_gap_scan") {
+      graft.operators.AbStats.ksTwoSample(
+        li.select(col("l_orderkey"), col("l_extendedprice")),
+        col("l_orderkey") % 2, col("l_extendedprice")).count()
+    }
     t("png_decode") {
       // per-row encode + inflate + unfilter; pure map, zero exchanges
       import spark.implicits._
