@@ -227,6 +227,7 @@ object SparkEntry {
     "ab_ks_test"         -> (WarehouseQueries.ksTwoSample _),
     "frequent_triples"   -> (WarehouseQueries.frequentTriples _),
     "spearman_signals"   -> (TextQueries.spearmanSignals _),
+    "best_length_split"  -> (TextQueries.bestLengthSplit _),
     "langid_confusion"   -> (TextQueries.langIdConfusion _),
     "heaps_law_fit"      -> (TextQueries.heapsLawFit _),
     "ql_search"          -> (WarehouseQueries.qlSearch _),
@@ -5145,6 +5146,51 @@ object SparkEntry {
     // D103: first-occurrence vocab growth at 10 integer thresholds,
     // OLS chain in the same textual order as the Spark reduceLeft
     "heaps_law_fit" -> heapsOracle,
+
+    // D106: exact cumulative integers per candidate, one IEEE
+    // impurity evaluation each, argmin on the 6-dp-rounded value
+    // with the smallest threshold breaking ties
+    "best_length_split" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS tk, text
+        |  FROM documents),
+        |v AS (
+        |  SELECT CAST(len(tk) AS BIGINT) AS f,
+        |    (len(tk) BETWEEN 40 AND 100000
+        |      AND CAST(len(regexp_replace(trim(text), '\s+', '', 'g'))
+        |            AS DOUBLE) / CAST(len(tk) AS DOUBLE) BETWEEN 3.0 AND 5.0
+        |      AND CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
+        |            AS DOUBLE) / CAST(len(tk) AS DOUBLE) >= 0.8
+        |      AND len(list_filter(tk, w -> list_contains(
+        |            ['the', 'a', 'of', 'to', 'and'], w))) >= 1) AS l
+        |  FROM t),
+        |g AS (SELECT f, COUNT(*) AS c,
+        |    SUM(CASE WHEN l THEN 1 ELSE 0 END) AS p FROM v GROUP BY 1),
+        |cu AS (SELECT f,
+        |    SUM(c) OVER w AS cn, SUM(p) OVER w AS cp
+        |  FROM g WINDOW w AS (ORDER BY f
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(p) AS BIGINT) AS np FROM g),
+        |s AS (SELECT f,
+        |    round(2.0 * CAST(cp AS DOUBLE)
+        |        * (CAST(cn AS DOUBLE) - CAST(cp AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(cn AS DOUBLE))
+        |      + 2.0 * (CAST(np AS DOUBLE) - CAST(cp AS DOUBLE))
+        |        * ((CAST(n AS DOUBLE) - CAST(cn AS DOUBLE))
+        |          - (CAST(np AS DOUBLE) - CAST(cp AS DOUBLE)))
+        |        / (CAST(n AS DOUBLE)
+        |          * (CAST(n AS DOUBLE) - CAST(cn AS DOUBLE))), 6) AS gini,
+        |    n, np
+        |  FROM cu CROSS JOIN tt WHERE cn < n),
+        |m AS (SELECT MIN(gini) AS mn FROM s)
+        |SELECT MIN(f) AS threshold, MAX(gini) AS gini_split,
+        |  MAX(n) AS n, MAX(np) AS n_pos,
+        |  round(2.0 * CAST(MAX(np) AS DOUBLE)
+        |    * CAST(MAX(n) - MAX(np) AS DOUBLE)
+        |    / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)), 6)
+        |    AS gini_root
+        |FROM s CROSS JOIN m WHERE gini = mn""".stripMargin,
 
     // D105: half-unit average ranks (2·cum − c + 1) per variable,
     // exact sums, rho one IEEE evaluation (pinned parenthesization)

@@ -319,6 +319,64 @@ object AbStats {
         .as("kappa"))
   }
 
+  /** Optimal binary split by Gini impurity (the CART/GBDT first-node
+    * computation, Breiman et al. 1984) — "at what feature threshold
+    * does the label split best": the rule-induction primitive behind
+    * turning a continuous curation signal into a hard filter. For
+    * every candidate threshold t (each distinct feature value), the
+    * weighted impurity of the ≤t / >t partition is
+    * 2·pos_l·neg_l/(N·n_l) + 2·pos_r·neg_r/(N·n_r), computed from
+    * EXACT cumulative integers (one IEEE evaluation per candidate);
+    * the argmin ranks the 6-dp-ROUNDED impurity with the smallest
+    * threshold breaking ties — both engines cut identically.
+    *
+    * Scale shape: one partial-agg'd (value → count, positives)
+    * shuffle of feature-domain cardinality; the cumulative window is
+    * partitioned-safe only if the domain is bounded (the 2-dp/bucket
+    * convention — callers bucket continuous features), so it rides
+    * [[PrefixSum.runningSum]] and holds at ANY domain size.
+    */
+  def bestGiniSplit(df: DataFrame, feature: Column,
+                    label: Column): DataFrame = {
+    val groups = df
+      .select(feature.as("__f"), label.as("__l"))
+      .groupBy(col("__f"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("p"))
+    val cum1 = PrefixSum.runningSum(groups, col("__f"), col("c"), "cn")
+    val cums = PrefixSum.runningSum(cum1, col("__f"), col("p"), "cp")
+    val totals = groups.agg(sum(col("c")).cast("long").as("n"),
+      sum(col("p")).cast("long").as("np"))
+    val scored = cums.crossJoin(broadcast(totals))
+      .filter(col("cn") < col("n")) // a split must leave a right side
+      .withColumn("__gini", {
+        val nl = col("cn").cast("double")
+        val pl = col("cp").cast("double")
+        val nr = (col("n") - col("cn")).cast("double")
+        val pr = (col("np") - col("cp")).cast("double")
+        val nD = col("n").cast("double")
+        // the cn < n guard ALSO lives inside the expression: fused
+        // codegen can evaluate the projection before the filter
+        // branch, and ANSI turns the last row's nr = 0 into a throw —
+        // CaseWhen branches are lazy, the filter alone is not enough
+        when(col("cn") < col("n"),
+          round(lit(2.0) * pl * (nl - pl) / (nD * nl)
+            + lit(2.0) * pr * (nr - pr) / (nD * nr), 6))
+      })
+    val best = scored.agg(min(col("__gini")).as("__mn"))
+    scored.crossJoin(broadcast(best))
+      .filter(col("__gini") === col("__mn"))
+      .agg(min(col("__f")).as("threshold"),
+        max(col("__gini")).as("gini_split"),
+        max(col("n")).as("n"), max(col("np")).as("n_pos"))
+      .select(col("threshold"), col("gini_split"), col("n"), col("n_pos"),
+        // the unsplit baseline impurity, for the gain readout
+        round(lit(2.0) * col("n_pos").cast("double")
+          * (col("n") - col("n_pos")).cast("double")
+          / (col("n").cast("double") * col("n").cast("double")), 6)
+          .as("gini_root"))
+  }
+
   /** Spearman rank correlation (Spearman 1904) between two numeric
     * columns — the monotone-association audit Pearson (D79) gets
     * wrong under nonlinearity/outliers; the cross-signal

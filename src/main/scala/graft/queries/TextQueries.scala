@@ -511,6 +511,27 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D106: optimal Gini split of the Gopher verdict on token count —
+    * "at what length cutoff does the quality rule split best", the
+    * rule-induction readout that turns a continuous curation signal
+    * into a defensible hard filter. See
+    * [[graft.operators.AbStats.bestGiniSplit]].
+    */
+  def bestLengthSplit(spark: SparkSession, dir: String): DataFrame = {
+    val stops = array(Seq("the", "a", "of", "to", "and").map(lit): _*)
+    val ws = split(trim(col("text")), "\\s+")
+    val nWords = size(ws)
+    val meanLen = length(regexp_replace(trim(col("text")), "\\s+", ""))
+      .cast("double") / nWords.cast("double")
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]")))
+      .cast("double") / nWords.cast("double")
+    val stopHits = size(filter(ws, w => array_contains(stops, w)))
+    val gopherKeep = nWords.between(40, 100000) &&
+      meanLen.between(3.0, 5.0) && alphaFrac >= 0.8 && stopHits >= 1
+    graft.operators.AbStats.bestGiniSplit(
+      Tables.documents(spark, dir), nWords.cast("long"), gopherKeep)
+  }
+
   /** D105: Spearman rank correlation between token count and the D14
     * quality micro-score — the monotone-association audit behind the
     * D79 Pearson matrix (quality SHOULD rise with length up to the

@@ -159,6 +159,30 @@ class AbStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("raw_diff") === 2.0)
   }
 
+  // ---- Gini split ---------------------------------------------------------
+
+  test("bestGiniSplit: perfect split found, impurities exact") {
+    import graft.operators.AbStats
+    // labels flip exactly after f = 2: threshold 2, split impurity 0,
+    // root impurity 2·(2/4)·(2/4) = 0.5
+    val df = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("f", "l")
+    val r = AbStats.bestGiniSplit(df, col("f"), col("l")).head
+    assert(r.getAs[Long]("threshold") === 2L)
+    assert(r.getAs[Double]("gini_split") === 0.0)
+    assert(r.getAs[Double]("gini_root") === 0.5)
+    // tie on impurity → smallest threshold wins
+    val flat = Seq((1L, true), (2L, false), (3L, true), (4L, false))
+      .toDF("f", "l")
+    val rf = AbStats.bestGiniSplit(flat, col("f"), col("l")).head
+    assert(rf.getAs[Long]("threshold") === 1L,
+      "equal-impurity candidates must break ties to the smallest f")
+    // constant feature: no valid split → null threshold row
+    val const = Seq((5L, true), (5L, false)).toDF("f", "l")
+    val rc = AbStats.bestGiniSplit(const, col("f"), col("l")).head
+    assert(rc.isNullAt(rc.fieldIndex("threshold")))
+  }
+
   // ---- Spearman --------------------------------------------------------------
 
   test("spearmanCorrelation: monotone 1, anti-monotone -1, ties, rank math") {
