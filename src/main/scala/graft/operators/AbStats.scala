@@ -338,11 +338,12 @@ object AbStats {
     */
   def bestGiniSplit(df: DataFrame, feature: Column,
                     label: Column): DataFrame = {
-    val groups = df
+    // cut: feeds the cumulative chain AND the totals aggregate
+    val groups = Materialize.cut(df
       .select(feature.as("__f"), label.as("__l"))
       .groupBy(col("__f"))
       .agg(count(lit(1)).as("c"),
-        sum(when(col("__l"), 1L).otherwise(0L)).as("p"))
+        sum(when(col("__l"), 1L).otherwise(0L)).as("p")))
     val cum1 = PrefixSum.runningSum(groups, col("__f"), col("c"), "cn")
     val cums = PrefixSum.runningSum(cum1, col("__f"), col("p"), "cp")
     val totals = groups.agg(sum(col("c")).cast("long").as("n"),
@@ -429,11 +430,12 @@ object AbStats {
     * evaluated once.
     */
   def ksTwoSample(df: DataFrame, arm: Column, value: Column): DataFrame = {
-    val groups = df
+    // cut: the tie-group frame feeds the cumulative chain AND totals
+    val groups = Materialize.cut(df
       .select(arm.as("__arm"), value.as("__v"))
       .groupBy(col("__v"))
       .agg(sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("c0"),
-        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("c1"))
+        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("c1")))
     val cum0 = PrefixSum.runningSum(groups, col("__v"), col("c0"), "cum0")
     val cums = PrefixSum.runningSum(cum0, col("__v"), col("c1"), "cum1")
     val totals = groups.agg(sum(col("c0")).cast("long").as("n0"),
