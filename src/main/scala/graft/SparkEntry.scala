@@ -188,6 +188,7 @@ object SparkEntry {
     "stream_ab_ttest"    -> (StreamFaces.streamAbTtest _),
     "stream_signal_matrix" -> (StreamFaces.streamSignalMatrix _),
     "stream_holt_forecast" -> (StreamFaces.streamHoltForecast _),
+    "stream_source_concentration" -> (StreamFaces.streamSourceConcentration _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),
     "gopher_quality"     -> (TextQueries.gopherQualityFilter _),
     "fim_transform"      -> (TextQueries.fimTransform _),
@@ -795,6 +796,35 @@ object SparkEntry {
        |  END AS ln_k
        |FROM o""".stripMargin
   }
+
+  /** Shared by `source_concentration` and its E25 stream face —
+    * additive group counts + the same finisher, one SQL proves
+    * both. */
+  private val sourceConcentrationSql: String =
+    """WITH c AS (SELECT source AS k, COUNT(*) AS c
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT k, c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY c ASC, k ASC) AS HUGEINT) AS i
+        |  FROM c),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(c) AS BIGINT) AS total,
+        |    SUM(i * c) AS ric, SUM(CAST(c AS HUGEINT) * c) AS c2,
+        |    CAST(MAX(c) AS BIGINT) AS cmax
+        |  FROM r)
+        |SELECT n_groups, total,
+        |  CASE WHEN n_groups > 0 AND total > 0 THEN
+        |    round((2.0 * CAST(ric AS DOUBLE)
+        |      - (CAST(n_groups AS DOUBLE) + 1.0) * CAST(total AS DOUBLE))
+        |      / (CAST(n_groups AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+        |  END AS gini,
+        |  CASE WHEN total > 0 THEN
+        |    round(CAST(c2 AS DOUBLE)
+        |      / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+        |  END AS hhi,
+        |  CASE WHEN total > 0 THEN
+        |    round(CAST(cmax AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |  END AS top_share
+        |FROM a""".stripMargin
 
   private val madOutliersSql: String =
     """WITH b AS (SELECT event_id, event_type, value,
@@ -5508,31 +5538,10 @@ object SparkEntry {
     // D98: Gini via the rank formula (integer numerator — rank·count
     // in exact decimal, tie order irrelevant to the sum), HHI and
     // top-share one divide each
-    "source_concentration" ->
-      """WITH c AS (SELECT source AS k, COUNT(*) AS c
-        |  FROM documents GROUP BY 1),
-        |r AS (SELECT k, c,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY c ASC, k ASC) AS HUGEINT) AS i
-        |  FROM c),
-        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
-        |    CAST(SUM(c) AS BIGINT) AS total,
-        |    SUM(i * c) AS ric, SUM(CAST(c AS HUGEINT) * c) AS c2,
-        |    CAST(MAX(c) AS BIGINT) AS cmax
-        |  FROM r)
-        |SELECT n_groups, total,
-        |  CASE WHEN n_groups > 0 AND total > 0 THEN
-        |    round((2.0 * CAST(ric AS DOUBLE)
-        |      - (CAST(n_groups AS DOUBLE) + 1.0) * CAST(total AS DOUBLE))
-        |      / (CAST(n_groups AS DOUBLE) * CAST(total AS DOUBLE)), 6)
-        |  END AS gini,
-        |  CASE WHEN total > 0 THEN
-        |    round(CAST(c2 AS DOUBLE)
-        |      / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6)
-        |  END AS hhi,
-        |  CASE WHEN total > 0 THEN
-        |    round(CAST(cmax AS DOUBLE) / CAST(total AS DOUBLE), 6)
-        |  END AS top_share
-        |FROM a""".stripMargin,
+    "source_concentration" -> sourceConcentrationSql,
+    // E25 stream face: merged additive group counts + the same
+    // finisher == the batch query exactly
+    "stream_source_concentration" -> sourceConcentrationSql,
 
     // C70: the D-scaled deviation cumsum S_i = D·cum_i − i·N is an
     // exact integer (HUGEINT ↔ decimal(38,0)), so the argmax and the

@@ -35,8 +35,16 @@ object Concentration {
     * concentration (HHI 1, Gini 0 by the rank formula — equality
     * among one).
     */
-  def giniHhi(df: DataFrame, key: Column): DataFrame = {
-    val counts = df.groupBy(key.as("__k")).agg(count(lit(1)).as("__c"))
+  def giniHhi(df: DataFrame, key: Column): DataFrame =
+    giniHhiFromCounts(
+      df.groupBy(key.as("__k")).agg(count(lit(1)).as("__c")))
+
+  /** The finisher over an already-aggregated (__k, __c) count frame —
+    * shared by the batch face and the E25 streaming read face (group
+    * counts are ADDITIVE, so merged per-batch counts feed the SAME
+    * computation and stream ≡ batch exactly).
+    */
+  def giniHhiFromCounts(counts: DataFrame): DataFrame = {
     val ranked = counts.withColumn("__i",
       row_number().over(Window.orderBy(col("__c").asc, col("__k").asc)))
     val agg = ranked.agg(

@@ -133,6 +133,38 @@ object StreamFaces {
     graft.streaming.StreamingAb.ttestToDate(spark, s"$base/stats")
   }
 
+  /** E25 as a gated key: the continuous source-concentration audit
+    * run to completion — per micro-batch ONE aggregate-sized
+    * (source, count) frame appends via the replay-safe partition
+    * overwrite; group counts are ADDITIVE, so the merged counts feed
+    * the literally-same Gini/HHI finisher as the batch D98 key and
+    * the oracle is `source_concentration`'s SQL verbatim.
+    */
+  def streamSourceConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_gc")
+      .toFile.getAbsolutePath
+    val schema = Tables.documents(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.LakeState.putBatch(
+          batch.groupBy(col("source").as("__k"))
+            .agg(count(lit(1)).as("__c")),
+          s"$base/counts", id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Concentration.giniHhiFromCounts(
+      spark.read.parquet(s"$base/counts").drop("batch_id")
+        .groupBy(col("__k")).agg(sum(col("__c")).as("__c")))
+  }
+
   /** E21 as a gated key: the continuous quality-signal Pearson matrix
     * run to completion over documents arriving as a file stream — per
     * batch ONE row of additive integer sufficient statistics, read
