@@ -25,7 +25,10 @@ object Bench {
       // same extensions the verify gate runs with (top-k rewrite active)
       .withExtensions(new GraftExtensions)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR from the very first query: the driver keeps only a short
+    // stdout tail, and the warmup pass's (by-design, bounded)
+    // unpartitioned-window WARNs were burying the final JSON line.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Materialize EVERY output column. A bare .count() lets Catalyst
     // prune a projection tail (and eliminate provably-unique left
@@ -46,11 +49,6 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => }
     }
-
-    // The timed passes run at ERROR: the driver keeps only a short
-    // stdout tail, and the (by-design, bounded) unpartitioned-window
-    // WARNs would bury the final JSON line a human reads.
-    spark.sparkContext.setLogLevel("ERROR")
 
     // This host's wall-times swing ~3x run-to-run under external load;
     // a single-shot snapshot keeps producing false regressions. Time
@@ -75,10 +73,19 @@ object Bench {
       s"\"" + k + s"""":{"med":$med,"min":$min,"max":$max}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$runs,"stat":"median"}"""
+    // A filtered dev run is marked as such ("only":[...]) AND lands in
+    // a different default file — a partial run must never be able to
+    // masquerade as (or clobber) the committed full-run baseline.
+    val onlyMarker = only.map(keys =>
+      keys.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString(""","only":[""", ",", "]")).getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$runs,"stat":"median"$onlyMarker}"""
     // stdout runs through sbt and spark logging; a file is the only
     // channel guaranteed to contain exactly the full JSON line.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
+    val defaultOut =
+      if (only.isDefined) "/root/repo/bench_partial.json"
+      else "/root/repo/bench.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     // The driver keeps only a ~2000-char stdout tail; the full line

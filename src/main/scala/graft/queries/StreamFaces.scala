@@ -20,14 +20,32 @@ import graft.sources.Tables
   */
 object StreamFaces {
 
+  /** Fresh scratch root for one stream-face invocation (lake +
+    * checkpoint). Registered for recursive deletion at JVM exit so
+    * repeated bench/spec runs don't accumulate parquet state and
+    * checkpoints in /tmp — each invocation still gets a FRESH dir
+    * (cold stream, no cache) during the process's lifetime.
+    */
+  private def scratch(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () } // best-effort at exit
+    ))
+    dir.toFile.getAbsolutePath
+  }
+
   /** E23 as a gated key: the continuously-maintained bootstrap CI,
     * run to completion over the documents table arriving as a file
     * stream, then read back through the SAME finisher as D82 — the
     * oracle is bootstrap_quality_ci's SQL verbatim.
     */
   def streamBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_bs")
-      .toFile.getAbsolutePath
+    val base = scratch("graft_stream_bs")
     val schema = Tables.documents(spark, dir).schema
     // file streams need a DIRECTORY source; select the one table's
     // file out of the shared testdata dir by glob
@@ -54,8 +72,7 @@ object StreamFaces {
     */
   def streamQualityTotals(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Expectations
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_dq")
-      .toFile.getAbsolutePath
+    val base = scratch("graft_stream_dq")
     val schema = Tables.orders(spark, dir).schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "orders.parquet")
@@ -86,8 +103,7 @@ object StreamFaces {
     */
   def streamRobustFlags(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_rb")
-      .toFile.getAbsolutePath
+    val base = scratch("graft_stream_rb")
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
     graft.streaming.StreamingRobust.saveStats(
@@ -117,8 +133,7 @@ object StreamFaces {
     * verbatim, oracle = `ab_welch_ttest`'s SQL verbatim.
     */
   def streamAbTtest(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_ab")
-      .toFile.getAbsolutePath
+    val base = scratch("graft_stream_ab")
     // normalizes the ns-vs-µs timestamp conf before the raw schema read
     Tables.events(spark, dir)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -141,8 +156,7 @@ object StreamFaces {
     * the oracle is `source_concentration`'s SQL verbatim.
     */
   def streamSourceConcentration(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_gc")
-      .toFile.getAbsolutePath
+    val base = scratch("graft_stream_gc")
     val schema = Tables.documents(spark, dir).schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
@@ -172,8 +186,7 @@ object StreamFaces {
     * `signal_correlation`'s SQL verbatim.
     */
   def streamSignalMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_sc")
-      .toFile.getAbsolutePath
+    val base = scratch("graft_stream_sc")
     val schema = Tables.documents(spark, dir).schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
@@ -192,8 +205,7 @@ object StreamFaces {
     * `holt_forecast`'s SQL verbatim.
     */
   def streamHoltForecast(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_hf")
-      .toFile.getAbsolutePath
+    val base = scratch("graft_stream_hf")
     Tables.events(spark, dir) // normalize the ns-vs-µs conf
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema)
@@ -229,8 +241,7 @@ object StreamFaces {
     */
   def streamTrendingWords(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_tr")
-      .toFile.getAbsolutePath
+    val base = scratch("graft_stream_tr")
     val schema = Tables.documents(spark, dir).schema
     val occStream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
@@ -263,8 +274,7 @@ object StreamFaces {
     * shares its oracle SQL verbatim.
     */
   def streamDriftPsi(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_dr")
-      .toFile.getAbsolutePath
+    val base = scratch("graft_stream_dr")
     val docs = Tables.documents(spark, dir)
       .withColumn("__sn", expr("CAST(substr(source, 4) AS INT)"))
     graft.streaming.StreamingDrift.saveReference(

@@ -30,11 +30,18 @@ object StreamingTrending {
   /** Append one micro-batch's sketch + candidates. Also the batch-side
     * backfill entry (run it over a historical table once, then let the
     * stream take over — same artifacts).
+    *
+    * `batchId` is REQUIRED (no default): the write REPLACES the
+    * `batch_id` partition, so two manual calls sharing an id would
+    * silently drop all but the last batch's sketch. Streaming callers
+    * pass the foreachBatch id; backfill callers must pick ids that are
+    * distinct per backfill slice AND disjoint from the stream's
+    * (negative ids are the convention — the stream's are ≥ 0).
     */
   def appendBatch(batch: DataFrame, id: Column, elem: Column, path: String,
-                  eps: Double = 0.001, confidence: Double = 0.99,
-                  sampleOneIn: Int = 10, seed: Int = 42,
-                  batchId: Long = -1L): Unit = {
+                  batchId: Long, eps: Double = 0.001,
+                  confidence: Double = 0.99, sampleOneIn: Int = 10,
+                  seed: Int = 42): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val occ = batch.select(id.as("i"), elem.cast("string").as("e"))
@@ -45,9 +52,7 @@ object StreamingTrending {
       .head().getAs[Array[Byte]](0)
     // replay-safe ([[LakeState.putBatch]]): a foreachBatch replay
     // REPLACES its batch_id partition — a duplicated sketch row would
-    // silently double-count the batch in the merged CMS. Backfill
-    // callers share batch_id=-1: re-running the backfill replaces it
-    // rather than double-counting the historical table.
+    // silently double-count the batch in the merged CMS.
     LakeState.putBatch(Seq(Tuple1(sketch)).toDF("sketch"),
       s"$path/sketches", batchId)
     LakeState.putBatch(
@@ -66,8 +71,8 @@ object StreamingTrending {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, id, elem, path, eps, confidence, sampleOneIn,
-          seed, batchId)
+        appendBatch(batch, id, elem, path, batchId, eps, confidence,
+          sampleOneIn, seed)
       }
       .trigger(trigger)
       .start()
