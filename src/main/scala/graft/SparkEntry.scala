@@ -252,7 +252,8 @@ object SparkEntry {
     "ab_welch_ttest"     -> (WarehouseQueries.welchTTest _),
     "ab_srm_check"       -> (WarehouseQueries.srmCheck _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
-    "jaro_winkler_links" -> (WarehouseQueries.jaroWinklerLinks _),
+    "jaro_winkler_links" -> ((s: SparkSession, d: String) =>
+      WarehouseQueries.jaroWinklerLinks(s, d)),
     "source_concentration" -> (TextQueries.sourceConcentration _),
     "readability_scores" -> (TextQueries.readabilityScores _),
     "quality_quantile_norm" -> (TextQueries.qualityQuantileNorm _),

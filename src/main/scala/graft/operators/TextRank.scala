@@ -44,7 +44,21 @@ object TextRank {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKTokens(
+      docs.select(col(idCol), tokens(col(textCol)).as("__toks")),
+      idCol, terms, k, k1, b)
+
+  /** [[bm25TopK]] over an ALREADY-TOKENIZED frame `(idCol, __toks)` —
+    * the amortization hook for multi-pass retrieval loops (D101's PRF
+    * makes three passes over the same corpus: seed retrieval,
+    * expansion pick, expanded retrieval — tokenizing once and cutting
+    * lineage on the token projection halves the loop's cost; at lake
+    * scale the same frame is the persisted token index).
+    */
+  def bm25TopKTokens(pretok: DataFrame, idCol: String,
+                     terms: Seq[String], k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val sorted = terms.distinct.sorted
     require(sorted.nonEmpty, "bm25 needs at least one term")
     // a term outside the token alphabet can never match — refuse it
@@ -52,8 +66,7 @@ object TextRank {
     require(sorted.forall(_.matches("[a-z0-9]+")),
       s"terms must be lowercase [a-z0-9]+ (the token alphabet); got " +
         sorted.filterNot(_.matches("[a-z0-9]+")).mkString(", "))
-    val base = docs
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val base = pretok.select(col(idCol), col("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("double"))
     val withTf = sorted.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
       d.withColumn(s"__tf$i",

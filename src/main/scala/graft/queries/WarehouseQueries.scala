@@ -119,23 +119,29 @@ object WarehouseQueries {
     */
   def rocchioPrfSearch(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
-    val docs = Tables.documents(spark, dir)
-    val top5 = TextRank.bm25TopK(docs, "doc_id", "text", Bm25Terms, 5)
+    // the PRF loop reads the corpus THREE times (seed retrieval,
+    // expansion pick, expanded retrieval) — tokenize ONCE and cut
+    // lineage on the token projection so the passes share it; at lake
+    // scale the cut frame is the persisted token index
+    val toks = graft.operators.Materialize.cut(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextRank.tokens(col("text")).as("__toks")))
+    val top5 = TextRank.bm25TopKTokens(toks, "doc_id", Bm25Terms, 5)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
     val excluded = Bm25Terms ++ TextFunctions.LangMarkers.en
     // expansion terms come from the RETRIEVAL tokenizer (lowercase
     // alnum — the alphabet pass 2 scores in), not the whitespace
     // split: on punctuated text the two diverge and an expansion term
     // outside the scoring alphabet could never match
-    val expansion = docs
+    val expansion = toks
       .filter(col("doc_id").isin(top5: _*))
-      .select(explode(TextRank.tokens(col("text"))).as("term"))
+      .select(explode(col("__toks")).as("term"))
       .filter(!col("term").isin(excluded: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("term"))
       .limit(3)
       .collect().map(_.getString(0)).toSeq
-    TextRank.bm25TopK(docs, "doc_id", "text", Bm25Terms ++ expansion, 50)
+    TextRank.bm25TopKTokens(toks, "doc_id", Bm25Terms ++ expansion, 50)
   }
 
   /** D77: Dirichlet query-likelihood retrieval — the LM-ranking face
@@ -1169,17 +1175,32 @@ object WarehouseQueries {
     * similarity ≥ 0.94. The kernel is the codegen
     * [[graft.functions.JaroWinkler]]; the flag and the rank both use
     * the 6-dp-rounded score so both engines cut identically.
+    *
+    * Scale: the prefix universe is FIXED by the name dictionary, so
+    * raw blocks grow linearly with the corpus and within-block pairs
+    * quadratically — pair formation therefore goes through
+    * [[graft.operators.BlockedLinkage]], whose `maxBlock` dial caps
+    * exhaustive comparison (blocks above it fall back to
+    * sorted-neighborhood windowing), bounding total pair volume to
+    * O(n·maxBlock) — linear. At the gate/bench scales every block is
+    * under the default cap, so the result is bit-identical to the
+    * uncapped blocked join the oracle expresses.
     */
-  def jaroWinklerLinks(spark: SparkSession, dir: String): DataFrame = {
+  def jaroWinklerLinks(spark: SparkSession, dir: String): DataFrame =
+    jaroWinklerLinks(spark, dir, maxBlock = 1000, window = 64)
+
+  /** C76 with the block-size dial exposed (see above; probe/spec entry). */
+  def jaroWinklerLinks(spark: SparkSession, dir: String,
+                       maxBlock: Int, window: Int): DataFrame = {
     val p = Tables.part(spark, dir)
-      .select(col("p_partkey").as("pk"), col("p_name").as("name"),
-        substring(col("p_name"), 1, 8).as("blk"))
-    p.as("a").join(p.as("b"),
-        col("a.blk") === col("b.blk") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("id_a"), col("b.pk").as("id_b"),
-        col("a.name").as("name_a"), col("b.name").as("name_b"),
+      .select(col("p_partkey").as("pk"), col("p_name").as("name"))
+    graft.operators.BlockedLinkage.candidatePairs(
+        p, "pk", "name", substring(col("name"), 1, 8),
+        maxBlock = maxBlock, window = window)
+      .select(col("id_a"), col("id_b"),
+        col("val_a").as("name_a"), col("val_b").as("name_b"),
         round(graft.functions.JaroWinkler.jaro_winkler(
-          col("a.name"), col("b.name")), 6).as("jw"))
+          col("val_a"), col("val_b")), 6).as("jw"))
       .filter(col("jw") >= 0.94)
       .orderBy(col("jw").desc, col("id_a"), col("id_b"))
       .limit(50)

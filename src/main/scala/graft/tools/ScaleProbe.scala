@@ -792,22 +792,22 @@ object ScaleProbe {
           .cast("long")).count()
     }
     t("rocchio_prf") {
-      // the two-pass PRF loop over the amplified corpus: two tokenize
-      // scans + two driver-scale collects (5 ids, 3 terms)
-      val top5 = graft.operators.TextRank.bm25TopK(
-        docs, "doc_id", "text",
-        graft.queries.WarehouseQueries.Bm25Terms, 5)
+      // the PRF loop over the amplified corpus with the shared
+      // once-tokenized projection (the D101 shape after the r13 fix)
+      val toks = graft.operators.Materialize.cut(docs.select(col("doc_id"),
+        graft.operators.TextRank.tokens(col("text")).as("__toks")))
+      val top5 = graft.operators.TextRank.bm25TopKTokens(
+        toks, "doc_id", graft.queries.WarehouseQueries.Bm25Terms, 5)
         .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
       val excluded = graft.queries.WarehouseQueries.Bm25Terms ++
         graft.functions.TextFunctions.LangMarkers.en
-      val expansion = docs.filter(col("doc_id").isin(top5: _*))
-        .select(explode(graft.operators.TextRank.tokens(col("text")))
-          .as("term"))
+      val expansion = toks.filter(col("doc_id").isin(top5: _*))
+        .select(explode(col("__toks")).as("term"))
         .filter(!col("term").isin(excluded: _*))
         .groupBy(col("term")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("term")).limit(3)
         .collect().map(_.getString(0)).toSeq
-      graft.operators.TextRank.bm25TopK(docs, "doc_id", "text",
+      graft.operators.TextRank.bm25TopKTokens(toks, "doc_id",
         graft.queries.WarehouseQueries.Bm25Terms ++ expansion, 50).count()
     }
     t("heaps_first_occurrence") {
@@ -828,6 +828,21 @@ object ScaleProbe {
           col("a.blk") === col("b.blk") && col("a.pk") < col("b.pk"))
         .select(round(graft.functions.JaroWinkler.jaro_winkler(
           col("a.name"), col("b.name")), 6).as("jw"))
+        .filter(col("jw") >= lit(0.97))
+        .count()
+    }
+    t("jaro_winkler_capped") {
+      // the C76 fix at volume: same blocking key, but pair formation
+      // through BlockedLinkage with a cap far below the amplified
+      // block sizes — pair volume (and time) should grow ~linearly
+      // with mult where the uncapped leg above grows quadratically
+      val p = docs.select(col("doc_id").as("pk"),
+        substring(col("text"), 1, 40).as("name"))
+      graft.operators.BlockedLinkage.candidatePairs(
+          p, "pk", "name", substring(col("name"), 1, 12),
+          maxBlock = 100, window = 32)
+        .select(round(graft.functions.JaroWinkler.jaro_winkler(
+          col("val_a"), col("val_b")), 6).as("jw"))
         .filter(col("jw") >= lit(0.97))
         .count()
     }

@@ -1570,4 +1570,74 @@ class WarehouseSpec extends AnyFunSuite {
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(re == got)
   }
+
+  // ---- BlockedLinkage (C76 block-size dial) ----------------------------
+
+  /** names crafted so lexicographic sort order inside the block is the
+    * id order: rank gaps are computable by eye */
+  private def linkRows(blk: String, n: Int, base: Long) =
+    (0 until n).map(i => (base + i, f"$blk-name-$i%03d"))
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame) =
+    graft.operators.BlockedLinkage.candidatePairs(
+        df, "id", "name", substring(col("name"), 1, 4),
+        maxBlock = 4, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("blocked linkage: block at the cap is exhaustive, over it is SNM-windowed") {
+    // block 'aaaa' has exactly maxBlock=4 rows -> all 6 pairs;
+    // block 'bbbb' has 6 > cap rows -> only rank gaps 1..window=2
+    val df = (linkRows("aaaa", 4, 10L) ++ linkRows("bbbb", 6, 20L))
+      .toDF("id", "name")
+    val got = pairsOf(df)
+    val exhaustive = (for {
+      a <- 10L until 14L; b <- (a + 1) until 14L } yield (a, b)).toSet
+    val snm = (for {
+      a <- 20L until 26L; b <- (a + 1) to math.min(a + 2, 25L) } yield (a, b)).toSet
+    assert(got == exhaustive ++ snm)
+    // each pair exactly once (the adjacent-chunk probe must not dup)
+    val all = graft.operators.BlockedLinkage.candidatePairs(
+        df, "id", "name", substring(col("name"), 1, 4),
+        maxBlock = 4, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(all.size == all.toSet.size)
+  }
+
+  test("blocked linkage: window >= block-1 makes the SNM path exhaustive; partition invariance") {
+    val df = linkRows("cccc", 7, 30L).toDF("id", "name")
+    val full = (for {
+      a <- 30L until 37L; b <- (a + 1) until 37L } yield (a, b)).toSet
+    val got = graft.operators.BlockedLinkage.candidatePairs(
+        df.repartition(5), "id", "name", substring(col("name"), 1, 4),
+        maxBlock = 2, window = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == full)
+  }
+
+  test("blocked linkage: values travel with ids and id_a < id_b always") {
+    val df = Seq((2L, "dddd-x"), (1L, "dddd-y"), (3L, "dddd-z"))
+      .toDF("id", "name")
+    val rows = graft.operators.BlockedLinkage.candidatePairs(
+        df, "id", "name", substring(col("name"), 1, 4),
+        maxBlock = 1, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3)))
+    assert(rows.forall { case (a, b, _, _) => a < b })
+    val byPair = rows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // sort order is by name: y(1) < x(2) lexicographically? no:
+    // "dddd-x" < "dddd-y" < "dddd-z" so ranks are 2,1,3 by id —
+    // gaps within window=2 cover all three pairs
+    assert(byPair((1L, 2L)) == ("dddd-y", "dddd-x"))
+    assert(byPair((2L, 3L)) == ("dddd-x", "dddd-z"))
+    assert(byPair((1L, 3L)) == ("dddd-y", "dddd-z"))
+  }
+
+  test("jaro_winkler_links: capped path with huge cap equals the default result") {
+    val a = graft.queries.WarehouseQueries
+      .jaroWinklerLinks(spark, sfDir).collect().toSeq
+    val b = graft.queries.WarehouseQueries
+      .jaroWinklerLinks(spark, sfDir, maxBlock = Int.MaxValue, window = 1)
+      .collect().toSeq
+    assert(a == b)
+  }
 }
