@@ -189,6 +189,9 @@ object SparkEntry {
     "stream_signal_matrix" -> (StreamFaces.streamSignalMatrix _),
     "stream_holt_forecast" -> (StreamFaces.streamHoltForecast _),
     "stream_source_concentration" -> (StreamFaces.streamSourceConcentration _),
+    "stream_watermark_dedup" -> (StreamFaces.streamWatermarkDedup _),
+    "stream_mixture_gate" -> (StreamFaces.streamMixtureGate _),
+    "stream_boilerplate_strip" -> (StreamFaces.streamBoilerplateStrip _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),
     "gopher_quality"     -> (TextQueries.gopherQualityFilter _),
     "fim_transform"      -> (TextQueries.fimTransform _),
@@ -797,6 +800,63 @@ object SparkEntry {
        |  END AS ln_k
        |FROM o""".stripMargin
   }
+
+  /** Shared by `mixture_resample` and its E13 stream face — admission
+    * is a pure function of (doc_id, frozen fraction), so the admitted
+    * stream equals the batch resample row-for-row. */
+  private val mixtureResampleSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+      |hh AS (
+      |  SELECT doc_id,
+      |    len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS he,
+      |    len(list_filter(tk, x -> list_contains(['le','la','et','les','des','un','une'], x))) AS hf,
+      |    len(list_filter(tk, x -> list_contains(['der','die','und','das','ein','nicht'], x))) AS hd,
+      |    len(list_filter(tk, x -> list_contains(['el','los','y','que','un','una','en'], x))) AS hs
+      |  FROM t),
+      |lang AS (
+      |  SELECT doc_id, $langCase AS pred_lang
+      |  FROM hh),
+      |h AS (
+      |  SELECT doc_id, $xxhBucket AS bucket
+      |  FROM (${xxh64Nested("SELECT doc_id FROM documents", "doc_id")}))
+      |SELECT doc_id, pred_lang
+      |FROM lang JOIN h USING (doc_id)
+      |WHERE CAST(bucket AS DOUBLE) <
+      |  CASE pred_lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 1.0 WHEN 'de' THEN 0.25
+      |                 WHEN 'es' THEN 0.75 ELSE 0.1 END * 1000000
+      |ORDER BY doc_id""".stripMargin
+
+  /** Shared by `paragraph_dedup` and its E15 stream face — stripping
+    * against the frozen digest set is a per-doc pure function, so
+    * stream ≡ batch exactly.
+    *
+    * D53: fixed 12-word paragraphs; a paragraph is boilerplate iff
+    * its text occurs in >= 2 distinct docs; survivors reassemble in
+    * order. (range() can't take lateral column args — join-filter
+    * against the max paragraph count, 16 covers the 99-token max.)
+    */
+  private val paragraphDedupSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |paras AS (
+      |  SELECT t.doc_id, i.i AS para_idx,
+      |    array_to_string(tk[(i.i*12+1):(i.i*12+12)], ' ') AS para
+      |  FROM toks t JOIN range(0, 16) AS i(i)
+      |    ON i.i < CAST(ceil(len(tk)/12.0) AS BIGINT)),
+      |dup AS (SELECT para FROM paras
+      |  GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 2),
+      |kept AS (SELECT * FROM paras WHERE para NOT IN (SELECT para FROM dup)),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |  string_agg(para, ' ' ORDER BY para_idx) AS clean_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(ceil(len(string_split_regex(trim(d.text), '\s+'))/12.0) AS BIGINT)
+      |    AS n_paras,
+      |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+      |  COALESCE(a.clean_text, '') AS clean_text
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Shared by `source_concentration` and its E25 stream face —
     * additive group counts + the same finisher, one SQL proves
@@ -4259,28 +4319,15 @@ object SparkEntry {
         |SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
-    "mixture_resample" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
-        |hh AS (
-        |  SELECT doc_id,
-        |    len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS he,
-        |    len(list_filter(tk, x -> list_contains(['le','la','et','les','des','un','une'], x))) AS hf,
-        |    len(list_filter(tk, x -> list_contains(['der','die','und','das','ein','nicht'], x))) AS hd,
-        |    len(list_filter(tk, x -> list_contains(['el','los','y','que','un','una','en'], x))) AS hs
-        |  FROM t),
-        |lang AS (
-        |  SELECT doc_id, $langCase AS pred_lang
-        |  FROM hh),
-        |h AS (
-        |  SELECT doc_id, $xxhBucket AS bucket
-        |  FROM (${xxh64Nested("SELECT doc_id FROM documents", "doc_id")}))
-        |SELECT doc_id, pred_lang
-        |FROM lang JOIN h USING (doc_id)
-        |WHERE CAST(bucket AS DOUBLE) <
-        |  CASE pred_lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 1.0 WHEN 'de' THEN 0.25
-        |                 WHEN 'es' THEN 0.75 ELSE 0.1 END * 1000000
-        |ORDER BY doc_id""".stripMargin,
+    "mixture_resample" -> mixtureResampleSql,
+    "stream_mixture_gate" -> mixtureResampleSql,
+
+    // E6: the dedup face projects the key set; with the watermark
+    // delay past the table's event-time span no state evicts, so the
+    // emitted keys equal the global distinct under any batching
+    "stream_watermark_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // Same constants at planes=8 with the 1-bit multi-probe: a pair is
     // a candidate iff its sign signatures differ in <= 1 bit
@@ -5034,31 +5081,8 @@ object SparkEntry {
         |    AS INTEGER) AS chunk_len
         |FROM n ORDER BY doc_id, chunk_id""".stripMargin,
 
-    // D53: fixed 12-word paragraphs; a paragraph is boilerplate iff
-    // its text occurs in >= 2 distinct docs; survivors reassemble in
-    // order. (range() can't take lateral column args — join-filter
-    // against the max paragraph count, 16 covers the 99-token max.)
-    "paragraph_dedup" ->
-      """WITH toks AS (SELECT doc_id,
-        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
-        |paras AS (
-        |  SELECT t.doc_id, i.i AS para_idx,
-        |    array_to_string(tk[(i.i*12+1):(i.i*12+12)], ' ') AS para
-        |  FROM toks t JOIN range(0, 16) AS i(i)
-        |    ON i.i < CAST(ceil(len(tk)/12.0) AS BIGINT)),
-        |dup AS (SELECT para FROM paras
-        |  GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 2),
-        |kept AS (SELECT * FROM paras WHERE para NOT IN (SELECT para FROM dup)),
-        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
-        |  string_agg(para, ' ' ORDER BY para_idx) AS clean_text
-        |  FROM kept GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  CAST(ceil(len(string_split_regex(trim(d.text), '\s+'))/12.0) AS BIGINT)
-        |    AS n_paras,
-        |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
-        |  COALESCE(a.clean_text, '') AS clean_text
-        |FROM documents d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+    "paragraph_dedup" -> paragraphDedupSql,
+    "stream_boilerplate_strip" -> paragraphDedupSql,
 
     // C39: same C8 session CTE; the sweep line runs per day with
     // carry-in from a calendar join (equivalent to the Spark side's

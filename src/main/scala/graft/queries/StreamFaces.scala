@@ -264,6 +264,97 @@ object StreamFaces {
       .limit(10)
   }
 
+  /** E6 as a gated key: streaming first-arrival dedup run to
+    * completion over events arriving as a file stream —
+    * `dropDuplicatesWithinWatermark` on (user_id, event_type) with a
+    * delay chosen PAST the table's whole event-time span, so no key
+    * state ever evicts and the emitted key set equals the global
+    * distinct under ANY batching (the only honest way to oracle a
+    * within-watermark dedup: make the watermark window cover the
+    * data; production picks the delay from the real lateness bound
+    * the same way). The read face projects the KEYS — which survivor
+    * row carries them is explicitly arbitrary in-batch and stays
+    * pinned by StreamingSpec, not the hash gate.
+    */
+  def streamWatermarkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_dd")
+    val ev = graft.streaming.EventsStream.readEvents(spark, dir)
+    val q = graft.streaming.EventsStream
+      .streamingDedup(ev, Seq("user_id", "event_type"),
+        watermarkDelay = "365 days")
+      .select(col("user_id"), col("event_type"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/out")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** E13 as a gated key: the continuous mixture-admission gate run to
+    * completion over documents arriving as a file stream — per-stratum
+    * keep fractions FROZEN as a lake artifact (the same fractions the
+    * batch D21 key uses), each arriving doc admitted by the seeded
+    * hash-range test. Admission is a PURE function of (doc_id,
+    * fraction), so the admitted stream equals the batch resample
+    * row-for-row under any batching and the oracle is
+    * `mixture_resample`'s SQL verbatim. Stateless incremental plan:
+    * broadcast fraction join + codegen hash filter, no state store.
+    */
+  def streamMixtureGate(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_mx")
+    graft.streaming.StreamingMixture.saveFractions(
+      graft.streaming.StreamingMixture.fractions(
+        Seq("en" -> 0.5, "fr" -> 1.0, "de" -> 0.25, "es" -> 0.75), spark),
+      s"$base/fracs")
+    val schema = Tables.documents(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.langId(col("text")).as("pred_lang"))
+    val q = graft.streaming.StreamingMixture.admitted(
+        stream, "pred_lang", "doc_id",
+        spark.read.parquet(s"$base/fracs"), defaultFraction = 0.1)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/out").orderBy(col("doc_id"))
+  }
+
+  /** E15 as a gated key: continuous boilerplate stripping run to
+    * completion — the cross-doc duplicate-paragraph digest set frozen
+    * from the reference corpus (here: the same documents table, the
+    * batch D53 detection), then documents arrive as a file stream and
+    * each strips against the frozen set: a per-doc pure function, so
+    * stream ≡ batch exactly and the oracle is `paragraph_dedup`'s SQL
+    * verbatim. Per micro-batch: explode + digest + anti-join against
+    * the artifact; no state store.
+    */
+  def streamBoilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_bp")
+    graft.streaming.StreamingBoilerplate.saveBoilerplate(
+      Tables.documents(spark, dir), col("text"), col("doc_id"),
+      s"$base/dup")
+    val schema = Tables.documents(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = graft.streaming.StreamingBoilerplate.start(
+      stream, "text", "doc_id", s"$base/dup", s"$base/out", s"$base/ckpt",
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    spark.read.parquet(s"$base/out")
+      .select(col("id").as("doc_id"), col("n_paras"), col("n_kept"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E14 as a gated key: the streaming PSI drift monitor run to
     * completion — reference histogram frozen from the first half of
     * the corpus (source number < 10, the batch `corpus_drift` split),

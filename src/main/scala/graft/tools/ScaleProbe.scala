@@ -861,6 +861,44 @@ object ScaleProbe {
         li.select(col("l_orderkey"), col("l_extendedprice")),
         col("l_orderkey") % 2, col("l_extendedprice")).count()
     }
+    // ---- stream faces at volume: cold AvailableNow stream cost vs
+    // state size is the 100-TB question the gated keys raise. The
+    // faces read `(spark, dir)` single-file tables, so the amplified
+    // corpus lands in a temp dir first (lazily — only if a stream leg
+    // is selected); prep time prints separately so the face legs time
+    // the stream itself.
+    lazy val streamDir: String = {
+      val t0 = System.nanoTime()
+      val d = java.nio.file.Files.createTempDirectory("graft_probe_stream")
+        .toFile
+      def writeSingle(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = new java.io.File(d, s"_tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(d, name).toPath)
+      }
+      writeSingle(docs, "documents.parquet")
+      writeSingle(graft.sources.Tables.events(spark, dir)
+        .crossJoin(copies)
+        .select((col("event_id") * mult + col("copy")).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value")),
+        "events.parquet")
+      println(f"[probe] stream_lake_prep: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      d.getAbsolutePath
+    }
+    t("stream_bootstrap_ci") {
+      graft.queries.StreamFaces.streamBootstrapCi(spark, streamDir).count()
+    }
+    t("stream_trending_words") {
+      graft.queries.StreamFaces.streamTrendingWords(spark, streamDir).count()
+    }
+    t("stream_robust_flags") {
+      graft.queries.StreamFaces.streamRobustFlags(spark, streamDir).count()
+    }
+    t("stream_mixture_gate") {
+      graft.queries.StreamFaces.streamMixtureGate(spark, streamDir).count()
+    }
     t("png_decode") {
       // per-row encode + inflate + unfilter; pure map, zero exchanges
       import spark.implicits._
