@@ -908,6 +908,57 @@ class StreamingSpec extends AnyFunSuite {
       s"replayed batch double-counted: $replayed vs $want")
   }
 
+  test("kill-and-restart: engine-level replay of an uncommitted batch still bit-matches batch") {
+    import graft.streaming.StreamingBootstrap
+    val base = java.nio.file.Files.createTempDirectory("graft_chaos")
+      .toFile.getAbsolutePath
+    // two source files + maxFilesPerTrigger=1 => two micro-batches
+    graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .repartition(2).write.parquet(s"$base/src")
+    val schema = spark.read.parquet(s"$base/src").schema
+    val quality = round(graft.functions.TextFunctions
+      .qualityScore(col("text")) * 1000000.0).cast("long")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = StreamingBootstrap.start(stream, col("doc_id"), quality,
+        s"$base/cells", s"$base/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    run()
+    val want = graft.queries.TextQueries.bootstrapQualityCi(spark, sfDir).head()
+    assert(StreamingBootstrap.ciToDate(spark, s"$base/cells").head() == want)
+    val batches = spark.read.parquet(s"$base/cells")
+      .select(col("batch_id")).distinct().count()
+    assert(batches == 2, s"expected 2 micro-batches, got $batches")
+    // CHAOS: crash in the at-least-once window — the lake write for
+    // the last batch landed but its checkpoint commit never did.
+    // Deleting the last commit marker reproduces that state exactly;
+    // the restarted query must REPLAY the batch through the real
+    // foreachBatch path, and LakeState's batch_id partition overwrite
+    // must absorb it
+    val commits = new java.io.File(s"$base/ckpt/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit))
+    assert(commits.nonEmpty)
+    val last = commits.maxBy(_.getName.toInt)
+    assert(last.delete(), s"could not delete commit marker $last")
+    // the local-FS checkpoint manager keeps a checksum shadow; a stale
+    // one would fail the restarted query's commit rename
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    run() // restart: replays the uncommitted batch, then finishes
+    assert(StreamingBootstrap.ciToDate(spark, s"$base/cells").head() == want,
+      "replayed batch double-counted after kill-and-restart")
+    // still exactly one partition per batch id — the replay replaced,
+    // never appended
+    val after = spark.read.parquet(s"$base/cells")
+      .groupBy(col("batch_id"), col("b")).count()
+      .filter(col("count") > 1).count()
+    assert(after == 0, "duplicate cells after replay")
+  }
+
   test("streaming perplexity gate equals the batch threshold filter and honors the frozen cut") {
     import graft.streaming.StreamingScoreFilter
     import graft.operators.LanguageModel
