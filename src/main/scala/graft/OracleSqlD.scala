@@ -1,0 +1,968 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+import OracleFns._
+import OracleFnsTrained._
+
+/** quality/privacy/AB-stats/media/stream oracle SQL (split from SparkEntry - part D).
+  *
+  * Same package, no behavior change: [[SparkEntry.oracleSql]] is the
+  * concatenation of the four parts; shared SQL builders live in
+  * [[OracleFns]].
+  */
+private[graft] object OracleSqlD {
+  private[graft] val sql: Map[String, String] = Map(
+
+    // D71: reciprocal-rank fusion over three quality legs. Each leg
+    // signal reuses an oracle-proven expression tree (D14 composite,
+    // D37 CE, D29 trigram dup-frac) — bit-exact values, so the
+    // per-lang doc_id-tiebroken rank cuts cannot diverge; the fused
+    // sum is three fixed-order correctly-rounded terms, ordered on
+    // the ROUNDED value like the D59 fusion.
+    "quality_fusion" -> {
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    string_split_regex(trim(text), '\\s+') AS tk,
+         |    string_split_regex(
+         |      regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS tk2
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    0.4 * least(CAST(len(tk) AS DOUBLE) / 64.0, 1.0)
+         |    + 0.4 * (CAST(len(list_distinct(tk)) AS DOUBLE)
+         |             / CAST(len(tk) AS DOUBLE))
+         |    + 0.2 * least((CAST(len(list_filter(tk, x -> list_contains(
+         |        ['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+         |        / CAST(len(tk) AS DOUBLE)) * 8.0, 1.0) AS quality
+         |  FROM t),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+         |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 64),
+         |dnm AS (
+         |  SELECT CAST((SELECT SUM(c) FROM cnt)
+         |    + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS d),
+         |lp AS (
+         |  SELECT t2.doc_id,
+         |    COALESCE(ln(CAST(tp.c + 1 AS DOUBLE) / d), ln(1.0 / d)) AS lnp
+         |  FROM tok t2 LEFT JOIN top tp USING (w), dnm),
+         |sc AS (SELECT doc_id, COUNT(*) AS nt, SUM(lnp) AS sl
+         |       FROM lp GROUP BY doc_id),
+         |ce AS (
+         |  SELECT t.doc_id, t.lang,
+         |    COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE)) AS ce
+         |  FROM t LEFT JOIN sc USING (doc_id)),
+         |tg AS (
+         |  SELECT doc_id, lang,
+         |    list_transform(range(1, greatest(len(tk2) - 1, 1)),
+         |      i -> tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2]) AS g
+         |  FROM t),
+         |rep AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN len(g) = 0 THEN 0.0
+         |         ELSE CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+         |              / CAST(len(g) AS DOUBLE) END AS rep
+         |  FROM tg),
+         |lq AS (
+         |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY quality DESC, doc_id) AS INTEGER) AS rq
+         |  FROM q QUALIFY rq <= 100),
+         |lc AS (
+         |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY ce ASC, doc_id) AS INTEGER) AS rc
+         |  FROM ce QUALIFY rc <= 100),
+         |lr AS (
+         |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY rep ASC, doc_id) AS INTEGER) AS rr
+         |  FROM rep QUALIFY rr <= 100),
+         |f AS (
+         |  SELECT lang, doc_id, rq, rc, rr,
+         |    ROUND(COALESCE(1.0 / (60.0 + rq), 0.0)
+         |      + COALESCE(1.0 / (60.0 + rc), 0.0)
+         |      + COALESCE(1.0 / (60.0 + rr), 0.0), 9) AS fused
+         |  FROM lq FULL OUTER JOIN lc USING (lang, doc_id)
+         |    FULL OUTER JOIN lr USING (lang, doc_id))
+         |SELECT lang, doc_id, rq, rc, rr, fused,
+         |  CAST(rk AS INTEGER) AS rk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+         |  ORDER BY fused DESC, doc_id) AS rk FROM f)
+         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+    },
+
+    // D57: containment = c / min(na, nb) — one divide of exact
+    // integers, bit-identical cross-engine; shingles are the D17
+    // trigram definition verbatim.
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM t),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(c AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE) AS containment
+        |FROM pairs
+        |WHERE CAST(c AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // D56: closed-form naive-Bayes log-odds classifier. Counts, the
+    // top-128 vocab cut (ties by word), and class totals are exact
+    // integers — both engines derive the SAME model; ln drift +
+    // double-sum reorder absorbed by the 6-dp rounding (the LM
+    // oracle argument). `predicted` compares the ROUNDED margin, so
+    // the boolean is a function of the already-hash-checked value.
+    "quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, (source = 'src0') AS pos,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |cnt AS (SELECT w, COUNT(*) AS c,
+        |    COUNT(*) FILTER (pos) AS cp FROM tok GROUP BY w),
+        |top AS (SELECT w, cp, c - cp AS cn FROM cnt ORDER BY c DESC, w LIMIT 128),
+        |tot AS (SELECT
+        |    CAST(COALESCE((SELECT SUM(cp) FROM cnt), 0)
+        |      + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS denp,
+        |    CAST(COALESCE((SELECT SUM(c - cp) FROM cnt), 0)
+        |      + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS denn),
+        |bias AS (SELECT
+        |    ln(CAST((SELECT COUNT(*) FILTER (source = 'src0')
+        |             FROM documents) + 1 AS DOUBLE))
+        |  - ln(CAST((SELECT COUNT(*) FILTER (source <> 'src0')
+        |             FROM documents) + 1 AS DOUBLE)) AS b),
+        |lp AS (
+        |  SELECT t.doc_id,
+        |    COALESCE(ln(CAST(tp.cp + 1 AS DOUBLE) / denp)
+        |           - ln(CAST(tp.cn + 1 AS DOUBLE) / denn),
+        |      ln(1.0 / denp) - ln(1.0 / denn)) AS wt
+        |  FROM tok t LEFT JOIN top tp USING (w), tot),
+        |s AS (SELECT doc_id, COUNT(*) AS nt, SUM(wt) AS sw
+        |      FROM lp GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(nt, 0) AS INTEGER) AS n_tokens,
+        |  round(b + COALESCE(sw, 0.0), 6) AS margin,
+        |  round(b + COALESCE(sw, 0.0), 6) > 0 AS predicted
+        |FROM documents d LEFT JOIN s USING (doc_id), bias
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // D55: fixed 64-char windows, stride 48; chunk count =
+    // (max(0, n-64) + 47) DIV 48 + 1 — positive integer division, so
+    // truncating (Spark DIV) ≡ floor (DuckDB //).
+    "doc_chunking" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, (greatest(length(text) - 64, 0) + 47) // 48 + 1)) AS k
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+        |  CAST(k * 48 AS INTEGER) AS chunk_start,
+        |  substring(text, CAST(k * 48 + 1 AS INTEGER), 64) AS chunk_text,
+        |  CAST(length(substring(text, CAST(k * 48 + 1 AS INTEGER), 64))
+        |    AS INTEGER) AS chunk_len
+        |FROM n ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "paragraph_dedup" -> paragraphDedupSql,
+    "stream_boilerplate_strip" -> paragraphDedupSql,
+
+    // C39: same C8 session CTE; the sweep line runs per day with
+    // carry-in from a calendar join (equivalent to the Spark side's
+    // midnight explode: calendar day D counts a session iff
+    // t_start < D <= t_end).
+    // C64: the distributed sort-scan keeps a row iff no strictly-
+    // earlier row in (x asc, y desc, id) order has y >= it — exactly
+    // the dominance predicate plus the least-id duplicate tiebreak;
+    // dominance compares STORED values only, so doubles are bit-safe
+    "pareto_frontier" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part t
+        |WHERE NOT EXISTS (SELECT 1 FROM part e WHERE
+        |  (e.p_retailprice < t.p_retailprice AND e.p_size >= t.p_size) OR
+        |  (e.p_retailprice <= t.p_retailprice AND e.p_size > t.p_size) OR
+        |  (e.p_retailprice = t.p_retailprice AND e.p_size = t.p_size
+        |   AND e.p_partkey < t.p_partkey))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "peak_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 4 HOUR
+        |         THEN 1 ELSE 0 END AS flag
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s0 AS (
+        |  SELECT user_id, ts, SUM(flag) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e),
+        |s AS (SELECT user_id, sid, MIN(ts) AS t_start, MAX(ts) AS t_end
+        |  FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT date_trunc('day', t) AS day, t, d FROM (
+        |  SELECT t_start AS t, 1 AS d FROM s
+        |  UNION ALL SELECT t_end, -1 FROM s)),
+        |r AS (SELECT day, SUM(d) OVER (PARTITION BY day ORDER BY t, d
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM d),
+        |m AS (SELECT day, MAX(run) AS mr FROM r GROUP BY day),
+        |cal AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+        |carry AS (SELECT cal.day, COUNT(*) AS c
+        |  FROM s JOIN cal ON cal.day > s.t_start AND cal.day <= s.t_end
+        |  GROUP BY 1)
+        |SELECT CAST(COALESCE(m.day, carry.day) AS TIMESTAMP) AS day,
+        |  CAST(COALESCE(carry.c, 0)
+        |    + greatest(0, COALESCE(m.mr, 0)) AS BIGINT) AS peak
+        |FROM m FULL OUTER JOIN carry ON m.day = carry.day
+        |ORDER BY day""".stripMargin,
+
+    // C38: thresholds off the per-type cumulative bucket histogram;
+    // lo/hi are integer buckets so the /100.0 divides and the clamp
+    // are identically-rounded doubles on both engines.
+    "events_winsorize" ->
+      """WITH b AS (SELECT event_id, event_type, value,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS bk FROM events),
+        |h AS (SELECT event_type, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |cumt AS (SELECT event_type, bk,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY bk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS total
+        |  FROM h),
+        |thr AS (SELECT event_type,
+        |    MIN(CASE WHEN cum >= 0.05 * total THEN bk END) AS lo,
+        |    MIN(CASE WHEN cum >= 0.95 * total THEN bk END) AS hi
+        |  FROM cumt GROUP BY 1)
+        |SELECT event_id, b.event_type, value,
+        |  least(greatest(value, lo / 100.0), hi / 100.0) AS clipped
+        |FROM b JOIN thr USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    // C59: decile boundaries off the same cent-bucket histogram; the
+    // per-event decile is an all-integer fold over the nine broadcast
+    // thresholds, so no double boundary can diverge
+    "quantile_buckets" -> {
+      val bs = (1 to 9).map(d =>
+        s"MIN(CASE WHEN cum >= ${d / 10.0} * total THEN bk END) AS b$d")
+        .mkString(",\n    ")
+      val fold = (1 to 9).map(d =>
+        s"(CASE WHEN bk > b$d THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH b AS (SELECT event_id, event_type, value,
+         |    CAST(floor(value * 100.0) AS BIGINT) AS bk FROM events),
+         |h AS (SELECT event_type, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         |cumt AS (SELECT event_type, bk,
+         |    SUM(c) OVER (PARTITION BY event_type ORDER BY bk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(c) OVER (PARTITION BY event_type) AS total
+         |  FROM h),
+         |thr AS (SELECT event_type,
+         |    $bs
+         |  FROM cumt GROUP BY 1)
+         |SELECT event_id, b.event_type, value,
+         |  CAST(1 + $fold AS INTEGER) AS decile
+         |FROM b JOIN thr USING (event_type)
+         |ORDER BY event_id""".stripMargin
+    },
+
+    // C72: micro-unit integer AA weights (round(1e6/ln d) — the one
+    // libm ln sits inside a per-term rounding both engines apply),
+    // pair scores exact integer sums, total-order top-20
+    "adamic_adar_links" ->
+      """WITH m AS (SELECT DISTINCT o_custkey AS l, l_suppkey AS r
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (SELECT l, COUNT(*) AS d FROM m GROUP BY 1
+        |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 10000),
+        |w AS (SELECT l,
+        |    CAST(round(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS w
+        |  FROM deg),
+        |mw AS (SELECT m.l, m.r, w.w FROM m JOIN w USING (l)),
+        |wedge AS (SELECT x.r AS a, y.r AS b, x.w
+        |  FROM mw x JOIN mw y ON x.l = y.l AND x.r < y.r),
+        |p AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+        |    SUM(w) AS aa FROM wedge GROUP BY 1, 2)
+        |SELECT a, b, common_neighbors,
+        |  CAST(aa AS DOUBLE) / 1000000.0 AS aa_score
+        |FROM p ORDER BY aa DESC, a, b LIMIT 20""".stripMargin,
+
+    // D103: first-occurrence vocab growth at 10 integer thresholds,
+    // OLS chain in the same textual order as the Spark reduceLeft
+    "heaps_law_fit" -> heapsOracle,
+
+    // D106: exact cumulative integers per candidate, one IEEE
+    // impurity evaluation each, argmin on the 6-dp-rounded value
+    // with the smallest threshold breaking ties
+    "best_length_split" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS tk, text
+        |  FROM documents),
+        |v AS (
+        |  SELECT CAST(len(tk) AS BIGINT) AS f,
+        |    (len(tk) BETWEEN 40 AND 100000
+        |      AND CAST(len(regexp_replace(trim(text), '\s+', '', 'g'))
+        |            AS DOUBLE) / CAST(len(tk) AS DOUBLE) BETWEEN 3.0 AND 5.0
+        |      AND CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
+        |            AS DOUBLE) / CAST(len(tk) AS DOUBLE) >= 0.8
+        |      AND len(list_filter(tk, w -> list_contains(
+        |            ['the', 'a', 'of', 'to', 'and'], w))) >= 1) AS l
+        |  FROM t),
+        |g AS (SELECT f, COUNT(*) AS c,
+        |    SUM(CASE WHEN l THEN 1 ELSE 0 END) AS p FROM v GROUP BY 1),
+        |cu AS (SELECT f,
+        |    SUM(c) OVER w AS cn, SUM(p) OVER w AS cp
+        |  FROM g WINDOW w AS (ORDER BY f
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(p) AS BIGINT) AS np FROM g),
+        |s AS (SELECT f,
+        |    round(2.0 * CAST(cp AS DOUBLE)
+        |        * (CAST(cn AS DOUBLE) - CAST(cp AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(cn AS DOUBLE))
+        |      + 2.0 * (CAST(np AS DOUBLE) - CAST(cp AS DOUBLE))
+        |        * ((CAST(n AS DOUBLE) - CAST(cn AS DOUBLE))
+        |          - (CAST(np AS DOUBLE) - CAST(cp AS DOUBLE)))
+        |        / (CAST(n AS DOUBLE)
+        |          * (CAST(n AS DOUBLE) - CAST(cn AS DOUBLE))), 6) AS gini,
+        |    n, np
+        |  FROM cu CROSS JOIN tt WHERE cn < n),
+        |m AS (SELECT MIN(gini) AS mn FROM s)
+        |SELECT MIN(f) AS threshold, MAX(gini) AS gini_split,
+        |  MAX(n) AS n, MAX(np) AS n_pos,
+        |  round(2.0 * CAST(MAX(np) AS DOUBLE)
+        |    * CAST(MAX(n) - MAX(np) AS DOUBLE)
+        |    / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)), 6)
+        |    AS gini_root
+        |FROM s CROSS JOIN m WHERE gini = mn""".stripMargin,
+
+    // D105: half-unit average ranks (2·cum − c + 1) per variable,
+    // exact sums, rho one IEEE evaluation (pinned parenthesization)
+    "spearman_signals" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
+        |  FROM t),
+        |v AS (
+        |  SELECT CAST(n AS BIGINT) AS x,
+        |    CAST(round((0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((h / n) * 8.0, 1.0)) * 1000000.0) AS BIGINT)
+        |      AS y
+        |  FROM c),
+        |rx AS (SELECT x, 2 * SUM(COUNT(*)) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - COUNT(*) + 1 AS xr2 FROM v GROUP BY x),
+        |ry AS (SELECT y, 2 * SUM(COUNT(*)) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - COUNT(*) + 1 AS yr2 FROM v GROUP BY y),
+        |j AS (SELECT xr2, yr2 FROM v JOIN rx USING (x) JOIN ry USING (y)),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(xr2) AS DOUBLE) AS sx, CAST(SUM(yr2) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(xr2 AS HUGEINT) * yr2) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(xr2 AS HUGEINT) * xr2) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(yr2 AS HUGEINT) * yr2) AS DOUBLE) AS syy
+        |  FROM j)
+        |SELECT n,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+        |        AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0 THEN
+        |    round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+        |  END AS rho
+        |FROM a""".stripMargin,
+
+    // C81: Apriori level-1 prune, exact counts, total-order top-30
+    "frequent_triples" ->
+      """WITH lp AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |fi AS MATERIALIZED (
+        |  SELECT pk FROM lp GROUP BY pk HAVING COUNT(*) >= 2),
+        |pr AS MATERIALIZED (SELECT lp.ok, lp.pk FROM lp JOIN fi USING (pk))
+        |SELECT a.pk AS u, b.pk AS v, c.pk AS w,
+        |  CAST(COUNT(*) AS BIGINT) AS support
+        |FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk
+        |  JOIN pr c ON a.ok = c.ok AND b.pk < c.pk
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+        |ORDER BY support DESC, u, v, w LIMIT 30""".stripMargin,
+
+    // C80: cross-multiplied integer gap argmax (earliest value on
+    // ties), D one divide, threshold compare on the unrounded D
+    "ab_ks_test" ->
+      """WITH p AS (SELECT user_id % 2 AS arm, value AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT v,
+        |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+        |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM p GROUP BY 1),
+        |c AS (SELECT v,
+        |    SUM(c0) OVER w AS cum0, SUM(c1) OVER w AS cum1
+        |  FROM g WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+        |    CAST(SUM(c1) AS BIGINT) AS n1 FROM g),
+        |s AS (SELECT v,
+        |    ABS(CAST(cum0 AS HUGEINT) * n1 - CAST(cum1 AS HUGEINT) * n0)
+        |      AS gap, n0, n1
+        |  FROM c CROSS JOIN t),
+        |m AS (SELECT MAX(gap) AS mx FROM s)
+        |SELECT MAX(n0) AS n_a, MAX(n1) AS n_b,
+        |  MIN(v) AS ks_at_value,
+        |  round(CAST(MAX(gap) AS DOUBLE)
+        |    / (CAST(MAX(n0) AS DOUBLE) * CAST(MAX(n1) AS DOUBLE)), 6)
+        |    AS ks_stat,
+        |  CAST(MAX(gap) AS DOUBLE)
+        |    / (CAST(MAX(n0) AS DOUBLE) * CAST(MAX(n1) AS DOUBLE))
+        |    > 1.358 * sqrt(CAST(MAX(n0) + MAX(n1) AS DOUBLE)
+        |      / (CAST(MAX(n0) AS DOUBLE) * CAST(MAX(n1) AS DOUBLE)))
+        |    AS reject_05
+        |FROM s CROSS JOIN m WHERE gap = mx""".stripMargin,
+
+    // C79: first digit off the cents integer's decimal string (no
+    // float log in the decision path); the expected probabilities are
+    // the SAME Scala-rendered double constants on both sides
+    "benford_audit" -> {
+      val e = (1 to 9).map(d =>
+        s"WHEN digit = $d THEN CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE)")
+        .mkString(" ")
+      s"""WITH c AS (SELECT CAST(substr(CAST(
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |  FROM lineitem),
+         |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c
+         |  WHERE digit >= 1 GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g),
+         |x AS (SELECT digit, n, tot, CASE $e END AS pe
+         |  FROM g CROSS JOIN t)
+         |SELECT digit, n, round(pe, 6) AS p_expected,
+         |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p_observed,
+         |  round(pow(CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * pe, 2)
+         |    / (CAST(tot AS DOUBLE) * pe), 6) AS chi2_term
+         |FROM x ORDER BY digit""".stripMargin
+    },
+
+    // C78: exact integer day-series sums per lag, Pearson one IEEE
+    // evaluation with pinned parenthesization
+    "lead_lag_correlation" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT CAST(unnest(range(-3, 4)) AS INTEGER) AS lag),
+        |j AS (SELECT lag, a.x AS x, b.y AS y
+        |  FROM daily a CROSS JOIN lags JOIN daily b
+        |    ON a.day + to_days(lag) = b.day),
+        |g AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT lag, n_days,
+        |  CASE WHEN CAST(n_days AS DOUBLE) * sxx - sx * sx > 0.0
+        |        AND CAST(n_days AS DOUBLE) * syy - sy * sy > 0.0 THEN
+        |    round((CAST(n_days AS DOUBLE) * sxy - sx * sy)
+        |      / (sqrt(CAST(n_days AS DOUBLE) * sxx - sx * sx)
+        |        * sqrt(CAST(n_days AS DOUBLE) * syy - sy * sy)), 6)
+        |  END AS r
+        |FROM g ORDER BY lag""".stripMargin,
+
+    // C77: user-partitioned lead pairs, exact integer cells, one
+    // divide per probability
+    "event_transitions" ->
+      """WITH p AS (SELECT user_id, ts, event_id, event_type AS cur,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM p
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.cur, c.nxt, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
+        |FROM c JOIN t USING (cur)
+        |ORDER BY cur, nxt""".stripMargin,
+
+    // D102: the D13 lang-id CTE verbatim as predictions, exact cells
+    "langid_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS he,
+        |    len(list_filter(tk, x -> list_contains(['le','la','et','les','des','un','une'], x))) AS hf,
+        |    len(list_filter(tk, x -> list_contains(['der','die','und','das','ein','nicht'], x))) AS hd,
+        |    len(list_filter(tk, x -> list_contains(['el','los','y','que','un','una','en'], x))) AS hs
+        |  FROM t),
+        |pr AS (SELECT lang AS true_lang,
+        |    CASE WHEN greatest(he, hf, hd, hs) = 0 THEN 'und'
+        |         WHEN he = greatest(he, hf, hd, hs) THEN 'en'
+        |         WHEN hf = greatest(he, hf, hd, hs) THEN 'fr'
+        |         WHEN hd = greatest(he, hf, hd, hs) THEN 'de'
+        |         ELSE 'es' END AS pred_lang
+        |  FROM h),
+        |c AS (SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pr GROUP BY 1, 2),
+        |tt AS (SELECT true_lang, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.true_lang, c.pred_lang, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+        |FROM c JOIN tt USING (true_lang)
+        |ORDER BY true_lang, pred_lang""".stripMargin,
+
+    // C76: the oracle is DuckDB's BUILT-IN jaro_winkler_similarity —
+    // an independent implementation of the same Winkler-1990
+    // convention (window ⌊max/2⌋−1, halved transpositions, ≤4-char
+    // prefix at 0.1, 0.7 boost threshold); 6-dp rounding on both
+    // sides absorbs the ulp between the two codebases
+    "jaro_winkler_links" ->
+      """WITH p AS (SELECT p_partkey AS pk, p_name AS name,
+        |    substr(p_name, 1, 8) AS blk FROM part)
+        |SELECT a.pk AS id_a, b.pk AS id_b,
+        |  a.name AS name_a, b.name AS name_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.pk < b.pk
+        |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.94
+        |ORDER BY jw DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    // C75: per-time (deaths, leavers) exact integers; at-risk via the
+    // exclusive cumulative over the day domain; the survival product
+    // folds in pinned time order with seed 1.0, each factor one IEEE
+    // divide — list_reduce mirrors the association
+    "km_retention" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(min(date_trunc('day', ts)) AS DATE) AS fd,
+        |    CAST(max(date_trunc('day', ts)) AS DATE) AS ld,
+        |    CAST(min(CASE WHEN event_type = 'error'
+        |      THEN date_trunc('day', ts) END) AS DATE) AS ed
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(CASE WHEN ed IS NOT NULL
+        |      THEN date_diff('day', fd, ed)
+        |      ELSE date_diff('day', fd, ld) END AS BIGINT) AS t,
+        |    (ed IS NULL) AS cens FROM u),
+        |bt AS (SELECT t,
+        |    CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS leave
+        |  FROM s GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM s),
+        |r AS (SELECT t, d,
+        |    total - COALESCE(SUM(leave) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM bt CROSS JOIN n),
+        |dr AS (SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d
+        |  FROM r WHERE d >= 1)
+        |SELECT a.t, a.n_risk, a.d AS d_events,
+        |  round(list_reduce(list_prepend(1.0,
+        |    list(CAST(b.n_risk - b.d AS DOUBLE) / CAST(b.n_risk AS DOUBLE)
+        |      ORDER BY b.t)),
+        |    (x, y) -> x * y), 6) AS survival
+        |FROM dr a JOIN dr b ON b.t <= a.t
+        |GROUP BY a.t, a.n_risk, a.d
+        |ORDER BY a.t""".stripMargin,
+
+    // C74: goodness-of-fit vs the designed 50/50 split reduces to
+    // (n_a − n_b)²/N — one IEEE evaluation over exact counts; flag
+    // compares the UNROUNDED statistic to the 1-dof 5% critical value
+    "ab_srm_check" ->
+      """WITH c AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM events)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a + n_b > 0 THEN
+        |    round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |      / CAST(n_a + n_b AS DOUBLE), 6) END AS chi2,
+        |  CASE WHEN n_a + n_b > 0 THEN
+        |    CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |      / CAST(n_a + n_b AS DOUBLE) > 3.841 END AS srm_flag
+        |FROM c""".stripMargin,
+
+    // D100: the quality CTE's 2-dp buckets; per-source and global
+    // cumulative histograms; the mapping is the CROSS-MULTIPLIED
+    // integer compare — no double enters the decision
+    "quality_quantile_norm" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(tk) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
+        |  FROM t),
+        |q AS (
+        |  SELECT source,
+        |    CAST(floor((0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((h / n) * 8.0, 1.0)) * 100.0) AS BIGINT)
+        |      AS bucket
+        |  FROM c),
+        |sc AS (SELECT source, bucket, COUNT(*) AS n FROM q GROUP BY 1, 2),
+        |scum AS (SELECT source, bucket, n,
+        |    SUM(n) OVER (PARTITION BY source ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS src_cum,
+        |    SUM(n) OVER (PARTITION BY source) AS src_n
+        |  FROM sc),
+        |g AS (SELECT bucket AS gb, SUM(n) AS gn FROM sc GROUP BY 1),
+        |gcum AS (SELECT gb,
+        |    SUM(gn) OVER (ORDER BY gb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g_cum,
+        |    SUM(gn) OVER () AS g_n
+        |  FROM g)
+        |SELECT source, bucket, CAST(n AS BIGINT) AS n,
+        |  CAST(src_cum AS BIGINT) AS src_cum,
+        |  MIN(gb) AS norm_bucket
+        |FROM scum JOIN gcum
+        |  ON CAST(g_cum AS HUGEINT) * CAST(src_n AS HUGEINT)
+        |    >= CAST(src_cum AS HUGEINT) * CAST(g_n AS HUGEINT)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY source, bucket""".stripMargin,
+
+    // D99: integer word/sentence/syllable counters (same regex
+    // semantics both engines), two one-evaluation scores
+    "readability_scores" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |    6) AS flesch,
+        |  round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - 15.59, 6) AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // D98: Gini via the rank formula (integer numerator — rank·count
+    // in exact decimal, tie order irrelevant to the sum), HHI and
+    // top-share one divide each
+    "source_concentration" -> sourceConcentrationSql,
+    // E25 stream face: merged additive group counts + the same
+    // finisher == the batch query exactly
+    "stream_source_concentration" -> sourceConcentrationSql,
+
+    // C70: the D-scaled deviation cumsum S_i = D·cum_i − i·N is an
+    // exact integer (HUGEINT ↔ decimal(38,0)), so the argmax and the
+    // earliest-step tie-break are all-integer decisions; |S|/D and
+    // N/D are one IEEE divide each
+    "cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS HUGEINT) AS i,
+        |    SUM(CAST(n AS HUGEINT)) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum
+        |  FROM daily),
+        |t AS (SELECT event_type, COUNT(*) AS d,
+        |    SUM(CAST(n AS HUGEINT)) AS ntot FROM daily GROUP BY 1),
+        |s AS (SELECT c.event_type, c.day, t.d, t.ntot,
+        |    CAST(t.d AS HUGEINT) * c.cum - c.i * t.ntot AS S
+        |  FROM c JOIN t USING (event_type)),
+        |p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY ABS(S) DESC, day ASC) AS rk FROM s)
+        |SELECT event_type, day AS cp_step,
+        |  round(CAST(ABS(S) AS DOUBLE) / CAST(d AS DOUBLE), 6) AS cusum_stat,
+        |  round(CAST(ntot AS DOUBLE) / CAST(d AS DOUBLE), 6) AS mean_level,
+        |  CAST(d AS BIGINT) AS n_steps
+        |FROM p WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    // C71: quintile thresholds off the cumulative histogram — the
+    // C59 decile recipe ×3 metrics; fraction literals forced to
+    // DOUBLE so both engines cut the same IEEE boundary; scoring an
+    // all-integer fold; monetary exact cents → one divide
+    "rfm_segments" -> {
+      def thr(metric: String) = (1 to 4).map(d =>
+        s"MIN(CASE WHEN cum >= CAST(${d / 5.0} AS DOUBLE) * total " +
+          s"THEN bk END) AS ${metric}_b$d").mkString(",\n      ")
+      def hist(metric: String) =
+        s"""${metric}_h AS (SELECT $metric AS bk, COUNT(*) AS c
+           |  FROM u GROUP BY 1),
+           |${metric}_cum AS (SELECT bk,
+           |    SUM(c) OVER (ORDER BY bk
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    SUM(c) OVER () AS total FROM ${metric}_h),
+           |${metric}_thr AS (SELECT
+           |      ${thr(metric)}
+           |  FROM ${metric}_cum)""".stripMargin
+      def fold(metric: String) = (1 to 4).map(d =>
+        s"(CASE WHEN $metric > ${metric}_b$d THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(date_diff('day', CAST(max(date_trunc('day', ts)) AS DATE),
+         |      DATE '2024-01-31') AS BIGINT) AS recency,
+         |    COUNT(*) AS frequency,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |${hist("recency")},
+         |${hist("frequency")},
+         |${hist("cents")},
+         |sc AS (SELECT user_id, recency, frequency, cents,
+         |    CAST(6 - (1 + ${fold("recency")}) AS INTEGER) AS r_score,
+         |    CAST(1 + ${fold("frequency")} AS INTEGER) AS f_score,
+         |    CAST(1 + ${fold("cents")} AS INTEGER) AS m_score
+         |  FROM u CROSS JOIN recency_thr CROSS JOIN frequency_thr
+         |    CROSS JOIN cents_thr)
+         |SELECT user_id, recency, frequency,
+         |  CAST(cents AS DOUBLE) / 100.0 AS monetary,
+         |  r_score, f_score, m_score,
+         |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         |    || CAST(m_score AS VARCHAR) AS segment
+         |FROM sc ORDER BY user_id""".stripMargin
+    },
+
+    // C66: exact decimal sufficient aggregates (n, Σv, Σv²) per arm,
+    // then ONE scalar IEEE evaluation per statistic with identical
+    // parenthesization in both engines
+    "ab_welch_ttest" ->
+      welchTTestSql,
+
+    // C67: integer contingency cells + margins; each cell term is one
+    // IEEE evaluation over exact integers and the cross-cell sum folds
+    // in pinned (rk, ck) order — list_reduce mirrors Spark's
+    // sorted-collect aggregate fold including the 0.0 seed
+    "ab_chi_square" ->
+      """WITH cells AS (SELECT event_type AS rk, user_id % 2 AS ck,
+        |    COUNT(*) AS o FROM events GROUP BY 1, 2),
+        |rt AS (SELECT rk, SUM(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT ck, SUM(o) AS ct FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    COUNT(DISTINCT rk) AS nr, COUNT(DISTINCT ck) AS nc FROM cells),
+        |term AS (SELECT rk, ck,
+        |    pow(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE), 2)
+        |      / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+        |      AS tt
+        |  FROM cells JOIN rt USING (rk) JOIN ct USING (ck) CROSS JOIN t)
+        |SELECT n, CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list(tt ORDER BY rk, ck)), (a, b) -> a + b), 6) AS chi2
+        |FROM term CROSS JOIN t GROUP BY n, nr, nc""".stripMargin,
+
+    // C68: tie-group average ranks in exact HALF units
+    // (2·cum − c + 1), rank sums exact integers; z is one scalar IEEE
+    // evaluation mirrored parenthesis-for-parenthesis
+    "ab_mann_whitney" ->
+      """WITH p AS (SELECT user_id % 2 AS arm, value AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT v, COUNT(*) AS c,
+        |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT v, c, c1, SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g),
+        |a AS (SELECT
+        |    SUM(CAST(c1 AS HUGEINT) * (2 * CAST(cum AS HUGEINT) - c + 1))
+        |      AS r1x2,
+        |    CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS tie
+        |  FROM r),
+        |u AS (SELECT n1, n, tie,
+        |    CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0
+        |      AS u_stat,
+        |    CAST(n1 AS DOUBLE) * (n - n1) / 12.0 * ((n + 1.0)
+        |      - tie / (CAST(n AS DOUBLE) * (n - 1.0))) AS s2
+        |  FROM a)
+        |SELECT n1 AS n_a_ranked, CAST(n - n1 AS BIGINT) AS n_b_ranked,
+        |  u_stat,
+        |  CASE WHEN n1 > 0 AND n > n1 AND s2 > 0.0 THEN
+        |    round((u_stat - CAST(n1 AS DOUBLE) * (n - n1) / 2.0)
+        |      / sqrt(s2), 6) END AS z_stat
+        |FROM u""".stripMargin,
+
+    // C69: per-user period totals re-narrowed to decimal(18,2) so the
+    // x·x / x·y products stay exact decimal(37,4) in BOTH engines;
+    // θ / effect / ρ² are scalar IEEE evaluations over the exact sums
+    "ab_cuped_effect" ->
+      """WITH p AS (SELECT user_id AS u, CAST(value AS DECIMAL(18,2)) AS v,
+        |    (ts < TIMESTAMP '2024-01-16 00:00:00') AS pre
+        |  FROM events WHERE event_type = 'purchase'),
+        |pu AS (SELECT u,
+        |    CAST(COALESCE(SUM(CASE WHEN pre THEN v END), 0)
+        |      AS DECIMAL(18,2)) AS x,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT pre THEN v END), 0)
+        |      AS DECIMAL(18,2)) AS y,
+        |    CAST(u % 2 AS INT) AS arm
+        |  FROM p GROUP BY u),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN x END) AS DOUBLE) AS sx0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN x END) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN y END) AS DOUBLE) AS sy0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN y END) AS DOUBLE) AS sy1,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM pu),
+        |d AS (SELECT n_users, n0, n1, sx0, sx1, sy0, sy1,
+        |    sxy - (sx0 + sx1) * (sy0 + sy1) / (n0 + n1) AS covxy,
+        |    sxx - (sx0 + sx1) * (sx0 + sx1) / (n0 + n1) AS varx,
+        |    syy - (sy0 + sy1) * (sy0 + sy1) / (n0 + n1) AS vary
+        |  FROM a),
+        |f AS (SELECT *, (n0 > 0 AND n1 > 0 AND varx > 0.0 AND vary > 0.0)
+        |    AS ok, sy1 / n1 - sy0 / n0 AS raw FROM d)
+        |SELECT n_users,
+        |  CASE WHEN ok THEN round(covxy / varx, 6) END AS theta,
+        |  CASE WHEN n0 > 0 AND n1 > 0 THEN round(raw, 6) END AS raw_diff,
+        |  CASE WHEN ok THEN round(raw - covxy / varx
+        |    * (sx1 / n1 - sx0 / n0), 6) END AS adjusted_diff,
+        |  CASE WHEN ok THEN round(covxy * covxy / (varx * vary), 6) END
+        |    AS var_reduction
+        |FROM f""".stripMargin,
+
+    // median + MAD off the same cent-bucket histograms; the flag is an
+    // all-integer compare (dev > 3·mad in buckets) so no double
+    // boundary can diverge; MAD-0 groups flag nothing (mirrored guard)
+    "mad_outliers" -> madOutliersSql,
+    // E24 stream face: merged additive sufficient rows +
+    // the same finisher == the batch query exactly
+    "stream_ab_ttest" -> welchTTestSql,
+    // the E17 stream face flags under stats frozen from the SAME
+    // corpus — a pure per-row decision, so one SQL proves both
+    "stream_robust_flags" -> madOutliersSql,
+
+    // A14: both engines derive the two snapshots the same way; the
+    // digest compare reduces to text equality under the derivation
+    // (sha256 is injective on this corpus), so the oracle compares
+    // the rewritten text directly.
+    "corpus_diff" ->
+      """WITH old AS (SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 11 <> 3),
+        |neu AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT COALESCE(o.source, n.source) AS source,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text <> n.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  COUNT(*) AS n_docs
+        |FROM old o FULL OUTER JOIN neu n
+        |  ON o.doc_id = n.doc_id AND o.source = n.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // A13: the aggregate runs over the ORC round-trip on the Spark
+    // side but over the parquet source here — a hash match proves the
+    // ORC write→read path preserved every row and value.
+    "orc_ingest" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // D12: the oracle recomputes the stats from the pixel/sample
+    // GENERATOR arithmetic (MultimodalQueries.synthImage/synthAudio),
+    // while the Spark side recovers them by DECODING the real
+    // BMP/WAV bytes — a hash match proves the byte-level round-trip.
+    // (range() can't take lateral column args in DuckDB, hence the
+    // join-filter against the max domain size.)
+    "media_decode_image" ->
+      """SELECT d.doc_id,
+        |  CAST(d.doc_id % 6 + 2 AS INTEGER) AS width,
+        |  CAST(d.doc_id % 4 + 2 AS INTEGER) AS height,
+        |  CAST(SUM((d.doc_id*7 + i.i*3) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((d.doc_id*11 + i.i*5) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((d.doc_id*13 + i.i*7) % 256) AS BIGINT) AS sum_b
+        |FROM documents d JOIN range(0, 35) AS i(i)
+        |  ON i.i < (d.doc_id % 6 + 2)*(d.doc_id % 4 + 2)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // D12d: same generator arithmetic as media_decode_image — PNG is
+    // LOSSLESS, so the decode side must recover the identical pixels
+    // through real zlib + the five scanline filters; a hash match is
+    // the byte-exact proof (lossy JPEG can't make this claim and is
+    // spec-pinned instead)
+    "media_decode_png" -> losslessMediaStatsSql,
+
+    // D12e: GIF shares the generator arithmetic — palette-indexed and
+    // LZW is lossless, so the same hash-exact claim holds
+    "media_decode_gif" -> losslessMediaStatsSql,
+
+    // D70: the dHash fingerprints re-derived from the pixel-GENERATOR
+    // arithmetic (the D12 oracle pattern) — grayscale, gradient sign,
+    // 48-bit pack, 4×12-bit banding, xor+popcount verify: every step
+    // exact integers, so the pair set is bit-identical to the Spark
+    // side that got there by decoding real BMP bytes.
+    "media_dedup_phash" ->
+      """WITH hs AS (
+        |  SELECT d.doc_id, CAST(d.doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(d.doc_id % 4 + 2 AS INTEGER) AS h,
+        |    CAST(COALESCE(SUM(CASE WHEN
+        |      ((d.doc_id*7 + (i.i+1)*3) % 256 + (d.doc_id*11 + (i.i+1)*5) % 256
+        |        + (d.doc_id*13 + (i.i+1)*7) % 256) // 3
+        |      > ((d.doc_id*7 + i.i*3) % 256 + (d.doc_id*11 + i.i*5) % 256
+        |        + (d.doc_id*13 + i.i*7) % 256) // 3
+        |      THEN (CAST(1 AS BIGINT) << i.i)
+        |      ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS phash
+        |  FROM documents d JOIN range(0, 34) AS i(i)
+        |    ON i.i < (d.doc_id % 6 + 2)*(d.doc_id % 4 + 2) - 1
+        |  GROUP BY d.doc_id),
+        |bands AS (
+        |  SELECT doc_id, w, h, phash, b.b AS band,
+        |    (phash >> (b.b*12)) & 4095 AS bv
+        |  FROM hs JOIN range(0, 4) AS b(b) ON TRUE),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.phash AS ha, b.phash AS hb
+        |  FROM bands a JOIN bands b ON a.w = b.w AND a.h = b.h
+        |    AND a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // D70b: the audio contour hash from the sample-GENERATOR
+    // arithmetic — the ±2000 offset cancels in the comparison, so the
+    // oracle compares raw mod values; banding/popcount identical to
+    // the image oracle.
+    "media_dedup_audio" ->
+      """WITH hs AS (
+        |  SELECT d.doc_id,
+        |    CAST(8000 + (d.doc_id % 8)*1000 AS INTEGER) AS sr,
+        |    CAST(d.doc_id % 24 + 4 AS INTEGER) AS ns,
+        |    CAST(COALESCE(SUM(CASE WHEN
+        |      (d.doc_id*131 + (i.i+1)*17) % 4001
+        |        > (d.doc_id*131 + i.i*17) % 4001
+        |      THEN (CAST(1 AS BIGINT) << i.i)
+        |      ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS phash
+        |  FROM documents d JOIN range(0, 27) AS i(i)
+        |    ON i.i < d.doc_id % 24 + 3
+        |  GROUP BY d.doc_id),
+        |bands AS (
+        |  SELECT doc_id, sr, ns, phash, b.b AS band,
+        |    (phash >> (b.b*12)) & 4095 AS bv
+        |  FROM hs JOIN range(0, 4) AS b(b) ON TRUE),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.phash AS ha, b.phash AS hb
+        |  FROM bands a JOIN bands b ON a.sr = b.sr AND a.ns = b.ns
+        |    AND a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "media_decode_audio" ->
+      """SELECT d.doc_id,
+        |  CAST(8000 + (d.doc_id % 8)*1000 AS INTEGER) AS sample_rate,
+        |  CAST(d.doc_id % 24 + 4 AS BIGINT) AS n_samples,
+        |  CAST(SUM((d.doc_id*131 + i.i*17) % 4001 - 2000) AS BIGINT) AS sum_amp,
+        |  CAST(MAX(ABS((d.doc_id*131 + i.i*17) % 4001 - 2000)) AS BIGINT) AS peak_amp
+        |FROM documents d JOIN range(0, 28) AS i(i) ON i.i < d.doc_id % 24 + 4
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+  )
+}

@@ -134,6 +134,35 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D12e: GIF decode — each doc's synthetic image round-trips
+    * through the pure-JVM GIF codec ([[graft.sources.GifCodec]]:
+    * palette build, real LZW with variable code widths, sub-block
+    * framing). GIF is lossless (palette-indexed, and these images
+    * have ≤30 distinct colors), so like D12d the face is hash-green
+    * DuckDB-oracled: the oracle recomputes the stats from the
+    * generator arithmetic and a hash match proves every pixel
+    * survived the LZW round-trip byte-exactly.
+    */
+  def mediaDecodeGif(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, px) = synthImage(id)
+        (id, graft.sources.GifCodec.encodeGif(w, h, px))
+      })
+      .toDF("doc_id", "media")
+    Multimodal.extractFeatures(media,
+        decoder = graft.sources.GifCodec.GifStatsDecoder)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        element_at(col("features"), 3).cast("long").as("sum_r"),
+        element_at(col("features"), 4).cast("long").as("sum_g"),
+        element_at(col("features"), 5).cast("long").as("sum_b"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D70: perceptual image near-dup pairs — each doc's synthetic
     * image round-trips through the REAL BMP codec, the decoder emits
     * the 48-bit dHash of the decoded pixels, and

@@ -590,4 +590,114 @@ class MultimodalSpec extends AnyFunSuite {
         s"doc $id sum_r")
     }
   }
+
+  // ---- GIF (D12e) -------------------------------------------------------
+
+  test("GIF round-trip is LOSSLESS incl. LZW width growth, table reset, and w+K") {
+    import graft.sources.GifCodec
+    // single color: the LZW stream is pure w+K special cases
+    val flat = Array.fill(10 * 10)(0x123456)
+    val (fw, fh, fp) = GifCodec.decodeGif(GifCodec.encodeGif(10, 10, flat))
+    assert((fw, fh) == ((10, 10)) && fp.sameElements(flat), "flat image")
+    // 200 distinct colors + repetition: grows code width past 9 bits
+    val w = 64; val h = 64
+    val px = Array.tabulate(w * h)(i => ((i % 200) * 41 + 7) * 65793 & 0xffffff)
+    val (dw, dh, dec) = GifCodec.decodeGif(GifCodec.encodeGif(w, h, px))
+    assert((dw, dh) == ((w, h)) && dec.sameElements(px), "wide-table image")
+    // high-entropy indices keep LZW matches short, so the 14.4k-pixel
+    // stream emits >4096 codes and overflows the table => CLEAR
+    // mid-stream and a rebuilt table
+    val big = Array.tabulate(120 * 120)(i =>
+      (((i * 2654435761L) >>> 24) & 0xff).toInt * 65793 & 0xffffff)
+    val (bw, bh, bp) = GifCodec.decodeGif(GifCodec.encodeGif(120, 120, big))
+    assert((bw, bh) == ((120, 120)) && bp.sameElements(big), "table-reset image")
+    // edge shapes
+    for ((ww, hh) <- Seq((1, 9), (9, 1), (1, 1))) {
+      val p2 = Array.tabulate(ww * hh)(i => (i * 123457) & 0xffffff)
+      val (ow, oh, o) = GifCodec.decodeGif(GifCodec.encodeGif(ww, hh, p2))
+      assert((ow, oh) == ((ww, hh)) && o.sameElements(p2), s"${ww}x$hh")
+    }
+    // exactly 256 colors still fits; 257 must refuse, not quantize
+    val full = Array.tabulate(256)(i => i * 65793 & 0xffffff)
+    val (_, _, f) = GifCodec.decodeGif(GifCodec.encodeGif(16, 16, full))
+    assert(f.sameElements(full))
+    intercept[IllegalArgumentException] {
+      GifCodec.encodeGif(257, 1, Array.tabulate(257)(i => i))
+    }
+  }
+
+  test("GIF cross-decoder: javax.imageio reads our bytes, we read its (incl. interlace)") {
+    import graft.sources.GifCodec
+    val w = 13; val h = 11
+    val px = Array.tabulate(w * h)(i => ((i % 64) * 987 + 13) * 1337 & 0xffffff)
+    // our encoder → ImageIO
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(GifCodec.encodeGif(w, h, px)))
+    assert(img != null, "ImageIO could not parse our GIF")
+    assert(img.getWidth == w && img.getHeight == h)
+    val fromImageIo = Array.tabulate(w * h)(i =>
+      img.getRGB(i % w, i / w) & 0xffffff)
+    assert(fromImageIo.sameElements(px), "ImageIO must see identical pixels")
+    // ImageIO's own GIF writer → our decoder. An explicitly INDEXED
+    // image makes its write lossless (an RGB input could be quantized
+    // to a web palette, which would test its quantizer, not our LZW)
+    val palette = Array.tabulate(64)(k => (k * 987 + 13) * 1337 & 0xffffff)
+    val icm = new java.awt.image.IndexColorModel(8, 64,
+      palette.map(c => ((c >> 16) & 0xff).toByte),
+      palette.map(c => ((c >> 8) & 0xff).toByte),
+      palette.map(c => (c & 0xff).toByte))
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    px.zipWithIndex.foreach { case (p, i) => bi.setRGB(i % w, i / w, p) }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", baos))
+    val (rw, rh, rpx) = GifCodec.decodeGif(baos.toByteArray)
+    assert((rw, rh) == ((w, h)) && rpx.sameElements(px),
+      "our decoder must read ImageIO's GIF89a output")
+    // ImageIO INTERLACED output → our 4-pass reorder
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baosI = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baosI)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    val interBytes = baosI.toByteArray
+    val (iw, ih, ipx) = GifCodec.decodeGif(interBytes)
+    assert((iw, ih) == ((w, h)) && ipx.sameElements(px),
+      "interlaced decode must reorder rows correctly")
+  }
+
+  test("GIF decoder rejects corruption: bad magic, truncation, missing image") {
+    import graft.sources.GifCodec
+    val good = GifCodec.encodeGif(4, 3, Array.tabulate(12)(i => i * 999 & 0xffffff))
+    val badMagic = good.clone(); badMagic(0) = 'P'.toByte
+    intercept[GifCodec.GifFormatException] { GifCodec.decodeGif(badMagic) }
+    intercept[GifCodec.GifFormatException] {
+      GifCodec.decodeGif(good.take(good.length / 2))
+    }
+    // header + immediate trailer: structurally valid, no image
+    val noImage = good.take(13 + 3 * (good(10) & 7 match {
+      case n => 2 << n
+    })) :+ 0x3b.toByte
+    intercept[GifCodec.GifFormatException] { GifCodec.decodeGif(noImage) }
+  }
+
+  test("GIF batched decoder face matches the generator arithmetic") {
+    val out = graft.queries.MultimodalQueries
+      .mediaDecodeGif(spark, sfDir).limit(25).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, px) = graft.queries.MultimodalQueries.synthImage(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"doc $id dims")
+      assert(r.getLong(3) == px.map(p => (p >> 16) & 0xff).map(_.toLong).sum,
+        s"doc $id sum_r")
+      assert(r.getLong(4) == px.map(p => (p >> 8) & 0xff).map(_.toLong).sum,
+        s"doc $id sum_g")
+      assert(r.getLong(5) == px.map(p => p & 0xff).map(_.toLong).sum,
+        s"doc $id sum_b")
+    }
+  }
 }

@@ -45,6 +45,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
   }
 
+  test("the four OracleSql parts are pairwise disjoint (no silent shadowing)") {
+    val parts = Seq("A" -> OracleSqlA.sql, "B" -> OracleSqlB.sql,
+      "C" -> OracleSqlC.sql, "D" -> OracleSqlD.sql)
+    for (Seq((na, a), (nb, b)) <- parts.combinations(2)) {
+      val overlap = a.keySet intersect b.keySet
+      assert(overlap.isEmpty, s"oracle keys in both $na and $nb: $overlap")
+    }
+    assert(SparkEntry.oracleSql.size == parts.map(_._2.size).sum,
+      "concatenated oracle map lost entries")
+  }
+
   test("dashboard_detail: 15 rows, spend ordered desc") {
     val rows = ReferenceQueries_dashboard()
     assert(rows.length == 15)
