@@ -10,6 +10,39 @@ import graft.queries._
   */
 private[graft] object OracleFns {
 
+  /** C82 oracle — mirrors [[graft.operators.AbStats.sprtMonitor]]'s
+    * plan-literal discipline: the ln step constants and Wald bounds
+    * are interpolated as Scala's round-trip double repr, so both
+    * engines multiply the SAME bits.
+    */
+  private[graft] def sprtOracle(p0: Double, p1: Double,
+                                alpha: Double, beta: Double): String = {
+    def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+    val lrConv = d(math.log(p1 / p0))
+    val lrMiss = d(math.log((1 - p1) / (1 - p0)))
+    val upper = d(math.log((1 - beta) / alpha))
+    val lower = d(math.log(beta / (1 - alpha)))
+    val llr = s"round(CAST(cum_k AS DOUBLE) * $lrConv" +
+      s" + CAST(cum_n - cum_k AS DOUBLE) * $lrMiss, 6)"
+    s"""WITH dly AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS trials,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS conversions
+       |  FROM events GROUP BY 1),
+       |c AS (
+       |  SELECT day, trials, conversions,
+       |    CAST(SUM(trials) OVER (ORDER BY day) AS BIGINT) AS cum_n,
+       |    CAST(SUM(conversions) OVER (ORDER BY day) AS BIGINT) AS cum_k
+       |  FROM dly)
+       |SELECT day, trials, conversions, cum_n, cum_k,
+       |  $llr AS llr,
+       |  CASE WHEN $llr >= $upper THEN 'accept_h1'
+       |       WHEN $llr <= $lower THEN 'accept_h0'
+       |       ELSE 'continue' END AS decision
+       |FROM c ORDER BY day""".stripMargin
+  }
+
   /** Shared by the LOSSLESS media-decode keys (`media_decode_png`,
     * `media_decode_gif`): the oracle recomputes the per-image stats
     * from the synthetic-pixel generator arithmetic, so a hash match

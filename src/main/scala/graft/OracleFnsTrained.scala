@@ -104,6 +104,39 @@ private[graft] object OracleFnsTrained {
 
   private[graft] def floatLit(f: Float): String = s"CAST('$f' AS FLOAT)"
 
+  /** D107 oracle — the silhouette replay over the SAME trained
+    * centroids: squared-L2 index-order folds, (dist, cid) rank for
+    * own/second-nearest, micro-unit integer sums per cluster.
+    */
+  private[graft] def silhouetteOracle(cents: Array[Array[Float]]): String =
+    s"""WITH cents AS (
+       |  SELECT * FROM (VALUES
+       |    ${centroidsValues(cents)}) t(cid, cvec)),
+       |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |dist AS (
+       |  SELECT c.id, ct.cid,
+       |    sqrt(list_reduce(list_transform(range(1, 65),
+       |      i -> (CAST(c.vec[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))
+       |         * (CAST(c.vec[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))),
+       |      (x, y) -> x + y)) AS dst
+       |  FROM corpus c CROSS JOIN cents ct),
+       |r AS (
+       |  SELECT id, cid, dst,
+       |    row_number() OVER (PARTITION BY id ORDER BY dst ASC, cid ASC) AS rn
+       |  FROM dist),
+       |ab AS (
+       |  SELECT a.id, a.cid AS own, a.dst AS da, b.dst AS db
+       |  FROM r a JOIN r b ON a.id = b.id AND a.rn = 1 AND b.rn = 2),
+       |s AS (
+       |  SELECT own, CAST(round(
+       |      (CASE WHEN db = 0 THEN 0.0 ELSE (db - da) / db END) * 1000000.0)
+       |    AS BIGINT) AS micro
+       |  FROM ab)
+       |SELECT own AS cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+       |  round(CAST(SUM(micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    / 1000000.0, 6) AS mean_silhouette
+       |FROM s GROUP BY own ORDER BY cid""".stripMargin
+
   private[graft] def centroidsValues(cents: Array[Array[Float]]): String =
     cents.zipWithIndex.map { case (c, i) =>
       s"($i, ${c.map(floatLit).mkString("[", ", ", "]")})"

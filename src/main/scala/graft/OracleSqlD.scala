@@ -566,6 +566,12 @@ private[graft] object OracleSqlD {
     // C74: goodness-of-fit vs the designed 50/50 split reduces to
     // (n_a − n_b)²/N — one IEEE evaluation over exact counts; flag
     // compares the UNROUNDED statistic to the 1-dof 5% critical value
+    // C82: the Wald-bound constants and the per-step ln literals are
+    // the EXACT doubles the Spark plan carries (sprtOracle interpolates
+    // Scala's round-trip repr), so K·ln(...) is bit-identical in both
+    // engines at any cumulative count
+    "ab_sprt_monitor" -> sprtOracle(0.18, 0.22, 0.05, 0.05),
+
     "ab_srm_check" ->
       """WITH c AS (SELECT
         |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)

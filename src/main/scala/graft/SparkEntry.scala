@@ -67,6 +67,7 @@ object SparkEntry {
     "embedding_audit"    -> (VectorQueries.embeddingAudit _),
     "mmr_diversified_topk" -> (VectorQueries.mmrDiversified _),
     "cluster_balanced_sample" -> (VectorQueries.clusterBalancedSample _),
+    "cluster_silhouette" -> (VectorQueries.clusterSilhouette _),
     "semantic_drift"     -> (VectorQueries.semanticDrift _),
     "retrieval_quality_report" -> (VectorQueries.retrievalQualityReport _),
     "events_twap"        -> (WarehouseQueries.eventsTwap _),
@@ -256,6 +257,7 @@ object SparkEntry {
     "rfm_segments"       -> (WarehouseQueries.rfmSegments _),
     "ab_welch_ttest"     -> (WarehouseQueries.welchTTest _),
     "ab_srm_check"       -> (WarehouseQueries.srmCheck _),
+    "ab_sprt_monitor"    -> (WarehouseQueries.sprtMonitor _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>
       WarehouseQueries.jaroWinklerLinks(s, d)),
@@ -389,6 +391,7 @@ object SparkEntry {
     Map(
       "pca_project" -> pcaOracle(pca),
       "ann_ivf_topk" -> ivfOracle(cents, k = 10, nprobe = 2),
+      "cluster_silhouette" -> silhouetteOracle(cents),
       "ann_pq_topk" -> pqOracle(pqBooks, k = 10, poolMult = 4),
       "ann_ivfpq_topk" -> ivfpqOracle(ivfpq, k = 10, nprobe = 2, poolMult = 4),
       "ann_recall_report" -> recallReport,

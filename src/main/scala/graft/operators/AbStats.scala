@@ -525,4 +525,47 @@ object AbStats {
         when(col("__ok"), round(covXY * covXY / (varX * varY), 6))
           .as("var_reduction"))
   }
+
+  /** C82: Wald's sequential probability ratio test over a daily
+    * conversion stream (Wald 1945 — the sequential monitor behind
+    * "peeking-safe" experiment dashboards): H0 p=p0 vs H1 p=p1 on the
+    * per-event conversion indicator, the log-likelihood ratio
+    * accumulated in EVENT-TIME day order, with the decision read
+    * against the exact Wald bounds A = ln((1−β)/α), B = ln(β/(1−α)).
+    * Unlike the fixed-horizon C66 readout, the curve is valid at
+    * every interim look — crossing A ends the run early.
+    *
+    * Scale shape: ONE corpus scan collapses to per-day (trials,
+    * conversions) — aggregate-sized, bounded by the calendar — then
+    * both cumulatives ride the distributed [[PrefixSum]] and the LLR
+    * is one codegen expression per day. The ln constants are computed
+    * ONCE driver-side and enter the plan as literals (the oracle
+    * embeds the same literals, so K·ln(...) is bit-identical in both
+    * engines at any K — no last-ulp drift scaled by a million-count).
+    */
+  def sprtMonitor(df: DataFrame, day: Column, converted: Column,
+                  p0: Double, p1: Double,
+                  alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"need distinct rates in (0,1), got p0=$p0 p1=$p1")
+    val lrConv = math.log(p1 / p0)           // per-conversion LLR step
+    val lrMiss = math.log((1 - p1) / (1 - p0)) // per-non-conversion step
+    val upper = math.log((1 - beta) / alpha)
+    val lower = math.log(beta / (1 - alpha))
+    val daily = df.groupBy(day.as("day"))
+      .agg(count(lit(1)).as("trials"),
+        sum(when(converted, 1L).otherwise(0L)).as("conversions"))
+    val cum = PrefixSum.runningSum(
+      PrefixSum.runningSum(daily, col("day"), col("trials"), "cum_n"),
+      col("day"), col("conversions"), "cum_k")
+    val llr = col("cum_k").cast("double") * lit(lrConv) +
+      (col("cum_n") - col("cum_k")).cast("double") * lit(lrMiss)
+    cum.select(col("day"), col("trials"), col("conversions"),
+        col("cum_n"), col("cum_k"),
+        round(llr, 6).as("llr"),
+        when(round(llr, 6) >= lit(upper), "accept_h1")
+          .when(round(llr, 6) <= lit(lower), "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy(col("day"))
+  }
 }

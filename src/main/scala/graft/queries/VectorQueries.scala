@@ -379,6 +379,53 @@ object VectorQueries {
       .orderBy(col("id"))
   }
 
+  /** D107: clustering-quality audit — per-cluster simplified
+    * silhouette over the SAME session-trained IVF codebook the ANN
+    * keys probe (medoid variant: a = distance to own centroid, b =
+    * distance to the nearest OTHER centroid, s = (b−a)/max(a,b) —
+    * the linear-time silhouette every large-scale clustering report
+    * uses, since the exact pairwise form is O(n²) by definition).
+    * A cluster whose mean s collapses toward 0 is overlapping its
+    * neighbor — the signal that the codebook needs retraining before
+    * IVF recall degrades.
+    *
+    * Scale shape: the 16 per-centroid distance folds are pure
+    * per-row column algebra (no explode, no shuffle — the centroid
+    * matrix is a plan literal), argmin/second-min read off one
+    * 16-element `array_sort`, and the only exchange is the
+    * aggregate-sized groupBy(cid). Determinism: index-order fold +
+    * IEEE sqrt/divide per row, micro-unit integer sums across rows
+    * (see [[graft.functions.Num]] — a double sum across a cluster
+    * would be shuffle-order dependent).
+    */
+  def clusterSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = graft.operators.IvfIndex.trainCached(
+      s"embeddings:$dir", c, "vec", "id", k = 16, dim = 64)
+    val distStructs = cents.zipWithIndex.map { case (cv, j) =>
+      val cl = array(cv.map(v => lit(v.toDouble)): _*)
+      struct(
+        sqrt(aggregate(
+          zip_with(col("vec"), cl,
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v)).as("dst"),
+        lit(j).as("cid"))
+    }
+    val sorted = array_sort(array(distStructs: _*))
+    val a = element_at(sorted, 1).getField("dst")
+    val own = element_at(sorted, 1).getField("cid")
+    val b = element_at(sorted, 2).getField("dst")
+    val sRaw = when(b === 0.0, lit(0.0)).otherwise((b - a) / b)
+    c.select(own.as("cid"),
+        round(sRaw * 1000000.0).cast("long").as("__micro"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_points"), sum(col("__micro")).as("__sm"))
+      .select(col("cid"), col("n_points"),
+        round(col("__sm").cast("double") / col("n_points").cast("double")
+          / 1000000.0, 6).as("mean_silhouette"))
+      .orderBy(col("cid"))
+  }
+
   def embeddingAudit(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"),
         size(col("embedding")).as("dim"),

@@ -1230,6 +1230,20 @@ object WarehouseQueries {
       .orderBy(col("t"))
   }
 
+  /** C82: Wald SPRT sequential monitor — the daily purchase-conversion
+    * LLR curve against H0 p=0.18 vs H1 p=0.22 at α=β=0.05 (see
+    * [[graft.operators.AbStats.sprtMonitor]]): the peeking-safe
+    * always-valid decision curve the fixed-horizon C66 readout can't
+    * give. One scan → calendar-bounded day frame → PrefixSum
+    * cumulatives → codegen LLR.
+    */
+  def sprtMonitor(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.sprtMonitor(
+      Tables.events(spark, dir),
+      date_trunc("day", col("ts")).cast("date"),
+      col("event_type") === "purchase",
+      p0 = 0.18, p1 = 0.22)
+
   /** C74: sample-ratio-mismatch guardrail — the user_id-parity
     * assignment checked against its designed 50/50 split before any
     * metric test is trusted. See [[graft.operators.AbStats]].

@@ -514,4 +514,44 @@ class AbStatsSpec extends AnyFunSuite {
     assert(ro.getAs[Long]("cp_step") === 7L)
     assert(ro.getAs[Double]("cusum_stat") === 0.0)
   }
+
+  test("SPRT: cumulative LLR matches a driver recompute; Wald bounds trip the decision") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // day 1: 10 trials 1 conv; day 2: 20/10; day 3: 30/12
+    val rows =
+      (1 to 10).map(i => (ts(1), i <= 1)) ++
+      (1 to 20).map(i => (ts(2), i <= 10)) ++
+      (1 to 30).map(i => (ts(3), i <= 12))
+    val df = rows.toDF("t", "conv")
+    val out = graft.operators.AbStats.sprtMonitor(df,
+        org.apache.spark.sql.functions.date_trunc("day",
+          org.apache.spark.sql.functions.col("t")).cast("date"),
+        org.apache.spark.sql.functions.col("conv"),
+        p0 = 0.2, p1 = 0.4, alpha = 0.05, beta = 0.05)
+      .collect()
+    assert(out.length == 3)
+    val c1 = math.log(0.4 / 0.2); val c2 = math.log(0.6 / 0.8)
+    val up = math.log(0.95 / 0.05); val lo = math.log(0.05 / 0.95)
+    val cum = Seq((10L, 1L), (30L, 11L), (60L, 23L))
+    out.zip(cum).foreach { case (r, (n, k)) =>
+      assert(r.getAs[Long]("cum_n") == n && r.getAs[Long]("cum_k") == k)
+      val want = BigDecimal(k * c1 + (n - k) * c2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("llr") == want, s"llr day ${r.get(0)}")
+      val dec = if (want >= up) "accept_h1"
+        else if (want <= lo) "accept_h0" else "continue"
+      assert(r.getAs[String]("decision") == dec)
+    }
+    // a one-sided stream must cross the H1 bound
+    val hot = (1 to 40).map(i => (ts(1 + i % 3), i % 2 == 0)).toDF("t", "conv")
+    val dec = graft.operators.AbStats.sprtMonitor(hot,
+        org.apache.spark.sql.functions.date_trunc("day",
+          org.apache.spark.sql.functions.col("t")).cast("date"),
+        org.apache.spark.sql.functions.col("conv"),
+        p0 = 0.1, p1 = 0.5, alpha = 0.05, beta = 0.05)
+      .collect().last.getAs[String]("decision")
+    assert(dec == "accept_h1", "50% conversions vs H0=10% must accept H1")
+  }
 }

@@ -589,4 +589,38 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
     assert(got.toList == sel, s"got=${got.toList}\nwant=$sel")
   }
+
+  test("cluster silhouette matches a driver recompute over the cached codebook") {
+    import SparkTestSession._
+    val corpus = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").as("vec"))
+    val cents = graft.operators.IvfIndex.trainCached(
+      s"embeddings:$sfDir", corpus, "vec", "id", k = 16, dim = 64)
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dist(v: Array[Float], c: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { val d = v(i).toDouble - c(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    val per = rows.map { case (_, v) =>
+      val ds = cents.zipWithIndex.map { case (c, j) => (dist(v, c), j) }.sorted
+      val (a, own) = ds(0); val (b, _) = ds(1)
+      val s = if (b == 0.0) 0.0 else (b - a) / b
+      (own, BigDecimal(s * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val want = per.groupBy(_._1).map { case (cid, xs) =>
+      val sum = xs.map(_._2).sum
+      (cid, xs.length.toLong,
+        BigDecimal(sum.toDouble / xs.length / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.VectorQueries.clusterSilhouette(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+    // every point lands in exactly one cluster
+    assert(got.map(_._2).sum == rows.length)
+  }
 }
