@@ -22,6 +22,54 @@ private[graft] object OracleSqlA {
     "shortest_paths" -> ssspOracle(4),
     "kcore_layers" -> kcoreOracle(2, 9),
     "markov_attribution" -> markovOracle(12),
+
+    // C83: the exact 16-coalition Shapley replay — masks of channels
+    // touched strictly before the first purchase (ROW comparison =
+    // the same (ts, event_id) total order), v(S) as subset sums, the
+    // |S|!(n-1-|S|)!-weighted marginals kept INTEGER (×4! = 24) until
+    // the final divides. Channel bits in sorted-name order: click=1,
+    // error=2, signup=4, view=8.
+    "shapley_attribution" ->
+      """WITH fc AS (
+        |  SELECT user_id AS u, min(row(ts, event_id)) AS conv_at
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |tch AS (
+        |  SELECT f.u,
+        |    max(CASE WHEN e.event_type = 'click'  THEN 1 ELSE 0 END) * 1
+        |  + max(CASE WHEN e.event_type = 'error'  THEN 1 ELSE 0 END) * 2
+        |  + max(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END) * 4
+        |  + max(CASE WHEN e.event_type = 'view'   THEN 1 ELSE 0 END) * 8 AS m
+        |  FROM fc f JOIN events e ON e.user_id = f.u
+        |    AND row(e.ts, e.event_id) < f.conv_at
+        |  GROUP BY 1),
+        |cnt AS (
+        |  SELECT COALESCE(t.m, 0) AS m, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM fc f LEFT JOIN tch t ON t.u = f.u GROUP BY 1),
+        |coal AS (SELECT i AS s FROM range(0, 16) r(i)),
+        |v AS (
+        |  SELECT s, CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS v
+        |  FROM coal LEFT JOIN cnt ON (m & (15 - s)) = 0 GROUP BY s),
+        |ch AS (SELECT * FROM (VALUES
+        |  ('click', 1), ('error', 2), ('signup', 4), ('view', 8))
+        |  c(channel, bit)),
+        |terms AS (
+        |  SELECT ch.channel,
+        |    CAST(SUM((CASE bit_count(coal.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |              WHEN 2 THEN 2 ELSE 6 END)
+        |      * (vi.v - vs.v)) AS BIGINT) AS phi24
+        |  FROM ch JOIN coal ON (coal.s & ch.bit) = 0
+        |  JOIN v vs ON vs.s = coal.s
+        |  JOIN v vi ON vi.s = coal.s + ch.bit
+        |  GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT v FROM v WHERE s = 15) - (SELECT v FROM v WHERE s = 0)
+        |  AS tot)
+        |SELECT channel,
+        |  round(CAST(phi24 AS DOUBLE) / 24.0, 6) AS shapley,
+        |  CASE WHEN tot > 0
+        |    THEN round(CAST(phi24 AS DOUBLE) / 24.0 / CAST(tot AS DOUBLE), 6)
+        |  END AS share
+        |FROM terms CROSS JOIN tot ORDER BY channel""".stripMargin,
     // C58: exact-integer supports; total (support DESC, u, v) order
     // makes the LIMIT boundary engine-independent
     // C60: co-counts are C58's integers; the cosine is one

@@ -90,6 +90,7 @@ object SparkEntry {
     "shortest_paths"     -> (WarehouseQueries.shortestPathCost _),
     "kcore_layers"       -> (WarehouseQueries.kcoreLayers _),
     "markov_attribution" -> (WarehouseQueries.markovAttribution _),
+    "shapley_attribution" -> (WarehouseQueries.shapleyAttribution _),
     "frequent_pairs"     -> (WarehouseQueries.frequentPairs _),
     "window_running_sum" -> (RelationalQueries.windowRunningSum _),
     "semi_join_exists"   -> (RelationalQueries.semiJoinExists _),

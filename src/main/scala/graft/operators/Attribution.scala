@@ -155,4 +155,89 @@ object Attribution {
       (c, r, share)
     }.toDF("channel", "removal_micro", "share")
   }
+
+  /** C83: exact Shapley-value attribution (Shapley 1953, the
+    * coalition-game credit behind "data-driven attribution" in every
+    * major ads platform) — the game-theoretic counterpart to C57's
+    * removal effect: v(S) = conversions among users who touched ONLY
+    * channels in S before converting, and channel i earns
+    * φ_i = Σ_{S ⊆ N∖{i}} |S|!·(n−|S|−1)!/n! · [v(S∪{i}) − v(S)].
+    * Exact (not sampled) because n = |channels| is small — the 2ⁿ
+    * coalition table is aggregate-sized by construction.
+    *
+    * Scale shape: ONE per-user aggregation collapses the corpus to a
+    * 2ⁿ-row (mask, conversions) frame; v(S), the marginals, and the
+    * weighted sum are joins over ≤ 2ⁿ·2ⁿ literal-range rows — never
+    * corpus-sized. Exactness: weights scale by n! so every term is
+    * INTEGER; the published shapley/share are one IEEE divide each.
+    *
+    * Efficiency axiom as a built-in audit: Σφ_i = v(N) − v(∅)
+    * (conversions with no prior touch earn nobody credit).
+    */
+  def shapley(events: DataFrame, userCol: String, tsCol: String,
+              tieCol: String, typeCol: String, convType: String,
+              channels: Seq[String]): DataFrame = {
+    val n = channels.distinct.length
+    require(n == channels.length && n >= 1 && n <= 8,
+      s"need 1..8 distinct channels, got $channels")
+    val sorted = channels.sorted
+    val spark = events.sparkSession
+    // factorial weights ×n! — exact integers
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val wBySize = (0 until n).map(s => fact(s) * fact(n - s - 1))
+    // first conversion per user under the (ts, tie) total order
+    val u = col(userCol)
+    val firstConv = events.filter(col(typeCol) === convType)
+      .groupBy(u.as("__u"))
+      .agg(min(struct(col(tsCol), col(tieCol))).as("__conv_at"))
+    // mask of channels touched STRICTLY before the first conversion
+    val bits = sorted.zipWithIndex.map { case (c, i) =>
+      max(when(col(typeCol) === c, 1L).otherwise(0L)) * (1L << i)
+    }
+    val masks = events.join(firstConv, u === col("__u"))
+      .filter(struct(col(tsCol), col(tieCol)) < col("__conv_at"))
+      .groupBy(col("__u")).agg(bits.reduce(_ + _).as("__m"))
+    // converters with NO prior touch fall out of the strict filter —
+    // re-join so they land in mask 0 (they fund v(∅), earning nobody
+    // credit, which is what keeps Σφ = v(N) − v(∅) honest)
+    val cnt = firstConv.join(masks, Seq("__u"), "left")
+      .select(coalesce(col("__m"), lit(0L)).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+    val full = (1L << n) - 1
+    val coal = spark.range(1L << n).select(col("id").as("s"))
+    // v(S) = conversions whose touched set ⊆ S
+    val v = coal.join(cnt,
+      (col("m").bitwiseAND(lit(full) - col("s"))) === 0L, "left")
+      .groupBy(col("s")).agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
+    val vCut = Materialize.cut(v) // 2ⁿ rows, read n+2 times below
+    val chan = sorted.zipWithIndex
+      .map { case (c, i) => (c, 1L << i) }
+      .foldLeft(Option.empty[DataFrame]) { case (acc, (c, b)) =>
+        val df = spark.range(1).select(lit(c).as("channel"), lit(b).as("bit"))
+        Some(acc.map(_.unionByName(df)).getOrElse(df))
+      }.get
+    val wExpr = wBySize.zipWithIndex.foldLeft(lit(0L)) { case (acc, (w, s)) =>
+      when(bit_count(col("s")) === s, lit(w)).otherwise(acc)
+    }
+    val terms = chan
+      .join(coal, col("s").bitwiseAND(col("bit")) === 0L)
+      .join(vCut.as("vs"), Seq("s"))
+      .join(vCut.select(col("s").as("__si"), col("v").as("vi")),
+        (col("s") + col("bit")) === col("__si"))
+      .groupBy(col("channel"))
+      .agg(sum(wExpr * (col("vi") - col("v"))).as("phi_nfact"))
+    val total = vCut.filter(col("s") === full)
+      .select(col("v").as("__vn"))
+      .crossJoin(vCut.filter(col("s") === 0L).select(col("v").as("__v0")))
+      .select((col("__vn") - col("__v0")).as("__tot"))
+    terms.crossJoin(broadcast(total))
+      .select(col("channel"),
+        round(col("phi_nfact").cast("double") / lit(fact(n).toDouble), 6)
+          .as("shapley"),
+        when(col("__tot") > 0L,
+          round(col("phi_nfact").cast("double")
+            / lit(fact(n).toDouble) / col("__tot").cast("double"), 6))
+          .as("share"))
+      .orderBy(col("channel"))
+  }
 }

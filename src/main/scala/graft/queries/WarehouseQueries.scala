@@ -841,6 +841,18 @@ object WarehouseQueries {
         channelsHint = Some(Seq("click", "error", "signup", "view")))
       .orderBy(col("channel"))
 
+  /** C83: exact Shapley-value attribution over the same journeys as
+    * C57 — v(S) = conversions among users who touched only channels
+    * in S strictly before their first purchase; 4 channels → the
+    * exact 16-coalition game (see
+    * [[graft.operators.Attribution.shapley]]).
+    */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Attribution.shapley(
+      Tables.events(spark, dir), userCol = "user_id", tsCol = "ts",
+      tieCol = "event_id", typeCol = "event_type", convType = "purchase",
+      channels = Seq("click", "error", "signup", "view"))
+
   /** D46: TF-IDF cosine retrieval over the corpus, same query terms as
     * [[bm25Search]] so the two rankers are directly comparable (see
     * [[graft.operators.TextRank.tfidfTopK]] for the full-vocabulary-

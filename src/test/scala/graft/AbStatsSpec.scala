@@ -554,4 +554,27 @@ class AbStatsSpec extends AnyFunSuite {
       .collect().last.getAs[String]("decision")
     assert(dec == "accept_h1", "50% conversions vs H0=10% must accept H1")
   }
+
+  test("Shapley attribution: 2-channel hand game, efficiency axiom, strict-before cut") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1: a→conv; u2: b→conv; u3: a,b→conv; u4: conv untouched;
+    // u5: a, never converts; u6: a AT the conversion instant with a
+    // LATER event_id — must NOT count (strictly-before cut)
+    val ev = Seq(
+      (1L, "a", t(1), 1L), (1L, "conv", t(2), 2L),
+      (2L, "b", t(1), 3L), (2L, "conv", t(2), 4L),
+      (3L, "a", t(1), 5L), (3L, "b", t(2), 6L), (3L, "conv", t(3), 7L),
+      (4L, "conv", t(1), 8L),
+      (5L, "a", t(1), 9L),
+      (6L, "conv", t(5), 10L), (6L, "a", t(5), 11L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = graft.operators.Attribution.shapley(ev, "user_id", "ts",
+        "event_id", "event_type", "conv", channels = Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // v(∅)=2 (u4,u6), v({a})=3, v({b})=3, v(N)=5; n=2 weights ×2 {1,1}:
+    // φ_a = ((3−2)+(5−3))/2 = 1.5 = φ_b; shares 0.5/0.5
+    assert(out.toSeq == Seq(("a", 1.5, 0.5), ("b", 1.5, 0.5)), out.toSeq)
+  }
 }
