@@ -395,6 +395,15 @@ private[graft] object OracleSqlC {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 
+    // E3: the upserted table is each user's latest event under the
+    // (ts, event_id) total order — the keep-latest the merge applies
+    "stream_upsert_latest" ->
+      """SELECT user_id, event_id, event_type, ts, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
     // Same constants at planes=8 with the 1-bit multi-probe: a pair is
     // a candidate iff its sign signatures differ in <= 1 bit
     // (bit_count(xor(...))), then the exact cosine fold decides.

@@ -355,6 +355,30 @@ object StreamFaces {
       .orderBy(col("doc_id"))
   }
 
+  /** E3 as a gated key: the continuous upsert sink run to completion
+    * over events arriving as a file stream — each micro-batch merges
+    * into the lake table keyed by user_id, within-batch winner = max
+    * (ts, event_id), so the final table is each user's LATEST event.
+    * The bounded source arrives as ONE batch (single file), making the
+    * read face exactly the keep-latest over the whole table — the
+    * max-(ts, event_id) oracle; cross-batch ON-CONFLICT semantics
+    * (later load wins, the reference's weekly-upsert contract) stay
+    * pinned by StreamingSpec.
+    */
+  def streamUpsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_up")
+    val ev = graft.streaming.EventsStream.readEvents(spark, dir)
+    val q = graft.streaming.StreamingUpsert.start(
+      ev, keys = Seq("user_id"), versionCol = "ts",
+      tiebreak = Seq("event_id"),
+      tablePath = s"$base/table", checkpoint = s"$base/ckpt")
+    q.awaitTermination()
+    spark.read.parquet(s"$base/table")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
   /** E14 as a gated key: the streaming PSI drift monitor run to
     * completion — reference histogram frozen from the first half of
     * the corpus (source number < 10, the batch `corpus_drift` split),
