@@ -95,7 +95,7 @@ object Bench {
     // map lives in bench.json only.
     val fTotal = math.round(total * 1000.0) / 1000.0
     val compact =
-      s"""{"metric":"total","value":$fTotal,"unit":"sec","nqueries":${results.size},"sf":"$sfDir","n":$runs,"stat":"median","detail":"bench.json"}"""
+      s"""{"metric":"total","value":$fTotal,"unit":"sec","nqueries":${results.size},"sf":"$sfDir","n":$runs,"stat":"median","detail":"${new java.io.File(outPath).getName}"}"""
     spark.stop()
     System.out.println(compact)
     System.out.flush()

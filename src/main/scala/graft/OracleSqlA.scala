@@ -23,6 +23,33 @@ private[graft] object OracleSqlA {
     "kcore_layers" -> kcoreOracle(2, 9),
     "markov_attribution" -> markovOracle(12),
 
+    // C84: S, m, and the tie term are exact integers; the only doubles
+    // are the final sqrt/divide — one IEEE evaluation in each engine
+    "mann_kendall_trend" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |s AS (SELECT CAST(COALESCE(SUM(CASE WHEN b.n > a.n THEN 1
+        |    WHEN b.n < a.n THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+        |  FROM d a JOIN d b ON a.day < b.day),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM d),
+        |t AS (SELECT CAST(COALESCE(SUM(t*(t-1)*(2*t+5)), 0) AS BIGINT)
+        |    AS tie_term
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d
+        |        GROUP BY n HAVING COUNT(*) > 1)),
+        |j AS (SELECT s_stat, m, m*(m-1)*(2*m+5) - tie_term AS var18
+        |  FROM s, m, t),
+        |z AS (SELECT *, CASE WHEN var18 <= 0 THEN NULL
+        |    ELSE (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |          ELSE 0.0 END)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0) END AS zv FROM j)
+        |SELECT m AS n_steps, s_stat, var18, round(zv, 6) AS z_stat,
+        |  CASE WHEN zv IS NULL THEN 'undefined'
+        |       WHEN round(zv, 6) > 1.96 THEN 'increasing'
+        |       WHEN round(zv, 6) < -1.96 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM z""".stripMargin,
+
     // C83: the exact 16-coalition Shapley replay — masks of channels
     // touched strictly before the first purchase (ROW comparison =
     // the same (ts, event_id) total order), v(S) as subset sums, the

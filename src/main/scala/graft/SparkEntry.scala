@@ -91,6 +91,7 @@ object SparkEntry {
     "kcore_layers"       -> (WarehouseQueries.kcoreLayers _),
     "markov_attribution" -> (WarehouseQueries.markovAttribution _),
     "shapley_attribution" -> (WarehouseQueries.shapleyAttribution _),
+    "mann_kendall_trend" -> (WarehouseQueries.mannKendallTrend _),
     "frequent_pairs"     -> (WarehouseQueries.frequentPairs _),
     "window_running_sum" -> (RelationalQueries.windowRunningSum _),
     "semi_join_exists"   -> (RelationalQueries.semiJoinExists _),

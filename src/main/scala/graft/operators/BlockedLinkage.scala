@@ -57,10 +57,12 @@ object BlockedLinkage {
     require(window >= 1, s"window must be >= 1, got $window")
     val p = df.select(col(id).as("__id"), col(value).as("__val"),
       block.as("__blk"))
-    val sizes = p.groupBy(col("__blk")).agg(count(lit(1)).as("__n"))
-    // one size-join, cut so the four legs below don't re-run it; the
-    // cut frame is |df| rows × 4 narrow cols
-    val tagged = Materialize.cut(p.join(sizes, Seq("__blk")))
+    // cut the AGGREGATE-sized block-size frame only (one row per
+    // block) — materializing the tagged corpus itself would be the
+    // 100-TB hazard; the legs below re-run the cheap scan + size join
+    val sizes = Materialize.cut(
+      p.groupBy(col("__blk")).agg(count(lit(1)).as("__n")))
+    val tagged = p.join(sizes, Seq("__blk"))
 
     val small = tagged.filter(col("__n") <= maxBlock)
       .select(col("__blk"), col("__id"), col("__val"))

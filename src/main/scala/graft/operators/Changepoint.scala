@@ -63,4 +63,49 @@ object Changepoint {
           .as("mean_level"),
         col("__d").as("n_steps")): _*)
   }
+
+  /** C84: Mann–Kendall trend test (Mann 1945 / Kendall 1975 — the
+    * standard nonparametric monotone-trend monitor, WMO-recommended
+    * for environmental series and the right alarm for "is this metric
+    * drifting" when CUSUM's single-shift model doesn't fit): S =
+    * Σ_{i<j} sgn(x_j − x_i) over the step-ordered series, the
+    * tie-corrected variance 18·Var(S) = m(m−1)(2m+5) − Σ_t t(t−1)(2t+5)
+    * kept as an exact INTEGER, and the continuity-corrected
+    * z = (S ∓ 1)/√Var read against the 1.96 two-sided line.
+    *
+    * Scale shape: the corpus collapses to the step-domain series
+    * (aggregate-sized, calendar-bounded) in one scan; the pairwise S
+    * self-join is m² over THAT frame, never corpus rows. S, m, and
+    * the tie term are exact integers — the only doubles are the final
+    * sqrt/divide, one IEEE evaluation each.
+    */
+  def mannKendall(series: DataFrame, step: Column,
+                  value: Column): DataFrame = {
+    val v = series.select(step.as("__s"), value.cast("long").as("__x"))
+    val s = v.as("a").join(v.as("b"), col("a.__s") < col("b.__s"))
+      .agg(coalesce(sum(signum(
+          col("b.__x").cast("double") - col("a.__x").cast("double"))
+        .cast("long")), lit(0L)).as("s_stat"))
+    val m = v.agg(count(lit(1)).as("m"))
+    val ties = v.groupBy(col("__x")).agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1L)
+      .agg(coalesce(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)),
+        lit(0L)).as("tie_term"))
+    val joined = s.crossJoin(m).crossJoin(ties)
+      .withColumn("var18",
+        col("m") * (col("m") - 1L) * (lit(2L) * col("m") + 5L)
+          - col("tie_term"))
+    val z = when(col("var18") <= 0L, lit(null).cast("double"))
+      .otherwise(
+        when(col("s_stat") > 0L, (col("s_stat") - 1L).cast("double"))
+          .when(col("s_stat") < 0L, (col("s_stat") + 1L).cast("double"))
+          .otherwise(lit(0.0))
+        / sqrt(col("var18").cast("double") / lit(18.0)))
+    joined.select(col("m").as("n_steps"), col("s_stat"), col("var18"),
+      round(z, 6).as("z_stat"),
+      when(z.isNull, "undefined")
+        .when(round(z, 6) > 1.96, "increasing")
+        .when(round(z, 6) < -1.96, "decreasing")
+        .otherwise("no_trend").as("trend"))
+  }
 }

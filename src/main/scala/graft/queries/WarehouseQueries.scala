@@ -841,6 +841,18 @@ object WarehouseQueries {
         channelsHint = Some(Seq("click", "error", "signup", "view")))
       .orderBy(col("channel"))
 
+  /** C84: Mann–Kendall monotone-trend test over the daily event
+    * volume — the drift alarm for "is this metric trending" where
+    * C70's CUSUM assumes a single level shift (see
+    * [[graft.operators.Changepoint.mannKendall]]).
+    */
+  def mannKendallTrend(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Changepoint.mannKendall(
+      Tables.events(spark, dir)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n")),
+      col("day"), col("n"))
+
   /** C83: exact Shapley-value attribution over the same journeys as
     * C57 — v(S) = conversions among users who touched only channels
     * in S strictly before their first purchase; 4 channels → the

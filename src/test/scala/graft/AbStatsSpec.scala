@@ -555,6 +555,29 @@ class AbStatsSpec extends AnyFunSuite {
     assert(dec == "accept_h1", "50% conversions vs H0=10% must accept H1")
   }
 
+  test("Mann-Kendall: monotone, tied, and constant hand series") {
+    import spark.implicits._
+    import graft.operators.Changepoint
+    def run(xs: Seq[Long]) = Changepoint.mannKendall(
+      xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("step", "x"),
+      col("step"), col("x")).head
+    // strictly increasing, m=5: S=10, var18=5*4*15=300,
+    // z=(10-1)/sqrt(300/18)
+    val inc = run(Seq(1L, 2L, 3L, 4L, 5L))
+    assert(inc.getAs[Long]("s_stat") == 10L && inc.getAs[Long]("var18") == 300L)
+    assert(inc.getAs[Double]("z_stat") == d6(9.0 / math.sqrt(300.0 / 18.0)))
+    assert(inc.getAs[String]("trend") == "increasing")
+    // one tie group t=2: S=5, var18 = 4*3*13 - 2*1*9 = 138
+    val tied = run(Seq(1L, 2L, 2L, 3L))
+    assert(tied.getAs[Long]("s_stat") == 5L && tied.getAs[Long]("var18") == 138L)
+    assert(tied.getAs[String]("trend") == "no_trend")
+    // constant series: the tie term consumes the whole variance
+    val const = run(Seq(7L, 7L, 7L))
+    assert(const.getAs[Long]("var18") == 0L)
+    assert(const.isNullAt(const.fieldIndex("z_stat")))
+    assert(const.getAs[String]("trend") == "undefined")
+  }
+
   test("Shapley attribution: 2-channel hand game, efficiency axiom, strict-before cut") {
     import spark.implicits._
     import java.sql.Timestamp
