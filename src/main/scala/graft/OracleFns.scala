@@ -43,6 +43,28 @@ private[graft] object OracleFns {
        |FROM c ORDER BY day""".stripMargin
   }
 
+  /** Shared by `events_session_window` and its E2 stream face — the
+    * sentinel-flushed bounded stream drops nothing, so the emitted
+    * sessions equal the batch gap decomposition exactly.
+    */
+  private[graft] val sessionWindowSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts - lag(ts) OVER w > INTERVAL 4 HOUR
+      |         THEN 1 ELSE 0 END AS flag
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, SUM(flag) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM e)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 4 HOUR AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Shared by the LOSSLESS media-decode keys (`media_decode_png`,
     * `media_decode_gif`): the oracle recomputes the per-image stats
     * from the synthetic-pixel generator arithmetic, so a hash match

@@ -434,23 +434,8 @@ private[graft] object OracleSqlB {
     // an event at EXACTLY prev_ts + gap still merges (sessions split
     // only at diff > gap) — the same boundary as C8's lag
     // formulation; start = first ts, end = last ts + gap (exclusive).
-    "events_session_window" ->
-      """WITH e AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR ts - lag(ts) OVER w > INTERVAL 4 HOUR
-        |         THEN 1 ELSE 0 END AS flag
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT user_id, ts, SUM(flag) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM e)
-        |SELECT user_id, MIN(ts) AS session_start,
-        |  MAX(ts) + INTERVAL 4 HOUR AS session_end,
-        |  COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
+    "events_session_window" -> sessionWindowSql,
+    "stream_session_windows" -> sessionWindowSql,
 
     "events_windowed_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

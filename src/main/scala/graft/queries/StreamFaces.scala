@@ -355,6 +355,47 @@ object StreamFaces {
       .orderBy(col("doc_id"))
   }
 
+  /** E2 as a gated key: stateful session windows run to completion —
+    * the events file stream unioned with a far-future SENTINEL event
+    * (its own single-file source), so the watermark marches past
+    * every real session's end and append mode flushes them all; the
+    * sentinel's own open session never emits and its user id is
+    * filtered from the read face. This is the production recipe for
+    * draining event-time state at end-of-stream (a terminal
+    * high-watermark record); the oracle is the batch C8b twin's SQL
+    * verbatim because no real event is ever late (the bounded source
+    * arrives ahead of any watermark movement).
+    */
+  def streamSessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = scratch("graft_stream_sw")
+    val epiDir = new java.io.File(s"$base/epi")
+    val tmp = new java.io.File(s"$base/epi_tmp")
+    Seq((-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
+        -1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(tmp.getAbsolutePath)
+    epiDir.mkdirs()
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(epiDir, "events.parquet").toPath)
+    val stream = graft.streaming.EventsStream.readEvents(spark, dir)
+      .unionByName(graft.streaming.EventsStream
+        .readEvents(spark, epiDir.getAbsolutePath))
+    val q = graft.streaming.EventsStream
+      .sessionWindowAgg(stream, gap = "4 hours", watermarkDelay = "1 hour")
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/out")
+      .filter(col("user_id") >= 0L)
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** E3 as a gated key: the continuous upsert sink run to completion
     * over events arriving as a file stream — each micro-batch merges
     * into the lake table keyed by user_id, within-batch winner = max
