@@ -1457,6 +1457,26 @@ private[graft] object OracleFns {
       |s AS (SELECT doc_id, COUNT(*) AS nt, SUM(lnS) AS sl
       |      FROM lp GROUP BY doc_id)""".stripMargin
 
+  /** Shared by `perplexity_filter` and the E12 stream gate's
+    * threshold derivation: the bigram CE pipeline + the per-language
+    * exact-integer 70% rank cut (rounded score, id tiebreak).
+    */
+  private[graft] val perplexityFilterSql: String =
+    s"""WITH $bigramCeCtes,
+      |ce AS (
+      |  SELECT d.doc_id, d.lang,
+      |    COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE)) AS cross_entropy
+      |  FROM documents d LEFT JOIN s USING (doc_id)),
+      |rk AS (
+      |  SELECT doc_id, lang, cross_entropy,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY cross_entropy, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM ce)
+      |SELECT doc_id, lang, cross_entropy,
+      |  (rn <= CAST(ceil(n * 0.7) AS BIGINT)) AS kept
+      |FROM rk ORDER BY doc_id""".stripMargin
+
   /** KN oracle CTEs (D37c): continuation/context tables off the shared
     * `pc` pair counts, and the three-branch interpolated score
     * mirroring [[graft.operators.LanguageModel.trainKneserNey]]'s

@@ -95,21 +95,19 @@ private[graft] object OracleSqlC {
     // Perplexity filter: the bigram CE pipeline above + a per-language
     // exact-integer rank cut on the rounded score (id tiebreak), so
     // both engines place the 70% boundary identically.
-    "perplexity_filter" ->
-      s"""WITH $bigramCeCtes,
-        |ce AS (
-        |  SELECT d.doc_id, d.lang,
-        |    COALESCE(round(-sl / nt, 6), CAST(0 AS DOUBLE)) AS cross_entropy
-        |  FROM documents d LEFT JOIN s USING (doc_id)),
-        |rk AS (
-        |  SELECT doc_id, lang, cross_entropy,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY cross_entropy, doc_id) AS rn,
-        |    COUNT(*) OVER (PARTITION BY lang) AS n
-        |  FROM ce)
-        |SELECT doc_id, lang, cross_entropy,
-        |  (rn <= CAST(ceil(n * 0.7) AS BIGINT)) AS kept
-        |FROM rk ORDER BY doc_id""".stripMargin,
+    "perplexity_filter" -> perplexityFilterSql,
+
+    // E12: thresholds derived from the same replay (max kept CE per
+    // language), the <= rule applied identically — boundary ties are
+    // defined the same way in both engines
+    "stream_perplexity_gate" ->
+      s"""WITH pf AS (${perplexityFilterSql.replace("ORDER BY doc_id", "")}),
+        |thr AS (SELECT lang, max(cross_entropy) AS max_ce
+        |        FROM pf WHERE kept GROUP BY lang)
+        |SELECT p.doc_id, p.lang, p.cross_entropy
+        |FROM pf p JOIN thr t
+        |  ON p.lang = t.lang AND p.cross_entropy <= t.max_ce
+        |ORDER BY p.doc_id""".stripMargin,
 
     // D74: exact 30-char windows on both sides, joined on the gram
     // string — pure substring algebra identical in ANSI SQL (the

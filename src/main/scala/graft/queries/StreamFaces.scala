@@ -396,6 +396,39 @@ object StreamFaces {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** E12 as a gated key: the continuous perplexity quality gate run
+    * to completion — per-language cross-entropy thresholds FROZEN
+    * from the batch D47 quota cut (the worst kept score), then the
+    * documents arrive as a file stream and each admits iff its CE
+    * under the SAME frozen LM is within its language's threshold: a
+    * STATELESS plan (plan-literal LM fold + one ≤|langs| broadcast
+    * join). The oracle derives the thresholds from the
+    * `perplexity_filter` replay and applies the same ≤ rule, so
+    * boundary ties are defined identically in both engines.
+    */
+  def streamPerplexityGate(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_pg")
+    val docs = Tables.documents(spark, dir)
+    val lm = graft.operators.LanguageModel.trainBigram(docs, "text", topK = 64)
+    graft.streaming.StreamingScoreFilter.saveThresholds(
+      graft.streaming.StreamingScoreFilter.thresholds(
+        graft.queries.TextQueries.perplexityFilter(spark, dir)),
+      s"$base/thr")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = graft.streaming.StreamingScoreFilter.filtered(
+        stream, lm, spark.read.parquet(s"$base/thr"))
+      .select(col("doc_id"), col("lang"), col("cross_entropy"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/out").orderBy(col("doc_id"))
+  }
+
   /** E3 as a gated key: the continuous upsert sink run to completion
     * over events arriving as a file stream — each micro-batch merges
     * into the lake table keyed by user_id, within-batch winner = max
