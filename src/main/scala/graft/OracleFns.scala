@@ -65,6 +65,42 @@ private[graft] object OracleFns {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Shared by `quality_classifier` and the E16 stream gate's
+    * threshold derivation: the log-odds token model replay.
+    */
+  private[graft] val qualityClassifierSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, (source = 'src0') AS pos,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |cnt AS (SELECT w, COUNT(*) AS c,
+      |    COUNT(*) FILTER (pos) AS cp FROM tok GROUP BY w),
+      |top AS (SELECT w, cp, c - cp AS cn FROM cnt ORDER BY c DESC, w LIMIT 128),
+      |tot AS (SELECT
+      |    CAST(COALESCE((SELECT SUM(cp) FROM cnt), 0)
+      |      + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS denp,
+      |    CAST(COALESCE((SELECT SUM(c - cp) FROM cnt), 0)
+      |      + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS denn),
+      |bias AS (SELECT
+      |    ln(CAST((SELECT COUNT(*) FILTER (source = 'src0')
+      |             FROM documents) + 1 AS DOUBLE))
+      |  - ln(CAST((SELECT COUNT(*) FILTER (source <> 'src0')
+      |             FROM documents) + 1 AS DOUBLE)) AS b),
+      |lp AS (
+      |  SELECT t.doc_id,
+      |    COALESCE(ln(CAST(tp.cp + 1 AS DOUBLE) / denp)
+      |           - ln(CAST(tp.cn + 1 AS DOUBLE) / denn),
+      |      ln(1.0 / denp) - ln(1.0 / denn)) AS wt
+      |  FROM tok t LEFT JOIN top tp USING (w), tot),
+      |s AS (SELECT doc_id, COUNT(*) AS nt, SUM(wt) AS sw
+      |      FROM lp GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(nt, 0) AS INTEGER) AS n_tokens,
+      |  round(b + COALESCE(sw, 0.0), 6) AS margin,
+      |  round(b + COALESCE(sw, 0.0), 6) > 0 AS predicted
+      |FROM documents d LEFT JOIN s USING (doc_id), bias
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Shared by the LOSSLESS media-decode keys (`media_decode_png`,
     * `media_decode_gif`): the oracle recomputes the per-image stats
     * from the synthetic-pixel generator arithmetic, so a hash match

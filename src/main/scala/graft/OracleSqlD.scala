@@ -117,38 +117,21 @@ private[graft] object OracleSqlD {
     // double-sum reorder absorbed by the 6-dp rounding (the LM
     // oracle argument). `predicted` compares the ROUNDED margin, so
     // the boolean is a function of the already-hash-checked value.
-    "quality_classifier" ->
-      """WITH tok AS (
-        |  SELECT doc_id, (source = 'src0') AS pos,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS w
-        |  FROM documents WHERE len(trim(text)) > 0),
-        |cnt AS (SELECT w, COUNT(*) AS c,
-        |    COUNT(*) FILTER (pos) AS cp FROM tok GROUP BY w),
-        |top AS (SELECT w, cp, c - cp AS cn FROM cnt ORDER BY c DESC, w LIMIT 128),
-        |tot AS (SELECT
-        |    CAST(COALESCE((SELECT SUM(cp) FROM cnt), 0)
-        |      + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS denp,
-        |    CAST(COALESCE((SELECT SUM(c - cp) FROM cnt), 0)
-        |      + (SELECT COUNT(*) FROM top) + 1 AS DOUBLE) AS denn),
-        |bias AS (SELECT
-        |    ln(CAST((SELECT COUNT(*) FILTER (source = 'src0')
-        |             FROM documents) + 1 AS DOUBLE))
-        |  - ln(CAST((SELECT COUNT(*) FILTER (source <> 'src0')
-        |             FROM documents) + 1 AS DOUBLE)) AS b),
-        |lp AS (
-        |  SELECT t.doc_id,
-        |    COALESCE(ln(CAST(tp.cp + 1 AS DOUBLE) / denp)
-        |           - ln(CAST(tp.cn + 1 AS DOUBLE) / denn),
-        |      ln(1.0 / denp) - ln(1.0 / denn)) AS wt
-        |  FROM tok t LEFT JOIN top tp USING (w), tot),
-        |s AS (SELECT doc_id, COUNT(*) AS nt, SUM(wt) AS sw
-        |      FROM lp GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(nt, 0) AS INTEGER) AS n_tokens,
-        |  round(b + COALESCE(sw, 0.0), 6) AS margin,
-        |  round(b + COALESCE(sw, 0.0), 6) > 0 AS predicted
-        |FROM documents d LEFT JOIN s USING (doc_id), bias
-        |ORDER BY d.doc_id""".stripMargin,
+    "quality_classifier" -> qualityClassifierSql,
+
+    // E16: model + quota cut + threshold re-derived from the same
+    // replay; the >= rule applied identically in both engines
+    "stream_classifier_gate" ->
+      s"""WITH qc AS (${qualityClassifierSql.replace("ORDER BY d.doc_id", "")}),
+        |rk AS (
+        |  SELECT doc_id, margin,
+        |    row_number() OVER (ORDER BY margin DESC, doc_id) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM qc),
+        |thr AS (SELECT min(margin) AS t FROM rk
+        |        WHERE rn <= CAST(ceil(n * 0.5) AS BIGINT))
+        |SELECT q.doc_id, q.margin FROM qc q, thr
+        |WHERE q.margin >= t ORDER BY q.doc_id""".stripMargin,
 
     // D55: fixed 64-char windows, stride 48; chunk count =
     // (max(0, n-64) + 47) DIV 48 + 1 — positive integer division, so

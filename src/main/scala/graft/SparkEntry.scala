@@ -198,6 +198,7 @@ object SparkEntry {
     "stream_upsert_latest" -> (StreamFaces.streamUpsertLatest _),
     "stream_session_windows" -> (StreamFaces.streamSessionWindows _),
     "stream_perplexity_gate" -> (StreamFaces.streamPerplexityGate _),
+    "stream_classifier_gate" -> (StreamFaces.streamClassifierGate _),
     "stream_mixture_gate" -> (StreamFaces.streamMixtureGate _),
     "stream_boilerplate_strip" -> (StreamFaces.streamBoilerplateStrip _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),

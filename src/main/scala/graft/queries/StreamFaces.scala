@@ -429,6 +429,37 @@ object StreamFaces {
     spark.read.parquet(s"$base/out").orderBy(col("doc_id"))
   }
 
+  /** E16 as a gated key: the continuous classifier-margin gate run to
+    * completion — the log-odds model trains ONCE on the reference
+    * corpus, the admission threshold freezes from the batch 50% quota
+    * cut (the worst kept margin), and each arriving doc admits iff
+    * margin ≥ threshold: stateless (plan-literal weight map + one
+    * codegen fold per row). The oracle re-derives model, cut, and
+    * threshold from the `quality_classifier` replay and applies the
+    * same ≥ rule, so boundary ties are defined identically.
+    */
+  def streamClassifierGate(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_cg")
+    val docs = Tables.documents(spark, dir)
+    val m = graft.operators.QualityClassifier.train(
+      docs, "text", col("source") === "src0")
+    val thr = graft.streaming.StreamingClassifierGate.threshold(
+      graft.streaming.StreamingClassifierGate.batchCut(docs, m,
+        keepRate = 0.5))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = graft.streaming.StreamingClassifierGate.filtered(stream, m, thr)
+      .select(col("doc_id"), col("margin"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/out").orderBy(col("doc_id"))
+  }
+
   /** E3 as a gated key: the continuous upsert sink run to completion
     * over events arriving as a file stream — each micro-batch merges
     * into the lake table keyed by user_id, within-batch winner = max
