@@ -482,26 +482,8 @@ private[graft] object OracleSqlA {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin,
 
-    "funnel_steps" ->
-      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events),
-        |q0 AS (SELECT *, CASE WHEN event_type = 'view' THEN ts END AS c0 FROM e),
-        |w0 AS (SELECT *, MIN(c0) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS saw0 FROM q0),
-        |q1 AS (SELECT *, CASE WHEN event_type = 'click' AND saw0 IS NOT NULL
-        |         AND ts <= saw0 + INTERVAL 4 HOUR THEN ts END AS c1 FROM w0),
-        |w1 AS (SELECT *, MIN(c1) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS saw1 FROM q1),
-        |q2 AS (SELECT *, CASE WHEN event_type = 'purchase' AND saw1 IS NOT NULL
-        |         AND ts <= saw1 + INTERVAL 4 HOUR THEN ts END AS c2 FROM w1)
-        |SELECT step, stage, users FROM (
-        |  SELECT 1 AS step, 'view' AS stage,
-        |    COUNT(DISTINCT CASE WHEN c0 IS NOT NULL THEN user_id END) AS users FROM q2
-        |  UNION ALL SELECT 2, 'click',
-        |    COUNT(DISTINCT CASE WHEN c1 IS NOT NULL THEN user_id END) FROM q2
-        |  UNION ALL SELECT 3, 'purchase',
-        |    COUNT(DISTINCT CASE WHEN c2 IS NOT NULL THEN user_id END) FROM q2
-        |) ORDER BY step""".stripMargin,
-
+    "funnel_steps" -> funnelStepsSql,
+    "stream_funnel_steps" -> funnelStepsSql,
     "bucketed_join" ->
       """SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))

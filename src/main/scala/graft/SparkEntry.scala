@@ -199,6 +199,7 @@ object SparkEntry {
     "stream_session_windows" -> (StreamFaces.streamSessionWindows _),
     "stream_perplexity_gate" -> (StreamFaces.streamPerplexityGate _),
     "stream_classifier_gate" -> (StreamFaces.streamClassifierGate _),
+    "stream_funnel_steps" -> (StreamFaces.streamFunnelSteps _),
     "stream_mixture_gate" -> (StreamFaces.streamMixtureGate _),
     "stream_boilerplate_strip" -> (StreamFaces.streamBoilerplateStrip _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),

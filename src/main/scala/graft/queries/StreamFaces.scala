@@ -460,6 +460,48 @@ object StreamFaces {
     spark.read.parquet(s"$base/out").orderBy(col("doc_id"))
   }
 
+  /** E18 as a gated key: the continuous ordered funnel run to
+    * completion — the fMGWS tracker folds each user's events in
+    * (ts, event_id) order and emits each first-touch stage completion
+    * the moment it happens; the bounded single-file source arrives in
+    * one batch, so every fold is over in-order history and the hit
+    * set equals the batch C21 funnel exactly. The read face
+    * aggregates the per-user hits to (step, stage, users) —
+    * `funnel_steps`' SQL verbatim. Cross-batch straggler semantics
+    * stay StreamingSpec-pinned.
+    */
+  def streamFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = scratch("graft_stream_fn")
+    val ev = graft.streaming.EventsStream.readEvents(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[graft.streaming.EventsStream.Event]
+    val q = graft.streaming.StreamingFunnel
+      .funnel(ev, Seq("view", "click", "purchase"),
+        gapSeconds = Some(4 * 3600L))
+      .toDF()
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // a stage nobody reached still reports (users = 0), matching the
+    // batch face's fixed stage list
+    val stageRows = Seq("view", "click", "purchase").zipWithIndex
+      .map { case (s, i) => (i + 1, s) }.toDF("step", "stage")
+    stageRows.join(
+        spark.read.parquet(s"$base/out")
+          .groupBy(col("step"), col("stage"))
+          .agg(count(lit(1)).as("__u")),
+        Seq("step", "stage"), "left")
+      .select(col("step"), col("stage"),
+        coalesce(col("__u"), lit(0L)).as("users"))
+      .orderBy(col("step"))
+  }
+
   /** E3 as a gated key: the continuous upsert sink run to completion
     * over events arriving as a file stream — each micro-batch merges
     * into the lake table keyed by user_id, within-batch winner = max
