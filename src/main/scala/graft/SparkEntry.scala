@@ -200,6 +200,7 @@ object SparkEntry {
     "stream_perplexity_gate" -> (StreamFaces.streamPerplexityGate _),
     "stream_classifier_gate" -> (StreamFaces.streamClassifierGate _),
     "stream_funnel_steps" -> (StreamFaces.streamFunnelSteps _),
+    "stream_dp_release" -> (StreamFaces.streamDpRelease _),
     "stream_mixture_gate" -> (StreamFaces.streamMixtureGate _),
     "stream_boilerplate_strip" -> (StreamFaces.streamBoilerplateStrip _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),
@@ -395,7 +396,40 @@ object SparkEntry {
     val pca = graft.operators.Pca.trainCached(
       s"embeddings-pca:$sfDir", corpus, "vec", "id", dim = 64,
       components = 4)
+    // E19: the per-cell noise hash embedded like ann_lsh's hyperplane
+    // signs (aggregate-sized: one row per (day, type) cell); counts,
+    // the u-derivation, the inverse Laplace CDF, and rounding are
+    // recomputed independently in SQL
+    val dpCells = {
+      import org.apache.spark.sql.functions._
+      graft.sources.Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)))
+        .select(unix_micros(col("w.start")).as("us"), col("event_type"))
+        .withColumn("h", xxhash64(lit(42L), col("us"), col("event_type")))
+        .collect()
+        .map(r => s"(make_timestamp(${r.getLong(0)}), '${r.getString(1)}', " +
+          s"${java.lang.Long.toUnsignedString(r.getLong(2))})")
+        .mkString(",\n    ")
+    }
+    val dpReleaseSql =
+      s"""WITH hs AS (SELECT * FROM (VALUES
+         |    $dpCells) t(window_start, event_type, hu)),
+         |c AS (
+         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         |    event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+         |  FROM events GROUP BY 1, 2),
+         |u AS (
+         |  SELECT c.window_start, c.event_type, c.n_true,
+         |    (CAST(hu // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0 AS uu
+         |  FROM c JOIN hs USING (window_start, event_type))
+         |SELECT window_start, event_type, n_true,
+         |  ROUND(CAST(n_true AS DOUBLE) + CASE WHEN uu < 0.5
+         |    THEN 1.0 * ln(2.0 * uu)
+         |    ELSE -1.0 * ln(2.0 * (1.0 - uu)) END, 6) AS noisy_count
+         |FROM u ORDER BY window_start, event_type""".stripMargin
     Map(
+      "stream_dp_release" -> dpReleaseSql,
       "pca_project" -> pcaOracle(pca),
       "ann_ivf_topk" -> ivfOracle(cents, k = 10, nprobe = 2),
       "cluster_silhouette" -> silhouetteOracle(cents),

@@ -39,6 +39,29 @@ object StreamFaces {
     dir.toFile.getAbsolutePath
   }
 
+  /** One far-future sentinel event written as its own single-file
+    * events source — unioned into a bounded stream it marches the
+    * watermark past every real window/session so append-mode state
+    * flushes (the production end-of-stream drain recipe). The
+    * sentinel's own state never closes and its rows are filtered from
+    * read faces (negative user id / its event_type).
+    */
+  private def sentinelEventsDir(spark: SparkSession, base: String,
+                                eventType: String = "view"): String = {
+    import spark.implicits._
+    val dir = new java.io.File(s"$base/epi")
+    val tmp = new java.io.File(s"$base/epi_tmp")
+    Seq((-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
+        -1L, eventType, 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(tmp.getAbsolutePath)
+    dir.mkdirs()
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir, "events.parquet").toPath)
+    dir.getAbsolutePath
+  }
+
   /** E23 as a gated key: the continuously-maintained bootstrap CI,
     * run to completion over the documents table arriving as a file
     * stream, then read back through the SAME finisher as D82 — the
@@ -367,21 +390,10 @@ object StreamFaces {
     * arrives ahead of any watermark movement).
     */
   def streamSessionWindows(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val base = scratch("graft_stream_sw")
-    val epiDir = new java.io.File(s"$base/epi")
-    val tmp = new java.io.File(s"$base/epi_tmp")
-    Seq((-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
-        -1L, "view", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.parquet(tmp.getAbsolutePath)
-    epiDir.mkdirs()
-    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-    java.nio.file.Files.move(part.toPath,
-      new java.io.File(epiDir, "events.parquet").toPath)
     val stream = graft.streaming.EventsStream.readEvents(spark, dir)
       .unionByName(graft.streaming.EventsStream
-        .readEvents(spark, epiDir.getAbsolutePath))
+        .readEvents(spark, sentinelEventsDir(spark, base)))
     val q = graft.streaming.EventsStream
       .sessionWindowAgg(stream, gap = "4 hours", watermarkDelay = "1 hour")
       .writeStream.format("parquet")
@@ -524,6 +536,31 @@ object StreamFaces {
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("ts"), col("value"))
       .orderBy(col("user_id"))
+  }
+
+  /** E19 as a gated key: the continuously-published DP count release
+    * run to completion — tumbling daily windows of per-type counts,
+    * Laplace noise keyed on the (window, type) cell identity, APPEND
+    * output so each cell releases exactly once when the watermark
+    * closes its window (the only emission discipline under which the
+    * per-cell ε holds); the sentinel event drains the final windows.
+    * The oracle (rendered at Verify time) embeds the per-cell 64-bit
+    * hash exactly as `ann_lsh_topk` embeds its hyperplane signs —
+    * counts, the u-derivation, the Laplace inverse CDF, and rounding
+    * are all recomputed INDEPENDENTLY in SQL.
+    */
+  def streamDpRelease(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_dpr")
+    val stream = graft.streaming.EventsStream.readEvents(spark, dir)
+      .unionByName(graft.streaming.EventsStream.readEvents(spark,
+        sentinelEventsDir(spark, base, eventType = "__sentinel__")))
+    val q = graft.streaming.StreamingDp.release(
+      stream, s"$base/out", s"$base/ckpt",
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    spark.read.parquet(s"$base/out")
+      .filter(col("event_type") =!= "__sentinel__")
+      .orderBy(col("window_start"), col("event_type"))
   }
 
   /** E14 as a gated key: the streaming PSI drift monitor run to
