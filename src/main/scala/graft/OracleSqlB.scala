@@ -722,38 +722,8 @@ private[graft] object OracleSqlB {
     // probability is ~2e-4 per pair, and dedup_minhash_lsh's row count
     // equals the exact pair count) — so the engine's LSH + verify + CC
     // equals this exact transitive-closure formulation.
-    "dedup_incremental" ->
-      """WITH RECURSIVE
-        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
-        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
-        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM t),
-        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
-        |pairs AS (
-        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c,
-        |    any_value(a.n) AS na, any_value(b.n) AS nb
-        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
-        |  GROUP BY 1, 2),
-        |edges AS (SELECT ida, idb FROM pairs
-        |  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8),
-        |inedges AS (SELECT ida, idb FROM edges WHERE ida % 2 = 1 AND idb % 2 = 1),
-        |und AS (SELECT ida AS src, idb AS dst FROM inedges
-        |  UNION ALL SELECT idb, ida FROM inedges),
-        |reach AS (
-        |  SELECT src, dst FROM und
-        |  UNION
-        |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
-        |comp AS (
-        |  SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS label
-        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        |  WHERE d.doc_id % 2 = 1 GROUP BY d.doc_id),
-        |tainted AS (
-        |  SELECT DISTINCT CASE WHEN ida % 2 = 1 THEN ida ELSE idb END AS doc_id
-        |  FROM edges WHERE (ida % 2) + (idb % 2) = 1),
-        |bad AS (SELECT DISTINCT c.label FROM comp c JOIN tainted x ON x.doc_id = c.doc_id)
-        |SELECT c.doc_id, d.n_chars FROM comp c
-        |JOIN documents d ON d.doc_id = c.doc_id
-        |WHERE c.doc_id = c.label AND c.label NOT IN (SELECT label FROM bad)
-        |ORDER BY c.doc_id""".stripMargin,
+    "dedup_incremental" -> dedupIncrementalSql,
+    "stream_corpus_admission" -> dedupIncrementalSql,
 
     // SimHash, end to end in portable SQL: XXH64 over each distinct
     // shingle's bytes (the general short-input path — word/4-byte/byte

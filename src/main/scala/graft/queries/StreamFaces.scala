@@ -563,6 +563,38 @@ object StreamFaces {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** E9 as a gated key: the continuous corpus-admission loop run to
+    * completion — the lake corpus seeded with the EVEN documents (+
+    * the persisted band index, exactly the production cold-import
+    * path), the ODD documents arriving as a file stream; each batch
+    * screens against corpus + itself and the admitted rows append to
+    * corpus and index. With the bounded single-batch source this is
+    * `Dedup.admitIncremental(even, odd)` verbatim, so the read face
+    * (the corpus's new rows) shares `dedup_incremental`'s oracle SQL.
+    * Multi-batch ordering/restart semantics stay StreamingSpec-pinned.
+    */
+  def streamCorpusAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_ad")
+    val docs = Tables.documents(spark, dir)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    even.write.parquet(s"$base/corpus")
+    graft.operators.Dedup.saveBandIndex(
+      graft.operators.Dedup.bandIndex(even, "text", "doc_id"),
+      s"$base/index")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") % 2 === 1)
+    val q = graft.streaming.StreamingAdmission.start(
+      stream, "text", "doc_id", s"$base/corpus", s"$base/index",
+      s"$base/ckpt", threshold = 0.8, trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    spark.read.parquet(s"$base/corpus")
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E14 as a gated key: the streaming PSI drift monitor run to
     * completion — reference histogram frozen from the first half of
     * the corpus (source number < 10, the batch `corpus_drift` split),
