@@ -886,6 +886,51 @@ private[graft] object OracleSqlD {
     // 48-bit pack, 4×12-bit banding, xor+popcount verify: every step
     // exact integers, so the pair set is bit-identical to the Spark
     // side that got there by decoding real BMP bytes.
+
+    // E20: fingerprints replayed from the generator arithmetic (the
+    // D12/D70 oracle pattern); the admission rule — taint a whole
+    // within-batch component if ANY member sits within hamming<=2 of
+    // an indexed (even) asset, admit the min-id representative of
+    // clean components — closes over the near-dup graph via a
+    // recursive CTE (UNION dedup terminates the fixpoint).
+    "stream_media_gate" ->
+      """WITH RECURSIVE hs AS (
+        |  SELECT d.doc_id, CAST(d.doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(d.doc_id % 4 + 2 AS INTEGER) AS h,
+        |    CAST(COALESCE(SUM(CASE WHEN
+        |      ((d.doc_id*7 + (i.i+1)*3) % 256 + (d.doc_id*11 + (i.i+1)*5) % 256
+        |        + (d.doc_id*13 + (i.i+1)*7) % 256) // 3
+        |      > ((d.doc_id*7 + i.i*3) % 256 + (d.doc_id*11 + i.i*5) % 256
+        |        + (d.doc_id*13 + i.i*7) % 256) // 3
+        |      THEN (CAST(1 AS BIGINT) << i.i)
+        |      ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS phash
+        |  FROM documents d JOIN range(0, 34) AS i(i)
+        |    ON i.i < (d.doc_id % 6 + 2)*(d.doc_id % 4 + 2) - 1
+        |  GROUP BY d.doc_id),
+        |odd AS (SELECT * FROM hs WHERE doc_id % 2 = 1),
+        |ev AS (SELECT * FROM hs WHERE doc_id % 2 = 0),
+        |taint AS (
+        |  SELECT DISTINCT o.doc_id FROM odd o JOIN ev e
+        |  ON o.w = e.w AND o.h = e.h
+        |    AND bit_count(xor(o.phash, e.phash)) <= 2),
+        |edges AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib FROM odd a JOIN odd b
+        |  ON a.w = b.w AND a.h = b.h AND a.doc_id <> b.doc_id
+        |    AND bit_count(xor(a.phash, b.phash)) <= 2),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM odd
+        |  UNION
+        |  SELECT reach.id, edges.ib FROM reach JOIN edges
+        |    ON edges.ia = reach.r),
+        |comp AS (SELECT id, min(r) AS canon FROM reach GROUP BY id),
+        |bad AS (SELECT DISTINCT c.canon FROM comp c
+        |        JOIN taint t ON t.doc_id = c.id),
+        |adm AS (SELECT id FROM comp WHERE id = canon
+        |        AND canon NOT IN (SELECT canon FROM bad))
+        |SELECT o.doc_id, o.w AS width, o.h AS height, o.phash
+        |FROM odd o JOIN adm ON adm.id = o.doc_id
+        |ORDER BY o.doc_id""".stripMargin,
+
     "media_dedup_phash" ->
       """WITH hs AS (
         |  SELECT d.doc_id, CAST(d.doc_id % 6 + 2 AS INTEGER) AS w,

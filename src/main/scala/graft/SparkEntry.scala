@@ -202,6 +202,7 @@ object SparkEntry {
     "stream_funnel_steps" -> (StreamFaces.streamFunnelSteps _),
     "stream_dp_release" -> (StreamFaces.streamDpRelease _),
     "stream_corpus_admission" -> (StreamFaces.streamCorpusAdmission _),
+    "stream_media_gate" -> (StreamFaces.streamMediaGate _),
     "stream_mixture_gate" -> (StreamFaces.streamMixtureGate _),
     "stream_boilerplate_strip" -> (StreamFaces.streamBoilerplateStrip _),
     "text_blocklist"     -> (TextQueries.textBlocklist _),

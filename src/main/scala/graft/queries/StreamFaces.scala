@@ -595,6 +595,43 @@ object StreamFaces {
       .orderBy(col("doc_id"))
   }
 
+  /** E20 as a gated key: the streaming media ingestion gate run to
+    * completion — the fingerprint index seeded with the EVEN docs'
+    * assets (decode → dHash, the production cold-import path), the
+    * ODD docs' assets arriving as a stream (payloads synthesized
+    * per-row from the D12 generator, exactly like the batch media
+    * keys); each batch decodes ONCE, screens against the index +
+    * itself (taint-whole-component, min-id representative) and
+    * admitted assets append to the lake. The Verify-time oracle
+    * replays fingerprints from the generator arithmetic and the
+    * admission rule via a recursive-CTE component closure.
+    */
+  def streamMediaGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = scratch("graft_stream_mg")
+    def toMedia(ids: org.apache.spark.sql.Dataset[Long]) =
+      ids.mapPartitions(_.map { id =>
+        val (w, h, px) = MultimodalQueries.synthImage(id)
+        (id, graft.sources.MediaCodecs.encodeBmp(w, h, px))
+      }).toDF("doc_id", "media")
+    val even = toMedia(Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0).select(col("doc_id")).as[Long])
+    graft.streaming.StreamingMediaGate.fingerprint(even)
+      .select(col("width"), col("height"), col("phash"))
+      .write.parquet(s"$base/index")
+    val stream = toMedia(
+      spark.readStream.schema(Tables.documents(spark, dir).schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id")).as[Long])
+    val q = graft.streaming.StreamingMediaGate.start(
+      stream, "doc_id", s"$base/assets", s"$base/index", s"$base/ckpt",
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    spark.read.parquet(s"$base/assets").orderBy(col("doc_id"))
+  }
+
   /** E14 as a gated key: the streaming PSI drift monitor run to
     * completion — reference histogram frozen from the first half of
     * the corpus (source number < 10, the batch `corpus_drift` split),
