@@ -878,7 +878,10 @@ object ScaleProbe {
         java.nio.file.Files.move(part.toPath,
           new java.io.File(d, name).toPath)
       }
-      writeSingle(docs, "documents.parquet")
+      // faces read the real documents schema; recompute the length
+      // column the amplified frame drops
+      writeSingle(docs.withColumn("n_chars", length(col("text")).cast("long")),
+        "documents.parquet")
       writeSingle(graft.sources.Tables.events(spark, dir)
         .crossJoin(copies)
         .select((col("event_id") * mult + col("copy")).as("event_id"),
@@ -898,6 +901,20 @@ object ScaleProbe {
     }
     t("stream_mixture_gate") {
       graft.queries.StreamFaces.streamMixtureGate(spark, streamDir).count()
+    }
+    t("stream_session_windows") {
+      // the STATEFUL face at volume: state = open sessions (per-user
+      // gap windows), drained by the sentinel at end-of-stream
+      graft.queries.StreamFaces.streamSessionWindows(spark, streamDir).count()
+    }
+    t("stream_funnel_steps") {
+      // fMGWS state = one fixed-size record per live user
+      graft.queries.StreamFaces.streamFunnelSteps(spark, streamDir).count()
+    }
+    t("stream_corpus_admission") {
+      // lake-as-state admission: screen cost ∝ batch + candidates,
+      // index grows by the admitted docs only
+      graft.queries.StreamFaces.streamCorpusAdmission(spark, streamDir).count()
     }
     t("png_decode") {
       // per-row encode + inflate + unfilter; pure map, zero exchanges
