@@ -542,6 +542,7 @@ private[graft] object OracleSqlA {
     "bootstrap_quality_ci" -> bootstrapOracle(200, 0.025),
     // the streaming face must land on the EXACT batch bits — one SQL
     "stream_bootstrap_ci" -> bootstrapOracle(200, 0.025),
+    "stream_multibatch_ci" -> bootstrapOracle(200, 0.025),
 
     "dedup_weighted_jaccard" -> icwsOracle(32),
 

@@ -184,6 +184,7 @@ object SparkEntry {
     "bootstrap_quality_ci" -> (TextQueries.bootstrapQualityCi _),
     // E23 run to completion as a bounded file stream — same oracle
     "stream_bootstrap_ci" -> (StreamFaces.streamBootstrapCi _),
+    "stream_multibatch_ci" -> (StreamFaces.streamMultibatchCi _),
     // E11 / E14 run to completion the same way — additive per-batch
     // rows make the read faces ≡ their batch twins exactly
     "stream_quality_totals" -> (StreamFaces.streamQualityTotals _),

@@ -62,6 +62,46 @@ object StreamFaces {
     dir.getAbsolutePath
   }
 
+  /** E23's MULTI-BATCH variant as a gated key: the documents table
+    * split into three files + `maxFilesPerTrigger=1`, so the stream
+    * runs THREE genuine micro-batches — each appends its replica
+    * cells to its own batch_id partition and the read face merges
+    * them. This puts the cross-batch additive-merge path itself under
+    * the DuckDB hash gate (the single-batch faces prove the plan; the
+    * spec's batch-split pins move to the oracle here): per-(doc,
+    * replica) Poisson weights depend only on the doc id, so the three
+    * partial cell sets sum to the identical cells one batch would
+    * produce, and the oracle is `bootstrap_quality_ci`'s SQL verbatim.
+    */
+  def streamMultibatchCi(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_mb")
+    val src = new java.io.File(s"$base/src"); src.mkdirs()
+    val docs = Tables.documents(spark, dir)
+    // three single-file slices by doc_id mod 3 (any split works — the
+    // cells are additive; mod keeps the slices deterministic)
+    (0 to 2).foreach { k =>
+      val tmp = new java.io.File(s"$base/tmp$k")
+      docs.filter(pmod(col("doc_id"), lit(3)) === k)
+        .coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(src, s"slice$k.parquet").toPath)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.getAbsolutePath)
+    val quality = round(graft.functions.TextFunctions
+      .qualityScore(col("text")) * 1000000.0).cast("long")
+    val q = graft.streaming.StreamingBootstrap.start(
+      stream, col("doc_id"), quality, s"$base/cells", s"$base/ckpt",
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val batches = spark.read.parquet(s"$base/cells")
+      .select(col("batch_id")).distinct().count()
+    require(batches == 3, s"expected 3 micro-batches, saw $batches")
+    graft.streaming.StreamingBootstrap.ciToDate(spark, s"$base/cells")
+  }
+
   /** E23 as a gated key: the continuously-maintained bootstrap CI,
     * run to completion over the documents table arriving as a file
     * stream, then read back through the SAME finisher as D82 — the
