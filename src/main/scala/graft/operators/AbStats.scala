@@ -552,9 +552,11 @@ object AbStats {
     val lrMiss = math.log((1 - p1) / (1 - p0)) // per-non-conversion step
     val upper = math.log((1 - beta) / alpha)
     val lower = math.log(beta / (1 - alpha))
-    val daily = df.groupBy(day.as("day"))
+    // cut the calendar-bounded day frame once — both PrefixSum
+    // passes read it, and each would otherwise re-scan the corpus
+    val daily = Materialize.cut(df.groupBy(day.as("day"))
       .agg(count(lit(1)).as("trials"),
-        sum(when(converted, 1L).otherwise(0L)).as("conversions"))
+        sum(when(converted, 1L).otherwise(0L)).as("conversions")))
     val cum = PrefixSum.runningSum(
       PrefixSum.runningSum(daily, col("day"), col("trials"), "cum_n"),
       col("day"), col("conversions"), "cum_k")

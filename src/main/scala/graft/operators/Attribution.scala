@@ -185,23 +185,25 @@ object Attribution {
     // factorial weights ×n! — exact integers
     def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
     val wBySize = (0 until n).map(s => fact(s) * fact(n - s - 1))
-    // first conversion per user under the (ts, tie) total order
+    // ONE corpus scan: the first-conversion instant rides a per-user
+    // window (same partitioning the mask groupBy reuses — no second
+    // exchange), and "strictly before it" gates each channel bit
+    // inside the aggregate. Converters with no prior touch aggregate
+    // to mask 0 (they fund v(∅), earning nobody credit, which keeps
+    // Σφ = v(N) − v(∅) honest); non-converters filter out on the
+    // null window minimum.
     val u = col(userCol)
-    val firstConv = events.filter(col(typeCol) === convType)
-      .groupBy(u.as("__u"))
-      .agg(min(struct(col(tsCol), col(tieCol))).as("__conv_at"))
-    // mask of channels touched STRICTLY before the first conversion
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(u)
+    val convAt = min(when(col(typeCol) === convType,
+      struct(col(tsCol), col(tieCol)))).over(w)
     val bits = sorted.zipWithIndex.map { case (c, i) =>
-      max(when(col(typeCol) === c, 1L).otherwise(0L)) * (1L << i)
+      max(when(col(typeCol) === c &&
+          struct(col(tsCol), col(tieCol)) < col("__conv_at"),
+        1L).otherwise(0L)) * (1L << i)
     }
-    val masks = events.join(firstConv, u === col("__u"))
-      .filter(struct(col(tsCol), col(tieCol)) < col("__conv_at"))
-      .groupBy(col("__u")).agg(bits.reduce(_ + _).as("__m"))
-    // converters with NO prior touch fall out of the strict filter —
-    // re-join so they land in mask 0 (they fund v(∅), earning nobody
-    // credit, which is what keeps Σφ = v(N) − v(∅) honest)
-    val cnt = firstConv.join(masks, Seq("__u"), "left")
-      .select(coalesce(col("__m"), lit(0L)).as("m"))
+    val cnt = events.withColumn("__conv_at", convAt)
+      .filter(col("__conv_at").isNotNull)
+      .groupBy(u.as("__u")).agg(bits.reduce(_ + _).as("m"))
       .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
     val full = (1L << n) - 1
     val coal = spark.range(1L << n).select(col("id").as("s"))

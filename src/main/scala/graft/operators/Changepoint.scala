@@ -81,7 +81,11 @@ object Changepoint {
     */
   def mannKendall(series: DataFrame, step: Column,
                   value: Column): DataFrame = {
-    val v = series.select(step.as("__s"), value.cast("long").as("__x"))
+    // cut the aggregate-sized series once — the pairwise join, the
+    // count, and the tie census would otherwise each re-run the
+    // corpus collapse
+    val v = Materialize.cut(
+      series.select(step.as("__s"), value.cast("long").as("__x")))
     val s = v.as("a").join(v.as("b"), col("a.__s") < col("b.__s"))
       .agg(coalesce(sum(signum(
           col("b.__x").cast("double") - col("a.__x").cast("double"))
