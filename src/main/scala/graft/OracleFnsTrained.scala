@@ -102,6 +102,78 @@ private[graft] object OracleFnsTrained {
       |FROM mt ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** D108 oracle — truth = the exact-pairs CTEs shared with
+    * dedup_minhash_lsh; candidates = the banding replayed through the
+    * SAME XXH64 ∘ splitmix64 signature as [[bbitOracle]], with band
+    * collision expressed as row-minima LIST equality (hash equality ⟺
+    * slice equality up to hash collisions, which can only ADD a
+    * candidate on the Spark side — none occur at gate scale).
+    */
+  private[graft] def dedupRecallOracle(bands: Int, rows: Int,
+                                       threshold: Double): String = {
+    val k = bands * rows
+    def u(x: Long) = java.lang.Long.toUnsignedString(x)
+    val slots = (0 until k).map(s =>
+      s"($s, CAST('${u(graft.functions.GraftKernels.mix64(s.toLong))}' AS HUGEINT))")
+      .mkString(", ")
+    val C0 = u(0x9e3779b97f4a7c15L)
+    val C1 = u(0xbf58476d1ce4e5b9L)
+    val C2 = u(0x94d049bb133111ebL)
+    val mixChain = Seq(
+      s"(xor(CAST(hv AS HUGEINT), sc) + $C0) % $M64 AS z1",
+      s"${xorShift("z1", 30)} AS x1",
+      s"(${mul64("x1", C1)}) % $M64 AS z2",
+      s"${xorShift("z2", 27)} AS x2",
+      s"(${mul64("x2", C2)}) % $M64 AS z3",
+      s"${xorShift("z3", 31)} AS m")
+      .foldLeft("SELECT hf.sh, sl.s, sl.sc, hf.hv FROM hf CROSS JOIN (VALUES "
+        + slots + ") sl(s, sc)") { (q, step) => s"SELECT *, $step FROM ($q)" }
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM t),
+      |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s
+      |       WHERE len(sh) > 0),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+      |    any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= $threshold),
+      |dsh AS (SELECT DISTINCT shingle AS sh FROM ex),
+      |$strXxh64Ctes
+      |msig AS (
+      |  SELECT sh, s,
+      |    CAST(CASE WHEN m >= 9223372036854775808 THEN m - $M64 ELSE m END
+      |      AS BIGINT) AS ms
+      |  FROM ($mixChain)),
+      |mins AS (
+      |  SELECT ex.doc_id, msig.s, MIN(msig.ms) AS mn
+      |  FROM ex JOIN msig ON msig.sh = ex.shingle GROUP BY 1, 2),
+      |bnd AS (
+      |  SELECT doc_id, s // $rows AS band, list(mn ORDER BY s) AS sig
+      |  FROM mins GROUP BY doc_id, s // $rows),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bnd a JOIN bnd b
+      |    ON a.band = b.band AND a.sig = b.sig AND b.doc_id > a.doc_id),
+      |hit AS (SELECT * FROM cand INTERSECT SELECT * FROM truth),
+      |agg AS (SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit)
+      |SELECT n_true, n_candidates, n_hit,
+      |  CASE WHEN n_true > 0 THEN
+      |    round(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END
+      |    AS recall,
+      |  CASE WHEN n_candidates > 0 THEN
+      |    round(CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6) END
+      |    AS precision
+      |FROM agg""".stripMargin
+  }
+
   private[graft] def floatLit(f: Float): String = s"CAST('$f' AS FLOAT)"
 
   /** D107 oracle — the silhouette replay over the SAME trained

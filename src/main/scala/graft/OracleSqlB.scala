@@ -793,6 +793,11 @@ private[graft] object OracleSqlB {
     // correction). Defaults mirror Dedup.bbitMinhashAudit.
     "dedup_bbit_minhash" -> bbitOracle(8, 4, 4, 0.5),
 
+    // D108: banding recall/precision vs the exact >= 0.5 truth set —
+    // the signature replay shared with the b-bit oracle, candidates
+    // as row-minima list equality per band
+    "dedup_recall_report" -> dedupRecallOracle(8, 4, 0.5),
+
     // the D2 pair CTEs + a provenance rollup; counts integer,
     // max-jaccard exact selection — hash-stable wherever the pair set
     // is (same completeness argument as dedup_minhash_lsh)

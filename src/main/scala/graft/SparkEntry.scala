@@ -73,6 +73,7 @@ object SparkEntry {
     "events_twap"        -> (WarehouseQueries.eventsTwap _),
     "k_anonymity_audit"  -> (TextQueries.kAnonymityAudit _),
     "dedup_unicode"      -> (TextQueries.dedupUnicode _),
+    "dedup_recall_report" -> (TextQueries.dedupRecallReport _),
     "chunk_overlap"      -> ((s, d) => TextQueries.chunkOverlap(s, d)),
     "html_extract"       -> (TextQueries.htmlExtract _),
     "l_diversity_audit"  -> (TextQueries.lDiversityAudit _),

@@ -64,6 +64,17 @@ object Dedup {
           xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
 
+  /** The PRE-verify banded candidate pairs — exposed for the D108
+    * self-audit (`dedup_recall_report`): banding recall/precision can
+    * only be measured on the candidates themselves, not the verified
+    * output (which is exact by construction).
+    */
+  def lshCandidates(df: DataFrame, textCol: String, idCol: String,
+                    shingleSize: Int = 3, bands: Int = 8,
+                    rows: Int = 4): DataFrame =
+    candidatePairs(mhBandRows(shingleFrame(df, textCol, idCol, shingleSize),
+      bands, rows))
+
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 3, bands: Int = 8, rows: Int = 4,
                  threshold: Double = 0.5): DataFrame = {

@@ -16,6 +16,32 @@ object TextQueries {
     Dedup.exact(Tables.documents(spark, dir), col("text"), col("doc_id"))
       .orderBy(col("canonical_id"))
 
+  /** D108: dedup-quality self-audit — the banding recall/precision of
+    * MinHash-LSH measured against the exact Jaccard ≥ 0.5 truth set
+    * (the D-family analog of `ann_recall_report`): recall below 1.0
+    * means the band/row geometry is dropping true near-dups (retune
+    * before shipping a corpus through it), precision is the verify
+    * join's workload multiplier. Truth = the posting-index exact
+    * pairs; candidates = the PRE-verify band collisions.
+    */
+  def dedupRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val truth = Dedup.similarityJoinEdges(docs, "text", "doc_id")
+    val cand = Dedup.lshCandidates(docs, "text", "doc_id")
+    val hit = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_candidates"), col("n_hit"),
+        when(col("n_true") > 0,
+          round(col("n_hit").cast("double") / col("n_true").cast("double"), 6))
+          .as("recall"),
+        when(col("n_candidates") > 0,
+          round(col("n_hit").cast("double")
+            / col("n_candidates").cast("double"), 6))
+          .as("precision"))
+  }
+
   /** D2: MinHash-LSH near-dup pairs, verified at jaccard ≥ 0.5.
     * The testdata plants ~0.99-jaccard pairs; LSH with 8 bands × 4
     * rows fires at ~0.5+ with near-certainty.

@@ -846,6 +846,18 @@ object ScaleProbe {
         .filter(col("jw") >= lit(0.97))
         .count()
     }
+    t("dedup_recall_report") {
+      // the D108 audit at volume: banding recall/precision against
+      // the exact truth set over the amplified near-dup-dense corpus
+      val truth = graft.operators.Dedup
+        .similarityJoinEdges(docs, "text", "doc_id")
+      val cand = graft.operators.Dedup.lshCandidates(docs, "text", "doc_id")
+      val hit = cand.join(truth, Seq("id_a", "id_b"), "left_semi").count()
+      val (nt, nc) = (truth.count(), cand.count())
+      println(f"[probe]   recall=${hit.toDouble / nt}%.4f " +
+        f"precision=${hit.toDouble / nc}%.4f (true=$nt cand=$nc)")
+      nc
+    }
     t("spearman_ranks") {
       // both 6M-value variables ranked through PrefixSum, joined back
       graft.operators.AbStats.spearmanCorrelation(
