@@ -908,6 +908,23 @@ class StreamingSpec extends AnyFunSuite {
       s"replayed batch double-counted: $replayed vs $want")
   }
 
+  test("sentinel-drained faces equal their batch twins bit-exactly") {
+    // the E2 recipe: a far-future sentinel event marches the watermark
+    // past every real session/window so append mode flushes ALL state
+    val gotS = graft.queries.StreamFaces.streamSessionWindows(spark, sfDir)
+      .collect().toSeq
+    val wantS = graft.queries.TextQueries.eventsSessionWindow(spark, sfDir)
+      .collect().toSeq
+    assert(gotS == wantS, s"sessions diverge: stream=${gotS.take(2)} " +
+      s"batch=${wantS.take(2)}")
+    // E18: the fMGWS funnel's single-batch in-order fold
+    val gotF = graft.queries.StreamFaces.streamFunnelSteps(spark, sfDir)
+      .collect().toSeq
+    val wantF = graft.queries.WarehouseQueries.funnelSteps(spark, sfDir)
+      .collect().toSeq
+    assert(gotF == wantF, s"funnel diverges: stream=$gotF batch=$wantF")
+  }
+
   test("kill-and-restart: engine-level replay of an uncommitted batch still bit-matches batch") {
     import graft.streaming.StreamingBootstrap
     val base = java.nio.file.Files.createTempDirectory("graft_chaos")
