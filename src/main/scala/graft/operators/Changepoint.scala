@@ -83,9 +83,16 @@ object Changepoint {
                   value: Column): DataFrame = {
     // cut the aggregate-sized series once — the pairwise join, the
     // count, and the tie census would otherwise each re-run the
-    // corpus collapse
-    val v = Materialize.cut(
-      series.select(step.as("__s"), value.cast("long").as("__x")))
+    // corpus collapse. The sign statistic and the tie census both
+    // read the value as an exact integer; a fractional series would
+    // silently truncate, so non-integral inputs fail the job instead.
+    val checked = when(
+      value.cast("long").cast("double") === value.cast("double"),
+      value.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("mannKendall: non-integral value "), value.cast("string"),
+        lit(" — scale the series to integers (e.g. micro-units) first"))))
+    val v = Materialize.cut(series.select(step.as("__s"), checked.as("__x")))
     val s = v.as("a").join(v.as("b"), col("a.__s") < col("b.__s"))
       .agg(coalesce(sum(signum(
           col("b.__x").cast("double") - col("a.__x").cast("double"))

@@ -20,6 +20,25 @@ import graft.sources.Tables
   */
 object StreamFaces {
 
+  /** All scratch roots created this JVM, drained by the ONE shutdown
+    * hook below — one hook per invocation would accumulate an
+    * unbounded Thread list across bench/probe runs in a long JVM.
+    */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      var dir = scratchDirs.poll()
+      while (dir != null) {
+        try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => () } // best-effort at exit
+        dir = scratchDirs.poll()
+      }
+    }))
+
   /** Fresh scratch root for one stream-face invocation (lake +
     * checkpoint). Registered for recursive deletion at JVM exit so
     * repeated bench/spec runs don't accumulate parquet state and
@@ -28,15 +47,39 @@ object StreamFaces {
     */
   private def scratch(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      } catch { case _: Throwable => () } // best-effort at exit
-    ))
+    scratchHook
+    scratchDirs.add(dir)
     dir.toFile.getAbsolutePath
+  }
+
+  /** Write `df` as `n` single-file parquet slices (slice k = rows
+    * where `sliceOf` = k) under `base/src`, with STRICTLY INCREASING
+    * file mtimes one minute apart so the file stream replays them as
+    * micro-batches in slice order (FileStreamSource orders pending
+    * files by modification time). Each slice is asserted non-empty at
+    * write time — an empty slice would silently collapse two
+    * micro-batches into one and void any cross-batch pin downstream.
+    * Returns the source directory for `readStream`.
+    */
+  private[graft] def sliceSource(df: DataFrame, base: String,
+                                 sliceOf: org.apache.spark.sql.Column,
+                                 n: Int): String = {
+    val src = new java.io.File(s"$base/src"); src.mkdirs()
+    val t0 = System.currentTimeMillis() - (n + 1) * 60000L
+    (0 until n).foreach { k =>
+      val tmp = new java.io.File(s"$base/tmp$k")
+      df.filter(sliceOf === k).coalesce(1).write.parquet(tmp.getAbsolutePath)
+      require(df.sparkSession.read.parquet(tmp.getAbsolutePath).limit(1)
+          .count() == 1L,
+        s"sliceSource: slice $k of $n is empty — the stream would run " +
+          s"fewer micro-batches than the face asserts")
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, s"slice$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(t0 + k * 60000L),
+        s"sliceSource: could not set mtime on $dst")
+    }
+    src.getAbsolutePath
   }
 
   /** One far-future sentinel event written as its own single-file
@@ -75,21 +118,14 @@ object StreamFaces {
     */
   def streamMultibatchCi(spark: SparkSession, dir: String): DataFrame = {
     val base = scratch("graft_stream_mb")
-    val src = new java.io.File(s"$base/src"); src.mkdirs()
     val docs = Tables.documents(spark, dir)
     // three single-file slices by doc_id mod 3 (any split works — the
-    // cells are additive; mod keeps the slices deterministic)
-    (0 to 2).foreach { k =>
-      val tmp = new java.io.File(s"$base/tmp$k")
-      docs.filter(pmod(col("doc_id"), lit(3)) === k)
-        .coalesce(1).write.parquet(tmp.getAbsolutePath)
-      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(src, s"slice$k.parquet").toPath)
-    }
+    // cells are additive; mod keeps the slices deterministic), each
+    // asserted non-empty at write time
+    val src = sliceSource(docs, base, pmod(col("doc_id"), lit(3)), 3)
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(src.getAbsolutePath)
+      .parquet(src)
     val quality = round(graft.functions.TextFunctions
       .qualityScore(col("text")) * 1000000.0).cast("long")
     val q = graft.streaming.StreamingBootstrap.start(
@@ -330,21 +366,28 @@ object StreamFaces {
   /** E6 as a gated key: streaming first-arrival dedup run to
     * completion over events arriving as a file stream —
     * `dropDuplicatesWithinWatermark` on (user_id, event_type) with a
-    * delay chosen PAST the table's whole event-time span, so no key
-    * state ever evicts and the emitted key set equals the global
-    * distinct under ANY batching (the only honest way to oracle a
-    * within-watermark dedup: make the watermark window cover the
-    * data; production picks the delay from the real lateness bound
-    * the same way). The read face projects the KEYS — which survivor
-    * row carries them is explicitly arbitrary in-batch and stays
-    * pinned by StreamingSpec, not the hash gate.
+    * delay DERIVED from the table's whole event-time span (+2 days of
+    * slack), so no key state ever evicts and the emitted key set
+    * equals the global distinct under ANY batching (the only honest
+    * way to oracle a within-watermark dedup: make the watermark
+    * window cover the data; production picks the delay from the real
+    * lateness bound the same way — a hardcoded delay would silently
+    * evict state if future testdata grew a longer span). The read
+    * face projects the KEYS — which survivor row carries them is
+    * explicitly arbitrary in-batch and stays pinned by StreamingSpec,
+    * not the hash gate.
     */
   def streamWatermarkDedup(spark: SparkSession, dir: String): DataFrame = {
     val base = scratch("graft_stream_dd")
+    val span = Tables.events(spark, dir)
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+    val delayDays = java.time.Duration.between(
+      span.getTimestamp(0).toInstant, span.getTimestamp(1).toInstant)
+      .toDays + 2L
     val ev = graft.streaming.EventsStream.readEvents(spark, dir)
     val q = graft.streaming.EventsStream
       .streamingDedup(ev, Seq("user_id", "event_type"),
-        watermarkDelay = "365 days")
+        watermarkDelay = s"$delayDays days")
       .select(col("user_id"), col("event_type"))
       .writeStream.format("parquet")
       .option("path", s"$base/out")

@@ -76,7 +76,11 @@ object GifCodec {
         case 0x21 => // extension: label + sub-blocks, all skipped
           u8()
           var len = u8()
-          while (len != 0) { p += len; len = u8() }
+          while (len != 0) {
+            if (p + len > bytes.length)
+              throw GifFormatException("truncated extension")
+            p += len; len = u8()
+          }
         case 0x2c => // image descriptor — decode and return
           u16(); u16() // left, top (single-image streams: 0,0)
           val w = u16(); val h = u16()
