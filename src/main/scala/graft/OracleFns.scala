@@ -43,6 +43,54 @@ private[graft] object OracleFns {
        |FROM c ORDER BY day""".stripMargin
   }
 
+  /** C85 oracle — mirrors [[graft.operators.AbStats.msprtMonitor]]:
+    * the per-grid-point ln step constants, the uniform mixture weight,
+    * and the rejection line are interpolated as Scala's round-trip
+    * double repr; the logsumexp is spelled with the SAME association
+    * (greatest → per-term exp(t−mx) summed left-to-right) so both
+    * engines evaluate the identical expression tree.
+    */
+  private[graft] def msprtOracle(p0: Double, grid: Seq[Double],
+                                 alpha: Double): String = {
+    def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+    val terms = grid.map { p =>
+      val a = d(math.log(p / p0))
+      val b = d(math.log((1 - p) / (1 - p0)))
+      s"CAST(cum_k AS DOUBLE) * $a + CAST(cum_n - cum_k AS DOUBLE) * $b"
+    }
+    val lnW = d(math.log(1.0 / grid.size))
+    val rejectLine = d(math.log(1.0 / alpha))
+    val ts = terms.zipWithIndex
+      .map { case (t, j) => s"$t AS t$j" }.mkString(",\n    ")
+    val mx = s"greatest(${terms.indices.map(j => s"t$j").mkString(", ")})"
+    val sumExp = terms.indices.map(j => s"exp(t$j - mx)").mkString(" + ")
+    s"""WITH dly AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS trials,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS conversions
+       |  FROM events GROUP BY 1),
+       |c AS (
+       |  SELECT day, trials, conversions,
+       |    CAST(SUM(trials) OVER (ORDER BY day) AS BIGINT) AS cum_n,
+       |    CAST(SUM(conversions) OVER (ORDER BY day) AS BIGINT) AS cum_k
+       |  FROM dly),
+       |t AS (SELECT *,
+       |    $ts
+       |  FROM c),
+       |m AS (SELECT *, $mx AS mx FROM t),
+       |l AS (SELECT day, trials, conversions, cum_n, cum_k,
+       |    round($lnW + mx + ln($sumExp), 6) AS log_mlr
+       |  FROM m),
+       |r AS (SELECT *, MAX(log_mlr) OVER (ORDER BY day) AS peak FROM l)
+       |SELECT day, trials, conversions, cum_n, cum_k, log_mlr,
+       |  round(CASE WHEN exp(-peak) > 1.0 THEN 1.0 ELSE exp(-peak) END, 6)
+       |    AS p_value,
+       |  CASE WHEN peak >= $rejectLine THEN 'reject_h0'
+       |       ELSE 'continue' END AS decision
+       |FROM r ORDER BY day""".stripMargin
+  }
+
   /** Shared by `events_session_window` and its E2 stream face — the
     * sentinel-flushed bounded stream drops nothing, so the emitted
     * sessions equal the batch gap decomposition exactly.

@@ -110,8 +110,17 @@ private[graft] object OracleFnsTrained {
     * candidate on the Spark side — none occur at gate scale).
     */
   private[graft] def dedupRecallOracle(bands: Int, rows: Int,
-                                       threshold: Double): String = {
+                                       threshold: Double,
+                                       sampleK: Option[Int] = None): String = {
     val k = bands * rows
+    // D109: the sampled audit = the full audit restricted to pairs
+    // incident to the id-modulus sample — the filtered full pair set
+    // IS the sampled-probe computation's output (both exact), so the
+    // oracle filters where the Spark side saves the probe cost
+    val incident = sampleK.map(s =>
+      s"(id_a % $s = 0 OR id_b % $s = 0)").getOrElse("TRUE")
+    val sampleCol = sampleK.map(s =>
+      s"CAST($s AS INTEGER) AS sample_k, ").getOrElse("")
     def u(x: Long) = java.lang.Long.toUnsignedString(x)
     val slots = (0 until k).map(s =>
       s"($s, CAST('${u(graft.functions.GraftKernels.mix64(s.toLong))}' AS HUGEINT))")
@@ -141,7 +150,8 @@ private[graft] object OracleFnsTrained {
       |  GROUP BY 1, 2),
       |truth AS (
       |  SELECT id_a, id_b FROM pairs
-      |  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= $threshold),
+      |  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= $threshold
+      |    AND $incident),
       |dsh AS (SELECT DISTINCT shingle AS sh FROM ex),
       |$strXxh64Ctes
       |msig AS (
@@ -156,15 +166,17 @@ private[graft] object OracleFnsTrained {
       |  SELECT doc_id, s // $rows AS band, list(mn ORDER BY s) AS sig
       |  FROM mins GROUP BY doc_id, s // $rows),
       |cand AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM bnd a JOIN bnd b
-      |    ON a.band = b.band AND a.sig = b.sig AND b.doc_id > a.doc_id),
+      |  SELECT id_a, id_b FROM (
+      |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |    FROM bnd a JOIN bnd b
+      |      ON a.band = b.band AND a.sig = b.sig AND b.doc_id > a.doc_id)
+      |  WHERE $incident),
       |hit AS (SELECT * FROM cand INTERSECT SELECT * FROM truth),
       |agg AS (SELECT
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit)
-      |SELECT n_true, n_candidates, n_hit,
+      |SELECT ${sampleCol}n_true, n_candidates, n_hit,
       |  CASE WHEN n_true > 0 THEN
       |    round(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END
       |    AS recall,

@@ -491,6 +491,23 @@ private[graft] object OracleSqlA {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
+    // E4: salted ≡ plain inner join (SkewSpec pins the identity), so
+    // the oracle is the unsalted join; the above-average test is the
+    // same exact decimal cross-multiplication
+    "skew_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, SUM(CAST(value AS DECIMAL(12,2))) AS tot,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN CAST(e.value AS DECIMAL(12,2)) * d.n > d.tot
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  round(CAST(SUM(CASE WHEN CAST(e.value AS DECIMAL(12,2)) * d.n > d.tot
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS frac_above
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "table_profile" -> profileOracle("customer",
       graft.queries.WarehouseQueries.ProfileCols,
       Set("c_acctbal", "c_custkey", "c_nationkey")),

@@ -797,6 +797,8 @@ private[graft] object OracleSqlB {
     // the signature replay shared with the b-bit oracle, candidates
     // as row-minima list equality per band
     "dedup_recall_report" -> dedupRecallOracle(8, 4, 0.5),
+    "dedup_recall_report_sampled" -> dedupRecallOracle(8, 4, 0.5,
+      sampleK = Some(4)),
 
     // the D2 pair CTEs + a provenance rollup; counts integer,
     // max-jaccard exact selection — hash-stable wherever the pair set

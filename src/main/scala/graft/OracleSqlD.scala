@@ -554,6 +554,8 @@ private[graft] object OracleSqlD {
     // Scala's round-trip repr), so K·ln(...) is bit-identical in both
     // engines at any cumulative count
     "ab_sprt_monitor" -> sprtOracle(0.18, 0.22, 0.05, 0.05),
+    "ab_msprt_monitor" -> msprtOracle(0.18,
+      graft.queries.WarehouseQueries.MsprtGrid, 0.05),
 
     "ab_srm_check" ->
       """WITH c AS (SELECT

@@ -74,6 +74,7 @@ object SparkEntry {
     "k_anonymity_audit"  -> (TextQueries.kAnonymityAudit _),
     "dedup_unicode"      -> (TextQueries.dedupUnicode _),
     "dedup_recall_report" -> (TextQueries.dedupRecallReport _),
+    "dedup_recall_report_sampled" -> (TextQueries.dedupRecallReportSampled _),
     "chunk_overlap"      -> ((s, d) => TextQueries.chunkOverlap(s, d)),
     "html_extract"       -> (TextQueries.htmlExtract _),
     "l_diversity_audit"  -> (TextQueries.lDiversityAudit _),
@@ -230,6 +231,7 @@ object SparkEntry {
     "funnel_steps"       -> (WarehouseQueries.funnelSteps _),
     "window_funnel"      -> (WarehouseQueries.windowFunnelDepth _),
     "bucketed_join"      -> (WarehouseQueries.bucketedJoin _),
+    "skew_salted_join"   -> (WarehouseQueries.skewSaltedJoin _),
     "table_profile"      -> (WarehouseQueries.tableProfile _),
     "data_expectations"  -> (WarehouseQueries.dataExpectations _),
     "pagerank_centrality" -> (WarehouseQueries.pagerankCentrality _),
@@ -270,6 +272,7 @@ object SparkEntry {
     "ab_welch_ttest"     -> (WarehouseQueries.welchTTest _),
     "ab_srm_check"       -> (WarehouseQueries.srmCheck _),
     "ab_sprt_monitor"    -> (WarehouseQueries.sprtMonitor _),
+    "ab_msprt_monitor"   -> (WarehouseQueries.msprtMonitor _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>
       WarehouseQueries.jaroWinklerLinks(s, d)),

@@ -570,4 +570,69 @@ object AbStats {
           .otherwise("continue").as("decision"))
       .orderBy(col("day"))
   }
+
+  /** C85: mixture SPRT with always-valid p-values (Robbins 1970;
+    * Johari, Koomen, Pekelis & Walsh 2017 — the "peeking-safe
+    * p-value" behind modern A/B dashboards). C82's Wald test needs a
+    * POINT alternative p1; the mSPRT mixes the likelihood ratio over
+    * a GRID of alternatives, so it detects any of them, and
+    * 1/max_{m≤n} Λ_m is a p-value valid at every interim look.
+    *
+    * The mixture integral is a fixed quadrature: Λ_n = (1/J)·Σ_j
+    * exp(k_n·ln(p_j/p0) + (n_n−k_n)·ln((1−p_j)/(1−p0))) — evaluated
+    * in log space (logsumexp against the running max term) so a
+    * million-trial day can never overflow exp. The per-point ln step
+    * constants are computed ONCE driver-side and enter the plan as
+    * literals (the oracle embeds the same literals, so k·ln(...) is
+    * bit-identical in both engines at any k — the C82 discipline);
+    * the quadrature GRID is part of the test's published convention,
+    * exactly like a histogram's bin edges.
+    *
+    * Scale shape: one corpus scan collapses to per-day (trials,
+    * conversions); the cumulatives ride the distributed [[PrefixSum]];
+    * the J-term logsumexp is one codegen expression per day; the
+    * running max rides a window over the calendar-bounded day frame.
+    *
+    * @param grid alternative rates p_j (all in (0,1), ≠ p0)
+    * @return per day: cumulative counts, log mixture LR, always-valid
+    *         p-value, reject/continue decision at level `alpha`
+    */
+  def msprtMonitor(df: DataFrame, day: Column, converted: Column,
+                   p0: Double, grid: Seq[Double],
+                   alpha: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1, s"p0 must be in (0,1), got $p0")
+    require(grid.nonEmpty && grid.forall(p => p > 0 && p < 1 && p != p0),
+      s"grid rates must be in (0,1) and distinct from p0: $grid")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val steps = grid.map(p =>
+      (math.log(p / p0), math.log((1 - p) / (1 - p0))))
+    val lnW = math.log(1.0 / grid.size) // uniform mixture weight
+    val rejectLine = math.log(1.0 / alpha)
+    val daily = Materialize.cut(df.groupBy(day.as("day"))
+      .agg(count(lit(1)).as("trials"),
+        sum(when(converted, 1L).otherwise(0L)).as("conversions")))
+    val cum = PrefixSum.runningSum(
+      PrefixSum.runningSum(daily, col("day"), col("trials"), "cum_n"),
+      col("day"), col("conversions"), "cum_k")
+    // t_j = k·a_j + (n−k)·b_j, association fixed to match the oracle
+    val ts = steps.map { case (a, b) =>
+      col("cum_k").cast("double") * lit(a) +
+        (col("cum_n") - col("cum_k")).cast("double") * lit(b)
+    }
+    val mx = greatest(ts: _*)
+    val logMlr = round(
+      lit(lnW) + mx + log(ts.map(t => exp(t - mx)).reduce(_ + _)), 6)
+    // running max of the ROUNDED statistic: the published p-value and
+    // the decision read the same 6-decimal edge in both engines
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cum.withColumn("log_mlr", logMlr)
+      .withColumn("__peak", max(col("log_mlr")).over(w))
+      .select(col("day"), col("trials"), col("conversions"),
+        col("cum_n"), col("cum_k"), col("log_mlr"),
+        round(least(lit(1.0), exp(-col("__peak"))), 6).as("p_value"),
+        when(col("__peak") >= lit(rejectLine), "reject_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy(col("day"))
+  }
 }

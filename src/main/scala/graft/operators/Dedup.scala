@@ -334,6 +334,52 @@ object Dedup {
       .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= threshold)
       .select(col("id_a"), col("id_b"))
 
+  /** SAMPLED exact similarity-join edges: the truth pairs INCIDENT to
+    * a deterministic 1-in-k doc-id sample (id % sampleK = 0), for the
+    * D108-sampled recall audit. The posting index is still built over
+    * the full corpus (linear, one shuffle — the affordable part), but
+    * only SAMPLED docs probe their postings to form pairs, so the
+    * quadratic pair-formation cost drops from Σfreq² to
+    * Σfreq·freq_sampled ≈ Σfreq²/k — the estimator that keeps the
+    * audit runnable at 100 TB where the exact Σfreq² side can't.
+    * A pair with BOTH endpoints sampled forms from both probe
+    * directions with identical (c, na, nb); the normalized projection
+    * dedups it after the threshold filter.
+    *
+    * The id-modulus sample is what the DuckDB gate can replay exactly;
+    * production would sample on a seeded hash of the id (same cost
+    * shape) when ids are not uniformly assigned.
+    */
+  def similarityJoinEdgesSampled(df: DataFrame, textCol: String,
+                                 idCol: String, sampleK: Int,
+                                 shingleSize: Int = 3,
+                                 threshold: Double = 0.5,
+                                 maxPostingLen: Int = 1000): DataFrame = {
+    require(sampleK >= 1, s"sampleK must be >= 1, got $sampleK")
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(graft.functions.ShingleFunctions
+        .word_shingles(col(textCol), shingleSize)).as("sh"))
+      .select(col("id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("shash"), col("id"), col("n"))
+    val postings = sh.groupBy(col("shash"))
+      .agg(collect_list(struct(col("id"), col("n"))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxPostingLen)
+    postings
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .filter(pmod(col("a.id"), lit(sampleK.toLong)) === 0L) // sampled probes only
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("pid"), col("b.id").as("oid"))
+      .agg(count(lit(1)).as("c"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c"))
+        >= threshold)
+      .select(least(col("pid"), col("oid")).as("id_a"),
+        greatest(col("pid"), col("oid")).as("id_b"))
+      .distinct()
+  }
+
   /** Shared inverted-index core: exact per-pair shared-shingle counts
     * (id_a < id_b) with both set sizes — the frame Jaccard and
     * containment both filter from.

@@ -42,6 +42,41 @@ object TextQueries {
           .as("precision"))
   }
 
+  /** D109: the SAMPLED-truth variant of the D108 recall audit — the
+    * version of the audit that itself runs at corpus scale. D108's
+    * exact truth set costs Σfreq² (clique-heavy corpora make that
+    * quadratic-ish: its own probe legs grew 54.6→142.3 s at ×10→×20);
+    * here the truth is restricted to pairs INCIDENT to a deterministic
+    * 1-in-k doc-id sample ([[Dedup.similarityJoinEdgesSampled]] — only
+    * sampled docs probe the posting index, cost Σfreq²/k), and the
+    * candidate side is filtered by the same incidence rule, so
+    * recall/precision are estimated over an unbiased 2/k-ish slice of
+    * the pair population with EXACT integer arithmetic (hash-green,
+    * unlike a random sample).
+    */
+  def dedupRecallReportSampled(spark: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val docs = Tables.documents(spark, dir)
+    val truth = Dedup.similarityJoinEdgesSampled(docs, "text", "doc_id",
+      sampleK = k)
+    val incident = pmod(col("id_a"), lit(k.toLong)) === 0L ||
+      pmod(col("id_b"), lit(k.toLong)) === 0L
+    val cand = Dedup.lshCandidates(docs, "text", "doc_id").filter(incident)
+    val hit = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(lit(k).cast("int").as("sample_k"),
+        col("n_true"), col("n_candidates"), col("n_hit"),
+        when(col("n_true") > 0,
+          round(col("n_hit").cast("double") / col("n_true").cast("double"), 6))
+          .as("recall"),
+        when(col("n_candidates") > 0,
+          round(col("n_hit").cast("double")
+            / col("n_candidates").cast("double"), 6))
+          .as("precision"))
+  }
+
   /** D2: MinHash-LSH near-dup pairs, verified at jaccard ≥ 0.5.
     * The testdata plants ~0.99-jaccard pairs; LSH with 8 bands × 4
     * rows fires at ~0.5+ with near-certainty.

@@ -87,6 +87,37 @@ object WarehouseQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** E4 as a gated key: the skew-salted join on a GENUINELY skewed
+    * key — events ⋈ per-type dim on `event_type` (5 values over the
+    * whole fact table: the classic hot-key shape AQE's split can't
+    * always save, e.g. in streaming joins). The big side is routed
+    * through [[graft.operators.SkewJoin.saltedInnerJoin]]: each fact
+    * row picks a deterministic salt, the 5-row dim explodes
+    * ×saltFactor, and the hot key spreads across saltFactor tasks. At
+    * gate scale the exploded dim broadcasts (the salt is then
+    * harmless); at 100 TB with a non-broadcastable dim the salted
+    * shuffle is the fix. Salted ≡ plain join (SkewSpec pins it), so
+    * the oracle is the PLAIN SQL join. The above-average test
+    * cross-multiplies decimals (value·n > total) — exact integers in
+    * both engines, no division before the final rounded fraction.
+    */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), dec2(col("value")).as("__v"))
+    val dim = ev.groupBy(col("event_type"))
+      .agg(sum(col("__v")).as("__tot"), count(lit(1)).as("__n"))
+    graft.operators.SkewJoin
+      .saltedInnerJoin(ev, dim, Seq("event_type"), saltFactor = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__v") * col("__n") > col("__tot"), 1L).otherwise(0L))
+          .as("n_above"))
+      .select(col("event_type"), col("n_events"), col("n_above"),
+        round(col("n_above").cast("double") / col("n_events").cast("double"), 6)
+          .as("frac_above"))
+      .orderBy(col("event_type"))
+  }
+
   /** C22: one-pass table profile (rows/nulls/distincts/bounds per
     * column) over the customer dim (see [[graft.operators.Profile]]).
     */
@@ -1267,6 +1298,24 @@ object WarehouseQueries {
       date_trunc("day", col("ts")).cast("date"),
       col("event_type") === "purchase",
       p0 = 0.18, p1 = 0.22)
+
+  /** C85: mSPRT always-valid monitor over the same daily conversion
+    * stream — C82 with the point alternative replaced by an 8-point
+    * quadrature mixture p ∈ {0.19 … 0.26}, publishing a p-value valid
+    * at every interim look (see [[graft.operators.AbStats
+    * .msprtMonitor]]). Same one-scan → day frame → PrefixSum shape.
+    */
+  def msprtMonitor(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.msprtMonitor(
+      Tables.events(spark, dir),
+      date_trunc("day", col("ts")).cast("date"),
+      col("event_type") === "purchase",
+      p0 = 0.18, grid = MsprtGrid, alpha = 0.05)
+
+  /** The published quadrature convention for C85 — part of the test's
+    * identity exactly like a histogram's bin edges.
+    */
+  val MsprtGrid: Seq[Double] = (1 to 8).map(i => 0.18 + 0.01 * i)
 
   /** C74: sample-ratio-mismatch guardrail — the user_id-parity
     * assignment checked against its designed 50/50 split before any

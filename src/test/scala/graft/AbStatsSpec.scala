@@ -159,6 +159,55 @@ class AbStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("raw_diff") === 2.0)
   }
 
+  test("msprtMonitor: hand logsumexp replay, monotone p, reject line") {
+    import graft.operators.AbStats
+    val p0 = 0.2
+    val grid = Seq(0.3, 0.5)
+    val alpha = 0.05
+    // day 1 sits at the null rate (Λ < 1 ⇒ p = 1); days 2–3 convert at
+    // 90% — the mixture crosses ln(1/α) by day 3
+    val rows = Seq(("2024-01-01", 5, 1), ("2024-01-02", 10, 9),
+      ("2024-01-03", 10, 9))
+    val df = rows.flatMap { case (d, n, k) =>
+      (0 until n).map(i => (java.sql.Date.valueOf(d), i < k))
+    }.toDF("day", "conv")
+    val got = AbStats.msprtMonitor(df, col("day"), col("conv"),
+      p0, grid, alpha).collect()
+    assert(got.length == 3)
+
+    // driver-side replay with the operator's exact association
+    val steps = grid.map(p =>
+      (math.log(p / p0), math.log((1 - p) / (1 - p0))))
+    val lnW = math.log(1.0 / grid.size)
+    def logMlr(n: Long, k: Long): Double = {
+      val ts = steps.map { case (a, b) => k * a + (n - k) * b }
+      val mx = ts.max
+      val raw = lnW + mx + math.log(ts.map(t => math.exp(t - mx)).reduceLeft(_ + _))
+      round6(raw)
+    }
+    // Spark's round() is HALF_UP over BigDecimal — replay that exactly
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var (cn, ck, peak) = (0L, 0L, Double.NegativeInfinity)
+    rows.zip(got).foreach { case ((_, n, k), r) =>
+      cn += n; ck += k
+      val lm = logMlr(cn, ck)
+      peak = math.max(peak, lm)
+      assert(r.getAs[Long]("cum_n") == cn && r.getAs[Long]("cum_k") == ck)
+      assert(r.getAs[Double]("log_mlr") == lm, s"day ${r.get(0)}")
+      val p = round6(math.min(1.0, math.exp(-peak)))
+      assert(r.getAs[Double]("p_value") == p)
+      assert(r.getAs[String]("decision") ==
+        (if (peak >= math.log(1.0 / alpha)) "reject_h0" else "continue"))
+    }
+    // the always-valid guarantees: p starts at 1 under the null, never
+    // increases, and the run ends rejected
+    assert(got.head.getAs[Double]("p_value") == 1.0)
+    assert(got.sliding(2).forall(w =>
+      w(1).getAs[Double]("p_value") <= w(0).getAs[Double]("p_value")))
+    assert(got.last.getAs[String]("decision") == "reject_h0")
+  }
+
   // ---- Gini split ---------------------------------------------------------
 
   test("bestGiniSplit: perfect split found, impurities exact") {

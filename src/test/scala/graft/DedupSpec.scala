@@ -30,6 +30,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("sampled similarity edges = full edges restricted to sample incidence") {
+    for (k <- Seq(1, 4)) {
+      val full = Dedup.similarityJoinEdges(docs, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => a % k == 0 || b % k == 0 }.toSet
+      val sampled = Dedup
+        .similarityJoinEdgesSampled(docs, "text", "doc_id", sampleK = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sampled == full, s"sampleK=$k")
+      if (k == 1) assert(sampled.nonEmpty, "sf0.001 plants near-dup pairs")
+    }
+    // the sampled face's recall estimate agrees with the exact audit
+    // on gate data (both measure the same banding geometry; the
+    // sampled slice is ~half the pair population at k=4)
+    val exact = graft.queries.TextQueries.dedupRecallReport(spark, sfDir)
+      .head()
+    val est = graft.queries.TextQueries.dedupRecallReportSampled(spark, sfDir)
+      .head()
+    assert(est.getInt(0) == 4)
+    assert(est.getLong(1) > 0, "sampled truth slice must be non-empty")
+    assert(math.abs(est.getDouble(4) - exact.getDouble(3)) <= 0.05,
+      s"sampled recall ${est.getDouble(4)} vs exact ${exact.getDouble(3)}")
+  }
+
   test("incremental admission matches an exact jaccard + union-find reference") {
     val threshold = 0.8
     val sets = docs.collect().map { r =>

@@ -84,6 +84,29 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("skew_salted_join face equals its unsalted twin row-for-row") {
+    import graft.functions.Num.dec2
+    val dir = "/root/testdata/sf0.001"
+    val face = graft.queries.WarehouseQueries.skewSaltedJoin(spark, dir)
+      .collect()
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), dec2(col("value")).as("__v"))
+    val dim = ev.groupBy(col("event_type"))
+      .agg(sum(col("__v")).as("__tot"), count(lit(1)).as("__n"))
+    val twin = ev.join(dim, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__v") * col("__n") > col("__tot"), 1L).otherwise(0L))
+          .as("n_above"))
+      .select(col("event_type"), col("n_events"), col("n_above"),
+        round(col("n_above").cast("double") / col("n_events").cast("double"), 6)
+          .as("frac_above"))
+      .orderBy(col("event_type"))
+      .collect()
+    assert(face.toSeq == twin.toSeq)
+    assert(face.nonEmpty)
+  }
+
   test("posting cap bounds the inverted-index candidate volume on boilerplate") {
     // 12 true near-dup pairs (unique 30-token docs, one token edited)
     // hidden among 200 verbatim boilerplate copies
