@@ -210,6 +210,85 @@ private[graft] object OracleFns {
       |WHERE c.doc_id = c.label AND c.label NOT IN (SELECT label FROM bad)
       |ORDER BY c.doc_id""".stripMargin
 
+  /** E9-multibatch oracle — SEQUENTIAL admission replayed round by
+    * round: corpus C0 = even docs; round r admits batch B_r = odd docs
+    * with doc_id %% 6 = 2r−1 against C_{r−1}, then C_r = C_{r−1} ∪
+    * admitted_r. Within a round the semantics are dedupIncrementalSql's
+    * (transitive in-batch components, taint-whole-component vs the
+    * corpus, min-id representative); ACROSS rounds the corpus GROWS, so
+    * a batch-2 doc near-dupping a batch-1 admit is rejected — the
+    * order-dependent contract a single-batch oracle cannot pin (the
+    * testdata has cross-slice pairs in both id directions, so the
+    * sequential outcome provably differs from the one-batch union).
+    * Each round's transitive closure is its own recursive CTE.
+    */
+  private[graft] val dedupMultibatchAdmissionSql: String = {
+    val mods = Seq(1, 3, 5)
+    val rounds = mods.zipWithIndex.map { case (m, i) =>
+      val r = i + 1
+      s"""in$r AS (SELECT ida, idb FROM edges
+         |  WHERE ida % 6 = $m AND idb % 6 = $m),
+         |und$r AS (SELECT ida AS src, idb AS dst FROM in$r
+         |  UNION ALL SELECT idb, ida FROM in$r),
+         |reach$r AS (
+         |  SELECT src, dst FROM und$r
+         |  UNION
+         |  SELECT q.src, u.dst FROM reach$r q JOIN und$r u ON u.src = q.dst),
+         |comp$r AS (
+         |  SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(q.dst), d.doc_id)) AS label
+         |  FROM documents d LEFT JOIN reach$r q ON q.src = d.doc_id
+         |  WHERE d.doc_id % 6 = $m GROUP BY d.doc_id),
+         |tainted$r AS (
+         |  SELECT DISTINCT x.bid AS doc_id FROM (
+         |    SELECT ida AS bid, idb AS oid FROM edges
+         |    UNION ALL SELECT idb, ida FROM edges) x
+         |  JOIN c${r - 1} cc ON cc.doc_id = x.oid
+         |  WHERE x.bid % 6 = $m),
+         |bad$r AS (SELECT DISTINCT c.label FROM comp$r c
+         |  JOIN tainted$r t ON t.doc_id = c.doc_id),
+         |adm$r AS (SELECT c.doc_id FROM comp$r c
+         |  WHERE c.doc_id = c.label
+         |    AND c.label NOT IN (SELECT label FROM bad$r)),
+         |c$r AS (SELECT doc_id FROM c${r - 1}
+         |  UNION ALL SELECT doc_id FROM adm$r)""".stripMargin
+    }.mkString(",\n")
+    val admitted = mods.indices.map(i => s"SELECT doc_id FROM adm${i + 1}")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM t),
+      |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+      |pairs AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c,
+      |    any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+      |  GROUP BY 1, 2),
+      |edges AS (SELECT ida, idb FROM pairs
+      |  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8),
+      |c0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+      |$rounds
+      |SELECT a.doc_id, d.n_chars FROM ($admitted) a
+      |JOIN documents d USING (doc_id)
+      |ORDER BY a.doc_id""".stripMargin
+  }
+
+  /** E3-multibatch oracle — keep-latest upsert where the LOAD ORDER is
+    * part of the contract: three micro-batches by event_id %% 3 (in
+    * that order), batch rows win over table rows on key collision, so
+    * each user's final row is the within-batch (ts, event_id)-latest
+    * row of the LAST batch containing that user — batch index
+    * dominates event time, which is exactly the reference's
+    * later-load-wins weekly upsert and provably differs from the
+    * single-batch global keep-latest.
+    */
+  private[graft] val streamUpsertMultibatchSql: String =
+    """SELECT user_id, event_id, event_type, ts, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY (event_id % 3) DESC, ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   /** Shared by the LOSSLESS media-decode keys (`media_decode_png`,
     * `media_decode_gif`): the oracle recomputes the per-image stats
     * from the synthetic-pixel generator arithmetic, so a hash match

@@ -724,6 +724,7 @@ private[graft] object OracleSqlB {
     // equals this exact transitive-closure formulation.
     "dedup_incremental" -> dedupIncrementalSql,
     "stream_corpus_admission" -> dedupIncrementalSql,
+    "stream_admission_multibatch" -> dedupMultibatchAdmissionSql,
 
     // SimHash, end to end in portable SQL: XXH64 over each distinct
     // shingle's bytes (the general short-input path — word/4-byte/byte

@@ -393,6 +393,10 @@ private[graft] object OracleSqlC {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 
+    // E3-multibatch: batch index (event_id % 3, the replay order)
+    // dominates event time — the later-load-wins ORDER contract
+    "stream_upsert_multibatch" -> streamUpsertMultibatchSql,
+
     // E3: the upserted table is each user's latest event under the
     // (ts, event_id) total order — the keep-latest the merge applies
     "stream_upsert_latest" ->

@@ -199,6 +199,8 @@ object SparkEntry {
     "stream_source_concentration" -> (StreamFaces.streamSourceConcentration _),
     "stream_watermark_dedup" -> (StreamFaces.streamWatermarkDedup _),
     "stream_upsert_latest" -> (StreamFaces.streamUpsertLatest _),
+    "stream_upsert_multibatch" -> (StreamFaces.streamUpsertMultibatch _),
+    "stream_admission_multibatch" -> (StreamFaces.streamAdmissionMultibatch _),
     "stream_session_windows" -> (StreamFaces.streamSessionWindows _),
     "stream_perplexity_gate" -> (StreamFaces.streamPerplexityGate _),
     "stream_classifier_gate" -> (StreamFaces.streamClassifierGate _),

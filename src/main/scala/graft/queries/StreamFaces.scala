@@ -621,6 +621,90 @@ object StreamFaces {
       .orderBy(col("user_id"))
   }
 
+  /** Number of committed micro-batches in a checkpoint — the
+    * assertion that a multi-batch face really ran N batches, read
+    * from the commit log itself (ADVICE r13: sturdier than counting
+    * distinct batch_id rows, which an empty batch wouldn't write).
+    */
+  private def committedBatches(checkpoint: String): Int = {
+    val dir = new java.io.File(s"$checkpoint/commits")
+    if (!dir.isDirectory) 0
+    else dir.listFiles().count(f =>
+      f.isFile && f.getName.forall(_.isDigit))
+  }
+
+  /** E3's ORDER-DEPENDENT multi-batch variant as a gated key: events
+    * split into three single-file slices by event_id mod 3, replayed
+    * as three micro-batches IN THAT ORDER (strictly increasing file
+    * mtimes + maxFilesPerTrigger=1), each merging into the lake table
+    * with batch-wins-on-collision — the reference's later-load-wins
+    * weekly upsert. Each user's final row is therefore the
+    * within-batch (ts, event_id)-latest row of the LAST batch
+    * containing that user: batch index dominates event time, so the
+    * oracle encodes the CROSS-BATCH ORDER itself — the correctness
+    * class `stream_upsert_latest`'s single-batch gate cannot see
+    * (StreamingSpec additionally permutes the file order and pins
+    * that the result changes accordingly).
+    */
+  def streamUpsertMultibatch(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_umb")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val src = sliceSource(ev, base, pmod(col("event_id"), lit(3)), 3)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = graft.streaming.StreamingUpsert.start(
+      stream, keys = Seq("user_id"), versionCol = "ts",
+      tiebreak = Seq("event_id"),
+      tablePath = s"$base/table", checkpoint = s"$base/ckpt")
+    q.awaitTermination()
+    val batches = committedBatches(s"$base/ckpt")
+    require(batches == 3, s"expected 3 committed micro-batches, saw $batches")
+    spark.read.parquet(s"$base/table")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** E9's ORDER-DEPENDENT multi-batch variant as a gated key: the
+    * corpus seeded with the EVEN docs + persisted band index, the odd
+    * docs arriving as THREE micro-batches (doc_id mod 6 = 1, 3, 5 in
+    * that order); each batch screens against the GROWN corpus+index —
+    * so a batch-2 doc near-dupping a batch-1 admit is rejected against
+    * state the stream itself created. The testdata has cross-slice
+    * near-dup pairs in BOTH id directions, so the sequential outcome
+    * provably differs from the one-batch union admission — the oracle
+    * replays the three rounds in order
+    * ([[graft.OracleFns.dedupMultibatchAdmissionSql]]).
+    */
+  def streamAdmissionMultibatch(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_amb")
+    val docs = Tables.documents(spark, dir)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    even.write.parquet(s"$base/corpus")
+    graft.operators.Dedup.saveBandIndex(
+      graft.operators.Dedup.bandIndex(even, "text", "doc_id"),
+      s"$base/index")
+    // odd doc_ids have doc_id mod 6 in {1, 3, 5} → slices 0, 1, 2
+    val src = sliceSource(docs.filter(col("doc_id") % 2 === 1), base,
+      ((pmod(col("doc_id"), lit(6)) - 1) / 2).cast("long"), 3)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = graft.streaming.StreamingAdmission.start(
+      stream, "text", "doc_id", s"$base/corpus", s"$base/index",
+      s"$base/ckpt", threshold = 0.8, trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val batches = committedBatches(s"$base/ckpt")
+    require(batches == 3, s"expected 3 committed micro-batches, saw $batches")
+    spark.read.parquet(s"$base/corpus")
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E19 as a gated key: the continuously-published DP count release
     * run to completion — tumbling daily windows of per-type counts,
     * Laplace noise keyed on the (window, type) cell identity, APPEND

@@ -976,6 +976,90 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == 0, "duplicate cells after replay")
   }
 
+  test("multi-batch upsert: later load wins; permuting file order flips the winner") {
+    import spark.implicits._
+    // user 1 has conflicting rows in all three slices with event time
+    // OPPOSING batch order: the globally-latest ts (event 3) sits in
+    // slice 0, so load order — not event time — must pick the winner
+    val rows = Seq(
+      (3L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 1L, "view", 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 2.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), 1L, "view", 3.0),
+      (6L, java.sql.Timestamp.valueOf("2024-02-01 10:00:00"), 2L, "view", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run(order: org.apache.spark.sql.Column, tag: String): Map[Long, Long] = {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_perm$tag")
+        .toFile.getAbsolutePath
+      val src = graft.queries.StreamFaces.sliceSource(rows, base, order, 3)
+      val stream = spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = graft.streaming.StreamingUpsert.start(
+        stream, Seq("user_id"), "ts", Seq("event_id"),
+        s"$base/table", s"$base/ckpt")
+      q.awaitTermination()
+      spark.read.parquet(s"$base/table").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    }
+    val fwd = run(pmod(col("event_id"), lit(3)), "f")
+    val rev = run(lit(2) - pmod(col("event_id"), lit(3)), "r")
+    // forward (slices 0,1,2): the last batch holds event 2 — it wins
+    // even though event 3's ts is later
+    assert(fwd(1L) == 2L, s"forward order winner: $fwd")
+    // reversed (slices 2,1,0): the last batch is the id%3=0 slice —
+    // event 3 wins; SAME data, different load order, different table
+    assert(rev(1L) == 3L, s"reversed order winner: $rev")
+    // a user present in one batch only is untouched by the permutation
+    assert(fwd(2L) == 6L && rev(2L) == 6L)
+  }
+
+  test("multi-batch chaos: kill between batches 2 and 3, replay + cross-batch merge compose") {
+    import graft.streaming.StreamingBootstrap
+    val base = java.nio.file.Files.createTempDirectory("graft_chaos3")
+      .toFile.getAbsolutePath
+    // three single-file slices staged aside; the source dir starts
+    // with the first two
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val staged = graft.queries.StreamFaces.sliceSource(
+      docs, base, pmod(col("doc_id"), lit(3)), 3)
+    val src = new java.io.File(s"$base/live"); src.mkdirs()
+    def arm(k: Int): Unit = java.nio.file.Files.copy(
+      new java.io.File(staged, s"slice$k.parquet").toPath,
+      new java.io.File(src, s"slice$k.parquet").toPath)
+    arm(0); arm(1)
+    val schema = spark.read.parquet(staged).schema
+    val quality = round(graft.functions.TextFunctions
+      .qualityScore(col("text")) * 1000000.0).cast("long")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.getAbsolutePath)
+      val q = StreamingBootstrap.start(stream, col("doc_id"), quality,
+        s"$base/cells", s"$base/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    run() // batches 0 and 1 commit
+    // CHAOS between batches 2 and 3: batch 1's lake write landed but
+    // its commit marker didn't; batch 2's file arrives while down
+    val commits = new java.io.File(s"$base/ckpt/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit))
+    assert(commits.map(_.getName.toInt).sorted.toSeq == Seq(0, 1))
+    val last = commits.maxBy(_.getName.toInt)
+    assert(last.delete())
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    arm(2)
+    run() // replays batch 1, then runs batch 2 — merge must compose
+    val cells = spark.read.parquet(s"$base/cells")
+    assert(cells.select(col("batch_id")).distinct().count() == 3)
+    assert(StreamingBootstrap.ciToDate(spark, s"$base/cells").head() ==
+      graft.queries.TextQueries.bootstrapQualityCi(spark, sfDir).head(),
+      "replayed + merged cells must still equal the batch CI")
+    // replay replaced its batch partition, never appended
+    assert(cells.groupBy(col("batch_id"), col("b")).count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("streaming perplexity gate equals the batch threshold filter and honors the frozen cut") {
     import graft.streaming.StreamingScoreFilter
     import graft.operators.LanguageModel
