@@ -928,6 +928,38 @@ object ScaleProbe {
       // index grows by the admitted docs only
       graft.queries.StreamFaces.streamCorpusAdmission(spark, streamDir).count()
     }
+    t("stream_media_gate") {
+      // BINARY columns through the gate: ×mult assets decode once,
+      // fingerprint, screen against the seeded index; per-asset cost
+      // is the decode+dHash map, index join carries 24-byte rows
+      graft.queries.StreamFaces.streamMediaGate(spark, streamDir).count()
+    }
+    // session-window state that GROWS with the data: the shared
+    // streamDir amplification keeps user_id constant (sessions merge,
+    // state flat); this lake remaps user_id too, so ×mult data means
+    // ×mult users = ×mult open sessions in the state store — the
+    // state-size story of the stateful face
+    lazy val streamDirUsers: String = {
+      val t0 = System.nanoTime()
+      val d = java.nio.file.Files.createTempDirectory("graft_probe_stream_u")
+        .toFile
+      val tmp = new java.io.File(d, "_tmp_events")
+      graft.sources.Tables.events(spark, dir)
+        .crossJoin(copies)
+        .select((col("event_id") * mult + col("copy")).as("event_id"),
+          col("ts"), (col("user_id") * mult + col("copy")).as("user_id"),
+          col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(d, "events.parquet").toPath)
+      println(f"[probe] stream_users_prep: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      d.getAbsolutePath
+    }
+    t("stream_session_windows_growing_state") {
+      graft.queries.StreamFaces.streamSessionWindows(spark, streamDirUsers)
+        .count()
+    }
     t("png_decode") {
       // per-row encode + inflate + unfilter; pure map, zero exchanges
       import spark.implicits._

@@ -1632,6 +1632,32 @@ class WarehouseSpec extends AnyFunSuite {
     assert(byPair((1L, 3L)) == ("dddd-y", "dddd-z"))
   }
 
+  test("blocked linkage: SNM recall contract — every gap ≤ window found, incl. chunk-boundary straddlers") {
+    // VERDICT r13 item 7: quantify the SNM recall contract in-spec.
+    // One oversized block (40 ≫ maxBlock=8), window=5 → chunk
+    // boundaries at ranks 5|6, 10|11, … The planted near-dup pair
+    // sits EXACTLY astride a boundary (ranks 5 and 6: names differ in
+    // the last char only), and the property sweep pins the full
+    // contract: a pair is a candidate IFF its rank gap ≤ window — so
+    // no boundary can ever hide a near-dup the window promises.
+    val df = linkRows("eeee", 40, 100L).toDF("id", "name")
+    val window = 5
+    val got = graft.operators.BlockedLinkage.candidatePairs(
+        df.repartition(7), "id", "name", substring(col("name"), 1, 4),
+        maxBlock = 8, window = window)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ranks = id order by construction; boundary straddler = (rank 5,
+    // rank 6) = ids (104, 105), chunks 0 and 1
+    assert(got.contains((104L, 105L)), "boundary-straddling near-dup missed")
+    val want = (for {
+      a <- 100L until 140L
+      b <- (a + 1) to math.min(a + window, 139L)
+    } yield (a, b)).toSet
+    assert(got == want,
+      s"SNM candidates must be exactly the gap<=window pairs: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("jaro_winkler_links: capped path with huge cap equals the default result") {
     val a = graft.queries.WarehouseQueries
       .jaroWinklerLinks(spark, sfDir).collect().toSeq
