@@ -491,6 +491,61 @@ private[graft] object OracleSqlA {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
+    // A12: versions replayed set-theoretically — v1 = evens, v2 = hot
+    // segments replaced by odds with the rest carried forward, v3 =
+    // rollback ≡ v1; the Spark side time-travels a real manifest lake
+    "snapshot_time_travel" -> {
+      val seg = s"CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)"
+      s"""WITH ev AS (
+        |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    $seg AS balance_cents
+        |  FROM customer WHERE c_custkey % 2 = 0 GROUP BY 1),
+        |od AS (
+        |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    $seg AS balance_cents
+        |  FROM customer WHERE c_custkey % 2 = 1
+        |    AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING') GROUP BY 1),
+        |v2 AS (
+        |  SELECT * FROM ev WHERE c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING')
+        |  UNION ALL SELECT * FROM od)
+        |SELECT CAST(1 AS INTEGER) AS version, * FROM ev
+        |UNION ALL SELECT CAST(2 AS INTEGER), * FROM v2
+        |UNION ALL SELECT CAST(3 AS INTEGER), * FROM ev
+        |ORDER BY version, c_mktsegment""".stripMargin
+    },
+
+    // A15: the two audit reports recomputed from the source table;
+    // published_rows = the clean commit's row count (the rejected one
+    // publishes nothing — the face asserts version 0 in between)
+    "write_audit_publish" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS published_rows
+        |           FROM customer),
+        |r AS (
+        |  SELECT 1 AS attempt, 'in_range(c_acctbal)' AS rule,
+        |    CAST(COUNT(*) FILTER (WHERE c_acctbal < 0.0 OR c_acctbal > 10000.0)
+        |      AS BIGINT) AS violations
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 1, 'not_null(c_name)',
+        |    CAST(COUNT(*) FILTER (WHERE c_name IS NULL) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 2, 'in_range(c_acctbal)',
+        |    CAST(COUNT(*) FILTER (WHERE c_acctbal < -1000.0 OR c_acctbal > 10000.0)
+        |      AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 2, 'not_null(c_name)',
+        |    CAST(COUNT(*) FILTER (WHERE c_name IS NULL) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 2, 'unique(c_custkey)',
+        |    CAST(COUNT(c_custkey) - COUNT(DISTINCT c_custkey) AS BIGINT)
+        |  FROM customer)
+        |SELECT CAST(attempt AS INTEGER) AS attempt, rule, violations,
+        |  violations = 0 AS pass, n.published_rows
+        |FROM r, n ORDER BY attempt, rule""".stripMargin,
+
     // E4: salted ≡ plain inner join (SkewSpec pins the identity), so
     // the oracle is the unsalted join; the above-average test is the
     // same exact decimal cross-multiplication

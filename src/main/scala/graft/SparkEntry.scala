@@ -112,6 +112,8 @@ object SparkEntry {
     "bloom_prune_join"   -> (RelationalQueries.bloomPruneJoin _),
     "zorder_layout"      -> (ExtendedQueries.zorderLayout _),
     "orc_ingest"         -> (ExtendedQueries.orcIngest _),
+    "snapshot_time_travel" -> (ExtendedQueries.snapshotTimeTravel _),
+    "write_audit_publish" -> (ExtendedQueries.writeAuditPublishGate _),
     "corpus_diff"        -> (ExtendedQueries.corpusDiff _),
     "hll_partitioned_distinct" -> (ExtendedQueries.hllPartitionedDistinct _),
     "histogram_preagg_quantiles" -> (ExtendedQueries.histogramPreaggQuantiles _),

@@ -100,6 +100,79 @@ object ExtendedQueries {
       .orderBy(col("source"))
   }
 
+  /** A12 as a gated key: the snapshot lake's versioned contract run
+    * end to end in a fresh lake — commit v1 (even customers,
+    * partitioned by segment), partition-scoped overwrite v2 (odd
+    * customers of two hot segments REPLACE those partitions; the
+    * manifest carries the other three forward untouched), rollback to
+    * v1 as v3 (history preserved — rollback is itself a new version).
+    * The read face TIME-TRAVELS: it reads all three versions AFTER
+    * the lake reached v3, so a hash match proves old manifests still
+    * reproduce their exact content bit-for-bit. Snapshot isolation
+    * under concurrent commits and vacuum stay IngestSpec-pinned (file
+    * deletion isn't hash-visible).
+    */
+  def snapshotTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotLake
+    val path = StreamFaces.scratch("graft_snap") + "/lake"
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        graft.functions.Num.dec2(col("c_acctbal")).as("__bal"))
+    val hot = Seq("AUTOMOBILE", "BUILDING")
+    val v1 = SnapshotLake.overwritePartitions(
+      cust.filter(col("c_custkey") % 2 === 0), path, "c_mktsegment")
+    val v2 = SnapshotLake.overwritePartitions(
+      cust.filter(col("c_custkey") % 2 === 1 &&
+        col("c_mktsegment").isin(hot: _*)), path, "c_mktsegment")
+    val v3 = SnapshotLake.rollback(spark, path, toVersion = 1)
+    require(v1 == 1 && v2 == 2 && v3 == 3, s"version sequence: $v1 $v2 $v3")
+    (1 to 3).map { v =>
+      SnapshotLake.read(spark, path, Some(v), "c_mktsegment")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum((col("__bal") * 100).cast("long")).as("balance_cents"))
+        .select(lit(v).as("version"), col("c_mktsegment"),
+          col("n_customers"), col("balance_cents"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("version"), col("c_mktsegment"))
+  }
+
+  /** A15 as a gated key: write-audit-publish run end to end in a
+    * fresh lake — attempt 1 stages the customer table under a rule
+    * set it VIOLATES (non-negative balances; the table has negative
+    * ones), so the audit rejects and NOTHING publishes; attempt 2
+    * stages the same data under the honest range + a uniqueness rule
+    * and publishes version 1. The read face is both audit reports
+    * (exact integer violation counts) plus the published state —
+    * hash-gating that a rejected commit leaves no visible version and
+    * a clean one publishes exactly the staged rows.
+    */
+  def writeAuditPublishGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations
+    import graft.sources.SnapshotLake
+    val path = StreamFaces.scratch("graft_wap") + "/lake"
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+    val (r1, p1) = SnapshotLake.writeAuditPublish(cust, path, "c_mktsegment",
+      rowRules = Seq(Expectations.notNull("c_name"),
+        Expectations.inRange("c_acctbal", 0.0, 10000.0)))
+    require(p1.isEmpty, "dirty commit must be rejected")
+    require(SnapshotLake.currentVersion(spark, path) == 0,
+      "rejected commit must leave no visible version")
+    val (r2, p2) = SnapshotLake.writeAuditPublish(cust, path, "c_mktsegment",
+      rowRules = Seq(Expectations.notNull("c_name"),
+        Expectations.inRange("c_acctbal", -1000.0, 10000.0)),
+      uniqueCols = Seq("c_custkey"))
+    require(p2.contains(1), s"clean commit must publish version 1, got $p2")
+    val visible = SnapshotLake.read(spark, path, None, "c_mktsegment").count()
+    r1.select(lit(1).as("attempt"), col("rule"), col("violations"), col("pass"))
+      .unionByName(r2.select(lit(2).as("attempt"), col("rule"),
+        col("violations"), col("pass")))
+      .withColumn("published_rows", lit(visible))
+      .orderBy(col("attempt"), col("rule"))
+  }
+
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))

@@ -45,7 +45,7 @@ object StreamFaces {
     * checkpoints in /tmp — each invocation still gets a FRESH dir
     * (cold stream, no cache) during the process's lifetime.
     */
-  private def scratch(prefix: String): String = {
+  private[graft] def scratch(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     scratchHook
     scratchDirs.add(dir)
