@@ -491,6 +491,17 @@ private[graft] object OracleSqlA {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
+    // A8: the write → compact → read cycle must preserve every row,
+    // value, and the derived period — the oracle aggregates the RAW
+    // events directly
+    "partitioned_lake_write" ->
+      """SELECT strftime(ts, '%Y-%m') AS period, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS value_cents,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // A12: versions replayed set-theoretically — v1 = evens, v2 = hot
     // segments replaced by odds with the rest carried forward, v3 =
     // rollback ≡ v1; the Spark side time-travels a real manifest lake

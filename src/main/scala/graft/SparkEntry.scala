@@ -113,6 +113,7 @@ object SparkEntry {
     "zorder_layout"      -> (ExtendedQueries.zorderLayout _),
     "orc_ingest"         -> (ExtendedQueries.orcIngest _),
     "snapshot_time_travel" -> (ExtendedQueries.snapshotTimeTravel _),
+    "partitioned_lake_write" -> (ExtendedQueries.partitionedLakeWrite _),
     "write_audit_publish" -> (ExtendedQueries.writeAuditPublishGate _),
     "corpus_diff"        -> (ExtendedQueries.corpusDiff _),
     "hll_partitioned_distinct" -> (ExtendedQueries.hllPartitionedDistinct _),

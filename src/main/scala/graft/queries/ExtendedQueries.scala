@@ -100,6 +100,37 @@ object ExtendedQueries {
       .orderBy(col("source"))
   }
 
+  /** A8 as a gated key: the partitioned lake write-path run end to
+    * end — `LakeWriter.writeByPeriod` lays events out as
+    * `period=yyyy-MM/` dirs (the reference's per-week S3 key space as
+    * a proper lake layout), `compact` then rewrites each partition
+    * dir's small files in place (the OPTIMIZE maintenance pass, swap
+    * discipline and all), and the read face aggregates the compacted
+    * table per (period, event_type). The oracle recomputes the same
+    * aggregate from the raw events, so a hash match proves the
+    * write → compact → read cycle preserved every row and value and
+    * that the derived partition column equals the oracle's
+    * strftime — layout pruning/pushdown stays IngestSpec-pinned.
+    */
+  def partitionedLakeWrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = StreamFaces.scratch("graft_lake_a8") + "/events"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    graft.sources.LakeWriter.writeByPeriod(ev, "ts", path,
+      filesPerPartition = 4)
+    graft.sources.LakeWriter.compact(spark, path,
+      targetFileBytes = 1L << 20)
+    spark.read.parquet(path)
+      .groupBy(col("period"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((graft.functions.Num.dec2(col("value")) * 100).cast("long"))
+          .as("value_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("period"), col("event_type"))
+  }
+
   /** A12 as a gated key: the snapshot lake's versioned contract run
     * end to end in a fresh lake — commit v1 (even customers,
     * partitioned by segment), partition-scoped overwrite v2 (odd
