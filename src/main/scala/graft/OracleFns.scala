@@ -149,6 +149,24 @@ private[graft] object OracleFns {
       |FROM documents d LEFT JOIN s USING (doc_id), bias
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Shared by `scd2_history` and the C20b incremental apply — the
+    * strictly-later date split makes incremental ≡ full rebuild, so
+    * one SQL proves both.
+    */
+  private[graft] val scd2HistorySql: String =
+    """WITH v AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+      |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |c AS (SELECT * FROM v WHERE prev IS DISTINCT FROM o_orderpriority)
+      |SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER w AS valid_to,
+      |  (lead(o_orderdate) OVER w) IS NULL AS is_current
+      |FROM c
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin
+
   /** Shared by `funnel_steps` and its E18 stream face — the fMGWS
     * tracker's single-batch in-order fold emits exactly the batch
     * first-touch completions, so one SQL proves both.

@@ -468,19 +468,11 @@ private[graft] object OracleSqlA {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
-    "scd2_history" ->
-      """WITH v AS (
-        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
-        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderdate, o_orderkey) AS prev
-        |  FROM orders),
-        |c AS (SELECT * FROM v WHERE prev IS DISTINCT FROM o_orderpriority)
-        |SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
-        |  lead(o_orderdate) OVER w AS valid_to,
-        |  (lead(o_orderdate) OVER w) IS NULL AS is_current
-        |FROM c
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin,
+    "scd2_history" -> scd2HistorySql,
+    // C20b: the incremental apply's contract IS equality with the full
+    // rebuild (the date split satisfies strictly-later), so the oracle
+    // is the batch SQL verbatim
+    "scd2_incremental" -> scd2HistorySql,
 
     "funnel_steps" -> funnelStepsSql,
     "stream_funnel_steps" -> funnelStepsSql,

@@ -233,6 +233,7 @@ object SparkEntry {
     "pca_project"        -> (VectorQueries.pcaProject _),
     // §2 round-5 additions — warehouse + retrieval surface
     "scd2_history"       -> (WarehouseQueries.scd2History _),
+    "scd2_incremental"   -> (WarehouseQueries.scd2Incremental _),
     "funnel_steps"       -> (WarehouseQueries.funnelSteps _),
     "window_funnel"      -> (WarehouseQueries.windowFunnelDepth _),
     "bucketed_join"      -> (WarehouseQueries.bucketedJoin _),

@@ -50,4 +50,46 @@ object Scd2 {
   def stateAt(history: DataFrame, asOf: Column): DataFrame =
     history.filter(col("valid_from") <= asOf &&
       (col("valid_to").isNull || asOf < col("valid_to")))
+
+  /** Incremental SCD2 apply — the daily dimension job: extend an
+    * existing [[history]] with a change-log batch WITHOUT rebuilding
+    * from the full log. Closed versions and untouched keys pass
+    * through verbatim; per touched key, only the CURRENT version row
+    * seeds a re-run of the change detection over (seed ∪ batch), so
+    * the work is O(batch + touched keys' current rows) — never a
+    * re-sort of the full history, the shape that matters when the
+    * dimension's history is years deep.
+    *
+    * CONTRACT (the standard append-only assumption): every batch row
+    * is STRICTLY LATER in `orderCol` than every already-applied log
+    * row of its key. Under it, applyIncremental(history(log₁), log₂)
+    * ≡ history(log₁ ∪ log₂) exactly: the last log₁ row's tracked
+    * attrs are the current version's attrs, so seeding with the
+    * current row reproduces the same change decisions (the seed's
+    * tiebreak is irrelevant — strictly-later batch rows can never tie
+    * with it). A batch row landing BETWEEN historical rows violates
+    * the contract and must go through a full [[history]] rebuild.
+    */
+  def applyIncremental(history: DataFrame, batch: DataFrame,
+                       keys: Seq[String], attrs: Seq[String],
+                       orderCol: String, tiebreak: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val logCols = keyCols ++ attrs.map(col) ++ Seq(col(orderCol), col(tiebreak))
+    val touched = batch.select(keyCols: _*).distinct()
+    val untouched = history.join(touched, keys, "left_anti")
+    val touchedHist = history.join(touched, keys, "left_semi")
+    val closed = touchedHist.filter(col("valid_to").isNotNull)
+    // the current row as a pseudo-log seed: its attrs ARE the last
+    // applied row's attrs, at its own valid_from
+    val seed = touchedHist.filter(col("valid_to").isNull)
+      .select(keyCols ++ attrs.map(col) :+
+        col("valid_from").as(orderCol): _*)
+      .withColumn(tiebreak,
+        lit(null).cast(batch.schema(tiebreak).dataType))
+      .select(logCols: _*)
+    val rebuilt = this.history(
+      seed.unionByName(batch.select(logCols: _*)),
+      keys, attrs, orderCol, tiebreak)
+    untouched.unionByName(closed).unionByName(rebuilt)
+  }
 }

@@ -23,6 +23,29 @@ object WarehouseQueries {
         orderCol = "o_orderdate", tiebreak = "o_orderkey")
       .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority"))
 
+  /** C20b: INCREMENTAL SCD2 apply — the daily dimension job run end
+    * to end: history built from the first half of the change log
+    * (orders before 1996-01-01), then the second half applied
+    * incrementally ([[graft.operators.Scd2.applyIncremental]] —
+    * closed versions and untouched keys pass through, only touched
+    * keys' current rows re-enter change detection). The date split
+    * satisfies the strictly-later contract, so the result must equal
+    * the full rebuild EXACTLY — the oracle is `scd2_history`'s SQL
+    * verbatim, which is precisely the incremental≡batch claim under
+    * the hash gate.
+    */
+  def scd2Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val split = lit(java.sql.Date.valueOf("1996-01-01"))
+    val hist1 = Scd2.history(orders.filter(col("o_orderdate") < split),
+      keys = Seq("o_custkey"), attrs = Seq("o_orderpriority"),
+      orderCol = "o_orderdate", tiebreak = "o_orderkey")
+    Scd2.applyIncremental(hist1, orders.filter(col("o_orderdate") >= split),
+        keys = Seq("o_custkey"), attrs = Seq("o_orderpriority"),
+        orderCol = "o_orderdate", tiebreak = "o_orderkey")
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority"))
+  }
+
   /** C21: ordered funnel — view → click → purchase per user, each step
     * within 4h of the previous step's first completion. ONE shuffle for
     * the whole funnel (see [[graft.operators.Funnel]]).

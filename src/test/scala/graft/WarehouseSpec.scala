@@ -1571,6 +1571,47 @@ class WarehouseSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("scd2 incremental apply ≡ full rebuild; new keys, unchanged attrs, untouched pass-through") {
+    import graft.operators.Scd2
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    val split = lit(java.sql.Date.valueOf("1996-01-01"))
+    val args = (Seq("o_custkey"), Seq("o_orderpriority"), "o_orderdate", "o_orderkey")
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      Scd2.history(df, args._1, args._2, args._3, args._4)
+    val full = hist(orders)
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority"))
+      .collect().toSeq
+    val inc = Scd2.applyIncremental(
+        hist(orders.filter(col("o_orderdate") < split)),
+        orders.filter(col("o_orderdate") >= split),
+        args._1, args._2, args._3, args._4)
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority"))
+      .collect().toSeq
+    assert(inc == full, "incremental apply must equal the full rebuild")
+    // hand fixture: new key opens fresh history; identical attrs open
+    // no version; an untouched key's rows pass through bit-identical
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val log1 = Seq((1L, "A", d("2024-01-01"), 1L), (1L, "B", d("2024-02-01"), 2L),
+      (9L, "Z", d("2024-01-15"), 3L)).toDF("k", "attr", "dt", "tb")
+    val batch = Seq((1L, "B", d("2024-03-01"), 4L),  // unchanged attr
+      (2L, "C", d("2024-03-02"), 5L))                // brand-new key
+      .toDF("k", "attr", "dt", "tb")
+    def hist2(df: org.apache.spark.sql.DataFrame) =
+      Scd2.history(df, Seq("k"), Seq("attr"), "dt", "tb")
+    val got = Scd2.applyIncremental(hist2(log1), batch,
+        Seq("k"), Seq("attr"), "dt", "tb")
+      .orderBy(col("k"), col("valid_from"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString),
+        r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1L, "A", "2024-01-01", Some("2024-02-01"), false),
+      (1L, "B", "2024-02-01", None, true),           // no new version
+      (2L, "C", "2024-03-02", None, true),           // new key
+      (9L, "Z", "2024-01-15", None, true)))          // untouched
+  }
+
   // ---- BlockedLinkage (C76 block-size dial) ----------------------------
 
   /** names crafted so lexicographic sort order inside the block is the
