@@ -473,6 +473,9 @@ private[graft] object OracleSqlA {
     // rebuild (the date split satisfies strictly-later), so the oracle
     // is the batch SQL verbatim
     "scd2_incremental" -> scd2HistorySql,
+    // E26: date-tercile micro-batches satisfy strictly-later, so the
+    // streamed lake history equals the full rebuild
+    "stream_scd2_history" -> scd2HistorySql,
 
     "funnel_steps" -> funnelStepsSql,
     "stream_funnel_steps" -> funnelStepsSql,

@@ -705,6 +705,37 @@ object StreamFaces {
       .orderBy(col("doc_id"))
   }
 
+  /** E26 as a gated key: continuous SCD2 maintenance — the orders
+    * change-log arrives as THREE date-tercile micro-batches (mtime
+    * order = event-time order, the natural CDC shape), each extending
+    * the lake history via the incremental apply. Under the
+    * strictly-later contract the final table equals the full batch
+    * rebuild, so the oracle is `scd2_history`'s SQL verbatim — the
+    * cross-batch incremental composition itself under the hash gate.
+    */
+  def streamScd2History(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_s2")
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderpriority"),
+        col("o_orderdate"), col("o_orderkey"))
+    val slice = when(col("o_orderdate") < lit(java.sql.Date.valueOf("1997-01-01")), 0)
+      .when(col("o_orderdate") < lit(java.sql.Date.valueOf("1999-01-01")), 1)
+      .otherwise(2)
+    val src = sliceSource(orders, base, slice, 3)
+    val stream = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = graft.streaming.StreamingScd2.start(
+      stream, keys = Seq("o_custkey"), attrs = Seq("o_orderpriority"),
+      orderCol = "o_orderdate", tiebreak = "o_orderkey",
+      tablePath = s"$base/table", checkpoint = s"$base/ckpt")
+    q.awaitTermination()
+    val batches = committedBatches(s"$base/ckpt")
+    require(batches == 3, s"expected 3 committed micro-batches, saw $batches")
+    spark.read.parquet(s"$base/table")
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority"))
+  }
+
   /** E19 as a gated key: the continuously-published DP count release
     * run to completion — tumbling daily windows of per-type counts,
     * Laplace noise keyed on the (window, type) cell identity, APPEND

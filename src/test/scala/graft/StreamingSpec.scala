@@ -1060,6 +1060,46 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("streaming SCD2: chaos replay of a multi-version batch is a no-op") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val base = java.nio.file.Files.createTempDirectory("graft_s2chaos")
+      .toFile.getAbsolutePath
+    // batch 2 opens TWO versions for key 1 — the case where a naive
+    // replay would re-open the closed middle version
+    val rows = Seq(
+      (1L, "A", d("2024-01-01"), 1L),   // slice 0
+      (1L, "B", d("2024-02-01"), 2L),   // slice 1
+      (1L, "C", d("2024-02-15"), 3L),   // slice 1 (two versions in one batch)
+      (2L, "X", d("2024-02-20"), 4L))   // slice 1
+      .toDF("k", "attr", "dt", "tb")
+    val slice = when(col("dt") < lit(d("2024-01-15")), 0).otherwise(1)
+    val src = graft.queries.StreamFaces.sliceSource(rows, base, slice, 2)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = graft.streaming.StreamingScd2.start(stream,
+        Seq("k"), Seq("attr"), "dt", "tb", s"$base/table", s"$base/ckpt")
+      q.awaitTermination()
+    }
+    run()
+    def table() = spark.read.parquet(s"$base/table")
+      .orderBy(col("k"), col("valid_from")).collect().toSeq
+    val want = graft.operators.Scd2.history(rows, Seq("k"), Seq("attr"), "dt", "tb")
+      .orderBy(col("k"), col("valid_from")).collect().toSeq
+    assert(table() == want, "streamed history must equal the batch rebuild")
+    // CHAOS: drop the last commit marker — the restarted query replays
+    // the multi-version batch against the table it already extended
+    val commits = new java.io.File(s"$base/ckpt/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit))
+    val last = commits.maxBy(_.getName.toInt)
+    assert(last.delete())
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    run()
+    assert(table() == want, "replayed batch must be absorbed as a no-op")
+  }
+
   test("streaming perplexity gate equals the batch threshold filter and honors the frozen cut") {
     import graft.streaming.StreamingScoreFilter
     import graft.operators.LanguageModel
