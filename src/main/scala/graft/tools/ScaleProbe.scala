@@ -960,6 +960,38 @@ object ScaleProbe {
       graft.queries.StreamFaces.streamSessionWindows(spark, streamDirUsers)
         .count()
     }
+    // C20b at volume: the daily-dimension story — a full Type-2
+    // rebuild re-sorts the whole ×mult change log every day; the
+    // incremental apply reads the lake history and pays only for the
+    // batch + touched keys' current rows. Keys amplified too, so the
+    // history is ×mult wide as well as deep.
+    lazy val ordAmp = graft.sources.Tables.orders(spark, dir)
+      .crossJoin(copies)
+      .select((col("o_orderkey") * mult + col("copy")).as("o_orderkey"),
+        (col("o_custkey") * mult + col("copy")).as("o_custkey"),
+        col("o_orderpriority"), col("o_orderdate"))
+    lazy val scd2Cut = java.sql.Date.valueOf("2001-07-01") // last month = the "daily" batch
+    t("scd2_rebuild_full") {
+      graft.operators.Scd2.history(ordAmp, Seq("o_custkey"),
+        Seq("o_orderpriority"), "o_orderdate", "o_orderkey").count()
+    }
+    t("scd2_incremental_apply") {
+      // history lives in the lake (not timed): production state
+      val histPath = java.nio.file.Files
+        .createTempDirectory("graft_probe_scd2").toFile.getAbsolutePath
+      graft.operators.Scd2.history(
+          ordAmp.filter(col("o_orderdate") < lit(scd2Cut)),
+          Seq("o_custkey"), Seq("o_orderpriority"), "o_orderdate", "o_orderkey")
+        .write.parquet(s"$histPath/hist")
+      val t0 = System.nanoTime()
+      val n = graft.operators.Scd2.applyIncremental(
+        spark.read.parquet(s"$histPath/hist"),
+        ordAmp.filter(col("o_orderdate") >= lit(scd2Cut)),
+        Seq("o_custkey"), Seq("o_orderpriority"), "o_orderdate", "o_orderkey")
+        .count()
+      println(f"[probe]   (apply-only: ${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      n
+    }
     t("png_decode") {
       // per-row encode + inflate + unfilter; pure map, zero exchanges
       import spark.implicits._

@@ -135,6 +135,35 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("Scd2.applyIncremental == full rebuild on random logs at any strictly-later split") {
+    import graft.operators.Scd2
+    // random change logs: few keys + few attr values force real
+    // version churn, duplicate dates per key exercise the tiebreak
+    val rowGen = for {
+      k <- Gen.choose(1L, 4L)
+      a <- Gen.oneOf("A", "B", "C")
+      d <- Gen.choose(1, 60)
+    } yield (k, a, d)
+    val logGen = Gen.listOfN(40, rowGen)
+    forAll2(logGen, Gen.choose(2, 59), n = 8) { (rows, split) =>
+      val df = rows.zipWithIndex.map { case ((k, a, d), i) =>
+        (k, a, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(d.toLong)), i.toLong)
+      }.toDF("k", "attr", "dt", "tb")
+      val cut = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(split.toLong))
+      def sorted(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy(col("k"), col("valid_from"), col("attr")).collect().toSeq
+      val full = sorted(Scd2.history(df, Seq("k"), Seq("attr"), "dt", "tb"))
+      val inc = sorted(Scd2.applyIncremental(
+        Scd2.history(df.filter(col("dt") < lit(cut)),
+          Seq("k"), Seq("attr"), "dt", "tb"),
+        df.filter(col("dt") >= lit(cut)),
+        Seq("k"), Seq("attr"), "dt", "tb"))
+      assert(inc == full, s"split=$split rows=$rows")
+    }
+  }
+
   test("Upsert.keepLatest is idempotent and keeps the max version") {
     val rows = Gen.listOfN(60,
       Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 20L), Gen.alphaStr))
