@@ -230,7 +230,7 @@ private[graft] object OracleFns {
 
   /** E9-multibatch oracle — SEQUENTIAL admission replayed round by
     * round: corpus C0 = even docs; round r admits batch B_r = odd docs
-    * with doc_id %% 6 = 2r−1 against C_{r−1}, then C_r = C_{r−1} ∪
+    * with doc_id % 6 = 2r−1 against C_{r−1}, then C_r = C_{r−1} ∪
     * admitted_r. Within a round the semantics are dedupIncrementalSql's
     * (transitive in-batch components, taint-whole-component vs the
     * corpus, min-id representative); ACROSS rounds the corpus GROWS, so
@@ -292,7 +292,7 @@ private[graft] object OracleFns {
   }
 
   /** E3-multibatch oracle — keep-latest upsert where the LOAD ORDER is
-    * part of the contract: three micro-batches by event_id %% 3 (in
+    * part of the contract: three micro-batches by event_id % 3 (in
     * that order), batch rows win over table rows on key collision, so
     * each user's final row is the within-batch (ts, event_id)-latest
     * row of the LAST batch containing that user — batch index
@@ -306,6 +306,63 @@ private[graft] object OracleFns {
       |    ORDER BY (event_id % 3) DESC, ts DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn = 1
       |ORDER BY user_id""".stripMargin
+
+  /** E20-multibatch oracle — the media twin of
+    * [[dedupMultibatchAdmissionSql]]: fingerprints replayed from the
+    * generator arithmetic (the D12/D70 pattern), then THREE admission
+    * rounds unrolled, each tainting batch r's within-batch components
+    * against the fingerprint set GROWN by rounds < r (index C0 = the
+    * even assets) and admitting min-id representatives of clean
+    * components.
+    */
+  private[graft] val mediaMultibatchGateSql: String = {
+    val rounds = Seq(1, 3, 5).zipWithIndex.map { case (m, i) =>
+      val r = i + 1
+      s"""b$r AS (SELECT * FROM hs WHERE doc_id % 6 = $m),
+         |taint$r AS (
+         |  SELECT DISTINCT o.doc_id FROM b$r o JOIN c${r - 1} e
+         |  ON o.w = e.w AND o.h = e.h
+         |    AND bit_count(xor(o.phash, e.phash)) <= 2),
+         |edges$r AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib FROM b$r a JOIN b$r b
+         |  ON a.w = b.w AND a.h = b.h AND a.doc_id <> b.doc_id
+         |    AND bit_count(xor(a.phash, b.phash)) <= 2),
+         |reach$r(id, r) AS (
+         |  SELECT doc_id, doc_id FROM b$r
+         |  UNION
+         |  SELECT reach$r.id, edges$r.ib FROM reach$r JOIN edges$r
+         |    ON edges$r.ia = reach$r.r),
+         |comp$r AS (SELECT id, min(r) AS canon FROM reach$r GROUP BY id),
+         |bad$r AS (SELECT DISTINCT c.canon FROM comp$r c
+         |          JOIN taint$r t ON t.doc_id = c.id),
+         |adm$r AS (SELECT id FROM comp$r WHERE id = canon
+         |          AND canon NOT IN (SELECT canon FROM bad$r)),
+         |c$r AS (SELECT w, h, phash FROM c${r - 1}
+         |  UNION ALL
+         |  SELECT h2.w, h2.h, h2.phash FROM hs h2
+         |  JOIN adm$r ON adm$r.id = h2.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val admitted = (1 to 3).map(r => s"SELECT id FROM adm$r")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE hs AS (
+      |  SELECT d.doc_id, CAST(d.doc_id % 6 + 2 AS INTEGER) AS w,
+      |    CAST(d.doc_id % 4 + 2 AS INTEGER) AS h,
+      |    CAST(COALESCE(SUM(CASE WHEN
+      |      ((d.doc_id*7 + (i.i+1)*3) % 256 + (d.doc_id*11 + (i.i+1)*5) % 256
+      |        + (d.doc_id*13 + (i.i+1)*7) % 256) // 3
+      |      > ((d.doc_id*7 + i.i*3) % 256 + (d.doc_id*11 + i.i*5) % 256
+      |        + (d.doc_id*13 + i.i*7) % 256) // 3
+      |      THEN (CAST(1 AS BIGINT) << i.i)
+      |      ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS phash
+      |  FROM documents d JOIN range(0, 34) AS i(i)
+      |    ON i.i < (d.doc_id % 6 + 2)*(d.doc_id % 4 + 2) - 1
+      |  GROUP BY d.doc_id),
+      |c0 AS (SELECT w, h, phash FROM hs WHERE doc_id % 2 = 0),
+      |$rounds
+      |SELECT o.doc_id, o.w AS width, o.h AS height, o.phash
+      |FROM hs o JOIN ($admitted) a ON a.id = o.doc_id
+      |ORDER BY o.doc_id""".stripMargin
+  }
 
   /** Shared by the LOSSLESS media-decode keys (`media_decode_png`,
     * `media_decode_gif`): the oracle recomputes the per-image stats

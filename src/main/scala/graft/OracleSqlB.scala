@@ -384,6 +384,14 @@ private[graft] object OracleSqlB {
       """SELECT word, COUNT(*) AS freq FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
         |GROUP BY word ORDER BY freq DESC, word LIMIT 10""".stripMargin,
+    // E10-multibatch: three per-batch CMS rows merge by counter sums —
+    // identical to one sketch over the union (additive-merge identity,
+    // id-pure nomination coins), so the cross-batch merge shares the
+    // same exact-verified oracle
+    "stream_trending_multibatch" ->
+      """SELECT word, COUNT(*) AS freq FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |GROUP BY word ORDER BY freq DESC, word LIMIT 10""".stripMargin,
 
     "topk_per_group_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (

@@ -933,6 +933,10 @@ private[graft] object OracleSqlD {
         |FROM odd o JOIN adm ON adm.id = o.doc_id
         |ORDER BY o.doc_id""".stripMargin,
 
+    // E20-multibatch: the three admission rounds unrolled against the
+    // grown fingerprint set (see OracleFns.mediaMultibatchGateSql)
+    "stream_media_multibatch" -> mediaMultibatchGateSql,
+
     "media_dedup_phash" ->
       """WITH hs AS (
         |  SELECT d.doc_id, CAST(d.doc_id % 6 + 2 AS INTEGER) AS w,

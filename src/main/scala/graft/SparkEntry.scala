@@ -205,6 +205,8 @@ object SparkEntry {
     "stream_upsert_multibatch" -> (StreamFaces.streamUpsertMultibatch _),
     "stream_admission_multibatch" -> (StreamFaces.streamAdmissionMultibatch _),
     "stream_scd2_history" -> (StreamFaces.streamScd2History _),
+    "stream_trending_multibatch" -> (StreamFaces.streamTrendingMultibatch _),
+    "stream_media_multibatch" -> (StreamFaces.streamMediaMultibatch _),
     "stream_session_windows" -> (StreamFaces.streamSessionWindows _),
     "stream_perplexity_gate" -> (StreamFaces.streamPerplexityGate _),
     "stream_classifier_gate" -> (StreamFaces.streamClassifierGate _),

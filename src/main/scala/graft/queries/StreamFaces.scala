@@ -363,6 +363,82 @@ object StreamFaces {
       .limit(10)
   }
 
+  /** E10's MULTI-BATCH variant as a gated key: the documents table
+    * split into three mtime-ordered slices, so the trending tracker
+    * appends THREE per-batch CMS rows + nomination sets; the read
+    * face merges the batch sketches (counter sums — identical to one
+    * sketch over the union at the same eps/confidence/seed, the
+    * additive-merge identity) and exact-verifies the slate exactly as
+    * the single-batch face, so the CROSS-BATCH sketch merge itself
+    * sits under `vocab_heavy_hitters`' oracle.
+    */
+  def streamTrendingMultibatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val base = scratch("graft_stream_tr3")
+    val docs = Tables.documents(spark, dir)
+    val src = sliceSource(docs, base, pmod(col("doc_id"), lit(3)), 3)
+    val occStream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "word")))
+    val q = graft.streaming.StreamingTrending.start(
+      occStream, struct(col("doc_id"), col("pos")), col("word"),
+      s"$base/lake", s"$base/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val batches = committedBatches(s"$base/ckpt")
+    require(batches == 3, s"expected 3 committed micro-batches, saw $batches")
+    val slate = graft.streaming.StreamingTrending
+      .trendingTopK(spark, s"$base/lake", 20)
+      .select(col("word"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "word")))
+      .join(broadcast(slate), "word")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(10)
+  }
+
+  /** E20's ORDER-DEPENDENT multi-batch variant as a gated key: odd
+    * assets arrive as THREE doc_id-mod-6 slices in mtime order, each
+    * batch decoding, screening against the fingerprint index GROWN by
+    * its predecessors' admits, and appending its own. The oracle
+    * replays the three rounds sequentially over the
+    * generator-arithmetic fingerprints
+    * ([[graft.OracleFnsTrained]]'s media multibatch builder) — the
+    * multimodal twin of `stream_admission_multibatch`.
+    */
+  def streamMediaMultibatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = scratch("graft_stream_mg3")
+    def toMedia(ids: org.apache.spark.sql.Dataset[Long]) =
+      ids.mapPartitions(_.map { id =>
+        val (w, h, px) = MultimodalQueries.synthImage(id)
+        (id, graft.sources.MediaCodecs.encodeBmp(w, h, px))
+      }).toDF("doc_id", "media")
+    val docs = Tables.documents(spark, dir)
+    val even = toMedia(docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id")).as[Long])
+    graft.streaming.StreamingMediaGate.fingerprint(even)
+      .select(col("width"), col("height"), col("phash"))
+      .write.parquet(s"$base/index")
+    val src = sliceSource(docs.filter(col("doc_id") % 2 === 1), base,
+      ((pmod(col("doc_id"), lit(6)) - 1) / 2).cast("long"), 3)
+    val stream = toMedia(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(col("doc_id")).as[Long])
+    val q = graft.streaming.StreamingMediaGate.start(
+      stream, "doc_id", s"$base/assets", s"$base/index", s"$base/ckpt",
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val batches = committedBatches(s"$base/ckpt")
+    require(batches == 3, s"expected 3 committed micro-batches, saw $batches")
+    spark.read.parquet(s"$base/assets").orderBy(col("doc_id"))
+  }
+
   /** E6 as a gated key: streaming first-arrival dedup run to
     * completion over events arriving as a file stream —
     * `dropDuplicatesWithinWatermark` on (user_id, event_type) with a
