@@ -91,6 +91,68 @@ private[graft] object OracleFns {
        |FROM r ORDER BY day""".stripMargin
   }
 
+  /** C86 oracle — mirrors [[graft.operators.AbStats.obfMonitor]]: the
+    * look schedule is multiplication-only integer arithmetic (r·K ≥
+    * D·k and (r−1)·K < D·k — no division in either engine), the
+    * critical constant and K enter as round-trip double literals, and
+    * the decision compares the 6-dp ROUNDED z/bound like the plan.
+    */
+  private[graft] def obfOracle(looks: Int, critical: Double): String = {
+    def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+    // CASE checks k ascending — the smallest matching look wins when
+    // D < K makes schedules coincide, same as the plan's fold order
+    val lookCase = (1 to looks).map(k =>
+      s"WHEN r * $looks >= d * $k AND (r - 1) * $looks < d * $k THEN $k")
+      .mkString("CASE ", " ", " END")
+    val pp = "(CAST(cum_k0 + cum_k1 AS DOUBLE) / CAST(cum_n0 + cum_n1 AS DOUBLE))"
+    val se2 = s"($pp * (1.0 - $pp) * (1.0 / CAST(cum_n0 AS DOUBLE)" +
+      " + 1.0 / CAST(cum_n1 AS DOUBLE)))"
+    val zExpr = s"round((CAST(cum_k1 AS DOUBLE) / CAST(cum_n1 AS DOUBLE)" +
+      s" - CAST(cum_k0 AS DOUBLE) / CAST(cum_n0 AS DOUBLE)) / sqrt($se2), 6)"
+    s"""WITH dly AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS t0,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS t1,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS k1
+       |  FROM events GROUP BY 1),
+       |c AS (
+       |  SELECT day,
+       |    CAST(SUM(t0) OVER w AS BIGINT) AS cum_n0,
+       |    CAST(SUM(k0) OVER w AS BIGINT) AS cum_k0,
+       |    CAST(SUM(t1) OVER w AS BIGINT) AS cum_n1,
+       |    CAST(SUM(k1) OVER w AS BIGINT) AS cum_k1,
+       |    ROW_NUMBER() OVER (ORDER BY day) AS r,
+       |    COUNT(*) OVER () AS d
+       |  FROM dly
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW)),
+       |l AS (SELECT *, $lookCase AS look FROM c),
+       |f AS (SELECT CAST(look AS INTEGER) AS look, day,
+       |    cum_n0, cum_k0, cum_n1, cum_k1,
+       |    CASE WHEN cum_n0 > 0 AND cum_n1 > 0 AND $se2 > 0.0
+       |      THEN $zExpr END AS z_stat,
+       |    round(${d(critical)}
+       |      * sqrt(${d(looks.toDouble)} / CAST(look AS DOUBLE)), 6) AS bound
+       |  FROM l WHERE look IS NOT NULL),
+       |x AS (SELECT *,
+       |    CASE WHEN abs(COALESCE(z_stat, 0.0)) >= bound THEN 1 ELSE 0 END
+       |      AS xed
+       |  FROM f),
+       |p AS (SELECT *, COALESCE(SUM(xed) OVER (ORDER BY look
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM x)
+       |SELECT look, day, cum_n0, cum_k0, cum_n1, cum_k1, z_stat, bound,
+       |  CASE WHEN prior > 0 THEN 'stopped'
+       |       WHEN xed = 1 THEN 'reject_h0'
+       |       ELSE 'continue' END AS decision
+       |FROM p ORDER BY look""".stripMargin
+  }
+
   /** Shared by `events_session_window` and its E2 stream face — the
     * sentinel-flushed bounded stream drops nothing, so the emitted
     * sessions equal the batch gap decomposition exactly.

@@ -624,6 +624,70 @@ private[graft] object OracleSqlC {
         |    + 0.2 * least((h / n) * 8.0, 1.0) AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // D111: exact integer pair/unigram censuses; PMI is ONE ln over a
+    // pinned-association double ratio (c_vw·N·N / (N_pair·c_v) / c_w),
+    // 6-dp round absorbing libm-ulp ln drift (the BM25/LM argument)
+    "pmi_collocations" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN len(trim(text)) > 0
+        |    THEN string_split_regex(trim(text), '\s+')
+        |    ELSE [] END AS tk
+        |  FROM documents),
+        |pr AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> [tk[i], tk[i+1]])) AS p
+        |  FROM t),
+        |pc AS (SELECT p[1] AS v, p[2] AS w, COUNT(*) AS c_vw
+        |  FROM pr GROUP BY 1, 2),
+        |uc AS (SELECT x, COUNT(*) AS c_x FROM (
+        |    SELECT unnest(tk) AS x FROM t) GROUP BY 1),
+        |tot AS (SELECT
+        |    (SELECT CAST(SUM(c_x) AS BIGINT) FROM uc) AS n_tok,
+        |    (SELECT CAST(SUM(c_vw) AS BIGINT) FROM pc) AS n_pair),
+        |s AS (SELECT v, w, c_vw, cv.c_x AS c_v, cw.c_x AS c_w, n_tok, n_pair
+        |  FROM pc JOIN uc cv ON cv.x = pc.v JOIN uc cw ON cw.x = pc.w
+        |  CROSS JOIN tot WHERE c_vw >= 5)
+        |SELECT v, w, c_vw, c_v, c_w,
+        |  round(ln(CAST(c_vw AS DOUBLE) * CAST(n_tok AS DOUBLE)
+        |      * CAST(n_tok AS DOUBLE)
+        |    / (CAST(n_pair AS DOUBLE) * CAST(c_v AS DOUBLE))
+        |    / CAST(c_w AS DOUBLE)), 6) AS pmi
+        |FROM s ORDER BY pmi DESC, v, w LIMIT 50""".stripMargin,
+
+    // D112: the D9 quality CTE (already hash-green) bridges to
+    // micro-unit BIGINT weights; Σw, Σw² exact HUGEINT (the plan's
+    // decimal(38,0)); ESS/deff one IEEE evaluation per source
+    "weighted_ess" ->
+      """WITH t AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    CAST(len(tk) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
+        |  FROM t),
+        |w AS (
+        |  SELECT source, CAST(round(
+        |    (0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((h / n) * 8.0, 1.0)) * 1000000.0, 0)
+        |    AS BIGINT) AS wu
+        |  FROM c),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    SUM(CAST(wu AS HUGEINT)) AS sw,
+        |    SUM(CAST(wu AS HUGEINT) * CAST(wu AS HUGEINT)) AS sww
+        |  FROM w GROUP BY 1)
+        |SELECT source, n_rows,
+        |  CASE WHEN sww > 0 THEN round(
+        |    CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE), 6)
+        |  END AS ess,
+        |  CASE WHEN sw > 0 THEN round(
+        |    CAST(n_rows AS DOUBLE) * CAST(sww AS DOUBLE)
+        |      / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)), 6)
+        |  END AS design_effect
+        |FROM a ORDER BY source""".stripMargin,
+
     "text_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
@@ -854,6 +918,59 @@ private[graft] object OracleSqlC {
         |  round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
         |    - CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gap
         |FROM g ORDER BY bin""".stripMargin,
+
+    // D113: the D96 bin chain + the minimax closed form (≡ PAV) —
+    // every avg(h..j) is one IEEE divide of exact prefix-sum
+    // differences, so the min/max lattice compares identical doubles
+    "quality_isotonic" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |q AS (
+        |  SELECT doc_id, text, tk,
+        |    CAST(len(tk) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) AS u,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS h
+        |  FROM t),
+        |v AS (
+        |  SELECT doc_id,
+        |    CAST(round((0.4 * least(n / 64.0, 1.0) + 0.4 * (u / n)
+        |      + 0.2 * least((h / n) * 8.0, 1.0)) * 1000000.0) AS BIGINT)
+        |      AS qm,
+        |    (len(tk) BETWEEN 40 AND 100000
+        |      AND CAST(len(regexp_replace(trim(text), '\s+', '', 'g'))
+        |            AS DOUBLE) / CAST(len(tk) AS DOUBLE) BETWEEN 3.0 AND 5.0
+        |      AND CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
+        |            AS DOUBLE) / CAST(len(tk) AS DOUBLE) >= 0.8
+        |      AND len(list_filter(tk, w -> list_contains(
+        |            ['the', 'a', 'of', 'to', 'and'], w))) >= 1) AS keep
+        |  FROM q),
+        |b AS (SELECT
+        |    CAST(least(floor(qm / 100000.0), 9.0) AS BIGINT) AS bin,
+        |    CASE WHEN keep THEN 1 ELSE 0 END AS pos FROM v),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(pos) AS BIGINT) AS np FROM b GROUP BY 1),
+        |ii AS (SELECT bin, n, np,
+        |    ROW_NUMBER() OVER (ORDER BY bin) AS i,
+        |    CAST(SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |    CAST(SUM(np) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+        |  FROM g),
+        |lo AS (SELECT i AS h, cn - n AS cn0, cp - np AS cp0 FROM ii),
+        |hi AS (SELECT i AS j, cn AS cnj, cp AS cpj FROM ii),
+        |pr AS (SELECT h, j,
+        |    CAST(cpj - cp0 AS DOUBLE) / CAST(cnj - cn0 AS DOUBLE) AS a
+        |  FROM lo JOIN hi ON h <= j),
+        |mm AS (SELECT pr.h, k.i AS k, MIN(a) AS m
+        |  FROM pr JOIN ii k ON k.i >= pr.h AND k.i <= pr.j GROUP BY 1, 2),
+        |ft AS (SELECT k, MAX(m) AS fit FROM mm GROUP BY 1)
+        |SELECT bin, n,
+        |  CASE WHEN n > 0 THEN
+        |    round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS frac_pos,
+        |  round(fit, 6) AS fit_isotonic
+        |FROM ii JOIN ft ON ft.k = ii.i ORDER BY bin""".stripMargin,
 
     // D97: exact-integer probability ratios, ln inside each term,
     // three pinned sorted folds (cells, both margins)

@@ -556,6 +556,163 @@ private[graft] object OracleSqlD {
     "ab_sprt_monitor" -> sprtOracle(0.18, 0.22, 0.05, 0.05),
     "ab_msprt_monitor" -> msprtOracle(0.18,
       graft.queries.WarehouseQueries.MsprtGrid, 0.05),
+    // C86: same-literal discipline — looks/critical shared with the
+    // plan; the look schedule is multiplication-only integer tests
+    "ab_obf_monitor" -> obfOracle(looks = 5, critical = 2.04),
+
+    // C87: per-user (x=events, y=purchase revenue) aggregates in
+    // DECIMAL(18,2) like the plan; the 12 sufficient sums are exact,
+    // the delta-method finisher is mirrored parenthesis-for-
+    // parenthesis with guards on the same edges
+    "ab_ratio_delta" ->
+      """WITH pu AS (SELECT user_id, COUNT(*) AS xn,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END) AS ys
+        |  FROM events GROUP BY user_id),
+        |p AS (SELECT user_id % 2 AS arm,
+        |    CAST(xn AS DECIMAL(18,2)) AS x,
+        |    CAST(COALESCE(ys, CAST(0 AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS y
+        |  FROM pu),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN x END) AS DOUBLE) AS sxa,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN x END) AS DOUBLE) AS sxb,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN y END) AS DOUBLE) AS sya,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN y END) AS DOUBLE) AS syb,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN x * x END) AS DOUBLE) AS sxxa,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN x * x END) AS DOUBLE) AS sxxb,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN x * y END) AS DOUBLE) AS sxya,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN x * y END) AS DOUBLE) AS sxyb,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN y * y END) AS DOUBLE) AS syya,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN y * y END) AS DOUBLE) AS syyb
+        |  FROM p),
+        |f AS (SELECT n_a, n_b,
+        |    CASE WHEN sxa <> 0.0 THEN sya / sxa END AS ra,
+        |    CASE WHEN sxb <> 0.0 THEN syb / sxb END AS rb,
+        |    CASE WHEN n_a >= 2 AND sxa <> 0.0 THEN
+        |      (((syya - sya * sya / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+        |       - 2.0 * (sya / sxa)
+        |         * ((sxya - sxa * sya / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+        |       + (sya / sxa) * (sya / sxa)
+        |         * ((sxxa - sxa * sxa / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)))
+        |      / (CAST(n_a AS DOUBLE) * (sxa / CAST(n_a AS DOUBLE))
+        |         * (sxa / CAST(n_a AS DOUBLE))) END AS va,
+        |    CASE WHEN n_b >= 2 AND sxb <> 0.0 THEN
+        |      (((syyb - syb * syb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+        |       - 2.0 * (syb / sxb)
+        |         * ((sxyb - sxb * syb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+        |       + (syb / sxb) * (syb / sxb)
+        |         * ((sxxb - sxb * sxb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)))
+        |      / (CAST(n_b AS DOUBLE) * (sxb / CAST(n_b AS DOUBLE))
+        |         * (sxb / CAST(n_b AS DOUBLE))) END AS vb
+        |  FROM a)
+        |SELECT n_a, n_b,
+        |  round(ra, 6) AS ratio_a, round(rb, 6) AS ratio_b,
+        |  CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+        |    THEN round(rb - ra, 6) END AS diff,
+        |  CASE WHEN va + vb > 0.0
+        |    THEN round((rb - ra) / sqrt(va + vb), 6) END AS z_stat
+        |FROM f""".stripMargin,
+
+    // C88: the m²-scaled centered products are exact HUGEINT (the
+    // plan's decimal(38,0)); acf is one IEEE divide of two exact
+    // integers per lag
+    "value_acf" ->
+      """WITH dly AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+        |      AS HUGEINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m, SUM(cents) AS s
+        |  FROM dly),
+        |c AS (SELECT day, m * cents - s AS cv FROM dly CROSS JOIN t),
+        |den AS (SELECT SUM(cv * cv) AS dn FROM c),
+        |lags AS (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS lag),
+        |pairs AS (
+        |  SELECT l.lag, SUM(a.cv * b.cv) AS num,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM c a CROSS JOIN lags l JOIN c b ON b.day = a.day + l.lag
+        |  GROUP BY l.lag)
+        |SELECT lag, CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CASE WHEN num IS NOT NULL AND CAST(dn AS DOUBLE) > 0.0
+        |    THEN round(CAST(num AS DOUBLE) / CAST(dn AS DOUBLE), 6)
+        |  END AS acf
+        |FROM lags LEFT JOIN pairs USING (lag) CROSS JOIN den
+        |ORDER BY lag""".stripMargin,
+
+    // C90: the p-scaled detrended values are exact HUGEINT; the
+    // weekday index is one IEEE divide, the centering mean a pinned
+    // wd-ordered fold, weekday = epoch-days mod 7 (no engine
+    // dayofweek convention)
+    "seasonal_decompose" ->
+      """WITH dly AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+        |      AS HUGEINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT day, cents,
+        |    CAST((day - DATE '1970-01-01') % 7 AS INTEGER) AS wd,
+        |    SUM(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+        |      AND 3 FOLLOWING) AS sp,
+        |    COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+        |      AND 3 FOLLOWING) AS cw
+        |  FROM dly),
+        |d AS (SELECT *, CASE WHEN cw = 7 THEN 7 * cents - sp END AS dd
+        |  FROM r),
+        |ix AS (SELECT wd,
+        |    CAST(SUM(dd) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 7.0)
+        |      AS s_raw
+        |  FROM d WHERE dd IS NOT NULL GROUP BY wd),
+        |mu AS (SELECT list_reduce(list_prepend(0.0,
+        |    list(s_raw ORDER BY wd)), (a, b) -> a + b)
+        |    / CAST(len(list(s_raw ORDER BY wd)) AS DOUBLE) AS mu
+        |  FROM ix)
+        |SELECT day, CAST(cents AS BIGINT) AS value,
+        |  CASE WHEN cw = 7 THEN round(CAST(sp AS DOUBLE) / 7.0, 6)
+        |  END AS trend,
+        |  round(s_raw - mu, 6) AS seasonal,
+        |  CASE WHEN cw = 7 AND s_raw IS NOT NULL THEN
+        |    round(CAST(cents AS DOUBLE) - CAST(sp AS DOUBLE) / 7.0
+        |      - (s_raw - mu), 6) END AS residual
+        |FROM d LEFT JOIN ix USING (wd) CROSS JOIN mu
+        |ORDER BY day""".stripMargin,
+
+    // C89: all five Pearson sufficient sums over the doubled edge
+    // list are exact HUGEINT (the plan's decimal(38,0)); r is one
+    // IEEE evaluation mirrored term-for-term
+    "degree_assortativity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT a.pk AS u, b.pk AS v FROM lp a
+        |  JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+        |bo AS (SELECT u AS a, v AS b FROM e
+        |  UNION ALL SELECT v AS a, u AS b FROM e),
+        |deg AS (SELECT a AS id, COUNT(*) AS dg FROM bo GROUP BY 1),
+        |p AS (SELECT x.dg AS da, y.dg AS db FROM bo
+        |  JOIN deg x ON x.id = bo.a JOIN deg y ON y.id = bo.b),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+        |    SUM(CAST(da AS HUGEINT)) AS sx, SUM(CAST(db AS HUGEINT)) AS sy,
+        |    SUM(CAST(da AS HUGEINT) * CAST(da AS HUGEINT)) AS sxx,
+        |    SUM(CAST(db AS HUGEINT) * CAST(db AS HUGEINT)) AS syy,
+        |    SUM(CAST(da AS HUGEINT) * CAST(db AS HUGEINT)) AS sxy
+        |  FROM p)
+        |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+        |  CASE WHEN m2 > 0
+        |    AND CAST(sxx AS DOUBLE) * CAST(m2 AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+        |    AND CAST(syy AS DOUBLE) * CAST(m2 AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+        |  THEN round(
+        |    (CAST(sxy AS DOUBLE) * CAST(m2 AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(sxx AS DOUBLE) * CAST(m2 AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(syy AS DOUBLE) * CAST(m2 AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS assortativity
+        |FROM s""".stripMargin,
 
     "ab_srm_check" ->
       """WITH c AS (SELECT

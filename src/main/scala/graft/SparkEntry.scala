@@ -282,6 +282,14 @@ object SparkEntry {
     "ab_srm_check"       -> (WarehouseQueries.srmCheck _),
     "ab_sprt_monitor"    -> (WarehouseQueries.sprtMonitor _),
     "ab_msprt_monitor"   -> (WarehouseQueries.msprtMonitor _),
+    "ab_obf_monitor"     -> (WarehouseQueries.obfMonitor _),
+    "ab_ratio_delta"     -> (WarehouseQueries.ratioDelta _),
+    "value_acf"          -> (WarehouseQueries.valueAcf _),
+    "seasonal_decompose" -> (WarehouseQueries.seasonalDecompose _),
+    "quality_isotonic"   -> (TextQueries.qualityIsotonic _),
+    "degree_assortativity" -> (WarehouseQueries.degreeAssortativity _),
+    "pmi_collocations"   -> (TextQueries.pmiCollocations _),
+    "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>
       WarehouseQueries.jaroWinklerLinks(s, d)),

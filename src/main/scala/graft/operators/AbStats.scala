@@ -635,4 +635,144 @@ object AbStats {
           .otherwise("continue").as("decision"))
       .orderBy(col("day"))
   }
+
+  /** C86: group-sequential O'Brien–Fleming monitor (O'Brien & Fleming
+    * 1979; Pocock 1977 for the design family) — the SCHEDULED-looks
+    * twin of C85's always-valid monitor: K interim analyses at equally
+    * spaced calendar fractions, each comparing the pooled two-sample
+    * conversion z statistic against the OBF boundary
+    * z_k = c·sqrt(K/k), where c is the PUBLISHED critical constant for
+    * (K, α) (e.g. c ≈ 2.04 for K = 5, two-sided α = 0.05 — the table
+    * value embeds as a plan/oracle literal exactly like C85's
+    * quadrature grid). Early looks face a nearly-unreachable bound,
+    * the final look pays almost no alpha penalty — the property that
+    * made OBF the regulatory default.
+    *
+    * Look schedule: the day frame's rank r qualifies as look k when
+    * r = ceil(D·k/K), tested multiplication-only (r·K ≥ D·k and
+    * (r−1)·K < D·k — exact integers, no division in either engine);
+    * D = total days.
+    *
+    * Scale shape: ONE corpus scan collapses to the calendar-bounded
+    * per-day per-arm counts; the four cumulatives ride the distributed
+    * [[PrefixSum]]; z, bound, and the decision are one IEEE evaluation
+    * per look over exact integers. Decisions compare the 6-dp ROUNDED
+    * z and bound so the edge is defined identically cross-engine, and
+    * a look after the first crossing reads "stopped" (the trial would
+    * already have ended).
+    */
+  def obfMonitor(df: DataFrame, day: Column, arm: Column,
+                 converted: Column, looks: Int = 5,
+                 critical: Double = 2.04): DataFrame = {
+    require(looks >= 1, s"need at least one look, got $looks")
+    require(critical > 0, s"critical must be positive, got $critical")
+    val a0 = arm === 0; val a1 = arm === 1
+    val daily = Materialize.cut(df.groupBy(day.as("day"))
+      .agg(sum(when(a0, 1L).otherwise(0L)).as("t0"),
+        sum(when(a0 && converted, 1L).otherwise(0L)).as("k0"),
+        sum(when(a1, 1L).otherwise(0L)).as("t1"),
+        sum(when(a1 && converted, 1L).otherwise(0L)).as("k1"))
+      .withColumn("__one", lit(1L)))
+    val cum = Seq(("t0", "cum_n0"), ("k0", "cum_k0"), ("t1", "cum_n1"),
+        ("k1", "cum_k1"), ("__one", "__r"))
+      .foldLeft(daily) { case (d, (in, out)) =>
+        PrefixSum.runningSum(d, col("day"), col(in), out)
+      }
+    val total = cum.agg(max(col("__r")).cast("long").as("__d"))
+    val ranked = cum.crossJoin(broadcast(total))
+    // look k's day = rank ceil(D·k/K); when D < K looks coincide and
+    // the row takes the SMALLEST matching k (the when-chain order,
+    // mirrored by the oracle's CASE order)
+    val lookDay = (k: Int) =>
+      col("__r") * looks >= col("__d") * k &&
+        (col("__r") - 1) * looks < col("__d") * k
+    val lookCol = (1 to looks).foldLeft(lit(null).cast("int")) {
+      (acc, k) => when(lookDay(looks + 1 - k), looks + 1 - k).otherwise(acc)
+    } // fold from K down so earlier looks override — smallest k wins
+    val atLooks = ranked
+      .withColumn("look", lookCol)
+      .filter(col("look").isNotNull)
+    val n0 = col("cum_n0").cast("double"); val n1 = col("cum_n1").cast("double")
+    val pp = (col("cum_k0") + col("cum_k1")).cast("double") /
+      (col("cum_n0") + col("cum_n1")).cast("double")
+    val se2 = pp * (lit(1.0) - pp) * (lit(1.0) / n0 + lit(1.0) / n1)
+    val z = when(col("cum_n0") > 0 && col("cum_n1") > 0 && se2 > 0.0,
+      round((col("cum_k1").cast("double") / n1 -
+        col("cum_k0").cast("double") / n0) / sqrt(se2), 6))
+    val bound = round(
+      lit(critical) * sqrt(lit(looks.toDouble) / col("look").cast("double")), 6)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("look"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    atLooks
+      .withColumn("z_stat", z)
+      .withColumn("bound", bound)
+      .withColumn("__x",
+        when(abs(coalesce(col("z_stat"), lit(0.0))) >= col("bound"), 1L)
+          .otherwise(0L))
+      .withColumn("__prior", coalesce(sum(col("__x")).over(w), lit(0L)))
+      .select(col("look"), col("day"),
+        col("cum_n0").cast("long").as("cum_n0"),
+        col("cum_k0").cast("long").as("cum_k0"),
+        col("cum_n1").cast("long").as("cum_n1"),
+        col("cum_k1").cast("long").as("cum_k1"),
+        col("z_stat"), col("bound"),
+        when(col("__prior") > 0, "stopped")
+          .when(col("__x") === 1L, "reject_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy(col("look"))
+  }
+
+  /** C87: delta-method z-test on a RATIO metric (Fieller 1940 lineage;
+    * Deng, Knoblich & Lu 2018 for the A/B formulation) — the readout
+    * for "revenue per session"-shaped metrics where the analysis unit
+    * (user) differs from the metric's denominator (events): the naive
+    * per-event t-test is wrong because events within a user correlate.
+    * R̂ = ΣY/ΣX per arm over per-UNIT aggregates (x_i, y_i), with
+    * Var(R̂) ≈ (s_y² − 2R̂·s_xy + R̂²·s_x²) / (n·x̄²) by the delta
+    * method, and z = (R̂₁−R̂₀)/√(V₁+V₀).
+    *
+    * Input is the per-unit frame (one row per randomization unit).
+    * ONE scan, ONE output row: conditional-aggregation legs build the
+    * 12 sufficient statistics as exact decimal sums (associative ⇒
+    * partition-order-free); every published number is one IEEE
+    * evaluation over those exact aggregates. Degenerate arms (n < 2,
+    * zero denominator mass, zero variance) publish null z rather than
+    * ±Inf.
+    */
+  def ratioDelta(units: DataFrame, arm: Column, x: Column,
+                 y: Column): DataFrame = {
+    val a0 = arm === 0; val a1 = arm === 1
+    val xd = Num.dec2(x); val yd = Num.dec2(y)
+    val agg = units.agg(
+      sum(when(a0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(a1, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(a0, xd)).as("sxa"), sum(when(a1, xd)).as("sxb"),
+      sum(when(a0, yd)).as("sya"), sum(when(a1, yd)).as("syb"),
+      sum(when(a0, xd * xd)).as("sxxa"), sum(when(a1, xd * xd)).as("sxxb"),
+      sum(when(a0, xd * yd)).as("sxya"), sum(when(a1, xd * yd)).as("sxyb"),
+      sum(when(a0, yd * yd)).as("syya"), sum(when(a1, yd * yd)).as("syyb"))
+    def leg(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+            syy: Column): (Column, Column, Column) = {
+      val nD = n.cast("double")
+      val sxD = sx.cast("double"); val syD = sy.cast("double")
+      val r = when(sxD =!= 0.0, syD / sxD)
+      val ok = n >= 2 && sxD =!= 0.0
+      val vx = (sxx.cast("double") - sxD * sxD / nD) / (nD - 1.0)
+      val vy = (syy.cast("double") - syD * syD / nD) / (nD - 1.0)
+      val cxy = (sxy.cast("double") - sxD * syD / nD) / (nD - 1.0)
+      val xbar = sxD / nD
+      val vr = when(ok,
+        (vy - lit(2.0) * r * cxy + r * r * vx) / (nD * xbar * xbar))
+      (r, vr, n.cast("long"))
+    }
+    val (ra, va, _) = leg(col("n_a"), col("sxa"), col("sya"),
+      col("sxxa"), col("sxya"), col("syya"))
+    val (rb, vb, _) = leg(col("n_b"), col("sxb"), col("syb"),
+      col("sxxb"), col("sxyb"), col("syyb"))
+    val se2 = va + vb
+    agg.select(col("n_a"), col("n_b"),
+      round(ra, 6).as("ratio_a"), round(rb, 6).as("ratio_b"),
+      when(ra.isNotNull && rb.isNotNull, round(rb - ra, 6)).as("diff"),
+      when(se2 > 0.0, round((rb - ra) / sqrt(se2), 6)).as("z_stat"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-analysis centrality (PageRank, Brin & Page 1998) — the graph
@@ -343,4 +343,55 @@ object Centrality {
     }
     dist
   }
+
+  /** C89: degree assortativity (Newman 2002) — the Pearson correlation
+    * of endpoint degrees over the edge set: positive means hubs link
+    * to hubs (social-network shape), negative means hubs link to
+    * leaves (technological/star shape). The one-number structural
+    * summary that tells a graph-pipeline owner whether hub-cut
+    * heuristics (C72's) and skew salting will pay off.
+    *
+    * Undirected convention: each edge contributes BOTH ordered
+    * orientations, so the correlation is symmetric by construction.
+    *
+    * EXACT integer core: degrees are integers, so all five Pearson
+    * sufficient sums (Σx, Σy, Σx², Σy², Σxy over 2|E| ordered pairs)
+    * accumulate exactly in decimal(38,0); r is one IEEE evaluation
+    * over them. Scale shape: one groupBy on the edge list for degrees
+    * (exchange ∝ |E|), two shuffle joins keyed on the endpoints to
+    * attach them, one scalar partial-agg merge — no corpus-sized
+    * window, no driver loop.
+    *
+    * @param edges (u, v) one row per undirected edge, u ≠ v; parallel
+    *              edges count with multiplicity (dedupe upstream if
+    *              simple-graph semantics are wanted)
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val both = Materialize.cut(
+      edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b"))))
+    val deg = both.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+    val paired = both
+      .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+    val s = paired.agg(
+      count(lit(1)).cast("long").as("m2"),
+      sum(dec0(col("da"))).as("sx"), sum(dec0(col("db"))).as("sy"),
+      sum(dec0(col("da")) * dec0(col("da"))).as("sxx"),
+      sum(dec0(col("db")) * dec0(col("db"))).as("syy"),
+      sum(dec0(col("da")) * dec0(col("db"))).as("sxy"))
+    val mD = col("m2").cast("double")
+    val num = col("sxy").cast("double") * mD -
+      col("sx").cast("double") * col("sy").cast("double")
+    val dx = col("sxx").cast("double") * mD -
+      col("sx").cast("double") * col("sx").cast("double")
+    val dy = col("syy").cast("double") * mD -
+      col("sy").cast("double") * col("sy").cast("double")
+    s.select((col("m2") / 2L).cast("long").as("n_edges"),
+      when(col("m2") > 0L && dx > 0.0 && dy > 0.0,
+        round(num / (sqrt(dx) * sqrt(dy)), 6)).as("assortativity"))
+  }
+
+  private def dec0(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
 }

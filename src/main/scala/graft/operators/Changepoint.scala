@@ -119,4 +119,131 @@ object Changepoint {
         .when(round(z, 6) < -1.96, "decreasing")
         .otherwise("no_trend").as("trend"))
   }
+
+  /** C88: sample autocorrelation function (Box & Jenkins 1970) of a
+    * step-indexed integer series at lags 1..maxLag — the seasonality /
+    * serial-dependence diagnostic that tells a forecaster whether
+    * C61/C65's weekly-seasonal model is even the right family, and an
+    * experimenter whether "days" are independent units.
+    *
+    * EXACT rational core: with m steps, total S and values x_t, the
+    * centered product Σ(x_t−S/m)(x_{t+l}−S/m) scaled by m² is
+    * Σ(m·x_t−S)(m·x_{t+l}−S) — an exact INTEGER (decimal(38,0)), as
+    * is the lag-0 denominator, so r_l is ONE IEEE divide of two exact
+    * integers (the m² scale cancels). Standard ACF convention: the
+    * global mean centers every term and the lag-0 sum over ALL m
+    * points is the denominator, so r_l is bounded and positive
+    * semi-definite across lags.
+    *
+    * Scale shape: the caller's one partial-agg'd scan produces the
+    * step-domain series (calendar-bounded); everything here touches
+    * only that frame — a broadcast of the 1-row total, one lag-join
+    * (m·maxLag rows), one aggregate-sized groupBy(lag). Lags with no
+    * pairs (l ≥ m) publish null rather than vanishing. `step` must be
+    * a DATE column; pairs match on step+l exactly (calendar gaps
+    * simply contribute no pair at that offset — document gaps
+    * upstream or gap-fill with C34 first).
+    */
+  /** C90: classical additive seasonal decomposition (Macaulay 1931
+    * lineage; the statsmodels `seasonal_decompose` convention) of a
+    * daily integer series at period p: trend = centered p-point
+    * moving average (defined only where the full window exists),
+    * seasonal = per-weekday mean of the detrended series CENTERED to
+    * sum ~0, residual = value − trend − seasonal. The decomposition
+    * C61/C65 fit implicitly, made inspectable — the release-dashboard
+    * view that separates "we grew" from "it's Saturday".
+    *
+    * EXACT rational core (odd p): the p-scaled detrended value
+    * d_t = p·x_t − S_p(t) is an exact INTEGER (S_p the centered
+    * window sum), and each weekday's index numerator Σd is exact, so
+    * seasonal_w = Σd/(p·c_w) is ONE IEEE divide. The cross-weekday
+    * centering mean folds ≤ p doubles in SORTED weekday order (the
+    * chi-square pinned-fold discipline). Weekday = days-since-epoch
+    * mod p — NO engine dayofweek() convention (Spark counts from
+    * Sunday=1, DuckDB from Sunday=0; epoch arithmetic is identical
+    * everywhere).
+    *
+    * Scale shape: the caller's one scan produces the calendar-bounded
+    * series; all windows here are bounded-domain (p-row frames or the
+    * day frame); one aggregate-sized weekday groupBy.
+    */
+  def seasonalDecompose(series: DataFrame, step: Column, value: Column,
+                        period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"need an odd period >= 3 for the centered MA, got $period")
+    val half = period / 2
+    val v = Materialize.cut(
+      series.select(step.as("day"), dec0(value).as("x"),
+        pmod(datediff(step, to_date(lit("1970-01-01"))), lit(period))
+          .cast("int").as("wd")))
+    // centered window sum over the calendar-bounded day frame; only
+    // full windows define a trend (the classical edge-NaN convention)
+    val w = Window.orderBy(col("day")).rowsBetween(-half, half)
+    val ma = v
+      .withColumn("__sp", sum(col("x")).over(w))
+      .withColumn("__cw", count(lit(1)).over(w))
+      .withColumn("__d",
+        when(col("__cw") === period,
+          dec0(lit(period)) * col("x") - col("__sp")))
+    val cut = Materialize.cut(ma)
+    // per-weekday exact index numerators over detrended rows
+    val idxs = cut.filter(col("__d").isNotNull)
+      .groupBy(col("wd"))
+      .agg(sum(col("__d")).as("sd"), count(lit(1)).as("cw"))
+      .select(col("wd"),
+        (col("sd").cast("double") /
+          (col("cw").cast("double") * lit(period.toDouble))).as("s_raw"))
+    // centering mean: a pinned fold over the ≤ p weekday indices
+    val center = idxs
+      .agg(sort_array(collect_list(struct(col("wd"), col("s_raw"))))
+        .as("__l"))
+      .select((aggregate(col("__l"), lit(0.0),
+        (acc, e) => acc + e.getField("s_raw")) /
+        size(col("__l")).cast("double")).as("__mu"))
+    val seasoned = cut
+      .join(broadcast(idxs), Seq("wd"), "left")
+      .crossJoin(broadcast(center))
+    seasoned.select(col("day"), col("x").cast("long").as("value"),
+        when(col("__cw") === period,
+          round(col("__sp").cast("double") / lit(period.toDouble), 6))
+          .as("trend"),
+        round(col("s_raw") - col("__mu"), 6).as("seasonal"),
+        when(col("__cw") === period && col("s_raw").isNotNull,
+          round(col("x").cast("double")
+            - col("__sp").cast("double") / lit(period.toDouble)
+            - (col("s_raw") - col("__mu")), 6)).as("residual"))
+      .orderBy(col("day"))
+  }
+
+  def acf(series: DataFrame, step: Column, value: Column,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val v = Materialize.cut(
+      series.select(step.as("__s"), dec0(value).as("__x")))
+    val tot = v.agg(count(lit(1)).as("__m"), sum(col("__x")).as("__sum"))
+    // centered-scaled value c_t = m·x_t − S: exact decimal
+    val c = v.crossJoin(broadcast(tot))
+      .select(col("__s"), col("__m"),
+        (dec0(col("__m")) * col("__x") - col("__sum")).as("__c"))
+    val den = c.agg(sum(col("__c") * col("__c")).as("__den"),
+      max(col("__m")).as("__m"))
+    val lags = c.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val pairs = c.select(col("__s"), col("__c"))
+      .crossJoin(broadcast(lags))
+      .as("a")
+      .join(c.select(col("__s").as("__s2"), col("__c").as("__c2")).as("b"),
+        col("__s2") === date_add(col("a.__s"), col("lag")))
+      .groupBy(col("lag"))
+      .agg(sum(col("a.__c") * col("__c2")).as("__num"),
+        count(lit(1)).as("n_pairs"))
+    lags.join(pairs, Seq("lag"), "left")
+      .crossJoin(broadcast(den))
+      .select(col("lag"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("__num").isNotNull && col("__den").cast("double") > 0.0,
+          round(col("__num").cast("double") / col("__den").cast("double"), 6))
+          .as("acf"))
+      .orderBy(col("lag"))
+  }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pointwise-mutual-information collocation mining (Church & Hanks
+  * 1990) — the classic "which word pairs are glued together" signal:
+  * PMI(v,w) = ln( p(v,w) / (p(v)·p(w)) ) over adjacent token pairs,
+  * with p(v,w) = c(v,w)/N_pairs and p(x) = c(x)/N_tok. High-PMI pairs
+  * are multi-word expressions ("los angeles"); a corpus whose top
+  * collocations are boilerplate fragments ("click here", "all rights")
+  * is telling its curator something D9's per-doc scores can't.
+  *
+  * The min-count floor (Church & Hanks' own caveat) kills the
+  * hapax-pair explosion: PMI is maximal for pairs seen once, so
+  * unfloored rankings are noise.
+  *
+  * Scale shape — unlike D37b's broadcastable top-K LM table, this is
+  * the FULL-vocabulary pair census, so it must stay distributed:
+  * one tokenize pass feeds both the pair census and the unigram
+  * census (two partial-agg'd count shuffles, exchanges ∝ distinct
+  * bigrams / distinct words); the two unigram attachments are shuffle
+  * joins keyed on the word (never broadcast — a 100 TB corpus's vocab
+  * isn't driver-sized); the two grand totals broadcast as one scalar
+  * row; the final top-k is a TakeOrdered, never a global sort.
+  *
+  * Exactness: every count is an exact integer; PMI is ONE ln over one
+  * double ratio whose numerator/denominator are built with a pinned
+  * association (c_vw·N_tok·N_tok, then ÷ (N_pair·c_v), then ÷ c_w),
+  * mirrored by the oracle, with the 6-dp round absorbing libm-ulp ln
+  * drift (the BM25/LM argument).
+  */
+object Collocations {
+
+  /** Top-k adjacent-pair collocations by PMI.
+    *
+    * @param docs     corpus
+    * @param textCol  whitespace-tokenizable text column
+    * @param minCount pair-frequency floor (Church & Hanks: ≥ 5)
+    * @param k        result rows, ordered (pmi DESC, v, w)
+    */
+  def topPmi(docs: DataFrame, textCol: String, minCount: Long = 5L,
+             k: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val t = LanguageModel.toks(col(textCol))
+    // one tokenized projection feeds both censuses — cut so the
+    // corpus tokenize runs once, not once per census
+    val toks = Materialize.cut(docs.select(t.as("__t")))
+    val pairCnt = toks
+      .select(explode(arrays_zip(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))).as("v"),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))).as("w")))
+        .as("p"))
+      .groupBy(col("p.v").as("v"), col("p.w").as("w"))
+      .agg(count(lit(1)).as("c_vw"))
+    val uniCnt = Materialize.cut(
+      toks.select(explode(col("__t")).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("c_x")))
+    val totals = uniCnt.agg(sum(col("c_x")).cast("long").as("n_tok"))
+      .crossJoin(
+        pairCnt.agg(sum(col("c_vw")).cast("long").as("n_pair")))
+    val scored = pairCnt
+      .filter(col("c_vw") >= minCount)
+      .join(uniCnt.select(col("x").as("v"), col("c_x").as("c_v")), Seq("v"))
+      .join(uniCnt.select(col("x").as("w"), col("c_x").as("c_w")), Seq("w"))
+      .crossJoin(broadcast(totals))
+    val nTok = col("n_tok").cast("double")
+    val pmi = round(log(
+      col("c_vw").cast("double") * nTok * nTok
+        / (col("n_pair").cast("double") * col("c_v").cast("double"))
+        / col("c_w").cast("double")), 6)
+    scored
+      .select(col("v"), col("w"), col("c_vw"), col("c_v"), col("c_w"),
+        pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("v"), col("w"))
+      .limit(k)
+  }
+}

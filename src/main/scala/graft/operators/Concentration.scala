@@ -64,4 +64,38 @@ object Concentration {
       when(col("total") > 0,
         round(col("__cmax").cast("double") / tD, 6)).as("top_share"))
   }
+
+  /** D112: effective sample size / design effect (Kish 1965) of a
+    * weighted sample, per group — the "how many docs is this weighted
+    * corpus really worth" audit for D35/D45/D48-style importance
+    * weights: ESS = (Σw)²/Σw², deff = n·Σw²/(Σw)². A source whose
+    * quality weights are concentrated on a few docs has ESS ≪ n —
+    * the mixture sees far less diversity than its row count claims,
+    * and a release card that publishes n without ESS overstates the
+    * corpus.
+    *
+    * Exactness: weights enter as MICRO-UNIT integers (round(w·1e6) —
+    * the deterministic bridge from an already-bit-exact double score),
+    * so Σw and Σw² accumulate exactly in decimal; the µ-scale cancels
+    * in ESS, and deff is the same two exact aggregates recombined.
+    * ONE partial-agg'd scan, group-cardinality exchange, one IEEE
+    * evaluation per group. Zero-weight groups publish null.
+    */
+  def effectiveSampleSize(df: DataFrame, group: Column,
+                          weight: Column): DataFrame = {
+    val wu = round(weight * lit(1000000.0), 0).cast("long")
+    val agg = df
+      .select(group.as("grp"), wu.as("__w"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec0(col("__w"))).as("__sw"),
+        sum(dec0(col("__w")) * dec0(col("__w"))).as("__sww"))
+    val sw = col("__sw").cast("double")
+    val sww = col("__sww").cast("double")
+    agg.select(col("grp"), col("n_rows"),
+      when(col("__sww") > 0, round(sw * sw / sww, 6)).as("ess"),
+      when(col("__sw") > 0,
+        round(col("n_rows").cast("double") * sww / (sw * sw), 6))
+        .as("design_effect"))
+  }
 }

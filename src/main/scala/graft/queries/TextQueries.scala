@@ -1567,7 +1567,10 @@ object TextQueries {
     * mean/frac/gap are one divide each. One scan, one bin-sized
     * shuffle.
     */
-  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared decile-binned (quality, Gopher-keep) frame behind D96
+    * and D113 — one partial-agg'd scan to ≤ 10 rows.
+    */
+  private def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
     val qm = round(TextFunctions.qualityScore(col("text")) * 1000000.0)
       .cast("long")
     val stops = array(Seq("the", "a", "of", "to", "and").map(lit): _*)
@@ -1588,6 +1591,10 @@ object TextQueries {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col("__qm")).as("__sq"), sum(col("__pos")).as("__np"))
+  }
+
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    calibrationBins(spark, dir)
       .select(col("bin"), col("n"),
         round(col("__sq").cast("double") / col("n").cast("double")
           / 1000000.0, 6).as("mean_pred"),
@@ -1599,6 +1606,15 @@ object TextQueries {
           .as("gap"))
       .orderBy(col("bin"))
   }
+
+  /** D113: isotonic calibration of the D96 curve — the least-squares
+    * MONOTONE P(keep | quality-decile) via the minimax closed form
+    * (≡ pool-adjacent-violators), over the same shared bin frame.
+    * See [[graft.operators.Isotonic]].
+    */
+  def qualityIsotonic(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Isotonic.fit(calibrationBins(spark, dir),
+      col("bin"), col("n"), col("__np"))
 
   /** D97: mutual information between the corpus's lang and source
     * metadata — the dependence audit behind stratified-split design
@@ -1809,4 +1825,29 @@ object TextQueries {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
+
+  /** D111: top PMI collocations over the corpus — min pair count 5,
+    * top 50 by (pmi DESC, v, w). See
+    * [[graft.operators.Collocations.topPmi]] for the distributed
+    * full-vocabulary shape (this is NOT the broadcastable D37b table).
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.topPmi(
+      Tables.documents(spark, dir), "text", minCount = 5L, k = 50)
+
+  /** D112: effective sample size / design effect of the D9
+    * quality-score weighting, per source — how many docs each
+    * source's weighted mass is really worth (see
+    * [[graft.operators.Concentration.effectiveSampleSize]]).
+    * Weights bridge to micro-unit integers off the already-bit-exact
+    * quality double, so the sums are exact.
+    */
+  def weightedEss(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Concentration.effectiveSampleSize(
+        Tables.documents(spark, dir).select(col("source"),
+          graft.functions.TextFunctions.qualityScore(col("text"))
+            .as("quality")),
+        col("source"), col("quality"))
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
 }

@@ -1383,4 +1383,84 @@ object WarehouseQueries {
       Tables.events(spark, dir).filter(col("event_type") === "purchase"),
       col("user_id"), col("value"),
       col("ts") < to_timestamp(lit("2024-01-16 00:00:00")))
+
+  /** C86: group-sequential O'Brien–Fleming monitor — K=5 equally
+    * spaced calendar looks at the purchase-conversion difference
+    * between the user-parity arms, bounds z_k = 2.04·sqrt(5/k) (the
+    * published OBF critical constant for K=5, two-sided α=0.05,
+    * embedded as a plan/oracle literal like C85's quadrature grid).
+    * See [[graft.operators.AbStats.obfMonitor]].
+    */
+  def obfMonitor(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.obfMonitor(
+      Tables.events(spark, dir),
+      date_trunc("day", col("ts")).cast("date"),
+      col("user_id") % 2,
+      col("event_type") === "purchase",
+      looks = 5, critical = 2.04)
+
+  /** C87: delta-method z-test on the RATIO metric revenue-per-event
+    * between the user-parity arms — the per-user (x=events, y=purchase
+    * revenue) frame is the randomization-unit aggregate, so correlated
+    * events within a user don't fake precision (see
+    * [[graft.operators.AbStats.ratioDelta]]). One corpus scan → one
+    * per-user partial-agg'd shuffle → one sufficient-statistics row.
+    */
+  def ratioDelta(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          graft.functions.Num.dec2(col("value")))
+          .otherwise(graft.functions.Num.dec2(lit(0)))).as("y"))
+    graft.operators.AbStats.ratioDelta(
+      perUser, col("user_id") % 2, col("x"), col("y"))
+  }
+
+  /** C88: autocorrelation function of the daily total purchase value
+    * at lags 1..10 — the serial-dependence diagnostic behind C61/C65's
+    * model choice (a weekly corpus should spike at lag 7). The corpus
+    * collapses to the calendar-day series (value in exact cents) in
+    * one scan; see [[graft.operators.Changepoint.acf]].
+    */
+  def valueAcf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(graft.functions.Num.dec2(col("value"))) * 100)
+        .cast("decimal(38,0)").as("cents"))
+    graft.operators.Changepoint.acf(daily, col("day"), col("cents"),
+      maxLag = 10)
+  }
+
+  /** C90: classical additive seasonal decomposition of the daily
+    * total purchase value at period 7 — trend / weekly-seasonal /
+    * residual, the inspectable view behind C61/C65's forecasts (see
+    * [[graft.operators.Changepoint.seasonalDecompose]]). Same one-scan
+    * day-series collapse as [[valueAcf]].
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(graft.functions.Num.dec2(col("value"))) * 100)
+        .cast("decimal(38,0)").as("cents"))
+    graft.operators.Changepoint.seasonalDecompose(
+      daily, col("day"), col("cents"), period = 7)
+  }
+
+  /** C89: degree assortativity of the parts-bought-together graph
+    * (same edge build as [[triangleCount]]) — do high-degree parts
+    * co-occur with other hubs, or with long-tail parts? See
+    * [[graft.operators.Centrality.degreeAssortativity]].
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = lp.as("a").join(lp.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    graft.operators.Centrality.degreeAssortativity(e)
+  }
 }

@@ -873,6 +873,62 @@ object ScaleProbe {
         li.select(col("l_orderkey"), col("l_extendedprice")),
         col("l_orderkey") % 2, col("l_extendedprice")).count()
     }
+    t("obf_looks") {
+      // C86: ×mult events collapse to the SAME calendar-day frame —
+      // the look machinery is corpus-size-independent past the scan
+      graft.operators.AbStats.obfMonitor(
+        ev.withColumn("event_type",
+          when(col("event_id") % 5 === 0, "purchase").otherwise("view")),
+        date_trunc("day", col("ts")).cast("date"),
+        col("user_id") % 2, col("event_type") === "purchase").count()
+    }
+    t("ratio_delta_units") {
+      // C87: the per-user aggregate shuffle is the whole cost; the
+      // 12-sum sufficient row is one partial-agg merge
+      val perUser = ev
+        .withColumn("event_type",
+          when(col("event_id") % 5 === 0, "purchase").otherwise("view"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x"),
+          sum(when(col("event_type") === "purchase",
+            graft.functions.Num.dec2(col("value")))
+            .otherwise(graft.functions.Num.dec2(lit(0)))).as("y"))
+      graft.operators.AbStats.ratioDelta(
+        perUser, col("user_id") % 2, col("x"), col("y")).count()
+    }
+    t("value_acf") {
+      // C88: one corpus scan → calendar-day series; the lag join runs
+      // over m·maxLag aggregate rows regardless of mult
+      val daily = ev.groupBy(date_trunc("day", col("ts")).cast("date")
+          .as("day"))
+        .agg((sum(graft.functions.Num.dec2(col("value"))) * 100)
+          .cast("decimal(38,0)").as("cents"))
+      graft.operators.Changepoint.acf(daily, col("day"), col("cents"),
+        maxLag = 10).count()
+    }
+    t("degree_assortativity") {
+      // C89: the triangle-leg edge build (×mult baskets) + the degree
+      // groupBy and two endpoint joins — exchanges ∝ |E|
+      val lp = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = lp.as("a").join(lp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      graft.operators.Centrality.degreeAssortativity(e).count()
+    }
+    t("pmi_census") {
+      // D111: the full-vocabulary pair census — two count shuffles
+      // ∝ distinct bigrams/words, two word-keyed joins, TakeOrdered
+      graft.operators.Collocations.topPmi(docs, "text").count()
+    }
+    t("weighted_ess") {
+      // D112: one partial-agg'd scan to source-cardinality rows
+      graft.operators.Concentration.effectiveSampleSize(
+        docs.select((col("doc_id") % 20).cast("string").as("source"),
+          graft.functions.TextFunctions.qualityScore(col("text"))
+            .as("quality")),
+        col("source"), col("quality")).count()
+    }
     // ---- stream faces at volume: cold AvailableNow stream cost vs
     // state size is the 100-TB question the gated keys raise. The
     // faces read `(spark, dir)` single-file tables, so the amplified

@@ -649,4 +649,304 @@ class AbStatsSpec extends AnyFunSuite {
     // φ_a = ((3−2)+(5−3))/2 = 1.5 = φ_b; shares 0.5/0.5
     assert(out.toSeq == Seq(("a", 1.5, 0.5), ("b", 1.5, 0.5)), out.toSeq)
   }
+
+  // ---- O'Brien–Fleming group-sequential -----------------------------------
+
+  test("obfMonitor: look schedule, z replay, first-crossing stop") {
+    import java.sql.Date
+    def d(day: Int) = Date.valueOf(f"2024-01-$day%02d")
+    // 5 days, K=5 → one look per day. Arm 1 converts heavily from
+    // day 3 on, so a crossing happens before the final look and the
+    // later looks must read "stopped".
+    val rows =
+      (1 to 5).flatMap { day =>
+        val hot = day >= 3
+        (1 to 40).map { i =>
+          val arm = i % 2
+          val conv = if (arm == 1 && hot) i <= 38 else i <= 8
+          (d(day), arm, conv)
+        }
+      }
+    val df = rows.toDF("day", "arm", "conv")
+    val out = AbStats.obfMonitor(df, col("day"), col("arm"), col("conv"),
+      looks = 5, critical = 2.04).collect()
+    assert(out.map(_.getAs[Int]("look")).toSeq === (1 to 5))
+    assert(out.map(_.getAs[Date]("day")).toSeq === (1 to 5).map(d))
+    // driver replay with the operator's exact expression shapes
+    var (n0, k0, n1, k1) = (0L, 0L, 0L, 0L)
+    var crossedBefore = false
+    out.zipWithIndex.foreach { case (r, i) =>
+      val day = i + 1
+      val hot = day >= 3
+      n0 += 20; n1 += 20
+      k0 += 4 // arm 0: i ∈ {2,4,6,8} convert
+      k1 += (if (hot) 19L else 4L)
+      assert(r.getAs[Long]("cum_n0") == n0 && r.getAs[Long]("cum_k0") == k0)
+      assert(r.getAs[Long]("cum_n1") == n1 && r.getAs[Long]("cum_k1") == k1)
+      val pp = (k0 + k1).toDouble / (n0 + n1).toDouble
+      val se2 = pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)
+      val z = d6((k1.toDouble / n1 - k0.toDouble / n0) / math.sqrt(se2))
+      assert(r.getAs[Double]("z_stat") === z, s"z at look $day")
+      val bound = d6(2.04 * math.sqrt(5.0 / day))
+      assert(r.getAs[Double]("bound") === bound)
+      val crosses = math.abs(z) >= bound
+      val want = if (crossedBefore) "stopped"
+        else if (crosses) "reject_h0" else "continue"
+      assert(r.getAs[String]("decision") === want, s"decision at look $day")
+      crossedBefore = crossedBefore || crosses
+    }
+    assert(crossedBefore, "the hot arm must cross before the last look")
+    assert(out.exists(_.getAs[String]("decision") == "stopped"),
+      "looks after the first crossing must read stopped")
+  }
+
+  test("obfMonitor: D < K coincident looks take the smallest k") {
+    import java.sql.Date
+    // 2 days, K=5: ceil(2k/5) = 1 for k∈{1,2}, 2 for k∈{3,4,5} —
+    // the emitted looks are exactly {1, 3}
+    val rows = (1 to 2).flatMap(day => (1 to 10).map(i =>
+      (Date.valueOf(f"2024-01-$day%02d"), i % 2, i <= 5)))
+    val out = AbStats.obfMonitor(rows.toDF("day", "arm", "conv"),
+      col("day"), col("arm"), col("conv"), looks = 5, critical = 2.04)
+      .collect()
+    assert(out.map(_.getAs[Int]("look")).toSeq === Seq(1, 3))
+  }
+
+  // ---- delta-method ratio metric ----------------------------------------
+
+  test("ratioDelta: hand per-unit frame matches the textbook formula") {
+    // arm0 units: (x,y) = (2,4),(4,4); arm1: (2,6),(4,10)
+    val df = Seq((0, 2.0, 4.0), (0, 4.0, 4.0), (1, 2.0, 6.0), (1, 4.0, 10.0))
+      .toDF("arm", "x", "y")
+    val r = AbStats.ratioDelta(df, col("arm"), col("x"), col("y")).head
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    // R_a = 8/6, R_b = 16/6
+    assert(r.getAs[Double]("ratio_a") === d6(8.0 / 6.0))
+    assert(r.getAs[Double]("ratio_b") === d6(16.0 / 6.0))
+    assert(r.getAs[Double]("diff") === d6(16.0 / 6.0 - 8.0 / 6.0))
+    // driver replay of the delta-method variance per arm
+    def vr(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val n = xs.length.toDouble
+      val sx = xs.sum; val sy = ys.sum
+      val r = sy / sx; val xbar = sx / n
+      val vx = (xs.map(v => v * v).sum - sx * sx / n) / (n - 1.0)
+      val vy = (ys.map(v => v * v).sum - sy * sy / n) / (n - 1.0)
+      val cxy = (xs.zip(ys).map(p => p._1 * p._2).sum - sx * sy / n) / (n - 1.0)
+      (vy - 2.0 * r * cxy + r * r * vx) / (n * xbar * xbar)
+    }
+    val se2 = vr(Seq(2.0, 4.0), Seq(4.0, 4.0)) +
+      vr(Seq(2.0, 4.0), Seq(6.0, 10.0))
+    assert(r.getAs[Double]("z_stat") ===
+      d6((16.0 / 6.0 - 8.0 / 6.0) / math.sqrt(se2)))
+  }
+
+  test("ratioDelta: degenerate arms publish null, not Inf") {
+    // arm1 has a single unit → its variance leg is null → z null
+    val df = Seq((0, 2.0, 4.0), (0, 4.0, 4.0), (1, 2.0, 6.0))
+      .toDF("arm", "x", "y")
+    val r = AbStats.ratioDelta(df, col("arm"), col("x"), col("y")).head
+    assert(r.isNullAt(r.fieldIndex("z_stat")))
+    assert(r.getAs[Double]("ratio_b") === 3.0)
+    // zero denominator mass: ratio itself is null
+    val zx = Seq((0, 0.0, 4.0), (0, 0.0, 4.0), (1, 2.0, 6.0), (1, 4.0, 10.0))
+      .toDF("arm", "x", "y")
+    val rz = AbStats.ratioDelta(zx, col("arm"), col("x"), col("y")).head
+    assert(rz.isNullAt(rz.fieldIndex("ratio_a")))
+    assert(rz.isNullAt(rz.fieldIndex("z_stat")))
+  }
+
+  // ---- autocorrelation ------------------------------------------------------
+
+  test("acf: alternating series has exact hand values; constant is null") {
+    import java.sql.Date
+    import graft.operators.Changepoint
+    def d(day: Int) = Date.valueOf(f"2024-01-$day%02d")
+    // [1,3,1,3,1,3]: c_t = 6x−12 = ±6; den = 216; lag1 = −180/216,
+    // lag2 = 144/216, lag5 = −36/216
+    val s = (1 to 6).map(i => (d(i), if (i % 2 == 1) 1L else 3L))
+      .toDF("day", "v")
+    val out = Changepoint.acf(s, col("day"), col("v"), maxLag = 5).collect()
+    assert(out.map(_.getAs[Int]("lag")).toSeq === (1 to 5))
+    assert(out.map(_.getAs[Long]("n_pairs")).toSeq === Seq(5L, 4L, 3L, 2L, 1L))
+    assert(out(0).getAs[Double]("acf") === d6(-180.0 / 216.0))
+    assert(out(1).getAs[Double]("acf") === d6(144.0 / 216.0))
+    assert(out(4).getAs[Double]("acf") === d6(-36.0 / 216.0))
+    // lags past the span publish null with zero pairs, not vanish
+    val out8 = Changepoint.acf(s, col("day"), col("v"), maxLag = 8).collect()
+    assert(out8.length === 8)
+    assert(out8(6).getAs[Long]("n_pairs") === 0L)
+    assert(out8(6).isNullAt(out8(6).fieldIndex("acf")))
+    // constant series: zero variance → all lags null
+    val const = (1 to 4).map(i => (d(i), 7L)).toDF("day", "v")
+    Changepoint.acf(const, col("day"), col("v"), maxLag = 2).collect()
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("acf"))))
+    // a calendar gap contributes no pair at the crossing offset
+    val gap = Seq((d(1), 1L), (d(2), 3L), (d(4), 1L)).toDF("day", "v")
+    val og = Changepoint.acf(gap, col("day"), col("v"), maxLag = 2).collect()
+    assert(og(0).getAs[Long]("n_pairs") === 1L, "only day1→day2 pairs at lag 1")
+    assert(og(1).getAs[Long]("n_pairs") === 1L, "only day2→day4 pairs at lag 2")
+  }
+
+  // ---- degree assortativity ---------------------------------------------
+
+  test("degreeAssortativity: star is −1, regular graph is null") {
+    import graft.operators.Centrality
+    // K_{1,3}: every edge joins degree 3 to degree 1 → r = −1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v")
+    val rs = Centrality.degreeAssortativity(star).head
+    assert(rs.getAs[Long]("n_edges") === 3L)
+    assert(rs.getAs[Double]("assortativity") === -1.0)
+    // triangle: all degrees equal → zero degree variance → null
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val rt = Centrality.degreeAssortativity(tri).head
+    assert(rt.getAs[Long]("n_edges") === 3L)
+    assert(rt.isNullAt(rt.fieldIndex("assortativity")))
+    // two stars joined at the leaves: hand Pearson over 10 ordered pairs
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 1L), (3L, 2L))
+      .toDF("u", "v")
+    val degs = Map(0L -> 2.0, 1L -> 3.0, 2L -> 3.0, 3L -> 2.0)
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 1L), (3L, 2L))
+      .flatMap { case (a, b) => Seq((degs(a), degs(b)), (degs(b), degs(a))) }
+    val m = pairs.length.toDouble
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val want = d6((m * sxy - sx * sy) /
+      (math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)))
+    assert(Centrality.degreeAssortativity(g).head
+      .getAs[Double]("assortativity") === want)
+  }
+
+  // ---- PMI collocations ------------------------------------------------------
+
+  test("topPmi: hand corpus, min-count floor, tie-broken ordering") {
+    import graft.operators.Collocations
+    // "x y" ×5 plus "p q" ×4: (x,y) passes the floor with
+    // PMI = ln(5·19²/(14·5·5)); (p,q) is one short and must drop
+    val docs = (Seq.fill(5)("x y") ++ Seq.fill(4)("p q") :+ "z")
+      .toDF("text")
+    val out = Collocations.topPmi(docs, "text", minCount = 5L, k = 10)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("v") === "x" && r.getAs[String]("w") === "y")
+    assert(r.getAs[Long]("c_vw") === 5L)
+    assert(r.getAs[Long]("c_v") === 5L && r.getAs[Long]("c_w") === 5L)
+    // N_tok = 19 (5·2 + 4·2 + 1), N_pair = 9
+    assert(r.getAs[Double]("pmi") ===
+      d6(math.log(5.0 * 19.0 * 19.0 / (9.0 * 5.0) / 5.0)))
+    // whitespace-only docs contribute nothing (the toks guard)
+    val out2 = Collocations.topPmi(docs.union(Seq("   ").toDF("text")),
+      "text", minCount = 5L, k = 10).collect()
+    assert(out2.map(_.getAs[Double]("pmi")).toSeq ===
+      out.map(_.getAs[Double]("pmi")).toSeq)
+  }
+
+  // ---- isotonic calibration -----------------------------------------------
+
+  test("isotonic fit: monotone input unchanged, violators pooled by weight") {
+    import graft.operators.Isotonic
+    // already monotone: the fit IS the raw curve
+    val mono = Seq((0L, 10L, 1L), (1L, 10L, 2L), (2L, 10L, 3L))
+      .toDF("bin", "n", "pos")
+    val rm = Isotonic.fit(mono, col("bin"), col("n"), col("pos")).collect()
+    assert(rm.map(_.getAs[Double]("fit_isotonic")).toSeq ===
+      Seq(0.1, 0.2, 0.3))
+    assert(rm.map(_.getAs[Double]("frac_pos")).toSeq === Seq(0.1, 0.2, 0.3))
+    // violator: rates [0.1, 0.5, 0.3] → PAV pools bins 2+3 to 8/20
+    val vio = Seq((0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 3L))
+      .toDF("bin", "n", "pos")
+    val rv = Isotonic.fit(vio, col("bin"), col("n"), col("pos")).collect()
+    assert(rv.map(_.getAs[Double]("fit_isotonic")).toSeq ===
+      Seq(0.1, 0.4, 0.4))
+    // weighted pooling: (n=1, rate 1) then (n=9, rate 0) → 1/10 both
+    val wt = Seq((0L, 1L, 1L), (1L, 9L, 0L)).toDF("bin", "n", "pos")
+    val rw = Isotonic.fit(wt, col("bin"), col("n"), col("pos")).collect()
+    assert(rw.map(_.getAs[Double]("fit_isotonic")).toSeq === Seq(0.1, 0.1))
+    // the fit is ALWAYS non-decreasing (the operator's contract)
+    val noisy = Seq((0L, 5L, 4L), (1L, 5L, 1L), (2L, 5L, 5L), (3L, 5L, 0L),
+      (4L, 5L, 3L)).toDF("bin", "n", "pos")
+    val fits = Isotonic.fit(noisy, col("bin"), col("n"), col("pos"))
+      .collect().map(_.getAs[Double]("fit_isotonic"))
+    assert(fits.sliding(2).forall(p => p(0) <= p(1)), fits.toSeq)
+    // total mass is conserved (least-squares projection property)
+    assert(math.abs(fits.sum * 5.0 - 13.0) < 1e-6)
+  }
+
+  // ---- seasonal decomposition ----------------------------------------------
+
+  test("seasonalDecompose: pure weekly signal decomposes exactly") {
+    import java.sql.Date
+    import graft.operators.Changepoint
+    // values cycle [7,14,...,49] (sum 196, mean 28) over 14 days: the
+    // centered MA over any full window is exactly 28, the seasonal
+    // index is p − 28 (already centered), the residual is exactly 0
+    def d(i: Int) = Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+      .plusDays(i))
+    val pattern = (1 to 7).map(_ * 7L)
+    val s = (0 until 14).map(i => (d(i), pattern(i % 7)))
+      .toDF("day", "v")
+    val out = Changepoint.seasonalDecompose(s, col("day"), col("v"),
+      period = 7).collect()
+    assert(out.length === 14)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("value") === pattern(i % 7))
+      if (i >= 3 && i <= 10) {
+        assert(r.getAs[Double]("trend") === 28.0, s"trend at $i")
+        assert(r.getAs[Double]("residual") === 0.0, s"residual at $i")
+      } else {
+        assert(r.isNullAt(r.fieldIndex("trend")), s"edge trend at $i")
+        assert(r.isNullAt(r.fieldIndex("residual")), s"edge residual at $i")
+      }
+      assert(r.getAs[Double]("seasonal") === pattern(i % 7) - 28.0,
+        s"seasonal at $i")
+    }
+    // seasonal indices sum to ~0 (the centering contract)
+    val idx = out.take(7).map(_.getAs[Double]("seasonal"))
+    assert(math.abs(idx.sum) < 1e-6)
+  }
+
+  test("seasonalDecompose: constant series has zero seasonal and residual") {
+    import java.sql.Date
+    import graft.operators.Changepoint
+    def d(i: Int) = Date.valueOf(java.time.LocalDate.of(2024, 3, 1)
+      .plusDays(i))
+    val s = (0 until 14).map(i => (d(i), 70L)).toDF("day", "v")
+    val out = Changepoint.seasonalDecompose(s, col("day"), col("v"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("seasonal") === 0.0)
+      if (!r.isNullAt(r.fieldIndex("trend"))) {
+        assert(r.getAs[Double]("trend") === 70.0)
+        assert(r.getAs[Double]("residual") === 0.0)
+      }
+    }
+    // a short series (< 2p−1 days) leaves some weekdays with no
+    // detrended row — those rows publish null seasonal, not a crash
+    val short = (0 until 10).map(i => (d(i), 70L)).toDF("day", "v")
+    val so = Changepoint.seasonalDecompose(short, col("day"), col("v"))
+      .collect()
+    assert(so.exists(_.isNullAt(so.head.fieldIndex("seasonal"))))
+  }
+
+  // ---- effective sample size ----------------------------------------------
+
+  test("effectiveSampleSize: equal weights give ESS = n, skew shrinks it") {
+    import graft.operators.Concentration
+    val df = Seq(("a", 0.5), ("a", 0.5), ("a", 0.5),
+      ("b", 1.0), ("b", 0.0), ("b", 0.0),
+      ("c", 0.0)).toDF("g", "w")
+    val out = Concentration.effectiveSampleSize(df, col("g"), col("w"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // equal weights: ESS = n exactly, deff = 1
+    assert(out("a").getAs[Double]("ess") === 3.0)
+    assert(out("a").getAs[Double]("design_effect") === 1.0)
+    // all mass on one of three docs: ESS = 1, deff = 3
+    assert(out("b").getAs[Double]("ess") === 1.0)
+    assert(out("b").getAs[Double]("design_effect") === 3.0)
+    // zero-weight group publishes null, not a division error
+    assert(out("c").isNullAt(out("c").fieldIndex("ess")))
+    assert(out("c").isNullAt(out("c").fieldIndex("design_effect")))
+  }
 }
