@@ -153,6 +153,34 @@ private[graft] object OracleFns {
        |FROM p ORDER BY look""".stripMargin
   }
 
+  /** Shared by `value_acf` and its E27 stream face
+    * `stream_value_acf` — the per-day decimal sums are additive, so
+    * the merged stream cells equal the batch day series exactly and
+    * one SQL proves both.
+    */
+  private[graft] val valueAcfSql: String =
+    """WITH dly AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+      |      AS HUGEINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m, SUM(cents) AS s
+      |  FROM dly),
+      |c AS (SELECT day, m * cents - s AS cv FROM dly CROSS JOIN t),
+      |den AS (SELECT SUM(cv * cv) AS dn FROM c),
+      |lags AS (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS lag),
+      |pairs AS (
+      |  SELECT l.lag, SUM(a.cv * b.cv) AS num,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM c a CROSS JOIN lags l JOIN c b ON b.day = a.day + l.lag
+      |  GROUP BY l.lag)
+      |SELECT lag, CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CASE WHEN num IS NOT NULL AND CAST(dn AS DOUBLE) > 0.0
+      |    THEN round(CAST(num AS DOUBLE) / CAST(dn AS DOUBLE), 6)
+      |  END AS acf
+      |FROM lags LEFT JOIN pairs USING (lag) CROSS JOIN den
+      |ORDER BY lag""".stripMargin
+
   /** Shared by `events_session_window` and its E2 stream face — the
     * sentinel-flushed bounded stream drops nothing, so the emitted
     * sessions equal the batch gap decomposition exactly.

@@ -618,29 +618,42 @@ private[graft] object OracleSqlD {
 
     // C88: the m²-scaled centered products are exact HUGEINT (the
     // plan's decimal(38,0)); acf is one IEEE divide of two exact
-    // integers per lag
-    "value_acf" ->
+    // integers per lag. E27's stream face merges additive per-day
+    // decimal cells to the IDENTICAL series — one SQL proves both.
+    "value_acf" -> valueAcfSql,
+    "stream_value_acf" -> valueAcfSql,
+
+    // C91: the D62b slope machinery pointed at the day series —
+    // slopes/intercepts round to 6 dp BEFORE the lower-middle order
+    // statistic so the selection cannot diverge on a ulp
+    "sen_slope" ->
       """WITH dly AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
         |      AS HUGEINT) AS cents
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m, SUM(cents) AS s
+        |l AS (SELECT list_sort(list(
+        |    [CAST(day - DATE '1970-01-01' AS DOUBLE),
+        |     CAST(cents AS DOUBLE)])) AS a
         |  FROM dly),
-        |c AS (SELECT day, m * cents - s AS cv FROM dly CROSS JOIN t),
-        |den AS (SELECT SUM(cv * cv) AS dn FROM c),
-        |lags AS (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS lag),
-        |pairs AS (
-        |  SELECT l.lag, SUM(a.cv * b.cv) AS num,
-        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
-        |  FROM c a CROSS JOIN lags l JOIN c b ON b.day = a.day + l.lag
-        |  GROUP BY l.lag)
-        |SELECT lag, CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
-        |  CASE WHEN num IS NOT NULL AND CAST(dn AS DOUBLE) > 0.0
-        |    THEN round(CAST(num AS DOUBLE) / CAST(dn AS DOUBLE), 6)
-        |  END AS acf
-        |FROM lags LEFT JOIN pairs USING (lag) CROSS JOIN den
-        |ORDER BY lag""".stripMargin,
+        |sl AS (SELECT CAST(len(a) AS BIGINT) AS n_steps, a,
+        |    flatten(list_transform(range(1, len(a)), i ->
+        |      list_transform(range(i + 1, len(a) + 1), j ->
+        |        round((a[j][2] - a[i][2]) / (a[j][1] - a[i][1]), 6))))
+        |      AS ss
+        |  FROM l),
+        |s2 AS (SELECT n_steps, a, ss,
+        |    CASE WHEN len(ss) > 0 THEN
+        |      list_sort(ss)[CAST((len(ss) + 1) // 2 AS INTEGER)]
+        |    END AS sen_slope
+        |  FROM sl)
+        |SELECT n_steps, CAST(len(ss) AS BIGINT) AS n_pairs, sen_slope,
+        |  CASE WHEN sen_slope IS NOT NULL THEN
+        |    list_sort(list_transform(a, e ->
+        |      round(e[2] - sen_slope * e[1], 6)))
+        |      [CAST((n_steps + 1) // 2 AS INTEGER)]
+        |  END AS sen_intercept
+        |FROM s2""".stripMargin,
 
     // C90: the p-scaled detrended values are exact HUGEINT; the
     // weekday index is one IEEE divide, the centering mean a pinned

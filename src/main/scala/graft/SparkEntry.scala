@@ -199,6 +199,7 @@ object SparkEntry {
     "stream_ab_ttest"    -> (StreamFaces.streamAbTtest _),
     "stream_signal_matrix" -> (StreamFaces.streamSignalMatrix _),
     "stream_holt_forecast" -> (StreamFaces.streamHoltForecast _),
+    "stream_value_acf"   -> (StreamFaces.streamValueAcf _),
     "stream_source_concentration" -> (StreamFaces.streamSourceConcentration _),
     "stream_watermark_dedup" -> (StreamFaces.streamWatermarkDedup _),
     "stream_upsert_latest" -> (StreamFaces.streamUpsertLatest _),
@@ -285,6 +286,7 @@ object SparkEntry {
     "ab_obf_monitor"     -> (WarehouseQueries.obfMonitor _),
     "ab_ratio_delta"     -> (WarehouseQueries.ratioDelta _),
     "value_acf"          -> (WarehouseQueries.valueAcf _),
+    "sen_slope"          -> (WarehouseQueries.senSlope _),
     "seasonal_decompose" -> (WarehouseQueries.seasonalDecompose _),
     "quality_isotonic"   -> (TextQueries.qualityIsotonic _),
     "degree_assortativity" -> (WarehouseQueries.degreeAssortativity _),

@@ -144,6 +144,52 @@ object Changepoint {
     * simply contribute no pair at that offset — document gaps
     * upstream or gap-fill with C34 first).
     */
+  /** C91: Sen's slope estimator (Sen 1968; Theil 1950) over a daily
+    * series — the MAGNITUDE companion to C84's Mann–Kendall direction
+    * test (the pair is the standard nonparametric trend readout:
+    * Mann–Kendall says "drifting", Sen says "by this much per day"),
+    * with the 29%-breakdown robustness the OLS slope lacks. Slope =
+    * median of all pairwise slopes; intercept = median of
+    * y_i − slope·x_i at the published slope.
+    *
+    * Scale shape: the corpus collapses to the calendar-bounded day
+    * series in one scan; the O(m²) pairwise slopes run as an in-plan
+    * nested HOF over the aggregate-sized point array (the D62b
+    * machinery — bounded by the calendar, corpus-independent).
+    * Slopes round to 6 dp BEFORE the lower-middle order statistic so
+    * the selection cannot diverge on a ulp (the D62b discipline);
+    * the intercept medians round the same way at the published slope.
+    */
+  def senSlope(series: DataFrame, step: Column, value: Column): DataFrame = {
+    val v = Materialize.cut(series.select(
+      datediff(step, to_date(lit("1970-01-01"))).cast("double").as("x"),
+      value.cast("double").as("y")))
+    val arr = v.agg(
+      sort_array(collect_list(struct(col("x"), col("y")))).as("a"))
+    val n = size(col("a"))
+    // i runs 1..n-1 — Spark's sequence(a, b) REVERSES when a > b (the
+    // D62b lesson), so the outer bound is cut, never degenerate
+    val slopes = when(n >= 2,
+      flatten(transform(sequence(lit(1), n - 1), i =>
+        transform(sequence(i + 1, n), j =>
+          round((element_at(col("a"), j).getField("y")
+              - element_at(col("a"), i).getField("y"))
+            / (element_at(col("a"), j).getField("x")
+              - element_at(col("a"), i).getField("x")), 6)))))
+      .otherwise(array().cast("array<double>"))
+    arr.select(n.cast("long").as("n_steps"), col("a"), slopes.as("ss"))
+      .withColumn("sen_slope", when(size(col("ss")) > 0,
+        element_at(sort_array(col("ss")),
+          ((size(col("ss")) + 1) / 2).cast("int"))))
+      .select(col("n_steps"),
+        size(col("ss")).cast("long").as("n_pairs"),
+        col("sen_slope"),
+        when(col("sen_slope").isNotNull,
+          element_at(sort_array(transform(col("a"), e =>
+            round(e.getField("y") - col("sen_slope") * e.getField("x"), 6))),
+            ((col("n_steps") + 1) / 2).cast("int"))).as("sen_intercept"))
+  }
+
   /** C90: classical additive seasonal decomposition (Macaulay 1931
     * lineage; the statsmodels `seasonal_decompose` convention) of a
     * daily integer series at period p: trend = centered p-point

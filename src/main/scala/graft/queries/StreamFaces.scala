@@ -327,6 +327,38 @@ object StreamFaces {
       .orderBy(col("user_id"))
   }
 
+  /** E27 as a gated key: continuously-maintained autocorrelation
+    * (E ∘ C88) — per micro-batch the per-day decimal purchase sums
+    * append to the lake (additive, exact — the E22 recipe), the read
+    * face merges them into the IDENTICAL day series the batch C88
+    * face collapses to and runs the same exact-integer ACF, so the
+    * oracle is `value_acf`'s SQL verbatim.
+    */
+  def streamValueAcf(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_acf")
+    Tables.events(spark, dir) // normalize the ns-vs-µs conf
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val stream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val q = graft.streaming.StreamingForecast.start(
+      stream.filter(col("event_type") === "purchase"),
+      lit(0L), date_trunc("day", col("ts")).cast("date"),
+      graft.functions.Num.dec2(col("value")),
+      s"$base/sums", s"$base/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val daily = spark.read.parquet(s"$base/sums")
+      .groupBy(col("p").as("day"))
+      .agg((sum(col("v")) * 100).cast("decimal(38,0)").as("cents"))
+    graft.operators.Changepoint.acf(daily, col("day"), col("cents"),
+      maxLag = 10)
+  }
+
   /** E10 as a gated key: continuous trending heavy hitters run to
     * completion — per micro-batch one KB-scale CMS row + nominated
     * candidates append to the lake; the read face merges the batch

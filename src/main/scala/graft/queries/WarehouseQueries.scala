@@ -1449,6 +1449,20 @@ object WarehouseQueries {
       daily, col("day"), col("cents"), period = 7)
   }
 
+  /** C91: Sen's slope + intercept of the daily total purchase value —
+    * the magnitude companion to [[mannKendallTrend]] (see
+    * [[graft.operators.Changepoint.senSlope]]). Same one-scan day
+    * collapse as [[valueAcf]]; slope in cents/day.
+    */
+  def senSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(graft.functions.Num.dec2(col("value"))) * 100)
+        .cast("decimal(38,0)").as("cents"))
+    graft.operators.Changepoint.senSlope(daily, col("day"), col("cents"))
+  }
+
   /** C89: degree assortativity of the parts-bought-together graph
     * (same edge build as [[triangleCount]]) — do high-degree parts
     * co-occur with other hubs, or with long-tail parts? See

@@ -19,11 +19,12 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
     val mult = args.headOption.map(_.toInt).getOrElse(10)
-    // optional 2nd arg: run only legs whose name contains the filter
-    val legFilter = args.drop(1).headOption
+    // optional 2nd arg: comma-separated — run only legs whose name
+    // contains one of the patterns (same convention as check.py)
+    val legFilter = args.drop(1).headOption.map(_.split(",").toSeq)
 
     def t(name: String)(f: => Long): Unit =
-      if (legFilter.forall(name.contains)) {
+      if (legFilter.forall(_.exists(name.contains))) {
         val t0 = System.nanoTime()
         val n = f
         println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")

@@ -843,6 +843,36 @@ class AbStatsSpec extends AnyFunSuite {
       out.map(_.getAs[Double]("pmi")).toSeq)
   }
 
+  // ---- Sen's slope ----------------------------------------------------------
+
+  test("senSlope: exact line recovered; median robust to one outlier") {
+    import java.sql.Date
+    import graft.operators.Changepoint
+    val epoch0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toDouble
+    def d(i: Int) = Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+      .plusDays(i))
+    // y = 3x + 5 in day units: slope 3, intercept vs EPOCH days
+    val line = (0 until 5).map(i => (d(i), 3L * i + 5L)).toDF("day", "v")
+    val rl = Changepoint.senSlope(line, col("day"), col("v")).head
+    assert(rl.getAs[Long]("n_steps") === 5L)
+    assert(rl.getAs[Long]("n_pairs") === 10L)
+    assert(rl.getAs[Double]("sen_slope") === 3.0)
+    assert(rl.getAs[Double]("sen_intercept") === d6(5.0 - 3.0 * epoch0))
+    // [0, 10, 5]: pairwise slopes {10, 2.5, −5} → median 2.5; the
+    // OLS slope would chase the spike
+    val noisy = Seq((d(0), 0L), (d(1), 10L), (d(2), 5L)).toDF("day", "v")
+    val rn = Changepoint.senSlope(noisy, col("day"), col("v")).head
+    assert(rn.getAs[Double]("sen_slope") === 2.5)
+    // intercept = median of y − 2.5·x over epoch-day x
+    assert(rn.getAs[Double]("sen_intercept") === d6(-2.5 * epoch0))
+    // single point: no pairs, null slope/intercept
+    val one = Seq((d(0), 7L)).toDF("day", "v")
+    val ro = Changepoint.senSlope(one, col("day"), col("v")).head
+    assert(ro.getAs[Long]("n_pairs") === 0L)
+    assert(ro.isNullAt(ro.fieldIndex("sen_slope")))
+    assert(ro.isNullAt(ro.fieldIndex("sen_intercept")))
+  }
+
   // ---- isotonic calibration -----------------------------------------------
 
   test("isotonic fit: monotone input unchanged, violators pooled by weight") {

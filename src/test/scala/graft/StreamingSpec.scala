@@ -925,6 +925,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotF == wantF, s"funnel diverges: stream=$gotF batch=$wantF")
   }
 
+  test("streaming ACF equals the batch C88 readout bit-exactly") {
+    // E27: additive per-day decimal cells merge to the IDENTICAL day
+    // series, so the exact-integer ACF matches lag for lag
+    val got = graft.queries.StreamFaces.streamValueAcf(spark, sfDir)
+      .collect().toSeq
+    val want = graft.queries.WarehouseQueries.valueAcf(spark, sfDir)
+      .collect().toSeq
+    assert(got == want, s"acf diverges: stream=${got.take(3)} " +
+      s"batch=${want.take(3)}")
+  }
+
   test("kill-and-restart: engine-level replay of an uncommitted batch still bit-matches batch") {
     import graft.streaming.StreamingBootstrap
     val base = java.nio.file.Files.createTempDirectory("graft_chaos")
