@@ -153,6 +153,68 @@ private[graft] object OracleFns {
        |FROM p ORDER BY look""".stripMargin
   }
 
+  /** C92 oracle — mirrors [[graft.operators.AbStats.yuenTrimmed]]:
+    * per-arm value-domain cumulatives, conditional-MIN order
+    * statistics, the exact inner-portion rank slice, HUGEINT trimmed
+    * and winsorized sums, and the Yuen finisher mirrored
+    * parenthesis-for-parenthesis.
+    */
+  private[graft] def yuenOracle(trimDen: Int): String = {
+    def armCtes(arm: Int, t: String) = {
+      val inner = "GREATEST(0, LEAST(cum, n - k) - GREATEST(cum - c, k))"
+      s"""g$t AS (SELECT v, COUNT(*) AS c FROM p WHERE arm = $arm
+         |  GROUP BY v),
+         |c$t AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT)
+         |    AS cum FROM g$t),
+         |t$t AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n
+         |  FROM g$t),
+         |w$t AS (SELECT c$t.v, c$t.c, c$t.cum, t$t.n,
+         |    CAST(t$t.n // $trimDen AS BIGINT) AS k
+         |  FROM c$t CROSS JOIN t$t),
+         |s$t AS (SELECT MAX(n) AS n_$t, MAX(k) AS k_$t,
+         |    MIN(CASE WHEN cum >= k + 1 THEN v END) AS lo_$t,
+         |    MIN(CASE WHEN cum >= n - k THEN v END) AS hi_$t,
+         |    SUM(CAST(v AS HUGEINT) * CAST($inner AS HUGEINT)) AS ts_$t,
+         |    SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)
+         |      * CAST($inner AS HUGEINT)) AS tq_$t,
+         |    CAST(COALESCE(SUM($inner), 0) AS BIGINT) AS h_$t
+         |  FROM w$t)""".stripMargin
+    }
+    def legExprs(t: String) = {
+      val sw = s"CAST(CAST(k_$t AS HUGEINT) * lo_$t + ts_$t" +
+        s" + CAST(k_$t AS HUGEINT) * hi_$t AS DOUBLE)"
+      val sw2 = s"CAST(CAST(k_$t AS HUGEINT) * lo_$t * lo_$t + tq_$t" +
+        s" + CAST(k_$t AS HUGEINT) * hi_$t * hi_$t AS DOUBLE)"
+      val n = s"CAST(n_$t AS DOUBLE)"; val h = s"CAST(h_$t AS DOUBLE)"
+      val tm = s"CASE WHEN h_$t > 0 THEN CAST(ts_$t AS DOUBLE) / $h END"
+      val d = s"CASE WHEN h_$t >= 2 THEN ($sw2 - $sw * $sw / $n)" +
+        s" / ($h * ($h - 1.0)) END"
+      (tm, d, h)
+    }
+    val (tma, da, ha) = legExprs("a")
+    val (tmb, db, hb) = legExprs("b")
+    s"""WITH p AS (SELECT user_id % 2 AS arm,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+       |  FROM events WHERE event_type = 'purchase'),
+       |${armCtes(0, "a")},
+       |${armCtes(1, "b")},
+       |f AS (SELECT * FROM sa CROSS JOIN sb),
+       |l AS (SELECT n_a, n_b, h_a, h_b,
+       |    $tma AS tma, $tmb AS tmb, $da AS da, $db AS db
+       |  FROM f)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  h_a, h_b,
+       |  round(tma, 6) AS tmean_a, round(tmb, 6) AS tmean_b,
+       |  CASE WHEN h_a >= 2 AND h_b >= 2 AND da + db > 0.0 THEN
+       |    round((tmb - tma) / sqrt(da + db), 6) END AS t_stat,
+       |  CASE WHEN h_a >= 2 AND h_b >= 2 AND da + db > 0.0 THEN
+       |    round(1.0 / ((da / (da + db)) * (da / (da + db))
+       |        / (CAST(h_a AS DOUBLE) - 1.0)
+       |      + (1.0 - da / (da + db)) * (1.0 - da / (da + db))
+       |        / (CAST(h_b AS DOUBLE) - 1.0)), 6) END AS df
+       |FROM l""".stripMargin
+  }
+
   /** Shared by `value_acf` and its E27 stream face
     * `stream_value_acf` — the per-day decimal sums are additive, so
     * the merged stream cells equal the batch day series exactly and

@@ -559,6 +559,8 @@ private[graft] object OracleSqlD {
     // C86: same-literal discipline — looks/critical shared with the
     // plan; the look schedule is multiplication-only integer tests
     "ab_obf_monitor" -> obfOracle(looks = 5, critical = 2.04),
+    // C92: per-arm value-domain cumulatives + exact rank slicing
+    "ab_yuen_trimmed" -> yuenOracle(trimDen = 10),
 
     // C87: per-user (x=events, y=purchase revenue) aggregates in
     // DECIMAL(18,2) like the plan; the 12 sufficient sums are exact,
@@ -1024,6 +1026,14 @@ private[graft] object OracleSqlD {
         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // A16/A17: the oracle is the ORIGINAL table verbatim — a hash
+    // match proves the interchange writer/parser round-tripped every
+    // value (quoting, nulls, double shortest-repr, µs timestamps)
+    "csv_roundtrip" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
+    "json_roundtrip" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
 
     // D12: the oracle recomputes the stats from the pixel/sample
     // GENERATOR arithmetic (MultimodalQueries.synthImage/synthAudio),

@@ -112,6 +112,8 @@ object SparkEntry {
     "bloom_prune_join"   -> (RelationalQueries.bloomPruneJoin _),
     "zorder_layout"      -> (ExtendedQueries.zorderLayout _),
     "orc_ingest"         -> (ExtendedQueries.orcIngest _),
+    "csv_roundtrip"      -> (ExtendedQueries.csvRoundtrip _),
+    "json_roundtrip"     -> (ExtendedQueries.jsonRoundtrip _),
     "snapshot_time_travel" -> (ExtendedQueries.snapshotTimeTravel _),
     "partitioned_lake_write" -> (ExtendedQueries.partitionedLakeWrite _),
     "write_audit_publish" -> (ExtendedQueries.writeAuditPublishGate _),
@@ -284,6 +286,7 @@ object SparkEntry {
     "ab_sprt_monitor"    -> (WarehouseQueries.sprtMonitor _),
     "ab_msprt_monitor"   -> (WarehouseQueries.msprtMonitor _),
     "ab_obf_monitor"     -> (WarehouseQueries.obfMonitor _),
+    "ab_yuen_trimmed"    -> (WarehouseQueries.yuenTrimmed _),
     "ab_ratio_delta"     -> (WarehouseQueries.ratioDelta _),
     "value_acf"          -> (WarehouseQueries.valueAcf _),
     "sen_slope"          -> (WarehouseQueries.senSlope _),

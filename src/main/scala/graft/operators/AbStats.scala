@@ -722,6 +722,84 @@ object AbStats {
       .orderBy(col("look"))
   }
 
+  /** C92: Yuen's trimmed-mean t-test (Yuen 1974; Tukey & McLaughlin
+    * 1963 for the trimmed-t) — the robust twin of C66's Welch test:
+    * heavy-tailed metrics (revenue!) hand the Welch readout to a few
+    * whales; trimming k = ⌊n/trimDen⌋ per tail compares the metric's
+    * BODY, with the winsorized variance and Yuen's df doing the
+    * bookkeeping honestly (vs C38's winsorize-then-t, which
+    * understates the variance).
+    *
+    * EXACT integer core on an integer-unit metric (cents): per arm,
+    * one value-domain count shuffle, cumulatives on the distributed
+    * [[PrefixSum]] (never a per-arm global sort); the k-th order
+    * statistics are conditional MINs, the trimmed mass enters via the
+    * per-value INNER PORTION min(cum, n−k) − max(cum−c, k) clamped ≥0
+    * (exact rank slicing under ties), and the trimmed/winsorized
+    * sums accumulate in decimal. The finisher is one IEEE evaluation
+    * per statistic. Degenerate arms (h < 2 or zero variance) publish
+    * null.
+    *
+    * @param value integer-unit metric (e.g. cents) — exactness needs
+    *              an integer domain
+    * @param trimDen trim denominator: k = n DIV trimDen (10 → 10%)
+    */
+  def yuenTrimmed(df: DataFrame, arm: Column, value: Column,
+                  trimDen: Int = 10): DataFrame = {
+    require(trimDen >= 3, s"trimDen must be >= 3 (trim < half), got $trimDen")
+    val groups = Materialize.cut(
+      df.select(arm.as("__arm"), value.cast("long").as("__v"))
+        .groupBy(col("__arm"), col("__v")).agg(count(lit(1)).as("c")))
+    def armStats(a: Int, tag: String): DataFrame = {
+      val g = groups.filter(col("__arm") === a)
+      val cum = PrefixSum.runningSum(g, col("__v"), col("c"), "cum")
+      val tot = g.agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("n"))
+      val withN = cum.crossJoin(broadcast(tot))
+        .withColumn("k", expr(s"CAST(n DIV $trimDen AS BIGINT)"))
+      val inner = greatest(lit(0L),
+        least(col("cum"), col("n") - col("k")) -
+          greatest(col("cum") - col("c"), col("k")))
+      withN.agg(
+        max(col("n")).as(s"n_$tag"), max(col("k")).as(s"k_$tag"),
+        min(when(col("cum") >= col("k") + 1, col("__v"))).as(s"lo_$tag"),
+        min(when(col("cum") >= col("n") - col("k"), col("__v")))
+          .as(s"hi_$tag"),
+        sum(dec0(col("__v")) * dec0(inner)).as(s"ts_$tag"),
+        sum(dec0(col("__v")) * dec0(col("__v")) * dec0(inner))
+          .as(s"tq_$tag"),
+        coalesce(sum(inner), lit(0L)).cast("long").as(s"h_$tag"))
+    }
+    val joined = armStats(0, "a").crossJoin(armStats(1, "b"))
+    def leg(tag: String): (Column, Column, Column, Column) = {
+      val n = col(s"n_$tag").cast("double")
+      val h = col(s"h_$tag").cast("double")
+      val k = dec0(col(s"k_$tag"))
+      val sw = (k * dec0(col(s"lo_$tag")) + col(s"ts_$tag")
+        + k * dec0(col(s"hi_$tag"))).cast("double")
+      val sw2 = (k * dec0(col(s"lo_$tag")) * dec0(col(s"lo_$tag"))
+        + col(s"tq_$tag")
+        + k * dec0(col(s"hi_$tag")) * dec0(col(s"hi_$tag"))).cast("double")
+      val ok = col(s"h_$tag") >= 2
+      val tmean = when(col(s"h_$tag") > 0,
+        col(s"ts_$tag").cast("double") / h)
+      val d = when(ok, (sw2 - sw * sw / n) / (h * (h - 1.0)))
+      (tmean, d, h, ok)
+    }
+    val (tma, da, ha, okA) = leg("a")
+    val (tmb, db, hb, okB) = leg("b")
+    val dsum = da + db
+    val cc = da / dsum
+    val df_ = lit(1.0) / (cc * cc / (ha - 1.0)
+      + (lit(1.0) - cc) * (lit(1.0) - cc) / (hb - 1.0))
+    joined.select(
+      col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+      col("h_a"), col("h_b"),
+      round(tma, 6).as("tmean_a"), round(tmb, 6).as("tmean_b"),
+      when(okA && okB && dsum > 0.0,
+        round((tmb - tma) / sqrt(dsum), 6)).as("t_stat"),
+      when(okA && okB && dsum > 0.0, round(df_, 6)).as("df"))
+  }
+
   /** C87: delta-method z-test on a RATIO metric (Fieller 1940 lineage;
     * Deng, Knoblich & Lu 2018 for the A/B formulation) — the readout
     * for "revenue per session"-shaped metrics where the analysis unit

@@ -100,6 +100,49 @@ object ExtendedQueries {
       .orderBy(col("source"))
   }
 
+  /** A16: CSV interchange round-trip — the export sink every
+    * warehouse feeds to spreadsheets/partners: write the orders table
+    * (ints, strings with punctuation, doubles, µs timestamps) as CSV
+    * to a scratch dir, read it back WITH the original schema, return
+    * every row. The oracle reads the ORIGINAL parquet, so a hash
+    * match proves the CSV writer/parser round-trips every value —
+    * quoting, null handling, double shortest-repr, and the µs
+    * timestamp format (Spark's default CSV timestampFormat truncates
+    * to millis — the explicit SSSSSS option is the documented trap).
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val out = StreamFaces.scratch("graft_csv_a16") + "/orders"
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    // ignore*WhiteSpace default TRUE on the WRITE side — the writer
+    // would silently trim padded strings (IngestSpec pins the trap)
+    orders.write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", fmt)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
+    spark.read.schema(orders.schema)
+      .option("header", "true").option("timestampFormat", fmt)
+      .csv(out)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** A17: JSON-lines interchange round-trip — the API-facing twin of
+    * [[csvRoundtrip]] (the reference's own ingest format, here as the
+    * EXPORT direction). Same fidelity contract: the oracle reads the
+    * original parquet, so the hash gate proves the JSON writer/parser
+    * round-trips ints, strings, doubles, and µs timestamps.
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val out = StreamFaces.scratch("graft_json_a17") + "/orders"
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    orders.write.mode("overwrite").option("timestampFormat", fmt).json(out)
+    spark.read.schema(orders.schema).option("timestampFormat", fmt)
+      .json(out)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** A8 as a gated key: the partitioned lake write-path run end to
     * end — `LakeWriter.writeByPeriod` lays events out as
     * `period=yyyy-MM/` dirs (the reference's per-week S3 key space as

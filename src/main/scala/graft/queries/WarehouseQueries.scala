@@ -1365,6 +1365,19 @@ object WarehouseQueries {
     graft.operators.AbStats.chiSquareIndependence(
       Tables.events(spark, dir), col("event_type"), col("user_id") % 2)
 
+  /** C92: Yuen's 10%-trimmed-mean t-test on purchase value (in exact
+    * cents) between the user-parity arms — the robust readout where
+    * C66's Welch test chases whales. See
+    * [[graft.operators.AbStats.yuenTrimmed]].
+    */
+  def yuenTrimmed(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.yuenTrimmed(
+      Tables.events(spark, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (graft.functions.Num.dec2(col("value")) * 100).cast("long")
+            .as("cents")),
+      col("user_id") % 2, col("cents"), trimDen = 10)
+
   /** C68: Mann-Whitney rank-sum on purchase value between the arms —
     * the distribution-free twin of C66, ranks off the distributed
     * prefix sum.

@@ -843,6 +843,35 @@ class AbStatsSpec extends AnyFunSuite {
       out.map(_.getAs[Double]("pmi")).toSeq)
   }
 
+  // ---- Yuen trimmed-mean t --------------------------------------------------
+
+  test("yuenTrimmed: hand replay, whale robustness, all-tied null") {
+    import graft.operators.AbStats
+    // arm0 = 1..10, arm1 = 11..20 (cents): k=1, h=8, trimmed means
+    // 5.5 / 15.5; winsorized sums 55/369 per the hand ledger →
+    // d = 66.5/56 each, t = 10/sqrt(2·1.1875), df = 14 (symmetric)
+    val df0 = ((1 to 10).map(v => (0, v.toLong)) ++
+      (11 to 20).map(v => (1, v.toLong))).toDF("arm", "cents")
+    val r = AbStats.yuenTrimmed(df0, col("arm"), col("cents")).head
+    assert(r.getAs[Long]("n_a") === 10L && r.getAs[Long]("h_a") === 8L)
+    assert(r.getAs[Double]("tmean_a") === 5.5)
+    assert(r.getAs[Double]("tmean_b") === 15.5)
+    val d = (369.0 - 55.0 * 55.0 / 10.0) / (8.0 * 7.0)
+    assert(r.getAs[Double]("t_stat") === d6(10.0 / math.sqrt(2.0 * d)))
+    assert(r.getAs[Double]("df") === 14.0)
+    // a whale in the top trim slot cannot move the trimmed mean
+    val whale = ((1 to 10).map(v => (0, v.toLong)) ++
+      ((11 to 19).map(_.toLong) :+ 100000L).map(v => (1, v))).toDF("arm", "cents")
+    val rw = AbStats.yuenTrimmed(whale, col("arm"), col("cents")).head
+    assert(rw.getAs[Double]("tmean_b") === 15.5,
+      "trimmed mean must ignore the whale")
+    // all-tied arms: zero winsorized variance → null t, not Inf
+    val flat = Seq.fill(10)((0, 5L)).toDF("arm", "cents")
+      .union(Seq.fill(10)((1, 5L)).toDF("arm", "cents"))
+    val rf = AbStats.yuenTrimmed(flat, col("arm"), col("cents")).head
+    assert(rf.isNullAt(rf.fieldIndex("t_stat")))
+  }
+
   // ---- Sen's slope ----------------------------------------------------------
 
   test("senSlope: exact line recovered; median robust to one outlier") {

@@ -269,4 +269,38 @@ class IngestSpec extends AnyFunSuite {
     SnapshotLake.cleanStaging(spark, path)
     assert(!new java.io.File(s"$path/_staging").exists())
   }
+
+  test("interchange round-trip: CSV and JSON preserve hostile values") {
+    import spark.implicits._
+    // commas, quotes, leading/trailing spaces, nulls, µs timestamps,
+    // and a double needing full precision — the A16/A17 fidelity
+    // contract on values the orders table doesn't happen to contain.
+    // (Embedded newlines additionally need the multiLine dial, which
+    // trades away intra-file split parallelism — documented, not
+    // default.)
+    val ts = java.sql.Timestamp.valueOf("2024-02-29 23:59:59.123456")
+    val rows = Seq(
+      (1L, Some("""a,b "quoted" c"""), Some(0.1 + 0.2), Some(ts)),
+      (2L, Some("  padded  "), Some(1.0 / 3.0), None),
+      (3L, None, None, Some(ts)))
+    val df = rows.toDF("id", "s", "d", "t")
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val base = Files.createTempDirectory("graft_interchange").toFile
+    // ignore*WhiteSpace default TRUE on write — without these the
+    // writer trims "  padded  " (the A16 face sets them the same way)
+    df.write.option("header", "true").option("timestampFormat", fmt)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(s"$base/c")
+    val backC = spark.read.schema(df.schema)
+      .option("header", "true").option("timestampFormat", fmt)
+      .csv(s"$base/c").orderBy("id").collect().toSeq
+    df.write.option("timestampFormat", fmt).json(s"$base/j")
+    val backJ = spark.read.schema(df.schema)
+      .option("timestampFormat", fmt)
+      .json(s"$base/j").orderBy("id").collect().toSeq
+    val want = df.orderBy("id").collect().toSeq
+    assert(backC == want, s"CSV mangled values: $backC")
+    assert(backJ == want, s"JSON mangled values: $backJ")
+  }
 }
