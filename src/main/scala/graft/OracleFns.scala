@@ -215,6 +215,30 @@ private[graft] object OracleFns {
        |FROM l""".stripMargin
   }
 
+  /** Shared by `benford_audit` and its E28 stream face
+    * `stream_benford` — digit counts are additive, one SQL proves
+    * both.
+    */
+  private[graft] val benfordSql: String = {
+    val e = (1 to 9).map(d =>
+      s"WHEN digit = $d THEN CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE)")
+      .mkString(" ")
+    s"""WITH c AS (SELECT CAST(substr(CAST(
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM lineitem),
+       |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c
+       |  WHERE digit >= 1 GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g),
+       |x AS (SELECT digit, n, tot, CASE $e END AS pe
+       |  FROM g CROSS JOIN t)
+       |SELECT digit, n, round(pe, 6) AS p_expected,
+       |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p_observed,
+       |  round(pow(CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * pe, 2)
+       |    / (CAST(tot AS DOUBLE) * pe), 6) AS chi2_term
+       |FROM x ORDER BY digit""".stripMargin
+  }
+
   /** Shared by `value_acf` and its E27 stream face
     * `stream_value_acf` — the per-day decimal sums are additive, so
     * the merged stream cells equal the batch day series exactly and

@@ -972,6 +972,36 @@ private[graft] object OracleSqlC {
         |  round(fit, 6) AS fit_isotonic
         |FROM ii JOIN ft ON ft.k = ii.i ORDER BY bin""".stripMargin,
 
+    // D114: frequency-of-frequencies over the word-count frame;
+    // every statistic exact integers + one IEEE divide
+    "good_turing_vocab" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN len(trim(text)) > 0
+        |    THEN string_split_regex(trim(text), '\s+')
+        |    ELSE [] END AS tk
+        |  FROM documents),
+        |cnt AS (SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(tk) AS w FROM t) GROUP BY w),
+        |fof AS (SELECT c AS freq, COUNT(*) AS n_types FROM cnt
+        |  GROUP BY 1),
+        |a AS (SELECT
+        |    CAST(COALESCE(SUM(n_types), 0) AS BIGINT) AS vocab_size,
+        |    CAST(COALESCE(SUM(CAST(freq AS HUGEINT)
+        |      * CAST(n_types AS HUGEINT)), 0) AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(SUM(CASE WHEN freq = 1 THEN n_types END), 0)
+        |      AS BIGINT) AS n_hapax,
+        |    CAST(COALESCE(SUM(CASE WHEN freq = 2 THEN n_types END), 0)
+        |      AS BIGINT) AS n_dis
+        |  FROM fof)
+        |SELECT vocab_size, n_tokens, n_hapax, n_dis,
+        |  CASE WHEN n_tokens > 0 THEN round(
+        |    CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |  END AS p_unseen,
+        |  round(CAST(vocab_size AS DOUBLE)
+        |    + CAST(n_hapax AS DOUBLE) * (CAST(n_hapax AS DOUBLE) - 1.0)
+        |      / (2.0 * (CAST(n_dis AS DOUBLE) + 1.0)), 6) AS chao1_vocab
+        |FROM a""".stripMargin,
+
     // D97: exact-integer probability ratios, ln inside each term,
     // three pinned sorted folds (cells, both margins)
     "lang_source_mi" ->

@@ -404,25 +404,10 @@ private[graft] object OracleSqlD {
     // C79: first digit off the cents integer's decimal string (no
     // float log in the decision path); the expected probabilities are
     // the SAME Scala-rendered double constants on both sides
-    "benford_audit" -> {
-      val e = (1 to 9).map(d =>
-        s"WHEN digit = $d THEN CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE)")
-        .mkString(" ")
-      s"""WITH c AS (SELECT CAST(substr(CAST(
-         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-         |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
-         |  FROM lineitem),
-         |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c
-         |  WHERE digit >= 1 GROUP BY 1),
-         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g),
-         |x AS (SELECT digit, n, tot, CASE $e END AS pe
-         |  FROM g CROSS JOIN t)
-         |SELECT digit, n, round(pe, 6) AS p_expected,
-         |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p_observed,
-         |  round(pow(CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * pe, 2)
-         |    / (CAST(tot AS DOUBLE) * pe), 6) AS chi2_term
-         |FROM x ORDER BY digit""".stripMargin
-    },
+    // E28's stream face merges additive per-batch digit counts to the
+    // IDENTICAL count frame — one SQL proves both
+    "benford_audit" -> benfordSql,
+    "stream_benford" -> benfordSql,
 
     // C78: exact integer day-series sums per lag, Pearson one IEEE
     // evaluation with pinned parenthesization

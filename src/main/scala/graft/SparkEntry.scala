@@ -202,6 +202,8 @@ object SparkEntry {
     "stream_signal_matrix" -> (StreamFaces.streamSignalMatrix _),
     "stream_holt_forecast" -> (StreamFaces.streamHoltForecast _),
     "stream_value_acf"   -> (StreamFaces.streamValueAcf _),
+    "stream_benford"     -> (StreamFaces.streamBenford _),
+    "good_turing_vocab"  -> (TextQueries.goodTuringVocab _),
     "stream_source_concentration" -> (StreamFaces.streamSourceConcentration _),
     "stream_watermark_dedup" -> (StreamFaces.streamWatermarkDedup _),
     "stream_upsert_latest" -> (StreamFaces.streamUpsertLatest _),

@@ -306,4 +306,45 @@ object LanguageModel {
       size(toks(col(textCol))).as("n_tokens"),
       crossEntropyKn(col(textCol), lm).as("cross_entropy"))
   }
+
+  /** D114: Good–Turing unseen mass + Chao1 vocabulary richness (Good
+    * 1953; Chao 1984, bias-corrected form) — the two numbers a corpus
+    * card needs about the vocabulary it HASN'T seen: p₀ = n₁/N is the
+    * probability the next token is a new type (the Good–Turing
+    * missing-mass estimate — high p₀ means the crawl is nowhere near
+    * vocabulary saturation and D103's Heaps fit is still in its
+    * growth regime), and Chao1 = V + n₁(n₁−1)/(2(n₂+1)) estimates the
+    * total vocabulary the corpus is sampling from.
+    *
+    * Scale shape: ONE tokenize → word-count shuffle (the D16 cost),
+    * then a frequency-of-frequencies re-aggregation of the
+    * vocab-sized frame; every statistic is exact integers + one IEEE
+    * divide. Output one row.
+    */
+  def goodTuringVocab(corpus: DataFrame, textCol: String): DataFrame = {
+    val counts = corpus
+      .select(explode(toks(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val fof = counts.groupBy(col("c").as("freq"))
+      .agg(count(lit(1)).as("n_types"))
+    val agg = fof.agg(
+      coalesce(sum(col("n_types")), lit(0L)).cast("long").as("vocab_size"),
+      coalesce(sum(col("freq").cast(org.apache.spark.sql.types
+          .DecimalType(38, 0)) * col("n_types").cast(org.apache.spark.sql
+          .types.DecimalType(38, 0))), lit(0L).cast("decimal(38,0)"))
+        .cast("long").as("n_tokens"),
+      coalesce(sum(when(col("freq") === 1, col("n_types"))), lit(0L))
+        .cast("long").as("n_hapax"),
+      coalesce(sum(when(col("freq") === 2, col("n_types"))), lit(0L))
+        .cast("long").as("n_dis"))
+    agg.select(col("vocab_size"), col("n_tokens"), col("n_hapax"),
+      col("n_dis"),
+      when(col("n_tokens") > 0,
+        round(col("n_hapax").cast("double") / col("n_tokens").cast("double"),
+          6)).as("p_unseen"),
+      round(col("vocab_size").cast("double")
+        + col("n_hapax").cast("double") * (col("n_hapax").cast("double")
+          - 1.0) / (lit(2.0) * (col("n_dis").cast("double") + 1.0)), 6)
+        .as("chao1_vocab"))
+  }
 }

@@ -359,6 +359,35 @@ object StreamFaces {
       maxLag = 10)
   }
 
+  /** E28 as a gated key: continuous Benford first-digit monitoring
+    * (E ∘ C79) — the live fraud/data-corruption alarm: per
+    * micro-batch the 9 first-digit counts append to the lake
+    * (additive, exact), the read face merges them and runs the batch
+    * C79 finisher verbatim, so the oracle is `benford_audit`'s SQL
+    * verbatim.
+    */
+  def streamBenford(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_bf")
+    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(dir)
+    val cents = (graft.functions.Num.dec2(col("l_extendedprice")) * 100)
+      .cast("long")
+    val digits = stream
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+    val q = graft.streaming.StreamingForecast.start(
+      digits, col("digit"), lit(0), lit(1L),
+      s"$base/cells", s"$base/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val counts = spark.read.parquet(s"$base/cells")
+      .groupBy(col("k"))
+      .agg(sum(col("v")).cast("long").as("n"))
+      .select(col("k").cast("int").as("digit"), col("n"))
+    WarehouseQueries.benfordFromCounts(counts)
+  }
+
   /** E10 as a gated key: continuous trending heavy hitters run to
     * completion — per micro-batch one KB-scale CMS row + nominated
     * candidates append to the lake; the read face merges the batch

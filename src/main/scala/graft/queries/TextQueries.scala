@@ -1835,6 +1835,14 @@ object TextQueries {
     graft.operators.Collocations.topPmi(
       Tables.documents(spark, dir), "text", minCount = 5L, k = 50)
 
+  /** D114: Good–Turing unseen mass + Chao1 vocabulary richness over
+    * the corpus — how much of the type distribution is still unseen
+    * (see [[graft.operators.LanguageModel.goodTuringVocab]]).
+    */
+  def goodTuringVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.goodTuringVocab(
+      Tables.documents(spark, dir), "text")
+
   /** D112: effective sample size / design effect of the D9
     * quality-score weighting, per source — how many docs each
     * source's weighted mass is really worth (see

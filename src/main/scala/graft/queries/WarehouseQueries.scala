@@ -1151,10 +1151,18 @@ object WarehouseQueries {
   def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
     val cents = (graft.functions.Num.dec2(col("l_extendedprice")) * 100)
       .cast("long")
-    val digits = Tables.lineitem(spark, dir)
+    benfordFromCounts(Tables.lineitem(spark, dir)
       .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
       .filter(col("digit") >= 1)
-      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n")))
+  }
+
+  /** The finisher over an already-aggregated (digit, n) frame —
+    * shared by the batch C79 key and the E28 streaming read face
+    * (digit counts are ADDITIVE, so merged per-batch counts feed the
+    * SAME computation and stream ≡ batch exactly).
+    */
+  def benfordFromCounts(digits: DataFrame): DataFrame = {
     val withTot = digits
       .crossJoin(broadcast(digits.agg(sum(col("n")).cast("long").as("tot"))))
     val expected = (1 to 9).map(d =>

@@ -843,6 +843,32 @@ class AbStatsSpec extends AnyFunSuite {
       out.map(_.getAs[Double]("pmi")).toSeq)
   }
 
+  // ---- Good-Turing / Chao1 --------------------------------------------------
+
+  test("goodTuringVocab: hand corpus, saturated corpus, empty corpus") {
+    import graft.operators.LanguageModel
+    // "a a b" + "c": V=3, N=4, n1=2 (b,c), n2=1 (a) →
+    // p0 = 0.5, chao1 = 3 + 2·1/(2·2) = 3.5
+    val docs = Seq("a a b", "c").toDF("text")
+    val r = LanguageModel.goodTuringVocab(docs, "text").head
+    assert(r.getAs[Long]("vocab_size") === 3L)
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("n_hapax") === 2L)
+    assert(r.getAs[Long]("n_dis") === 1L)
+    assert(r.getAs[Double]("p_unseen") === 0.5)
+    assert(r.getAs[Double]("chao1_vocab") === 3.5)
+    // no hapaxes: unseen mass 0, chao1 = V exactly
+    val sat = Seq("x x", "y y").toDF("text")
+    val rs = LanguageModel.goodTuringVocab(sat, "text").head
+    assert(rs.getAs[Double]("p_unseen") === 0.0)
+    assert(rs.getAs[Double]("chao1_vocab") === 2.0)
+    // whitespace-only corpus: zero everything, null p_unseen
+    val empty = Seq("   ").toDF("text")
+    val re = LanguageModel.goodTuringVocab(empty, "text").head
+    assert(re.getAs[Long]("vocab_size") === 0L)
+    assert(re.isNullAt(re.fieldIndex("p_unseen")))
+  }
+
   // ---- Yuen trimmed-mean t --------------------------------------------------
 
   test("yuenTrimmed: hand replay, whale robustness, all-tied null") {

@@ -925,6 +925,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotF == wantF, s"funnel diverges: stream=$gotF batch=$wantF")
   }
 
+  test("streaming Benford equals the batch C79 audit bit-exactly") {
+    // E28: additive per-batch digit counts merge to the identical
+    // count frame, so the finisher output matches digit for digit
+    val got = graft.queries.StreamFaces.streamBenford(spark, sfDir)
+      .collect().toSeq
+    val want = graft.queries.WarehouseQueries.benfordAudit(spark, sfDir)
+      .collect().toSeq
+    assert(got == want, s"benford diverges: stream=${got.take(2)} " +
+      s"batch=${want.take(2)}")
+  }
+
   test("streaming ACF equals the batch C88 readout bit-exactly") {
     // E27: additive per-day decimal cells merge to the IDENTICAL day
     // series, so the exact-integer ACF matches lag for lag
