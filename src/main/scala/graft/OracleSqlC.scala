@@ -972,6 +972,34 @@ private[graft] object OracleSqlC {
         |  round(fit, 6) AS fit_isotonic
         |FROM ii JOIN ft ON ft.k = ii.i ORDER BY bin""".stripMargin,
 
+    // D115: the D53 paragraph CTEs re-aggregated per source; dup
+    // detection by para text ≡ the plan's sha2 digests
+    // (collision-free), frac one IEEE divide of exact counts
+    "dup_mass_by_source" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |paras AS (
+        |  SELECT t.doc_id, i.i AS para_idx,
+        |    array_to_string(tk[(i.i*12+1):(i.i*12+12)], ' ') AS para
+        |  FROM toks t JOIN range(0, 16) AS i(i)
+        |    ON i.i < CAST(ceil(len(tk)/12.0) AS BIGINT)),
+        |dup AS (SELECT para FROM paras
+        |  GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 2),
+        |pd AS (SELECT doc_id, COUNT(*) AS np,
+        |    SUM(CASE WHEN para IN (SELECT para FROM dup)
+        |      THEN 1 ELSE 0 END) AS nd
+        |  FROM paras GROUP BY doc_id),
+        |g AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(np) AS BIGINT) AS n_paras,
+        |    CAST(SUM(nd) AS BIGINT) AS n_dup_paras
+        |  FROM documents d JOIN pd ON pd.doc_id = d.doc_id
+        |  GROUP BY d.source)
+        |SELECT source, n_docs, n_paras, n_dup_paras,
+        |  CASE WHEN n_paras > 0 THEN round(
+        |    CAST(n_dup_paras AS DOUBLE) / CAST(n_paras AS DOUBLE), 6)
+        |  END AS dup_frac
+        |FROM g ORDER BY source""".stripMargin,
+
     // D114: frequency-of-frequencies over the word-count frame;
     // every statistic exact integers + one IEEE divide
     "good_turing_vocab" ->

@@ -546,6 +546,43 @@ private[graft] object OracleSqlD {
     "ab_obf_monitor" -> obfOracle(looks = 5, critical = 2.04),
     // C92: per-arm value-domain cumulatives + exact rank slicing
     "ab_yuen_trimmed" -> yuenOracle(trimDen = 10),
+    // C93: z and z² as shared round-trip literals; center/half
+    // mirrored parenthesis-for-parenthesis
+    "ab_rate_wilson" -> {
+      val z = 1.959963984540054
+      def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+      def leg(t: String, arm: Int) = {
+        val n = s"CAST(n_$t AS DOUBLE)"; val k = s"CAST(k_$t AS DOUBLE)"
+        val z2 = d(z * z)
+        val p = s"($k / $n)"
+        val denom = s"(1.0 + $z2 / $n)"
+        val center = s"(($p + $z2 / (2.0 * $n)) / $denom)"
+        val half = s"(${d(z)} * sqrt($p * (1.0 - $p) / $n" +
+          s" + $z2 / (4.0 * $n * $n)) / $denom)"
+        s"""CASE WHEN n_$t > 0 THEN round($p, 6) END AS rate_$t,
+           |  CASE WHEN n_$t > 0 THEN round($center - $half, 6) END AS lo_$t,
+           |  CASE WHEN n_$t > 0 THEN round($center + $half, 6) END AS hi_$t"""
+          .stripMargin
+      }
+      s"""WITH a AS (SELECT
+         |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS k_b
+         |  FROM events)
+         |SELECT n_a, k_a,
+         |  ${leg("a", 0)},
+         |  n_b, k_b,
+         |  ${leg("b", 1)},
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    round(CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         |      - CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) END AS diff
+         |FROM a""".stripMargin
+    },
 
     // C87: per-user (x=events, y=purchase revenue) aggregates in
     // DECIMAL(18,2) like the plan; the 12 sufficient sums are exact,

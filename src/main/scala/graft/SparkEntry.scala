@@ -289,6 +289,8 @@ object SparkEntry {
     "ab_msprt_monitor"   -> (WarehouseQueries.msprtMonitor _),
     "ab_obf_monitor"     -> (WarehouseQueries.obfMonitor _),
     "ab_yuen_trimmed"    -> (WarehouseQueries.yuenTrimmed _),
+    "ab_rate_wilson"     -> (WarehouseQueries.rateWilson _),
+    "dup_mass_by_source" -> (TextQueries.dupMassBySource _),
     "ab_ratio_delta"     -> (WarehouseQueries.ratioDelta _),
     "value_acf"          -> (WarehouseQueries.valueAcf _),
     "sen_slope"          -> (WarehouseQueries.senSlope _),

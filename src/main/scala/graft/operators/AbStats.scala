@@ -722,6 +722,51 @@ object AbStats {
       .orderBy(col("look"))
   }
 
+  /** C93: two-arm conversion rates with Wilson score intervals
+    * (Wilson 1927; Agresti & Coull 1998 recommend it over the Wald
+    * interval every dashboard naively draws — Wald collapses at
+    * p̂ near 0/1 and small n, Wilson never leaves (0,1)). The
+    * per-arm interval is the honest error bar under C74's SRM
+    * guardrail; non-overlap is the eyeball test, C66/C82 the formal
+    * ones.
+    *
+    * ONE scan, ONE row: exact integer (n, k) per arm via conditional
+    * aggregation; center/half-width are one IEEE evaluation each over
+    * those integers with the z literal shared plan/oracle.
+    */
+  def rateWilsonCi(df: DataFrame, arm: Column, converted: Column,
+                   z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val a0 = arm === 0; val a1 = arm === 1
+    val agg = df.agg(
+      sum(when(a0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(a0 && converted, 1L).otherwise(0L)).cast("long").as("k_a"),
+      sum(when(a1, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(a1 && converted, 1L).otherwise(0L)).cast("long").as("k_b"))
+    def leg(t: String): (Column, Column, Column) = {
+      val n = col(s"n_$t").cast("double"); val k = col(s"k_$t").cast("double")
+      val p = k / n
+      val z2 = lit(z * z) // one driver-side multiply, shared literal
+      val denom = lit(1.0) + z2 / n
+      val center = (p + z2 / (lit(2.0) * n)) / denom
+      val half = lit(z) * sqrt(p * (lit(1.0) - p) / n
+        + z2 / (lit(4.0) * n * n)) / denom
+      val ok = col(s"n_$t") > 0
+      (when(ok, round(p, 6)), when(ok, round(center - half, 6)),
+        when(ok, round(center + half, 6)))
+    }
+    val (ra, loa, hia) = leg("a")
+    val (rb, lob, hib) = leg("b")
+    agg.select(col("n_a"), col("k_a"),
+      ra.as("rate_a"), loa.as("lo_a"), hia.as("hi_a"),
+      col("n_b"), col("k_b"),
+      rb.as("rate_b"), lob.as("lo_b"), hib.as("hi_b"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        round(col("k_b").cast("double") / col("n_b").cast("double")
+          - col("k_a").cast("double") / col("n_a").cast("double"), 6))
+        .as("diff"))
+  }
+
   /** C92: Yuen's trimmed-mean t-test (Yuen 1974; Tukey & McLaughlin
     * 1963 for the trimmed-t) — the robust twin of C66's Welch test:
     * heavy-tailed metrics (revenue!) hand the Welch readout to a few

@@ -72,6 +72,41 @@ object ParagraphDedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** D115: per-group duplicated-paragraph mass — what FRACTION of
+    * each source's paragraph mass is corpus-wide boilerplate (the
+    * Lee et al. 2022 "what would dedup remove" question answered per
+    * provenance BEFORE running the removal): a source at 40% dup
+    * mass is mostly templates, and its row count overstates its
+    * contribution the same way D112's ESS ≪ n does for weights.
+    *
+    * Scale shape: the D53 machinery unchanged — the duplicate
+    * detection shuffle ships 64-byte digests + counts, the flag join
+    * is digest-keyed, and the output collapses to group cardinality.
+    */
+  def dupMassByGroup(df: DataFrame, text: Column, id: Column,
+                     group: Column, words: Int = 12,
+                     minDocs: Int = 2): DataFrame = {
+    val paras = Materialize.cut(paragraphs(df, text, id, words))
+    val dup = duplicateDigests(paras, minDocs)
+    val perDoc = paras
+      .join(dup, paras("__digest") === dup("digest"), "left")
+      .groupBy(col("__pd_id"))
+      .agg(count(lit(1)).as("__np"),
+        sum(when(col("digest").isNotNull, 1L).otherwise(0L)).as("__nd"))
+    df.select(id.as("__pd_id"), group.as("grp"))
+      .join(perDoc, Seq("__pd_id"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__np")).cast("long").as("n_paras"),
+        sum(col("__nd")).cast("long").as("n_dup_paras"))
+      .select(col("grp"), col("n_docs"), col("n_paras"),
+        col("n_dup_paras"),
+        when(col("n_paras") > 0,
+          round(col("n_dup_paras").cast("double")
+            / col("n_paras").cast("double"), 6)).as("dup_frac"))
+      .orderBy(col("grp"))
+  }
+
   /** One-shot batch form over a single corpus: detect within it,
     * strip from it. The [[graft.queries.TextQueries.paragraphDedup]]
     * gate face wraps this.

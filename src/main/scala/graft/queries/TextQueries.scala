@@ -1835,6 +1835,17 @@ object TextQueries {
     graft.operators.Collocations.topPmi(
       Tables.documents(spark, dir), "text", minCount = 5L, k = 50)
 
+  /** D115: per-source duplicated-paragraph mass — what fraction of
+    * each source's paragraphs is corpus-wide boilerplate, BEFORE any
+    * removal runs (see
+    * [[graft.operators.ParagraphDedup.dupMassByGroup]]).
+    */
+  def dupMassBySource(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ParagraphDedup.dupMassByGroup(
+        Tables.documents(spark, dir), col("text"), col("doc_id"),
+        col("source"))
+      .withColumnRenamed("grp", "source")
+
   /** D114: Good–Turing unseen mass + Chao1 vocabulary richness over
     * the corpus — how much of the type distribution is still unseen
     * (see [[graft.operators.LanguageModel.goodTuringVocab]]).

@@ -1373,6 +1373,15 @@ object WarehouseQueries {
     graft.operators.AbStats.chiSquareIndependence(
       Tables.events(spark, dir), col("event_type"), col("user_id") % 2)
 
+  /** C93: purchase-conversion rates per user-parity arm with Wilson
+    * 95% score intervals — the honest dashboard error bar (see
+    * [[graft.operators.AbStats.rateWilsonCi]]).
+    */
+  def rateWilson(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.rateWilsonCi(
+      Tables.events(spark, dir),
+      col("user_id") % 2, col("event_type") === "purchase")
+
   /** C92: Yuen's 10%-trimmed-mean t-test on purchase value (in exact
     * cents) between the user-parity arms — the robust readout where
     * C66's Welch test chases whales. See

@@ -843,6 +843,66 @@ class AbStatsSpec extends AnyFunSuite {
       out.map(_.getAs[Double]("pmi")).toSeq)
   }
 
+  // ---- Wilson rate CI --------------------------------------------------------
+
+  test("rateWilsonCi: hand replay, boundary-rate behavior, empty arm") {
+    import graft.operators.AbStats
+    val z = 1.959963984540054
+    def wilson(n: Long, k: Long): (Double, Double) = {
+      val nD = n.toDouble; val p = k.toDouble / nD; val z2 = z * z
+      val denom = 1.0 + z2 / nD
+      val center = (p + z2 / (2.0 * nD)) / denom
+      val half = z * math.sqrt(p * (1.0 - p) / nD
+        + z2 / (4.0 * nD * nD)) / denom
+      (d6(center - half), d6(center + half))
+    }
+    val rows = (1 to 100).map(i => (0, i <= 10)) ++
+      (1 to 100).map(i => (1, i <= 20))
+    val r = AbStats.rateWilsonCi(rows.toDF("arm", "conv"),
+      col("arm"), col("conv")).head
+    assert(r.getAs[Long]("n_a") === 100L && r.getAs[Long]("k_a") === 10L)
+    assert(r.getAs[Double]("rate_a") === 0.1)
+    val (loA, hiA) = wilson(100, 10)
+    assert(r.getAs[Double]("lo_a") === loA && r.getAs[Double]("hi_a") === hiA)
+    assert(r.getAs[Double]("diff") === 0.1)
+    // interval is inside (0,1) and contains the point estimate
+    assert(loA > 0.0 && hiA < 1.0 && loA < 0.1 && hiA > 0.1)
+    // k = 0: the Wilson lower bound is EXACTLY 0 (Wald would go
+    // negative); k = n mirrors at 1
+    val zero = (1 to 50).map(_ => (0, false)) ++ (1 to 50).map(_ => (1, true))
+    val rz = AbStats.rateWilsonCi(zero.toDF("arm", "conv"),
+      col("arm"), col("conv")).head
+    assert(rz.getAs[Double]("lo_a") === 0.0)
+    assert(rz.getAs[Double]("hi_b") === 1.0)
+    assert(rz.getAs[Double]("hi_a") > 0.0 && rz.getAs[Double]("lo_b") < 1.0)
+    // an empty arm publishes nulls, not a division error
+    val one = Seq((0, true), (0, false)).toDF("arm", "conv")
+    val ro = AbStats.rateWilsonCi(one, col("arm"), col("conv")).head
+    assert(ro.isNullAt(ro.fieldIndex("rate_b")))
+    assert(ro.isNullAt(ro.fieldIndex("diff")))
+  }
+
+  // ---- duplicated-paragraph mass ----------------------------------------------
+
+  test("dupMassByGroup: shared paragraph counted per source, clean source zero") {
+    import graft.operators.ParagraphDedup
+    val para = (1 to 12).map(i => s"w$i").mkString(" ")
+    val distinctText = (1 to 12).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, "A", para), (2L, "A", para),           // cross-doc dup
+      (3L, "B", distinctText),                     // clean
+      (4L, "B", para + " tail words here")         // 2 paras: 1 dup, 1 not
+    ).toDF("id", "src", "text")
+    val out = ParagraphDedup.dupMassByGroup(docs, col("text"), col("id"),
+      col("src")).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("n_paras") === 2L)
+    assert(out("A").getAs[Long]("n_dup_paras") === 2L)
+    assert(out("A").getAs[Double]("dup_frac") === 1.0)
+    assert(out("B").getAs[Long]("n_paras") === 3L)
+    assert(out("B").getAs[Long]("n_dup_paras") === 1L)
+    assert(out("B").getAs[Double]("dup_frac") === d6(1.0 / 3.0))
+  }
+
   // ---- Good-Turing / Chao1 --------------------------------------------------
 
   test("goodTuringVocab: hand corpus, saturated corpus, empty corpus") {
