@@ -177,12 +177,15 @@ object Changepoint {
             / (element_at(col("a"), j).getField("x")
               - element_at(col("a"), i).getField("x")), 6)))))
       .otherwise(array().cast("array<double>"))
-    arr.select(n.cast("long").as("n_steps"), col("a"), slopes.as("ss"))
+    // empty series: NULL n_steps/n_pairs like the oracle's list()
+    // over zero rows (0-vs-NULL would be a spurious hash mismatch)
+    arr.select(when(n > 0, n.cast("long")).as("n_steps"),
+        col("a"), slopes.as("ss"), n.as("__n"))
       .withColumn("sen_slope", when(size(col("ss")) > 0,
         element_at(sort_array(col("ss")),
           ((size(col("ss")) + 1) / 2).cast("int"))))
       .select(col("n_steps"),
-        size(col("ss")).cast("long").as("n_pairs"),
+        when(col("__n") > 0, size(col("ss")).cast("long")).as("n_pairs"),
         col("sen_slope"),
         when(col("sen_slope").isNotNull,
           element_at(sort_array(transform(col("a"), e =>
@@ -271,8 +274,7 @@ object Changepoint {
     val c = v.crossJoin(broadcast(tot))
       .select(col("__s"), col("__m"),
         (dec0(col("__m")) * col("__x") - col("__sum")).as("__c"))
-    val den = c.agg(sum(col("__c") * col("__c")).as("__den"),
-      max(col("__m")).as("__m"))
+    val den = c.agg(sum(col("__c") * col("__c")).as("__den"))
     val lags = c.sparkSession.range(1, maxLag + 1)
       .select(col("id").cast("int").as("lag"))
     val pairs = c.select(col("__s"), col("__c"))

@@ -1453,15 +1453,21 @@ object WarehouseQueries {
     * collapses to the calendar-day series (value in exact cents) in
     * one scan; see [[graft.operators.Changepoint.acf]].
     */
-  def valueAcf(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+  def valueAcf(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Changepoint.acf(dailyPurchaseCents(spark, dir),
+      col("day"), col("cents"), maxLag = 10)
+
+  /** The one shared day-series collapse behind C88/C90/C91 (and the
+    * E27 stream twin's read face): daily total purchase value in
+    * exact cents — change the convention here, nowhere else.
+    */
+  private def dailyPurchaseCents(spark: SparkSession,
+                                 dir: String): DataFrame =
+    Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
       .agg((sum(graft.functions.Num.dec2(col("value"))) * 100)
         .cast("decimal(38,0)").as("cents"))
-    graft.operators.Changepoint.acf(daily, col("day"), col("cents"),
-      maxLag = 10)
-  }
 
   /** C90: classical additive seasonal decomposition of the daily
     * total purchase value at period 7 — trend / weekly-seasonal /
@@ -1469,29 +1475,18 @@ object WarehouseQueries {
     * [[graft.operators.Changepoint.seasonalDecompose]]). Same one-scan
     * day-series collapse as [[valueAcf]].
     */
-  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .filter(col("event_type") === "purchase")
-      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
-      .agg((sum(graft.functions.Num.dec2(col("value"))) * 100)
-        .cast("decimal(38,0)").as("cents"))
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Changepoint.seasonalDecompose(
-      daily, col("day"), col("cents"), period = 7)
-  }
+      dailyPurchaseCents(spark, dir), col("day"), col("cents"), period = 7)
 
   /** C91: Sen's slope + intercept of the daily total purchase value —
     * the magnitude companion to [[mannKendallTrend]] (see
     * [[graft.operators.Changepoint.senSlope]]). Same one-scan day
     * collapse as [[valueAcf]]; slope in cents/day.
     */
-  def senSlope(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .filter(col("event_type") === "purchase")
-      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
-      .agg((sum(graft.functions.Num.dec2(col("value"))) * 100)
-        .cast("decimal(38,0)").as("cents"))
-    graft.operators.Changepoint.senSlope(daily, col("day"), col("cents"))
-  }
+  def senSlope(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Changepoint.senSlope(dailyPurchaseCents(spark, dir),
+      col("day"), col("cents"))
 
   /** C89: degree assortativity of the parts-bought-together graph
     * (same edge build as [[triangleCount]]) — do high-degree parts

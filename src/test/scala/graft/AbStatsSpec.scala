@@ -986,6 +986,12 @@ class AbStatsSpec extends AnyFunSuite {
     assert(ro.getAs[Long]("n_pairs") === 0L)
     assert(ro.isNullAt(ro.fieldIndex("sen_slope")))
     assert(ro.isNullAt(ro.fieldIndex("sen_intercept")))
+    // EMPTY series: NULL n_steps/n_pairs, matching the oracle's
+    // list() over zero rows (0-vs-NULL was a review finding)
+    val none = one.filter(col("v") < 0L)
+    val re = Changepoint.senSlope(none, col("day"), col("v")).head
+    assert(re.isNullAt(re.fieldIndex("n_steps")))
+    assert(re.isNullAt(re.fieldIndex("n_pairs")))
   }
 
   // ---- isotonic calibration -----------------------------------------------
