@@ -917,6 +917,25 @@ object ScaleProbe {
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
       graft.operators.Centrality.degreeAssortativity(e).count()
     }
+    t("yuen_trimmed") {
+      // C92: the value-domain count shuffle + two PrefixSum passes —
+      // cost ∝ distinct values, not rows, past the scan
+      graft.operators.AbStats.yuenTrimmed(
+        ev.select(col("user_id"),
+          (graft.functions.Num.dec2(col("value")) * 100).cast("long")
+            .as("cents")),
+        col("user_id") % 2, col("cents")).count()
+    }
+    t("dup_mass_by_source") {
+      // D115: the D53 digest shuffle re-aggregated to 20 sources
+      graft.operators.ParagraphDedup.dupMassByGroup(
+        docs, col("text"), col("doc_id"),
+        (col("doc_id") % 20).cast("string")).count()
+    }
+    t("good_turing_vocab") {
+      // D114: one word-count shuffle + the vocab-sized fof re-agg
+      graft.operators.LanguageModel.goodTuringVocab(docs, "text").count()
+    }
     t("pmi_census") {
       // D111: the full-vocabulary pair census — two count shuffles
       // ∝ distinct bigrams/words, two word-keyed joins, TakeOrdered
