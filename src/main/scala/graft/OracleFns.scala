@@ -244,8 +244,8 @@ private[graft] object OracleFns {
     * the merged stream cells equal the batch day series exactly and
     * one SQL proves both.
     */
-  private[graft] val valueAcfSql: String =
-    """WITH dly AS (
+  private[graft] def valueAcfSqlFor(maxLag: Int): String =
+    s"""WITH dly AS (
       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
       |      AS HUGEINT) AS cents
@@ -254,7 +254,8 @@ private[graft] object OracleFns {
       |  FROM dly),
       |c AS (SELECT day, m * cents - s AS cv FROM dly CROSS JOIN t),
       |den AS (SELECT SUM(cv * cv) AS dn FROM c),
-      |lags AS (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS lag),
+      |lags AS (SELECT CAST(unnest(range(1, ${maxLag + 1})) AS INTEGER)
+      |  AS lag),
       |pairs AS (
       |  SELECT l.lag, SUM(a.cv * b.cv) AS num,
       |    CAST(COUNT(*) AS BIGINT) AS n_pairs
@@ -266,6 +267,45 @@ private[graft] object OracleFns {
       |  END AS acf
       |FROM lags LEFT JOIN pairs USING (lag) CROSS JOIN den
       |ORDER BY lag""".stripMargin
+
+  private[graft] val valueAcfSql: String = valueAcfSqlFor(10)
+
+  /** C88b oracle — mirrors [[graft.operators.Changepoint.pacf]]: the
+    * Durbin–Levinson recursion as a flat double-list fold (the C61
+    * accumulator trick) over the 6-dp-ROUNDED acf values both engines
+    * already agree on bit-for-bit; every Σ is a 0.0-seeded left fold,
+    * so the whole recursion evaluates the identical IEEE tree.
+    * Accumulator layout: [k, pacf_1..k, phi_1..k].
+    */
+  private[graft] def pacfOracle(maxLag: Int): String = {
+    val k = "CAST(e[1] AS INTEGER)"
+    def sum(term: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, $k),
+         |      jj -> $term)), (a, b) -> a + b)""".stripMargin
+    val pkk =
+      s"""((r[$k] - ${sum(s"acc[$k + jj] * r[$k - jj]")})
+         |     / (1.0 - ${sum(s"acc[$k + jj] * r[jj]")}))""".stripMargin
+    s"""WITH ac AS (${valueAcfSqlFor(maxLag)}),
+       |rr AS (SELECT list_transform(
+       |    list_sort(list({'l': lag, 'a': acf})), e -> e['a']) AS r
+       |  FROM ac),
+       |f AS (SELECT list_reduce(
+       |    list_prepend([1.0, r[1], r[1]],
+       |      list_transform(range(2, ${maxLag + 1}),
+       |        kk -> [CAST(kk AS DOUBLE)])),
+       |    (acc, e) -> (
+       |      [e[1]]
+       |      || acc[2:$k]
+       |      || [$pkk]
+       |      || list_transform(range(1, $k),
+       |           j -> acc[$k + j] - ($pkk) * acc[$k + ($k - j)])
+       |      || [$pkk]
+       |    )) AS st
+       |  FROM rr)
+       |SELECT CAST(j AS INTEGER) AS lag, round(st[j + 1], 6) AS pacf
+       |FROM f, range(1, ${maxLag + 1}) t(j)
+       |ORDER BY lag""".stripMargin
+  }
 
   /** Shared by `events_session_window` and its E2 stream face — the
     * sentinel-flushed bounded stream drops nothing, so the emitted

@@ -646,6 +646,9 @@ private[graft] object OracleSqlD {
     // decimal cells to the IDENTICAL series — one SQL proves both.
     "value_acf" -> valueAcfSql,
     "stream_value_acf" -> valueAcfSql,
+    // C88b: Durbin-Levinson as the flat-list fold over the rounded
+    // acf values (see OracleFns.pacfOracle)
+    "value_pacf" -> pacfOracle(maxLag = 7),
 
     // C91: the D62b slope machinery pointed at the day series —
     // slopes/intercepts round to 6 dp BEFORE the lower-middle order

@@ -293,6 +293,7 @@ object SparkEntry {
     "dup_mass_by_source" -> (TextQueries.dupMassBySource _),
     "ab_ratio_delta"     -> (WarehouseQueries.ratioDelta _),
     "value_acf"          -> (WarehouseQueries.valueAcf _),
+    "value_pacf"         -> (WarehouseQueries.valuePacf _),
     "sen_slope"          -> (WarehouseQueries.senSlope _),
     "seasonal_decompose" -> (WarehouseQueries.seasonalDecompose _),
     "quality_isotonic"   -> (TextQueries.qualityIsotonic _),

@@ -144,6 +144,61 @@ object Changepoint {
     * simply contribute no pair at that offset — document gaps
     * upstream or gap-fill with C34 first).
     */
+  /** C88b: partial autocorrelation function via the Durbin–Levinson
+    * recursion (Durbin 1960; Box & Jenkins 1970 §3.2 — the OTHER half
+    * of the model-identification pair: ACF tails off for AR series
+    * where PACF cuts off at the true order p, so the two plots
+    * together pick the ARIMA family C61/C65 approximate).
+    *
+    * The recursion runs as ONE in-plan fold over the lag sequence
+    * with a flat double-array accumulator [k, pacf_1..k, phi_1..k]
+    * (the C61 list-accumulator shape) — inputs are the 6-dp-ROUNDED
+    * acf values both engines already agree on bit-for-bit, every Σ
+    * inside is a 0.0-seeded left fold, so the whole recursion
+    * evaluates the identical IEEE tree in both engines and only the
+    * published pacf rounds. Zero extra shuffles beyond [[acf]]'s.
+    *
+    * `maxLag` must stay below the series length (null acf values
+    * poison the recursion from their lag on — use a lag budget the
+    * calendar supports, as the face does).
+    */
+  def pacf(series: DataFrame, step: Column, value: Column,
+           maxLag: Int): DataFrame = {
+    require(maxLag >= 2, s"need maxLag >= 2, got $maxLag")
+    val r0 = acf(series, step, value, maxLag)
+    val arr = r0
+      .agg(sort_array(collect_list(struct(col("lag"), col("acf"))))
+        .as("la"))
+      .select(transform(col("la"), e => e.getField("acf")).as("r"))
+    def sumTo(acc: Column, k: Column, term: Column => Column): Column =
+      aggregate(sequence(lit(1), k - 1), lit(0.0), (s, j) => s + term(j))
+    def pkkOf(acc: Column, k: Column): Column = {
+      val num = element_at(col("r"), k) - sumTo(acc, k,
+        j => element_at(acc, k + j) * element_at(col("r"), k - j))
+      val den = lit(1.0) - sumTo(acc, k,
+        j => element_at(acc, k + j) * element_at(col("r"), j))
+      num / den
+    }
+    val folded = aggregate(
+      sequence(lit(2), lit(maxLag)),
+      array(lit(1.0), element_at(col("r"), 1), element_at(col("r"), 1)),
+      (acc, k) => {
+        val pkk = pkkOf(acc, k)
+        concat(
+          array(k.cast("double")),
+          slice(acc, lit(2), k - 1),
+          array(pkk),
+          transform(sequence(lit(1), k - 1), j =>
+            element_at(acc, k + j) - pkk * element_at(acc, k + (k - j))),
+          array(pkk))
+      },
+      acc => slice(acc, lit(2), lit(maxLag)))
+    arr.select(posexplode(folded).as(Seq("pos", "__p")))
+      .select((col("pos") + 1).cast("int").as("lag"),
+        round(col("__p"), 6).as("pacf"))
+      .orderBy(col("lag"))
+  }
+
   /** C91: Sen's slope estimator (Sen 1968; Theil 1950) over a daily
     * series — the MAGNITUDE companion to C84's Mann–Kendall direction
     * test (the pair is the standard nonparametric trend readout:

@@ -1457,6 +1457,15 @@ object WarehouseQueries {
     graft.operators.Changepoint.acf(dailyPurchaseCents(spark, dir),
       col("day"), col("cents"), maxLag = 10)
 
+  /** C88b: PACF of the same daily purchase series at lags 1..7 — the
+    * model-identification companion to [[valueAcf]] (see
+    * [[graft.operators.Changepoint.pacf]]). Lag budget 7 < the
+    * calendar month, so every acf input is defined.
+    */
+  def valuePacf(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Changepoint.pacf(dailyPurchaseCents(spark, dir),
+      col("day"), col("cents"), maxLag = 7)
+
   /** The one shared day-series collapse behind C88/C90/C91 (and the
     * E27 stream twin's read face): daily total purchase value in
     * exact cents — change the convention here, nowhere else.

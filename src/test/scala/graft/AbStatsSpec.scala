@@ -787,6 +787,39 @@ class AbStatsSpec extends AnyFunSuite {
     assert(og(1).getAs[Long]("n_pairs") === 1L, "only day2→day4 pairs at lag 2")
   }
 
+  // ---- PACF -------------------------------------------------------------
+
+  test("pacf: Durbin-Levinson replay off the operator's own acf; lag1 identity") {
+    import java.sql.Date
+    import graft.operators.Changepoint
+    def d(i: Int) = Date.valueOf(java.time.LocalDate.of(2024, 5, 1)
+      .plusDays(i))
+    // a deterministic wavy series long enough for 4 lags
+    val s = (0 until 20).map(i =>
+      (d(i), (100 + 30 * (i % 3) + 7 * (i % 5)).toLong)).toDF("day", "v")
+    val L = 4
+    val rArr = Changepoint.acf(s, col("day"), col("v"), L)
+      .orderBy(col("lag")).collect().map(_.getAs[Double]("acf"))
+    val got = Changepoint.pacf(s, col("day"), col("v"), L)
+      .orderBy(col("lag")).collect().map(_.getAs[Double]("pacf"))
+    // independent plain-Scala Durbin-Levinson over the SAME rounded
+    // acf inputs
+    var phi = Vector(rArr(0)); var pacf = Vector(rArr(0))
+    (2 to L).foreach { k =>
+      val num = rArr(k - 1) -
+        (1 until k).map(j => phi(j - 1) * rArr(k - j - 1)).foldLeft(0.0)(_ + _)
+      val den = 1.0 -
+        (1 until k).map(j => phi(j - 1) * rArr(j - 1)).foldLeft(0.0)(_ + _)
+      val pkk = num / den
+      phi = (1 until k).map(j => phi(j - 1) - pkk * phi(k - 1 - j))
+        .toVector :+ pkk
+      pacf = pacf :+ pkk
+    }
+    assert(got.toSeq === pacf.map(d6).toSeq)
+    // lag-1 identity: PACF(1) = ACF(1) exactly
+    assert(got(0) === rArr(0))
+  }
+
   // ---- degree assortativity ---------------------------------------------
 
   test("degreeAssortativity: star is −1, regular graph is null") {
