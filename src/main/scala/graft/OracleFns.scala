@@ -1576,6 +1576,50 @@ private[graft] object OracleFns {
        |ORDER BY id""".stripMargin
   }
 
+  /** D116 oracle — [[weightedPageRankOracle]]'s unrolled integer
+    * iteration over the WORD co-occurrence graph (the D111 adjacency
+    * census, both orientations, self-loops dropped); word ids are
+    * VARCHAR join keys, every rank an exact BIGINT, the top-k cut a
+    * total (rank DESC, word) order.
+    */
+  private[graft] def keywordTextRankOracle(iters: Int, k: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id,
+         |    (SELECT base FROM params) + (85 * COALESCE(s.c, 0)) // 100 AS "rank"
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, SUM((r."rank" * e.w) // e.wout) AS c
+         |    FROM eo e JOIN r${i - 1} r ON r.id = e.src
+         |    GROUP BY e.dst) s ON s.dst = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT CASE WHEN len(trim(text)) > 0
+       |    THEN string_split_regex(trim(text), '\\s+')
+       |    ELSE [] END AS tk
+       |  FROM documents),
+       |pr AS (
+       |  SELECT unnest(list_transform(range(1, len(tk)),
+       |    i -> [tk[i], tk[i+1]])) AS p
+       |  FROM t),
+       |ad AS (SELECT p[1] AS a, p[2] AS b FROM pr WHERE p[1] <> p[2]),
+       |edges AS MATERIALIZED (SELECT src, dst, COUNT(*) AS w FROM (
+       |    SELECT a AS src, b AS dst FROM ad
+       |    UNION ALL SELECT b AS src, a AS dst FROM ad)
+       |  GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(tk) AS id FROM t),
+       |params AS (SELECT CAST(1000000000 // COUNT(*) AS BIGINT) AS r0,
+       |  CAST((15 * (1000000000 // COUNT(*))) // 100 AS BIGINT) AS base
+       |  FROM nodes),
+       |outd AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+       |eo AS MATERIALIZED (SELECT e.src, e.dst, e.w, o.wout
+       |  FROM edges e JOIN outd o USING (src)),
+       |r0 AS (SELECT id, (SELECT r0 FROM params) AS "rank" FROM nodes),
+       |$iterCtes
+       |SELECT id AS word, CAST("rank" AS BIGINT) AS "rank" FROM r$iters
+       |ORDER BY "rank" DESC, word LIMIT $k""".stripMargin
+  }
+
   /** Weighted PageRank oracle: the [[pageRankOracle]] unrolled-CTE
     * shape with per-edge BIGINT weights — contribution
     * `(rank·w) // wout` mirrors Centrality.weightedPageRank's integer

@@ -972,6 +972,10 @@ private[graft] object OracleSqlC {
         |  round(fit, 6) AS fit_isotonic
         |FROM ii JOIN ft ON ft.k = ii.i ORDER BY bin""".stripMargin,
 
+    // D116: integer PageRank over the word co-occurrence graph —
+    // unrolled CTEs, VARCHAR node ids, exact BIGINT ranks
+    "keyword_textrank" -> keywordTextRankOracle(iters = 10, k = 30),
+
     // D115: the D53 paragraph CTEs re-aggregated per source; dup
     // detection by para text ≡ the plan's sha2 digests
     // (collision-free), frac one IEEE divide of exact counts

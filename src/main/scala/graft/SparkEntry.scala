@@ -299,6 +299,7 @@ object SparkEntry {
     "quality_isotonic"   -> (TextQueries.qualityIsotonic _),
     "degree_assortativity" -> (WarehouseQueries.degreeAssortativity _),
     "pmi_collocations"   -> (TextQueries.pmiCollocations _),
+    "keyword_textrank"   -> (TextQueries.keywordTextrank _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

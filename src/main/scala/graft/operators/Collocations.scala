@@ -76,4 +76,42 @@ object Collocations {
       .orderBy(col("pmi").desc, col("v"), col("w"))
       .limit(k)
   }
+
+  /** D116: TextRank keyword extraction (Mihalcea & Tarau 2004 — the
+    * ORIGINAL TextRank: PageRank over the word co-occurrence graph;
+    * high-rank words are the corpus's load-bearing vocabulary, a
+    * structural signal frequency alone can't give — a word can be
+    * mid-frequency but central because it co-occurs with everything).
+    *
+    * Composes two proven pieces: the D111 adjacency census builds the
+    * co-occurrence graph (both orientations, count weights, self-loops
+    * dropped), and [[Centrality.weightedPageRank]]'s INTEGER fixed
+    * point ranks it — word ids ride the same join-key machinery as
+    * numeric node ids, and every rank is an exact BIGINT, so the
+    * top-k cut is engine-invariant by construction.
+    *
+    * Scale shape: one tokenize pass; the edge exchange is distinct
+    * adjacent bigrams; each PageRank round is one join + one
+    * partial-agg'd sum keyed on words. Top-k is a TakeOrdered.
+    */
+  def keywordTextRank(docs: DataFrame, textCol: String,
+                      iterations: Int = 10, k: Int = 30): DataFrame = {
+    val t = LanguageModel.toks(col(textCol))
+    val toks = Materialize.cut(docs.select(t.as("__t")))
+    val adj = toks
+      .select(explode(arrays_zip(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))).as("v"),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))).as("w")))
+        .as("p"))
+      .select(col("p.v").as("a"), col("p.w").as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = adj.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(adj.select(col("b").as("src"), col("a").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
+    val nodes = toks.select(explode(col("__t")).as("id")).distinct()
+    Centrality.weightedPageRank(edges, nodes, iterations)
+      .orderBy(col("rank").desc, col("id"))
+      .limit(k)
+      .select(col("id").as("word"), col("rank"))
+  }
 }

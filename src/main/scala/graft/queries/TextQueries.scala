@@ -1835,6 +1835,14 @@ object TextQueries {
     graft.operators.Collocations.topPmi(
       Tables.documents(spark, dir), "text", minCount = 5L, k = 50)
 
+  /** D116: TextRank keywords — integer PageRank over the word
+    * co-occurrence graph, top 30 (see
+    * [[graft.operators.Collocations.keywordTextRank]]).
+    */
+  def keywordTextrank(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.keywordTextRank(
+      Tables.documents(spark, dir), "text", iterations = 10, k = 30)
+
   /** D115: per-source duplicated-paragraph mass — what fraction of
     * each source's paragraphs is corpus-wide boilerplate, BEFORE any
     * removal runs (see

@@ -851,6 +851,30 @@ class AbStatsSpec extends AnyFunSuite {
       .getAs[Double]("assortativity") === want)
   }
 
+  // ---- TextRank keywords -------------------------------------------------------
+
+  test("keywordTextRank: hub word outranks leaves; self-loops drop") {
+    import graft.operators.Collocations
+    // "hub" co-occurs with a, b, c; leaves co-occur only with hub
+    // (plus one a-b edge) → hub must take rank 1
+    val docs = Seq("hub a", "hub b", "hub c", "a b").toDF("text")
+    val out = Collocations.keywordTextRank(docs, "text", iterations = 5,
+      k = 10).collect()
+    assert(out.head.getAs[String]("word") === "hub")
+    assert(out.map(_.getAs[String]("word")).toSet ===
+      Set("hub", "a", "b", "c"))
+    // ranks are exact integers and deterministic across invocations
+    val again = Collocations.keywordTextRank(docs, "text", iterations = 5,
+      k = 10).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      again.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // a doc that only repeats one word contributes a node, no edge
+    val solo = Seq("x x x").toDF("text")
+    val so = Collocations.keywordTextRank(solo, "text", iterations = 3,
+      k = 5).collect()
+    assert(so.length === 1 && so.head.getAs[String]("word") === "x")
+  }
+
   // ---- PMI collocations ------------------------------------------------------
 
   test("topPmi: hand corpus, min-count floor, tie-broken ordering") {
