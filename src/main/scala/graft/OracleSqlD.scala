@@ -546,6 +546,69 @@ private[graft] object OracleSqlD {
     "ab_obf_monitor" -> obfOracle(looks = 5, critical = 2.04),
     // C92: per-arm value-domain cumulatives + exact rank slicing
     "ab_yuen_trimmed" -> yuenOracle(trimDen = 10),
+    // C94: exact order statistics off the value-domain cumulative;
+    // the only double is the floored rank formula (z shared literal)
+    "median_ci" -> {
+      val z = "CAST('1.959963984540054' AS DOUBLE)"
+      s"""WITH p AS (SELECT
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM events WHERE event_type = 'purchase'),
+         |g AS (SELECT v, COUNT(*) AS c FROM p GROUP BY v),
+         |cc AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT)
+         |    AS cum FROM g),
+         |t AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM g),
+         |x AS (SELECT cc.v, cc.cum, t.n,
+         |    GREATEST(1, CAST(floor((CAST(n AS DOUBLE)
+         |      - $z * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS l
+         |  FROM cc CROSS JOIN t),
+         |y AS (SELECT *, LEAST(n, n - l + 1) AS u, (n + 1) // 2 AS m
+         |  FROM x)
+         |SELECT MAX(n) AS n,
+         |  MIN(CASE WHEN cum >= m THEN v END) AS median,
+         |  MIN(CASE WHEN cum >= l THEN v END) AS ci_lo,
+         |  MIN(CASE WHEN cum >= u THEN v END) AS ci_hi
+         |FROM y""".stripMargin
+    },
+
+    // C95: exact integer runs/signs off the day series; mu/sigma one
+    // IEEE evaluation mirrored parenthesis-for-parenthesis
+    "runs_test" -> {
+      def d(s: String) = s"CAST($s AS DOUBLE)"
+      val n1 = d("n_up"); val n2 = d("n_down")
+      val nn = s"($n1 + $n2)"
+      val mu = s"(2.0 * $n1 * $n2 / $nn + 1.0)"
+      val s2 = s"(2.0 * $n1 * $n2 * (2.0 * $n1 * $n2 - $n1 - $n2)" +
+        s" / ($nn * $nn * ($nn - 1.0)))"
+      s"""WITH dly AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+         |      AS HUGEINT) AS cents
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |dd AS (SELECT day,
+         |    cents - lag(cents) OVER (ORDER BY day) AS df FROM dly),
+         |s AS (SELECT day, CASE WHEN df > 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM dd WHERE df IS NOT NULL AND df <> 0),
+         |r AS (SELECT sgn,
+         |    CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL THEN 1
+         |         WHEN lag(sgn) OVER (ORDER BY day) <> sgn THEN 1
+         |         ELSE 0 END AS chg
+         |  FROM s),
+         |a AS (SELECT
+         |    CAST(COALESCE(SUM(chg), 0) AS BIGINT) AS n_runs,
+         |    CAST(COALESCE(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_up,
+         |    CAST(COALESCE(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_down
+         |  FROM r)
+         |SELECT n_runs, n_up, n_down,
+         |  CASE WHEN n_up > 0 AND n_down > 0
+         |    THEN round($mu, 6) END AS expected_runs,
+         |  CASE WHEN n_up > 0 AND n_down > 0 AND $s2 > 0.0
+         |    THEN round((${d("n_runs")} - $mu) / sqrt($s2), 6)
+         |  END AS z_stat
+         |FROM a""".stripMargin
+    },
+
     // C93: z and z² as shared round-trip literals; center/half
     // mirrored parenthesis-for-parenthesis
     "ab_rate_wilson" -> {

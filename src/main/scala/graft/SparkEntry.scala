@@ -290,6 +290,8 @@ object SparkEntry {
     "ab_obf_monitor"     -> (WarehouseQueries.obfMonitor _),
     "ab_yuen_trimmed"    -> (WarehouseQueries.yuenTrimmed _),
     "ab_rate_wilson"     -> (WarehouseQueries.rateWilson _),
+    "median_ci"          -> (WarehouseQueries.medianCi _),
+    "runs_test"          -> (WarehouseQueries.runsTest _),
     "dup_mass_by_source" -> (TextQueries.dupMassBySource _),
     "ab_ratio_delta"     -> (WarehouseQueries.ratioDelta _),
     "value_acf"          -> (WarehouseQueries.valueAcf _),

@@ -722,6 +722,87 @@ object AbStats {
       .orderBy(col("look"))
   }
 
+  /** C94: distribution-free confidence interval for the MEDIAN via
+    * order statistics (Conover 1999 §3.2 / the binomial method with
+    * the large-sample rank approximation L = ⌊(n − z√n)/2⌋,
+    * U = n − L + 1) — the error bar for the robust location metric
+    * C54/C92 report: a mean's CI (C66's machinery) says nothing about
+    * the median, and bootstrap (D82) costs B replicas where this
+    * costs two rank lookups.
+    *
+    * EXACT integer end to end on an integer-unit metric: one
+    * value-domain count shuffle, cumulative on the distributed
+    * [[PrefixSum]], the three order statistics (lower median, L, U)
+    * as conditional MINs against integer rank thresholds; the only
+    * double is the rank formula itself (one IEEE evaluation, floored
+    * — deterministic in both engines). Output row: n, the three
+    * order-statistic values in input units.
+    */
+  def medianCi(df: DataFrame, value: Column,
+               z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val groups = df.select(value.cast("long").as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("c"))
+    val cum = PrefixSum.runningSum(groups, col("__v"), col("c"), "cum")
+    val tot = groups.agg(coalesce(sum(col("c")), lit(0L)).cast("long")
+      .as("n"))
+    val withN = cum.crossJoin(broadcast(tot))
+      .withColumn("__l", greatest(lit(1L),
+        floor((col("n").cast("double") - lit(z) *
+          sqrt(col("n").cast("double"))) / lit(2.0)).cast("long")))
+      .withColumn("__u", least(col("n"), col("n") - col("__l") + 1))
+      .withColumn("__m", expr("CAST((n + 1) DIV 2 AS BIGINT)"))
+    withN.agg(
+      max(col("n")).as("n"),
+      min(when(col("cum") >= col("__m"), col("__v"))).as("median"),
+      min(when(col("cum") >= col("__l"), col("__v"))).as("ci_lo"),
+      min(when(col("cum") >= col("__u"), col("__v"))).as("ci_hi"))
+  }
+
+  /** C95: Wald–Wolfowitz runs test (Wald & Wolfowitz 1940) on the
+    * up/down moves of a daily series — the randomness check that
+    * complements C84: Mann–Kendall asks "is there a monotone trend",
+    * the runs test asks "is the sequence of moves random at all"
+    * (too FEW runs = clustering/momentum, too MANY = oscillation).
+    * Zero moves drop by the standard convention.
+    *
+    * The corpus collapses to the calendar-bounded day series in one
+    * scan; signs, the run count (1 + sign changes over consecutive
+    * retained moves), n₊/n₋ are exact integers off bounded windows;
+    * z = (R − μ)/σ is one IEEE evaluation, continuity-uncorrected
+    * (the two-sided large-sample form). Degenerate series (n₊ = 0 or
+    * n₋ = 0) publish null z.
+    */
+  def runsTest(series: DataFrame, step: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__s"))
+    val signs = series.select(step.as("__s"), value.cast("long").as("__x"))
+      .withColumn("__d", col("__x") - lag(col("__x"), 1).over(w))
+      .filter(col("__d").isNotNull && col("__d") =!= 0L)
+      .withColumn("__sgn", when(col("__d") > 0, 1).otherwise(-1))
+    val runs = signs
+      .withColumn("__chg",
+        when(lag(col("__sgn"), 1).over(w).isNull, 1L)
+          .when(lag(col("__sgn"), 1).over(w) =!= col("__sgn"), 1L)
+          .otherwise(0L))
+      .agg(coalesce(sum(col("__chg")), lit(0L)).cast("long").as("n_runs"),
+        coalesce(sum(when(col("__sgn") === 1, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_up"),
+        coalesce(sum(when(col("__sgn") === -1, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_down"))
+    val n1 = col("n_up").cast("double"); val n2 = col("n_down").cast("double")
+    val nn = n1 + n2
+    val mu = lit(2.0) * n1 * n2 / nn + lit(1.0)
+    val s2 = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+      (nn * nn * (nn - lit(1.0)))
+    runs.select(col("n_runs"), col("n_up"), col("n_down"),
+      when(col("n_up") > 0 && col("n_down") > 0, round(mu, 6))
+        .as("expected_runs"),
+      when(col("n_up") > 0 && col("n_down") > 0 && s2 > 0.0,
+        round((col("n_runs").cast("double") - mu) / sqrt(s2), 6))
+        .as("z_stat"))
+  }
+
   /** C93: two-arm conversion rates with Wilson score intervals
     * (Wilson 1927; Agresti & Coull 1998 recommend it over the Wald
     * interval every dashboard naively draws — Wald collapses at

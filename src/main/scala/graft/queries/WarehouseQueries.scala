@@ -1373,6 +1373,26 @@ object WarehouseQueries {
     graft.operators.AbStats.chiSquareIndependence(
       Tables.events(spark, dir), col("event_type"), col("user_id") % 2)
 
+  /** C94: distribution-free median CI on purchase value (exact
+    * cents) — the order-statistics error bar for the robust location
+    * metric (see [[graft.operators.AbStats.medianCi]]). All-integer
+    * output, one value-domain shuffle.
+    */
+  def medianCi(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.medianCi(
+      Tables.events(spark, dir).filter(col("event_type") === "purchase")
+        .select((graft.functions.Num.dec2(col("value")) * 100)
+          .cast("long").as("cents")),
+      col("cents"))
+
+  /** C95: Wald–Wolfowitz runs test on the daily purchase series'
+    * up/down moves — the randomness check next to C84's trend test
+    * (see [[graft.operators.AbStats.runsTest]]).
+    */
+  def runsTest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.runsTest(dailyPurchaseCents(spark, dir),
+      col("day"), col("cents"))
+
   /** C93: purchase-conversion rates per user-parity arm with Wilson
     * 95% score intervals — the honest dashboard error bar (see
     * [[graft.operators.AbStats.rateWilsonCi]]).

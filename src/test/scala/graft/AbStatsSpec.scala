@@ -900,6 +900,57 @@ class AbStatsSpec extends AnyFunSuite {
       out.map(_.getAs[Double]("pmi")).toSeq)
   }
 
+  // ---- median CI ---------------------------------------------------------
+
+  test("medianCi: ranks on 1..100, tie collapse, empty input") {
+    import graft.operators.AbStats
+    // n=100: median rank 50; L = floor((100 - 1.96*10)/2) = 40,
+    // U = 100 - 40 + 1 = 61 — values ARE their ranks here
+    val df = (1 to 100).map(_.toLong).toDF("v")
+    val r = AbStats.medianCi(df, col("v")).head
+    assert(r.getAs[Long]("n") === 100L)
+    assert(r.getAs[Long]("median") === 50L)
+    val l = math.floor((100.0 - 1.959963984540054 * 10.0) / 2.0).toLong
+    assert(r.getAs[Long]("ci_lo") === l)
+    assert(r.getAs[Long]("ci_hi") === 100L - l + 1L)
+    // all-tied input: every order statistic is the one value
+    val tied = Seq.fill(9)(7L).toDF("v")
+    val rt = AbStats.medianCi(tied, col("v")).head
+    assert(rt.getAs[Long]("median") === 7L)
+    assert(rt.getAs[Long]("ci_lo") === 7L && rt.getAs[Long]("ci_hi") === 7L)
+    // empty input: nulls, matching the oracle's empty aggregates
+    val re = AbStats.medianCi(df.filter(col("v") < 0L), col("v")).head
+    assert(re.isNullAt(re.fieldIndex("n")))
+    assert(re.isNullAt(re.fieldIndex("median")))
+  }
+
+  // ---- runs test ----------------------------------------------------------
+
+  test("runsTest: alternating series, monotone null, zero moves dropped") {
+    import java.sql.Date
+    import graft.operators.AbStats
+    def d(i: Int) = Date.valueOf(java.time.LocalDate.of(2024, 7, 1)
+      .plusDays(i))
+    // [1,2,1,2,1]: signs +,-,+,- → 4 runs, n_up=n_down=2;
+    // mu = 3, s2 = 2/3
+    val alt = Seq(1L, 2L, 1L, 2L, 1L).zipWithIndex
+      .map { case (v, i) => (d(i), v) }.toDF("day", "v")
+    val r = AbStats.runsTest(alt, col("day"), col("v")).head
+    assert(r.getAs[Long]("n_runs") === 4L)
+    assert(r.getAs[Long]("n_up") === 2L && r.getAs[Long]("n_down") === 2L)
+    assert(r.getAs[Double]("expected_runs") === 3.0)
+    assert(r.getAs[Double]("z_stat") === d6(1.0 / math.sqrt(2.0 / 3.0)))
+    // strictly increasing: one run, no down moves → null z
+    val mono = (0 until 4).map(i => (d(i), (i + 1).toLong)).toDF("day", "v")
+    val rm = AbStats.runsTest(mono, col("day"), col("v")).head
+    assert(rm.getAs[Long]("n_runs") === 1L)
+    assert(rm.isNullAt(rm.fieldIndex("z_stat")))
+    // a zero move contributes no sign (the standard convention)
+    val flat = Seq((d(0), 1L), (d(1), 1L), (d(2), 2L)).toDF("day", "v")
+    val rf = AbStats.runsTest(flat, col("day"), col("v")).head
+    assert(rf.getAs[Long]("n_up") === 1L && rf.getAs[Long]("n_down") === 0L)
+  }
+
   // ---- Wilson rate CI --------------------------------------------------------
 
   test("rateWilsonCi: hand replay, boundary-rate behavior, empty arm") {
