@@ -2377,4 +2377,60 @@ private[graft] object OracleFns {
          |    packed[6 + k * 4] AS "offset"
          |  FROM e)"""
   }
+
+  /** C97/C99 oracle — mirrors [[graft.operators.AbStats.anovaF]] /
+    * [[graft.operators.AbStats.brownForsythe]]'s shared F finisher:
+    * exact conditional sums per arm (with multiplicity c), then
+    * SSB/SSW folded in the plan's fixed arm order with per-term n > 0
+    * guards, one IEEE evaluation per statistic.
+    *
+    * @param src SQL producing (arm, v, c[, med]) rows — v the exact
+    *            integer metric, c the multiplicity (1 for raw rows)
+    * @param withMedians true emits med_0..2 (C99) instead of
+    *                    mean_0..2 (C97)
+    */
+  private[graft] def anovaOracle(src: String, fName: String,
+                                 withMedians: Boolean): String = {
+    val arms = 0 until 3
+    val sums = arms.map { i =>
+      val medLeg = if (withMedians)
+        s",\n    MIN(CASE WHEN arm = $i THEN med END) AS med_$i" else ""
+      s"""CAST(COALESCE(SUM(CASE WHEN arm = $i THEN c END), 0) AS BIGINT)
+         |      AS n_$i,
+         |    SUM(CASE WHEN arm = $i THEN CAST(v AS HUGEINT) * c END)
+         |      AS s_$i,
+         |    SUM(CASE WHEN arm = $i THEN CAST(v AS HUGEINT) * v * c END)
+         |      AS ss_$i$medLeg""".stripMargin
+    }.mkString(",\n    ")
+    val nTot = "((n_0 + n_1) + n_2)"
+    val sTot = "((COALESCE(s_0, 0) + COALESCE(s_1, 0)) + COALESCE(s_2, 0))"
+    val ssTot =
+      "((COALESCE(ss_0, 0) + COALESCE(ss_1, 0)) + COALESCE(ss_2, 0))"
+    def bTerm(i: Int) =
+      s"(CASE WHEN n_$i > 0 THEN CAST(s_$i AS DOUBLE)" +
+        s" * CAST(s_$i AS DOUBLE) / CAST(n_$i AS DOUBLE) ELSE 0.0 END)"
+    val between = s"((${bTerm(0)} + ${bTerm(1)}) + ${bTerm(2)})"
+    val grand = s"(CASE WHEN $nTot > 0 THEN CAST($sTot AS DOUBLE)" +
+      s" * CAST($sTot AS DOUBLE) / CAST($nTot AS DOUBLE) END)"
+    val ssb = s"($between - $grand)"
+    val ssw = s"(CAST($ssTot AS DOUBLE) - $between)"
+    val df2 = s"($nTot - 3)"
+    val ok = s"n_0 > 0 AND n_1 > 0 AND n_2 > 0 AND $df2 > 0 AND $ssw > 0.0"
+    val perArm =
+      if (withMedians) arms.map(i => s"med_$i").mkString(", ")
+      else arms.map(i =>
+        s"CASE WHEN n_$i > 0 THEN round(CAST(s_$i AS DOUBLE)" +
+          s" / CAST(n_$i AS DOUBLE), 6) END AS mean_$i").mkString(",\n  ")
+    s"""WITH p0 AS ($src),
+       |a AS (SELECT
+       |    $sums
+       |  FROM p0)
+       |SELECT n_0, n_1, n_2,
+       |  $perArm,
+       |  CASE WHEN $ok THEN
+       |    round(($ssb / 2.0) / ($ssw / CAST($df2 AS DOUBLE)), 6)
+       |  END AS $fName,
+       |  CAST(2 AS BIGINT) AS df1, CAST($df2 AS BIGINT) AS df2
+       |FROM a""".stripMargin
+  }
 }

@@ -609,6 +609,121 @@ private[graft] object OracleSqlD {
          |FROM a""".stripMargin
     },
 
+    // C96: the C68 half-unit rank identity per arm off the value-domain
+    // cumulative; H folds the three arm terms in fixed order, each an
+    // IEEE evaluation over exact integers, mirrored parenthesis-for-
+    // parenthesis (including the guarded tie correction)
+    "ab_kruskal_wallis" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      def term(i: Int) =
+        s"(CAST(r2_$i AS DOUBLE) * CAST(r2_$i AS DOUBLE)" +
+          s" / (4.0 * CAST(n_$i AS DOUBLE)))"
+      val sumTerm = s"((${term(0)} + ${term(1)}) + ${term(2)})"
+      val h = s"((12.0 / ($nD * ($nD + 1.0))) * $sumTerm" +
+        s" - 3.0 * ($nD + 1.0))"
+      val corr = s"(1.0 - CAST(tie AS DOUBLE) / ($nD * $nD * $nD - $nD))"
+      val ok = "n_0 > 0 AND n_1 > 0 AND n_2 > 0 AND n >= 2"
+      s"""WITH p AS (SELECT CAST(user_id % 3 AS INTEGER) AS arm,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM events WHERE event_type = 'purchase'),
+         |g AS (SELECT v, COUNT(*) AS c,
+         |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+         |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1,
+         |    SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS c2
+         |  FROM p GROUP BY v),
+         |cc AS (SELECT *, SUM(c) OVER (ORDER BY v) AS cum FROM g),
+         |a AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |    SUM(CAST(c AS HUGEINT) * c * c - c) AS tie,
+         |    CAST(SUM(c0) AS BIGINT) AS n_0,
+         |    SUM(CAST(c0 AS HUGEINT) * (CAST(cum AS HUGEINT) * 2 - c + 1))
+         |      AS r2_0,
+         |    CAST(SUM(c1) AS BIGINT) AS n_1,
+         |    SUM(CAST(c1 AS HUGEINT) * (CAST(cum AS HUGEINT) * 2 - c + 1))
+         |      AS r2_1,
+         |    CAST(SUM(c2) AS BIGINT) AS n_2,
+         |    SUM(CAST(c2 AS HUGEINT) * (CAST(cum AS HUGEINT) * 2 - c + 1))
+         |      AS r2_2
+         |  FROM cc)
+         |SELECT n_0, n_1, n_2, n,
+         |  CASE WHEN $ok THEN round($h, 6) END AS h_stat,
+         |  CASE WHEN ($ok) AND (CASE WHEN n >= 2 THEN $corr END) > 0.0
+         |    THEN round($h / $corr, 6) END AS h_adj,
+         |  CAST(2 AS BIGINT) AS dof
+         |FROM a""".stripMargin
+    },
+
+    // C97: 3k conditional exact sums; SSB/SSW mirrored with the same
+    // fixed arm-fold order and per-term n>0 guards as the plan
+    "ab_anova_f" -> anovaOracle(
+      src = """SELECT CAST(user_id % 3 AS INTEGER) AS arm,
+              |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+              |    1 AS c
+              |  FROM events WHERE event_type = 'purchase'""".stripMargin,
+      fName = "f_stat", withMedians = false),
+
+    // C99: per-arm lower medians off PARTITIONed value-domain
+    // cumulatives (the C94 (n+1) DIV 2 rank), exact-integer |v − med|
+    // deviations with multiplicity, then the same F finisher
+    "ab_levene_var" -> anovaOracle(
+      src = """SELECT g0.arm, abs(g0.v - m.med) AS v, g0.c, m.med
+              |  FROM (SELECT arm, v, COUNT(*) AS c FROM
+              |    (SELECT CAST(user_id % 3 AS INTEGER) AS arm,
+              |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+              |     FROM events WHERE event_type = 'purchase')
+              |    GROUP BY arm, v) g0
+              |  JOIN (SELECT arm,
+              |      MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med
+              |    FROM (SELECT arm, v, c,
+              |        SUM(c) OVER (PARTITION BY arm ORDER BY v) AS cum,
+              |        SUM(c) OVER (PARTITION BY arm) AS n
+              |      FROM (SELECT arm, v, COUNT(*) AS c FROM
+              |        (SELECT CAST(user_id % 3 AS INTEGER) AS arm,
+              |          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              |            AS v
+              |         FROM events WHERE event_type = 'purchase')
+              |        GROUP BY arm, v))
+              |    GROUP BY arm) m ON m.arm = g0.arm""".stripMargin,
+      fName = "w_stat", withMedians = true),
+
+    // C98: exact integer pair census over the calendar-day frame;
+    // tau-b one IEEE evaluation (decimal product under the sqrt)
+    "kendall_tau" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |pr AS (SELECT b.x - a.x AS dx, b.y - a.y AS dy
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |cells AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN dx > 0 AND dy > 0
+        |      OR dx < 0 AND dy < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |      AS concordant,
+        |    CAST(COALESCE(SUM(CASE WHEN dx > 0 AND dy < 0
+        |      OR dx < 0 AND dy > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |      AS discordant,
+        |    CAST(COALESCE(SUM(CASE WHEN dx = 0 AND dy <> 0
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS ties_x,
+        |    CAST(COALESCE(SUM(CASE WHEN dy = 0 AND dx <> 0
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS ties_y,
+        |    CAST(COALESCE(SUM(CASE WHEN dx = 0 AND dy = 0
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS ties_xy
+        |  FROM pr),
+        |j AS (SELECT *,
+        |    CAST(n_steps * (n_steps - 1) // 2 AS BIGINT) AS n0
+        |  FROM cells CROSS JOIN
+        |    (SELECT CAST(COUNT(*) AS BIGINT) AS n_steps FROM daily)),
+        |k AS (SELECT *, n0 - (ties_x + ties_xy) AS denx,
+        |    n0 - (ties_y + ties_xy) AS deny FROM j)
+        |SELECT n_steps, concordant, discordant, ties_x, ties_y, ties_xy,
+        |  CASE WHEN denx > 0 AND deny > 0 THEN
+        |    round(CAST(concordant - discordant AS DOUBLE)
+        |      / sqrt(CAST(CAST(denx AS HUGEINT) * deny AS DOUBLE)), 6)
+        |  END AS tau_b
+        |FROM k""".stripMargin,
+
     // C93: z and z² as shared round-trip literals; center/half
     // mirrored parenthesis-for-parenthesis
     "ab_rate_wilson" -> {

@@ -292,6 +292,10 @@ object SparkEntry {
     "ab_rate_wilson"     -> (WarehouseQueries.rateWilson _),
     "median_ci"          -> (WarehouseQueries.medianCi _),
     "runs_test"          -> (WarehouseQueries.runsTest _),
+    "ab_kruskal_wallis"  -> (WarehouseQueries.kruskalWallis _),
+    "ab_anova_f"         -> (WarehouseQueries.anovaF _),
+    "ab_levene_var"      -> (WarehouseQueries.leveneVar _),
+    "kendall_tau"        -> (WarehouseQueries.kendallTau _),
     "dup_mass_by_source" -> (TextQueries.dupMassBySource _),
     "ab_ratio_delta"     -> (WarehouseQueries.ratioDelta _),
     "value_acf"          -> (WarehouseQueries.valueAcf _),

@@ -926,6 +926,176 @@ object AbStats {
       when(okA && okB && dsum > 0.0, round(df_, 6)).as("df"))
   }
 
+  /** C96: Kruskal–Wallis H test (Kruskal & Wallis 1952) — the k-arm
+    * generalization of C68's rank-sum test: "do ANY of the k variants
+    * differ in distribution", the omnibus check an experiment platform
+    * runs before pairwise drill-downs (running k² Mann–Whitney tests
+    * without it is the classic multiple-comparison trap). H is read
+    * against chi-square with k−1 dof; the tie-corrected H' = H / (1 −
+    * Σ(t³−t)/(N³−N)) is the published statistic.
+    *
+    * Same distributed-rank machinery as C68: ONE value-domain count
+    * shuffle (per-arm conditional counts ride along), the cumulative on
+    * [[PrefixSum.runningSum]] — no unpartitioned window at any
+    * cardinality. All-integer core: a tie group's average rank in HALF
+    * units is 2·cum − c + 1, so 2·R_i = Σ c_i·(2·cum − c + 1)
+    * accumulates exactly in decimal per arm, and the tie census
+    * Σ(t³−t) is an exact integer. H folds the k per-arm terms in fixed
+    * arm order (one IEEE evaluation, engine-replayable). Degenerate
+    * inputs (an empty arm, N < 2, all values tied ⇒ correction 0)
+    * publish null.
+    */
+  def kruskalWallis(df: DataFrame, arm: Column, value: Column,
+                    arms: Int = 3): DataFrame = {
+    require(arms >= 2 && arms <= 8, s"arms must be in [2,8], got $arms")
+    val armLegs = (0 until arms).map(i =>
+      sum(when(col("__arm") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val groups = df
+      .select(arm.cast("int").as("__arm"), value.as("__v"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("c"), armLegs: _*)
+    val cum = PrefixSum.runningSum(groups, col("__v"), col("c"), "cum")
+    val half = dec0(col("cum")) * 2 - dec0(col("c")) + 1
+    val aggCols = Seq(
+      sum(col("c")).cast("long").as("n"),
+      sum(dec0(col("c")) * dec0(col("c")) * dec0(col("c")) - dec0(col("c")))
+        .as("tie")) ++
+      (0 until arms).flatMap(i => Seq(
+        sum(col(s"c$i")).cast("long").as(s"n_$i"),
+        sum(dec0(col(s"c$i")) * half).as(s"r2_$i")))
+    val a = cum.agg(aggCols.head, aggCols.tail: _*)
+    val nD = col("n").cast("double")
+    // Σ R_i²/n_i with R_i in half units: (2R_i)²/(4·n_i), arm order 0..k−1
+    val sumTerm = (0 until arms).map { i =>
+      val r = col(s"r2_$i").cast("double")
+      r * r / (lit(4.0) * col(s"n_$i").cast("double"))
+    }.reduce(_ + _)
+    val h = lit(12.0) / (nD * (nD + 1.0)) * sumTerm - lit(3.0) * (nD + 1.0)
+    // the correction's denominator divides by zero at n < 2, so it is
+    // itself guarded (CaseWhen branches are lazy; And operands aren't)
+    val corr = when(col("n") >= 2,
+      lit(1.0) - col("tie").cast("double") / (nD * nD * nD - nD))
+    val ok = (0 until arms).map(i => col(s"n_$i") > 0L).reduce(_ && _) &&
+      col("n") >= 2
+    a.select((0 until arms).map(i => col(s"n_$i")) ++ Seq(
+      col("n"),
+      when(ok, round(h, 6)).as("h_stat"),
+      when(ok && corr > 0.0, round(h / corr, 6)).as("h_adj"),
+      lit(arms - 1).cast("long").as("dof")): _*)
+  }
+
+  /** The shared one-way F finisher behind C97/C99: given per-arm exact
+    * sufficient statistics (n_i, Σv_i, Σv_i²) as columns n_i / s_i /
+    * ss_i on a one-row frame, appends mean_i, f_stat, df1, df2.
+    * SSB = Σ s_i²/n_i − S²/N and SSW = ΣΣv² − Σ s_i²/n_i off exact
+    * decimal sums, each Σ over arms folded in fixed arm order — one
+    * IEEE evaluation end to end. Degenerate inputs (an empty arm,
+    * N ≤ k, zero within variance) publish null F.
+    */
+  private def fFinish(suff: DataFrame, arms: Int,
+                      fName: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val nTot = (0 until arms).map(i => col(s"n_$i")).reduce(_ + _)
+    val sTot = (0 until arms)
+      .map(i => coalesce(col(s"s_$i"), lit(0)).cast(dec38)).reduce(_ + _)
+    val ssTot = (0 until arms)
+      .map(i => coalesce(col(s"ss_$i"), lit(0)).cast(dec38)).reduce(_ + _)
+    // Σ s_i²/n_i: the n_i > 0 guard lives INSIDE each term (ANSI
+    // double/0 throws; empty arms null out F below anyway)
+    val between = (0 until arms).map { i =>
+      val s = col(s"s_$i").cast("double")
+      when(col(s"n_$i") > 0, s * s / col(s"n_$i").cast("double"))
+        .otherwise(0.0)
+    }.reduce(_ + _)
+    val nD = nTot.cast("double")
+    val grand = when(nTot > 0, sTot.cast("double") * sTot.cast("double") / nD)
+    val ssb = between - grand
+    val ssw = ssTot.cast("double") - between
+    val df1 = arms - 1
+    val df2 = (nTot - arms).cast("long")
+    val ok = (0 until arms).map(i => col(s"n_$i") > 0L).reduce(_ && _) &&
+      df2 > 0L && ssw > 0.0
+    val means = (0 until arms).map(i =>
+      when(col(s"n_$i") > 0, round(
+        col(s"s_$i").cast("double") / col(s"n_$i").cast("double"), 6))
+        .as(s"mean_$i"))
+    suff.select((0 until arms).map(i => col(s"n_$i")) ++ means ++ Seq(
+      when(ok, round((ssb / lit(df1.toDouble))
+        / (ssw / df2.cast("double")), 6)).as(fName),
+      lit(df1).cast("long").as("df1"), df2.as("df2")): _*)
+  }
+
+  /** C97: one-way ANOVA F test (Fisher 1925) across k arms — the
+    * mean-level omnibus companion to C96's distribution-level test:
+    * "is ANY arm's mean different", read against F(k−1, N−k). The
+    * standard first readout of a k-variant experiment on a
+    * near-normal metric; C96 is the robust fallback.
+    *
+    * ONE scan, ZERO data shuffle: 3k conditional-aggregation legs
+    * build per-arm (n, Σv, Σv²) as exact integers / decimal sums on an
+    * integer-unit metric (cents), then [[fFinish]]'s one-evaluation
+    * scalar algebra publishes F.
+    */
+  def anovaF(df: DataFrame, arm: Column, value: Column,
+             arms: Int = 3): DataFrame = {
+    require(arms >= 2 && arms <= 8, s"arms must be in [2,8], got $arms")
+    val v = dec0(value.cast("long"))
+    val aggCols = (0 until arms).flatMap(i => Seq(
+      sum(when(arm === i, 1L).otherwise(0L)).cast("long").as(s"n_$i"),
+      sum(when(arm === i, v)).as(s"s_$i"),
+      sum(when(arm === i, v * v)).as(s"ss_$i")))
+    fFinish(df.agg(aggCols.head, aggCols.tail: _*), arms, "f_stat")
+  }
+
+  /** C99: Brown–Forsythe variance-homogeneity test (Brown & Forsythe
+    * 1974 — Levene's test with the MEDIAN center, the robust variant
+    * every stats package defaults to): do the k arms differ in SPREAD?
+    * A treatment that leaves the mean alone but widens the tails is
+    * invisible to C97 and real to users; this is also the
+    * equal-variance precondition audit for pooled-variance readouts.
+    * W = one-way F on the absolute deviations z_ij = |v_ij − med_i|.
+    *
+    * EXACT core on an integer-unit metric: ONE (arm, value)-domain
+    * count shuffle; per-arm lower medians (the C94 rank convention
+    * (n+1) DIV 2) via conditional MIN off per-arm [[PrefixSum]]
+    * cumulatives; z is an exact integer |v − med| with multiplicity c,
+    * so the F sufficient statistics are exact decimal sums and
+    * [[fFinish]] publishes W in one IEEE evaluation.
+    */
+  def brownForsythe(df: DataFrame, arm: Column, value: Column,
+                    arms: Int = 3): DataFrame = {
+    require(arms >= 2 && arms <= 8, s"arms must be in [2,8], got $arms")
+    val groups = Materialize.cut(
+      df.select(arm.cast("int").as("__arm"), value.cast("long").as("__v"))
+        .groupBy(col("__arm"), col("__v")).agg(count(lit(1)).as("c")))
+    val medians = (0 until arms).map { a =>
+      val g = groups.filter(col("__arm") === a)
+      val cum = PrefixSum.runningSum(g, col("__v"), col("c"), "cum")
+      val tot = g.agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("n"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("__m", expr("CAST((n + 1) DIV 2 AS BIGINT)"))
+        .agg(min(when(col("cum") >= col("__m"), col("__v"))).as("med"))
+        .select(lit(a).as("__arm"), col("med"))
+    }.reduce(_ unionAll _)
+    val dev = groups.join(broadcast(medians), Seq("__arm"))
+      .withColumn("__z", abs(col("__v") - col("med")))
+    val z = dec0(col("__z")); val c = dec0(col("c"))
+    val aggCols = (0 until arms).flatMap(i => Seq(
+      coalesce(sum(when(col("__arm") === i, col("c"))), lit(0L))
+        .cast("long").as(s"n_$i"),
+      sum(when(col("__arm") === i, z * c)).as(s"s_$i"),
+      sum(when(col("__arm") === i, z * z * c)).as(s"ss_$i"))) ++
+      (0 until arms).map(i =>
+        min(when(col("__arm") === i, col("med"))).as(s"med_$i"))
+    val suff = dev.agg(aggCols.head, aggCols.tail: _*)
+    fFinish(suff, arms, "w_stat")
+      .crossJoin(broadcast(
+        suff.select((0 until arms).map(i => col(s"med_$i")): _*)))
+      .select(((0 until arms).map(i => col(s"n_$i")) ++
+        (0 until arms).map(i => col(s"med_$i")) ++
+        Seq(col("w_stat"), col("df1"), col("df2"))): _*)
+  }
+
   /** C87: delta-method z-test on a RATIO metric (Fieller 1940 lineage;
     * Deng, Knoblich & Lu 2018 for the A/B formulation) — the readout
     * for "revenue per session"-shaped metrics where the analysis unit

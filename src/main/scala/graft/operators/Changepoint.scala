@@ -120,6 +120,63 @@ object Changepoint {
         .otherwise("no_trend").as("trend"))
   }
 
+  /** C98: Kendall's tau-b rank correlation (Kendall 1938; tau-b per
+    * Kendall 1945 for the tie correction) between two step-indexed
+    * integer series — the concordance-based association measure next
+    * to D105's Spearman: tau counts pair ORDER agreements directly, so
+    * it is the natural effect size for C84's Mann–Kendall S (which IS
+    * Kendall tau of value vs time) and the robust "do these two daily
+    * metrics move together" readout.
+    *
+    * EXACT integer core: the corpus collapses to the step-domain
+    * series upstream (calendar-bounded); the pairwise census is m²
+    * over THAT frame — concordant / discordant / tie cells are exact
+    * integer counts, and tau-b = (C − D)/√((n₀−T_x)(n₀−T_y)) is one
+    * IEEE evaluation (products in decimal so a 10⁵-step series can't
+    * overflow). Non-integral inputs fail the job rather than silently
+    * truncating (the C84 contract). Degenerate series (either margin
+    * all-tied) publish null tau.
+    */
+  def kendallTau(series: DataFrame, step: Column, x: Column,
+                 y: Column): DataFrame = {
+    def checked(c: Column, name: String): Column =
+      when(c.cast("long").cast("double") === c.cast("double"),
+        c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"kendallTau: non-integral $name "), c.cast("string"),
+          lit(" — scale the series to integers (e.g. micro-units) first"))))
+    val v = Materialize.cut(series.select(step.as("__s"),
+      checked(x, "x").as("__x"), checked(y, "y").as("__y")))
+    val dx = col("b.__x") - col("a.__x")
+    val dy = col("b.__y") - col("a.__y")
+    val cells = v.as("a").join(v.as("b"), col("a.__s") < col("b.__s"))
+      .agg(
+        coalesce(sum(when(dx > 0 && dy > 0 || dx < 0 && dy < 0, 1L)
+          .otherwise(0L)), lit(0L)).cast("long").as("concordant"),
+        coalesce(sum(when(dx > 0 && dy < 0 || dx < 0 && dy > 0, 1L)
+          .otherwise(0L)), lit(0L)).cast("long").as("discordant"),
+        coalesce(sum(when(dx === 0 && dy =!= 0, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("ties_x"),
+        coalesce(sum(when(dy === 0 && dx =!= 0, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("ties_y"),
+        coalesce(sum(when(dx === 0 && dy === 0, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("ties_xy"))
+    val d0 = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val joined = cells.crossJoin(
+      v.agg(count(lit(1)).cast("long").as("n_steps")))
+      .withColumn("__n0",
+        expr("CAST(n_steps * (n_steps - 1) DIV 2 AS BIGINT)"))
+      .withColumn("__denx", col("__n0") - (col("ties_x") + col("ties_xy")))
+      .withColumn("__deny", col("__n0") - (col("ties_y") + col("ties_xy")))
+    joined.select(col("n_steps"), col("concordant"), col("discordant"),
+      col("ties_x"), col("ties_y"), col("ties_xy"),
+      when(col("__denx") > 0L && col("__deny") > 0L,
+        round((col("concordant") - col("discordant")).cast("double")
+          / sqrt((d0(col("__denx")) * d0(col("__deny"))).cast("double")), 6))
+        .as("tau_b"))
+  }
+
   /** C88: sample autocorrelation function (Box & Jenkins 1970) of a
     * step-indexed integer series at lags 1..maxLag — the seasonality /
     * serial-dependence diagnostic that tells a forecaster whether

@@ -1402,6 +1402,41 @@ object WarehouseQueries {
       Tables.events(spark, dir),
       col("user_id") % 2, col("event_type") === "purchase")
 
+  /** The shared 3-arm purchase frame behind C96/C97/C99: purchase
+    * value in exact cents, arm = user_id mod 3 — change the
+    * convention here, nowhere else.
+    */
+  private def purchaseCentsArm3(spark: SparkSession,
+                                dir: String): DataFrame =
+    Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .select((col("user_id") % 3).cast("int").as("arm"),
+        (graft.functions.Num.dec2(col("value")) * 100).cast("long")
+          .as("cents"))
+
+  /** C96: Kruskal–Wallis H across the three user-mod-3 arms on
+    * purchase cents — the k-arm omnibus rank test (see
+    * [[graft.operators.AbStats.kruskalWallis]]).
+    */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.kruskalWallis(
+      purchaseCentsArm3(spark, dir), col("arm"), col("cents"), arms = 3)
+
+  /** C97: one-way ANOVA F across the three user-mod-3 arms on
+    * purchase cents — the mean-level omnibus (see
+    * [[graft.operators.AbStats.anovaF]]).
+    */
+  def anovaF(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.anovaF(
+      purchaseCentsArm3(spark, dir), col("arm"), col("cents"), arms = 3)
+
+  /** C99: Brown–Forsythe spread-homogeneity test across the three
+    * user-mod-3 arms on purchase cents (see
+    * [[graft.operators.AbStats.brownForsythe]]).
+    */
+  def leveneVar(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.brownForsythe(
+      purchaseCentsArm3(spark, dir), col("arm"), col("cents"), arms = 3)
+
   /** C92: Yuen's 10%-trimmed-mean t-test on purchase value (in exact
     * cents) between the user-parity arms — the robust readout where
     * C66's Welch test chases whales. See
@@ -1465,6 +1500,23 @@ object WarehouseQueries {
           .otherwise(graft.functions.Num.dec2(lit(0)))).as("y"))
     graft.operators.AbStats.ratioDelta(
       perUser, col("user_id") % 2, col("x"), col("y"))
+  }
+
+  /** C98: Kendall's tau-b between the daily signup count and the daily
+    * purchase-cents series (the same two series C78 cross-correlates —
+    * tau is the robust effect size next to its Pearson r). See
+    * [[graft.operators.Changepoint.kendallTau]].
+    */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+             .as("x"),
+           coalesce(sum(when(col("event_type") === "purchase",
+             graft.functions.Num.dec2(col("value")) * 100)), lit(0))
+             .cast("long").as("y"))
+    graft.operators.Changepoint.kendallTau(daily, col("day"),
+      col("x"), col("y"))
   }
 
   /** C88: autocorrelation function of the daily total purchase value

@@ -1208,4 +1208,111 @@ class AbStatsSpec extends AnyFunSuite {
     assert(out("c").isNullAt(out("c").fieldIndex("ess")))
     assert(out("c").isNullAt(out("c").fieldIndex("design_effect")))
   }
+
+  // ---- Kruskal–Wallis -----------------------------------------------------
+
+  test("kruskalWallis: untied textbook case, correction = 1") {
+    // arms [1,2] [3,4] [5,6]: ranks 1..6, R = 3, 7, 11
+    // H = 12/(6·7)·(9/2 + 49/2 + 121/2) − 3·7 = 32/7
+    val df = Seq((0, 1L), (0, 2L), (1, 3L), (1, 4L), (2, 5L), (2, 6L))
+      .toDF("arm", "v")
+    val r = AbStats.kruskalWallis(df, col("arm"), col("v")).head
+    assert(r.getAs[Long]("n") === 6L)
+    assert((0 to 2).forall(i => r.getAs[Long](s"n_$i") === 2L))
+    assert(r.getAs[Double]("h_stat") === d6(32.0 / 7.0))
+    assert(r.getAs[Double]("h_adj") === d6(32.0 / 7.0))
+    assert(r.getAs[Long]("dof") === 2L)
+  }
+
+  test("kruskalWallis: all-tied corpus gives H = 0 and null adjusted H") {
+    val df = Seq((0, 5L), (0, 5L), (1, 5L), (1, 5L), (2, 5L), (2, 5L))
+      .toDF("arm", "v")
+    val r = AbStats.kruskalWallis(df, col("arm"), col("v")).head
+    // every rank is the same average, so raw H is exactly 0; the tie
+    // correction denominator is 0 ⇒ adjusted H must be null, not NaN
+    assert(r.getAs[Double]("h_stat") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("h_adj")))
+  }
+
+  test("kruskalWallis: empty arm publishes null H") {
+    val df = Seq((0, 1L), (0, 2L), (1, 3L), (1, 4L)).toDF("arm", "v")
+    val r = AbStats.kruskalWallis(df, col("arm"), col("v")).head
+    assert(r.getAs[Long]("n_2") === 0L)
+    assert(r.isNullAt(r.fieldIndex("h_stat")))
+  }
+
+  // ---- one-way ANOVA ------------------------------------------------------
+
+  test("anovaF: textbook three-arm case") {
+    // arms [1,2,3] [2,3,4] [3,4,5]: SSB = 6, SSW = 6, F = 3/1 = 3
+    val df = Seq((0, 1L), (0, 2L), (0, 3L), (1, 2L), (1, 3L), (1, 4L),
+      (2, 3L), (2, 4L), (2, 5L)).toDF("arm", "v")
+    val r = AbStats.anovaF(df, col("arm"), col("v")).head
+    assert(r.getAs[Double]("mean_0") === 2.0)
+    assert(r.getAs[Double]("mean_1") === 3.0)
+    assert(r.getAs[Double]("mean_2") === 4.0)
+    assert(r.getAs[Double]("f_stat") === 3.0)
+    assert(r.getAs[Long]("df1") === 2L && r.getAs[Long]("df2") === 6L)
+  }
+
+  test("anovaF: zero within-variance publishes null F") {
+    val df = Seq((0, 1L), (0, 1L), (1, 2L), (1, 2L), (2, 3L), (2, 3L))
+      .toDF("arm", "v")
+    val r = AbStats.anovaF(df, col("arm"), col("v")).head
+    assert(r.isNullAt(r.fieldIndex("f_stat")))
+  }
+
+  // ---- Brown–Forsythe -----------------------------------------------------
+
+  test("brownForsythe: hand-computed spread case") {
+    // arm0 [1,2,3] med 2 devs [1,0,1]; arm1 [1,5,9] med 5 devs [4,0,4];
+    // arm2 [2,4,6] med 4 devs [2,0,2] → SSB = 56/9, SSW = 14, W = 4/3
+    val df = Seq((0, 1L), (0, 2L), (0, 3L), (1, 1L), (1, 5L), (1, 9L),
+      (2, 2L), (2, 4L), (2, 6L)).toDF("arm", "v")
+    val r = AbStats.brownForsythe(df, col("arm"), col("v")).head
+    assert(r.getAs[Long]("med_0") === 2L)
+    assert(r.getAs[Long]("med_1") === 5L)
+    assert(r.getAs[Long]("med_2") === 4L)
+    assert(r.getAs[Double]("w_stat") === d6(4.0 / 3.0))
+    assert(r.getAs[Long]("df1") === 2L && r.getAs[Long]("df2") === 6L)
+  }
+
+  test("brownForsythe: even arm uses the LOWER median (C94 convention)") {
+    // arm0 [1,3]: lower median 1 (rank (2+1) DIV 2 = 1), devs [0,2]
+    val df = Seq((0, 1L), (0, 3L), (1, 1L), (1, 2L), (2, 1L), (2, 2L))
+      .toDF("arm", "v")
+    val r = AbStats.brownForsythe(df, col("arm"), col("v")).head
+    assert(r.getAs[Long]("med_0") === 1L)
+  }
+
+  // ---- Kendall tau-b ------------------------------------------------------
+
+  test("kendallTau: untied case counts concordances exactly") {
+    import graft.operators.Changepoint
+    // y = [1,3,2,4] against x = [1,2,3,4]: C = 5, D = 1, tau = 2/3
+    val df = Seq((1, 1L, 1L), (2, 2L, 3L), (3, 3L, 2L), (4, 4L, 4L))
+      .toDF("s", "x", "y")
+    val r = Changepoint.kendallTau(df, col("s"), col("x"), col("y")).head
+    assert(r.getAs[Long]("concordant") === 5L)
+    assert(r.getAs[Long]("discordant") === 1L)
+    assert(r.getAs[Double]("tau_b") === d6(2.0 / 3.0))
+  }
+
+  test("kendallTau: tie-corrected denominator") {
+    import graft.operators.Changepoint
+    // x = [1,1,2], y = [1,2,2]: 1 tie on x, 1 tie on y, 1 concordant
+    // n0 = 3, denx = deny = 2 → tau-b = 1/√4 = 0.5
+    val df = Seq((1, 1L, 1L), (2, 1L, 2L), (3, 2L, 2L)).toDF("s", "x", "y")
+    val r = Changepoint.kendallTau(df, col("s"), col("x"), col("y")).head
+    assert(r.getAs[Long]("ties_x") === 1L)
+    assert(r.getAs[Long]("ties_y") === 1L)
+    assert(r.getAs[Double]("tau_b") === 0.5)
+  }
+
+  test("kendallTau: constant margin publishes null tau, not NaN") {
+    import graft.operators.Changepoint
+    val df = Seq((1, 1L, 1L), (2, 1L, 2L), (3, 1L, 3L)).toDF("s", "x", "y")
+    val r = Changepoint.kendallTau(df, col("s"), col("x"), col("y")).head
+    assert(r.isNullAt(r.fieldIndex("tau_b")))
+  }
 }
