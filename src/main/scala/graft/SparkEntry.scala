@@ -306,6 +306,9 @@ object SparkEntry {
     "degree_assortativity" -> (WarehouseQueries.degreeAssortativity _),
     "pmi_collocations"   -> (TextQueries.pmiCollocations _),
     "keyword_textrank"   -> (TextQueries.keywordTextrank _),
+    "keyword_tfidf"      -> (TextQueries.keywordTfidf _),
+    "lexical_diversity"  -> (TextQueries.lexicalDiversity _),
+    "source_js_divergence" -> (TextQueries.sourceJsDivergence _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

@@ -114,4 +114,45 @@ object Collocations {
       .limit(k)
       .select(col("id").as("word"), col("rank"))
   }
+
+  /** D117: per-document keyword extraction by smoothed TF-IDF — the
+    * frequency-based twin of D116's structural TextRank (Salton &
+    * Buckley 1988; the sklearn smooth-idf convention
+    * idf = ln((N+1)/(df+1)) + 1, which never divides by zero and keeps
+    * corpus-universal words at a positive floor). Per-doc keywords
+    * label shards for mixture analysis and give retrieval (D31/D46)
+    * an index-time summary; corpus-frequency alone can't do either.
+    *
+    * Scale shape: one tokenize pass → (doc, word, tf) counts (the
+    * corpus-sized shuffle); df re-aggregates that frame word-keyed;
+    * the idf attachment is a word-keyed shuffle join (never a driver
+    * vocab); the top-k window partitions BY DOCUMENT, so no partition
+    * ever exceeds a single doc's vocabulary — bounded at any corpus
+    * size. Exactness: tf/df/N integers; score = tf·(ln((N+1)/(df+1))+1)
+    * is one IEEE evaluation, 6-dp rounded BEFORE ranking so both
+    * engines cut ties identically (word ascending breaks the rest).
+    */
+  def keywordTfidf(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = Materialize.cut(docs
+      .select(col(idCol).as("doc_id"),
+        explode(LanguageModel.toks(col(textCol))).as("__w"))
+      .groupBy(col("doc_id"), col("__w")).agg(count(lit(1)).as("tf")))
+    val dfreq = pairs.groupBy(col("__w"))
+      .agg(count(lit(1)).cast("long").as("doc_freq"))
+    val nDocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    val scored = pairs.join(dfreq, Seq("__w")).crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf").cast("double")
+        * (log((col("n_docs").cast("double") + 1.0)
+          / (col("doc_freq").cast("double") + 1.0)) + 1.0), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("__w"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("__w").as("word"),
+        col("tf"), col("doc_freq"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
 }

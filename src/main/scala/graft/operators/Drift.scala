@@ -69,4 +69,67 @@ object Drift {
         round((col("p") - col("q")) * log(col("p") / col("q")), 6)
           .as("psi_term"))
   }
+
+  /** D119: per-source Jensen–Shannon divergence (Lin 1991) between the
+    * source's unigram distribution and the CORPUS-wide distribution —
+    * "which provenance is most idiosyncratic", the lexical-level
+    * source audit next to D98's volume concentration and D52's
+    * categorical PSI: a source whose vocabulary diverges from the
+    * corpus is either a domain treasure or contamination, and either
+    * way the mixture weights (D48/D49/D69) should know. JSD is
+    * symmetric, bounded in [0,1] bit, and finite even on disjoint
+    * support — the properties PSI's add-one smoothing only
+    * approximates.
+    *
+    * Determinism convention (published with the statistic, like a
+    * histogram's bin edges): each PRESENT word's pointwise term
+    * 0.5·(p·ln(p/m) + q·ln(q/m))/ln2 (m the midpoint) is quantized to
+    * 1e-9 bits and summed as an exact integer — associative, so any
+    * partition order yields the same sum — while the ABSENT-word tail
+    * Σ_{w∉source} 0.5·q_w collapses to the closed form
+    * 0.5·(N − S)/N over exact integer masses (S = corpus mass on the
+    * source's support): no per-absent-word rows ever materialize.
+    * Pointwise JS terms are nonnegative (log-sum inequality), so
+    * half-up and half-away-from-zero quantization agree.
+    *
+    * Scale shape: ONE tokenize pass → (source, word) counts (the only
+    * corpus-sized shuffle); the global census re-aggregates that frame;
+    * the per-word join is word-keyed (never a driver vocab); per-source
+    * totals and the grand total broadcast as aggregate-sized rows.
+    * Cost is linear in |counts| — no source-pair × vocab blowup.
+    */
+  def jsSourceDivergence(docs: DataFrame, group: Column,
+                         textCol: Column): DataFrame = {
+    val LN2 = 0.6931471805599453
+    val counts = Materialize.cut(docs
+      .select(group.as("__g"),
+        explode(LanguageModel.toks(textCol)).as("__w"))
+      .groupBy(col("__g"), col("__w")).agg(count(lit(1)).as("c")))
+    val gtot = counts.groupBy(col("__g"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"))
+    val global = Materialize.cut(
+      counts.groupBy(col("__w")).agg(sum(col("c")).cast("long").as("cg")))
+    val nTot = global.agg(sum(col("cg")).cast("long").as("n_all"))
+    val termed = counts.join(global, Seq("__w"))
+      .join(broadcast(gtot), Seq("__g"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("__nano", {
+        val p = col("c").cast("double") / col("n_tokens").cast("double")
+        val q = col("cg").cast("double") / col("n_all").cast("double")
+        val m = (p + q) / lit(2.0)
+        round((p * log(p / m) + q * log(q / m)) * lit(0.5) / lit(LN2)
+          * lit(1e9), 0).cast("long")
+      })
+    termed.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n_types"),
+        max(col("n_tokens")).as("n_tokens"),
+        sum(col("cg")).cast("long").as("__s"),
+        sum(col("__nano")).cast("long").as("__nano_sum"))
+      .crossJoin(broadcast(nTot))
+      .select(col("__g").as("source"), col("n_types"), col("n_tokens"),
+        round(col("__nano_sum").cast("double") / lit(1e9)
+          + lit(0.5) * (col("n_all") - col("__s")).cast("double")
+            / col("n_all").cast("double"), 6).as("jsd_bits"))
+      .orderBy(col("source"))
+  }
 }

@@ -347,4 +347,46 @@ object LanguageModel {
           - 1.0) / (lit(2.0) * (col("n_dis").cast("double") + 1.0)), 6)
         .as("chao1_vocab"))
   }
+
+  /** D118: per-document lexical diversity — type-token ratio, hapax
+    * fraction, and Yule's characteristic K (Yule 1944):
+    * K = 10⁴·(Σ_w c_w² − N)/N², the repeat-rate statistic that (unlike
+    * raw TTR) is approximately length-invariant, so it ranks a
+    * 100-word and a 10,000-word document on the same scale. Low-K docs
+    * are vocabulary-rich prose; high-K docs are template/boilerplate —
+    * the per-doc complement to D29's positional repetition score and a
+    * standard curation signal.
+    *
+    * ONE tokenize pass → (doc, word) counts → one per-doc partial-agg'd
+    * rollup; every sufficient statistic (N, V, V₁, Σc²) is an exact
+    * integer and each published ratio is one IEEE divide. Docs with no
+    * tokens emit zero counts and null ratios (left join back to the
+    * corpus, so no doc vanishes).
+    */
+  def lexicalDiversity(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("__w"))
+      .groupBy(col("doc_id"), col("__w")).agg(count(lit(1)).as("c"))
+    val per = pairs.groupBy(col("doc_id")).agg(
+      sum(col("c")).cast("long").as("n_tokens"),
+      count(lit(1)).cast("long").as("n_types"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("hapax"),
+      // Σc² ≤ N² — long-safe for any doc a tokenizer can hold
+      sum(col("c") * col("c")).cast("long").as("__ssq"))
+    val nD = col("n_tokens").cast("double")
+    docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("hapax"), lit(0L)).as("hapax"),
+        when(col("n_tokens") > 0,
+          round(col("n_types").cast("double") / nD, 6)).as("ttr"),
+        when(col("n_tokens") > 0,
+          round(col("hapax").cast("double") / nD, 6)).as("hapax_ratio"),
+        when(col("n_tokens") > 0,
+          round(lit(10000.0) * (col("__ssq") - col("n_tokens")).cast("double")
+            / (nD * nD), 6)).as("yule_k"))
+      .orderBy(col("doc_id"))
+  }
 }

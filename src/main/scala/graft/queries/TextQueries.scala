@@ -1843,6 +1843,29 @@ object TextQueries {
     graft.operators.Collocations.keywordTextRank(
       Tables.documents(spark, dir), "text", iterations = 10, k = 30)
 
+  /** D117: per-doc top-3 keywords by smoothed TF-IDF — the frequency
+    * twin of D116's TextRank (see
+    * [[graft.operators.Collocations.keywordTfidf]]).
+    */
+  def keywordTfidf(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.keywordTfidf(
+      Tables.documents(spark, dir), "doc_id", "text", k = 3)
+
+  /** D118: per-doc lexical diversity — TTR, hapax fraction, Yule's K
+    * (see [[graft.operators.LanguageModel.lexicalDiversity]]).
+    */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.lexicalDiversity(
+      Tables.documents(spark, dir), "doc_id", "text")
+
+  /** D119: per-source Jensen–Shannon divergence from the corpus
+    * unigram distribution (see
+    * [[graft.operators.Drift.jsSourceDivergence]]).
+    */
+  def sourceJsDivergence(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.jsSourceDivergence(
+      Tables.documents(spark, dir), col("source"), col("text"))
+
   /** D115: per-source duplicated-paragraph mass — what fraction of
     * each source's paragraphs is corpus-wide boilerplate, BEFORE any
     * removal runs (see
