@@ -270,6 +270,146 @@ private[graft] object OracleFns {
 
   private[graft] val valueAcfSql: String = valueAcfSqlFor(10)
 
+  /** C109 oracle pieces — mirror
+    * [[graft.operators.AbStats.moodMedian]]'s fixed-arm-order 2×k χ²
+    * fold: per arm (aᵢ−eₐ)²/eₐ + ((nᵢ−aᵢ)−e_b)²/e_b with
+    * eₐ = nᵢ·A/N, e_b = nᵢ·(N−A)/N — the Scala `reduce(_ + _)` tree
+    * rendered textually, every operand an exact integer until the
+    * divides.
+    */
+  private def moodTot(k: Int, pre: String): String =
+    (0 until k).map(i => s"${pre}_$i")
+      .reduce((a, b) => s"($a + $b)")
+  private[graft] def moodOk(k: Int): String =
+    ((0 until k).map(i => s"n_$i > 0") :+
+      s"${moodTot(k, "a")} > 0 AND ${moodTot(k, "a")} < ${moodTot(k, "n")}")
+      .mkString(" AND ")
+  private[graft] def moodChi2(k: Int): String = {
+    val nT = s"CAST(${moodTot(k, "n")} AS DOUBLE)"
+    val aT = s"CAST(${moodTot(k, "a")} AS DOUBLE)"
+    (0 until k).map { i =>
+      val ni = s"CAST(n_$i AS DOUBLE)"
+      val ai = s"CAST(a_$i AS DOUBLE)"
+      val ea = s"$ni * $aT / $nT"
+      val eb = s"$ni * ($nT - $aT) / $nT"
+      s"""(($ai - $ea) * ($ai - $ea) / ($ea)
+         |    + (($ni - $ai) - $eb) * (($ni - $ai) - $eb) / ($eb))"""
+        .stripMargin
+    }.reduce((a, b) => s"($a\n  + $b)")
+  }
+
+  /** C103 oracle — shared verbatim by `assoc_cramers_v` and the E30
+    * stream face (stream ≡ batch on the merged additive cells): cell
+    * terms nano-quantized and summed as exact integers, absent cells
+    * via the closed tail χ² = Σ(o−e)²/e − Σe + N, sqrt clamped at 0.
+    */
+  private[graft] val cramersVSql: String =
+    """WITH cells AS (SELECT lang AS x, source AS y, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |rx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM cells
+      |  GROUP BY 1),
+      |cy AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cells
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+      |dims AS (SELECT
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rx) AS r,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cy) AS cc),
+      |t AS (SELECT CAST(round(
+      |    (CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e * 1e9,
+      |    0) AS BIGINT) AS nano,
+      |    CAST(round(e * 1e9, 0) AS BIGINT) AS nano_e
+      |  FROM (SELECT c, CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS e
+      |    FROM cells JOIN rx USING (x) JOIN cy USING (y)
+      |    CROSS JOIN tot)),
+      |a AS (SELECT CAST(SUM(nano) AS BIGINT) AS ns,
+      |    CAST(SUM(nano_e) AS BIGINT) AS nse FROM t)
+      |SELECT n, r, cc AS c, n_cells,
+      |  round(CAST(ns - nse AS DOUBLE) / 1e9 + CAST(n AS DOUBLE), 6)
+      |    AS chi2,
+      |  (r - 1) * (cc - 1) AS dof,
+      |  CASE WHEN least(r, cc) >= 2 AND n > 0 THEN round(sqrt(
+      |    greatest(CAST(ns - nse AS DOUBLE) / 1e9 + CAST(n AS DOUBLE),
+      |      0.0)
+      |    / (CAST(n AS DOUBLE) * (CAST(least(r, cc) AS DOUBLE) - 1.0))),
+      |    6) END AS cramers_v
+      |FROM a CROSS JOIN tot CROSS JOIN dims""".stripMargin
+
+  /** C106 oracle — mirrors [[graft.operators.Changepoint.grangerLag1]]:
+    * nine exact sufficient sums off the lag-1 day join, then the
+    * closed-form Cramer's-rule OLS algebra as ONE textually-repeated
+    * IEEE tree per published statistic.
+    */
+  private[graft] val grangerSql: String = {
+    val nD = "CAST(n AS DOUBLE)"
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val cxx = s"(${d("sxx")} - ${d("sx")} * ${d("sx")} / $nD)"
+    val cll = s"(${d("sll")} - ${d("sl")} * ${d("sl")} / $nD)"
+    val cyy = s"(${d("syy")} - ${d("sy")} * ${d("sy")} / $nD)"
+    val cxl = s"(${d("sxl")} - ${d("sx")} * ${d("sl")} / $nD)"
+    val cxy = s"(${d("sxy")} - ${d("sx")} * ${d("sy")} / $nD)"
+    val cly = s"(${d("sly")} - ${d("sl")} * ${d("sy")} / $nD)"
+    val det = s"($cll * $cyy - $cly * $cly)"
+    val rssR = s"($cxx - $cxl * $cxl / $cll)"
+    val b1 = s"(($cxl * $cyy - $cxy * $cly) / $det)"
+    val b2 = s"(($cxy * $cll - $cxl * $cly) / $det)"
+    val rssU = s"($cxx - ($b1 * $cxl + $b2 * $cxy))"
+    val ok = s"n > 3 AND $cll > 0.0 AND $det > 0.0 AND $rssU > 0.0"
+    s"""WITH dly AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+       |      AS cents,
+       |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS signups
+       |  FROM events GROUP BY 1),
+       |l AS (SELECT t.cents AS x, p.cents AS xl, p.signups AS yl
+       |  FROM dly t JOIN dly p ON t.day = p.day + 1),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(x AS HUGEINT)) AS sx,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(xl AS HUGEINT)) AS sl,
+       |    SUM(CAST(xl AS HUGEINT) * xl) AS sll,
+       |    SUM(CAST(yl AS HUGEINT)) AS sy,
+       |    SUM(CAST(yl AS HUGEINT) * yl) AS syy,
+       |    SUM(CAST(x AS HUGEINT) * xl) AS sxl,
+       |    SUM(CAST(x AS HUGEINT) * yl) AS sxy,
+       |    SUM(CAST(xl AS HUGEINT) * yl) AS sly
+       |  FROM l)
+       |SELECT n,
+       |  CASE WHEN $ok THEN round($b2, 6) END AS beta_ylag,
+       |  CASE WHEN $ok THEN round(
+       |    ($rssR - $rssU) / ($rssU / ($nD - 3.0)), 6) END AS f_stat,
+       |  CAST(1 AS BIGINT) AS df1, n - 3 AS df2
+       |FROM a""".stripMargin
+  }
+
+  /** C104 oracle — shared verbatim by `ljung_box` and the E29 stream
+    * face (stream ≡ batch on the merged day cells): the m per-lag
+    * terms fold in lag order over the 6-dp-rounded acf values.
+    */
+  private[graft] val ljungBoxSql: String =
+    s"""WITH ac AS (${valueAcfSqlFor(10)}),
+       |nn AS (SELECT CAST(COUNT(DISTINCT date_trunc('day', ts))
+       |    AS BIGINT) AS n
+       |  FROM events WHERE event_type = 'purchase'),
+       |terms AS (SELECT lag,
+       |    acf * acf / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)) AS t
+       |  FROM ac CROSS JOIN nn
+       |  WHERE acf IS NOT NULL AND n > lag),
+       |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       |    list_reduce(list_prepend(0.0, list_transform(
+       |      list_sort(list({'l': lag, 't': t})), e -> e['t'])),
+       |      (a, b) -> a + b) AS s
+       |  FROM terms)
+       |SELECT n, m,
+       |  CASE WHEN m > 0 THEN round(
+       |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * s, 6)
+       |  END AS q_stat,
+       |  m AS dof
+       |FROM f CROSS JOIN nn""".stripMargin
+
   /** C88b oracle — mirrors [[graft.operators.Changepoint.pacf]]: the
     * Durbin–Levinson recursion as a flat double-list fold (the C61
     * accumulator trick) over the 6-dp-ROUNDED acf values both engines

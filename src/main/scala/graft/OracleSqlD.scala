@@ -1387,5 +1387,644 @@ private[graft] object OracleSqlD {
         |  CAST(MAX(ABS((d.doc_id*131 + i.i*17) % 4001 - 2000)) AS BIGINT) AS peak_amp
         |FROM documents d JOIN range(0, 28) AS i(i) ON i.i < d.doc_id % 24 + 4
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // D117: smoothed TF-IDF keywords — tf/df/N exact integers, the
+    // score ln rounded at 6dp BEFORE ranking (the BM25 absorb
+    // argument), ties cut by word ascending in both engines
+    "keyword_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) > 0
+        |    THEN string_split_regex(trim(text), '\s+')
+        |    ELSE [] END AS tk
+        |  FROM documents),
+        |p AS (SELECT doc_id, w, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY 1, 2),
+        |d AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS doc_freq
+        |  FROM p GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, w, tf, doc_freq,
+        |    round(CAST(tf AS DOUBLE)
+        |      * (ln((CAST(n_docs AS DOUBLE) + 1.0)
+        |          / (CAST(doc_freq AS DOUBLE) + 1.0)) + 1.0), 6) AS score
+        |  FROM p JOIN d USING (w) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, w) AS rk FROM s)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, w AS word, tf,
+        |  doc_freq, score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // D118: per-doc lexical diversity — every sufficient statistic
+    // (N, V, V1, Σc²) an exact integer, one IEEE divide per ratio;
+    // token-less docs survive via the left join with zero counts
+    "lexical_diversity" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) > 0
+        |    THEN string_split_regex(trim(text), '\s+')
+        |    ELSE [] END AS tk
+        |  FROM documents),
+        |p AS (SELECT doc_id, w, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY 1, 2),
+        |per AS (SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT)
+        |      AS hapax,
+        |    CAST(SUM(c * c) AS BIGINT) AS ssq
+        |  FROM p GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(n_types, 0) AS BIGINT) AS n_types,
+        |  CAST(COALESCE(hapax, 0) AS BIGINT) AS hapax,
+        |  CASE WHEN n_tokens > 0 THEN round(
+        |    CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |  END AS ttr,
+        |  CASE WHEN n_tokens > 0 THEN round(
+        |    CAST(hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |  END AS hapax_ratio,
+        |  CASE WHEN n_tokens > 0 THEN round(
+        |    10000.0 * CAST(ssq - n_tokens AS DOUBLE)
+        |      / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+        |  END AS yule_k
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // C100: McNemar — four exact integer cells off the per-user pair
+    // frame, each chi-square one IEEE divide
+    "ab_mcnemar" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND day(ts) <= 15 THEN 1 ELSE 0 END), 0) > 0 AS a,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND day(ts) >= 16 THEN 1 ELSE 0 END), 0) > 0 AS b
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_both,
+        |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_before_only,
+        |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_after_only,
+        |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_neither
+        |  FROM u)
+        |SELECT n, n_both, n_before_only, n_after_only, n_neither,
+        |  CASE WHEN n_before_only + n_after_only > 0 THEN round(
+        |    (CAST(n_before_only AS DOUBLE) - CAST(n_after_only AS DOUBLE))
+        |    * (CAST(n_before_only AS DOUBLE) - CAST(n_after_only AS DOUBLE))
+        |    / (CAST(n_before_only AS DOUBLE) + CAST(n_after_only AS DOUBLE)),
+        |    6) END AS chi2,
+        |  CASE WHEN n_before_only + n_after_only > 0 THEN round(
+        |    (abs(CAST(n_before_only AS DOUBLE) - CAST(n_after_only AS DOUBLE))
+        |      - 1.0)
+        |    * (abs(CAST(n_before_only AS DOUBLE) - CAST(n_after_only AS DOUBLE))
+        |      - 1.0)
+        |    / (CAST(n_before_only AS DOUBLE) + CAST(n_after_only AS DOUBLE)),
+        |    6) END AS chi2_cc,
+        |  CAST(1 AS BIGINT) AS dof
+        |FROM c""".stripMargin,
+
+    // C101: Cochran's Q — everything exact integers until the final
+    // divide; the per-block row sum is row-local
+    "ab_cochran_q" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND day(ts) BETWEEN 1 AND 10 THEN 1 ELSE 0 END), 0) > 0
+        |      THEN 1 ELSE 0 END AS f0,
+        |    CASE WHEN COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND day(ts) BETWEEN 11 AND 20 THEN 1 ELSE 0 END), 0) > 0
+        |      THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND day(ts) BETWEEN 21 AND 31 THEN 1 ELSE 0 END), 0) > 0
+        |      THEN 1 ELSE 0 END AS f2
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(f0 + f1 + f2) AS BIGINT) AS t,
+        |    CAST(SUM((f0 + f1 + f2) * (f0 + f1 + f2)) AS BIGINT) AS r2,
+        |    CAST(SUM(f0) AS BIGINT) AS c_0,
+        |    CAST(SUM(f1) AS BIGINT) AS c_1,
+        |    CAST(SUM(f2) AS BIGINT) AS c_2
+        |  FROM u)
+        |SELECT n_blocks, c_0, c_1, c_2,
+        |  CASE WHEN 3.0 * CAST(t AS DOUBLE) - CAST(r2 AS DOUBLE) > 0.0
+        |  THEN round(2.0 * (3.0 * ((CAST(c_0 AS DOUBLE) * CAST(c_0 AS DOUBLE)
+        |      + CAST(c_1 AS DOUBLE) * CAST(c_1 AS DOUBLE))
+        |      + CAST(c_2 AS DOUBLE) * CAST(c_2 AS DOUBLE))
+        |      - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+        |    / (3.0 * CAST(t AS DOUBLE) - CAST(r2 AS DOUBLE)), 6)
+        |  END AS q_stat,
+        |  CAST(2 AS BIGINT) AS dof
+        |FROM a""".stripMargin,
+
+    // C102: Friedman — half-unit ranks and the pair-identity tie
+    // census are row-local integer expressions; Q/Q' one IEEE
+    // evaluation each off exact column sums
+    "ab_friedman" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND day(ts) BETWEEN 1 AND 10
+        |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+        |      AS v0,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND day(ts) BETWEEN 11 AND 20
+        |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+        |      AS v1,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND day(ts) BETWEEN 21 AND 31
+        |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+        |      AS v2
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT
+        |    2 + 2*((CASE WHEN v1 < v0 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v2 < v0 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN v1 = v0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v2 = v0 THEN 1 ELSE 0 END) AS r0,
+        |    2 + 2*((CASE WHEN v0 < v1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v2 < v1 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN v0 = v1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v2 = v1 THEN 1 ELSE 0 END) AS r1,
+        |    2 + 2*((CASE WHEN v0 < v2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v1 < v2 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN v0 = v2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS r2,
+        |    (CASE WHEN v0 = v1 THEN
+        |       2 * ((2 + CASE WHEN v2 = v0 THEN 1 ELSE 0 END) + 1)
+        |     ELSE 0 END)
+        |    + (CASE WHEN v0 = v2 THEN
+        |       2 * ((2 + CASE WHEN v1 = v0 THEN 1 ELSE 0 END) + 1)
+        |     ELSE 0 END)
+        |    + (CASE WHEN v1 = v2 THEN
+        |       2 * ((2 + CASE WHEN v0 = v1 THEN 1 ELSE 0 END) + 1)
+        |     ELSE 0 END) AS tie
+        |  FROM u),
+        |a AS (SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(tie) AS BIGINT) AS tie,
+        |    CAST(SUM(r0) AS BIGINT) AS r2_0,
+        |    CAST(SUM(r1) AS BIGINT) AS r2_1,
+        |    CAST(SUM(r2) AS BIGINT) AS r2_2
+        |  FROM r)
+        |SELECT n_blocks,
+        |  CAST(r2_0 AS DOUBLE) / 2.0 AS rank_sum_0,
+        |  CAST(r2_1 AS DOUBLE) / 2.0 AS rank_sum_1,
+        |  CAST(r2_2 AS DOUBLE) / 2.0 AS rank_sum_2,
+        |  CASE WHEN n_blocks > 0 THEN round(
+        |    3.0 * ((CAST(r2_0 AS DOUBLE) * CAST(r2_0 AS DOUBLE)
+        |        + CAST(r2_1 AS DOUBLE) * CAST(r2_1 AS DOUBLE))
+        |        + CAST(r2_2 AS DOUBLE) * CAST(r2_2 AS DOUBLE))
+        |      / (CAST(n_blocks AS DOUBLE) * 3.0 * 4.0)
+        |      - 3.0 * CAST(n_blocks AS DOUBLE) * 4.0, 6)
+        |  END AS q_stat,
+        |  CASE WHEN n_blocks > 0 AND 1.0 - CAST(tie AS DOUBLE)
+        |      / (CAST(n_blocks AS DOUBLE) * 3.0 * 8.0) > 0.0
+        |  THEN round(
+        |    (3.0 * ((CAST(r2_0 AS DOUBLE) * CAST(r2_0 AS DOUBLE)
+        |        + CAST(r2_1 AS DOUBLE) * CAST(r2_1 AS DOUBLE))
+        |        + CAST(r2_2 AS DOUBLE) * CAST(r2_2 AS DOUBLE))
+        |      / (CAST(n_blocks AS DOUBLE) * 3.0 * 4.0)
+        |      - 3.0 * CAST(n_blocks AS DOUBLE) * 4.0)
+        |    / (1.0 - CAST(tie AS DOUBLE)
+        |      / (CAST(n_blocks AS DOUBLE) * 3.0 * 8.0)), 6)
+        |  END AS q_adj,
+        |  CAST(2 AS BIGINT) AS dof
+        |FROM a""".stripMargin,
+
+    // C103: Cramér's V — cell terms nano-quantized (nonnegative ⇒
+    // HALF_UP ≡ half-away-from-zero) and summed as exact integers,
+    // the D119 convention; margins/dims exact integers
+    "assoc_cramers_v" -> cramersVSql,
+
+    // E30: continuously-maintained association — stream ≡ batch on
+    // the merged additive contingency cells, oracle verbatim
+    "stream_cramers_v" -> cramersVSql,
+
+    // C106: Granger lag-1 F — nine exact sums, closed-form OLS algebra
+    "granger_causality" -> grangerSql,
+
+    // D122: JL projection distortion — deterministic Rademacher signs,
+    // 0.0-seeded index-order folds (the ANN-oracle convention),
+    // nano-quantized ratios aggregated as exact integers
+    "jl_projection_audit" ->
+      """WITH v AS (SELECT vec_id AS id, vec_id // 2 AS p, embedding AS v
+        |  FROM embeddings),
+        |pj AS (SELECT id, p, v,
+        |    list_transform(range(0, 16), j ->
+        |      list_reduce(list_prepend(0.0, list_transform(range(0, 64),
+        |        i -> CAST(v[i+1] AS DOUBLE)
+        |          * (CASE WHEN (i+1) * (j+3) * 2654435761 % 1000003 % 2
+        |             = 0 THEN 1.0 ELSE -1.0 END))),
+        |        (a, b) -> a + b) / 4.0) AS pv
+        |  FROM v),
+        |h AS (SELECT p, v AS va, pv AS pa FROM pj WHERE id % 2 = 0),
+        |r AS (SELECT p, v AS vb, pv AS pb FROM pj WHERE id % 2 = 1),
+        |pr AS (SELECT h.p,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |      i -> (CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE))
+        |        * (CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE)))),
+        |      (a, b) -> a + b) AS do_,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+        |      i -> (pa[i] - pb[i]) * (pa[i] - pb[i]))),
+        |      (a, b) -> a + b) AS dp_
+        |  FROM h JOIN r ON r.p = h.p),
+        |nn AS (SELECT CASE WHEN do_ > 0.0 THEN
+        |    CAST(round(dp_ / do_ * 1e9, 0) AS BIGINT) END AS nano
+        |  FROM pr),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN nano IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero,
+        |    CAST(SUM(nano) AS BIGINT) AS ns,
+        |    CAST(MIN(nano) AS BIGINT) AS mn,
+        |    CAST(MAX(nano) AS BIGINT) AS mx,
+        |    CAST(SUM(CASE WHEN nano BETWEEN 800000000 AND 1200000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS w20
+        |  FROM nn)
+        |SELECT n_pairs, n_zero, CAST(16 AS BIGINT) AS k_dims,
+        |  CASE WHEN n_pairs > n_zero THEN round(CAST(ns AS DOUBLE)
+        |    / CAST(n_pairs - n_zero AS DOUBLE) / 1e9, 6) END AS mean_ratio,
+        |  round(CAST(mn AS DOUBLE) / 1e9, 6) AS min_ratio,
+        |  round(CAST(mx AS DOUBLE) / 1e9, 6) AS max_ratio,
+        |  CASE WHEN n_pairs > n_zero THEN round(CAST(w20 AS DOUBLE)
+        |    / CAST(n_pairs - n_zero AS DOUBLE), 6) END
+        |    AS frac_within_20pct
+        |FROM a""".stripMargin,
+
+    // C104: Ljung-Box — the m per-lag terms fold in lag order over
+    // the 6-dp-rounded acf values both engines agree on bit-for-bit
+    "ljung_box" -> ljungBoxSql,
+
+    // E29: continuous Ljung-Box — stream ≡ batch on the merged
+    // additive day cells (the E27 argument), oracle verbatim
+    "stream_ljung_box" -> ljungBoxSql,
+
+    // D120: Fellegi-Sunter — Σn_v² / N exact integers, each weight
+    // one IEEE evaluation (1−m subtracted IN the tree, both engines);
+    // score folds fields in declaration order, rounded before the
+    // (score, id, id) cut
+    "fellegi_sunter_linkage" ->
+      """WITH c AS (SELECT c_custkey AS id, c_nationkey AS blk,
+        |    c_mktsegment AS seg,
+        |    CAST(floor(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS DOUBLE) / 100000.0) AS BIGINT) AS band,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) >= 0
+        |      AS sign
+        |  FROM customer),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+        |s1 AS (SELECT CAST(SUM(cc * cc) AS BIGINT) AS ss_seg FROM (
+        |    SELECT COUNT(*) AS cc FROM c GROUP BY seg)),
+        |s2 AS (SELECT CAST(SUM(cc * cc) AS BIGINT) AS ss_band FROM (
+        |    SELECT COUNT(*) AS cc FROM c GROUP BY band)),
+        |s3 AS (SELECT CAST(SUM(cc * cc) AS BIGINT) AS ss_sign FROM (
+        |    SELECT COUNT(*) AS cc FROM c GROUP BY sign)),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    a.seg IS NOT DISTINCT FROM b.seg AS agree_seg,
+        |    a.band IS NOT DISTINCT FROM b.band AS agree_band,
+        |    a.sign IS NOT DISTINCT FROM b.sign AS agree_sign
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT id_a, id_b, agree_seg, agree_band, agree_sign,
+        |  round(
+        |    (CASE WHEN agree_seg
+        |     THEN ln(0.95 / (CAST(ss_seg AS DOUBLE)
+        |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |     ELSE ln((1.0 - 0.95) / (1.0 - CAST(ss_seg AS DOUBLE)
+        |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |     END
+        |    + CASE WHEN agree_band
+        |     THEN ln(0.9 / (CAST(ss_band AS DOUBLE)
+        |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |     ELSE ln((1.0 - 0.9) / (1.0 - CAST(ss_band AS DOUBLE)
+        |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |     END)
+        |    + CASE WHEN agree_sign
+        |     THEN ln(0.98 / (CAST(ss_sign AS DOUBLE)
+        |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |     ELSE ln((1.0 - 0.98) / (1.0 - CAST(ss_sign AS DOUBLE)
+        |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |     END, 6) AS score
+        |FROM p CROSS JOIN n CROSS JOIN s1 CROSS JOIN s2 CROSS JOIN s3
+        |ORDER BY score DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    // D121: self-BLEU-2 — clipped counts exact integers off the
+    // doc_id-DIV-2 pairing; per-pair BLEU one IEEE tree,
+    // nano-quantized, per-lang exact integer sums
+    "self_bleu" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CASE WHEN len(trim(text)) > 0
+        |    THEN string_split_regex(trim(text), '\s+')
+        |    ELSE [] END AS tk
+        |  FROM documents),
+        |h AS (SELECT doc_id // 2 AS p, lang, tk FROM t
+        |  WHERE doc_id % 2 = 0),
+        |r AS (SELECT doc_id // 2 AS p, lang, tk FROM t
+        |  WHERE doc_id % 2 = 1),
+        |pr AS (SELECT h.p, h.lang, h.tk AS th, r.tk AS tr
+        |  FROM h JOIN r ON r.p = h.p AND r.lang = h.lang),
+        |gh AS (SELECT p, g, COUNT(*) AS ch FROM (
+        |    SELECT p, '1 ' || unnest(th) AS g FROM pr
+        |    UNION ALL
+        |    SELECT p, '2 ' || unnest(list_transform(range(1, len(th)),
+        |      i -> th[i] || ' ' || th[i+1])) AS g FROM pr)
+        |  GROUP BY 1, 2),
+        |gr AS (SELECT p, g, COUNT(*) AS cr FROM (
+        |    SELECT p, '1 ' || unnest(tr) AS g FROM pr
+        |    UNION ALL
+        |    SELECT p, '2 ' || unnest(list_transform(range(1, len(tr)),
+        |      i -> tr[i] || ' ' || tr[i+1])) AS g FROM pr)
+        |  GROUP BY 1, 2),
+        |cl AS (SELECT gh.p,
+        |    CAST(SUM(CASE WHEN substring(gh.g, 1, 1) = '1'
+        |      THEN LEAST(ch, cr) END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN substring(gh.g, 1, 1) = '2'
+        |      THEN LEAST(ch, cr) END) AS BIGINT) AS c2
+        |  FROM gh JOIN gr ON gr.p = gh.p AND gr.g = gh.g GROUP BY 1),
+        |sc AS (SELECT pr.lang,
+        |    CAST(len(th) AS BIGINT) AS lh, CAST(len(tr) AS BIGINT) AS lr,
+        |    c1, c2
+        |  FROM pr LEFT JOIN cl ON cl.p = pr.p),
+        |b AS (SELECT lang,
+        |    CASE WHEN lh >= 2 AND COALESCE(c1, 0) > 0
+        |      AND COALESCE(c2, 0) > 0
+        |    THEN (CASE WHEN lh >= lr THEN 1.0
+        |      ELSE exp(1.0 - CAST(lr AS DOUBLE) / CAST(lh AS DOUBLE)) END)
+        |      * sqrt((CAST(c1 AS DOUBLE) / CAST(lh AS DOUBLE))
+        |        * (CAST(c2 AS DOUBLE) / (CAST(lh AS DOUBLE) - 1.0)))
+        |    ELSE 0.0 END AS bleu
+        |  FROM sc)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(SUM(CAST(round(bleu * 1e9, 0) AS BIGINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 1e9, 6) AS self_bleu2
+        |FROM b GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // C105: Hurst R/S — w-scaled deviation cumsums and w²·S² exact
+    // HUGEINTs per block, one sqrt + one divide each, per-size block
+    // means off nano-quantized exact integer sums, the dyadic-ladder
+    // closed-form slope
+    "hurst_exponent" ->
+      """WITH hr AS (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT)
+        |      AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |idx AS (SELECT cents, row_number() OVER (ORDER BY h) AS t
+        |  FROM hr),
+        |b AS (SELECT cents, t, w,
+        |    (t - 1) // w AS blk, (t - 1) % w + 1 AS p
+        |  FROM idx CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS w)),
+        |cum AS (SELECT w, blk, cents,
+        |    w * SUM(cents) OVER (PARTITION BY w, blk ORDER BY t)
+        |      - p * SUM(cents) OVER (PARTITION BY w, blk) AS z
+        |  FROM b),
+        |per AS (SELECT w, blk, COUNT(*) AS cnt,
+        |    SUM(cents) AS s1, SUM(cents * cents) AS s2,
+        |    MAX(z) AS zmax, MIN(z) AS zmin
+        |  FROM cum GROUP BY 1, 2),
+        |rs AS (SELECT w,
+        |    CAST(round(CAST(zmax - zmin AS DOUBLE)
+        |      / sqrt(CAST(w * s2 - s1 * s1 AS DOUBLE)) * 1e9, 0)
+        |      AS BIGINT) AS nano
+        |  FROM per
+        |  WHERE cnt = w AND CAST(w * s2 - s1 * s1 AS DOUBLE) > 0.0),
+        |bys AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(nano) AS BIGINT) AS ns
+        |  FROM rs GROUP BY 1),
+        |one AS (SELECT
+        |    CAST(SUM(CASE WHEN w = 8 THEN nb END) AS BIGINT) AS nb_8,
+        |    CAST(SUM(CASE WHEN w = 16 THEN nb END) AS BIGINT) AS nb_16,
+        |    CAST(SUM(CASE WHEN w = 32 THEN nb END) AS BIGINT) AS nb_32,
+        |    CAST(SUM(CASE WHEN w = 64 THEN nb END) AS BIGINT) AS nb_64,
+        |    CAST(SUM(CASE WHEN w = 8 THEN ns END) AS BIGINT) AS ns_8,
+        |    CAST(SUM(CASE WHEN w = 16 THEN ns END) AS BIGINT) AS ns_16,
+        |    CAST(SUM(CASE WHEN w = 32 THEN ns END) AS BIGINT) AS ns_32,
+        |    CAST(SUM(CASE WHEN w = 64 THEN ns END) AS BIGINT) AS ns_64
+        |  FROM bys),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_obs FROM idx)
+        |SELECT n_obs,
+        |  COALESCE(nb_8, 0) AS n_blocks_8,
+        |  COALESCE(nb_16, 0) AS n_blocks_16,
+        |  COALESCE(nb_32, 0) AS n_blocks_32,
+        |  COALESCE(nb_64, 0) AS n_blocks_64,
+        |  CASE WHEN nb_8 > 0 THEN round(
+        |    CAST(ns_8 AS DOUBLE) / CAST(nb_8 AS DOUBLE) / 1e9, 6)
+        |  END AS rs_8,
+        |  CASE WHEN nb_16 > 0 THEN round(
+        |    CAST(ns_16 AS DOUBLE) / CAST(nb_16 AS DOUBLE) / 1e9, 6)
+        |  END AS rs_16,
+        |  CASE WHEN nb_32 > 0 THEN round(
+        |    CAST(ns_32 AS DOUBLE) / CAST(nb_32 AS DOUBLE) / 1e9, 6)
+        |  END AS rs_32,
+        |  CASE WHEN nb_64 > 0 THEN round(
+        |    CAST(ns_64 AS DOUBLE) / CAST(nb_64 AS DOUBLE) / 1e9, 6)
+        |  END AS rs_64,
+        |  CASE WHEN nb_8 > 0 AND nb_16 > 0 AND nb_32 > 0 AND nb_64 > 0
+        |  THEN round(
+        |    (-1.5 * ln(CAST(ns_8 AS DOUBLE) / CAST(nb_8 AS DOUBLE) / 1e9)
+        |     - 0.5 * ln(CAST(ns_16 AS DOUBLE) / CAST(nb_16 AS DOUBLE) / 1e9)
+        |     + 0.5 * ln(CAST(ns_32 AS DOUBLE) / CAST(nb_32 AS DOUBLE) / 1e9)
+        |     + 1.5 * ln(CAST(ns_64 AS DOUBLE) / CAST(nb_64 AS DOUBLE) / 1e9))
+        |    / (5.0 * 0.6931471805599453), 6)
+        |  END AS hurst
+        |FROM one CROSS JOIN nt""".stripMargin,
+
+    // C107: Nelson-Aalen — the km_retention frame verbatim with the
+    // additive seed-0.0 hazard fold instead of the survival product
+    "nelson_aalen" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(min(date_trunc('day', ts)) AS DATE) AS fd,
+        |    CAST(max(date_trunc('day', ts)) AS DATE) AS ld,
+        |    CAST(min(CASE WHEN event_type = 'error'
+        |      THEN date_trunc('day', ts) END) AS DATE) AS ed
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(CASE WHEN ed IS NOT NULL
+        |      THEN date_diff('day', fd, ed)
+        |      ELSE date_diff('day', fd, ld) END AS BIGINT) AS t,
+        |    (ed IS NULL) AS cens FROM u),
+        |bt AS (SELECT t,
+        |    CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS leave
+        |  FROM s GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM s),
+        |r AS (SELECT t, d,
+        |    total - COALESCE(SUM(leave) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM bt CROSS JOIN n),
+        |dr AS (SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d
+        |  FROM r WHERE d >= 1)
+        |SELECT a.t, a.n_risk, a.d AS d_events,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list(CAST(b.d AS DOUBLE) / CAST(b.n_risk AS DOUBLE)
+        |      ORDER BY b.t)),
+        |    (x, y) -> x + y), 6) AS cum_hazard
+        |FROM dr a JOIN dr b ON b.t <= a.t
+        |GROUP BY a.t, a.n_risk, a.d
+        |ORDER BY a.t""".stripMargin,
+
+    // C108: log-rank — per-time O-E and hypergeometric V folded in
+    // pinned time order, every input an exact integer
+    "log_rank_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(min(date_trunc('day', ts)) AS DATE) AS fd,
+        |    CAST(max(date_trunc('day', ts)) AS DATE) AS ld,
+        |    CAST(min(CASE WHEN event_type = 'error'
+        |      THEN date_trunc('day', ts) END) AS DATE) AS ed
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+        |    CAST(CASE WHEN ed IS NOT NULL
+        |      THEN date_diff('day', fd, ed)
+        |      ELSE date_diff('day', fd, ld) END AS BIGINT) AS t,
+        |    (ed IS NULL) AS cens FROM u),
+        |bt AS (SELECT t,
+        |    CAST(SUM(CASE WHEN NOT cens AND arm = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS leave1,
+        |    CAST(COUNT(*) AS BIGINT) AS leave
+        |  FROM s GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ev,
+        |    CAST(SUM(CASE WHEN NOT cens AND arm = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ev1
+        |  FROM s),
+        |r AS (SELECT t, d1, d,
+        |    n - COALESCE(SUM(leave) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_r,
+        |    n1 - COALESCE(SUM(leave1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_r1
+        |  FROM bt CROSS JOIN tot),
+        |terms AS (SELECT t,
+        |    CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE)
+        |      * CAST(n_r1 AS DOUBLE) / CAST(n_r AS DOUBLE) AS ome,
+        |    CASE WHEN n_r > 1 THEN CAST(d AS DOUBLE)
+        |      * (CAST(n_r1 AS DOUBLE) / CAST(n_r AS DOUBLE))
+        |      * (1.0 - CAST(n_r1 AS DOUBLE) / CAST(n_r AS DOUBLE))
+        |      * ((CAST(n_r AS DOUBLE) - CAST(d AS DOUBLE))
+        |        / (CAST(n_r AS DOUBLE) - 1.0))
+        |    ELSE 0.0 END AS v
+        |  FROM r WHERE d >= 1),
+        |f AS (SELECT
+        |    list_reduce(list_prepend(0.0, list(ome ORDER BY t)),
+        |      (x, y) -> x + y) AS so,
+        |    list_reduce(list_prepend(0.0, list(v ORDER BY t)),
+        |      (x, y) -> x + y) AS sv
+        |  FROM terms)
+        |SELECT n AS n_total, n1 AS n_arm1, ev AS events_total,
+        |  ev1 AS events_arm1,
+        |  round(so, 6) AS o_minus_e,
+        |  CASE WHEN sv > 0.0 THEN round(so * so / sv, 6) END AS chi2,
+        |  CAST(1 AS BIGINT) AS dof
+        |FROM f CROSS JOIN tot""".stripMargin,
+
+    // C109: Mood's median — pooled lower median off the value-domain
+    // cumulative; 2×k cells exact integers, chi-square unrolled in
+    // fixed arm order
+    "mood_median" ->
+      """WITH p AS (SELECT CAST(user_id % 3 AS INTEGER) AS arm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT v, COUNT(*) AS c,
+        |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+        |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS c2
+        |  FROM p GROUP BY 1),
+        |cc AS (SELECT *, SUM(c) OVER (ORDER BY v) AS cum FROM g),
+        |t AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM g),
+        |m AS (SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+        |    AS med
+        |  FROM cc CROSS JOIN t),
+        |suff AS (SELECT
+        |    CAST(SUM(c0) AS BIGINT) AS n_0,
+        |    CAST(SUM(CASE WHEN v > med THEN c0 ELSE 0 END) AS BIGINT)
+        |      AS a_0,
+        |    CAST(SUM(c1) AS BIGINT) AS n_1,
+        |    CAST(SUM(CASE WHEN v > med THEN c1 ELSE 0 END) AS BIGINT)
+        |      AS a_1,
+        |    CAST(SUM(c2) AS BIGINT) AS n_2,
+        |    CAST(SUM(CASE WHEN v > med THEN c2 ELSE 0 END) AS BIGINT)
+        |      AS a_2,
+        |    CAST(MIN(med) AS BIGINT) AS median
+        |  FROM g CROSS JOIN m)
+        |SELECT n_0, n_1, n_2, a_0, a_1, a_2, median,
+        |  CASE WHEN MOOD_OK THEN round(MOOD_CHI2, 6) END AS chi2,
+        |  CAST(2 AS BIGINT) AS dof
+        |FROM suff""".stripMargin
+        .replace("MOOD_OK", moodOk(3))
+        .replace("MOOD_CHI2", moodChi2(3)),
+
+    // D123: word burstiness — all-docs-including-zeros moments from
+    // present counts only (T, S, N closed form); VMR one IEEE tree,
+    // rounded before the (vmr desc, word) cut
+    "word_burstiness" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) > 0
+        |    THEN string_split_regex(trim(text), '\s+')
+        |    ELSE [] END AS tk
+        |  FROM documents),
+        |p AS (SELECT doc_id, w, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY 1, 2),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |pw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+        |    CAST(SUM(c) AS BIGINT) AS total_count,
+        |    CAST(SUM(c * c) AS BIGINT) AS s2
+        |  FROM p GROUP BY 1),
+        |f AS (SELECT w, doc_freq, total_count,
+        |    round((CAST(s2 AS DOUBLE) - CAST(total_count AS DOUBLE)
+        |        * CAST(total_count AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |      / (CAST(n_docs AS DOUBLE) - 1.0)
+        |      / (CAST(total_count AS DOUBLE) / CAST(n_docs AS DOUBLE)),
+        |      6) AS burstiness
+        |  FROM pw CROSS JOIN n WHERE total_count >= 50)
+        |SELECT w AS word, doc_freq, total_count, burstiness
+        |FROM f ORDER BY burstiness DESC, word LIMIT 30""".stripMargin,
+
+    // D119: per-source JSD vs the corpus unigram mix — each PRESENT
+    // word's pointwise term quantized to 1e-9 bits (nonnegative, so
+    // HALF_UP and half-away-from-zero agree) and summed as an exact
+    // integer; the absent-word tail is the closed form
+    // 0.5·(N−S)/N over exact integer masses
+    "source_js_divergence" ->
+      """WITH t AS (
+        |  SELECT source, CASE WHEN len(trim(text)) > 0
+        |    THEN string_split_regex(trim(text), '\s+')
+        |    ELSE [] END AS tk
+        |  FROM documents),
+        |cnt AS (SELECT source, w, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(tk) AS w FROM t) GROUP BY 1, 2),
+        |gt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens
+        |  FROM cnt GROUP BY 1),
+        |g AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cg FROM cnt GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cg) AS BIGINT) AS n_all FROM g),
+        |term AS (SELECT cnt.source,
+        |    CAST(round((p * ln(p / m) + q * ln(q / m)) * 0.5
+        |      / 0.6931471805599453 * 1e9, 0) AS BIGINT) AS nano, cg
+        |  FROM (SELECT cnt.source, cnt.w, cnt.c, g.cg, gt.n_tokens,
+        |      tot.n_all,
+        |      CAST(cnt.c AS DOUBLE) / CAST(gt.n_tokens AS DOUBLE) AS p,
+        |      CAST(g.cg AS DOUBLE) / CAST(tot.n_all AS DOUBLE) AS q,
+        |      (CAST(cnt.c AS DOUBLE) / CAST(gt.n_tokens AS DOUBLE)
+        |        + CAST(g.cg AS DOUBLE) / CAST(tot.n_all AS DOUBLE))
+        |        / 2.0 AS m
+        |    FROM cnt JOIN g USING (w) JOIN gt USING (source)
+        |    CROSS JOIN tot) cnt),
+        |agg AS (SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(nano) AS BIGINT) AS nano_sum,
+        |    CAST(SUM(cg) AS BIGINT) AS s
+        |  FROM term GROUP BY 1)
+        |SELECT source, n_types, gt.n_tokens,
+        |  round(CAST(nano_sum AS DOUBLE) / 1e9
+        |    + 0.5 * CAST(n_all - s AS DOUBLE) / CAST(n_all AS DOUBLE), 6)
+        |    AS jsd_bits
+        |FROM agg JOIN gt USING (source) CROSS JOIN tot
+        |ORDER BY source""".stripMargin,
   )
 }

@@ -309,6 +309,22 @@ object SparkEntry {
     "keyword_tfidf"      -> (TextQueries.keywordTfidf _),
     "lexical_diversity"  -> (TextQueries.lexicalDiversity _),
     "source_js_divergence" -> (TextQueries.sourceJsDivergence _),
+    "assoc_cramers_v"    -> (TextQueries.langSourceCramersV _),
+    "ab_mcnemar"         -> (WarehouseQueries.mcnemarConversion _),
+    "ab_cochran_q"       -> (WarehouseQueries.cochranQPeriods _),
+    "ab_friedman"        -> (WarehouseQueries.friedmanSpend _),
+    "ljung_box"          -> (WarehouseQueries.ljungBox _),
+    "hurst_exponent"     -> (WarehouseQueries.hurstExponent _),
+    "fellegi_sunter_linkage" -> (WarehouseQueries.fellegiSunterLinkage _),
+    "self_bleu"          -> (TextQueries.selfBleu _),
+    "stream_ljung_box"   -> (StreamFaces.streamLjungBox _),
+    "granger_causality"  -> (WarehouseQueries.grangerCausality _),
+    "jl_projection_audit" -> (VectorQueries.jlProjectionAudit _),
+    "stream_cramers_v"   -> (StreamFaces.streamCramersV _),
+    "nelson_aalen"       -> (WarehouseQueries.nelsonAalenHazard _),
+    "log_rank_test"      -> (WarehouseQueries.logRankTest _),
+    "mood_median"        -> (WarehouseQueries.moodMedian _),
+    "word_burstiness"    -> (TextQueries.wordBurstiness _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

@@ -1149,4 +1149,265 @@ object AbStats {
       when(ra.isNotNull && rb.isNotNull, round(rb - ra, 6)).as("diff"),
       when(se2 > 0.0, round((rb - ra) / sqrt(se2), 6)).as("z_stat"))
   }
+
+  /** C100: McNemar's test for paired binary outcomes (McNemar 1947) —
+    * "did the same population's conversion CHANGE between two
+    * conditions", the within-subject design where a two-proportion z
+    * test is simply wrong (the samples aren't independent). Only the
+    * DISCORDANT pairs carry information: χ² = (b−c)²/(b+c), plus the
+    * Edwards continuity-corrected (|b−c|−1)²/(b+c), both read against
+    * chi-square with 1 dof.
+    *
+    * ONE scan, ZERO data shuffle: four conditional-count legs → one
+    * scalar partial-agg merge; every cell an exact integer, each χ²
+    * one IEEE divide. b+c = 0 (no discordant pairs) publishes null.
+    */
+  def mcnemar(df: DataFrame, before: Column, after: Column): DataFrame = {
+    val a = coalesce(before, lit(false))
+    val b = coalesce(after, lit(false))
+    val agg = df.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(when(a && b, 1L).otherwise(0L)).cast("long").as("n_both"),
+      sum(when(a && !b, 1L).otherwise(0L)).cast("long").as("n_before_only"),
+      sum(when(!a && b, 1L).otherwise(0L)).cast("long").as("n_after_only"),
+      sum(when(!a && !b, 1L).otherwise(0L)).cast("long").as("n_neither"))
+    val bD = col("n_before_only").cast("double")
+    val cD = col("n_after_only").cast("double")
+    val disc = col("n_before_only") + col("n_after_only")
+    agg.select(col("n"), col("n_both"), col("n_before_only"),
+      col("n_after_only"), col("n_neither"),
+      when(disc > 0L,
+        round((bD - cD) * (bD - cD) / (bD + cD), 6)).as("chi2"),
+      when(disc > 0L,
+        round((abs(bD - cD) - 1.0) * (abs(bD - cD) - 1.0) / (bD + cD), 6))
+        .as("chi2_cc"),
+      lit(1L).as("dof"))
+  }
+
+  /** C101: Cochran's Q test (Cochran 1950) — the k-treatment
+    * generalization of C100: "does success rate differ across k
+    * related conditions measured on the SAME blocks" (k periods ×
+    * same users here). Q = (k−1)·(k·ΣC_j² − T²)/(k·T − ΣR_i²), read
+    * against chi-square with k−1 dof; blocks with all-0 or all-k
+    * rows contribute zero to both numerator and denominator, so the
+    * census needs no filtering.
+    *
+    * ONE scan, ZERO data shuffle: per-block row sums R_i are
+    * row-local expressions, the k column sums and ΣR_i² fold into one
+    * scalar partial-agg merge; EVERYTHING except the final divide is
+    * an exact integer. Zero denominator (every block constant)
+    * publishes null.
+    */
+  def cochranQ(df: DataFrame, flags: Seq[Column]): DataFrame = {
+    val k = flags.length
+    require(k >= 2 && k <= 8, s"need 2..8 flag columns, got $k")
+    val fs = flags.map(f => when(coalesce(f, lit(false)), 1L).otherwise(0L))
+    val rowSum = fs.reduce(_ + _)
+    val aggCols = Seq(
+      count(lit(1)).cast("long").as("n_blocks"),
+      sum(rowSum).cast("long").as("t"),
+      sum(rowSum * rowSum).cast("long").as("r2")) ++
+      fs.zipWithIndex.map { case (f, i) => sum(f).cast("long").as(s"c_$i") }
+    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+    val sumC2 = (0 until k)
+      .map(i => col(s"c_$i").cast("double") * col(s"c_$i").cast("double"))
+      .reduce(_ + _)
+    val tD = col("t").cast("double")
+    val den = lit(k.toDouble) * tD - col("r2").cast("double")
+    agg.select(Seq(col("n_blocks")) ++
+      (0 until k).map(i => col(s"c_$i")) ++ Seq(
+      when(den > 0.0, round(lit((k - 1).toDouble)
+        * (lit(k.toDouble) * sumC2 - tD * tD) / den, 6)).as("q_stat"),
+      lit((k - 1).toLong).as("dof")): _*)
+  }
+
+  /** C102: Friedman's test (Friedman 1937) — the rank-based k-period
+    * within-block omnibus: "does the metric LEVEL differ across k
+    * related conditions", robust to the heavy-tailed per-user spend
+    * C96 handles across independent arms. Values rank WITHIN each
+    * block (average ranks on ties, half-unit integers); Q =
+    * 3·ΣR2_j²/(N·k·(k+1)) − 3·N·(k+1) with R2_j = 2·R_j, read against
+    * chi-square with k−1 dof; the tie-corrected Q' = Q / (1 −
+    * Σ(t³−t)/(N·k·(k²−1))) is the published statistic.
+    *
+    * Scale shape: the k values per block are ROW-LOCAL columns, so
+    * ranks are pure per-row expressions (2·r_j = 2 + 2·#{less} +
+    * #{tied others} — no window, no shuffle); the column rank sums,
+    * the tie census Σ(t³−t) (row-local too, via the pair identity
+    * documented at [[friedman]]'s tieCensus), and N fold into ONE
+    * scalar partial-agg merge; every term an exact integer until the
+    * final divides. All-constant input (C ≤ 0) publishes null Q'.
+    */
+  def friedman(df: DataFrame, values: Seq[Column]): DataFrame = {
+    val k = values.length
+    require(k >= 2 && k <= 6, s"need 2..6 value columns, got $k")
+    val vs = values.map(v => coalesce(v.cast("long"), lit(0L)))
+    // half-unit rank of column j within its block:
+    // 2·r_j = 2 + 2·#{l: v_l < v_j} + #{l≠j: v_l = v_j}
+    def r2(j: Int): Column = {
+      val less = (0 until k).filter(_ != j)
+        .map(l => when(vs(l) < vs(j), 1L).otherwise(0L))
+        .foldLeft(lit(0L))(_ + _)
+      val tied = (0 until k).filter(_ != j)
+        .map(l => when(vs(l) === vs(j), 1L).otherwise(0L))
+        .foldLeft(lit(0L))(_ + _)
+      lit(2L) + lit(2L) * less + tied
+    }
+    // per-block tie census Σ(t³−t): each UNORDERED tied pair (a,b)
+    // sits in exactly one tie group of size t, and a group of size t
+    // holds t(t−1)/2 pairs, so Σ_groups (t³−t) = Σ_groups t(t−1)(t+1)
+    // = Σ_pairs 2·(t+1) where t is the pair's group size; the pair's
+    // group size is 2 + #{others equal to both} — row-local.
+    val tieCensus = {
+      val pairs = for { a <- 0 until k; b <- a + 1 until k } yield {
+        val grpSize = lit(2L) + (0 until k)
+          .filter(l => l != a && l != b)
+          .map(l => when(vs(l) === vs(a), 1L).otherwise(0L))
+          .foldLeft(lit(0L))(_ + _)
+        when(vs(a) === vs(b), lit(2L) * (grpSize + 1L)).otherwise(0L)
+      }
+      pairs.reduce(_ + _)
+    }
+    val aggCols = Seq(
+      count(lit(1)).cast("long").as("n_blocks"),
+      sum(tieCensus).cast("long").as("tie")) ++
+      (0 until k).map(j => sum(r2(j)).cast("long").as(s"r2_$j"))
+    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+    val nD = col("n_blocks").cast("double")
+    val sumR2sq = (0 until k)
+      .map(j => col(s"r2_$j").cast("double") * col(s"r2_$j").cast("double"))
+      .reduce(_ + _)
+    val q = lit(3.0) * sumR2sq / (nD * lit(k.toDouble) * lit((k + 1).toDouble)) -
+      lit(3.0) * nD * lit((k + 1).toDouble)
+    val corr = when(col("n_blocks") > 0L,
+      lit(1.0) - col("tie").cast("double")
+        / (nD * lit(k.toDouble) * lit((k * k - 1).toDouble)))
+    agg.select(Seq(col("n_blocks")) ++
+      (0 until k).map(j =>
+        (col(s"r2_$j").cast("double") / 2.0).as(s"rank_sum_$j")) ++ Seq(
+      when(col("n_blocks") > 0L, round(q, 6)).as("q_stat"),
+      when(corr > 0.0, round(q / corr, 6)).as("q_adj"),
+      lit((k - 1).toLong).as("dof")): _*)
+  }
+
+  /** C109: Mood's median test (Mood 1950; Brown & Mood 1951) — the
+    * k-arm "are the MEDIANS equal" omnibus: counts above vs not-above
+    * the POOLED median per arm, χ²(k−1) on the resulting 2×k table.
+    * The maximally-robust (if low-power) companion to C96/C97: only
+    * the side of the pooled median matters, so no whale can move it.
+    *
+    * ONE value-domain count shuffle with per-arm conditional counts
+    * riding along (the C96 recipe); the pooled LOWER median (the
+    * C94/C99 convention) via the distributed [[PrefixSum]] cumulative
+    * and one conditional MIN; cells and margins exact integers; the
+    * 2×k χ² unrolls in fixed arm order — one IEEE tree, no
+    * quantization needed at literal k. Degenerate splits (everything
+    * on one side) publish null.
+    */
+  def moodMedian(df: DataFrame, arm: Column, value: Column,
+                 arms: Int = 3): DataFrame = {
+    require(arms >= 2 && arms <= 8, s"arms must be in [2,8], got $arms")
+    val armLegs = (0 until arms).map(i =>
+      sum(when(col("__arm") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val groups = Materialize.cut(df
+      .select(arm.cast("int").as("__arm"), value.cast("long").as("__v"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("c"), armLegs: _*))
+    val cum = PrefixSum.runningSum(groups, col("__v"), col("c"), "cum")
+    val tot = groups.agg(coalesce(sum(col("c")), lit(0L)).cast("long")
+      .as("n"))
+    val med = cum.crossJoin(broadcast(tot))
+      .withColumn("__m", expr("CAST((n + 1) DIV 2 AS BIGINT)"))
+      .agg(min(when(col("cum") >= col("__m"), col("__v"))).as("med"))
+    val aggCols = (0 until arms).flatMap(i => Seq(
+      sum(col(s"c$i")).cast("long").as(s"n_$i"),
+      sum(when(col("__v") > col("med"), col(s"c$i")).otherwise(0L))
+        .cast("long").as(s"a_$i"))) :+
+      min(col("med")).cast("long").as("median")
+    val suff = groups.crossJoin(broadcast(med))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val nTot = (0 until arms).map(i => col(s"n_$i")).reduce(_ + _)
+    val aTot = (0 until arms).map(i => col(s"a_$i")).reduce(_ + _)
+    val nD = nTot.cast("double"); val aD = aTot.cast("double")
+    val chi2 = (0 until arms).map { i =>
+      val ni = col(s"n_$i").cast("double")
+      val ai = col(s"a_$i").cast("double")
+      val ea = ni * aD / nD
+      val eb = ni * (nD - aD) / nD
+      (ai - ea) * (ai - ea) / ea + ((ni - ai) - eb) * ((ni - ai) - eb) / eb
+    }.reduce(_ + _)
+    val ok = (0 until arms).map(i => col(s"n_$i") > 0L).reduce(_ && _) &&
+      aTot > 0L && aTot < nTot
+    suff.select((0 until arms).map(i => col(s"n_$i")) ++
+      (0 until arms).map(i => col(s"a_$i")) ++ Seq(
+      col("median"),
+      when(ok, round(chi2, 6)).as("chi2"),
+      lit((arms - 1).toLong).as("dof")): _*)
+  }
+
+  /** C103: Cramér's V association strength (Cramér 1946) with the χ²
+    * it derives from — the effect-size companion to C97's MI on the
+    * same contingency: MI says how many BITS the margins share, V
+    * says how far from independence on a 0..1 scale comparable
+    * across table shapes. V = √(χ²/(N·(min(r,c)−1))).
+    *
+    * Scale shape: ONE groupBy builds the cell census (cells ≤ r·c by
+    * construction — aggregate-sized); margins re-aggregate the cell
+    * frame and broadcast back. ABSENT cells ((0−e)²/e = e) never
+    * materialize: ΣΣ e over the full r×c grid is exactly N, so
+    * χ² = Σ_present[(o−e)²/e] − Σ_present e + N — two closed-tail
+    * terms over the present census only. Determinism: both
+    * nonnegative per-cell terms quantize to 1e-9 (HALF_UP ≡
+    * half-away-from-zero on nonnegatives) and sum as EXACT INTEGERS —
+    * associative, partition-order-free — the D119 JSD convention.
+    * One-level margins (min(r,c) < 2) publish null V.
+    */
+  def cramersV(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
+    cramersVFromCells(Materialize.cut(
+      df.groupBy(xCol.as("x"), yCol.as("y"))
+        .agg(count(lit(1)).as("c"))))
+
+  /** C103's finisher over an already-counted (x, y, c) cell frame —
+    * the single definition the batch face and E30's stream face (which
+    * maintains the cells additively in the lake) both ride, the
+    * `benfordFromCounts` pattern.
+    */
+  def cramersVFromCells(cells: DataFrame): DataFrame = {
+    val rx = cells.groupBy(col("x")).agg(sum(col("c")).cast("long").as("cx"))
+    val cy = cells.groupBy(col("y")).agg(sum(col("c")).cast("long").as("cy"))
+    val tot = cells.agg(sum(col("c")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_cells"))
+    val dims = rx.agg(count(lit(1)).cast("long").as("r"))
+      .crossJoin(cy.agg(count(lit(1)).cast("long").as("cc")))
+    val termed = cells
+      .join(broadcast(rx), Seq("x")).join(broadcast(cy), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__e", col("cx").cast("double") * col("cy").cast("double")
+        / col("n").cast("double"))
+      .withColumn("__nano", {
+        val o = col("c").cast("double")
+        round((o - col("__e")) * (o - col("__e")) / col("__e") * lit(1e9), 0)
+          .cast("long")
+      })
+      .withColumn("__nano_e", round(col("__e") * lit(1e9), 0).cast("long"))
+    termed.agg(max(col("n")).as("n"), max(col("n_cells")).as("n_cells"),
+      sum(col("__nano")).cast("long").as("__ns"),
+      sum(col("__nano_e")).cast("long").as("__nse"))
+      .crossJoin(broadcast(dims))
+      .select(col("n"), col("r"), col("cc").as("c"), col("n_cells"), {
+        val chi2 = (col("__ns") - col("__nse")).cast("double") / lit(1e9) +
+          col("n").cast("double")
+        round(chi2, 6).as("chi2")
+      },
+      ((col("r") - 1L) * (col("cc") - 1L)).as("dof"), {
+        // quantization can push an exactly-independent table's χ² a
+        // few 1e-9 below zero — clamp before the sqrt in BOTH engines
+        val chi2 = greatest((col("__ns") - col("__nse")).cast("double")
+          / lit(1e9) + col("n").cast("double"), lit(0.0))
+        val minDim = least(col("r"), col("cc")).cast("double") - 1.0
+        when(least(col("r"), col("cc")) >= 2L && col("n") > 0L,
+          round(sqrt(chi2 / (col("n").cast("double") * minDim)), 6))
+          .as("cramers_v")
+      })
+  }
 }

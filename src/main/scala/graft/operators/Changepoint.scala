@@ -406,4 +406,180 @@ object Changepoint {
           .as("acf"))
       .orderBy(col("lag"))
   }
+
+  /** C104: Ljung–Box portmanteau test (Ljung & Box 1978) — "is the
+    * series white noise" as ONE number over the first m
+    * autocorrelations: Q = n(n+2)·Σ_{k=1..m} ρ̂_k²/(n−k), read against
+    * chi-square with m dof. The standard residual diagnostic behind
+    * C61/C65's forecasts and the formal companion to C88's visual
+    * ACF: a single large ρ̂ or many small ones both push Q up.
+    *
+    * Rides [[acf]] unchanged (same one-scan day-series collapse, same
+    * PrefixSum-free value-domain machinery); the m per-lag terms fold
+    * over a SORTED collected list (lag order — one IEEE tree both
+    * engines replay over the 6-dp-rounded acf values they already
+    * agree on bit-for-bit). Lags with no pairs (null acf) are skipped
+    * and m counts only the entering lags; n ≤ maxLag or a zero-
+    * variance series publishes null.
+    */
+  def ljungBox(series: DataFrame, step: Column, value: Column,
+               maxLag: Int): DataFrame = {
+    val a = acf(series, step, value, maxLag)
+    val n = series.agg(count(lit(1)).cast("long").as("n"))
+    val nD = col("n").cast("double")
+    a.filter(col("acf").isNotNull).crossJoin(broadcast(n))
+      .filter(col("n") > col("lag").cast("long"))
+      .withColumn("__t",
+        col("acf") * col("acf") / (nD - col("lag").cast("double")))
+      .agg(max(col("n")).as("n"),
+        count(lit(1)).cast("long").as("m"),
+        sort_array(collect_list(struct(col("lag"), col("__t"))))
+          .as("__l"))
+      .select(col("n"), col("m"),
+        when(col("m") > 0L, round(
+          col("n").cast("double") * (col("n").cast("double") + 2.0)
+            * aggregate(col("__l"), lit(0.0),
+                (acc, e) => acc + e.getField("__t")), 6)).as("q_stat"),
+        col("m").as("dof"))
+  }
+
+  /** C106: Granger-causality F test at lag 1 (Granger 1969) — "does
+    * yesterday's y help predict today's x beyond yesterday's x",
+    * the directional companion to C78's symmetric lead-lag
+    * correlation: F = (RSS_r − RSS_u)/(RSS_u/(n−3)) compares the
+    * restricted AR(1) against the model with y_{t−1} added, read
+    * against F(1, n−3).
+    *
+    * Both OLS fits collapse to CLOSED FORMS over nine exact sufficient
+    * sums (n, Σx, Σx², Σx_l, Σx_l², Σy_l, Σy_l², Σx·x_l, Σx·y_l,
+    * Σx_l·y_l — decimal-exact), Cramer's rule on the 2×2 normal
+    * equations: RSS_r = Cxx − Cxl²/Cll and RSS_u = Cxx − (β₁Cxl +
+    * β₂Cxy) with β from (Cll, Cly, Cyy) — ONE IEEE tree end to end,
+    * engine-replayable. Degenerate inputs (n ≤ 3, constant x_lag or
+    * singular normal matrix, zero residual) publish null F.
+    *
+    * Scale shape: the caller's corpus scan collapses to the calendar
+    * day series; the lag attachment is one self-join on day+1 over
+    * that tiny frame; the sums are one scalar partial-agg merge.
+    */
+  def grangerLag1(series: DataFrame, step: Column, x: Column,
+                  y: Column): DataFrame = {
+    val s = Materialize.cut(series.select(step.as("__s"),
+      dec0(x).as("__x"), dec0(y).as("__y")))
+    val lagged = s.as("t")
+      .join(s.select(col("__s").as("__sp"), col("__x").as("__xl"),
+          col("__y").as("__yl")).as("p"),
+        col("__s") === date_add(col("__sp"), 1))
+    val a = lagged.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("__x")).as("sx"), sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__xl")).as("sl"), sum(col("__xl") * col("__xl")).as("sll"),
+      sum(col("__yl")).as("sy"), sum(col("__yl") * col("__yl")).as("syy"),
+      sum(col("__x") * col("__xl")).as("sxl"),
+      sum(col("__x") * col("__yl")).as("sxy"),
+      sum(col("__xl") * col("__yl")).as("sly"))
+    val nD = col("n").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val cxx = d("sxx") - d("sx") * d("sx") / nD
+    val cll = d("sll") - d("sl") * d("sl") / nD
+    val cyy = d("syy") - d("sy") * d("sy") / nD
+    val cxl = d("sxl") - d("sx") * d("sl") / nD
+    val cxy = d("sxy") - d("sx") * d("sy") / nD
+    val cly = d("sly") - d("sl") * d("sy") / nD
+    val det = cll * cyy - cly * cly
+    val rssR = cxx - cxl * cxl / cll
+    val b1 = (cxl * cyy - cxy * cly) / det
+    val b2 = (cxy * cll - cxl * cly) / det
+    val rssU = cxx - (b1 * cxl + b2 * cxy)
+    val ok = col("n") > 3L && cll > 0.0 && det > 0.0 && rssU > 0.0
+    a.select(col("n"),
+      when(ok, round(b2, 6)).as("beta_ylag"),
+      when(ok, round((rssR - rssU) / (rssU / (nD - 3.0)), 6)).as("f_stat"),
+      lit(1L).as("df1"), (col("n") - 3L).as("df2"))
+  }
+
+  /** C105: Hurst exponent by rescaled-range analysis (Hurst 1951;
+    * Mandelbrot & Wallis 1969) over the dyadic window ladder
+    * {8,16,32,64} — the long-range-dependence readout: H ≈ 0.5 is
+    * memoryless, H > 0.5 persistent (trends compound), H < 0.5
+    * anti-persistent (mean-reverting). The capacity-planning number
+    * behind E10's peak concurrency: persistent load aggregates far
+    * worse than Poisson.
+    *
+    * Exactness: the series indexes by rank (gaps close up — the
+    * standard practical convention); within each window, the
+    * deviation cumsum in w-SCALED form Z'_t = w·P_t − t'·S1 is an
+    * exact decimal (P the within-block prefix sum), so R_scaled =
+    * max(Z')−min(Z') is exact, and w²·S² = w·S2 − S1² is exact ⇒
+    * R/S = R_scaled/√(w·S2−S1²) is ONE sqrt + ONE divide per block.
+    * Per size, block R/S values quantize to 1e-9 (nonnegative ⇒
+    * HALF_UP ≡ half-away-from-zero) and sum as exact integers; the
+    * 4-point log-log regression collapses to the closed form
+    * H = (−1.5·y₈ − 0.5·y₁₆ + 0.5·y₃₂ + 1.5·y₆₄)/(5·ln2) because the
+    * ladder is dyadic (x_k = k·ln2, Σ(k−x̄)² = 5).
+    *
+    * Scale shape: the input is an already-collapsed series (the
+    * caller's one corpus scan); every window here partitions by
+    * (size, block) over ≤64-row frames except the rank index, whose
+    * single-partition window is CALENDAR-BOUNDED (the series is
+    * per-hour/per-day by construction). Constant blocks (zero
+    * variance) drop; a size with zero surviving blocks nulls H.
+    */
+  def hurst(series: DataFrame, step: Column, value: Column): DataFrame = {
+    val sizes = Seq(8, 16, 32, 64)
+    val idx = series
+      .select(step.as("__s"), dec0(value).as("__x"))
+      .withColumn("__t",
+        row_number().over(Window.orderBy(col("__s"))).cast("long"))
+    val sz = idx.sparkSession.range(0, sizes.length)
+      .select(col("id").cast("int").as("__i"))
+      .withColumn("__w", element_at(
+        array(sizes.map(s => lit(s)): _*), col("__i") + 1))
+    val blocks = idx.crossJoin(broadcast(sz))
+      .withColumn("__b", ((col("__t") - 1L) / col("__w").cast("long"))
+        .cast("long"))
+      .withColumn("__p", (col("__t") - 1L) % col("__w").cast("long") + 1L)
+    val win = Window.partitionBy(col("__w"), col("__b"))
+      .orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = blocks
+      .withColumn("__pre", sum(col("__x")).over(win))
+      .withColumn("__z",
+        dec0(col("__w")) * col("__pre") - dec0(col("__p")) *
+          sum(col("__x")).over(Window.partitionBy(col("__w"), col("__b"))))
+    val per = cum.groupBy(col("__w"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(col("__x")).as("__s1"),
+        sum(col("__x") * col("__x")).as("__s2"),
+        max(col("__z")).as("__zmax"), min(col("__z")).as("__zmin"))
+      .filter(col("__cnt") === col("__w").cast("long"))
+      .withColumn("__nex",
+        dec0(col("__w")) * col("__s2") - col("__s1") * col("__s1"))
+      .filter(col("__nex").cast("double") > 0.0)
+      .withColumn("__nano", round(
+        (col("__zmax") - col("__zmin")).cast("double")
+          / sqrt(col("__nex").cast("double")) * lit(1e9), 0).cast("long"))
+    val bySize = per.groupBy(col("__w"))
+      .agg(count(lit(1)).cast("long").as("nb"),
+        sum(col("__nano")).cast("long").as("ns"))
+    val oneCols = sizes.map(w => sum(when(col("__w") === w, col("nb")))
+        .cast("long").as(s"nb_$w")) ++
+      sizes.map(w => sum(when(col("__w") === w, col("ns")))
+        .cast("long").as(s"ns_$w"))
+    val one = bySize.agg(oneCols.head, oneCols.tail: _*)
+    def avgRs(w: Int): Column =
+      col(s"ns_$w").cast("double") / col(s"nb_$w").cast("double") / lit(1e9)
+    val ok = sizes.map(w => col(s"nb_$w") > 0L).reduce(_ && _)
+    val LN2 = 0.6931471805599453
+    val h = (lit(-1.5) * log(avgRs(8)) - lit(0.5) * log(avgRs(16))
+      + lit(0.5) * log(avgRs(32))
+      + lit(1.5) * log(avgRs(64))) / (lit(5.0) * lit(LN2))
+    val nTot = idx.agg(count(lit(1)).cast("long").as("n_obs"))
+    one.crossJoin(broadcast(nTot)).select(
+      Seq(col("n_obs")) ++
+      sizes.map(w => coalesce(col(s"nb_$w"), lit(0L)).as(s"n_blocks_$w")) ++
+      sizes.map(w => when(col(s"nb_$w") > 0L,
+        round(avgRs(w), 6)).as(s"rs_$w")) ++
+      Seq(when(ok, round(h, 6)).as("hurst")): _*)
+  }
 }

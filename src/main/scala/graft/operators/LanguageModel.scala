@@ -363,6 +363,49 @@ object LanguageModel {
     * tokens emit zero counts and null ratios (left join back to the
     * corpus, so no doc vanishes).
     */
+  /** D123: word burstiness — the variance-to-mean ratio (Fano factor)
+    * of each word's per-document counts, zeros included (Church &
+    * Gale 1995: content words are BURSTY — absent from most docs,
+    * dense where they appear — while function words spread evenly;
+    * VMR ≈ 1 is Poisson, ≫ 1 is bursty). The signal that separates
+    * topical vocabulary from glue independent of raw frequency, and a
+    * boilerplate tell (template phrases are anomalously NON-bursty
+    * for their rank).
+    *
+    * The all-docs-including-zeros moments need NO zero rows: with N
+    * docs, T = Σc and S = Σc² over PRESENT (doc, word) counts give
+    * mean = T/N and var = (S − T²/N)/(N−1) exactly. ONE tokenize →
+    * (doc, word) count shuffle (the D16 cost), one word-keyed
+    * re-aggregation; every sufficient statistic an exact integer, VMR
+    * one IEEE tree, 6-dp rounded BEFORE the (vmr desc, word asc)
+    * top-k cut so both engines cut identically.
+    */
+  def wordBurstiness(docs: DataFrame, idCol: String, textCol: String,
+                     minFreq: Long = 50L, k: Int = 30): DataFrame = {
+    require(minFreq >= 1L && k >= 1, s"bad dials ($minFreq, $k)")
+    val nDocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    val perWord = docs
+      .select(col(idCol).as("__id"), explode(toks(col(textCol))).as("__w"))
+      .groupBy(col("__id"), col("__w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).cast("long").as("doc_freq"),
+        sum(col("c")).cast("long").as("total_count"),
+        sum(col("c") * col("c")).cast("long").as("__s2"))
+      .filter(col("total_count") >= minFreq)
+    val scored = perWord.crossJoin(broadcast(nDocs))
+      .withColumn("burstiness", {
+        val tD = col("total_count").cast("double")
+        val sD = col("__s2").cast("double")
+        val nD = col("n_docs").cast("double")
+        round((sD - tD * tD / nD) / (nD - 1.0) / (tD / nD), 6)
+      })
+    scored
+      .select(col("__w").as("word"), col("doc_freq"),
+        col("total_count"), col("burstiness"))
+      .orderBy(col("burstiness").desc, col("word"))
+      .limit(k)
+  }
+
   def lexicalDiversity(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     val pairs = docs

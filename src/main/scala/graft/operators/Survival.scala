@@ -67,4 +67,128 @@ object Survival {
               / x.getField("n_risk").cast("double")),
           lit(1.0), (acc, f) => acc * f), 6).as("survival"))
   }
+
+  /** C107: Nelson–Aalen cumulative hazard (Nelson 1972; Aalen 1978) —
+    * H(t) = Σ_{s≤t} d_s/n_s, the ADDITIVE companion to [[kaplanMeier]]:
+    * where KM's product estimates survival, NA estimates accumulated
+    * risk — near-linear H means constant hazard, bends mean the
+    * failure rate itself is changing, and −ln(KM) ≈ NA is the
+    * standard cross-check between the two estimators.
+    *
+    * Identical frame machinery to KM (same per-time collapse, same
+    * exclusive at-risk cumulative); the running SUM folds the sorted
+    * death list with seed 0.0 — each step one IEEE divide of exact
+    * integers, engine-replayable. Same one-scan scale shape.
+    */
+  def nelsonAalen(subjects: DataFrame, timeCol: Column,
+                  censored: Column): DataFrame = {
+    val subj = Materialize.cut(
+      subjects.select(timeCol.as("t"), censored.as("__c")))
+    val byTime = subj
+      .groupBy(col("t"))
+      .agg(sum(when(!col("__c"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leave"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byTime
+      .withColumn("__gone", coalesce(sum(col("leave")).over(w), lit(0L)))
+      .crossJoin(broadcast(
+        subj.agg(count(lit(1)).cast("long").as("__n"))))
+      .withColumn("n_risk", col("__n") - col("__gone"))
+      .filter(col("d") >= 1)
+      .select(col("t"), col("n_risk"), col("d"))
+    risk
+      .agg(sort_array(collect_list(struct(col("t"), col("n_risk"),
+        col("d")))).as("l"))
+      .select(posexplode(col("l")).as(Seq("__i", "__e")), col("l"))
+      .select(col("__e.t").as("t"),
+        col("__e.n_risk").as("n_risk"),
+        col("__e.d").as("d_events"),
+        round(aggregate(
+          transform(slice(col("l"), lit(1), col("__i") + 1),
+            x => x.getField("d").cast("double")
+              / x.getField("n_risk").cast("double")),
+          lit(0.0), (acc, f) => acc + f), 6).as("cum_hazard"))
+  }
+
+  /** C108: two-sample log-rank test (Mantel 1966; Peto & Peto 1972) —
+    * "do the two arms have the same survival curve", THE standard
+    * censoring-correct comparison (a t-test on observed lifetimes is
+    * biased the moment censoring differs by arm). At each death time:
+    * E₁ = d·n₁/n and the hypergeometric variance
+    * V = d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1); χ² = (Σ(d₁−E₁))²/ΣV against
+    * 1 dof.
+    *
+    * Same per-time collapse with per-arm legs riding along; both
+    * at-risk cumulatives share ONE exclusive window over the
+    * aggregate-sized time frame; the two folds (O−E and V) run over
+    * the same sorted list, each term one IEEE tree over exact
+    * integers. Single-subject times (n = 1) contribute zero variance
+    * by the standard convention; ΣV = 0 publishes null.
+    */
+  def logRank(subjects: DataFrame, timeCol: Column, censored: Column,
+              arm: Column): DataFrame = {
+    val subj = Materialize.cut(
+      subjects.select(timeCol.as("t"), censored.as("__c"),
+        arm.cast("int").as("__a")))
+    val byTime = subj
+      .groupBy(col("t"))
+      .agg(
+        sum(when(!col("__c") && col("__a") === 1, 1L).otherwise(0L))
+          .as("d1"),
+        sum(when(!col("__c"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("__a") === 1, 1L).otherwise(0L)).as("leave1"),
+        count(lit(1)).as("leave"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = subj.agg(count(lit(1)).cast("long").as("__n"),
+      sum(when(col("__a") === 1, 1L).otherwise(0L)).cast("long")
+        .as("__n1"),
+      sum(when(!col("__c"), 1L).otherwise(0L)).cast("long").as("__ev"),
+      sum(when(!col("__c") && col("__a") === 1, 1L).otherwise(0L))
+        .cast("long").as("__ev1"))
+    val risk = byTime
+      .withColumn("__gone", coalesce(sum(col("leave")).over(w), lit(0L)))
+      .withColumn("__gone1",
+        coalesce(sum(col("leave1")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_r", col("__n") - col("__gone"))
+      .withColumn("n_r1", col("__n1") - col("__gone1"))
+      .filter(col("d") >= 1)
+    val terms = risk.select(col("t"), col("__n"), col("__n1"),
+      col("__ev"), col("__ev1"), {
+        val dD = col("d").cast("double"); val d1D = col("d1").cast("double")
+        val nD = col("n_r").cast("double")
+        val n1D = col("n_r1").cast("double")
+        (d1D - dD * n1D / nD).as("__ome")
+      }, {
+        val dD = col("d").cast("double")
+        val nD = col("n_r").cast("double")
+        val n1D = col("n_r1").cast("double")
+        when(col("n_r") > 1L,
+          dD * (n1D / nD) * (lit(1.0) - n1D / nD)
+            * ((nD - dD) / (nD - 1.0))).otherwise(lit(0.0)).as("__v")
+      })
+    terms
+      .agg(max(col("__n")).as("n_total"), max(col("__n1")).as("n_arm1"),
+        max(col("__ev")).as("events_total"),
+        max(col("__ev1")).as("events_arm1"),
+        sort_array(collect_list(struct(col("t"), col("__ome"),
+          col("__v")))).as("l"))
+      .select(col("n_total"), col("n_arm1"), col("events_total"),
+        col("events_arm1"), {
+          val ome = aggregate(col("l"), lit(0.0),
+            (acc, e) => acc + e.getField("__ome"))
+          val v = aggregate(col("l"), lit(0.0),
+            (acc, e) => acc + e.getField("__v"))
+          round(ome, 6).as("o_minus_e")
+        }, {
+          val ome = aggregate(col("l"), lit(0.0),
+            (acc, e) => acc + e.getField("__ome"))
+          val v = aggregate(col("l"), lit(0.0),
+            (acc, e) => acc + e.getField("__v"))
+          when(v > 0.0, round(ome * ome / v, 6)).as("chi2")
+        },
+        lit(1L).as("dof"))
+  }
 }

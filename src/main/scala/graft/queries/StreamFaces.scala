@@ -359,6 +359,63 @@ object StreamFaces {
       maxLag = 10)
   }
 
+  /** E29 as a gated key: continuous white-noise monitoring (E ∘ C104)
+    * — the SAME additive per-day decimal cells E27 maintains, with
+    * [[graft.operators.Changepoint.ljungBox]] as the read-face
+    * finisher instead of the raw ACF: the live "has the daily series
+    * stopped being noise" alarm. The merged day series is IDENTICAL
+    * to the batch C104 collapse, so the oracle is `ljung_box`'s SQL
+    * verbatim (stream ≡ batch).
+    */
+  def streamLjungBox(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_lb")
+    Tables.events(spark, dir) // normalize the ns-vs-µs conf
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val stream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val q = graft.streaming.StreamingForecast.start(
+      stream.filter(col("event_type") === "purchase"),
+      lit(0L), date_trunc("day", col("ts")).cast("date"),
+      graft.functions.Num.dec2(col("value")),
+      s"$base/sums", s"$base/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val daily = spark.read.parquet(s"$base/sums")
+      .groupBy(col("p").as("day"))
+      .agg((sum(col("v")) * 100).cast("decimal(38,0)").as("cents"))
+    graft.operators.Changepoint.ljungBox(daily, col("day"), col("cents"),
+      maxLag = 10)
+  }
+
+  /** E30 as a gated key: continuously-maintained lang×source
+    * association (E ∘ C103) — per micro-batch the contingency CELL
+    * COUNTS append to the lake (additive, replay-idempotent, the E28
+    * recipe); the read face merges them and runs
+    * [[graft.operators.AbStats.cramersVFromCells]], the batch C103
+    * finisher, so the oracle is `assoc_cramers_v`'s SQL verbatim.
+    * The live "is provenance drifting into language silos" alarm.
+    */
+  def streamCramersV(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_cv")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = graft.streaming.StreamingForecast.start(
+      stream, col("lang"), col("source"), lit(1L),
+      s"$base/cells", s"$base/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val cells = spark.read.parquet(s"$base/cells")
+      .groupBy(col("k").as("x"), col("p").as("y"))
+      .agg(sum(col("v")).cast("long").as("c"))
+    graft.operators.AbStats.cramersVFromCells(cells)
+  }
+
   /** E28 as a gated key: continuous Benford first-digit monitoring
     * (E ∘ C79) — the live fraud/data-corruption alarm: per
     * micro-batch the 9 first-digit counts append to the lake

@@ -1625,6 +1625,31 @@ object TextQueries {
     graft.operators.AbStats.mutualInformation(
       Tables.documents(spark, dir), col("lang"), col("source"))
 
+  /** D123: word burstiness — top-30 Fano factors among words with
+    * corpus frequency ≥ 50 (see
+    * [[graft.operators.LanguageModel.wordBurstiness]]).
+    */
+  def wordBurstiness(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.wordBurstiness(
+      Tables.documents(spark, dir), "doc_id", "text",
+      minFreq = 50L, k = 30)
+
+  /** D121: self-BLEU-2 corpus-diversity audit per language — pairwise
+    * BLEU between doc_id-DIV-2 paired documents (see
+    * [[graft.operators.Bleu.selfBleu]]).
+    */
+  def selfBleu(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bleu.selfBleu(
+      Tables.documents(spark, dir), "doc_id", "lang", "text")
+
+  /** C103: Cramér's V on the SAME lang × source contingency D97's MI
+    * reads — the 0..1 effect size next to the bit count (see
+    * [[graft.operators.AbStats.cramersV]]).
+    */
+  def langSourceCramersV(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.cramersV(
+      Tables.documents(spark, dir), col("lang"), col("source"))
+
   /** D95: byte-entropy filter — the compressibility proxy cut:
     * boilerplate sits low, random junk sits high, prose lands in a
     * mid band. Per-row codegen kernel

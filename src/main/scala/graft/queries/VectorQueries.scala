@@ -426,6 +426,15 @@ object VectorQueries {
       .orderBy(col("cid"))
   }
 
+  /** D122: JL random-projection distortion audit — 64 → 16 dims with
+    * the deterministic Rademacher sign matrix; how well do pairwise
+    * distances survive? (see
+    * [[graft.operators.RandomProjection.distortionAudit]]).
+    */
+  def jlProjectionAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RandomProjection.distortionAudit(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", d = 64, k = 16)
+
   def embeddingAudit(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"),
         size(col("embedding")).as("dim"),

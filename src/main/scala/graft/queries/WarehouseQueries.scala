@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Num._
-import graft.operators.{AsOfJoin, Ewma, Funnel, FuzzyJoin, HybridRetrieval, Outliers, Profile, Scd2, Similarity, TextRank}
+import graft.operators.{AsOfJoin, Ewma, FellegiSunter, Funnel, FuzzyJoin, HybridRetrieval, Outliers, Profile, Scd2, Similarity, TextRank}
 import graft.sources.{BucketedLake, Tables}
 
 /** Round-5 warehouse + retrieval surface (SURVEY §2: C20-C22, A11, D31).
@@ -1299,22 +1299,55 @@ object WarehouseQueries {
     * naive "fraction errored by day t" gets wrong. See
     * [[graft.operators.Survival]].
     */
-  def kaplanMeierRetention(spark: SparkSession, dir: String): DataFrame = {
-    val users = Tables.events(spark, dir)
+  def kaplanMeierRetention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Survival.kaplanMeier(kmSubjects(spark, dir),
+        col("t"), col("cens"))
+      .orderBy(col("t"))
+
+  /** The one shared time-to-first-error subject frame behind
+    * C75/C107/C108 — per user: days from first event to first `error`
+    * (the failure), right-censored at last activity when error-free;
+    * change the convention here, nowhere else.
+    */
+  private def kmSubjects(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(min(date_trunc("day", col("ts")).cast("date")).as("first_day"),
         max(date_trunc("day", col("ts")).cast("date")).as("last_day"),
         min(when(col("event_type") === "error",
           date_trunc("day", col("ts")).cast("date"))).as("err_day"))
-      .select(
+      .select(col("user_id"),
         when(col("err_day").isNotNull,
             datediff(col("err_day"), col("first_day")))
           .otherwise(datediff(col("last_day"), col("first_day")))
           .cast("long").as("t"),
         col("err_day").isNull.as("cens"))
-    graft.operators.Survival.kaplanMeier(users, col("t"), col("cens"))
+
+  /** C107: Nelson–Aalen cumulative hazard on the same time-to-first-
+    * error frame as [[kaplanMeierRetention]] — accumulated risk where
+    * KM gives survival (see
+    * [[graft.operators.Survival.nelsonAalen]]).
+    */
+  def nelsonAalenHazard(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Survival.nelsonAalen(kmSubjects(spark, dir),
+        col("t"), col("cens"))
       .orderBy(col("t"))
-  }
+
+  /** C108: two-sample log-rank test — do the user-parity arms share
+    * the time-to-first-error curve? The censoring-correct arm
+    * comparison (see [[graft.operators.Survival.logRank]]).
+    */
+  def logRankTest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Survival.logRank(kmSubjects(spark, dir),
+      col("t"), col("cens"), col("user_id") % 2)
+
+  /** C109: Mood's median test across the three user-mod-3 arms on
+    * purchase cents — the maximally-robust location omnibus next to
+    * C96/C97 (see [[graft.operators.AbStats.moodMedian]]).
+    */
+  def moodMedian(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.moodMedian(
+      purchaseCentsArm3(spark, dir), col("arm"), col("cents"), arms = 3)
 
   /** C82: Wald SPRT sequential monitor — the daily purchase-conversion
     * LLR curve against H0 p=0.18 vs H1 p=0.22 at α=β=0.05 (see
@@ -1568,6 +1601,117 @@ object WarehouseQueries {
   def senSlope(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Changepoint.senSlope(dailyPurchaseCents(spark, dir),
       col("day"), col("cents"))
+
+  /** C100: McNemar's paired-conversion test — did the SAME users'
+    * purchase behavior change between the first and second half of
+    * the month? (see [[graft.operators.AbStats.mcnemar]]). One
+    * user-keyed partial-agg'd shuffle builds the pair frame.
+    */
+  def mcnemarConversion(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(when(col("event_type") === "purchase" &&
+          dayofmonth(col("ts")) <= 15, 1L).otherwise(0L)) > 0L)
+          .as("before"),
+        (sum(when(col("event_type") === "purchase" &&
+          dayofmonth(col("ts")) >= 16, 1L).otherwise(0L)) > 0L)
+          .as("after"))
+    graft.operators.AbStats.mcnemar(perUser, col("before"), col("after"))
+  }
+
+  /** C101: Cochran's Q across the three day-of-month tertiles — does
+    * purchase incidence differ across the month's thirds for the same
+    * user population? (see [[graft.operators.AbStats.cochranQ]]).
+    */
+  def cochranQPeriods(spark: SparkSession, dir: String): DataFrame = {
+    def flag(lo: Int, hi: Int): Column =
+      (sum(when(col("event_type") === "purchase" &&
+        dayofmonth(col("ts")).between(lo, hi), 1L).otherwise(0L)) > 0L)
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(flag(1, 10).as("p0"), flag(11, 20).as("p1"),
+        flag(21, 31).as("p2"))
+    graft.operators.AbStats.cochranQ(perUser,
+      Seq(col("p0"), col("p1"), col("p2")))
+  }
+
+  /** C102: Friedman's rank test across the same tertiles on per-user
+    * spend LEVEL (exact cents, 0 when silent) — the magnitude
+    * companion to [[cochranQPeriods]]'s incidence test (see
+    * [[graft.operators.AbStats.friedman]]).
+    */
+  def friedmanSpend(spark: SparkSession, dir: String): DataFrame = {
+    def cents(lo: Int, hi: Int): Column =
+      coalesce(sum(when(col("event_type") === "purchase" &&
+        dayofmonth(col("ts")).between(lo, hi),
+        dec2(col("value")) * 100)), lit(0)).cast("long")
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(cents(1, 10).as("v0"), cents(11, 20).as("v1"),
+        cents(21, 31).as("v2"))
+    graft.operators.AbStats.friedman(perUser,
+      Seq(col("v0"), col("v1"), col("v2")))
+  }
+
+  /** C106: Granger causality at lag 1 — do yesterday's SIGNUPS help
+    * predict today's purchase cents beyond yesterday's cents? The
+    * directional readout next to C78's symmetric lead-lag (see
+    * [[graft.operators.Changepoint.grangerLag1]]). Same one-scan day
+    * collapse as [[kendallTau]].
+    */
+  def grangerCausality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(coalesce(sum(when(col("event_type") === "purchase",
+          dec2(col("value")) * 100)), lit(0)).cast("long").as("cents"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+          .as("signups"))
+    graft.operators.Changepoint.grangerLag1(daily, col("day"),
+      col("cents"), col("signups"))
+  }
+
+  /** C104: Ljung–Box white-noise test over the first 10
+    * autocorrelations of the daily purchase series — the formal
+    * companion to [[valueAcf]] (see
+    * [[graft.operators.Changepoint.ljungBox]]). Same one-scan day
+    * collapse.
+    */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Changepoint.ljungBox(dailyPurchaseCents(spark, dir),
+      col("day"), col("cents"), maxLag = 10)
+
+  /** C105: Hurst exponent of the HOURLY purchase series (744 points
+    * at the one-month calendar — enough mass for the {8,16,32,64}
+    * dyadic R/S ladder; see [[graft.operators.Changepoint.hurst]]).
+    * One scan collapses the corpus to the hour series.
+    */
+  def hurstExponent(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg((sum(dec2(col("value"))) * 100)
+        .cast("decimal(38,0)").as("cents"))
+    graft.operators.Changepoint.hurst(hourly, col("hour"), col("cents"))
+  }
+
+  /** D120: Fellegi–Sunter linkage scores over nation-blocked customer
+    * pairs — segment / balance-band / balance-sign agreement with
+    * frequency-based u-probabilities and declared m priors (see
+    * [[graft.operators.FellegiSunter]]). The nation block is the
+    * scale dial (the C76 recipe).
+    */
+  def fellegiSunterLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (dec2(col("c_acctbal")) * 100).cast("long")
+    FellegiSunter.score(
+      Tables.customer(spark, dir), "c_custkey", col("c_nationkey"),
+      Seq(
+        ("seg", col("c_mktsegment"), 0.95),
+        ("band", floor(cents.cast("double") / lit(100000.0)).cast("long"),
+          0.90),
+        ("sign", cents >= 0L, 0.98)),
+      k = 50)
+  }
 
   /** C89: degree assortativity of the parts-bought-together graph
     * (same edge build as [[triangleCount]]) — do high-degree parts

@@ -1068,6 +1068,57 @@ object ScaleProbe {
       println(f"[probe]   (apply-only: ${(System.nanoTime() - t0) / 1e9}%.2f s)")
       n
     }
+    t("hurst_hourly") {
+      // C105: one corpus scan → calendar-bounded hour series; the
+      // R/S ladder is constant-size past the collapse (744 rows × 4
+      // sizes at any mult)
+      val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(graft.functions.Num.dec2(col("value"))) * 100)
+          .cast("decimal(38,0)").as("cents"))
+      graft.operators.Changepoint.hurst(hourly, col("hour"),
+        col("cents")).count()
+    }
+    def tertile(lo: Int, hi: Int, nm: String) =
+      coalesce(sum(when(col("event_type") === "purchase" &&
+        dayofmonth(col("ts")).between(lo, hi),
+        graft.functions.Num.dec2(col("value")) * 100)), lit(0))
+        .cast("long").as(nm)
+    t("friedman_tertiles") {
+      // C102: ONE user-keyed partial-agg'd shuffle; ranks and the tie
+      // census are row-local — cost ∝ rows scanned, then user-sized
+      val perUser = ev
+        .withColumn("event_type",
+          when(col("event_id") % 5 === 0, "purchase").otherwise("view"))
+        .groupBy(col("user_id"))
+        .agg(tertile(1, 10, "v0"), tertile(11, 20, "v1"),
+          tertile(21, 31, "v2"))
+      graft.operators.AbStats.friedman(perUser,
+        Seq(col("v0"), col("v1"), col("v2"))).count()
+    }
+    t("fellegi_sunter") {
+      // D120: pairs grow quadratically WITHIN a block — the block key
+      // is the dial (the C76 lesson). Production posture at ×mult:
+      // refine nation → (nation, balance band) so block sizes stay
+      // put while the record count grows.
+      val cust = graft.sources.Tables.customer(spark, dir)
+        .crossJoin(copies)
+        .select((col("c_custkey") * mult + col("copy")).as("c_custkey"),
+          col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      val cents = (graft.functions.Num.dec2(col("c_acctbal")) * 100)
+        .cast("long")
+      val band = floor(cents.cast("double") / lit(100000.0)).cast("long")
+      graft.operators.FellegiSunter.score(
+        cust, "c_custkey", struct(col("c_nationkey"), band),
+        Seq(("seg", col("c_mktsegment"), 0.95),
+          ("sign", cents >= 0L, 0.98)), k = 50).count()
+    }
+    t("self_bleu") {
+      // D121: gram censuses ∝ token volume (the chunk-overlap class);
+      // pair frame is half the doc count, language rollup is tiny
+      graft.operators.Bleu.selfBleu(
+        docs.withColumn("lang", (col("doc_id") % 4).cast("string")),
+        "doc_id", "lang", "text").count()
+    }
     t("png_decode") {
       // per-row encode + inflate + unfilter; pure map, zero exchanges
       import spark.implicits._

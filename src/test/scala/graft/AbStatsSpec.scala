@@ -1315,4 +1315,457 @@ class AbStatsSpec extends AnyFunSuite {
     val r = Changepoint.kendallTau(df, col("s"), col("x"), col("y")).head
     assert(r.isNullAt(r.fieldIndex("tau_b")))
   }
+
+  // ---- TF-IDF keywords -------------------------------------------------------
+
+  test("keywordTfidf: hand scores, whitespace doc counts toward N, tie by word") {
+    import graft.operators.Collocations
+    // N = 3 docs (the whitespace doc COUNTS toward N but emits no
+    // keywords); df: apple 1, banana 2, cherry 1
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = Collocations.keywordTfidf(docs, "doc_id", "text", k = 3)
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L))
+    def score(tf: Long, df0: Long): Double =
+      d6(tf * (math.log(4.0 / (df0 + 1.0)) + 1.0))
+    val d1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.map(r => (r.getAs[Int]("rk"), r.getAs[String]("word"),
+      r.getAs[Double]("score"))).toSeq ===
+      Seq((1, "apple", score(2, 1)), (2, "banana", score(1, 2))))
+    val d2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.map(r => (r.getAs[Int]("rk"), r.getAs[String]("word")))
+      .toSeq === Seq((1, "cherry"), (2, "banana")))
+    // equal scores cut by word ascending in both engines
+    val tie = Seq((1L, "y x")).toDF("doc_id", "text")
+    val t = Collocations.keywordTfidf(tie, "doc_id", "text", k = 1)
+      .collect()
+    assert(t.length === 1 && t.head.getAs[String]("word") === "x")
+  }
+
+  // ---- Lexical diversity -----------------------------------------------------
+
+  test("lexicalDiversity: hand ratios, Yule K, token-less doc survives") {
+    import graft.operators.LanguageModel
+    // "a a b": N=3, V=2, hapax=1, Σc²=5 → K = 10⁴·(5−3)/9
+    val docs = Seq((1L, "a a b"), (2L, "   ")).toDF("doc_id", "text")
+    val out = LanguageModel.lexicalDiversity(docs, "doc_id", "text")
+      .collect()
+    assert(out.length === 2)
+    val r1 = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(r1.getAs[Long]("n_tokens") === 3L)
+    assert(r1.getAs[Long]("n_types") === 2L)
+    assert(r1.getAs[Long]("hapax") === 1L)
+    assert(r1.getAs[Double]("ttr") === d6(2.0 / 3.0))
+    assert(r1.getAs[Double]("hapax_ratio") === d6(1.0 / 3.0))
+    assert(r1.getAs[Double]("yule_k") === d6(10000.0 * 2.0 / 9.0))
+    // the token-less doc is PRESENT with zero counts and null ratios
+    val r2 = out.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(r2.getAs[Long]("n_tokens") === 0L)
+    assert(r2.isNullAt(r2.fieldIndex("ttr")))
+    assert(r2.isNullAt(r2.fieldIndex("yule_k")))
+  }
+
+  // ---- Source JSD ------------------------------------------------------------
+
+  test("jsSourceDivergence: single source is 0; two-source hand replay") {
+    import graft.operators.Drift
+    // one source ⇒ p = q everywhere, absent mass 0 ⇒ JSD = 0 exactly
+    val one = Seq(("s1", "a a b"), ("s1", "c")).toDF("source", "text")
+    val r0 = Drift.jsSourceDivergence(one, col("source"), col("text"))
+      .head
+    assert(r0.getAs[Double]("jsd_bits") === 0.0)
+    assert(r0.getAs[Long]("n_types") === 3L &&
+      r0.getAs[Long]("n_tokens") === 4L)
+    // disjoint vocab: s1 = {a}, s2 = {b} ⇒ per-source replay of the
+    // quantized present-term + closed-form absent-tail convention
+    val two = Seq(("s1", "a"), ("s2", "b")).toDF("source", "text")
+    val out = Drift.jsSourceDivergence(two, col("source"), col("text"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val LN2 = 0.6931471805599453
+    def nano(p: Double, q: Double): Long = {
+      val m = (p + q) / 2.0
+      BigDecimal((p * math.log(p / m) + q * math.log(q / m)) * 0.5
+        / LN2 * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    // each source: present word p=1, q=1/2; absent tail 0.5·(2−1)/2
+    val want = d6(nano(1.0, 0.5) / 1e9 + 0.5 * 1.0 / 2.0)
+    assert(out("s1").getAs[Double]("jsd_bits") === want)
+    assert(out("s2").getAs[Double]("jsd_bits") === want)
+  }
+
+  // ---- McNemar --------------------------------------------------------------
+
+  test("mcnemar: discordant cells drive the statistic; b+c=0 nulls") {
+    val df = Seq((true, true), (true, false), (true, false),
+      (false, true), (false, false)).toDF("a", "b")
+    val r = AbStats.mcnemar(df, col("a"), col("b")).head
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Long]("n_both") === 1L)
+    assert(r.getAs[Long]("n_before_only") === 2L)
+    assert(r.getAs[Long]("n_after_only") === 1L)
+    assert(r.getAs[Long]("n_neither") === 1L)
+    assert(r.getAs[Double]("chi2") === d6(1.0 / 3.0))
+    assert(r.getAs[Double]("chi2_cc") === 0.0)
+    // concordant-only input: no information, null chi-squares
+    val conc = Seq((true, true), (false, false)).toDF("a", "b")
+    val rc = AbStats.mcnemar(conc, col("a"), col("b")).head
+    assert(rc.isNullAt(rc.fieldIndex("chi2")))
+  }
+
+  // ---- Cochran's Q ----------------------------------------------------------
+
+  test("cochranQ: textbook 4-block replay; constant blocks null out") {
+    val df = Seq((true, true, false), (true, false, false),
+      (true, true, true), (false, true, false)).toDF("f0", "f1", "f2")
+    val r = AbStats.cochranQ(df,
+      Seq(col("f0"), col("f1"), col("f2"))).head
+    // C = (3,3,1), T = 7, ΣR² = 15 → Q = 2·(3·19 − 49)/(21 − 15) = 8/3
+    assert(r.getAs[Long]("n_blocks") === 4L)
+    assert(r.getAs[Long]("c_0") === 3L && r.getAs[Long]("c_1") === 3L &&
+      r.getAs[Long]("c_2") === 1L)
+    assert(r.getAs[Double]("q_stat") === d6(8.0 / 3.0))
+    assert(r.getAs[Long]("dof") === 2L)
+    // all-k and all-0 blocks only: zero denominator → null
+    val const = Seq((true, true, true), (false, false, false))
+      .toDF("f0", "f1", "f2")
+    val rc = AbStats.cochranQ(const,
+      Seq(col("f0"), col("f1"), col("f2"))).head
+    assert(rc.isNullAt(rc.fieldIndex("q_stat")))
+  }
+
+  // ---- Friedman -------------------------------------------------------------
+
+  test("friedman: monotone blocks give Q=6; all-tied block kills C") {
+    // three blocks all ranked (1,2,3): R2 = (6,12,18) summed = (6·3? no:
+    // per block r2 = (2,4,6)) → column sums (6,12,18), Q = 6, no ties
+    val df = Seq((1L, 2L, 3L), (10L, 20L, 30L), (5L, 6L, 7L))
+      .toDF("v0", "v1", "v2")
+    val r = AbStats.friedman(df, Seq(col("v0"), col("v1"), col("v2"))).head
+    assert(r.getAs[Long]("n_blocks") === 3L)
+    assert(r.getAs[Double]("rank_sum_0") === 3.0)
+    assert(r.getAs[Double]("rank_sum_1") === 6.0)
+    assert(r.getAs[Double]("rank_sum_2") === 9.0)
+    assert(r.getAs[Double]("q_stat") === 6.0)
+    assert(r.getAs[Double]("q_adj") === 6.0)
+    // single all-tied block: ranks average to 2 each, tie census 24,
+    // correction hits exactly 0 → null Q'
+    val tied = Seq((5L, 5L, 5L)).toDF("v0", "v1", "v2")
+    val rt = AbStats.friedman(tied,
+      Seq(col("v0"), col("v1"), col("v2"))).head
+    assert(rt.getAs[Double]("rank_sum_0") === 2.0)
+    assert(rt.getAs[Double]("q_stat") === 0.0)
+    assert(rt.isNullAt(rt.fieldIndex("q_adj")))
+    // pair tie: (1,1,2) → ranks (1.5, 1.5, 3), census 6
+    val pair = Seq((1L, 1L, 2L)).toDF("v0", "v1", "v2")
+    val rp = AbStats.friedman(pair,
+      Seq(col("v0"), col("v1"), col("v2"))).head
+    assert(rp.getAs[Double]("rank_sum_0") === 1.5)
+    assert(rp.getAs[Double]("rank_sum_2") === 3.0)
+    // C = 1 − 6/24 = 3/4; Q = 3·(9+9+36)/12 − 12 = 1.5 → Q' = 2
+    assert(rp.getAs[Double]("q_adj") === 2.0)
+  }
+
+  // ---- Cramér's V ------------------------------------------------------------
+
+  test("cramersV: perfect association = 1, independence = 0, absent cells count") {
+    // 2×2 perfect: chi2 = N = 4, V = 1 — the off-diagonal cells are
+    // ABSENT from the census and must still contribute (0−e)²/e = e
+    val perfect = Seq(("a", "1"), ("a", "1"), ("b", "2"), ("b", "2"))
+      .toDF("x", "y")
+    val rp = AbStats.cramersV(perfect, col("x"), col("y")).head
+    assert(rp.getAs[Long]("n") === 4L && rp.getAs[Long]("r") === 2L &&
+      rp.getAs[Long]("c") === 2L && rp.getAs[Long]("n_cells") === 2L)
+    assert(rp.getAs[Double]("chi2") === 4.0)
+    assert(rp.getAs[Long]("dof") === 1L)
+    assert(rp.getAs[Double]("cramers_v") === 1.0)
+    // exact independence: all four cells present at equal counts
+    val ind = Seq(("a", "1"), ("a", "2"), ("b", "1"), ("b", "2"))
+      .toDF("x", "y")
+    val ri = AbStats.cramersV(ind, col("x"), col("y")).head
+    assert(ri.getAs[Double]("chi2") === 0.0)
+    assert(ri.getAs[Double]("cramers_v") === 0.0)
+    // one-level margin: V undefined
+    val flat = Seq(("a", "1"), ("a", "2")).toDF("x", "y")
+    val rf = AbStats.cramersV(flat, col("x"), col("y")).head
+    assert(rf.isNullAt(rf.fieldIndex("cramers_v")))
+  }
+
+  // ---- Ljung-Box -------------------------------------------------------------
+
+  test("ljungBox: replay off the published acf; alternating series") {
+    import graft.operators.Changepoint
+    import java.sql.Date
+    // alternating ±1 around mean on 8 consecutive days
+    val days = (0 until 8).map(i =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        if (i % 2 == 0) 10L else 20L))
+    val df = days.toDF("day", "v")
+    val a = Changepoint.acf(df, col("day"), col("v"), maxLag = 3)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (if (r.isNullAt(r.fieldIndex("acf"))) None
+         else Some(r.getAs[Double]("acf")))).toMap
+    val r = Changepoint.ljungBox(df, col("day"), col("v"), maxLag = 3)
+      .head
+    assert(r.getAs[Long]("n") === 8L && r.getAs[Long]("m") === 3L)
+    val want = d6(8.0 * 10.0 * (0 until 3).map { i =>
+      val rho = a(i + 1).get; rho * rho / (8.0 - (i + 1)) }.sum)
+    assert(r.getAs[Double]("q_stat") === want)
+    assert(r.getAs[Long]("dof") === 3L)
+  }
+
+  // ---- Hurst -----------------------------------------------------------------
+
+  test("hurst: block ledger on a hand series; short series nulls H") {
+    import graft.operators.Changepoint
+    // 64 points: enough for 8 blocks of 8, 4 of 16, 2 of 32, 1 of 64
+    val vals = (0 until 64).map(i => (i.toLong,
+      ((i * 37 + 11) % 100 + 1).toLong))
+    val df = vals.toDF("t", "v")
+    val r = Changepoint.hurst(df, col("t"), col("v")).head
+    assert(r.getAs[Long]("n_obs") === 64L)
+    assert(r.getAs[Long]("n_blocks_8") === 8L)
+    assert(r.getAs[Long]("n_blocks_16") === 4L)
+    assert(r.getAs[Long]("n_blocks_32") === 2L)
+    assert(r.getAs[Long]("n_blocks_64") === 1L)
+    // replay the first 8-block's R/S by hand
+    val b0 = vals.take(8).map(_._2.toDouble)
+    val s1 = b0.sum; val s2 = b0.map(x => x * x).sum
+    val cums = b0.scanLeft(0.0)(_ + _).tail.zipWithIndex
+      .map { case (p, i) => 8.0 * p - (i + 1) * s1 }
+    val rScaled = cums.max - cums.min
+    val rs0 = rScaled / math.sqrt(8.0 * s2 - s1 * s1)
+    // the per-size mean is over nano-quantized block values
+    def nano(x: Double): Long = BigDecimal(x * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def blockRs(off: Int, w: Int): Double = {
+      val b = vals.slice(off, off + w).map(_._2.toDouble)
+      val t1 = b.sum; val t2 = b.map(x => x * x).sum
+      val cu = b.scanLeft(0.0)(_ + _).tail.zipWithIndex
+        .map { case (p, i) => w * p - (i + 1) * t1 }
+      (cu.max - cu.min) / math.sqrt(w * t2 - t1 * t1)
+    }
+    val rs8 = (0 until 8).map(b => nano(blockRs(b * 8, 8))).sum
+      .toDouble / 8.0 / 1e9
+    assert(r.getAs[Double]("rs_8") === d6(rs8))
+    assert(math.abs(rs0 - blockRs(0, 8)) < 1e-12)
+    // H must exist and land in (0, 1) for a bounded arithmetic series
+    val h = r.getAs[Double]("hurst")
+    assert(h > 0.0 && h < 1.0)
+    // 31 points: no 32/64 blocks → H null, 8-ladder legs still report
+    val short = vals.take(31).toDF("t", "v")
+    val rs = Changepoint.hurst(short, col("t"), col("v")).head
+    assert(rs.getAs[Long]("n_blocks_32") === 0L)
+    assert(rs.isNullAt(rs.fieldIndex("hurst")))
+  }
+
+  // ---- Fellegi-Sunter ---------------------------------------------------------
+
+  test("fellegiSunter: frequency-based u weights, rare agreement outranks common") {
+    import graft.operators.FellegiSunter
+    // f: (x,x,y,z) → u_f = 6/16; g: (a,a,a,b) → u_g = 10/16
+    val ents = Seq((1L, "x", "a"), (2L, "x", "a"), (3L, "y", "a"),
+      (4L, "z", "b")).toDF("id", "f", "g")
+    val out = FellegiSunter.score(ents, "id", lit(0),
+      Seq(("f", col("f"), 0.95), ("g", col("g"), 0.9)), k = 10)
+      .collect()
+    assert(out.length === 6) // all pairs in the single block
+    val uF = 6.0 / 16.0; val uG = 10.0 / 16.0
+    def w(agree: Boolean, m: Double, u: Double): Double =
+      if (agree) math.log(m / u) else math.log((1.0 - m) / (1.0 - u))
+    // top pair must be (1,2): both fields agree
+    val top = out.head
+    assert(top.getAs[Long]("id_a") === 1L && top.getAs[Long]("id_b") === 2L)
+    assert(top.getAs[Boolean]("agree_f") && top.getAs[Boolean]("agree_g"))
+    assert(top.getAs[Double]("score") ===
+      d6(w(agree = true, 0.95, uF) + w(agree = true, 0.9, uG)))
+    // a disagreeing-everywhere pair carries both penalty weights
+    val worst = out.last
+    assert(!worst.getAs[Boolean]("agree_f") &&
+      !worst.getAs[Boolean]("agree_g"))
+    assert(worst.getAs[Double]("score") ===
+      d6(w(agree = false, 0.95, uF) + w(agree = false, 0.9, uG)))
+    // nulls agree null-safely
+    val withNull = Seq((1L, Some("x")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("id", "f")
+    val on = FellegiSunter.score(withNull, "id", lit(0),
+      Seq(("f", col("f"), 0.95)), k = 10).collect()
+    val p23 = on.find(r => r.getAs[Long]("id_a") == 2L &&
+      r.getAs[Long]("id_b") == 3L).get
+    assert(p23.getAs[Boolean]("agree_f"), "null must agree with null")
+  }
+
+  // ---- self-BLEU --------------------------------------------------------------
+
+  test("selfBleu: hand pair ledger, identical docs = 1, cross-lang pairs drop") {
+    import graft.operators.Bleu
+    val docs = Seq(
+      (0L, "en", "a b c d"), (1L, "en", "a b x y"), // bleu = √(1/6)
+      (2L, "en", "q"), (3L, "en", "q"),             // lh < 2 → 0
+      (4L, "en", "m n"), (5L, "fr", "m n"),         // lang mismatch
+      (6L, "fr", "u v w"), (7L, "fr", "u v w"))     // identical → 1
+      .toDF("doc_id", "lang", "text")
+    val out = Bleu.selfBleu(docs, "doc_id", "lang", "text")
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    def nano(x: Double): Long = BigDecimal(x * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // en: pair(0,1) c1=2 c2=1 → 1·√((2/4)·(1/3)); pair(2,3) scores 0
+    val b01 = math.sqrt((2.0 / 4.0) * (1.0 / 3.0))
+    assert(out("en").getAs[Long]("n_pairs") === 2L)
+    assert(out("en").getAs[Double]("self_bleu2") ===
+      d6(nano(b01).toDouble / 2.0 / 1e9))
+    // fr: only the identical pair (6,7) — doc 5 has no even partner
+    assert(out("fr").getAs[Long]("n_pairs") === 1L)
+    assert(out("fr").getAs[Double]("self_bleu2") === 1.0)
+  }
+
+  // ---- Granger lag-1 ----------------------------------------------------------
+
+  test("grangerLag1: closed-form OLS replay; constant lag nulls") {
+    import graft.operators.Changepoint
+    import java.sql.Date
+    val xs = Seq(10L, 20L, 15L, 30L, 25L, 40L)
+    val ys = Seq(1L, 4L, 2L, 6L, 3L, 5L)
+    val df = xs.indices.map(i =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        xs(i), ys(i))).toDF("day", "x", "y")
+    val r = Changepoint.grangerLag1(df, col("day"), col("x"), col("y"))
+      .head
+    // Scala replay of the identical IEEE tree over the 5 lag rows
+    val rows = (1 until 6).map(t => (xs(t).toDouble,
+      xs(t - 1).toDouble, ys(t - 1).toDouble))
+    val n = rows.length.toDouble
+    val sx = rows.map(_._1).sum; val sxx = rows.map(r => r._1 * r._1).sum
+    val sl = rows.map(_._2).sum; val sll = rows.map(r => r._2 * r._2).sum
+    val sy = rows.map(_._3).sum; val syy = rows.map(r => r._3 * r._3).sum
+    val sxl = rows.map(r => r._1 * r._2).sum
+    val sxy = rows.map(r => r._1 * r._3).sum
+    val sly = rows.map(r => r._2 * r._3).sum
+    val cxx = sxx - sx * sx / n; val cll = sll - sl * sl / n
+    val cyy = syy - sy * sy / n; val cxl = sxl - sx * sl / n
+    val cxy = sxy - sx * sy / n; val cly = sly - sl * sy / n
+    val det = cll * cyy - cly * cly
+    val rssR = cxx - cxl * cxl / cll
+    val b1 = (cxl * cyy - cxy * cly) / det
+    val b2 = (cxy * cll - cxl * cly) / det
+    val rssU = cxx - (b1 * cxl + b2 * cxy)
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Double]("beta_ylag") === d6(b2))
+    assert(r.getAs[Double]("f_stat") ===
+      d6((rssR - rssU) / (rssU / (n - 3.0))))
+    assert(r.getAs[Long]("df2") === 2L)
+    // constant lagged x: singular restricted fit → null F
+    val const = (0 until 5).map(i =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 2, 1).plusDays(i)),
+        7L, i.toLong)).toDF("day", "x", "y")
+    val rc = Changepoint.grangerLag1(const, col("day"), col("x"),
+      col("y")).head
+    assert(rc.isNullAt(rc.fieldIndex("f_stat")))
+  }
+
+  // ---- JL projection ----------------------------------------------------------
+
+  test("jl distortion audit: hand sign-matrix replay, zero-distance pair drops") {
+    import graft.operators.RandomProjection
+    def unit(at: Int): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == at) 1.0f else 0.0f)
+    // pair 0: e0 vs e1 (orig dist² = 2); pair 1: identical vectors
+    val vecs = Seq((0L, unit(0)), (1L, unit(1)),
+      (2L, unit(5)), (3L, unit(5))).toDF("vec_id", "embedding")
+    val r = RandomProjection.distortionAudit(vecs, "vec_id", "embedding",
+      d = 64, k = 16).head
+    assert(r.getAs[Long]("n_pairs") === 2L)
+    assert(r.getAs[Long]("n_zero") === 1L)
+    // replay: proj of a unit vector e_i is s_ij/4 per component
+    def sgn(i: Int, j: Int): Double =
+      if ((i + 1).toLong * (j + 3) * 2654435761L % 1000003L % 2L == 0L)
+        1.0 else -1.0
+    val dp = (0 until 16).map { j =>
+      val d0 = sgn(0, j) / 4.0 - sgn(1, j) / 4.0; d0 * d0
+    }.foldLeft(0.0)(_ + _)
+    val ratio = dp / 2.0
+    def nano(x: Double): Long = BigDecimal(x * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(r.getAs[Double]("mean_ratio") ===
+      d6(nano(ratio).toDouble / 1.0 / 1e9))
+    assert(r.getAs[Double]("min_ratio") === r.getAs[Double]("max_ratio"))
+  }
+
+  // ---- Nelson-Aalen ----------------------------------------------------------
+
+  test("nelsonAalen: additive hazard ledger, censoring leaves risk set only") {
+    import graft.operators.Survival
+    // deaths at t=1 (×2) and t=3, censor at t=2: H(1)=2/4, H(3)=0.5+1
+    val subj = Seq((1L, false), (1L, false), (2L, true), (3L, false))
+      .toDF("t", "cens")
+    val out = Survival.nelsonAalen(subj, col("t"), col("cens"))
+      .collect().map(r => r.getAs[Long]("t") -> r).toMap
+    assert(out.keySet === Set(1L, 3L))
+    assert(out(1L).getAs[Long]("n_risk") === 4L)
+    assert(out(1L).getAs[Double]("cum_hazard") === 0.5)
+    assert(out(3L).getAs[Long]("n_risk") === 1L)
+    assert(out(3L).getAs[Double]("cum_hazard") === 1.5)
+  }
+
+  // ---- log-rank --------------------------------------------------------------
+
+  test("logRank: identical arms give chi2 = 0; separated arms replay to 3") {
+    import graft.operators.Survival
+    val same = Seq((1L, false, 0), (2L, false, 0), (1L, false, 1),
+      (2L, false, 1)).toDF("t", "cens", "arm")
+    val r0 = Survival.logRank(same, col("t"), col("cens"), col("arm"))
+      .head
+    assert(r0.getAs[Double]("o_minus_e") === 0.0)
+    assert(r0.getAs[Double]("chi2") === 0.0)
+    // arm1 both die at t=1, arm0 both at t=3:
+    // t1: O−E = 2 − 2·(2/4) = 1, V = 2·½·½·(2/3) = 1/3
+    // t3: arm1 extinct → O−E = 0, V = 0  ⇒ chi2 = 1²/(1/3) = 3
+    val split = Seq((1L, false, 1), (1L, false, 1), (3L, false, 0),
+      (3L, false, 0)).toDF("t", "cens", "arm")
+    val r1 = Survival.logRank(split, col("t"), col("cens"), col("arm"))
+      .head
+    assert(r1.getAs[Long]("n_total") === 4L &&
+      r1.getAs[Long]("n_arm1") === 2L)
+    assert(r1.getAs[Long]("events_arm1") === 2L)
+    assert(r1.getAs[Double]("o_minus_e") === 1.0)
+    assert(r1.getAs[Double]("chi2") === 3.0)
+  }
+
+  // ---- Mood's median ---------------------------------------------------------
+
+  test("moodMedian: lower-median convention, hand 2x3 table, one-sided null") {
+    // arms (1,2) (3,4) (5,6): pooled lower median = 3; above = (0,1,2)
+    // ⇒ e_above = 1 per arm ⇒ chi2 = 2 + 0 + 2 = 4
+    val df = Seq((0, 1L), (0, 2L), (1, 3L), (1, 4L), (2, 5L), (2, 6L))
+      .toDF("arm", "cents")
+    val r = AbStats.moodMedian(df, col("arm"), col("cents")).head
+    assert(r.getAs[Long]("median") === 3L)
+    assert(r.getAs[Long]("a_0") === 0L && r.getAs[Long]("a_1") === 1L &&
+      r.getAs[Long]("a_2") === 2L)
+    assert(r.getAs[Double]("chi2") === 4.0)
+    assert(r.getAs[Long]("dof") === 2L)
+    // everything tied: nothing above the median → null chi2
+    val flat = Seq((0, 5L), (1, 5L), (2, 5L)).toDF("arm", "cents")
+    val rf = AbStats.moodMedian(flat, col("arm"), col("cents")).head
+    assert(rf.isNullAt(rf.fieldIndex("chi2")))
+  }
+
+  // ---- Word burstiness -------------------------------------------------------
+
+  test("wordBurstiness: Fano ledger with zeros included, empty doc counts") {
+    import graft.operators.LanguageModel
+    // N = 4 docs (one token-less): x once at count 3 → VMR = 3;
+    // y spread 1+1+1 → VMR = 1/3 — bursty x must rank first
+    val docs = Seq((1L, "x x x"), (2L, "y"), (3L, "y"), (4L, "y   "),
+      (5L, "   ")).toDF("doc_id", "text")
+    val out = LanguageModel.wordBurstiness(docs, "doc_id", "text",
+      minFreq = 1L, k = 10).collect()
+    assert(out.map(_.getAs[String]("word")).toSeq === Seq("x", "y"))
+    val n = 5.0
+    def vmr(tt: Double, s: Double): Double =
+      (s - tt * tt / n) / (n - 1.0) / (tt / n)
+    assert(out(0).getAs[Double]("burstiness") === d6(vmr(3.0, 9.0)))
+    assert(out(0).getAs[Long]("doc_freq") === 1L)
+    assert(out(1).getAs[Double]("burstiness") === d6(vmr(3.0, 3.0)))
+  }
 }

@@ -936,6 +936,26 @@ class StreamingSpec extends AnyFunSuite {
       s"batch=${want.take(2)}")
   }
 
+  test("streaming Cramér's V equals the batch C103 readout bit-exactly") {
+    // E30: additive contingency cells merge to the identical census,
+    // so the chi-square/V finisher matches bit for bit
+    val got = graft.queries.StreamFaces.streamCramersV(spark, sfDir)
+      .collect().toSeq
+    val want = graft.queries.TextQueries.langSourceCramersV(spark, sfDir)
+      .collect().toSeq
+    assert(got == want, s"cramers diverges: stream=$got batch=$want")
+  }
+
+  test("streaming Ljung-Box equals the batch C104 readout bit-exactly") {
+    // E29: same additive day cells as E27, Q finisher instead of the
+    // raw ACF — stream ≡ batch down to the folded statistic
+    val got = graft.queries.StreamFaces.streamLjungBox(spark, sfDir)
+      .collect().toSeq
+    val want = graft.queries.WarehouseQueries.ljungBox(spark, sfDir)
+      .collect().toSeq
+    assert(got == want, s"ljung-box diverges: stream=$got batch=$want")
+  }
+
   test("streaming ACF equals the batch C88 readout bit-exactly") {
     // E27: additive per-day decimal cells merge to the IDENTICAL day
     // series, so the exact-integer ACF matches lag for lag
