@@ -1960,6 +1960,144 @@ private[graft] object OracleSqlD {
         .replace("MOOD_OK", moodOk(3))
         .replace("MOOD_CHI2", moodChi2(3)),
 
+    // C110: Page's L — the C102 rank frame with the ordered weights;
+    // L2 exact integer, z one IEEE evaluation
+    "page_trend" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND day(ts) BETWEEN 1 AND 10
+        |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+        |      AS v0,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND day(ts) BETWEEN 11 AND 20
+        |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+        |      AS v1,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND day(ts) BETWEEN 21 AND 31
+        |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+        |      AS v2
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT
+        |    2 + 2*((CASE WHEN v1 < v0 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v2 < v0 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN v1 = v0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v2 = v0 THEN 1 ELSE 0 END) AS r0,
+        |    2 + 2*((CASE WHEN v0 < v1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v2 < v1 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN v0 = v1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v2 = v1 THEN 1 ELSE 0 END) AS r1,
+        |    2 + 2*((CASE WHEN v0 < v2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v1 < v2 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN v0 = v2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS r2
+        |  FROM u),
+        |a AS (SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(r0) AS BIGINT) AS r2_0,
+        |    CAST(SUM(r1) AS BIGINT) AS r2_1,
+        |    CAST(SUM(r2) AS BIGINT) AS r2_2
+        |  FROM r)
+        |SELECT n_blocks,
+        |  CAST(r2_0 AS DOUBLE) / 2.0 AS rank_sum_0,
+        |  CAST(r2_1 AS DOUBLE) / 2.0 AS rank_sum_1,
+        |  CAST(r2_2 AS DOUBLE) / 2.0 AS rank_sum_2,
+        |  CAST(((r2_0 * 1 + r2_1 * 2) + r2_2 * 3) AS DOUBLE) / 2.0
+        |    AS l_stat,
+        |  CASE WHEN n_blocks > 0
+        |    AND CAST(n_blocks AS DOUBLE) * 288.0 / 144.0 > 0.0
+        |  THEN round(
+        |    (CAST(((r2_0 * 1 + r2_1 * 2) + r2_2 * 3) AS DOUBLE) / 2.0
+        |      - CAST(n_blocks AS DOUBLE) * 48.0 / 4.0)
+        |    / sqrt(CAST(n_blocks AS DOUBLE) * 288.0 / 144.0), 6)
+        |  END AS z_stat
+        |FROM a""".stripMargin,
+
+    // C111: power/MDE — six exact sums, z-constants shared
+    // plan/oracle literals (the C94 string-cast convention)
+    "ab_power_mde" -> {
+      val zA = "CAST('1.959963984540054' AS DOUBLE)"
+      val z80 = "CAST('0.8416212335729143' AS DOUBLE)"
+      val z90 = "CAST('1.2815515655446004' AS DOUBLE)"
+      val na = "CAST(n_a AS DOUBLE)"; val nb = "CAST(n_b AS DOUBLE)"
+      val pooled = s"""((CAST(ssa AS DOUBLE)
+        | - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / $na
+        | + (CAST(ssb AS DOUBLE)
+        |   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / $nb))
+        | / ($na + $nb - 2.0))""".stripMargin
+      val se = s"sqrt($pooled * (1.0 / $na + 1.0 / $nb))"
+      val ok = s"n_a >= 2 AND n_b >= 2 AND $pooled > 0.0"
+      s"""WITH p AS (SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM events WHERE event_type = 'purchase'),
+         |a AS (SELECT
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    SUM(CASE WHEN arm = 1 THEN NULL
+         |      ELSE CAST(v AS HUGEINT) END) AS sa,
+         |    SUM(CASE WHEN arm = 1 THEN CAST(v AS HUGEINT) END) AS sb,
+         |    SUM(CASE WHEN arm = 1 THEN NULL
+         |      ELSE CAST(v AS HUGEINT) * v END) AS ssa,
+         |    SUM(CASE WHEN arm = 1 THEN CAST(v AS HUGEINT) * v END)
+         |      AS ssb
+         |  FROM p)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a > 0 THEN round(CAST(sa AS DOUBLE) / $na, 6)
+         |  END AS mean_a,
+         |  CASE WHEN $ok THEN round(sqrt($pooled), 6) END AS pooled_sd,
+         |  CASE WHEN $ok THEN round(($zA + $z80) * $se, 6)
+         |  END AS mde_abs_80,
+         |  CASE WHEN $ok THEN round(($zA + $z90) * $se, 6)
+         |  END AS mde_abs_90,
+         |  CASE WHEN $ok AND CAST(sa AS DOUBLE) / $na > 0.0
+         |  THEN round(($zA + $z80) * $se / (CAST(sa AS DOUBLE) / $na), 6)
+         |  END AS mde_rel_80
+         |FROM a""".stripMargin
+    },
+
+    // D124: RAKE — gaps-and-islands runs per doc, deg/freq word
+    // scores exact-integer divides, phrase scores folded in phrase
+    // word order, rounded before the (score desc, phrase) cut
+    "rake_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) > 0
+        |    THEN string_split_regex(trim(text), '\s+')
+        |    ELSE [] END AS tk
+        |  FROM documents),
+        |tp AS (SELECT doc_id,
+        |    unnest(range(1, len(tk) + 1)) - 1 AS pos,
+        |    unnest(tk) AS w
+        |  FROM t),
+        |ns AS (SELECT doc_id, pos, w,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS run
+        |  FROM tp
+        |  WHERE w NOT IN ('the','a','an','of','and','to','in','is',
+        |    'on','for','with','as')),
+        |ph AS (SELECT doc_id, run,
+        |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |    list(w ORDER BY pos) AS words,
+        |    CAST(COUNT(*) AS BIGINT) AS n_words
+        |  FROM ns GROUP BY 1, 2),
+        |ws AS (SELECT w,
+        |    CAST(SUM(n_words) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |      AS score_w
+        |  FROM (SELECT unnest(words) AS w, n_words FROM ph)
+        |  GROUP BY 1),
+        |pw AS (SELECT phrase, n_words,
+        |    unnest(range(1, len(words) + 1)) AS wi,
+        |    unnest(words) AS w
+        |  FROM ph),
+        |sc AS (SELECT phrase, n_words,
+        |    CAST(COUNT(*) / n_words AS BIGINT) AS n_occurrences,
+        |    round(list_reduce(list_prepend(0.0,
+        |      list(score_w ORDER BY wi)), (x, y) -> x + y), 6) AS score
+        |  FROM pw JOIN ws USING (w) GROUP BY 1, 2)
+        |SELECT phrase, n_words, n_occurrences, score
+        |FROM sc ORDER BY score DESC, phrase LIMIT 30""".stripMargin,
+
     // D123: word burstiness — all-docs-including-zeros moments from
     // present counts only (T, S, N closed form); VMR one IEEE tree,
     // rounded before the (vmr desc, word) cut

@@ -325,6 +325,9 @@ object SparkEntry {
     "log_rank_test"      -> (WarehouseQueries.logRankTest _),
     "mood_median"        -> (WarehouseQueries.moodMedian _),
     "word_burstiness"    -> (TextQueries.wordBurstiness _),
+    "page_trend"         -> (WarehouseQueries.pageTrendSpend _),
+    "ab_power_mde"       -> (WarehouseQueries.powerMde _),
+    "rake_keywords"      -> (TextQueries.rakeKeywords _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

@@ -1290,6 +1290,91 @@ object AbStats {
       lit((k - 1).toLong).as("dof")): _*)
   }
 
+  /** C110: Page's trend test (Page 1963) — the ORDERED-alternative
+    * companion to C102: Friedman asks "do the k periods differ at
+    * all", Page asks "do they INCREASE in the given order" (spend
+    * drifting up across the month's tertiles), which has far more
+    * power when the order is the hypothesis. L = Σ_j j·R_j over the
+    * within-block average ranks; z = (L − Nk(k+1)²/4) /
+    * √(Nk²(k+1)(k²−1)/144) under the classical no-trend null
+    * (average-rank ties by the standard convention).
+    *
+    * Same zero-shuffle shape as C102: half-unit ranks are row-local,
+    * L2 = Σ_j j·R2_j accumulates as an EXACT INTEGER, and z is one
+    * IEEE evaluation. Blocks must be complete rows (k value columns).
+    */
+  def pageTrend(df: DataFrame, values: Seq[Column]): DataFrame = {
+    val k = values.length
+    require(k >= 3 && k <= 6, s"need 3..6 value columns, got $k")
+    val vs = values.map(v => coalesce(v.cast("long"), lit(0L)))
+    def r2(j: Int): Column = {
+      val less = (0 until k).filter(_ != j)
+        .map(l => when(vs(l) < vs(j), 1L).otherwise(0L))
+        .foldLeft(lit(0L))(_ + _)
+      val tied = (0 until k).filter(_ != j)
+        .map(l => when(vs(l) === vs(j), 1L).otherwise(0L))
+        .foldLeft(lit(0L))(_ + _)
+      lit(2L) + lit(2L) * less + tied
+    }
+    val aggCols = Seq(count(lit(1)).cast("long").as("n_blocks")) ++
+      (0 until k).map(j => sum(r2(j)).cast("long").as(s"r2_$j"))
+    val a = df.agg(aggCols.head, aggCols.tail: _*)
+    // L2 = 2L: Σ (j+1)·R2_j exact
+    val l2 = (0 until k).map(j => col(s"r2_$j") * (j + 1).toLong)
+      .reduce(_ + _)
+    val nD = col("n_blocks").cast("double")
+    val lD = l2.cast("double") / 2.0
+    val eL = nD * lit((k * (k + 1) * (k + 1)).toDouble) / 4.0
+    val vL = nD * lit((k * k * (k + 1) * (k * k - 1)).toDouble) / 144.0
+    a.select(Seq(col("n_blocks")) ++
+      (0 until k).map(j =>
+        (col(s"r2_$j").cast("double") / 2.0).as(s"rank_sum_$j")) ++ Seq(
+      (l2.cast("double") / 2.0).as("l_stat"),
+      when(col("n_blocks") > 0L && vL > 0.0,
+        round((lD - eL) / sqrt(vL), 6)).as("z_stat")): _*)
+  }
+
+  /** C111: power / minimum-detectable-effect report (Cohen 1988's
+    * power algebra; the experiment-platform "how big must the lift be
+    * before this test can see it" number): MDE at power 1−β =
+    * (z_{α/2} + z_β)·√(s²·(1/n₀+1/n₁)) with the POOLED variance —
+    * published at 80% and 90% power, α = 5%, absolute and relative
+    * to the control mean. Running an A/B readout without this row is
+    * how underpowered "no significant difference" gets mistaken for
+    * "no difference".
+    *
+    * ONE scan, ZERO data shuffle: six conditional exact sums → one
+    * scalar merge; the z-constants are shared plan/oracle literals
+    * (the C94 convention); every published number one IEEE tree.
+    * Degenerate inputs (an arm below 2, zero variance) publish null.
+    */
+  def powerMde(df: DataFrame, arm: Column, value: Column): DataFrame = {
+    val v = dec0(value.cast("long"))
+    val isB = arm.cast("int") === 1
+    val agg = df.agg(
+      sum(when(!isB, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(isB, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(!isB, v)).as("sa"), sum(when(isB, v)).as("sb"),
+      sum(when(!isB, v * v)).as("ssa"), sum(when(isB, v * v)).as("ssb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val saD = col("sa").cast("double"); val sbD = col("sb").cast("double")
+    val pooled = (col("ssa").cast("double") - saD * saD / na
+      + (col("ssb").cast("double") - sbD * sbD / nb)) / (na + nb - 2.0)
+    val se = sqrt(pooled * (lit(1.0) / na + lit(1.0) / nb))
+    val zA = lit(1.959963984540054)  // z_{0.025}
+    val z80 = lit(0.8416212335729143) // z_{0.20}
+    val z90 = lit(1.2815515655446004) // z_{0.10}
+    val meanA = saD / na
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L && pooled > 0.0
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0L, round(meanA, 6)).as("mean_a"),
+      when(ok, round(sqrt(pooled), 6)).as("pooled_sd"),
+      when(ok, round((zA + z80) * se, 6)).as("mde_abs_80"),
+      when(ok, round((zA + z90) * se, 6)).as("mde_abs_90"),
+      when(ok && meanA > 0.0,
+        round((zA + z80) * se / meanA, 6)).as("mde_rel_80"))
+  }
+
   /** C109: Mood's median test (Mood 1950; Brown & Mood 1951) — the
     * k-arm "are the MEDIANS equal" omnibus: counts above vs not-above
     * the POOLED median per arm, χ²(k−1) on the resulting 2×k table.

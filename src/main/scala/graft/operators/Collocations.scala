@@ -155,4 +155,73 @@ object Collocations {
         col("tf"), col("doc_freq"), col("score"))
       .orderBy(col("doc_id"), col("rk"))
   }
+
+  /** The declared RAKE stopword delimiter set — a convention published
+    * with the statistic (like a histogram's bin edges).
+    */
+  val RakeStops: Seq[String] = Seq("the", "a", "an", "of", "and", "to",
+    "in", "is", "on", "for", "with", "as")
+
+  /** D124: RAKE keyword extraction (Rose, Engel, Cramer & Cowley
+    * 2010) — PHRASE-level keywords where D116/D117 rank single words:
+    * candidate phrases are the maximal stopword-free token runs, a
+    * word's score is deg/freq over the candidate census (deg = Σ
+    * phrase length over its phrases — words living in long phrases
+    * score high), and a phrase scores the sum of its words. The
+    * standard unsupervised keyphrase baseline, and the only one of
+    * the three extractors that can surface "minimum detectable
+    * effect" as ONE keyword.
+    *
+    * Scale shape: one tokenize+posexplode pass; the run-id
+    * gaps-and-islands window partitions BY DOCUMENT (pos − rank over
+    * non-stop rows — never corpus-wide); phrase assembly sorts ≤
+    * doc-length lists; the word census is a word-keyed shuffle (never
+    * a driver vocab); the top-k is a TakeOrdered on the 6-dp-rounded
+    * score with phrase tiebreak. Exactness: freq/deg/len exact
+    * integers; each word score ONE divide; the phrase score folds its
+    * words in PHRASE ORDER seeded 0.0 — one IEEE tree, identical for
+    * every occurrence of the same phrase type.
+    */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val stopArr = array(RakeStops.map(lit): _*)
+    val toksPos = docs
+      .select(col(idCol).as("__id"),
+        posexplode(LanguageModel.toks(col(textCol))).as(Seq("__pos", "__w")))
+    val ns = toksPos.filter(!array_contains(stopArr, col("__w")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__id")).orderBy(col("__pos"))))
+      .withColumn("__run", col("__pos") - col("__rn"))
+    val phrases = Materialize.cut(ns
+      .groupBy(col("__id"), col("__run"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__w"))))
+          .as("__pw"),
+        count(lit(1)).cast("long").as("n_words"))
+      .withColumn("__words", transform(col("__pw"),
+        e => e.getField("__w")))
+      .select(col("__id"), col("__words"), col("n_words"),
+        array_join(col("__words"), " ").as("phrase")))
+    val wordStats = phrases
+      .select(explode(col("__words")).as("__w"), col("n_words"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).cast("long").as("__freq"),
+        sum(col("n_words")).cast("long").as("__deg"))
+      .withColumn("__ws",
+        col("__deg").cast("double") / col("__freq").cast("double"))
+    val scored = phrases
+      .select(col("phrase"), col("n_words"),
+        posexplode(col("__words")).as(Seq("__wi", "__w")))
+      .join(wordStats.select(col("__w"), col("__ws")), Seq("__w"))
+      .groupBy(col("phrase"), col("n_words"))
+      .agg((count(lit(1)) / col("n_words")).cast("long")
+          .as("n_occurrences"),
+        sort_array(collect_list(struct(col("__wi"), col("__ws"))))
+          .as("__l"))
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        round(aggregate(col("__l"), lit(0.0),
+          (acc, e) => acc + e.getField("__ws")), 6).as("score"))
+    scored.orderBy(col("score").desc, col("phrase")).limit(k)
+  }
 }

@@ -1625,6 +1625,14 @@ object TextQueries {
     graft.operators.AbStats.mutualInformation(
       Tables.documents(spark, dir), col("lang"), col("source"))
 
+  /** D124: RAKE keyphrase extraction — top-30 stopword-delimited
+    * phrases by deg/freq word scores (see
+    * [[graft.operators.Collocations.rakeKeywords]]).
+    */
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.rakeKeywords(
+      Tables.documents(spark, dir), "doc_id", "text", k = 30)
+
   /** D123: word burstiness — top-30 Fano factors among words with
     * corpus frequency ≥ 50 (see
     * [[graft.operators.LanguageModel.wordBurstiness]]).

@@ -1641,17 +1641,43 @@ object WarehouseQueries {
     * companion to [[cochranQPeriods]]'s incidence test (see
     * [[graft.operators.AbStats.friedman]]).
     */
-  def friedmanSpend(spark: SparkSession, dir: String): DataFrame = {
+  def friedmanSpend(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.friedman(userTertileSpend(spark, dir),
+      Seq(col("v0"), col("v1"), col("v2")))
+
+  /** The shared per-user tertile-spend frame behind C102/C110 —
+    * exact cents per month third, 0 when silent.
+    */
+  private def userTertileSpend(spark: SparkSession,
+                               dir: String): DataFrame = {
     def cents(lo: Int, hi: Int): Column =
       coalesce(sum(when(col("event_type") === "purchase" &&
         dayofmonth(col("ts")).between(lo, hi),
         dec2(col("value")) * 100)), lit(0)).cast("long")
-    val perUser = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(cents(1, 10).as("v0"), cents(11, 20).as("v1"),
         cents(21, 31).as("v2"))
-    graft.operators.AbStats.friedman(perUser,
+  }
+
+  /** C110: Page's ordered trend test on the same tertile frame —
+    * "does per-user spend INCREASE across the month's thirds" (see
+    * [[graft.operators.AbStats.pageTrend]]).
+    */
+  def pageTrendSpend(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.pageTrend(userTertileSpend(spark, dir),
       Seq(col("v0"), col("v1"), col("v2")))
+
+  /** C111: power / minimum-detectable-effect report for the parity
+    * arms on purchase cents — the "could this test even see a lift"
+    * row (see [[graft.operators.AbStats.powerMde]]).
+    */
+  def powerMde(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).cast("int").as("arm"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    graft.operators.AbStats.powerMde(p, col("arm"), col("cents"))
   }
 
   /** C106: Granger causality at lag 1 — do yesterday's SIGNUPS help

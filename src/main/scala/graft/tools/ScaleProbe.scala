@@ -1114,9 +1114,12 @@ object ScaleProbe {
     }
     t("self_bleu") {
       // D121: gram censuses ∝ token volume (the chunk-overlap class);
-      // pair frame is half the doc count, language rollup is tiny
+      // pair frame is half the doc count, language rollup is tiny.
+      // lang keyed on the PAIR index so the div-2 pairing survives
+      // amplification (doc_id%4 would put every pair cross-lang)
       graft.operators.Bleu.selfBleu(
-        docs.withColumn("lang", (col("doc_id") % 4).cast("string")),
+        docs.withColumn("lang",
+          expr("(doc_id div 2) % 4").cast("string")),
         "doc_id", "lang", "text").count()
     }
     t("png_decode") {

@@ -1768,4 +1768,68 @@ class AbStatsSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("doc_freq") === 1L)
     assert(out(1).getAs[Double]("burstiness") === d6(vmr(3.0, 3.0)))
   }
+
+  // ---- Page trend -------------------------------------------------------------
+
+  test("pageTrend: two monotone blocks give z = 2 exactly; reverse negates") {
+    // blocks (1,2,3): ranks (1,2,3) → L = 14N, E = 12N, Var = 2N
+    // ⇒ z = 2N/√(2N) = √(2N) = 2 at N = 2
+    val up = Seq((1L, 2L, 3L), (10L, 20L, 30L)).toDF("v0", "v1", "v2")
+    val r = AbStats.pageTrend(up, Seq(col("v0"), col("v1"), col("v2")))
+      .head
+    assert(r.getAs[Long]("n_blocks") === 2L)
+    assert(r.getAs[Double]("l_stat") === 28.0)
+    assert(r.getAs[Double]("z_stat") === 2.0)
+    val down = Seq((3L, 2L, 1L), (30L, 20L, 10L)).toDF("v0", "v1", "v2")
+    val rd = AbStats.pageTrend(down,
+      Seq(col("v0"), col("v1"), col("v2"))).head
+    assert(rd.getAs[Double]("z_stat") === -2.0)
+  }
+
+  // ---- Power / MDE -------------------------------------------------------------
+
+  test("powerMde: pooled-variance hand replay; flat arms null out") {
+    // arm0 = (1,2,3), arm1 = (4,5,7): pooled s² = (2 + 14/3)/4
+    val df = Seq((0, 1L), (0, 2L), (0, 3L), (1, 4L), (1, 5L), (1, 7L))
+      .toDF("arm", "cents")
+    val r = AbStats.powerMde(df, col("arm"), col("cents")).head
+    val pooled = ((14.0 - 6.0 * 6.0 / 3.0)
+      + (90.0 - 16.0 * 16.0 / 3.0)) / 4.0
+    val se = math.sqrt(pooled * (1.0 / 3.0 + 1.0 / 3.0))
+    val zA = 1.959963984540054
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Double]("mean_a") === 2.0)
+    assert(r.getAs[Double]("pooled_sd") === d6(math.sqrt(pooled)))
+    assert(r.getAs[Double]("mde_abs_80") ===
+      d6((zA + 0.8416212335729143) * se))
+    assert(r.getAs[Double]("mde_rel_80") ===
+      d6((zA + 0.8416212335729143) * se / 2.0))
+    val flat = Seq((0, 5L), (0, 5L), (1, 5L), (1, 5L)).toDF("arm", "cents")
+    val rf = AbStats.powerMde(flat, col("arm"), col("cents")).head
+    assert(rf.isNullAt(rf.fieldIndex("mde_abs_80")))
+  }
+
+  // ---- RAKE ---------------------------------------------------------------------
+
+  test("rakeKeywords: deg/freq ledger, shared word dilutes, stopword runs split") {
+    import graft.operators.Collocations
+    // "the big dog and red dog" → phrases {big dog, red dog};
+    // + "dog" alone: ws(dog) = 5/3, ws(big) = ws(red) = 2
+    val docs = Seq((1L, "the big dog and red dog"), (2L, "dog"))
+      .toDF("doc_id", "text")
+    val out = Collocations.rakeKeywords(docs, "doc_id", "text", k = 10)
+      .collect()
+    assert(out.map(_.getAs[String]("phrase")).toSeq ===
+      Seq("big dog", "red dog", "dog"))
+    assert(out(0).getAs[Double]("score") === d6(2.0 + 5.0 / 3.0))
+    assert(out(2).getAs[Double]("score") === d6(5.0 / 3.0))
+    assert(out(0).getAs[Long]("n_words") === 2L)
+    assert(out(2).getAs[Long]("n_occurrences") === 1L)
+    // duplicate phrase types merge with occurrence count
+    val dup = Seq((1L, "red dog"), (2L, "red dog")).toDF("doc_id", "text")
+    val o2 = Collocations.rakeKeywords(dup, "doc_id", "text", k = 5)
+      .collect()
+    assert(o2.length === 1)
+    assert(o2.head.getAs[Long]("n_occurrences") === 2L)
+  }
 }
