@@ -2057,6 +2057,120 @@ private[graft] object OracleSqlD {
          |FROM a""".stripMargin
     },
 
+    // E31: continuous vocabulary monitor — stream ≡ batch on the
+    // merged additive word counts, oracle verbatim
+    "stream_vocab_monitor" -> OracleSqlC.sql("good_turing_vocab"),
+
+    // C112: Cochran-Armitage — 2k exact conditional counts, one IEEE
+    // tree for T, Var and z
+    "ab_cochran_armitage" -> {
+      val n = "((n_0 + n_1) + n_2)"; val r = "((r_0 + r_1) + r_2)"
+      val sr = "((r_0 * 1 + r_1 * 2) + r_2 * 3)"
+      val sn = "((n_0 * 1 + n_1 * 2) + n_2 * 3)"
+      val ssn = "((n_0 * 1 + n_1 * 4) + n_2 * 9)"
+      val nD = s"CAST($n AS DOUBLE)"; val rD = s"CAST($r AS DOUBLE)"
+      val t = s"(CAST($sr AS DOUBLE) - $rD * CAST($sn AS DOUBLE) / $nD)"
+      val vr = s"""($rD / $nD * (1.0 - $rD / $nD)
+        | * (CAST($ssn AS DOUBLE)
+        |   - CAST($sn AS DOUBLE) * CAST($sn AS DOUBLE) / $nD))"""
+        .stripMargin
+      val ok = s"$n > 0 AND $r > 0 AND $r < $n AND $vr > 0.0"
+      s"""WITH e AS (SELECT
+         |    CASE WHEN day(ts) <= 10 THEN 0
+         |         WHEN day(ts) <= 20 THEN 1 ELSE 2 END AS g,
+         |    (event_type = 'purchase') AS s
+         |  FROM events),
+         |a AS (SELECT
+         |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_0,
+         |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_1,
+         |    CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_2,
+         |    CAST(SUM(CASE WHEN g = 0 AND s THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS r_0,
+         |    CAST(SUM(CASE WHEN g = 1 AND s THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS r_1,
+         |    CAST(SUM(CASE WHEN g = 2 AND s THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS r_2
+         |  FROM e)
+         |SELECT n_0, n_1, n_2, r_0, r_1, r_2,
+         |  CASE WHEN $ok THEN round($t / sqrt($vr), 6) END AS z_stat,
+         |  CASE WHEN $ok THEN round($t * $t / $vr, 6) END AS chi2,
+         |  CAST(1 AS BIGINT) AS dof
+         |FROM a""".stripMargin
+    },
+
+    // D125: code-switch audit — half-doc marker censuses, the D38
+    // argmax priority verbatim per half
+    "code_switch_audit" -> {
+      def langCase(part: String): String =
+        s"""CASE WHEN greatest(
+           |    len(list_filter($part, x -> list_contains(
+           |      ['the','a','of','and','to','in','is'], x))),
+           |    len(list_filter($part, x -> list_contains(
+           |      ['le','la','et','les','des','un','une'], x))),
+           |    len(list_filter($part, x -> list_contains(
+           |      ['der','die','und','das','ein','nicht'], x))),
+           |    len(list_filter($part, x -> list_contains(
+           |      ['el','los','y','que','un','una','en'], x)))) = 0
+           |  THEN 'und'
+           |  WHEN len(list_filter($part, x -> list_contains(
+           |      ['the','a','of','and','to','in','is'], x))) = greatest(
+           |    len(list_filter($part, x -> list_contains(
+           |      ['the','a','of','and','to','in','is'], x))),
+           |    len(list_filter($part, x -> list_contains(
+           |      ['le','la','et','les','des','un','une'], x))),
+           |    len(list_filter($part, x -> list_contains(
+           |      ['der','die','und','das','ein','nicht'], x))),
+           |    len(list_filter($part, x -> list_contains(
+           |      ['el','los','y','que','un','una','en'], x))))
+           |  THEN 'en'
+           |  WHEN len(list_filter($part, x -> list_contains(
+           |      ['le','la','et','les','des','un','une'], x))) = greatest(
+           |    len(list_filter($part, x -> list_contains(
+           |      ['the','a','of','and','to','in','is'], x))),
+           |    len(list_filter($part, x -> list_contains(
+           |      ['le','la','et','les','des','un','une'], x))),
+           |    len(list_filter($part, x -> list_contains(
+           |      ['der','die','und','das','ein','nicht'], x))),
+           |    len(list_filter($part, x -> list_contains(
+           |      ['el','los','y','que','un','una','en'], x))))
+           |  THEN 'fr'
+           |  WHEN len(list_filter($part, x -> list_contains(
+           |      ['der','die','und','das','ein','nicht'], x))) = greatest(
+           |    len(list_filter($part, x -> list_contains(
+           |      ['the','a','of','and','to','in','is'], x))),
+           |    len(list_filter($part, x -> list_contains(
+           |      ['le','la','et','les','des','un','une'], x))),
+           |    len(list_filter($part, x -> list_contains(
+           |      ['der','die','und','das','ein','nicht'], x))),
+           |    len(list_filter($part, x -> list_contains(
+           |      ['el','los','y','que','un','una','en'], x))))
+           |  THEN 'de'
+           |  ELSE 'es' END""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, CASE WHEN len(trim(text)) > 0
+         |    THEN string_split_regex(trim(text), '\\s+')
+         |    ELSE [] END AS tk
+         |  FROM documents),
+         |s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+         |    len(tk) // 2 AS h, tk FROM t),
+         |parts AS (SELECT doc_id, n,
+         |    list_transform(range(1, h + 1), i -> tk[i]) AS hd,
+         |    list_transform(range(h + 1, CAST(n AS INTEGER) + 1),
+         |      i -> tk[i]) AS tl
+         |  FROM s),
+         |l AS (SELECT doc_id, n,
+         |    ${langCase("hd")} AS lang_head,
+         |    ${langCase("tl")} AS lang_tail
+         |  FROM parts)
+         |SELECT doc_id, n AS n_tokens, lang_head, lang_tail,
+         |  lang_head <> lang_tail AND lang_head <> 'und'
+         |    AND lang_tail <> 'und' AS switched
+         |FROM l ORDER BY doc_id""".stripMargin
+    },
+
     // D124: RAKE — gaps-and-islands runs per doc, deg/freq word
     // scores exact-integer divides, phrase scores folded in phrase
     // word order, rounded before the (score desc, phrase) cut

@@ -328,6 +328,9 @@ object SparkEntry {
     "page_trend"         -> (WarehouseQueries.pageTrendSpend _),
     "ab_power_mde"       -> (WarehouseQueries.powerMde _),
     "rake_keywords"      -> (TextQueries.rakeKeywords _),
+    "ab_cochran_armitage" -> (WarehouseQueries.cochranArmitageTrend _),
+    "code_switch_audit"  -> (TextQueries.codeSwitchAudit _),
+    "stream_vocab_monitor" -> (StreamFaces.streamVocabMonitor _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

@@ -1290,6 +1290,51 @@ object AbStats {
       lit((k - 1).toLong).as("dof")): _*)
   }
 
+  /** C112: Cochran–Armitage trend test (Cochran 1954; Armitage 1955)
+    * — "does the SUCCESS RATE trend across k ORDERED groups": the
+    * proportions companion to C110's within-block rank trend, read as
+    * z (or z² against χ²(1)). With integer scores s_i = i+1:
+    * T = Σs_i·r_i − R·(Σs_i·n_i)/N and
+    * Var = (R/N)(1−R/N)·[Σs_i²·n_i − (Σs_i·n_i)²/N]. The 2×k χ²
+    * (C109's shape) ignores the ORDER; this is the test that knows
+    * tertile 3 > tertile 1 means something.
+    *
+    * ONE scan, ZERO data shuffle: 2k conditional-count legs → one
+    * scalar merge; every moment an exact integer, z one IEEE tree.
+    * Degenerate inputs (all success / all failure / single group
+    * carrying everything) publish null.
+    */
+  def cochranArmitage(df: DataFrame, group: Column, success: Column,
+                      k: Int = 3): DataFrame = {
+    require(k >= 2 && k <= 8, s"k must be in [2,8], got $k")
+    val g = group.cast("int")
+    val s = when(coalesce(success, lit(false)), 1L).otherwise(0L)
+    val aggCols = (0 until k).flatMap(i => Seq(
+      sum(when(g === i, 1L).otherwise(0L)).cast("long").as(s"n_$i"),
+      sum(when(g === i, s).otherwise(0L)).cast("long").as(s"r_$i")))
+    val a = df.agg(aggCols.head, aggCols.tail: _*)
+    val nTot = (0 until k).map(i => col(s"n_$i")).reduce(_ + _)
+    val rTot = (0 until k).map(i => col(s"r_$i")).reduce(_ + _)
+    val sr = (0 until k).map(i => col(s"r_$i") * (i + 1).toLong)
+      .reduce(_ + _)
+    val sn = (0 until k).map(i => col(s"n_$i") * (i + 1).toLong)
+      .reduce(_ + _)
+    val ssn = (0 until k)
+      .map(i => col(s"n_$i") * ((i + 1) * (i + 1)).toLong)
+      .reduce(_ + _)
+    val nD = nTot.cast("double"); val rD = rTot.cast("double")
+    val p = rD / nD
+    val t = sr.cast("double") - rD * sn.cast("double") / nD
+    val vr = p * (lit(1.0) - p) *
+      (ssn.cast("double") - sn.cast("double") * sn.cast("double") / nD)
+    val ok = nTot > 0L && rTot > 0L && rTot < nTot && vr > 0.0
+    a.select((0 until k).map(i => col(s"n_$i")) ++
+      (0 until k).map(i => col(s"r_$i")) ++ Seq(
+      when(ok, round(t / sqrt(vr), 6)).as("z_stat"),
+      when(ok, round(t * t / vr, 6)).as("chi2"),
+      lit(1L).as("dof")): _*)
+  }
+
   /** C110: Page's trend test (Page 1963) — the ORDERED-alternative
     * companion to C102: Friedman asks "do the k periods differ at
     * all", Page asks "do they INCREASE in the given order" (spend

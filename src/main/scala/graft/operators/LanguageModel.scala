@@ -321,10 +321,17 @@ object LanguageModel {
     * vocab-sized frame; every statistic is exact integers + one IEEE
     * divide. Output one row.
     */
-  def goodTuringVocab(corpus: DataFrame, textCol: String): DataFrame = {
-    val counts = corpus
+  def goodTuringVocab(corpus: DataFrame, textCol: String): DataFrame =
+    goodTuringFromCounts(corpus
       .select(explode(toks(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c")))
+
+  /** D114's finisher over an already-counted (w, c) frame — the
+    * single definition the batch face and E31's stream face (which
+    * maintains the word counts additively in the lake) both ride,
+    * the `benfordFromCounts` pattern.
+    */
+  def goodTuringFromCounts(counts: DataFrame): DataFrame = {
     val fof = counts.groupBy(col("c").as("freq"))
       .agg(count(lit(1)).as("n_types"))
     val agg = fof.agg(
@@ -363,6 +370,50 @@ object LanguageModel {
     * tokens emit zero counts and null ratios (left join back to the
     * corpus, so no doc vanishes).
     */
+  /** D125: code-switching audit — language-ID the FIRST and SECOND
+    * half of each document independently (same stopword-marker
+    * heuristic and argmax priority as D38's whole-doc ID) and flag
+    * documents whose halves disagree with both halves determined.
+    * Spliced documents — two articles glued by a bad extractor, a
+    * template in one language wrapping content in another — pass
+    * whole-doc language ID with a plurality vote while being exactly
+    * the mixed-language noise a monolingual training mix must not
+    * ingest.
+    *
+    * Pure row-local map (split index, two marker-hit counts per
+    * language, two argmaxes) — one scan, zero shuffle beyond the
+    * presentation sort; every count an exact integer and the argmax
+    * priority fixed, so the verdict is engine-invariant.
+    */
+  def codeSwitchAudit(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    import graft.functions.TextFunctions.{LangMarkers, wordHits}
+    val tk = toks(col(textCol))
+    def langOf(part: Column): Column = {
+      val en = wordHits(part, LangMarkers.en)
+      val fr = wordHits(part, LangMarkers.fr)
+      val de = wordHits(part, LangMarkers.de)
+      val es = wordHits(part, LangMarkers.es)
+      val best = greatest(en, fr, de, es)
+      when(best === 0, lit("und"))
+        .when(en === best, lit("en"))
+        .when(fr === best, lit("fr"))
+        .when(de === best, lit("de"))
+        .otherwise(lit("es"))
+    }
+    docs.select(col(idCol).as("doc_id"),
+        tk.as("__tk"), size(tk).as("__n"))
+      .withColumn("__h", (col("__n") / 2).cast("int"))
+      .select(col("doc_id"), col("__n").cast("long").as("n_tokens"),
+        langOf(slice(col("__tk"), lit(1), col("__h"))).as("lang_head"),
+        langOf(slice(col("__tk"), col("__h") + 1, col("__n") - col("__h")))
+          .as("lang_tail"))
+      .withColumn("switched",
+        col("lang_head") =!= col("lang_tail") &&
+          col("lang_head") =!= "und" && col("lang_tail") =!= "und")
+      .orderBy(col("doc_id"))
+  }
+
   /** D123: word burstiness — the variance-to-mean ratio (Fano factor)
     * of each word's per-document counts, zeros included (Church &
     * Gale 1995: content words are BURSTY — absent from most docs,

@@ -416,6 +416,34 @@ object StreamFaces {
     graft.operators.AbStats.cramersVFromCells(cells)
   }
 
+  /** E31 as a gated key: continuous vocabulary-saturation monitoring
+    * (E ∘ D114) — per micro-batch the WORD COUNTS append to the lake
+    * (additive, replay-idempotent; the state is a word-count TABLE in
+    * the lake, never driver memory); the read face merges them and
+    * runs [[graft.operators.LanguageModel.goodTuringFromCounts]], the
+    * batch D114 finisher, so the oracle is `good_turing_vocab`'s SQL
+    * verbatim. The live "is the crawl still discovering types" alarm:
+    * p₀ collapsing toward 0 means the corpus has saturated its
+    * sources.
+    */
+  def streamVocabMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_gt")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val words = stream.select(
+      explode(graft.operators.LanguageModel.toks(col("text"))).as("w"))
+    val q = graft.streaming.StreamingForecast.start(
+      words, col("w"), lit(0), lit(1L),
+      s"$base/cells", s"$base/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val counts = spark.read.parquet(s"$base/cells")
+      .groupBy(col("k").as("w"))
+      .agg(sum(col("v")).cast("long").as("c"))
+    graft.operators.LanguageModel.goodTuringFromCounts(counts)
+  }
+
   /** E28 as a gated key: continuous Benford first-digit monitoring
     * (E ∘ C79) — the live fraud/data-corruption alarm: per
     * micro-batch the 9 first-digit counts append to the lake

@@ -1625,6 +1625,14 @@ object TextQueries {
     graft.operators.AbStats.mutualInformation(
       Tables.documents(spark, dir), col("lang"), col("source"))
 
+  /** D125: code-switching audit — half-doc language IDs and the
+    * spliced-document flag (see
+    * [[graft.operators.LanguageModel.codeSwitchAudit]]).
+    */
+  def codeSwitchAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.codeSwitchAudit(
+      Tables.documents(spark, dir), "doc_id", "text")
+
   /** D124: RAKE keyphrase extraction — top-30 stopword-delimited
     * phrases by deg/freq word scores (see
     * [[graft.operators.Collocations.rakeKeywords]]).

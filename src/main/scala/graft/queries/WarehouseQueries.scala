@@ -1660,6 +1660,19 @@ object WarehouseQueries {
         cents(21, 31).as("v2"))
   }
 
+  /** C112: Cochran–Armitage trend — does the purchase RATE (purchases
+    * per event) trend across the month's ordered tertiles? (see
+    * [[graft.operators.AbStats.cochranArmitage]]). Events are the
+    * trials; the tertile index is the ordered score.
+    */
+  def cochranArmitageTrend(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      when(dayofmonth(col("ts")) <= 10, 0)
+        .when(dayofmonth(col("ts")) <= 20, 1).otherwise(2).as("g"),
+      (col("event_type") === "purchase").as("s"))
+    graft.operators.AbStats.cochranArmitage(e, col("g"), col("s"), k = 3)
+  }
+
   /** C110: Page's ordered trend test on the same tertile frame —
     * "does per-user spend INCREASE across the month's thirds" (see
     * [[graft.operators.AbStats.pageTrend]]).

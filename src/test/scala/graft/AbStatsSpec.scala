@@ -1832,4 +1832,44 @@ class AbStatsSpec extends AnyFunSuite {
     assert(o2.length === 1)
     assert(o2.head.getAs[Long]("n_occurrences") === 2L)
   }
+
+  // ---- Cochran-Armitage --------------------------------------------------------
+
+  test("cochranArmitage: linear-in-rate hand replay; flat rates near zero") {
+    // groups of 10 trials with 1/2/3 successes: T = 14 − 6·20/30 = 2
+    // Var = (6/30)(24/30)·(140 − 400/3) = 16/15... replay exactly
+    val rows = (0 until 10).flatMap(i => Seq(
+      (0, i < 1), (1, i < 2), (2, i < 3)))
+    val df = rows.toDF("g", "s")
+    val r = AbStats.cochranArmitage(df, col("g"), col("s"), k = 3).head
+    assert(r.getAs[Long]("n_0") === 10L && r.getAs[Long]("r_2") === 3L)
+    val t = 14.0 - 6.0 * 60.0 / 30.0
+    val p = 6.0 / 30.0
+    val vr = p * (1.0 - p) * (140.0 - 60.0 * 60.0 / 30.0)
+    assert(r.getAs[Double]("z_stat") === d6(t / math.sqrt(vr)))
+    assert(r.getAs[Double]("chi2") === d6(t * t / vr))
+    // all-success input: no information → null
+    val flat = Seq((0, true), (1, true), (2, true)).toDF("g", "s")
+    val rf = AbStats.cochranArmitage(flat, col("g"), col("s"), k = 3).head
+    assert(rf.isNullAt(rf.fieldIndex("z_stat")))
+  }
+
+  // ---- Code-switch audit ---------------------------------------------------------
+
+  test("codeSwitchAudit: spliced doc flags, monolingual and und halves don't") {
+    import graft.operators.LanguageModel
+    val docs = Seq(
+      (1L, "the cat is of the mat le chat et la table des"), // en|fr
+      (2L, "the dog is the best of all the dogs in town"),   // en|en
+      (3L, "zz qq ww le la et")).toDF("doc_id", "text")      // und|fr
+    val out = LanguageModel.codeSwitchAudit(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("lang_head") === "en")
+    assert(out(1L).getAs[String]("lang_tail") === "fr")
+    assert(out(1L).getAs[Boolean]("switched"))
+    assert(!out(2L).getAs[Boolean]("switched"))
+    assert(out(3L).getAs[String]("lang_head") === "und")
+    assert(!out(3L).getAs[Boolean]("switched"),
+      "an undetermined half must not flag")
+  }
 }

@@ -936,6 +936,16 @@ class StreamingSpec extends AnyFunSuite {
       s"batch=${want.take(2)}")
   }
 
+  test("streaming vocabulary monitor equals the batch D114 readout bit-exactly") {
+    // E31: additive word-count cells merge to the identical census,
+    // so the Good-Turing/Chao1 finisher matches bit for bit
+    val got = graft.queries.StreamFaces.streamVocabMonitor(spark, sfDir)
+      .collect().toSeq
+    val want = graft.queries.TextQueries.goodTuringVocab(spark, sfDir)
+      .collect().toSeq
+    assert(got == want, s"vocab diverges: stream=$got batch=$want")
+  }
+
   test("streaming Cramér's V equals the batch C103 readout bit-exactly") {
     // E30: additive contingency cells merge to the identical census,
     // so the chi-square/V finisher matches bit for bit
