@@ -2171,6 +2171,87 @@ private[graft] object OracleSqlD {
          |FROM l ORDER BY doc_id""".stripMargin
     },
 
+    // C113: seasonal Mann-Kendall — per-weekday pairwise census, S
+    // and Var summed across disjoint seasons as exact integers
+    "seasonal_mann_kendall" ->
+      """WITH dly AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+        |      AS HUGEINT) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |g AS (SELECT (day - DATE '1970-01-01') % 7 AS grp, day, x
+        |  FROM dly),
+        |s AS (SELECT CAST(COALESCE(SUM(CASE WHEN b.x > a.x THEN 1
+        |    WHEN b.x < a.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+        |  FROM g a JOIN g b ON b.grp = a.grp AND a.day < b.day),
+        |per AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS m FROM g
+        |  GROUP BY 1),
+        |t AS (SELECT grp, CAST(SUM(t*(t-1)*(2*t+5)) AS BIGINT) AS tie
+        |  FROM (SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS t FROM g
+        |        GROUP BY 1, 2)
+        |  WHERE t > 1 GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seasons,
+        |    CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_steps,
+        |    CAST(COALESCE(SUM(m*(m-1)*(2*m+5) - COALESCE(tie, 0)), 0)
+        |      AS BIGINT) AS var18
+        |  FROM per LEFT JOIN t USING (grp)),
+        |z AS (SELECT s_stat, n_seasons, n_steps, var18,
+        |    CASE WHEN var18 <= 0 THEN NULL
+        |    ELSE (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |          ELSE 0.0 END)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0) END AS zv
+        |  FROM s, v)
+        |SELECT n_seasons, n_steps, s_stat, var18,
+        |  round(zv, 6) AS z_stat,
+        |  CASE WHEN zv IS NULL THEN 'undefined'
+        |       WHEN round(zv, 6) > 1.96 THEN 'increasing'
+        |       WHEN round(zv, 6) < -1.96 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM z""".stripMargin,
+
+    // D126: PII density — the embedded-marker censuses are exact
+    // integers, each rate one IEEE divide
+    "pii_density_by_source" ->
+      """WITH e AS (SELECT source,
+        |    text || (CASE WHEN doc_id % 3 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.com' ELSE '' END)
+        |      || (CASE WHEN doc_id % 5 = 0
+        |      THEN ' tel ' || lpad(CAST((doc_id * 7919 + 13) % 10000000
+        |        AS VARCHAR), 7, '0') ELSE '' END) AS emb
+        |  FROM documents),
+        |p AS (SELECT source,
+        |    CAST(CASE WHEN len(trim(emb)) > 0
+        |      THEN len(string_split_regex(trim(emb), '\s+'))
+        |      ELSE 0 END AS BIGINT) AS tok,
+        |    CAST(len(regexp_extract_all(emb, '[a-z0-9.]+@[a-z0-9.]+'))
+        |      AS BIGINT) AS em,
+        |    CAST(len(regexp_extract_all(emb, '[0-9]{7,}')) AS BIGINT)
+        |      AS dg
+        |  FROM e),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(em) AS BIGINT) AS email_hits,
+        |    CAST(SUM(dg) AS BIGINT) AS digit_run_hits
+        |  FROM p GROUP BY 1)
+        |SELECT source, n_docs, n_tokens, email_hits, digit_run_hits,
+        |  CASE WHEN n_tokens > 0 THEN round(
+        |    CAST(email_hits AS DOUBLE) * 1000.0
+        |      / CAST(n_tokens AS DOUBLE), 6) END AS emails_per_1k,
+        |  CASE WHEN n_tokens > 0 THEN round(
+        |    CAST(digit_run_hits AS DOUBLE) * 1000.0
+        |      / CAST(n_tokens AS DOUBLE), 6) END AS digit_runs_per_1k
+        |FROM a ORDER BY source""".stripMargin,
+
+    // A18: schema-evolution read — the merged frame equals the
+    // original table with the new column null before its version
+    "schema_evolution_read" ->
+      """SELECT r_regionkey, r_name,
+        |  CASE WHEN r_regionkey >= 3
+        |    THEN CAST(length(r_name) AS BIGINT) END AS r_name_len
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
     // D124: RAKE — gaps-and-islands runs per doc, deg/freq word
     // scores exact-integer divides, phrase scores folded in phrase
     // word order, rounded before the (score desc, phrase) cut

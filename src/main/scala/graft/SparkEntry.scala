@@ -331,6 +331,9 @@ object SparkEntry {
     "ab_cochran_armitage" -> (WarehouseQueries.cochranArmitageTrend _),
     "code_switch_audit"  -> (TextQueries.codeSwitchAudit _),
     "stream_vocab_monitor" -> (StreamFaces.streamVocabMonitor _),
+    "seasonal_mann_kendall" -> (WarehouseQueries.seasonalMannKendall _),
+    "pii_density_by_source" -> (TextQueries.piiDensityBySource _),
+    "schema_evolution_read" -> (ExtendedQueries.schemaEvolutionRead _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

@@ -443,6 +443,65 @@ object Changepoint {
         col("m").as("dof"))
   }
 
+  /** C113: seasonal Mann–Kendall trend test (Hirsch, Slack & Smith
+    * 1982) — C84 with the seasonal confound removed: S compares pairs
+    * only WITHIN a season (same weekday here), so a strong weekly
+    * cycle can't masquerade as (or mask) a monotone trend. S' = Σ_g
+    * S_g and Var' = Σ_g Var_g because seasons are disjoint; the
+    * continuity-corrected z reads as in C84.
+    *
+    * Same exactness/scale posture as C84: the caller collapses the
+    * corpus to the calendar series; the pairwise census is per-season
+    * m_g² over that tiny frame (smaller than C84's m² — the join key
+    * includes the season); S, the tie census and Var all exact
+    * integers, z one IEEE evaluation. Non-integral values fail the
+    * job (the C84 contract).
+    */
+  def seasonalMannKendall(series: DataFrame, step: Column, value: Column,
+                          season: Column): DataFrame = {
+    val checked = when(
+      value.cast("long").cast("double") === value.cast("double"),
+      value.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("seasonalMannKendall: non-integral value "),
+        value.cast("string"),
+        lit(" — scale the series to integers first"))))
+    val v = Materialize.cut(series.select(season.cast("long").as("__g"),
+      step.as("__s"), checked.as("__x")))
+    val s = v.as("a")
+      .join(v.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__s") < col("b.__s"))
+      .agg(coalesce(sum(signum(
+          col("b.__x").cast("double") - col("a.__x").cast("double"))
+        .cast("long")), lit(0L)).as("s_stat"))
+    val perG = v.groupBy(col("__g")).agg(count(lit(1)).as("m"))
+    val tiesG = v.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1L)
+      .groupBy(col("__g"))
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+        .as("tie_term"))
+    val vars = perG.join(tiesG, Seq("__g"), "left")
+      .select((col("m") * (col("m") - 1L) * (lit(2L) * col("m") + 5L)
+        - coalesce(col("tie_term"), lit(0L))).as("v18"), col("m"))
+      .agg(count(lit(1)).cast("long").as("n_seasons"),
+        coalesce(sum(col("m")), lit(0L)).cast("long").as("n_steps"),
+        coalesce(sum(col("v18")), lit(0L)).cast("long").as("var18"))
+    val joined = s.crossJoin(vars)
+    val z = when(col("var18") <= 0L, lit(null).cast("double"))
+      .otherwise(
+        when(col("s_stat") > 0L, (col("s_stat") - 1L).cast("double"))
+          .when(col("s_stat") < 0L, (col("s_stat") + 1L).cast("double"))
+          .otherwise(lit(0.0))
+        / sqrt(col("var18").cast("double") / lit(18.0)))
+    joined.select(col("n_seasons"), col("n_steps"), col("s_stat"),
+      col("var18"), round(z, 6).as("z_stat"),
+      when(z.isNull, "undefined")
+        .when(round(z, 6) > 1.96, "increasing")
+        .when(round(z, 6) < -1.96, "decreasing")
+        .otherwise("no_trend").as("trend"))
+  }
+
   /** C106: Granger-causality F test at lag 1 (Granger 1969) — "does
     * yesterday's y help predict today's x beyond yesterday's x",
     * the directional companion to C78's symmetric lead-lag

@@ -478,6 +478,29 @@ object ExtendedQueries {
   /** D15: PII-style redaction — digit runs → <NUM>, emails → <EMAIL>
     * (pattern kept ASCII-simple for cross-engine regex parity).
     */
+  /** A18: schema-evolution read — a lake table written under TWO
+    * schema versions (v2 adds a column) reads back as ONE unified
+    * frame via mergeSchema, old rows null-filling the new column:
+    * the append-only reality of a long-lived lake (producers upgrade
+    * at different times) that a fixed-schema reader breaks on. At
+    * 100 TB mergeSchema's footer union is driver-side metadata work
+    * ∝ file count, not data size — the scan itself is unchanged.
+    */
+  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
+    val p = StreamFaces.scratch("graft_schevo")
+    val r = Tables.region(spark, dir)
+    r.filter(col("r_regionkey") < 3)
+      .select(col("r_regionkey"), col("r_name"))
+      .write.mode("overwrite").parquet(s"$p/v1")
+    r.filter(col("r_regionkey") >= 3)
+      .select(col("r_regionkey"), col("r_name"),
+        length(col("r_name")).cast("long").as("r_name_len"))
+      .write.mode("overwrite").parquet(s"$p/v2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$p/v1", s"$p/v2")
+      .orderBy(col("r_regionkey"))
+  }
+
   def textRedact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
         col("doc_id"),

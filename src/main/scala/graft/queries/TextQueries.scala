@@ -1625,6 +1625,26 @@ object TextQueries {
     graft.operators.AbStats.mutualInformation(
       Tables.documents(spark, dir), col("lang"), col("source"))
 
+  /** D126: PII density per source — the corpus-card compliance row.
+    * The synthetic corpus carries no PII, so the face EMBEDS
+    * deterministic markers (the D84b luhn-face precedent: the
+    * MACHINERY is what's audited): every doc_id ≡ 0 (mod 3) gains an
+    * email, every doc_id ≡ 0 (mod 5) a 7-digit run (see
+    * [[graft.operators.PiiAudit.densityByGroup]]).
+    */
+  def piiDensityBySource(spark: SparkSession, dir: String): DataFrame = {
+    val emb = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" tel "),
+          lpad(((col("doc_id") * 7919 + 13) % 10000000L).cast("string"),
+            7, "0"))).otherwise(lit("")))
+    graft.operators.PiiAudit.densityByGroup(
+      Tables.documents(spark, dir), col("source"), emb)
+  }
+
   /** D125: code-switching audit — half-doc language IDs and the
     * spliced-document flag (see
     * [[graft.operators.LanguageModel.codeSwitchAudit]]).

@@ -1660,6 +1660,18 @@ object WarehouseQueries {
         cents(21, 31).as("v2"))
   }
 
+  /** C113: seasonal Mann–Kendall on the daily purchase series with
+    * epoch-day-mod-7 weekday seasons (the C90 engine-neutral weekday
+    * convention) — the trend test the weekly cycle can't fool (see
+    * [[graft.operators.Changepoint.seasonalMannKendall]]). Same
+    * one-scan day collapse as [[valueAcf]].
+    */
+  def seasonalMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val d = dailyPurchaseCents(spark, dir)
+    graft.operators.Changepoint.seasonalMannKendall(d, col("day"),
+      col("cents"), datediff(col("day"), lit("1970-01-01")) % 7)
+  }
+
   /** C112: Cochran–Armitage trend — does the purchase RATE (purchases
     * per event) trend across the month's ordered tertiles? (see
     * [[graft.operators.AbStats.cochranArmitage]]). Events are the

@@ -1872,4 +1872,51 @@ class AbStatsSpec extends AnyFunSuite {
     assert(!out(3L).getAs[Boolean]("switched"),
       "an undetermined half must not flag")
   }
+
+  // ---- Seasonal Mann-Kendall -----------------------------------------------------
+
+  test("seasonalMannKendall: within-season pairs only; cycle can't fake a trend") {
+    import graft.operators.Changepoint
+    import java.sql.Date
+    def day(i: Int) = Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // pure 2-cycle (10,99,10,99,...) over 8 days, seasons = i % 2:
+    // within each season the series is CONSTANT → S = 0, all tied
+    val cyc = (0 until 8).map(i =>
+      (day(i), if (i % 2 == 0) 10L else 99L, i % 2)).toDF("d", "v", "g")
+    val rc = Changepoint.seasonalMannKendall(cyc, col("d"), col("v"),
+      col("g")).head
+    assert(rc.getAs[Long]("s_stat") === 0L)
+    assert(rc.getAs[Long]("n_seasons") === 2L)
+    assert(rc.getAs[String]("trend") === "undefined",
+      "all-tied seasons have zero variance")
+    // monotone WITHIN each season: s_g = C(4,2) = 6 each → S = 12
+    val up = (0 until 8).map(i =>
+      (day(i), (10 * (i / 2) + i % 2).toLong, i % 2)).toDF("d", "v", "g")
+    val ru = Changepoint.seasonalMannKendall(up, col("d"), col("v"),
+      col("g")).head
+    assert(ru.getAs[Long]("s_stat") === 12L)
+    // var18 = 2 · m(m−1)(2m+5) = 2·4·3·13 = 312
+    assert(ru.getAs[Long]("var18") === 312L)
+    assert(ru.getAs[Double]("z_stat") ===
+      d6(11.0 / math.sqrt(312.0 / 18.0)))
+  }
+
+  // ---- PII density -----------------------------------------------------------------
+
+  test("piiDensity: pattern censuses and per-1k rates") {
+    import graft.operators.PiiAudit
+    val docs = Seq(
+      ("s1", "mail me at bob.smith@corp.example thanks"),
+      ("s1", "account 12345678 and card 4000001234567899"),
+      ("s2", "nothing here")).toDF("source", "text")
+    val out = PiiAudit.densityByGroup(docs, col("source"), col("text"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("email_hits") === 1L)
+    assert(out("s1").getAs[Long]("digit_run_hits") === 2L)
+    assert(out("s2").getAs[Long]("email_hits") === 0L)
+    val tok = out("s1").getAs[Long]("n_tokens")
+    assert(out("s1").getAs[Double]("emails_per_1k") ===
+      d6(1000.0 / tok.toDouble))
+  }
 }
