@@ -298,6 +298,43 @@ private[graft] object OracleFns {
     }.reduce((a, b) => s"($a\n  + $b)")
   }
 
+  /** D126 oracle — shared verbatim by `pii_density_by_source` and the
+    * E32 stream face (stream ≡ batch on the merged additive
+    * counters): embedded-marker censuses exact integers, each rate
+    * one IEEE divide.
+    */
+  private[graft] val piiDensitySql: String =
+    """WITH e AS (SELECT source,
+      |    text || (CASE WHEN doc_id % 3 = 0
+      |      THEN ' contact user' || CAST(doc_id AS VARCHAR)
+      |        || '@example.com' ELSE '' END)
+      |      || (CASE WHEN doc_id % 5 = 0
+      |      THEN ' tel ' || lpad(CAST((doc_id * 7919 + 13) % 10000000
+      |        AS VARCHAR), 7, '0') ELSE '' END) AS emb
+      |  FROM documents),
+      |p AS (SELECT source,
+      |    CAST(CASE WHEN len(trim(emb)) > 0
+      |      THEN len(string_split_regex(trim(emb), '\s+'))
+      |      ELSE 0 END AS BIGINT) AS tok,
+      |    CAST(len(regexp_extract_all(emb, '[a-z0-9.]+@[a-z0-9.]+'))
+      |      AS BIGINT) AS em,
+      |    CAST(len(regexp_extract_all(emb, '[0-9]{7,}')) AS BIGINT)
+      |      AS dg
+      |  FROM e),
+      |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(tok) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(em) AS BIGINT) AS email_hits,
+      |    CAST(SUM(dg) AS BIGINT) AS digit_run_hits
+      |  FROM p GROUP BY 1)
+      |SELECT source, n_docs, n_tokens, email_hits, digit_run_hits,
+      |  CASE WHEN n_tokens > 0 THEN round(
+      |    CAST(email_hits AS DOUBLE) * 1000.0
+      |      / CAST(n_tokens AS DOUBLE), 6) END AS emails_per_1k,
+      |  CASE WHEN n_tokens > 0 THEN round(
+      |    CAST(digit_run_hits AS DOUBLE) * 1000.0
+      |      / CAST(n_tokens AS DOUBLE), 6) END AS digit_runs_per_1k
+      |FROM a ORDER BY source""".stripMargin
+
   /** C103 oracle — shared verbatim by `assoc_cramers_v` and the E30
     * stream face (stream ≡ batch on the merged additive cells): cell
     * terms nano-quantized and summed as exact integers, absent cells

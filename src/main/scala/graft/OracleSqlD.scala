@@ -2210,39 +2210,40 @@ private[graft] object OracleSqlD {
         |       ELSE 'no_trend' END AS trend
         |FROM z""".stripMargin,
 
+    // D127: Hill tail index — top-(k+1) order statistics (only the
+    // value MULTISET enters, so cut-boundary ties are harmless), ln
+    // terms folded descending with seed 0.0
+    "hill_tail_index" -> {
+      val s = """list_reduce(list_prepend(0.0,
+        |    list_transform(range(1, 101),
+        |      i -> ln(CAST(lst[i] AS DOUBLE) / CAST(lst[101] AS DOUBLE)))),
+        |    (a, b) -> a + b)""".stripMargin
+      s"""WITH t AS (SELECT CASE WHEN len(trim(text)) > 0
+         |    THEN CAST(len(string_split_regex(trim(text), '\\s+'))
+         |      AS BIGINT)
+         |    ELSE 0 END AS x
+         |  FROM documents),
+         |p AS (SELECT x FROM t WHERE x > 0),
+         |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pos FROM p),
+         |top AS (SELECT x FROM p ORDER BY x DESC LIMIT 101),
+         |l AS (SELECT list_sort(list(x), 'DESC') AS lst,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM top)
+         |SELECT n_pos, CAST(100 AS BIGINT) AS k,
+         |  lst[101] AS x_kplus1,
+         |  CASE WHEN cnt = 101 AND n_pos > 101 AND $s > 0.0
+         |  THEN round(100.0 / $s, 6) END AS alpha,
+         |  CASE WHEN cnt = 101 AND n_pos > 101 AND $s > 0.0
+         |  THEN round(100.0 / $s, 6) < 2.0 END AS infinite_variance
+         |FROM l CROSS JOIN np""".stripMargin
+    },
+
+    // E32: continuous PII density — stream ≡ batch on the merged
+    // additive per-source counters, oracle verbatim
+    "stream_pii_density" -> piiDensitySql,
+
     // D126: PII density — the embedded-marker censuses are exact
     // integers, each rate one IEEE divide
-    "pii_density_by_source" ->
-      """WITH e AS (SELECT source,
-        |    text || (CASE WHEN doc_id % 3 = 0
-        |      THEN ' contact user' || CAST(doc_id AS VARCHAR)
-        |        || '@example.com' ELSE '' END)
-        |      || (CASE WHEN doc_id % 5 = 0
-        |      THEN ' tel ' || lpad(CAST((doc_id * 7919 + 13) % 10000000
-        |        AS VARCHAR), 7, '0') ELSE '' END) AS emb
-        |  FROM documents),
-        |p AS (SELECT source,
-        |    CAST(CASE WHEN len(trim(emb)) > 0
-        |      THEN len(string_split_regex(trim(emb), '\s+'))
-        |      ELSE 0 END AS BIGINT) AS tok,
-        |    CAST(len(regexp_extract_all(emb, '[a-z0-9.]+@[a-z0-9.]+'))
-        |      AS BIGINT) AS em,
-        |    CAST(len(regexp_extract_all(emb, '[0-9]{7,}')) AS BIGINT)
-        |      AS dg
-        |  FROM e),
-        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |    CAST(SUM(tok) AS BIGINT) AS n_tokens,
-        |    CAST(SUM(em) AS BIGINT) AS email_hits,
-        |    CAST(SUM(dg) AS BIGINT) AS digit_run_hits
-        |  FROM p GROUP BY 1)
-        |SELECT source, n_docs, n_tokens, email_hits, digit_run_hits,
-        |  CASE WHEN n_tokens > 0 THEN round(
-        |    CAST(email_hits AS DOUBLE) * 1000.0
-        |      / CAST(n_tokens AS DOUBLE), 6) END AS emails_per_1k,
-        |  CASE WHEN n_tokens > 0 THEN round(
-        |    CAST(digit_run_hits AS DOUBLE) * 1000.0
-        |      / CAST(n_tokens AS DOUBLE), 6) END AS digit_runs_per_1k
-        |FROM a ORDER BY source""".stripMargin,
+    "pii_density_by_source" -> piiDensitySql,
 
     // A18: schema-evolution read — the merged frame equals the
     // original table with the new column null before its version

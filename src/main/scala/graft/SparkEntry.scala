@@ -334,6 +334,8 @@ object SparkEntry {
     "seasonal_mann_kendall" -> (WarehouseQueries.seasonalMannKendall _),
     "pii_density_by_source" -> (TextQueries.piiDensityBySource _),
     "schema_evolution_read" -> (ExtendedQueries.schemaEvolutionRead _),
+    "hill_tail_index"    -> (TextQueries.hillTailIndex _),
+    "stream_pii_density" -> (StreamFaces.streamPiiDensity _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

@@ -98,4 +98,46 @@ object Concentration {
         round(col("n_rows").cast("double") * sww / (sw * sw), 6))
         .as("design_effect"))
   }
+
+  /** D127: Hill tail-index estimator (Hill 1975) over the top-k order
+    * statistics of a positive integer size column (document lengths
+    * here): α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)). THE heavy-tail
+    * diagnostic a partitioner lives or dies by: α < 2 means infinite
+    * variance — size-based salting/packing decisions (D28/E4) MUST
+    * assume whales; α > 2 means the mean and variance exist and
+    * uniform partitioning is honest. D103/D62 see vocabulary
+    * power laws; this sees the SIZE power law.
+    *
+    * Scale shape: one scan → TakeOrdered(k+1) on the size (k is a
+    * small literal — never a global sort); ties straddling the cut
+    * are harmless because only the VALUE MULTISET enters the
+    * estimator (uniquely determined by the order statistics). The ln
+    * terms fold over the sorted list (descending, seed 0.0) — one
+    * IEEE tree; the 6-dp round absorbs libm-ulp ln drift (the BM25
+    * argument). Corpora with ≤ k+1 positive sizes publish null.
+    */
+  def hillTailIndex(df: DataFrame, size: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val top = df.select(size.cast("long").as("__x"))
+      .filter(col("__x") > 0L)
+      .orderBy(col("__x").desc)
+      .limit(k + 1)
+    val nPos = df.select(size.cast("long").as("__x"))
+      .filter(col("__x") > 0L)
+      .agg(count(lit(1)).cast("long").as("n_pos"))
+    top.agg(sort_array(collect_list(col("__x")), asc = false).as("__l"),
+        count(lit(1)).cast("long").as("__cnt"))
+      .crossJoin(broadcast(nPos))
+      .select(col("n_pos"), lit(k.toLong).as("k"),
+        try_element_at(col("__l"), lit(k + 1)).as("x_kplus1"), {
+          val xk1 = try_element_at(col("__l"), lit(k + 1)).cast("double")
+          val s = aggregate(slice(col("__l"), lit(1), lit(k)), lit(0.0),
+            (acc, x) => acc + log(x.cast("double") / xk1))
+          when(col("__cnt") === (k + 1).toLong && col("n_pos") > (k + 1).toLong
+              && s > 0.0,
+            round(lit(k.toDouble) / s, 6)).as("alpha")
+        })
+      .withColumn("infinite_variance",
+        when(col("alpha").isNotNull, col("alpha") < 2.0))
+  }
 }

@@ -29,12 +29,21 @@ object PiiAudit {
         lit(0))).cast("long").as("__em"),
       size(regexp_extract_all(textCol, lit("[0-9]{7,}"), lit(0)))
         .cast("long").as("__dg"))
-    perDoc.groupBy(col("source"))
+    rates(perDoc.groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("__tok")).cast("long").as("n_tokens"),
         sum(col("__em")).cast("long").as("email_hits"),
-        sum(col("__dg")).cast("long").as("digit_run_hits"))
-      .select(col("source"), col("n_docs"), col("n_tokens"),
+        sum(col("__dg")).cast("long").as("digit_run_hits")))
+  }
+
+  /** The rate finisher over an already-summed per-source frame —
+    * the single definition the batch face and E32's stream face
+    * (which maintains the four counters additively in the lake)
+    * both ride, the `benfordFromCounts` pattern. Expects columns
+    * (source, n_docs, n_tokens, email_hits, digit_run_hits).
+    */
+  def rates(suff: DataFrame): DataFrame =
+    suff.select(col("source"), col("n_docs"), col("n_tokens"),
         col("email_hits"), col("digit_run_hits"),
         when(col("n_tokens") > 0L, round(
           col("email_hits").cast("double") * 1000.0
@@ -43,5 +52,4 @@ object PiiAudit {
           col("digit_run_hits").cast("double") * 1000.0
             / col("n_tokens").cast("double"), 6)).as("digit_runs_per_1k"))
       .orderBy(col("source"))
-  }
 }

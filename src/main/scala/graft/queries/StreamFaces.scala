@@ -444,6 +444,59 @@ object StreamFaces {
     graft.operators.LanguageModel.goodTuringFromCounts(counts)
   }
 
+  /** E32 as a gated key: continuous PII-density monitoring (E ∘ D126)
+    * — per micro-batch the FOUR per-source counters (docs, tokens,
+    * email hits, digit-run hits) append to the lake as additive cells
+    * keyed (source, metric); the read face merges them and runs
+    * [[graft.operators.PiiAudit.rates]], the batch D126 finisher, so
+    * the oracle is `pii_density_by_source`'s SQL verbatim. The live
+    * compliance alarm: a clean source starting to leak shows up in
+    * the stream, not at the quarterly audit.
+    */
+  def streamPiiDensity(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_pii")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    // the SAME deterministic synthetic-marker embedding as the batch
+    // face (doc-id-derived, so replay-idempotent)
+    val emb = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" tel "),
+          lpad(((col("doc_id") * 7919 + 13) % 10000000L).cast("string"),
+            7, "0"))).otherwise(lit("")))
+    val toks = graft.operators.LanguageModel.toks(emb)
+    val perDoc = stream.select(col("source"),
+        size(toks).cast("long").as("__tok"),
+        size(regexp_extract_all(emb, lit("[a-z0-9.]+@[a-z0-9.]+"),
+          lit(0))).cast("long").as("__em"),
+        size(regexp_extract_all(emb, lit("[0-9]{7,}"), lit(0)))
+          .cast("long").as("__dg"))
+      .select(col("source"), explode(array(
+        struct(lit(0).as("m"), lit(1L).as("v")),
+        struct(lit(1).as("m"), col("__tok").as("v")),
+        struct(lit(2).as("m"), col("__em").as("v")),
+        struct(lit(3).as("m"), col("__dg").as("v")))).as("mv"))
+      .select(col("source"), col("mv.m").as("m"), col("mv.v").as("v"))
+    val q = graft.streaming.StreamingForecast.start(
+      perDoc, col("source"), col("m"), col("v"),
+      s"$base/cells", s"$base/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val suff = spark.read.parquet(s"$base/cells")
+      .groupBy(col("k").as("source"))
+      .agg(sum(when(col("p") === 0, col("v"))).cast("long").as("n_docs"),
+        sum(when(col("p") === 1, col("v"))).cast("long").as("n_tokens"),
+        sum(when(col("p") === 2, col("v"))).cast("long")
+          .as("email_hits"),
+        sum(when(col("p") === 3, col("v"))).cast("long")
+          .as("digit_run_hits"))
+    graft.operators.PiiAudit.rates(suff)
+  }
+
   /** E28 as a gated key: continuous Benford first-digit monitoring
     * (E ∘ C79) — the live fraud/data-corruption alarm: per
     * micro-batch the 9 first-digit counts append to the lake

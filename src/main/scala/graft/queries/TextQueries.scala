@@ -1625,6 +1625,15 @@ object TextQueries {
     graft.operators.AbStats.mutualInformation(
       Tables.documents(spark, dir), col("lang"), col("source"))
 
+  /** D127: Hill tail index over document token lengths (k = 100) —
+    * the size-distribution heavy-tail diagnostic (see
+    * [[graft.operators.Concentration.hillTailIndex]]).
+    */
+  def hillTailIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Concentration.hillTailIndex(
+      Tables.documents(spark, dir),
+      size(graft.operators.LanguageModel.toks(col("text"))), k = 100)
+
   /** D126: PII density per source — the corpus-card compliance row.
     * The synthetic corpus carries no PII, so the face EMBEDS
     * deterministic markers (the D84b luhn-face precedent: the

@@ -1919,4 +1919,27 @@ class AbStatsSpec extends AnyFunSuite {
     assert(out("s1").getAs[Double]("emails_per_1k") ===
       d6(1000.0 / tok.toDouble))
   }
+
+  // ---- Hill tail index -------------------------------------------------------------
+
+  test("hillTailIndex: Pareto ladder replay; short corpus nulls") {
+    import graft.operators.Concentration
+    // sizes x_r = floor(1000/r) for r = 1..200: a discrete Pareto
+    // with alpha near 1; replay the exact k=10 ladder by hand
+    val sizes = (1 to 200).map(r => (r.toLong, (1000 / r).toLong))
+    val df = sizes.toDF("id", "n")
+    val r = Concentration.hillTailIndex(df, col("n"), k = 10).head
+    val sorted = sizes.map(_._2).sorted(Ordering[Long].reverse)
+    val xk1 = sorted(10).toDouble
+    val s = sorted.take(10)
+      .foldLeft(0.0)((acc, x) => acc + math.log(x.toDouble / xk1))
+    assert(r.getAs[Long]("n_pos") === 200L)
+    assert(r.getAs[Long]("x_kplus1") === sorted(10))
+    assert(r.getAs[Double]("alpha") === d6(10.0 / s))
+    assert(r.getAs[Boolean]("infinite_variance") === (d6(10.0 / s) < 2.0))
+    // not enough positive sizes: null alpha
+    val tiny = (1 to 5).map(i => (i.toLong, i.toLong)).toDF("id", "n")
+    val rt = Concentration.hillTailIndex(tiny, col("n"), k = 10).head
+    assert(rt.isNullAt(rt.fieldIndex("alpha")))
+  }
 }

@@ -936,6 +936,17 @@ class StreamingSpec extends AnyFunSuite {
       s"batch=${want.take(2)}")
   }
 
+  test("streaming PII density equals the batch D126 readout bit-exactly") {
+    // E32: four additive per-source counters merge to the identical
+    // sufficient frame, so the rate finisher matches bit for bit
+    val got = graft.queries.StreamFaces.streamPiiDensity(spark, sfDir)
+      .collect().toSeq
+    val want = graft.queries.TextQueries.piiDensityBySource(spark, sfDir)
+      .collect().toSeq
+    assert(got == want, s"pii diverges: stream=${got.take(2)} " +
+      s"batch=${want.take(2)}")
+  }
+
   test("streaming vocabulary monitor equals the batch D114 readout bit-exactly") {
     // E31: additive word-count cells merge to the identical census,
     // so the Good-Turing/Chao1 finisher matches bit for bit
