@@ -336,6 +336,7 @@ object SparkEntry {
     "schema_evolution_read" -> (ExtendedQueries.schemaEvolutionRead _),
     "hill_tail_index"    -> (TextQueries.hillTailIndex _),
     "stream_pii_density" -> (StreamFaces.streamPiiDensity _),
+    "ab_anderson_darling" -> (WarehouseQueries.andersonDarling _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

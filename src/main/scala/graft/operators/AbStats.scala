@@ -1290,6 +1290,85 @@ object AbStats {
       lit((k - 1).toLong).as("dof")): _*)
   }
 
+  /** C114: k-sample Anderson–Darling test (Scholz & Stephens 1987,
+    * the tie-adjusted midrank statistic A²akN) — the distribution
+    * omnibus that weighs the TAILS where C70's KS weighs the middle:
+    * the test that catches "same median, same spread, different
+    * extremes", which is exactly how whale-driven revenue arms
+    * differ. With distinct pooled values z_j (multiplicity l_j),
+    * midrank cumulatives B̄_j (pooled) and M̄_aj (arm a):
+    * A² = (N−1)/N · Σ_a (1/n_a) Σ_j (l_j/N)·(N·M̄_aj − n_a·B̄_j)² /
+    * (B̄_j(N−B̄_j) − N·l_j/4).
+    *
+    * EXACT integer core via the half-unit trick (C96's ledger):
+    * 2B̄_j = 2·cum_j − l_j and 2M̄_aj = 2·cum_aj − l_aj are integers,
+    * and the per-(arm, value) term collapses to the integer ratio
+    * l_j·(N·m2 − n_a·b2)² / (N·(2·b2·N − b2² − N·l_j)) — ONE IEEE
+    * divide over decimal-exact operands. Terms are NONNEGATIVE, so
+    * they nano-quantize (HALF_UP ≡ half-away-from-zero) and sum as
+    * EXACT INTEGERS per arm — associative, partition-order-free, NO
+    * value-ordered collect at any cardinality (the D119 convention);
+    * the k per-arm sums fold in fixed arm order.
+    *
+    * Scale shape: ONE value-domain count shuffle with per-arm legs
+    * riding along (the C96 frame), cumulatives on the distributed
+    * [[PrefixSum]] (chained per rider — each pass re-ranges the
+    * AGGREGATE-sized value frame); one scalar merge. Decimal headroom
+    * bounds the observation count at N ≲ 3·10⁷ (l·(N·m2)² ≤ 4N⁵ must
+    * stay under 10³⁸) — beyond that, pre-bucket the value domain (the
+    * C17/C19 sketch path, a documented dial). Degenerate inputs (an
+    * empty arm, a single distinct value) publish null.
+    */
+  def andersonDarlingK(df: DataFrame, arm: Column, value: Column,
+                       arms: Int = 3): DataFrame = {
+    require(arms >= 2 && arms <= 8, s"arms must be in [2,8], got $arms")
+    val armLegs = (0 until arms).map(i =>
+      sum(when(col("__arm") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val groups = Materialize.cut(df
+      .select(arm.cast("int").as("__arm"), value.as("__v"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("c"), armLegs: _*))
+    val withCum = (0 until arms).foldLeft(
+      PrefixSum.runningSum(groups, col("__v"), col("c"), "cum")) {
+      (acc, i) => PrefixSum.runningSum(acc, col("__v"), col(s"c$i"),
+        s"cum$i")
+    }
+    val totCols = Seq(
+      coalesce(sum(col("c")), lit(0L)).cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_distinct")) ++
+      (0 until arms).map(i =>
+        coalesce(sum(col(s"c$i")), lit(0L)).cast("long").as(s"n_$i"))
+    val tot = groups.agg(totCols.head, totCols.tail: _*)
+    val termed = withCum.crossJoin(broadcast(tot))
+    val b2 = dec0(col("cum")) * 2 - dec0(col("c"))
+    val nDec = dec0(col("n"))
+    // 4·denominator of the j-th value's shared factor:
+    // N·(2·b2·N − b2² − N·l) — zero only when l_j = N (single value)
+    val den = nDec * (b2 * nDec * 2 - b2 * b2 - nDec * dec0(col("c")))
+    val nanoCols = (0 until arms).map { i =>
+      val m2 = dec0(col(s"cum$i")) * 2 - dec0(col(s"c$i"))
+      val num = dec0(col("c")) *
+        (nDec * m2 - dec0(col(s"n_$i")) * b2) *
+        (nDec * m2 - dec0(col(s"n_$i")) * b2)
+      sum(when(den.cast("double") > 0.0,
+        round(num.cast("double") / den.cast("double") * lit(1e9), 0)
+          .cast("long")).otherwise(0L)).cast("long").as(s"ns_$i")
+    }
+    val sums = termed.agg(nanoCols.head, nanoCols.tail: _*)
+      .crossJoin(broadcast(tot))
+    val inner = (0 until arms).map { i =>
+      col(s"ns_$i").cast("double") / lit(1e9) /
+        col(s"n_$i").cast("double")
+    }.reduce(_ + _)
+    val nD = col("n").cast("double")
+    val ok = (0 until arms).map(i => col(s"n_$i") > 0L).reduce(_ && _) &&
+      col("n_distinct") > 1L
+    sums.select((0 until arms).map(i => col(s"n_$i")) ++ Seq(
+      col("n"), col("n_distinct"),
+      when(ok, round((nD - 1.0) / nD * inner, 6)).as("a2_stat"),
+      lit((arms - 1).toLong).as("dof")): _*)
+  }
+
   /** C112: Cochran–Armitage trend test (Cochran 1954; Armitage 1955)
     * — "does the SUCCESS RATE trend across k ORDERED groups": the
     * proportions companion to C110's within-block rank trend, read as

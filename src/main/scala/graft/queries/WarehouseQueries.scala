@@ -1660,6 +1660,15 @@ object WarehouseQueries {
         cents(21, 31).as("v2"))
   }
 
+  /** C114: k-sample Anderson–Darling across the three user-mod-3 arms
+    * on purchase cents — the tail-weighted distribution omnibus next
+    * to C96's rank test (see
+    * [[graft.operators.AbStats.andersonDarlingK]]).
+    */
+  def andersonDarling(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.andersonDarlingK(
+      purchaseCentsArm3(spark, dir), col("arm"), col("cents"), arms = 3)
+
   /** C113: seasonal Mann–Kendall on the daily purchase series with
     * epoch-day-mod-7 weekday seasons (the C90 engine-neutral weekday
     * convention) — the trend test the weekly cycle can't fool (see

@@ -1920,6 +1920,27 @@ class AbStatsSpec extends AnyFunSuite {
       d6(1000.0 / tok.toDouble))
   }
 
+  // ---- k-sample Anderson-Darling ----------------------------------------------------
+
+  test("andersonDarlingK: midrank hand ledger gives 1.25; single value nulls") {
+    // arm0 = [1,2], arm1 = [2,3]: per-value terms (1/3, 1, 1/3) per
+    // arm → S_a = 5/3, A² = (3/4)·(5/6 + 5/6) = 1.25
+    val df = Seq((0, 1L), (0, 2L), (1, 2L), (1, 3L)).toDF("arm", "cents")
+    val r = AbStats.andersonDarlingK(df, col("arm"), col("cents"),
+      arms = 2).head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("n_distinct") === 3L)
+    assert(r.getAs[Double]("a2_stat") === 1.25)
+    assert(r.getAs[Long]("dof") === 1L)
+    // identical arms over a shared support: small but nonzero A²
+    // (the statistic is a discrepancy, zero only in degenerate cases)
+    val one = Seq((0, 5L), (1, 5L)).toDF("arm", "cents")
+    val ro = AbStats.andersonDarlingK(one, col("arm"), col("cents"),
+      arms = 2).head
+    assert(ro.isNullAt(ro.fieldIndex("a2_stat")),
+      "a single distinct value must null, not divide by zero")
+  }
+
   // ---- Hill tail index -------------------------------------------------------------
 
   test("hillTailIndex: Pareto ladder replay; short corpus nulls") {
