@@ -335,6 +335,75 @@ private[graft] object OracleFns {
       |      / CAST(n_tokens AS DOUBLE), 6) END AS digit_runs_per_1k
       |FROM a ORDER BY source""".stripMargin
 
+  /** C105 oracle — shared verbatim by `hurst_exponent` and the E33
+    * stream face (stream ≡ batch on the merged additive hour cells).
+    */
+  private[graft] val hurstSql: String =
+    """WITH hr AS (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT)
+        |      AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |idx AS (SELECT cents, row_number() OVER (ORDER BY h) AS t
+        |  FROM hr),
+        |b AS (SELECT cents, t, w,
+        |    (t - 1) // w AS blk, (t - 1) % w + 1 AS p
+        |  FROM idx CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS w)),
+        |cum AS (SELECT w, blk, cents,
+        |    w * SUM(cents) OVER (PARTITION BY w, blk ORDER BY t)
+        |      - p * SUM(cents) OVER (PARTITION BY w, blk) AS z
+        |  FROM b),
+        |per AS (SELECT w, blk, COUNT(*) AS cnt,
+        |    SUM(cents) AS s1, SUM(cents * cents) AS s2,
+        |    MAX(z) AS zmax, MIN(z) AS zmin
+        |  FROM cum GROUP BY 1, 2),
+        |rs AS (SELECT w,
+        |    CAST(round(CAST(zmax - zmin AS DOUBLE)
+        |      / sqrt(CAST(w * s2 - s1 * s1 AS DOUBLE)) * 1e9, 0)
+        |      AS BIGINT) AS nano
+        |  FROM per
+        |  WHERE cnt = w AND CAST(w * s2 - s1 * s1 AS DOUBLE) > 0.0),
+        |bys AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(nano) AS BIGINT) AS ns
+        |  FROM rs GROUP BY 1),
+        |one AS (SELECT
+        |    CAST(SUM(CASE WHEN w = 8 THEN nb END) AS BIGINT) AS nb_8,
+        |    CAST(SUM(CASE WHEN w = 16 THEN nb END) AS BIGINT) AS nb_16,
+        |    CAST(SUM(CASE WHEN w = 32 THEN nb END) AS BIGINT) AS nb_32,
+        |    CAST(SUM(CASE WHEN w = 64 THEN nb END) AS BIGINT) AS nb_64,
+        |    CAST(SUM(CASE WHEN w = 8 THEN ns END) AS BIGINT) AS ns_8,
+        |    CAST(SUM(CASE WHEN w = 16 THEN ns END) AS BIGINT) AS ns_16,
+        |    CAST(SUM(CASE WHEN w = 32 THEN ns END) AS BIGINT) AS ns_32,
+        |    CAST(SUM(CASE WHEN w = 64 THEN ns END) AS BIGINT) AS ns_64
+        |  FROM bys),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_obs FROM idx)
+        |SELECT n_obs,
+        |  COALESCE(nb_8, 0) AS n_blocks_8,
+        |  COALESCE(nb_16, 0) AS n_blocks_16,
+        |  COALESCE(nb_32, 0) AS n_blocks_32,
+        |  COALESCE(nb_64, 0) AS n_blocks_64,
+        |  CASE WHEN nb_8 > 0 THEN round(
+        |    CAST(ns_8 AS DOUBLE) / CAST(nb_8 AS DOUBLE) / 1e9, 6)
+        |  END AS rs_8,
+        |  CASE WHEN nb_16 > 0 THEN round(
+        |    CAST(ns_16 AS DOUBLE) / CAST(nb_16 AS DOUBLE) / 1e9, 6)
+        |  END AS rs_16,
+        |  CASE WHEN nb_32 > 0 THEN round(
+        |    CAST(ns_32 AS DOUBLE) / CAST(nb_32 AS DOUBLE) / 1e9, 6)
+        |  END AS rs_32,
+        |  CASE WHEN nb_64 > 0 THEN round(
+        |    CAST(ns_64 AS DOUBLE) / CAST(nb_64 AS DOUBLE) / 1e9, 6)
+        |  END AS rs_64,
+        |  CASE WHEN nb_8 > 0 AND nb_16 > 0 AND nb_32 > 0 AND nb_64 > 0
+        |  THEN round(
+        |    (-1.5 * ln(CAST(ns_8 AS DOUBLE) / CAST(nb_8 AS DOUBLE) / 1e9)
+        |     - 0.5 * ln(CAST(ns_16 AS DOUBLE) / CAST(nb_16 AS DOUBLE) / 1e9)
+        |     + 0.5 * ln(CAST(ns_32 AS DOUBLE) / CAST(nb_32 AS DOUBLE) / 1e9)
+        |     + 1.5 * ln(CAST(ns_64 AS DOUBLE) / CAST(nb_64 AS DOUBLE) / 1e9))
+        |    / (5.0 * 0.6931471805599453), 6)
+        |  END AS hurst
+        |FROM one CROSS JOIN nt""".stripMargin
+
   /** C103 oracle — shared verbatim by `assoc_cramers_v` and the E30
     * stream face (stream ≡ batch on the merged additive cells): cell
     * terms nano-quantized and summed as exact integers, absent cells

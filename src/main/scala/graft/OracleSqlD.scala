@@ -1762,71 +1762,11 @@ private[graft] object OracleSqlD {
     // HUGEINTs per block, one sqrt + one divide each, per-size block
     // means off nano-quantized exact integer sums, the dyadic-ladder
     // closed-form slope
-    "hurst_exponent" ->
-      """WITH hr AS (
-        |  SELECT date_trunc('hour', ts) AS h,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT)
-        |      AS cents
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |idx AS (SELECT cents, row_number() OVER (ORDER BY h) AS t
-        |  FROM hr),
-        |b AS (SELECT cents, t, w,
-        |    (t - 1) // w AS blk, (t - 1) % w + 1 AS p
-        |  FROM idx CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS w)),
-        |cum AS (SELECT w, blk, cents,
-        |    w * SUM(cents) OVER (PARTITION BY w, blk ORDER BY t)
-        |      - p * SUM(cents) OVER (PARTITION BY w, blk) AS z
-        |  FROM b),
-        |per AS (SELECT w, blk, COUNT(*) AS cnt,
-        |    SUM(cents) AS s1, SUM(cents * cents) AS s2,
-        |    MAX(z) AS zmax, MIN(z) AS zmin
-        |  FROM cum GROUP BY 1, 2),
-        |rs AS (SELECT w,
-        |    CAST(round(CAST(zmax - zmin AS DOUBLE)
-        |      / sqrt(CAST(w * s2 - s1 * s1 AS DOUBLE)) * 1e9, 0)
-        |      AS BIGINT) AS nano
-        |  FROM per
-        |  WHERE cnt = w AND CAST(w * s2 - s1 * s1 AS DOUBLE) > 0.0),
-        |bys AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nb,
-        |    CAST(SUM(nano) AS BIGINT) AS ns
-        |  FROM rs GROUP BY 1),
-        |one AS (SELECT
-        |    CAST(SUM(CASE WHEN w = 8 THEN nb END) AS BIGINT) AS nb_8,
-        |    CAST(SUM(CASE WHEN w = 16 THEN nb END) AS BIGINT) AS nb_16,
-        |    CAST(SUM(CASE WHEN w = 32 THEN nb END) AS BIGINT) AS nb_32,
-        |    CAST(SUM(CASE WHEN w = 64 THEN nb END) AS BIGINT) AS nb_64,
-        |    CAST(SUM(CASE WHEN w = 8 THEN ns END) AS BIGINT) AS ns_8,
-        |    CAST(SUM(CASE WHEN w = 16 THEN ns END) AS BIGINT) AS ns_16,
-        |    CAST(SUM(CASE WHEN w = 32 THEN ns END) AS BIGINT) AS ns_32,
-        |    CAST(SUM(CASE WHEN w = 64 THEN ns END) AS BIGINT) AS ns_64
-        |  FROM bys),
-        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_obs FROM idx)
-        |SELECT n_obs,
-        |  COALESCE(nb_8, 0) AS n_blocks_8,
-        |  COALESCE(nb_16, 0) AS n_blocks_16,
-        |  COALESCE(nb_32, 0) AS n_blocks_32,
-        |  COALESCE(nb_64, 0) AS n_blocks_64,
-        |  CASE WHEN nb_8 > 0 THEN round(
-        |    CAST(ns_8 AS DOUBLE) / CAST(nb_8 AS DOUBLE) / 1e9, 6)
-        |  END AS rs_8,
-        |  CASE WHEN nb_16 > 0 THEN round(
-        |    CAST(ns_16 AS DOUBLE) / CAST(nb_16 AS DOUBLE) / 1e9, 6)
-        |  END AS rs_16,
-        |  CASE WHEN nb_32 > 0 THEN round(
-        |    CAST(ns_32 AS DOUBLE) / CAST(nb_32 AS DOUBLE) / 1e9, 6)
-        |  END AS rs_32,
-        |  CASE WHEN nb_64 > 0 THEN round(
-        |    CAST(ns_64 AS DOUBLE) / CAST(nb_64 AS DOUBLE) / 1e9, 6)
-        |  END AS rs_64,
-        |  CASE WHEN nb_8 > 0 AND nb_16 > 0 AND nb_32 > 0 AND nb_64 > 0
-        |  THEN round(
-        |    (-1.5 * ln(CAST(ns_8 AS DOUBLE) / CAST(nb_8 AS DOUBLE) / 1e9)
-        |     - 0.5 * ln(CAST(ns_16 AS DOUBLE) / CAST(nb_16 AS DOUBLE) / 1e9)
-        |     + 0.5 * ln(CAST(ns_32 AS DOUBLE) / CAST(nb_32 AS DOUBLE) / 1e9)
-        |     + 1.5 * ln(CAST(ns_64 AS DOUBLE) / CAST(nb_64 AS DOUBLE) / 1e9))
-        |    / (5.0 * 0.6931471805599453), 6)
-        |  END AS hurst
-        |FROM one CROSS JOIN nt""".stripMargin,
+    "hurst_exponent" -> hurstSql,
+
+    // E33: continuous Hurst - stream ≡ batch on the merged additive
+    // hour cells, oracle verbatim
+    "stream_hurst" -> hurstSql,
 
     // C107: Nelson-Aalen — the km_retention frame verbatim with the
     // additive seed-0.0 hazard fold instead of the survival product
@@ -2169,6 +2109,59 @@ private[graft] object OracleSqlD {
          |  lang_head <> lang_tail AND lang_head <> 'und'
          |    AND lang_tail <> 'und' AS switched
          |FROM l ORDER BY doc_id""".stripMargin
+    },
+
+    // C115: CMH — 4k exact cells, per-stratum E/V/OR legs folded in
+    // stratum order, one IEEE tree per published statistic
+    "ab_cmh_test" -> {
+      def nk(k: Int) = s"((a_$k + b_$k) + (c_$k + d_$k))"
+      def eTerm(k: Int) =
+        s"""(CASE WHEN ${nk(k)} > 0 THEN CAST(a_$k + b_$k AS DOUBLE)
+           |  * CAST(a_$k + c_$k AS DOUBLE) / CAST(${nk(k)} AS DOUBLE)
+           |  ELSE 0.0 END)""".stripMargin
+      def vTerm(k: Int) =
+        s"""(CASE WHEN ${nk(k)} > 1 THEN CAST(a_$k + b_$k AS DOUBLE)
+           |  * CAST(c_$k + d_$k AS DOUBLE) * CAST(a_$k + c_$k AS DOUBLE)
+           |  * CAST(b_$k + d_$k AS DOUBLE)
+           |  / (CAST(${nk(k)} AS DOUBLE) * CAST(${nk(k)} AS DOUBLE)
+           |    * (CAST(${nk(k)} AS DOUBLE) - 1.0))
+           |  ELSE 0.0 END)""".stripMargin
+      def onTerm(k: Int) =
+        s"""(CASE WHEN ${nk(k)} > 0 THEN CAST(a_$k * d_$k AS DOUBLE)
+           |  / CAST(${nk(k)} AS DOUBLE) ELSE 0.0 END)""".stripMargin
+      def odTerm(k: Int) =
+        s"""(CASE WHEN ${nk(k)} > 0 THEN CAST(b_$k * c_$k AS DOUBLE)
+           |  / CAST(${nk(k)} AS DOUBLE) ELSE 0.0 END)""".stripMargin
+      def fold(f: Int => String) =
+        s"((${f(0)} + ${f(1)}) + ${f(2)})"
+      val sumA = "((a_0 + a_1) + a_2)"
+      val dev = s"(CAST($sumA AS DOUBLE) - ${fold(eTerm)})"
+      val legs = (0 until 3).flatMap(k => Seq("a", "b", "c", "d").map {
+        cell =>
+          val armCond = if (cell == "a" || cell == "b")
+            "user_id % 2 = 1" else "user_id % 2 = 0"
+          val sCond = if (cell == "a" || cell == "c")
+            "event_type = 'purchase'" else "event_type <> 'purchase'"
+          val stCond = k match {
+            case 0 => "day(ts) <= 10"
+            case 1 => "day(ts) > 10 AND day(ts) <= 20"
+            case _ => "day(ts) > 20"
+          }
+          s"""CAST(SUM(CASE WHEN $stCond AND $armCond AND $sCond
+             |  THEN 1 ELSE 0 END) AS BIGINT) AS ${cell}_$k"""
+            .stripMargin
+      }).mkString(",\n    ")
+      s"""WITH a AS (SELECT
+         |    $legs
+         |  FROM events)
+         |SELECT a_0, a_1, a_2,
+         |  CAST($sumA AS BIGINT) AS sum_a,
+         |  CASE WHEN ${fold(vTerm)} > 0.0 THEN round(
+         |    $dev * $dev / ${fold(vTerm)}, 6) END AS cmh_chi2,
+         |  CASE WHEN ${fold(odTerm)} > 0.0 THEN round(
+         |    ${fold(onTerm)} / ${fold(odTerm)}, 6) END AS or_mh,
+         |  CAST(1 AS BIGINT) AS dof
+         |FROM a""".stripMargin
     },
 
     // C114: k-sample Anderson-Darling — half-unit midrank cumulatives

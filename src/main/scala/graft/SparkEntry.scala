@@ -337,6 +337,8 @@ object SparkEntry {
     "hill_tail_index"    -> (TextQueries.hillTailIndex _),
     "stream_pii_density" -> (StreamFaces.streamPiiDensity _),
     "ab_anderson_darling" -> (WarehouseQueries.andersonDarling _),
+    "ab_cmh_test"        -> (WarehouseQueries.cmhTest _),
+    "stream_hurst"       -> (StreamFaces.streamHurst _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

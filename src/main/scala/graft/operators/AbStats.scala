@@ -1290,6 +1290,72 @@ object AbStats {
       lit((k - 1).toLong).as("dof")): _*)
   }
 
+  /** C115: Cochran–Mantel–Haenszel test + Mantel–Haenszel common odds
+    * ratio (Cochran 1954; Mantel & Haenszel 1959) — "is treatment
+    * associated with success CONTROLLING for a stratifying confound":
+    * the stratified 2×2 readout that defuses Simpson's paradox, the
+    * trap a pooled C66-style comparison walks straight into when arm
+    * mix shifts across strata. Per stratum k: E = n₁ₖm₁ₖ/nₖ,
+    * V = n₁ₖn₀ₖm₁ₖm₀ₖ/(nₖ²(nₖ−1)); CMH = (Σa − ΣE)²/ΣV (χ², 1 dof,
+    * no continuity — the documented convention), and
+    * OR_MH = Σ(aₖdₖ/nₖ)/Σ(bₖcₖ/nₖ).
+    *
+    * ONE scan, ZERO data shuffle: 4k conditional-count legs → one
+    * scalar merge; every cell an exact integer; the k per-stratum
+    * terms fold in FIXED stratum order (one IEEE tree each for ΣE,
+    * ΣV, and both OR legs). Degenerate strata (nₖ ≤ 1) contribute
+    * zero variance; ΣV = 0 or an empty OR denominator publish null.
+    */
+  def cmhTest(df: DataFrame, stratum: Column, arm: Column,
+              success: Column, strata: Int = 3): DataFrame = {
+    require(strata >= 2 && strata <= 8, s"strata in [2,8], got $strata")
+    val st = stratum.cast("int")
+    val isB = arm.cast("int") === 1
+    val s = coalesce(success, lit(false))
+    val aggCols = (0 until strata).flatMap(k => Seq(
+      sum(when(st === k && isB && s, 1L).otherwise(0L)).cast("long")
+        .as(s"a_$k"),
+      sum(when(st === k && isB && !s, 1L).otherwise(0L)).cast("long")
+        .as(s"b_$k"),
+      sum(when(st === k && !isB && s, 1L).otherwise(0L)).cast("long")
+        .as(s"c_$k"),
+      sum(when(st === k && !isB && !s, 1L).otherwise(0L)).cast("long")
+        .as(s"d_$k")))
+    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+    def nk(k: Int): Column =
+      ((col(s"a_$k") + col(s"b_$k")) + (col(s"c_$k") + col(s"d_$k")))
+    val sumA = (0 until strata).map(k => col(s"a_$k")).reduce(_ + _)
+    val sumE = (0 until strata).map { k =>
+      val n1 = (col(s"a_$k") + col(s"b_$k")).cast("double")
+      val m1 = (col(s"a_$k") + col(s"c_$k")).cast("double")
+      val nD = nk(k).cast("double")
+      when(nk(k) > 0L, n1 * m1 / nD).otherwise(0.0)
+    }.reduce(_ + _)
+    val sumV = (0 until strata).map { k =>
+      val n1 = (col(s"a_$k") + col(s"b_$k")).cast("double")
+      val n0 = (col(s"c_$k") + col(s"d_$k")).cast("double")
+      val m1 = (col(s"a_$k") + col(s"c_$k")).cast("double")
+      val m0 = (col(s"b_$k") + col(s"d_$k")).cast("double")
+      val nD = nk(k).cast("double")
+      when(nk(k) > 1L,
+        n1 * n0 * m1 * m0 / (nD * nD * (nD - 1.0))).otherwise(0.0)
+    }.reduce(_ + _)
+    val orNum = (0 until strata).map { k =>
+      when(nk(k) > 0L, (col(s"a_$k") * col(s"d_$k")).cast("double")
+        / nk(k).cast("double")).otherwise(0.0)
+    }.reduce(_ + _)
+    val orDen = (0 until strata).map { k =>
+      when(nk(k) > 0L, (col(s"b_$k") * col(s"c_$k")).cast("double")
+        / nk(k).cast("double")).otherwise(0.0)
+    }.reduce(_ + _)
+    val dev = sumA.cast("double") - sumE
+    agg.select((0 until strata).map(k => col(s"a_$k")) ++ Seq(
+      sumA.as("sum_a"),
+      when(sumV > 0.0, round(dev * dev / sumV, 6)).as("cmh_chi2"),
+      when(orDen > 0.0, round(orNum / orDen, 6)).as("or_mh"),
+      lit(1L).as("dof")): _*)
+  }
+
   /** C114: k-sample Anderson–Darling test (Scholz & Stephens 1987,
     * the tie-adjusted midrank statistic A²akN) — the distribution
     * omnibus that weighs the TAILS where C70's KS weighs the middle:

@@ -359,6 +359,38 @@ object StreamFaces {
       maxLag = 10)
   }
 
+  /** E33 as a gated key: continuously-maintained Hurst exponent
+    * (E ∘ C105) — the additive per-HOUR decimal purchase cells (the
+    * E27 recipe one granularity down), with
+    * [[graft.operators.Changepoint.hurst]] as the read-face finisher:
+    * the live long-range-dependence readout behind capacity planning.
+    * The merged hour series is IDENTICAL to the batch C105 collapse,
+    * so the oracle is `hurst_exponent`'s SQL verbatim.
+    */
+  def streamHurst(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_hu")
+    Tables.events(spark, dir) // normalize the ns-vs-µs conf
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val stream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val q = graft.streaming.StreamingForecast.start(
+      stream.filter(col("event_type") === "purchase"),
+      lit(0L), date_trunc("hour", col("ts")),
+      graft.functions.Num.dec2(col("value")),
+      s"$base/sums", s"$base/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val hourly = spark.read.parquet(s"$base/sums")
+      .groupBy(col("p").as("hour"))
+      .agg((sum(col("v")) * 100).cast("decimal(38,0)").as("cents"))
+    graft.operators.Changepoint.hurst(hourly, col("hour"), col("cents"))
+  }
+
   /** E29 as a gated key: continuous white-noise monitoring (E ∘ C104)
     * — the SAME additive per-day decimal cells E27 maintains, with
     * [[graft.operators.Changepoint.ljungBox]] as the read-face

@@ -1660,6 +1660,21 @@ object WarehouseQueries {
         cents(21, 31).as("v2"))
   }
 
+  /** C115: CMH stratified association — is the parity arm associated
+    * with purchasing CONTROLLING for the month's tertile? The
+    * Simpson's-paradox-proof readout (see
+    * [[graft.operators.AbStats.cmhTest]]).
+    */
+  def cmhTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      when(dayofmonth(col("ts")) <= 10, 0)
+        .when(dayofmonth(col("ts")) <= 20, 1).otherwise(2).as("st"),
+      (col("user_id") % 2).cast("int").as("arm"),
+      (col("event_type") === "purchase").as("s"))
+    graft.operators.AbStats.cmhTest(e, col("st"), col("arm"), col("s"),
+      strata = 3)
+  }
+
   /** C114: k-sample Anderson–Darling across the three user-mod-3 arms
     * on purchase cents — the tail-weighted distribution omnibus next
     * to C96's rank test (see

@@ -1920,6 +1920,35 @@ class AbStatsSpec extends AnyFunSuite {
       d6(1000.0 / tok.toDouble))
   }
 
+  // ---- CMH -------------------------------------------------------------------------
+
+  test("cmhTest: textbook stratified replay; Simpson-style mix controlled") {
+    // stratum 0: arm1 4/8 vs arm0 2/8; stratum 1: arm1 3/4 vs arm0 1/4
+    def rows(st: Int, arm: Int, succ: Int, fail: Int) =
+      Seq.fill(succ)((st, arm, true)) ++ Seq.fill(fail)((st, arm, false))
+    val df = (rows(0, 1, 4, 4) ++ rows(0, 0, 2, 6) ++
+      rows(1, 1, 3, 1) ++ rows(1, 0, 1, 3)).toDF("st", "arm", "s")
+    val r = AbStats.cmhTest(df, col("st"), col("arm"), col("s"),
+      strata = 2).head
+    // per stratum: E0 = 8·6/16 = 3, V0 = 8·8·6·10/(16²·15) = 1
+    // E1 = 4·4/8 = 2, V1 = 4·4·4·4/(8²·7) = 4/7
+    val e = 3.0 + 2.0
+    val v = 8.0 * 8.0 * 6.0 * 10.0 / (16.0 * 16.0 * 15.0) +
+      4.0 * 4.0 * 4.0 * 4.0 / (8.0 * 8.0 * 7.0)
+    val dev = 7.0 - e
+    assert(r.getAs[Long]("sum_a") === 7L)
+    assert(r.getAs[Double]("cmh_chi2") === d6(dev * dev / v))
+    // OR_MH = (4·6/16 + 3·3/8)/(4·2/16 + 1·1/8)
+    assert(r.getAs[Double]("or_mh") ===
+      d6((4.0 * 6.0 / 16.0 + 3.0 * 3.0 / 8.0)
+        / (4.0 * 2.0 / 16.0 + 1.0 * 1.0 / 8.0)))
+    // single-subject strata contribute no variance; all-degenerate null
+    val tiny = Seq((0, 1, true), (1, 0, false)).toDF("st", "arm", "s")
+    val rt = AbStats.cmhTest(tiny, col("st"), col("arm"), col("s"),
+      strata = 2).head
+    assert(rt.isNullAt(rt.fieldIndex("cmh_chi2")))
+  }
+
   // ---- k-sample Anderson-Darling ----------------------------------------------------
 
   test("andersonDarlingK: midrank hand ledger gives 1.25; single value nulls") {

@@ -936,6 +936,16 @@ class StreamingSpec extends AnyFunSuite {
       s"batch=${want.take(2)}")
   }
 
+  test("streaming Hurst equals the batch C105 readout bit-exactly") {
+    // E33: additive per-hour decimal cells merge to the identical
+    // hour series, so the R/S ladder matches leg for leg
+    val got = graft.queries.StreamFaces.streamHurst(spark, sfDir)
+      .collect().toSeq
+    val want = graft.queries.WarehouseQueries.hurstExponent(spark, sfDir)
+      .collect().toSeq
+    assert(got == want, s"hurst diverges: stream=$got batch=$want")
+  }
+
   test("streaming PII density equals the batch D126 readout bit-exactly") {
     // E32: four additive per-source counters merge to the identical
     // sufficient frame, so the rate finisher matches bit for bit
