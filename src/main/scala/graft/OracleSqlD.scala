@@ -2328,15 +2328,17 @@ private[graft] object OracleSqlD {
         |      AS score_w
         |  FROM (SELECT unnest(words) AS w, n_words FROM ph)
         |  GROUP BY 1),
-        |pw AS (SELECT phrase, n_words,
-        |    unnest(range(1, len(words) + 1)) AS wi,
-        |    unnest(words) AS w
-        |  FROM ph),
-        |sc AS (SELECT phrase, n_words,
-        |    CAST(COUNT(*) / n_words AS BIGINT) AS n_occurrences,
+        |ty AS (SELECT phrase, n_words,
+        |    CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |  FROM ph GROUP BY 1, 2),
+        |pw AS (SELECT phrase, n_words, n_occurrences,
+        |    unnest(range(1, len(string_split(phrase, ' ')) + 1)) AS wi,
+        |    unnest(string_split(phrase, ' ')) AS w
+        |  FROM ty),
+        |sc AS (SELECT phrase, n_words, n_occurrences,
         |    round(list_reduce(list_prepend(0.0,
         |      list(score_w ORDER BY wi)), (x, y) -> x + y), 6) AS score
-        |  FROM pw JOIN ws USING (w) GROUP BY 1, 2)
+        |  FROM pw JOIN ws USING (w) GROUP BY 1, 2, 3)
         |SELECT phrase, n_words, n_occurrences, score
         |FROM sc ORDER BY score DESC, phrase LIMIT 30""".stripMargin,
 

@@ -427,14 +427,17 @@ object Changepoint {
     val a = acf(series, step, value, maxLag)
     val n = series.agg(count(lit(1)).cast("long").as("n"))
     val nD = col("n").cast("double")
+    // n rides the OUTER cross join so a degenerate series (every acf
+    // null → zero term rows) still publishes the real series length,
+    // matching the oracle's always-populated count CTE
     a.filter(col("acf").isNotNull).crossJoin(broadcast(n))
       .filter(col("n") > col("lag").cast("long"))
       .withColumn("__t",
         col("acf") * col("acf") / (nD - col("lag").cast("double")))
-      .agg(max(col("n")).as("n"),
-        count(lit(1)).cast("long").as("m"),
+      .agg(count(lit(1)).cast("long").as("m"),
         sort_array(collect_list(struct(col("lag"), col("__t"))))
           .as("__l"))
+      .crossJoin(broadcast(n))
       .select(col("n"), col("m"),
         when(col("m") > 0L, round(
           col("n").cast("double") * (col("n").cast("double") + 2.0)

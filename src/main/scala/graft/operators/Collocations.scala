@@ -210,15 +210,20 @@ object Collocations {
         sum(col("n_words")).cast("long").as("__deg"))
       .withColumn("__ws",
         col("__deg").cast("double") / col("__freq").cast("double"))
-    val scored = phrases
-      .select(col("phrase"), col("n_words"),
-        posexplode(col("__words")).as(Seq("__wi", "__w")))
+    // score each phrase TYPE once: the phrase string determines its
+    // word list (whitespace-split is bijective here), so dedupe to
+    // types BEFORE the score join — folding over all occurrences
+    // would multiply the score by the occurrence count and hand
+    // boilerplate phrases an inflated rank
+    val types = phrases.groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
+    val scored = types
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        posexplode(split(col("phrase"), " ")).as(Seq("__wi", "__w")))
       .join(wordStats.select(col("__w"), col("__ws")), Seq("__w"))
-      .groupBy(col("phrase"), col("n_words"))
-      .agg((count(lit(1)) / col("n_words")).cast("long")
-          .as("n_occurrences"),
-        sort_array(collect_list(struct(col("__wi"), col("__ws"))))
-          .as("__l"))
+      .groupBy(col("phrase"), col("n_words"), col("n_occurrences"))
+      .agg(sort_array(collect_list(struct(col("__wi"), col("__ws"))))
+        .as("__l"))
       .select(col("phrase"), col("n_words"), col("n_occurrences"),
         round(aggregate(col("__l"), lit(0.0),
           (acc, e) => acc + e.getField("__ws")), 6).as("score"))

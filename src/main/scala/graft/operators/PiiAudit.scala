@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object PiiAudit {
 
+  /** The deterministic synthetic-marker embedding BOTH the batch D126
+    * face and the E32 stream face ride (the synthetic corpus carries
+    * no PII; the machinery is what's gated) — change the convention
+    * here, nowhere else, or the stream ≡ batch invariant and the
+    * shared oracle break silently.
+    */
+  def syntheticMarkers(docId: Column, text: Column): Column =
+    concat(text,
+      when(docId % 3 === 0,
+        concat(lit(" contact user"), docId.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(docId % 5 === 0,
+        concat(lit(" tel "),
+          lpad(((docId * 7919 + 13) % 10000000L).cast("string"), 7, "0")))
+        .otherwise(lit("")))
+
   def densityByGroup(docs: DataFrame, group: Column,
                      textCol: Column): DataFrame = {
     val toks = LanguageModel.toks(textCol)

@@ -155,8 +155,7 @@ object Survival {
       .withColumn("n_r", col("__n") - col("__gone"))
       .withColumn("n_r1", col("__n1") - col("__gone1"))
       .filter(col("d") >= 1)
-    val terms = risk.select(col("t"), col("__n"), col("__n1"),
-      col("__ev"), col("__ev1"), {
+    val terms = risk.select(col("t"), {
         val dD = col("d").cast("double"); val d1D = col("d1").cast("double")
         val nD = col("n_r").cast("double")
         val n1D = col("n_r1").cast("double")
@@ -169,26 +168,27 @@ object Survival {
           dD * (n1D / nD) * (lit(1.0) - n1D / nD)
             * ((nD - dD) / (nD - 1.0))).otherwise(lit(0.0)).as("__v")
       })
-    terms
-      .agg(max(col("__n")).as("n_total"), max(col("__n1")).as("n_arm1"),
-        max(col("__ev")).as("events_total"),
-        max(col("__ev1")).as("events_arm1"),
+    // totals ride the OUTER cross join (not max() over the terms
+    // frame) so an all-censored input still publishes the real
+    // counts, and o_minus_e nulls with the oracle's empty-list fold
+    val folded = terms
+      .agg(count(lit(1)).cast("long").as("__m"),
         sort_array(collect_list(struct(col("t"), col("__ome"),
           col("__v")))).as("l"))
-      .select(col("n_total"), col("n_arm1"), col("events_total"),
-        col("events_arm1"), {
-          val ome = aggregate(col("l"), lit(0.0),
-            (acc, e) => acc + e.getField("__ome"))
-          val v = aggregate(col("l"), lit(0.0),
-            (acc, e) => acc + e.getField("__v"))
-          round(ome, 6).as("o_minus_e")
-        }, {
-          val ome = aggregate(col("l"), lit(0.0),
-            (acc, e) => acc + e.getField("__ome"))
-          val v = aggregate(col("l"), lit(0.0),
-            (acc, e) => acc + e.getField("__v"))
-          when(v > 0.0, round(ome * ome / v, 6)).as("chi2")
-        },
-        lit(1L).as("dof"))
+      .crossJoin(broadcast(tot))
+      .select(col("__n").as("n_total"), col("__n1").as("n_arm1"),
+        col("__ev").as("events_total"), col("__ev1").as("events_arm1"),
+        col("__m"),
+        aggregate(col("l"), lit(0.0),
+          (acc, e) => acc + e.getField("__ome")).as("__ome_sum"),
+        aggregate(col("l"), lit(0.0),
+          (acc, e) => acc + e.getField("__v")).as("__v_sum"))
+    folded.select(col("n_total"), col("n_arm1"), col("events_total"),
+      col("events_arm1"),
+      when(col("__m") > 0L, round(col("__ome_sum"), 6)).as("o_minus_e"),
+      when(col("__v_sum") > 0.0,
+        round(col("__ome_sum") * col("__ome_sum") / col("__v_sum"), 6))
+        .as("chi2"),
+      lit(1L).as("dof"))
   }
 }

@@ -492,15 +492,9 @@ object StreamFaces {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
     // the SAME deterministic synthetic-marker embedding as the batch
-    // face (doc-id-derived, so replay-idempotent)
-    val emb = concat(col("text"),
-      when(col("doc_id") % 3 === 0,
-        concat(lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com"))).otherwise(lit("")),
-      when(col("doc_id") % 5 === 0,
-        concat(lit(" tel "),
-          lpad(((col("doc_id") * 7919 + 13) % 10000000L).cast("string"),
-            7, "0"))).otherwise(lit("")))
+    // face — single definition (doc-id-derived, replay-idempotent)
+    val emb = graft.operators.PiiAudit.syntheticMarkers(col("doc_id"),
+      col("text"))
     val toks = graft.operators.LanguageModel.toks(emb)
     val perDoc = stream.select(col("source"),
         size(toks).cast("long").as("__tok"),

@@ -1641,18 +1641,11 @@ object TextQueries {
     * email, every doc_id ≡ 0 (mod 5) a 7-digit run (see
     * [[graft.operators.PiiAudit.densityByGroup]]).
     */
-  def piiDensityBySource(spark: SparkSession, dir: String): DataFrame = {
-    val emb = concat(col("text"),
-      when(col("doc_id") % 3 === 0,
-        concat(lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com"))).otherwise(lit("")),
-      when(col("doc_id") % 5 === 0,
-        concat(lit(" tel "),
-          lpad(((col("doc_id") * 7919 + 13) % 10000000L).cast("string"),
-            7, "0"))).otherwise(lit("")))
+  def piiDensityBySource(spark: SparkSession, dir: String): DataFrame =
     graft.operators.PiiAudit.densityByGroup(
-      Tables.documents(spark, dir), col("source"), emb)
-  }
+      Tables.documents(spark, dir), col("source"),
+      graft.operators.PiiAudit.syntheticMarkers(col("doc_id"),
+        col("text")))
 
   /** D125: code-switching audit — half-doc language IDs and the
     * spliced-document flag (see

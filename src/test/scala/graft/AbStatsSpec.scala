@@ -1825,12 +1825,16 @@ class AbStatsSpec extends AnyFunSuite {
     assert(out(2).getAs[Double]("score") === d6(5.0 / 3.0))
     assert(out(0).getAs[Long]("n_words") === 2L)
     assert(out(2).getAs[Long]("n_occurrences") === 1L)
-    // duplicate phrase types merge with occurrence count
+    // duplicate phrase types merge with occurrence count and the
+    // TYPE score — NOT occurrence-inflated (deg(red)=deg(dog)=4,
+    // freq=2 → ws=2 each → score 4, not 8)
     val dup = Seq((1L, "red dog"), (2L, "red dog")).toDF("doc_id", "text")
     val o2 = Collocations.rakeKeywords(dup, "doc_id", "text", k = 5)
       .collect()
     assert(o2.length === 1)
     assert(o2.head.getAs[Long]("n_occurrences") === 2L)
+    assert(o2.head.getAs[Double]("score") === 4.0,
+      "phrase-type score must not scale with occurrences")
   }
 
   // ---- Cochran-Armitage --------------------------------------------------------
