@@ -2167,55 +2167,11 @@ private[graft] object OracleSqlD {
     // C114: k-sample Anderson-Darling — half-unit midrank cumulatives
     // exact HUGEINTs, per-(arm,value) terms nano-quantized and summed
     // as exact integers, per-arm sums folded in arm order
-    "ab_anderson_darling" -> {
-      val b2 = "(cum * 2 - c)"
-      val den = s"(n * ($b2 * n * 2 - $b2 * $b2 - n * c))"
-      def nano(i: Int): String = {
-        val m2 = s"(cum$i * 2 - c$i)"
-        val num = s"(c * (n * $m2 - n_$i * $b2) * (n * $m2 - n_$i * $b2))"
-        s"""CAST(SUM(CASE WHEN CAST($den AS DOUBLE) > 0.0
-           |  THEN CAST(round(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)
-           |    * 1e9, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS ns_$i"""
-          .stripMargin
-      }
-      def innerTerm(i: Int): String =
-        s"CAST(ns_$i AS DOUBLE) / 1e9 / CAST(n_$i AS DOUBLE)"
-      s"""WITH p AS (SELECT CAST(user_id % 3 AS INTEGER) AS arm,
-         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-         |  FROM events WHERE event_type = 'purchase'),
-         |g AS (SELECT v, CAST(COUNT(*) AS HUGEINT) AS c,
-         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT)
-         |      AS c0,
-         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT)
-         |      AS c1,
-         |    CAST(SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS HUGEINT)
-         |      AS c2
-         |  FROM p GROUP BY 1),
-         |cc AS (SELECT v, c, c0, c1, c2,
-         |    SUM(c) OVER (ORDER BY v) AS cum,
-         |    SUM(c0) OVER (ORDER BY v) AS cum0,
-         |    SUM(c1) OVER (ORDER BY v) AS cum1,
-         |    SUM(c2) OVER (ORDER BY v) AS cum2
-         |  FROM g),
-         |tt AS (SELECT
-         |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
-         |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
-         |    CAST(COALESCE(SUM(c0), 0) AS BIGINT) AS n_0,
-         |    CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS n_1,
-         |    CAST(COALESCE(SUM(c2), 0) AS BIGINT) AS n_2
-         |  FROM g),
-         |s AS (SELECT ${nano(0)},
-         |    ${nano(1)},
-         |    ${nano(2)}
-         |  FROM cc CROSS JOIN tt)
-         |SELECT n_0, n_1, n_2, n, n_distinct,
-         |  CASE WHEN n_0 > 0 AND n_1 > 0 AND n_2 > 0 AND n_distinct > 1
-         |  THEN round((CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)
-         |    * ((${innerTerm(0)} + ${innerTerm(1)}) + ${innerTerm(2)}),
-         |    6) END AS a2_stat,
-         |  CAST(2 AS BIGINT) AS dof
-         |FROM s CROSS JOIN tt""".stripMargin
-    },
+    "ab_anderson_darling" -> adKSql,
+
+    // E34: continuous arm-distribution monitor - stream ≡ batch on
+    // the merged additive per-(value, arm) counts, oracle verbatim
+    "stream_ab_distribution" -> adKSql,
 
     // C113: seasonal Mann-Kendall — per-weekday pairwise census, S
     // and Var summed across disjoint seasons as exact integers

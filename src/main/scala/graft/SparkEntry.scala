@@ -339,6 +339,7 @@ object SparkEntry {
     "ab_anderson_darling" -> (WarehouseQueries.andersonDarling _),
     "ab_cmh_test"        -> (WarehouseQueries.cmhTest _),
     "stream_hurst"       -> (StreamFaces.streamHurst _),
+    "stream_ab_distribution" -> (StreamFaces.streamAndersonDarling _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

@@ -1377,9 +1377,9 @@ object AbStats {
     * the k per-arm sums fold in fixed arm order.
     *
     * Scale shape: ONE value-domain count shuffle with per-arm legs
-    * riding along (the C96 frame), cumulatives on the distributed
-    * [[PrefixSum]] (chained per rider — each pass re-ranges the
-    * AGGREGATE-sized value frame); one scalar merge. Decimal headroom
+    * riding along (the C96 frame); ALL k+1 cumulatives ride ONE
+    * [[PrefixSum.runningSums]] pass (one range shuffle, however many
+    * riders); one scalar merge. Decimal headroom
     * bounds the observation count at N ≲ 3·10⁷ (l·(N·m2)² ≤ 4N⁵ must
     * stay under 10³⁸) — beyond that, pre-bucket the value domain (the
     * C17/C19 sketch path, a documented dial). Degenerate inputs (an
@@ -1390,15 +1390,23 @@ object AbStats {
     require(arms >= 2 && arms <= 8, s"arms must be in [2,8], got $arms")
     val armLegs = (0 until arms).map(i =>
       sum(when(col("__arm") === i, 1L).otherwise(0L)).as(s"c$i"))
-    val groups = Materialize.cut(df
+    andersonDarlingFromCounts(Materialize.cut(df
       .select(arm.cast("int").as("__arm"), value.as("__v"))
       .groupBy(col("__v"))
-      .agg(count(lit(1)).as("c"), armLegs: _*))
-    val withCum = (0 until arms).foldLeft(
-      PrefixSum.runningSum(groups, col("__v"), col("c"), "cum")) {
-      (acc, i) => PrefixSum.runningSum(acc, col("__v"), col(s"c$i"),
-        s"cum$i")
-    }
+      .agg(count(lit(1)).as("c"), armLegs: _*)), arms)
+  }
+
+  /** C114's finisher over an already-counted value-domain frame
+    * (__v, c, c0..c_{k−1}) — the single definition the batch face and
+    * E34's stream face (which maintains the per-(value, arm) counts
+    * additively in the lake) both ride, the `benfordFromCounts`
+    * pattern.
+    */
+  def andersonDarlingFromCounts(groups: DataFrame,
+                                arms: Int): DataFrame = {
+    val withCum = PrefixSum.runningSums(groups, col("__v"),
+      (col("c") -> "cum") +:
+        (0 until arms).map(i => col(s"c$i") -> s"cum$i"))
     val totCols = Seq(
       coalesce(sum(col("c")), lit(0L)).cast("long").as("n"),
       count(lit(1)).cast("long").as("n_distinct")) ++

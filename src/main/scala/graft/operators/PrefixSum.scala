@@ -35,25 +35,45 @@ object PrefixSum {
     * (must be unique — ties would make "running" ill-defined).
     */
   def runningSum(df: DataFrame, order: Column, mass: Column,
-                 outCol: String): DataFrame = {
+                 outCol: String): DataFrame =
+    runningSums(df, order, Seq(mass -> outCol))
+
+  /** Several running sums over the SAME order in ONE pass — one
+    * range shuffle, one totals aggregate, one partitioned window
+    * stage, however many masses ride along. C114-style per-arm
+    * cumulatives would otherwise chain a full [[runningSum]] (and a
+    * fresh range repartition) per rider.
+    */
+  def runningSums(df: DataFrame, order: Column,
+                  masses: Seq[(Column, String)]): DataFrame = {
+    require(masses.nonEmpty, "need at least one (mass, outCol)")
     val spark = df.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = Materialize.cut(
       df.repartitionByRange(n, order.asc).sortWithinPartitions(order.asc))
       .withColumn("__ps_pid", spark_partition_id())
+    val totCols = masses.zipWithIndex.map { case ((m, _), i) =>
+      sum(m).as(s"__ps_pm_$i") }
     val totals = parts.groupBy(col("__ps_pid"))
-      .agg(sum(mass).as("__ps_pm"))
+      .agg(totCols.head, totCols.tail: _*)
     val wOff = Window.orderBy(col("__ps_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
-      .withColumn("__ps_off", coalesce(sum(col("__ps_pm")).over(wOff), lit(0L)))
-      .select(col("__ps_pid"), col("__ps_off"))
+      .select(Seq(col("__ps_pid")) ++ masses.indices.map(i =>
+        coalesce(sum(col(s"__ps_pm_$i")).over(wOff), lit(0L))
+          .as(s"__ps_off_$i")): _*)
     val wIn = Window.partitionBy(col("__ps_pid")).orderBy(order.asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    parts
-      .withColumn("__ps_run", sum(mass).over(wIn))
-      .join(broadcast(offsets), Seq("__ps_pid"))
-      .withColumn(outCol, col("__ps_off") + col("__ps_run"))
-      .drop("__ps_pid", "__ps_run", "__ps_off")
+    val withRuns = masses.zipWithIndex.foldLeft(parts) {
+      case (acc, ((m, _), i)) =>
+        acc.withColumn(s"__ps_run_$i", sum(m).over(wIn))
+    }
+    val joined = withRuns.join(broadcast(offsets), Seq("__ps_pid"))
+    val withOut = masses.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, out), i)) =>
+        acc.withColumn(out, col(s"__ps_off_$i") + col(s"__ps_run_$i"))
+    }
+    withOut.drop(Seq("__ps_pid") ++ masses.indices.flatMap(i =>
+      Seq(s"__ps_run_$i", s"__ps_off_$i")): _*)
   }
 }

@@ -359,6 +359,51 @@ object StreamFaces {
       maxLag = 10)
   }
 
+  /** E34 as a gated key: continuous arm-distribution monitoring
+    * (E ∘ C114) — per micro-batch the per-(purchase-cents, arm)
+    * COUNTS append to the lake (additive, replay-idempotent; the
+    * state is the value-domain census as a lake table); the read
+    * face merges them and runs
+    * [[graft.operators.AbStats.andersonDarlingFromCounts]], the batch
+    * C114 finisher, so the oracle is `ab_anderson_darling`'s SQL
+    * verbatim. The live "are the arms still drawing from the same
+    * distribution" alarm — a tail divergence (whales landing in one
+    * arm) shows up here before any mean shift does.
+    */
+  def streamAndersonDarling(spark: SparkSession,
+                            dir: String): DataFrame = {
+    val base = scratch("graft_stream_ad")
+    Tables.events(spark, dir) // normalize the ns-vs-µs conf
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val stream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select((graft.functions.Num.dec2(col("value")) * 100)
+        .cast("long").as("cents"),
+        (col("user_id") % 3).cast("int").as("arm"))
+    val q = graft.streaming.StreamingForecast.start(
+      purchases, col("cents"), col("arm"), lit(1L),
+      s"$base/cells", s"$base/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val groups = spark.read.parquet(s"$base/cells")
+      .groupBy(col("k").as("__v"))
+      .agg(sum(col("v")).cast("long").as("c"),
+        sum(when(col("p") === 0, col("v"))).cast("long").as("c0"),
+        sum(when(col("p") === 1, col("v"))).cast("long").as("c1"),
+        sum(when(col("p") === 2, col("v"))).cast("long").as("c2"))
+      .select(col("__v"), col("c"),
+        coalesce(col("c0"), lit(0L)).as("c0"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    graft.operators.AbStats.andersonDarlingFromCounts(groups, arms = 3)
+  }
+
   /** E33 as a gated key: continuously-maintained Hurst exponent
     * (E ∘ C105) — the additive per-HOUR decimal purchase cells (the
     * E27 recipe one granularity down), with

@@ -1095,6 +1095,41 @@ object ScaleProbe {
       graft.operators.AbStats.friedman(perUser,
         Seq(col("v0"), col("v1"), col("v2"))).count()
     }
+    t("anderson_darling") {
+      // C114: cost ∝ distinct cents values through the chained
+      // PrefixSum cumulatives, not rows, past the one scan
+      graft.operators.AbStats.andersonDarlingK(
+        ev.select((col("user_id") % 3).cast("int").as("arm"),
+          (graft.functions.Num.dec2(col("value")) * 100).cast("long")
+            .as("cents")),
+        col("arm"), col("cents"), arms = 3).count()
+    }
+    t("cmh_strata") {
+      // C115: pure conditional-aggregation scan to one row
+      graft.operators.AbStats.cmhTest(
+        ev.select(
+          when(dayofmonth(col("ts")) <= 10, 0)
+            .when(dayofmonth(col("ts")) <= 20, 1).otherwise(2).as("st"),
+          (col("user_id") % 2).cast("int").as("arm"),
+          (col("event_id") % 5 === 0).as("s")),
+        col("st"), col("arm"), col("s"), strata = 3).count()
+    }
+    t("seasonal_mk") {
+      // C113: per-season m_g² pairwise census over the calendar-day
+      // frame — corpus-independent past the collapse
+      val daily = ev.groupBy(date_trunc("day", col("ts")).cast("date")
+          .as("day"))
+        .agg((sum(graft.functions.Num.dec2(col("value"))) * 100)
+          .cast("decimal(38,0)").as("cents"))
+      graft.operators.Changepoint.seasonalMannKendall(daily, col("day"),
+        col("cents"),
+        datediff(col("day"), lit("1970-01-01")) % 7).count()
+    }
+    t("hill_tail") {
+      // D127: one scan + TakeOrdered(k+1) — never a global sort
+      graft.operators.Concentration.hillTailIndex(
+        docs, length(col("text")).cast("long"), k = 100).count()
+    }
     t("fellegi_sunter") {
       // D120: pairs grow quadratically WITHIN a block — the block key
       // is the dial (the C76 lesson). Production posture at ×mult:

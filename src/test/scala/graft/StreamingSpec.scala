@@ -936,6 +936,16 @@ class StreamingSpec extends AnyFunSuite {
       s"batch=${want.take(2)}")
   }
 
+  test("streaming Anderson-Darling equals the batch C114 readout bit-exactly") {
+    // E34: additive per-(value, arm) counts merge to the identical
+    // value-domain census, so the midrank statistic matches exactly
+    val got = graft.queries.StreamFaces
+      .streamAndersonDarling(spark, sfDir).collect().toSeq
+    val want = graft.queries.WarehouseQueries
+      .andersonDarling(spark, sfDir).collect().toSeq
+    assert(got == want, s"AD diverges: stream=$got batch=$want")
+  }
+
   test("streaming Hurst equals the batch C105 readout bit-exactly") {
     // E33: additive per-hour decimal cells merge to the identical
     // hour series, so the R/S ladder matches leg for leg
