@@ -2111,6 +2111,64 @@ private[graft] object OracleSqlD {
          |FROM l ORDER BY doc_id""".stripMargin
     },
 
+    // C116: Wilcoxon signed-rank — half-unit ranks on the |d| value
+    // domain, 2W+ and the tie census exact integers, one IEEE z
+    "ab_wilcoxon_signed" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val vr = s"""(($nD * ($nD + 1.0) * (2.0 * $nD + 1.0)) / 24.0
+        | - CAST(tie AS DOUBLE) / 48.0)""".stripMargin
+      val num = "(CAST(w2 * 2 - n * (n + 1) AS DOUBLE) / 4.0)"
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |      AND day(ts) BETWEEN 16 AND 31
+         |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+         |    - CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |      AND day(ts) BETWEEN 1 AND 15
+         |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+         |      AS d
+         |  FROM events GROUP BY 1),
+         |nz AS (SELECT abs(d) AS a,
+         |    CASE WHEN d > 0 THEN 1 ELSE 0 END AS p
+         |  FROM u WHERE d <> 0),
+         |g AS (SELECT a, CAST(COUNT(*) AS HUGEINT) AS c,
+         |    CAST(SUM(p) AS HUGEINT) AS cp
+         |  FROM nz GROUP BY 1),
+         |cc AS (SELECT c, cp, SUM(c) OVER (ORDER BY a) AS cum FROM g),
+         |ag AS (SELECT
+         |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
+         |    CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS n_pos,
+         |    COALESCE(SUM(cp * (cum * 2 - c + 1)), 0) AS w2,
+         |    COALESCE(SUM(c * c * c - c), 0) AS tie
+         |  FROM cc)
+         |SELECT n AS n_nonzero, n_pos,
+         |  CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+         |  CASE WHEN n > 0 AND $vr > 0.0 THEN round(
+         |    $num / sqrt($vr), 6) END AS z_stat
+         |FROM ag""".stripMargin
+    },
+
+    // C117: sign test — two exact counts, one IEEE evaluation
+    "ab_sign_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND day(ts) BETWEEN 16 AND 31
+        |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+        |    - CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND day(ts) BETWEEN 1 AND 15
+        |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+        |      AS d
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+        |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos
+        |  FROM u)
+        |SELECT m AS n_nonzero, n_pos,
+        |  CASE WHEN m > 0 THEN round(
+        |    (2.0 * CAST(n_pos AS DOUBLE) - CAST(m AS DOUBLE))
+        |      / sqrt(CAST(m AS DOUBLE)), 6) END AS z_stat
+        |FROM a""".stripMargin,
+
     // C115: CMH — 4k exact cells, per-stratum E/V/OR legs folded in
     // stratum order, one IEEE tree per published statistic
     "ab_cmh_test" -> {

@@ -340,6 +340,8 @@ object SparkEntry {
     "ab_cmh_test"        -> (WarehouseQueries.cmhTest _),
     "stream_hurst"       -> (StreamFaces.streamHurst _),
     "stream_ab_distribution" -> (StreamFaces.streamAndersonDarling _),
+    "ab_wilcoxon_signed" -> (WarehouseQueries.wilcoxonSignedRank _),
+    "ab_sign_test"       -> (WarehouseQueries.signTest _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

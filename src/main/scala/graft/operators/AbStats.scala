@@ -1290,6 +1290,70 @@ object AbStats {
       lit((k - 1).toLong).as("dof")): _*)
   }
 
+  /** C116: Wilcoxon signed-rank test (Wilcoxon 1945; Pratt's
+    * zero-drop convention, average ranks on |d| ties) — the paired
+    * MAGNITUDE test between C100's paired-binary McNemar and C68's
+    * independent-samples rank sum: "did the SAME users' spend level
+    * shift", robust to whales, using how FAR each user moved where
+    * the sign test (C117) only counts directions. W⁺ = Σ ranks of
+    * |d| over d > 0; E = n(n+1)/4; Var = n(n+1)(2n+1)/24 − Σ(t³−t)/48.
+    *
+    * Distributed-rank machinery (the C68/C96 ledger) on the |d|
+    * value domain: ONE count shuffle with the positive-count rider,
+    * cumulative on [[PrefixSum]]; 2W⁺ = Σ cp·(2·cum − c + 1)
+    * accumulates exactly, the tie census is an exact integer, z is
+    * one IEEE evaluation. All-zero or all-tied inputs publish null.
+    */
+  def wilcoxonSignedRank(df: DataFrame, diff: Column): DataFrame = {
+    val nz = df.select(diff.cast("long").as("__d"))
+      .filter(col("__d") =!= 0L)
+      .select(abs(col("__d")).as("__a"),
+        when(col("__d") > 0L, 1L).otherwise(0L).as("__p"))
+    val groups = nz.groupBy(col("__a"))
+      .agg(count(lit(1)).as("c"), sum(col("__p")).as("cp"))
+    val cum = PrefixSum.runningSum(groups, col("__a"), col("c"), "cum")
+    val half = dec0(col("cum")) * 2 - dec0(col("c")) + 1
+    val a = cum.agg(
+      coalesce(sum(col("c")), lit(0L)).cast("long").as("n"),
+      coalesce(sum(col("cp")), lit(0L)).cast("long").as("n_pos"),
+      coalesce(sum(dec0(col("cp")) * half), lit(0).cast("decimal(38,0)"))
+        .as("__w2"),
+      coalesce(sum(dec0(col("c")) * dec0(col("c")) * dec0(col("c"))
+        - dec0(col("c"))), lit(0).cast("decimal(38,0)")).as("__tie"))
+    val nD = col("n").cast("double")
+    val vr = nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) / 24.0 -
+      col("__tie").cast("double") / 48.0
+    // __w2 = 2W⁺ and n(n+1) = 4E, so W⁺ − E = (2·__w2 − n(n+1))/4
+    // — exact integers until the single final divide
+    val e4 = dec0(col("n")) * (dec0(col("n")) + 1)
+    val num = (col("__w2") * 2 - e4).cast("double") / 4.0
+    a.select(col("n").as("n_nonzero"), col("n_pos"),
+      (col("__w2").cast("double") / 2.0).as("w_plus"),
+      when(col("n") > 0L && vr > 0.0, round(num / sqrt(vr), 6))
+        .as("z_stat"))
+  }
+
+  /** C117: the sign test (Arbuthnott 1710 lineage; the modern paired
+    * form) — direction-only paired comparison: of the m users whose
+    * spend CHANGED, how unbalanced are the directions?
+    * z = (2P − m)/√m against the fair-coin null. The assumption-free
+    * floor under C116: it ignores magnitudes entirely, so not even a
+    * rank can be distorted.
+    *
+    * ONE scan, ZERO data shuffle: two conditional counts → one IEEE
+    * evaluation. m = 0 publishes null.
+    */
+  def signTest(df: DataFrame, diff: Column): DataFrame = {
+    val d = diff.cast("long")
+    val a = df.agg(
+      sum(when(d =!= 0L, 1L).otherwise(0L)).cast("long").as("m"),
+      sum(when(d > 0L, 1L).otherwise(0L)).cast("long").as("n_pos"))
+    val mD = col("m").cast("double"); val pD = col("n_pos").cast("double")
+    a.select(col("m").as("n_nonzero"), col("n_pos"),
+      when(col("m") > 0L,
+        round((lit(2.0) * pD - mD) / sqrt(mD), 6)).as("z_stat"))
+  }
+
   /** C115: Cochran–Mantel–Haenszel test + Mantel–Haenszel common odds
     * ratio (Cochran 1954; Mantel & Haenszel 1959) — "is treatment
     * associated with success CONTROLLING for a stratifying confound":

@@ -1660,6 +1660,37 @@ object WarehouseQueries {
         cents(21, 31).as("v2"))
   }
 
+  /** The shared per-user half-month spend DIFFERENCE behind C116/C117:
+    * cents(days 16-31) − cents(days 1-15) — positive means the user's
+    * spend grew in the second half.
+    */
+  private def halfMonthSpendDiff(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    def cents(lo: Int, hi: Int): Column =
+      coalesce(sum(when(col("event_type") === "purchase" &&
+        dayofmonth(col("ts")).between(lo, hi),
+        dec2(col("value")) * 100)), lit(0)).cast("long")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg((cents(16, 31) - cents(1, 15)).as("d"))
+  }
+
+  /** C116: Wilcoxon signed-rank on the per-user half-month spend
+    * shift — the paired magnitude test (see
+    * [[graft.operators.AbStats.wilcoxonSignedRank]]).
+    */
+  def wilcoxonSignedRank(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.wilcoxonSignedRank(
+      halfMonthSpendDiff(spark, dir), col("d"))
+
+  /** C117: the sign test on the same paired differences — the
+    * direction-only floor under C116 (see
+    * [[graft.operators.AbStats.signTest]]).
+    */
+  def signTest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.signTest(
+      halfMonthSpendDiff(spark, dir), col("d"))
+
   /** C115: CMH stratified association — is the parity arm associated
     * with purchasing CONTROLLING for the month's tertile? The
     * Simpson's-paradox-proof readout (see

@@ -1924,6 +1924,38 @@ class AbStatsSpec extends AnyFunSuite {
       d6(1000.0 / tok.toDouble))
   }
 
+  // ---- Wilcoxon signed-rank + sign test ----------------------------------------------
+
+  test("wilcoxonSignedRank: untied ledger, tie correction, zero drop") {
+    // d = [1, -2, 3, 4, 0]: ranks of |d| are 1..4, W+ = 1+3+4 = 8,
+    // E = 5, Var = 4·5·9/24 = 7.5 (the zero is DROPPED)
+    val df = Seq(1L, -2L, 3L, 4L, 0L).toDF("d")
+    val r = AbStats.wilcoxonSignedRank(df, col("d")).head
+    assert(r.getAs[Long]("n_nonzero") === 4L)
+    assert(r.getAs[Long]("n_pos") === 3L)
+    assert(r.getAs[Double]("w_plus") === 8.0)
+    assert(r.getAs[Double]("z_stat") === d6(3.0 / math.sqrt(7.5)))
+    // tied |d|: [2, -2] → average rank 1.5 each, W+ = 1.5 = E → z = 0
+    val tied = Seq(2L, -2L).toDF("d")
+    val rt = AbStats.wilcoxonSignedRank(tied, col("d")).head
+    assert(rt.getAs[Double]("w_plus") === 1.5)
+    assert(rt.getAs[Double]("z_stat") === 0.0)
+    // all zeros: nothing moved → null
+    val zeros = Seq(0L, 0L).toDF("d")
+    val rz = AbStats.wilcoxonSignedRank(zeros, col("d")).head
+    assert(rz.isNullAt(rz.fieldIndex("z_stat")))
+  }
+
+  test("signTest: direction census; zeros drop; m = 0 nulls") {
+    val df = Seq(1L, -2L, 3L, 4L, 0L).toDF("d")
+    val r = AbStats.signTest(df, col("d")).head
+    assert(r.getAs[Long]("n_nonzero") === 4L)
+    assert(r.getAs[Long]("n_pos") === 3L)
+    assert(r.getAs[Double]("z_stat") === 1.0) // (6−4)/√4
+    val rz = AbStats.signTest(Seq(0L).toDF("d"), col("d")).head
+    assert(rz.isNullAt(rz.fieldIndex("z_stat")))
+  }
+
   // ---- CMH -------------------------------------------------------------------------
 
   test("cmhTest: textbook stratified replay; Simpson-style mix controlled") {
