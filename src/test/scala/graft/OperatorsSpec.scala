@@ -1054,6 +1054,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want, s"diff=${got.toSet.diff(want.toSet).take(5)}")
   }
 
+  test("PrefixSum.runningSums: several riders in one pass equal per-rider windows") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        (col("doc_id") % 7).as("m2"))
+    val got = graft.operators.PrefixSum.runningSums(df, col("doc_id"),
+        Seq(col("n_chars") -> "r1", col("m2") -> "r2"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("r1"), r.getAs[Long]("r2"))).toMap
+    val w = Window.orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df
+      .withColumn("r1", sum(col("n_chars")).over(w))
+      .withColumn("r2", sum(col("m2")).over(w))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("r1"), r.getAs[Long]("r2"))).toMap
+    assert(got == want)
+  }
+
   test("token budget: single-score corpus (whole corpus in the boundary bucket)") {
     import org.apache.spark.sql.expressions.Window
     // every row shares one 2-dp score: the degenerate case that would
