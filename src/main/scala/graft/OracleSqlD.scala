@@ -613,44 +613,11 @@ private[graft] object OracleSqlD {
     // cumulative; H folds the three arm terms in fixed order, each an
     // IEEE evaluation over exact integers, mirrored parenthesis-for-
     // parenthesis (including the guarded tie correction)
-    "ab_kruskal_wallis" -> {
-      val nD = "CAST(n AS DOUBLE)"
-      def term(i: Int) =
-        s"(CAST(r2_$i AS DOUBLE) * CAST(r2_$i AS DOUBLE)" +
-          s" / (4.0 * CAST(n_$i AS DOUBLE)))"
-      val sumTerm = s"((${term(0)} + ${term(1)}) + ${term(2)})"
-      val h = s"((12.0 / ($nD * ($nD + 1.0))) * $sumTerm" +
-        s" - 3.0 * ($nD + 1.0))"
-      val corr = s"(1.0 - CAST(tie AS DOUBLE) / ($nD * $nD * $nD - $nD))"
-      val ok = "n_0 > 0 AND n_1 > 0 AND n_2 > 0 AND n >= 2"
-      s"""WITH p AS (SELECT CAST(user_id % 3 AS INTEGER) AS arm,
-         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-         |  FROM events WHERE event_type = 'purchase'),
-         |g AS (SELECT v, COUNT(*) AS c,
-         |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
-         |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1,
-         |    SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS c2
-         |  FROM p GROUP BY v),
-         |cc AS (SELECT *, SUM(c) OVER (ORDER BY v) AS cum FROM g),
-         |a AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
-         |    SUM(CAST(c AS HUGEINT) * c * c - c) AS tie,
-         |    CAST(SUM(c0) AS BIGINT) AS n_0,
-         |    SUM(CAST(c0 AS HUGEINT) * (CAST(cum AS HUGEINT) * 2 - c + 1))
-         |      AS r2_0,
-         |    CAST(SUM(c1) AS BIGINT) AS n_1,
-         |    SUM(CAST(c1 AS HUGEINT) * (CAST(cum AS HUGEINT) * 2 - c + 1))
-         |      AS r2_1,
-         |    CAST(SUM(c2) AS BIGINT) AS n_2,
-         |    SUM(CAST(c2 AS HUGEINT) * (CAST(cum AS HUGEINT) * 2 - c + 1))
-         |      AS r2_2
-         |  FROM cc)
-         |SELECT n_0, n_1, n_2, n,
-         |  CASE WHEN $ok THEN round($h, 6) END AS h_stat,
-         |  CASE WHEN ($ok) AND (CASE WHEN n >= 2 THEN $corr END) > 0.0
-         |    THEN round($h / $corr, 6) END AS h_adj,
-         |  CAST(2 AS BIGINT) AS dof
-         |FROM a""".stripMargin
-    },
+    "ab_kruskal_wallis" -> kruskalSql,
+
+    // E35: continuous k-arm rank monitor - stream ≡ batch on the
+    // merged additive census, oracle verbatim
+    "stream_kruskal_wallis" -> kruskalSql,
 
     // C97: 3k conditional exact sums; SSB/SSW mirrored with the same
     // fixed arm-fold order and per-term n>0 guards as the plan
@@ -1867,38 +1834,11 @@ private[graft] object OracleSqlD {
     // C109: Mood's median — pooled lower median off the value-domain
     // cumulative; 2×k cells exact integers, chi-square unrolled in
     // fixed arm order
-    "mood_median" ->
-      """WITH p AS (SELECT CAST(user_id % 3 AS INTEGER) AS arm,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-        |  FROM events WHERE event_type = 'purchase'),
-        |g AS (SELECT v, COUNT(*) AS c,
-        |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
-        |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1,
-        |    SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS c2
-        |  FROM p GROUP BY 1),
-        |cc AS (SELECT *, SUM(c) OVER (ORDER BY v) AS cum FROM g),
-        |t AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM g),
-        |m AS (SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
-        |    AS med
-        |  FROM cc CROSS JOIN t),
-        |suff AS (SELECT
-        |    CAST(SUM(c0) AS BIGINT) AS n_0,
-        |    CAST(SUM(CASE WHEN v > med THEN c0 ELSE 0 END) AS BIGINT)
-        |      AS a_0,
-        |    CAST(SUM(c1) AS BIGINT) AS n_1,
-        |    CAST(SUM(CASE WHEN v > med THEN c1 ELSE 0 END) AS BIGINT)
-        |      AS a_1,
-        |    CAST(SUM(c2) AS BIGINT) AS n_2,
-        |    CAST(SUM(CASE WHEN v > med THEN c2 ELSE 0 END) AS BIGINT)
-        |      AS a_2,
-        |    CAST(MIN(med) AS BIGINT) AS median
-        |  FROM g CROSS JOIN m)
-        |SELECT n_0, n_1, n_2, a_0, a_1, a_2, median,
-        |  CASE WHEN MOOD_OK THEN round(MOOD_CHI2, 6) END AS chi2,
-        |  CAST(2 AS BIGINT) AS dof
-        |FROM suff""".stripMargin
-        .replace("MOOD_OK", moodOk(3))
-        .replace("MOOD_CHI2", moodChi2(3)),
+    "mood_median" -> moodMedianSql,
+
+    // E36: continuous median-equality monitor - stream ≡ batch on
+    // the merged additive census, oracle verbatim
+    "stream_mood_median" -> moodMedianSql,
 
     // C110: Page's L — the C102 rank frame with the ordered weights;
     // L2 exact integer, z one IEEE evaluation

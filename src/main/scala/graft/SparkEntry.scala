@@ -342,6 +342,8 @@ object SparkEntry {
     "stream_ab_distribution" -> (StreamFaces.streamAndersonDarling _),
     "ab_wilcoxon_signed" -> (WarehouseQueries.wilcoxonSignedRank _),
     "ab_sign_test"       -> (WarehouseQueries.signTest _),
+    "stream_kruskal_wallis" -> (StreamFaces.streamKruskalWallis _),
+    "stream_mood_median" -> (StreamFaces.streamMoodMedian _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

@@ -950,10 +950,17 @@ object AbStats {
     require(arms >= 2 && arms <= 8, s"arms must be in [2,8], got $arms")
     val armLegs = (0 until arms).map(i =>
       sum(when(col("__arm") === i, 1L).otherwise(0L)).as(s"c$i"))
-    val groups = df
+    kruskalWallisFromCounts(df
       .select(arm.cast("int").as("__arm"), value.as("__v"))
       .groupBy(col("__v"))
-      .agg(count(lit(1)).as("c"), armLegs: _*)
+      .agg(count(lit(1)).as("c"), armLegs: _*), arms)
+  }
+
+  /** C96's finisher over an already-counted value-domain frame
+    * (__v, c, c0..c_{k−1}) — the single definition the batch face and
+    * E35's stream face (additive lake census) both ride.
+    */
+  def kruskalWallisFromCounts(groups: DataFrame, arms: Int): DataFrame = {
     val cum = PrefixSum.runningSum(groups, col("__v"), col("c"), "cum")
     val half = dec0(col("cum")) * 2 - dec0(col("c")) + 1
     val aggCols = Seq(
@@ -1656,10 +1663,17 @@ object AbStats {
     require(arms >= 2 && arms <= 8, s"arms must be in [2,8], got $arms")
     val armLegs = (0 until arms).map(i =>
       sum(when(col("__arm") === i, 1L).otherwise(0L)).as(s"c$i"))
-    val groups = Materialize.cut(df
+    moodMedianFromCounts(Materialize.cut(df
       .select(arm.cast("int").as("__arm"), value.cast("long").as("__v"))
       .groupBy(col("__v"))
-      .agg(count(lit(1)).as("c"), armLegs: _*))
+      .agg(count(lit(1)).as("c"), armLegs: _*)), arms)
+  }
+
+  /** C109's finisher over an already-counted value-domain frame
+    * (__v, c, c0..c_{k−1}) — the single definition the batch face and
+    * E36's stream face (additive lake census) both ride.
+    */
+  def moodMedianFromCounts(groups: DataFrame, arms: Int): DataFrame = {
     val cum = PrefixSum.runningSum(groups, col("__v"), col("c"), "cum")
     val tot = groups.agg(coalesce(sum(col("c")), lit(0L)).cast("long")
       .as("n"))

@@ -370,9 +370,15 @@ object StreamFaces {
     * distribution" alarm — a tail divergence (whales landing in one
     * arm) shows up here before any mean shift does.
     */
-  def streamAndersonDarling(spark: SparkSession,
-                            dir: String): DataFrame = {
-    val base = scratch("graft_stream_ad")
+  /** The shared continuously-maintained (purchase-cents × user-mod-3
+    * arm) value-domain census behind E34/E35/E36: per micro-batch the
+    * per-(value, arm) COUNTS append as additive cells; the merged
+    * read is the IDENTICAL groups frame the batch C96/C109/C114 faces
+    * build, so each monitor's oracle is its batch SQL verbatim.
+    */
+  private def purchaseArmCensus(spark: SparkSession, dir: String,
+                                prefix: String): DataFrame = {
+    val base = scratch(prefix)
     Tables.events(spark, dir) // normalize the ns-vs-µs conf
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema)
@@ -391,7 +397,7 @@ object StreamFaces {
       purchases, col("cents"), col("arm"), lit(1L),
       s"$base/cells", s"$base/ckpt", trigger = Trigger.AvailableNow())
     q.awaitTermination()
-    val groups = spark.read.parquet(s"$base/cells")
+    spark.read.parquet(s"$base/cells")
       .groupBy(col("k").as("__v"))
       .agg(sum(col("v")).cast("long").as("c"),
         sum(when(col("p") === 0, col("v"))).cast("long").as("c0"),
@@ -401,8 +407,30 @@ object StreamFaces {
         coalesce(col("c0"), lit(0L)).as("c0"),
         coalesce(col("c1"), lit(0L)).as("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"))
-    graft.operators.AbStats.andersonDarlingFromCounts(groups, arms = 3)
   }
+
+  def streamAndersonDarling(spark: SparkSession,
+                            dir: String): DataFrame =
+    graft.operators.AbStats.andersonDarlingFromCounts(
+      purchaseArmCensus(spark, dir, "graft_stream_ad"), arms = 3)
+
+  /** E35 as a gated key: continuous k-arm rank monitoring (E ∘ C96)
+    * — the same additive census, Kruskal–Wallis finisher: the live
+    * "does ANY arm differ in distribution" omnibus. Oracle =
+    * `ab_kruskal_wallis`'s SQL verbatim.
+    */
+  def streamKruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.kruskalWallisFromCounts(
+      purchaseArmCensus(spark, dir, "graft_stream_kw"), arms = 3)
+
+  /** E36 as a gated key: continuous median-equality monitoring
+    * (E ∘ C109) — the same additive census, Mood finisher: the
+    * maximally-robust live location alarm. Oracle = `mood_median`'s
+    * SQL verbatim.
+    */
+  def streamMoodMedian(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.moodMedianFromCounts(
+      purchaseArmCensus(spark, dir, "graft_stream_mm"), arms = 3)
 
   /** E33 as a gated key: continuously-maintained Hurst exponent
     * (E ∘ C105) — the additive per-HOUR decimal purchase cells (the

@@ -936,6 +936,21 @@ class StreamingSpec extends AnyFunSuite {
       s"batch=${want.take(2)}")
   }
 
+  test("streaming Kruskal-Wallis and Mood equal their batch readouts bit-exactly") {
+    // E35/E36: the SAME additive (value, arm) census as E34 under two
+    // more finishers — stream ≡ batch for each
+    val gk = graft.queries.StreamFaces
+      .streamKruskalWallis(spark, sfDir).collect().toSeq
+    val wk = graft.queries.WarehouseQueries
+      .kruskalWallis(spark, sfDir).collect().toSeq
+    assert(gk == wk, s"KW diverges: stream=$gk batch=$wk")
+    val gm = graft.queries.StreamFaces
+      .streamMoodMedian(spark, sfDir).collect().toSeq
+    val wm = graft.queries.WarehouseQueries
+      .moodMedian(spark, sfDir).collect().toSeq
+    assert(gm == wm, s"Mood diverges: stream=$gm batch=$wm")
+  }
+
   test("streaming Anderson-Darling equals the batch C114 readout bit-exactly") {
     // E34: additive per-(value, arm) counts merge to the identical
     // value-domain census, so the midrank statistic matches exactly
