@@ -344,6 +344,8 @@ object SparkEntry {
     "ab_sign_test"       -> (WarehouseQueries.signTest _),
     "stream_kruskal_wallis" -> (StreamFaces.streamKruskalWallis _),
     "stream_mood_median" -> (StreamFaces.streamMoodMedian _),
+    "turning_point_test" -> (WarehouseQueries.turningPointTest _),
+    "theil_u_forecast"   -> (WarehouseQueries.theilUForecast _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

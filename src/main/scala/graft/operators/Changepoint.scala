@@ -505,6 +505,93 @@ object Changepoint {
         .otherwise("no_trend").as("trend"))
   }
 
+  /** C118: turning-point test (Kendall 1973's randomness check) — a
+    * point is a turning point when it is a STRICT local extremum of
+    * its two neighbors; under randomness E[T] = 2(n−2)/3 and
+    * Var[T] = (16n−29)/90. Too few turns = trend/momentum, too many =
+    * oscillation — the local-shape companion to C95's runs test
+    * (which sees signs, not shapes). Equal neighbors break strictness
+    * and are simply not turns (the documented tie convention).
+    *
+    * One scan collapses to the calendar day frame; the neighbor
+    * attachment is a day±1 self-join (never a window); T exact
+    * integer, z one IEEE evaluation. n < 3 publishes null.
+    */
+  def turningPointTest(series: DataFrame, step: Column,
+                       value: Column): DataFrame = {
+    val v = Materialize.cut(
+      series.select(step.as("__s"), dec0(value).as("__x")))
+    val mid = v.as("c")
+      .join(v.select(col("__s").as("__sp"), col("__x").as("__xp")).as("p"),
+        col("__s") === date_add(col("__sp"), 1))
+      .join(v.select(col("__s").as("__sn"), col("__x").as("__xn")).as("nx"),
+        col("__sn") === date_add(col("__s"), 1))
+    val isTurn = (col("__x") > col("__xp") && col("__x") > col("__xn")) ||
+      (col("__x") < col("__xp") && col("__x") < col("__xn"))
+    val t = mid.agg(
+      sum(when(isTurn, 1L).otherwise(0L)).cast("long").as("n_turns"),
+      count(lit(1)).cast("long").as("n_interior"))
+    val n = v.agg(count(lit(1)).cast("long").as("n"))
+    val nD = col("n").cast("double")
+    val e = lit(2.0) * (nD - 2.0) / 3.0
+    val vr = (lit(16.0) * nD - 29.0) / 90.0
+    t.crossJoin(broadcast(n))
+      .select(col("n"), col("n_interior"), col("n_turns"),
+        when(col("n") >= 3L && vr > 0.0,
+          round((col("n_turns").cast("double") - e) / sqrt(vr), 6))
+          .as("z_stat"))
+  }
+
+  /** C119: Theil's U forecast-accuracy ratio (Theil 1966, U₂) for the
+    * C61 Holt model — √(Σ(x_t − f_t)² / Σ(x_t − x_{t−1})²) over
+    * one-step-ahead forecasts: U < 1 means the model BEATS the naive
+    * "tomorrow = today" carry-forward, U ≥ 1 means the smoothing
+    * adds nothing — the honesty check every published forecast needs
+    * next to C61's point estimates.
+    *
+    * The Holt recursion and both error accumulators ride ONE in-plan
+    * flat-list fold (the C88b accumulator discipline:
+    * [l, b, prev_x, Σe², Σn²] — every step the identical IEEE tree in
+    * both engines, α/(1−α) interpolated as Scala round-trip literals);
+    * the corpus collapses to the calendar series upstream. Series
+    * shorter than 3 (no naive error mass) publish null.
+    */
+  def theilU(series: DataFrame, step: Column, value: Column,
+             alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta in [0,1], got $beta")
+    val arr = series.agg(
+      sort_array(collect_list(struct(step.as("__s"),
+        value.cast("double").as("__v")))).as("__a"))
+      .withColumn("__vals", transform(col("__a"), e => e.getField("__v")))
+    val vals = col("__vals")
+    val init = array(
+      element_at(vals, 1),
+      when(size(vals) >= 2,
+        element_at(vals, 2) - element_at(vals, 1)).otherwise(lit(0.0)),
+      element_at(vals, 1), lit(0.0), lit(0.0))
+    val state = aggregate(
+      slice(vals, lit(2), greatest(size(vals) - lit(1), lit(0))),
+      init,
+      (acc, x) => {
+        val f = element_at(acc, 1) + element_at(acc, 2)
+        val se = element_at(acc, 4) + (x - f) * (x - f)
+        val sn = element_at(acc, 5) +
+          (x - element_at(acc, 3)) * (x - element_at(acc, 3))
+        val newl = lit(alpha) * x + lit(1.0 - alpha) * f
+        val newb = lit(beta) * (newl - element_at(acc, 1)) +
+          lit(1.0 - beta) * element_at(acc, 2)
+        array(newl, newb, x, se, sn)
+      })
+    arr.select(size(vals).cast("long").as("n"), {
+        val se = element_at(state, 4); val sn = element_at(state, 5)
+        when(size(vals) >= 3 && sn > 0.0,
+          round(sqrt(se / sn), 6)).as("theil_u")
+      },
+      round(element_at(state, 4), 6).as("sse_model"),
+      round(element_at(state, 5), 6).as("sse_naive"))
+  }
+
   /** C106: Granger-causality F test at lag 1 (Granger 1969) — "does
     * yesterday's y help predict today's x beyond yesterday's x",
     * the directional companion to C78's symmetric lead-lag

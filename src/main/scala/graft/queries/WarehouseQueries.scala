@@ -1715,6 +1715,24 @@ object WarehouseQueries {
     graft.operators.AbStats.andersonDarlingK(
       purchaseCentsArm3(spark, dir), col("arm"), col("cents"), arms = 3)
 
+  /** C118: turning-point randomness check on the daily purchase
+    * series — the local-shape companion to the C95 runs test (see
+    * [[graft.operators.Changepoint.turningPointTest]]). Same one-scan
+    * day collapse as [[valueAcf]].
+    */
+  def turningPointTest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Changepoint.turningPointTest(
+      dailyPurchaseCents(spark, dir), col("day"), col("cents"))
+
+  /** C119: Theil's U₂ for the C61 Holt forecast on the daily purchase
+    * series (α = β = 0.3, the C61 face's dials) — does the smoothing
+    * beat naive carry-forward? (see
+    * [[graft.operators.Changepoint.theilU]]).
+    */
+  def theilUForecast(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Changepoint.theilU(dailyPurchaseCents(spark, dir),
+      col("day"), col("cents"), alpha = 0.3, beta = 0.3)
+
   /** C113: seasonal Mann–Kendall on the daily purchase series with
     * epoch-day-mod-7 weekday seasons (the C90 engine-neutral weekday
     * convention) — the trend test the weekly cycle can't fool (see

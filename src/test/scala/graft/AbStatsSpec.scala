@@ -1924,6 +1924,58 @@ class AbStatsSpec extends AnyFunSuite {
       d6(1000.0 / tok.toDouble))
   }
 
+  // ---- Turning points ---------------------------------------------------------------
+
+  test("turningPointTest: zigzag counts all interiors; monotone counts none") {
+    import graft.operators.Changepoint
+    import java.sql.Date
+    def day(i: Int) = Date.valueOf(
+      java.time.LocalDate.of(2024, 3, 1).plusDays(i))
+    // 1,5,2,6,3: every interior point is a strict turn (T = 3)
+    val zig = Seq(1L, 5L, 2L, 6L, 3L).zipWithIndex
+      .map { case (v, i) => (day(i), v) }.toDF("d", "v")
+    val rz = Changepoint.turningPointTest(zig, col("d"), col("v")).head
+    assert(rz.getAs[Long]("n_turns") === 3L &&
+      rz.getAs[Long]("n_interior") === 3L)
+    val e = 2.0 * (5.0 - 2.0) / 3.0
+    val vr = (16.0 * 5.0 - 29.0) / 90.0
+    assert(rz.getAs[Double]("z_stat") === d6((3.0 - e) / math.sqrt(vr)))
+    // monotone: zero turns; a flat pair is NOT a turn (strictness)
+    val mono = Seq(1L, 2L, 2L, 3L).zipWithIndex
+      .map { case (v, i) => (day(i), v) }.toDF("d", "v")
+    val rm = Changepoint.turningPointTest(mono, col("d"), col("v")).head
+    assert(rm.getAs[Long]("n_turns") === 0L)
+  }
+
+  // ---- Theil's U --------------------------------------------------------------------
+
+  test("theilU: hand Holt-fold replay; constant series nulls") {
+    import graft.operators.Changepoint
+    import java.sql.Date
+    def day(i: Int) = Date.valueOf(
+      java.time.LocalDate.of(2024, 4, 1).plusDays(i))
+    val xs = Seq(10.0, 12.0, 11.0, 15.0, 14.0)
+    val df = xs.zipWithIndex.map { case (v, i) => (day(i), v.toLong) }
+      .toDF("d", "v")
+    val r = Changepoint.theilU(df, col("d"), col("v"), 0.3, 0.3).head
+    // replay the exact fold
+    var l = xs(0); var b = xs(1) - xs(0); var px = xs(0)
+    var se = 0.0; var sn = 0.0
+    for (x <- xs.drop(1)) {
+      val f = l + b
+      se += (x - f) * (x - f); sn += (x - px) * (x - px)
+      val nl = 0.3 * x + (1.0 - 0.3) * f
+      b = 0.3 * (nl - l) + (1.0 - 0.3) * b; l = nl; px = x
+    }
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Double]("theil_u") === d6(math.sqrt(se / sn)))
+    assert(r.getAs[Double]("sse_naive") === d6(sn))
+    // constant series: zero naive mass → null U
+    val flat = (0 until 4).map(i => (day(i), 7L)).toDF("d", "v")
+    val rf = Changepoint.theilU(flat, col("d"), col("v"), 0.3, 0.3).head
+    assert(rf.isNullAt(rf.fieldIndex("theil_u")))
+  }
+
   // ---- Wilcoxon signed-rank + sign test ----------------------------------------------
 
   test("wilcoxonSignedRank: untied ledger, tie correction, zero drop") {
