@@ -15,6 +15,15 @@ object ExplainProbe {
     graft.queries.TextQueries.tokenBudgetSelect(spark, dir).explain("formatted")
     println("=== corpus_diff ===")
     graft.queries.ExtendedQueries.corpusDiff(spark, dir).explain("formatted")
+    println("=== fellegi_sunter_linkage ===")
+    graft.queries.WarehouseQueries.fellegiSunterLinkage(spark, dir)
+      .explain("formatted")
+    println("=== assoc_cramers_v ===")
+    graft.queries.TextQueries.langSourceCramersV(spark, dir)
+      .explain("formatted")
+    println("=== ab_anderson_darling ===")
+    graft.queries.WarehouseQueries.andersonDarling(spark, dir)
+      .explain("formatted")
     spark.stop()
   }
 }
