@@ -2051,6 +2051,74 @@ private[graft] object OracleSqlD {
          |FROM l ORDER BY doc_id""".stripMargin
     },
 
+    // C120: post-stratified mean — 4k exact sums, strata folded in
+    // fixed order, one IEEE tree per published statistic
+    "ab_post_stratified" -> {
+      val bigN = "((bn_0 + bn_1) + bn_2)"
+      val nR = "((n_0 + n_1) + n_2)"
+      val sT = "((COALESCE(s_0, 0) + COALESCE(s_1, 0)) + COALESCE(s_2, 0))"
+      val ssT =
+        "((COALESCE(ss_0, 0) + COALESCE(ss_1, 0)) + COALESCE(ss_2, 0))"
+      def w(k: Int) = s"(CAST(bn_$k AS DOUBLE) / CAST($bigN AS DOUBLE))"
+      def mTerm(k: Int) =
+        s"(${w(k)} * (CAST(s_$k AS DOUBLE) / CAST(n_$k AS DOUBLE)))"
+      def vTerm(k: Int) =
+        s"""(${w(k)} * ${w(k)}
+           | * ((CAST(ss_$k AS DOUBLE) - CAST(s_$k AS DOUBLE)
+           |     * CAST(s_$k AS DOUBLE) / CAST(n_$k AS DOUBLE))
+           |   / (CAST(n_$k AS DOUBLE) - 1.0))
+           | / CAST(n_$k AS DOUBLE))""".stripMargin
+      def fold(f: Int => String) = s"((${f(0)} + ${f(1)}) + ${f(2)})"
+      val rawMean = s"(CAST($sT AS DOUBLE) / CAST($nR AS DOUBLE))"
+      val rawVar =
+        s"""(((CAST($ssT AS DOUBLE) - CAST($sT AS DOUBLE)
+           |  * CAST($sT AS DOUBLE) / CAST($nR AS DOUBLE))
+           |  / (CAST($nR AS DOUBLE) - 1.0)) / CAST($nR AS DOUBLE))"""
+          .stripMargin
+      s"""WITH u AS (SELECT
+         |    CAST(user_id % 3 AS INTEGER) AS st,
+         |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+         |      AS spend
+         |  FROM events GROUP BY user_id),
+         |a AS (SELECT
+         |    CAST(SUM(CASE WHEN st = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS bn_0,
+         |    CAST(SUM(CASE WHEN st = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS bn_1,
+         |    CAST(SUM(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS bn_2,
+         |    CAST(SUM(CASE WHEN st = 0 AND spend > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_0,
+         |    CAST(SUM(CASE WHEN st = 1 AND spend > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_1,
+         |    CAST(SUM(CASE WHEN st = 2 AND spend > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_2,
+         |    SUM(CASE WHEN st = 0 AND spend > 0
+         |      THEN CAST(spend AS HUGEINT) END) AS s_0,
+         |    SUM(CASE WHEN st = 1 AND spend > 0
+         |      THEN CAST(spend AS HUGEINT) END) AS s_1,
+         |    SUM(CASE WHEN st = 2 AND spend > 0
+         |      THEN CAST(spend AS HUGEINT) END) AS s_2,
+         |    SUM(CASE WHEN st = 0 AND spend > 0
+         |      THEN CAST(spend AS HUGEINT) * spend END) AS ss_0,
+         |    SUM(CASE WHEN st = 1 AND spend > 0
+         |      THEN CAST(spend AS HUGEINT) * spend END) AS ss_1,
+         |    SUM(CASE WHEN st = 2 AND spend > 0
+         |      THEN CAST(spend AS HUGEINT) * spend END) AS ss_2
+         |  FROM u)
+         |SELECT n_0, n_1, n_2,
+         |  CAST($bigN AS BIGINT) AS n_population,
+         |  CAST($nR AS BIGINT) AS n_responders,
+         |  CASE WHEN $nR > 0 THEN round($rawMean, 6) END AS raw_mean,
+         |  CASE WHEN n_0 > 0 AND n_1 > 0 AND n_2 > 0
+         |  THEN round(${fold(mTerm)}, 6) END AS ps_mean,
+         |  CASE WHEN n_0 >= 2 AND n_1 >= 2 AND n_2 >= 2
+         |    AND $rawVar > 0.0
+         |  THEN round(${fold(vTerm)} / $rawVar, 6) END AS var_ratio
+         |FROM a""".stripMargin
+    },
+
     // C118: turning points — strict local extrema over the day±1
     // self-joins, exact counts, one IEEE z
     "turning_point_test" ->

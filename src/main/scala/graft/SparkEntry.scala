@@ -346,6 +346,7 @@ object SparkEntry {
     "stream_mood_median" -> (StreamFaces.streamMoodMedian _),
     "turning_point_test" -> (WarehouseQueries.turningPointTest _),
     "theil_u_forecast"   -> (WarehouseQueries.theilUForecast _),
+    "ab_post_stratified" -> (WarehouseQueries.postStratifiedSpend _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

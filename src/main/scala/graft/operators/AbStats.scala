@@ -1297,6 +1297,69 @@ object AbStats {
       lit((k - 1).toLong).as("dof")): _*)
   }
 
+  /** C120: post-stratified mean estimate + variance-reduction report
+    * (Holt & Smith 1979; the survey-sampling classic the A/B world
+    * rediscovered next to CUPED) — estimate the POPULATION mean of a
+    * metric observed only on responders by reweighting per-stratum
+    * responder means to the KNOWN population stratum shares:
+    * ŷ_ps = Σ(N_k/N)·ȳ_k with Var_ps = Σ(N_k/N)²·s_k²/n_k, against
+    * the raw responder mean whose nonresponse bias this removes.
+    * The sensitivity row: var_ratio < 1 quantifies what the
+    * stratification bought.
+    *
+    * Input is one row per POPULATION unit with a response indicator.
+    * ONE scan, ZERO data shuffle past the caller's unit collapse:
+    * 3k+k conditional exact sums → one scalar merge; every mean and
+    * variance one IEEE tree, strata folded in fixed order. Strata
+    * with n_k < 2 responders null the variance report.
+    */
+  def postStratifiedMean(df: DataFrame, stratum: Column,
+                         responded: Column, value: Column,
+                         strata: Int = 3): DataFrame = {
+    require(strata >= 2 && strata <= 8, s"strata in [2,8], got $strata")
+    val st = stratum.cast("int")
+    val resp = coalesce(responded, lit(false))
+    val v = dec0(value.cast("long"))
+    val aggCols = (0 until strata).flatMap(k => Seq(
+      sum(when(st === k, 1L).otherwise(0L)).cast("long").as(s"bn_$k"),
+      sum(when(st === k && resp, 1L).otherwise(0L)).cast("long")
+        .as(s"n_$k"),
+      sum(when(st === k && resp, v)).as(s"s_$k"),
+      sum(when(st === k && resp, v * v)).as(s"ss_$k")))
+    val a = df.agg(aggCols.head, aggCols.tail: _*)
+    val bigN = (0 until strata).map(k => col(s"bn_$k")).reduce(_ + _)
+    val nResp = (0 until strata).map(k => col(s"n_$k")).reduce(_ + _)
+    val sTot = (0 until strata)
+      .map(k => coalesce(col(s"s_$k"), lit(0).cast(DecimalType(38, 0))))
+      .reduce(_ + _)
+    val ssTot = (0 until strata)
+      .map(k => coalesce(col(s"ss_$k"), lit(0).cast(DecimalType(38, 0))))
+      .reduce(_ + _)
+    val bigND = bigN.cast("double"); val nD = nResp.cast("double")
+    val psMean = (0 until strata).map { k =>
+      val w = col(s"bn_$k").cast("double") / bigND
+      w * (col(s"s_$k").cast("double") / col(s"n_$k").cast("double"))
+    }.reduce(_ + _)
+    val psVar = (0 until strata).map { k =>
+      val w = col(s"bn_$k").cast("double") / bigND
+      val sk = col(s"s_$k").cast("double")
+      val s2 = (col(s"ss_$k").cast("double") - sk * sk
+        / col(s"n_$k").cast("double")) / (col(s"n_$k").cast("double") - 1.0)
+      w * w * s2 / col(s"n_$k").cast("double")
+    }.reduce(_ + _)
+    val rawMean = sTot.cast("double") / nD
+    val rawVar = ((ssTot.cast("double")
+      - sTot.cast("double") * sTot.cast("double") / nD) / (nD - 1.0)) / nD
+    val ok = (0 until strata).map(k => col(s"n_$k") >= 2L).reduce(_ && _)
+    a.select((0 until strata).map(k => col(s"n_$k")) ++ Seq(
+      bigN.as("n_population"), nResp.as("n_responders"),
+      when(nResp > 0L, round(rawMean, 6)).as("raw_mean"),
+      when((0 until strata).map(k => col(s"n_$k") > 0L).reduce(_ && _),
+        round(psMean, 6)).as("ps_mean"),
+      when(ok && rawVar > 0.0, round(psVar / rawVar, 6))
+        .as("var_ratio")): _*)
+  }
+
   /** C116: Wilcoxon signed-rank test (Wilcoxon 1945; Pratt's
     * zero-drop convention, average ranks on |d| ties) — the paired
     * MAGNITUDE test between C100's paired-binary McNemar and C68's

@@ -1715,6 +1715,23 @@ object WarehouseQueries {
     graft.operators.AbStats.andersonDarlingK(
       purchaseCentsArm3(spark, dir), col("arm"), col("cents"), arms = 3)
 
+  /** C120: post-stratified mean of per-user total spend — population
+    * = every user, responders = users with ≥1 purchase, strata =
+    * user mod 3 (the arm convention); removes the nonresponse tilt a
+    * raw responder mean carries (see
+    * [[graft.operators.AbStats.postStratifiedMean]]).
+    */
+  def postStratifiedSpend(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === "purchase",
+        dec2(col("value")) * 100)), lit(0)).cast("long").as("spend"))
+      .select((col("user_id") % 3).cast("int").as("st"),
+        (col("spend") > 0L).as("resp"), col("spend"))
+    graft.operators.AbStats.postStratifiedMean(perUser, col("st"),
+      col("resp"), col("spend"), strata = 3)
+  }
+
   /** C118: turning-point randomness check on the daily purchase
     * series — the local-shape companion to the C95 runs test (see
     * [[graft.operators.Changepoint.turningPointTest]]). Same one-scan

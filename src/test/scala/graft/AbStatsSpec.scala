@@ -1924,6 +1924,35 @@ class AbStatsSpec extends AnyFunSuite {
       d6(1000.0 / tok.toDouble))
   }
 
+  // ---- Post-stratified mean ---------------------------------------------------------
+
+  test("postStratifiedMean: reweights responder means to population shares") {
+    // stratum 0: 4 units, responders (10, 20); stratum 1: 2 units,
+    // responders (30, 50): raw = 27.5; ps = (4/6)·15 + (2/6)·40
+    val df = Seq(
+      (0, true, 10L), (0, true, 20L), (0, false, 0L), (0, false, 0L),
+      (1, true, 30L), (1, true, 50L)).toDF("st", "resp", "v")
+    val r = AbStats.postStratifiedMean(df, col("st"), col("resp"),
+      col("v"), strata = 2).head
+    assert(r.getAs[Long]("n_population") === 6L)
+    assert(r.getAs[Long]("n_responders") === 4L)
+    assert(r.getAs[Double]("raw_mean") === 27.5)
+    assert(r.getAs[Double]("ps_mean") ===
+      d6((4.0 / 6.0) * 15.0 + (2.0 / 6.0) * 40.0))
+    // replay the variance-ratio tree
+    def s2(ss: Double, s: Double, n: Double) = (ss - s * s / n) / (n - 1.0)
+    val psVar = (4.0 / 6.0) * (4.0 / 6.0) * s2(500.0, 30.0, 2.0) / 2.0 +
+      (2.0 / 6.0) * (2.0 / 6.0) * s2(3400.0, 80.0, 2.0) / 2.0
+    val rawVar = s2(3900.0, 110.0, 4.0) / 4.0
+    assert(r.getAs[Double]("var_ratio") === d6(psVar / rawVar))
+    // a stratum with one responder nulls the variance report
+    val thin = Seq((0, true, 10L), (0, false, 0L), (1, true, 5L))
+      .toDF("st", "resp", "v")
+    val rt = AbStats.postStratifiedMean(thin, col("st"), col("resp"),
+      col("v"), strata = 2).head
+    assert(rt.isNullAt(rt.fieldIndex("var_ratio")))
+  }
+
   // ---- Turning points ---------------------------------------------------------------
 
   test("turningPointTest: zigzag counts all interiors; monotone counts none") {
