@@ -467,6 +467,44 @@ private[graft] object OracleFns {
         .replace("MOOD_OK", moodOk(3))
         .replace("MOOD_CHI2", moodChi2(3))
 
+  /** C119 oracle — shared verbatim by `theil_u_forecast` and the
+    * E37 stream face (stream ≡ batch on the merged additive day
+    * cells).
+    */
+  private[graft] val theilUSql: String = {
+      val a = 0.3; val b = 0.3
+      val (al, oa, be, ob) = (s"$a", s"${1.0 - a}", s"$b", s"${1.0 - b}")
+      val f = "(acc[1] + acc[2])"
+      val newl = s"($al * e[1] + $oa * $f)"
+      s"""WITH dly AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+         |      AS HUGEINT) AS DOUBLE) AS v
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |ar AS (SELECT list(v ORDER BY day) AS vals FROM dly),
+         |st AS (SELECT CAST(len(vals) AS BIGINT) AS n,
+         |    list_reduce(list_prepend(
+         |      [vals[1],
+         |       CASE WHEN len(vals) >= 2 THEN vals[2] - vals[1]
+         |         ELSE 0.0 END,
+         |       vals[1], 0.0, 0.0],
+         |      list_transform(vals[2:len(vals)], x -> [x])),
+         |      (acc, e) -> [
+         |        $newl,
+         |        $be * ($newl - acc[1]) + $ob * acc[2],
+         |        e[1],
+         |        acc[4] + (e[1] - $f) * (e[1] - $f),
+         |        acc[5] + (e[1] - acc[3]) * (e[1] - acc[3])
+         |      ]) AS s
+         |  FROM ar)
+         |SELECT n,
+         |  CASE WHEN n >= 3 AND s[5] > 0.0
+         |  THEN round(sqrt(s[4] / s[5]), 6) END AS theil_u,
+         |  round(s[4], 6) AS sse_model,
+         |  round(s[5], 6) AS sse_naive
+         |FROM st""".stripMargin
+    }
+
   /** C105 oracle — shared verbatim by `hurst_exponent` and the E33
     * stream face (stream ≡ batch on the merged additive hour cells).
     */

@@ -2149,39 +2149,11 @@ private[graft] object OracleSqlD {
     // C119: Theil's U — the Holt recursion + both error accumulators
     // as one 5-slot flat-list fold (the C88b/pacf discipline);
     // alpha/(1-alpha) interpolated as Scala round-trip literals
-    "theil_u_forecast" -> {
-      val a = 0.3; val b = 0.3
-      val (al, oa, be, ob) = (s"$a", s"${1.0 - a}", s"$b", s"${1.0 - b}")
-      val f = "(acc[1] + acc[2])"
-      val newl = s"($al * e[1] + $oa * $f)"
-      s"""WITH dly AS (
-         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-         |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
-         |      AS HUGEINT) AS DOUBLE) AS v
-         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-         |ar AS (SELECT list(v ORDER BY day) AS vals FROM dly),
-         |st AS (SELECT CAST(len(vals) AS BIGINT) AS n,
-         |    list_reduce(list_prepend(
-         |      [vals[1],
-         |       CASE WHEN len(vals) >= 2 THEN vals[2] - vals[1]
-         |         ELSE 0.0 END,
-         |       vals[1], 0.0, 0.0],
-         |      list_transform(vals[2:len(vals)], x -> [x])),
-         |      (acc, e) -> [
-         |        $newl,
-         |        $be * ($newl - acc[1]) + $ob * acc[2],
-         |        e[1],
-         |        acc[4] + (e[1] - $f) * (e[1] - $f),
-         |        acc[5] + (e[1] - acc[3]) * (e[1] - acc[3])
-         |      ]) AS s
-         |  FROM ar)
-         |SELECT n,
-         |  CASE WHEN n >= 3 AND s[5] > 0.0
-         |  THEN round(sqrt(s[4] / s[5]), 6) END AS theil_u,
-         |  round(s[4], 6) AS sse_model,
-         |  round(s[5], 6) AS sse_naive
-         |FROM st""".stripMargin
-    },
+    "theil_u_forecast" -> theilUSql,
+
+    // E37: continuous forecast honesty - stream ≡ batch on the
+    // merged additive day cells, oracle verbatim
+    "stream_theil_u" -> theilUSql,
 
     // C116: Wilcoxon signed-rank — half-unit ranks on the |d| value
     // domain, 2W+ and the tie census exact integers, one IEEE z

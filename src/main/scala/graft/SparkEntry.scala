@@ -347,6 +347,7 @@ object SparkEntry {
     "turning_point_test" -> (WarehouseQueries.turningPointTest _),
     "theil_u_forecast"   -> (WarehouseQueries.theilUForecast _),
     "ab_post_stratified" -> (WarehouseQueries.postStratifiedSpend _),
+    "stream_theil_u"     -> (StreamFaces.streamTheilU _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

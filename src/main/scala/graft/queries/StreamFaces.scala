@@ -432,6 +432,39 @@ object StreamFaces {
     graft.operators.AbStats.moodMedianFromCounts(
       purchaseArmCensus(spark, dir, "graft_stream_mm"), arms = 3)
 
+  /** E37 as a gated key: continuous forecast-honesty monitoring
+    * (E ∘ C119) — the E27 additive per-day decimal cells with
+    * [[graft.operators.Changepoint.theilU]] as the read-face
+    * finisher: the live "is the Holt model still beating naive
+    * carry-forward" alarm — U drifting past 1 as data arrives means
+    * the smoothing dials have gone stale. Oracle =
+    * `theil_u_forecast`'s SQL verbatim (stream ≡ batch).
+    */
+  def streamTheilU(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_tu")
+    Tables.events(spark, dir) // normalize the ns-vs-µs conf
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val stream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val q = graft.streaming.StreamingForecast.start(
+      stream.filter(col("event_type") === "purchase"),
+      lit(0L), date_trunc("day", col("ts")).cast("date"),
+      graft.functions.Num.dec2(col("value")),
+      s"$base/sums", s"$base/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val daily = spark.read.parquet(s"$base/sums")
+      .groupBy(col("p").as("day"))
+      .agg((sum(col("v")) * 100).cast("decimal(38,0)").as("cents"))
+    graft.operators.Changepoint.theilU(daily, col("day"), col("cents"),
+      alpha = 0.3, beta = 0.3)
+  }
+
   /** E33 as a gated key: continuously-maintained Hurst exponent
     * (E ∘ C105) — the additive per-HOUR decimal purchase cells (the
     * E27 recipe one granularity down), with

@@ -936,6 +936,16 @@ class StreamingSpec extends AnyFunSuite {
       s"batch=${want.take(2)}")
   }
 
+  test("streaming Theil U equals the batch C119 readout bit-exactly") {
+    // E37: additive day cells merge to the identical series, so the
+    // Holt-fold accumulator matches slot for slot
+    val got = graft.queries.StreamFaces.streamTheilU(spark, sfDir)
+      .collect().toSeq
+    val want = graft.queries.WarehouseQueries.theilUForecast(spark, sfDir)
+      .collect().toSeq
+    assert(got == want, s"theil diverges: stream=$got batch=$want")
+  }
+
   test("streaming Kruskal-Wallis and Mood equal their batch readouts bit-exactly") {
     // E35/E36: the SAME additive (value, arm) census as E34 under two
     // more finishers — stream ≡ batch for each
