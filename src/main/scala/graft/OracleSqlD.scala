@@ -2121,30 +2121,11 @@ private[graft] object OracleSqlD {
 
     // C118: turning points — strict local extrema over the day±1
     // self-joins, exact counts, one IEEE z
-    "turning_point_test" ->
-      """WITH dly AS (
-        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT)
-        |      AS x
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |mid AS (SELECT c.x, p.x AS xp, nx.x AS xn
-        |  FROM dly c JOIN dly p ON c.day = p.day + 1
-        |  JOIN dly nx ON nx.day = c.day + 1),
-        |t AS (SELECT
-        |    CAST(SUM(CASE WHEN (x > xp AND x > xn)
-        |      OR (x < xp AND x < xn) THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_turns,
-        |    CAST(COUNT(*) AS BIGINT) AS n_interior
-        |  FROM mid),
-        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dly)
-        |SELECT n, n_interior, n_turns,
-        |  CASE WHEN n >= 3
-        |    AND (16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0 > 0.0
-        |  THEN round((CAST(n_turns AS DOUBLE)
-        |      - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
-        |    / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6)
-        |  END AS z_stat
-        |FROM t CROSS JOIN nn""".stripMargin,
+    "turning_point_test" -> turningPointSql,
+
+    // E38: continuous shape randomness - stream ≡ batch on the
+    // merged additive day cells, oracle verbatim
+    "stream_turning_point" -> turningPointSql,
 
     // C119: Theil's U — the Holt recursion + both error accumulators
     // as one 5-slot flat-list fold (the C88b/pacf discipline);

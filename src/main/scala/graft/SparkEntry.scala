@@ -348,6 +348,7 @@ object SparkEntry {
     "theil_u_forecast"   -> (WarehouseQueries.theilUForecast _),
     "ab_post_stratified" -> (WarehouseQueries.postStratifiedSpend _),
     "stream_theil_u"     -> (StreamFaces.streamTheilU _),
+    "stream_turning_point" -> (StreamFaces.streamTurningPoint _),
     "weighted_ess"       -> (TextQueries.weightedEss _),
     "km_retention"       -> (WarehouseQueries.kaplanMeierRetention _),
     "jaro_winkler_links" -> ((s: SparkSession, d: String) =>

@@ -465,6 +465,39 @@ object StreamFaces {
       alpha = 0.3, beta = 0.3)
   }
 
+  /** E38 as a gated key: continuous shape-randomness monitoring
+    * (E ∘ C118) — the E27 additive day cells with
+    * [[graft.operators.Changepoint.turningPointTest]] as the
+    * read-face finisher: the live local-extremum census next to
+    * E29's whiteness alarm (Q sees correlation mass, this sees the
+    * zigzag shape directly). Oracle = `turning_point_test`'s SQL
+    * verbatim (stream ≡ batch).
+    */
+  def streamTurningPoint(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_tp")
+    Tables.events(spark, dir) // normalize the ns-vs-µs conf
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val stream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val q = graft.streaming.StreamingForecast.start(
+      stream.filter(col("event_type") === "purchase"),
+      lit(0L), date_trunc("day", col("ts")).cast("date"),
+      graft.functions.Num.dec2(col("value")),
+      s"$base/sums", s"$base/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val daily = spark.read.parquet(s"$base/sums")
+      .groupBy(col("p").as("day"))
+      .agg((sum(col("v")) * 100).cast("decimal(38,0)").as("cents"))
+    graft.operators.Changepoint.turningPointTest(daily, col("day"),
+      col("cents"))
+  }
+
   /** E33 as a gated key: continuously-maintained Hurst exponent
     * (E ∘ C105) — the additive per-HOUR decimal purchase cells (the
     * E27 recipe one granularity down), with

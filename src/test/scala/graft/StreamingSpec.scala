@@ -936,6 +936,15 @@ class StreamingSpec extends AnyFunSuite {
       s"batch=${want.take(2)}")
   }
 
+  test("streaming turning-point census equals the batch C118 readout bit-exactly") {
+    // E38: same additive day cells, local-extremum finisher
+    val got = graft.queries.StreamFaces.streamTurningPoint(spark, sfDir)
+      .collect().toSeq
+    val want = graft.queries.WarehouseQueries
+      .turningPointTest(spark, sfDir).collect().toSeq
+    assert(got == want, s"turning diverges: stream=$got batch=$want")
+  }
+
   test("streaming Theil U equals the batch C119 readout bit-exactly") {
     // E37: additive day cells merge to the identical series, so the
     // Holt-fold accumulator matches slot for slot
