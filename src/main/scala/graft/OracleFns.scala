@@ -153,6 +153,84 @@ private[graft] object OracleFns {
        |FROM p ORDER BY look""".stripMargin
   }
 
+  /** C121 oracle — mirrors
+    * [[graft.operators.AbStats.alphaSpendingMonitor]]: the boundaries
+    * and per-look cumulative spend come from the SAME
+    * [[graft.operators.AlphaSpending]] recursion the plan embeds (a
+    * pure function of the design constants), interpolated as
+    * round-trip double literals; the percent-fraction look schedule
+    * is multiplication-only integer arithmetic like C86's.
+    */
+  private[graft] def alphaSpendingOracle(fracPct: Seq[Int],
+                                         alpha: Double): String = {
+    val bounds =
+      graft.operators.AlphaSpending.obfBoundsRounded(fracPct, alpha)
+    val spends =
+      graft.operators.AlphaSpending.obfSpendRounded(fracPct, alpha)
+    def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+    val looks = fracPct.size
+    // CASE checks k ascending — smallest matching look wins on
+    // coincident schedules, same as the plan's fold order
+    val lookCase = (1 to looks).map { k =>
+      val p = fracPct(k - 1)
+      s"WHEN r * 100 >= d * $p AND (r - 1) * 100 < d * $p THEN $k"
+    }.mkString("CASE ", " ", " END")
+    val boundCase = (1 to looks)
+      .map(k => s"WHEN $k THEN ${d(bounds(k - 1))}")
+      .mkString("CASE look ", " ", " END")
+    val spentCase = (1 to looks)
+      .map(k => s"WHEN $k THEN ${d(spends(k - 1))}")
+      .mkString("CASE look ", " ", " END")
+    val pp = "(CAST(cum_k0 + cum_k1 AS DOUBLE) / CAST(cum_n0 + cum_n1 AS DOUBLE))"
+    val se2 = s"($pp * (1.0 - $pp) * (1.0 / CAST(cum_n0 AS DOUBLE)" +
+      " + 1.0 / CAST(cum_n1 AS DOUBLE)))"
+    val zExpr = s"round((CAST(cum_k1 AS DOUBLE) / CAST(cum_n1 AS DOUBLE)" +
+      s" - CAST(cum_k0 AS DOUBLE) / CAST(cum_n0 AS DOUBLE)) / sqrt($se2), 6)"
+    s"""WITH dly AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS t0,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS t1,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS k1
+       |  FROM events GROUP BY 1),
+       |c AS (
+       |  SELECT day,
+       |    CAST(SUM(t0) OVER w AS BIGINT) AS cum_n0,
+       |    CAST(SUM(k0) OVER w AS BIGINT) AS cum_k0,
+       |    CAST(SUM(t1) OVER w AS BIGINT) AS cum_n1,
+       |    CAST(SUM(k1) OVER w AS BIGINT) AS cum_k1,
+       |    ROW_NUMBER() OVER (ORDER BY day) AS r,
+       |    COUNT(*) OVER () AS d
+       |  FROM dly
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW)),
+       |l AS (SELECT *, $lookCase AS look FROM c),
+       |f AS (SELECT CAST(look AS INTEGER) AS look, day,
+       |    cum_n0, cum_k0, cum_n1, cum_k1,
+       |    CASE WHEN cum_n0 > 0 AND cum_n1 > 0 AND $se2 > 0.0
+       |      THEN $zExpr END AS z_stat,
+       |    $boundCase AS bound,
+       |    $spentCase AS alpha_spent
+       |  FROM l WHERE look IS NOT NULL),
+       |x AS (SELECT *,
+       |    CASE WHEN abs(COALESCE(z_stat, 0.0)) >= bound THEN 1 ELSE 0 END
+       |      AS xed
+       |  FROM f),
+       |p AS (SELECT *, COALESCE(SUM(xed) OVER (ORDER BY look
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM x)
+       |SELECT look, day, cum_n0, cum_k0, cum_n1, cum_k1, z_stat, bound,
+       |  alpha_spent,
+       |  CASE WHEN prior > 0 THEN 'stopped'
+       |       WHEN xed = 1 THEN 'reject_h0'
+       |       ELSE 'continue' END AS decision
+       |FROM p ORDER BY look""".stripMargin
+  }
+
   /** C92 oracle — mirrors [[graft.operators.AbStats.yuenTrimmed]]:
     * per-arm value-domain cumulatives, conditional-MIN order
     * statistics, the exact inner-portion rank slice, HUGEINT trimmed
@@ -528,6 +606,7 @@ private[graft] object OracleFns {
         |SELECT n, n_interior, n_turns,
         |  CASE WHEN n >= 3
         |    AND (16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0 > 0.0
+        |    AND n_interior = n - 2
         |  THEN round((CAST(n_turns AS DOUBLE)
         |      - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
         |    / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6)

@@ -12,6 +12,47 @@ import OracleFnsTrained._
   * [[OracleFns]].
   */
 private[graft] object OracleSqlD {
+
+  /** C116 oracle — half-unit ranks on the |d| value domain, 2W⁺ and
+    * the tie census exact integers, one IEEE z. Shared VERBATIM by
+    * `ab_wilcoxon_signed` and the E39 stream face (stream ≡ batch on
+    * the merged additive per-(user, half) cells). Declared before
+    * `sql` so object-init order keeps the map's reference valid.
+    */
+  private val wilcoxonSignedSql: String = {
+    val nD = "CAST(n AS DOUBLE)"
+    val vr = s"""(($nD * ($nD + 1.0) * (2.0 * $nD + 1.0)) / 24.0
+      | - CAST(tie AS DOUBLE) / 48.0)""".stripMargin
+    val num = "(CAST(w2 * 2 - n * (n + 1) AS DOUBLE) / 4.0)"
+    s"""WITH u AS (SELECT user_id,
+       |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      AND day(ts) BETWEEN 16 AND 31
+       |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+       |    - CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      AND day(ts) BETWEEN 1 AND 15
+       |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
+       |      AS d
+       |  FROM events GROUP BY 1),
+       |nz AS (SELECT abs(d) AS a,
+       |    CASE WHEN d > 0 THEN 1 ELSE 0 END AS p
+       |  FROM u WHERE d <> 0),
+       |g AS (SELECT a, CAST(COUNT(*) AS HUGEINT) AS c,
+       |    CAST(SUM(p) AS HUGEINT) AS cp
+       |  FROM nz GROUP BY 1),
+       |cc AS (SELECT c, cp, SUM(c) OVER (ORDER BY a) AS cum FROM g),
+       |ag AS (SELECT
+       |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
+       |    CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS n_pos,
+       |    COALESCE(SUM(cp * (cum * 2 - c + 1)), 0) AS w2,
+       |    COALESCE(SUM(c * c * c - c), 0) AS tie
+       |  FROM cc)
+       |SELECT n AS n_nonzero, n_pos,
+       |  CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+       |  CASE WHEN n > 0 AND $vr > 0.0 THEN round(
+       |    $num / sqrt($vr), 6) END AS z_stat
+       |FROM ag""".stripMargin
+  }
+
   private[graft] val sql: Map[String, String] = Map(
 
     // D71: reciprocal-rank fusion over three quality legs. Each leg
@@ -544,6 +585,22 @@ private[graft] object OracleSqlD {
     // C86: same-literal discipline — looks/critical shared with the
     // plan; the look schedule is multiplication-only integer tests
     "ab_obf_monitor" -> obfOracle(looks = 5, critical = 2.04),
+
+    // C121: Lan–DeMets alpha-spending — boundaries from the SAME
+    // design-time recursion the plan embeds, as round-trip literals;
+    // unequal (15,40,65,85,100)% look schedule, OBF-type spending
+    "ab_alpha_spending" ->
+      alphaSpendingOracle(Seq(15, 40, 65, 85, 100), alpha = 0.05),
+
+    // C17's exact witness: distinct users/days + event total — the
+    // per-day distinct-set union collapses to the same three scalars
+    "hll_partitioned_distinct_exact" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS exact_distinct_users,
+        |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+        |    AS n_days,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events""".stripMargin,
     // C92: per-arm value-domain cumulatives + exact rank slicing
     "ab_yuen_trimmed" -> yuenOracle(trimDen = 10),
     // C94: exact order statistics off the value-domain cumulative;
@@ -2138,39 +2195,11 @@ private[graft] object OracleSqlD {
 
     // C116: Wilcoxon signed-rank — half-unit ranks on the |d| value
     // domain, 2W+ and the tie census exact integers, one IEEE z
-    "ab_wilcoxon_signed" -> {
-      val nD = "CAST(n AS DOUBLE)"
-      val vr = s"""(($nD * ($nD + 1.0) * (2.0 * $nD + 1.0)) / 24.0
-        | - CAST(tie AS DOUBLE) / 48.0)""".stripMargin
-      val num = "(CAST(w2 * 2 - n * (n + 1) AS DOUBLE) / 4.0)"
-      s"""WITH u AS (SELECT user_id,
-         |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
-         |      AND day(ts) BETWEEN 16 AND 31
-         |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
-         |    - CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
-         |      AND day(ts) BETWEEN 1 AND 15
-         |      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT)
-         |      AS d
-         |  FROM events GROUP BY 1),
-         |nz AS (SELECT abs(d) AS a,
-         |    CASE WHEN d > 0 THEN 1 ELSE 0 END AS p
-         |  FROM u WHERE d <> 0),
-         |g AS (SELECT a, CAST(COUNT(*) AS HUGEINT) AS c,
-         |    CAST(SUM(p) AS HUGEINT) AS cp
-         |  FROM nz GROUP BY 1),
-         |cc AS (SELECT c, cp, SUM(c) OVER (ORDER BY a) AS cum FROM g),
-         |ag AS (SELECT
-         |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
-         |    CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS n_pos,
-         |    COALESCE(SUM(cp * (cum * 2 - c + 1)), 0) AS w2,
-         |    COALESCE(SUM(c * c * c - c), 0) AS tie
-         |  FROM cc)
-         |SELECT n AS n_nonzero, n_pos,
-         |  CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
-         |  CASE WHEN n > 0 AND $vr > 0.0 THEN round(
-         |    $num / sqrt($vr), 6) END AS z_stat
-         |FROM ag""".stripMargin
-    },
+    "ab_wilcoxon_signed" -> wilcoxonSignedSql,
+
+    // E39: continuous paired-magnitude monitoring — stream ≡ batch on
+    // the merged additive per-(user, half) cells, oracle verbatim
+    "stream_wilcoxon" -> wilcoxonSignedSql,
 
     // C117: sign test — two exact counts, one IEEE evaluation
     "ab_sign_test" ->

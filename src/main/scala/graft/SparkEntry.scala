@@ -341,6 +341,10 @@ object SparkEntry {
     "stream_hurst"       -> (StreamFaces.streamHurst _),
     "stream_ab_distribution" -> (StreamFaces.streamAndersonDarling _),
     "ab_wilcoxon_signed" -> (WarehouseQueries.wilcoxonSignedRank _),
+    "stream_wilcoxon"    -> (StreamFaces.streamWilcoxon _),
+    "ab_alpha_spending"  -> (WarehouseQueries.alphaSpendingMonitor _),
+    "hll_partitioned_distinct_exact" ->
+      (ExtendedQueries.hllPartitionedDistinctExact _),
     "ab_sign_test"       -> (WarehouseQueries.signTest _),
     "stream_kruskal_wallis" -> (StreamFaces.streamKruskalWallis _),
     "stream_mood_median" -> (StreamFaces.streamMoodMedian _),

@@ -666,6 +666,83 @@ object AbStats {
                  critical: Double = 2.04): DataFrame = {
     require(looks >= 1, s"need at least one look, got $looks")
     require(critical > 0, s"critical must be positive, got $critical")
+    val ranked = convLookFrame(df, day, arm, converted)
+    // look k's day = rank ceil(D·k/K); when D < K looks coincide and
+    // the row takes the SMALLEST matching k (the when-chain order,
+    // mirrored by the oracle's CASE order)
+    val lookDay = (k: Int) =>
+      col("__r") * looks >= col("__d") * k &&
+        (col("__r") - 1) * looks < col("__d") * k
+    val lookCol = (1 to looks).foldLeft(lit(null).cast("int")) {
+      (acc, k) => when(lookDay(looks + 1 - k), looks + 1 - k).otherwise(acc)
+    } // fold from K down so earlier looks override — smallest k wins
+    val bound = round(
+      lit(critical) * sqrt(lit(looks.toDouble) / col("look").cast("double")), 6)
+    sequentialDecision(
+      ranked.withColumn("look", lookCol).filter(col("look").isNotNull),
+      bound, Nil)
+  }
+
+  /** C121: Lan–DeMets alpha-spending group-sequential monitor (Lan &
+    * DeMets 1983) — C86's OBF bound generalized to ARBITRARY
+    * information fractions via a spending function: at look k
+    * (fraction t_k of the trial's days), the boundary u_k is the one
+    * whose incremental crossing probability under the canonical
+    * Brownian joint law equals α*(t_k) − α*(t_{k−1}). The fractions
+    * are DESIGN constants (integer percents, last = 100), so the
+    * boundaries and per-look cumulative spend come out of
+    * [[AlphaSpending]]'s driver-side recursion at PLAN-BUILD time and
+    * embed into both the plan and the DuckDB oracle as identical
+    * round-trip double literals (the C85 quadrature-grid discipline —
+    * no data ever enters the boundary computation).
+    *
+    * Look schedule: day rank r qualifies as look k when
+    * r = ceil(D·p_k/100), tested multiplication-only (r·100 ≥ D·p_k
+    * and (r−1)·100 < D·p_k — exact integers, no division in either
+    * engine); coincident looks (small D) resolve to the SMALLEST k,
+    * C86's convention.
+    *
+    * Scale shape identical to C86: ONE corpus scan collapses to
+    * calendar-bounded per-day per-arm counts, cumulatives ride the
+    * distributed [[PrefixSum]], z/bound/decision are one IEEE
+    * evaluation per look; decisions compare 6-dp ROUNDED values.
+    */
+  def alphaSpendingMonitor(df: DataFrame, day: Column, arm: Column,
+                           converted: Column, fracPct: Seq[Int],
+                           alpha: Double = 0.05): DataFrame = {
+    require(fracPct.nonEmpty && fracPct.last == 100 &&
+      fracPct.forall(p => p > 0 && p <= 100) &&
+      fracPct.zip(fracPct.tail).forall { case (a, b) => a < b },
+      s"fractions must be strictly increasing percents ending at 100: $fracPct")
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val bounds = AlphaSpending.obfBoundsRounded(fracPct, alpha)
+    val spends = AlphaSpending.obfSpendRounded(fracPct, alpha)
+    val looks = fracPct.size
+    val ranked = convLookFrame(df, day, arm, converted)
+    val lookDay = (k: Int) =>
+      col("__r") * 100 >= col("__d") * fracPct(k - 1) &&
+        (col("__r") - 1) * 100 < col("__d") * fracPct(k - 1)
+    val lookCol = (1 to looks).foldLeft(lit(null).cast("int")) {
+      (acc, k) => when(lookDay(looks + 1 - k), looks + 1 - k).otherwise(acc)
+    } // fold from K down so earlier looks override — smallest k wins
+    val bound = (1 to looks).foldLeft(lit(null).cast("double")) {
+      (acc, k) => when(col("look") === k, lit(bounds(k - 1))).otherwise(acc)
+    }
+    val spentCol = (1 to looks).foldLeft(lit(null).cast("double")) {
+      (acc, k) => when(col("look") === k, lit(spends(k - 1))).otherwise(acc)
+    }
+    sequentialDecision(
+      ranked.withColumn("look", lookCol).filter(col("look").isNotNull),
+      bound, Seq(spentCol.as("alpha_spent")))
+  }
+
+  /** Shared by C86/C121: ONE corpus scan to calendar-bounded per-day
+    * per-arm conversion counts, the four cumulatives + the day rank
+    * on the distributed [[PrefixSum]], and the day total as a
+    * broadcast rider.
+    */
+  private def convLookFrame(df: DataFrame, day: Column, arm: Column,
+                            converted: Column): DataFrame = {
     val a0 = arm === 0; val a1 = arm === 1
     val daily = Materialize.cut(df.groupBy(day.as("day"))
       .agg(sum(when(a0, 1L).otherwise(0L)).as("t0"),
@@ -679,19 +756,17 @@ object AbStats {
         PrefixSum.runningSum(d, col("day"), col(in), out)
       }
     val total = cum.agg(max(col("__r")).cast("long").as("__d"))
-    val ranked = cum.crossJoin(broadcast(total))
-    // look k's day = rank ceil(D·k/K); when D < K looks coincide and
-    // the row takes the SMALLEST matching k (the when-chain order,
-    // mirrored by the oracle's CASE order)
-    val lookDay = (k: Int) =>
-      col("__r") * looks >= col("__d") * k &&
-        (col("__r") - 1) * looks < col("__d") * k
-    val lookCol = (1 to looks).foldLeft(lit(null).cast("int")) {
-      (acc, k) => when(lookDay(looks + 1 - k), looks + 1 - k).otherwise(acc)
-    } // fold from K down so earlier looks override — smallest k wins
-    val atLooks = ranked
-      .withColumn("look", lookCol)
-      .filter(col("look").isNotNull)
+    cum.crossJoin(broadcast(total))
+  }
+
+  /** Shared by C86/C121: the pooled two-sample conversion z at each
+    * look, the boundary compare on 6-dp ROUNDED values, and the
+    * stopped/reject/continue readout (a look after the first crossing
+    * reads "stopped" — the trial would already have ended).
+    * `extraCols` insert between `bound` and `decision`.
+    */
+  private def sequentialDecision(atLooks: DataFrame, bound: Column,
+                                 extraCols: Seq[Column]): DataFrame = {
     val n0 = col("cum_n0").cast("double"); val n1 = col("cum_n1").cast("double")
     val pp = (col("cum_k0") + col("cum_k1")).cast("double") /
       (col("cum_n0") + col("cum_n1")).cast("double")
@@ -699,8 +774,6 @@ object AbStats {
     val z = when(col("cum_n0") > 0 && col("cum_n1") > 0 && se2 > 0.0,
       round((col("cum_k1").cast("double") / n1 -
         col("cum_k0").cast("double") / n0) / sqrt(se2), 6))
-    val bound = round(
-      lit(critical) * sqrt(lit(looks.toDouble) / col("look").cast("double")), 6)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("look"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     atLooks
@@ -710,15 +783,15 @@ object AbStats {
         when(abs(coalesce(col("z_stat"), lit(0.0))) >= col("bound"), 1L)
           .otherwise(0L))
       .withColumn("__prior", coalesce(sum(col("__x")).over(w), lit(0L)))
-      .select(col("look"), col("day"),
+      .select(Seq(col("look"), col("day"),
         col("cum_n0").cast("long").as("cum_n0"),
         col("cum_k0").cast("long").as("cum_k0"),
         col("cum_n1").cast("long").as("cum_n1"),
         col("cum_k1").cast("long").as("cum_k1"),
-        col("z_stat"), col("bound"),
+        col("z_stat"), col("bound")) ++ extraCols :+
         when(col("__prior") > 0, "stopped")
           .when(col("__x") === 1L, "reject_h0")
-          .otherwise("continue").as("decision"))
+          .otherwise("continue").as("decision"): _*)
       .orderBy(col("look"))
   }
 
@@ -1360,8 +1433,11 @@ object AbStats {
         .as("var_ratio")): _*)
   }
 
-  /** C116: Wilcoxon signed-rank test (Wilcoxon 1945; Pratt's
-    * zero-drop convention, average ranks on |d| ties) — the paired
+  /** C116: Wilcoxon signed-rank test (Wilcoxon 1945; the standard
+    * zero-drop convention — zero differences are discarded before
+    * ranking, Wilcoxon's original treatment (Pratt 1959 is the
+    * zero-INCLUDED variant, NOT what this implements); average ranks
+    * on |d| ties) — the paired
     * MAGNITUDE test between C100's paired-binary McNemar and C68's
     * independent-samples rank sum: "did the SAME users' spend level
     * shift", robust to whales, using how FAR each user moved where

@@ -513,6 +513,13 @@ object Changepoint {
     * (which sees signs, not shapes). Equal neighbors break strictness
     * and are simply not turns (the documented tie convention).
     *
+    * CONTIGUITY CONTRACT: the step column must form a gapless daily
+    * calendar (the neighbor attachment is day±1). On a gappy series
+    * the interior census shrinks (n_interior < n−2) while E[T]/Var[T]
+    * still use the full n, silently biasing z low — so z publishes
+    * null unless n_interior = n−2, making gappy input fail loudly
+    * instead of quietly (the C84 integrality-contract discipline).
+    *
     * One scan collapses to the calendar day frame; the neighbor
     * attachment is a day±1 self-join (never a window); T exact
     * integer, z one IEEE evaluation. n < 3 publishes null.
@@ -537,7 +544,8 @@ object Changepoint {
     val vr = (lit(16.0) * nD - 29.0) / 90.0
     t.crossJoin(broadcast(n))
       .select(col("n"), col("n_interior"), col("n_turns"),
-        when(col("n") >= 3L && vr > 0.0,
+        when(col("n") >= 3L && vr > 0.0 &&
+            col("n_interior") === col("n") - 2L,
           round((col("n_turns").cast("double") - e) / sqrt(vr), 6))
           .as("z_stat"))
   }
@@ -565,11 +573,18 @@ object Changepoint {
         value.cast("double").as("__v")))).as("__a"))
       .withColumn("__vals", transform(col("__a"), e => e.getField("__v")))
     val vals = col("__vals")
+    // empty-series guard: under ANSI (on in Spark 4) a bare
+    // element_at(vals, 1) on a zero-length series throws
+    // INVALID_ARRAY_INDEX in the fold's init before the n>=3 output
+    // guard can publish null — so every init slot that touches the
+    // array is size-gated (the fold body only ever sees slots, never
+    // the raw array, and the slice is already empty-safe)
+    val first = when(size(vals) >= 1, element_at(vals, 1)).otherwise(lit(0.0))
     val init = array(
-      element_at(vals, 1),
+      first,
       when(size(vals) >= 2,
         element_at(vals, 2) - element_at(vals, 1)).otherwise(lit(0.0)),
-      element_at(vals, 1), lit(0.0), lit(0.0))
+      first, lit(0.0), lit(0.0))
     val state = aggregate(
       slice(vals, lit(2), greatest(size(vals) - lit(1), lit(0))),
       init,

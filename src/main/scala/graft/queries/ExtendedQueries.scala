@@ -286,6 +286,29 @@ object ExtendedQueries {
       sum(col("n_events")).as("n_events"))
   }
 
+  /** C17's EXACT witness (the same-row truth the HLL estimate pins
+    * against, closing the gate pattern C6/D18 already follow): the
+    * exactly-mergeable per-partition artifact for distinct counts is
+    * the per-day distinct USER SET — one row per (day, user), with
+    * the day's event count riding the dedup — persisted once; an
+    * arbitrary date range then unions the sets and counts distinct
+    * users over rows ∝ Σ per-day distincts, never rescanning raw
+    * events. Costs bytes-per-user-day where C17 costs bytes-per-day —
+    * the classic exact-vs-sketch trade the two rows document
+    * together. OperatorsSpec pins |HLL − exact|/exact ≤ the declared
+    * 5% tolerance AGAINST THIS WITNESS on the same frames.
+    */
+  def hllPartitionedDistinctExact(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    val dayUser = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    dayUser.agg(
+      countDistinct(col("user_id")).as("exact_distinct_users"),
+      countDistinct(col("day")).as("n_days"),
+      sum(col("n_events")).as("n_events"))
+  }
+
   /** C19: KLL sketch pre-aggregation — true quantile sketches as a
     * mergeable lake column ([[graft.functions.KllAggregates]]): one
     * KB-scale binary sketch per day persisted once, any date range's

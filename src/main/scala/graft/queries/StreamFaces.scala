@@ -432,6 +432,50 @@ object StreamFaces {
     graft.operators.AbStats.moodMedianFromCounts(
       purchaseArmCensus(spark, dir, "graft_stream_mm"), arms = 3)
 
+  /** E39 as a gated key: continuous paired-magnitude monitoring
+    * (E ∘ C116) — per-(user, half-month) additive purchase-cent cells
+    * maintained in the lake (the E22 partial-sum recipe: each batch
+    * appends its per-cell decimal sums, late rows land in their
+    * cell), with [[graft.operators.AbStats.wilcoxonSignedRank]] as
+    * the read-face finisher over the merged per-user differences: the
+    * live "did the SAME users' spend level shift between the halves"
+    * alarm — the last paired-rank statistic without an E-family
+    * monitor. The merged cells equal the batch face's per-user
+    * conditional sums EXACTLY (decimal addition is order-free), so
+    * the oracle is `ab_wilcoxon_signed`'s SQL verbatim
+    * (stream ≡ batch).
+    */
+  def streamWilcoxon(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_wx")
+    Tables.events(spark, dir) // normalize the ns-vs-µs conf
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val stream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val q = graft.streaming.StreamingForecast.start(
+      stream.filter(col("event_type") === "purchase"),
+      col("user_id"),
+      when(dayofmonth(col("ts")) >= 16, 1).otherwise(0),
+      graft.functions.Num.dec2(col("value")) * 100,
+      s"$base/cells", s"$base/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    // d = cents(16–31) − cents(1–15); non-purchase users never get a
+    // cell but their batch d is 0 — dropped by the operator's
+    // zero-filter either way, so the censuses agree
+    val perUser = spark.read.parquet(s"$base/cells")
+      .groupBy(col("k"))
+      .agg((coalesce(sum(when(col("p") === 1, col("v"))), lit(0))
+          .cast("long") -
+        coalesce(sum(when(col("p") === 0, col("v"))), lit(0))
+          .cast("long")).as("d"))
+    graft.operators.AbStats.wilcoxonSignedRank(perUser, col("d"))
+  }
+
   /** E37 as a gated key: continuous forecast-honesty monitoring
     * (E ∘ C119) — the E27 additive per-day decimal cells with
     * [[graft.operators.Changepoint.theilU]] as the read-face

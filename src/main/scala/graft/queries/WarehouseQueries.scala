@@ -1517,6 +1517,24 @@ object WarehouseQueries {
       col("event_type") === "purchase",
       looks = 5, critical = 2.04)
 
+  /** C121: Lan–DeMets alpha-spending monitor on the same conversion
+    * contrast as C86, but at the deliberately UNEQUAL look fractions
+    * (15, 40, 65, 85, 100)% of the calendar — the arbitrary-schedule
+    * case the fixed k/K OBF bound can't express — with OBF-type
+    * spending, two-sided α = 0.05. Boundaries from
+    * [[graft.operators.AlphaSpending]]'s design-time recursion
+    * (AbStatsSpec pins the equal-fraction case against the published
+    * Lan–DeMets K=5 table). See
+    * [[graft.operators.AbStats.alphaSpendingMonitor]].
+    */
+  def alphaSpendingMonitor(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.alphaSpendingMonitor(
+      Tables.events(spark, dir),
+      date_trunc("day", col("ts")).cast("date"),
+      col("user_id") % 2,
+      col("event_type") === "purchase",
+      fracPct = Seq(15, 40, 65, 85, 100), alpha = 0.05)
+
   /** C87: delta-method z-test on the RATIO metric revenue-per-event
     * between the user-parity arms — the per-user (x=events, y=purchase
     * revenue) frame is the randomization-unit aggregate, so correlated

@@ -712,6 +712,103 @@ class AbStatsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("look")).toSeq === Seq(1, 3))
   }
 
+  // ---- Lan–DeMets alpha spending ------------------------------------------
+
+  test("AlphaSpending: equal-fraction OBF-spending bounds match the " +
+      "published Lan–DeMets K=5 table") {
+    import graft.operators.AlphaSpending
+    // the classical table (two-sided α = 0.05, t = k/5): 4.877,
+    // 3.357, 2.680, 2.290, 2.031 — e.g. Lan & DeMets 1983 / the
+    // gsDesign sfLDOF reference values
+    val got = AlphaSpending.obfBoundsRounded(Seq(20, 40, 60, 80, 100), 0.05)
+    val pub = Seq(4.877, 3.357, 2.680, 2.290, 2.031)
+    got.zip(pub).zipWithIndex.foreach { case ((g, p), i) =>
+      assert(math.abs(g - p) < 0.02, s"look ${i + 1}: got $g want ~$p")
+    }
+    assert(got.zip(got.tail).forall { case (a, b) => a > b },
+      s"OBF-spending bounds must decrease: $got")
+  }
+
+  test("AlphaSpending: single look reduces to the fixed-sample z; " +
+      "spending accounts to alpha") {
+    import graft.operators.AlphaSpending
+    val one = AlphaSpending.obfBoundsRounded(Seq(100), 0.05)
+    assert(math.abs(one.head - 1.959964) < 1e-4, one)
+    val spends = AlphaSpending.obfSpendRounded(Seq(15, 40, 65, 85, 100), 0.05)
+    assert(spends.zip(spends.tail).forall { case (a, b) => a <= b },
+      s"cumulative spend must be nondecreasing: $spends")
+    assert(math.abs(spends.last - 0.05) < 1e-9,
+      s"alpha*(1) must equal alpha exactly: $spends")
+  }
+
+  test("AlphaSpending: Pocock-type spending — closed-form first look, " +
+      "flat-ish later bound") {
+    import graft.operators.AlphaSpending
+    val b = AlphaSpending.bounds(Seq(0.5, 1.0), 0.05,
+      AlphaSpending.pocockSpend(0.05))
+    // π₁ = 0.05·ln(1 + (e−1)/2) → u₁ = Φ⁻¹(1 − π₁/2) ≈ 2.157 exactly
+    val pi1 = 0.05 * math.log(1.0 + (math.E - 1.0) * 0.5)
+    assert(math.abs(b.head - AlphaSpending.PhiInv(1.0 - pi1 / 2)) < 1e-6, b)
+    // the second Pocock-spending bound sits just above the first
+    // (published K=2 pair ≈ 2.157, 2.201)
+    assert(b(1) > b.head && b(1) < 2.26, b)
+  }
+
+  test("alphaSpendingMonitor: unequal-fraction schedule, coincident " +
+      "tail looks, z replay") {
+    import java.sql.Date
+    import graft.operators.AlphaSpending
+    def d(day: Int) = Date.valueOf(f"2024-01-$day%02d")
+    // 5 days at (15,40,65,85,100)% → look days ceil(5p/100) =
+    // 1,2,4,5,5: looks 4 and 5 coincide on day 5 and the row takes
+    // the SMALLEST k — emitted looks are exactly {1,2,3,4}
+    val rows =
+      (1 to 5).flatMap { day =>
+        val hot = day >= 3
+        (1 to 40).map { i =>
+          val arm = i % 2
+          val conv = if (arm == 1 && hot) i <= 38 else i <= 8
+          (d(day), arm, conv)
+        }
+      }
+    val fr = Seq(15, 40, 65, 85, 100)
+    val out = AbStats.alphaSpendingMonitor(rows.toDF("day", "arm", "conv"),
+      col("day"), col("arm"), col("conv"), fracPct = fr, alpha = 0.05)
+      .collect()
+    assert(out.map(_.getAs[Int]("look")).toSeq === Seq(1, 2, 3, 4))
+    assert(out.map(_.getAs[Date]("day")).toSeq === Seq(1, 2, 4, 5).map(d))
+    val bounds = AlphaSpending.obfBoundsRounded(fr, 0.05)
+    val spends = AlphaSpending.obfSpendRounded(fr, 0.05)
+    var (n0, k0, n1, k1) = (0L, 0L, 0L, 0L)
+    var lastDay = 0
+    var crossedBefore = false
+    out.foreach { r =>
+      val look = r.getAs[Int]("look")
+      val day = Seq(1, 2, 4, 5)(look - 1)
+      // accumulate the days since the previous emitted look
+      ((lastDay + 1) to day).foreach { dd =>
+        val hot = dd >= 3
+        n0 += 20; n1 += 20; k0 += 4
+        k1 += (if (hot) 19L else 4L)
+      }
+      lastDay = day
+      assert(r.getAs[Long]("cum_n0") == n0 && r.getAs[Long]("cum_k0") == k0)
+      assert(r.getAs[Long]("cum_n1") == n1 && r.getAs[Long]("cum_k1") == k1)
+      val pp = (k0 + k1).toDouble / (n0 + n1).toDouble
+      val se2 = pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)
+      val z = d6((k1.toDouble / n1 - k0.toDouble / n0) / math.sqrt(se2))
+      assert(r.getAs[Double]("z_stat") === z, s"z at look $look")
+      assert(r.getAs[Double]("bound") === bounds(look - 1))
+      assert(r.getAs[Double]("alpha_spent") === spends(look - 1))
+      val crosses = math.abs(z) >= bounds(look - 1)
+      val want = if (crossedBefore) "stopped"
+        else if (crosses) "reject_h0" else "continue"
+      assert(r.getAs[String]("decision") === want, s"decision at look $look")
+      crossedBefore = crossedBefore || crosses
+    }
+    assert(crossedBefore, "the hot arm must cross at some look")
+  }
+
   // ---- delta-method ratio metric ----------------------------------------
 
   test("ratioDelta: hand per-unit frame matches the textbook formula") {
@@ -1976,6 +2073,24 @@ class AbStatsSpec extends AnyFunSuite {
     assert(rm.getAs[Long]("n_turns") === 0L)
   }
 
+  test("turningPointTest: a calendar gap fails loudly (null z)") {
+    import graft.operators.Changepoint
+    import java.sql.Date
+    def day(i: Int) = Date.valueOf(
+      java.time.LocalDate.of(2024, 3, 1).plusDays(i))
+    // days 0,1,2,4,5 — the day-3 gap strips days 2 and 4 of a
+    // neighbor, shrinking the interior census (n_interior = 1 <
+    // n−2 = 3), so z must publish null instead of the
+    // silently-biased value the full-n E/Var would produce
+    val gappy = Seq(0, 1, 2, 4, 5).zip(Seq(1L, 5L, 2L, 6L, 3L))
+      .map { case (i, v) => (day(i), v) }.toDF("d", "v")
+    val rg = Changepoint.turningPointTest(gappy, col("d"), col("v")).head
+    assert(rg.getAs[Long]("n") === 5L &&
+      rg.getAs[Long]("n_interior") === 1L)
+    assert(rg.isNullAt(rg.fieldIndex("z_stat")),
+      "gappy series must null z, not bias it")
+  }
+
   // ---- Theil's U --------------------------------------------------------------------
 
   test("theilU: hand Holt-fold replay; constant series nulls") {
@@ -2003,6 +2118,13 @@ class AbStatsSpec extends AnyFunSuite {
     val flat = (0 until 4).map(i => (day(i), 7L)).toDF("d", "v")
     val rf = Changepoint.theilU(flat, col("d"), col("v"), 0.3, 0.3).head
     assert(rf.isNullAt(rf.fieldIndex("theil_u")))
+    // EMPTY series: the ANSI element_at guard must let the fold init
+    // evaluate and the contract publish null (not INVALID_ARRAY_INDEX)
+    val empty = (0 until 4).map(i => (day(i), 7L)).toDF("d", "v")
+      .filter(col("v") > 100L)
+    val re = Changepoint.theilU(empty, col("d"), col("v"), 0.3, 0.3).head
+    assert(re.getAs[Long]("n") === 0L)
+    assert(re.isNullAt(re.fieldIndex("theil_u")))
   }
 
   // ---- Wilcoxon signed-rank + sign test ----------------------------------------------

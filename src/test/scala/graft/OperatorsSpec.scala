@@ -543,12 +543,21 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("hll pre-aggregated sketches merge to the global distinct and survive parquet") {
     val ev = Tables.events(spark, sfDir)
-    val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+    // the declared 5% tolerance is pinned AGAINST THE GATED WITNESS
+    // KEY (hll_partitioned_distinct_exact — itself DuckDB-oracled),
+    // not a spec-local recompute: the two §2 rows verify each other
+    val wit = graft.queries.ExtendedQueries
+      .hllPartitionedDistinctExact(spark, sfDir).head()
+    val exact = wit.getLong(0)
     val row = graft.queries.ExtendedQueries.hllPartitionedDistinct(spark, sfDir).head()
     val est = row.getLong(0)
     assert(math.abs(est - exact) <= math.max(1L, (exact * 0.05).toLong),
-      s"merged estimate $est vs exact $exact")
+      s"merged estimate $est vs exact witness $exact")
     assert(row.getLong(2) == ev.count(), "pre-agg must cover every event")
+    assert(wit.getLong(2) == row.getLong(2),
+      "witness and sketch rows must cover the same event total")
+    assert(wit.getLong(1) == row.getLong(1),
+      "witness and sketch rows must cover the same day range")
 
     // the sketch column is lake-persistable: daily sketches written to
     // parquet and unioned later must give the SAME estimate — that is

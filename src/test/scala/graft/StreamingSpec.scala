@@ -955,6 +955,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"theil diverges: stream=$got batch=$want")
   }
 
+  test("streaming Wilcoxon signed-rank equals the batch C116 readout bit-exactly") {
+    // E39: per-(user, half-month) additive cent cells merge to the
+    // identical per-user differences, so the half-unit-rank ledger
+    // and z match exactly
+    val got = graft.queries.StreamFaces.streamWilcoxon(spark, sfDir)
+      .collect().toSeq
+    val want = graft.queries.WarehouseQueries
+      .wilcoxonSignedRank(spark, sfDir).collect().toSeq
+    assert(got == want, s"wilcoxon diverges: stream=$got batch=$want")
+  }
+
   test("streaming Kruskal-Wallis and Mood equal their batch readouts bit-exactly") {
     // E35/E36: the SAME additive (value, arm) census as E34 under two
     // more finishers — stream ≡ batch for each
