@@ -1140,6 +1140,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(fwd(2L) == 6L && rev(2L) == 6L)
   }
 
+  test("multi-batch upsert chaos: permuted order + kill after batch 2, " +
+      "resume equals the contiguous run") {
+    // the ORDER-DEPENDENT face under the full chaos recipe: slices
+    // arrive in permuted order (2,0,1), the stream dies after batch
+    // 2's lake write with the commit marker LOST (the worst crash
+    // window for a non-transactional sink), slice 1 arrives while
+    // down, and the resumed stream must (a) replay batch 1 as a
+    // no-op re-merge and (b) land batch 2 — ending BIT-IDENTICAL to
+    // the same permuted order run without any crash.
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    // permutation 2,0,1 of the event_id mod 3 slices
+    val permuted = element_at(
+      array(lit(1L), lit(2L), lit(0L)), (pmod(col("event_id"), lit(3)) + 1).cast("int"))
+    def mkStaged(tag: String): (String, String) = {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_uxc$tag")
+        .toFile.getAbsolutePath
+      (base, graft.queries.StreamFaces.sliceSource(ev, base, permuted, 3))
+    }
+    def run(base: String, srcDir: String): Unit = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.StreamingUpsert.start(
+        stream, Seq("user_id"), "ts", Seq("event_id"),
+        s"$base/table", s"$base/ckpt")
+      q.awaitTermination()
+    }
+    def table(base: String) = spark.read.parquet(s"$base/table")
+      .orderBy(col("user_id"), col("event_id")).collect().toSeq
+    // reference: all three files present, one contiguous run
+    val (refBase, refSrc) = mkStaged("ref")
+    run(refBase, refSrc)
+    // chaos: stage all three, expose only the first two
+    val (chBase, chStaged) = mkStaged("ch")
+    val live = new java.io.File(s"$chBase/live"); live.mkdirs()
+    def arm(k: Int): Unit = java.nio.file.Files.copy(
+      new java.io.File(chStaged, s"slice$k.parquet").toPath,
+      new java.io.File(live, s"slice$k.parquet").toPath)
+    arm(0); arm(1)
+    run(chBase, live.getAbsolutePath) // batches 0, 1 commit, stream ends
+    val commits = new java.io.File(s"$chBase/ckpt/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit))
+    assert(commits.map(_.getName.toInt).sorted.toSeq == Seq(0, 1))
+    // crash window: batch 1's table write landed, its marker didn't
+    val last = commits.maxBy(_.getName.toInt)
+    assert(last.delete())
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    arm(2) // slice 1 (the third permuted file) arrives while down
+    run(chBase, live.getAbsolutePath) // replay batch 1 + run batch 2
+    val committed = new java.io.File(s"$chBase/ckpt/commits")
+      .listFiles().count(f => f.isFile && f.getName.forall(_.isDigit))
+    assert(committed == 3, s"expected 3 committed batches, saw $committed")
+    assert(table(chBase) == table(refBase),
+      "crash + resume diverged from the contiguous permuted run")
+  }
+
   test("multi-batch chaos: kill between batches 2 and 3, replay + cross-batch merge compose") {
     import graft.streaming.StreamingBootstrap
     val base = java.nio.file.Files.createTempDirectory("graft_chaos3")
