@@ -162,11 +162,8 @@ private[graft] object OracleFns {
     * is multiplication-only integer arithmetic like C86's.
     */
   private[graft] def alphaSpendingOracle(fracPct: Seq[Int],
-                                         alpha: Double): String = {
-    val bounds =
-      graft.operators.AlphaSpending.obfBoundsRounded(fracPct, alpha)
-    val spends =
-      graft.operators.AlphaSpending.obfSpendRounded(fracPct, alpha)
+                                         bounds: Seq[Double],
+                                         spends: Seq[Double]): String = {
     def d(x: Double) = s"CAST('$x' AS DOUBLE)"
     val looks = fracPct.size
     // CASE checks k ascending — smallest matching look wins on

@@ -589,8 +589,22 @@ private[graft] object OracleSqlD {
     // C121: Lan–DeMets alpha-spending — boundaries from the SAME
     // design-time recursion the plan embeds, as round-trip literals;
     // unequal (15,40,65,85,100)% look schedule, OBF-type spending
-    "ab_alpha_spending" ->
-      alphaSpendingOracle(Seq(15, 40, 65, 85, 100), alpha = 0.05),
+    "ab_alpha_spending" -> {
+      val fr = Seq(15, 40, 65, 85, 100)
+      alphaSpendingOracle(fr,
+        graft.operators.AlphaSpending.obfBoundsRounded(fr, 0.05),
+        graft.operators.AlphaSpending.obfSpendRounded(fr, 0.05))
+    },
+
+    // C121b: the same monitor under Hwang–Shih–DeCani γ=−4 spending,
+    // quarterly looks — the recursion drives the literals, no table
+    "ab_alpha_spending_hsd" -> {
+      val fr = Seq(25, 50, 75, 100)
+      val sp = graft.operators.AlphaSpending.hsdSpend(0.05, -4.0) _
+      alphaSpendingOracle(fr,
+        graft.operators.AlphaSpending.boundsRounded(fr, 0.05, sp),
+        graft.operators.AlphaSpending.spendRounded(fr, 0.05, sp))
+    },
 
     // C17's exact witness: distinct users/days + event total — the
     // per-day distinct-set union collapses to the same three scalars

@@ -343,6 +343,7 @@ object SparkEntry {
     "ab_wilcoxon_signed" -> (WarehouseQueries.wilcoxonSignedRank _),
     "stream_wilcoxon"    -> (StreamFaces.streamWilcoxon _),
     "ab_alpha_spending"  -> (WarehouseQueries.alphaSpendingMonitor _),
+    "ab_alpha_spending_hsd" -> (WarehouseQueries.alphaSpendingHsd _),
     "hll_partitioned_distinct_exact" ->
       (ExtendedQueries.hllPartitionedDistinctExact _),
     "ab_sign_test"       -> (WarehouseQueries.signTest _),

@@ -709,14 +709,17 @@ object AbStats {
     */
   def alphaSpendingMonitor(df: DataFrame, day: Column, arm: Column,
                            converted: Column, fracPct: Seq[Int],
-                           alpha: Double = 0.05): DataFrame = {
+                           alpha: Double = 0.05,
+                           spend: Double => Double = null): DataFrame = {
     require(fracPct.nonEmpty && fracPct.last == 100 &&
       fracPct.forall(p => p > 0 && p <= 100) &&
       fracPct.zip(fracPct.tail).forall { case (a, b) => a < b },
       s"fractions must be strictly increasing percents ending at 100: $fracPct")
     require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
-    val bounds = AlphaSpending.obfBoundsRounded(fracPct, alpha)
-    val spends = AlphaSpending.obfSpendRounded(fracPct, alpha)
+    // default family = OBF-type; Pocock/power/HSD plug in via `spend`
+    val sp = Option(spend).getOrElse(AlphaSpending.obfSpend(alpha) _)
+    val bounds = AlphaSpending.boundsRounded(fracPct, alpha, sp)
+    val spends = AlphaSpending.spendRounded(fracPct, alpha, sp)
     val looks = fracPct.size
     val ranked = convLookFrame(df, day, arm, converted)
     val lookDay = (k: Int) =>

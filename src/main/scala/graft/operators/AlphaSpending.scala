@@ -70,6 +70,27 @@ object AlphaSpending {
     alpha * math.log(1.0 + (math.E - 1.0) * t)
   }
 
+  /** Kim–DeMets power-family spending (Kim & DeMets 1987):
+    * α*(t) = α·t^ρ. ρ = 1 spends linearly; ρ ≈ 3 approximates OBF.
+    */
+  def powerSpend(alpha: Double, rho: Double)(t: Double): Double = {
+    require(t > 0 && t <= 1, s"t in (0,1], got $t")
+    require(rho > 0, s"rho must be positive, got $rho")
+    alpha * math.pow(t, rho)
+  }
+
+  /** Hwang–Shih–DeCani gamma-family spending (HSD 1990):
+    * α*(t) = α·(1 − e^(−γt))/(1 − e^(−γ)) for γ ≠ 0 (γ → 0 is the
+    * linear spend α·t). γ ≈ −4 approximates OBF; γ ≈ 1 approximates
+    * Pocock — one dial sweeps the whole conservative↔aggressive
+    * spectrum.
+    */
+  def hsdSpend(alpha: Double, gamma: Double)(t: Double): Double = {
+    require(t > 0 && t <= 1, s"t in (0,1], got $t")
+    if (math.abs(gamma) < 1e-12) alpha * t
+    else alpha * (1.0 - math.exp(-gamma * t)) / (1.0 - math.exp(-gamma))
+  }
+
   private val ZMAX = 8.0
   private val GRID = 1601 // step 0.01
 
@@ -159,15 +180,26 @@ object AlphaSpending {
 
   private def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
 
-  /** OBF-spending boundaries for integer-percent fractions, rounded
-    * to the 6-dp literals both the plan and the oracle embed.
+  /** Boundaries for integer-percent fractions under any spending
+    * function, rounded to the 6-dp literals both the plan and the
+    * oracle embed.
     */
-  def obfBoundsRounded(fracPct: Seq[Int], alpha: Double): Seq[Double] =
-    bounds(fracPct.map(_ / 100.0), alpha, obfSpend(alpha)).map(r6)
+  def boundsRounded(fracPct: Seq[Int], alpha: Double,
+                    spend: Double => Double): Seq[Double] =
+    bounds(fracPct.map(_ / 100.0), alpha, spend).map(r6)
 
   /** Cumulative alpha spent at each look (the report column), same
     * 6-dp literal treatment.
     */
+  def spendRounded(fracPct: Seq[Int], alpha: Double,
+                   spend: Double => Double): Seq[Double] =
+    fracPct.map(p => r6(math.min(alpha, spend(p / 100.0))))
+
+  /** OBF-spending boundaries (the default family). */
+  def obfBoundsRounded(fracPct: Seq[Int], alpha: Double): Seq[Double] =
+    boundsRounded(fracPct, alpha, obfSpend(alpha))
+
+  /** OBF cumulative spend at each look. */
   def obfSpendRounded(fracPct: Seq[Int], alpha: Double): Seq[Double] =
-    fracPct.map(p => r6(math.min(alpha, obfSpend(alpha)(p / 100.0))))
+    spendRounded(fracPct, alpha, obfSpend(alpha))
 }

@@ -1535,6 +1535,21 @@ object WarehouseQueries {
       col("event_type") === "purchase",
       fracPct = Seq(15, 40, 65, 85, 100), alpha = 0.05)
 
+  /** C121b: the same monitor under Hwang–Shih–DeCani γ = −4 spending
+    * (the one-dial family sweeping OBF-conservative → Pocock-
+    * aggressive) at quarterly looks — pins that the recursion, not a
+    * hardcoded table, drives the boundaries. See
+    * [[graft.operators.AlphaSpending.hsdSpend]].
+    */
+  def alphaSpendingHsd(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.alphaSpendingMonitor(
+      Tables.events(spark, dir),
+      date_trunc("day", col("ts")).cast("date"),
+      col("user_id") % 2,
+      col("event_type") === "purchase",
+      fracPct = Seq(25, 50, 75, 100), alpha = 0.05,
+      spend = graft.operators.AlphaSpending.hsdSpend(0.05, -4.0) _)
+
   /** C87: delta-method z-test on the RATIO metric revenue-per-event
     * between the user-parity arms — the per-user (x=events, y=purchase
     * revenue) frame is the randomization-unit aggregate, so correlated

@@ -754,6 +754,36 @@ class AbStatsSpec extends AnyFunSuite {
     assert(b(1) > b.head && b(1) < 2.26, b)
   }
 
+  test("AlphaSpending: power and HSD families — closed-form first " +
+      "look, boundary accounting") {
+    import graft.operators.AlphaSpending
+    // Kim–DeMets ρ=1 (linear spend), K=2: π₁ = α/2 = 0.025 →
+    // u₁ = Φ⁻¹(1 − 0.0125) = 2.2414 exactly (look 1 is closed-form
+    // for ANY family)
+    val pw = AlphaSpending.bounds(Seq(0.5, 1.0), 0.05,
+      AlphaSpending.powerSpend(0.05, 1.0))
+    assert(math.abs(pw.head - AlphaSpending.PhiInv(1.0 - 0.0125)) < 1e-9, pw)
+    // HSD γ=−4 at quarterly looks: spend(1) = α exactly, cumulative
+    // spend monotone, boundaries decrease OBF-like (γ=−4 is the
+    // published OBF approximation), final bound near the fixed-sample
+    // z (the OBF signature: almost no final-look penalty)
+    val sp = AlphaSpending.hsdSpend(0.05, -4.0) _
+    assert(math.abs(sp(1.0) - 0.05) < 1e-12)
+    val fr = Seq(25, 50, 75, 100)
+    val hb = AlphaSpending.boundsRounded(fr, 0.05, sp)
+    val hs = AlphaSpending.spendRounded(fr, 0.05, sp)
+    assert(hb.zip(hb.tail).forall { case (a, b) => a > b },
+      s"HSD(-4) bounds must decrease: $hb")
+    assert(hs.zip(hs.tail).forall { case (a, b) => a <= b } &&
+      math.abs(hs.last - 0.05) < 1e-9, s"spend accounting: $hs")
+    val pi1 = sp(0.25)
+    assert(math.abs(hb.head - AlphaSpending.PhiInv(1.0 - pi1 / 2)) < 2e-6, hb)
+    assert(hb.last > 1.95 && hb.last < 2.15,
+      s"OBF-like final bound expected, got ${hb.last}")
+    // γ → 0 degenerates to the linear spend
+    assert(math.abs(AlphaSpending.hsdSpend(0.05, 0.0)(0.4) - 0.02) < 1e-12)
+  }
+
   test("alphaSpendingMonitor: unequal-fraction schedule, coincident " +
       "tail looks, z replay") {
     import java.sql.Date
