@@ -163,7 +163,9 @@ private[graft] object OracleFns {
     */
   private[graft] def alphaSpendingOracle(fracPct: Seq[Int],
                                          bounds: Seq[Double],
-                                         spends: Seq[Double]): String = {
+                                         spends: Seq[Double],
+                                         infoFracs: Seq[Double] = null)
+      : String = {
     def d(x: Double) = s"CAST('$x' AS DOUBLE)"
     val looks = fracPct.size
     // CASE checks k ascending — smallest matching look wins on
@@ -178,6 +180,13 @@ private[graft] object OracleFns {
     val spentCase = (1 to looks)
       .map(k => s"WHEN $k THEN ${d(spends(k - 1))}")
       .mkString("CASE look ", " ", " END")
+    // C123: the observed-information literal column (same 6-dp
+    // round-trip values the plan embeds); absent for calendar designs
+    val infoSel =
+      if (infoFracs == null) ""
+      else (1 to looks)
+        .map(k => s"WHEN $k THEN ${d(infoFracs(k - 1))}")
+        .mkString(",\n    CASE look ", " ", " END AS info_frac")
     val pp = "(CAST(cum_k0 + cum_k1 AS DOUBLE) / CAST(cum_n0 + cum_n1 AS DOUBLE))"
     val se2 = s"($pp * (1.0 - $pp) * (1.0 / CAST(cum_n0 AS DOUBLE)" +
       " + 1.0 / CAST(cum_n1 AS DOUBLE)))"
@@ -211,7 +220,7 @@ private[graft] object OracleFns {
        |    CASE WHEN cum_n0 > 0 AND cum_n1 > 0 AND $se2 > 0.0
        |      THEN $zExpr END AS z_stat,
        |    $boundCase AS bound,
-       |    $spentCase AS alpha_spent
+       |    $spentCase AS alpha_spent$infoSel
        |  FROM l WHERE look IS NOT NULL),
        |x AS (SELECT *,
        |    CASE WHEN abs(COALESCE(z_stat, 0.0)) >= bound THEN 1 ELSE 0 END
@@ -221,9 +230,87 @@ private[graft] object OracleFns {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
        |  FROM x)
        |SELECT look, day, cum_n0, cum_k0, cum_n1, cum_k1, z_stat, bound,
-       |  alpha_spent,
+       |  alpha_spent,${if (infoFracs == null) "" else " info_frac,"}
        |  CASE WHEN prior > 0 THEN 'stopped'
        |       WHEN xed = 1 THEN 'reject_h0'
+       |       ELSE 'continue' END AS decision
+       |FROM p ORDER BY look""".stripMargin
+  }
+
+  /** C122 oracle — mirrors
+    * [[graft.operators.AbStats.betaSpendingMonitor]]: every design
+    * constant (one-sided efficacy bounds, futility bounds, cumulative
+    * α/β spend, the powered drift) comes from the SAME memoized
+    * [[graft.operators.AlphaSpending.futilityBounds]] recursion the
+    * plan embeds, as round-trip literals. The decision is one-sided
+    * with a NULL-inert z: z ≥ u rejects, else z ≤ l stops for
+    * futility (`z < bound AND z <= futility_bound` — the plan's
+    * `__xu === 0` guard), a NULL z decides nothing.
+    */
+  private[graft] def betaSpendingOracle(
+      fracPct: Seq[Int],
+      design: graft.operators.AlphaSpending.FutilityDesign): String = {
+    def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+    val looks = fracPct.size
+    val lookCase = (1 to looks).map { k =>
+      val p = fracPct(k - 1)
+      s"WHEN r * 100 >= d * $p AND (r - 1) * 100 < d * $p THEN $k"
+    }.mkString("CASE ", " ", " END")
+    def perLook(vals: Seq[Double]) = (1 to looks)
+      .map(k => s"WHEN $k THEN ${d(vals(k - 1))}")
+      .mkString("CASE look ", " ", " END")
+    val pp = "(CAST(cum_k0 + cum_k1 AS DOUBLE) / CAST(cum_n0 + cum_n1 AS DOUBLE))"
+    val se2 = s"($pp * (1.0 - $pp) * (1.0 / CAST(cum_n0 AS DOUBLE)" +
+      " + 1.0 / CAST(cum_n1 AS DOUBLE)))"
+    val zExpr = s"round((CAST(cum_k1 AS DOUBLE) / CAST(cum_n1 AS DOUBLE)" +
+      s" - CAST(cum_k0 AS DOUBLE) / CAST(cum_n0 AS DOUBLE)) / sqrt($se2), 6)"
+    s"""WITH dly AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS t0,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS t1,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS k1
+       |  FROM events GROUP BY 1),
+       |c AS (
+       |  SELECT day,
+       |    CAST(SUM(t0) OVER w AS BIGINT) AS cum_n0,
+       |    CAST(SUM(k0) OVER w AS BIGINT) AS cum_k0,
+       |    CAST(SUM(t1) OVER w AS BIGINT) AS cum_n1,
+       |    CAST(SUM(k1) OVER w AS BIGINT) AS cum_k1,
+       |    ROW_NUMBER() OVER (ORDER BY day) AS r,
+       |    COUNT(*) OVER () AS d
+       |  FROM dly
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW)),
+       |l AS (SELECT *, $lookCase AS look FROM c),
+       |f AS (SELECT CAST(look AS INTEGER) AS look, day,
+       |    cum_n0, cum_k0, cum_n1, cum_k1,
+       |    CASE WHEN cum_n0 > 0 AND cum_n1 > 0 AND $se2 > 0.0
+       |      THEN $zExpr END AS z_stat,
+       |    ${perLook(design.upper)} AS bound,
+       |    ${perLook(design.lower)} AS futility_bound,
+       |    ${perLook(design.alphaSpent)} AS alpha_spent,
+       |    ${perLook(design.betaSpent)} AS beta_spent,
+       |    ${d(design.drift)} AS powered_drift
+       |  FROM l WHERE look IS NOT NULL),
+       |x AS (SELECT *,
+       |    CASE WHEN z_stat IS NOT NULL AND z_stat >= bound
+       |      THEN 1 ELSE 0 END AS xu,
+       |    CASE WHEN z_stat IS NOT NULL AND z_stat < bound
+       |      AND z_stat <= futility_bound THEN 1 ELSE 0 END AS xl
+       |  FROM f),
+       |p AS (SELECT *, COALESCE(SUM(xu + xl) OVER (ORDER BY look
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM x)
+       |SELECT look, day, cum_n0, cum_k0, cum_n1, cum_k1, z_stat, bound,
+       |  futility_bound, alpha_spent, beta_spent, powered_drift,
+       |  CASE WHEN prior > 0 THEN 'stopped'
+       |       WHEN xu = 1 THEN 'reject_h0'
+       |       WHEN xl = 1 THEN 'stop_futility'
        |       ELSE 'continue' END AS decision
        |FROM p ORDER BY look""".stripMargin
   }

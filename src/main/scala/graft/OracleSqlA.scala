@@ -683,21 +683,12 @@ private[graft] object OracleSqlA {
 
     // The Spark query (ReferenceQueries.csvIngest) first dumps the same
     // deterministic CSV the oracle reads; the driver runs Verify before
-    // the DuckDB pass, so the files exist. Verify runs at sf0.01 — the
-    // path is pinned to that SF on purpose (a bench run at another SF
-    // writes to its own directory and cannot clobber this one).
-    "csv_ingest" ->
-      """SELECT match_id, COUNT(*) AS n_rows,
-        |  CAST(SUM(min_played) AS BIGINT) AS sum_min,
-        |  CAST(SUM(key_passes) AS BIGINT) AS sum_kp,
-        |  CAST(SUM(CAST(xg AS DECIMAL(18,2))) AS DOUBLE) AS sum_xg,
-        |  CAST(SUM(CAST(xa AS DECIMAL(18,2))) AS DOUBLE) AS sum_xa
-        |FROM read_csv('/tmp/graft_csv_ingest/sf0.01/*.csv', header=true,
-        |  ignore_errors=true,
-        |  columns={'row_idx':'BIGINT','id':'BIGINT','full_name':'VARCHAR',
-        |    'min_played':'INTEGER','key_passes':'INTEGER','assists':'INTEGER',
-        |    'shots':'INTEGER','xg':'DOUBLE','xa':'DOUBLE','match_id':'BIGINT'})
-        |GROUP BY match_id ORDER BY match_id""".stripMargin,
+    // the DuckDB pass, so the files exist. The static entry renders the
+    // driver-gate SF (sf0.01); SparkEntry.dynamicOracleSql overrides it
+    // with the actual SF dir's name, so an any-SF sweep (GATE_sf1)
+    // compares against the dump that sweep's Verify actually wrote
+    // (r15 verdict item 3: the pinned path made sf1 FAIL by construction).
+    "csv_ingest" -> csvIngestSql("sf0.01"),
 
     "code_mapping" ->
       """SELECT c_mktsegment,
@@ -1119,4 +1110,22 @@ private[graft] object OracleSqlA {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
   )
+
+  /** A4 oracle body, parametrized on the SF dir NAME (sf0.01, sf1, …) —
+    * the same derivation the Spark side uses
+    * (ReferenceQueries.csvIngest: `/tmp/graft_csv_ingest/<sfName>`), so
+    * both engines read the dump the current Verify run wrote.
+    */
+  private[graft] def csvIngestSql(sfName: String): String =
+    s"""SELECT match_id, COUNT(*) AS n_rows,
+       |  CAST(SUM(min_played) AS BIGINT) AS sum_min,
+       |  CAST(SUM(key_passes) AS BIGINT) AS sum_kp,
+       |  CAST(SUM(CAST(xg AS DECIMAL(18,2))) AS DOUBLE) AS sum_xg,
+       |  CAST(SUM(CAST(xa AS DECIMAL(18,2))) AS DOUBLE) AS sum_xa
+       |FROM read_csv('/tmp/graft_csv_ingest/$sfName/*.csv', header=true,
+       |  ignore_errors=true,
+       |  columns={'row_idx':'BIGINT','id':'BIGINT','full_name':'VARCHAR',
+       |    'min_played':'INTEGER','key_passes':'INTEGER','assists':'INTEGER',
+       |    'shots':'INTEGER','xg':'DOUBLE','xa':'DOUBLE','match_id':'BIGINT'})
+       |GROUP BY match_id ORDER BY match_id""".stripMargin
 }

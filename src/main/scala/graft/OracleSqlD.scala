@@ -596,6 +596,12 @@ private[graft] object OracleSqlD {
         graft.operators.AlphaSpending.obfSpendRounded(fr, 0.05))
     },
 
+    // C122: non-binding futility design — every literal (one-sided
+    // efficacy bounds, futility bounds, α/β spend, powered drift)
+    // from the SAME memoized futilityBounds recursion the plan embeds
+    "ab_beta_spending" -> betaSpendingOracle(Seq(25, 50, 75, 100),
+      graft.queries.WarehouseQueries.betaSpendingDesign),
+
     // C121b: the same monitor under Hwang–Shih–DeCani γ=−4 spending,
     // quarterly looks — the recursion drives the literals, no table
     "ab_alpha_spending_hsd" -> {

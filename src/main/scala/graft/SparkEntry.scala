@@ -344,6 +344,8 @@ object SparkEntry {
     "stream_wilcoxon"    -> (StreamFaces.streamWilcoxon _),
     "ab_alpha_spending"  -> (WarehouseQueries.alphaSpendingMonitor _),
     "ab_alpha_spending_hsd" -> (WarehouseQueries.alphaSpendingHsd _),
+    "ab_beta_spending"   -> (WarehouseQueries.betaSpendingMonitor _),
+    "ab_alpha_spending_info" -> (WarehouseQueries.alphaSpendingInfo _),
     "hll_partitioned_distinct_exact" ->
       (ExtendedQueries.hllPartitionedDistinctExact _),
     "ab_sign_test"       -> (WarehouseQueries.signTest _),
@@ -517,7 +519,27 @@ object SparkEntry {
          |    THEN 1.0 * ln(2.0 * uu)
          |    ELSE -1.0 * ln(2.0 * (1.0 - uu)) END, 6) AS noisy_count
          |FROM u ORDER BY window_start, event_type""".stripMargin
+    // C123: the observed-information fractions come from the SAME
+    // day-census fold the plan ran (same table, same session), so the
+    // boundary/spend/info literals are bit-identical on both sides
+    val infoSpendingSql = {
+      import org.apache.spark.sql.functions.{col, date_trunc}
+      val fracPct = Seq(20, 50, 80, 100)
+      val alpha = 0.05
+      val sp = graft.operators.AlphaSpending.obfSpend(alpha) _
+      val fracs = graft.operators.AbStats.infoLookFractions(
+        graft.sources.Tables.events(spark, sfDir),
+        date_trunc("day", col("ts")).cast("date"), fracPct)
+      alphaSpendingOracle(fracPct,
+        graft.operators.AlphaSpending.boundsRoundedAt(fracs, alpha, sp),
+        graft.operators.AlphaSpending.spendRoundedAt(fracs, alpha, sp),
+        infoFracs = fracs.map(graft.operators.AlphaSpending.round6))
+    }
     Map(
+      // A4: override the static (sf0.01-pinned) entry with the path
+      // derived from THIS run's SF dir, mirroring the Spark side
+      "csv_ingest" -> OracleSqlA.csvIngestSql(new java.io.File(sfDir).getName),
+      "ab_alpha_spending_info" -> infoSpendingSql,
       "stream_dp_release" -> dpReleaseSql,
       "pca_project" -> pcaOracle(pca),
       "ann_ivf_topk" -> ivfOracle(cents, k = 10, nprobe = 2),

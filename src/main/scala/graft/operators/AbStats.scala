@@ -720,24 +720,141 @@ object AbStats {
     val sp = Option(spend).getOrElse(AlphaSpending.obfSpend(alpha) _)
     val bounds = AlphaSpending.boundsRounded(fracPct, alpha, sp)
     val spends = AlphaSpending.spendRounded(fracPct, alpha, sp)
-    val looks = fracPct.size
     val ranked = convLookFrame(df, day, arm, converted)
+    sequentialDecision(
+      ranked.withColumn("look", lookColFor(fracPct))
+        .filter(col("look").isNotNull),
+      perLookLit(bounds), Seq(perLookLit(spends).as("alpha_spent")))
+  }
+
+  /** C123: the C121 monitor with the spending CLOCK on OBSERVED
+    * information — analyses stay scheduled by calendar (the same
+    * percent-of-days look ranks as C121), but the fraction fed to the
+    * spending function is t_k = N_k / N_K: cumulative events through
+    * look k over the final total, from the day census. This is the
+    * production case (Lan & DeMets 1983 §4; gsDesign's `usTime`):
+    * accrual is never uniform across the calendar, and spending by
+    * calendar time over- or under-spends exactly when traffic ramps.
+    *
+    * The census is an aggregate-sized driver fold at PLAN-BUILD time
+    * (one row per day — the dpCells/trained-codebook publication
+    * pattern, not data movement), after which the boundaries embed as
+    * 6-dp round-trip literals exactly like C121: the oracle calls the
+    * SAME [[infoLookFractions]] on the same table at render time, so
+    * both engines carry bit-identical constants.
+    */
+  def alphaSpendingInfoMonitor(df: DataFrame, day: Column, arm: Column,
+                               converted: Column, fracPct: Seq[Int],
+                               alpha: Double = 0.05,
+                               spend: Double => Double = null): DataFrame = {
+    requireLookSchedule(fracPct, alpha)
+    val sp = Option(spend).getOrElse(AlphaSpending.obfSpend(alpha) _)
+    val fracs = infoLookFractions(df, day, fracPct)
+    val bounds = AlphaSpending.boundsRoundedAt(fracs, alpha, sp)
+    val spends = AlphaSpending.spendRoundedAt(fracs, alpha, sp)
+    val infos = fracs.map(AlphaSpending.round6)
+    val ranked = convLookFrame(df, day, arm, converted)
+    sequentialDecision(
+      ranked.withColumn("look", lookColFor(fracPct))
+        .filter(col("look").isNotNull),
+      perLookLit(bounds),
+      Seq(perLookLit(infos).as("info_frac"),
+        perLookLit(spends).as("alpha_spent")))
+  }
+
+  /** Observed information fraction at each calendar look: cumulative
+    * event count through look k's day (rank ceil(D·p_k/100), the same
+    * rank convention the monitors' in-plan schedule tests) over the
+    * final total. Strictly-increasing by require — a flat look would
+    * break the spending recursion's schedule contract loudly, not
+    * silently.
+    */
+  def infoLookFractions(df: DataFrame, day: Column,
+                        fracPct: Seq[Int]): Seq[Double] = {
+    val census = df.groupBy(day.as("__day")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__day")).select(col("__n")).collect()
+      .map(_.getLong(0))
+    require(census.nonEmpty, "infoLookFractions: empty frame")
+    val d = census.length
+    val cum = census.scanLeft(0L)(_ + _).tail
+    val atLooks = fracPct.map { p =>
+      val r = (d.toLong * p + 99) / 100 // ceil(D·p/100): the look-day rank
+      cum(r.toInt - 1)
+    }
+    val out = atLooks.map(_.toDouble / atLooks.last.toDouble)
+    require(out.zip(out.tail).forall { case (a, b) => a < b },
+      s"observed information must strictly increase across looks: $out")
+    out
+  }
+
+  /** C122: non-binding futility monitor — ONE-SIDED efficacy bounds
+    * u_k from `spendA` alpha-spending plus futility bounds l_k from
+    * `spendB` beta-spending under the power-calibrated drift (the
+    * gsDesign test.type=4 shape; see
+    * [[AlphaSpending.futilityBounds]]). Reading: z ≥ u_k rejects H0
+    * (arm 1 better), z ≤ l_k stops for futility (at the final look
+    * l_K = u_K, so "stop_futility" there means accept H0); futility
+    * is ADVISORY (non-binding) — ignoring it cannot inflate α. The
+    * whole design (bounds, spends, drift) is a pure function of the
+    * design constants, embedded as 6-dp literals in plan and oracle.
+    *
+    * Same scale shape as C86/C121: one corpus scan → day cells →
+    * distributed prefix sums; the design recursion runs driver-side
+    * at plan-build time (memoized — it costs a few seconds of
+    * quadrature once per design).
+    */
+  def betaSpendingMonitor(df: DataFrame, day: Column, arm: Column,
+                          converted: Column, fracPct: Seq[Int],
+                          alpha: Double = 0.025, beta: Double = 0.1,
+                          designKey: String = null,
+                          spendA: Double => Double = null,
+                          spendB: Double => Double = null): DataFrame = {
+    requireLookSchedule(fracPct, alpha)
+    require(beta > 0 && beta < 1, s"beta in (0,1), got $beta")
+    val sa = Option(spendA).getOrElse(AlphaSpending.obfSpendOneSided(alpha) _)
+    val sb = Option(spendB).getOrElse(AlphaSpending.hsdSpend(beta, -2.0) _)
+    val design = AlphaSpending.futilityBoundsCached(
+      Option(designKey).getOrElse(
+        s"default:${fracPct.mkString(",")}:$alpha:$beta"),
+      fracPct, alpha, beta, sa, sb)
+    val ranked = convLookFrame(df, day, arm, converted)
+    futilityDecision(
+      ranked.withColumn("look", lookColFor(fracPct))
+        .filter(col("look").isNotNull),
+      perLookLit(design.upper), perLookLit(design.lower),
+      Seq(perLookLit(design.alphaSpent).as("alpha_spent"),
+        perLookLit(design.betaSpent).as("beta_spent"),
+        lit(design.drift).as("powered_drift")))
+  }
+
+  private def requireLookSchedule(fracPct: Seq[Int], alpha: Double): Unit = {
+    require(fracPct.nonEmpty && fracPct.last == 100 &&
+      fracPct.forall(p => p > 0 && p <= 100) &&
+      fracPct.zip(fracPct.tail).forall { case (a, b) => a < b },
+      s"fractions must be strictly increasing percents ending at 100: $fracPct")
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+  }
+
+  /** Day rank r qualifies as look k when r = ceil(D·p_k/100) —
+    * multiplication-only integer tests; the fold runs K down to 1 so
+    * coincident looks (small D) resolve to the SMALLEST k (C86's
+    * convention).
+    */
+  private def lookColFor(fracPct: Seq[Int]): Column = {
+    val looks = fracPct.size
     val lookDay = (k: Int) =>
       col("__r") * 100 >= col("__d") * fracPct(k - 1) &&
         (col("__r") - 1) * 100 < col("__d") * fracPct(k - 1)
-    val lookCol = (1 to looks).foldLeft(lit(null).cast("int")) {
+    (1 to looks).foldLeft(lit(null).cast("int")) {
       (acc, k) => when(lookDay(looks + 1 - k), looks + 1 - k).otherwise(acc)
-    } // fold from K down so earlier looks override — smallest k wins
-    val bound = (1 to looks).foldLeft(lit(null).cast("double")) {
-      (acc, k) => when(col("look") === k, lit(bounds(k - 1))).otherwise(acc)
     }
-    val spentCol = (1 to looks).foldLeft(lit(null).cast("double")) {
-      (acc, k) => when(col("look") === k, lit(spends(k - 1))).otherwise(acc)
-    }
-    sequentialDecision(
-      ranked.withColumn("look", lookCol).filter(col("look").isNotNull),
-      bound, Seq(spentCol.as("alpha_spent")))
   }
+
+  /** Per-look design literal as a CASE over the look column. */
+  private def perLookLit(values: Seq[Double]): Column =
+    (1 to values.size).foldLeft(lit(null).cast("double")) {
+      (acc, k) => when(col("look") === k, lit(values(k - 1))).otherwise(acc)
+    }
 
   /** Shared by C86/C121: ONE corpus scan to calendar-bounded per-day
     * per-arm conversion counts, the four cumulatives + the day rank
@@ -794,6 +911,51 @@ object AbStats {
         col("z_stat"), col("bound")) ++ extraCols :+
         when(col("__prior") > 0, "stopped")
           .when(col("__x") === 1L, "reject_h0")
+          .otherwise("continue").as("decision"): _*)
+      .orderBy(col("look"))
+  }
+
+  /** C122's finisher: the same pooled two-sample z as
+    * [[sequentialDecision]], compared ONE-SIDED against the efficacy
+    * bound above and the futility bound below (6-dp rounded values on
+    * both sides). A null z (an empty arm at a look) makes no decision
+    * — unlike the two-sided coalesce-0 convention, 0 could legally
+    * cross an early (negative) futility bound, so null is kept
+    * decision-inert explicitly in BOTH engines.
+    */
+  private def futilityDecision(atLooks: DataFrame, upper: Column,
+                               lower: Column,
+                               extraCols: Seq[Column]): DataFrame = {
+    val n0 = col("cum_n0").cast("double"); val n1 = col("cum_n1").cast("double")
+    val pp = (col("cum_k0") + col("cum_k1")).cast("double") /
+      (col("cum_n0") + col("cum_n1")).cast("double")
+    val se2 = pp * (lit(1.0) - pp) * (lit(1.0) / n0 + lit(1.0) / n1)
+    val z = when(col("cum_n0") > 0 && col("cum_n1") > 0 && se2 > 0.0,
+      round((col("cum_k1").cast("double") / n1 -
+        col("cum_k0").cast("double") / n0) / sqrt(se2), 6))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("look"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    atLooks
+      .withColumn("z_stat", z)
+      .withColumn("bound", upper)
+      .withColumn("futility_bound", lower)
+      .withColumn("__xu",
+        when(col("z_stat").isNotNull && col("z_stat") >= col("bound"), 1L)
+          .otherwise(0L))
+      .withColumn("__xl",
+        when(col("z_stat").isNotNull && col("__xu") === 0L &&
+          col("z_stat") <= col("futility_bound"), 1L).otherwise(0L))
+      .withColumn("__prior",
+        coalesce(sum(col("__xu") + col("__xl")).over(w), lit(0L)))
+      .select(Seq(col("look"), col("day"),
+        col("cum_n0").cast("long").as("cum_n0"),
+        col("cum_k0").cast("long").as("cum_k0"),
+        col("cum_n1").cast("long").as("cum_n1"),
+        col("cum_k1").cast("long").as("cum_k1"),
+        col("z_stat"), col("bound"), col("futility_bound")) ++ extraCols :+
+        when(col("__prior") > 0, "stopped")
+          .when(col("__xu") === 1L, "reject_h0")
+          .when(col("__xl") === 1L, "stop_futility")
           .otherwise("continue").as("decision"): _*)
       .orderBy(col("look"))
   }

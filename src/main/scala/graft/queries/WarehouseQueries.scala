@@ -1550,6 +1550,51 @@ object WarehouseQueries {
       fracPct = Seq(25, 50, 75, 100), alpha = 0.05,
       spend = graft.operators.AlphaSpending.hsdSpend(0.05, -4.0) _)
 
+  /** C122: non-binding futility monitor — the C121 contrast run as a
+    * ONE-SIDED design (H1: the odd arm converts better) with efficacy
+    * bounds from one-sided OBF-type alpha-spending (α = 0.025) and
+    * futility bounds from Hwang–Shih–DeCani γ = −2 beta-spending
+    * (β = 0.1) under the power-calibrated drift, quarterly looks.
+    * See [[graft.operators.AbStats.betaSpendingMonitor]] and
+    * [[graft.operators.AlphaSpending.futilityBounds]].
+    */
+  def betaSpendingMonitor(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.betaSpendingMonitor(
+      Tables.events(spark, dir),
+      date_trunc("day", col("ts")).cast("date"),
+      col("user_id") % 2,
+      col("event_type") === "purchase",
+      fracPct = Seq(25, 50, 75, 100), alpha = 0.025, beta = 0.1,
+      designKey = BetaSpendingDesignKey)
+
+  /** The C122 design constants (shared with the oracle renderer — the
+    * memo key must be identical so both read the same cached design).
+    */
+  private[graft] val BetaSpendingDesignKey = "obf1s+hsd-2:25,50,75,100:0.025:0.1"
+
+  private[graft] def betaSpendingDesign
+      : graft.operators.AlphaSpending.FutilityDesign =
+    graft.operators.AlphaSpending.futilityBoundsCached(
+      BetaSpendingDesignKey, Seq(25, 50, 75, 100), 0.025, 0.1,
+      graft.operators.AlphaSpending.obfSpendOneSided(0.025) _,
+      graft.operators.AlphaSpending.hsdSpend(0.1, -2.0) _)
+
+  /** C123: the C121 monitor with the spending clock on OBSERVED
+    * information — looks at (20, 50, 80, 100)% of the calendar, but
+    * α*(·) evaluated at t_k = N_k/N_K from the day census (accrual is
+    * not uniform, so these differ from the calendar fractions — the
+    * info_frac column shows by how much). OBF-type spending,
+    * two-sided α = 0.05. See
+    * [[graft.operators.AbStats.alphaSpendingInfoMonitor]].
+    */
+  def alphaSpendingInfo(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AbStats.alphaSpendingInfoMonitor(
+      Tables.events(spark, dir),
+      date_trunc("day", col("ts")).cast("date"),
+      col("user_id") % 2,
+      col("event_type") === "purchase",
+      fracPct = Seq(20, 50, 80, 100), alpha = 0.05)
+
   /** C87: delta-method z-test on the RATIO metric revenue-per-event
     * between the user-parity arms — the per-user (x=events, y=purchase
     * revenue) frame is the randomization-unit aggregate, so correlated

@@ -61,8 +61,24 @@ object ScaleUp {
       println(s"[scaleup] $name: ${spark.read.parquet(out.getPath).count()} rows")
     }
 
-    def reps(df: DataFrame): DataFrame =
+    def reps(df: DataFrame): DataFrame = {
+      // The r·10⁷ offset scheme is only FK-disjoint while every offset
+      // key is below OFF — on a bigger source, replica r's keys would
+      // silently collide with replica r+1's (r15 ADVICE). Fail loudly.
+      val keyCols = df.columns.filter(c =>
+        (c.endsWith("key") || c.endsWith("_id")) && !c.endsWith("nationkey"))
+      if (keyCols.nonEmpty) {
+        val maxes = df.agg(max(col(keyCols.head).cast("long")),
+          keyCols.tail.map(c => max(col(c).cast("long"))): _*).head
+        keyCols.zipWithIndex.foreach { case (c, i) =>
+          val mx = maxes.getLong(i)
+          require(mx < OFF,
+            s"ScaleUp offset precondition violated: max($c)=$mx >= $OFF — " +
+              "replica keys would collide; raise OFF or shrink the source")
+        }
+      }
       df.withColumn("__r", explode(sequence(lit(0L), lit(f - 1L))))
+    }
     def off(c: String): Column = (col(c) + col("__r") * OFF).as(c)
 
     // fixed dims: verbatim copy

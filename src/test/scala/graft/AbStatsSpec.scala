@@ -839,6 +839,164 @@ class AbStatsSpec extends AnyFunSuite {
     assert(crossedBefore, "the hot arm must cross at some look")
   }
 
+  // ---- beta-spending futility (C122) + info fractions (C123) -------------
+
+  test("AlphaSpending: one-sided OBF-spending bounds match the published " +
+      "K=4 table and the two-sided twin") {
+    import graft.operators.AlphaSpending
+    // one-sided α = 0.025, t = k/4: the published OBF-spending values
+    // (ldbounds/gsDesign sfLDOF) — numerically the two-sided α = 0.05
+    // bounds, since the opposite tail's mass is negligible under OBF
+    val got = AlphaSpending.boundsOneSided(Seq(0.25, 0.5, 0.75, 1.0),
+      0.025, AlphaSpending.obfSpendOneSided(0.025))
+    val pub = Seq(4.333, 2.963, 2.359, 2.014)
+    got.zip(pub).zipWithIndex.foreach { case ((g, p), i) =>
+      assert(math.abs(g - p) < 0.02, s"look ${i + 1}: got $g want ~$p")
+    }
+    val twoSided = AlphaSpending.bounds(Seq(0.25, 0.5, 0.75, 1.0), 0.05,
+      AlphaSpending.obfSpend(0.05))
+    got.zip(twoSided).foreach { case (o, t) =>
+      assert(math.abs(o - t) < 2e-3, s"one-sided $o vs two-sided $t")
+    }
+  }
+
+  test("AlphaSpending.futilityBounds: design closes, and Monte-Carlo " +
+      "paths reproduce alpha, beta, and power") {
+    import graft.operators.AlphaSpending
+    val fracs = Seq(0.25, 0.5, 0.75, 1.0)
+    val (alpha, beta) = (0.025, 0.1)
+    val design = AlphaSpending.futilityBounds(fracs, alpha, beta,
+      AlphaSpending.obfSpendOneSided(alpha),
+      AlphaSpending.hsdSpend(beta, -2.0))
+    // structure: the final look decides (l_K = u_K), interior l < u,
+    // the powered drift sits near the fixed-sample z_α + z_β = 3.24
+    assert(design.lower.last === design.upper.last)
+    design.lower.init.zip(design.upper.init).foreach { case (l, u) =>
+      assert(l < u, s"interior futility bound must sit below efficacy")
+    }
+    assert(design.drift > 2.8 && design.drift < 3.8,
+      s"powered drift implausible: ${design.drift}")
+    assert(math.abs(design.alphaSpent.last - alpha) < 1e-9)
+    assert(math.abs(design.betaSpent.last - beta) < 1e-9)
+    // Monte Carlo over the canonical Brownian law (the independent
+    // implementation of the same joint distribution the grid
+    // recursion integrates): fixed seed, 400k paths
+    val rng = new java.util.Random(20260816L)
+    val n = 400000
+    var rejH0 = 0 // under H0, upper crossings IGNORING futility (non-binding)
+    var rejH1 = 0; var futH1 = 0 // under H1, following both bounds
+    (1 to n).foreach { _ =>
+      val g = Array.fill(fracs.size)(rng.nextGaussian())
+      def walk(theta: Double): (Boolean, Boolean) = {
+        // returns (crossed upper ignoring lower, crossed upper following both)
+        var b = 0.0; var tPrev = 0.0
+        var upIgnore = false; var decided = false; var upFollow = false
+        fracs.zipWithIndex.foreach { case (t, k) =>
+          val dt = t - tPrev
+          b += theta * dt + math.sqrt(dt) * g(k)
+          val z = b / math.sqrt(t)
+          if (!upIgnore && z >= design.upper(k)) upIgnore = true
+          if (!decided) {
+            if (z >= design.upper(k)) { decided = true; upFollow = true }
+            else if (z <= design.lower(k)) decided = true
+          }
+          tPrev = t
+        }
+        (upIgnore, upFollow)
+      }
+      if (walk(0.0)._1) rejH0 += 1
+      // reuse the same gaussians for the H1 leg (variance reduction)
+      val (_, up1) = walk(design.drift)
+      if (up1) rejH1 += 1 else futH1 += 1
+    }
+    val alphaHat = rejH0.toDouble / n
+    val powerHat = rejH1.toDouble / n
+    assert(math.abs(alphaHat - alpha) < 2e-3,
+      s"MC type-I error $alphaHat vs design $alpha")
+    assert(math.abs(powerHat - (1.0 - beta)) < 4e-3,
+      s"MC power $powerHat vs design ${1.0 - beta}")
+  }
+
+  test("betaSpendingMonitor: hot arm rejects one-sided; cold arm stops " +
+      "for futility; replay of bounds and spends") {
+    import java.sql.Date
+    def d(day: Int) = Date.valueOf(f"2024-01-$day%02d")
+    val design = graft.queries.WarehouseQueries.betaSpendingDesign
+    def frame(hotArm1: Boolean) =
+      (1 to 4).flatMap { day =>
+        (1 to 40).map { i =>
+          val arm = i % 2
+          val conv =
+            if (arm == 1) (if (hotArm1) i <= 38 else i <= 4)
+            else i <= 16
+          (d(day), arm, conv)
+        }
+      }.toDF("day", "arm", "conv")
+    def run(hot: Boolean) = AbStats.betaSpendingMonitor(frame(hot),
+      col("day"), col("arm"), col("conv"), fracPct = Seq(25, 50, 75, 100),
+      alpha = 0.025, beta = 0.1,
+      designKey = graft.queries.WarehouseQueries.BetaSpendingDesignKey)
+      .collect()
+    val hot = run(true)
+    assert(hot.map(_.getAs[Int]("look")).toSeq === (1 to 4))
+    hot.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("bound") === design.upper(i))
+      assert(r.getAs[Double]("futility_bound") === design.lower(i))
+      assert(r.getAs[Double]("alpha_spent") === design.alphaSpent(i))
+      assert(r.getAs[Double]("beta_spent") === design.betaSpent(i))
+      assert(r.getAs[Double]("powered_drift") === design.drift)
+    }
+    // arm1 19/20 vs arm0 8/20 per day: z ≈ 3.71 at look 1 (under the
+    // steep OBF u₁ ≈ 4.33 → continue), ≈ 5.25 at look 2 (≥ u₂ ≈ 2.96
+    // → reject); later looks read stopped
+    assert(hot.map(_.getAs[String]("decision")).toSeq ===
+      Seq("continue", "reject_h0", "stopped", "stopped"))
+    val cold = run(false)
+    // arm1 2/20 vs arm0 8/20: z strongly negative — the early futility
+    // bound (≈ −0.7) is crossed at look 1
+    assert(cold.head.getAs[String]("decision") === "stop_futility",
+      cold.map(_.getAs[String]("decision")).mkString(","))
+    assert(cold.tail.forall(_.getAs[String]("decision") == "stopped"))
+  }
+
+  test("infoLookFractions + alphaSpendingInfoMonitor: skewed accrual " +
+      "drives the spending clock, literals replay") {
+    import java.sql.Date
+    import graft.operators.AlphaSpending
+    def d(day: Int) = Date.valueOf(f"2024-01-$day%02d")
+    // day sizes 10,10,10,50: calendar looks (25,50,75,100)% land on
+    // days 1..4 but the OBSERVED fractions are 1/8, 2/8, 3/8, 1
+    val perDay = Seq(10, 10, 10, 50)
+    val rows = (1 to 4).flatMap { day =>
+      (1 to perDay(day - 1)).map { i =>
+        (d(day), i % 2, i % 4 == 0)
+      }
+    }.toDF("day", "arm", "conv")
+    val fr = Seq(25, 50, 75, 100)
+    val fracs = AbStats.infoLookFractions(rows, col("day"), fr)
+    assert(fracs === Seq(0.125, 0.25, 0.375, 1.0))
+    val bounds = AlphaSpending.boundsRoundedAt(fracs, 0.05,
+      AlphaSpending.obfSpend(0.05))
+    val spends = AlphaSpending.spendRoundedAt(fracs, 0.05,
+      AlphaSpending.obfSpend(0.05))
+    val out = AbStats.alphaSpendingInfoMonitor(rows, col("day"), col("arm"),
+      col("conv"), fracPct = fr, alpha = 0.05).collect()
+    assert(out.map(_.getAs[Int]("look")).toSeq === (1 to 4))
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("info_frac") === fracs(i))
+      assert(r.getAs[Double]("bound") === bounds(i))
+      assert(r.getAs[Double]("alpha_spent") === spends(i))
+    }
+    // info-clock bounds differ from the calendar-clock bounds at the
+    // interior looks (the point of C123)
+    val calBounds = AlphaSpending.obfBoundsRounded(fr, 0.05)
+    assert(bounds.init != calBounds.init,
+      s"info bounds $bounds vs calendar $calBounds should differ")
+    assert(bounds.head > calBounds.head,
+      "less observed information at look 1 must spend less alpha " +
+        "(higher bound)")
+  }
+
   // ---- delta-method ratio metric ----------------------------------------
 
   test("ratioDelta: hand per-unit frame matches the textbook formula") {

@@ -11,7 +11,7 @@ Usage: python3 tools/check_each.py <sfDir> <verifyOutDir> [timeoutSec]
 import sys, json, glob, os, shutil, subprocess, time
 
 ONE = r'''
-import sys, json
+import sys, json, os
 import duckdb
 sf_dir, out_dir, key = sys.argv[1], sys.argv[2], sys.argv[3]
 con = duckdb.connect()
@@ -20,7 +20,18 @@ con.sql("SET threads=16")
 for t in ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split():
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-sql = json.load(open(f"{out_dir}/oracle_sql.json"))[key]
+# Big-factor referee override: the committed oracle stays whatever the
+# DRIVER gate runs (single-statement, sf0.01-sized); a key whose SQL
+# exceeds the referee's memory/time at x10 may carry a restructured
+# SAME-SEMANTICS script here (e.g. per-iteration temp tables instead of
+# one unrolled CTE). duckdb con.sql() executes multi-statement scripts
+# and returns the last relation.
+_ov = os.path.join(sys.argv[4], f"{key}.sql") if len(sys.argv) > 4 else ""
+if _ov and os.path.exists(_ov):
+    sql = open(_ov).read()
+    sys.stderr.write(f"[override] {key}: {_ov}\n")
+else:
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[key]
 o = con.sql(sql)
 ocols, orows = [c.lower() for c in o.columns], o.fetchall()
 otypes = [str(t).upper() for t in o.types]
@@ -57,32 +68,50 @@ print(f"rows={len(orows)}")
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+    # 4th arg = the ALLOWLISTED skips (known oracle-ceiling keys). A
+    # timeout on any key NOT in this list is a regression and fails the
+    # run with a distinct exit code (r15 ADVICE: silent-skip budget).
     skip = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set()
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    unexpected_skips = []
     for key in sorted(oracles):
         if key in skip:
             print(f"SKIP {key} (listed)", flush=True); n_skip += 1; continue
         if not glob.glob(f"{out_dir}/{key}/*.parquet"):
             print(f"FAIL {key}: no spark output", flush=True); n_fail += 1; continue
         t0 = time.time()
+        ov_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "oracle_overrides")
         try:
-            r = subprocess.run([sys.executable, "-c", ONE, sf_dir, out_dir, key],
+            r = subprocess.run([sys.executable, "-c", ONE, sf_dir, out_dir,
+                                key, ov_dir],
                                capture_output=True, text=True, timeout=timeout)
             dt = time.time() - t0
             if r.returncode == 0:
-                print(f"PASS {key} ({r.stdout.strip()}, {dt:.1f}s)", flush=True)
+                ov = " [override]" if os.path.exists(
+                    os.path.join(ov_dir, f"{key}.sql")) else ""
+                print(f"PASS {key} ({r.stdout.strip()}, {dt:.1f}s){ov}",
+                      flush=True)
                 n_pass += 1
             else:
                 tail = (r.stderr.strip().splitlines() or ["?"])[-1][:300]
                 print(f"FAIL {key}: {tail} ({dt:.1f}s)", flush=True)
                 n_fail += 1
         except subprocess.TimeoutExpired:
-            print(f"SKIP {key} (oracle timeout {timeout}s)", flush=True)
+            print(f"SKIP {key} (oracle timeout {timeout}s, NOT allowlisted)",
+                  flush=True)
             n_skip += 1
+            unexpected_skips.append(key)
         shutil.rmtree(".tmp", ignore_errors=True)
-    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip", flush=True)
-    sys.exit(1 if n_fail else 0)
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip"
+          f" ({len(unexpected_skips)} unexpected)", flush=True)
+    if unexpected_skips:
+        print(f"== unexpected timeouts (exit 2): {','.join(unexpected_skips)}",
+              flush=True)
+    # exit 1 = value/schema FAIL; exit 2 = a non-allowlisted oracle
+    # timed out (slowness regression); 0 only when both classes are clean
+    sys.exit(1 if n_fail else (2 if unexpected_skips else 0))
 
 if __name__ == "__main__":
     main()
