@@ -596,6 +596,15 @@ private[graft] object OracleSqlD {
         graft.operators.AlphaSpending.obfSpendRounded(fr, 0.05))
     },
 
+    // E40: stream ≡ batch is structural (the read face IS the batch
+    // finisher over merged additive day cells) — oracle verbatim C121
+    "stream_alpha_spending" -> {
+      val fr = Seq(15, 40, 65, 85, 100)
+      alphaSpendingOracle(fr,
+        graft.operators.AlphaSpending.obfBoundsRounded(fr, 0.05),
+        graft.operators.AlphaSpending.obfSpendRounded(fr, 0.05))
+    },
+
     // C122: non-binding futility design — every literal (one-sided
     // efficacy bounds, futility bounds, α/β spend, powered drift)
     // from the SAME memoized futilityBounds recursion the plan embeds

@@ -346,6 +346,7 @@ object SparkEntry {
     "ab_alpha_spending_hsd" -> (WarehouseQueries.alphaSpendingHsd _),
     "ab_beta_spending"   -> (WarehouseQueries.betaSpendingMonitor _),
     "ab_alpha_spending_info" -> (WarehouseQueries.alphaSpendingInfo _),
+    "stream_alpha_spending" -> (StreamFaces.streamAlphaSpending _),
     "hll_partitioned_distinct_exact" ->
       (ExtendedQueries.hllPartitionedDistinctExact _),
     "ab_sign_test"       -> (WarehouseQueries.signTest _),

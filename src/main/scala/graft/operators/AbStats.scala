@@ -856,20 +856,50 @@ object AbStats {
       (acc, k) => when(col("look") === k, lit(values(k - 1))).otherwise(acc)
     }
 
+  /** The per-day per-arm conversion cells the whole sequential-monitor
+    * family (C86/C121/C122/C123) collapses to. ADDITIVE — plain
+    * integer sums — so a streaming lake can accumulate them per
+    * micro-batch (E40) and the merged cells feed the exact same
+    * finisher as the batch scan.
+    */
+  def dailyConvCells(df: DataFrame, day: Column, arm: Column,
+                     converted: Column): DataFrame = {
+    val a0 = arm === 0; val a1 = arm === 1
+    df.groupBy(day.as("day"))
+      .agg(sum(when(a0, 1L).otherwise(0L)).as("t0"),
+        sum(when(a0 && converted, 1L).otherwise(0L)).as("k0"),
+        sum(when(a1, 1L).otherwise(0L)).as("t1"),
+        sum(when(a1 && converted, 1L).otherwise(0L)).as("k1"))
+  }
+
+  /** C121 from pre-aggregated day cells (day, t0, k0, t1, k1) — the
+    * E40 stream face's read path; the batch monitor routes through
+    * the same code so stream ≡ batch is structural.
+    */
+  def alphaSpendingFromDaily(daily: DataFrame, fracPct: Seq[Int],
+                             alpha: Double = 0.05,
+                             spend: Double => Double = null): DataFrame = {
+    requireLookSchedule(fracPct, alpha)
+    val sp = Option(spend).getOrElse(AlphaSpending.obfSpend(alpha) _)
+    val bounds = AlphaSpending.boundsRounded(fracPct, alpha, sp)
+    val spends = AlphaSpending.spendRounded(fracPct, alpha, sp)
+    sequentialDecision(
+      lookFrameFromDaily(daily).withColumn("look", lookColFor(fracPct))
+        .filter(col("look").isNotNull),
+      perLookLit(bounds), Seq(perLookLit(spends).as("alpha_spent")))
+  }
+
   /** Shared by C86/C121: ONE corpus scan to calendar-bounded per-day
     * per-arm conversion counts, the four cumulatives + the day rank
     * on the distributed [[PrefixSum]], and the day total as a
     * broadcast rider.
     */
   private def convLookFrame(df: DataFrame, day: Column, arm: Column,
-                            converted: Column): DataFrame = {
-    val a0 = arm === 0; val a1 = arm === 1
-    val daily = Materialize.cut(df.groupBy(day.as("day"))
-      .agg(sum(when(a0, 1L).otherwise(0L)).as("t0"),
-        sum(when(a0 && converted, 1L).otherwise(0L)).as("k0"),
-        sum(when(a1, 1L).otherwise(0L)).as("t1"),
-        sum(when(a1 && converted, 1L).otherwise(0L)).as("k1"))
-      .withColumn("__one", lit(1L)))
+                            converted: Column): DataFrame =
+    lookFrameFromDaily(dailyConvCells(df, day, arm, converted))
+
+  private def lookFrameFromDaily(dailyCells: DataFrame): DataFrame = {
+    val daily = Materialize.cut(dailyCells.withColumn("__one", lit(1L)))
     val cum = Seq(("t0", "cum_n0"), ("k0", "cum_k0"), ("t1", "cum_n1"),
         ("k1", "cum_k1"), ("__one", "__r"))
       .foldLeft(daily) { case (d, (in, out)) =>

@@ -247,6 +247,46 @@ object StreamFaces {
     graft.streaming.StreamingAb.ttestToDate(spark, s"$base/stats")
   }
 
+  /** E40 as a gated key: the continuous group-sequential readout
+    * (E ∘ C121 — the peeking-safe monitor kept live as events
+    * arrive). Per micro-batch the per-day per-arm conversion cells
+    * (ADDITIVE integer sums, [[graft.operators.AbStats.dailyConvCells]])
+    * land in the lake via the replay-safe partition overwrite; the
+    * read face merges by day and runs the batch C121 finisher
+    * verbatim — boundaries from the SAME design-time recursion — so
+    * the oracle is `ab_alpha_spending`'s SQL verbatim and
+    * stream ≡ batch is structural, not coincidental.
+    */
+  def streamAlphaSpending(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_as")
+    Tables.events(spark, dir) // normalize the ns-vs-µs conf
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.LakeState.putBatch(
+          graft.operators.AbStats.dailyConvCells(batch,
+            date_trunc("day", col("ts")).cast("date"),
+            col("user_id") % 2,
+            col("event_type") === "purchase"),
+          s"$base/cells", id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val merged = spark.read.parquet(s"$base/cells").drop("batch_id")
+      .groupBy(col("day"))
+      .agg(sum(col("t0")).as("t0"), sum(col("k0")).as("k0"),
+        sum(col("t1")).as("t1"), sum(col("k1")).as("k1"))
+    graft.operators.AbStats.alphaSpendingFromDaily(merged,
+      fracPct = Seq(15, 40, 65, 85, 100), alpha = 0.05)
+  }
+
   /** E25 as a gated key: the continuous source-concentration audit
     * run to completion — per micro-batch ONE aggregate-sized
     * (source, count) frame appends via the replay-safe partition

@@ -955,6 +955,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"theil diverges: stream=$got batch=$want")
   }
 
+  test("streaming alpha-spending monitor equals the batch C121 readout bit-exactly") {
+    // E40: per-day per-arm conversion cells are additive integer sums,
+    // and the read face IS the batch finisher over the merged cells —
+    // looks, z, boundaries, spend and decisions match row for row
+    val got = graft.queries.StreamFaces.streamAlphaSpending(spark, sfDir)
+      .collect().toSeq
+    val want = graft.queries.WarehouseQueries
+      .alphaSpendingMonitor(spark, sfDir).collect().toSeq
+    assert(got == want, s"alpha-spending diverges: stream=$got batch=$want")
+  }
+
   test("streaming Wilcoxon signed-rank equals the batch C116 readout bit-exactly") {
     // E39: per-(user, half-month) additive cent cells merge to the
     // identical per-user differences, so the half-unit-rank ledger
