@@ -17,6 +17,11 @@ sf_dir, out_dir, key = sys.argv[1], sys.argv[2], sys.argv[3]
 con = duckdb.connect()
 con.sql("SET memory_limit='48GB'")
 con.sql("SET threads=16")
+# Per-(run,key) spill dir: concurrent check_each runs in the same cwd
+# used to share DuckDB's default ".tmp" and rmtree'd each other's live
+# spill files mid-query (hit in r16 running the x2 and x10 sweeps
+# side by side).
+con.sql(f"SET temp_directory='{out_dir}/.duck_tmp_{key}'")
 for t in ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split():
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -103,7 +108,7 @@ def main():
                   flush=True)
             n_skip += 1
             unexpected_skips.append(key)
-        shutil.rmtree(".tmp", ignore_errors=True)
+        shutil.rmtree(f"{out_dir}/.duck_tmp_{key}", ignore_errors=True)
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip"
           f" ({len(unexpected_skips)} unexpected)", flush=True)
     if unexpected_skips:
