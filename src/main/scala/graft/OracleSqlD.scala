@@ -53,7 +53,7 @@ private[graft] object OracleSqlD {
        |FROM ag""".stripMargin
   }
 
-  private[graft] val sql: Map[String, String] = Map(
+  private[graft] val staticSql: Map[String, String] = Map(
 
     // D71: reciprocal-rank fusion over three quality legs. Each leg
     // signal reuses an oracle-proven expression tree (D14 composite,
@@ -605,11 +605,6 @@ private[graft] object OracleSqlD {
         graft.operators.AlphaSpending.obfSpendRounded(fr, 0.05))
     },
 
-    // C122: non-binding futility design — every literal (one-sided
-    // efficacy bounds, futility bounds, α/β spend, powered drift)
-    // from the SAME memoized futilityBounds recursion the plan embeds
-    "ab_beta_spending" -> betaSpendingOracle(Seq(25, 50, 75, 100),
-      graft.queries.WarehouseQueries.betaSpendingDesign),
 
     // C121b: the same monitor under Hwang–Shih–DeCani γ=−4 spending,
     // quarterly looks — the recursion drives the literals, no table
@@ -2506,4 +2501,192 @@ private[graft] object OracleSqlD {
         |FROM agg JOIN gt USING (source) CROSS JOIN tot
         |ORDER BY source""".stripMargin,
   )
+
+  /** C122's oracle invokes the multi-second futility quadrature
+    * (WarehouseQueries.betaSpendingDesign). Rendered lazily so the
+    * cost is paid only when an oracle consumer materializes the map,
+    * and a require failure inside the design recursion surfaces as an
+    * ordinary exception at the call site instead of an
+    * ExceptionInInitializerError that poisons every OracleSqlD entry
+    * (r16 ADVICE). The quadrature is memoized (futilityBoundsCached),
+    * so repeated renders after the first are cheap.
+    */
+  private lazy val betaSpendingEntry: (String, String) =
+    "ab_beta_spending" -> betaSpendingOracle(Seq(25, 50, 75, 100),
+      graft.queries.WarehouseQueries.betaSpendingDesign)
+
+  /** RFC 3986 §6.2.2.2 percent-normalization of SQL expression `x`,
+    * independently in DuckDB: tokenize into %XX triplets / literal
+    * runs, decode unreserved octets (ALPHA DIGIT - . _ ~), uppercase
+    * the hex of everything else. Mirrors the SEMANTICS of
+    * [[graft.functions.UrlKernels.percentNorm]] with a completely
+    * different mechanism (regexp token list vs a char loop).
+    */
+  private def pnSql(x: String): String = {
+    val code = "((strpos('0123456789abcdef', substr(lower(t), 2, 1)) - 1)" +
+      " * 16 + strpos('0123456789abcdef', substr(lower(t), 3, 1)) - 1)"
+    s"""list_aggregate(list_transform(
+       |      regexp_extract_all($x, '%[0-9A-Fa-f]{2}|%|[^%]+'),
+       |      t -> CASE WHEN NOT starts_with(t, '%') OR length(t) <> 3 THEN t
+       |        WHEN $code BETWEEN 65 AND 90 OR $code BETWEEN 97 AND 122
+       |          OR $code BETWEEN 48 AND 57 OR $code IN (45, 46, 95, 126)
+       |        THEN chr(CAST($code AS INT)) ELSE upper(t) END),
+       |    'string_agg', '')""".stripMargin
+  }
+
+  /** Round-17 additions (D128-D130). Kept out of [[staticSql]] so the
+    * builder-rendered pieces (repair chain, phrase mojibake) stay next
+    * to their generators.
+    */
+  private[graft] lazy val r17Sql: Map[String, String] = Map(
+
+    // D128: same messy-URL derivation, then an INDEPENDENT SQL
+    // canonicalizer (regexp parse + token-list percent-norm + utm
+    // filter) and window-based keep-best (the engine uses a
+    // struct-max aggregate — different mechanism, same rule)
+    "url_dedup" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, doc_id // 3 AS g,
+         |    doc_id % 3 AS v FROM documents),
+         |s AS (SELECT doc_id, n_chars, v, CAST(g AS VARCHAR) AS gs,
+         |    CAST(g % 20 AS VARCHAR) AS ks FROM d),
+         |u AS (SELECT doc_id, n_chars,
+         |    CASE WHEN v = 0 THEN 'HTTPS://SRC' || ks ||
+         |        '.Example.COM:443/wiki/Page_' || gs || '?id=' || gs ||
+         |        '&q=a%2fb#top'
+         |      WHEN v = 1 THEN 'https://src' || ks ||
+         |        '.example.com/%77iki/Page_' || gs || '?id=' || gs ||
+         |        '&utm_source=feed&q=a%2fb'
+         |      ELSE 'https://src' || ks ||
+         |        '.example.com:/wiki/Page%5f' || gs || '?id=' || gs ||
+         |        '&q=a%2fb&utm_medium=email' END AS url
+         |  FROM s),
+         |f AS (SELECT doc_id, n_chars,
+         |    regexp_replace(url, '#.*$$', '') AS su FROM u),
+         |pr AS (SELECT doc_id, n_chars,
+         |    lower(regexp_extract(su, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+         |      AS scheme,
+         |    regexp_extract(su, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)
+         |      AS auth,
+         |    regexp_extract(su,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path0,
+         |    CASE WHEN strpos(su, '?') > 0
+         |      THEN substr(su, strpos(su, '?') + 1) END AS query0
+         |  FROM f),
+         |hp AS (SELECT doc_id, n_chars, scheme, path0, query0,
+         |    CASE WHEN regexp_matches(auth, ':[0-9]*$$') THEN
+         |      CASE WHEN regexp_extract(auth, ':([0-9]*)$$', 1) = ''
+         |          OR (scheme = 'http'
+         |            AND regexp_extract(auth, ':([0-9]*)$$', 1) = '80')
+         |          OR (scheme = 'https'
+         |            AND regexp_extract(auth, ':([0-9]*)$$', 1) = '443')
+         |        THEN lower(regexp_replace(auth, ':[0-9]*$$', ''))
+         |        ELSE lower(regexp_replace(auth, ':[0-9]*$$', '')) || ':'
+         |          || regexp_extract(auth, ':([0-9]*)$$', 1) END
+         |      ELSE lower(auth) END AS hostport
+         |  FROM pr),
+         |pq AS (SELECT doc_id, n_chars, scheme, hostport,
+         |    COALESCE(${pnSql("path0")}, '') AS path1,
+         |    CASE WHEN query0 IS NULL THEN NULL
+         |      ELSE ${pnSql("query0")} END AS query1
+         |  FROM hp),
+         |qf AS (SELECT doc_id, n_chars, scheme, hostport, path1,
+         |    CASE WHEN query1 IS NULL THEN NULL ELSE
+         |      list_aggregate(list_filter(string_split(query1, '&'),
+         |        x -> x <> '' AND NOT starts_with(lower(
+         |          CASE WHEN strpos(x, '=') > 0
+         |            THEN substr(x, 1, strpos(x, '=') - 1) ELSE x END),
+         |          'utm_')), 'string_agg', '&') END AS query2
+         |  FROM pq),
+         |c AS (SELECT doc_id, n_chars,
+         |    scheme || '://' || hostport ||
+         |      (CASE WHEN path1 = '' THEN '/' ELSE path1 END) ||
+         |      (CASE WHEN query2 IS NULL THEN ''
+         |        ELSE '?' || query2 END) AS canonical_url
+         |  FROM qf),
+         |r AS (SELECT canonical_url, doc_id, n_chars,
+         |    CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+         |      AS n_dups,
+         |    row_number() OVER (PARTITION BY canonical_url
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM c)
+         |SELECT canonical_url, doc_id, n_chars, n_dups FROM r
+         |WHERE rn = 1 ORDER BY canonical_url""".stripMargin,
+
+    // D129: same dirty/clean construction (phrase constants shared
+    // with the face), repair = the replace chain rendered from the
+    // SAME explicit table — the table is the spec, the spec pins it
+    "text_fix_encoding" -> {
+      import graft.functions.EncodingRepair
+      val ph = EncodingRepair.phrases
+      val cleanCase = ph.zipWithIndex.map { case (p, i) =>
+        s"WHEN $i THEN '${EncodingRepair.sqlEsc(p)}'" }.mkString(" ")
+      val dirtyCase = ph.zipWithIndex.map { case (p, i) =>
+        s"WHEN $i THEN '${EncodingRepair.sqlEsc(EncodingRepair.mojibake(p))}'"
+      }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id,
+         |    substr(text, 1, 40) || ' ' ||
+         |      CASE CAST(doc_id % ${ph.size} AS INT) $dirtyCase END AS dirty,
+         |    substr(text, 1, 40) || ' ' ||
+         |      CASE CAST(doc_id % ${ph.size} AS INT) $cleanCase END AS clean
+         |  FROM documents),
+         |r AS (SELECT doc_id, clean, length(dirty) AS len_dirty,
+         |    ${EncodingRepair.repairSql("dirty")} AS repaired FROM d)
+         |SELECT doc_id, repaired,
+         |  repaired IS NOT DISTINCT FROM clean AS repaired_ok,
+         |  CAST(len_dirty - length(repaired) AS BIGINT) AS n_shrunk
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    // D130: FS ∘ JW — DuckDB's BUILT-IN jaro_winkler_similarity (the
+    // C76 independence argument), u-collision stats as exact ints,
+    // the Winkler comparator interpolation as the identical IEEE
+    // tree; blocked pairs under the cap = plain prefix-8 self-join
+    "fs_jw_linkage" -> {
+      def u(ss: String) =
+        s"(CAST($ss AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+      val waN = s"ln(0.95 / ${u("ss_name")})"
+      val wdN = s"ln((1.0 - 0.95) / (1.0 - ${u("ss_name")}))"
+      s"""WITH p AS (SELECT p_partkey AS pk, p_name AS name,
+         |    p_brand AS brand, p_type AS ptype,
+         |    substr(p_name, 1, 8) AS blk FROM part),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+         |s1 AS (SELECT CAST(SUM(cc * cc) AS BIGINT) AS ss_name FROM (
+         |    SELECT COUNT(*) AS cc FROM p GROUP BY name)),
+         |s2 AS (SELECT CAST(SUM(cc * cc) AS BIGINT) AS ss_brand FROM (
+         |    SELECT COUNT(*) AS cc FROM p GROUP BY brand)),
+         |s3 AS (SELECT CAST(SUM(cc * cc) AS BIGINT) AS ss_type FROM (
+         |    SELECT COUNT(*) AS cc FROM p GROUP BY ptype)),
+         |pr AS (SELECT a.pk AS id_a, b.pk AS id_b,
+         |    round(jaro_winkler_similarity(a.name, b.name), 6) AS jw,
+         |    a.brand IS NOT DISTINCT FROM b.brand AS agree_brand,
+         |    a.ptype IS NOT DISTINCT FROM b.ptype AS agree_type
+         |  FROM p a JOIN p b ON a.blk = b.blk AND a.pk < b.pk)
+         |SELECT id_a, id_b, jw, agree_brand, agree_type,
+         |  round(
+         |    (CASE WHEN jw >= 0.94 THEN $waN
+         |      WHEN jw >= 0.7 THEN greatest($wdN,
+         |        $waN - ($waN - $wdN) * (1.0 - jw) * 4.5)
+         |      ELSE $wdN END
+         |    + CASE WHEN agree_brand
+         |      THEN ln(0.9 / ${u("ss_brand")})
+         |      ELSE ln((1.0 - 0.9) / (1.0 - ${u("ss_brand")})) END)
+         |    + CASE WHEN agree_type
+         |      THEN ln(0.85 / ${u("ss_type")})
+         |      ELSE ln((1.0 - 0.85) / (1.0 - ${u("ss_type")})) END, 6)
+         |    AS score
+         |FROM pr CROSS JOIN n CROSS JOIN s1 CROSS JOIN s2 CROSS JOIN s3
+         |ORDER BY score DESC, id_a, id_b LIMIT 50""".stripMargin
+    },
+
+    // D12c witness: the Spark side counts cross-decoder pixel
+    // mismatches between JpegCodec and javax.imageio on EVERY doc's
+    // bitstream; the independent truth is that there are none — the
+    // oracle states the expected constant over the same row domain
+    "media_decode_jpeg_witness" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+        |  AS n_docs, CAST(0 AS BIGINT) AS n_mismatched""".stripMargin
+  )
+
+  private[graft] def sql: Map[String, String] =
+    staticSql + betaSpendingEntry ++ r17Sql
 }

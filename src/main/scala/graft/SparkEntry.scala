@@ -316,6 +316,9 @@ object SparkEntry {
     "ljung_box"          -> (WarehouseQueries.ljungBox _),
     "hurst_exponent"     -> (WarehouseQueries.hurstExponent _),
     "fellegi_sunter_linkage" -> (WarehouseQueries.fellegiSunterLinkage _),
+    "fs_jw_linkage"      -> (WarehouseQueries.fsJwLinkage _),
+    "url_dedup"          -> (TextQueries.urlDedup _),
+    "text_fix_encoding"  -> (TextQueries.textFixEncoding _),
     "self_bleu"          -> (TextQueries.selfBleu _),
     "stream_ljung_box"   -> (StreamFaces.streamLjungBox _),
     "granger_causality"  -> (WarehouseQueries.grangerCausality _),
@@ -387,6 +390,7 @@ object SparkEntry {
     // bitstream not the IDCT bits; MultimodalSpec pins byte-exact
     // hand-assembled streams + two-way javax.imageio cross-validation
     "media_decode_jpeg"  -> (MultimodalQueries.mediaDecodeJpeg _),
+    "media_decode_jpeg_witness" -> (MultimodalQueries.mediaDecodeJpegWitness _),
     "media_decode_png"   -> (MultimodalQueries.mediaDecodePng _),
     "media_decode_gif"   -> (MultimodalQueries.mediaDecodeGif _),
     "media_dedup_phash"  -> (MultimodalQueries.mediaDedupPhash _),

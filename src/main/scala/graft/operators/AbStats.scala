@@ -811,6 +811,10 @@ object AbStats {
                           spendB: Double => Double = null): DataFrame = {
     requireLookSchedule(fracPct, alpha)
     require(beta > 0 && beta < 1, s"beta in (0,1), got $beta")
+    require(designKey != null || (spendA == null && spendB == null),
+      "custom spendA/spendB require an explicit designKey: the default " +
+        "memo key encodes only (fracs, alpha, beta), so two designs " +
+        "differing only in spending family would alias in the cache")
     val sa = Option(spendA).getOrElse(AlphaSpending.obfSpendOneSided(alpha) _)
     val sb = Option(spendB).getOrElse(AlphaSpending.hsdSpend(beta, -2.0) _)
     val design = AlphaSpending.futilityBoundsCached(

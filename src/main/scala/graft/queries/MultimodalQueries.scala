@@ -235,4 +235,61 @@ object MultimodalQueries {
         element_at(col("features"), 5).cast("long").as("peak_amp"))
       .orderBy(col("doc_id"))
   }
+
+  /** D12c's driver-visible witness: `media_decode_jpeg` is rows-only
+    * by nature (lossy IDCT rounding is implementation-defined), and
+    * until round 17 its cross-decoder validation lived only in
+    * MultimodalSpec. This face registers THE COMPARISON ITSELF as a
+    * query: for every doc, encode with [[graft.sources.JpegCodec]],
+    * decode the SAME bitstream with BOTH our decoder and the JDK's
+    * independent `javax.imageio` decoder, and count documents where
+    * any channel of any pixel differs by more than the pinned
+    * cross-decoder tolerance (4/255 — MultimodalSpec's bound; two
+    * conforming T.81 IDCTs may disagree by a few ulps of rounding,
+    * never more) or where either decoder disagrees on dimensions.
+    * Expected mismatches: ZERO — which makes the result an exact
+    * constant the DuckDB oracle states independently (n_docs from
+    * the documents table, 0 mismatches), i.e. a hash-green witness
+    * that the JPEG path agrees with an independent codec on EVERY
+    * row of gate data, not just the spec's hand-built cases.
+    *
+    * Scale shape: embarrassingly parallel per-row map + one global
+    * 2-long aggregate.
+    */
+  def mediaDecodeJpegWitness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, px) = synthImage(id)
+        val bytes = graft.sources.JpegCodec.encodeJpeg(w, h, px)
+        val (dw, dh, dp) = graft.sources.JpegCodec.decodeJpeg(bytes)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val bad =
+          if (img == null || img.getWidth != w || img.getHeight != h ||
+              dw != w || dh != h) 1L
+          else {
+            var worst = 0
+            var i = 0
+            while (i < w * h) {
+              val a = img.getRGB(i % w, i / w)
+              val b = dp(i)
+              var ch = 0
+              while (ch < 3) {
+                val d = math.abs(((a >> (8 * ch)) & 0xff) -
+                  ((b >> (8 * ch)) & 0xff))
+                if (d > worst) worst = d
+                ch += 1
+              }
+              i += 1
+            }
+            if (worst > 4) 1L else 0L
+          }
+        bad
+      })
+      .toDF("bad")
+    perDoc.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("bad")).cast("long").as("n_mismatched"))
+  }
 }

@@ -1963,4 +1963,94 @@ object TextQueries {
         col("source"), col("quality"))
       .withColumnRenamed("grp", "source")
       .orderBy(col("source"))
+
+  /** D128: URL canonicalization + URL-level dedup — the crawl stage
+    * that runs BEFORE content dedup (D1): two spellings of one
+    * resource (host case, default port, fragment, `utm_*` trackers,
+    * percent-encoding variants) must collapse to one canonical key,
+    * then ONE representative survives per key — keep-best = highest
+    * `n_chars`, ties to the smallest `doc_id` (the D17c keep-best
+    * rule). Kernel: [[graft.functions.UrlKernels.canonicalize]]
+    * (RFC 3986 §6.2.2 syntax normalization, codegen).
+    *
+    * The documents table carries no URL column, so the face derives a
+    * deterministic messy URL per doc: every 3 consecutive doc_ids
+    * spell the SAME resource three different ways (upper-case
+    * host + `:443` + fragment / unreserved escape `%77`→`w` +
+    * `utm_source` / bare port colon + `%5f`→`_` + `utm_medium`), and
+    * every variant carries `q=a%2fb` whose reserved escape must
+    * normalize to `%2F` without decoding. The oracle re-derives the
+    * same URLs and canonicalizes them with an INDEPENDENT SQL
+    * implementation (regexp split + per-token list transform).
+    *
+    * Scale shape: canonicalize is a narrow projection fused into the
+    * scan; keep-best is ONE partial-aggregable groupBy (max of a
+    * (n_chars, −doc_id) struct — no window, no second shuffle).
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val g = floor(col("doc_id") / 3).cast("long")
+    val gs = (g % 20).cast("string")
+    val gstr = g.cast("string")
+    val host = concat(lit("src"), gs, lit(".example.com"))
+    val v = (col("doc_id") % 3).cast("int")
+    val url = when(v === 0, concat(
+        lit("HTTPS://SRC"), gs, lit(".Example.COM:443/wiki/Page_"), gstr,
+        lit("?id="), gstr, lit("&q=a%2fb#top")))
+      .when(v === 1, concat(
+        lit("https://"), host, lit("/%77iki/Page_"), gstr,
+        lit("?id="), gstr, lit("&utm_source=feed&q=a%2fb")))
+      .otherwise(concat(
+        lit("https://"), host, lit(":/wiki/Page%5f"), gstr,
+        lit("?id="), gstr, lit("&q=a%2fb&utm_medium=email")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.UrlFunctions.canonical_url(url).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(max(struct(col("n_chars"), (lit(0L) - col("doc_id")).as("neg"),
+          col("doc_id"))).as("best"),
+        count(lit(1)).cast("long").as("n_dups"))
+      .select(col("canonical_url"), col("best.doc_id").as("doc_id"),
+        col("best.n_chars").as("n_chars"), col("n_dups"))
+      .orderBy(col("canonical_url"))
+  }
+
+  /** D129: mojibake repair — [[graft.functions.EncodingRepair]]'s
+    * explicit-table fix for UTF-8-decoded-as-windows-1252 damage
+    * ("Ã©"→"é", "â€™"→"’"), the ftfy-class pass D13's normalize
+    * cannot perform. The corpus text is clean ASCII, so the face
+    * makes the damage itself: each doc gets one of
+    * [[EncodingRepair.phrases]] appended in TRUE mojibake form (the
+    * phrase's UTF-8 bytes re-decoded through WHATWG windows-1252 at
+    * plan-build time — a constant, not a runtime corruption chain),
+    * runs the repair kernel, and checks the repair restored the
+    * clean phrase byte-exactly. The oracle replays the identical
+    * replace chain rendered from the same table
+    * ([[EncodingRepair.repairSql]]) — the table is the spec, and
+    * UrlEncodingSpec pins the classic ladder cases by hand.
+    *
+    * Scale shape: a pure per-row string projection (builtin
+    * `replace` chain, whole-stage codegen) — no shuffle, no state.
+    */
+  def textFixEncoding(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.EncodingRepair
+    val nPhrases = EncodingRepair.phrases.size
+    val idx = (col("doc_id") % nPhrases + 1).cast("int")
+    val cleanPhrase = element_at(
+      array(EncodingRepair.phrases.map(lit): _*), idx)
+    val dirtyPhrase = element_at(
+      array(EncodingRepair.phrases.map(p =>
+        lit(EncodingRepair.mojibake(p))): _*), idx)
+    val dirty = concat(substring(col("text"), 1, 40), lit(" "), dirtyPhrase)
+    val clean = concat(substring(col("text"), 1, 40), lit(" "), cleanPhrase)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), dirty.as("dirty"), clean.as("clean"))
+      .select(col("doc_id"), col("clean"),
+        EncodingRepair.repair(col("dirty")).as("repaired"),
+        length(col("dirty")).as("len_dirty"))
+      .select(col("doc_id"), col("repaired"),
+        (col("repaired") <=> col("clean")).as("repaired_ok"),
+        (col("len_dirty") - length(col("repaired"))).cast("long")
+          .as("n_shrunk"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1946,4 +1946,75 @@ object WarehouseQueries {
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
     graft.operators.Centrality.degreeAssortativity(e)
   }
+
+  /** D130: Fellegi–Sunter ∘ Jaro–Winkler — the classical record-
+    * linkage composition (Winkler 1988/1990): D120 scores agreement
+    * PATTERNS, C76 scores NAME similarity; production linkage
+    * thresholds FS weights whose string-field term is driven by the
+    * JW comparator instead of binary equality. Per pair, the name
+    * term is banded on the 6-dp-rounded JW value γ:
+    *   γ ≥ 0.94           → full agreement weight w_a = ln(m/u)
+    *   0.7 ≤ γ < 0.94     → Winkler's linear comparator interpolation
+    *                        max(w_d, w_a − (w_a−w_d)·(1−γ)·4.5)
+    *   γ < 0.7            → disagreement weight w_d = ln((1−m)/(1−u))
+    * (0.7 is JW's own boost threshold; 4.5 is the published
+    * interpolation slope — at γ = 0.7¯ the term has fallen past w_d
+    * and clips there, so the bands meet continuously). `brand` and
+    * `p_type` contribute classical binary FS terms. u-probabilities
+    * are data-estimated collision probabilities Σ(n_v/N)² per field
+    * (Winkler's frequency-based u), exact integers until one IEEE
+    * divide shared by every pair.
+    *
+    * Scale shape: pair formation reuses [[graft.operators
+    * .BlockedLinkage]] (8-char-prefix blocks, `maxBlock` cap → SNM
+    * fallback — O(n·maxBlock) pairs, linear); u-stats are three
+    * value-domain-sized aggregates broadcast back as ONE row; the
+    * attribute join back to the pair frame is two hash joins on the
+    * record id. At gate SF every block is under the cap, so the
+    * oracle expresses the same pairs as a plain blocked self-join.
+    */
+  def fsJwLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(
+      col("p_partkey").as("pk"), col("p_name").as("name"),
+      col("p_brand").as("brand"), col("p_type").as("ptype"))
+    val n = p.agg(count(lit(1)).cast("long").as("__n"))
+    def ss(f: String) =
+      p.groupBy(col(f)).agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c") * col("__c")).cast("long").as(s"__ss_$f"))
+    val stats = n.crossJoin(ss("name")).crossJoin(ss("brand"))
+      .crossJoin(ss("ptype"))
+    val pairs = graft.operators.BlockedLinkage.candidatePairs(
+        p, "pk", "name", substring(col("name"), 1, 8),
+        maxBlock = 1000, window = 64)
+      .join(p.select(col("pk").as("id_a"), col("brand").as("brand_a"),
+        col("ptype").as("ptype_a")), Seq("id_a"))
+      .join(p.select(col("pk").as("id_b"), col("brand").as("brand_b"),
+        col("ptype").as("ptype_b")), Seq("id_b"))
+      .withColumn("jw", round(graft.functions.JaroWinkler.jaro_winkler(
+        col("val_a"), col("val_b")), 6))
+      .crossJoin(broadcast(stats))
+    val nD = col("__n").cast("double")
+    def u(f: String): Column = col(s"__ss_$f").cast("double") / (nD * nD)
+    def wa(m: Double, f: String): Column = log(lit(m) / u(f))
+    def wd(m: Double, f: String): Column =
+      log((lit(1.0) - lit(m)) / (lit(1.0) - u(f)))
+    val nameTerm = when(col("jw") >= 0.94, wa(0.95, "name"))
+      .when(col("jw") >= 0.7,
+        greatest(wd(0.95, "name"),
+          wa(0.95, "name") - (wa(0.95, "name") - wd(0.95, "name")) *
+            (lit(1.0) - col("jw")) * lit(4.5)))
+      .otherwise(wd(0.95, "name"))
+    val brandTerm =
+      when(col("brand_a") <=> col("brand_b"), wa(0.9, "brand"))
+        .otherwise(wd(0.9, "brand"))
+    val typeTerm =
+      when(col("ptype_a") <=> col("ptype_b"), wa(0.85, "ptype"))
+        .otherwise(wd(0.85, "ptype"))
+    pairs.select(col("id_a"), col("id_b"), col("jw"),
+        (col("brand_a") <=> col("brand_b")).as("agree_brand"),
+        (col("ptype_a") <=> col("ptype_b")).as("agree_type"),
+        round(nameTerm + brandTerm + typeTerm, 6).as("score"))
+      .orderBy(col("score").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
 }

@@ -71,6 +71,12 @@ object ScaleUp {
         val maxes = df.agg(max(col(keyCols.head).cast("long")),
           keyCols.tail.map(c => max(col(c).cast("long"))): _*).head
         keyCols.zipWithIndex.foreach { case (c, i) =>
+          // null max = empty table or non-castable key values; either way
+          // the offset precondition cannot be certified — fail with the
+          // intended diagnostic, not getLong's opaque NPE (r16 ADVICE).
+          require(!maxes.isNullAt(i),
+            s"ScaleUp offset precondition violated: max(cast($c as long)) " +
+              "is NULL (empty source table or non-numeric key values)")
           val mx = maxes.getLong(i)
           require(mx < OFF,
             s"ScaleUp offset precondition violated: max($c)=$mx >= $OFF — " +
