@@ -1169,6 +1169,64 @@ object ScaleProbe {
       graft.sources.Multimodal.extractFeatures(media,
         decoder = graft.sources.PngCodec.PngStatsDecoder).count()
     }
+
+    // Round-17 graph-family legs (the shuffle-heaviest keys whose x10
+    // DuckDB referees hit the disk ceiling — the ENGINE side extends
+    // its declared-factor ledger to x20 here). Amplification = `mult`
+    // DISJOINT copies of the sf0.1 graph (both endpoints offset
+    // id*mult+copy), so wedge volume / LPA state / rank mass all scale
+    // exactly linearly and a superlinear time is an engine smell, not
+    // a data artifact.
+    val lpParts = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .crossJoin(copies)
+      .select((col("ok") * mult + col("copy")).as("ok"),
+        (col("pk") * mult + col("copy")).as("pk"))
+    val partNodes = graft.sources.Tables.part(spark, dir)
+      .crossJoin(copies)
+      .select((col("p_partkey").cast("long") * mult + col("copy")).as("id"))
+    def partEdges = {
+      val p = lpParts
+      p.as("a").join(p.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    }
+    t("triangle_count") {
+      graft.operators.Triangles.nodeTriangles(partEdges, partNodes).count()
+    }
+    t("community_lpa") {
+      val pairs = partEdges
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+      graft.operators.Community.labelPropagation(edges, partNodes,
+        iterations = 5).count()
+    }
+    // customer–supplier trade graph (suppliers offset by 1e6 BEFORE the
+    // copy offset, so the two id spaces stay disjoint for mult <= ~1e3)
+    val csAmp = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.sources.Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("s"))
+      .distinct()
+      .crossJoin(copies)
+      .select((col("c") * mult + col("copy")).as("c"),
+        (col("s") * mult + col("copy")).as("s"))
+    t("pagerank_centrality") {
+      val edges = csAmp.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(csAmp.select(col("s").as("src"), col("c").as("dst")))
+      val nodes = graft.sources.Tables.customer(spark, dir)
+        .crossJoin(copies)
+        .select((col("c_custkey").cast("long") * mult + col("copy")).as("id"))
+        .unionAll(graft.sources.Tables.supplier(spark, dir)
+          .crossJoin(copies)
+          .select(((col("s_suppkey") + 1000000L) * mult + col("copy"))
+            .as("id")))
+      graft.operators.Centrality.pageRank(edges, nodes, iterations = 10)
+        .count()
+    }
     spark.stop()
   }
 }
