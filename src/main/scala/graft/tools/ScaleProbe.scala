@@ -1170,7 +1170,11 @@ object ScaleProbe {
         decoder = graft.sources.PngCodec.PngStatsDecoder).count()
     }
 
-    // Round-17 graph-family legs (the shuffle-heaviest keys whose x10
+    // Round-17 graph-family legs: `_copies` = mult DISJOINT graph copies
+    // (linear-reference ledger; the older `triangles`/`community_lpa`
+    // legs above amplify DENSITY over a fixed part universe instead —
+    // keep both: copies isolate engine scaling, density stresses the
+    // wedge bound). These are the shuffle-heaviest keys whose x10
     // DuckDB referees hit the disk ceiling — the ENGINE side extends
     // its declared-factor ledger to x20 here). Amplification = `mult`
     // DISJOINT copies of the sf0.1 graph (both endpoints offset
@@ -1192,10 +1196,10 @@ object ScaleProbe {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
     }
-    t("triangle_count") {
+    t("triangle_count_copies") {
       graft.operators.Triangles.nodeTriangles(partEdges, partNodes).count()
     }
-    t("community_lpa") {
+    t("community_lpa_copies") {
       val pairs = partEdges
       val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
@@ -1214,7 +1218,7 @@ object ScaleProbe {
       .crossJoin(copies)
       .select((col("c") * mult + col("copy")).as("c"),
         (col("s") * mult + col("copy")).as("s"))
-    t("pagerank_centrality") {
+    t("pagerank_copies") {
       val edges = csAmp.select(col("c").as("src"), col("s").as("dst"))
         .unionAll(csAmp.select(col("s").as("src"), col("c").as("dst")))
       val nodes = graft.sources.Tables.customer(spark, dir)
