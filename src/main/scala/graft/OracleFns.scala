@@ -2893,7 +2893,22 @@ private[graft] object OracleFns {
     // RAW margins (no stripMargin here): this text interpolates into
     // templates that strip ONCE — stripping twice would eat the first
     // bar of SQL `||` concat lines
-    s"""corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    // corp0 -> corp is the round-17 URL-dedup crawl stage (D128 ∘ D30):
+    // the face derives each doc's messy URL with TextQueries.crawlUrl,
+    // whose three variants are g = doc_id // 3-keyed BY CONSTRUCTION,
+    // and keeps the longest text (ties to smallest id) per canonical
+    // URL. The oracle expresses the stage as that g-grouping; the full
+    // RFC 3986 canonicalizer equivalence (all three variants -> ONE
+    // canonical string) is proven independently by url_dedup's own
+    // token-level SQL canonicalizer oracle, so a kernel regression
+    // that split or merged groups would break BOTH keys.
+    s"""corp0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |corp AS (SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (
+        |        PARTITION BY doc_id // 3
+        |        ORDER BY length(text) DESC, doc_id) AS urn
+        |      FROM corp0)
+        |  WHERE urn = 1),
         |tq AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS tk FROM corp),
         |qual AS (
         |  SELECT doc_id, text, tk FROM (

@@ -303,8 +303,9 @@ private[graft] object OracleSqlC {
         |    AS rrf
         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
-    // The capstone composition, end to end in SQL: quality formula,
-    // exact dedup (min-id per text), near-dup transitive closure (the
+    // The capstone composition, end to end in SQL: URL-level dedup
+    // (round 17 — see corpusPipelineChain's corp0→corp note), quality
+    // formula, exact dedup (min-id per text), near-dup transitive closure (the
     // engine's LSH candidates are complete on gate data at the 0.8
     // bar — same argument as dedup_incremental), 8-gram
     // decontamination against the eval slice, language id, and the
@@ -340,14 +341,15 @@ private[graft] object OracleSqlC {
         |$corpusPipelineChain,
         |cnts AS (
         |  SELECT '0_input' AS stage, 0 AS stage_order,
-        |    (SELECT COUNT(*) FROM corp) AS rows_out
-        |  UNION ALL SELECT '1_quality_gate', 1, (SELECT COUNT(*) FROM qual)
-        |  UNION ALL SELECT '2_exact_dedup', 2, (SELECT COUNT(*) FROM exact)
-        |  UNION ALL SELECT '3_near_dedup', 3, (SELECT COUNT(*) FROM reps)
-        |  UNION ALL SELECT '4_decontaminated', 4, (SELECT COUNT(*) FROM clean)
-        |  UNION ALL SELECT '5_quota_capped', 5, (SELECT COUNT(*) FROM clean)
-        |  UNION ALL SELECT '6_mixture_sampled', 6, (SELECT COUNT(*) FROM clean)
-        |  UNION ALL SELECT '7_final', 7, (SELECT COUNT(*) FROM clean))
+        |    (SELECT COUNT(*) FROM corp0) AS rows_out
+        |  UNION ALL SELECT '0b_url_dedup', 1, (SELECT COUNT(*) FROM corp)
+        |  UNION ALL SELECT '1_quality_gate', 2, (SELECT COUNT(*) FROM qual)
+        |  UNION ALL SELECT '2_exact_dedup', 3, (SELECT COUNT(*) FROM exact)
+        |  UNION ALL SELECT '3_near_dedup', 4, (SELECT COUNT(*) FROM reps)
+        |  UNION ALL SELECT '4_decontaminated', 5, (SELECT COUNT(*) FROM clean)
+        |  UNION ALL SELECT '5_quota_capped', 6, (SELECT COUNT(*) FROM clean)
+        |  UNION ALL SELECT '6_mixture_sampled', 7, (SELECT COUNT(*) FROM clean)
+        |  UNION ALL SELECT '7_final', 8, (SELECT COUNT(*) FROM clean))
         |SELECT stage, CAST(stage_order AS INTEGER) AS stage_order,
         |  CAST(rows_out AS BIGINT) AS rows_out,
         |  CAST(COALESCE(lag(rows_out) OVER (ORDER BY stage_order),

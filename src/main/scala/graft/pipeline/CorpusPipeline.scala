@@ -42,6 +42,20 @@ object CorpusPipeline {
     * @param quotaPerStratum Some((column, k)): cap survivors per
     *                        stratum (e.g. source domain) after
     *                        decontamination, lowest id kept
+    * @param urlDedupCol     Some(col): the crawl-URL column. Runs
+    *                        URL-level dedup BEFORE any content stage
+    *                        (the crawl-frontier rule, D128 ∘ D30):
+    *                        canonicalize via [[graft.functions
+    *                        .UrlKernels.canonicalize]] and keep ONE
+    *                        doc per canonical URL — longest text,
+    *                        ties to the smallest id. Syntactic URL
+    *                        aliases never reach the quality/digest/
+    *                        shingle machinery, which both removes
+    *                        trivially-duplicated work and prevents
+    *                        alias fetches from voting in near-dup
+    *                        clusters. One shuffle (window keyed on
+    *                        the canonical URL; in-group sort is
+    *                        alias-count-sized, single digits).
     */
   case class Config(
       minQuality: Double = 0.2,
@@ -53,7 +67,8 @@ object CorpusPipeline {
       splitWeights: Seq[Double] = Seq(0.9, 0.05, 0.05),
       seed: Long = 42L,
       stripSpans: Option[(Int, Long)] = None,
-      quotaPerStratum: Option[(String, Int)] = None)
+      quotaPerStratum: Option[(String, Int)] = None,
+      urlDedupCol: Option[String] = None)
 
   /** @param docs  corpus with (idCol: long, textCol: string)
     * @param bench eval/benchmark docs with the same two columns
@@ -115,8 +130,20 @@ object CorpusPipeline {
           .drop("__sid")
     }
 
+    // 0b. (optional) URL-level dedup — BEFORE any content-derived
+    // stage (see Config.urlDedupCol)
+    val urled = cfg.urlDedupCol match {
+      case None => input
+      case Some(u) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.functions.UrlFunctions.canonical_url(col(u)))
+          .orderBy(length(col(textCol)).desc, col(idCol))
+        input.withColumn("__urn", row_number().over(w))
+          .filter(col("__urn") === 1).drop("__urn", u)
+    }
+
     // 1. quality gate
-    val scored = input
+    val scored = urled
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .filter(col("quality") >= cfg.minQuality)
 
@@ -158,8 +185,8 @@ object CorpusPipeline {
       cfg.fractionsByLang, cfg.defaultFraction, cfg.seed)
     val fin = Resample.splitByHash(sampled, col(idCol), cfg.splitWeights, cfg.seed)
       .withColumn("sort_key", xxhash64(lit(cfg.seed), col(idCol)))
-    Stages(Seq(
-      "0_input" -> input,
+    Stages(Seq("0_input" -> input) ++
+      cfg.urlDedupCol.map(_ => "0b_url_dedup" -> urled).toSeq ++ Seq(
       "1_quality_gate" -> scored,
       "2_exact_dedup" -> exactDeduped,
       "3_near_dedup" -> nearDeduped,

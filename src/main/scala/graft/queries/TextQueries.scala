@@ -1131,8 +1131,14 @@ object TextQueries {
     val docs = Tables.documents(spark, dir)
     val bench = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))
+    // round 17: the D128 crawl stage runs FIRST — each doc carries its
+    // messy crawl URL and the pipeline keeps one doc per canonical URL
+    // before any content stage (see CorpusPipeline.Config.urlDedupCol)
     graft.pipeline.CorpusPipeline.run(
-        docs.filter(col("doc_id") % 10 =!= 0), bench, "text", "doc_id")
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), col("text"), crawlUrl.as("url")),
+        bench, "text", "doc_id",
+        graft.pipeline.CorpusPipeline.Config(urlDedupCol = Some("url")))
       .select(col("doc_id"), col("lang"), col("split"))
       .orderBy(col("doc_id"))
   }
@@ -1147,7 +1153,10 @@ object TextQueries {
     val bench = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))
     graft.pipeline.CorpusPipeline.audit(
-        docs.filter(col("doc_id") % 10 =!= 0), bench, "text", "doc_id")
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), col("text"), crawlUrl.as("url")),
+        bench, "text", "doc_id",
+        graft.pipeline.CorpusPipeline.Config(urlDedupCol = Some("url")))
       .orderBy(col("stage_order"))
   }
 
@@ -1987,13 +1996,17 @@ object TextQueries {
     * scan; keep-best is ONE partial-aggregable groupBy (max of a
     * (n_chars, −doc_id) struct — no window, no second shuffle).
     */
-  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic messy crawl URL shared by D128's face and the
+    * D30 pipeline wiring (see [[urlDedup]] for the variant scheme:
+    * every 3 consecutive doc_ids spell ONE resource three ways).
+    */
+  private[graft] def crawlUrl: Column = {
     val g = floor(col("doc_id") / 3).cast("long")
     val gs = (g % 20).cast("string")
     val gstr = g.cast("string")
     val host = concat(lit("src"), gs, lit(".example.com"))
     val v = (col("doc_id") % 3).cast("int")
-    val url = when(v === 0, concat(
+    when(v === 0, concat(
         lit("HTTPS://SRC"), gs, lit(".Example.COM:443/wiki/Page_"), gstr,
         lit("?id="), gstr, lit("&q=a%2fb#top")))
       .when(v === 1, concat(
@@ -2002,9 +2015,12 @@ object TextQueries {
       .otherwise(concat(
         lit("https://"), host, lit(":/wiki/Page%5f"), gstr,
         lit("?id="), gstr, lit("&q=a%2fb&utm_medium=email")))
+  }
+
+  def urlDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
-        graft.functions.UrlFunctions.canonical_url(url).as("canonical_url"))
+        graft.functions.UrlFunctions.canonical_url(crawlUrl).as("canonical_url"))
       .groupBy(col("canonical_url"))
       .agg(max(struct(col("n_chars"), (lit(0L) - col("doc_id")).as("neg"),
           col("doc_id"))).as("best"),
@@ -2012,7 +2028,6 @@ object TextQueries {
       .select(col("canonical_url"), col("best.doc_id").as("doc_id"),
         col("best.n_chars").as("n_chars"), col("n_dups"))
       .orderBy(col("canonical_url"))
-  }
 
   /** D129: mojibake repair — [[graft.functions.EncodingRepair]]'s
     * explicit-table fix for UTF-8-decoded-as-windows-1252 damage
