@@ -316,6 +316,7 @@ object SparkEntry {
     "ljung_box"          -> (WarehouseQueries.ljungBox _),
     "hurst_exponent"     -> (WarehouseQueries.hurstExponent _),
     "fellegi_sunter_linkage" -> (WarehouseQueries.fellegiSunterLinkage _),
+    "fs_em_linkage"      -> (WarehouseQueries.fsEmLinkage _),
     "fs_jw_linkage"      -> (WarehouseQueries.fsJwLinkage _),
     "url_dedup"          -> (TextQueries.urlDedup _),
     "text_fix_encoding"  -> (TextQueries.textFixEncoding _),
@@ -540,7 +541,37 @@ object SparkEntry {
         graft.operators.AlphaSpending.spendRoundedAt(fracs, alpha, sp),
         infoFracs = fracs.map(graft.operators.AlphaSpending.round6))
     }
+    // D131: the EM-fitted (m_j, u_j) render as SQL literals via the
+    // shortest-round-trip Double repr (the C121/C122 design-literal
+    // recipe); the memoized fit guarantees the dump and this render
+    // embed IDENTICAL doubles. The pair/flag SQL is D120's oracle
+    // verbatim — the two keys differ only in the parameter source.
+    val fsEmSql = {
+      val prm = WarehouseQueries.fsEmParams(spark, sfDir)
+      def wa(j: Int) = s"ln(${prm.m(j)} / ${prm.u(j)})"
+      def wd(j: Int) = s"ln((1.0 - ${prm.m(j)}) / (1.0 - ${prm.u(j)}))"
+      def term(flag: String, j: Int) =
+        s"CASE WHEN $flag THEN ${wa(j)} ELSE ${wd(j)} END"
+      s"""WITH c AS (SELECT c_custkey AS id, c_nationkey AS blk,
+         |    c_mktsegment AS seg,
+         |    CAST(floor(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS DOUBLE) / 100000.0) AS BIGINT) AS band,
+         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) >= 0
+         |      AS sign
+         |  FROM customer),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    a.seg IS NOT DISTINCT FROM b.seg AS agree_seg,
+         |    a.band IS NOT DISTINCT FROM b.band AS agree_band,
+         |    a.sign IS NOT DISTINCT FROM b.sign AS agree_sign
+         |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id)
+         |SELECT id_a, id_b, agree_seg, agree_band, agree_sign,
+         |  round((${term("agree_seg", 0)}
+         |    + ${term("agree_band", 1)})
+         |    + ${term("agree_sign", 2)}, 6) AS score
+         |FROM p ORDER BY score DESC, id_a, id_b LIMIT 50""".stripMargin
+    }
     Map(
+      "fs_em_linkage" -> fsEmSql,
       // A4: override the static (sf0.01-pinned) entry with the path
       // derived from THIS run's SF dir, mirroring the Spark side
       "csv_ingest" -> OracleSqlA.csvIngestSql(new java.io.File(sfDir).getName),

@@ -84,4 +84,91 @@ object FellegiSunter {
       .orderBy(col("score").desc, col("id_a"), col("id_b"))
       .limit(k)
   }
+
+  /** EM-estimated FS parameters (SURVEY §2 D131). */
+  final case class EmParams(p: Double, m: Seq[Double], u: Seq[Double])
+
+  /** Jaro (1989) / Winkler (1988): estimate (p, m_j, u_j) by EM over
+    * the agreement-PATTERN census of the candidate pairs, under the
+    * standard conditional-independence (naive-Bayes) latent-class
+    * model — the no-training-data route to FS weights: instead of
+    * DECLARING m priors (as [[score]] does) the two-class mixture is
+    * fit to the observed pattern frequencies.
+    *
+    *   E-step: w_γ = p·Π_j m_j^{γ_j}(1−m_j)^{1−γ_j} /
+    *                 (that + (1−p)·Π_j u_j^{γ_j}(1−u_j)^{1−γ_j})
+    *   M-step: p  = Σ n_γ w_γ / N
+    *           m_j = Σ_{γ_j=1} n_γ w_γ / Σ n_γ w_γ
+    *           u_j = Σ_{γ_j=1} n_γ (1−w_γ) / Σ n_γ (1−w_γ)
+    *
+    * Scale shape: the E/M recursion runs DRIVER-SIDE over the ≤ 2^k
+    * pattern rows (k ≤ 8 fields ⇒ ≤ 256 rows — the corpus never
+    * leaves the cluster; only its exact-integer pattern census does,
+    * the same discipline as [[AlphaSpending]]'s design recursion).
+    * Determinism: callers pass the census in a CANONICAL order (sort
+    * by the boolean pattern), the iteration count is fixed, and every
+    * accumulation is a fixed-order fold — bit-stable across runs, so
+    * the estimates embed as plan/oracle literals. Estimates are
+    * clamped to [1e-6, 1−1e-6] (the published practice) so the log
+    * weights stay finite even when EM drives a parameter to the
+    * boundary.
+    */
+  def emEstimate(patterns: Seq[(Seq[Boolean], Long)],
+                 iters: Int = 30): EmParams = {
+    require(patterns.nonEmpty, "pattern census must be non-empty")
+    val k = patterns.head._1.size
+    require(patterns.forall(_._1.size == k), "ragged pattern census")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    def clamp(x: Double): Double = math.min(1.0 - 1e-6, math.max(1e-6, x))
+    var p = 0.1
+    val m = Array.fill(k)(0.9)
+    val u = Array.fill(k)(0.1)
+    var it = 0
+    while (it < iters) {
+      var sw = 0.0
+      var sn = 0.0
+      var suTot = 0.0
+      val swg = new Array[Double](k)
+      val sug = new Array[Double](k)
+      patterns.foreach { case (g, n) =>
+        var pm = p
+        var pu = 1.0 - p
+        var j = 0
+        while (j < k) {
+          pm *= (if (g(j)) m(j) else 1.0 - m(j))
+          pu *= (if (g(j)) u(j) else 1.0 - u(j))
+          j += 1
+        }
+        val w = pm / (pm + pu)
+        val nd = n.toDouble
+        sw += w * nd
+        sn += nd
+        suTot += (1.0 - w) * nd
+        j = 0
+        while (j < k) {
+          if (g(j)) { swg(j) += w * nd; sug(j) += (1.0 - w) * nd }
+          j += 1
+        }
+      }
+      p = clamp(sw / sn)
+      var j = 0
+      while (j < k) {
+        m(j) = clamp(swg(j) / sw)
+        u(j) = clamp(sug(j) / suTot)
+        j += 1
+      }
+      it += 1
+    }
+    EmParams(p, m.toSeq, u.toSeq)
+  }
+
+  private val emCache =
+    new java.util.concurrent.ConcurrentHashMap[String, EmParams]()
+
+  /** Session-memoized EM fit — the same (key → params) discipline as
+    * IvfIndex.trainCached, so the query dump and the dynamic oracle
+    * render see IDENTICAL literals without re-collecting the census.
+    */
+  def emCached(key: String)(compute: => EmParams): EmParams =
+    emCache.computeIfAbsent(key, _ => compute)
 }

@@ -1932,6 +1932,89 @@ object WarehouseQueries {
       k = 50)
   }
 
+  /** D131's shared pair-flag frame: the same entities, blocking and
+    * comparison fields as D120 (`fellegiSunterLinkage`) — nationkey
+    * blocks; segment / acctbal-band / balance-sign agreement flags.
+    */
+  private def fsPairFlags(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (dec2(col("c_acctbal")) * 100).cast("long")
+    val ent = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("id"),
+      col("c_nationkey").as("blk"),
+      col("c_mktsegment").as("seg"),
+      floor(cents.cast("double") / lit(100000.0)).cast("long").as("band"),
+      (cents >= 0L).as("sign"))
+    def side(s: String) = ent.select(
+      col("id").as(s"id_$s"), col("blk").as(s"blk_$s"),
+      col("seg").as(s"seg_$s"), col("band").as(s"band_$s"),
+      col("sign").as(s"sign_$s"))
+    side("a").join(side("b"),
+        col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("seg_a") <=> col("seg_b")).as("agree_seg"),
+        (col("band_a") <=> col("band_b")).as("agree_band"),
+        (col("sign_a") <=> col("sign_b")).as("agree_sign"))
+  }
+
+  /** D131's EM fit for this corpus — session-memoized so the query
+    * dump and the dynamic oracle render embed IDENTICAL literals.
+    * The census collect is ≤ 2^3 rows (an aggregate, never the pair
+    * frame), sorted canonically so the driver-side fold is bit-stable.
+    */
+  private[graft] def fsEmParams(spark: SparkSession, dir: String)
+      : graft.operators.FellegiSunter.EmParams =
+    graft.operators.FellegiSunter.emCached(s"fsem:$dir") {
+      graft.operators.FellegiSunter.emEstimate(fsEmCensus(spark, dir))
+    }
+
+  /** The canonical-order pattern census D131 fits (spec replays it). */
+  private[graft] def fsEmCensus(spark: SparkSession, dir: String)
+      : Seq[(Seq[Boolean], Long)] =
+    fsPairFlags(spark, dir)
+      .groupBy(col("agree_seg"), col("agree_band"), col("agree_sign"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (Seq(r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)),
+        r.getLong(3)))
+      .sortBy(_._1.map(b => if (b) "1" else "0").mkString)
+      .toSeq
+
+  private[graft] def fsEmCensusForTest(spark: SparkSession, dir: String)
+      : Seq[(Seq[Boolean], Long)] = fsEmCensus(spark, dir)
+
+  private[graft] def fsEmParamsForTest(spark: SparkSession, dir: String)
+      : graft.operators.FellegiSunter.EmParams = fsEmParams(spark, dir)
+
+  /** D131: FS linkage with EM-ESTIMATED parameters (Jaro 1989;
+    * Winkler 1988) — the no-training-data completion of D120: instead
+    * of declared m priors and data-collision u, BOTH are fit by the
+    * two-class conditional-independence EM over the agreement-pattern
+    * census (see [[graft.operators.FellegiSunter.emEstimate]]), then
+    * every pair is scored with the fitted ln(m/u) / ln((1−m)/(1−u))
+    * ledger — weights embedded as plan/oracle literals exactly like
+    * the C121 design recursion. Pairs, blocking and fields are D120's,
+    * so the two keys differ ONLY in where the parameters come from.
+    *
+    * Scale shape: one pattern-census aggregate (≤ 8 rows collected),
+    * a driver-side 30-iteration EM over them, and the same blocked
+    * pair scoring as D120 (one shuffle join; weights are literals, no
+    * broadcast needed at all).
+    */
+  def fsEmLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val prm = fsEmParams(spark, dir)
+    def wa(j: Int): Column = log(lit(prm.m(j)) / lit(prm.u(j)))
+    def wd(j: Int): Column =
+      log((lit(1.0) - lit(prm.m(j))) / (lit(1.0) - lit(prm.u(j))))
+    def term(flag: String, j: Int): Column =
+      when(col(flag), wa(j)).otherwise(wd(j))
+    fsPairFlags(spark, dir)
+      .select(col("id_a"), col("id_b"),
+        col("agree_seg"), col("agree_band"), col("agree_sign"),
+        round(term("agree_seg", 0) + term("agree_band", 1) +
+          term("agree_sign", 2), 6).as("score"))
+      .orderBy(col("score").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
   /** C89: degree assortativity of the parts-bought-together graph
     * (same edge build as [[triangleCount]]) — do high-degree parts
     * co-occur with other hubs, or with long-tail parts? See

@@ -160,6 +160,82 @@ class UrlEncodingSpec extends AnyFunSuite {
     }
   }
 
+  test("fs_em_linkage: EM fit replayed by an independent implementation") {
+    import graft.operators.FellegiSunter
+    // the ACTUAL census the face fits (tiny: <= 8 rows)
+    val census = graft.queries.WarehouseQueries
+      .fsEmCensusForTest(spark, sfDir)
+    assert(census.nonEmpty && census.map(_._2).sum > 0)
+    // independent replay: functional style, same model, same init
+    def replay(iters: Int): (Double, Seq[Double], Seq[Double],
+        Seq[Double]) = {
+      val k = census.head._1.size
+      def clamp(x: Double) = math.min(1.0 - 1e-6, math.max(1e-6, x))
+      def step(p: Double, m: Seq[Double], u: Seq[Double]) = {
+        val ws = census.map { case (g, n) =>
+          val pm = p * g.zip(m).map { case (gj, mj) =>
+            if (gj) mj else 1.0 - mj }.product
+          val pu = (1.0 - p) * g.zip(u).map { case (gj, uj) =>
+            if (gj) uj else 1.0 - uj }.product
+          (g, n.toDouble, pm / (pm + pu))
+        }
+        val sw = ws.map { case (_, n, w) => w * n }.sum
+        val sn = ws.map(_._2).sum
+        val su = ws.map { case (_, n, w) => (1.0 - w) * n }.sum
+        (clamp(sw / sn),
+          (0 until k).map(j => clamp(ws.collect {
+            case (g, n, w) if g(j) => w * n }.sum / sw)),
+          (0 until k).map(j => clamp(ws.collect {
+            case (g, n, w) if g(j) => (1.0 - w) * n }.sum / su)))
+      }
+      def loglik(p: Double, m: Seq[Double], u: Seq[Double]): Double =
+        census.map { case (g, n) =>
+          val pm = p * g.zip(m).map { case (gj, mj) =>
+            if (gj) mj else 1.0 - mj }.product
+          val pu = (1.0 - p) * g.zip(u).map { case (gj, uj) =>
+            if (gj) uj else 1.0 - uj }.product
+          n * math.log(pm + pu)
+        }.sum
+      var st = (0.1, Seq.fill(k)(0.9), Seq.fill(k)(0.1))
+      val lls = scala.collection.mutable.ArrayBuffer(
+        loglik(st._1, st._2, st._3))
+      (1 to iters).foreach { _ =>
+        st = step(st._1, st._2, st._3)
+        lls += loglik(st._1, st._2, st._3)
+      }
+      (st._1, st._2, st._3, lls.toSeq)
+    }
+    val (p, m, u, lls) = replay(30)
+    val got = FellegiSunter.emEstimate(census, iters = 30)
+    // the two implementations fold in different orders, so allow ulps
+    assert(math.abs(got.p - p) < 1e-12)
+    (0 until 3).foreach { j =>
+      assert(math.abs(got.m(j) - m(j)) < 1e-12, s"m($j)")
+      assert(math.abs(got.u(j) - u(j)) < 1e-12, s"u($j)")
+    }
+    // EM guarantee: observed-data log-likelihood never decreases
+    lls.sliding(2).foreach { w => assert(w(1) >= w(0) - 1e-9) }
+    // params in range
+    assert(got.p > 0 && got.p < 1)
+    assert((got.m ++ got.u).forall(x => x >= 1e-6 && x <= 1 - 1e-6))
+  }
+
+  test("fs_em_linkage: every output row's ledger replays from the fit") {
+    val prm = graft.queries.WarehouseQueries.fsEmParamsForTest(spark, sfDir)
+    val out = graft.queries.WarehouseQueries.fsEmLinkage(spark, sfDir)
+      .collect()
+    assert(out.length == 50)
+    out.foreach { r =>
+      def term(flag: Boolean, j: Int) =
+        if (flag) math.log(prm.m(j) / prm.u(j))
+        else math.log((1.0 - prm.m(j)) / (1.0 - prm.u(j)))
+      val want = BigDecimal((term(r.getBoolean(2), 0) +
+          term(r.getBoolean(3), 1)) + term(r.getBoolean(4), 2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(want - r.getAs[Double]("score")) < 1e-9)
+    }
+  }
+
   test("media_decode_jpeg_witness: zero cross-decoder mismatches") {
     val r = graft.queries.MultimodalQueries
       .mediaDecodeJpegWitness(spark, sfDir).head()
