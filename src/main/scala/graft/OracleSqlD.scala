@@ -2534,18 +2534,14 @@ private[graft] object OracleSqlD {
        |    'string_agg', '')""".stripMargin
   }
 
-  /** Round-17 additions (D128-D130). Kept out of [[staticSql]] so the
-    * builder-rendered pieces (repair chain, phrase mojibake) stay next
-    * to their generators.
+  /** The D128 canonicalizer chain through `c` (doc_id, n_chars,
+    * canonical_url) — shared by `url_dedup` and `stream_url_dedup`.
+    * RAW margins (no stripMargin here): the text interpolates into
+    * templates that strip ONCE — stripping twice would eat the first
+    * bar of SQL `||` concat lines (the corpusPipelineChain rule).
     */
-  private[graft] lazy val r17Sql: Map[String, String] = Map(
-
-    // D128: same messy-URL derivation, then an INDEPENDENT SQL
-    // canonicalizer (regexp parse + token-list percent-norm + utm
-    // filter) and window-based keep-best (the engine uses a
-    // struct-max aggregate — different mechanism, same rule)
-    "url_dedup" ->
-      s"""WITH d AS (SELECT doc_id, n_chars, doc_id // 3 AS g,
+  private lazy val urlCanonChainSql: String =
+    s"""WITH d AS (SELECT doc_id, n_chars, doc_id // 3 AS g,
          |    doc_id % 3 AS v FROM documents),
          |s AS (SELECT doc_id, n_chars, v, CAST(g AS VARCHAR) AS gs,
          |    CAST(g % 20 AS VARCHAR) AS ks FROM d),
@@ -2602,7 +2598,20 @@ private[graft] object OracleSqlD {
          |      (CASE WHEN path1 = '' THEN '/' ELSE path1 END) ||
          |      (CASE WHEN query2 IS NULL THEN ''
          |        ELSE '?' || query2 END) AS canonical_url
-         |  FROM qf),
+         |  FROM qf)"""
+
+  /** Round-17 additions (D128-D130). Kept out of [[staticSql]] so the
+    * builder-rendered pieces (repair chain, phrase mojibake) stay next
+    * to their generators.
+    */
+  private[graft] lazy val r17Sql: Map[String, String] = Map(
+
+    // D128: same messy-URL derivation, then an INDEPENDENT SQL
+    // canonicalizer (regexp parse + token-list percent-norm + utm
+    // filter) and window-based keep-best (the engine uses a
+    // struct-max aggregate — different mechanism, same rule). The
+    // chain is shared with E41's streaming twin below.
+    "url_dedup" -> s"""$urlCanonChainSql,
          |r AS (SELECT canonical_url, doc_id, n_chars,
          |    CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT)
          |      AS n_dups,
@@ -2610,6 +2619,17 @@ private[graft] object OracleSqlD {
          |      ORDER BY n_chars DESC, doc_id) AS rn
          |  FROM c)
          |SELECT canonical_url, doc_id, n_chars, n_dups FROM r
+         |WHERE rn = 1 ORDER BY canonical_url""".stripMargin,
+
+    // E41: the same chain + keep-best select, WITHOUT the group
+    // multiplicity — the streaming sink's state carries the argmax
+    // per canonical URL, not the count (StreamFaces.streamUrlDedup)
+    "stream_url_dedup" -> s"""$urlCanonChainSql,
+         |r AS (SELECT canonical_url, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY canonical_url
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM c)
+         |SELECT canonical_url, doc_id, n_chars FROM r
          |WHERE rn = 1 ORDER BY canonical_url""".stripMargin,
 
     // D129: same dirty/clean construction (phrase constants shared

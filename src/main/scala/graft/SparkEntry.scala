@@ -208,6 +208,7 @@ object SparkEntry {
     "stream_watermark_dedup" -> (StreamFaces.streamWatermarkDedup _),
     "stream_upsert_latest" -> (StreamFaces.streamUpsertLatest _),
     "stream_upsert_multibatch" -> (StreamFaces.streamUpsertMultibatch _),
+    "stream_url_dedup"   -> (StreamFaces.streamUrlDedup _),
     "stream_admission_multibatch" -> (StreamFaces.streamAdmissionMultibatch _),
     "stream_scd2_history" -> (StreamFaces.streamScd2History _),
     "stream_trending_multibatch" -> (StreamFaces.streamTrendingMultibatch _),

@@ -1192,6 +1192,44 @@ object StreamFaces {
       .orderBy(col("user_id"))
   }
 
+  /** E41: the D128 crawl URL-dedup kept LIVE — canonical-URL keep-best
+    * as a continuous merge. Documents arrive as THREE real micro-
+    * batches sliced doc_id mod 3, which lands each URL group's three
+    * spellings (one resource per 3 consecutive ids — see
+    * [[TextQueries.crawlUrl]]) in three DIFFERENT batches, so every
+    * group's winner must survive at least two cross-batch merges.
+    * The sink is [[graft.streaming.StreamingUpsert.startKeepBest]]:
+    * max n_chars, ties to the smallest doc_id — the same total order
+    * as the batch key, and max over a total order is associative/
+    * commutative, so the final table equals the batch keep-best under
+    * ANY batching. Oracle: the url_dedup canonicalizer chain with the
+    * keep-best select (state carries the argmax, not the group
+    * multiplicity, so n_dups is the one batch-key column not
+    * reproduced here).
+    */
+  def streamUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_stream_url")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.UrlFunctions.canonical_url(TextQueries.crawlUrl)
+          .as("canonical_url"),
+        (lit(0L) - col("doc_id")).as("neg_id"))
+    val src = sliceSource(docs, base, pmod(col("doc_id"), lit(3)), 3)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = graft.streaming.StreamingUpsert.startKeepBest(
+      stream, keys = Seq("canonical_url"), versionCol = "n_chars",
+      tiebreak = Seq("neg_id"),
+      tablePath = s"$base/table", checkpoint = s"$base/ckpt")
+    q.awaitTermination()
+    val batches = committedBatches(s"$base/ckpt")
+    require(batches == 3, s"expected 3 committed micro-batches, saw $batches")
+    spark.read.parquet(s"$base/table")
+      .select(col("canonical_url"), col("doc_id"), col("n_chars"))
+      .orderBy(col("canonical_url"))
+  }
+
   /** E9's ORDER-DEPENDENT multi-batch variant as a gated key: the
     * corpus seeded with the EVEN docs + persisted band index, the odd
     * docs arriving as THREE micro-batches (doc_id mod 6 = 1, 3, 5 in

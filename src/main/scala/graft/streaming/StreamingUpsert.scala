@@ -51,6 +51,55 @@ object StreamingUpsert {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Keep-BEST streaming merge (E41, the D128 crawl-dedup kept live):
+    * unlike [[start]] — where the arriving batch unconditionally wins
+    * on key collision (keep-LATEST, the upsert contract) — each
+    * micro-batch here competes against the standing table under the
+    * SAME total order as the within-batch winner: max `versionCol`,
+    * ties broken by max `tiebreak`. A previously-stored row with a
+    * higher version survives a later arrival. Because max under a
+    * total order is associative and commutative, the final table is
+    * independent of HOW the input was batched — stream ≡ batch is
+    * algebraic, and the read face hash-matches the batch key's oracle
+    * under any slicing.
+    *
+    * Scale shape: per batch, one within-batch window (group sizes =
+    * per-batch key multiplicity) + one union-window against the base
+    * keyed on the same column — the identical cost class as [[start]]'s
+    * anti-join merge. Same staged parquet swap discipline.
+    */
+  def startKeepBest(stream: DataFrame, keys: Seq[String], versionCol: String,
+                    tiebreak: Seq[String], tablePath: String,
+                    checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.col
+        val deduped = Upsert.keepLatest(batch, keys, col(versionCol),
+          tiebreak.map(col))
+        val merged = scala.util.Try(spark.read.parquet(tablePath)).toOption match {
+          case Some(base) => Upsert.keepLatest(
+            base.unionByName(deduped), keys, col(versionCol),
+            tiebreak.map(col))
+          case None => deduped
+        }
+        val dst = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(dst.getParent, dst.getName + "__staging")
+        val aside = new org.apache.hadoop.fs.Path(dst.getParent, dst.getName + "__prev")
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        if (fs.exists(dst))
+          require(fs.rename(dst, aside), s"keep-best sink: could not move $dst aside")
+        require(fs.rename(tmp, dst), s"keep-best sink: could not move $tmp into place")
+        if (fs.exists(aside))
+          require(fs.delete(aside, true), s"keep-best sink: could not drop $aside")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** E3 ∘ A12: the same continuous merge, committed through
     * [[graft.sources.SnapshotLake]] — every micro-batch becomes a
     * VERSIONED copy-on-write commit, so the streaming table gains the

@@ -236,6 +236,15 @@ class UrlEncodingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_url_dedup: 3-micro-batch keep-best ≡ batch url_dedup") {
+    val stream = graft.queries.StreamFaces.streamUrlDedup(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val batch = graft.queries.TextQueries.urlDedup(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stream.toSeq == batch.toSeq,
+      "cross-batch keep-best must equal the batch argmax row for row")
+  }
+
   test("media_decode_jpeg_witness: zero cross-decoder mismatches") {
     val r = graft.queries.MultimodalQueries
       .mediaDecodeJpegWitness(spark, sfDir).head()
