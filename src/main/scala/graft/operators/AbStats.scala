@@ -344,8 +344,8 @@ object AbStats {
       .groupBy(col("__f"))
       .agg(count(lit(1)).as("c"),
         sum(when(col("__l"), 1L).otherwise(0L)).as("p")))
-    val cum1 = PrefixSum.runningSum(groups, col("__f"), col("c"), "cn")
-    val cums = PrefixSum.runningSum(cum1, col("__f"), col("p"), "cp")
+    val cums = PrefixSum.runningSums(groups, col("__f"),
+      Seq(col("c") -> "cn", col("p") -> "cp"))
     val totals = groups.agg(sum(col("c")).cast("long").as("n"),
       sum(col("p")).cast("long").as("np"))
     val scored = cums.crossJoin(broadcast(totals))
@@ -436,8 +436,8 @@ object AbStats {
       .groupBy(col("__v"))
       .agg(sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("c0"),
         sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("c1")))
-    val cum0 = PrefixSum.runningSum(groups, col("__v"), col("c0"), "cum0")
-    val cums = PrefixSum.runningSum(cum0, col("__v"), col("c1"), "cum1")
+    val cums = PrefixSum.runningSums(groups, col("__v"),
+      Seq(col("c0") -> "cum0", col("c1") -> "cum1"))
     val totals = groups.agg(sum(col("c0")).cast("long").as("n0"),
       sum(col("c1")).cast("long").as("n1"))
     val gapped = cums.crossJoin(broadcast(totals))
@@ -552,14 +552,14 @@ object AbStats {
     val lrMiss = math.log((1 - p1) / (1 - p0)) // per-non-conversion step
     val upper = math.log((1 - beta) / alpha)
     val lower = math.log(beta / (1 - alpha))
-    // cut the calendar-bounded day frame once — both PrefixSum
-    // passes read it, and each would otherwise re-scan the corpus
+    // cut the day frame once: repartitionByRange SAMPLES its input in
+    // a separate job, so an un-cut frame would re-run the corpus
+    // groupBy twice (sample + shuffle) — measured 1.5× on this key
     val daily = Materialize.cut(df.groupBy(day.as("day"))
       .agg(count(lit(1)).as("trials"),
         sum(when(converted, 1L).otherwise(0L)).as("conversions")))
-    val cum = PrefixSum.runningSum(
-      PrefixSum.runningSum(daily, col("day"), col("trials"), "cum_n"),
-      col("day"), col("conversions"), "cum_k")
+    val cum = PrefixSum.runningSums(daily, col("day"),
+      Seq(col("trials") -> "cum_n", col("conversions") -> "cum_k"))
     val llr = col("cum_k").cast("double") * lit(lrConv) +
       (col("cum_n") - col("cum_k")).cast("double") * lit(lrMiss)
     cum.select(col("day"), col("trials"), col("conversions"),
@@ -608,12 +608,13 @@ object AbStats {
       (math.log(p / p0), math.log((1 - p) / (1 - p0))))
     val lnW = math.log(1.0 / grid.size) // uniform mixture weight
     val rejectLine = math.log(1.0 / alpha)
+    // cut: the range pass's sampling job would otherwise re-run the
+    // corpus groupBy (see sprtMonitor's note)
     val daily = Materialize.cut(df.groupBy(day.as("day"))
       .agg(count(lit(1)).as("trials"),
         sum(when(converted, 1L).otherwise(0L)).as("conversions")))
-    val cum = PrefixSum.runningSum(
-      PrefixSum.runningSum(daily, col("day"), col("trials"), "cum_n"),
-      col("day"), col("conversions"), "cum_k")
+    val cum = PrefixSum.runningSums(daily, col("day"),
+      Seq(col("trials") -> "cum_n", col("conversions") -> "cum_k"))
     // t_j = k·a_j + (n−k)·b_j, association fixed to match the oracle
     val ts = steps.map { case (a, b) =>
       col("cum_k").cast("double") * lit(a) +
@@ -749,11 +750,25 @@ object AbStats {
                                spend: Double => Double = null): DataFrame = {
     requireLookSchedule(fracPct, alpha)
     val sp = Option(spend).getOrElse(AlphaSpending.obfSpend(alpha) _)
-    val fracs = infoLookFractions(df, day, fracPct)
+    // ONE corpus scan: the day cells carry a total-rows rider so the
+    // census (driver-side literals) and the look frame share the scan
+    // — infoLookFractions(df, ...) would re-scan the corpus for a
+    // per-day count the cells aggregate already produces. The census
+    // values (and therefore every embedded literal) are identical.
+    val a0 = arm === 0; val a1 = arm === 1
+    val cells = Materialize.cut(df.groupBy(day.as("day"))
+      .agg(sum(when(a0, 1L).otherwise(0L)).as("t0"),
+        sum(when(a0 && converted, 1L).otherwise(0L)).as("k0"),
+        sum(when(a1, 1L).otherwise(0L)).as("t1"),
+        sum(when(a1 && converted, 1L).otherwise(0L)).as("k1"),
+        count(lit(1)).as("__tot")))
+    val census = cells.orderBy(col("day")).select(col("__tot"))
+      .collect().map(_.getLong(0)).toSeq
+    val fracs = infoLookFractionsFromCensus(census, fracPct)
     val bounds = AlphaSpending.boundsRoundedAt(fracs, alpha, sp)
     val spends = AlphaSpending.spendRoundedAt(fracs, alpha, sp)
     val infos = fracs.map(AlphaSpending.round6)
-    val ranked = convLookFrame(df, day, arm, converted)
+    val ranked = lookFrameFromDaily(cells.drop("__tot"))
     sequentialDecision(
       ranked.withColumn("look", lookColFor(fracPct))
         .filter(col("look").isNotNull),
@@ -770,10 +785,19 @@ object AbStats {
     * silently.
     */
   def infoLookFractions(df: DataFrame, day: Column,
-                        fracPct: Seq[Int]): Seq[Double] = {
-    val census = df.groupBy(day.as("__day")).agg(count(lit(1)).as("__n"))
-      .orderBy(col("__day")).select(col("__n")).collect()
-      .map(_.getLong(0))
+                        fracPct: Seq[Int]): Seq[Double] =
+    infoLookFractionsFromCensus(
+      df.groupBy(day.as("__day")).agg(count(lit(1)).as("__n"))
+        .orderBy(col("__day")).select(col("__n")).collect()
+        .map(_.getLong(0)).toSeq,
+      fracPct)
+
+  /** The census fold behind [[infoLookFractions]], exposed so a caller
+    * that already aggregated per-day totals (the monitor's day cells)
+    * can reuse them instead of paying a second corpus scan.
+    */
+  private[graft] def infoLookFractionsFromCensus(
+      census: Seq[Long], fracPct: Seq[Int]): Seq[Double] = {
     require(census.nonEmpty, "infoLookFractions: empty frame")
     val d = census.length
     val cum = census.scanLeft(0L)(_ + _).tail
@@ -903,12 +927,16 @@ object AbStats {
     lookFrameFromDaily(dailyConvCells(df, day, arm, converted))
 
   private def lookFrameFromDaily(dailyCells: DataFrame): DataFrame = {
+    // all five cumulatives ride ONE range pass (one shuffle, one
+    // lineage cut, one partitioned window) — chaining runningSum per
+    // mass re-range-shuffled the day frame five times. The cut keeps
+    // the range pass's SAMPLING job off the corpus scan (it re-runs
+    // the input subtree otherwise).
     val daily = Materialize.cut(dailyCells.withColumn("__one", lit(1L)))
-    val cum = Seq(("t0", "cum_n0"), ("k0", "cum_k0"), ("t1", "cum_n1"),
-        ("k1", "cum_k1"), ("__one", "__r"))
-      .foldLeft(daily) { case (d, (in, out)) =>
-        PrefixSum.runningSum(d, col("day"), col(in), out)
-      }
+    val cum = PrefixSum.runningSums(daily, col("day"),
+      Seq(col("t0") -> "cum_n0", col("k0") -> "cum_k0",
+        col("t1") -> "cum_n1", col("k1") -> "cum_k1",
+        col("__one") -> "__r"))
     val total = cum.agg(max(col("__r")).cast("long").as("__d"))
     cum.crossJoin(broadcast(total))
   }
