@@ -289,6 +289,79 @@ object GraftKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Rebuild `s` dropping every codepoint covered by a `len`-codepoint
+    * window starting at any of `starts` (1-based codepoint positions,
+    * any order, duplicates fine) — the single-pass kernel behind
+    * SuffixDedup's positional rewrite. Exactly equivalent to
+    * "filter positions 1..n by membership in ∪[p, p+len−1], then
+    * concatenate the survivors", which the HOF formulation paid
+    * O(n·|cov|) array_contains probes and n one-char substrings for.
+    */
+  def stripCoveredWindows(s: UTF8String, starts: ArrayData,
+                          len: Int): UTF8String = {
+    val m = starts.numElements()
+    if (m == 0) return s
+    val str = s.toString
+    val nChars = str.length
+    // cover flags over UTF-16 char indices, walked in codepoint steps
+    val n = str.codePointCount(0, nChars)
+    val cover = new Array[Boolean](n)
+    var k = 0
+    while (k < m) {
+      val p0 = starts.getInt(k) - 1 // 0-based first covered codepoint
+      var i = p0
+      val end = math.min(p0 + len, n)
+      while (i < end) { cover(i) = true; i += 1 }
+      k += 1
+    }
+    val sb = new java.lang.StringBuilder(nChars)
+    var ci = 0
+    var cp = 0
+    while (ci < nChars) {
+      val c = str.codePointAt(ci)
+      if (!cover(cp)) sb.appendCodePoint(c)
+      cp += 1
+      ci += Character.charCount(c)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Array twin of [[stripCoveredWindows]]: drop every element of
+    * `toks` whose 0-based position is covered by an `n`-position
+    * window starting at any of `starts` (0-based, any order,
+    * duplicates fine). Returns the kept elements in order — replaces
+    * the O(|toks|·|cov|) `filter(toks, (x,i) => !array_contains(...))`
+    * HOF probe with one boolean-mask pass.
+    */
+  def stripCoveredPositions(toks: ArrayData, starts: ArrayData,
+                            n: Int): ArrayData = {
+    val m = starts.numElements()
+    if (m == 0) return toks
+    val len = toks.numElements()
+    val cover = new Array[Boolean](len)
+    var k = 0
+    while (k < m) {
+      var i = starts.getInt(k)
+      val end = math.min(i + n, len)
+      while (i < end) { cover(i) = true; i += 1 }
+      k += 1
+    }
+    var kept = 0
+    var i = 0
+    while (i < len) { if (!cover(i)) kept += 1; i += 1 }
+    val out = new Array[Any](kept)
+    var o = 0
+    i = 0
+    while (i < len) {
+      if (!cover(i)) {
+        out(o) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+        o += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Asymmetric distance computation for product-quantized codes:
     * squared L2 between a raw query vector and a PQ-coded corpus
     * vector, read off the flattened codebooks
@@ -515,6 +588,56 @@ case class CharWindowHashes(child: Expression, len: Int)
   override def prettyName: String = "char_window_hashes"
 }
 
+/** StripCoveredWindows(string, array<int> starts, len) → string with
+  * every `len`-codepoint window at the (1-based) start positions
+  * removed (see GraftKernels.stripCoveredWindows).
+  */
+case class StripCoveredWindows(left: Expression, right: Expression, len: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(IntegerType, _)) if len > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"strip_covered_windows needs (string, array<int>) and len>0, got $t")
+    }
+  override def nullSafeEval(s: Any, starts: Any): Any =
+    GraftKernels.stripCoveredWindows(
+      s.asInstanceOf[UTF8String], starts.asInstanceOf[ArrayData], len)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, p) =>
+      s"graft.functions.GraftKernels.stripCoveredWindows($s, $p, $len)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StripCoveredWindows =
+    copy(left = l, right = r)
+  override def prettyName: String = "strip_covered_windows"
+}
+
+/** StripCoveredPositions(array<string>, array<int> starts, n) →
+  * array<string> with every `n`-position window at the (0-based)
+  * start positions removed (see GraftKernels.stripCoveredPositions).
+  */
+case class StripCoveredPositions(left: Expression, right: Expression, n: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = left.dataType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) if n > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"strip_covered_positions needs (array<string>, array<int>) and n>0, got $t")
+    }
+  override def nullSafeEval(toks: Any, starts: Any): Any =
+    GraftKernels.stripCoveredPositions(
+      toks.asInstanceOf[ArrayData], starts.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) =>
+      s"graft.functions.GraftKernels.stripCoveredPositions($t, $p, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StripCoveredPositions =
+    copy(left = l, right = r)
+  override def prettyName: String = "strip_covered_positions"
+}
+
 /** PqAdc(array<float> query, array<tinyint> codes) → double squared-L2
   * via the flattened PQ codebooks. The codebooks ship with the
   * serialized plan through `ctx.addReferenceObj` (NOT a static
@@ -615,6 +738,12 @@ object GraftFunctions {
     ColumnBridge.column(HyperplaneBucketExpr(ColumnBridge.expression(v), planes))
   def char_window_hashes(c: Column, len: Int): Column =
     ColumnBridge.column(CharWindowHashes(ColumnBridge.expression(c), len))
+  def strip_covered_windows(s: Column, starts: Column, len: Int): Column =
+    ColumnBridge.column(StripCoveredWindows(ColumnBridge.expression(s),
+      ColumnBridge.expression(starts), len))
+  def strip_covered_positions(toks: Column, starts: Column, n: Int): Column =
+    ColumnBridge.column(StripCoveredPositions(ColumnBridge.expression(toks),
+      ColumnBridge.expression(starts), n))
   def pq_adc(q: Column, codes: Column, flat: Array[Float],
              ksub: Int, ds: Int): Column =
     ColumnBridge.column(PqAdc(ColumnBridge.expression(q),

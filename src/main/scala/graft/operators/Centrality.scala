@@ -59,11 +59,12 @@ object Centrality {
     var ranks = Materialize.cut(ns.select(col("id"), lit(r0).as("rank")))
     var it = 0
     while (it < iterations) {
-      val contrib = eo.join(ranks, col("src") === col("id"))
+      val contrib = eo.join(ranks.hint("shuffle_hash"),
+          col("src") === col("id"))
         .select(col("dst"), expr("`rank` DIV outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       val next = ns
-        .join(contrib, col("id") === col("dst"), "left")
+        .join(contrib.hint("shuffle_hash"), col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(base) +
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
@@ -114,11 +115,12 @@ object Centrality {
     var ranks = Materialize.cut(ns.select(col("id"), lit(r0).as("rank")))
     var it = 0
     while (it < iterations) {
-      val contrib = eo.join(ranks, col("src") === col("id"))
+      val contrib = eo.join(ranks.hint("shuffle_hash"),
+          col("src") === col("id"))
         .select(col("dst"), expr("(`rank` * w) DIV wout").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       val next = ns
-        .join(contrib, col("id") === col("dst"), "left")
+        .join(contrib.hint("shuffle_hash"), col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(base) +
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
@@ -165,11 +167,12 @@ object Centrality {
     var ranks = Materialize.cut(ns.select(col("id"), col("t").as("rank")))
     var it = 0
     while (it < iterations) {
-      val contrib = eo.join(ranks, col("src") === col("id"))
+      val contrib = eo.join(ranks.hint("shuffle_hash"),
+          col("src") === col("id"))
         .select(col("dst"), expr("`rank` DIV outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       val next = ns
-        .join(contrib, col("id") === col("dst"), "left")
+        .join(contrib.hint("shuffle_hash"), col("id") === col("dst"), "left")
         .select(col("id"),
           (expr("(15 * t) DIV 100") +
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
@@ -229,15 +232,15 @@ object Centrality {
     var auth: DataFrame = null
     var it = 0
     while (it < iterations) {
-      val aRaw = e.join(hub, col("src") === col("id"))
+      val aRaw = e.join(hub.hint("shuffle_hash"), col("src") === col("id"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("c"))
       auth = normalized(
-        ns.join(aRaw, col("id") === col("dst"), "left")
+        ns.join(aRaw.hint("shuffle_hash"), col("id") === col("dst"), "left")
           .select(col("id"), coalesce(col("c"), lit(0L)).as("s")), "authority")
-      val hRaw = e.join(auth, col("dst") === col("id"))
+      val hRaw = e.join(auth.hint("shuffle_hash"), col("dst") === col("id"))
         .groupBy(col("src")).agg(sum(col("authority")).as("c"))
       hub = normalized(
-        ns.join(hRaw, col("id") === col("src"), "left")
+        ns.join(hRaw.hint("shuffle_hash"), col("id") === col("src"), "left")
           .select(col("id"), coalesce(col("c"), lit(0L)).as("s")), "hub")
       it += 1
     }
@@ -273,10 +276,12 @@ object Centrality {
     var it = 0
     while (it < maxIter) {
       val frontier = dist.filter(col("dist") === lit(it.toLong))
-      val reached = e.join(frontier, col("src") === col("id"))
+      val reached = e.join(frontier.hint("shuffle_hash"),
+          col("src") === col("id"))
         .select(col("dst")).distinct()
         .withColumn("__hit", lit(1L))
-      val step = dist.join(reached, col("id") === col("dst"), "left")
+      val step = dist.join(reached.hint("shuffle_hash"),
+          col("id") === col("dst"), "left")
         .select(col("id"),
           when(col("dist") >= 0, col("dist"))
             .otherwise(when(col("__hit").isNotNull, lit(it + 1L))
@@ -324,10 +329,12 @@ object Centrality {
     var frontier = dist.filter(col("dist").isNotNull)
     var it = 0
     while (it < maxIter) {
-      val cand = e.join(frontier, col("src") === col("id"))
+      val cand = e.join(frontier.hint("shuffle_hash"),
+          col("src") === col("id"))
         .select(col("dst"), (col("dist") + col("w")).as("__c"))
         .groupBy(col("dst")).agg(min(col("__c")).as("__best"))
-      val step = dist.join(cand, col("id") === col("dst"), "left")
+      val step = dist.join(cand.hint("shuffle_hash"),
+          col("id") === col("dst"), "left")
         .select(col("id"), col("dist"), col("__best"),
           when(col("dist").isNull, col("__best"))
             .when(col("__best").isNull, col("dist"))

@@ -64,7 +64,8 @@ object Community {
       // plurality histogram: for each node, how many in-neighbors
       // carry each label — map-side combine collapses duplicates
       // before the (src, community) shuffle
-      val hist = e.join(labels, col("dst") === col("id"))
+      val hist = e.join(labels.hint("shuffle_hash"),
+          col("dst") === col("id"))
         .groupBy(col("src"), col("community"))
         .agg(count(lit(1)).as("c"))
       // argmax with min-label tiebreak as ONE partial-aggregable
@@ -74,7 +75,7 @@ object Community {
         .agg(min(struct((-col("c")).as("nc"), col("community").as("l")))
           .as("b"))
         .select(col("src").as("id"), col("b.l").as("next"))
-      val step = labels.join(best, Seq("id"), "left")
+      val step = labels.join(best.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"),
           coalesce(col("next"), col("community")).as("community"))
       it += 1

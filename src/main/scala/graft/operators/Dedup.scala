@@ -847,13 +847,17 @@ object Dedup {
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= minCount)
       .select(col("gram"))
+    // fold hot START positions only (n× fewer rows into the per-doc
+    // aggregation than exploding every covered index) and expand
+    // ∪[pos, pos+n−1] inside the one-pass mask kernel — identical
+    // kept-token sequence to the old explode/collect_set/HOF-filter
+    // formulation, which paid O(|toks|·|cov|) array_contains probes
     val covered = occ.join(hot, "gram")
-      .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("cp"))
-      .groupBy(col("id")).agg(collect_set(col("cp")).as("cov"))
+      .groupBy(col("id")).agg(collect_set(col("pos")).as("cov"))
     toked.join(covered, Seq("id"), "left")
       .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
-      .withColumn("clean_toks",
-        filter(col("toks"), (x, i) => !array_contains(col("cov"), i)))
+      .withColumn("clean_toks", graft.functions.GraftFunctions
+        .strip_covered_positions(col("toks"), col("cov"), n))
       .select(col("id"),
         array_join(col("clean_toks"), " ").as("clean_text"),
         (size(col("toks")) - size(col("clean_toks"))).as("n_removed"))

@@ -76,10 +76,15 @@ object SuffixDedup {
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= minCount)
       .select(col("h"))
-    val survG = occ.join(hotHash, "h")
+    // survivor volume is bounded by TRUE repeat volume (plus the odd
+    // hash collision), so the nominated frame is small — cut it once
+    // and both exact-verify consumers (the gram re-count and the final
+    // join) read the materialized rows instead of each re-running the
+    // corpus-wide rolling-hash posexplode subtree (3 full passes → 2)
+    val survG = Materialize.cut(occ.join(hotHash, "h")
       .join(df.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
       .select(col("id"), col("pos"),
-        col("__t").substr(col("pos"), lit(len)).as("gram"))
+        col("__t").substr(col("pos"), lit(len)).as("gram")))
     val hotG = survG.groupBy(col("gram"))
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= minCount)
@@ -141,20 +146,23 @@ object SuffixDedup {
       s"stripRepeatedCharSpans: minLen must be positive, got $minLen")
     require(minCount >= 2,
       s"stripRepeatedCharSpans: minCount < 2 would remove every char, got $minCount")
+    // fold hot START positions per doc (collect_set of the starts —
+    // `minLen`× fewer shuffled rows than exploding every covered
+    // position) and expand ∪[pos, pos+L−1] inside the one-pass rewrite
+    // kernel; the result string is identical to the old
+    // explode/collect_set/array_contains formulation, which paid an
+    // O(n·|cov|) non-codegen HOF probe plus n one-char substrings per
+    // doc
     val covered = hotOccurrences(df, textCol, idCol, minLen, minCount)
-      .select(col("id"),
-        explode(sequence(col("pos"), col("pos") + (minLen - 1))).as("cp"))
-      .groupBy(col("id")).agg(collect_set(col("cp")).as("cov"))
+      .groupBy(col("id")).agg(collect_set(col("pos")).as("cov"))
     val text = col(textCol)
-    val positions = when(length(text) >= 1, sequence(lit(1), length(text)))
-      .otherwise(array().cast("array<int>"))
-    df.select(col(idCol).as("id"), text.as("__t"), positions.as("__ps"))
+    df.select(col(idCol).as("id"), text.as("__t"))
       .join(covered, Seq("id"), "left")
       .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
-      .withColumn("clean_text",
-        array_join(transform(
-          filter(col("__ps"), i => !array_contains(col("cov"), i)),
-          i => col("__t").substr(i, lit(1))), ""))
+      // coalesce matches the HOF formulation's null-text edge (it
+      // built "" from an empty position array; the kernel is null-safe)
+      .withColumn("clean_text", coalesce(graft.functions.GraftFunctions
+        .strip_covered_windows(col("__t"), col("cov"), minLen), lit("")))
       .select(col("id"), col("clean_text"),
         (length(col("__t")) - length(col("clean_text"))).as("n_removed"))
   }

@@ -11,8 +11,13 @@ import graft.operators.{Dedup, Resample}
   * decontamination → [optional per-stratum quota cap] → mixture
   * resampling → train/val/test split → deterministic order key. One
   * lazy DataFrame composition — Catalyst sees the whole flow, so the
-  * quality filter pushes into the scan, stages share the corpus scan
-  * where possible, and nothing materializes until the caller writes.
+  * quality filter pushes into the scan and stages share the corpus
+  * scan where possible. The three frames that feed MULTIPLE
+  * downstream legs (URL survivors, exact-dedup survivors, near-dup
+  * survivors) are materialized via [[graft.operators.Materialize.cut]]
+  * — as pure lazy plans the legs multiply, and the stage-0 prefix
+  * re-ran ~12× in the final plan (round-17 measurement); real
+  * pipelines stage exactly these survivor sets to the lake.
   *
   * Stage shapes at 100 TB (each pinned individually by its operator's
   * spec; PipelineSpec pins the composed invariants):
@@ -131,15 +136,22 @@ object CorpusPipeline {
     }
 
     // 0b. (optional) URL-level dedup — BEFORE any content-derived
-    // stage (see Config.urlDedupCol)
+    // stage (see Config.urlDedupCol). The survivor frame is
+    // materialized: it feeds every downstream leg of the composition,
+    // and as a lazy plan the window shuffle (and the whole stage-0
+    // prefix) would re-run once per leg — ~12× by the final plan (the
+    // dedup legs below multiply: clean 2× nearDeduped, nearDeduped 3×
+    // exactDeduped, exactDeduped 2× scored). One cut makes the prefix
+    // run once (guide §1.2: remove repeated passes first).
     val urled = cfg.urlDedupCol match {
       case None => input
       case Some(u) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(graft.functions.UrlFunctions.canonical_url(col(u)))
           .orderBy(length(col(textCol)).desc, col(idCol))
-        input.withColumn("__urn", row_number().over(w))
-          .filter(col("__urn") === 1).drop("__urn", u)
+        graft.operators.Materialize.cut(
+          input.withColumn("__urn", row_number().over(w))
+            .filter(col("__urn") === 1).drop("__urn", u))
     }
 
     // 1. quality gate
@@ -147,11 +159,15 @@ object CorpusPipeline {
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .filter(col("quality") >= cfg.minQuality)
 
-    // 2. exact dedup — keep the canonical (min-id) copy per digest
+    // 2. exact dedup — keep the canonical (min-id) copy per digest.
+    // Materialized: three near-dup legs (LSH candidates, the verify/
+    // resolve pass, the survivor semi-join) each consume this frame —
+    // as a lazy plan each would re-run the digest groupBy + everything
+    // above it.
     val exactKeep = Dedup.exact(scored, col(textCol), col(idCol))
       .select(col("canonical_id").as("__keep"))
-    val exactDeduped = scored
-      .join(exactKeep, scored(idCol) === col("__keep"), "left_semi")
+    val exactDeduped = graft.operators.Materialize.cut(scored
+      .join(exactKeep, scored(idCol) === col("__keep"), "left_semi"))
 
     // 3. near-dup resolution (LSH candidates → verified edges → CC);
     //    keep each component's representative
@@ -162,8 +178,10 @@ object CorpusPipeline {
       cfg.nearDupThreshold, verified = true)
     val repIds = resolved.filter(col("id") === col("canonical_id"))
       .select(col("id").as("__rep"))
-    val nearDeduped = exactDeduped
-      .join(repIds, exactDeduped(idCol) === col("__rep"), "left_semi")
+    // materialized for the same reason: the decontamination probe AND
+    // the anti-join read it
+    val nearDeduped = graft.operators.Materialize.cut(exactDeduped
+      .join(repIds, exactDeduped(idCol) === col("__rep"), "left_semi"))
 
     // 4. benchmark decontamination
     val dirty = Dedup.contamination(nearDeduped, bench, textCol, idCol,

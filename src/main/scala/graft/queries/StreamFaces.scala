@@ -66,16 +66,29 @@ object StreamFaces {
                                  n: Int): String = {
     val src = new java.io.File(s"$base/src"); src.mkdirs()
     val t0 = System.currentTimeMillis() - (n + 1) * 60000L
+    // ONE tagged single-task partitioned write produces every slice
+    // file (one file per non-empty slice value) — the per-slice
+    // filter-write loop paid n full input scans plus n read-back
+    // non-emptiness jobs for the same bytes. Slice k's file contents
+    // (schema, rows, scan order) are identical to the old
+    // `filter(sliceOf === k).coalesce(1)` write: the partition column
+    // is appended last and stripped by partitionBy, and one task sees
+    // the same scan order. A missing partition directory IS the old
+    // emptiness failure; rows outside 0..n−1 land in ignored dirs
+    // exactly as the old filters dropped them.
+    val tmp = new java.io.File(s"$base/tmp_slices")
+    df.withColumn("__slice", sliceOf).coalesce(1)
+      .write.partitionBy("__slice").parquet(tmp.getAbsolutePath)
     (0 until n).foreach { k =>
-      val tmp = new java.io.File(s"$base/tmp$k")
-      df.filter(sliceOf === k).coalesce(1).write.parquet(tmp.getAbsolutePath)
-      require(df.sparkSession.read.parquet(tmp.getAbsolutePath).limit(1)
-          .count() == 1L,
+      val dir = new java.io.File(tmp, s"__slice=$k")
+      val parts = Option(dir.listFiles())
+        .map(_.filter(_.getName.endsWith(".parquet")))
+        .getOrElse(Array.empty[java.io.File])
+      require(parts.length == 1,
         s"sliceSource: slice $k of $n is empty — the stream would run " +
           s"fewer micro-batches than the face asserts")
-      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
       val dst = new java.io.File(src, s"slice$k.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
+      java.nio.file.Files.move(parts.head.toPath, dst.toPath)
       require(dst.setLastModified(t0 + k * 60000L),
         s"sliceSource: could not set mtime on $dst")
     }

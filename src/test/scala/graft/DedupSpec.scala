@@ -185,6 +185,37 @@ class DedupSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("strip_covered_windows kernel: codepoints, overlap, unsorted starts") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def strip(s: String, starts: Seq[Int], len: Int): String =
+      graft.functions.GraftKernels.stripCoveredWindows(
+        UTF8String.fromString(s), new GenericArrayData(starts.toArray),
+        len).toString
+    // reference: union of [p, p+len-1] over 1-based codepoint starts
+    def ref(s: String, starts: Seq[Int], len: Int): String = {
+      val cps = s.codePoints().toArray
+      val cov = starts.flatMap(p => (p - 1) until math.min(p - 1 + len,
+        cps.length)).toSet
+      new String(cps.zipWithIndex.collect {
+        case (c, i) if !cov(i) => c }, 0,
+        cps.zipWithIndex.count { case (_, i) => !cov(i) })
+    }
+    val uni = "aéb😀cdে́fgh" // astral + combining marks
+    for {
+      (s, starts, len) <- Seq(
+        ("abcdefghij", Seq(2, 5), 3),          // overlap-free
+        ("abcdefghij", Seq(1, 2, 2), 4),       // overlapping + duplicate
+        ("abcdefghij", Seq(8, 3), 3),          // unsorted
+        ("abcdefghij", Seq(1), 10),            // full coverage
+        ("abcdefghij", Seq.empty[Int], 5),     // no repeats
+        (uni, Seq(2, 4), 2),                   // non-BMP codepoint steps
+        (uni, Seq(1), 3),
+        ("", Seq.empty[Int], 4))
+    } assert(strip(s, starts, len) == ref(s, starts, len),
+      s"s=$s starts=$starts len=$len")
+  }
+
   test("contamination: bloom-pruned shuffle path equals the broadcast path") {
     val bench = docs.filter(col("doc_id") % 10 === 0)
     def run(small: Boolean) = graft.operators.Dedup

@@ -131,14 +131,28 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"char-span dedup must stay an equality-join plan:\n$p")
-    // the nominate pass runs on the O(n) rolling-hash kernel — gram
-    // strings must NOT materialize under the counting aggregate (the
-    // substring form only appears above the survivor join)
-    assert(p.contains("char_window_hashes"),
-      s"expected the rolling-hash nominate kernel in the plan:\n$p")
+    // round 17: the positional rewrite runs through the one-pass
+    // kernel (no HOF array_contains probe chain)
+    assert(p.contains("strip_covered_windows"),
+      s"expected the covered-window rewrite kernel in the plan:\n$p")
     val firstAgg = p.indexOf("HashAggregate")
     assert(firstAgg > 0 && p.indexOf("HashAggregate", firstAgg + 1) > 0,
       s"expected partial+final aggregate pair:\n$p")
+    // the nominate pass runs on the O(n) rolling-hash kernel — gram
+    // strings must NOT materialize under the counting aggregate. Since
+    // round 17 the nominated-survivor frame is materialized
+    // (Materialize.cut), so the nominate subtree executes at cut time
+    // and is invisible in the strip plan above; assert the shared
+    // occHashes kernel on the UNCUT charContamination plan instead
+    // (same private occHashes machinery).
+    val pc = graft.operators.SuffixDedup.charContamination(
+        graft.sources.Tables.documents(spark, sfDir),
+        graft.sources.Tables.documents(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+        "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(pc.contains("char_window_hashes"),
+      s"expected the rolling-hash nominate kernel in the plan:\n$pc")
   }
 
   test("TopKRewrite: the window idiom optimizes into the bounded-heap operator") {
