@@ -49,47 +49,61 @@ object BlockedLinkage {
     *                 bound n·maxBlock); blocks above it use SNM
     * @param window   sorted-neighborhood rank window inside oversized
     *                 blocks
+    * @param attrs    extra per-record columns carried THROUGH pair
+    *                 formation as `<attr>_a` / `<attr>_b` (oriented
+    *                 with the id order). Carrying an attribute here
+    *                 costs O(n) extra bytes in the block join; the
+    *                 alternative — joining it back onto the PAIR frame
+    *                 by id — shuffles O(n·maxBlock) pair rows per
+    *                 attribute join (guide §2.3: project before the
+    *                 exchange, attach on the small side)
     */
   def candidatePairs(df: DataFrame, id: String, value: String,
                      block: Column, maxBlock: Int = 1000,
-                     window: Int = 64): DataFrame = {
+                     window: Int = 64,
+                     attrs: Seq[String] = Nil): DataFrame = {
     require(maxBlock >= 1, s"maxBlock must be >= 1, got $maxBlock")
     require(window >= 1, s"window must be >= 1, got $window")
-    val p = df.select(col(id).as("__id"), col(value).as("__val"),
-      block.as("__blk"))
+    val p = df.select(col(id).as("__id") +: col(value).as("__val") +:
+      block.as("__blk") +: attrs.map(col): _*)
     // cut the AGGREGATE-sized block-size frame only (one row per
     // block) — materializing the tagged corpus itself would be the
     // 100-TB hazard; the legs below re-run the cheap scan + size join
     val sizes = Materialize.cut(
       p.groupBy(col("__blk")).agg(count(lit(1)).as("__n")))
     val tagged = p.join(sizes, Seq("__blk"))
+    val carried = Seq("__val") ++ attrs
+    def outName(c: String, s: String) =
+      if (c == "__val") s"val_$s" else s"${c}_$s"
 
     val small = tagged.filter(col("__n") <= maxBlock)
-      .select(col("__blk"), col("__id"), col("__val"))
+      .select(col("__blk") +: col("__id") +: carried.map(col): _*)
     val smallPairs = small.as("a").join(small.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        col("a.__val").as("val_a"), col("b.__val").as("val_b"))
+      .select(col("a.__id").as("id_a") +: col("b.__id").as("id_b") +:
+        (carried.map(c => col(s"a.$c").as(outName(c, "a"))) ++
+         carried.map(c => col(s"b.$c").as(outName(c, "b")))): _*)
 
     val w = Window.partitionBy(col("__blk")).orderBy(col("__val"), col("__id"))
     val big = tagged.filter(col("__n") > maxBlock)
-      .select(col("__blk"), col("__id"), col("__val"))
+      .select(col("__blk") +: col("__id") +: carried.map(col): _*)
       .withColumn("__rnk", row_number().over(w))
       .withColumn("__g", floor((col("__rnk") - 1) / window))
-    val probes = big.select(col("__blk"), col("__id"), col("__val"),
-        col("__rnk"), explode(array(col("__g"), col("__g") - 1)).as("__gp"))
+    val probes = big.select(col("__blk") +: col("__id") +: col("__rnk") +:
+        explode(array(col("__g"), col("__g") - 1)).as("__gp") +:
+        carried.map(col): _*)
       .filter(col("__gp") >= 0)
     val gap = col("b.__rnk") - col("a.__rnk")
     val bigPairs = big.as("a").join(probes.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.__g") === col("b.__gp") &&
           gap >= 1 && gap <= window)
       .select(
-        least(col("a.__id"), col("b.__id")).as("id_a"),
-        greatest(col("a.__id"), col("b.__id")).as("id_b"),
-        when(col("a.__id") <= col("b.__id"), col("a.__val"))
-          .otherwise(col("b.__val")).as("val_a"),
-        when(col("a.__id") <= col("b.__id"), col("b.__val"))
-          .otherwise(col("a.__val")).as("val_b"))
+        least(col("a.__id"), col("b.__id")).as("id_a") +:
+        greatest(col("a.__id"), col("b.__id")).as("id_b") +:
+        (carried.map(c => when(col("a.__id") <= col("b.__id"), col(s"a.$c"))
+            .otherwise(col(s"b.$c")).as(outName(c, "a"))) ++
+         carried.map(c => when(col("a.__id") <= col("b.__id"), col(s"b.$c"))
+            .otherwise(col(s"a.$c")).as(outName(c, "b")))): _*)
 
     smallPairs.unionByName(bigPairs)
   }

@@ -2066,13 +2066,12 @@ object WarehouseQueries {
         .agg(sum(col("__c") * col("__c")).cast("long").as(s"__ss_$f"))
     val stats = n.crossJoin(ss("name")).crossJoin(ss("brand"))
       .crossJoin(ss("ptype"))
+    // brand/ptype ride THROUGH pair formation (the attrs dial) — the
+    // old per-attribute joins back onto the pair frame shuffled
+    // O(pairs) rows twice (≈3.1M pairs at sf0.1) to attach O(n) values
     val pairs = graft.operators.BlockedLinkage.candidatePairs(
         p, "pk", "name", substring(col("name"), 1, 8),
-        maxBlock = 1000, window = 64)
-      .join(p.select(col("pk").as("id_a"), col("brand").as("brand_a"),
-        col("ptype").as("ptype_a")), Seq("id_a"))
-      .join(p.select(col("pk").as("id_b"), col("brand").as("brand_b"),
-        col("ptype").as("ptype_b")), Seq("id_b"))
+        maxBlock = 1000, window = 64, attrs = Seq("brand", "ptype"))
       .withColumn("jw", round(graft.functions.JaroWinkler.jaro_winkler(
         col("val_a"), col("val_b")), 6))
       .crossJoin(broadcast(stats))

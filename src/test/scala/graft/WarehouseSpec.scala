@@ -1673,6 +1673,37 @@ class WarehouseSpec extends AnyFunSuite {
     assert(byPair((1L, 3L)) == ("dddd-y", "dddd-z"))
   }
 
+  test("blocked linkage: carried attrs equal the join-back attach on both legs") {
+    // round-17 optimization: attrs ride THROUGH pair formation instead
+    // of a pair-volume join-back. Pin equivalence on a fixture with an
+    // exhaustive block AND an SNM block (both orientation paths).
+    val df = (linkRows("aaaa", 4, 10L) ++ linkRows("bbbb", 6, 20L))
+      .toDF("id", "name")
+      .withColumn("tag", concat(lit("t"), col("id")))
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5))).toSet
+    val carried = canon(graft.operators.BlockedLinkage.candidatePairs(
+        df, "id", "name", substring(col("name"), 1, 4),
+        maxBlock = 4, window = 2, attrs = Seq("tag"))
+      .select(col("id_a"), col("id_b"), col("val_a"), col("val_b"),
+        col("tag_a"), col("tag_b")).collect())
+    val attach = df.select(col("id"), col("tag"))
+    val joined = canon(graft.operators.BlockedLinkage.candidatePairs(
+        df, "id", "name", substring(col("name"), 1, 4),
+        maxBlock = 4, window = 2)
+      .join(attach.select(col("id").as("id_a"), col("tag").as("tag_a")),
+        Seq("id_a"))
+      .join(attach.select(col("id").as("id_b"), col("tag").as("tag_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("val_a"), col("val_b"),
+        col("tag_a"), col("tag_b")).collect())
+    assert(carried == joined,
+      s"missing=${(joined -- carried).take(3)} extra=${(carried -- joined).take(3)}")
+    assert(carried.nonEmpty &&
+      carried.forall { case (a, b, _, _, ta, tb) => ta == s"t$a" && tb == s"t$b" })
+  }
+
   test("blocked linkage: SNM recall contract — every gap ≤ window found, incl. chunk-boundary straddlers") {
     // VERDICT r13 item 7: quantify the SNM recall contract in-spec.
     // One oversized block (40 ≫ maxBlock=8), window=5 → chunk
