@@ -362,6 +362,142 @@ object GraftKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  private def cpHashSkip(cps: Array[Int], skip1: Int, skip2: Int): Long = {
+    var h = SEED
+    var i = 0
+    while (i < cps.length) {
+      if (i != skip1 && i != skip2)
+        h = mix64(h ^ (cps(i) * 0x9E3779B97F4A7C15L + 0xA5A5L))
+      i += 1
+    }
+    h
+  }
+
+  /** Hashes of the ≤`maxDeletes`-deletion neighborhood of `s` (the
+    * string itself plus every variant reachable by deleting 1..d
+    * codepoints), deduplicated — the FastSS blocking set of
+    * FuzzyJoin, without materializing a single variant string. The
+    * HOF formulation (`transform(sequence...)` + substr concats +
+    * `array_distinct`) was CodegenFallback and allocated |s|+1
+    * strings per row; this emits one chained-mix hash per variant in
+    * a tight loop. Any deterministic hash preserves blocking
+    * COMPLETENESS (equal variant strings ⇒ equal hashes, so every
+    * pair the string join found, the hash join finds); collisions
+    * can only ADD candidates, which the exact levenshtein verify
+    * removes — the same argument the old `xxhash64(variant)` rode.
+    */
+  def deletionHashes(s: UTF8String, maxDeletes: Int): ArrayData = {
+    val str = s.toString
+    val m = str.length
+    val cps = new Array[Int](str.codePointCount(0, m))
+    var ci = 0
+    var k = 0
+    while (ci < m) {
+      val c = str.codePointAt(ci); cps(k) = c; k += 1
+      ci += Character.charCount(c)
+    }
+    val n = cps.length
+    val total = 1 + n + (if (maxDeletes >= 2) n * (n - 1) / 2 else 0)
+    val out = new Array[Long](total)
+    var o = 0
+    out(o) = cpHashSkip(cps, -1, -1); o += 1
+    var i = 0
+    while (i < n) { out(o) = cpHashSkip(cps, i, -1); o += 1; i += 1 }
+    if (maxDeletes >= 2) {
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { out(o) = cpHashSkip(cps, i, j); o += 1; j += 1 }
+        i += 1
+      }
+    }
+    // dedup (the HOF formulation array_distinct'd the variant strings;
+    // hash-level dedup is completeness-safe — the hash VALUE is what
+    // joins, so merging equal hashes never loses a match)
+    java.util.Arrays.sort(out)
+    var distinct = if (total > 0) 1 else 0
+    i = 1
+    while (i < total) { if (out(i) != out(i - 1)) distinct += 1; i += 1 }
+    val res = new Array[Any](distinct)
+    var r = 0
+    i = 0
+    while (i < total) {
+      if (i == 0 || out(i) != out(i - 1)) { res(r) = out(i); r += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+
+  /** Luhn mod-10 sum of an ASCII digit string — positions counted
+    * from the RIGHT, every 2nd digit doubled (−9 above 9); the exact
+    * integer the `aggregate(sequence(...))` HOF in
+    * TextFunctions.luhnSum computes, as one tight loop. */
+  def luhnSum(s: UTF8String): Int = {
+    val str = s.toString
+    var sum = 0
+    var idx = str.length - 1
+    var pos = 1
+    while (idx >= 0) {
+      val d = str.charAt(idx) - '0'
+      sum += (if (pos % 2 == 0) { val dd = d * 2; if (dd > 9) dd - 9 else dd }
+              else d)
+      idx -= 1
+      pos += 1
+    }
+    sum
+  }
+
+  /** Single-pass Luhn candidate scan + redaction. Exactly equivalent
+    * to the HOF chain it replaces (TextQueries.textRedactLuhn):
+    * `regexp_extract_all(s, '[0-9]{13,16}', 0)` (greedy,
+    * non-overlapping, ASCII digits — a digit run of length L yields
+    * ⌊…⌋ successive 16-digit matches while ≥16 remain, then one
+    * final 13–15 match if the remainder allows, exactly the
+    * backtracking-free greedy scan), `filter(c => luhnSum(c)%10==0)`
+    * (sum from the rightmost digit, doubling every 2nd position,
+    * −9 above 9), and the sequential
+    * `aggregate(valid, s, (txt,c) => replace(txt, c, '<CC>'))` fold
+    * (each valid candidate replace-ALL-occurrences, in match order,
+    * against the accumulated string). The HOF chain was
+    * CodegenFallback and evaluated the candidate array three times
+    * (size, filter, fold); this is one pass plus K tiny loops.
+    *
+    * @return struct(n_candidates int, n_valid int, redacted string)
+    */
+  def luhnRedact(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val n = str.length
+    val cands = new scala.collection.mutable.ArrayBuffer[String](2)
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var j = i + 1
+        while (j < n && { val d = str.charAt(j); d >= '0' && d <= '9' }) j += 1
+        var p = i
+        while (j - p >= 13) {
+          val take = if (j - p >= 16) 16 else j - p
+          cands += str.substring(p, p + take)
+          p += take
+        }
+        i = j
+      } else i += 1
+    }
+    var nValid = 0
+    var out = str
+    var k = 0
+    while (k < cands.length) {
+      val cand = cands(k)
+      if (luhnSum(UTF8String.fromString(cand)) % 10 == 0) {
+        nValid += 1
+        out = out.replace(cand, "<CC>")
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cands.length, nValid, UTF8String.fromString(out)))
+  }
+
   /** Asymmetric distance computation for product-quantized codes:
     * squared L2 between a raw query vector and a PQ-coded corpus
     * vector, read off the flattened codebooks
@@ -717,6 +853,66 @@ case class NfcNorm(child: Expression) extends UnaryExpression {
   override def prettyName: String = "nfc_norm"
 }
 
+/** DeletionHashes(string, d) → array<long> — hashes of the
+  * ≤d-deletion neighborhood (see GraftKernels.deletionHashes).
+  */
+case class DeletionHashes(child: Expression, maxDeletes: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if maxDeletes >= 1 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"deletion_hashes needs string and d>=1, got $t / $maxDeletes")
+  }
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.deletionHashes(v.asInstanceOf[UTF8String], maxDeletes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftKernels.deletionHashes($c, $maxDeletes)")
+  override protected def withNewChildInternal(newChild: Expression): DeletionHashes =
+    copy(child = newChild)
+  override def prettyName: String = "deletion_hashes"
+}
+
+/** LuhnSum(string) → int — see GraftKernels.luhnSum. */
+case class LuhnSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"luhn_sum needs string, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.luhnSum(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.luhnSum($c)")
+  override protected def withNewChildInternal(newChild: Expression): LuhnSum =
+    copy(child = newChild)
+  override def prettyName: String = "luhn_sum"
+}
+
+/** LuhnRedact(string) → struct(n_candidates int, n_valid int,
+  * redacted string) — see GraftKernels.luhnRedact.
+  */
+case class LuhnRedact(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_candidates", IntegerType, nullable = false),
+    StructField("n_valid", IntegerType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"luhn_redact needs string, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.luhnRedact(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftKernels.luhnRedact($c)")
+  override protected def withNewChildInternal(newChild: Expression): LuhnRedact =
+    copy(child = newChild)
+  override def prettyName: String = "luhn_redact"
+}
+
 /** Column-API entry points for the kernel expressions. */
 object GraftFunctions {
   def simhash64(c: Column): Column =
@@ -752,4 +948,10 @@ object GraftFunctions {
                   div: Double): Column =
     ColumnBridge.column(VecProject(ColumnBridge.expression(v),
       mean, axis, div))
+  def luhn_redact(c: Column): Column =
+    ColumnBridge.column(LuhnRedact(ColumnBridge.expression(c)))
+  def luhn_sum(c: Column): Column =
+    ColumnBridge.column(LuhnSum(ColumnBridge.expression(c)))
+  def deletion_hashes(c: Column, maxDeletes: Int): Column =
+    ColumnBridge.column(DeletionHashes(ColumnBridge.expression(c), maxDeletes))
 }

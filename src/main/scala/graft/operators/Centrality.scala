@@ -51,32 +51,47 @@ object Centrality {
     val base = (15L * r0) / 100L
     val e = edges.select(col("src"), col("dst")).distinct()
     val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // materialize BOTH loop-invariant inputs once: the edge+outdegree
-    // join AND the node set (every iteration joins nodes — without the
-    // checkpoint each one re-plans the upstream source scan)
-    val eo = Materialize.cut(e.join(out, "src"))
-    val ns = Materialize.cut(nodes.select(col("id")))
-    var ranks = Materialize.cut(ns.select(col("id"), lit(r0).as("rank")))
-    var it = 0
-    while (it < iterations) {
-      val contrib = eo.join(ranks.hint("shuffle_hash"),
-          col("src") === col("id"))
-        .select(col("dst"), expr("`rank` DIV outdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val next = ns
-        .join(contrib.hint("shuffle_hash"), col("id") === col("dst"), "left")
-        .select(col("id"),
-          (lit(base) +
-            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
-      it += 1
-      // cut lineage every other step (and at the end): one
-      // materialization buys two iterations of plan growth — halves
-      // the per-step job overhead that dominates small-graph runs
-      // without letting the DAG compound
-      ranks = if (it % 2 == 0 || it == iterations) Materialize.cut(next)
-              else next
+    // Materialize BOTH loop-invariant inputs once, CO-PARTITIONED for
+    // the whole loop (cutAligned keeps the hash layout visible to the
+    // planner): eo ends hash(src) from its join, ns/ranks hash(id).
+    // Each iteration then plans with ZERO exchanges on the join sides
+    // — contrib's groupBy(dst) exchange (ending hash(dst), which the
+    // ns join consumes in place) is the only shuffle per step, the
+    // Pregel minimum. The loop's shared width derives from the
+    // MEASURED edge-frame size (loopWidth) — setup still runs at
+    // session width, so scans and the distinct stay fully parallel.
+    val (eo0, eoBytes) = Materialize.cutAlignedMeasured(e.join(out, "src"))
+    val spark = edges.sparkSession
+    val w = Materialize.loopWidth(spark, eoBytes, 256L << 10)
+    Materialize.withWidth(spark, w) {
+      val eo =
+        if (eo0.rdd.getNumPartitions == w) eo0
+        else Materialize.cutAligned(eo0.repartition(w, col("src")))
+      val ns = Materialize.cutAligned(
+        nodes.select(col("id")).repartition(col("id")))
+      var ranks = Materialize.cutAligned(
+        ns.select(col("id"), lit(r0).as("rank")))
+      var it = 0
+      while (it < iterations) {
+        val contrib = eo.join(ranks.hint("shuffle_hash"),
+            col("src") === col("id"))
+          .select(col("dst"), expr("`rank` DIV outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        val next = ns
+          .join(contrib.hint("shuffle_hash"), col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit(base) +
+              expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
+        it += 1
+        // cut lineage every other step (and at the end): one
+        // materialization buys two iterations of plan growth — halves
+        // the per-step job overhead that dominates small-graph runs
+        // without letting the DAG compound
+        ranks = if (it % 2 == 0 || it == iterations) Materialize.cutAligned(next)
+                else next
+      }
+      ranks
     }
-    ranks
   }
 
   /** WEIGHTED-edge PageRank — real host graphs are weighted (link
@@ -110,25 +125,36 @@ object Centrality {
     val e = edges.groupBy(col("src"), col("dst"))
       .agg(sum(col("weight")).as("w"))
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val eo = Materialize.cut(e.join(outw, "src"))
-    val ns = Materialize.cut(nodes.select(col("id")))
-    var ranks = Materialize.cut(ns.select(col("id"), lit(r0).as("rank")))
-    var it = 0
-    while (it < iterations) {
-      val contrib = eo.join(ranks.hint("shuffle_hash"),
-          col("src") === col("id"))
-        .select(col("dst"), expr("(`rank` * w) DIV wout").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val next = ns
-        .join(contrib.hint("shuffle_hash"), col("id") === col("dst"), "left")
-        .select(col("id"),
-          (lit(base) +
-            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
-      it += 1
-      ranks = if (it % 2 == 0 || it == iterations) Materialize.cut(next)
-              else next
+    // same co-partitioned, measured-width loop layout as [[pageRank]]:
+    // eo hash(src), ns/ranks hash(id) — one exchange per iteration
+    val (eo0, eoBytes) = Materialize.cutAlignedMeasured(e.join(outw, "src"))
+    val spark = edges.sparkSession
+    val lw = Materialize.loopWidth(spark, eoBytes, 256L << 10)
+    Materialize.withWidth(spark, lw) {
+      val eo =
+        if (eo0.rdd.getNumPartitions == lw) eo0
+        else Materialize.cutAligned(eo0.repartition(lw, col("src")))
+      val ns = Materialize.cutAligned(
+        nodes.select(col("id")).repartition(col("id")))
+      var ranks = Materialize.cutAligned(
+        ns.select(col("id"), lit(r0).as("rank")))
+      var it = 0
+      while (it < iterations) {
+        val contrib = eo.join(ranks.hint("shuffle_hash"),
+            col("src") === col("id"))
+          .select(col("dst"), expr("(`rank` * w) DIV wout").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        val next = ns
+          .join(contrib.hint("shuffle_hash"), col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit(base) +
+              expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
+        it += 1
+        ranks = if (it % 2 == 0 || it == iterations) Materialize.cutAligned(next)
+                else next
+      }
+      ranks
     }
-    ranks
   }
 
   /** Personalized (seed-biased) PageRank — teleport mass concentrates
@@ -160,27 +186,38 @@ object Centrality {
     require(wsum > 0, "personalizedPageRank: teleport weights sum to 0")
     val e = edges.select(col("src"), col("dst")).distinct()
     val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eo = Materialize.cut(e.join(out, "src"))
-    // loop-invariant per-node teleport share (the base VECTOR)
-    val ns = Materialize.cut(teleport.select(col("id"),
-      expr(s"($Scale * weight) DIV $wsum").as("t")))
-    var ranks = Materialize.cut(ns.select(col("id"), col("t").as("rank")))
-    var it = 0
-    while (it < iterations) {
-      val contrib = eo.join(ranks.hint("shuffle_hash"),
-          col("src") === col("id"))
-        .select(col("dst"), expr("`rank` DIV outdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val next = ns
-        .join(contrib.hint("shuffle_hash"), col("id") === col("dst"), "left")
-        .select(col("id"),
-          (expr("(15 * t) DIV 100") +
-            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
-      it += 1
-      ranks = if (it % 2 == 0 || it == iterations) Materialize.cut(next)
-              else next
+    // same co-partitioned, measured-width loop layout as [[pageRank]]:
+    // eo hash(src), ns/ranks hash(id) — one exchange per iteration
+    val (eo0, eoBytes) = Materialize.cutAlignedMeasured(e.join(out, "src"))
+    val spark = edges.sparkSession
+    val w = Materialize.loopWidth(spark, eoBytes, 256L << 10)
+    Materialize.withWidth(spark, w) {
+      val eo =
+        if (eo0.rdd.getNumPartitions == w) eo0
+        else Materialize.cutAligned(eo0.repartition(w, col("src")))
+      // loop-invariant per-node teleport share (the base VECTOR)
+      val ns = Materialize.cutAligned(teleport.select(col("id"),
+        expr(s"($Scale * weight) DIV $wsum").as("t"))
+        .repartition(col("id")))
+      var ranks = Materialize.cutAligned(
+        ns.select(col("id"), col("t").as("rank")))
+      var it = 0
+      while (it < iterations) {
+        val contrib = eo.join(ranks.hint("shuffle_hash"),
+            col("src") === col("id"))
+          .select(col("dst"), expr("`rank` DIV outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        val next = ns
+          .join(contrib.hint("shuffle_hash"), col("id") === col("dst"), "left")
+          .select(col("id"),
+            (expr("(15 * t) DIV 100") +
+              expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
+        it += 1
+        ranks = if (it % 2 == 0 || it == iterations) Materialize.cutAligned(next)
+                else next
+      }
+      ranks
     }
-    ranks
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) — the OTHER classic
@@ -209,8 +246,23 @@ object Centrality {
   def hits(edges: DataFrame, nodes: DataFrame,
            iterations: Int = 8): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e = Materialize.cut(edges.select(col("src"), col("dst")).distinct())
-    val ns = Materialize.cut(nodes.select(col("id")))
+    // HITS probes the edge list on BOTH endpoints (src for the
+    // authority pass, dst for the hub pass); one frame cannot be
+    // hash-partitioned both ways, so keep TWO co-partitioned cut
+    // copies — two setup exchanges buy zero edge exchanges across all
+    // 2×iterations joins. ns/scores ride hash(id) like [[pageRank]].
+    val (eSrc0, eBytes) = Materialize.cutAlignedMeasured(
+      edges.select(col("src"), col("dst")).distinct()
+        .repartition(col("src")))
+    val spark = edges.sparkSession
+    val w = Materialize.loopWidth(spark, eBytes, 16L << 20)
+    Materialize.withWidth(spark, w) {
+    val eSrc =
+      if (eSrc0.rdd.getNumPartitions == w) eSrc0
+      else Materialize.cutAligned(eSrc0.repartition(w, col("src")))
+    val eDst = Materialize.cutAligned(eSrc.repartition(w, col("dst")))
+    val ns = Materialize.cutAligned(
+      nodes.select(col("id")).repartition(col("id")))
     val n = ns.count()
     require(n > 0, "hits: empty node set")
     val h0 = Scale / n
@@ -221,8 +273,9 @@ object Centrality {
       // normalizer folds in-plan as a broadcast scalar (no driver
       // .head() sync per half-iteration): the agg subtree reads the
       // just-cut blocks, so the cross join costs one broadcast of a
-      // single row.
-      val m = Materialize.cut(raw)
+      // single row. The aligned cut keeps raw's hash(id) layout, so
+      // the next half-step's edge join consumes it in place.
+      val m = Materialize.cutAligned(raw)
       val total = m.agg(sum(col("s")).as("__t"))
       m.crossJoin(broadcast(total))
         .select(col("id"),
@@ -232,12 +285,14 @@ object Centrality {
     var auth: DataFrame = null
     var it = 0
     while (it < iterations) {
-      val aRaw = e.join(hub.hint("shuffle_hash"), col("src") === col("id"))
+      val aRaw = eSrc
+        .join(hub.hint("shuffle_hash"), col("src") === col("id"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("c"))
       auth = normalized(
         ns.join(aRaw.hint("shuffle_hash"), col("id") === col("dst"), "left")
           .select(col("id"), coalesce(col("c"), lit(0L)).as("s")), "authority")
-      val hRaw = e.join(auth.hint("shuffle_hash"), col("dst") === col("id"))
+      val hRaw = eDst
+        .join(auth.hint("shuffle_hash"), col("dst") === col("id"))
         .groupBy(col("src")).agg(sum(col("authority")).as("c"))
       hub = normalized(
         ns.join(hRaw.hint("shuffle_hash"), col("id") === col("src"), "left")
@@ -249,6 +304,7 @@ object Centrality {
       .select(col("id"),
         coalesce(col("authority"), lit(0L)).as("authority"),
         coalesce(col("hub"), lit(0L)).as("hub"))
+    }
   }
 
   /** C33: multi-source BFS hop distance — "crawl depth from the seed
@@ -268,29 +324,43 @@ object Centrality {
   def seedDistance(edges: DataFrame, seeds: DataFrame, nodes: DataFrame,
                    maxIter: Int): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    val e = Materialize.cut(edges.select(col("src"), col("dst")).distinct())
-    val ns = Materialize.cut(nodes.select(col("id")))
-    var dist = Materialize.cut(
-      ns.join(seeds.select(col("id"), lit(0L).as("__d0")), Seq("id"), "left")
-        .select(col("id"), coalesce(col("__d0"), lit(-1L)).as("dist")))
-    var it = 0
-    while (it < maxIter) {
-      val frontier = dist.filter(col("dist") === lit(it.toLong))
-      val reached = e.join(frontier.hint("shuffle_hash"),
-          col("src") === col("id"))
-        .select(col("dst")).distinct()
-        .withColumn("__hit", lit(1L))
-      val step = dist.join(reached.hint("shuffle_hash"),
-          col("id") === col("dst"), "left")
-        .select(col("id"),
-          when(col("dist") >= 0, col("dist"))
-            .otherwise(when(col("__hit").isNotNull, lit(it + 1L))
-              .otherwise(lit(-1L))).as("dist"))
-      it += 1
-      dist = if (it % 2 == 0 || it == maxIter) Materialize.cut(step)
-             else step
+    // co-partitioned, measured-width loop layout (see [[pageRank]]):
+    // e hash(src), dist hash(id) — the frontier join and the
+    // dist⋈reached join run exchange-free; the neighbor distinct
+    // (frontier-sized) is the only per-round shuffle
+    val (e0, eBytes) = Materialize.cutAlignedMeasured(
+      edges.select(col("src"), col("dst")).distinct()
+        .repartition(col("src")))
+    val spark = edges.sparkSession
+    val w = Materialize.loopWidth(spark, eBytes, 256L << 10)
+    Materialize.withWidth(spark, w) {
+      val e =
+        if (e0.rdd.getNumPartitions == w) e0
+        else Materialize.cutAligned(e0.repartition(w, col("src")))
+      val ns = Materialize.cutAligned(
+        nodes.select(col("id")).repartition(col("id")))
+      var dist = Materialize.cutAligned(
+        ns.join(seeds.select(col("id"), lit(0L).as("__d0")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__d0"), lit(-1L)).as("dist")))
+      var it = 0
+      while (it < maxIter) {
+        val frontier = dist.filter(col("dist") === lit(it.toLong))
+        val reached = e.join(frontier.hint("shuffle_hash"),
+            col("src") === col("id"))
+          .select(col("dst")).distinct()
+          .withColumn("__hit", lit(1L))
+        val step = dist.join(reached.hint("shuffle_hash"),
+            col("id") === col("dst"), "left")
+          .select(col("id"),
+            when(col("dist") >= 0, col("dist"))
+              .otherwise(when(col("__hit").isNotNull, lit(it + 1L))
+                .otherwise(lit(-1L))).as("dist"))
+        it += 1
+        dist = if (it % 2 == 0 || it == maxIter) Materialize.cutAligned(step)
+               else step
+      }
+      dist
     }
-    dist
   }
 
   /** C55: bounded-hop weighted single-source shortest paths —
@@ -319,36 +389,51 @@ object Centrality {
   def weightedDistance(edges: DataFrame, seeds: DataFrame,
                        nodes: DataFrame, maxIter: Int): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    val e = Materialize.cut(
-      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
-    val ns = Materialize.cut(nodes.select(col("id")))
-    var dist = Materialize.cut(
-      ns.join(seeds.select(col("id"), lit(0L).as("__d0")), Seq("id"), "left")
-        .select(col("id"), col("__d0").as("dist")))
-    // round 0's improved set IS the seed set
-    var frontier = dist.filter(col("dist").isNotNull)
-    var it = 0
-    while (it < maxIter) {
-      val cand = e.join(frontier.hint("shuffle_hash"),
-          col("src") === col("id"))
-        .select(col("dst"), (col("dist") + col("w")).as("__c"))
-        .groupBy(col("dst")).agg(min(col("__c")).as("__best"))
-      val step = dist.join(cand.hint("shuffle_hash"),
-          col("id") === col("dst"), "left")
-        .select(col("id"), col("dist"), col("__best"),
-          when(col("dist").isNull, col("__best"))
-            .when(col("__best").isNull, col("dist"))
-            .otherwise(least(col("dist"), col("__best"))).as("__nd"))
-      it += 1
-      val next = step.select(col("id"), col("__nd").as("dist"))
-      dist = if (it % 2 == 0 || it == maxIter) Materialize.cut(next)
-             else next
-      frontier = step
-        .filter(col("__nd").isNotNull &&
-          (col("dist").isNull || col("__nd") < col("dist")))
-        .select(col("id"), col("__nd").as("dist"))
+    // co-partitioned, measured-width loop layout (see [[pageRank]]):
+    // e hash(src), dist/frontier hash(id) — the relaxation join and
+    // the min-merge join run exchange-free; cand's groupBy(dst) is the
+    // one per-round shuffle. The cadence cut lands on STEP (not the
+    // dist projection) so the frontier filter reads the same cut
+    // blocks instead of re-running the round's joins.
+    val (e0, eBytes) = Materialize.cutAlignedMeasured(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .repartition(col("src")))
+    val spark = edges.sparkSession
+    val lw = Materialize.loopWidth(spark, eBytes, 256L << 10)
+    Materialize.withWidth(spark, lw) {
+      val e =
+        if (e0.rdd.getNumPartitions == lw) e0
+        else Materialize.cutAligned(e0.repartition(lw, col("src")))
+      val ns = Materialize.cutAligned(
+        nodes.select(col("id")).repartition(col("id")))
+      var dist = Materialize.cutAligned(
+        ns.join(seeds.select(col("id"), lit(0L).as("__d0")), Seq("id"), "left")
+          .select(col("id"), col("__d0").as("dist")))
+      // round 0's improved set IS the seed set
+      var frontier = dist.filter(col("dist").isNotNull)
+      var it = 0
+      while (it < maxIter) {
+        val cand = e.join(frontier.hint("shuffle_hash"),
+            col("src") === col("id"))
+          .select(col("dst"), (col("dist") + col("w")).as("__c"))
+          .groupBy(col("dst")).agg(min(col("__c")).as("__best"))
+        val step0 = dist.join(cand.hint("shuffle_hash"),
+            col("id") === col("dst"), "left")
+          .select(col("id"), col("dist"), col("__best"),
+            when(col("dist").isNull, col("__best"))
+              .when(col("__best").isNull, col("dist"))
+              .otherwise(least(col("dist"), col("__best"))).as("__nd"))
+        it += 1
+        val step = if (it % 2 == 0 || it == maxIter) Materialize.cutAligned(step0)
+                   else step0
+        dist = step.select(col("id"), col("__nd").as("dist"))
+        frontier = step
+          .filter(col("__nd").isNotNull &&
+            (col("dist").isNull || col("__nd") < col("dist")))
+          .select(col("id"), col("__nd").as("dist"))
+      }
+      dist
     }
-    dist
   }
 
   /** C89: degree assortativity (Newman 2002) — the Pearson correlation

@@ -55,33 +55,49 @@ object Community {
   def labelPropagation(edges: DataFrame, nodes: DataFrame,
                        iterations: Int = 5): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e = Materialize.cut(
-      edges.select(col("src"), col("dst")).distinct())
-    val ns = Materialize.cut(nodes.select(col("id")))
-    var labels = ns.select(col("id"), col("id").as("community"))
-    var it = 0
-    while (it < iterations) {
-      // plurality histogram: for each node, how many in-neighbors
-      // carry each label — map-side combine collapses duplicates
-      // before the (src, community) shuffle
-      val hist = e.join(labels.hint("shuffle_hash"),
-          col("dst") === col("id"))
-        .groupBy(col("src"), col("community"))
-        .agg(count(lit(1)).as("c"))
-      // argmax with min-label tiebreak as ONE partial-aggregable
-      // min-struct: (−count, label) orders by plurality desc, label asc
-      val best = hist
-        .groupBy(col("src"))
-        .agg(min(struct((-col("c")).as("nc"), col("community").as("l")))
-          .as("b"))
-        .select(col("src").as("id"), col("b.l").as("next"))
-      val step = labels.join(best.hint("shuffle_hash"), Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("next"), col("community")).as("community"))
-      it += 1
-      labels = if (it % 2 == 0 || it == iterations) Materialize.cut(step)
-               else step
+    // co-partitioned, measured-width loop layout (see
+    // [[Centrality.pageRank]]): the edge list is probed on dst every
+    // round, so cut it hash(dst); labels ride hash(id). Per round only
+    // the two plurality aggregations exchange (hash(src, community)
+    // then hash(src) — the LPA minimum); neither join re-shuffles a
+    // side.
+    val (e0, eBytes) = Materialize.cutAlignedMeasured(
+      edges.select(col("src"), col("dst")).distinct()
+        .repartition(col("dst")))
+    val spark = edges.sparkSession
+    val w = Materialize.loopWidth(spark, eBytes, 16L << 20)
+    Materialize.withWidth(spark, w) {
+      val e =
+        if (e0.rdd.getNumPartitions == w) e0
+        else Materialize.cutAligned(e0.repartition(w, col("dst")))
+      val ns = Materialize.cutAligned(
+        nodes.select(col("id")).repartition(col("id")))
+      var labels = ns.select(col("id"), col("id").as("community"))
+      var it = 0
+      while (it < iterations) {
+        // plurality histogram: for each node, how many in-neighbors
+        // carry each label — map-side combine collapses duplicates
+        // before the (src, community) shuffle
+        val hist = e.join(labels.hint("shuffle_hash"),
+            col("dst") === col("id"))
+          .groupBy(col("src"), col("community"))
+          .agg(count(lit(1)).as("c"))
+        // argmax with min-label tiebreak as ONE partial-aggregable
+        // min-struct: (−count, label) orders by plurality desc, label asc
+        val best = hist
+          .groupBy(col("src"))
+          .agg(min(struct((-col("c")).as("nc"), col("community").as("l")))
+            .as("b"))
+          .select(col("src").as("id"), col("b.l").as("next"))
+        val step = labels.join(best.hint("shuffle_hash"), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("next"), col("community")).as("community"))
+        it += 1
+        labels = if (it % 2 == 0 || it == iterations)
+                   Materialize.cutAligned(step)
+                 else step
+      }
+      labels
     }
-    labels
   }
 }

@@ -78,6 +78,15 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 3, bands: Int = 8, rows: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
+    // NOTE (r18, measured): the lazy composition re-evaluates the
+    // shingle explode and the k-permutation minhash per consumer
+    // (~5 evaluations across the band self-join and the verify
+    // attaches). Staging withSh/banded behind eager cuts was tried
+    // and REJECTED — the extra materialization jobs cost more than
+    // the recompute at sf0.1 (0.87–0.95× across the LSH keys), and a
+    // lazy .cache() is barred because CacheManager would match the
+    // identical plan across bench passes (cross-run reuse). Recompute
+    // wins locally; revisit only with a cluster-scale harness.
     val withSh = shingleFrame(df, textCol, idCol, shingleSize)
     minhashLshFromShingles(withSh, mhBandRows(withSh, bands, rows), threshold)
   }
@@ -444,41 +453,59 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIters: Int = 20): DataFrame = {
-    val und = Materialize.cut(
+    // Co-partitioned, measured-width loop layout (see
+    // [[Centrality.pageRank]]): the union is probed on dst every
+    // round, so cut it hash(dst); labels start hash(id) (the
+    // distinct's layout). The per-round pointer jump re-keys on mid,
+    // so the label frame re-exchanges once per round — but the EDGE
+    // frame never does. Dup-incident frames are tiny relative to the
+    // corpus, so the measured width usually lands near 1 locally and
+    // scales with true dup volume in production.
+    val (und0, uBytes) = Materialize.cutAlignedMeasured(
       edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    // Iterate only over edge-incident nodes — dup clusters are a small
-    // fraction of any real corpus, so the loop's frames stay tiny;
-    // isolated nodes join back (label = own id) once at the end.
-    var labels = Materialize.cut(und.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
-    var iter = 0
-    var converged = false
-    while (iter < maxIters && !converged) {
-      // 1-hop: min over neighbours' labels (map-side combine on src)
-      val nbrMin = und.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
-      val prop = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("mid"))
-      // pointer jump: label := current label OF the label node. Labels
-      // are always node ids of the same component, so this only ever
-      // shortcuts toward the component minimum.
-      val lookup = prop.select(col("id").as("pid"), col("mid").as("plabel"))
-      val next = Materialize.cut(
-        prop.join(lookup, col("mid") === col("pid"), "left")
-          .select(col("id"), col("old"),
-            least(col("mid"), coalesce(col("plabel"), col("mid"))).as("label")))
-      converged = next.filter(col("label") =!= col("old")).isEmpty
-      labels = next.select(col("id"), col("label"))
-      iter += 1
+        .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .repartition(col("dst")))
+    val spark = edges.sparkSession
+    val w = Materialize.loopWidth(spark, uBytes, 16L << 20)
+    val labelsOut = Materialize.withWidth(spark, w) {
+      val und =
+        if (und0.rdd.getNumPartitions == w) und0
+        else Materialize.cutAligned(und0.repartition(w, col("dst")))
+      // Iterate only over edge-incident nodes — dup clusters are a
+      // small fraction of any real corpus, so the loop's frames stay
+      // tiny; isolated nodes join back (label = own id) at the end.
+      var labels = Materialize.cutAligned(
+        und.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id")))
+      var iter = 0
+      var converged = false
+      while (iter < maxIters && !converged) {
+        // 1-hop: min over neighbours' labels (map-side combine on src)
+        val nbrMin = und.join(labels, col("dst") === col("id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+        val prop = labels.join(nbrMin, col("id") === col("src"), "left")
+          .select(col("id"), col("label").as("old"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("mid"))
+        // pointer jump: label := current label OF the label node. Labels
+        // are always node ids of the same component, so this only ever
+        // shortcuts toward the component minimum.
+        val lookup = prop.select(col("id").as("pid"), col("mid").as("plabel"))
+        val next = Materialize.cutAligned(
+          prop.join(lookup, col("mid") === col("pid"), "left")
+            .select(col("id"), col("old"),
+              least(col("mid"), coalesce(col("plabel"), col("mid"))).as("label")))
+        converged = next.filter(col("label") =!= col("old")).isEmpty
+        labels = next.select(col("id"), col("label"))
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents: labels not stable after $maxIters rounds — " +
+            "refusing to return partial (wrong) canonical ids; raise maxIters")
+      labels
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents: labels not stable after $maxIters rounds — " +
-          "refusing to return partial (wrong) canonical ids; raise maxIters")
     nodes.select(col("id"))
-      .join(labels.withColumnRenamed("id", "lid"), col("id") === col("lid"), "left")
+      .join(labelsOut.withColumnRenamed("id", "lid"), col("id") === col("lid"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("canonical_id"))
   }
 

@@ -70,7 +70,16 @@ object FuzzyJoin {
     *
     * Candidates carry IDS ONLY (16 bytes/pair) through the self-join
     * and dedup — the strings join back by id just for the final
-    * verify, the same discipline as the D5/D17 candidate paths.
+    * verify, the same discipline as the D5/D17 candidate paths (a
+    * carry-the-string variant was measured 1.8× SLOWER: the pair
+    * dedup widens from two longs to two longs + two strings). The
+    * variant hashes come from the codegen
+    * [[graft.functions.GraftKernels.deletionHashes]] kernel — the HOF
+    * neighborhood (CodegenFallback, |s|+1 string allocations per row)
+    * never materializes a variant; any deterministic hash keeps the
+    * blocking complete (equal variants ⇒ equal hashes) and the exact
+    * `levenshtein` verify keeps precision, so the declared output is
+    * unchanged.
     */
   def selfJoin(df: DataFrame, id: String, value: String,
                maxDist: Int = 1): DataFrame = {
@@ -80,8 +89,8 @@ object FuzzyJoin {
     val base = df.select(col(id).as("__id"), col(value).as("__val"))
     val variants = base
       .select(col("__id"),
-        explode(deletionNeighborhood(col("__val"), maxDist)).as("__v"))
-      .select(col("__id"), xxhash64(col("__v")).as("__h"))
+        explode(graft.functions.GraftFunctions
+          .deletion_hashes(col("__val"), maxDist)).as("__h"))
     val a = variants.toDF("a_id", "__h")
     val b = variants.toDF("b_id", "__h")
     a.join(b, "__h")

@@ -56,44 +56,61 @@ object KCore {
   def peelLayers(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e0 = Materialize.cut(
+    // co-partitioned, measured-width loop layout (see
+    // [[Centrality.pageRank]]): the edge frame rides hash(src) — the
+    // degree agg and the src-side semi-join consume it in place — and
+    // survivors ride hash(id).
+    val (e00, eBytes) = Materialize.cutAlignedMeasured(
       edges.select(col("src"), col("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
-        .distinct())
-    // both directions are present, so src alone covers the universe
-    var nodes = Materialize.cut(e0.select(col("src").as("id")).distinct())
-    var rem = e0
+        .distinct()
+        .repartition(col("src")))
     val spark = edges.sparkSession
-    var layers: DataFrame = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      new org.apache.spark.sql.types.StructType()
-        .add("id", "long", nullable = false)
-        .add("peel_round", "int", nullable = true))
-    var it = 0
-    while (it < rounds) {
-      it += 1
-      val deg = rem.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val annotated = nodes.join(deg, col("id") === col("src"), "left")
-        .select(col("id"),
-          coalesce(col("deg"), lit(0L)).as("deg"))
-      val removed = annotated.where(col("deg") < k).select(col("id"))
-      layers = layers.unionAll(
-        removed.select(col("id"), lit(it).cast("int").as("peel_round")))
-      val kept = annotated.where(col("deg") >= k).select(col("id"))
-      val keptM = if (it % 2 == 0 || it == rounds) Materialize.cut(kept)
-                  else kept
-      rem = rem
-        .join(keptM.select(col("id").as("sid")),
-          col("src") === col("sid"), "left_semi")
-        .join(keptM.select(col("id").as("did")),
-          col("dst") === col("did"), "left_semi")
-      rem = if (it % 2 == 0 || it == rounds) Materialize.cut(rem) else rem
-      nodes = keptM
+    val w = Materialize.loopWidth(spark, eBytes, 4L << 20)
+    Materialize.withWidth(spark, w) {
+      val e0 =
+        if (e00.rdd.getNumPartitions == w) e00
+        else Materialize.cutAligned(e00.repartition(w, col("src")))
+      // both directions are present, so src alone covers the universe
+      var nodes = Materialize.cutAligned(
+        e0.select(col("src").as("id")).distinct())
+      var rem = e0
+      var layers: DataFrame = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("id", "long", nullable = false)
+          .add("peel_round", "int", nullable = true))
+      var it = 0
+      while (it < rounds) {
+        it += 1
+        val deg = rem.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val annotated = nodes.join(deg, col("id") === col("src"), "left")
+          .select(col("id"),
+            coalesce(col("deg"), lit(0L)).as("deg"))
+        val removed = annotated.where(col("deg") < k).select(col("id"))
+        layers = layers.unionAll(
+          removed.select(col("id"), lit(it).cast("int").as("peel_round")))
+        val kept = annotated.where(col("deg") >= k).select(col("id"))
+        val keptM = if (it % 2 == 0 || it == rounds) Materialize.cutAligned(kept)
+                    else kept
+        // dst-side semi FIRST so the src-side semi runs LAST: rem ends
+        // every round hash(src), which the next round's degree agg and
+        // src-semi consume without an exchange — one edge-sized shuffle
+        // per round (the dst-semi) instead of three
+        rem = rem
+          .join(keptM.select(col("id").as("did")),
+            col("dst") === col("did"), "left_semi")
+          .join(keptM.select(col("id").as("sid")),
+            col("src") === col("sid"), "left_semi")
+        rem = if (it % 2 == 0 || it == rounds) Materialize.cutAligned(rem)
+              else rem
+        nodes = keptM
+      }
+      layers.select(col("id"), col("peel_round"),
+          lit(false).as("in_core"))
+        .unionAll(nodes.select(col("id"),
+          lit(null).cast("int").as("peel_round"),
+          lit(true).as("in_core")))
     }
-    layers.select(col("id"), col("peel_round"),
-        lit(false).as("in_core"))
-      .unionAll(nodes.select(col("id"),
-        lit(null).cast("int").as("peel_round"),
-        lit(true).as("in_core")))
   }
 }

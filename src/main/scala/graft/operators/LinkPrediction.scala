@@ -44,8 +44,12 @@ object LinkPrediction {
       .filter(col("__d") >= 2 && col("__d") <= maxDegree)
       .withColumn("__w",
         round(lit(1000000.0) / log(col("__d").cast("double"))).cast("long"))
-    val mw = Materialize.cut(m.join(deg, Seq("__l")))
-    val wedges = mw.as("x").join(mw.as("y"),
+    // aligned cut: the join leaves mw hash(__l)-partitioned and the
+    // cut keeps that layout visible, so the wedge self-join below
+    // reads both sides in place — no exchange, no sort (plain cut
+    // reported UnknownPartitioning and re-shuffled BOTH sides)
+    val mw = Materialize.cutAligned(m.join(deg, Seq("__l")))
+    val wedges = mw.as("x").join(mw.as("y").hint("shuffle_hash"),
         col("x.__l") === col("y.__l") && col("x.__r") < col("y.__r"))
       .select(col("x.__r").as("a"), col("y.__r").as("b"),
         col("x.__w").as("__w"))

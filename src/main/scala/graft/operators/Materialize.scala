@@ -26,4 +26,90 @@ object Materialize {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint()
     else df.localCheckpoint()
+
+  /** Eager lineage cut that KEEPS the cut frame's hash partitioning
+    * visible to downstream planning.
+    *
+    * Under AQE the checkpointed LogicalRDD reports
+    * UnknownPartitioning(0), so every later join/groupBy on the cut
+    * frame re-exchanges it — for a Pregel-style loop that means both
+    * join sides re-shuffle every iteration. Executing the cut with
+    * AQE disabled makes the LogicalRDD capture the executed plan's
+    * final HashPartitioning (and sort order); downstream planning —
+    * AQE back on — honors it and elides the exchange, so co-keyed
+    * loop frames stay co-located across all iterations.
+    *
+    * Cost: the cut's own subtree runs without AQE coalescing / skew
+    * splitting, at the session's `spark.sql.shuffle.partitions`
+    * width. Use for iterative operators, where one fixed loop layout
+    * (the classic Pregel discipline — partition once, iterate in
+    * place) beats per-iteration adaptivity; the width scales with the
+    * session conf, not a constant here.
+    */
+  def cutAligned(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try cut(df) finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** [[cutAligned]] + the cut frame's MEASURED materialized bytes
+    * (from the block manager — exact and free on the localCheckpoint
+    * path; −1 under a reliable checkpoint dir, where reading sizes
+    * back would cost a pass). */
+  def cutAlignedMeasured(df: DataFrame): (DataFrame, Long) = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined) (cutAligned(df), -1L)
+    else {
+      val before = sc.getRDDStorageInfo.map(_.id).toSet
+      val c = cutAligned(df)
+      val bytes = sc.getRDDStorageInfo.filterNot(i => before(i.id))
+        .map(i => i.memSize + i.diskSize).sum
+      (c, bytes)
+    }
+  }
+
+  /** Partition width for an iterative operator's co-partitioned loop,
+    * derived from the measured size of its LARGEST frame (guide-§2
+    * scale adaptivity: AQE cannot coalesce inside an aligned loop —
+    * the cut frames are not shuffle stages — so the loop sizes its
+    * own width). `ceil(bytes / target)` clamped to [1, session
+    * spark.sql.shuffle.partitions] — at scale the session cap binds
+    * and the loop runs full width; measurement unavailable (reliable
+    * checkpoint posture, bytes < 0) also means full width.
+    *
+    * `targetBytes` is per-OPERATOR: the right per-task byte budget
+    * depends on how much compute each loop byte buys. Join-heavy
+    * loops (PageRank: every iteration re-joins the whole edge frame)
+    * keep full width down to small inputs (256 KiB/task); loops whose
+    * per-round jobs are mostly node-sized cuts and aggregations
+    * (HITS' 2 cuts/iteration, connected components' pointer jumps)
+    * narrow sooner (16 MiB/task) because their cost is per-task
+    * overhead, not compute. `spark.graft.loopTargetPartitionBytes`,
+    * when set, overrides all of them. */
+  def loopWidth(spark: org.apache.spark.sql.SparkSession,
+                bytes: Long, targetBytes: Long): Int = {
+    val sessionW =
+      try spark.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => spark.sparkContext.defaultParallelism }
+    if (bytes < 0) sessionW
+    else {
+      val target = spark.conf
+        .get("spark.graft.loopTargetPartitionBytes", targetBytes.toString)
+        .toLong
+      math.max(1, math.min(sessionW,
+        math.ceil(bytes.toDouble / target).toInt))
+    }
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` = `w`, so every
+    * exchange and aligned cut inside a loop shares one co-partitioned
+    * width; restores the session value after. */
+  def withWidth[T](spark: org.apache.spark.sql.SparkSession, w: Int)
+                  (body: => T): T = {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", w.toString)
+    try body finally conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

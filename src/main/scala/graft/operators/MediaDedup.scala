@@ -105,7 +105,8 @@ object MediaDedup {
                  maxHamming: Int = 2): DataFrame = {
     require(bands > maxHamming && bands * bandBits >= hashBits,
       "banding must be complete for the screen to be exact")
-    val classes = collapseExact(hashes, idCol, hashCol, dimCols)
+    val h = hashes
+    val classes = collapseExact(h, idCol, hashCol, dimCols)
       .select((dimCols.map(col) :+ col(hashCol) :+
         col("canonical_id").as("cls_id")): _*)
     val inB = bandedRows(classes, "cls_id", hashCol, dimCols, bandBits, bands)
@@ -140,7 +141,7 @@ object MediaDedup {
         col("canonical_id") === col("bad"), "left_anti")
       .filter(col("id") === col("canonical_id"))
       .select(col("id"))
-    hashes.join(admittedIds, hashes(idCol) === admittedIds("id"),
+    h.join(admittedIds, h(idCol) === admittedIds("id"),
       "left_semi")
   }
 

@@ -51,27 +51,46 @@ object Triangles {
           greatest(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct())
-    val deg = e.select(col("u").as("id"))
-      .unionAll(e.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    // The degree table feeds THREE consumers (both orientation
+    // attachments and the final per-node join) and the oriented edge
+    // list THREE more (two wedge legs and the closing edge) — as lazy
+    // plans each consumer re-ran the whole upstream subtree (the
+    // before-plan holds 8 SortMergeJoins and 38 Exchanges for what is
+    // structurally 3 shuffles). Cut both once; the wedge self-join
+    // then reads ONE hash(src)-aligned frame from both sides with no
+    // exchange and no sort.
+    val deg = Materialize.cut(
+      e.select(col("u").as("id"))
+        .unionAll(e.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree")))
     // orient by (degree, id): the total order that bounds every
-    // out-neighborhood by O(√m)
-    val du = deg.select(col("id").as("u"), col("degree").as("du"))
-    val dv = deg.select(col("id").as("v"), col("degree").as("dv"))
+    // out-neighborhood by O(√m). The degree table is node-sized —
+    // ship it to both attachments when it fits (same budget rule as
+    // the closing join below) so orientation is map-side over e.
+    val thresholdBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(e.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    val shipDeg = thresholdBytes > 0 &&
+      deg.count() * 64L <= 8L * thresholdBytes
+    def attach(d: DataFrame): DataFrame = if (shipDeg) broadcast(d) else d
+    val du = attach(deg.select(col("id").as("u"), col("degree").as("du")))
+    val dv = attach(deg.select(col("id").as("v"), col("degree").as("dv")))
     val uKey = struct(col("du").as("d"), col("u").as("n"))
     val vKey = struct(col("dv").as("d"), col("v").as("n"))
-    val oriented = e.join(du, "u").join(dv, "v")
-      .select(
-        when(uKey < vKey, col("u")).otherwise(col("v")).as("src"),
-        when(uKey < vKey, vKey).otherwise(uKey).as("dk"))
-      .select(col("src"), col("dk.n").as("dst"), col("dk").as("dstKey"))
+    val oriented = Materialize.cutAligned(
+      e.join(du, "u").join(dv, "v")
+        .select(
+          when(uKey < vKey, col("u")).otherwise(col("v")).as("src"),
+          when(uKey < vKey, vKey).otherwise(uKey).as("dk"))
+        .select(col("src"), col("dk.n").as("dst"), col("dk").as("dstKey"))
+        .repartition(col("src")))
     // wedges at the minimum vertex: two out-edges of the same src,
     // canonically ordered so the closing edge's orientation matches
     val o1 = oriented.select(col("src"), col("dst").as("b"),
       col("dstKey").as("bk"))
     val o2 = oriented.select(col("src"), col("dst").as("c"),
       col("dstKey").as("ck"))
-    val wedges = o1.join(o2, Seq("src"))
+    val wedges = o1.join(o2.hint("shuffle_hash"), Seq("src"))
       .filter(col("bk") < col("ck"))
       .select(col("src").as("a"), col("b"), col("c"))
     // The wedge side is Σ outdeg² rows — one to two orders of
@@ -92,9 +111,6 @@ object Triangles {
     // edges) — so allow 8× it, at a conservative 64 B/row in-memory
     // estimate for the two-long hashed relation. threshold = -1
     // (broadcast disabled) disables this fast path too.
-    val thresholdBytes = org.apache.spark.network.util.JavaUtils
-      .byteStringAsBytes(e.sparkSession.conf
-        .get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
     val closing =
       if (thresholdBytes > 0 && e.count() * 64L <= 8L * thresholdBytes)
         broadcast(closing0)

@@ -1362,30 +1362,30 @@ object TextQueries {
     * with [[graft.functions.TextFunctions.luhnValid]], and
     * replace-folds only the valid ones to `<CC>`.
     *
-    * Shape at 100 TB: pure per-row codegen work (regex extract + a
-    * bounded fold per ≤16-char candidate), zero exchanges — the D15
-    * cost class with a constant-factor checksum.
+    * Shape at 100 TB: pure per-row codegen work — the extract +
+    * validate + replace-fold runs as the single-pass
+    * [[graft.functions.GraftKernels.luhnRedact]] kernel (the HOF
+    * formulation was CodegenFallback and re-evaluated the candidate
+    * array three times: size, filter, fold; the kernel is pinned
+    * equivalent by OperatorsSpec's known-vector test and the DuckDB
+    * oracle), zero exchanges — the D15 cost class with a
+    * constant-factor checksum.
     */
   def textRedactLuhn(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
     val p15 = concat(lit("400000"),
       lpad(((col("doc_id") * 37 + 11) % 1000000000L).cast("string"), 9, "0"))
     // check digit d solves luhnSum(p15 || d) ≡ 0 (appending shifts
     // nothing: the new digit sits at odd position 1, undoubled)
-    val t = TextFunctions.luhnSum(concat(p15, lit("0")))
+    val t = graft.functions.GraftFunctions.luhn_sum(concat(p15, lit("0")))
     val dv = (lit(10) - (t % 10)) % 10
     val digit = when(col("doc_id") % 2 === 0, dv).otherwise((dv + 5) % 10)
     val emb = concat(substring(col("text"), 1, 30), lit(" card "),
       p15, digit.cast("string"), lit(" ref 12345 end"))
-    val cands = regexp_extract_all(emb, lit("[0-9]{13,16}"), lit(0))
-    val valid = filter(cands, c => TextFunctions.luhnValid(c))
+    val k = graft.functions.GraftFunctions.luhn_redact(emb)
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(cands).as("n_candidates"),
-        size(valid).as("n_valid"),
-        aggregate(valid, emb,
-          (txt, c) => org.apache.spark.sql.functions.replace(
-            txt, c, lit("<CC>"))).as("redacted"))
+      .select(col("doc_id"), k.getField("n_candidates").as("n_candidates"),
+        k.getField("n_valid").as("n_valid"),
+        k.getField("redacted").as("redacted"))
       .orderBy(col("doc_id"))
   }
 

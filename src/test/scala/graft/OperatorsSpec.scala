@@ -990,6 +990,48 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("luhn_redact kernel ≡ the HOF chain on adversarial digit runs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // runs of every interesting length (12 no-match, 13/16 exact,
+    // 17/29/30 greedy-split), repeated candidates, a candidate that
+    // re-occurs verbatim elsewhere, unicode around digits
+    val fixtures = Seq(
+      "pay 4111111111111111 now",                       // valid 16
+      "id 4111111111111112 ref",                        // invalid 16
+      "run 79927398713000 and 79927398713000 twice",    // valid 14 twice
+      "short 123456789012 only",                        // 12 — no candidate
+      "long 41111111111111110003456789012345678 tail",  // 35-digit run
+      "edge13 4111111111111 end",                       // 13 exact
+      "édgé 4111111111111111 ünïcode 99 42",
+      "nested 00004111111111111111000 run",             // 23-digit run
+      "")
+    val df = fixtures.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("i", "s")
+    val cands = regexp_extract_all(col("s"), lit("[0-9]{13,16}"), lit(0))
+    val valid = filter(cands, c => TextFunctions.luhnValid(c))
+    val hof = df.select(col("i"), size(cands).as("nc"), size(valid).as("nv"),
+        aggregate(valid, col("s"),
+          (txt, c) => replace(txt, c, lit("<CC>"))).as("red"))
+      .orderBy("i").collect()
+    val k = graft.functions.GraftFunctions.luhn_redact(col("s"))
+    val ker = df.select(col("i"), k.getField("n_candidates").as("nc"),
+        k.getField("n_valid").as("nv"), k.getField("redacted").as("red"))
+      .orderBy("i").collect()
+    hof.zip(ker).foreach { case (h, g) =>
+      assert(h.getInt(1) == g.getInt(1), s"n_candidates @${h.getLong(0)}")
+      assert(h.getInt(2) == g.getInt(2), s"n_valid @${h.getLong(0)}")
+      assert(h.getString(3) == g.getString(3), s"redacted @${h.getLong(0)}")
+    }
+    // luhn_sum kernel ≡ the HOF fold on the same strings
+    val sums = df.filter(length(col("s")) > lit(0)).select(
+      TextFunctions.luhnSum(regexp_replace(col("s"), "[^0-9]", "")).as("a"),
+      graft.functions.GraftFunctions
+        .luhn_sum(regexp_replace(col("s"), "[^0-9]", "")).as("b")).collect()
+    sums.foreach(r => assert(r.getInt(0) == r.getInt(1), "luhn_sum"))
+  }
+
   test("chunk overlap: exact fixture, coverage, overlap, reassembly") {
     val got = graft.queries.TextQueries.chunkOverlap(spark, sfDir,
         window = 4, stride = 3)

@@ -638,6 +638,43 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("cutAligned keeps hash partitioning: downstream groupBy and co-keyed join plan with zero exchanges") {
+    import org.apache.spark.sql.functions.sum
+    val base = spark.range(0, 100000)
+      .select((col("id") % 1000).as("id"), col("id").as("v"))
+    // plain cut under AQE loses the layout (the r17-documented gap)
+    val plain = graft.operators.Materialize.cut(base.repartition(col("id")))
+    val pPlain = planString(plain.groupBy("id").agg(sum("v")))
+    assert(pPlain.contains("Exchange"),
+      s"expected the plain cut to re-exchange (probe invariant):\n$pPlain")
+    // aligned cut: groupBy on the cut key needs NO exchange...
+    val aligned = graft.operators.Materialize.cutAligned(
+      base.repartition(col("id")))
+    val pAgg = planString(aligned.groupBy("id").agg(sum("v")))
+    assert(!pAgg.contains("Exchange"),
+      s"aligned cut lost its partitioning for the aggregate:\n$pAgg")
+    // ...and a co-keyed self-join needs none either (the Pregel shape)
+    val other = graft.operators.Materialize.cutAligned(
+      base.select(col("id"), (col("v") * 2).as("w"))
+        .repartition(col("id")))
+    val pJoin = planString(aligned.join(other.hint("shuffle_hash"), "id"))
+    assert(!pJoin.contains("Exchange"),
+      s"co-partitioned join re-exchanged a side:\n$pJoin")
+    // results are the cut frame's rows regardless of layout
+    assert(aligned.count() == plain.count())
+  }
+
+  test("loopWidth: measured-bytes clamp and the reliable-checkpoint full-width posture") {
+    val w = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    import graft.operators.Materialize.loopWidth
+    assert(loopWidth(spark, -1L, 4L << 20) == w)          // unmeasured → full
+    assert(loopWidth(spark, 0L, 4L << 20) == 1)           // empty → 1
+    assert(loopWidth(spark, 1L << 20, 4L << 20) == 1)     // small → narrow
+    assert(loopWidth(spark, 1L << 40, 4L << 20) == w)     // huge → session cap
+    val mid = loopWidth(spark, 9L << 20, 4L << 20)        // ceil(9/4) = 3
+    assert(mid == math.min(w, 3), s"mid width was $mid")
+  }
+
   private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
