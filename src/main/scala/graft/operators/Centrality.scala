@@ -63,14 +63,16 @@ object Centrality {
     val (eo0, eoBytes) = Materialize.cutAlignedMeasured(e.join(out, "src"))
     val spark = edges.sparkSession
     val w = Materialize.loopWidth(spark, eoBytes, 256L << 10)
+    val fullW = Materialize.sessionWidth(spark)
     Materialize.withWidth(spark, w) {
       val eo =
-        if (eo0.rdd.getNumPartitions == w) eo0
+        if (w == fullW) eo0
         else Materialize.cutAligned(eo0.repartition(w, col("src")))
       val ns = Materialize.cutAligned(
         nodes.select(col("id")).repartition(col("id")))
-      var ranks = Materialize.cutAligned(
-        ns.select(col("id"), lit(r0).as("rank")))
+      // initial ranks: a LAZY projection over the cut ns — it keeps
+      // ns's hash(id) layout and needs no third setup materialization
+      var ranks = ns.select(col("id"), lit(r0).as("rank"))
       var it = 0
       while (it < iterations) {
         val contrib = eo.join(ranks.hint("shuffle_hash"),
@@ -130,14 +132,16 @@ object Centrality {
     val (eo0, eoBytes) = Materialize.cutAlignedMeasured(e.join(outw, "src"))
     val spark = edges.sparkSession
     val lw = Materialize.loopWidth(spark, eoBytes, 256L << 10)
+    val fullW = Materialize.sessionWidth(spark)
     Materialize.withWidth(spark, lw) {
       val eo =
-        if (eo0.rdd.getNumPartitions == lw) eo0
+        if (lw == fullW) eo0
         else Materialize.cutAligned(eo0.repartition(lw, col("src")))
       val ns = Materialize.cutAligned(
         nodes.select(col("id")).repartition(col("id")))
-      var ranks = Materialize.cutAligned(
-        ns.select(col("id"), lit(r0).as("rank")))
+      // initial ranks: a LAZY projection over the cut ns — it keeps
+      // ns's hash(id) layout and needs no third setup materialization
+      var ranks = ns.select(col("id"), lit(r0).as("rank"))
       var it = 0
       while (it < iterations) {
         val contrib = eo.join(ranks.hint("shuffle_hash"),
@@ -191,16 +195,16 @@ object Centrality {
     val (eo0, eoBytes) = Materialize.cutAlignedMeasured(e.join(out, "src"))
     val spark = edges.sparkSession
     val w = Materialize.loopWidth(spark, eoBytes, 256L << 10)
+    val fullW = Materialize.sessionWidth(spark)
     Materialize.withWidth(spark, w) {
       val eo =
-        if (eo0.rdd.getNumPartitions == w) eo0
+        if (w == fullW) eo0
         else Materialize.cutAligned(eo0.repartition(w, col("src")))
       // loop-invariant per-node teleport share (the base VECTOR)
       val ns = Materialize.cutAligned(teleport.select(col("id"),
         expr(s"($Scale * weight) DIV $wsum").as("t"))
         .repartition(col("id")))
-      var ranks = Materialize.cutAligned(
-        ns.select(col("id"), col("t").as("rank")))
+      var ranks = ns.select(col("id"), col("t").as("rank"))
       var it = 0
       while (it < iterations) {
         val contrib = eo.join(ranks.hint("shuffle_hash"),
@@ -256,9 +260,10 @@ object Centrality {
         .repartition(col("src")))
     val spark = edges.sparkSession
     val w = Materialize.loopWidth(spark, eBytes, 16L << 20)
+    val fullW = Materialize.sessionWidth(spark)
     Materialize.withWidth(spark, w) {
     val eSrc =
-      if (eSrc0.rdd.getNumPartitions == w) eSrc0
+      if (w == fullW) eSrc0
       else Materialize.cutAligned(eSrc0.repartition(w, col("src")))
     val eDst = Materialize.cutAligned(eSrc.repartition(w, col("dst")))
     val ns = Materialize.cutAligned(
@@ -333,9 +338,10 @@ object Centrality {
         .repartition(col("src")))
     val spark = edges.sparkSession
     val w = Materialize.loopWidth(spark, eBytes, 256L << 10)
+    val fullW = Materialize.sessionWidth(spark)
     Materialize.withWidth(spark, w) {
       val e =
-        if (e0.rdd.getNumPartitions == w) e0
+        if (w == fullW) e0
         else Materialize.cutAligned(e0.repartition(w, col("src")))
       val ns = Materialize.cutAligned(
         nodes.select(col("id")).repartition(col("id")))
@@ -400,9 +406,10 @@ object Centrality {
         .repartition(col("src")))
     val spark = edges.sparkSession
     val lw = Materialize.loopWidth(spark, eBytes, 256L << 10)
+    val fullW = Materialize.sessionWidth(spark)
     Materialize.withWidth(spark, lw) {
       val e =
-        if (e0.rdd.getNumPartitions == lw) e0
+        if (lw == fullW) e0
         else Materialize.cutAligned(e0.repartition(lw, col("src")))
       val ns = Materialize.cutAligned(
         nodes.select(col("id")).repartition(col("id")))

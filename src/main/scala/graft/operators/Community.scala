@@ -66,9 +66,10 @@ object Community {
         .repartition(col("dst")))
     val spark = edges.sparkSession
     val w = Materialize.loopWidth(spark, eBytes, 16L << 20)
+    val fullW = Materialize.sessionWidth(spark)
     Materialize.withWidth(spark, w) {
       val e =
-        if (e0.rdd.getNumPartitions == w) e0
+        if (w == fullW) e0
         else Materialize.cutAligned(e0.repartition(w, col("dst")))
       val ns = Materialize.cutAligned(
         nodes.select(col("id")).repartition(col("id")))

@@ -467,9 +467,10 @@ object Dedup {
         .repartition(col("dst")))
     val spark = edges.sparkSession
     val w = Materialize.loopWidth(spark, uBytes, 16L << 20)
+    val fullW = Materialize.sessionWidth(spark)
     val labelsOut = Materialize.withWidth(spark, w) {
       val und =
-        if (und0.rdd.getNumPartitions == w) und0
+        if (w == fullW) und0
         else Materialize.cutAligned(und0.repartition(w, col("dst")))
       // Iterate only over edge-incident nodes — dup clusters are a
       // small fraction of any real corpus, so the loop's frames stay

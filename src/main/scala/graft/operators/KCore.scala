@@ -67,9 +67,10 @@ object KCore {
         .repartition(col("src")))
     val spark = edges.sparkSession
     val w = Materialize.loopWidth(spark, eBytes, 4L << 20)
+    val fullW = Materialize.sessionWidth(spark)
     Materialize.withWidth(spark, w) {
       val e0 =
-        if (e00.rdd.getNumPartitions == w) e00
+        if (w == fullW) e00
         else Materialize.cutAligned(e00.repartition(w, col("src")))
       // both directions are present, so src alone covers the universe
       var nodes = Materialize.cutAligned(

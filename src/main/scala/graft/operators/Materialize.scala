@@ -102,6 +102,14 @@ object Materialize {
     }
   }
 
+  /** The session's `spark.sql.shuffle.partitions` — the width every
+    * aligned setup cut materialized at (all its exchanges planned at
+    * the session value), so `loopWidth == sessionWidth` means "no
+    * re-cut needed" without touching the cut frame's RDD. */
+  def sessionWidth(spark: org.apache.spark.sql.SparkSession): Int =
+    try spark.conf.get("spark.sql.shuffle.partitions").toInt
+    catch { case _: Throwable => spark.sparkContext.defaultParallelism }
+
   /** Run `body` with `spark.sql.shuffle.partitions` = `w`, so every
     * exchange and aligned cut inside a loop shares one co-partitioned
     * width; restores the session value after. */
